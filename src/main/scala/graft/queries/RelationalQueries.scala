@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Q
+import graft.sources.Tables
+
+/** Core relational operator inventory (SURVEY.md §2.2-2.6), expressed as
+  * declarative DataFrame plans so Catalyst gets pushdown/pruning/broadcast
+  * for free, each with a DuckDB oracle.
+  *
+  * Determinism across engines: every floating aggregate is computed in
+  * DECIMAL(18,2) (exact, order-independent) and cast to DOUBLE at the end;
+  * raw doubles are only ever projected, never summed, so both engines hash
+  * identically.
+  */
+object RelationalQueries extends graft.QueryPack {
+
+  /** Order-independent exact sum of a double column: decimal in, double out. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  override def queries: Seq[Q] = Seq(
+
+    // ---- G1/A: flagship aggregation (TPC-H Q1 shape) --------------------
+    Q("q1_agg",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+            ).cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             |  COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- S1: scan with projection + predicate pushdown ------------------
+    Q("q_s1_scan_prune",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate")),
+      Some("""SELECT l_orderkey, l_extendedprice, l_shipdate
+             |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'""".stripMargin)),
+
+    // ---- P1-P4: projection, cast+trim, constant, lowercase --------------
+    Q("q_p_projections",
+      (s, d) => Tables.customer(s, d).select(
+        trim(col("c_custkey").cast("string")).as("cust_id"),
+        col("c_name").as("cust_name"),
+        lower(col("c_mktsegment")).as("segment_lc"),
+        lit("6").as("system_id")),
+      Some("""SELECT TRIM(CAST(c_custkey AS VARCHAR)) AS cust_id,
+             |  c_name AS cust_name, LOWER(c_mktsegment) AS segment_lc,
+             |  '6' AS system_id
+             |FROM customer""".stripMargin)),
+
+    // ---- P5: timestamp formatting (reference's creation-date stamp) -----
+    Q("q_p5_datefmt",
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'00:00:00+00:00").as("creation_ts"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day")),
+      Some("""SELECT o_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%dT00:00:00+00:00') AS creation_ts,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS order_day
+             |FROM orders""".stripMargin)),
+
+    // ---- F1/F2: equality + null/missing predicates ----------------------
+    Q("q_f_predicates",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 1000.0)
+        .select(
+          col("o_orderkey"),
+          coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")), lit("OTHER")).as("prio_or_other"),
+          col("o_orderpriority").isNotNull.as("has_priority")),
+      Some("""SELECT o_orderkey,
+             |  COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'OTHER') AS prio_or_other,
+             |  o_orderpriority IS NOT NULL AS has_priority
+             |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0""".stripMargin)),
+
+    // ---- F3: regex validation (reference's -[1-9]D delivery-day check) --
+    Q("q_f3_regex",
+      (s, d) => Tables.part(s, d).select(
+        col("p_partkey"),
+        col("p_type").rlike("^STANDARD").as("is_standard"),
+        concat(lit("-"), (col("p_size") % 12).cast("string"), lit("D")).as("dd"),
+        concat(lit("-"), (col("p_size") % 12).cast("string"), lit("D"))
+          .rlike("^-[1-9]D$").as("dd_valid")),
+      Some("""SELECT p_partkey,
+             |  regexp_matches(p_type, '^STANDARD') AS is_standard,
+             |  '-' || CAST(p_size % 12 AS VARCHAR) || 'D' AS dd,
+             |  regexp_matches('-' || CAST(p_size % 12 AS VARCHAR) || 'D', '^-[1-9]D$') AS dd_valid
+             |FROM part""".stripMargin)),
+
+    // ---- J1+J3: the core lookup join — probe side matched to the FIRST
+    // build row per key (reference: first customer in document order).
+    // row_number dedup before a left join; at scale the dedup is one
+    // shuffle on the join key which the join then reuses (same partitioning).
+    Q("q_j1_lookup_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        val firstOrder = Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
+            col("o_totalprice").as("first_totalprice"))
+        c.join(firstOrder, c("c_custkey") === firstOrder("o_custkey"), "left")
+          .select(
+            c("c_custkey").as("cust_id"),
+            col("first_orderkey"),
+            col("first_totalprice"),
+            when(col("first_orderkey").isNull, lit("Not found in source"))
+              .otherwise(lit("Found in source")).as("status"))
+      },
+      Some("""SELECT c.c_custkey AS cust_id, f.first_orderkey, f.first_totalprice,
+             |  CASE WHEN f.first_orderkey IS NULL THEN 'Not found in source'
+             |       ELSE 'Found in source' END AS status
+             |FROM customer c
+             |LEFT JOIN (
+             |  SELECT o_custkey, o_orderkey AS first_orderkey, o_totalprice AS first_totalprice
+             |  FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             |          row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+             |        FROM orders) WHERE rn = 1
+             |) f ON c.c_custkey = f.o_custkey""".stripMargin)),
+
+    // ---- J2: semi-join membership + anti-join complement -----------------
+    Q("q_j2_semi_anti",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).select(col("o_custkey"))
+        val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n")).select(lit("with_orders").as("branch"), col("n"))
+        val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).select(lit("without_orders").as("branch"), col("n"))
+        withO.unionByName(withoutO)
+      },
+      Some("""SELECT 'with_orders' AS branch, COUNT(*) AS n FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |UNION ALL
+             |SELECT 'without_orders' AS branch, COUNT(*) AS n FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin)),
+
+    // ---- A1/A2: count distinct + match counting --------------------------
+    Q("q_a1_count_distinct",
+      (s, d) => Tables.orders(s, d).agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_orderpriority")).as("n_prio")),
+      Some("""SELECT COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders,
+             |  COUNT(DISTINCT o_orderpriority) AS n_prio FROM orders""".stripMargin)),
+
+    // ---- A3: per-group value-set (reference's user-group id set) --------
+    Q("q_a3_collect_set",
+      (s, d) => {
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(array_join(array_sort(collect_set(col("n_name"))), ",").as("nations"))
+      },
+      Some("""SELECT r.r_name,
+             |  list_aggregate(list_sort(list(DISTINCT n.n_name)), 'string_agg', ',') AS nations
+             |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+             |GROUP BY r.r_name""".stripMargin)),
+
+    // ---- T1: top-k by sort key (reference: newest-5-files) ---------------
+    Q("q_t1_topk",
+      (s, d) => Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(5)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5""".stripMargin)),
+
+    // ---- U1: idempotent set-insert on an array column --------------------
+    Q("q_u1_set_insert",
+      (s, d) => {
+        val segs = Tables.customer(s, d).groupBy(col("c_nationkey"))
+          .agg(array_sort(collect_set(col("c_mktsegment"))).as("segs"))
+        def insertIfAbsent(arr: Column, v: String): Column =
+          when(array_contains(arr, v), arr).otherwise(concat(arr, array(lit(v))))
+        segs.select(
+          col("c_nationkey"),
+          array_join(insertIfAbsent(col("segs"), "BUILDING"), ",").as("with_existing"),
+          array_join(insertIfAbsent(col("segs"), "CG_MEKONOMEN"), ",").as("with_new"))
+      },
+      Some("""WITH segs AS (
+             |  SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segs
+             |  FROM customer GROUP BY c_nationkey)
+             |SELECT c_nationkey,
+             |  list_aggregate(CASE WHEN list_contains(segs, 'BUILDING') THEN segs
+             |    ELSE list_append(segs, 'BUILDING') END, 'string_agg', ',') AS with_existing,
+             |  list_aggregate(CASE WHEN list_contains(segs, 'CG_MEKONOMEN') THEN segs
+             |    ELSE list_append(segs, 'CG_MEKONOMEN') END, 'string_agg', ',') AS with_new
+             |FROM segs""".stripMargin)),
+
+    // ---- U2: branch union with status/reason columns ---------------------
+    Q("q_u2_union_branches",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val high = o.filter(col("o_totalprice") >= 200000.0)
+          .select(col("o_orderkey"), lit("OK").as("status"), lit("high value").as("reason"))
+        val low = o.filter(col("o_totalprice") < 200000.0)
+          .select(col("o_orderkey"), lit("Not OK").as("status"), lit("low value").as("reason"))
+        high.unionByName(low)
+      },
+      Some("""SELECT o_orderkey, 'OK' AS status, 'high value' AS reason
+             |FROM orders WHERE o_totalprice >= 200000.0
+             |UNION ALL
+             |SELECT o_orderkey, 'Not OK' AS status, 'low value' AS reason
+             |FROM orders WHERE o_totalprice < 200000.0""".stripMargin)),
+
+    // ---- W1: ranking/analytic windows (extension surface) ----------------
+    Q("q_w1_window",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          row_number().over(w).as("order_seq"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_total"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  row_number() OVER w AS order_seq,
+             |  lag(o_orderkey, 1) OVER w AS prev_orderkey,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin)),
+
+    // ---- G2: rollup (grouping-sets extension) ---------------------------
+    Q("q_g2_rollup",
+      (s, d) => Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |  COUNT(*) AS n
+             |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // ---- V1-V4: the migration-log shape — validation + status/reason
+    // channel over a lookup join (the reference's per-row log, §2.8).
+    Q("q_v_log_validation",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        val firstOrder = Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey"))
+        val ddRaw = when(col("c_custkey") % 5 === 0, lit(""))
+          .otherwise(concat(lit("-"), (col("c_custkey") % 12).cast("string"), lit("D")))
+        val probe = c.select(
+          col("c_custkey"),
+          trim(col("c_custkey").cast("string")).as("current_id"),
+          concat(lit("NEW_"), col("c_custkey").cast("string")).as("new_id"),
+          when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("c_name")).as("new_store_name"),
+          ddRaw.as("dd_raw"))
+        val filled = probe.withColumn("delivery_day",
+          when(col("dd_raw") === "" || col("dd_raw").isNull, lit("-3D")).otherwise(col("dd_raw")))
+        val joined = filled.join(firstOrder,
+          filled("c_custkey") === firstOrder("o_custkey"), "left")
+        joined.select(
+          col("current_id"), col("new_id"), col("delivery_day"),
+          when(col("o_orderkey").isNull, lit("Not OK"))
+            .when(col("new_store_name").isNull, lit("Not OK"))
+            .when(!col("delivery_day").rlike("^-[1-9]D$"), lit("Not OK"))
+            .otherwise(lit("OK")).as("status"),
+          when(col("o_orderkey").isNull, lit("Not found in source XML"))
+            .when(col("new_store_name").isNull,
+              lit("Invalid value! Please check CSV input file (Missing values!)"))
+            .when(!col("delivery_day").rlike("^-[1-9]D$"),
+              lit("Invalid value! Please check CSV input file (Invalid delivery day format!)"))
+            .otherwise(lit("Found in source XML file")).as("reason"))
+      },
+      Some("""WITH first_order AS (
+             |  SELECT o_custkey, o_orderkey FROM (
+             |    SELECT o_custkey, o_orderkey,
+             |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+             |    FROM orders) WHERE rn = 1),
+             |probe AS (
+             |  SELECT c_custkey,
+             |    TRIM(CAST(c_custkey AS VARCHAR)) AS current_id,
+             |    'NEW_' || CAST(c_custkey AS VARCHAR) AS new_id,
+             |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS new_store_name,
+             |    CASE WHEN c_custkey % 5 = 0 THEN ''
+             |         ELSE '-' || CAST(c_custkey % 12 AS VARCHAR) || 'D' END AS dd_raw
+             |  FROM customer),
+             |filled AS (
+             |  SELECT *, CASE WHEN dd_raw = '' OR dd_raw IS NULL THEN '-3D' ELSE dd_raw END AS delivery_day
+             |  FROM probe)
+             |SELECT f.current_id, f.new_id, f.delivery_day,
+             |  CASE WHEN o.o_orderkey IS NULL THEN 'Not OK'
+             |       WHEN f.new_store_name IS NULL THEN 'Not OK'
+             |       WHEN NOT regexp_matches(f.delivery_day, '^-[1-9]D$') THEN 'Not OK'
+             |       ELSE 'OK' END AS status,
+             |  CASE WHEN o.o_orderkey IS NULL THEN 'Not found in source XML'
+             |       WHEN f.new_store_name IS NULL THEN 'Invalid value! Please check CSV input file (Missing values!)'
+             |       WHEN NOT regexp_matches(f.delivery_day, '^-[1-9]D$') THEN 'Invalid value! Please check CSV input file (Invalid delivery day format!)'
+             |       ELSE 'Found in source XML file' END AS reason
+             |FROM filled f LEFT JOIN first_order o ON f.c_custkey = o.o_custkey""".stripMargin)),
+
+    // ---- HLL: approximate distinct (engine-specific values → no oracle) --
+    Q("q_hll_approx_distinct",
+      (s, d) => Tables.orders(s, d).agg(
+        approx_count_distinct(col("o_custkey")).as("approx_cust")),
+      None)
+  )
+}
