@@ -12,7 +12,8 @@ object SparkEntry {
   /** All operator packs. Each pack maps rows of SURVEY.md §2 (plus the
     * LLM-pipeline extension surface) to verifiable queries. */
   private def packs: Seq[QueryPack] = Seq(
-    qpacks.RelationalQueries)
+    qpacks.RelationalQueries,
+    qpacks.NestedQueries)
 
   private lazy val qs: Seq[Q] = packs.flatMap(_.queries)
 
