@@ -22,18 +22,25 @@ object NestedOps {
       name: String,
       newValue: Column,
       onlyIfValue: Option[String] = None,
-      dt: Option[String] = None)
+      dt: Option[String] = None,
+      applyIf: Option[Column] = None)
 
   /** N1 — one pass over the attribute array applying a keyed when-chain
-    * (migrate.py:161-183 re-expressed as a single `transform` HOF). */
-  def rewriteAttrs(attrs: Column, rules: Seq[AttrRule]): Column =
+    * (migrate.py:161-183 re-expressed as a single `transform` HOF).
+    * Field names are parameterized so the same op serves both the testdata
+    * shape (name/value/dt) and the XML impex shape (_name/_VALUE/_dt:dt).
+    */
+  def rewriteAttrs(attrs: Column, rules: Seq[AttrRule],
+      nameField: String = "name", valueField: String = "value",
+      dtField: String = "dt"): Column =
     transform(attrs, a => rules.foldRight(a) { (r, els) =>
-      val cond = r.onlyIfValue match {
-        case Some(v) => a.getField("name") === r.name && a.getField("value") === v
-        case None    => a.getField("name") === r.name
+      val nameCond = r.onlyIfValue match {
+        case Some(v) => a.getField(nameField) === r.name && a.getField(valueField) === v
+        case None    => a.getField(nameField) === r.name
       }
-      val updated = r.dt.foldLeft(a.withField("value", r.newValue))(
-        (c, d) => c.withField("dt", lit(d)))
+      val cond = r.applyIf.foldLeft(nameCond)(_ && _)
+      val updated = r.dt.foldLeft(a.withField(valueField, r.newValue))(
+        (c, d) => c.withField(dtField, lit(d)))
       when(cond, updated).otherwise(els)
     })
 
@@ -50,9 +57,11 @@ object NestedOps {
       .otherwise(array_append(attrs, newAttr))
   }
 
-  /** N3 — delete every attribute with the given name (migrate.py:237-240). */
-  def deleteAttr(attrs: Column, name: String): Column =
-    filter(attrs, a => a.getField("name") =!= name)
+  /** N3 — delete every attribute with the given name (migrate.py:237-240).
+    * Null-named attributes are kept (the HOF filter predicate must not
+    * evaluate to null, or the element silently disappears). */
+  def deleteAttr(attrs: Column, name: String, nameField: String = "name"): Column =
+    filter(attrs, a => coalesce(a.getField(nameField) =!= name, lit(true)))
 
   /** N4/U1 — idempotent set-insert into a string array
     * (`CG_Mekonomen` user-group, migrate.py:227-234). */
@@ -71,7 +80,8 @@ object NestedOps {
     * with its `newCol`. Partition-parallel row map (no shuffle); for a
     * fixed known schema prefer enumerated `withField`s (codegen'd).
     */
-  def replaceNestedText(df: DataFrame, treeCol: String, oldCol: String, newCol: String): DataFrame = {
+  def replaceNestedText(df: DataFrame, treeCol: String, oldCol: String, newCol: String,
+      skipStructField: String => Boolean = _ => false): DataFrame = {
     val schema = df.schema
     val treeIdx = schema.fieldIndex(treeCol)
     val oldIdx = schema.fieldIndex(oldCol)
@@ -82,7 +92,9 @@ object NestedOps {
       case (null, _) => null
       case (s: String, StringType) => if (s == oldV) newV else s
       case (r: Row, st: StructType) =>
-        Row.fromSeq(r.toSeq.zip(st.fields.toSeq).map { case (x, f) => rewrite(x, f.dataType, oldV, newV) })
+        Row.fromSeq(r.toSeq.zip(st.fields.toSeq).map { case (x, f) =>
+          if (skipStructField(f.name)) x else rewrite(x, f.dataType, oldV, newV)
+        })
       case (a: scala.collection.Seq[_], ArrayType(et, _)) =>
         a.map(rewrite(_, et, oldV, newV))
       case (m: scala.collection.Map[_, _], MapType(_, vt, _)) =>
