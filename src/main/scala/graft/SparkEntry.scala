@@ -13,7 +13,9 @@ object SparkEntry {
     * LLM-pipeline extension surface) to verifiable queries. */
   private def packs: Seq[QueryPack] = Seq(
     qpacks.RelationalQueries,
-    qpacks.NestedQueries)
+    qpacks.NestedQueries,
+    qpacks.TextQueries,
+    qpacks.DedupQueries)
 
   private lazy val qs: Seq[Q] = packs.flatMap(_.queries)
 

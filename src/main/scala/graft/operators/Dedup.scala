@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data-pipeline curation (exact,
+  * n-gram-Jaccard, MinHash-LSH, SimHash), designed scale-first:
+  *
+  *  - candidate generation is always an equi-join on a derived key
+  *    (content hash / shared shingle / LSH band) — never an O(n²) cross
+  *    join — so the shuffle is keyed and AQE can handle band skew;
+  *  - all hash functions are md5-hex (engine-stable, oracle-checkable);
+  *  - thresholds use integer arithmetic (inter*10 >= union) so no float
+  *    boundary can diverge between engines.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical content, keep the smallest id.
+    * One keyed shuffle; at scale this is the standard hash-dedup pass. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (id, shingle) pairs — the base relation for Jaccard and
+    * MinHash. Exploding shingles keys everything by content, so the
+    * self-join below is an equi-join, not a cross product. */
+  def docShingles(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
+    df.select(col(idCol).as("sid"),
+        explode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), k)).as("sh"))
+      .distinct()
+
+  /** N-gram Jaccard near-dup: candidate pairs = docs sharing ≥1 shingle
+    * (found via shingle equi-join); jaccard = |∩| / |∪| over shingle sets.
+    * `thresholdTenths` keeps the cut integer-exact (e.g. 1 → j ≥ 0.1). */
+  def jaccardPairs(shing: DataFrame, thresholdTenths: Int): DataFrame = {
+    val sizes = shing.groupBy(col("sid")).agg(count(lit(1)).as("n"))
+    val a = shing.select(col("sid").as("a_id"), col("sh"))
+    val b = shing.select(col("sid").as("b_id"), col("sh"))
+    val inter = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("sid", "a_id").withColumnRenamed("n", "na"), Seq("a_id"))
+      .join(sizes.withColumnRenamed("sid", "b_id").withColumnRenamed("n", "nb"), Seq("b_id"))
+      .withColumn("un", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 10 >= col("un") * thresholdTenths)
+      .select(col("a_id"), col("b_id"), col("inter"), col("un"),
+        round(col("inter").cast("double") / col("un"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature: k independent hash functions h_i(s) = md5(i|s),
+    * each minimized over the shingle set — one aggregation, k min()s. */
+  def minhashSignature(shing: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh$i"))
+    shing.groupBy(col("sid")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash-LSH banding: split the signature into bands of `rowsPerBand`
+    * hashes, hash each band, and emit candidate pairs that collide in any
+    * band. The band join is an equi-join on (band, band_hash) — the LSH
+    * trick that makes near-dup search linear-ish at 100 TB. */
+  def minhashCandidates(shing: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignature(shing, numHashes)
+    val numBands = numHashes / rowsPerBand
+    val bandCols = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("bh"))
+    }
+    val bands = sig.select(col("sid"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("sid"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val l = bands.select(col("sid").as("a_id"), col("band"), col("bh"))
+    val r = bands.select(col("sid").as("b_id"), col("band"), col("bh"))
+    l.join(r, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("band"))
+  }
+
+  /** SimHash signature (16 hex chars = 64 bits): per token, md5 → 16 hex
+    * digits → 4 bits each; per bit position take the sign of Σ(±1) over
+    * all tokens; reassemble the majority bits into a hex string.
+    * One explode + two keyed aggregations — no pairwise work. */
+  def simhashSignature(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hexChars = lit("0123456789abcdef")
+    def pow2(b: Column): Column =
+      when(b === 0, 1).when(b === 1, 2).when(b === 2, 4).otherwise(8)
+    val toks = df.select(col(idCol).as("sid"),
+      explode(TextAnalysis.tokens(col(textCol))).as("t"))
+    val hx = toks.select(col("sid"), md5(col("t")).as("hx"))
+    val digitVal = conv(col("hx").substr(col("p") + 1, lit(1)), 16, 10).cast("int")
+    val bitSet = floor(digitVal / pow2(col("b"))) % 2 === 1
+    val contrib = hx
+      .select(col("sid"), col("hx"), explode(sequence(lit(0), lit(15))).as("p"))
+      .select(col("sid"), col("hx"), col("p"), explode(sequence(lit(0), lit(3))).as("b"))
+      .select(col("sid"), col("p"), col("b"),
+        when(bitSet, lit(1)).otherwise(lit(-1)).as("c"))
+    val sums = contrib.groupBy(col("sid"), col("p"), col("b")).agg(sum(col("c")).as("s"))
+    val digits = sums.groupBy(col("sid"), col("p"))
+      .agg(sum(when(col("s") > 0, pow2(col("b"))).otherwise(lit(0))).as("dig"))
+    digits.groupBy(col("sid"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("dig")))),
+        x => hexChars.substr((x.getField("dig") + 1).cast("int"), lit(1))), "").as("simhash"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Deduplication extension surface over `documents`: exact hash-groupBy,
+  * n-gram-Jaccard near-dup, MinHash-LSH banding, SimHash signatures.
+  */
+object DedupQueries extends graft.QueryPack {
+
+  private val duckShingles =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+      |  FROM t WHERE len(toks) >= 3),
+      |exd AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh)""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+
+    // ---- D1: exact dedup (content-hash groupBy) -------------------------
+    Q("q_d1_exact_dedup",
+      (s, d) => Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+             |  COUNT(*) AS n_copies
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // ---- D2: n-gram Jaccard near-dup (shared-shingle candidates) --------
+    Q("q_d2_jaccard_pairs",
+      (s, d) => Dedup.jaccardPairs(
+        Dedup.docShingles(Tables.documents(s, d), "text", "doc_id"), 1),
+      Some(s"""$duckShingles,
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM exd GROUP BY doc_id),
+              |pairs AS (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+              |  FROM exd a JOIN exd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT p.a_id, p.b_id, p.inter,
+              |  sa.n + sb.n - p.inter AS un,
+              |  ROUND(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 6) AS jaccard
+              |FROM pairs p
+              |JOIN sizes sa ON sa.doc_id = p.a_id
+              |JOIN sizes sb ON sb.doc_id = p.b_id
+              |WHERE p.inter * 10 >= (sa.n + sb.n - p.inter) * 1""".stripMargin)),
+
+    // ---- D3: MinHash-LSH candidate pairs (8 hashes, bands of 2) ---------
+    Q("q_d3_minhash_lsh",
+      (s, d) => Dedup.minhashCandidates(
+        Dedup.docShingles(Tables.documents(s, d), "text", "doc_id"), 8, 2),
+      Some(s"""$duckShingles,
+              |mh AS (SELECT doc_id,
+              |  min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+              |  min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
+              |  min(md5('4|' || sh)) AS m4, min(md5('5|' || sh)) AS m5,
+              |  min(md5('6|' || sh)) AS m6, min(md5('7|' || sh)) AS m7
+              |  FROM exd GROUP BY doc_id),
+              |bands AS (
+              |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM mh
+              |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM mh
+              |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM mh
+              |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM mh)
+              |SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.band
+              |FROM bands a
+              |JOIN bands b ON a.band = b.band AND a.bh = b.bh
+              |  AND a.doc_id < b.doc_id""".stripMargin)),
+
+    // ---- D4: SimHash signatures ----------------------------------------
+    Q("q_d4_simhash",
+      (s, d) => Dedup.simhashSignature(Tables.documents(s, d), "text", "doc_id")
+        .withColumnRenamed("sid", "doc_id"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+             |  FROM documents),
+             |h AS (SELECT doc_id, md5(t) AS hx FROM tok),
+             |pb AS (SELECT unnest(range(0, 16)) AS p),
+             |bb AS (SELECT unnest(range(0, 4)) AS b),
+             |contrib AS (
+             |  SELECT doc_id, p, b,
+             |    CASE WHEN ((CAST(strpos('0123456789abcdef', substr(hx, CAST(p AS INT) + 1, 1)) AS INT) - 1)
+             |          // (CASE b WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2 = 1
+             |      THEN 1 ELSE -1 END AS c
+             |  FROM h CROSS JOIN pb CROSS JOIN bb),
+             |sums AS (SELECT doc_id, p, b, SUM(c) AS s FROM contrib GROUP BY doc_id, p, b),
+             |digits AS (
+             |  SELECT doc_id, p,
+             |    SUM(CASE WHEN s > 0 THEN (CASE b WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)
+             |        ELSE 0 END) AS dig
+             |  FROM sums GROUP BY doc_id, p)
+             |SELECT doc_id,
+             |  string_agg(substr('0123456789abcdef', CAST(dig AS INT) + 1, 1), '' ORDER BY p) AS simhash
+             |FROM digits GROUP BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+
+/** Text-analysis extension surface over the `documents` table: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  * All pure column expressions over one scan — pruned to (doc_id, text).
+  */
+object TextQueries extends graft.QueryPack {
+
+  private val duckToks =
+    "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+  override def queries: Seq[Q] = Seq(
+
+    // ---- X1: token counting -------------------------------------------
+    Q("q_x1_token_count",
+      (s, d) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct_tokens"),
+          length(col("text")).as("n_chars_calc"))
+      },
+      Some(s"""SELECT doc_id,
+              |  len($duckToks) AS n_tokens,
+              |  len(list_distinct($duckToks)) AS n_distinct_tokens,
+              |  length(text) AS n_chars_calc
+              |FROM documents""".stripMargin)),
+
+    // ---- X2: quality scoring ------------------------------------------
+    Q("q_x2_quality",
+      (s, d) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        val nTok = size(toks)
+        val tokChars = length(array_join(toks, ""))
+        val stopHits = TextAnalysis.hitCount(toks, TextAnalysis.langStopwords.head._2)
+        val avgLen = round(tokChars.cast("double") / nTok, 4)
+        val stopRatio = round(stopHits.cast("double") / nTok, 4)
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          avgLen.as("avg_token_len"),
+          stopRatio.as("stopword_ratio"),
+          (nTok >= 20 && avgLen >= 2.0 && avgLen <= 10.0 && stopRatio >= 0.02)
+            .as("is_quality"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |m AS (SELECT doc_id,
+              |  len(toks) AS n_tokens,
+              |  ROUND(CAST(length(list_aggregate(toks, 'string_agg', '')) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+              |  ROUND(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE) / len(toks), 4) AS stopword_ratio
+              |  FROM t)
+              |SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+              |  (n_tokens >= 20 AND avg_token_len >= 2.0 AND avg_token_len <= 10.0
+              |   AND stopword_ratio >= 0.02) AS is_quality
+              |FROM m""".stripMargin)),
+
+    // ---- X3: language ID (stopword-hit argmax, fixed priority) ---------
+    Q("q_x3_langid",
+      (s, d) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        val scoreCols = TextAnalysis.langStopwords.map { case (l, ws) =>
+          TextAnalysis.hitCount(toks, ws).as(s"s_$l")
+        }
+        Tables.documents(s, d)
+          .select((col("doc_id") +: col("lang").as("lang_label") +: scoreCols) :+
+            TextAnalysis.langId(toks).as("lang_pred"): _*)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+              |sc AS (SELECT doc_id, lang AS lang_label,
+              |  len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS s_en,
+              |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','zu'], x))) AS s_de,
+              |  len(list_filter(toks, x -> list_contains(['el','la','de','y','es','un','en'], x))) AS s_es,
+              |  len(list_filter(toks, x -> list_contains(['le','la','de','et','est','un','dans'], x))) AS s_fr
+              |  FROM t)
+              |SELECT doc_id, lang_label, s_en, s_de, s_es, s_fr,
+              |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+              |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+              |       WHEN s_es >= s_fr THEN 'es'
+              |       ELSE 'fr' END AS lang_pred
+              |FROM sc""".stripMargin)),
+
+    // ---- X4: document fingerprint (min-hash over shingle set) ----------
+    Q("q_x4_fingerprint",
+      (s, d) => {
+        val sh = TextAnalysis.shingles(TextAnalysis.tokens(col("text")))
+        Tables.documents(s, d)
+          .filter(size(sh) > 0)
+          .select(col("doc_id"),
+            TextAnalysis.fingerprint(sh).as("fp"),
+            size(array_distinct(sh)).as("n_distinct_shingles"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |sh AS (SELECT doc_id,
+              |  list_transform(range(1, len(toks) - 1),
+              |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+              |  FROM t WHERE len(toks) >= 3),
+              |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh)
+              |SELECT doc_id, min(md5(sh)) AS fp,
+              |  count(DISTINCT sh) AS n_distinct_shingles
+              |FROM ex GROUP BY doc_id""".stripMargin))
+  )
+}
