@@ -15,7 +15,8 @@ object SparkEntry {
     qpacks.RelationalQueries,
     qpacks.NestedQueries,
     qpacks.TextQueries,
-    qpacks.DedupQueries)
+    qpacks.DedupQueries,
+    qpacks.SimilarityQueries)
 
   private lazy val qs: Seq[Q] = packs.flatMap(_.queries)
 

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`ArrayType(FloatType)`):
+  * brute-force cosine top-k as the exact baseline, and sign-LSH
+  * (random-hyperplane) bucketing as the scale path — candidates then only
+  * join within a bucket, turning O(n²) scoring into a keyed equi-join.
+  *
+  * Numerics contract: elements are cast float→double (exact) before any
+  * arithmetic; dot products run as sequential HOF folds; every score is
+  * rounded to 6 dp so engine-order-of-summation noise (≤1e-13) can't flip
+  * a comparison against the DuckDB oracle, and ranking ties on the
+  * rounded score break by neighbor id — fully deterministic.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product, elements widened to double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity rounded to `scale` decimals. */
+  def cosine(a: Column, b: Column, scale: Int = 6): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), scale)
+
+  /** Exact top-k neighbors for each query vector (self excluded).
+    * The query side broadcasts (it is small by construction); scoring is a
+    * map-only pass over the corpus; the per-query ranking shuffles only
+    * (query_id, neighbor_id, score) tuples, never the vectors. */
+  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col("qv"), col(vecCol)).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Sign-LSH bucket per vector: one bit per hyperplane (the first
+    * `numPlanes` corpus vectors serve as deterministic planes). */
+  def lshBuckets(emb: DataFrame, numPlanes: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = emb.filter(col(idCol) < numPlanes)
+      .select(col(idCol).as("plane_id"), col(vecCol).as("pv"))
+    emb.crossJoin(broadcast(planes))
+      .select(col(idCol).as("vec_id"), col("plane_id"),
+        when(round(dot(col(vecCol), col("pv")), 6) >= 0, lit("1"))
+          .otherwise(lit("0")).as("bit"))
+      .groupBy(col("vec_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("plane_id"), col("bit")))),
+          x => x.getField("bit")), "").as("bucket"))
+  }
+
+  /** Embedding near-dup: candidate pairs share an LSH bucket, then exact
+    * (rounded) cosine filters at `minScore`. Only within-bucket pairs are
+    * ever scored — the 100 TB-safe shape. */
+  def nearDupByCosine(emb: DataFrame, numPlanes: Int, minScore: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = lshBuckets(emb, numPlanes, idCol, vecCol)
+    val pairs = b.select(col("vec_id").as("a_id"), col("bucket"))
+      .join(b.select(col("vec_id").as("b_id"), col("bucket")), Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+    pairs
+      .join(emb.select(col(idCol).as("a_id"), col(vecCol).as("va")), Seq("a_id"))
+      .join(emb.select(col(idCol).as("b_id"), col(vecCol).as("vb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), cosine(col("va"), col("vb")).as("score"))
+      .filter(col("score") >= minScore)
+  }
+}
