@@ -16,7 +16,8 @@ object SparkEntry {
     qpacks.NestedQueries,
     qpacks.TextQueries,
     qpacks.DedupQueries,
-    qpacks.SimilarityQueries)
+    qpacks.SimilarityQueries,
+    qpacks.EventQueries)
 
   private lazy val qs: Seq[Q] = packs.flatMap(_.queries)
 

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Q
+import graft.sources.Tables
+
+/** Batch equivalents of the streaming surface over `events` (tumbling /
+  * sliding / session windows, dedup-keep-first, JSON extraction). These
+  * share the column expressions with [[graft.streaming.EventStreams]] so
+  * the DuckDB oracle validates the window semantics the streaming path
+  * executes incrementally.
+  */
+object EventQueries extends graft.QueryPack {
+
+  override def queries: Seq[Q] = Seq(
+
+    // ---- E1: tumbling 1-hour window ------------------------------------
+    Q("q_e1_tumbling_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value")),
+      Some("""SELECT date_trunc('hour', ts) AS win_start, event_type,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ---- E2: sliding 10-min window, 5-min slide -------------------------
+    Q("q_e2_sliding_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "600 seconds", "300 seconds"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("n")),
+      Some("""WITH starts AS (
+             |  SELECT event_id,
+             |    unnest([make_timestamp((epoch_us(ts) // 300000000) * 300000000),
+             |            make_timestamp((epoch_us(ts) // 300000000) * 300000000 - 300000000)]) AS win_start
+             |  FROM events)
+             |SELECT win_start, COUNT(*) AS n FROM starts GROUP BY 1""".stripMargin)),
+
+    // ---- E3: session windows (30-min gap) as gaps-and-islands -----------
+    Q("q_e3_session_windows",
+      (s, d) => Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events")),
+      Some("""WITH o AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |g AS (
+             |  SELECT user_id, ts,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM o)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |  COUNT(*) AS n_events
+             |FROM g GROUP BY user_id, sid""".stripMargin)),
+
+    // ---- E4: dedup-keep-first (deterministic dropDuplicates) ------------
+    Q("q_e4_dedup_first",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"),
+            col("ts").as("first_ts"), col("event_id").as("first_event_id"))
+      },
+      Some("""SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id
+             |FROM (SELECT *, row_number() OVER (
+             |        PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+             |      FROM events)
+             |WHERE rn = 1""".stripMargin)),
+
+    // ---- E5: JSON extraction from the props column ----------------------
+    Q("q_e5_json_extract",
+      (s, d) => Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_val")),
+      Some("""SELECT event_id, json_extract_string(props, '$.k') AS k_val
+             |FROM events""".stripMargin))
+  )
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming operators over the `events` stream: windowed and
+  * sessionized aggregation with watermarks, within-watermark dedup, and a
+  * custom-state example via flatMapGroupsWithState.
+  *
+  * Each aggregation has a batch-equivalent query in
+  * [[graft.queries.EventQueries]] (same column expressions) so the
+  * semantics are DuckDB-oracle-checked in batch while these entry points
+  * provide the incremental/stateful execution path. At scale the state
+  * store partitions by the grouping key; watermarks bound state size.
+  */
+object EventStreams {
+
+  /** Raw file schema: `ts` is parquet TIMESTAMP(NANOS) → long (see
+    * [[graft.sources.Tables.events]]). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a parquet path (explicit schema — streaming
+    * sources must never infer); nanos truncated to a micros timestamp. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts/sums per event type. */
+  def tumblingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 10-minute windows every 5 minutes. */
+  def slidingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "600 seconds", "300 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+
+  /** Session windows with a 30-minute inactivity gap, per user. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Exactly-once-per-id dedup with bounded state. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  final case class UserCount(user_id: Long, n: Long)
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user event
+    * count emitted on every update. */
+  def statefulUserCounts(spark: SparkSession, events: DataFrame): Dataset[UserCount] = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator(UserCount(userId, n))
+      }
+  }
+
+  /** Drive a stream to a named in-memory table synchronously (local
+    * smoke path; production uses real sinks + triggers). */
+  def runToMemory(df: DataFrame, name: String, mode: String): StreamingQuery = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Streaming semantics: each streaming aggregation must agree with its
+  * batch equivalent when driven over the same (static) events parquet. */
+class EventStreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  // the file-stream source requires a directory — stage the single parquet
+  private lazy val path = {
+    val d = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming tumbling counts == batch tumbling counts") {
+    val q = EventStreams.runToMemory(
+      EventStreams.tumblingCounts(EventStreams.readEvents(spark, path)),
+      "tumbling_out", "complete")
+    try {
+      val streamed = spark.table("tumbling_out")
+      val batch = SparkEntry.queries("q_e1_tumbling_window")(spark, dir)
+      assert(streamed.count() === batch.count())
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
+
+  test("streaming session windows == batch session windows") {
+    val q = EventStreams.runToMemory(
+      EventStreams.sessionCounts(EventStreams.readEvents(spark, path)),
+      "session_out", "complete")
+    try {
+      val streamed = spark.table("session_out")
+      val batch = SparkEntry.queries("q_e3_session_windows")(spark, dir)
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark emits each event_id once") {
+    val q = EventStreams.runToMemory(
+      EventStreams.dedupEvents(EventStreams.readEvents(spark, path)),
+      "dedup_out", "append")
+    try {
+      val streamed = spark.table("dedup_out")
+      val expected = spark.read.parquet(path)
+        .select(countDistinct(col("event_id"))).head.getLong(0)
+      assert(streamed.count() === expected)
+      assert(streamed.select(countDistinct(col("event_id"))).head.getLong(0) === expected)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running per-user counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val counts = EventStreams.statefulUserCounts(spark,
+      input.toDF().withColumnRenamed("value", "user_id"))
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("stateful_out").start()
+    try {
+      input.addData(1L, 1L, 2L)
+      q.processAllAvailable()
+      input.addData(1L, 2L, 2L)
+      q.processAllAvailable()
+      val rows = spark.table("stateful_out")
+        .groupBy(col("user_id")).agg(max(col("n")).as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(rows === Map(1L -> 3L, 2L -> 3L)) // state carried across batches
+    } finally q.stop()
+  }
+}
