@@ -24,9 +24,11 @@ object Dedup {
   /** Distinct (id, shingle) pairs — the base relation for Jaccard and
     * MinHash. Exploding shingles keys everything by content, so the
     * self-join below is an equi-join, not a cross product. */
+  import Par.spread
+
   def docShingles(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
-    df.select(col(idCol).as("sid"),
-        explode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), k)).as("sh"))
+    spread(df.select(col(idCol).as("sid"), TextAnalysis.tokens(col(textCol)).as("toks")))
+      .select(col("sid"), explode(TextAnalysis.shingles(col("toks"), k)).as("sh"))
       .distinct()
 
   /** N-gram Jaccard near-dup: candidate pairs = docs sharing ≥1 shingle
@@ -80,23 +82,25 @@ object Dedup {
     * One explode + two keyed aggregations — no pairwise work. */
   def simhashSignature(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val hexChars = lit("0123456789abcdef")
-    def pow2(b: Column): Column =
-      when(b === 0, 1).when(b === 1, 2).when(b === 2, 4).otherwise(8)
-    val toks = df.select(col(idCol).as("sid"),
-      explode(TextAnalysis.tokens(col(textCol))).as("t"))
+    val toks = spread(df.select(col(idCol).as("sid"),
+      TextAnalysis.tokens(col(textCol)).as("toks")))
+      .select(col("sid"), explode(col("toks")).as("t"))
     val hx = toks.select(col("sid"), md5(col("t")).as("hx"))
-    val digitVal = conv(col("hx").substr(col("p") + 1, lit(1)), 16, 10).cast("int")
-    val bitSet = floor(digitVal / pow2(col("b"))) % 2 === 1
-    val contrib = hx
-      .select(col("sid"), col("hx"), explode(sequence(lit(0), lit(15))).as("p"))
-      .select(col("sid"), col("hx"), col("p"), explode(sequence(lit(0), lit(3))).as("b"))
-      .select(col("sid"), col("p"), col("b"),
-        when(bitSet, lit(1)).otherwise(lit(-1)).as("c"))
-    val sums = contrib.groupBy(col("sid"), col("p"), col("b")).agg(sum(col("c")).as("s"))
-    val digits = sums.groupBy(col("sid"), col("p"))
-      .agg(sum(when(col("s") > 0, pow2(col("b"))).otherwise(lit(0))).as("dig"))
-    digits.groupBy(col("sid"))
-      .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("dig")))),
-        x => hexChars.substr((x.getField("dig") + 1).cast("int"), lit(1))), "").as("simhash"))
+    // one groupBy(sid) with 64 conditional sums — no (p,b) row explosion,
+    // so the only shuffle carries one row per (doc × 64 ints)
+    def bitSum(p: Int, b: Int): Column = {
+      val digit = conv(col("hx").substr(lit(p + 1), lit(1)), 16, 10).cast("int")
+      val bitSet = floor(digit / lit(1 << b)) % 2 === 1
+      sum(when(bitSet, lit(1)).otherwise(lit(-1))).as(s"s_${p}_$b")
+    }
+    val aggs = for { p <- 0 until 16; b <- 0 until 4 } yield bitSum(p, b)
+    val sums = hx.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)
+    val chars = (0 until 16).map { p =>
+      val digit = (0 until 4).map(b =>
+        when(col(s"s_${p}_$b") > 0, lit(1 << b)).otherwise(lit(0)))
+        .reduce(_ + _)
+      hexChars.substr(digit + 1, lit(1))
+    }
+    sums.select(col("sid"), concat(chars: _*).as("simhash"))
   }
 }

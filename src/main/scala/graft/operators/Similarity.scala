@@ -5,6 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`ArrayType(FloatType)`):
+  * (small single-split inputs are spread across cores before CPU-heavy
+  * scoring — see [[Dedup]] for the rationale)
+  *
   * brute-force cosine top-k as the exact baseline, and sign-LSH
   * (random-hyperplane) bucketing as the scale path — candidates then only
   * join within a bucket, turning O(n²) scoring into a keyed equi-join.
@@ -16,6 +19,8 @@ import org.apache.spark.sql.functions._
   * rounded score break by neighbor id — fully deterministic.
   */
 object Similarity {
+
+  import Par.spread
 
   /** Sequential-fold dot product, elements widened to double. */
   def dot(a: Column, b: Column): Column =
@@ -36,12 +41,16 @@ object Similarity {
     * (query_id, neighbor_id, score) tuples, never the vectors. */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms once per vector, not once per (query × vector) pair — the HOF
+    // fold is interpreted, so redundant passes are the dominant cost
     val q = emb.filter(queryPred)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val scored = emb.crossJoin(broadcast(q))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
+    val scored = spread(emb.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nn")))
+      .crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        cosine(col("qv"), col(vecCol)).as("score"))
+        round(dot(col("qv"), col(vecCol)) / (col("qn") * col("nn")), 6).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
@@ -53,7 +62,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val planes = emb.filter(col(idCol) < numPlanes)
       .select(col(idCol).as("plane_id"), col(vecCol).as("pv"))
-    emb.crossJoin(broadcast(planes))
+    spread(emb).crossJoin(broadcast(planes))
       .select(col(idCol).as("vec_id"), col("plane_id"),
         when(round(dot(col(vecCol), col("pv")), 6) >= 0, lit("1"))
           .otherwise(lit("0")).as("bit"))
@@ -72,10 +81,14 @@ object Similarity {
     val pairs = b.select(col("vec_id").as("a_id"), col("bucket"))
       .join(b.select(col("vec_id").as("b_id"), col("bucket")), Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
+    val withNorm = emb.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
     pairs
-      .join(emb.select(col(idCol).as("a_id"), col(vecCol).as("va")), Seq("a_id"))
-      .join(emb.select(col(idCol).as("b_id"), col(vecCol).as("vb")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"), cosine(col("va"), col("vb")).as("score"))
+      .join(withNorm.select(col(idCol).as("a_id"), col(vecCol).as("va"),
+        col("nrm").as("na")), Seq("a_id"))
+      .join(withNorm.select(col(idCol).as("b_id"), col(vecCol).as("vb"),
+        col("nrm").as("nb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("score"))
       .filter(col("score") >= minScore)
   }
 }

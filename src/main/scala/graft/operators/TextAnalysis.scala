@@ -15,12 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, empty strings dropped. */
+  /** Whitespace tokens, empty strings dropped.
+    *
+    * PERF: callers must materialize this as its own column (withColumn)
+    * before passing it to [[shingles]]/[[hitCount]] — inlined, every
+    * element_at in the shingle lambda would re-run the split, turning a
+    * linear pass into O(shingles × k) splits per row (measured 10×+ on
+    * the sf0.1 bench). */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
   /** Word k-shingles joined with single spaces; docs shorter than k
-    * tokens yield an empty set. */
+    * tokens yield an empty set. `toks` should be a materialized column. */
   def shingles(toks: Column, k: Int = 3): Column =
     when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - k), i =>

@@ -19,14 +19,13 @@ object TextQueries extends graft.QueryPack {
 
     // ---- X1: token counting -------------------------------------------
     Q("q_x1_token_count",
-      (s, d) => {
-        val toks = TextAnalysis.tokens(col("text"))
-        Tables.documents(s, d).select(
-          col("doc_id"),
-          size(toks).as("n_tokens"),
-          size(array_distinct(toks)).as("n_distinct_tokens"),
-          length(col("text")).as("n_chars_calc"))
-      },
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("n_chars_calc"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+          col("n_chars_calc")),
       Some(s"""SELECT doc_id,
               |  len($duckToks) AS n_tokens,
               |  len(list_distinct($duckToks)) AS n_distinct_tokens,
@@ -36,19 +35,20 @@ object TextQueries extends graft.QueryPack {
     // ---- X2: quality scoring ------------------------------------------
     Q("q_x2_quality",
       (s, d) => {
-        val toks = TextAnalysis.tokens(col("text"))
-        val nTok = size(toks)
-        val tokChars = length(array_join(toks, ""))
-        val stopHits = TextAnalysis.hitCount(toks, TextAnalysis.langStopwords.head._2)
+        val nTok = size(col("toks"))
+        val tokChars = length(array_join(col("toks"), ""))
+        val stopHits = TextAnalysis.hitCount(col("toks"), TextAnalysis.langStopwords.head._2)
         val avgLen = round(tokChars.cast("double") / nTok, 4)
         val stopRatio = round(stopHits.cast("double") / nTok, 4)
-        Tables.documents(s, d).select(
-          col("doc_id"),
-          nTok.as("n_tokens"),
-          avgLen.as("avg_token_len"),
-          stopRatio.as("stopword_ratio"),
-          (nTok >= 20 && avgLen >= 2.0 && avgLen <= 10.0 && stopRatio >= 0.02)
-            .as("is_quality"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .select(
+            col("doc_id"),
+            nTok.as("n_tokens"),
+            avgLen.as("avg_token_len"),
+            stopRatio.as("stopword_ratio"),
+            (nTok >= 20 && avgLen >= 2.0 && avgLen <= 10.0 && stopRatio >= 0.02)
+              .as("is_quality"))
       },
       Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
               |m AS (SELECT doc_id,
@@ -64,13 +64,14 @@ object TextQueries extends graft.QueryPack {
     // ---- X3: language ID (stopword-hit argmax, fixed priority) ---------
     Q("q_x3_langid",
       (s, d) => {
-        val toks = TextAnalysis.tokens(col("text"))
         val scoreCols = TextAnalysis.langStopwords.map { case (l, ws) =>
-          TextAnalysis.hitCount(toks, ws).as(s"s_$l")
+          TextAnalysis.hitCount(col("toks"), ws).as(s"s_$l")
         }
         Tables.documents(s, d)
-          .select((col("doc_id") +: col("lang").as("lang_label") +: scoreCols) :+
-            TextAnalysis.langId(toks).as("lang_pred"): _*)
+          .select(col("doc_id"), col("lang").as("lang_label"),
+            TextAnalysis.tokens(col("text")).as("toks"))
+          .select((col("doc_id") +: col("lang_label") +: scoreCols) :+
+            TextAnalysis.langId(col("toks")).as("lang_pred"): _*)
       },
       Some(s"""WITH t AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
               |sc AS (SELECT doc_id, lang AS lang_label,
@@ -88,14 +89,16 @@ object TextQueries extends graft.QueryPack {
 
     // ---- X4: document fingerprint (min-hash over shingle set) ----------
     Q("q_x4_fingerprint",
-      (s, d) => {
-        val sh = TextAnalysis.shingles(TextAnalysis.tokens(col("text")))
-        Tables.documents(s, d)
-          .filter(size(sh) > 0)
-          .select(col("doc_id"),
-            TextAnalysis.fingerprint(sh).as("fp"),
-            size(array_distinct(sh)).as("n_distinct_shingles"))
-      },
+      // the length guard is on toks, BEFORE shingling: a filter on the
+      // shingle array would be pushed below the projection and inline the
+      // whole shingle expression into the predicate (O(L²) re-splits)
+      (s, d) => graft.operators.Par.spread(Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3))
+        .select(col("doc_id"), TextAnalysis.shingles(col("toks")).as("sh"))
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("sh")).as("fp"),
+          size(array_distinct(col("sh"))).as("n_distinct_shingles")),
       Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
               |sh AS (SELECT doc_id,
               |  list_transform(range(1, len(toks) - 1),
