@@ -17,7 +17,8 @@ object SparkEntry {
     qpacks.TextQueries,
     qpacks.DedupQueries,
     qpacks.SimilarityQueries,
-    qpacks.EventQueries)
+    qpacks.EventQueries,
+    qpacks.MultimodalQueries)
 
   private lazy val qs: Seq[Q] = packs.flatMap(_.queries)
 
