@@ -18,7 +18,8 @@ object SparkEntry {
     qpacks.DedupQueries,
     qpacks.SimilarityQueries,
     qpacks.EventQueries,
-    qpacks.MultimodalQueries)
+    qpacks.MultimodalQueries,
+    qpacks.ExtraQueries)
 
   private lazy val qs: Seq[Q] = packs.flatMap(_.queries)
 

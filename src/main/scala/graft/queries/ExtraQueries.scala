@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Q
+import graft.sources.Tables
+
+/** Completeness pack: the join/aggregate/string shapes SURVEY.md lists as
+  * "absent in the reference, Spark built-ins when extension ops need
+  * them" — cube, range join, as-of join, exact percentiles, the string
+  * scalar surface.
+  */
+object ExtraQueries extends graft.QueryPack {
+
+  override def queries: Seq[Q] = Seq(
+
+    // ---- G3: cube ------------------------------------------------------
+    Q("q_g3_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"),
+          count(lit(1)).as("n")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |  COUNT(*) AS n
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // ---- J4: range (non-equi) join against a small banded dimension -----
+    // The band table is tiny → Catalyst picks BroadcastNestedLoop, which
+    // is the right plan: each order row tests 4 band predicates in place.
+    Q("q_j4_range_join",
+      (s, d) => {
+        val bands = s.createDataFrame(Seq(
+          ("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+          ("high", 150000.0, 300000.0), ("top", 300000.0, 1e12)))
+          .toDF("band", "lo", "hi")
+        Tables.orders(s, d).join(broadcast(bands),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      },
+      Some("""WITH bands(band, lo, hi) AS (VALUES
+             |  ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+             |  ('high', 150000.0, 300000.0), ('top', 300000.0, 1e12))
+             |SELECT band, COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders JOIN bands
+             |  ON o_totalprice >= lo AND o_totalprice < hi
+             |GROUP BY band""".stripMargin)),
+
+    // ---- J5: as-of join (latest prior 'error' for each 'click') ---------
+    // The scalable as-of shape: union both streams, ONE sort per user,
+    // carry the last error timestamp forward — no per-row probe, no
+    // nested loop; state is a single value per partition-key.
+    Q("q_j5_asof_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.filter(col("event_type").isin("click", "error"))
+          .withColumn("err_ts",
+            last(when(col("event_type") === "error", col("ts")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("err_ts").as("asof_error_ts"))
+      },
+      Some("""SELECT event_id, user_id, ts, asof_error_ts FROM (
+             |  SELECT event_id, user_id, ts, event_type,
+             |    last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_error_ts
+             |  FROM events WHERE event_type IN ('click', 'error'))
+             |WHERE event_type = 'click'""".stripMargin)),
+
+    // ---- A5: exact interpolated percentiles -----------------------------
+    Q("q_a5_percentile",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90")),
+      Some("""SELECT o_orderstatus,
+             |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // ---- P7: string scalar surface (SURVEY §2.9) ------------------------
+    Q("q_p7_string_funcs",
+      (s, d) => Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_uc"),
+        substring(col("p_type"), 1, 8).as("type_prefix"),
+        regexp_replace(col("p_name"), "a", "_").as("name_repl"),
+        lpad(col("p_partkey").cast("string"), 10, "0").as("key_pad"),
+        reverse(col("p_brand")).as("brand_rev"),
+        col("p_type").endsWith("STEEL").as("is_steel"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined")),
+      Some("""SELECT p_partkey,
+             |  UPPER(p_brand) AS brand_uc,
+             |  substr(p_type, 1, 8) AS type_prefix,
+             |  replace(p_name, 'a', '_') AS name_repl,
+             |  lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_pad,
+             |  reverse(p_brand) AS brand_rev,
+             |  suffix(p_type, 'STEEL') AS is_steel,
+             |  p_brand || '|' || p_type AS joined
+             |FROM part""".stripMargin))
+  )
+}
