@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.NestedOps
+
+/** Property-based invariants (SURVEY.md §5.2-4): upsert idempotence and
+  * totality, set-insert idempotence, default-fill totality, and the
+  * migration-pipeline row-count invariants. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic sample-driven property check (no scalatest-scalacheck
+    * bridge in the offline cache). */
+  private def forAll[T](g: Gen[T], n: Int = 15)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  private val nameGen = Gen.oneOf("A", "B", "MEK_DefaultDeliveryday", "X")
+  private val attrsGen = Gen.listOfN(4,
+    Gen.zip(nameGen, Gen.alphaNumStr.map(_.take(5)))).map(_.distinctBy(_._1))
+
+  test("N2 upsert: target attr present exactly once afterwards, other attrs untouched") {
+    forAll(attrsGen) { attrs =>
+      val df = Seq(("r", attrs.map { case (n, v) => (n, v, "t") }))
+        .toDF("id", "raw")
+        .select(col("id"), transform(col("raw"), t => struct(
+          t.getField("_1").as("name"), t.getField("_2").as("value"),
+          t.getField("_3").as("dt"))).as("attrs"))
+      val out = df.select(explode(
+          NestedOps.upsertAttr(col("attrs"), "MEK_DefaultDeliveryday", lit("-3D"), "string")).as("a"))
+        .select(col("a.name"), col("a.value")).as[(String, String)].collect()
+      assert(out.count(_._1 == "MEK_DefaultDeliveryday") === 1)
+      assert(out.find(_._1 == "MEK_DefaultDeliveryday").get._2 === "-3D")
+      val others = attrs.filterNot(_._1 == "MEK_DefaultDeliveryday")
+      others.foreach { case (n, v) => assert(out.contains((n, v))) }
+    }
+  }
+
+  test("N4 set-insert: applying twice == applying once, for any group list") {
+    forAll(Gen.listOf(Gen.oneOf("CG_A", "CG_B", "CG_Mekonomen"))) { groups =>
+      val df = Seq(Tuple1(groups)).toDF("g")
+      val once = df.select(NestedOps.insertIfAbsent(col("g"), lit("CG_Mekonomen")).as("g"))
+      val twice = once.select(NestedOps.insertIfAbsent(col("g"), lit("CG_Mekonomen")).as("g"))
+      assert(once.as[Seq[String]].head() === twice.as[Seq[String]].head())
+      // insert-if-absent never dedups pre-existing copies (reference
+      // semantics, migrate.py:230-234): present → untouched, absent → +1
+      val expected = math.max(1, groups.count(_ == "CG_Mekonomen"))
+      assert(once.as[Seq[String]].head().count(_ == "CG_Mekonomen") === expected)
+    }
+  }
+
+  test("V2 default-fill totality: every delivery_day becomes a non-null string") {
+    forAll(Gen.option(Gen.oneOf("", "-3D", "-12D", "junk", " "))) { dd =>
+      val df = Seq(("1", "N", "s", "st", "nm", dd.orNull))
+        .toDF("current_customer_id", "new_customer_id", "new_source_id",
+          "new_store_id", "new_store_name", "delivery_day")
+        .withColumn("mandatory_reference", lit(true))
+      val out = graft.etl.MigrationPipeline.prepareCsv(df)
+        .select(col("delivery_day_filled")).as[String].head()
+      assert(out != null && out.nonEmpty)
+      if (dd.isEmpty || dd.contains("")) assert(out === "-3D")
+    }
+  }
+
+  test("N5 recursive replace: no-op when old id absent from tree") {
+    forAll(Gen.alphaNumStr.map("v_" + _.take(6))) { v =>
+      val df = Seq(("absent_key", "NEW", (v, Seq(v)))).toDF("old_id", "new_id", "tree")
+      val out = NestedOps.replaceNestedText(df, "tree", "old_id", "new_id")
+        .select(col("tree._1"), col("tree._2")).as[(String, Seq[String])].head()
+      assert(out === ((v, Seq(v))))
+    }
+  }
+}
