@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.FloatVecDot
 
 /** Similarity search over embedding columns (`ArrayType(FloatType)`):
   * (small single-split inputs are spread across cores before CPU-heavy
@@ -22,14 +24,26 @@ object Similarity {
 
   import Par.spread
 
-  /** Sequential-fold dot product, elements widened to double. */
+  /** Sequential-fold dot product, elements widened to double (interpreted
+    * HOF reference implementation — [[nativeDot]] is the codegen'd fast
+    * path; both produce bit-identical sums). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Codegen'd dot product via the custom [[FloatVecDot]] Catalyst
+    * expression (registers `vec_dot` on first use). */
+  def nativeDot(spark: SparkSession, a: Column, b: Column): Column = {
+    FloatVecDot.register(spark)
+    call_function("vec_dot", a, b)
+  }
+
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
+
+  private def nativeNorm(spark: SparkSession, a: Column): Column =
+    sqrt(nativeDot(spark, a, a))
 
   /** Cosine similarity rounded to `scale` decimals. */
   def cosine(a: Column, b: Column, scale: Int = 6): Column =
@@ -43,14 +57,15 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // norms once per vector, not once per (query × vector) pair — the HOF
     // fold is interpreted, so redundant passes are the dominant cost
+    val sp = emb.sparkSession
     val q = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        norm(col(vecCol)).as("qn"))
-    val scored = spread(emb.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nn")))
+        nativeNorm(sp, col(vecCol)).as("qn"))
+    val scored = spread(emb.select(col(idCol), col(vecCol), nativeNorm(sp, col(vecCol)).as("nn")))
       .crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        round(dot(col("qv"), col(vecCol)) / (col("qn") * col("nn")), 6).as("score"))
+        round(nativeDot(sp, col("qv"), col(vecCol)) / (col("qn") * col("nn")), 6).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
@@ -64,7 +79,7 @@ object Similarity {
       .select(col(idCol).as("plane_id"), col(vecCol).as("pv"))
     spread(emb).crossJoin(broadcast(planes))
       .select(col(idCol).as("vec_id"), col("plane_id"),
-        when(round(dot(col(vecCol), col("pv")), 6) >= 0, lit("1"))
+        when(round(nativeDot(emb.sparkSession, col(vecCol), col("pv")), 6) >= 0, lit("1"))
           .otherwise(lit("0")).as("bit"))
       .groupBy(col("vec_id"))
       .agg(array_join(
@@ -81,14 +96,15 @@ object Similarity {
     val pairs = b.select(col("vec_id").as("a_id"), col("bucket"))
       .join(b.select(col("vec_id").as("b_id"), col("bucket")), Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-    val withNorm = emb.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+    val sp = emb.sparkSession
+    val withNorm = emb.select(col(idCol), col(vecCol), nativeNorm(sp, col(vecCol)).as("nrm"))
     pairs
       .join(withNorm.select(col(idCol).as("a_id"), col(vecCol).as("va"),
         col("nrm").as("na")), Seq("a_id"))
       .join(withNorm.select(col(idCol).as("b_id"), col(vecCol).as("vb"),
         col("nrm").as("nb")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("score"))
+        round(nativeDot(sp, col("va"), col("vb")) / (col("na") * col("nb")), 6).as("score"))
       .filter(col("score") >= minScore)
   }
 }
