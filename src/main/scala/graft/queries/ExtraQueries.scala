@@ -88,6 +88,32 @@ object ExtraQueries extends graft.QueryPack {
              |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
              |FROM orders GROUP BY o_orderstatus""".stripMargin)),
 
+    // ---- A6: exact grouped top-k via a typed Aggregator -----------------
+    // Bounded-buffer partial aggregation: shuffle carries ≤k rows per
+    // group per partition (a window+row_number would shuffle every row).
+    Q("q_a6_topk_agg",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.TopKAggregator
+        val ds = Tables.orders(s, d)
+          .select(col("o_orderstatus").as("g"),
+            col("o_totalprice").as("score"), col("o_orderkey").as("id"))
+          .as[(String, Double, Long)]
+        ds.groupByKey(_._1)
+          .agg(TopKAggregator.topK[(String, Double, Long)](3)(
+            t => TopKAggregator.Scored(t._2, t._3)).toColumn)
+          .flatMap { case (g, rows) =>
+            rows.zipWithIndex.map { case (r, i) => (g, i + 1, r.id, r.score) }
+          }
+          .toDF("status", "rnk", "orderkey", "totalprice")
+      },
+      Some("""SELECT o_orderstatus AS status, rnk, o_orderkey AS orderkey,
+             |  o_totalprice AS totalprice
+             |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+             |        ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             |      FROM orders)
+             |WHERE rnk <= 3""".stripMargin)),
+
     // ---- P7: string scalar surface (SURVEY §2.9) ------------------------
     Q("q_p7_string_funcs",
       (s, d) => Tables.part(s, d).select(

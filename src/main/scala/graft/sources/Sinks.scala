@@ -1,0 +1,19 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Sink helpers mirroring the reference's run-scoped output layout (K3)
+  * at warehouse scale: date-partitioned parquet directories instead of
+  * dated folders, so downstream reads get partition pruning for free.
+  */
+object Sinks {
+
+  /** Write parquet partitioned by the given columns (e.g. a derived
+    * `yyyy-MM-dd` date column — the distributed analogue of the
+    * reference's `output/YYYY-MM-DD/` folders, migrate.py:286-293).
+    * Readers filtering on the partition column scan only matching
+    * directories (`PartitionFilters` in the plan, zero data touched
+    * elsewhere). */
+  def partitionedParquet(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+}
