@@ -87,6 +87,12 @@ object CustomerXml {
           sb.append(' ').append(r.getAttributeLocalName(i))
             .append("=\"").append(esc(r.getAttributeValue(i))).append('"')
         }
+        // the output stamps dt:dt-typed attributes; if the source root
+        // never declared the dt prefix, declare it (lxml auto-declares
+        // namespaces on write — migrate.py relies on that)
+        if (!sb.toString.contains("xmlns:dt=")) {
+          sb.append(" xmlns:dt=\"http://www.intershop.com/xml/ns/enfinity/6.5/core/impex-dt\"")
+        }
         sb.toString
       } finally r.close()
     } finally in.close()

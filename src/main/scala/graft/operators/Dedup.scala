@@ -26,10 +26,16 @@ object Dedup {
     * self-join below is an equi-join, not a cross product. */
   import Par.spread
 
-  def docShingles(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
-    spread(df.select(col(idCol).as("sid"), TextAnalysis.tokens(col(textCol)).as("toks")))
-      .select(col("sid"), explode(TextAnalysis.shingles(col("toks"), k)).as("sh"))
-      .distinct()
+  /** `distinct=false` skips the dedup shuffle for consumers that are
+    * duplicate-insensitive (min-hash: min over a multiset == min over the
+    * set); Jaccard set arithmetic needs the default distinct=true. */
+  def docShingles(df: DataFrame, textCol: String, idCol: String, k: Int = 3,
+      distinct: Boolean = true): DataFrame = {
+    val exploded =
+      spread(df.select(col(idCol).as("sid"), TextAnalysis.tokens(col(textCol)).as("toks")))
+        .select(col("sid"), explode(TextAnalysis.shingles(col("toks"), k)).as("sh"))
+    if (distinct) exploded.distinct() else exploded
+  }
 
   /** N-gram Jaccard near-dup: candidate pairs = docs sharing ≥1 shingle
     * (found via shingle equi-join); jaccard = |∩| / |∪| over shingle sets.

@@ -51,7 +51,8 @@ object DedupQueries extends graft.QueryPack {
     // ---- D3: MinHash-LSH candidate pairs (8 hashes, bands of 2) ---------
     Q("q_d3_minhash_lsh",
       (s, d) => Dedup.minhashCandidates(
-        Dedup.docShingles(Tables.documents(s, d), "text", "doc_id"), 8, 2),
+        Dedup.docShingles(Tables.documents(s, d), "text", "doc_id",
+          distinct = false), 8, 2),
       Some(s"""$duckShingles,
               |mh AS (SELECT doc_id,
               |  min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,

@@ -90,6 +90,7 @@ class MigrationPipelineSpec extends AnyFunSuite {
       |401423,NEW5,src5,S5,Store Five,false,-9D
       |401423,NEW5b,src5b,S5b,Store FiveB,true,-8D
       |401425,NEW6,src6,S6,Store Six,true,-12D
+      |4123Ö47,NEWO,srcO,SO,Store O,false,-3D
       |""".stripMargin
 
   private lazy val result = {
@@ -120,9 +121,9 @@ class MigrationPipelineSpec extends AnyFunSuite {
       .map { case (n, v, d) => n -> (v, d) }.toMap
   }
 
-  test("V6 summary counts: 7 found / 7 distinct csv ids") {
+  test("V6 summary counts: 7 found / 8 distinct csv ids") {
     assert(result.customersFound === 7)
-    assert(result.csvDistinctIds === 7)
+    assert(result.csvDistinctIds === 8)
   }
 
   test("output contains exactly the matched customers, transformed ids (incl. V5 invalid-but-found)") {
@@ -209,7 +210,7 @@ class MigrationPipelineSpec extends AnyFunSuite {
   test("migration log: one row per CSV row, in CSV order, reference statuses/reasons") {
     assert(logLines.head === "current_id,new_id,status,reason")
     val rows = logLines.tail
-    assert(rows.size === 8)
+    assert(rows.size === 9)
     assert(rows(0) === "401419,NEW1,OK,Found in source XML file")
     assert(rows(1) === "401420,NEW2,OK,Found in source XML file")
     assert(rows(2) === "401421,NEW3,OK,Found in source XML file")
@@ -219,11 +220,53 @@ class MigrationPipelineSpec extends AnyFunSuite {
     assert(rows(6) === "401423,NEW5,OK,Found in source XML file") // :154 logs first-row id
     assert(rows(7).startsWith("401425,NEW6,Not OK,") &&
       rows(7).contains("Invalid delivery day format!"))
+    // non-ASCII id (reference example's 4123Ö47): not-found branch, no crash
+    assert(rows(8) === "4123Ö47,NEWO,Not OK,Not found in source XML")
   }
 
   test("invalid delivery value still written to output (V5): NEW6 carries -12D") {
     val a = attrsOf("NEW6")
     assert(a("MEK_DefaultDeliveryday")._1 === "-12D")
     assert(a("MEK_Company")._1 === "Meca")
+  }
+}
+
+/** Scale-mode variant: multi-part output, unique-id fast path (no ordinal
+  * window → no big-side shuffle). */
+class MigrationPipelineScaleModeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("singleFile=false + strictDuplicateSemantics=false: part-dir output, same semantics") {
+    val dir = Files.createTempDirectory("graft-etl-scale").toString
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<enfinity xmlns="http://www.intershop.com/xml/ns/intershop/customer/impex/7.3" xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" xsi:schemaLocation="http://x.xsd" major="6">
+        |  <customer id="A1"><user business-partner-no="A1"/></customer>
+        |  <customer id="A2"><user business-partner-no="A2"/></customer>
+        |  <customer id="A3"><user business-partner-no="A3"/></customer>
+        |</enfinity>""".stripMargin
+    val csv =
+      """current_customer_id,new_customer_id,new_source_id,new_store_id,new_store_name,mandatory_reference,delivery_day
+        |A1,N1,s,S,Name,true,-1D
+        |A3,N3,s,S,Name,false,-2D
+        |""".stripMargin
+    Files.writeString(Paths.get(s"$dir/export.xml"), xml)
+    Files.writeString(Paths.get(s"$dir/mapping.csv"), csv)
+    val res = MigrationPipeline.run(spark, MigrationConfig(
+      csvPath = s"$dir/mapping.csv", xmlPath = s"$dir/export.xml",
+      outDir = s"$dir/out", runId = "r2", runDate = "2026-08-12",
+      todayIso = "2026-08-12T00:00:00+00:00",
+      strictDuplicateSemantics = false, singleFile = false))
+    assert(res.customersFound === 2 && res.csvDistinctIds === 2)
+    // outputs are directories of parts, each a complete enfinity doc
+    import spark.implicits._
+    val out = CustomerXml.read(spark, res.outputXmlPath)
+    assert(out.select(col("_id")).as[String].collect().sorted.toSeq === Seq("N1", "N3"))
+    val partXml = new java.io.File(res.outputXmlPath).listFiles()
+      .filter(_.getName.endsWith(".xml")).head
+    val txt = Files.readString(partXml.toPath)
+    assert(txt.contains("<enfinity") && txt.contains("xsi:schemaLocation=\"http://x.xsd\""))
+    val log = spark.read.option("header", "true").csv(res.logCsvPath)
+    assert(log.count() === 2)
   }
 }
