@@ -41,14 +41,16 @@ object Dedup {
     * (found via shingle equi-join); jaccard = |∩| / |∪| over shingle sets.
     * `thresholdTenths` keeps the cut integer-exact (e.g. 1 → j ≥ 0.1). */
   def jaccardPairs(shing: DataFrame, thresholdTenths: Int): DataFrame = {
-    val sizes = shing.groupBy(col("sid")).agg(count(lit(1)).as("n"))
-    val a = shing.select(col("sid").as("a_id"), col("sh"))
-    val b = shing.select(col("sid").as("b_id"), col("sh"))
-    val inter = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("sid", "a_id").withColumnRenamed("n", "na"), Seq("a_id"))
-      .join(sizes.withColumnRenamed("sid", "b_id").withColumnRenamed("n", "nb"), Seq("b_id"))
+    // set sizes ride along via a pre-join window instead of two post-join
+    // lookups — the pairs relation is the big one (candidate pairs ×
+    // shared shingles), so joining sizes onto IT would shuffle it twice
+    import org.apache.spark.sql.expressions.Window
+    val sh2 = shing.withColumn("n", count(lit(1)).over(Window.partitionBy(col("sid"))))
+    val a = sh2.select(col("sid").as("a_id"), col("sh"), col("n").as("na"))
+    val b = sh2.select(col("sid").as("b_id"), col("sh"), col("n").as("nb"))
+    a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
       .withColumn("un", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 10 >= col("un") * thresholdTenths)
       .select(col("a_id"), col("b_id"), col("inter"), col("un"),

@@ -16,4 +16,14 @@ object Sinks {
     * elsewhere). */
   def partitionedParquet(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed table: pre-hash-partition + sort on the join/agg key so
+    * repeated joins and aggregations on that key run with ZERO exchanges
+    * (both sides arrive co-located). The 100 TB answer to "this join is
+    * the bottleneck every night": pay the shuffle once at write time. */
+  def bucketedTable(df: DataFrame, table: String, buckets: Int,
+      bucketCol: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
 }

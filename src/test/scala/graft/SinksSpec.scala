@@ -27,4 +27,30 @@ class SinksSpec extends AnyFunSuite {
     assert(pruned.count() ===
       orders.filter(col("order_day") === day).count())
   }
+
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    // metadata is session-scoped but the warehouse dir persists — clear both
+    Seq("b_orders", "b_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    graft.sources.Sinks.bucketedTable(orders, "b_orders", 8, "o_custkey")
+    graft.sources.Sinks.bucketedTable(cust, "b_customer", 8, "c_custkey")
+    // disable broadcast so the join strategy itself must avoid the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() === orders.join(cust,
+        orders("o_custkey") === cust("c_custkey")).count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
