@@ -114,6 +114,27 @@ object ExtraQueries extends graft.QueryPack {
              |      FROM orders)
              |WHERE rnk <= 3""".stripMargin)),
 
+    // ---- A7: two-phase salted aggregation over hot keys -----------------
+    // Identical results to a direct groupBy (associative combines over
+    // exact decimal partials); the salt bounds any one reducer's share of
+    // a hot key to 1/16 — the skew answer when AQE can't split an agg.
+    Q("q_a7_salted_agg",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(
+          col("l_returnflag"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("sum_qty"),
+          lit(1L).as("n"))
+        graft.operators.Skew.saltedAggregate(li, Seq("l_returnflag"), 16, Seq(
+          ("sum_qty", sum, sum),
+          ("n", sum, sum)))
+          .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"),
+            col("n").cast("long").as("n"))
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // ---- P7: string scalar surface (SURVEY §2.9) ------------------------
     Q("q_p7_string_funcs",
       (s, d) => Tables.part(s, d).select(
