@@ -27,6 +27,40 @@ object ExtraQueries extends graft.QueryPack {
              |  COUNT(*) AS n
              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
 
+    // ---- G4: grouping sets via the SQL entry point ----------------------
+    Q("q_g4_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                |  COUNT(*) AS n
+                |FROM orders_v
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |  COUNT(*) AS n
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)),
+
+    // ---- G5: pivot (fixed value list → conditional aggregates) ----------
+    Q("q_g5_pivot",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .withColumnRenamed("1-URGENT", "p1").withColumnRenamed("2-HIGH", "p2")
+        .withColumnRenamed("3-MEDIUM", "p3").withColumnRenamed("4-NOT SPECIFIED", "p4")
+        .withColumnRenamed("5-LOW", "p5"),
+      Some("""SELECT o_orderstatus,
+             |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+             |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+             |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+             |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+             |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
     // ---- J4: range (non-equi) join against a small banded dimension -----
     // The band table is tiny → Catalyst picks BroadcastNestedLoop, which
     // is the right plan: each order row tests 4 band predicates in place.

@@ -33,6 +33,18 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding counts == batch sliding counts") {
+    val q = EventStreams.runToMemory(
+      EventStreams.slidingCounts(EventStreams.readEvents(spark, path)),
+      "sliding_out", "complete")
+    try {
+      val streamed = spark.table("sliding_out")
+      val batch = SparkEntry.queries("q_e2_sliding_window")(spark, dir)
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming session windows == batch session windows") {
     val q = EventStreams.runToMemory(
       EventStreams.sessionCounts(EventStreams.readEvents(spark, path)),
