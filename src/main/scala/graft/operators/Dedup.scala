@@ -57,6 +57,19 @@ object Dedup {
         round(col("inter").cast("double") / col("un"), 6).as("jaccard"))
   }
 
+  /** Stop-shingle cap: drop shingles shared by more than `maxDocs`
+    * documents before pair generation. At corpus scale a handful of
+    * ubiquitous shingles (boilerplate, headers) would otherwise each
+    * produce O(df²) candidate pairs — the quadratic term that kills
+    * shared-shingle joins. Changes recall only for pairs whose ONLY
+    * overlap is ubiquitous shingles (which are exactly the
+    * non-discriminative ones). */
+  def capShingleFrequency(shing: DataFrame, maxDocs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    shing.withColumn("graft_df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("graft_df") <= maxDocs).drop("graft_df")
+  }
+
   /** MinHash signature: k independent hash functions h_i(s) = md5(i|s),
     * each minimized over the shingle set — one aggregation, k min()s. */
   def minhashSignature(shing: DataFrame, numHashes: Int): DataFrame = {

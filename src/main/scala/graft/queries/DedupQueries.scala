@@ -48,6 +48,31 @@ object DedupQueries extends graft.QueryPack {
               |JOIN sizes sb ON sb.doc_id = p.b_id
               |WHERE p.inter * 10 >= (sa.n + sb.n - p.inter) * 1""".stripMargin)),
 
+    // ---- D2b: Jaccard with a stop-shingle frequency cap (scale guard) ---
+    // Note: sizes are computed on the CAPPED sets in both engines, so the
+    // semantics stay a well-defined Jaccard over filtered shingle space.
+    Q("q_d2b_jaccard_capped",
+      (s, d) => Dedup.jaccardPairs(
+        Dedup.capShingleFrequency(
+          Dedup.docShingles(Tables.documents(s, d), "text", "doc_id"), 20), 1),
+      Some(s"""$duckShingles,
+              |capped AS (
+              |  SELECT doc_id, sh FROM (
+              |    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
+              |    FROM exd) WHERE df <= 20),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+              |pairs AS (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+              |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT p.a_id, p.b_id, p.inter,
+              |  sa.n + sb.n - p.inter AS un,
+              |  ROUND(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 6) AS jaccard
+              |FROM pairs p
+              |JOIN sizes sa ON sa.doc_id = p.a_id
+              |JOIN sizes sb ON sb.doc_id = p.b_id
+              |WHERE p.inter * 10 >= (sa.n + sb.n - p.inter) * 1""".stripMargin)),
+
     // ---- D3: MinHash-LSH candidate pairs (8 hashes, bands of 2) ---------
     Q("q_d3_minhash_lsh",
       (s, d) => Dedup.minhashCandidates(
