@@ -87,6 +87,64 @@ object Similarity {
           x => x.getField("bit")), "").as("bucket"))
   }
 
+  /** IVF-style coarse quantizer: assign every vector to its
+    * max-cosine centroid (the first `numCentroids` corpus vectors serve
+    * as deterministic centroids — swap in trained k-means centroids in a
+    * real deployment; the index/search machinery is identical). The
+    * inverted lists this builds are the ANN scale path: queries score
+    * only the vectors in their probed lists. */
+  def ivfAssign(emb: DataFrame, numCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sp = emb.sparkSession
+    val cents = emb.filter(col(idCol) < numCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"),
+        nativeNorm(sp, col(vecCol)).as("cn"))
+    val scored = spread(emb.select(col(idCol).as("vec_id"), col(vecCol),
+        nativeNorm(sp, col(vecCol)).as("vn")))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        round(nativeDot(sp, col(vecCol), col("cv")) / (col("vn") * col("cn")), 6).as("score"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("score"))
+  }
+
+  /** IVF top-k search: queries probe the `nProbe` nearest inverted lists
+    * and score only vectors assigned there — the candidate join is a
+    * keyed equi-join on centroid_id, never a full scan per query. */
+  def ivfTopK(emb: DataFrame, queryPred: Column, numCentroids: Int,
+      nProbe: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sp = emb.sparkSession
+    val assign = ivfAssign(emb, numCentroids, idCol, vecCol)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
+    val cents = emb.filter(col(idCol) < numCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"),
+        nativeNorm(sp, col(vecCol)).as("cn"))
+    // probe lists per query: nProbe best centroids
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        nativeNorm(sp, col(vecCol)).as("qn"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"),
+        round(nativeDot(sp, col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cscore"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
+    // score only candidates in the probed lists
+    val cands = probes.join(assign, Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        nativeNorm(sp, col(vecCol)).as("nn")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(nativeDot(sp, col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    cands.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Embedding near-dup: candidate pairs share an LSH bucket, then exact
     * (rounded) cosine filters at `minScore`. Only within-bucket pairs are
     * ever scored — the 100 TB-safe shape. */

@@ -66,6 +66,76 @@ object SimilarityQueries extends graft.QueryPack {
               |$duckBuckets
               |SELECT vec_id, bucket FROM bkt""".stripMargin)),
 
+    // ---- SIM4: IVF coarse-quantizer assignment (inverted lists) ---------
+    Q("q_sim4_ivf_assign",
+      (s, d) => Similarity.ivfAssign(Tables.embeddings(s, d), 8),
+      Some(s"""$duckEx,
+              |cents AS (SELECT vec_id AS centroid_id, v AS cv, i FROM ex WHERE vec_id < 8),
+              |cdots AS (
+              |  SELECT e.vec_id, c.centroid_id,
+              |         SUM(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE)) AS dot
+              |  FROM ex e JOIN cents c ON e.i = c.i GROUP BY 1, 2),
+              |scored AS (
+              |  SELECT d.vec_id, d.centroid_id,
+              |         ROUND(d.dot / (nv.nrm * nc.nrm), 6) AS score
+              |  FROM cdots d
+              |  JOIN norms nv ON nv.vec_id = d.vec_id
+              |  JOIN norms nc ON nc.vec_id = d.centroid_id)
+              |SELECT vec_id, centroid_id, score FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+              |  FROM scored)
+              |WHERE rn = 1""".stripMargin)),
+
+    // ---- SIM5: IVF probed-list top-k search -----------------------------
+    Q("q_sim5_ivf_topk",
+      (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d),
+        col("vec_id") < 5, numCentroids = 8, nProbe = 2, k = 5),
+      Some(s"""$duckEx,
+              |cents AS (SELECT vec_id AS centroid_id, v AS cv, i FROM ex WHERE vec_id < 8),
+              |cdots AS (
+              |  SELECT e.vec_id, c.centroid_id,
+              |         SUM(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE)) AS dot
+              |  FROM ex e JOIN cents c ON e.i = c.i GROUP BY 1, 2),
+              |cscored AS (
+              |  SELECT d.vec_id, d.centroid_id,
+              |         ROUND(d.dot / (nv.nrm * nc.nrm), 6) AS score
+              |  FROM cdots d
+              |  JOIN norms nv ON nv.vec_id = d.vec_id
+              |  JOIN norms nc ON nc.vec_id = d.centroid_id),
+              |assign AS (
+              |  SELECT vec_id AS neighbor_id, centroid_id FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+              |    FROM cscored) WHERE rn = 1),
+              |probes AS (
+              |  SELECT vec_id AS query_id, centroid_id FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+              |    FROM cscored WHERE vec_id < 5) WHERE rn <= 2),
+              |cand AS (
+              |  SELECT p.query_id, a.neighbor_id
+              |  FROM probes p JOIN assign a USING (centroid_id)
+              |  WHERE a.neighbor_id <> p.query_id),
+              |cdot AS (
+              |  SELECT c.query_id, c.neighbor_id,
+              |         SUM(CAST(eq.v AS DOUBLE) * CAST(en.v AS DOUBLE)) AS dot
+              |  FROM cand c
+              |  JOIN ex eq ON eq.vec_id = c.query_id
+              |  JOIN ex en ON en.vec_id = c.neighbor_id AND en.i = eq.i
+              |  GROUP BY 1, 2),
+              |fin AS (
+              |  SELECT cd.query_id, cd.neighbor_id,
+              |         ROUND(cd.dot / (nq.nrm * nn.nrm), 6) AS score
+              |  FROM cdot cd
+              |  JOIN norms nq ON nq.vec_id = cd.query_id
+              |  JOIN norms nn ON nn.vec_id = cd.neighbor_id)
+              |SELECT query_id, neighbor_id, score, rnk FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+              |  FROM fin)
+              |WHERE rnk <= 5""".stripMargin)),
+
     // ---- SIM3: embedding near-dup (bucket candidates + exact rescore) ---
     Q("q_sim3_embedding_neardup",
       (s, d) => Similarity.nearDupByCosine(Tables.embeddings(s, d), 4, 0.9),

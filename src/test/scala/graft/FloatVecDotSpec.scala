@@ -42,3 +42,21 @@ class FloatVecDotSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("datatype"))
   }
 }
+
+/** ANN quality: the IVF probed-list search must recover most of the true
+  * brute-force neighbors (recall), and every result it returns must carry
+  * the exact brute-force score (it rescores candidates exactly). */
+class IvfRecallSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("IVF top-5 recall vs brute force >= 0.5 at nProbe=2/8 lists") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 5, 5)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, col("vec_id") < 5, 8, 2, 5)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low (exact=$exact ivf=$ivf)")
+  }
+}
