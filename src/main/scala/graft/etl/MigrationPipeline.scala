@@ -40,7 +40,14 @@ import graft.operators.NestedOps.AttrRule
   * always target the customer-level container (the reference's
   * `.//i:custom-attributes` would target a user's container when the
   * customer-level one is absent, :188); output row order is the CSV order
-  * only in single-file mode (distributed parts are unordered sets).
+  * only in single-file mode (distributed parts are unordered sets);
+  * the join probe uses trim(current_customer_id) while the reference
+  * probes the XML with the UNSTRIPPED CSV id (:109/:115 — stripping only
+  * happens after a match, :120), so a CSV id with surrounding whitespace
+  * matches here but not in the reference, and the log's current_id column
+  * keeps the raw CSV value where the reference logs the stripped XML id
+  * (:154). Whitespace-padded ids do not occur in well-formed exports;
+  * trim-then-join keeps the key canonical for the distributed hash join.
   */
 object MigrationPipeline {
 

@@ -8,13 +8,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 
 /** Native Catalyst expression: dot product of two float vectors, summed
-  * sequentially in double — bit-identical to the HOF
-  * `aggregate(zip_with(...))` fold it replaces, but with `doGenCode` so it
-  * runs inside whole-stage codegen instead of the interpreted
-  * higher-order-function path (HOFs are CodegenFallback; on the similarity
-  * benchmark the interpreted fold dominated). Null if either side is null;
-  * null elements contribute 0 (matches `x * y` null semantics folded with
-  * a 0 seed only when no nulls — embeddings carry no null elements).
+  * sequentially in double, with `doGenCode` so it runs inside whole-stage
+  * codegen instead of the interpreted higher-order-function path (HOFs are
+  * CodegenFallback; on the similarity benchmark the interpreted fold
+  * dominated). Null if either side is null.
+  *
+  * Equivalence contract: bit-identical to the HOF
+  * `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, _+_)` fold it replaces
+  * ONLY for equal-length arrays with no null elements — the embeddings
+  * contract. Outside it the two diverge deliberately: on a length
+  * mismatch zip_with null-pads and the fold returns NULL, while this
+  * expression iterates min(len) and returns the finite partial sum; a
+  * null element nullifies the HOF fold but reads as 0.0 here
+  * (`getFloat` on a null slot). min(len) + null-as-zero is the useful
+  * total semantics for a scoring kernel; callers needing strict
+  * validation should pre-check `size(a) = size(b)`.
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -83,6 +83,9 @@ object Dedup {
     * band. The band join is an equi-join on (band, band_hash) — the LSH
     * trick that makes near-dup search linear-ish at 100 TB. */
   def minhashCandidates(shing: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide numHashes=$numHashes — " +
+        "a partial trailing band would silently weaken recall")
     val sig = minhashSignature(shing, numHashes)
     val numBands = numHashes / rowsPerBand
     val bandCols = (0 until numBands).map { b =>

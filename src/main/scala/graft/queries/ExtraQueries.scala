@@ -44,6 +44,9 @@ object ExtraQueries extends graft.QueryPack {
              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)),
 
     // ---- G5: pivot (fixed value list → conditional aggregates) ----------
+    // coalesce(…, 0): pivot yields NULL for an absent (status, priority)
+    // combo while the oracle's COUNT(*) FILTER yields 0 — align on 0 so
+    // the match holds on data sparser than the tested scale factors.
     Q("q_g5_pivot",
       (s, d) => Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
@@ -52,7 +55,9 @@ object ExtraQueries extends graft.QueryPack {
         .agg(count(lit(1)))
         .withColumnRenamed("1-URGENT", "p1").withColumnRenamed("2-HIGH", "p2")
         .withColumnRenamed("3-MEDIUM", "p3").withColumnRenamed("4-NOT SPECIFIED", "p4")
-        .withColumnRenamed("5-LOW", "p5"),
+        .withColumnRenamed("5-LOW", "p5")
+        .select(col("o_orderstatus") +: Seq("p1", "p2", "p3", "p4", "p5")
+          .map(c => coalesce(col(c), lit(0L)).as(c)): _*),
       Some("""SELECT o_orderstatus,
              |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
              |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
