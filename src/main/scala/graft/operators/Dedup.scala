@@ -41,16 +41,19 @@ object Dedup {
     * (found via shingle equi-join); jaccard = |∩| / |∪| over shingle sets.
     * `thresholdTenths` keeps the cut integer-exact (e.g. 1 → j ≥ 0.1). */
   def jaccardPairs(shing: DataFrame, thresholdTenths: Int): DataFrame = {
-    // set sizes ride along via a pre-join window instead of two post-join
-    // lookups — the pairs relation is the big one (candidate pairs ×
-    // shared shingles), so joining sizes onto IT would shuffle it twice
-    import org.apache.spark.sql.expressions.Window
-    val sh2 = shing.withColumn("n", count(lit(1)).over(Window.partitionBy(col("sid"))))
-    val a = sh2.select(col("sid").as("a_id"), col("sh"), col("n").as("na"))
-    val b = sh2.select(col("sid").as("b_id"), col("sh"), col("n").as("nb"))
+    // per-doc set sizes come from a hash aggregation (no sort), and join
+    // onto the AGGREGATED pair relation — one row per candidate pair, not
+    // the wide (pair × shared-shingle) relation. The sizes side is one row
+    // per doc; AQE broadcasts it while it fits and falls back to a keyed
+    // shuffle join beyond that — both shapes hold at corpus scale.
+    val sizes = shing.groupBy(col("sid")).agg(count(lit(1)).as("n"))
+    val a = shing.select(col("sid").as("a_id"), col("sh"))
+    val b = shing.select(col("sid").as("b_id"), col("sh"))
     a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("sid").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("sid").as("b_id"), col("n").as("nb")), Seq("b_id"))
       .withColumn("un", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 10 >= col("un") * thresholdTenths)
       .select(col("a_id"), col("b_id"), col("inter"), col("un"),
@@ -65,9 +68,14 @@ object Dedup {
     * overlap is ubiquitous shingles (which are exactly the
     * non-discriminative ones). */
   def capShingleFrequency(shing: DataFrame, maxDocs: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    shing.withColumn("graft_df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("graft_df") <= maxDocs).drop("graft_df")
+    // hash-agg the doc frequency per shingle and semi-join the keepers
+    // back — no per-partition sort (a window over sh would sort), and the
+    // shuffle is keyed by sh, which the downstream pair join reuses
+    val keep = shing.groupBy(col("sh"))
+      .agg(count(lit(1)).as("graft_df"))
+      .filter(col("graft_df") <= maxDocs)
+      .select(col("sh"))
+    shing.join(keep, Seq("sh"), "left_semi")
   }
 
   /** MinHash signature: k independent hash functions h_i(s) = md5(i|s),
@@ -110,15 +118,18 @@ object Dedup {
       TextAnalysis.tokens(col(textCol)).as("toks")))
       .select(col("sid"), explode(col("toks")).as("t"))
     val hx = toks.select(col("sid"), md5(col("t")).as("hx"))
+    // materialize the 16 hex digits ONCE per token row; the 64 conditional
+    // sums then read cheap int attributes (shiftright+parity) instead of
+    // re-running conv(substr(..)) per bit — 4× less parse work per row
+    val digits = hx.select(col("sid") +: (0 until 16).map(p =>
+      conv(col("hx").substr(lit(p + 1), lit(1)), 16, 10).cast("int").as(s"d$p")): _*)
     // one groupBy(sid) with 64 conditional sums — no (p,b) row explosion,
     // so the only shuffle carries one row per (doc × 64 ints)
-    def bitSum(p: Int, b: Int): Column = {
-      val digit = conv(col("hx").substr(lit(p + 1), lit(1)), 16, 10).cast("int")
-      val bitSet = floor(digit / lit(1 << b)) % 2 === 1
-      sum(when(bitSet, lit(1)).otherwise(lit(-1))).as(s"s_${p}_$b")
-    }
+    def bitSum(p: Int, b: Int): Column =
+      sum(when(shiftright(col(s"d$p"), b) % 2 === 1, lit(1)).otherwise(lit(-1)))
+        .as(s"s_${p}_$b")
     val aggs = for { p <- 0 until 16; b <- 0 until 4 } yield bitSum(p, b)
-    val sums = hx.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)
+    val sums = digits.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)
     val chars = (0 until 16).map { p =>
       val digit = (0 until 4).map(b =>
         when(col(s"s_${p}_$b") > 0, lit(1 << b)).otherwise(lit(0)))

@@ -92,22 +92,41 @@ object Similarity {
     * as deterministic centroids — swap in trained k-means centroids in a
     * real deployment; the index/search machinery is identical). The
     * inverted lists this builds are the ANN scale path: queries score
-    * only the vectors in their probed lists. */
+    * only the vectors in their probed lists.
+    *
+    * The quantizer is tiny and bounded (`numCentroids` vectors), so it is
+    * collected once and inlined as literals: assignment becomes a MAP-ONLY
+    * scan — argmax over `numCentroids` codegen'd dot products per row, no
+    * candidate-row explosion, no window shuffle. That is the shape that
+    * survives 100 TB: a narrow pass the optimizer can pipeline into the
+    * enclosing stage. Tie-break matches the oracle: highest rounded score,
+    * then lowest centroid_id (via lexicographic struct max on
+    * (score, -centroid_id)). */
   def ivfAssign(emb: DataFrame, numCentroids: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val sp = emb.sparkSession
+    val idType = emb.schema(idCol).dataType
     val cents = emb.filter(col(idCol) < numCentroids)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"),
-        nativeNorm(sp, col(vecCol)).as("cn"))
-    val scored = spread(emb.select(col(idCol).as("vec_id"), col(vecCol),
-        nativeNorm(sp, col(vecCol)).as("vn")))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
-        round(nativeDot(sp, col(vecCol), col("cv")) / (col("vn") * col("cn")), 6).as("score"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("score").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("score"))
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cents.length >= 2, s"need >=2 centroids, got ${cents.length}")
+    def seqNorm(v: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(acc)
+    }
+    val withN = emb.select(col(idCol).as("vec_id"), col(vecCol),
+      nativeNorm(sp, col(vecCol)).as("vn"))
+    val candidates = cents.map { case (cid, cv) =>
+      val score = round(
+        nativeDot(sp, col(vecCol), typedLit(cv.toSeq)) / (col("vn") * lit(seqNorm(cv))), 6)
+      struct(score.as("score"), lit(-cid).as("neg"), lit(cid).cast(idType).as("cid"))
+    }
+    val best = greatest(candidates: _*)
+    withN.select(col("vec_id"), best.getField("cid").as("centroid_id"),
+      best.getField("score").as("score"))
   }
 
   /** IVF top-k search: queries probe the `nProbe` nearest inverted lists
