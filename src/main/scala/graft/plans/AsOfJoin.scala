@@ -1,0 +1,180 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder,
+  UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.expressions.RowOrdering
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.GraftSqlBridge
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native as-of join: for each left row, attach the latest right row with
+  * the same key whose time is <= the left row's time (left-outer: the
+  * right side is null when no prior row exists).
+  *
+  * This is the whole-operator extension tier — custom `LogicalPlan` +
+  * `SparkStrategy` + `SparkPlan` — for a semantics Spark's relational
+  * operators can't express as one operator (the composed alternative,
+  * union + carry-forward window in `q_j5_asof_join`, only works when both
+  * sides share one schema; a window over a non-equi join explodes
+  * candidates first).
+  *
+  * Scale shape: `requiredChildDistribution` hash-clusters both sides by
+  * key and `requiredChildOrdering` sorts by (key, time), so Catalyst's
+  * EnsureRequirements inserts exactly one co-partitioning exchange + sort
+  * per side — the sort-merge-join shape — and the merge itself is a
+  * single forward pass per partition holding ONE buffered right row.
+  * O(1) state, no per-row probe, no candidate explosion; on 1000
+  * executors each partition merges independently.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // hash-cluster both children by key: EnsureRequirements co-partitions
+  // them (re-using an existing partitioning when one side already hashes
+  // by the key) and inserts the per-partition sorts below
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) ::
+      ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numRightCols = right.output.size
+    val leftOut = left.output
+    val rightOut = right.output
+    val lKeyExpr = leftKey
+    val rKeyExpr = rightKey
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    val outputAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // generated classes are not serializable: build orderings on the
+      // executor (the codegen cache dedups the source per JVM)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(keyType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val lKeyProj = UnsafeProjection.create(Seq(lKeyExpr), leftOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), leftOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rKeyExpr), rightOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rightOut)
+      val resultProj = UnsafeProjection.create(outputAttrs, outputAttrs)
+      // null keys/times never match and (sorting nulls-first) never block
+      // the merge pointer, so drop null-keyed right rows up front
+      val rBuf = rIter.filter { r =>
+        !rKeyProj(r).isNullAt(0) && !rTimeProj(r).isNullAt(0)
+      }.buffered
+      val nullRight = new GenericInternalRow(numRightCols)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // the single piece of merge state: last right row at or before the
+        // current merge frontier, plus the key it belongs to
+        private var lastKey: UnsafeRow = _
+        private var lastRight: InternalRow = _
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyProj(l)
+          if (lk.isNullAt(0)) return resultProj(joined(l, nullRight))
+          val lt = lTimeProj(l)
+          if (lt.isNullAt(0)) return resultProj(joined(l, nullRight))
+          var scan = true
+          while (scan && rBuf.hasNext) {
+            val r = rBuf.head
+            val c = keyOrd.compare(rKeyProj(r), lk)
+            if (c < 0) {
+              rBuf.next() // stale key: its carry-forward state is obsolete
+            } else if (c == 0 && timeOrd.compare(rTimeProj(r), lt) <= 0) {
+              lastKey = rKeyProj(r).copy()
+              lastRight = r.copy()
+              rBuf.next()
+            } else {
+              scan = false // right frontier is ahead of this left row
+            }
+          }
+          val matched = lastRight != null && keyOrd.compare(lastKey, lk) == 0
+          resultProj(joined(l, if (matched) lastRight else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Config-time injection: `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+}
+
+object AsOfJoin {
+
+  /** DataFrame-level entry point. Resolves the named columns against each
+    * side, registers the planner strategy (idempotent), and wraps the
+    * logical node. Column names may repeat across sides — output
+    * attributes stay distinct by expression id. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKeyCol: String, rightKeyCol: String,
+      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    val spark = left.sparkSession
+    GraftSqlBridge.addStrategy(spark, AsOfJoinStrategy)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def resolve(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${plan.output.map(_.name).mkString(", ")}"))
+    require(resolve(lPlan, leftKeyCol).dataType == resolve(rPlan, rightKeyCol).dataType,
+      "as-of key columns must share a type")
+    require(resolve(lPlan, leftTimeCol).dataType == resolve(rPlan, rightTimeCol).dataType,
+      "as-of time columns must share a type")
+    GraftSqlBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
+      resolve(lPlan, leftKeyCol), resolve(rPlan, rightKeyCol),
+      resolve(lPlan, leftTimeCol), resolve(rPlan, rightTimeCol)))
+  }
+}

@@ -83,6 +83,30 @@ object EventQueries extends graft.QueryPack {
              |      FROM events)
              |WHERE rn = 1""".stripMargin)),
 
+    // ---- J6: native as-of join (custom LogicalPlan/Strategy/Exec) -------
+    // Same business question as q_j5_asof_join but through the
+    // whole-operator extension tier: clicks as-of-join the latest
+    // prior-or-equal error per user. Tie semantics are the operator's own
+    // (time <= time, id-independent), hence its own oracle.
+    Q("q_j6_asof_native",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("user_id").as("err_user"), col("ts").as("err_ts"))
+        graft.plans.AsOfJoin.asofJoin(clicks, errors,
+            "user_id", "err_user", "ts", "err_ts")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("err_ts").as("asof_error_ts"))
+      },
+      Some("""SELECT c.event_id, c.user_id, c.ts, max(e.ts) AS asof_error_ts
+             |FROM events c LEFT JOIN events e
+             |  ON e.event_type = 'error' AND e.user_id = c.user_id
+             |    AND e.ts <= c.ts
+             |WHERE c.event_type = 'click'
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
     // ---- E5: JSON extraction from the props column ----------------------
     Q("q_e5_json_extract",
       (s, d) => Tables.events(s, d).select(

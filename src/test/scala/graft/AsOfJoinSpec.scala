@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def leftDf = {
+    import spark.implicits._
+    Seq(
+      (1L, "u1", 100L), // matches err at 90
+      (2L, "u1", 50L),  // no prior err
+      (3L, "u2", 200L), // exact tie with err at 200 — inclusive
+      (4L, "u3", 10L),  // key with no right rows at all
+      (5L, "u1", 300L)  // matches the LATEST prior err (250, not 90)
+    ).toDF("id", "k", "t")
+  }
+
+  private def rightDf = {
+    import spark.implicits._
+    Seq(
+      ("u1", 90L, "a"), ("u1", 250L, "b"),
+      ("u2", 200L, "c"), ("u2", 500L, "d"),
+      ("u9", 1L, "e") // key with no left rows
+    ).toDF("rk", "rt", "tag")
+  }
+
+  test("as-of semantics: latest prior-or-equal right row per key, else null") {
+    val out = AsOfJoin.asofJoin(leftDf, rightDf, "k", "rk", "t", "rt")
+      .select(col("id"), col("rt"), col("tag"))
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2)))).toMap
+    assert(out(1L) === ((90L, "a")))
+    assert(out(2L) === ((-1L, null)))
+    assert(out(3L) === ((200L, "c"))) // inclusive boundary
+    assert(out(4L) === ((-1L, null)))
+    assert(out(5L) === ((250L, "b")))
+  }
+
+  test("agrees with the SQL formulation on testdata events") {
+    val e = sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"))
+    val native = AsOfJoin.asofJoin(clicks, errors,
+        "user_id", "err_user", "ts", "err_ts")
+      .select(col("event_id"), col("err_ts"))
+
+    e.createOrReplaceTempView("asof_events")
+    val sql = spark.sql(
+      """SELECT c.event_id, max(e.ts) AS err_ts
+        |FROM asof_events c LEFT JOIN asof_events e
+        |  ON e.event_type = 'error' AND e.user_id = c.user_id
+        |    AND e.ts <= c.ts
+        |WHERE c.event_type = 'click'
+        |GROUP BY c.event_id""".stripMargin)
+    assert(native.count() === sql.count())
+    assert(native.exceptAll(sql).isEmpty && sql.exceptAll(native).isEmpty)
+  }
+
+  test("plan shape: one AsOfJoinExec, clustered exchanges, merge-ready sorts") {
+    val out = AsOfJoin.asofJoin(leftDf, rightDf, "k", "rk", "t", "rt")
+    val plan = out.queryExecution.executedPlan
+    val s = plan.toString // AQE wraps the plan; match textually
+    assert(s.contains("AsOfJoin "), s"expected AsOfJoinExec in:\n$s")
+    // EnsureRequirements must have inserted hash exchanges + (key, time)
+    // sorts under the operator — the sort-merge shape
+    assert(s.contains("hashpartitioning(k"), s"left not clustered by key:\n$s")
+    assert(s.contains("hashpartitioning(rk"), s"right not clustered by key:\n$s")
+    assert(s.contains("Sort ["), s"no sorts inserted:\n$s")
+  }
+
+  test("duplicate right timestamps at the match point stay deterministic") {
+    import spark.implicits._
+    val l = Seq((1L, "u", 100L)).toDF("id", "k", "t")
+    val r = Seq(("u", 100L, "x"), ("u", 100L, "y"), ("u", 40L, "z"))
+      .toDF("rk", "rt", "tag")
+    val got = AsOfJoin.asofJoin(l, r, "k", "rk", "t", "rt")
+      .select(col("rt")).collect()
+    assert(got.length === 1 && got(0).getLong(0) === 100L)
+  }
+}
