@@ -108,6 +108,36 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("band"))
   }
 
+  /** SimHash near-dup pairs at Hamming distance <= `maxDist`, found by
+    * pigeonhole banding: the 64-bit signature splits into 4 bands of 16
+    * bits, and any pair differing in at most 3 bits must agree EXACTLY on
+    * at least one band — so candidates come from an equi-join on
+    * (band, band_value), never a cross join, and the full 64-bit Hamming
+    * distance is only computed for band-collision candidates. The
+    * standard simhash index shape (Manku et al., WWW'07) at corpus scale.
+    */
+  def simhashNearDup(sig: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "4-band pigeonhole guarantees recall only for Hamming <= 3")
+    val withBands = sig.select(col("sid"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        col("simhash").substr(lit(1 + 4 * b), lit(4))): _*)))
+      .toDF("sid", "simhash", "band", "bv")
+    val l = withBands.select(col("sid").as("a_id"), col("simhash").as("sh_a"),
+      col("band"), col("bv"))
+    val r = withBands.select(col("sid").as("b_id"), col("simhash").as("sh_b"),
+      col("band"), col("bv"))
+    // distinct: a pair agreeing on several bands collides once per band
+    val cand = l.join(r, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("sh_a"), col("sh_b")).distinct()
+    def chunk(c: Column, p: Int): Column =
+      conv(c.substr(lit(1 + 4 * p), lit(4)), 16, 10).cast("int")
+    val hamming = (0 until 4).map(p =>
+      bit_count(chunk(col("sh_a"), p).bitwiseXOR(chunk(col("sh_b"), p))))
+      .reduce(_ + _)
+    cand.select(col("a_id"), col("b_id"), hamming.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** SimHash signature (16 hex chars = 64 bits): per token, md5 → 16 hex
     * digits → 4 bits each; per bit position take the sign of Σ(±1) over
     * all tokens; reassemble the majority bits into a hex string.

@@ -99,27 +99,62 @@ object DedupQueries extends graft.QueryPack {
     Q("q_d4_simhash",
       (s, d) => Dedup.simhashSignature(Tables.documents(s, d), "text", "doc_id")
         .withColumnRenamed("sid", "doc_id"),
-      Some("""WITH tok AS (
-             |  SELECT doc_id,
-             |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
-             |  FROM documents),
-             |h AS (SELECT doc_id, md5(t) AS hx FROM tok),
-             |pb AS (SELECT unnest(range(0, 16)) AS p),
-             |bb AS (SELECT unnest(range(0, 4)) AS b),
-             |contrib AS (
-             |  SELECT doc_id, p, b,
-             |    CASE WHEN ((CAST(strpos('0123456789abcdef', substr(hx, CAST(p AS INT) + 1, 1)) AS INT) - 1)
-             |          // (CASE b WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2 = 1
-             |      THEN 1 ELSE -1 END AS c
-             |  FROM h CROSS JOIN pb CROSS JOIN bb),
-             |sums AS (SELECT doc_id, p, b, SUM(c) AS s FROM contrib GROUP BY doc_id, p, b),
-             |digits AS (
-             |  SELECT doc_id, p,
-             |    SUM(CASE WHEN s > 0 THEN (CASE b WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)
-             |        ELSE 0 END) AS dig
-             |  FROM sums GROUP BY doc_id, p)
-             |SELECT doc_id,
-             |  string_agg(substr('0123456789abcdef', CAST(dig AS INT) + 1, 1), '' ORDER BY p) AS simhash
-             |FROM digits GROUP BY doc_id""".stripMargin))
+      Some(s"""WITH $duckSimhashCtes
+              |SELECT doc_id, simhash FROM sigs""".stripMargin)),
+
+    // ---- D5: SimHash near-dup pairs (pigeonhole banding, Hamming <= 3) --
+    Q("q_d5_simhash_hamming",
+      (s, d) => Dedup.simhashNearDup(
+        Dedup.simhashSignature(Tables.documents(s, d), "text", "doc_id"), 3),
+      Some(s"""WITH $duckSimhashCtes,
+              |bv AS (
+              |  SELECT doc_id, simhash, band,
+              |    substr(simhash, CAST(band * 4 AS INT) + 1, 4) AS bvv
+              |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+              |    a.simhash AS sh_a, b.simhash AS sh_b
+              |  FROM bv a JOIN bv b
+              |    ON a.band = b.band AND a.bvv = b.bvv AND a.doc_id < b.doc_id),
+              |ham AS (
+              |  SELECT a_id, b_id,
+              |    bit_count(xor(CAST('0x' || substr(sh_a, 1, 4) AS INT),
+              |                  CAST('0x' || substr(sh_b, 1, 4) AS INT))) +
+              |    bit_count(xor(CAST('0x' || substr(sh_a, 5, 4) AS INT),
+              |                  CAST('0x' || substr(sh_b, 5, 4) AS INT))) +
+              |    bit_count(xor(CAST('0x' || substr(sh_a, 9, 4) AS INT),
+              |                  CAST('0x' || substr(sh_b, 9, 4) AS INT))) +
+              |    bit_count(xor(CAST('0x' || substr(sh_a, 13, 4) AS INT),
+              |                  CAST('0x' || substr(sh_b, 13, 4) AS INT))) AS hamming
+              |  FROM cand)
+              |SELECT a_id, b_id, CAST(hamming AS INT) AS hamming
+              |FROM ham WHERE hamming <= 3""".stripMargin))
   )
+
+  /** Shared CTE chain ending in `sigs(doc_id, simhash)` — the DuckDB
+    * replica of [[Dedup.simhashSignature]]. */
+  private val duckSimhashCtes =
+    """tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+      |  FROM documents),
+      |h AS (SELECT doc_id, md5(t) AS hx FROM tok),
+      |pb AS (SELECT unnest(range(0, 16)) AS p),
+      |bb AS (SELECT unnest(range(0, 4)) AS b),
+      |contrib AS (
+      |  SELECT doc_id, p, b,
+      |    CASE WHEN ((CAST(strpos('0123456789abcdef', substr(hx, CAST(p AS INT) + 1, 1)) AS INT) - 1)
+      |          // (CASE b WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2 = 1
+      |      THEN 1 ELSE -1 END AS c
+      |  FROM h CROSS JOIN pb CROSS JOIN bb),
+      |sums AS (SELECT doc_id, p, b, SUM(c) AS s FROM contrib GROUP BY doc_id, p, b),
+      |digits AS (
+      |  SELECT doc_id, p,
+      |    SUM(CASE WHEN s > 0 THEN (CASE b WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)
+      |        ELSE 0 END) AS dig
+      |  FROM sums GROUP BY doc_id, p),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    string_agg(substr('0123456789abcdef', CAST(dig AS INT) + 1, 1), '' ORDER BY p) AS simhash
+      |  FROM digits GROUP BY doc_id)""".stripMargin
 }
