@@ -33,6 +33,16 @@ object TextAnalysis {
         concat_ws(" ", (1 to k).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
 
+  /** BPE-style pre-tokenization pattern: alphabetic runs, digit runs, and
+    * single non-space punctuation — the piece segmentation BPE vocabularies
+    * merge from, usable for LLM token budgeting without a vocab file.
+    * Plain character classes only, so Java and RE2-family engines agree. */
+  val bpePattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** All BPE-style pieces of `text`, in order (one regex pass). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
   /** How many tokens appear in `words` (language/stopword hit count). */
   def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))

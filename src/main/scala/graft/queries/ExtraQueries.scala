@@ -115,6 +115,30 @@ object ExtraQueries extends graft.QueryPack {
              |  FROM events WHERE event_type IN ('click', 'error'))
              |WHERE event_type = 'click'""".stripMargin)),
 
+    // ---- J7: large×large range join via binning -------------------------
+    // Both sides are fact tables, so BroadcastNestedLoop (the q_j4 shape)
+    // is out; points and exploded intervals meet in an equi-join on a
+    // price bin, with the exact predicate as residual. DuckDB's IEJoin
+    // computes the same relation natively — a cross-engine check that the
+    // binning loses and invents nothing.
+    Q("q_j7_binned_range",
+      (s, d) => {
+        import graft.operators.RangeJoin
+        val pts = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+        val ivs = Tables.orders(s, d).select(col("o_orderkey"),
+          (col("o_totalprice") - 1.0).as("lo"), (col("o_totalprice") + 1.0).as("hi"))
+        val m = RangeJoin.binnedPointInterval(pts, "v", ivs, "lo", "hi", 20.0)
+          .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+        Tables.orders(s, d).select(col("o_orderkey"))
+          .join(m, Seq("o_orderkey"), "left")
+          .select(col("o_orderkey"), coalesce(col("n"), lit(0L)).as("n"))
+      },
+      Some("""SELECT o.o_orderkey, COUNT(l.l_extendedprice) AS n
+             |FROM orders o LEFT JOIN lineitem l
+             |  ON l.l_extendedprice >= o.o_totalprice - 1.0
+             | AND l.l_extendedprice <  o.o_totalprice + 1.0
+             |GROUP BY 1""".stripMargin)),
+
     // ---- A5: exact interpolated percentiles -----------------------------
     Q("q_a5_percentile",
       (s, d) => Tables.orders(s, d)

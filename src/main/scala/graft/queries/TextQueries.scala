@@ -87,6 +87,22 @@ object TextQueries extends graft.QueryPack {
               |       ELSE 'fr' END AS lang_pred
               |FROM sc""".stripMargin)),
 
+    // ---- X5: BPE-ish piece counting (regex pre-tokenization) -----------
+    Q("q_x5_bpe_tokens",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.bpeTokens(col("text")).as("pieces"))
+        .select(col("doc_id"),
+          size(col("pieces")).as("n_pieces"),
+          size(filter(col("pieces"), p => p.rlike("^[A-Za-z]"))).as("n_alpha"),
+          size(filter(col("pieces"), p => p.rlike("^[0-9]"))).as("n_num")),
+      Some("""WITH p AS (SELECT doc_id,
+             |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS pieces
+             |  FROM documents)
+             |SELECT doc_id, len(pieces) AS n_pieces,
+             |  len(list_filter(pieces, x -> regexp_matches(x, '^[A-Za-z]'))) AS n_alpha,
+             |  len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]'))) AS n_num
+             |FROM p""".stripMargin)),
+
     // ---- X4: document fingerprint (min-hash over shingle set) ----------
     Q("q_x4_fingerprint",
       // the length guard is on toks, BEFORE shingling: a filter on the
