@@ -65,6 +65,28 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Watermarked stream-stream interval join: each click joins the errors
+    * of the same user from the preceding `horizon`. Both sides carry
+    * watermarks and the join condition time-bounds the match, so the state
+    * store can evict rows once the watermark passes — bounded state, the
+    * only stream-stream join shape that survives unbounded input.
+    */
+  def clickErrorJoin(events: DataFrame, horizon: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"))
+      .withWatermark("err_ts", watermark)
+    clicks.join(errors,
+      col("user_id") === col("err_user") &&
+        col("err_ts") <= col("click_ts") &&
+        col("err_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("click_id"), col("user_id"), col("click_ts"), col("err_ts"))
+  }
+
   final case class UserCount(user_id: Long, n: Long)
 
   /** Custom keyed state via flatMapGroupsWithState: running per-user event

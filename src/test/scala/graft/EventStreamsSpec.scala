@@ -70,6 +70,29 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream interval join == batch interval join") {
+    val q = EventStreams.runToMemory(
+      EventStreams.clickErrorJoin(EventStreams.readEvents(spark, path)),
+      "ssjoin_out", "append")
+    try {
+      val streamed = spark.table("ssjoin_out")
+      val e = sources.Tables.events(spark, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("err_user"), col("ts").as("err_ts"))
+      val batch = clicks.join(errors,
+        col("user_id") === col("err_user") &&
+          col("err_ts") <= col("click_ts") &&
+          col("err_ts") >= col("click_ts") - expr("INTERVAL 10 minutes"))
+        .select(col("click_id"), col("user_id"), col("click_ts"), col("err_ts"))
+      assert(streamed.count() === batch.count())
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
