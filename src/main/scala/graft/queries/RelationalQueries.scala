@@ -223,6 +223,47 @@ object RelationalQueries extends graft.QueryPack {
              |SELECT o_orderkey, 'Not OK' AS status, 'low value' AS reason
              |FROM orders WHERE o_totalprice < 200000.0""".stripMargin)),
 
+    // ---- U3: INTERSECT / EXCEPT (distinct set semantics) ----------------
+    Q("q_u3_intersect_except",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        val oo = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        f.intersect(oo).withColumn("tag", lit("both"))
+          .unionByName(f.except(oo).withColumn("tag", lit("only_f")))
+      },
+      Some("""SELECT o_custkey, 'both' AS tag FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |  INTERSECT
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+             |UNION ALL
+             |SELECT o_custkey, 'only_f' AS tag FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |  EXCEPT
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin)),
+
+    // ---- P8: datetime scalar surface ------------------------------------
+    Q("q_p8_datetime",
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30d"),
+        datediff(lit("1995-06-15").cast("date"), col("o_orderdate")).as("days_to_ref"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end")),
+      Some("""WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders)
+             |SELECT o_orderkey,
+             |  CAST(year(od) AS INT) AS yr,
+             |  CAST(month(od) AS INT) AS mo,
+             |  CAST(quarter(od) AS INT) AS qtr,
+             |  strftime(od + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+             |  strftime(od + 30, '%Y-%m-%d') AS plus30d,
+             |  CAST(date_diff('day', od, DATE '1995-06-15') AS INT) AS days_to_ref,
+             |  strftime(last_day(od), '%Y-%m-%d') AS month_end
+             |FROM o""".stripMargin)),
+
     // ---- W1: ranking/analytic windows (extension surface) ----------------
     Q("q_w1_window",
       (s, d) => {
