@@ -129,12 +129,11 @@ object Dedup {
     // distinct: a pair agreeing on several bands collides once per band
     val cand = l.join(r, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("sh_a"), col("sh_b")).distinct()
-    def chunk(c: Column, p: Int): Column =
-      conv(c.substr(lit(1 + 4 * p), lit(4)), 16, 10).cast("int")
-    val hamming = (0 until 4).map(p =>
-      bit_count(chunk(col("sh_a"), p).bitwiseXOR(chunk(col("sh_b"), p))))
-      .reduce(_ + _)
-    cand.select(col("a_id"), col("b_id"), hamming.cast("int").as("hamming"))
+    // codegen'd single-pass kernel (graft.functions.HexHamming) — the
+    // composed 4 × conv/substr/xor/bit_count form walks the strings 4×
+    graft.functions.HexHamming.register(sig.sparkSession)
+    cand.select(col("a_id"), col("b_id"),
+        call_function("hex_hamming", col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 
