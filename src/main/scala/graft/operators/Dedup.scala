@@ -108,6 +108,45 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("band"))
   }
 
+  /** Connected components over an undirected candidate-pair graph — the
+    * step that turns near-dup PAIRS into dedup CLUSTERS (keep the
+    * min-id doc per component, drop the rest). Iterative min-label
+    * propagation: every node starts labeled with itself; each round a
+    * node takes the min of its own and its neighbors' labels; fixpoint
+    * after diameter rounds (near-dup clusters are shallow — a handful).
+    *
+    * Scale shape: each round is one keyed shuffle join (edges × labels) +
+    * one aggregation — the standard Spark formulation; `localCheckpoint`
+    * truncates lineage so plan size stays O(1) across rounds instead of
+    * O(rounds). Deterministic: labels are min() folds of ids.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // min neighbor label per node, folded with the node's own label
+      val viaNbr = edges
+        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(viaNbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label") < col("label")).as("improved"))
+        .localCheckpoint()
+      changed = next.filter(col("improved")).count()
+      labels = next.select(col("node"), col("label"))
+      i += 1
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+
   /** SimHash near-dup pairs at Hamming distance <= `maxDist`, found by
     * pigeonhole banding: the 64-bit signature splits into 4 bands of 16
     * bits, and any pair differing in at most 3 bits must agree EXACTLY on

@@ -95,6 +95,41 @@ object DedupQueries extends graft.QueryPack {
               |JOIN bands b ON a.band = b.band AND a.bh = b.bh
               |  AND a.doc_id < b.doc_id""".stripMargin)),
 
+    // ---- D6: near-dup clusters (connected components over pairs) --------
+    // The pairs→clusters step of a dedup pipeline: components of the
+    // MinHash-LSH candidate graph, labeled by their min doc_id (the
+    // keeper). Spark runs iterative min-label propagation; the oracle is
+    // the same fixpoint as a recursive CTE.
+    Q("q_d6_dedup_clusters",
+      (s, d) => Dedup.connectedComponents(
+        Dedup.minhashCandidates(
+          Dedup.docShingles(Tables.documents(s, d), "text", "doc_id",
+            distinct = false), 8, 2)),
+      Some(s"""WITH RECURSIVE ${duckShingles.stripPrefix("WITH ")},
+              |mh AS (SELECT doc_id,
+              |  min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+              |  min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
+              |  min(md5('4|' || sh)) AS m4, min(md5('5|' || sh)) AS m5,
+              |  min(md5('6|' || sh)) AS m6, min(md5('7|' || sh)) AS m7
+              |  FROM exd GROUP BY doc_id),
+              |bands AS (
+              |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM mh
+              |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM mh
+              |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM mh
+              |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM mh),
+              |prs AS (
+              |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM prs
+              |  UNION SELECT b_id, a_id FROM prs),
+              |cc(node, label) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node)
+              |SELECT node, MIN(label) AS component FROM cc GROUP BY node""".stripMargin)),
+
     // ---- D4: SimHash signatures ----------------------------------------
     Q("q_d4_simhash",
       (s, d) => Dedup.simhashSignature(Tables.documents(s, d), "text", "doc_id")
