@@ -103,6 +103,19 @@ object TextQueries extends graft.QueryPack {
              |  len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]'))) AS n_num
              |FROM p""".stripMargin)),
 
+    // ---- X6: corpus heavy hitters (exact top tokens) -------------------
+    // Global top-k compiles to TakeOrderedAndProject: each partition
+    // keeps k rows after the partial agg, so the driver merges 32×k rows
+    // — never a full sort. Ties break on the token for determinism.
+    Q("q_x6_top_tokens",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20),
+      Some(s"""SELECT token, COUNT(*) AS n FROM (
+              |  SELECT unnest($duckToks) AS token FROM documents)
+              |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
     // ---- X4: document fingerprint (min-hash over shingle set) ----------
     Q("q_x4_fingerprint",
       // the length guard is on toks, BEFORE shingling: a filter on the
