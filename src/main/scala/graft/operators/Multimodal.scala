@@ -52,6 +52,34 @@ object Multimodal {
       struct(lit("application/octet-stream").as("mime"),
         lit(0).as("width"), lit(0).as("height")).as("meta"))
 
+  /** Pluggable payload transform (resize, transcode, crop), instantiated
+    * once per partition like [[MediaDecoder]]. */
+  trait MediaTransform extends Serializable {
+    def apply(bytes: Array[Byte], meta: MediaMeta): (Array[Byte], MediaMeta)
+  }
+
+  /** STUB resize — a real deployment wraps an image library here; this
+    * one truncates the payload to `w*h` bytes (deterministic, so the
+    * oracle can express it as substr) and stamps the new dimensions. */
+  final case class TruncatingFakeResize(w: Int, h: Int) extends MediaTransform {
+    override def apply(bytes: Array[Byte], meta: MediaMeta): (Array[Byte], MediaMeta) =
+      (bytes.take(w * h), MediaMeta(meta.mime, w, h))
+  }
+
+  /** Batch payload transform inside one mapPartitions pass — the resize /
+    * transcode stage of a media pipeline; schema in == schema out, so
+    * transforms compose and the sink sees the same multimodal shape. */
+  def transformMedia(spark: SparkSession, media: DataFrame,
+      t: MediaTransform): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        val (b2, m2) = t(rec.bytes, rec.meta)
+        MediaRecord(rec.media_id, b2, m2)
+      }
+    }.toDF()
+  }
+
   /** Batch feature extraction: fixed-size frame split + every-k sampling
     * + per-frame-batch decode, all inside one mapPartitions pass. */
   def extractFeatures(spark: SparkSession, media: DataFrame,

@@ -28,6 +28,21 @@ object MultimodalQueries extends graft.QueryPack {
              |  'application/octet-stream' AS mime
              |FROM documents""".stripMargin)),
 
+    // ---- M3: batch payload transform (stub resize) ----------------------
+    Q("q_m3_media_resize",
+      (s, d) => Multimodal.transformMedia(s,
+          Multimodal.fromDocuments(Tables.documents(s, d)),
+          Multimodal.TruncatingFakeResize(16, 8))
+        .select(col("media_id"),
+          octet_length(col("bytes")).as("new_len"),
+          md5(col("bytes")).as("new_hash"),
+          col("meta.width").as("w"), col("meta.height").as("h")),
+      Some("""SELECT doc_id AS media_id,
+             |  octet_length(encode(substr(text, 1, 128))) AS new_len,
+             |  md5(substr(text, 1, 128)) AS new_hash,
+             |  16 AS w, 8 AS h
+             |FROM documents""".stripMargin)),
+
     // ---- M2: mapPartitions feature extraction (frame split + sampling) --
     Q("q_m2_media_features",
       (s, d) => Multimodal.extractFeatures(s,
