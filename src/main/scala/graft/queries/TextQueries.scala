@@ -116,6 +116,23 @@ object TextQueries extends graft.QueryPack {
               |  SELECT unnest($duckToks) AS token FROM documents)
               |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin)),
 
+    // ---- X7: deterministic train/val/test split + downsample ------------
+    Q("q_x7_train_split",
+      (s, d) => {
+        import graft.operators.Sampling
+        Tables.documents(s, d).select(col("doc_id"),
+          Sampling.hashBucket(col("doc_id"), "exp1").as("bucket"),
+          Sampling.splitLabel(col("doc_id"), "exp1", 90, 5).as("split"),
+          (Sampling.hashBucket(col("doc_id"), "sample") < 10).as("in_10pct"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST('0x' || substr(md5('exp1|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,
+             |  CASE WHEN CAST('0x' || substr(md5('exp1|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'train'
+             |       WHEN CAST('0x' || substr(md5('exp1|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 95 THEN 'val'
+             |       ELSE 'test' END AS split,
+             |  CAST('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10 AS in_10pct
+             |FROM documents""".stripMargin)),
+
     // ---- X4: document fingerprint (min-hash over shingle set) ----------
     Q("q_x4_fingerprint",
       // the length guard is on toks, BEFORE shingling: a filter on the
