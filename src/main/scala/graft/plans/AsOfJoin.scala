@@ -155,10 +155,22 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
-/** Config-time injection: `spark.sql.extensions=graft.plans.GraftExtensions`. */
+/** Config-time injection: `spark.sql.extensions=graft.plans.GraftExtensions`
+  * wires the whole custom surface — the as-of planner strategy plus the
+  * native expressions — into every session of the application. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectFunction((FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[graft.functions.FloatVecDot].getName, "vec_dot"),
+      exprs => graft.functions.FloatVecDot(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("hex_hamming"),
+      new ExpressionInfo(classOf[graft.functions.HexHamming].getName, "hex_hamming"),
+      exprs => graft.functions.HexHamming(exprs.head, exprs(1))))
+  }
 }
 
 object AsOfJoin {

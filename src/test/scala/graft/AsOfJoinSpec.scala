@@ -75,6 +75,11 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(s.contains("Sort ["), s"no sorts inserted:\n$s")
   }
 
+  test("GraftExtensions wires strategy + functions without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext) // builders register cleanly
+  }
+
   test("duplicate right timestamps at the match point stay deterministic") {
     import spark.implicits._
     val l = Seq((1L, "u", 100L)).toDF("id", "k", "t")
