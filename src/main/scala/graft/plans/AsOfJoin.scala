@@ -36,7 +36,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -48,8 +49,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -57,6 +58,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -94,12 +96,24 @@ case class AsOfJoinExec(
     val keyType = leftKey.dataType
     val timeType = leftTime.dataType
     val outputAttrs = output
+    val tol = tolerance
+    // tolerance needs time DIFFERENCES, not just ordering — restrict it to
+    // the long/int-backed time types (timestamp = micros, date = days)
+    tol.foreach { _ =>
+      require(timeIsLongBacked(timeType),
+        s"as-of tolerance requires a long/int-backed time type, got $timeType")
+    }
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // generated classes are not serializable: build orderings on the
       // executor (the codegen cache dedups the source per JVM)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(keyType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val timeAsLong: InternalRow => Long = timeType match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.DateType => r => r.getInt(0).toLong
+        case _ => r => r.getLong(0)
+      }
       val lKeyProj = UnsafeProjection.create(Seq(lKeyExpr), leftOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), leftOut)
       val rKeyProj = UnsafeProjection.create(Seq(rKeyExpr), rightOut)
@@ -115,9 +129,10 @@ case class AsOfJoinExec(
 
       new Iterator[InternalRow] {
         // the single piece of merge state: last right row at or before the
-        // current merge frontier, plus the key it belongs to
+        // current merge frontier, plus the key and time it belongs to
         private var lastKey: UnsafeRow = _
         private var lastRight: InternalRow = _
+        private var lastTime: Long = Long.MinValue
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -136,12 +151,14 @@ case class AsOfJoinExec(
             } else if (c == 0 && timeOrd.compare(rTimeProj(r), lt) <= 0) {
               lastKey = rKeyProj(r).copy()
               lastRight = r.copy()
+              if (tol.isDefined) lastTime = timeAsLong(rTimeProj(r))
               rBuf.next()
             } else {
               scan = false // right frontier is ahead of this left row
             }
           }
-          val matched = lastRight != null && keyOrd.compare(lastKey, lk) == 0
+          val matched = lastRight != null && keyOrd.compare(lastKey, lk) == 0 &&
+            tol.forall(t => timeAsLong(lt) - lastTime <= t)
           numOutputRows += 1
           if (matched) numMatchedRows += 1
           resultProj(joined(l, if (matched) lastRight else nullRight))
@@ -149,6 +166,14 @@ case class AsOfJoinExec(
       }
     }
   }
+
+  private def timeIsLongBacked(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
@@ -178,10 +203,15 @@ object AsOfJoin {
   /** DataFrame-level entry point. Resolves the named columns against each
     * side, registers the planner strategy (idempotent), and wraps the
     * logical node. Column names may repeat across sides — output
-    * attributes stay distinct by expression id. */
+    * attributes stay distinct by expression id.
+    *
+    * `tolerance` bounds the lookback: a right row only matches when
+    * leftTime - rightTime <= tolerance, in the time column's own units
+    * (micros for timestamps, days for dates). None = unbounded. */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKeyCol: String, rightKeyCol: String,
-      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+      leftTimeCol: String, rightTimeCol: String,
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     GraftSqlBridge.addStrategy(spark, AsOfJoinStrategy)
     val lPlan = left.queryExecution.analyzed
@@ -196,6 +226,6 @@ object AsOfJoin {
       "as-of time columns must share a type")
     GraftSqlBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
       resolve(lPlan, leftKeyCol), resolve(rPlan, rightKeyCol),
-      resolve(lPlan, leftTimeCol), resolve(rPlan, rightTimeCol)))
+      resolve(lPlan, leftTimeCol), resolve(rPlan, rightTimeCol), tolerance))
   }
 }

@@ -75,6 +75,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(s.contains("Sort ["), s"no sorts inserted:\n$s")
   }
 
+  test("tolerance bounds the lookback window") {
+    import spark.implicits._
+    val l = Seq((1L, "u", 100L), (2L, "u", 300L)).toDF("id", "k", "t")
+    val r = Seq(("u", 90L, "near"), ("u", 50L, "far")).toDF("rk", "rt", "tag")
+    // unbounded: both left rows match rt=90
+    val unb = AsOfJoin.asofJoin(l, r, "k", "rk", "t", "rt")
+      .select(col("id"), col("tag")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(unb === Map(1L -> "near", 2L -> "near"))
+    // tolerance 50: id=1 (lag 10) matches, id=2 (lag 210) does not
+    val tol = AsOfJoin.asofJoin(l, r, "k", "rk", "t", "rt", Some(50L))
+      .select(col("id"), col("tag")).collect()
+      .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    assert(tol === Map(1L -> Some("near"), 2L -> None))
+  }
+
   test("GraftExtensions wires strategy + functions without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(ext) // builders register cleanly

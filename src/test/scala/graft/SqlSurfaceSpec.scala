@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{FloatVecDot, HexHamming}
+import graft.sources.Tables
+
+/** The raw-SQL user path: every table registered as a view, queries run
+  * through spark.sql — joins, windows, grouping sets, and the custom
+  * native functions callable from SQL text. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def registerAll(): Unit =
+    Tables.all.foreach { t =>
+      // events is TIMESTAMP(NANOS) parquet — needs the typed loader
+      val df = if (t == "events") Tables.events(spark, dir)
+        else Tables.load(spark, dir, t)
+      df.createOrReplaceTempView(t)
+    }
+
+  test("relational SQL over registered views: join + window + grouping sets") {
+    registerAll()
+    val joined = spark.sql(
+      """SELECT n.n_name, COUNT(*) AS n_cust
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n_cust DESC, n_name LIMIT 5""".stripMargin)
+    assert(joined.count() === 5)
+
+    val windowed = spark.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |FROM orders""".stripMargin)
+    assert(windowed.filter("rn = 1").count() > 0)
+
+    val gsets = spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), ())""".stripMargin)
+    assert(gsets.count() >= 2)
+  }
+
+  test("custom native functions callable from SQL text") {
+    registerAll()
+    FloatVecDot.register(spark)
+    HexHamming.register(spark)
+    val dots = spark.sql(
+      "SELECT vec_id, vec_dot(embedding, embedding) AS sq FROM embeddings LIMIT 5")
+    assert(dots.collect().forall(_.getDouble(1) >= 0.0))
+    val ham = spark.sql("SELECT hex_hamming('00', 'ff') AS h").head.getInt(0)
+    assert(ham === 8)
+  }
+}
