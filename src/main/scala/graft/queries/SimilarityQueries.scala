@@ -137,8 +137,12 @@ object SimilarityQueries extends graft.QueryPack {
               |WHERE rnk <= 5""".stripMargin)),
 
     // ---- SIM3: embedding near-dup (bucket candidates + exact rescore) ---
+    // 0.35 sits in the meaningful tail of the synthetic corpus (its max
+    // in-bucket cosine is ~0.47), so the rescore+filter path is actually
+    // exercised — a production dedup threshold like 0.9 returns the empty
+    // set here, which would make this an empty==empty check.
     Q("q_sim3_embedding_neardup",
-      (s, d) => Similarity.nearDupByCosine(Tables.embeddings(s, d), 4, 0.9),
+      (s, d) => Similarity.nearDupByCosine(Tables.embeddings(s, d), 4, 0.35),
       Some(s"""$duckEx,
               |$duckBuckets,
               |pairs AS (
@@ -157,6 +161,6 @@ object SimilarityQueries extends graft.QueryPack {
               |  FROM pd
               |  JOIN norms na ON na.vec_id = pd.a_id
               |  JOIN norms nb ON nb.vec_id = pd.b_id)
-              |WHERE score >= 0.9""".stripMargin))
+              |WHERE score >= 0.35""".stripMargin))
   )
 }
