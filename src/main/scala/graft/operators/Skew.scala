@@ -30,4 +30,24 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(p2.head, p2.tail: _*)
   }
+
+  /** Salted shuffle join for a hot-keyed fact table when the other side is
+    * too big to broadcast: the fact side picks a salt in [0, saltBuckets)
+    * (from its partition/offset — any distribution works, the salt never
+    * reaches the output), the dim side replicates once per salt, and the
+    * join key becomes (key, salt) — a single hot key now lands on
+    * `saltBuckets` reducers instead of one. Results are exactly the plain
+    * join's: every fact row still meets every dim row of its key. This is
+    * the manual fallback when AQE's skew-join splitting can't apply (e.g.
+    * the skewed side is the output of an aggregation AQE won't re-split).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltBuckets: Int): DataFrame = {
+    val saltedFact = fact.withColumn("graft_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets))
+        .cast("int"))
+    val replicatedDim = dim.withColumn("graft_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedFact.join(replicatedDim, Seq(key, "graft_salt")).drop("graft_salt")
+  }
 }

@@ -139,6 +139,45 @@ object ExtraQueries extends graft.QueryPack {
              | AND l.l_extendedprice <  o.o_totalprice + 1.0
              |GROUP BY 1""".stripMargin)),
 
+    // ---- J8: salted shuffle join (manual skew fallback) -----------------
+    // Identical results to the plain join — the salt only spreads each
+    // key over 8 reducers — so the oracle is the unsalted SQL join.
+    Q("q_j8_salted_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        graft.operators.Skew.saltedJoin(li, o, "l_orderkey", 8)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus""".stripMargin)),
+
+    // ---- J9: full-outer join (both-sided exclusives) --------------------
+    Q("q_j9_full_outer",
+      (s, d) => {
+        val cust = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey"), col("c_name"))
+        val oagg = Tables.orders(s, d).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        cust.join(oagg, cust("c_custkey") === oagg("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_name").isNotNull.as("has_cust"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      },
+      Some("""SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+             |  c.c_name IS NOT NULL AS has_cust,
+             |  COALESCE(o.n_orders, 0) AS n_orders
+             |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) c
+             |FULL OUTER JOIN (
+             |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+             |ON c.c_custkey = o.o_custkey""".stripMargin)),
+
     // ---- A5: exact interpolated percentiles -----------------------------
     Q("q_a5_percentile",
       (s, d) => Tables.orders(s, d)
