@@ -76,4 +76,36 @@ class PropertySpec extends AnyFunSuite {
       assert(out === ((v, Seq(v))))
     }
   }
+
+  test("binned range join == naive inequality join on random points/intervals") {
+    import graft.operators.RangeJoin
+    val caseGen = Gen.zip(
+      Gen.listOfN(30, Gen.choose(0.0, 1000.0)),
+      Gen.listOfN(10, Gen.zip(Gen.choose(0.0, 1000.0), Gen.choose(1.0, 120.0))))
+    forAll(caseGen, n = 8) { case (pts, ivs) =>
+      val p = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("pid", "v")
+      val iv = ivs.zipWithIndex.map { case ((lo, w), i) => (i.toLong, lo, lo + w) }
+        .toDF("iid", "lo", "hi")
+      val binned = RangeJoin.binnedPointInterval(p, "v", iv, "lo", "hi", 50.0)
+        .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+      val naive = p.join(iv, col("v") >= col("lo") && col("v") < col("hi"))
+        .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+      assert(binned === naive)
+    }
+  }
+
+  test("hash split: total, deterministic, and salt-sensitive") {
+    import graft.operators.Sampling
+    val ids = (1L to 200L).toDF("id")
+    val s1 = ids.select(col("id"), Sampling.splitLabel(col("id"), "s1", 80, 10).as("sp"))
+    val counts = s1.groupBy(col("sp")).count().as[(String, Long)].collect().toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts.values.sum === 200L) // total: every row labeled
+    // deterministic: same salt twice -> identical assignment
+    val s2 = ids.select(col("id"), Sampling.splitLabel(col("id"), "s1", 80, 10).as("sp"))
+    assert(s1.exceptAll(s2).isEmpty)
+    // salt-sensitive: a different salt moves at least one row
+    val s3 = ids.select(col("id"), Sampling.splitLabel(col("id"), "s2", 80, 10).as("sp"))
+    assert(s1.exceptAll(s3).count() > 0)
+  }
 }
