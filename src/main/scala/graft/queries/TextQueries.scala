@@ -133,6 +133,26 @@ object TextQueries extends graft.QueryPack {
              |  CAST('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10 AS in_10pct
              |FROM documents""".stripMargin)),
 
+    // ---- P9: array-function surface over token arrays -------------------
+    Q("q_p9_array_funcs",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_join(slice(array_sort(array_distinct(col("toks"))), 1, 3), ",")
+            .as("first3_sorted"),
+          array_contains(col("toks"), "the").as("has_the"),
+          element_at(col("toks"), 1).as("first_tok"),
+          element_at(col("toks"), -1).as("last_tok"),
+          size(array_remove(col("toks"), "the")).as("n_sans_the")),
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents)
+              |SELECT doc_id,
+              |  array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_sorted,
+              |  list_contains(toks, 'the') AS has_the,
+              |  toks[1] AS first_tok,
+              |  toks[-1] AS last_tok,
+              |  len(list_filter(toks, x -> x <> 'the')) AS n_sans_the
+              |FROM t""".stripMargin)),
+
     // ---- X4: document fingerprint (min-hash over shingle set) ----------
     Q("q_x4_fingerprint",
       // the length guard is on toks, BEFORE shingling: a filter on the
