@@ -125,8 +125,9 @@ object Dedup {
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
+    var checkpointed = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
+    var labels = checkpointed
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -141,9 +142,15 @@ object Dedup {
           (col("nbr_label") < col("label")).as("improved"))
         .localCheckpoint()
       changed = next.filter(col("improved")).count()
+      // next is materialized — the previous round's blocks are dead; free
+      // them now instead of waiting for driver GC (they otherwise pile up
+      // across rounds and runs and pressure the block store)
+      checkpointed.unpersist()
+      checkpointed = next
       labels = next.select(col("node"), col("label"))
       i += 1
     }
+    edges.unpersist()
     labels.withColumnRenamed("label", "component")
   }
 
