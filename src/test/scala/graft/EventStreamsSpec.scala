@@ -93,6 +93,32 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: restart resumes from the checkpoint, no re-processing") {
+    import java.nio.file.{Files, Paths}
+    val srcDir = Files.createTempDirectory("graft-ckpt-src")
+    val outDir = Files.createTempDirectory("graft-ckpt-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-ckpt-meta").toString
+    Files.copy(Paths.get(s"$dir/events.parquet"), srcDir.resolve("batch1.parquet"))
+    val perFile = spark.read.parquet(s"$dir/events.parquet").count()
+
+    def startQuery() = EventStreams.readEvents(spark, srcDir.toString)
+      .select(col("event_id"), col("event_type"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(outDir).count() === perFile)
+
+    // second file lands while the query is down; restart from checkpoint
+    Files.copy(Paths.get(s"$dir/events.parquet"), srcDir.resolve("batch2.parquet"))
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    // exactly one more file's worth: batch1 was NOT re-processed
+    assert(spark.read.parquet(outDir).count() === 2 * perFile)
+  }
+
   test("flatMapGroupsWithState keeps running per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

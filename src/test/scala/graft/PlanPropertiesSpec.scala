@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guards for the scale-critical physical-plan properties:
+  * these are the shapes that make the queries hold at 100 TB, and they
+  * must not silently degrade as queries evolve. (AQE hides codegen spans
+  * pre-execution, so assertions stick to join strategy, pushdown, and
+  * aggregation structure.)
+  */
+class PlanPropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("lookup join broadcasts the small side (no sort-merge, no shuffle of the big side)") {
+    val p = plan("q_j1_lookup_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("scan pruning: filters reach the parquet scan and columns are pruned") {
+    val p = plan("q_s1_scan_prune")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("ReadSchema"), p)
+    // the query projects a narrow set — the scan must not read all columns
+    assert(!p.contains("o_comment"), s"unpruned scan:\n$p")
+  }
+
+  test("flagship aggregation is two-phase (partial before the exchange)") {
+    val p = plan("q1_agg")
+    val firstAgg = p.indexOf("HashAggregate")
+    val firstEx = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstEx >= 0, p)
+    // partial aggregate appears below the exchange => printed after it
+    assert(p.indexOf("HashAggregate", firstEx) > firstEx,
+      s"no map-side partial aggregation:\n$p")
+  }
+
+  test("similarity scoring runs on the native kernel, not interpreted HOFs") {
+    val p = plan("q_sim1_cosine_topk").toLowerCase
+    assert(p.contains("vecdot") || p.contains("vec_dot"), p)
+    assert(!p.contains("aggregate(zip_with"), p)
+  }
+
+  test("IVF assignment is map-only: no join, no window, one scan") {
+    val p = plan("q_sim4_ivf_assign")
+    assert(!p.contains("Join"), s"ivf assign should not join:\n$p")
+    assert(!p.contains("Window"), s"ivf assign should not window:\n$p")
+  }
+
+  test("native as-of join clusters both sides by key") {
+    val p = plan("q_j6_asof_native")
+    assert(p.contains("AsOfJoin "), p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(p.contains("hashpartitioning(err_user"), p)
+  }
+
+  test("binned range join is an equi-join, never a nested loop") {
+    val p = plan("q_j7_binned_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a quadratic strategy:\n$p")
+  }
+}
