@@ -125,8 +125,11 @@ object Dedup {
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .localCheckpoint()
-    var checkpointed = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    // round 0 fused into initialization: every node starts at
+    // min(self, neighbors) — one aggregation instead of the first
+    // join+aggregate propagation round
+    var checkpointed = edges.groupBy(col("src").as("node"))
+      .agg(least(col("src"), min(col("dst"))).as("label")).localCheckpoint()
     var labels = checkpointed
     var changed = 1L
     var i = 0
