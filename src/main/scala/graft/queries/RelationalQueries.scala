@@ -359,6 +359,34 @@ object RelationalQueries extends graft.QueryPack {
     Q("q_hll_approx_distinct",
       (s, d) => Tables.orders(s, d).agg(
         approx_count_distinct(col("o_custkey")).as("approx_cust")),
-      None)
+      None),
+
+    // ---- A8: approximate quantiles (mergeable sketch; engine-specific
+    // values → rows-only driver check; the error bound vs the exact
+    // percentile is asserted in ScalaTest) ------------------------------
+    Q("q_a8_approx_quantile",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx")),
+      None),
+
+    // ---- X8: deterministic per-group sample (k smallest md5 per lang) ---
+    // Stratified sampling for training pipelines: k docs per stratum,
+    // chosen by hash order — reproducible, salt-rollable, oracle-exact.
+    Q("q_x8_group_sample",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(concat(lit("smp|"), col("doc_id").cast("string"))), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("lang"), col("rn"), col("doc_id"))
+      },
+      Some("""SELECT lang, rn, doc_id FROM (
+             |  SELECT lang, doc_id, row_number() OVER (
+             |    PARTITION BY lang
+             |    ORDER BY md5('smp|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 5""".stripMargin))
   )
 }

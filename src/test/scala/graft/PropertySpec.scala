@@ -94,6 +94,17 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("approx quantile lands within 5% of the exact percentile") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val rows = orders.groupBy(col("o_orderstatus")).agg(
+      expr("percentile(o_totalprice, 0.5)").as("exact"),
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx"))
+      .select(col("exact"), col("approx")).as[(Double, Double)].collect()
+    rows.foreach { case (e, a) =>
+      assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e")
+    }
+  }
+
   test("hash split: total, deterministic, and salt-sensitive") {
     import graft.operators.Sampling
     val ids = (1L to 200L).toDF("id")
