@@ -4,8 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder,
-  UnsafeProjection, UnsafeRow}
+  Ascending, Attribute, Descending, Expression, GenericInternalRow, JoinedRow,
+  SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.expressions.RowOrdering
@@ -37,7 +37,8 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -49,8 +50,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -59,6 +60,7 @@ case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     tolerance: Option[Long],
+    forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -75,13 +77,18 @@ case class AsOfJoinExec(
     ClusteredDistribution(leftKey :: Nil) ::
       ClusteredDistribution(rightKey :: Nil) :: Nil
 
+  // forward mode scans time DESCENDING: as the left frontier moves to
+  // smaller times, the eligible (rt >= lt) right set only grows — the
+  // same monotone two-pointer merge, mirrored
+  private def timeDir = if (forward) Descending else Ascending
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, timeDir)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, timeDir)))
 
   override def outputPartitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, timeDir))
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
@@ -97,6 +104,7 @@ case class AsOfJoinExec(
     val timeType = leftTime.dataType
     val outputAttrs = output
     val tol = tolerance
+    val fwd = forward
     // tolerance needs time DIFFERENCES, not just ordering — restrict it to
     // the long/int-backed time types (timestamp = micros, date = days)
     tol.foreach { _ =>
@@ -148,7 +156,10 @@ case class AsOfJoinExec(
             val c = keyOrd.compare(rKeyProj(r), lk)
             if (c < 0) {
               rBuf.next() // stale key: its carry-forward state is obsolete
-            } else if (c == 0 && timeOrd.compare(rTimeProj(r), lt) <= 0) {
+            } else if (c == 0 && {
+              val tc = timeOrd.compare(rTimeProj(r), lt)
+              if (fwd) tc >= 0 else tc <= 0 // eligible side of the frontier
+            }) {
               lastKey = rKeyProj(r).copy()
               lastRight = r.copy()
               if (tol.isDefined) lastTime = timeAsLong(rTimeProj(r))
@@ -158,7 +169,11 @@ case class AsOfJoinExec(
             }
           }
           val matched = lastRight != null && keyOrd.compare(lastKey, lk) == 0 &&
-            tol.forall(t => timeAsLong(lt) - lastTime <= t)
+            tol.forall { t =>
+              val gap = if (fwd) lastTime - timeAsLong(lt)
+                else timeAsLong(lt) - lastTime
+              gap <= t
+            }
           numOutputRows += 1
           if (matched) numMatchedRows += 1
           resultProj(joined(l, if (matched) lastRight else nullRight))
@@ -205,13 +220,17 @@ object AsOfJoin {
     * logical node. Column names may repeat across sides — output
     * attributes stay distinct by expression id.
     *
-    * `tolerance` bounds the lookback: a right row only matches when
-    * leftTime - rightTime <= tolerance, in the time column's own units
-    * (micros for timestamps, days for dates). None = unbounded. */
+    * `tolerance` bounds the lookback (or lookahead): a right row only
+    * matches when |leftTime - rightTime| <= tolerance on the matching
+    * side, in the time column's own units (micros for timestamps, days
+    * for dates). None = unbounded. `forward = true` flips the direction:
+    * the match is the NEAREST right row at-or-after the left time
+    * (pandas merge_asof direction='forward'). */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKeyCol: String, rightKeyCol: String,
       leftTimeCol: String, rightTimeCol: String,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     GraftSqlBridge.addStrategy(spark, AsOfJoinStrategy)
     val lPlan = left.queryExecution.analyzed
@@ -226,6 +245,7 @@ object AsOfJoin {
       "as-of time columns must share a type")
     GraftSqlBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
       resolve(lPlan, leftKeyCol), resolve(rPlan, rightKeyCol),
-      resolve(lPlan, leftTimeCol), resolve(rPlan, rightTimeCol), tolerance))
+      resolve(lPlan, leftTimeCol), resolve(rPlan, rightTimeCol),
+      tolerance, forward))
   }
 }

@@ -91,6 +91,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(tol === Map(1L -> Some("near"), 2L -> None))
   }
 
+  test("forward direction matches the nearest at-or-after right row") {
+    import spark.implicits._
+    val l = Seq((1L, "u", 100L), (2L, "u", 260L), (3L, "u", 999L),
+      (4L, "v", 5L)).toDF("id", "k", "t")
+    val r = Seq(("u", 100L, "at"), ("u", 250L, "mid"), ("u", 900L, "late"))
+      .toDF("rk", "rt", "tag")
+    val got = AsOfJoin.asofJoin(l, r, "k", "rk", "t", "rt", forward = true)
+      .select(col("id"), col("tag")).collect()
+      .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    assert(got === Map(
+      1L -> Some("at"),   // inclusive boundary
+      2L -> Some("late"), // 250 is in the past; nearest future is 900
+      3L -> None,         // nothing at-or-after 999
+      4L -> None))        // key with no right rows
+    // forward tolerance: id=2's gap to 900 is 640 — a 100-unit bound kills it
+    val tol = AsOfJoin.asofJoin(l, r, "k", "rk", "t", "rt", Some(100L), forward = true)
+      .select(col("id"), col("tag")).collect()
+      .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    assert(tol(1L) === Some("at") && tol(2L) === None)
+  }
+
   test("GraftExtensions wires strategy + functions without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(ext) // builders register cleanly
