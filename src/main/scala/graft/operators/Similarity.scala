@@ -87,6 +87,11 @@ object Similarity {
           x => x.getField("bit")), "").as("bucket"))
   }
 
+  /** Above this quantizer size the inlined-literal path stops making
+    * sense: the expression tree grows linearly with centroids (and with
+    * it codegen size), so the broadcast path takes over. */
+  val IvfInlineLimit = 256
+
   /** IVF-style coarse quantizer: assign every vector to its
     * max-cosine centroid (the first `numCentroids` corpus vectors serve
     * as deterministic centroids — swap in trained k-means centroids in a
@@ -94,17 +99,25 @@ object Similarity {
     * inverted lists this builds are the ANN scale path: queries score
     * only the vectors in their probed lists.
     *
-    * The quantizer is tiny and bounded (`numCentroids` vectors), so it is
-    * collected once and inlined as literals: assignment becomes a MAP-ONLY
-    * scan — argmax over `numCentroids` codegen'd dot products per row, no
-    * candidate-row explosion, no window shuffle. That is the shape that
-    * survives 100 TB: a narrow pass the optimizer can pipeline into the
-    * enclosing stage. Tie-break matches the oracle: highest rounded score,
-    * then lowest centroid_id (via lexicographic struct max on
-    * (score, -centroid_id)). */
+    * Two shuffle-free shapes, chosen by quantizer size (both produce
+    * identical results; tie-break = highest rounded score, then lowest
+    * centroid_id, via lexicographic struct max on (score, -centroid_id)):
+    * small quantizers inline as literals (pure map-side argmax); large
+    * ones broadcast + hash-agg argmax — no sort, no window either way. */
   def ivfAssign(emb: DataFrame, numCentroids: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    if (numCentroids <= IvfInlineLimit)
+      ivfAssignInline(emb, numCentroids, idCol, vecCol)
+    else ivfAssignBroadcast(emb, numCentroids, idCol, vecCol)
+  }
+
+  /** Small-quantizer path: centroids inlined as literals — pure map-side
+    * argmax, zero shuffle. */
+  private[graft] def ivfAssignInline(emb: DataFrame, numCentroids: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val sp = emb.sparkSession
+    val withN = emb.select(col(idCol).as("vec_id"), col(vecCol),
+      nativeNorm(sp, col(vecCol)).as("vn"))
     val idType = emb.schema(idCol).dataType
     val cents = emb.filter(col(idCol) < numCentroids)
       .select(col(idCol).cast("long"), col(vecCol))
@@ -117,8 +130,6 @@ object Similarity {
       while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
       math.sqrt(acc)
     }
-    val withN = emb.select(col(idCol).as("vec_id"), col(vecCol),
-      nativeNorm(sp, col(vecCol)).as("vn"))
     val candidates = cents.map { case (cid, cv) =>
       val score = round(
         nativeDot(sp, col(vecCol), typedLit(cv.toSeq)) / (col("vn") * lit(seqNorm(cv))), 6)
@@ -127,6 +138,36 @@ object Similarity {
     val best = greatest(candidates: _*)
     withN.select(col("vec_id"), best.getField("cid").as("centroid_id"),
       best.getField("score").as("score"))
+  }
+
+  /** Production-size quantizer path (IVF uses ~sqrt(n) centroids):
+    * broadcast the centroid table, score per (vector, centroid), and take
+    * the argmax with a HASH aggregation on a lexicographic struct max —
+    * still no sort, no window, one shuffle of (id, best-struct) pairs. */
+  private[graft] def ivfAssignBroadcast(emb: DataFrame, numCentroids: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val sp = emb.sparkSession
+    val withN = emb.select(col(idCol).as("vec_id"), col(vecCol),
+      nativeNorm(sp, col(vecCol)).as("vn"))
+    val cents = broadcast(emb.filter(col(idCol) < numCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"),
+        nativeNorm(sp, col(vecCol)).as("cn")))
+    // a genuine HASH argmax needs primitive aggregation buffers (struct
+    // buffers fall back to SortAggregate), so the (score desc, cid asc)
+    // order packs into ONE long: the 6-dp-rounded score scaled to an
+    // integer (exact, |score*1e6| <= 1e6) shifted past the id space —
+    // centroid ids are < numCentroids by construction, far below 2^32
+    val ord = (col("score") * 1e6).cast("long") * lit(4294967296L) -
+      col("centroid_id").cast("long")
+    withN.crossJoin(cents)
+      .select(col("vec_id"),
+        round(nativeDot(sp, col(vecCol), col("cv")) / (col("vn") * col("cn")), 6)
+          .as("score"),
+        col("centroid_id"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"), ord).as("centroid_id"),
+        max(col("score")).as("score"))
+      .select(col("vec_id"), col("centroid_id"), col("score"))
   }
 
   /** IVF top-k search: queries probe the `nProbe` nearest inverted lists
