@@ -356,6 +356,33 @@ object RelationalQueries extends graft.QueryPack {
              |FROM filled f LEFT JOIN first_order o ON f.c_custkey = o.o_custkey""".stripMargin)),
 
     // ---- HLL: approximate distinct (engine-specific values → no oracle) --
+    // ---- W2: ranking-function surface (ntile/percent_rank/cume_dist/
+    // dense_rank/nth_value + a RANGE frame) -----------------------------
+    Q("q_w2_rank_funcs",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          dense_rank().over(w).as("drank"),
+          nth_value(col("o_orderkey"), 2).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("second_key"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  ntile(4) OVER w AS quartile,
+             |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+             |  ROUND(cume_dist() OVER w, 6) AS cume,
+             |  dense_rank() OVER w AS drank,
+             |  nth_value(o_orderkey, 2) OVER (
+             |    PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin)),
+
     Q("q_hll_approx_distinct",
       (s, d) => Tables.orders(s, d).agg(
         approx_count_distinct(col("o_custkey")).as("approx_cust")),

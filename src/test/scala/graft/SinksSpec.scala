@@ -28,6 +28,17 @@ class SinksSpec extends AnyFunSuite {
       orders.filter(col("order_day") === day).count())
   }
 
+  test("JSON lines round-trip: explicit-schema read returns the written rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    orders.write.mode("overwrite").json(dir)
+    // schema is explicit — JSON inference can flip types on sparse data
+    val back = spark.read.schema(orders.schema).json(dir)
+    assert(back.count() === orders.count())
+    assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
