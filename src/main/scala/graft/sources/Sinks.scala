@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Sink helpers mirroring the reference's run-scoped output layout (K3)
   * at warehouse scale: date-partitioned parquet directories instead of
@@ -26,4 +27,16 @@ object Sinks {
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+
+  /** Globally sorted layout: range-partition by the sort key, sort within
+    * partitions, write one file per range. Parquet stores per-column
+    * min/max on every row group, so a reader filtering on the sort key
+    * skips whole files/row-groups (zone-map pruning) — the layout for
+    * "most queries filter on time/id" tables at 100 TB, without the
+    * metastore dependency bucketing needs. */
+  def sortedParquet(df: DataFrame, path: String, numFiles: Int,
+      sortCols: String*): Unit =
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
 }

@@ -39,6 +39,28 @@ class SinksSpec extends AnyFunSuite {
     assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
   }
 
+  test("sorted layout: disjoint key ranges per file (zone-map-prunable)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sorted").toString
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    graft.sources.Sinks.sortedParquet(orders, s"$dir/o", 4, "o_orderkey")
+    // per-file key ranges must not overlap — that disjointness is what
+    // lets parquet min/max stats skip whole files on a key filter
+    val files = new java.io.File(s"$dir/o").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length >= 2, s"expected multiple range files, got ${files.length}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $hi >= $lo2")
+      case _ =>
+    }
+    // and the full table still round-trips
+    assert(spark.read.parquet(s"$dir/o").count() === orders.count())
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
