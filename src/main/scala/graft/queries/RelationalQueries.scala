@@ -356,6 +356,35 @@ object RelationalQueries extends graft.QueryPack {
              |FROM filled f LEFT JOIN first_order o ON f.c_custkey = o.o_custkey""".stripMargin)),
 
     // ---- HLL: approximate distinct (engine-specific values → no oracle) --
+    // ---- Q1: correlated subqueries through the SQL entry point ----------
+    // EXISTS / NOT EXISTS / correlated scalar — Catalyst decorrelates all
+    // three into joins (semi, anti, left+agg); no per-row re-execution.
+    Q("q_q1_subqueries",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_v")
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT c_custkey,
+                |  EXISTS (SELECT 1 FROM orders_v o
+                |          WHERE o.o_custkey = c.c_custkey
+                |            AND o.o_totalprice > 300000.0) AS has_big_order,
+                |  (SELECT COUNT(*) FROM orders_v o
+                |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+                |FROM customer_v c
+                |WHERE NOT EXISTS (SELECT 1 FROM orders_v o
+                |                  WHERE o.o_custkey = c.c_custkey
+                |                    AND o.o_orderstatus = 'P')""".stripMargin)
+      },
+      Some("""SELECT c_custkey,
+             |  EXISTS (SELECT 1 FROM orders o
+             |          WHERE o.o_custkey = c.c_custkey
+             |            AND o.o_totalprice > 300000.0) AS has_big_order,
+             |  (SELECT COUNT(*) FROM orders o
+             |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+             |FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_orderstatus = 'P')""".stripMargin)),
+
     // ---- W2: ranking-function surface (ntile/percent_rank/cume_dist/
     // dense_rank/nth_value + a RANGE frame) -----------------------------
     Q("q_w2_rank_funcs",
