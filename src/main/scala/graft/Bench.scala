@@ -51,10 +51,21 @@ object Bench {
       val (a, b) = (r1(n), r2(n))
       n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision keeps the line SHORT (a full-precision double
+    // per query once pushed the line past the driver's log-tail capture,
+    // truncating the {"metric":"total" head — BENCH_r02.json lost it)
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
+    // belt and braces: persist the full line where a log-tail capture
+    // can't hurt it, then print it as the very last stdout of the run
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] local write failed: $e") }
     spark.stop()
+    println(line)
   }
 }

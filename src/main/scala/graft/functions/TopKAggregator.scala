@@ -34,4 +34,29 @@ object TopKAggregator {
   }
 
   def topK[IN](k: Int)(f: IN => Scored): TopK[IN] = new TopK(k, f)
+
+  /** String-keyed variant for hash-ordered sampling: keeps the k SMALLEST
+    * (key, id) pairs per group — the md5-sample shape (`ORDER BY md5(..)
+    * LIMIT k` per stratum) with the same bounded buffer guarantee. */
+  final case class Keyed(key: String, id: Long)
+
+  private val kord: Ordering[Keyed] =
+    Ordering.by((s: Keyed) => (s.key, s.id))
+
+  final class MinK[IN](k: Int, f: IN => Keyed)
+      extends Aggregator[IN, Seq[Keyed], Seq[Keyed]] {
+    override def zero: Seq[Keyed] = Seq.empty
+    override def reduce(b: Seq[Keyed], in: IN): Seq[Keyed] = {
+      val a = f(in)
+      if (b.sizeIs >= k && kord.gteq(a, b.last)) b   // can't displace anything
+      else (b :+ a).sorted(kord).take(k)
+    }
+    override def merge(x: Seq[Keyed], y: Seq[Keyed]): Seq[Keyed] =
+      (x ++ y).sorted(kord).take(k)
+    override def finish(r: Seq[Keyed]): Seq[Keyed] = r
+    override def bufferEncoder: Encoder[Seq[Keyed]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Keyed]] = ExpressionEncoder()
+  }
+
+  def minK[IN](k: Int)(f: IN => Keyed): MinK[IN] = new MinK(k, f)
 }

@@ -154,6 +154,13 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // fail fast rather than return partially-propagated labels: a graph
+    // whose diameter exceeds maxIter would otherwise silently yield wrong
+    // components (near-dup clusters are shallow, so hitting this means the
+    // input is not the expected cluster shape — raise maxIter explicitly)
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still improving) — raise maxIter")
     labels.withColumnRenamed("label", "component")
   }
 

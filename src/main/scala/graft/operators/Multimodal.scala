@@ -59,11 +59,22 @@ object Multimodal {
   }
 
   /** STUB resize — a real deployment wraps an image library here; this
-    * one truncates the payload to `w*h` bytes (deterministic, so the
-    * oracle can express it as substr) and stamps the new dimensions. */
+    * one truncates the payload to `w*h` CHARACTERS (the payloads staged by
+    * [[fromDocuments]] are UTF-8 text, and the oracle expresses the
+    * truncation as `substr(text, 1, w*h)`, which counts characters — a
+    * byte-based `take` would diverge on any multibyte character) and
+    * stamps the new dimensions. A real resize operates on decoded pixels,
+    * where the byte/char distinction doesn't exist. */
   final case class TruncatingFakeResize(w: Int, h: Int) extends MediaTransform {
-    override def apply(bytes: Array[Byte], meta: MediaMeta): (Array[Byte], MediaMeta) =
-      (bytes.take(w * h), MediaMeta(meta.mime, w, h))
+    override def apply(bytes: Array[Byte], meta: MediaMeta): (Array[Byte], MediaMeta) = {
+      // codepoint-counted, not String.take (UTF-16 code units), so
+      // astral-plane characters count as one — matching SQL substr
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(w * h, s.codePointCount(0, s.length))
+      val truncated = s.substring(0, s.offsetByCodePoints(0, n))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (truncated, MediaMeta(meta.mime, w, h))
+    }
   }
 
   /** Batch payload transform inside one mapPartitions pass — the resize /

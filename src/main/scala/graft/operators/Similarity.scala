@@ -156,8 +156,12 @@ object Similarity {
     // buffers fall back to SortAggregate), so the (score desc, cid asc)
     // order packs into ONE long: the 6-dp-rounded score scaled to an
     // integer (exact, |score*1e6| <= 1e6) shifted past the id space —
-    // centroid ids are < numCentroids by construction, far below 2^32
-    val ord = (col("score") * 1e6).cast("long") * lit(4294967296L) -
+    // centroid ids are < numCentroids by construction, far below 2^32.
+    // round(), not a bare cast: casting TRUNCATES, and round(x,6)*1e6 can
+    // land just below the integer (0.29*1e6 = 289999.999…), which would
+    // collapse scores 1e-6 apart into one packed value and let the
+    // -centroid_id tie-break fire on scores that are truly unequal
+    val ord = round(col("score") * 1e6).cast("long") * lit(4294967296L) -
       col("centroid_id").cast("long")
     withN.crossJoin(cents)
       .select(col("vec_id"),

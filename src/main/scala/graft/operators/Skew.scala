@@ -20,8 +20,7 @@ object Skew {
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], saltBuckets: Int,
       aggs: Seq[(String, Column => Column, Column => Column)]): DataFrame = {
-    val salted = df.withColumn("graft_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val salted = df.withColumn("graft_salt", contentSalt(df, saltBuckets))
     val p1 = aggs.map { case (c, f, _) => f(col(c)).as(c) }
     val p2 = aggs.map { case (c, _, g) => g(col(c)).as(c) }
     salted
@@ -43,11 +42,21 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltBuckets: Int): DataFrame = {
-    val saltedFact = fact.withColumn("graft_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets))
-        .cast("int"))
+    val saltedFact = fact.withColumn("graft_salt", contentSalt(fact, saltBuckets))
     val replicatedDim = dim.withColumn("graft_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedFact.join(replicatedDim, Seq(key, "graft_salt")).drop("graft_salt")
   }
+
+  /** Salt derived from row CONTENT, never from physical placement:
+    * `spark_partition_id()`/`monotonically_increasing_id()` change when a
+    * lost map task recomputes with a different row order — exactly the
+    * SPARK-23207 class of duplicated/lost rows on stage retry, and the
+    * salted inputs here are typically aggregation outputs where retry
+    * reordering is real. Content hashing is retry-stable; the one caveat
+    * (fully identical rows share a salt) only matters when a hot key's
+    * rows are literal duplicates across every column, in which case a
+    * prior dedup/aggregate is the actual fix. */
+  private def contentSalt(df: DataFrame, saltBuckets: Int): Column =
+    pmod(hash(df.columns.map(col).toSeq: _*), lit(saltBuckets)).cast("int")
 }

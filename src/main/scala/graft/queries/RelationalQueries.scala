@@ -429,14 +429,27 @@ object RelationalQueries extends graft.QueryPack {
     // ---- X8: deterministic per-group sample (k smallest md5 per lang) ---
     // Stratified sampling for training pipelines: k docs per stratum,
     // chosen by hash order — reproducible, salt-rollable, oracle-exact.
+    // Bounded-buffer aggregation, not a window: the partial-aggregate
+    // buffer holds ≤k pairs per group per partition, so the shuffle
+    // carries ≤k rows per (group × partition) instead of the whole
+    // stratum, and no per-partition sort of every row ever happens —
+    // the shape that survives strata of billions of docs.
     Q("q_x8_group_sample",
       (s, d) => {
-        val w = Window.partitionBy(col("lang"))
-          .orderBy(md5(concat(lit("smp|"), col("doc_id").cast("string"))), col("doc_id"))
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-          .select(col("lang"), col("rn"), col("doc_id"))
+        import s.implicits._
+        import graft.functions.TopKAggregator
+        val ds = Tables.documents(s, d)
+          .select(col("lang"),
+            md5(concat(lit("smp|"), col("doc_id").cast("string"))).as("hk"),
+            col("doc_id"))
+          .as[(String, String, Long)]
+        ds.groupByKey(_._1)
+          .agg(TopKAggregator.minK[(String, String, Long)](5)(
+            t => TopKAggregator.Keyed(t._2, t._3)).toColumn)
+          .flatMap { case (lang, rows) =>
+            rows.zipWithIndex.map { case (r, i) => (lang, i + 1, r.id) }
+          }
+          .toDF("lang", "rn", "doc_id")
       },
       Some("""SELECT lang, rn, doc_id FROM (
              |  SELECT lang, doc_id, row_number() OVER (

@@ -58,6 +58,23 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(err_user"), p)
   }
 
+  test("spread passes an already-parallel input through with no extra Exchange") {
+    val target = spark.sparkContext.defaultParallelism
+    val wide = spark.range(0, 1000, 1, target).toDF("id")
+    // reference equality: the guard must not even touch the plan
+    assert(graft.operators.Par.spread(wide) eq wide)
+    val narrow = spark.range(0, 1000, 1, 1).toDF("id")
+    val spreadNarrow = graft.operators.Par.spread(narrow)
+    assert(spreadNarrow.rdd.getNumPartitions === target)
+  }
+
+  test("per-group sample aggregates with a bounded buffer — no window sort of every row") {
+    val p = plan("q_x8_group_sample")
+    assert(!p.contains("Window"), s"q_x8 regressed to a window sort:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"),
+      s"q_x8 should hash-aggregate:\n$p")
+  }
+
   test("binned range join is an equi-join, never a nested loop") {
     val p = plan("q_j7_binned_range")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
