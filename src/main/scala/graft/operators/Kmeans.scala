@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DataFrame-only Lloyd's k-means, used to train the IVF coarse quantizer
+  * ([[Similarity.ivfAssign]] / [[Similarity.ivfTopKWith]]) instead of the
+  * arbitrary first-N centroids.
+  *
+  * Every step is a declarative DataFrame op, so Catalyst/Tungsten handle
+  * the physical plan; nothing here is driver-side math:
+  *
+  *   - '''assignment''' — broadcast the (tiny) centroid table and take the
+  *     per-vector argmax cosine via [[Similarity.assignToCentroids]]: a
+  *     map-only scoring pass plus one hash aggregation, no sort, no window.
+  *   - '''update''' — `posexplode` each assigned vector to (dim, value)
+  *     rows and hash-aggregate per (centroid, dim). Partial aggregation
+  *     (map-side combine) collapses every map task's output to at most
+  *     k·d rows before the shuffle, so the exchanged volume is O(k·d) per
+  *     task — independent of corpus size. This is the shape that survives
+  *     100 TB; an `Aggregator` over whole arrays would be interpreted and
+  *     shuffle full vectors.
+  *   - each round ends in an eager `localCheckpoint` of the k-row centroid
+  *     frame: plans stay O(1) per iteration instead of growing a lineage
+  *     chain, and downstream reuse (assign + probe + search share the
+  *     trained table) does not re-run training.
+  *
+  * Deterministic, engine-replayable contract (the DuckDB oracle replays
+  * the exact same fixed iterations — see SimilarityQueries.duckKmeans):
+  *
+  *   - init: the first `k` vectors by id, unchanged float values;
+  *   - assignment ties break by (rounded score desc, centroid id asc),
+  *     scores rounded to 6 dp like every similarity kernel in this repo;
+  *   - update: per-dimension arithmetic mean rounded to 6 dp then cast to
+  *     float — double→float is IEEE round-to-nearest-even in both engines,
+  *     and the rounding absorbs summation-order noise (≤1e-13) so both
+  *     engines materialize bit-identical centroids;
+  *   - a cluster that loses all members keeps its previous centroid.
+  */
+object Kmeans {
+
+  /** Train `k` centroids with `iters` Lloyd iterations.
+    * Returns `(centroid_id: long, cv: array<float>)`, localCheckpointed —
+    * safe to reuse across assign/search stages without re-running. */
+  def train(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2, s"need k >= 2 centroids, got $k")
+    require(iters >= 1, s"need >= 1 Lloyd iteration, got $iters")
+    var cents = emb.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("centroid_id"),
+        col(vecCol).cast("array<float>").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = Similarity.assignToCentroids(emb, cents, idCol, vecCol)
+        .select(col("vec_id"), col("centroid_id"))
+      val means = assigned
+        .join(emb.select(col(idCol).as("vec_id"), col(vecCol).as("v")), Seq("vec_id"))
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("centroid_id"), col("i"))
+        .agg(round(avg(col("x").cast("double")), 6).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m").cast("float")).as("cv_new"))
+      cents = cents.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("cv_new"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+}

@@ -145,22 +145,38 @@ object Similarity {
     * the argmax with a HASH aggregation on a lexicographic struct max —
     * still no sort, no window, one shuffle of (id, best-struct) pairs. */
   private[graft] def ivfAssignBroadcast(emb: DataFrame, numCentroids: Int,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String): DataFrame =
+    assignToCentroids(emb, firstNCentroids(emb, numCentroids, idCol, vecCol),
+      idCol, vecCol)
+
+  /** The untrained quantizer: the first `n` corpus vectors as-is. */
+  private[graft] def firstNCentroids(emb: DataFrame, n: Int,
+      idCol: String, vecCol: String): DataFrame =
+    emb.filter(col(idCol) < n)
+      .select(col(idCol).cast("long").as("centroid_id"),
+        col(vecCol).cast("array<float>").as("cv"))
+
+  /** Assign every vector to its max-cosine centroid from an explicit
+    * centroid table `(centroid_id: long, cv: array<float>)` — e.g. one
+    * trained by [[Kmeans.train]]. Broadcast + map-side scoring + one hash
+    * aggregation; no sort, no window.
+    *
+    * A genuine HASH argmax needs primitive aggregation buffers (struct
+    * buffers fall back to SortAggregate), so the (score desc, cid asc)
+    * order packs into ONE long: the 6-dp-rounded score scaled to an
+    * integer (exact, |score*1e6| <= 1e6) shifted past the id space —
+    * centroid ids are small by construction, far below 2^32.
+    * round(), not a bare cast: casting TRUNCATES, and round(x,6)*1e6 can
+    * land just below the integer (0.29*1e6 = 289999.999…), which would
+    * collapse scores 1e-6 apart into one packed value and let the
+    * -centroid_id tie-break fire on scores that are truly unequal. */
+  def assignToCentroids(emb: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val sp = emb.sparkSession
     val withN = emb.select(col(idCol).as("vec_id"), col(vecCol),
       nativeNorm(sp, col(vecCol)).as("vn"))
-    val cents = broadcast(emb.filter(col(idCol) < numCentroids)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"),
-        nativeNorm(sp, col(vecCol)).as("cn")))
-    // a genuine HASH argmax needs primitive aggregation buffers (struct
-    // buffers fall back to SortAggregate), so the (score desc, cid asc)
-    // order packs into ONE long: the 6-dp-rounded score scaled to an
-    // integer (exact, |score*1e6| <= 1e6) shifted past the id space —
-    // centroid ids are < numCentroids by construction, far below 2^32.
-    // round(), not a bare cast: casting TRUNCATES, and round(x,6)*1e6 can
-    // land just below the integer (0.29*1e6 = 289999.999…), which would
-    // collapse scores 1e-6 apart into one packed value and let the
-    // -centroid_id tie-break fire on scores that are truly unequal
+    val cents = broadcast(centroids.select(col("centroid_id"), col("cv"),
+      nativeNorm(sp, col("cv")).as("cn")))
     val ord = round(col("score") * 1e6).cast("long") * lit(4294967296L) -
       col("centroid_id").cast("long")
     withN.crossJoin(cents)
@@ -179,13 +195,30 @@ object Similarity {
     * keyed equi-join on centroid_id, never a full scan per query. */
   def ivfTopK(emb: DataFrame, queryPred: Column, numCentroids: Int,
       nProbe: Int, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKCore(emb,
+      ivfAssign(emb, numCentroids, idCol, vecCol),
+      firstNCentroids(emb, numCentroids, idCol, vecCol),
+      queryPred, nProbe, k, idCol, vecCol)
+
+  /** IVF top-k against an explicit (e.g. [[Kmeans.train]]ed) centroid
+    * table `(centroid_id: long, cv: array<float>)`. Same probed-list
+    * search as [[ivfTopK]]; recall improves with centroid quality. */
+  def ivfTopKWith(emb: DataFrame, centroids: DataFrame, queryPred: Column,
+      nProbe: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKCore(emb,
+      assignToCentroids(emb, centroids, idCol, vecCol),
+      centroids, queryPred, nProbe, k, idCol, vecCol)
+
+  private def ivfTopKCore(emb: DataFrame, assignment: DataFrame,
+      centroids: DataFrame, queryPred: Column, nProbe: Int, k: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val sp = emb.sparkSession
-    val assign = ivfAssign(emb, numCentroids, idCol, vecCol)
+    val assign = assignment
       .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
-    val cents = emb.filter(col(idCol) < numCentroids)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"),
-        nativeNorm(sp, col(vecCol)).as("cn"))
+    val cents = centroids.select(col("centroid_id"), col("cv"),
+      nativeNorm(sp, col("cv")).as("cn"))
     // probe lists per query: nProbe best centroids
     val q = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),

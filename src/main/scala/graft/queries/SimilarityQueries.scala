@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Q
-import graft.operators.Similarity
+import graft.operators.{Kmeans, Similarity}
 import graft.sources.Tables
 
 /** Similarity-search extension surface over `embeddings`. The DuckDB
@@ -33,6 +33,53 @@ object SimilarityQueries extends graft.QueryPack {
       |  SELECT vec_id,
       |         string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane_id) AS bucket
       |  FROM pdots GROUP BY vec_id)""".stripMargin
+
+  /** One Lloyd iteration in DuckDB, mirroring [[Kmeans.train]] exactly:
+    * assign (argmax of 6-dp cosine, ties to lowest centroid id) then
+    * update (per-dim mean rounded to 6 dp, cast through FLOAT — the same
+    * IEEE narrowing Spark's float storage applies), empty clusters keep
+    * the previous centroid. `c{n}`/`kn{n}` = centroids/norms after n
+    * iterations, `s{n}` = scores of every vector against `c{n-1}`. */
+  private def kmIter(n: Int): String = {
+    val prev = s"c${n - 1}"
+    s"""kn${n - 1} AS (SELECT centroid_id, sqrt(SUM(cv * cv)) AS nrm
+       |  FROM $prev GROUP BY 1),
+       |s$n AS (
+       |  SELECT d.vec_id, d.centroid_id,
+       |         ROUND(d.dot / (nv.nrm * nc.nrm), 6) AS score
+       |  FROM (SELECT e.vec_id, c.centroid_id,
+       |               SUM(CAST(e.v AS DOUBLE) * c.cv) AS dot
+       |        FROM ex e JOIN $prev c ON e.i = c.i GROUP BY 1, 2) d
+       |  JOIN norms nv ON nv.vec_id = d.vec_id
+       |  JOIN kn${n - 1} nc ON nc.centroid_id = d.centroid_id),
+       |a$n AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT vec_id, centroid_id, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+       |  FROM s$n) WHERE rn = 1),
+       |m$n AS (SELECT a.centroid_id, e.i,
+       |    CAST(CAST(ROUND(AVG(CAST(e.v AS DOUBLE)), 6) AS FLOAT) AS DOUBLE) AS cv
+       |  FROM a$n a JOIN ex e ON e.vec_id = a.vec_id GROUP BY 1, 2),
+       |c$n AS (SELECT c.centroid_id, c.i, COALESCE(m.cv, c.cv) AS cv
+       |  FROM $prev c LEFT JOIN m$n m
+       |    ON m.centroid_id = c.centroid_id AND m.i = c.i)""".stripMargin
+  }
+
+  /** k=8, 2 Lloyd iterations; `c2` = trained centroids, `s3` = every
+    * vector scored against them (the trained-quantizer assignment input). */
+  private val duckKmeans = Seq(
+    "c0 AS (SELECT vec_id AS centroid_id, CAST(v AS DOUBLE) AS cv, i FROM ex WHERE vec_id < 8)",
+    kmIter(1),
+    kmIter(2),
+    """kn2 AS (SELECT centroid_id, sqrt(SUM(cv * cv)) AS nrm FROM c2 GROUP BY 1),
+      |s3 AS (
+      |  SELECT d.vec_id, d.centroid_id,
+      |         ROUND(d.dot / (nv.nrm * nc.nrm), 6) AS score
+      |  FROM (SELECT e.vec_id, c.centroid_id,
+      |               SUM(CAST(e.v AS DOUBLE) * c.cv) AS dot
+      |        FROM ex e JOIN c2 c ON e.i = c.i GROUP BY 1, 2) d
+      |  JOIN norms nv ON nv.vec_id = d.vec_id
+      |  JOIN kn2 nc ON nc.centroid_id = d.centroid_id)""".stripMargin
+  ).mkString(",\n")
 
   override def queries: Seq[Q] = Seq(
 
@@ -66,53 +113,52 @@ object SimilarityQueries extends graft.QueryPack {
               |$duckBuckets
               |SELECT vec_id, bucket FROM bkt""".stripMargin)),
 
-    // ---- SIM4: IVF coarse-quantizer assignment (inverted lists) ---------
-    Q("q_sim4_ivf_assign",
-      (s, d) => Similarity.ivfAssign(Tables.embeddings(s, d), 8),
+    // ---- SIM6: k-means quantizer training (Lloyd's, DataFrame-only) -----
+    // The oracle replays the same 2 fixed iterations as recursive CTE-free
+    // SQL; hash-matching here proves both engines materialize bit-identical
+    // trained centroids.
+    Q("q_sim6_kmeans",
+      (s, d) => Kmeans.train(Tables.embeddings(s, d), 8, 2)
+        .select(col("centroid_id"), posexplode(col("cv")).as(Seq("p", "x")))
+        .select(col("centroid_id"), (col("p") + 1).cast("long").as("dim"),
+          col("x").cast("double").as("cval")),
       Some(s"""$duckEx,
-              |cents AS (SELECT vec_id AS centroid_id, v AS cv, i FROM ex WHERE vec_id < 8),
-              |cdots AS (
-              |  SELECT e.vec_id, c.centroid_id,
-              |         SUM(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE)) AS dot
-              |  FROM ex e JOIN cents c ON e.i = c.i GROUP BY 1, 2),
-              |scored AS (
-              |  SELECT d.vec_id, d.centroid_id,
-              |         ROUND(d.dot / (nv.nrm * nc.nrm), 6) AS score
-              |  FROM cdots d
-              |  JOIN norms nv ON nv.vec_id = d.vec_id
-              |  JOIN norms nc ON nc.vec_id = d.centroid_id)
+              |$duckKmeans
+              |SELECT centroid_id, i AS dim, cv AS cval FROM c2""".stripMargin)),
+
+    // ---- SIM4: IVF coarse-quantizer assignment on TRAINED centroids -----
+    Q("q_sim4_ivf_assign",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.assignToCentroids(e, Kmeans.train(e, 8, 2))
+      },
+      Some(s"""$duckEx,
+              |$duckKmeans
               |SELECT vec_id, centroid_id, score FROM (
               |  SELECT *, row_number() OVER (
               |    PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-              |  FROM scored)
+              |  FROM s3)
               |WHERE rn = 1""".stripMargin)),
 
-    // ---- SIM5: IVF probed-list top-k search -----------------------------
+    // ---- SIM5: IVF probed-list top-k search on TRAINED centroids --------
     Q("q_sim5_ivf_topk",
-      (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d),
-        col("vec_id") < 5, numCentroids = 8, nProbe = 2, k = 5),
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.ivfTopKWith(e, Kmeans.train(e, 8, 2),
+          col("vec_id") < 5, nProbe = 2, k = 5)
+      },
       Some(s"""$duckEx,
-              |cents AS (SELECT vec_id AS centroid_id, v AS cv, i FROM ex WHERE vec_id < 8),
-              |cdots AS (
-              |  SELECT e.vec_id, c.centroid_id,
-              |         SUM(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE)) AS dot
-              |  FROM ex e JOIN cents c ON e.i = c.i GROUP BY 1, 2),
-              |cscored AS (
-              |  SELECT d.vec_id, d.centroid_id,
-              |         ROUND(d.dot / (nv.nrm * nc.nrm), 6) AS score
-              |  FROM cdots d
-              |  JOIN norms nv ON nv.vec_id = d.vec_id
-              |  JOIN norms nc ON nc.vec_id = d.centroid_id),
+              |$duckKmeans,
               |assign AS (
               |  SELECT vec_id AS neighbor_id, centroid_id FROM (
               |    SELECT *, row_number() OVER (
               |      PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-              |    FROM cscored) WHERE rn = 1),
+              |    FROM s3) WHERE rn = 1),
               |probes AS (
               |  SELECT vec_id AS query_id, centroid_id FROM (
               |    SELECT *, row_number() OVER (
               |      PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-              |    FROM cscored WHERE vec_id < 5) WHERE rn <= 2),
+              |    FROM s3 WHERE vec_id < 5) WHERE rn <= 2),
               |cand AS (
               |  SELECT p.query_id, a.neighbor_id
               |  FROM probes p JOIN assign a USING (centroid_id)

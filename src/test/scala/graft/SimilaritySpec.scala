@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Similarity
+import graft.operators.{Kmeans, Similarity}
 
 class SimilaritySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -37,5 +37,46 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.2, s"recall $recall implausibly low") // probing 2/8 lists
+  }
+
+  test("kmeans: trained quantizer beats first-N centroids on assignment quality and recall") {
+    val trained = Kmeans.train(emb, 8, 2)
+    val untrainedScore = Similarity
+      .assignToCentroids(emb, Similarity.firstNCentroids(emb, 8, "vec_id", "embedding"))
+      .agg(avg("score")).head.getDouble(0)
+    val trainedScore = Similarity.assignToCentroids(emb, trained)
+      .agg(avg("score")).head.getDouble(0)
+    assert(trainedScore > untrainedScore,
+      s"Lloyd iterations should tighten clusters: trained avg cosine " +
+        s"$trainedScore vs untrained $untrainedScore")
+
+    // recall over 50 queries × top-10 = 500 ground-truth pairs — at the
+    // 25-pair scale of q_sim5 a single boundary neighbor flips recall by
+    // 4%, which drowns the quantizer-quality signal. Measured here
+    // (deterministic, no RNG anywhere): trained 0.556 vs untrained 0.518
+    // at the q_sim5 configuration (k=8, nProbe=2, iters=2); the gap only
+    // widens with more iterations (0.572 at iters=5).
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 50, 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) =
+      (exact intersect df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet).size.toDouble / exact.size
+    val untrainedRecall = recallOf(Similarity.ivfTopKWith(emb,
+      Similarity.firstNCentroids(emb, 8, "vec_id", "embedding"),
+      col("vec_id") < 50, nProbe = 2, k = 10))
+    val trainedRecall = recallOf(Similarity.ivfTopKWith(emb, trained,
+      col("vec_id") < 50, nProbe = 2, k = 10))
+    info(s"recall@10 over 50 queries, nProbe=2: " +
+      s"trained $trainedRecall vs untrained $untrainedRecall")
+    assert(trainedRecall > untrainedRecall,
+      s"trained recall $trainedRecall should beat untrained $untrainedRecall")
+  }
+
+  test("kmeans: training is deterministic and keeps every centroid id") {
+    val a = Kmeans.train(emb, 8, 2).orderBy("centroid_id").collect()
+    val b = Kmeans.train(emb, 8, 2).orderBy("centroid_id").collect()
+    assert(a.map(_.getLong(0)).toSeq === (0L until 8L))
+    assert(a.toSeq === b.toSeq)
   }
 }
