@@ -108,6 +108,53 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("band"))
   }
 
+  /** Exact n-gram Jaccard computed ONLY for the given candidate pairs —
+    * the verification stage between LSH candidate generation and
+    * clustering. Unlike [[jaccardPairs]] (which scores every
+    * shared-shingle pair), this joins the shingle sets onto the candidate
+    * relation, so the work is O(|candidates| × shingles-per-doc), keyed by
+    * (doc, shingle) — at corpus scale the candidate set is the tiny LSH
+    * output, never the quadratic shared-shingle relation.
+    *
+    * Candidate pairs sharing zero shingles drop out of the intersection
+    * aggregate, which is correct for any threshold ≥ 1 tenth (their
+    * Jaccard is 0). */
+  def jaccardForPairs(pairs: DataFrame, shing: DataFrame,
+      thresholdTenths: Int): DataFrame = {
+    require(thresholdTenths >= 1, "threshold 0 would need zero-overlap pairs kept")
+    val sizes = shing.groupBy(col("sid")).agg(count(lit(1)).as("n"))
+    pairs.select(col("a_id"), col("b_id"))
+      .join(shing.select(col("sid").as("a_id"), col("sh")), Seq("a_id"))
+      .join(shing.select(col("sid").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("sid").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("sid").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .withColumn("un", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 10 >= col("un") * thresholdTenths)
+      .select(col("a_id"), col("b_id"), col("inter"), col("un"),
+        round(col("inter").cast("double") / col("un"), 6).as("jaccard"))
+  }
+
+  /** The full dedup pipeline: MinHash-LSH candidates → exact-Jaccard
+    * verification → connected components. Clustering raw band collisions
+    * (as [[minhashCandidates]] → [[connectedComponents]] alone would)
+    * merges unrelated documents transitively whenever a band collides by
+    * chance — at corpus scale false-positive bands are guaranteed, so a
+    * rescore stage between candidates and edges is what keeps clusters
+    * honest. Every stage is a keyed equi-join; nothing here is all-pairs. */
+  def verifiedClusters(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2, thresholdTenths: Int = 1,
+      maxIter: Int = 20): DataFrame = {
+    val cand = minhashCandidates(
+      docShingles(docs, textCol, idCol, distinct = false),
+      numHashes, rowsPerBand)
+      .select(col("a_id"), col("b_id")).distinct()
+    val verified = jaccardForPairs(
+      cand, docShingles(docs, textCol, idCol), thresholdTenths)
+    connectedComponents(verified.select(col("a_id"), col("b_id")), maxIter)
+  }
+
   /** Connected components over an undirected candidate-pair graph — the
     * step that turns near-dup PAIRS into dedup CLUSTERS (keep the
     * min-id doc per component, drop the rest). Iterative min-label

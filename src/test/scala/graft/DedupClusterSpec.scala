@@ -36,6 +36,47 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("verified pipeline: LSH false positives are rescored out before clustering") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val shing = Dedup.docShingles(docs, "text", "doc_id")
+    val cand = Dedup.minhashCandidates(
+      Dedup.docShingles(docs, "text", "doc_id", distinct = false), 8, 2)
+      .select(col("a_id"), col("b_id")).distinct()
+    val verified = Dedup.jaccardForPairs(cand, shing, thresholdTenths = 1)
+    val nCand = cand.count()
+    val nVer = verified.count()
+    info(s"$nCand LSH candidates, $nVer survive exact Jaccard >= 0.1")
+    assert(nVer < nCand,
+      "the corpus should contain at least one chance band collision " +
+        "below the Jaccard threshold — otherwise this test can't prove " +
+        "the rescore stage does anything")
+
+    // a specific false positive: candidates whose exact Jaccard fails the
+    // threshold must not end up in the same component
+    val falsePos = cand.join(
+      verified.select(col("a_id"), col("b_id")), Seq("a_id", "b_id"),
+      "left_anti").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(falsePos.nonEmpty)
+    val comp = Dedup.verifiedClusters(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = Dedup.connectedComponents(cand)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every candidate edge puts its pair in one raw component; a false
+    // positive may still share a VERIFIED component via genuine paths, so
+    // the proof of exclusion is: at least one rescored-out pair that raw
+    // clustering merged is separated (or absent) after verification
+    val separated = falsePos.count { case (a, b) =>
+      assert(raw.get(a).isDefined && raw.get(a) == raw.get(b),
+        s"candidate edge ($a,$b) must merge its endpoints in raw CC")
+      !(comp.contains(a) && comp.get(a) == comp.get(b))
+    }
+    info(s"${falsePos.length} false-positive candidates, $separated separated after rescore")
+    assert(separated > 0,
+      "no false-positive pair was split — the rescore stage changed nothing")
+    // and the pipeline still finds real clusters
+    assert(comp.nonEmpty)
+  }
+
   test("cluster keeper semantics: one keeper per component on real pairs") {
     val pairs = Dedup.minhashCandidates(
       Dedup.docShingles(
