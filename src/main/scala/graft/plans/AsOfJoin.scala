@@ -204,6 +204,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // SQL text surface for the as-of join: TVF parse + side-aware resolve
+    e.injectTableFunction((AsOfSql.identifier, AsOfSql.info, AsOfSql.builder))
+    e.injectResolutionRule(_ => ResolveAsOfJoinTvf)
     e.injectFunction((FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[graft.functions.FloatVecDot].getName, "vec_dot"),
       exprs => graft.functions.FloatVecDot(exprs.head, exprs(1))))

@@ -107,6 +107,30 @@ object EventQueries extends graft.QueryPack {
              |WHERE c.event_type = 'click'
              |GROUP BY 1, 2, 3""".stripMargin)),
 
+    // ---- J10: the SAME native as-of operator, reached from SQL text -----
+    // `asof_join(...)` is a table-valued function wired by GraftExtensions
+    // (spark.sql.extensions=graft.plans.GraftExtensions), so raw-SQL users
+    // get the custom operator too — same plan, same oracle as q_j6.
+    Q("q_j10_asof_sql",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .createOrReplaceTempView("graft_asof_clicks")
+        e.filter(col("event_type") === "error")
+          .select(col("user_id").as("err_user"), col("ts").as("err_ts"))
+          .createOrReplaceTempView("graft_asof_errors")
+        s.sql("""SELECT event_id, user_id, ts, err_ts AS asof_error_ts
+                |FROM asof_join('graft_asof_clicks', 'graft_asof_errors',
+                |               'user_id', 'err_user', 'ts', 'err_ts')""".stripMargin)
+      },
+      Some("""SELECT c.event_id, c.user_id, c.ts, max(e.ts) AS asof_error_ts
+             |FROM events c LEFT JOIN events e
+             |  ON e.event_type = 'error' AND e.user_id = c.user_id
+             |    AND e.ts <= c.ts
+             |WHERE c.event_type = 'click'
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
     // ---- E6: map-typed column surface (from_json → MapType ops) ---------
     // Generic on the Spark side (any key set); the oracle exploits the
     // single-key shape of the test data for the value sum only.

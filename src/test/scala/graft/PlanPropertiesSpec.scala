@@ -45,10 +45,26 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("aggregate(zip_with"), p)
   }
 
-  test("IVF assignment is map-only: no join, no window, one scan") {
+  test("inline IVF assignment is map-only: no join, no window") {
+    // the small-quantizer operator path keeps the zero-shuffle shape
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.operators.Similarity
+      .ivfAssignInline(emb, 8, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"inline ivf assign should not join:\n$p")
+    assert(!p.contains("Window"), s"inline ivf assign should not window:\n$p")
+  }
+
+  test("trained IVF assignment broadcasts centroids and hash-aggregates the argmax") {
+    // q_sim4 now assigns against kmeans-trained centroids: the centroid
+    // side must broadcast (never shuffle the corpus) and the argmax must
+    // stay a hash aggregation — no sort, no window
     val p = plan("q_sim4_ivf_assign")
-    assert(!p.contains("Join"), s"ivf assign should not join:\n$p")
-    assert(!p.contains("Window"), s"ivf assign should not window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"centroids should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("HashAggregate"), s"argmax should hash, not sort:\n$p")
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("native as-of join clusters both sides by key") {

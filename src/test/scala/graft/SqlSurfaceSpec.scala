@@ -40,6 +40,45 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(gsets.count() >= 2)
   }
 
+  test("native as-of join reachable from SQL via the asof_join TVF") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.events(spark, dir)
+    e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("clicks_v")
+    e.filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"))
+      .createOrReplaceTempView("errors_v")
+    val viaSql = spark.sql(
+      """SELECT * FROM asof_join('clicks_v', 'errors_v',
+        |  'user_id', 'err_user', 'ts', 'err_ts')""".stripMargin)
+    // the SQL path must produce the native exec, not a rewrite (plan
+    // strings render the node as "AsOfJoin" — Spark strips the Exec suffix)
+    assert(viaSql.queryExecution.executedPlan.toString.contains("AsOfJoin "))
+    val viaApi = graft.plans.AsOfJoin.asofJoin(
+      e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts")),
+      e.filter(col("event_type") === "error")
+        .select(col("user_id").as("err_user"), col("ts").as("err_ts")),
+      "user_id", "err_user", "ts", "err_ts")
+    assert(viaSql.count() === viaApi.count())
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+  }
+
+  test("asof_join TVF rejects bad arguments with a helpful message") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join('clicks_v', 'errors_v', 'user_id')").collect()
+    }
+    assert(err.getMessage.contains("asof_join"))
+    val badCol = intercept[Exception] {
+      Tables.events(spark, dir).createOrReplaceTempView("ev_v")
+      spark.sql(
+        """SELECT * FROM asof_join('ev_v', 'ev_v',
+          |  'no_such_col', 'user_id', 'ts', 'ts')""".stripMargin).collect()
+    }
+    assert(badCol.getMessage.contains("no_such_col"))
+  }
+
   test("custom native functions callable from SQL text") {
     registerAll()
     FloatVecDot.register(spark)
