@@ -4,12 +4,15 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, Descending, Expression, GenericInternalRow, JoinedRow,
-  SortOrder, UnsafeProjection, UnsafeRow}
+  Ascending, Attribute, BindReferences, BoundReference, Descending, Expression,
+  GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, CodeGenerator, EmptyBlock, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.expressions.RowOrdering
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.graftbridge.GraftSqlBridge
 import org.apache.spark.sql.SparkSessionExtensions
@@ -61,7 +64,8 @@ case class AsOfJoinExec(
     leftTime: Expression, rightTime: Expression,
     tolerance: Option[Long],
     forward: Boolean,
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -180,6 +184,139 @@ case class AsOfJoinExec(
         }
       }
     }
+  }
+
+  // ---- whole-stage codegen ------------------------------------------------
+  // Same two-iterator shape as Spark's SortMergeJoinExec codegen: this node
+  // does NOT call children's produce — it reads both sorted children as
+  // iterators (inputs[0]/inputs[1]) and generates the single-forward-pass
+  // merge loop inline in the stage, so the surrounding project/filter fuse
+  // with the join instead of crossing an iterator boundary per row.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // output rows reference the (reused) left iterator row — anything in the
+  // stage that buffers rows must copy, exactly like sort-merge join
+  override def needCopyResult: Boolean = true
+
+  protected override def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];", forceInline = true)
+    // the peeked-but-not-consumed right row, and the single piece of merge
+    // state: a copy of the last eligible right row at the frontier
+    val rightRow = ctx.addMutableState("InternalRow", "asofRightRow")
+    val lastRight = ctx.addMutableState("InternalRow", "asofLastRight")
+
+    val leftRow = ctx.freshName("asofLeftRow")
+    val matched = ctx.freshName("asofMatched")
+
+    // left key/time evaluated on the current left row
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val lkEv = BindReferences.bindReference(leftKey, left.output).genCode(ctx)
+    val ltEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    // full left output columns (the join emits every left row)
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+
+    // right key/time evaluated on the peeked row (block-scoped inside the
+    // advance loop, re-evaluated each pass)
+    ctx.INPUT_ROW = rightRow
+    val rkEv = BindReferences.bindReference(rightKey, right.output).genCode(ctx)
+    val rtEv = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+
+    // stored-match key/time re-evaluated on the buffered copy (rows with
+    // null key/time are never stored, so no null guards needed here)
+    ctx.INPUT_ROW = lastRight
+    val lastKEv = BindReferences.bindReference(rightKey, right.output).genCode(ctx)
+    val lastTEv = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    tolerance.foreach { _ =>
+      require(timeIsLongBacked(timeType),
+        s"as-of tolerance requires a long/int-backed time type, got $timeType")
+    }
+    val timeCmpOp = if (forward) ">= 0" else "<= 0"
+    val toleranceCheck = tolerance.map { t =>
+      val gap =
+        if (forward) s"((long)(${lastTEv.value})) - ((long)(${ltEv.value}))"
+        else s"((long)(${ltEv.value})) - ((long)(${lastTEv.value}))"
+      s"$matched = $matched && ($gap <= ${t}L);"
+    }.getOrElse("")
+
+    // right-side output columns: null unless this left row matched
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofIsNull")
+      val value = ctx.freshName("asofValue")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val dv = CodeGenerator.defaultValue(a.dataType)
+      val getter = CodeGenerator.getValue(lastRight, a.dataType, i.toString)
+      val colCode =
+        code"""
+           |boolean $isNull = true;
+           |$jt $value = $dv;
+           |if ($matched) {
+           |  $isNull = $lastRight.isNullAt($i);
+           |  if (!$isNull) { $value = $getter; }
+           |}
+         """.stripMargin
+      ExprCode(colCode, JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val numMatched = metricTerm(ctx, "numMatchedRows")
+    val c = ctx.freshName("asofCmp")
+
+    s"""
+       |while ($limitNotReachedCond $leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${lkEv.code}
+       |  ${ltEv.code}
+       |  boolean $matched = false;
+       |  if (!(${lkEv.isNull}) && !(${ltEv.isNull})) {
+       |    // advance the right frontier for this (key, time)
+       |    while (true) {
+       |      if ($rightRow == null) {
+       |        if (!$rightInput.hasNext()) break;
+       |        $rightRow = (InternalRow) $rightInput.next();
+       |      }
+       |      ${rkEv.code}
+       |      ${rtEv.code}
+       |      if ((${rkEv.isNull}) || (${rtEv.isNull})) {
+       |        $rightRow = null; continue;   // null keys/times never match
+       |      }
+       |      int $c = ${ctx.genComp(keyType, rkEv.value.toString, lkEv.value.toString)};
+       |      if ($c < 0) { $rightRow = null; continue; }  // stale key
+       |      if ($c == 0 &&
+       |          ${ctx.genComp(timeType, rtEv.value.toString, ltEv.value.toString)} $timeCmpOp) {
+       |        $lastRight = (InternalRow) $rightRow.copy();
+       |        $rightRow = null; continue;   // eligible: carry it forward
+       |      }
+       |      break;                          // right frontier is ahead
+       |    }
+       |    if ($lastRight != null) {
+       |      ${lastKEv.code}
+       |      ${lastTEv.code}
+       |      $matched =
+       |        ${ctx.genComp(keyType, lastKEv.value.toString, lkEv.value.toString)} == 0;
+       |      $toleranceCheck
+       |    }
+       |  }
+       |  $numOutput.add(1);
+       |  if ($matched) $numMatched.add(1);
+       |  ${leftVars.map(_.code.toString).mkString("\n")}
+       |  ${rightVars.map(_.code.toString).mkString("\n")}
+       |  ${consume(ctx, leftVars.map(_.copy(code = EmptyBlock)) ++
+                rightVars.map(_.copy(code = EmptyBlock)))}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   private def timeIsLongBacked(t: org.apache.spark.sql.types.DataType): Boolean =

@@ -75,6 +75,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(s.contains("Sort ["), s"no sorts inserted:\n$s")
   }
 
+  test("merge loop runs inside whole-stage codegen (no interpreted fallback)") {
+    // the '*(n)' prefix only appears on nodes actually fused into a
+    // WholeStageCodegen stage; AQE finalizes the plan during execution
+    for (fwd <- Seq(false, true); tol <- Seq(None, Some(1000000L))) {
+      val out = AsOfJoin.asofJoin(leftDf, rightDf, "k", "rk", "t", "rt",
+        tolerance = tol, forward = fwd)
+      out.collect()
+      val s = out.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) AsOfJoin """.r.findFirstIn(s).isDefined,
+        s"AsOfJoin not codegen'd (fwd=$fwd tol=$tol):\n$s")
+    }
+  }
+
+  test("null keys/times never match, and codegen agrees with the interpreted path") {
+    import spark.implicits._
+    val l = Seq((1L, Option("u1"), Option(100L)), (2L, None, Option(100L)),
+      (3L, Option("u1"), Option.empty[Long])).toDF("id", "k", "t")
+    val r = Seq((Option("u1"), Option(90L), "a"), (Option.empty[String], Option(5L), "x"),
+      (Option("u1"), Option.empty[Long], "y")).toDF("rk", "rt", "tag")
+    def run(): Map[Long, String] =
+      AsOfJoin.asofJoin(l, r, "k", "rk", "t", "rt").select(col("id"), col("tag"))
+        .collect().map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) null else row.getString(1))).toMap
+    val gen = run()
+    assert(gen === Map(1L -> "a", 2L -> null, 3L -> null))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run() === gen)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("tolerance bounds the lookback window") {
     import spark.implicits._
     val l = Seq((1L, "u", 100L), (2L, "u", 300L)).toDF("id", "k", "t")
