@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{
+  GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming operators over the `events` stream: windowed and
@@ -110,4 +111,32 @@ object EventStreams {
     q.processAllAvailable()
     q
   }
+
+  /** Events-shaped stream from the built-in rate source — the
+    * connector-less stand-in for an external stream (Kafka/kinesis jars
+    * are deliberately absent here): monotonically increasing `value`
+    * becomes the event id, so offset-resume behavior is directly
+    * observable in the data. Every downstream operator (tumbling/session
+    * windows, dedup, stateful counts) accepts this frame unchanged. */
+  def rateEvents(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        pmod(col("value"), lit(97)).as("user_id"),
+        element_at(array(lit("click"), lit("view"), lit("error")),
+          (pmod(col("value"), lit(3)) + 1).cast("int")).as("event_type"),
+        (pmod(col("value"), lit(100)) / 10.0).as("value"),
+        lit("""{"k":1}""").as("props"))
+
+  /** Start a stream with an explicit trigger + checkpoint — the
+    * production shape (`runToMemory` is the trigger-less smoke path).
+    * `Trigger.AvailableNow` drains what exists then stops (batch-like
+    * catch-up runs); `Trigger.ProcessingTime` is the steady-state
+    * micro-batch cadence. Restarting with the same checkpoint resumes
+    * from the committed offsets, never from scratch. */
+  def runWithTrigger(df: DataFrame, name: String, mode: String,
+      trigger: Trigger, checkpointDir: String): StreamingQuery =
+    df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(trigger).option("checkpointLocation", checkpointDir).start()
 }

@@ -95,6 +95,9 @@ class EventStreamsSpec extends AnyFunSuite {
 
   test("checkpoint recovery: restart resumes from the checkpoint, no re-processing") {
     import java.nio.file.{Files, Paths}
+    // self-contained when run with -z: the nanos conf is otherwise only
+    // set once another test touches readEvents first
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = Files.createTempDirectory("graft-ckpt-src")
     val outDir = Files.createTempDirectory("graft-ckpt-out").toString + "/out"
     val ckpt = Files.createTempDirectory("graft-ckpt-meta").toString
@@ -117,6 +120,61 @@ class EventStreamsSpec extends AnyFunSuite {
     q2.processAllAvailable(); q2.stop()
     // exactly one more file's worth: batch1 was NOT re-processed
     assert(spark.read.parquet(outDir).count() === 2 * perFile)
+  }
+
+  test("rate source: ProcessingTime steady-state, then AvailableNow restart resumes offsets") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the memory sink refuses checkpoint recovery; the parquet sink is the
+    // transactional one (exactly-once via its _spark_metadata log), which
+    // is exactly what makes resume observable: ids must stay gapless AND
+    // duplicate-free across the restart
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rate-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-rate-out").toString + "/out"
+    val src = EventStreams.rateEvents(spark, 500).select(col("event_id"))
+    def sinkTo(trigger: Trigger) =
+      src.writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(trigger).start()
+
+    // steady-state leg: micro-batches on a ProcessingTime cadence
+    val q1 = sinkTo(Trigger.ProcessingTime("250 milliseconds"))
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def committed() =
+      try spark.read.parquet(outDir).count() catch { case _: Exception => 0L }
+    while (committed() == 0L && System.nanoTime() < deadline) Thread.sleep(100)
+    q1.processAllAvailable(); q1.stop()
+    val max1 = spark.read.parquet(outDir).agg(max(col("event_id"))).head.getLong(0)
+
+    // catch-up leg: AvailableNow drains what accrued while down, then stops
+    Thread.sleep(1200) // let the rate source accrue rows while "down"
+    val q2 = sinkTo(Trigger.AvailableNow())
+    assert(q2.awaitTermination(60000), "AvailableNow run did not self-terminate")
+    val all = spark.read.parquet(outDir)
+      .agg(count(lit(1)), countDistinct(col("event_id")),
+        min(col("event_id")), max(col("event_id"))).head
+    assert(all.getLong(3) > max1, "restart processed no new rows")
+    // resumed exactly after the committed offset: 0..max, no gap (would
+    // mean skipped offsets), no duplicate (would mean re-processing)
+    assert(all.getLong(2) === 0L)
+    assert(all.getLong(0) === all.getLong(1), "duplicate ids: batch re-processed")
+    assert(all.getLong(0) === all.getLong(3) + 1, "gap in ids: offsets skipped")
+  }
+
+  test("rate source drives the windowed aggregation operators unchanged") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rate-agg").toString
+    val agg = EventStreams.tumblingCounts(EventStreams.rateEvents(spark, 500))
+    val q = EventStreams.runWithTrigger(agg, "rate_agg", "complete",
+      Trigger.ProcessingTime("250 milliseconds"), ckpt)
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("rate_agg").isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      q.processAllAvailable()
+      val rows = spark.table("rate_agg").collect()
+      assert(rows.nonEmpty, "no aggregated windows in 30s")
+      assert(rows.forall(_.getAs[String]("event_type") != null))
+    } finally q.stop()
   }
 
   test("flatMapGroupsWithState keeps running per-user counts across batches") {
