@@ -146,12 +146,16 @@ object Dedup {
   def verifiedClusters(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 8, rowsPerBand: Int = 2, thresholdTenths: Int = 1,
       maxIter: Int = 20): DataFrame = {
-    val cand = minhashCandidates(
-      docShingles(docs, textCol, idCol, distinct = false),
-      numHashes, rowsPerBand)
+    // ONE distinct shingle relation feeds both candidate generation and
+    // the rescore: min-hash over a set equals min-hash over the multiset,
+    // so unlike the standalone q_d3 path (which skips the dedup shuffle on
+    // purpose) the composed pipeline pays the distinct once and the two
+    // identical subplans below it become one reusable exchange instead of
+    // tokenizing + exploding the corpus twice
+    val shing = docShingles(docs, textCol, idCol)
+    val cand = minhashCandidates(shing, numHashes, rowsPerBand)
       .select(col("a_id"), col("b_id")).distinct()
-    val verified = jaccardForPairs(
-      cand, docShingles(docs, textCol, idCol), thresholdTenths)
+    val verified = jaccardForPairs(cand, shing, thresholdTenths)
     connectedComponents(verified.select(col("a_id"), col("b_id")), maxIter)
   }
 
