@@ -73,6 +73,23 @@ class SimilaritySpec extends AnyFunSuite {
       s"trained recall $trainedRecall should beat untrained $untrainedRecall")
   }
 
+  test("kmeans: a cluster that loses all members keeps its previous centroid") {
+    import spark.implicits._
+    // centroid 1 inits to (2,0) — same DIRECTION as centroid 0's (1,0),
+    // so cosine ties at every point and the tie-break (lowest id) sends
+    // every member to cluster 0: cluster 1 must come back verbatim via
+    // the coalesce, not as any recomputed mean
+    val df = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(2f, 0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.8f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val cents = Kmeans.train(df, 2, 1).orderBy("centroid_id").collect()
+    assert(cents.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    assert(cents(1).getSeq[Float](1) === Seq(2f, 0f), "empty cluster must keep init centroid")
+    // cluster 0 absorbed everything: per-dim mean rounded to 6 dp
+    assert(cents(0).getSeq[Float](1) === Seq(1.175f, 0.075f))
+  }
+
   test("kmeans: training is deterministic and keeps every centroid id") {
     val a = Kmeans.train(emb, 8, 2).orderBy("centroid_id").collect()
     val b = Kmeans.train(emb, 8, 2).orderBy("centroid_id").collect()
