@@ -370,7 +370,27 @@ object AsOfJoin {
       leftKeyCol: String, rightKeyCol: String,
       leftTimeCol: String, rightTimeCol: String,
       tolerance: Option[Long] = None,
+      forward: Boolean = false): DataFrame =
+    asofJoinMulti(left, right, Seq(leftKeyCol), Seq(rightKeyCol),
+      leftTimeCol, rightTimeCol, tolerance, forward)
+
+  /** Composite-key variant: match on several key columns at once (the
+    * pandas `merge_asof(by=[...])` shape). The keys combine into ONE
+    * struct expression, which Spark hash-partitions, sorts, and compares
+    * natively — the exec is unchanged. A struct literal is never null
+    * even when a field is, so the struct is wrapped in an
+    * any-field-null ⇒ null guard to keep SQL equi-join semantics: a row
+    * with any null key column matches nothing. */
+  def asofJoinMulti(left: DataFrame, right: DataFrame,
+      leftKeyCols: Seq[String], rightKeyCols: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      tolerance: Option[Long] = None,
       forward: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      CreateStruct, If, IsNull, Literal, Or}
+    require(leftKeyCols.nonEmpty, "need at least one key column")
+    require(leftKeyCols.length == rightKeyCols.length,
+      s"key column lists differ in length: $leftKeyCols vs $rightKeyCols")
     val spark = left.sparkSession
     GraftSqlBridge.addStrategy(spark, AsOfJoinStrategy)
     val lPlan = left.queryExecution.analyzed
@@ -379,12 +399,25 @@ object AsOfJoin {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not found in ${plan.output.map(_.name).mkString(", ")}"))
-    require(resolve(lPlan, leftKeyCol).dataType == resolve(rPlan, rightKeyCol).dataType,
-      "as-of key columns must share a type")
+    def key(plan: LogicalPlan, names: Seq[String]): Expression = {
+      val attrs = names.map(resolve(plan, _))
+      if (attrs.length == 1) attrs.head
+      else {
+        val st = CreateStruct(attrs)
+        if (attrs.forall(!_.nullable)) st
+        else If(attrs.map(IsNull(_): Expression).reduce(Or),
+          Literal.create(null, st.dataType), st)
+      }
+    }
+    val (lk, rk) = (key(lPlan, leftKeyCols), key(rPlan, rightKeyCols))
+    // structural: the two sides' struct keys carry their own field NAMES,
+    // but ordering/hashing/comparison only see field types and values
+    require(org.apache.spark.sql.types.DataType.equalsStructurally(
+        lk.dataType, rk.dataType, ignoreNullability = true),
+      s"as-of key columns must share types: ${lk.dataType} vs ${rk.dataType}")
     require(resolve(lPlan, leftTimeCol).dataType == resolve(rPlan, rightTimeCol).dataType,
       "as-of time columns must share a type")
-    GraftSqlBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
-      resolve(lPlan, leftKeyCol), resolve(rPlan, rightKeyCol),
+    GraftSqlBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, rk,
       resolve(lPlan, leftTimeCol), resolve(rPlan, rightTimeCol),
       tolerance, forward))
   }

@@ -107,6 +107,31 @@ object EventQueries extends graft.QueryPack {
              |WHERE c.event_type = 'click'
              |GROUP BY 1, 2, 3""".stripMargin)),
 
+    // ---- J11: native as-of, forward direction + tolerance ---------------
+    // The other half of the operator's mode matrix under an oracle (q_j6
+    // covers backward/unbounded): nearest error at-or-after each click,
+    // but only within 5 minutes. Tolerance is in the time column's own
+    // units — micros for timestamps.
+    Q("q_j11_asof_forward_tol",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("user_id").as("err_user"), col("ts").as("err_ts"))
+        graft.plans.AsOfJoin.asofJoin(clicks, errors,
+            "user_id", "err_user", "ts", "err_ts",
+            tolerance = Some(300000000L), forward = true)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("err_ts").as("next_error_ts"))
+      },
+      Some("""SELECT c.event_id, c.user_id, c.ts, min(e.ts) AS next_error_ts
+             |FROM events c LEFT JOIN events e
+             |  ON e.event_type = 'error' AND e.user_id = c.user_id
+             |    AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTE
+             |WHERE c.event_type = 'click'
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
     // ---- J10: the SAME native as-of operator, reached from SQL text -----
     // `asof_join(...)` is a table-valued function wired by GraftExtensions
     // (spark.sql.extensions=graft.plans.GraftExtensions), so raw-SQL users

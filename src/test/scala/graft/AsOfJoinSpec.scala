@@ -105,6 +105,32 @@ class AsOfJoinSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("composite keys: matches require ALL key columns equal; null fields match nothing") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, "eu", Option(7L), 100L),  // matches (eu,7,90)
+      (2L, "eu", Option(8L), 100L),  // same region, other account: only (eu,8,50)
+      (3L, "us", Option(7L), 100L),  // other region, same account: no right row
+      (4L, "eu", Option.empty[Long], 100L) // null key field: never matches
+    ).toDF("id", "region", "account", "t")
+    val r = Seq(
+      ("eu", Option(7L), 90L, "a"), ("eu", Option(8L), 50L, "b"),
+      ("eu", Option.empty[Long], 1L, "n") // null key field on the right: ignored
+    ).toDF("r_region", "r_account", "rt", "tag")
+    def run(): Map[Long, String] =
+      AsOfJoin.asofJoinMulti(l, r, Seq("region", "account"),
+          Seq("r_region", "r_account"), "t", "rt")
+        .select(col("id"), col("tag"))
+        .collect().map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) null else row.getString(1))).toMap
+    val gen = run()
+    assert(gen === Map(1L -> "a", 2L -> "b", 3L -> null, 4L -> null))
+    // and the codegen'd merge agrees with the interpreted one on structs
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run() === gen)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("tolerance bounds the lookback window") {
     import spark.implicits._
     val l = Seq((1L, "u", 100L), (2L, "u", 300L)).toDF("id", "k", "t")
