@@ -381,13 +381,29 @@ object AsOfJoin {
     * even when a field is, so the struct is wrapped in an
     * any-field-null ⇒ null guard to keep SQL equi-join semantics: a row
     * with any null key column matches nothing. */
+  /** Fold several key attributes into one comparable expression: a single
+    * attribute passes through; several become a struct (natively
+    * hash-partitionable/sortable/comparable) wrapped in an
+    * any-field-null ⇒ null guard, since a struct value is never null even
+    * when a field is and SQL equi-join semantics demand null matches
+    * nothing. */
+  private[plans] def compositeKey(attrs: Seq[Attribute]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      CreateStruct, If, IsNull, Literal, Or}
+    if (attrs.length == 1) attrs.head
+    else {
+      val st = CreateStruct(attrs)
+      if (attrs.forall(!_.nullable)) st
+      else If(attrs.map(IsNull(_): Expression).reduce(Or),
+        Literal.create(null, st.dataType), st)
+    }
+  }
+
   def asofJoinMulti(left: DataFrame, right: DataFrame,
       leftKeyCols: Seq[String], rightKeyCols: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
       tolerance: Option[Long] = None,
       forward: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{
-      CreateStruct, If, IsNull, Literal, Or}
     require(leftKeyCols.nonEmpty, "need at least one key column")
     require(leftKeyCols.length == rightKeyCols.length,
       s"key column lists differ in length: $leftKeyCols vs $rightKeyCols")
@@ -399,17 +415,8 @@ object AsOfJoin {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not found in ${plan.output.map(_.name).mkString(", ")}"))
-    def key(plan: LogicalPlan, names: Seq[String]): Expression = {
-      val attrs = names.map(resolve(plan, _))
-      if (attrs.length == 1) attrs.head
-      else {
-        val st = CreateStruct(attrs)
-        if (attrs.forall(!_.nullable)) st
-        else If(attrs.map(IsNull(_): Expression).reduce(Or),
-          Literal.create(null, st.dataType), st)
-      }
-    }
-    val (lk, rk) = (key(lPlan, leftKeyCols), key(rPlan, rightKeyCols))
+    val lk = compositeKey(leftKeyCols.map(resolve(lPlan, _)))
+    val rk = compositeKey(rightKeyCols.map(resolve(rPlan, _)))
     // structural: the two sides' struct keys carry their own field NAMES,
     // but ordering/hashing/comparison only see field types and values
     require(org.apache.spark.sql.types.DataType.equalsStructurally(

@@ -58,11 +58,21 @@ object ResolveAsOfJoinTvf extends Rule[LogicalPlan] {
           throw new IllegalArgumentException(
             s"asof_join: column $name not found on the $side side " +
               s"(${p.output.map(_.name).mkString(", ")})"))
-      val lk = res(t.left, t.leftKeyCol, "left")
-      val rk = res(t.right, t.rightKeyCol, "right")
+      // key arguments accept comma-separated lists for composite keys,
+      // mirroring AsOfJoin.asofJoinMulti
+      def keys(s: String): Seq[String] = s.split(',').map(_.trim).filter(_.nonEmpty)
+      val (lNames, rNames) = (keys(t.leftKeyCol), keys(t.rightKeyCol))
+      if (lNames.isEmpty || lNames.length != rNames.length)
+        throw new IllegalArgumentException(
+          s"asof_join: key lists must be non-empty and equal length, " +
+            s"got '${t.leftKeyCol}' vs '${t.rightKeyCol}'")
+      val lk = AsOfJoin.compositeKey(lNames.map(res(t.left, _, "left")))
+      val rk = AsOfJoin.compositeKey(rNames.map(res(t.right, _, "right")))
       val lt = res(t.left, t.leftTimeCol, "left")
       val rt = res(t.right, t.rightTimeCol, "right")
-      require(lk.dataType == rk.dataType, "as-of key columns must share a type")
+      require(org.apache.spark.sql.types.DataType.equalsStructurally(
+          lk.dataType, rk.dataType, ignoreNullability = true),
+        "as-of key columns must share types")
       require(lt.dataType == rt.dataType, "as-of time columns must share a type")
       AsOfJoinPlan(t.left, t.right, lk, rk, lt, rt, t.tolerance, t.forward)
   }

@@ -65,6 +65,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
   }
 
+  test("asof_join TVF accepts comma-separated composite keys") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    Seq((1L, "eu", 7L, 100L), (2L, "eu", 8L, 100L), (3L, "us", 7L, 100L))
+      .toDF("id", "region", "account", "t").createOrReplaceTempView("mk_l")
+    Seq(("eu", 7L, 90L, "a"), ("eu", 8L, 50L, "b"))
+      .toDF("r_region", "r_account", "rt", "tag").createOrReplaceTempView("mk_r")
+    val out = spark.sql(
+      """SELECT id, tag FROM asof_join('mk_l', 'mk_r',
+        |  'region, account', 'r_region, r_account', 't', 'rt')""".stripMargin)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out === Map(1L -> "a", 2L -> "b", 3L -> null))
+  }
+
   test("asof_join TVF rejects bad arguments with a helpful message") {
     val err = intercept[Exception] {
       spark.sql("SELECT * FROM asof_join('clicks_v', 'errors_v', 'user_id')").collect()
