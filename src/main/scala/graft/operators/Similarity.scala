@@ -211,6 +211,14 @@ object Similarity {
       assignToCentroids(emb, centroids, idCol, vecCol),
       centroids, queryPred, nProbe, k, idCol, vecCol)
 
+  // On the corpus-norm double-compute: the assignment pass and the
+  // candidate-scoring join each project nativeNorm over the corpus. They
+  // are different map stages reading the same scan, so the only way to
+  // compute norms once is to materialize an (id, vec, norm) projection —
+  // i.e. cache the corpus — which is the wrong trade at 100 TB: an extra
+  // codegen'd O(d) fold per row is cheaper than persisting vectors.
+  // Callers that DO hold the corpus in memory can pre-project the norm
+  // and pass it through vecCol's frame unchanged.
   private def ivfTopKCore(emb: DataFrame, assignment: DataFrame,
       centroids: DataFrame, queryPred: Column, nProbe: Int, k: Int,
       idCol: String, vecCol: String): DataFrame = {
