@@ -108,6 +108,36 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("band"))
   }
 
+  /** MinHash-LSH candidates with the signature computed MAP-ONLY: the
+    * native [[graft.functions.MinHashBands]] kernel turns each document's
+    * shingle array into its band hashes inside one projection, so the
+    * only shuffle in the whole candidate generation is the band equi-join
+    * itself. The relational path ([[minhashCandidates]]) shuffles the
+    * exploded shingle relation (~tokens× corpus) into a k-aggregate — at
+    * 100 TB that exploded shuffle dominates; this path never materializes
+    * it. Produces the exact same candidate set (bit-parity hash family,
+    * see the kernel's scaladoc). */
+  def minhashCandidatesMapOnly(docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide numHashes=$numHashes")
+    graft.functions.MinHashBands.register(docs.sparkSession)
+    // filter on the cheap token count, never on the derived shingle array
+    // (a pushed-down size(shingles) predicate would inline and re-run the
+    // shingle HOF); the kernel itself is consumed exactly once by the
+    // posexplode generator, so it cannot be duplicated by CollapseProject
+    val bands = spread(docs.select(col(idCol).as("sid"),
+        TextAnalysis.tokens(col(textCol)).as("toks")))
+      .filter(size(col("toks")) >= shingleK)
+      .select(col("sid"), posexplode(call_function("minhash_bands",
+        TextAnalysis.shingles(col("toks"), shingleK),
+        lit(numHashes), lit(rowsPerBand))).as(Seq("band", "bh")))
+    val l = bands.select(col("sid").as("a_id"), col("band"), col("bh"))
+    val r = bands.select(col("sid").as("b_id"), col("band"), col("bh"))
+    l.join(r, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("band"))
+  }
+
   /** Exact n-gram Jaccard computed ONLY for the given candidate pairs —
     * the verification stage between LSH candidate generation and
     * clustering. Unlike [[jaccardPairs]] (which scores every
@@ -146,16 +176,14 @@ object Dedup {
   def verifiedClusters(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 8, rowsPerBand: Int = 2, thresholdTenths: Int = 1,
       maxIter: Int = 20): DataFrame = {
-    // ONE distinct shingle relation feeds both candidate generation and
-    // the rescore: min-hash over a set equals min-hash over the multiset,
-    // so unlike the standalone q_d3 path (which skips the dedup shuffle on
-    // purpose) the composed pipeline pays the distinct once and the two
-    // identical subplans below it become one reusable exchange instead of
-    // tokenizing + exploding the corpus twice
-    val shing = docShingles(docs, textCol, idCol)
-    val cand = minhashCandidates(shing, numHashes, rowsPerBand)
+    // candidates come from the map-only kernel path — the exploded
+    // shingle relation is then built ONCE, for the rescore only (the
+    // candidate side needs no shingle relation at all)
+    val cand = minhashCandidatesMapOnly(docs, textCol, idCol,
+      numHashes = numHashes, rowsPerBand = rowsPerBand)
       .select(col("a_id"), col("b_id")).distinct()
-    val verified = jaccardForPairs(cand, shing, thresholdTenths)
+    val verified = jaccardForPairs(
+      cand, docShingles(docs, textCol, idCol), thresholdTenths)
     connectedComponents(verified.select(col("a_id"), col("b_id")), maxIter)
   }
 

@@ -102,9 +102,8 @@ object DedupQueries extends graft.QueryPack {
     // the same fixpoint as a recursive CTE.
     Q("q_d6_dedup_clusters",
       (s, d) => Dedup.connectedComponents(
-        Dedup.minhashCandidates(
-          Dedup.docShingles(Tables.documents(s, d), "text", "doc_id",
-            distinct = false), 8, 2)),
+        Dedup.minhashCandidatesMapOnly(
+          Tables.documents(s, d), "text", "doc_id", 3, 8, 2)),
       Some(s"""WITH RECURSIVE ${duckShingles.stripPrefix("WITH ")},
               |mh AS (SELECT doc_id,
               |  min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
@@ -129,6 +128,32 @@ object DedupQueries extends graft.QueryPack {
               |  UNION
               |  SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node)
               |SELECT node, MIN(label) AS component FROM cc GROUP BY node""".stripMargin)),
+
+    // ---- D8: MinHash-LSH candidates, map-only signature kernel ----------
+    // Same candidate set and same oracle as q_d3, but the signature is
+    // computed by the native minhash_bands expression inside one
+    // projection — no exploded-shingle shuffle, no k-aggregate; the band
+    // equi-join is the only shuffle. The oracle hash-match proves the
+    // kernel's hash family is bit-identical to the relational path's.
+    Q("q_d8_minhash_maponly",
+      (s, d) => Dedup.minhashCandidatesMapOnly(
+        Tables.documents(s, d), "text", "doc_id", 3, 8, 2),
+      Some(s"""$duckShingles,
+              |mh AS (SELECT doc_id,
+              |  min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+              |  min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
+              |  min(md5('4|' || sh)) AS m4, min(md5('5|' || sh)) AS m5,
+              |  min(md5('6|' || sh)) AS m6, min(md5('7|' || sh)) AS m7
+              |  FROM exd GROUP BY doc_id),
+              |bands AS (
+              |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM mh
+              |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM mh
+              |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM mh
+              |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM mh)
+              |SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.band
+              |FROM bands a
+              |JOIN bands b ON a.band = b.band AND a.bh = b.bh
+              |  AND a.doc_id < b.doc_id""".stripMargin)),
 
     // ---- D7: verified clusters (candidates → exact rescore → CC) --------
     // The full pipeline composition: LSH band collisions are only

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MinHashBands
+import graft.operators.Dedup
+
+class MinHashBandsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("kernel bands equal the relational formulation's band hashes") {
+    import spark.implicits._
+    MinHashBands.register(spark)
+    val df = Seq((1L, Seq("a b c", "b c d", "a b c")), (2L, Seq("x y z")))
+      .toDF("sid", "shs")
+    val kernel = df.select(col("sid"),
+        posexplode(call_function("minhash_bands", col("shs"), lit(4), lit(2))))
+      .toDF("sid", "band", "bh")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // relational reference: min(md5("i|"+s)) over the DISTINCT set, then
+    // md5(m0|m1) per band — duplicates in the input must not matter
+    val aggs = (0 until 4).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"m$i"))
+    val rel = df.select(col("sid"), explode(col("shs")).as("sh")).distinct()
+      .groupBy(col("sid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("sid"),
+        md5(concat_ws("|", col("m0"), col("m1"))).as("b0"),
+        md5(concat_ws("|", col("m2"), col("m3"))).as("b1"))
+      .collect().flatMap(r => Seq(
+        (r.getLong(0), 0) -> r.getString(1), (r.getLong(0), 1) -> r.getString(2)))
+      .toMap
+    assert(kernel === rel)
+  }
+
+  test("empty shingle arrays generate no bands; null stays null") {
+    import spark.implicits._
+    MinHashBands.register(spark)
+    val df = Seq((1L, Some(Seq.empty[String])), (2L, None),
+      (3L, Some(Seq("s")))).toDF("sid", "shs")
+    val out = df.select(col("sid"),
+        call_function("minhash_bands", col("shs"), lit(8), lit(2)).as("b"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    assert(out(1L) === Seq.empty)
+    assert(out(2L) === null)
+    assert(out(3L).length === 4)
+  }
+
+  test("map-only candidates equal the relational candidates exactly") {
+    val relational = Dedup.minhashCandidates(
+      Dedup.docShingles(docs, "text", "doc_id", distinct = false), 8, 2)
+    val mapOnly = Dedup.minhashCandidatesMapOnly(docs, "text", "doc_id", 3, 8, 2)
+    assert(relational.count() === mapOnly.count())
+    assert(relational.exceptAll(mapOnly).isEmpty &&
+      mapOnly.exceptAll(relational).isEmpty)
+  }
+
+  test("invalid band geometry is rejected at analysis time") {
+    import spark.implicits._
+    MinHashBands.register(spark)
+    val df = Seq((1L, Seq("s"))).toDF("sid", "shs")
+    val e = intercept[Exception] {
+      df.select(call_function("minhash_bands", col("shs"), lit(8), lit(3))).collect()
+    }
+    assert(e.getMessage.contains("divide"))
+  }
+}

@@ -67,6 +67,21 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("map-only minhash: no aggregate before the band join, fewer exchanges than relational") {
+    val p = plan("q_d8_minhash_maponly")
+    // the signature must be a projection feeding the generator — any
+    // aggregate before the join means the kernel path regressed to the
+    // relational explode+groupBy shape
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0, p)
+    assert(!p.substring(joinIdx).contains("HashAggregate"),
+      s"aggregation below the band join — kernel path regressed:\n$p")
+    val exMap = "Exchange".r.findAllIn(p).size
+    val exRel = "Exchange".r.findAllIn(plan("q_d3_minhash_lsh")).size
+    assert(exMap < exRel,
+      s"map-only path should shuffle less: $exMap vs relational $exRel")
+  }
+
   test("native as-of join clusters both sides by key") {
     val p = plan("q_j6_asof_native")
     assert(p.contains("AsOfJoin "), p)
