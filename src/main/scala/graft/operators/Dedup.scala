@@ -272,6 +272,19 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** SimHash signatures computed MAP-ONLY via the native
+    * [[graft.functions.SimHash64]] kernel: token array → 16-hex signature
+    * in one projection — no token explode, no 64-sum aggregation, zero
+    * shuffles. Bit-identical to [[simhashSignature]] (the
+    * oracle-documented relational reference); empty docs are filtered on
+    * the cheap token count to match its doc set. */
+  def simhashSignatureMapOnly(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.SimHash64.register(df.sparkSession)
+    spread(df.select(col(idCol).as("sid"), TextAnalysis.tokens(col(textCol)).as("toks")))
+      .filter(size(col("toks")) > 0)
+      .select(col("sid"), call_function("simhash64", col("toks")).as("simhash"))
+  }
+
   /** SimHash signature (16 hex chars = 64 bits): per token, md5 → 16 hex
     * digits → 4 bits each; per bit position take the sign of Σ(±1) over
     * all tokens; reassemble the majority bits into a hex string.

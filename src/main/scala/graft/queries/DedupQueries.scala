@@ -209,10 +209,21 @@ object DedupQueries extends graft.QueryPack {
       Some(s"""WITH $duckSimhashCtes
               |SELECT doc_id, simhash FROM sigs""".stripMargin)),
 
+    // ---- D9: SimHash signatures, map-only kernel ------------------------
+    // Same signatures and same oracle as q_d4, computed by the native
+    // simhash64 expression inside one projection — no token explode, no
+    // 64-sum aggregation. The oracle hash-match proves kernel parity.
+    Q("q_d9_simhash_maponly",
+      (s, d) => Dedup.simhashSignatureMapOnly(Tables.documents(s, d), "text", "doc_id")
+        .withColumnRenamed("sid", "doc_id"),
+      Some(s"""WITH $duckSimhashCtes
+              |SELECT doc_id, simhash FROM sigs""".stripMargin)),
+
     // ---- D5: SimHash near-dup pairs (pigeonhole banding, Hamming <= 3) --
+    // signatures ride the map-only kernel path (bit-parity proven by q_d9)
     Q("q_d5_simhash_hamming",
       (s, d) => Dedup.simhashNearDup(
-        Dedup.simhashSignature(Tables.documents(s, d), "text", "doc_id"), 3),
+        Dedup.simhashSignatureMapOnly(Tables.documents(s, d), "text", "doc_id"), 3),
       Some(s"""WITH $duckSimhashCtes,
               |bv AS (
               |  SELECT doc_id, simhash, band,

@@ -59,6 +59,26 @@ class MinHashBandsSpec extends AnyFunSuite {
       mapOnly.exceptAll(relational).isEmpty)
   }
 
+  test("simhash64 kernel equals the relational 64-sum signature exactly") {
+    val rel = Dedup.simhashSignature(docs, "text", "doc_id")
+    val ker = Dedup.simhashSignatureMapOnly(docs, "text", "doc_id")
+    assert(rel.count() === ker.count())
+    assert(rel.exceptAll(ker).isEmpty && ker.exceptAll(rel).isEmpty)
+  }
+
+  test("simhash64 counts duplicate tokens like the multiset formulation") {
+    import spark.implicits._
+    graft.functions.SimHash64.register(spark)
+    // "a a b": a's bits vote twice — dropping duplicates would flip any
+    // bit where a and b disagree
+    val out = Seq((1L, Seq("a", "a", "b")), (2L, Seq("a", "b")))
+      .toDF("sid", "toks")
+      .select(col("sid"), call_function("simhash64", col("toks")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) !== out(2L))
+    assert(out(1L).length === 16 && out(1L).matches("[0-9a-f]{16}"))
+  }
+
   test("invalid band geometry is rejected at analysis time") {
     import spark.implicits._
     MinHashBands.register(spark)
