@@ -46,12 +46,13 @@ case class MinHashBands(first: Expression, second: Expression, third: Expression
     (first.dataType, second.dataType, third.dataType) match {
       case (ArrayType(StringType, _), IntegerType, IntegerType)
           if second.foldable && third.foldable =>
-        val k = second.eval().asInstanceOf[Int]
-        val r = third.eval().asInstanceOf[Int]
-        if (k > 0 && r > 0 && k % r == 0) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure(
-          s"rowsPerBand=$r must divide numHashes=$k (both positive) — " +
-            "a partial trailing band would silently weaken recall")
+        (second.eval(), third.eval()) match {
+          case (k: Int, r: Int) if k > 0 && r > 0 && k % r == 0 =>
+            TypeCheckResult.TypeCheckSuccess
+          case (k, r) => TypeCheckResult.TypeCheckFailure(
+            s"rowsPerBand=$r must divide numHashes=$k (both positive, " +
+              "non-null) — a partial trailing band would silently weaken recall")
+        }
       case _ => TypeCheckResult.TypeCheckFailure(
         "minhash_bands requires (array<string>, int literal, int literal), got " +
           s"${first.dataType.catalogString} / ${second.dataType.catalogString} / " +
@@ -120,19 +121,26 @@ object MinHashBands {
     val pfx = prefixes(numHashes)
     val mins = new Array[Array[Byte]](numHashes)
     var i = 0
+    var seen = 0
     while (i < n) {
-      val sBytes = shingles.getUTF8String(i).getBytes
-      var h = 0
-      while (h < numHashes) {
-        md.reset()
-        md.update(pfx(h))
-        md.update(sBytes)
-        val d = md.digest()
-        if (mins(h) == null || less(d, mins(h))) mins(h) = d
-        h += 1
+      // null elements are skipped, matching the relational path (md5(null)
+      // is null and min() ignores nulls)
+      if (!shingles.isNullAt(i)) {
+        val sBytes = shingles.getUTF8String(i).getBytes
+        seen += 1
+        var h = 0
+        while (h < numHashes) {
+          md.reset()
+          md.update(pfx(h))
+          md.update(sBytes)
+          val d = md.digest()
+          if (mins(h) == null || less(d, mins(h))) mins(h) = d
+          h += 1
+        }
       }
       i += 1
     }
+    if (seen == 0) return new GenericArrayData(new Array[AnyRef](0))
     val out = new Array[AnyRef](numBands)
     var b = 0
     while (b < numBands) {

@@ -63,19 +63,23 @@ object SimHash64 {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      md.reset()
-      val d = md.digest(tokens.getUTF8String(i).getBytes)
-      var p = 0
-      while (p < 16) {
-        val byte = d(p >> 1) & 0xff
-        val dig = if ((p & 1) == 0) byte >>> 4 else byte & 0xf
-        var b = 0
-        while (b < 4) {
-          val idx = p * 4 + b
-          if (((dig >> b) & 1) == 1) counts(idx) += 1 else counts(idx) -= 1
-          b += 1
+      // null elements are skipped (inputs from TextAnalysis.tokens never
+      // contain them; a defensive guard beats an executor NPE)
+      if (!tokens.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(tokens.getUTF8String(i).getBytes)
+        var p = 0
+        while (p < 16) {
+          val byte = d(p >> 1) & 0xff
+          val dig = if ((p & 1) == 0) byte >>> 4 else byte & 0xf
+          var b = 0
+          while (b < 4) {
+            val idx = p * 4 + b
+            if (((dig >> b) & 1) == 1) counts(idx) += 1 else counts(idx) -= 1
+            b += 1
+          }
+          p += 1
         }
-        p += 1
       }
       i += 1
     }
