@@ -16,6 +16,7 @@ object SparkEntry {
     qpacks.NestedQueries,
     qpacks.TextQueries,
     qpacks.DedupQueries,
+    qpacks.CurationQueries,
     qpacks.SimilarityQueries,
     qpacks.EventQueries,
     qpacks.MultimodalQueries,

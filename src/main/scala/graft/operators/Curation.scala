@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composition a training-data pipeline
+  * actually runs, built from the already-verified stages:
+  *
+  *   1. '''quality gate''' — token-count / avg-token-length / stopword
+  *      ratio thresholds (the q_x2 metrics), all map-only;
+  *   2. '''exact dedup''' — keep the min-id document per content hash
+  *      (one keyed shuffle);
+  *   3. '''verified near-dup dedup''' — [[Dedup.verifiedClusters]] over
+  *      the survivors (map-only MinHash banding → band equi-join → exact
+  *      Jaccard rescore → connected components), keep each cluster's
+  *      min-id keeper;
+  *   4. '''deterministic split''' — md5-bucket train/val/test labels
+  *      ([[Sampling.splitLabel]]), map-only and engine-stable.
+  *
+  * Every stage is either map-only or a keyed equi-join/aggregation, so
+  * the composition inherits the 100 TB shape of its parts. Ordering of
+  * stages matters and is the production order: quality first (cheapest,
+  * biggest reduction), exact dedup before near-dup (hash groupBy is far
+  * cheaper than LSH), split last (labels only for what survives).
+  */
+object Curation {
+
+  def curate(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      minTokens: Int = 20, seed: String = "exp1",
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    // 1. quality gate — identical expressions (incl. 4-dp rounding) to the
+    // oracle-checked q_x2 metrics
+    val toksed = docs.select(col(idCol), col(textCol),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val nTok = size(col("toks"))
+    val avgLen = round(
+      length(array_join(col("toks"), "")).cast("double") / nTok, 4)
+    val stopRatio = round(
+      TextAnalysis.hitCount(col("toks"), TextAnalysis.langStopwords.head._2)
+        .cast("double") / nTok, 4)
+    val quality = toksed
+      .filter(nTok >= minTokens && avgLen >= 2.0 && avgLen <= 10.0 &&
+        stopRatio >= 0.02)
+      .select(col(idCol), col(textCol))
+
+    // 2. exact dedup: min-id keeper per content hash
+    val exactKeepers = quality
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val exact = quality.join(exactKeepers, Seq(idCol), "left_semi")
+
+    // 3. verified near-dup dedup: drop every non-keeper cluster member
+    val clusters = Dedup.verifiedClusters(exact, textCol, idCol)
+    val dropIds = clusters.filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    val survivors = exact.join(dropIds, Seq(idCol), "left_anti")
+
+    // 4. deterministic split labels for the survivors
+    survivors.select(col(idCol),
+      Sampling.splitLabel(col(idCol), seed, trainPct, valPct).as("split"))
+  }
+}
