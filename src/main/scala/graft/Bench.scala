@@ -41,7 +41,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // dev filter (the driver never sets it): SPARK_GRAFT_ONLY=q_d7,q_x9
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     names.foreach(exec) // warmup pass: codegen + JIT + FS caches
     // two measured passes, report the per-query MIN: the box sees external
     // load spikes and GC pauses that inflate single timings 2-5x; min-of-2

@@ -149,22 +149,17 @@ object Dedup {
     * Candidate pairs sharing zero shingles drop out of the intersection
     * aggregate, which is correct for any threshold ≥ 1 tenth (their
     * Jaccard is 0). */
-  /** Per-doc distinct-shingle counts computed MAP-ONLY:
-    * `size(array_distinct(shingles))` in one projection — the sizes side
-    * of a Jaccard computation needs no corpus-wide shuffle. Equal to
-    * `docShingles(…).groupBy(sid).count()` by construction. */
-  def docShingleSizes(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 3): DataFrame =
-    docs.select(col(idCol).as("sid"), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= k)
-      .select(col("sid"),
-        size(array_distinct(TextAnalysis.shingles(col("toks"), k))).cast("long").as("n"))
-
+  // NOTE (bench-driven): a map-only sizes variant
+  // (size(array_distinct(shingles)) per doc) was tried and REVERTED — the
+  // interpreted array_distinct over ~300-element shingle arrays costs
+  // ~O(n²) string compares per document, measurably MORE CPU than the
+  // keyed aggregation it replaces (q_d7 2.1s → 9.4s at sf0.1). The
+  // groupBy below rides the exploded relation the rescore join needs
+  // anyway; partial aggregation keeps its shuffle at one row per doc.
   def jaccardForPairs(pairs: DataFrame, shing: DataFrame,
-      thresholdTenths: Int, sizesOpt: Option[DataFrame] = None): DataFrame = {
+      thresholdTenths: Int): DataFrame = {
     require(thresholdTenths >= 1, "threshold 0 would need zero-overlap pairs kept")
-    val sizes = sizesOpt.getOrElse(
-      shing.groupBy(col("sid")).agg(count(lit(1)).as("n")))
+    val sizes = shing.groupBy(col("sid")).agg(count(lit(1)).as("n"))
     pairs.select(col("a_id"), col("b_id"))
       .join(shing.select(col("sid").as("a_id"), col("sh")), Seq("a_id"))
       .join(shing.select(col("sid").as("b_id"), col("sh")), Seq("b_id", "sh"))
@@ -194,11 +189,8 @@ object Dedup {
     val cand = minhashCandidatesMapOnly(docs, textCol, idCol,
       numHashes = numHashes, rowsPerBand = rowsPerBand)
       .select(col("a_id"), col("b_id")).distinct()
-    // sizes come map-only too: the exploded relation is built once, for
-    // the intersection counts alone
     val verified = jaccardForPairs(
-      cand, docShingles(docs, textCol, idCol), thresholdTenths,
-      sizesOpt = Some(docShingleSizes(docs, textCol, idCol)))
+      cand, docShingles(docs, textCol, idCol), thresholdTenths)
     connectedComponents(verified.select(col("a_id"), col("b_id")), maxIter)
   }
 

@@ -79,14 +79,6 @@ class MinHashBandsSpec extends AnyFunSuite {
     assert(out(1L).length === 16 && out(1L).matches("[0-9a-f]{16}"))
   }
 
-  test("map-only shingle sizes equal the exploded-relation counts") {
-    val agg = Dedup.docShingles(docs, "text", "doc_id")
-      .groupBy(col("sid")).count().withColumnRenamed("count", "n")
-    val mapOnly = Dedup.docShingleSizes(docs, "text", "doc_id")
-    assert(agg.count() === mapOnly.count())
-    assert(agg.exceptAll(mapOnly).isEmpty && mapOnly.exceptAll(agg).isEmpty)
-  }
-
   test("invalid band geometry is rejected at analysis time") {
     import spark.implicits._
     MinHashBands.register(spark)
