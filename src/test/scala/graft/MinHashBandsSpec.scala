@@ -79,6 +79,49 @@ class MinHashBandsSpec extends AnyFunSuite {
     assert(out(1L).length === 16 && out(1L).matches("[0-9a-f]{16}"))
   }
 
+  test("property: kernels match independent JVM references on random inputs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    graft.functions.MinHashBands.register(spark)
+    graft.functions.SimHash64.register(spark)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // strings incl. unicode, empties, duplicates
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("", "héllo wörld", "日本語 テスト", "a b", "…—»"),
+      Gen.const("dup"))
+    val arrGen = Gen.listOfN(12, strGen)
+    (0 until 20).foreach { i =>
+      val arr = arrGen(Gen.Parameters.default, Seed(i.toLong)).get
+      val row = Seq((1L, arr)).toDF("sid", "xs")
+        .select(
+          call_function("minhash_bands", col("xs"), lit(4), lit(2)).as("bands"),
+          call_function("simhash64", col("xs")).as("sig"))
+        .head
+      // reference minhash bands
+      val mins = (0 until 4).map(h => arr.map(s => md5hex(s"$h|$s")).min)
+      val expBands = Seq(md5hex(mins(0) + "|" + mins(1)), md5hex(mins(2) + "|" + mins(3)))
+      assert(row.getSeq[String](0) === expBands, s"minhash mismatch on $arr")
+      // reference simhash
+      val counts = Array.fill(64)(0)
+      arr.foreach { s =>
+        val hx = md5hex(s)
+        for (p <- 0 until 16; b <- 0 until 4) {
+          val dig = Integer.parseInt(hx.substring(p, p + 1), 16)
+          counts(p * 4 + b) += (if (((dig >> b) & 1) == 1) 1 else -1)
+        }
+      }
+      val expSig = (0 until 16).map { p =>
+        "0123456789abcdef".charAt(
+          (0 until 4).map(b => if (counts(p * 4 + b) > 0) 1 << b else 0).sum)
+      }.mkString
+      assert(row.getString(1) === expSig, s"simhash mismatch on $arr")
+    }
+  }
+
   test("invalid band geometry is rejected at analysis time") {
     import spark.implicits._
     MinHashBands.register(spark)
