@@ -173,6 +173,39 @@ class AsOfJoinSpec extends AnyFunSuite {
     new graft.plans.GraftExtensions().apply(ext) // builders register cleanly
   }
 
+  test("property: merge agrees with a brute-force reference on random inputs, all modes") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // small key/time domains force duplicates, ties, and empty keys
+    val rowGen = Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 20L))
+    val sideGen = Gen.listOfN(25, rowGen)
+    for (i <- 0 until 8; fwd <- Seq(false, true); tol <- Seq(None, Some(5L))) {
+      val lRows = sideGen(Gen.Parameters.default, Seed(i.toLong)).get.zipWithIndex
+        .map { case ((k, t), id) => (id.toLong, k, t) }
+      val rRows = sideGen(Gen.Parameters.default, Seed(1000L + i)).get.zipWithIndex
+        .map { case ((k, t), id) => (k, t, s"tag$id") }
+      val got = AsOfJoin.asofJoin(
+          lRows.toDF("id", "k", "t"), rRows.toDF("rk", "rt", "tag"),
+          "k", "rk", "t", "rt", tolerance = tol, forward = fwd)
+        .select(col("id"), col("rt"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      // brute-force reference: per left row, scan every right row. The
+      // exec returns the LAST eligible row in (key, time-direction) sort
+      // order, so the matched TIME is max (backward) / min (forward).
+      val expect = lRows.map { case (id, k, t) =>
+        val elig = rRows.filter { case (rk, rt, _) =>
+          rk == k && (if (fwd) rt >= t else rt <= t) &&
+            tol.forall(tt => (if (fwd) rt - t else t - rt) <= tt)
+        }.map(_._2)
+        id -> (if (elig.isEmpty) None
+               else Some(if (fwd) elig.min else elig.max))
+      }.toMap
+      assert(got === expect, s"seed=$i fwd=$fwd tol=$tol")
+    }
+  }
+
   test("duplicate right timestamps at the match point stay deterministic") {
     import spark.implicits._
     val l = Seq((1L, "u", 100L)).toDF("id", "k", "t")
