@@ -55,19 +55,24 @@ object Bench {
       val (a, b) = (r1(n), r2(n))
       n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
-    // millisecond precision keeps the line SHORT (a full-precision double
-    // per query once pushed the line past the driver's log-tail capture,
-    // truncating the {"metric":"total" head — BENCH_r02.json lost it)
-    def fmt(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // centisecond precision keeps the line SHORT: the driver captures a
+    // fixed log TAIL (~2.9 KB) and anything longer loses its {"metric"
+    // head — that truncated BENCH_r02 AND BENCH_r03 (3-dp × 78 queries
+    // ≈ 3.0 KB). 2 dp × ~90 queries ≈ 2.3 KB leaves real margin, and
+    // 10 ms resolution is far below this box's run-to-run noise anyway;
+    // the full 3-dp line still lands in BENCH_LOCAL.json below.
+    def fmt(v: Double, dp: Int): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
+    def mkLine(dp: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val line = mkLine(2)
     // belt and braces: persist the full line where a log-tail capture
     // can't hurt it, then print it as the very last stdout of the run
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), mkLine(3) + "\n")
     catch { case e: Exception => System.err.println(s"[bench] local write failed: $e") }
     spark.stop()
     println(line)

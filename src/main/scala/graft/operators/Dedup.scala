@@ -217,28 +217,40 @@ object Dedup {
     var checkpointed = edges.groupBy(col("src").as("node"))
       .agg(least(col("src"), min(col("dst"))).as("label")).localCheckpoint()
     var labels = checkpointed
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      // min neighbor label per node, folded with the node's own label
+    // one propagation round: min neighbor label per node, folded with the
+    // node's own label; `improved` marks rows the round actually changed
+    def propagate(): DataFrame = {
       val viaNbr = edges
         .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(viaNbr, Seq("node"), "left")
+      labels.join(viaNbr, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (col("nbr_label") < col("label")).as("improved"))
         .localCheckpoint()
-      changed = next.filter(col("improved")).count()
+    }
+    def advance(next: DataFrame): Long = {
+      val changed = next.filter(col("improved")).count()
       // next is materialized — the previous round's blocks are dead; free
       // them now instead of waiting for driver GC (they otherwise pile up
       // across rounds and runs and pressure the block store)
       checkpointed.unpersist()
       checkpointed = next
       labels = next.select(col("node"), col("label"))
+      changed
+    }
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      changed = advance(propagate())
       i += 1
     }
+    // a graph that converges on exactly the maxIter-th round exits with
+    // changed > 0 even though the labels are already final — one extra
+    // confirming round (a no-op when converged) distinguishes that from a
+    // genuinely unconverged graph before we fail
+    if (changed > 0) changed = advance(propagate())
     edges.unpersist()
     // fail fast rather than return partially-propagated labels: a graph
     // whose diameter exceeds maxIter would otherwise silently yield wrong

@@ -50,6 +50,15 @@ object Kmeans {
       .select(col(idCol).cast("long").as("centroid_id"),
         col(vecCol).cast("array<float>").as("cv"))
       .localCheckpoint(true)
+    // the seed predicate assumes ids are dense from 0 — with sparse ids it
+    // silently yields < k (possibly 0) centroids and every later stage
+    // would "work" on a crippled codebook. The count is on the k-row
+    // checkpointed frame, so the guard costs nothing.
+    val seeded = cents.count()
+    require(seeded == k,
+      s"k-means init found $seeded of $k seed vectors with $idCol < $k — " +
+        s"centroid seeding assumes ids are dense from 0; re-key the input " +
+        s"(e.g. row_number() - 1) or lower k")
     for (_ <- 1 to iters) {
       val assigned = Similarity.assignToCentroids(emb, cents, idCol, vecCol)
         .select(col("vec_id"), col("centroid_id"))

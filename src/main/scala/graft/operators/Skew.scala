@@ -56,7 +56,24 @@ object Skew {
     * reordering is real. Content hashing is retry-stable; the one caveat
     * (fully identical rows share a salt) only matters when a hot key's
     * rows are literal duplicates across every column, in which case a
-    * prior dedup/aggregate is the actual fix. */
-  private def contentSalt(df: DataFrame, saltBuckets: Int): Column =
-    pmod(hash(df.columns.map(col).toSeq: _*), lit(saltBuckets)).cast("int")
+    * prior dedup/aggregate is the actual fix.
+    *
+    * Only hash()-eligible columns feed the salt: `hash` rejects MapType
+    * (anywhere in a nested type) at analysis, so a frame carrying a map
+    * column would fail before the job starts even though the other
+    * columns distribute rows perfectly well. A frame with NO hashable
+    * column fails fast with a real message instead of an analysis error. */
+  private def contentSalt(df: DataFrame, saltBuckets: Int): Column = {
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(cols.nonEmpty,
+      s"contentSalt: no hash()-eligible column in [${df.schema.fields.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}] — " +
+        "pass a frame with at least one non-map column (or pre-derive a salt source)")
+    pmod(hash(cols.toSeq: _*), lit(saltBuckets)).cast("int")
+  }
 }

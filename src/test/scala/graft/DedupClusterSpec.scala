@@ -8,9 +8,9 @@ import graft.operators.Dedup
 class DedupClusterSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def components(pairs: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] = {
     import spark.implicits._
-    Dedup.connectedComponents(pairs.toDF("a_id", "b_id"))
+    Dedup.connectedComponents(pairs.toDF("a_id", "b_id"), maxIter)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -34,6 +34,23 @@ class DedupClusterSpec extends AnyFunSuite {
     val got = components(Seq((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L)))
     assert(got.values.toSet === Set(1L))
     assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("convergence on exactly the maxIter-th round passes via the confirming round") {
+    import spark.implicits._
+    // a path graph needs several propagation rounds; find the exact number
+    // empirically, then assert the boundary: maxIter == exact passes (the
+    // final productive round leaves changed > 0, which only a confirming
+    // extra round can bless), maxIter == exact - 1 throws
+    val pairs = (0L until 7L).map(i => (i, i + 1))
+    val exact = (1 to 20).find { m =>
+      scala.util.Try(components(pairs, maxIter = m)).isSuccess
+    }.get
+    assert(exact > 1, "path graph must need more than one round for this test to bite")
+    val got = components(pairs, maxIter = exact)
+    assert(got.values.toSet === Set(0L))
+    val ex = intercept[IllegalArgumentException](components(pairs, maxIter = exact - 1))
+    assert(ex.getMessage.contains("did not converge"))
   }
 
   test("verified pipeline: LSH false positives are rescored out before clustering") {

@@ -5,7 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.NestedOps
+import graft.operators.{NestedOps, Skew}
 
 /** Property-based invariants (SURVEY.md §5.2-4): upsert idempotence and
   * totality, set-insert idempotence, default-fill totality, and the
@@ -118,5 +118,24 @@ class PropertySpec extends AnyFunSuite {
     // salt-sensitive: a different salt moves at least one row
     val s3 = ids.select(col("id"), Sampling.splitLabel(col("id"), "s2", 80, 10).as("sp"))
     assert(s1.exceptAll(s3).count() > 0)
+  }
+
+  test("salted aggregate: map columns are skipped by the content salt, not fatal") {
+    // hash() rejects MapType at analysis; the salt must derive from the
+    // remaining columns and the aggregate must still equal the direct one
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L))
+      .toDF("k", "v").withColumn("m", map(col("k"), col("v")))
+    val agg = (c: org.apache.spark.sql.Column) => sum(c)
+    val got = Skew.saltedAggregate(df, Seq("k"), 4, Seq(("v", agg, agg)))
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a", 3L), ("b", 3L)))
+    // a frame with ONLY map columns fails fast with a real message
+    val onlyMap = Seq(("a", 1L)).toDF("k", "v")
+      .select(map(col("k"), col("v")).as("m"), col("k"), col("v"))
+      .select(col("m"))
+    val fst = (c: org.apache.spark.sql.Column) => first(c)
+    val ex = intercept[IllegalArgumentException](
+      Skew.saltedAggregate(onlyMap, Seq("m"), 4, Seq(("m", fst, fst))))
+    assert(ex.getMessage.contains("no hash()-eligible column"))
   }
 }

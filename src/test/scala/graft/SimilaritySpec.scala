@@ -90,6 +90,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cents(0).getSeq[Float](1) === Seq(1.175f, 0.075f))
   }
 
+  test("kmeans: sparse vector ids fail fast at seeding instead of under-seeding") {
+    import spark.implicits._
+    val sparse = Seq((10L, Array(1f, 0f)), (11L, Array(0f, 1f)), (12L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException](Kmeans.train(sparse, 2, 1))
+    assert(ex.getMessage.contains("dense from 0"))
+  }
+
   test("kmeans: training is deterministic and keeps every centroid id") {
     val a = Kmeans.train(emb, 8, 2).orderBy("centroid_id").collect()
     val b = Kmeans.train(emb, 8, 2).orderBy("centroid_id").collect()
