@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-data-pipeline preprocessing over a
@@ -72,4 +72,74 @@ object TextAnalysis {
     * shingle set — a compact, order-independent document signature. */
   def fingerprint(shingleSet: Column): Column =
     array_min(transform(shingleSet, s => md5(s)))
+
+  /** Per-document n-gram occurrence counts `(sid, gram, cnt)` — the base
+    * relation for the repetition metrics. One explode + one keyed hash
+    * aggregation; partial aggregation collapses each map task's grams
+    * before the shuffle, so the exchanged volume is the per-doc DISTINCT
+    * gram count, not the token stream. */
+  def ngramCounts(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    Par.spread(df.select(col(idCol).as("sid"), tokens(col(textCol)).as("toks")))
+      .select(col("sid"), explode(shingles(col("toks"), n)).as("gram"))
+      .groupBy(col("sid"), col("gram")).agg(count(lit(1)).as("cnt"))
+
+  /** Gopher-style repetition signals (Rae et al. 2021, §A1.1: filtering
+    * documents dominated by repeated fragments — a top pretraining-data
+    * quality gate):
+    *
+    *   - `dup_token_frac`   — fraction of tokens that are repeats of an
+    *     earlier token (1 − distinct/total);
+    *   - `top_2gram`/`top_2gram_frac` — the most frequent word 2-gram and
+    *     the fraction of document characters its occurrences cover;
+    *   - `dup_3gram_frac`   — fraction of characters covered by 3-gram
+    *     occurrences BEYOND each gram's first (the duplicate-n-gram mass).
+    *
+    * Deterministic: the top gram ties break (count desc, gram asc) via two
+    * hash aggregations and an equi-join on the per-doc max — no window, no
+    * sort, so the shape survives a corpus-scale shuffle. Fractions are
+    * single double divisions of exact integer counts rounded to 6 dp. */
+  def repetitionMetrics(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("sid"), length(col(textCol)).as("n_chars"),
+      tokens(col(textCol)).as("toks"))
+    val tok = base.select(col("sid"), col("n_chars"),
+      size(col("toks")).as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_distinct"))
+    val g2 = ngramCounts(df, textCol, idCol, 2)
+    val mx2 = g2.groupBy(col("sid")).agg(max(col("cnt")).as("mc"))
+    val top2 = g2.join(mx2, Seq("sid")).filter(col("cnt") === col("mc"))
+      .groupBy(col("sid"))
+      .agg(min(col("gram")).as("top_2gram"), max(col("cnt")).as("top_2gram_cnt"))
+    val dup3 = ngramCounts(df, textCol, idCol, 3)
+      .filter(col("cnt") > 1)
+      .groupBy(col("sid"))
+      .agg(sum((col("cnt") - 1) * length(col("gram"))).as("dup3_chars"))
+    tok.join(top2, Seq("sid"), "left").join(dup3, Seq("sid"), "left")
+      .select(col("sid").as("doc_id"), col("n_tokens"),
+        round((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"), 6)
+          .as("dup_token_frac"),
+        col("top_2gram"),
+        round((col("top_2gram_cnt") * length(col("top_2gram"))).cast("double") /
+          col("n_chars"), 6).as("top_2gram_frac"),
+        coalesce(round(col("dup3_chars").cast("double") / col("n_chars"), 6), lit(0.0))
+          .as("dup_3gram_frac"))
+  }
+
+  /** Within-document dedup: drop every repeat of a token, keeping first
+    * occurrences in document order — the intra-doc analogue of corpus
+    * dedup (boilerplate/navigation strings repeat INSIDE crawled pages).
+    * Two keyed hash aggregations: first-position per (doc, token), then
+    * re-assembly by sorting each doc's kept (position, token) pairs inside
+    * its aggregation buffer — an O(kept·log kept) per-doc sort, never a
+    * corpus-wide sort. */
+  def dedupTokensKeepFirst(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    Par.spread(df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks")))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(min(col("pos")).as("p"), count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok"))).as("dedup_text"),
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_kept"))
 }

@@ -153,6 +153,49 @@ object TextQueries extends graft.QueryPack {
               |  len(list_filter(toks, x -> x <> 'the')) AS n_sans_the
               |FROM t""".stripMargin)),
 
+    // ---- X10: Gopher-style repetition signals ---------------------------
+    // The oracle mirrors the two-agg top-gram tie-break with a window (the
+    // oracle need not be scale-shaped, only value-identical).
+    Q("q_x10_repetition",
+      (s, d) => TextAnalysis.repetitionMetrics(Tables.documents(s, d), "text", "doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, length(text) AS n_chars, $duckToks AS toks FROM documents),
+              |tok AS (SELECT doc_id, n_chars, len(toks) AS n_tokens,
+              |  len(list_distinct(toks)) AS n_distinct FROM t),
+              |g2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM (
+              |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+              |    i -> toks[i] || ' ' || toks[i+1])) AS gram FROM t) GROUP BY 1, 2),
+              |top2 AS (SELECT doc_id, gram AS top_2gram, cnt AS top_2gram_cnt FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn FROM g2) WHERE rn = 1),
+              |g3 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM (
+              |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+              |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+              |  FROM t WHERE len(toks) >= 3) GROUP BY 1, 2),
+              |dup3 AS (SELECT doc_id, SUM((cnt - 1) * length(gram)) AS dup3_chars
+              |  FROM g3 WHERE cnt > 1 GROUP BY 1)
+              |SELECT tok.doc_id, n_tokens,
+              |  ROUND(CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+              |  top_2gram,
+              |  ROUND(CAST(top_2gram_cnt * length(top_2gram) AS DOUBLE) / n_chars, 6) AS top_2gram_frac,
+              |  COALESCE(ROUND(CAST(dup3_chars AS DOUBLE) / n_chars, 6), 0.0) AS dup_3gram_frac
+              |FROM tok
+              |LEFT JOIN top2 ON top2.doc_id = tok.doc_id
+              |LEFT JOIN dup3 ON dup3.doc_id = tok.doc_id""".stripMargin)),
+
+    // ---- X11: within-document token dedup (keep first occurrences) ------
+    Q("q_x11_within_doc_dedup",
+      (s, d) => TextAnalysis.dedupTokensKeepFirst(Tables.documents(s, d), "text", "doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |px AS (SELECT doc_id, unnest(toks) AS tok,
+              |  unnest(range(1, len(toks) + 1)) AS pos FROM t),
+              |f AS (SELECT doc_id, tok, min(pos) AS p, COUNT(*) AS c
+              |  FROM px GROUP BY 1, 2)
+              |SELECT doc_id,
+              |  string_agg(tok, ' ' ORDER BY p) AS dedup_text,
+              |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+              |  COUNT(*) AS n_kept
+              |FROM f GROUP BY doc_id""".stripMargin)),
+
     // ---- X4: document fingerprint (min-hash over shingle set) ----------
     Q("q_x4_fingerprint",
       // the length guard is on toks, BEFORE shingling: a filter on the
