@@ -18,6 +18,7 @@ object SparkEntry {
     qpacks.DedupQueries,
     qpacks.CurationQueries,
     qpacks.SimilarityQueries,
+    qpacks.PqQueries,
     qpacks.EventQueries,
     qpacks.MultimodalQueries,
     qpacks.ExtraQueries)

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for approximate inner-product search over
+  * embedding columns — the memory-side counterpart to [[Similarity]]'s
+  * IVF: instead of pruning the candidate set, PQ compresses the vectors
+  * themselves. A d-float corpus vector becomes m small integer codes (one
+  * per subspace), and queries score candidates through a per-query lookup
+  * table (ADC — asymmetric distance computation) without ever touching
+  * the original vectors. At 100 TB this is what makes the vector side of
+  * a training-data pipeline fit in cluster memory: m bytes per vector
+  * instead of 4d, and the scoring pass is a broadcast-LUT map join plus
+  * one keyed aggregation — no full-vector shuffle anywhere.
+  * (Public method: Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011; inner-product scoring as in the MIPS/
+  * ScaNN line of work.)
+  *
+  * Codebooks are per-subspace spherical k-means ([[Kmeans.train]] on the
+  * sliced corpus — max-cosine assignment), and the ADC score approximates
+  * the inner product: dot(q, x) = Σ_s dot(q_s, x_s) ≈ Σ_s dot(q_s,
+  * codebook_s[code_s(x)]). Determinism mirrors the rest of the similarity
+  * stack: every score/contribution is rounded to 6 dp and ties break to
+  * the lowest centroid/neighbor id, so a DuckDB oracle replaying the same
+  * fixed iterations hash-matches bit-for-bit.
+  */
+object Pq {
+
+  /** Subspace `s` of a `dim`-dim vector under m equal `subDim`-wide
+    * slices (Spark slice() is 1-based). */
+  private def subVec(vec: Column, s: Int, subDim: Int): Column =
+    slice(vec, s * subDim + 1, subDim)
+
+  private def nativeDot(df: DataFrame, a: Column, b: Column): Column =
+    Similarity.nativeDot(df.sparkSession, a, b)
+
+  /** Train per-subspace codebooks: `(sub_id: int, centroid_id: long,
+    * cv: array<float>)` — m independent [[Kmeans.train]] runs over the
+    * sliced corpus, each the broadcast-assign + per-dim-mean shape and
+    * each localCheckpointed, so downstream encode/search never re-train. */
+  def trainCodebooks(emb: DataFrame, m: Int, dim: Int, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val subDim = dim / m
+    (0 until m).map { s =>
+      Kmeans.train(
+        emb.select(col(idCol), subVec(col(vecCol), s, subDim).as(vecCol)),
+        k, iters, idCol, vecCol)
+        .select(lit(s).cast("int").as("sub_id"), col("centroid_id"), col("cv"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Encode every vector: per subspace, its max-cosine codebook entry.
+    * `(vec_id, sub_id, code, score)`. One posexplode (m rows per vector),
+    * a broadcast join against the m·k-row codebook, and one hash argmax
+    * via the packed-long max_by (see [[Similarity.assignToCentroids]] for
+    * why the order packs into a long) — the only shuffle carries
+    * (vec, sub, best) tuples, never vectors. */
+  def encode(emb: DataFrame, codebooks: DataFrame, m: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val subDim = dim / m
+    val slices = array((0 until m).map(s => subVec(col(vecCol), s, subDim)): _*)
+    val exploded = Par.spread(emb.select(col(idCol).as("vec_id"), col(vecCol)))
+      .select(col("vec_id"), posexplode(slices).as(Seq("sub_id", "sv")))
+      .select(col("vec_id"), col("sub_id"), col("sv"),
+        sqrt(nativeDot(emb, col("sv"), col("sv"))).as("svn"))
+    val cb = broadcast(codebooks.select(col("sub_id"), col("centroid_id"), col("cv"),
+      sqrt(nativeDot(codebooks, col("cv"), col("cv"))).as("cn")))
+    val ord = round(col("score") * 1e6).cast("long") * lit(4294967296L) -
+      col("centroid_id").cast("long")
+    exploded.join(cb, Seq("sub_id"))
+      .select(col("vec_id"), col("sub_id"), col("centroid_id"),
+        round(nativeDot(emb, col("sv"), col("cv")) / (col("svn") * col("cn")), 6)
+          .as("score"))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(max_by(col("centroid_id"), ord).as("code"), max(col("score")).as("score"))
+  }
+
+  /** ADC top-k: approximate inner-product search against the ENCODED
+    * corpus. Per query, a lookup table of dot(q_s, codebook entry) —
+    * nq·m·k rows, broadcast — joins the code relation on (sub, code);
+    * summing a vector's m contributions approximates its inner product
+    * with the query. The corpus side moves only (neighbor, sub, code)
+    * tuples through one partial-aggregated shuffle; original vectors are
+    * read exactly once (at encode time). */
+  def adcTopK(emb: DataFrame, codebooks: DataFrame, queryPred: Column,
+      m: Int, dim: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subDim = dim / m
+    val codes = encode(emb, codebooks, m, dim, idCol, vecCol)
+      .select(col("vec_id").as("neighbor_id"), col("sub_id"), col("code"))
+    val slices = array((0 until m).map(s => subVec(col(vecCol), s, subDim)): _*)
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), posexplode(slices).as(Seq("sub_id", "qs")))
+    val lut = q.join(codebooks.select(col("sub_id"), col("centroid_id").as("code"),
+        col("cv")), Seq("sub_id"))
+      .select(col("query_id"), col("sub_id"), col("code"),
+        round(nativeDot(emb, col("qs"), col("cv")), 6).as("contrib"))
+    codes.join(broadcast(lut), Seq("sub_id", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(round(sum(col("contrib")), 6).as("approx_score"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("approx_score").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+  }
+}

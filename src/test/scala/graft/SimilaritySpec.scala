@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Kmeans, Similarity}
+import graft.operators.{Kmeans, Pq, Similarity}
 
 class SimilaritySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -88,6 +88,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cents(1).getSeq[Float](1) === Seq(2f, 0f), "empty cluster must keep init centroid")
     // cluster 0 absorbed everything: per-dim mean rounded to 6 dp
     assert(cents(0).getSeq[Float](1) === Seq(1.175f, 0.075f))
+  }
+
+  test("pq: every vector gets exactly m codes, all within the codebook") {
+    val cb = Pq.trainCodebooks(emb, 4, 64, 4, 2)
+    assert(cb.count() === 16) // 4 subspaces × 4 centroids
+    val codes = Pq.encode(emb, cb, 4, 64)
+    val n = emb.count()
+    assert(codes.count() === n * 4)
+    val perVec = codes.groupBy(col("vec_id"))
+      .agg(countDistinct(col("sub_id")).as("subs")).filter(col("subs") =!= 4).count()
+    assert(perVec === 0, "some vector lost a subspace code")
+    val outOfRange = codes.filter(col("code") < 0 || col("code") >= 4).count()
+    assert(outOfRange === 0)
+  }
+
+  test("pq: adc ranking recalls a sane share of the exact top-k") {
+    // crude quantizer (4 subspaces × 4 entries = 256 distinct encodings
+    // for 500 vectors), so expect partial — but far-from-random — recall
+    val cb = Pq.trainCodebooks(emb, 4, 64, 4, 2)
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 5, 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Pq.adcTopK(emb, cb, col("vec_id") < 5, 4, 64, 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(s"ADC recall@10 = $recall")
+    // random top-10 of 499 would land ~0.02; require a real margin over it
+    assert(recall >= 0.1, s"recall $recall is indistinguishable from chance")
   }
 
   test("kmeans: sparse vector ids fail fast at seeding instead of under-seeding") {
