@@ -48,7 +48,16 @@ object Curation {
       .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
+    // three downstream consumers read this frame (band generation, the
+    // Jaccard-rescore shingle relation, and the survivor anti-join) — an
+    // unmaterialized plan would re-run scan → tokenize → hash-dedup for
+    // each. This is the pipeline's natural stage boundary: at cluster
+    // scale you'd persist the exact-dedup survivors to a staging table
+    // for exactly the same reason; localCheckpoint is the in-session
+    // equivalent (and truncates the lineage the CC iterations would
+    // otherwise re-plan every round).
     val exact = quality.join(exactKeepers, Seq(idCol), "left_semi")
+      .localCheckpoint()
 
     // 3. verified near-dup dedup: drop every non-keeper cluster member
     val clusters = Dedup.verifiedClusters(exact, textCol, idCol)
