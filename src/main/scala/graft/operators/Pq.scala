@@ -79,6 +79,37 @@ object Pq {
       .agg(max_by(col("centroid_id"), ord).as("code"), max(col("score")).as("score"))
   }
 
+  /** The encoded corpus as `(neighbor_id, sub_id, code)`. */
+  private def corpusCodes(emb: DataFrame, codebooks: DataFrame, m: Int,
+      dim: Int, idCol: String, vecCol: String): DataFrame =
+    encode(emb, codebooks, m, dim, idCol, vecCol)
+      .select(col("vec_id").as("neighbor_id"), col("sub_id"), col("code"))
+
+  /** Per-query ADC lookup table `(query_id, sub_id, code, contrib)` —
+    * nq·m·k rows, broadcast-sized by construction. */
+  private def queryLut(emb: DataFrame, codebooks: DataFrame,
+      queryPred: Column, m: Int, dim: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val subDim = dim / m
+    val slices = array((0 until m).map(s => subVec(col(vecCol), s, subDim)): _*)
+    emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), posexplode(slices).as(Seq("sub_id", "qs")))
+      .join(codebooks.select(col("sub_id"), col("centroid_id").as("code"),
+        col("cv")), Seq("sub_id"))
+      .select(col("query_id"), col("sub_id"), col("code"),
+        round(nativeDot(emb, col("qs"), col("cv")), 6).as("contrib"))
+  }
+
+  /** Sum each (query, neighbor)'s m contributions into the approximate
+    * inner product and keep the per-query top-k. */
+  private def rankApprox(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(round(sum(col("contrib")), 6).as("approx_score"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("approx_score").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+
   /** ADC top-k: approximate inner-product search against the ENCODED
     * corpus. Per query, a lookup table of dot(q_s, codebook entry) —
     * nq·m·k rows, broadcast — joins the code relation on (sub, code);
@@ -89,22 +120,47 @@ object Pq {
   def adcTopK(emb: DataFrame, codebooks: DataFrame, queryPred: Column,
       m: Int, dim: Int, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val subDim = dim / m
-    val codes = encode(emb, codebooks, m, dim, idCol, vecCol)
-      .select(col("vec_id").as("neighbor_id"), col("sub_id"), col("code"))
-    val slices = array((0 until m).map(s => subVec(col(vecCol), s, subDim)): _*)
-    val q = emb.filter(queryPred)
-      .select(col(idCol).as("query_id"), posexplode(slices).as(Seq("sub_id", "qs")))
-    val lut = q.join(codebooks.select(col("sub_id"), col("centroid_id").as("code"),
-        col("cv")), Seq("sub_id"))
-      .select(col("query_id"), col("sub_id"), col("code"),
-        round(nativeDot(emb, col("qs"), col("cv")), 6).as("contrib"))
-    codes.join(broadcast(lut), Seq("sub_id", "code"))
+    val codes = corpusCodes(emb, codebooks, m, dim, idCol, vecCol)
+    val lut = queryLut(emb, codebooks, queryPred, m, dim, idCol, vecCol)
+    rankApprox(
+      codes.join(broadcast(lut), Seq("sub_id", "code"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("contrib")), k)
+  }
+
+  /** IVF-PQ: the composed ANN scale path — a coarse quantizer (e.g.
+    * [[Kmeans.train]] on the full vectors) prunes the corpus to the
+    * queries' `nProbe` inverted lists, and ADC scores ONLY those
+    * candidates through the broadcast lookup table. This is the standard
+    * billion-scale layout (IVFADC in the PQ paper): the scoring pass
+    * touches |probed lists| × m code tuples instead of the corpus, and
+    * nothing larger than (id, sub, code) ever shuffles. */
+  def ivfAdcTopK(emb: DataFrame, coarse: DataFrame, codebooks: DataFrame,
+      queryPred: Column, nProbe: Int, m: Int, dim: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assign = Similarity.assignToCentroids(emb, coarse, idCol, vecCol)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
+    val cents = broadcast(coarse.select(col("centroid_id"), col("cv"),
+      sqrt(nativeDot(coarse, col("cv"), col("cv"))).as("cn")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("centroid_id"))
+    val probes = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        sqrt(nativeDot(emb, col(vecCol), col(vecCol))).as("qn"))
+      .crossJoin(cents)
+      .select(col("query_id"), col("centroid_id"),
+        round(nativeDot(emb, col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cscore"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("centroid_id"))
+    val cand = probes.join(assign, Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(round(sum(col("contrib")), 6).as("approx_score"))
-      .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("approx_score").desc, col("neighbor_id"))))
-      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val codes = corpusCodes(emb, codebooks, m, dim, idCol, vecCol)
+    val lut = queryLut(emb, codebooks, queryPred, m, dim, idCol, vecCol)
+    rankApprox(
+      cand.join(codes, Seq("neighbor_id"))
+        .join(broadcast(lut), Seq("query_id", "sub_id", "code"))
+        .select(col("query_id"), col("neighbor_id"), col("contrib")), k)
   }
 }

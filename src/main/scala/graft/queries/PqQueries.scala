@@ -3,21 +3,25 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Q
-import graft.operators.Pq
+import graft.operators.{Kmeans, Pq}
 import graft.sources.Tables
 
 /** Product-quantization surface over `embeddings` (64-dim): m=4 subspaces
   * of 16 dims, k=4 codebook entries per subspace, 2 Lloyd iterations —
-  * small enough that the DuckDB oracle replays ALL FOUR per-subspace
-  * k-means trainings as generated CTE chains (the same fixed-iteration
-  * replay technique as q_sim6, suffixed per subspace), yet large enough
-  * that codes, LUTs, and ADC ranking are all non-trivially exercised.
+  * small enough that the DuckDB oracle replays EVERY k-means training
+  * (four subspace codebooks, plus the 8-centroid full-space coarse
+  * quantizer for IVF-PQ) as generated CTE chains — the same
+  * fixed-iteration replay technique as q_sim6, parameterized by a CTE
+  * suffix — yet large enough that codes, LUTs, candidate pruning and ADC
+  * ranking are all non-trivially exercised.
   */
 object PqQueries extends graft.QueryPack {
 
   private val M = 4
   private val SubDim = 16
   private val K = 4
+  private val CoarseK = 8
+  private val NProbe = 2
   private val TopK = 10
 
   private val duckEx =
@@ -26,71 +30,89 @@ object PqQueries extends graft.QueryPack {
       |         unnest(range(1, len(embedding) + 1)) AS i
       |  FROM embeddings)""".stripMargin
 
-  /** Subspace slice re-based to local dims 1..SubDim, its norms, and the
-    * first-K seed centroids — the per-subspace analogue of q_sim6's base. */
-  private def subBase(s: Int): String = {
-    val lo = s * SubDim + 1
-    val hi = (s + 1) * SubDim
-    s"""ex_$s AS (SELECT vec_id, v, i - ${s * SubDim} AS i
+  /** Dimension slice [lo, hi] re-based to local dims 1.., its norms, and
+    * the first-`k` seed centroids, all CTEs suffixed `_sfx`. Subspace
+    * codebooks use 16-dim slices; the coarse quantizer uses the full
+    * vector (lo=1, hi=64). */
+  private def base(sfx: String, lo: Int, hi: Int, k: Int): String =
+    s"""ex_$sfx AS (SELECT vec_id, v, i - ${lo - 1} AS i
        |  FROM ex WHERE i BETWEEN $lo AND $hi),
-       |norms_$s AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
-       |  FROM ex_$s GROUP BY 1),
-       |c0_$s AS (SELECT vec_id AS centroid_id, CAST(v AS DOUBLE) AS cv, i
-       |  FROM ex_$s WHERE vec_id < $K)""".stripMargin
-  }
+       |norms_$sfx AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+       |  FROM ex_$sfx GROUP BY 1),
+       |c0_$sfx AS (SELECT vec_id AS centroid_id, CAST(v AS DOUBLE) AS cv, i
+       |  FROM ex_$sfx WHERE vec_id < $k)""".stripMargin
 
-  /** One Lloyd iteration in subspace `s` (mirrors Kmeans.train exactly:
+  /** One Lloyd iteration over slice `sfx` (mirrors Kmeans.train exactly:
     * 6-dp cosine argmax with ties to the lowest centroid id, per-dim mean
     * rounded to 6 dp and narrowed through FLOAT, empty clusters keep the
     * previous centroid). */
-  private def kmIter(s: Int, n: Int): String = {
-    val prev = s"c${n - 1}_$s"
-    s"""kn${n - 1}_$s AS (SELECT centroid_id, sqrt(SUM(cv * cv)) AS nrm
+  private def kmIter(sfx: String, n: Int): String = {
+    val prev = s"c${n - 1}_$sfx"
+    s"""kn${n - 1}_$sfx AS (SELECT centroid_id, sqrt(SUM(cv * cv)) AS nrm
        |  FROM $prev GROUP BY 1),
-       |s${n}_$s AS (
+       |s${n}_$sfx AS (
        |  SELECT d.vec_id, d.centroid_id,
        |         ROUND(d.dot / (nv.nrm * nc.nrm), 6) AS score
        |  FROM (SELECT e.vec_id, c.centroid_id,
        |               SUM(CAST(e.v AS DOUBLE) * c.cv) AS dot
-       |        FROM ex_$s e JOIN $prev c ON e.i = c.i GROUP BY 1, 2) d
-       |  JOIN norms_$s nv ON nv.vec_id = d.vec_id
-       |  JOIN kn${n - 1}_$s nc ON nc.centroid_id = d.centroid_id),
-       |a${n}_$s AS (SELECT vec_id, centroid_id FROM (
+       |        FROM ex_$sfx e JOIN $prev c ON e.i = c.i GROUP BY 1, 2) d
+       |  JOIN norms_$sfx nv ON nv.vec_id = d.vec_id
+       |  JOIN kn${n - 1}_$sfx nc ON nc.centroid_id = d.centroid_id),
+       |a${n}_$sfx AS (SELECT vec_id, centroid_id FROM (
        |  SELECT vec_id, centroid_id, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-       |  FROM s${n}_$s) WHERE rn = 1),
-       |m${n}_$s AS (SELECT a.centroid_id, e.i,
+       |  FROM s${n}_$sfx) WHERE rn = 1),
+       |m${n}_$sfx AS (SELECT a.centroid_id, e.i,
        |    CAST(CAST(ROUND(AVG(CAST(e.v AS DOUBLE)), 6) AS FLOAT) AS DOUBLE) AS cv
-       |  FROM a${n}_$s a JOIN ex_$s e ON e.vec_id = a.vec_id GROUP BY 1, 2),
-       |c${n}_$s AS (SELECT c.centroid_id, c.i, COALESCE(m.cv, c.cv) AS cv
-       |  FROM $prev c LEFT JOIN m${n}_$s m
+       |  FROM a${n}_$sfx a JOIN ex_$sfx e ON e.vec_id = a.vec_id GROUP BY 1, 2),
+       |c${n}_$sfx AS (SELECT c.centroid_id, c.i, COALESCE(m.cv, c.cv) AS cv
+       |  FROM $prev c LEFT JOIN m${n}_$sfx m
        |    ON m.centroid_id = c.centroid_id AND m.i = c.i)""".stripMargin
   }
 
-  /** Assignment of every vector against the trained codebook of subspace
-    * `s`: `codes_s` = (vec_id, code, score). */
-  private def assignSub(s: Int): String =
-    s"""kn2_$s AS (SELECT centroid_id, sqrt(SUM(cv * cv)) AS nrm FROM c2_$s GROUP BY 1),
-       |sc_$s AS (
+  /** Assignment of every vector against trained codebook `c2_sfx`:
+    * `codes_sfx` = (vec_id, code, score); `sc_sfx` keeps ALL scores (the
+    * probe-ranking input for the coarse quantizer). */
+  private def assignAll(sfx: String): String =
+    s"""kn2_$sfx AS (SELECT centroid_id, sqrt(SUM(cv * cv)) AS nrm FROM c2_$sfx GROUP BY 1),
+       |sc_$sfx AS (
        |  SELECT d.vec_id, d.centroid_id,
        |         ROUND(d.dot / (nv.nrm * nc.nrm), 6) AS score
        |  FROM (SELECT e.vec_id, c.centroid_id,
        |               SUM(CAST(e.v AS DOUBLE) * c.cv) AS dot
-       |        FROM ex_$s e JOIN c2_$s c ON e.i = c.i GROUP BY 1, 2) d
-       |  JOIN norms_$s nv ON nv.vec_id = d.vec_id
-       |  JOIN kn2_$s nc ON nc.centroid_id = d.centroid_id),
-       |codes_$s AS (SELECT vec_id, centroid_id AS code, score FROM (
+       |        FROM ex_$sfx e JOIN c2_$sfx c ON e.i = c.i GROUP BY 1, 2) d
+       |  JOIN norms_$sfx nv ON nv.vec_id = d.vec_id
+       |  JOIN kn2_$sfx nc ON nc.centroid_id = d.centroid_id),
+       |codes_$sfx AS (SELECT vec_id, centroid_id AS code, score FROM (
        |  SELECT vec_id, centroid_id, score, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-       |  FROM sc_$s) WHERE rn = 1)""".stripMargin
+       |  FROM sc_$sfx) WHERE rn = 1)""".stripMargin
 
-  /** All four trained codebooks (ex + per-subspace base + 2 iterations). */
+  /** Per-query ADC lookup table for subspace `s`. */
+  private def lutSub(s: Int): String =
+    s"""lut_$s AS (
+       |  SELECT q.vec_id AS query_id, c.centroid_id AS code,
+       |         ROUND(SUM(CAST(q.v AS DOUBLE) * c.cv), 6) AS contrib
+       |  FROM ex_$s q JOIN c2_$s c ON q.i = c.i
+       |  WHERE q.vec_id < 5 GROUP BY 1, 2)""".stripMargin
+
+  private def subChain(s: Int): Seq[String] = {
+    val lo = s * SubDim + 1
+    Seq(base(s.toString, lo, lo + SubDim - 1, K), kmIter(s.toString, 1),
+      kmIter(s.toString, 2))
+  }
+
+  /** All four trained subspace codebooks. */
   private val trained: String =
-    (Seq(duckEx) ++ (0 until M).flatMap(s =>
-      Seq(subBase(s), kmIter(s, 1), kmIter(s, 2)))).mkString(",\n")
+    (Seq(duckEx) ++ (0 until M).flatMap(subChain)).mkString(",\n")
 
   private val withCodes: String =
-    (Seq(trained) ++ (0 until M).map(assignSub)).mkString(",\n")
+    (Seq(trained) ++ (0 until M).map(s => assignAll(s.toString))).mkString(",\n")
+
+  /** + the full-space coarse quantizer (k=8) and its corpus assignment. */
+  private val withCoarse: String =
+    (Seq(withCodes, base("g", 1, M * SubDim, CoarseK), kmIter("g", 1),
+      kmIter("g", 2), assignAll("g"))).mkString(",\n")
 
   override def queries: Seq[Q] = Seq(
 
@@ -121,11 +143,7 @@ object PqQueries extends graft.QueryPack {
         col("vec_id") < 5, M, 64, TopK),
       Some(s"""WITH $withCodes,
               |${(0 until M).map(s =>
-                 s"""lut_$s AS (
-                    |  SELECT q.vec_id AS query_id, c.centroid_id AS code,
-                    |         ROUND(SUM(CAST(q.v AS DOUBLE) * c.cv), 6) AS contrib
-                    |  FROM ex_$s q JOIN c2_$s c ON q.i = c.i
-                    |  WHERE q.vec_id < 5 GROUP BY 1, 2),
+                 s"""${lutSub(s)},
                     |contrib_$s AS (
                     |  SELECT l.query_id, e.vec_id AS neighbor_id, l.contrib
                     |  FROM codes_$s e JOIN lut_$s l ON l.code = e.code)""".stripMargin)
@@ -135,6 +153,44 @@ object PqQueries extends graft.QueryPack {
               |agg AS (
               |  SELECT query_id, neighbor_id, ROUND(SUM(contrib), 6) AS approx_score
               |  FROM allc WHERE neighbor_id <> query_id GROUP BY 1, 2)
+              |SELECT query_id, neighbor_id, approx_score, rnk FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY approx_score DESC, neighbor_id) AS rnk
+              |  FROM agg)
+              |WHERE rnk <= $TopK""".stripMargin)),
+
+    // ---- PQ4: IVF-PQ — coarse-list pruning + ADC scoring (IVFADC) -------
+    Q("q_pq4_ivfpq_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Pq.ivfAdcTopK(e, Kmeans.train(e, CoarseK, 2),
+          Pq.trainCodebooks(e, M, 64, K, 2),
+          col("vec_id") < 5, NProbe, M, 64, TopK)
+      },
+      Some(s"""WITH $withCoarse,
+              |assign_g AS (SELECT vec_id AS neighbor_id, code AS centroid_id FROM codes_g),
+              |probes AS (
+              |  SELECT vec_id AS query_id, centroid_id FROM (
+              |    SELECT vec_id, centroid_id, row_number() OVER (
+              |      PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+              |    FROM sc_g WHERE vec_id < 5) WHERE rn <= $NProbe),
+              |cand AS (
+              |  SELECT p.query_id, a.neighbor_id
+              |  FROM probes p JOIN assign_g a USING (centroid_id)
+              |  WHERE a.neighbor_id <> p.query_id),
+              |${(0 until M).map(s =>
+                 s"""${lutSub(s)},
+                    |ctr_$s AS (
+                    |  SELECT c.query_id, c.neighbor_id, l.contrib
+                    |  FROM cand c
+                    |  JOIN codes_$s e ON e.vec_id = c.neighbor_id
+                    |  JOIN lut_$s l ON l.query_id = c.query_id AND l.code = e.code)""".stripMargin)
+                 .mkString(",\n")},
+              |allc AS (${(0 until M).map(s => s"SELECT * FROM ctr_$s")
+                 .mkString(" UNION ALL ")}),
+              |agg AS (
+              |  SELECT query_id, neighbor_id, ROUND(SUM(contrib), 6) AS approx_score
+              |  FROM allc GROUP BY 1, 2)
               |SELECT query_id, neighbor_id, approx_score, rnk FROM (
               |  SELECT *, row_number() OVER (
               |    PARTITION BY query_id ORDER BY approx_score DESC, neighbor_id) AS rnk

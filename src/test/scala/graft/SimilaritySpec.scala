@@ -119,6 +119,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.1, s"recall $recall is indistinguishable from chance")
   }
 
+  test("ivf-pq: neighbors come only from probed lists, with sane recall") {
+    val coarse = Kmeans.train(emb, 8, 2)
+    val cb = Pq.trainCodebooks(emb, 4, 64, 4, 2)
+    val got = Pq.ivfAdcTopK(emb, coarse, cb, col("vec_id") < 5, 2, 4, 64, 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    // structural: every returned neighbor is assigned to one of its
+    // query's 2 probed coarse lists (the pruning really happened)
+    val assign = Similarity.assignToCentroids(emb, coarse)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // derive each query's probe set independently (driver-side brute
+    // force over the 8-row centroid table) — same 6-dp/tie contract
+    val qProbes = {
+      import spark.implicits._
+      val cents = coarse.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val qs = emb.filter(col("vec_id") < 5)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      def dot(a: Array[Float], b: Array[Float]) =
+        a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      def nrm(a: Array[Float]) = math.sqrt(dot(a, a))
+      qs.map { case (qid, qv) =>
+        qid -> cents.map { case (cid, cv) =>
+          (BigDecimal(dot(qv, cv) / (nrm(qv) * nrm(cv)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, cid)
+        }.sortBy { case (s, cid) => (-s, cid) }.take(2).map(_._2).toSet
+      }.toMap
+    }
+    got.foreach { case (q, n) =>
+      assert(qProbes(q).contains(assign(n)),
+        s"neighbor $n of query $q is outside the probed lists ${qProbes(q)}")
+    }
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 5, 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got.toSet).size.toDouble / exact.size
+    info(s"IVF-PQ recall@10 = $recall")
+    assert(recall >= 0.05, s"recall $recall is chance-level")
+  }
+
   test("kmeans: sparse vector ids fail fast at seeding instead of under-seeding") {
     import spark.implicits._
     val sparse = Seq((10L, Array(1f, 0f)), (11L, Array(0f, 1f)), (12L, Array(1f, 1f)))
