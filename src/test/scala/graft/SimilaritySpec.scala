@@ -90,6 +90,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cents(0).getSeq[Float](1) === Seq(1.175f, 0.075f))
   }
 
+  test("pq: joint codebook training equals m independent sliced kmeans runs") {
+    val joint = Pq.trainCodebooks(emb, 4, 64, 4, 2)
+    val perSub = (0 until 4).map { s =>
+      Kmeans.train(
+        emb.select(col("vec_id"), slice(col("embedding"), s * 16 + 1, 16).as("embedding")),
+        4, 2)
+        .select(lit(s).cast("int").as("sub_id"), col("centroid_id"), col("cv"))
+    }.reduce(_ unionByName _)
+    assert(joint.count() === 16)
+    assert(joint.exceptAll(perSub).isEmpty && perSub.exceptAll(joint).isEmpty,
+      "joint training diverged from the per-subspace reference")
+  }
+
   test("pq: every vector gets exactly m codes, all within the codebook") {
     val cb = Pq.trainCodebooks(emb, 4, 64, 4, 2)
     assert(cb.count() === 16) // 4 subspaces × 4 centroids
