@@ -106,6 +106,18 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"q_x8 should hash-aggregate:\n$p")
   }
 
+  test("pq encode: the per-(vec,sub) argmax hashes — no sort-agg, no window") {
+    val p = plan("q_pq2_encode")
+    assert(!p.contains("SortAggregate"), s"PQ argmax fell back to a sort:\n$p")
+    assert(!p.contains("Window"), s"PQ argmax regressed to a window:\n$p")
+    assert(p.contains("HashAggregate") && p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("repetition metrics and within-doc dedup never window-sort the token stream") {
+    assert(!plan("q_x10_repetition").contains("Window"))
+    assert(!plan("q_x11_within_doc_dedup").contains("Window"))
+  }
+
   test("binned range join is an equi-join, never a nested loop") {
     val p = plan("q_j7_binned_range")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
