@@ -124,6 +124,38 @@ object TextAnalysis {
           .as("dup_3gram_frac"))
   }
 
+  /** Collapse runs of consecutively repeated tokens to one occurrence
+    * ("the the the cat" → "the cat") — the run-length squeeze that cleans
+    * OCR stutter and templated boilerplate. Pure array HOF with an index
+    * lambda: O(tokens) per row, map-only, inside whole-stage codegen. */
+  def squeezeRuns(toks: Column): Column =
+    filter(toks, (t, i) => i === 0 || t =!= element_at(toks, i))
+
+  /** Top-`k` TF-IDF terms per document. tf = in-doc occurrences, df =
+    * docs containing the term, idf = ln((N+1)/(df+1)) — the smoothed
+    * textbook form. Scale shape: tf and df are keyed hash aggregations
+    * (map-side combined), N is a broadcast one-row cross join (never a
+    * driver-side count), and the per-doc top-k windows over each doc's
+    * DISTINCT terms — a partition-local sort of ~vocabulary-per-doc rows,
+    * not the token stream. Deterministic: 6-dp rounding absorbs the
+    * ≤1-ulp ln() difference across engines; ties break on the term. */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val px = Par.spread(df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks")))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = px.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfr, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log((col("n_docs").cast("double") + 1) / (col("df") + 1)), 6)
+          .as("tfidf"))
+    scored.withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rnk") <= k)
+  }
+
   /** Within-document dedup: drop every repeat of a token, keeping first
     * occurrences in document order — the intra-doc analogue of corpus
     * dedup (boilerplate/navigation strings repeat INSIDE crawled pages).

@@ -350,6 +350,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("hex_hamming"),
       new ExpressionInfo(classOf[graft.functions.HexHamming].getName, "hex_hamming"),
       exprs => graft.functions.HexHamming(exprs.head, exprs(1))))
+    // the map-only dedup kernels, so pure-SQL sessions can build MinHash
+    // bands / SimHash signatures without touching the DataFrame API
+    e.injectFunction((FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[graft.functions.MinHashBands].getName, "minhash_bands"),
+      exprs => graft.functions.MinHashBands(exprs.head, exprs(1), exprs(2))))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
+      exprs => graft.functions.SimHash64(exprs.head)))
   }
 }
 

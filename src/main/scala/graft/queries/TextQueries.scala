@@ -196,6 +196,39 @@ object TextQueries extends graft.QueryPack {
               |  COUNT(*) AS n_kept
               |FROM f GROUP BY doc_id""".stripMargin)),
 
+    // ---- X12: run-length squeeze (collapse consecutive repeats) ---------
+    Q("q_x12_squeeze_runs",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          concat_ws(" ", TextAnalysis.squeezeRuns(col("toks"))).as("squeezed"),
+          size(col("toks")).as("n_tokens"),
+          size(TextAnalysis.squeezeRuns(col("toks"))).as("n_runs")),
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents)
+              |SELECT doc_id,
+              |  array_to_string(list_filter(toks, (x, i) -> i = 1 OR x <> toks[i-1]), ' ') AS squeezed,
+              |  len(toks) AS n_tokens,
+              |  len(list_filter(toks, (x, i) -> i = 1 OR x <> toks[i-1])) AS n_runs
+              |FROM t""".stripMargin)),
+
+    // ---- X13: per-document TF-IDF top terms -----------------------------
+    Q("q_x13_tfidf",
+      (s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "text", "doc_id", 3),
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |px AS (SELECT doc_id, unnest(toks) AS term FROM t),
+              |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM px GROUP BY 1, 2),
+              |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+              |sc AS (
+              |  SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+              |         ROUND(tf.tf * ln((CAST(nd.n_docs AS DOUBLE) + 1) / (dfr.df + 1)), 6) AS tfidf
+              |  FROM tf JOIN dfr ON dfr.term = tf.term CROSS JOIN nd)
+              |SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+              |  FROM sc)
+              |WHERE rnk <= 3""".stripMargin)),
+
     // ---- X4: document fingerprint (min-hash over shingle set) ----------
     Q("q_x4_fingerprint",
       // the length guard is on toks, BEFORE shingling: a filter on the

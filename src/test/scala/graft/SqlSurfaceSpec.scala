@@ -94,6 +94,25 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(badCol.getMessage.contains("no_such_col"))
   }
 
+  test("dedup kernels callable from SQL via extensions alone (no register call)") {
+    registerAll()
+    // TestSpark sets spark.sql.extensions=GraftExtensions; the kernels
+    // must resolve from there without any DataFrame-side registration
+    val sig = spark.sql(
+      """SELECT doc_id, simhash64(
+        |  filter(split(text, '\\s+'), t -> t != '')) AS sig
+        |FROM documents LIMIT 5""".stripMargin).collect()
+    assert(sig.forall(_.getString(1).length === 16))
+    val bands = spark.sql(
+      """SELECT doc_id, minhash_bands(
+        |  transform(sequence(0, size(toks) - 3),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])), 8, 2) AS b
+        |FROM (SELECT doc_id, filter(split(text, '\\s+'), t -> t != '') AS toks
+        |      FROM documents)
+        |WHERE size(toks) >= 3 LIMIT 5""".stripMargin).collect()
+    assert(bands.forall(_.getSeq[String](1).length === 4))
+  }
+
   test("custom native functions callable from SQL text") {
     registerAll()
     FloatVecDot.register(spark)
