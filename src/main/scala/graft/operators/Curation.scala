@@ -69,4 +69,37 @@ object Curation {
     survivors.select(col(idCol),
       Sampling.splitLabel(col(idCol), seed, trainPct, valPct).as("split"))
   }
+
+  /** Joint text+embedding curation: the cross-modal composition a corpus
+    * with per-document embeddings runs — quality-gate on TEXT signals,
+    * drop near-duplicates by EMBEDDING cosine (bucketed candidates +
+    * exact rescore, [[Similarity.nearDupByCosine]]), then label splits.
+    * Drop rule: within the quality survivors, every pair at cosine ≥
+    * `minScore` drops its higher id — both pair endpoints must themselves
+    * be survivors, so an already-rejected document can never knock out a
+    * surviving one. Every stage is map-only or a keyed equi-join. */
+  def curateJoint(docs: DataFrame, emb: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      minTokens: Int = 20, numPlanes: Int = 4, minScore: Double = 0.35,
+      seed: String = "exp1", trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val toksed = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val nTok = size(col("toks"))
+    val avgLen = round(
+      length(array_join(col("toks"), "")).cast("double") / nTok, 4)
+    val stopRatio = round(
+      TextAnalysis.hitCount(col("toks"), TextAnalysis.langStopwords.head._2)
+        .cast("double") / nTok, 4)
+    val quality = toksed
+      .filter(nTok >= minTokens && avgLen >= 2.0 && avgLen <= 10.0 &&
+        stopRatio >= 0.02)
+      .select(col(idCol))
+    val pairs = Similarity.nearDupByCosine(emb, numPlanes, minScore)
+    val dropIds = pairs
+      .join(quality.select(col(idCol).as("a_id")), Seq("a_id"), "left_semi")
+      .join(quality.select(col(idCol).as("b_id")), Seq("b_id"), "left_semi")
+      .select(col("b_id").as(idCol)).distinct()
+    quality.join(dropIds, Seq(idCol), "left_anti")
+      .select(col(idCol),
+        Sampling.splitLabel(col(idCol), seed, trainPct, valPct).as("split"))
+  }
 }

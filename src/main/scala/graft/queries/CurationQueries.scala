@@ -77,6 +77,64 @@ object CurationQueries extends graft.QueryPack {
              |       WHEN CAST('0x' || substr(md5('exp1|' || CAST(e.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 95 THEN 'val'
              |       ELSE 'test' END AS split
              |FROM e LEFT JOIN dropd d ON d.doc_id = e.doc_id
+             |WHERE d.doc_id IS NULL""".stripMargin)),
+
+    // ---- X14: joint text+embedding curation -----------------------------
+    // Quality gate on text signals, near-dup drop by embedding cosine
+    // (sign-LSH buckets + exact rescore — the q_sim3 blocks), split last.
+    Q("q_x14_joint_curation",
+      (s, d) => Curation.curateJoint(
+        Tables.documents(s, d), Tables.embeddings(s, d)),
+      Some("""WITH t AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |m AS (SELECT doc_id, len(toks) AS n_tokens,
+             |  ROUND(CAST(length(list_aggregate(toks, 'string_agg', '')) AS DOUBLE) / len(toks), 4) AS avg_len,
+             |  ROUND(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE) / len(toks), 4) AS stop_ratio
+             |  FROM t),
+             |q AS (SELECT doc_id FROM m
+             |  WHERE n_tokens >= 20 AND avg_len >= 2.0 AND avg_len <= 10.0
+             |    AND stop_ratio >= 0.02),
+             |ex AS (
+             |  SELECT vec_id, unnest(embedding) AS v,
+             |         unnest(range(1, len(embedding) + 1)) AS i
+             |  FROM embeddings),
+             |norms AS (
+             |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+             |  FROM ex GROUP BY vec_id),
+             |px AS (SELECT vec_id AS plane_id, v AS pv, i FROM ex WHERE vec_id < 4),
+             |pdots AS (
+             |  SELECT e.vec_id, p.plane_id,
+             |         ROUND(SUM(CAST(e.v AS DOUBLE) * CAST(p.pv AS DOUBLE)), 6) AS dot
+             |  FROM ex e JOIN px p ON e.i = p.i GROUP BY 1, 2),
+             |bkt AS (
+             |  SELECT vec_id,
+             |         string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane_id) AS bucket
+             |  FROM pdots GROUP BY vec_id),
+             |prs AS (
+             |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+             |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+             |pd AS (
+             |  SELECT p.a_id, p.b_id,
+             |         SUM(CAST(ea.v AS DOUBLE) * CAST(eb.v AS DOUBLE)) AS dot
+             |  FROM prs p
+             |  JOIN ex ea ON ea.vec_id = p.a_id
+             |  JOIN ex eb ON eb.vec_id = p.b_id AND eb.i = ea.i
+             |  GROUP BY 1, 2),
+             |nd AS (
+             |  SELECT pd.a_id, pd.b_id FROM pd
+             |  JOIN norms na ON na.vec_id = pd.a_id
+             |  JOIN norms nb ON nb.vec_id = pd.b_id
+             |  WHERE ROUND(pd.dot / (na.nrm * nb.nrm), 6) >= 0.35),
+             |dropd AS (
+             |  SELECT DISTINCT nd.b_id AS doc_id FROM nd
+             |  JOIN q qa ON qa.doc_id = nd.a_id
+             |  JOIN q qb ON qb.doc_id = nd.b_id)
+             |SELECT q.doc_id,
+             |  CASE WHEN CAST('0x' || substr(md5('exp1|' || CAST(q.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'train'
+             |       WHEN CAST('0x' || substr(md5('exp1|' || CAST(q.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 95 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM q LEFT JOIN dropd d ON d.doc_id = q.doc_id
              |WHERE d.doc_id IS NULL""".stripMargin))
   )
 }

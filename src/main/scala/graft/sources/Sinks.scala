@@ -39,4 +39,21 @@ object Sinks {
     df.repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(path)
+
+  /** JSONL (one JSON object per line) — the interchange format LLM data
+    * pipelines actually exchange corpora in. Spark's json source IS
+    * line-delimited by default; gzip keeps the files splittable-enough in
+    * practice (one file per task) and ~5× smaller for text. */
+  def writeJsonl(df: DataFrame, path: String, compress: Boolean = false): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (compress) w.option("compression", "gzip") else w).json(path)
+  }
+
+  /** Read JSONL with an EXPLICIT schema — schema inference reads the data
+    * twice and silently widens types (a `1` in one file and `1.5` in
+    * another infer DOUBLE); at corpus scale the schema is a contract, not
+    * a guess. */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

@@ -32,11 +32,21 @@ class SinksSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    orders.write.mode("overwrite").json(dir)
+    Sinks.writeJsonl(orders, dir)
     // schema is explicit — JSON inference can flip types on sparse data
-    val back = spark.read.schema(orders.schema).json(dir)
+    val back = Sinks.readJsonl(spark, dir, orders.schema)
     assert(back.count() === orders.count())
     assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+  }
+
+  test("JSONL corpus round-trip: text survives gzip + escaping byte-exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Sinks.writeJsonl(docs, dir, compress = true)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")), files.mkString(","))
+    val back = Sinks.readJsonl(spark, dir, docs.schema)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 
   test("sorted layout: disjoint key ranges per file (zone-map-prunable)") {
