@@ -124,6 +124,20 @@ object TextAnalysis {
           .as("dup_3gram_frac"))
   }
 
+  /** Compressibility quality signal: DEFLATE length over raw length
+    * (codegen'd [[graft.functions.DeflateLen]] kernel). Repetitive /
+    * templated / machine-generated text compresses far below natural
+    * prose, so pipelines gate on this ratio (low = suspicious). Map-only;
+    * engine-specific output (zlib), so rows-only checked like the
+    * sketches. */
+  def compressionRatio(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.DeflateLen.register(df.sparkSession)
+    df.select(col(idCol).as("doc_id"), length(col(textCol)).as("n_chars"),
+        call_function("deflate_len", col(textCol)).as("n_deflate"))
+      .withColumn("ratio",
+        round(col("n_deflate").cast("double") / col("n_chars"), 6))
+  }
+
   /** Collapse runs of consecutively repeated tokens to one occurrence
     * ("the the the cat" → "the cat") — the run-length squeeze that cleans
     * OCR stutter and templated boilerplate. Pure array HOF with an index

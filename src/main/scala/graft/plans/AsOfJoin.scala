@@ -358,6 +358,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
       exprs => graft.functions.SimHash64(exprs.head)))
+    e.injectFunction((FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[graft.functions.DeflateLen].getName, "deflate_len"),
+      exprs => graft.functions.DeflateLen(exprs.head)))
   }
 }
 

@@ -229,6 +229,12 @@ object TextQueries extends graft.QueryPack {
               |  FROM sc)
               |WHERE rnk <= 3""".stripMargin)),
 
+    // ---- X15: compressibility quality signal (rows-only: zlib output is
+    // engine-specific, like the q_hll/q_a8 sketches) ----------------------
+    Q("q_x15_compress_ratio",
+      (s, d) => TextAnalysis.compressionRatio(Tables.documents(s, d), "text", "doc_id"),
+      None),
+
     // ---- X4: document fingerprint (min-hash over shingle set) ----------
     Q("q_x4_fingerprint",
       // the length guard is on toks, BEFORE shingling: a filter on the
