@@ -139,4 +139,23 @@ object EventStreams {
       trigger: Trigger, checkpointDir: String): StreamingQuery =
     df.writeStream.outputMode(mode).format("memory").queryName(name)
       .trigger(trigger).option("checkpointLocation", checkpointDir).start()
+
+  /** Exactly-once file sink via idempotent foreachBatch: every micro-batch
+    * lands in its OWN `batch=<id>` directory with overwrite semantics, so
+    * a batch replayed after a crash-between-write-and-commit simply
+    * overwrites its previous (possibly partial) output instead of
+    * appending duplicates — idempotence is what upgrades streaming's
+    * at-least-once replay into end-to-end exactly-once on a plain file
+    * sink. This is the foreachBatch pattern for sinks without
+    * transactional commit (JDBC upserts follow the same shape, keyed on
+    * the batch id). Readers see `batch=<id>` as just another partition
+    * column. */
+  def runToIdempotentParquet(df: DataFrame, outDir: String,
+      trigger: Trigger, checkpointDir: String): StreamingQuery =
+    df.writeStream.outputMode("append")
+      .trigger(trigger).option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
 }

@@ -160,6 +160,58 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(all.getLong(0) === all.getLong(3) + 1, "gap in ids: offsets skipped")
   }
 
+  test("foreachBatch idempotent sink: a replayed batch overwrites, never duplicates") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = Files.createTempDirectory("graft-feb-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-feb-out").toString + "/out"
+    val src = EventStreams.rateEvents(spark, 500).select(col("event_id"))
+    def run(trigger: Trigger) =
+      EventStreams.runToIdempotentParquet(src, outDir, trigger, ckpt)
+
+    val q1 = run(Trigger.ProcessingTime("250 milliseconds"))
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def committed() =
+      try spark.read.parquet(outDir).count() catch { case _: Exception => 0L }
+    while (committed() == 0L && System.nanoTime() < deadline) Thread.sleep(100)
+    q1.processAllAvailable(); q1.stop()
+    q1.awaitTermination() // release the checkpoint's in-use registration
+
+    // simulate a crash between the sink write and the checkpoint commit:
+    // drop the LAST batch's commit marker, so restart must replay that
+    // batch into a batch=<id> directory that already has its output. A
+    // ProcessingTime stop may also leave a PLANNED next batch (an offsets
+    // entry past the last commit) — drop those too, or the offset/commit
+    // logs diverge by two batches, which Spark rejects as concurrent
+    // checkpoint use rather than a crash to recover from
+    def numbered(dir: String) = new java.io.File(s"$ckpt/$dir").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    val commits = numbered("commits")
+    assert(commits.nonEmpty)
+    val replayed = commits.last.getName.toLong
+    // the local FS is a ChecksumFileSystem: each log file has a shadow
+    // .<name>.crc whose leftover would collide with the re-written log
+    def deleteWithCrc(f: java.io.File): Unit = {
+      Files.delete(Paths.get(f.getPath))
+      val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+      if (crc.exists()) Files.delete(crc.toPath)
+    }
+    deleteWithCrc(commits.last)
+    numbered("offsets").filter(_.getName.toLong > replayed).foreach(deleteWithCrc)
+
+    val q2 = run(Trigger.AvailableNow())
+    assert(q2.awaitTermination(60000), "AvailableNow run did not self-terminate")
+    // the replayed batch's directory exists and the corpus stays exactly
+    // 0..max with no duplicate — the overwrite absorbed the replay
+    assert(new java.io.File(s"$outDir/batch=$replayed").exists())
+    val all = spark.read.parquet(outDir)
+      .agg(count(lit(1)), countDistinct(col("event_id")),
+        min(col("event_id")), max(col("event_id"))).head
+    assert(all.getLong(2) === 0L)
+    assert(all.getLong(0) === all.getLong(1), "duplicate ids: replay appended")
+    assert(all.getLong(0) === all.getLong(3) + 1, "gap in ids: offsets skipped")
+  }
+
   test("rate source drives the windowed aggregation operators unchanged") {
     import org.apache.spark.sql.streaming.Trigger
     val ckpt = java.nio.file.Files.createTempDirectory("graft-rate-agg").toString
