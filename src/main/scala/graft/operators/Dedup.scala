@@ -149,17 +149,28 @@ object Dedup {
     * Candidate pairs sharing zero shingles drop out of the intersection
     * aggregate, which is correct for any threshold ≥ 1 tenth (their
     * Jaccard is 0). */
-  // NOTE (bench-driven): a map-only sizes variant
-  // (size(array_distinct(shingles)) per doc) was tried and REVERTED — the
-  // interpreted array_distinct over ~300-element shingle arrays costs
-  // ~O(n²) string compares per document, measurably MORE CPU than the
-  // keyed aggregation it replaces (q_d7 2.1s → 9.4s at sf0.1). The
-  // groupBy below rides the exploded relation the rescore join needs
-  // anyway; partial aggregation keeps its shuffle at one row per doc.
+  // NOTE (bench history, twice measured): map-only per-doc sizes LOSE to
+  // this aggregation. Round 3: size(array_distinct(shingles)) — the
+  // interpreted HOF does O(n²) string compares (q_d7 2.1s → 9.4s at
+  // sf0.1). Round 4: even the native O(n) distinct_count kernel loses
+  // (3.9s → 11.3s same-load A/B): the map-only spelling adds a full
+  // tokenize+shingle corpus pass while saving nothing — the aggregation
+  // rides the exploded-distinct relation the rescore join ALREADY
+  // shuffles, so its exchange is reused and the marginal cost is one
+  // count per doc. Sizes must ride the exploded relation.
   def jaccardForPairs(pairs: DataFrame, shing: DataFrame,
-      thresholdTenths: Int): DataFrame = {
+      thresholdTenths: Int): DataFrame =
+    jaccardForPairsSized(pairs, shing,
+      shing.groupBy(col("sid")).agg(count(lit(1)).as("n")), thresholdTenths)
+
+  /** [[jaccardForPairs]] with the per-doc DISTINCT-shingle sizes supplied
+    * by the caller — e.g. computed map-only with the `distinct_count`
+    * kernel straight off the document scan, which removes the
+    * corpus-wide sizes aggregation entirely. `sizes` = (sid, n) and must
+    * cover every doc appearing in `pairs`. */
+  def jaccardForPairsSized(pairs: DataFrame, shing: DataFrame,
+      sizes: DataFrame, thresholdTenths: Int): DataFrame = {
     require(thresholdTenths >= 1, "threshold 0 would need zero-overlap pairs kept")
-    val sizes = shing.groupBy(col("sid")).agg(count(lit(1)).as("n"))
     pairs.select(col("a_id"), col("b_id"))
       .join(shing.select(col("sid").as("a_id"), col("sh")), Seq("a_id"))
       .join(shing.select(col("sid").as("b_id"), col("sh")), Seq("b_id", "sh"))

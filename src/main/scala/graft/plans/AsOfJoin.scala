@@ -361,6 +361,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("deflate_len"),
       new ExpressionInfo(classOf[graft.functions.DeflateLen].getName, "deflate_len"),
       exprs => graft.functions.DeflateLen(exprs.head)))
+    e.injectFunction((FunctionIdentifier("distinct_count"),
+      new ExpressionInfo(classOf[graft.functions.DistinctCount].getName, "distinct_count"),
+      exprs => graft.functions.DistinctCount(exprs.head)))
   }
 }
 

@@ -120,6 +120,22 @@ class PropertySpec extends AnyFunSuite {
     assert(s1.exceptAll(s3).count() > 0)
   }
 
+  test("distinct_count kernel equals the reference distinct size on random arrays") {
+    graft.functions.DistinctCount.register(spark)
+    val arrGen = Gen.listOf(Gen.oneOf("a", "b", "ab", "ba", "", "xyz", "a"))
+    forAll(arrGen, n = 25) { xs =>
+      val got = Seq(Tuple1(xs)).toDF("arr")
+        .selectExpr("distinct_count(arr) AS n").head.getInt(0)
+      assert(got === xs.distinct.size, s"on $xs")
+    }
+    // nulls skipped, empty array = 0, null array = null
+    val edge = spark.sql(
+      "SELECT distinct_count(array('a', CAST(NULL AS STRING), 'a')) AS a, " +
+        "distinct_count(CAST(array() AS ARRAY<STRING>)) AS b, " +
+        "distinct_count(CAST(NULL AS ARRAY<STRING>)) AS c").head
+    assert(edge.getInt(0) === 1 && edge.getInt(1) === 0 && edge.isNullAt(2))
+  }
+
   test("salted aggregate: map columns are skipped by the content salt, not fatal") {
     // hash() rejects MapType at analysis; the salt must derive from the
     // remaining columns and the aggregate must still equal the direct one
