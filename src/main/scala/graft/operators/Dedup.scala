@@ -205,6 +205,31 @@ object Dedup {
     connectedComponents(verified.select(col("a_id"), col("b_id")), maxIter)
   }
 
+  /** Benchmark decontamination: for every training document, count the
+    * n-gram shingles it shares with an evaluation/benchmark corpus — the
+    * standard test-set-contamination gate run before pretraining (public
+    * practice since GPT-2/GPT-3 appendix decontamination; n=13-grams at
+    * word level in those writeups, k here is the caller's choice).
+    *
+    * Scale shape: the benchmark side aggregates to its DISTINCT shingle
+    * set (small — eval sets are thousands of docs, not billions) and the
+    * check is one equi-join of the training shingle relation against it,
+    * keyed by shingle — broadcast while the benchmark fits, keyed shuffle
+    * beyond; never quadratic. Output: (sid, n_shared, n_shingles,
+    * contamination = shared/total rounded 6dp) for every training doc
+    * with ≥1 shingle; docs sharing nothing report 0. */
+  def contaminationReport(trainShing: DataFrame, benchShing: DataFrame): DataFrame = {
+    val benchSet = benchShing.select(col("sh")).distinct()
+    val totals = trainShing.groupBy(col("sid")).agg(count(lit(1)).as("n_shingles"))
+    val shared = trainShing.join(benchSet, Seq("sh"), "left_semi")
+      .groupBy(col("sid")).agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, Seq("sid"), "left")
+      .select(col("sid"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_shingles"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+  }
+
   /** Connected components over an undirected candidate-pair graph — the
     * step that turns near-dup PAIRS into dedup CLUSTERS (keep the
     * min-id doc per component, drop the rest). Iterative min-label

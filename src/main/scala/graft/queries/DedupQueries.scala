@@ -246,7 +246,31 @@ object DedupQueries extends graft.QueryPack {
               |                  CAST('0x' || substr(sh_b, 13, 4) AS INT))) AS hamming
               |  FROM cand)
               |SELECT a_id, b_id, CAST(hamming AS INT) AS hamming
-              |FROM ham WHERE hamming <= 3""".stripMargin))
+              |FROM ham WHERE hamming <= 3""".stripMargin)),
+
+    // ---- D10: benchmark decontamination ---------------------------------
+    // Synthetic eval set: every 50th document. Training side = the rest;
+    // report each training doc's shared-shingle count and fraction.
+    Q("q_d10_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.contaminationReport(
+          Dedup.docShingles(docs.filter(col("doc_id") % 50 =!= 0), "text", "doc_id"),
+          Dedup.docShingles(docs.filter(col("doc_id") % 50 === 0), "text", "doc_id"))
+          .withColumnRenamed("sid", "doc_id")
+      },
+      Some(s"""$duckShingles,
+              |bench AS (SELECT DISTINCT sh FROM exd WHERE doc_id % 50 = 0),
+              |train AS (SELECT doc_id, sh FROM exd WHERE doc_id % 50 <> 0),
+              |totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1),
+              |shared AS (
+              |  SELECT t.doc_id, COUNT(*) AS n_shared
+              |  FROM train t JOIN bench b ON b.sh = t.sh GROUP BY 1)
+              |SELECT t.doc_id,
+              |  COALESCE(s.n_shared, 0) AS n_shared,
+              |  t.n_shingles,
+              |  ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_shingles, 6) AS contamination
+              |FROM totals t LEFT JOIN shared s ON s.doc_id = t.doc_id""".stripMargin))
   )
 
   /** Shared CTE chain ending in `sigs(doc_id, simhash)` — the DuckDB
