@@ -230,6 +230,52 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** [[contaminationReport]] with a BLOOM-FILTER pre-pass: the benchmark
+    * shingle set aggregates into one bloom filter (a single broadcast
+    * blob), `might_contain` rejects the overwhelming majority of clean
+    * training shingles MAP-SIDE, and only the tiny might-match remainder
+    * reaches the exact semi-join. Bloom false positives are then removed
+    * by that exact join, so the output is IDENTICAL to the plain report —
+    * this query shares q_d10's oracle verbatim. At 100 TB this is the
+    * difference between shuffling the full training shingle relation and
+    * shuffling ~the contaminated sliver: the same runtime-filter idea
+    * Spark's InjectRuntimeFilter applies to joins, made explicit. */
+  def contaminationReportBloom(trainShing: DataFrame, benchShing: DataFrame,
+      expectedItems: Long = 100000L, numBits: Long = 1000000L): DataFrame = {
+    // BloomFilterAggregate/BloomFilterMightContain are the expressions
+    // behind Spark's own InjectRuntimeFilter; they have no public DSL
+    // wrapper, so the columns are built through the sql-package bridge
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge.{column => ccol, expression => cexpr}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val benchSet = benchShing.select(col("sh")).distinct()
+    val bloom = benchSet.agg(
+      ccol(new BloomFilterAggregate(new XxHash64(Seq(cexpr(col("sh")))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression()).as("bf"))
+    val totals = trainShing.groupBy(col("sid")).agg(count(lit(1)).as("n_shingles"))
+    // might_contain demands a CONSTANT bloom (or a scalar subquery) — the
+    // same contract Spark's InjectRuntimeFilter satisfies by executing the
+    // build side first and inlining the blob. Mirror that: materialize the
+    // ONE-row aggregate (a bounded driver action, numBits/8 bytes — the
+    // same blob a broadcast would ship) and embed it as a binary literal.
+    // An EMPTY benchmark yields a null blob; might_contain(null,…) is
+    // null, the filter keeps nothing, and the left join below reports
+    // all-zero contamination — same as the plain report, no guard needed.
+    val blob = bloom.head.getAs[Array[Byte]]("bf")
+    val prefiltered = trainShing
+      .filter(ccol(new BloomFilterMightContain(
+        Literal.create(blob, org.apache.spark.sql.types.BinaryType),
+        new XxHash64(Seq(cexpr(col("sh")))))))
+      .select(col("sid"), col("sh"))
+    val shared = prefiltered.join(benchSet, Seq("sh"), "left_semi")
+      .groupBy(col("sid")).agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, Seq("sid"), "left")
+      .select(col("sid"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_shingles"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+  }
+
   /** Connected components over an undirected candidate-pair graph — the
     * step that turns near-dup PAIRS into dedup CLUSTERS (keep the
     * min-id doc per component, drop the rest). Iterative min-label

@@ -270,6 +270,31 @@ object DedupQueries extends graft.QueryPack {
               |  COALESCE(s.n_shared, 0) AS n_shared,
               |  t.n_shingles,
               |  ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_shingles, 6) AS contamination
+              |FROM totals t LEFT JOIN shared s ON s.doc_id = t.doc_id""".stripMargin)),
+
+    // ---- D11: decontamination with a bloom runtime pre-filter -----------
+    // Bloom false positives are removed by the exact semi-join, so the
+    // output is IDENTICAL to q_d10 — same oracle text, and the driver's
+    // hash compare proves the equivalence every round.
+    Q("q_d11_bloom_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.contaminationReportBloom(
+          Dedup.docShingles(docs.filter(col("doc_id") % 50 =!= 0), "text", "doc_id"),
+          Dedup.docShingles(docs.filter(col("doc_id") % 50 === 0), "text", "doc_id"))
+          .withColumnRenamed("sid", "doc_id")
+      },
+      Some(s"""$duckShingles,
+              |bench AS (SELECT DISTINCT sh FROM exd WHERE doc_id % 50 = 0),
+              |train AS (SELECT doc_id, sh FROM exd WHERE doc_id % 50 <> 0),
+              |totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1),
+              |shared AS (
+              |  SELECT t.doc_id, COUNT(*) AS n_shared
+              |  FROM train t JOIN bench b ON b.sh = t.sh GROUP BY 1)
+              |SELECT t.doc_id,
+              |  COALESCE(s.n_shared, 0) AS n_shared,
+              |  t.n_shingles,
+              |  ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_shingles, 6) AS contamination
               |FROM totals t LEFT JOIN shared s ON s.doc_id = t.doc_id""".stripMargin))
   )
 

@@ -1,6 +1,7 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.{classic, DataFrame, SparkSession}
+import org.apache.spark.sql.{classic, Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.SparkStrategy
 
@@ -8,10 +9,17 @@ import org.apache.spark.sql.execution.SparkStrategy
   * subpackage of `org.apache.spark.sql` (the standard technique for Spark
   * extension libraries that need to wrap a custom [[LogicalPlan]] into a
   * public DataFrame). Everything else in graft stays on public API; only
-  * these two entry points live here, so the internal surface area is two
-  * lines wide and easy to audit against Spark upgrades.
+  * these four entry points live here, so the internal surface area stays
+  * a handful of lines wide and easy to audit against Spark upgrades.
   */
 object GraftSqlBridge {
+
+  /** Wrap a raw Catalyst expression as a public Column (Spark 4 removed
+    * the public `new Column(expr)` path). */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** The reverse direction: a Column's underlying Catalyst expression. */
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
   /** Wrap an (analyzed-child) logical plan as a DataFrame. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
