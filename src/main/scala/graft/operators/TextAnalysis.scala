@@ -124,6 +124,37 @@ object TextAnalysis {
           .as("dup_3gram_frac"))
   }
 
+  /** Model-based quality scoring: logistic inference over the document
+    * quality features — the distributed shape of the classifier gate
+    * public pipelines run (a fastText/linear quality model scored over
+    * every document; CCNet/DCLM lineage). The model here is a FIXED
+    * deterministic weight vector (training a real classifier needs
+    * labels this corpus doesn't have); the inference plumbing — feature
+    * projection, dot product, sigmoid, threshold — is the production
+    * shape: pure map-side column arithmetic inside codegen, no UDF.
+    * Determinism: features are exact-rounded upstream, and the final
+    * sigmoid is rounded to 6 dp, absorbing ≤1-ulp exp() differences
+    * across engines. */
+  def qualityScore(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val toksed = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val nTok = size(col("toks"))
+    val avgLen = round(length(array_join(col("toks"), "")).cast("double") / nTok, 4)
+    val stopRatio = round(hitCount(col("toks"), langStopwords.head._2)
+      .cast("double") / nTok, 4)
+    val dupFrac = round((nTok - size(array_distinct(col("toks")))).cast("double") / nTok, 6)
+    // weights chosen by inspection: longer docs and stopword presence up,
+    // extreme token length and repetition down — stand-ins for trained
+    // coefficients, wired as literals exactly like a broadcast model row
+    val z = lit(-2.0) + log(nTok.cast("double")) * lit(0.55) +
+      avgLen * lit(0.12) + stopRatio * lit(4.0) - dupFrac * lit(1.5)
+    toksed.select(col("doc_id"), nTok.as("n_tokens"),
+        avgLen.as("avg_token_len"), stopRatio.as("stopword_ratio"),
+        dupFrac.as("dup_token_frac"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"))
+      .withColumn("keep", col("quality_score") >= threshold)
+  }
+
   /** Compressibility quality signal: DEFLATE length over raw length
     * (codegen'd [[graft.functions.DeflateLen]] kernel). Repetitive /
     * templated / machine-generated text compresses far below natural

@@ -229,6 +229,25 @@ object TextQueries extends graft.QueryPack {
               |  FROM sc)
               |WHERE rnk <= 3""".stripMargin)),
 
+    // ---- X16: model-based quality score (logistic inference) ------------
+    Q("q_x16_quality_score",
+      (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d), "text", "doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |f AS (SELECT doc_id,
+              |  len(toks) AS n_tokens,
+              |  ROUND(CAST(length(list_aggregate(toks, 'string_agg', '')) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+              |  ROUND(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+              |  ROUND(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dup_token_frac
+              |  FROM t),
+              |z AS (SELECT *,
+              |  -2.0 + ln(CAST(n_tokens AS DOUBLE)) * 0.55 + avg_token_len * 0.12
+              |    + stopword_ratio * 4.0 - dup_token_frac * 1.5 AS zv
+              |  FROM f)
+              |SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, dup_token_frac,
+              |  ROUND(1.0 / (1.0 + exp(-zv)), 6) AS quality_score,
+              |  ROUND(1.0 / (1.0 + exp(-zv)), 6) >= 0.5 AS keep
+              |FROM z""".stripMargin)),
+
     // ---- X15: compressibility quality signal (rows-only: zlib output is
     // engine-specific, like the q_hll/q_a8 sketches) ----------------------
     Q("q_x15_compress_ratio",
