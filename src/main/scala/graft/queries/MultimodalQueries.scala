@@ -56,6 +56,49 @@ object MultimodalQueries extends graft.QueryPack {
              |  md5(text) AS content_hash,
              |  (octet_length(encode(text)) + 63) // 64 AS n_frames,
              |  ((octet_length(encode(text)) + 63) // 64 + 3) // 4 AS n_sampled
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // ---- M4: media → feature → ANN bridge -------------------------------
+    // The stub decoder's feature vector itself goes under the oracle here
+    // (md5 → big-endian signed int32 → float division, replayed in SQL),
+    // then brute-force cosine top-k runs over those features — media
+    // similarity search end-to-end on the multimodal plumbing.
+    Q("q_m4_media_ann",
+      (s, d) => {
+        import graft.operators.Similarity
+        val feats = Multimodal.extractFeatures(s,
+            Multimodal.fromDocuments(Tables.documents(s, d)),
+            Multimodal.DeterministicFakeDecoder, frameBytes = 64, sampleEvery = 4)
+          .toDF().select(col("media_id"), col("feature"))
+        Similarity.bruteForceTopK(feats, col("media_id") < 3, 5,
+          idCol = "media_id", vecCol = "feature")
+      },
+      Some("""WITH base AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+             |ix AS (SELECT media_id, h, unnest(range(1, 5)) AS i FROM base),
+             |raws AS (SELECT media_id, i,
+             |  CAST('0x' || substr(h, CAST((i - 1) * 8 + 1 AS INT), 8) AS BIGINT) AS raw
+             |  FROM ix),
+             |fx AS (SELECT media_id, i,
+             |  CAST(CAST(CASE WHEN raw >= 2147483648 THEN raw - 4294967296 ELSE raw END AS FLOAT)
+             |       / CAST(2147483647 AS FLOAT) AS DOUBLE) AS v
+             |  FROM raws),
+             |norms AS (SELECT media_id, sqrt(SUM(v * v)) AS nrm FROM fx GROUP BY 1),
+             |dots AS (
+             |  SELECT q.media_id AS query_id, e.media_id AS neighbor_id,
+             |         SUM(q.v * e.v) AS dot
+             |  FROM fx q JOIN fx e ON q.i = e.i
+             |  WHERE q.media_id < 3 AND e.media_id <> q.media_id
+             |  GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT d.query_id, d.neighbor_id,
+             |         ROUND(d.dot / (nq.nrm * nn.nrm), 6) AS score
+             |  FROM dots d
+             |  JOIN norms nq ON nq.media_id = d.query_id
+             |  JOIN norms nn ON nn.media_id = d.neighbor_id)
+             |SELECT query_id, neighbor_id, score, rnk FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+             |  FROM scored)
+             |WHERE rnk <= 5""".stripMargin))
   )
 }
