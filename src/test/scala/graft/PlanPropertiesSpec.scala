@@ -118,6 +118,11 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!plan("q_x11_within_doc_dedup").contains("Window"))
   }
 
+  test("bloom decontamination: the might_contain prefilter sits in the plan") {
+    val p = plan("q_d11_bloom_decontaminate")
+    assert(p.contains("might_contain"), s"bloom prefilter missing:\n$p")
+  }
+
   test("binned range join is an equi-join, never a nested loop") {
     val p = plan("q_j7_binned_range")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
