@@ -138,6 +138,7 @@ object Pq {
   private def queryLut(emb: DataFrame, codebooks: DataFrame,
       queryPred: Column, m: Int, dim: Int,
       idCol: String, vecCol: String): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     val subDim = dim / m
     val slices = array((0 until m).map(s => subVec(col(vecCol), s, subDim)): _*)
     emb.filter(queryPred)
