@@ -119,6 +119,19 @@ object Dedup {
     * see the kernel's scaladoc). */
   def minhashCandidatesMapOnly(docs: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bands = bandRelation(docs, textCol, idCol, shingleK, numHashes, rowsPerBand)
+    val l = bands.select(col("sid").as("a_id"), col("band"), col("bh"))
+    val r = bands.select(col("sid").as("b_id"), col("band"), col("bh"))
+    l.join(r, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("band"))
+  }
+
+  /** Per-doc LSH band relation `(sid, band, bh)` via the map-only kernel —
+    * the shared candidate-generation input for self-joins
+    * ([[minhashCandidatesMapOnly]]) and cross-corpus joins
+    * ([[dedupAgainstStatus]]). */
+  private def bandRelation(docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       s"rowsPerBand=$rowsPerBand must divide numHashes=$numHashes")
     graft.functions.MinHashBands.register(docs.sparkSession)
@@ -126,16 +139,53 @@ object Dedup {
     // (a pushed-down size(shingles) predicate would inline and re-run the
     // shingle HOF); the kernel itself is consumed exactly once by the
     // posexplode generator, so it cannot be duplicated by CollapseProject
-    val bands = spread(docs.select(col(idCol).as("sid"),
+    spread(docs.select(col(idCol).as("sid"),
         TextAnalysis.tokens(col(textCol)).as("toks")))
       .filter(size(col("toks")) >= shingleK)
       .select(col("sid"), posexplode(call_function("minhash_bands",
         TextAnalysis.shingles(col("toks"), shingleK),
         lit(numHashes), lit(rowsPerBand))).as(Seq("band", "bh")))
-    val l = bands.select(col("sid").as("a_id"), col("band"), col("bh"))
-    val r = bands.select(col("sid").as("b_id"), col("band"), col("bh"))
-    l.join(r, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("band"))
+  }
+
+  /** Incremental-corpus dedup: classify every INCOMING document against
+    * an EXISTING (already-curated) corpus — `exact_dup` (content hash
+    * present in the existing corpus), `near_dup` (a MinHash-LSH band
+    * collision against the existing side whose exact Jaccard survives the
+    * threshold), else `kept`. This is the nightly-update shape of a
+    * production corpus: new crawl batches dedup against the accumulated
+    * corpus without ever re-clustering it.
+    *
+    * Scale shape: the exact check is one keyed semi-join on the content
+    * hash; near-dup candidates come from a CROSS-CORPUS band equi-join
+    * (incoming bands × existing bands — never incoming × incoming, so a
+    * batch with internal duplicates still lands once), and only those
+    * candidates are rescored. Ids must be disjoint across the two
+    * corpora (they share one shingle relation for the rescore). */
+  def dedupAgainstStatus(incoming: DataFrame, existing: DataFrame,
+      textCol: String, idCol: String,
+      shingleK: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      thresholdTenths: Int = 1): DataFrame = {
+    val incH = incoming.select(col(idCol).as("sid"), md5(col(textCol)).as("h"))
+    val exact = incH.join(
+        existing.select(md5(col(textCol)).as("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("sid")).withColumn("is_exact", lit(true))
+    val bn = bandRelation(incoming, textCol, idCol, shingleK, numHashes, rowsPerBand)
+    val be = bandRelation(existing, textCol, idCol, shingleK, numHashes, rowsPerBand)
+    val cand = bn.select(col("sid").as("a_id"), col("band"), col("bh"))
+      .join(be.select(col("sid").as("b_id"), col("band"), col("bh")), Seq("band", "bh"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val shingAll = docShingles(
+      incoming.select(col(idCol), col(textCol))
+        .unionByName(existing.select(col(idCol), col(textCol))), textCol, idCol)
+    val near = jaccardForPairs(cand, shingAll, thresholdTenths)
+      .select(col("a_id").as("sid")).distinct().withColumn("is_near", lit(true))
+    incoming.select(col(idCol).as("doc_id"))
+      .join(exact.withColumnRenamed("sid", "doc_id"), Seq("doc_id"), "left")
+      .join(near.withColumnRenamed("sid", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact"), lit("exact_dup"))
+          .when(col("is_near"), lit("near_dup"))
+          .otherwise(lit("kept")).as("status"))
   }
 
   /** Exact n-gram Jaccard computed ONLY for the given candidate pairs —

@@ -295,7 +295,55 @@ object DedupQueries extends graft.QueryPack {
               |  COALESCE(s.n_shared, 0) AS n_shared,
               |  t.n_shingles,
               |  ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_shingles, 6) AS contamination
-              |FROM totals t LEFT JOIN shared s ON s.doc_id = t.doc_id""".stripMargin))
+              |FROM totals t LEFT JOIN shared s ON s.doc_id = t.doc_id""".stripMargin)),
+
+    // ---- D12: incremental-corpus dedup (new batch vs curated corpus) ----
+    // Existing corpus: every 3rd doc; incoming batch: the rest. Each
+    // incoming doc classifies as exact_dup / near_dup / kept against the
+    // existing side only (cross-corpus band join, never batch-internal).
+    Q("q_d12_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.dedupAgainstStatus(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0), "text", "doc_id")
+      },
+      Some(s"""$duckShingles,
+              |mh AS (SELECT doc_id,
+              |  min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+              |  min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
+              |  min(md5('4|' || sh)) AS m4, min(md5('5|' || sh)) AS m5,
+              |  min(md5('6|' || sh)) AS m6, min(md5('7|' || sh)) AS m7
+              |  FROM exd GROUP BY doc_id),
+              |bands AS (
+              |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM mh
+              |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM mh
+              |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM mh
+              |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM mh),
+              |exact AS (SELECT DISTINCT doc_id FROM documents
+              |  WHERE doc_id % 3 <> 0 AND md5(text) IN (
+              |    SELECT md5(text) FROM documents WHERE doc_id % 3 = 0)),
+              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+              |  WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM exd GROUP BY doc_id),
+              |inter AS (
+              |  SELECT p.a_id, p.b_id, COUNT(*) AS inter
+              |  FROM cand p
+              |  JOIN exd a ON a.doc_id = p.a_id
+              |  JOIN exd b ON b.doc_id = p.b_id AND b.sh = a.sh
+              |  GROUP BY 1, 2),
+              |near AS (SELECT DISTINCT i.a_id AS doc_id FROM inter i
+              |  JOIN sizes sa ON sa.doc_id = i.a_id
+              |  JOIN sizes sb ON sb.doc_id = i.b_id
+              |  WHERE i.inter * 10 >= (sa.n + sb.n - i.inter) * 1)
+              |SELECT d.doc_id,
+              |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+              |       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+              |       ELSE 'kept' END AS status
+              |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0) d
+              |LEFT JOIN exact e ON e.doc_id = d.doc_id
+              |LEFT JOIN near n ON n.doc_id = d.doc_id""".stripMargin))
   )
 
   /** Shared CTE chain ending in `sigs(doc_id, simhash)` — the DuckDB

@@ -94,6 +94,23 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(comp.nonEmpty)
   }
 
+  test("incremental dedup: exact, near, and kept branches all classify correctly") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog near the old stone bridge"
+    val existing = Seq(
+      (100L, base),
+      (101L, "completely different words about spark query engines and shuffles here")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, base),                                   // exact duplicate of 100
+      (2L, base + " tonight"),                      // near-dup of 100 (high Jaccard)
+      (3L, "unrelated text mentioning databases columns rows and very boring metadata content")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstStatus(incoming, existing, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "exact_dup", 2L -> "near_dup", 3L -> "kept"))
+  }
+
   test("cluster keeper semantics: one keeper per component on real pairs") {
     val pairs = Dedup.minhashCandidates(
       Dedup.docShingles(
