@@ -39,14 +39,14 @@ import org.apache.spark.sql.functions._
   */
 object Kmeans {
 
-  /** Train `k` centroids with `iters` Lloyd iterations.
+  /** Train `k` centroids with `iters` Lloyd iterations from the default
+    * init (the first `k` vectors by id).
     * Returns `(centroid_id: long, cv: array<float>)`, localCheckpointed —
     * safe to reuse across assign/search stages without re-running. */
   def train(emb: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 2, s"need k >= 2 centroids, got $k")
-    require(iters >= 1, s"need >= 1 Lloyd iteration, got $iters")
-    var cents = emb.filter(col(idCol) < k)
+    val init = emb.filter(col(idCol) < k)
       .select(col(idCol).cast("long").as("centroid_id"),
         col(vecCol).cast("array<float>").as("cv"))
       .localCheckpoint(true)
@@ -54,11 +54,23 @@ object Kmeans {
     // silently yields < k (possibly 0) centroids and every later stage
     // would "work" on a crippled codebook. The count is on the k-row
     // checkpointed frame, so the guard costs nothing.
-    val seeded = cents.count()
+    val seeded = init.count()
     require(seeded == k,
       s"k-means init found $seeded of $k seed vectors with $idCol < $k — " +
         s"centroid seeding assumes ids are dense from 0; re-key the input " +
         s"(e.g. row_number() - 1) or lower k")
+    trainFrom(emb, init, iters, idCol, vecCol)
+  }
+
+  /** Lloyd iterations from an EXPLICIT initial centroid table
+    * `(centroid_id: long, cv: array<float>)` — e.g.
+    * [[farthestFirstInit]]'s output. The init frame should be
+    * materialized (checkpointed/small); iterations are identical to
+    * [[train]]'s. */
+  def trainFrom(emb: DataFrame, init: DataFrame, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, s"need >= 1 Lloyd iteration, got $iters")
+    var cents = init
     for (_ <- 1 to iters) {
       val assigned = Similarity.assignToCentroids(emb, cents, idCol, vecCol)
         .select(col("vec_id"), col("centroid_id"))
@@ -76,5 +88,51 @@ object Kmeans {
         .localCheckpoint(true)
     }
     cents
+  }
+
+  /** Farthest-first (Gonzalez) initialization — the deterministic cousin
+    * of k-means++: start from the lowest-id vector, then repeatedly pick
+    * the vector LEAST similar to the already-chosen set (argmin of the
+    * max 6-dp cosine, ties to the lowest vector id). Spreads seeds across
+    * the corpus instead of wherever the first k ids happen to sit, which
+    * is what k-means++ buys without its randomness — randomness would
+    * break the engine-replay oracle contract.
+    *
+    * Each of the k−1 rounds is one broadcast scoring pass
+    * ([[Similarity.assignToCentroids]] against the chosen set) plus a
+    * global top-1 (TakeOrdered — k·log(1) driver work); the single-row
+    * collect per round is bounded by construction, like the inline-IVF
+    * centroid collect. Returns `(centroid_id: long, cv: array<float>)`
+    * with centroid_id = selection ordinal 0..k−1, checkpointed. */
+  def farthestFirstInit(emb: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2, s"need k >= 2 centroids, got $k")
+    val spark = emb.sparkSession
+    import scala.jdk.CollectionConverters._
+    val first = emb.orderBy(col(idCol)).limit(1)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .head
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Seq[Float])](
+      (first.getLong(0), first.getSeq[Float](1)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("centroid_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    def chosenDf() = spark.createDataFrame(
+      chosen.zipWithIndex.map { case ((_, v), i) =>
+        org.apache.spark.sql.Row(i.toLong, v)
+      }.toList.asJava, schema)
+    while (chosen.length < k) {
+      val chosenIds = chosen.map(_._1).toSet
+      val next = Similarity.assignToCentroids(
+          emb.filter(!col(idCol).isin(chosenIds.toSeq: _*)), chosenDf(), idCol, vecCol)
+        .orderBy(col("score").asc, col("vec_id").asc).limit(1)
+        .join(emb.select(col(idCol).cast("long").as("vec_id"),
+          col(vecCol).cast("array<float>").as("cv")), Seq("vec_id"))
+        .head
+      chosen += ((next.getLong(0), next.getSeq[Float](next.fieldIndex("cv"))))
+    }
+    chosenDf().localCheckpoint(true)
   }
 }

@@ -81,6 +81,38 @@ object SimilarityQueries extends graft.QueryPack {
       |  JOIN kn2 nc ON nc.centroid_id = d.centroid_id)""".stripMargin
   ).mkString(",\n")
 
+  /** One farthest-first selection round: score every unchosen vector's
+    * max 6-dp cosine against the chosen set `ch{n}`, pick the argmin
+    * (ties to the lowest vec_id), append as ordinal `n` → `ch{n+1}`. */
+  private def ffStep(n: Int): String =
+    s"""d_ff$n AS MATERIALIZED (
+       |  SELECT a.vec_id, c.cid,
+       |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+       |  FROM ch$n c
+       |  JOIN ex b ON b.vec_id = c.cid
+       |  JOIN ex a ON a.i = b.i
+       |  WHERE a.vec_id NOT IN (SELECT cid FROM ch$n)
+       |  GROUP BY 1, 2),
+       |s_ff$n AS MATERIALIZED (
+       |  SELECT d.vec_id, MAX(ROUND(d.dot / (nv.nrm * nc.nrm), 6)) AS mx
+       |  FROM d_ff$n d
+       |  JOIN norms nv ON nv.vec_id = d.vec_id
+       |  JOIN norms nc ON nc.vec_id = d.cid
+       |  GROUP BY 1),
+       |n_ff$n AS MATERIALIZED (
+       |  SELECT vec_id FROM s_ff$n ORDER BY mx ASC, vec_id ASC LIMIT 1),
+       |ch${n + 1} AS MATERIALIZED (SELECT ord, cid FROM ch$n
+       |  UNION ALL SELECT $n, vec_id FROM n_ff$n)""".stripMargin
+
+  /** Farthest-first chain for k=8: ch8 = (ord 0..7, cid). Every step CTE
+    * is MATERIALIZED: DuckDB inlines plain CTEs, and a chain whose step n
+    * references step n−1 twice (the union + the NOT IN) would otherwise
+    * expand exponentially — 2^7 copies of the base scan exhausts file
+    * handles before it exhausts patience. */
+  private val duckFf: String = (Seq(
+    "ch1 AS MATERIALIZED (SELECT 0 AS ord, MIN(vec_id) AS cid FROM embeddings)") ++
+    (1 to 7).map(ffStep)).mkString(",\n")
+
   override def queries: Seq[Q] = Seq(
 
     // ---- SIM1: brute-force cosine top-k --------------------------------
@@ -124,6 +156,28 @@ object SimilarityQueries extends graft.QueryPack {
           col("x").cast("double").as("cval")),
       Some(s"""$duckEx,
               |$duckKmeans
+              |SELECT centroid_id, i AS dim, cv AS cval FROM c2""".stripMargin)),
+
+    // ---- SIM7: farthest-first init + Lloyd training ----------------------
+    // The k-means++-style seeding, deterministic (argmin of max cosine,
+    // ties to the lowest id). The oracle replays all 7 selection rounds
+    // AND the 2 Lloyd iterations; hash equality proves both the greedy
+    // chain and the training are bit-identical across engines.
+    Q("q_sim7_ff_kmeans",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Kmeans.trainFrom(e, Kmeans.farthestFirstInit(e, 8), 2)
+          .select(col("centroid_id"), posexplode(col("cv")).as(Seq("p", "x")))
+          .select(col("centroid_id"), (col("p") + 1).cast("long").as("dim"),
+            col("x").cast("double").as("cval"))
+      },
+      Some(s"""$duckEx,
+              |$duckFf,
+              |c0 AS (SELECT CAST(c.ord AS BIGINT) AS centroid_id,
+              |    CAST(e.v AS DOUBLE) AS cv, e.i
+              |  FROM ch8 c JOIN ex e ON e.vec_id = c.cid),
+              |${kmIter(1)},
+              |${kmIter(2)}
               |SELECT centroid_id, i AS dim, cv AS cval FROM c2""".stripMargin)),
 
     // ---- SIM4: IVF coarse-quantizer assignment on TRAINED centroids -----

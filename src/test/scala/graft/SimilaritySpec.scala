@@ -180,6 +180,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("dense from 0"))
   }
 
+  test("farthest-first init spreads seeds: max pairwise cosine <= first-N's") {
+    def maxPairCos(cents: Array[(Long, Array[Float])]): Double = {
+      def dot(a: Array[Float], b: Array[Float]) =
+        a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      def nrm(a: Array[Float]) = math.sqrt(dot(a, a))
+      (for {
+        (i, vi) <- cents; (j, vj) <- cents if i < j
+      } yield dot(vi, vj) / (nrm(vi) * nrm(vj))).max
+    }
+    def collectCents(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val ff = collectCents(Kmeans.farthestFirstInit(emb, 8))
+    val firstN = collectCents(emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("long"), col("embedding")))
+    assert(ff.length === 8 && ff.map(_._1).toSeq === (0L until 8L))
+    val (ffMax, fnMax) = (maxPairCos(ff), maxPairCos(firstN))
+    info(s"max pairwise cosine: farthest-first $ffMax vs first-N $fnMax")
+    assert(ffMax <= fnMax,
+      "farthest-first failed to spread seeds at least as well as first-N")
+    // deterministic: the greedy chain has no randomness
+    val again = collectCents(Kmeans.farthestFirstInit(emb, 8))
+    assert(ff.map(_._1).toSeq === again.map(_._1).toSeq)
+    assert(ff.map(_._2.toSeq).toSeq === again.map(_._2.toSeq).toSeq)
+  }
+
   test("kmeans: training is deterministic and keeps every centroid id") {
     val a = Kmeans.train(emb, 8, 2).orderBy("centroid_id").collect()
     val b = Kmeans.train(emb, 8, 2).orderBy("centroid_id").collect()
