@@ -120,6 +120,60 @@ class PropertySpec extends AnyFunSuite {
     assert(s1.exceptAll(s3).count() > 0)
   }
 
+  test("repetition metrics match a driver-side reference incl. top-gram tie-breaks") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // few distinct tokens => heavy ties, exercising (count desc, gram asc)
+    val tokGen = Gen.choose(2, 30).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "ab")))
+    forAll(tokGen, n = 20) { toks =>
+      val text = toks.mkString(" ")
+      val got = graft.operators.TextAnalysis
+        .repetitionMetrics(Seq((7L, text)).toDF("doc_id", "text"), "text", "doc_id")
+        .head
+      val nChars = text.length
+      val g2 = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val expTop = g2.groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (g, c) => (-c, g) }.headOption
+      val g3 = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      val expDup3 = g3.groupBy(identity).values
+        .collect { case o if o.size > 1 => (o.size - 1) * o.head.length }.sum
+      assert(got.getInt(1) === toks.length, s"n_tokens on $text")
+      assert(got.getDouble(2) ===
+        r6((toks.length - toks.distinct.length).toDouble / toks.length))
+      expTop match {
+        case Some((g, c)) =>
+          assert(got.getString(3) === g, s"top gram on $text")
+          assert(got.getDouble(4) === r6(c.toDouble * g.length / nChars))
+        case None => assert(got.isNullAt(3))
+      }
+      assert(got.getDouble(5) === r6(expDup3.toDouble / nChars), s"dup3 on $text")
+    }
+  }
+
+  test("pq encode matches a driver-side argmax reference") {
+    import graft.operators.{Kmeans, Pq}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 40)
+    val cb = Pq.trainCodebooks(emb, 4, 64, 4, 2)
+    val cents = cb.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val expected = (for {
+      (vid, v) <- vecs; s <- 0 until 4
+    } yield {
+      val sv = v.slice(s * 16, s * 16 + 16)
+      val best = cents.filter(_._1 == s).map { case (_, cid, cv) =>
+        (r6(dot(sv, cv) / (math.sqrt(dot(sv, sv)) * math.sqrt(dot(cv, cv)))), cid)
+      }.maxBy { case (score, cid) => (score, -cid) }
+      ((vid, s), best._2)
+    }).toMap
+    val got = Pq.encode(emb, cb, 4, 64).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+  }
+
   test("distinct_count kernel equals the reference distinct size on random arrays") {
     graft.functions.DistinctCount.register(spark)
     val arrGen = Gen.listOf(Gen.oneOf("a", "b", "ab", "ba", "", "xyz", "a"))
