@@ -130,8 +130,13 @@ object Kmeans {
         .orderBy(col("score").asc, col("vec_id").asc).limit(1)
         .join(emb.select(col(idCol).cast("long").as("vec_id"),
           col(vecCol).cast("array<float>").as("cv")), Seq("vec_id"))
-        .head
-      chosen += ((next.getLong(0), next.getSeq[Float](next.fieldIndex("cv"))))
+        .take(1)
+      // fail with the real cause instead of a bare NoSuchElementException
+      // when the corpus runs out of candidates before k seeds are chosen
+      require(next.nonEmpty,
+        s"farthest-first found only ${chosen.length} distinct vectors for k=$k — " +
+          "the corpus has fewer rows than requested centroids")
+      chosen += ((next(0).getLong(0), next(0).getSeq[Float](next(0).fieldIndex("cv"))))
     }
     chosenDf().localCheckpoint(true)
   }
