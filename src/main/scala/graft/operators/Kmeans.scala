@@ -98,6 +98,13 @@ object Kmeans {
     * is what k-means++ buys without its randomness — randomness would
     * break the engine-replay oracle contract.
     *
+    * Measured caveat (SimilaritySpec): better SEED SPREAD does not imply
+    * better IVF recall at a fixed probe budget — on the synthetic corpus,
+    * ff-trained recall@10 (0.496) trails first-N-trained (0.556), because
+    * outlier-centered seeds produce uneven inverted lists. Prefer this
+    * init when cluster-radius balance matters (dedup bucketing, coverage
+    * guarantees); benchmark both for IVF search.
+    *
     * Each of the k−1 rounds is one broadcast scoring pass
     * ([[Similarity.assignToCentroids]] against the chosen set) plus a
     * global top-1 (TakeOrdered — k·log(1) driver work); the single-row

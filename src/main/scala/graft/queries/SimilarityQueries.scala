@@ -64,12 +64,9 @@ object SimilarityQueries extends graft.QueryPack {
        |    ON m.centroid_id = c.centroid_id AND m.i = c.i)""".stripMargin
   }
 
-  /** k=8, 2 Lloyd iterations; `c2` = trained centroids, `s3` = every
-    * vector scored against them (the trained-quantizer assignment input). */
-  private val duckKmeans = Seq(
-    "c0 AS (SELECT vec_id AS centroid_id, CAST(v AS DOUBLE) AS cv, i FROM ex WHERE vec_id < 8)",
-    kmIter(1),
-    kmIter(2),
+  /** Post-training assignment: `s3` = every vector's 6-dp score against
+    * the trained `c2` (shared by the first-N and farthest-first chains). */
+  private val duckAssignTail =
     """kn2 AS (SELECT centroid_id, sqrt(SUM(cv * cv)) AS nrm FROM c2 GROUP BY 1),
       |s3 AS (
       |  SELECT d.vec_id, d.centroid_id,
@@ -79,7 +76,64 @@ object SimilarityQueries extends graft.QueryPack {
       |        FROM ex e JOIN c2 c ON e.i = c.i GROUP BY 1, 2) d
       |  JOIN norms nv ON nv.vec_id = d.vec_id
       |  JOIN kn2 nc ON nc.centroid_id = d.centroid_id)""".stripMargin
+
+  /** k=8, 2 Lloyd iterations; `c2` = trained centroids, `s3` = every
+    * vector scored against them (the trained-quantizer assignment input). */
+  private val duckKmeans = Seq(
+    "c0 AS (SELECT vec_id AS centroid_id, CAST(v AS DOUBLE) AS cv, i FROM ex WHERE vec_id < 8)",
+    kmIter(1),
+    kmIter(2),
+    duckAssignTail
   ).mkString(",\n")
+
+  /** Same trained `c2`/`s3` contract, but seeded by the farthest-first
+    * chain instead of the first 8 ids. (lazy: `duckFf` is declared below —
+    * a strict val here would capture null at object init.) */
+  private lazy val duckFfKmeans = Seq(
+    duckFf,
+    """c0 AS (SELECT CAST(c.ord AS BIGINT) AS centroid_id,
+      |    CAST(e.v AS DOUBLE) AS cv, e.i
+      |  FROM ch8 c JOIN ex e ON e.vec_id = c.cid)""".stripMargin,
+    kmIter(1),
+    kmIter(2),
+    duckAssignTail
+  ).mkString(",\n")
+
+  /** Probed-list top-k search over `s3` (nProbe=2, k=5, queries < 5) —
+    * the q_sim5 search block, shared verbatim by the ff-trained variant. */
+  private val duckIvfSearch =
+    """assign AS (
+      |  SELECT vec_id AS neighbor_id, centroid_id FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+      |    FROM s3) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, centroid_id FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+      |    FROM s3 WHERE vec_id < 5) WHERE rn <= 2),
+      |cand AS (
+      |  SELECT p.query_id, a.neighbor_id
+      |  FROM probes p JOIN assign a USING (centroid_id)
+      |  WHERE a.neighbor_id <> p.query_id),
+      |cdot AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |         SUM(CAST(eq.v AS DOUBLE) * CAST(en.v AS DOUBLE)) AS dot
+      |  FROM cand c
+      |  JOIN ex eq ON eq.vec_id = c.query_id
+      |  JOIN ex en ON en.vec_id = c.neighbor_id AND en.i = eq.i
+      |  GROUP BY 1, 2),
+      |fin AS (
+      |  SELECT cd.query_id, cd.neighbor_id,
+      |         ROUND(cd.dot / (nq.nrm * nn.nrm), 6) AS score
+      |  FROM cdot cd
+      |  JOIN norms nq ON nq.vec_id = cd.query_id
+      |  JOIN norms nn ON nn.vec_id = cd.neighbor_id)
+      |SELECT query_id, neighbor_id, score, rnk FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+      |  FROM fin)
+      |WHERE rnk <= 5""".stripMargin
 
   /** One farthest-first selection round: score every unchosen vector's
     * max 6-dp cosine against the chosen set `ch{n}`, pick the argmin
@@ -203,38 +257,22 @@ object SimilarityQueries extends graft.QueryPack {
       },
       Some(s"""$duckEx,
               |$duckKmeans,
-              |assign AS (
-              |  SELECT vec_id AS neighbor_id, centroid_id FROM (
-              |    SELECT *, row_number() OVER (
-              |      PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-              |    FROM s3) WHERE rn = 1),
-              |probes AS (
-              |  SELECT vec_id AS query_id, centroid_id FROM (
-              |    SELECT *, row_number() OVER (
-              |      PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-              |    FROM s3 WHERE vec_id < 5) WHERE rn <= 2),
-              |cand AS (
-              |  SELECT p.query_id, a.neighbor_id
-              |  FROM probes p JOIN assign a USING (centroid_id)
-              |  WHERE a.neighbor_id <> p.query_id),
-              |cdot AS (
-              |  SELECT c.query_id, c.neighbor_id,
-              |         SUM(CAST(eq.v AS DOUBLE) * CAST(en.v AS DOUBLE)) AS dot
-              |  FROM cand c
-              |  JOIN ex eq ON eq.vec_id = c.query_id
-              |  JOIN ex en ON en.vec_id = c.neighbor_id AND en.i = eq.i
-              |  GROUP BY 1, 2),
-              |fin AS (
-              |  SELECT cd.query_id, cd.neighbor_id,
-              |         ROUND(cd.dot / (nq.nrm * nn.nrm), 6) AS score
-              |  FROM cdot cd
-              |  JOIN norms nq ON nq.vec_id = cd.query_id
-              |  JOIN norms nn ON nn.vec_id = cd.neighbor_id)
-              |SELECT query_id, neighbor_id, score, rnk FROM (
-              |  SELECT *, row_number() OVER (
-              |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
-              |  FROM fin)
-              |WHERE rnk <= 5""".stripMargin)),
+              |$duckIvfSearch""".stripMargin)),
+
+    // ---- SIM8: IVF top-k on FARTHEST-FIRST-trained centroids ------------
+    // Same probed search as q_sim5, different seeding: the oracle swaps
+    // the first-N chain for the greedy ff chain and reuses the search
+    // block verbatim.
+    Q("q_sim8_ff_ivf_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.ivfTopKWith(e,
+          Kmeans.trainFrom(e, Kmeans.farthestFirstInit(e, 8), 2),
+          col("vec_id") < 5, nProbe = 2, k = 5)
+      },
+      Some(s"""$duckEx,
+              |$duckFfKmeans,
+              |$duckIvfSearch""".stripMargin)),
 
     // ---- SIM3: embedding near-dup (bucket candidates + exact rescore) ---
     // 0.35 sits in the meaningful tail of the synthetic corpus (its max

@@ -67,10 +67,21 @@ class SimilaritySpec extends AnyFunSuite {
       col("vec_id") < 50, nProbe = 2, k = 10))
     val trainedRecall = recallOf(Similarity.ivfTopKWith(emb, trained,
       col("vec_id") < 50, nProbe = 2, k = 10))
-    info(s"recall@10 over 50 queries, nProbe=2: " +
-      s"trained $trainedRecall vs untrained $untrainedRecall")
+    val ffRecall = recallOf(Similarity.ivfTopKWith(emb,
+      Kmeans.trainFrom(emb, Kmeans.farthestFirstInit(emb, 8), 2),
+      col("vec_id") < 50, nProbe = 2, k = 10))
+    info(s"recall@10 over 50 queries, nProbe=2: trained $trainedRecall " +
+      s"vs untrained $untrainedRecall vs ff-trained $ffRecall")
     assert(trainedRecall > untrainedRecall,
       s"trained recall $trainedRecall should beat untrained $untrainedRecall")
+    // measured honestly: ff-trained recall (0.496 on this corpus) sits
+    // BELOW first-N-trained (0.556) — spread seeds optimize worst-case
+    // cluster radius, not the list balance IVF recall wants at a fixed
+    // probe budget (outlier-centered seeds make uneven lists). The
+    // farthestFirstInit scaladoc carries this caveat; here we only pin
+    // that the measurement stays in a sane band so a regression that
+    // tanks it outright still fails.
+    assert(ffRecall >= 0.3, s"ff-trained recall $ffRecall collapsed")
   }
 
   test("kmeans: a cluster that loses all members keeps its previous centroid") {
