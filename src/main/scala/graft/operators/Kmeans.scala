@@ -116,11 +116,16 @@ object Kmeans {
     require(k >= 2, s"need k >= 2 centroids, got $k")
     val spark = emb.sparkSession
     import scala.jdk.CollectionConverters._
+    // headOption, not head: an empty corpus should fail with the same
+    // message as running out mid-chain, not a bare NoSuchElementException
     val first = emb.orderBy(col(idCol)).limit(1)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-      .head
+      .collect().headOption
+    require(first.nonEmpty,
+      s"farthest-first found only 0 distinct vectors for k=$k — " +
+        "the corpus has fewer rows than requested centroids")
     val chosen = scala.collection.mutable.ArrayBuffer[(Long, Seq[Float])](
-      (first.getLong(0), first.getSeq[Float](1)))
+      (first.get.getLong(0), first.get.getSeq[Float](1)))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("centroid_id",
         org.apache.spark.sql.types.LongType),

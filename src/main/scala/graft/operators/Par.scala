@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.network.util.JavaUtils
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Parallelism helpers shared by the CPU-heavy operators. */
@@ -35,6 +36,13 @@ private[graft] object Par {
     def allowed(n: LogicalPlan): Boolean = n match {
       case _: Project | _: Filter | _: Generate | _: SubqueryAlias => true
       case _: LogicalRelation | _: LocalRelation | _: OneRowRelation | _: Range => true
+      // localCheckpoint materializes to a LogicalRDD leaf — without this
+      // case a checkpointed input (e.g. Curation's exact-dedup survivors)
+      // silently made spread() a no-op, leaving CPU-heavy downstream work
+      // at whatever partitioning the checkpoint captured (possibly
+      // AQE-coalesced to 1). Its partition count is a stored property of
+      // the already-materialized RDD — reading it runs no job.
+      case _: LogicalRDD => true
       case _ => false
     }
     if (plan.find(n => !allowed(n)).isDefined) return df
@@ -53,6 +61,7 @@ private[graft] object Par {
         case _ => nFiles += 1L
       }
       case r: Range => rangeSplits += r.numSlices.getOrElse(target).toLong
+      case rdd: LogicalRDD => rangeSplits += rdd.rdd.getNumPartitions.toLong
       case _: LocalRelation | _: OneRowRelation => nFiles += 1L
       case _ => ()
     }

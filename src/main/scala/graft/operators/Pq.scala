@@ -36,6 +36,22 @@ object Pq {
   private def nativeDot(df: DataFrame, a: Column, b: Column): Column =
     Similarity.nativeDot(df.sparkSession, a, b)
 
+  /** Subspace assignment score with the zero-norm contract: a zero-norm
+    * slice (an all-zero subvector — plausible in real sparse embeddings)
+    * or a zero-norm codebook entry has no defined cosine, and the raw
+    * division would poison the argmax (null/NaN scores silently DROP that
+    * subspace from the per-vector code set, breaking the "every vector
+    * gets exactly m codes" invariant). Scoring such a pair as −2 — below
+    * any real cosine — keeps the row in the argmax, where the packed-long
+    * tie-break deterministically lands the slice on the lowest-id
+    * centroid (code 0 when every entry is unscorable). The corpus never
+    * exercises this branch at the registered parameters, so the oracles
+    * are unaffected; PqSpec pins the zero-slice behavior. */
+  private def subScore(df: DataFrame, sv: Column, cv: Column,
+      svn: Column, cn: Column): Column =
+    when(svn > 0 && cn > 0,
+      round(nativeDot(df, sv, cv) / (svn * cn), 6)).otherwise(lit(-2.0))
+
   /** Train per-subspace codebooks: `(sub_id: int, centroid_id: long,
     * cv: array<float>)`.
     *
@@ -79,8 +95,7 @@ object Pq {
           sqrt(nativeDot(emb, col("sv"), col("sv"))).as("svn"))
       val assigned = ex.join(cb, Seq("sub_id"))
         .select(col("vec_id"), col("sub_id"), col("centroid_id"),
-          round(nativeDot(emb, col("sv"), col("cv")) / (col("svn") * col("cn")), 6)
-            .as("score"))
+          subScore(emb, col("sv"), col("cv"), col("svn"), col("cn")).as("score"))
         .groupBy(col("vec_id"), col("sub_id"))
         .agg(max_by(col("centroid_id"), ord).as("centroid_id"))
       val means = assigned
@@ -121,8 +136,7 @@ object Pq {
       col("centroid_id").cast("long")
     exploded.join(cb, Seq("sub_id"))
       .select(col("vec_id"), col("sub_id"), col("centroid_id"),
-        round(nativeDot(emb, col("sv"), col("cv")) / (col("svn") * col("cn")), 6)
-          .as("score"))
+        subScore(emb, col("sv"), col("cv"), col("svn"), col("cn")).as("score"))
       .groupBy(col("vec_id"), col("sub_id"))
       .agg(max_by(col("centroid_id"), ord).as("code"), max(col("score")).as("score"))
   }

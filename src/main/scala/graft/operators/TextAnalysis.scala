@@ -90,9 +90,17 @@ object TextAnalysis {
     *   - `dup_token_frac`   — fraction of tokens that are repeats of an
     *     earlier token (1 − distinct/total);
     *   - `top_2gram`/`top_2gram_frac` — the most frequent word 2-gram and
-    *     the fraction of document characters its occurrences cover;
-    *   - `dup_3gram_frac`   — fraction of characters covered by 3-gram
-    *     occurrences BEYOND each gram's first (the duplicate-n-gram mass).
+    *     occurrences × gram length over document characters — an UPPER
+    *     BOUND on the character coverage Gopher describes, not coverage
+    *     itself: overlapping occurrences double-count shared characters
+    *     (and the gram's internal space), so the ratio can exceed 1 on
+    *     degenerate repeats ("a a a a" → 9/7). True coverage would need
+    *     per-doc interval union — a per-row O(occurrences) merge the
+    *     bound dodges; as a filter signal the bound is conservative in
+    *     the right direction (repetitive docs score HIGHER);
+    *   - `dup_3gram_frac`   — same occurrence-count × gram-length bound,
+    *     over 3-gram occurrences BEYOND each gram's first (the
+    *     duplicate-n-gram mass); may exceed 1 the same way.
     *
     * Deterministic: the top gram ties break (count desc, gram asc) via two
     * hash aggregations and an equi-join on the per-doc max — no window, no

@@ -99,6 +99,19 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(spreadNarrow.rdd.getNumPartitions === target)
   }
 
+  test("spread sees through localCheckpoint: narrow checkpoints respread, wide pass through") {
+    val target = spark.sparkContext.defaultParallelism
+    // a checkpointed frame's plan is a LogicalRDD leaf — before the
+    // LogicalRDD case, spread() treated it as "too rich" and passed a
+    // 1-partition checkpoint through untouched, serializing downstream
+    // CPU-heavy work (e.g. Curation's checkpointed dedup survivors)
+    val narrowCk = spark.range(0, 1000, 1, 1).toDF("id").localCheckpoint(true)
+    assert(graft.operators.Par.spread(narrowCk).rdd.getNumPartitions === target)
+    val wideCk = spark.range(0, 1000, 1, target).toDF("id").localCheckpoint(true)
+    assert(graft.operators.Par.spread(wideCk) eq wideCk,
+      "an already-parallel checkpoint must pass through untouched")
+  }
+
   test("per-group sample aggregates with a bounded buffer — no window sort of every row") {
     val p = plan("q_x8_group_sample")
     assert(!p.contains("Window"), s"q_x8 regressed to a window sort:\n$p")

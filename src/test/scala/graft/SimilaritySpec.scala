@@ -183,6 +183,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.05, s"recall $recall is chance-level")
   }
 
+  test("pq: a zero-norm subspace slice still yields a code, deterministically") {
+    import spark.implicits._
+    // vec 4's second half is all-zero: its sub_id=1 slice has no defined
+    // cosine against any codebook entry. Before the subScore guard the
+    // division poisoned the argmax and the (4, 1) code silently vanished,
+    // breaking the every-vector-gets-m-codes invariant.
+    val df = Seq(
+      (0L, Array(1f, 0f, 1f, 0f)), (1L, Array(0f, 1f, 0f, 1f)),
+      (2L, Array(1f, 1f, 1f, 1f)), (3L, Array(0.5f, 0.2f, 0.3f, 0.9f)),
+      (4L, Array(1f, 2f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cb = Pq.trainCodebooks(df, m = 2, dim = 4, k = 2, iters = 1)
+    val codes = Pq.encode(df, cb, m = 2, dim = 4)
+    assert(codes.count() === 10, "every vector must get exactly m codes")
+    val zeroSlice = codes.filter(col("vec_id") === 4 && col("sub_id") === 1).collect()
+    assert(zeroSlice.length === 1)
+    // unscorable slice falls to the lowest centroid id with the sentinel score
+    assert(zeroSlice(0).getAs[Long]("code") === 0L)
+    assert(zeroSlice(0).getAs[Double]("score") === -2.0)
+  }
+
+  test("farthest-first on an empty corpus fails with the seeding message, not NoSuchElement") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException](Kmeans.farthestFirstInit(empty, 2))
+    assert(ex.getMessage.contains("fewer rows than requested centroids"))
+  }
+
   test("kmeans: sparse vector ids fail fast at seeding instead of under-seeding") {
     import spark.implicits._
     val sparse = Seq((10L, Array(1f, 0f)), (11L, Array(0f, 1f)), (12L, Array(1f, 1f)))
