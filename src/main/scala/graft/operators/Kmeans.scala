@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** DataFrame-only Lloyd's k-means, used to train the IVF coarse quantizer
@@ -88,6 +89,118 @@ object Kmeans {
         .localCheckpoint(true)
     }
     cents
+  }
+
+  /** k-means‖-style oversampled seeding (Bahmani et al., "Scalable
+    * k-means++", VLDB 2012) — the LARGE-k init. [[farthestFirstInit]]
+    * runs k−1 sequential Spark jobs, each ending in a one-row driver
+    * take; at the k≈thousands a real 100 TB IVF quantizer needs, that
+    * driver serialization is the bottleneck. This init runs a FIXED
+    * number of rounds (independent of k), each one distributed pass:
+    *
+    *   1. score every vector's max 6-dp cosine against the current
+    *      candidate set (one broadcast pass — [[Similarity.assignToCentroids]]);
+    *   2. integer micro-distance `dµ = round((1 − maxcos)·1e6)` and its
+    *      corpus total `φµ = Σ dµ` (a broadcast one-row aggregate, never
+    *      a driver scalar);
+    *   3. sample each vector iff `u16 · φµ < 65536 · ℓ · dµ`, where
+    *      `u16 ∈ [0, 65536)` is the first 4 hex digits of
+    *      `md5("<round>|<vec_id>")` — the deterministic, engine-replayable
+    *      stand-in for k-means‖'s `P[x] = ℓ·d(x)/φ` coin flip. The
+    *      comparison runs in decimal(38,0) (HUGEINT in the oracle), so it
+    *      stays exact even at the 100 TB corpus sizes where `u16 · φµ`
+    *      overflows a 64-bit long. Already-chosen candidates have dµ = 0
+    *      and can never re-sample (strict inequality).
+    *
+    * After `rounds` rounds the ~1 + ℓ·rounds candidates reduce to k:
+    * every corpus vector assigns to its max-cosine candidate, candidates
+    * keep their assignment counts as weights (zero-weight shadows — exact
+    * duplicates that lost the tie-break — drop), the k heaviest
+    * candidates (ties to the lowest id) become centers 0..k−1, and
+    * `refineIters` WEIGHTED Lloyd iterations over the tiny candidate
+    * relation re-center them (weighted per-dim mean `Σw·x / Σw`, rounded
+    * to 6 dp through FLOAT — the [[train]] numerics with weights). The
+    * one window in the reduction ranks the ≤ 1+ℓ·rounds candidate rows,
+    * never a corpus relation.
+    *
+    * Job count: rounds + refineIters + a couple of bounded actions —
+    * independent of k, the property that lets a k=4096 quantizer train
+    * without serializing thousands of jobs through the driver.
+    *
+    * Returns `(centroid_id: long, cv: array<float>)` with ids 0..k−1,
+    * checkpointed — feed straight into [[trainFrom]].
+    *
+    * Which init for which workload (measured in SimilaritySpec on the
+    * synthetic corpus; see q_sim8's honest recall note): first-N (id
+    * order) is the cheapest and — fed through Lloyd — gave the BEST IVF
+    * recall at a fixed probe budget here, because density-proportional
+    * lists stay balanced; farthest-first optimizes worst-case cluster
+    * radius (coverage/bucketing workloads) but its outlier-centered seeds
+    * make uneven inverted lists AND it serializes O(k) driver rounds;
+    * k-means‖ is the production default for LARGE k: near-k-means++ seed
+    * quality, O(rounds) distributed passes, recall on par with first-N
+    * and spread on par with farthest-first. */
+  def kmeansParallelInit(emb: DataFrame, k: Int, rounds: Int = 3,
+      oversample: Int = 0, refineIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2, s"need k >= 2 centroids, got $k")
+    require(rounds >= 1 && refineIters >= 0, "need rounds >= 1, refineIters >= 0")
+    val ell = if (oversample > 0) oversample else 2 * k / rounds + 1
+    var cands = emb.orderBy(col(idCol)).limit(1)
+      .select(col(idCol).cast("long").as("centroid_id"),
+        col(vecCol).cast("array<float>").as("cv"))
+      .localCheckpoint(true)
+    val dec = "decimal(38,0)"
+    for (r <- 1 to rounds) {
+      val dmu = Similarity.assignToCentroids(emb, cands, idCol, vecCol)
+        .select(col("vec_id"),
+          round((lit(1.0) - col("score")) * 1e6).cast("long").as("dmu"))
+      val phi = dmu.agg(sum(col("dmu")).as("phi"))
+      val u16 = conv(md5(concat(lit(s"$r|"), col("vec_id").cast("string")))
+        .substr(1, 4), 16, 10).cast("long")
+      val sampled = dmu.crossJoin(broadcast(phi))
+        .filter(u16.cast(dec) * col("phi").cast(dec) <
+          lit(65536L).cast(dec) * lit(ell.toLong).cast(dec) * col("dmu").cast(dec))
+        .select(col("vec_id").as("centroid_id"))
+        .join(emb.select(col(idCol).cast("long").as("centroid_id"),
+          col(vecCol).cast("array<float>").as("cv")), Seq("centroid_id"))
+      cands = cands.unionByName(sampled).localCheckpoint(true)
+    }
+    // weight = corpus vectors won under the same argmax/tie contract as
+    // assignment everywhere else; the inner join drops zero-weight shadows
+    val weights = cands.select(col("centroid_id"))
+      .join(Similarity.assignToCentroids(emb, cands, idCol, vecCol)
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as("w")), Seq("centroid_id"))
+    val nCands = weights.count()
+    require(nCands >= k,
+      s"k-means|| produced only $nCands weighted candidates for k=$k — " +
+        s"raise oversample (ell=$ell) or rounds=$rounds, or lower k")
+    val byWeight = Window.orderBy(col("w").desc, col("centroid_id"))
+    val top = weights.orderBy(col("w").desc, col("centroid_id")).limit(k)
+      .withColumn("new_id", row_number().over(byWeight).cast("long") - 1)
+    var centers = top.join(cands, Seq("centroid_id"))
+      .select(col("new_id").as("centroid_id"), col("cv"))
+      .localCheckpoint(true)
+    val candPts = cands.join(weights, Seq("centroid_id"))
+      .select(col("centroid_id").as("cand_id"), col("cv").as("cand_cv"), col("w"))
+      .localCheckpoint(true)
+    for (_ <- 1 to refineIters) {
+      val assigned = Similarity
+        .assignToCentroids(candPts, centers, "cand_id", "cand_cv")
+        .select(col("vec_id").as("cand_id"), col("centroid_id"))
+      val means = assigned.join(candPts, Seq("cand_id"))
+        .select(col("centroid_id"), col("w"),
+          posexplode(col("cand_cv")).as(Seq("i", "x")))
+        .groupBy(col("centroid_id"), col("i"))
+        .agg(round(sum(col("w") * col("x").cast("double")) / sum(col("w")), 6).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m").cast("float")).as("cv_new"))
+      centers = centers.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("cv_new"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    centers
   }
 
   /** Farthest-first (Gonzalez) initialization — the deterministic cousin

@@ -135,6 +135,100 @@ object SimilarityQueries extends graft.QueryPack {
       |  FROM fin)
       |WHERE rnk <= 5""".stripMargin
 
+  /** One k-means‖ sampling round: score every vector's max 6-dp cosine
+    * against the candidate set `cs{r-1}`, derive integer micro-distances
+    * `dµ = round((1−mx)·1e6)` and their total `φµ`, and add every vector
+    * whose md5-bucket `u16` satisfies `u16·φµ < 65536·ℓ·dµ` (HUGEINT —
+    * exactly the decimal(38,0) arithmetic the Spark side runs). Members
+    * have dµ = 0 and can never re-sample. MATERIALIZED for the same
+    * reason as the ff chain: each round references its predecessor
+    * multiple times. */
+  private def kppRound(r: Int, ell: Int): String =
+    s"""sc$r AS MATERIALIZED (
+       |  SELECT d.vec_id, MAX(ROUND(d.dot / (nv.nrm * nc.nrm), 6)) AS mx
+       |  FROM (SELECT a.vec_id, c.cid,
+       |               SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+       |        FROM cs${r - 1} c
+       |        JOIN ex b ON b.vec_id = c.cid
+       |        JOIN ex a ON a.i = b.i
+       |        GROUP BY 1, 2) d
+       |  JOIN norms nv ON nv.vec_id = d.vec_id
+       |  JOIN norms nc ON nc.vec_id = d.cid
+       |  GROUP BY 1),
+       |dm$r AS MATERIALIZED (
+       |  SELECT vec_id, CAST(ROUND((1 - mx) * 1e6) AS BIGINT) AS dmu FROM sc$r),
+       |ph$r AS MATERIALIZED (SELECT SUM(dmu) AS phi FROM dm$r),
+       |cs$r AS MATERIALIZED (
+       |  SELECT cid FROM cs${r - 1}
+       |  UNION ALL
+       |  SELECT d.vec_id FROM dm$r d, ph$r
+       |  WHERE CAST(CAST('0x' || substr(md5('$r|' || CAST(d.vec_id AS VARCHAR)), 1, 4)
+       |               AS INTEGER) AS HUGEINT) * phi
+       |      < CAST(65536 AS HUGEINT) * $ell * d.dmu)""".stripMargin
+
+  /** The k-means‖ reduction: weight candidates by won corpus vectors
+    * (argmax/ties contract as everywhere), keep the k heaviest, then
+    * `refine` weighted Lloyd iterations over the candidate points.
+    * `wc{refine}` = the final seeds as (centroid_id, i, cv). */
+  private def kppReduce(lastRound: Int, k: Int, refine: Int): String = {
+    val head =
+      s"""wsc0 AS MATERIALIZED (
+         |  SELECT d.vec_id, d.cid, ROUND(d.dot / (nv.nrm * nc.nrm), 6) AS score
+         |  FROM (SELECT a.vec_id, c.cid,
+         |               SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+         |        FROM cs$lastRound c
+         |        JOIN ex b ON b.vec_id = c.cid
+         |        JOIN ex a ON a.i = b.i
+         |        GROUP BY 1, 2) d
+         |  JOIN norms nv ON nv.vec_id = d.vec_id
+         |  JOIN norms nc ON nc.vec_id = d.cid),
+         |wt AS MATERIALIZED (
+         |  SELECT cid, COUNT(*) AS w FROM (
+         |    SELECT vec_id, cid FROM (
+         |      SELECT vec_id, cid, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+         |      FROM wsc0) WHERE rn = 1)
+         |  GROUP BY 1),
+         |topk AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY w DESC, cid) - 1 AS centroid_id, cid
+         |  FROM wt ORDER BY w DESC, cid LIMIT $k),
+         |wc0 AS MATERIALIZED (
+         |  SELECT t.centroid_id, e.i, CAST(e.v AS DOUBLE) AS cv
+         |  FROM topk t JOIN ex e ON e.vec_id = t.cid)""".stripMargin
+    val iters = (1 to refine).map { n =>
+      s"""wkn${n - 1} AS MATERIALIZED (
+         |  SELECT centroid_id, sqrt(SUM(cv * cv)) AS nrm FROM wc${n - 1} GROUP BY 1),
+         |wa$n AS MATERIALIZED (
+         |  SELECT cid, centroid_id FROM (
+         |    SELECT s.cid, s.centroid_id, row_number() OVER (
+         |      PARTITION BY s.cid ORDER BY s.score DESC, s.centroid_id) AS rn
+         |    FROM (SELECT d.cid, d.centroid_id,
+         |                 ROUND(d.dot / (nv.nrm * nc.nrm), 6) AS score
+         |          FROM (SELECT e.vec_id AS cid, c.centroid_id,
+         |                       SUM(CAST(e.v AS DOUBLE) * c.cv) AS dot
+         |                FROM ex e
+         |                JOIN wt ON wt.cid = e.vec_id
+         |                JOIN wc${n - 1} c ON e.i = c.i
+         |                GROUP BY 1, 2) d
+         |          JOIN norms nv ON nv.vec_id = d.cid
+         |          JOIN wkn${n - 1} nc ON nc.centroid_id = d.centroid_id) s)
+         |  WHERE rn = 1),
+         |wm$n AS MATERIALIZED (
+         |  SELECT a.centroid_id, e.i,
+         |         CAST(CAST(ROUND(SUM(w.w * CAST(e.v AS DOUBLE)) / SUM(w.w), 6)
+         |              AS FLOAT) AS DOUBLE) AS cv
+         |  FROM wa$n a
+         |  JOIN wt w ON w.cid = a.cid
+         |  JOIN ex e ON e.vec_id = a.cid
+         |  GROUP BY 1, 2),
+         |wc$n AS MATERIALIZED (
+         |  SELECT c.centroid_id, c.i, COALESCE(m.cv, c.cv) AS cv
+         |  FROM wc${n - 1} c LEFT JOIN wm$n m
+         |    ON m.centroid_id = c.centroid_id AND m.i = c.i)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
   /** One farthest-first selection round: score every unchosen vector's
     * max 6-dp cosine against the chosen set `ch{n}`, pick the argmin
     * (ties to the lowest vec_id), append as ordinal `n` → `ch{n+1}`. */
@@ -299,6 +393,27 @@ object SimilarityQueries extends graft.QueryPack {
               |  FROM pd
               |  JOIN norms na ON na.vec_id = pd.a_id
               |  JOIN norms nb ON nb.vec_id = pd.b_id)
-              |WHERE score >= 0.35""".stripMargin))
+              |WHERE score >= 0.35""".stripMargin)),
+
+    // ---- SIM9: k-means|| oversampled seeding at k=64 --------------------
+    // The LARGE-k init: round count independent of k (3 sampling rounds +
+    // 2 weighted refinements — never k sequential driver rounds like the
+    // ff chain). The oracle replays the md5-bucketed distance-proportional
+    // sampling, the weighting/top-k reduction, AND both weighted Lloyd
+    // iterations; hash equality proves the whole seeding is bit-identical
+    // across engines at production-shaped k.
+    Q("q_sim9_kmeanspar_seeds",
+      (s, d) => Kmeans.kmeansParallelInit(Tables.embeddings(s, d), 64,
+          rounds = 3, oversample = 32, refineIters = 2)
+        .select(col("centroid_id"), posexplode(col("cv")).as(Seq("p", "x")))
+        .select(col("centroid_id"), (col("p") + 1).cast("long").as("dim"),
+          col("x").cast("double").as("cval")),
+      Some(s"""$duckEx,
+              |cs0 AS MATERIALIZED (SELECT MIN(vec_id) AS cid FROM embeddings),
+              |${kppRound(1, 32)},
+              |${kppRound(2, 32)},
+              |${kppRound(3, 32)},
+              |${kppReduce(3, 64, 2)}
+              |SELECT centroid_id, i AS dim, cv AS cval FROM wc2""".stripMargin))
   )
 }

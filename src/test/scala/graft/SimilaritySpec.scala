@@ -244,6 +244,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ff.map(_._2.toSeq).toSeq === again.map(_._2.toSeq).toSeq)
   }
 
+  test("kmeans||: trains k=64 seeds in O(rounds) passes, deterministically") {
+    val a = Kmeans.kmeansParallelInit(emb, 64, rounds = 3, oversample = 32)
+    val rows = a.orderBy("centroid_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L until 64L),
+      "seeds must be re-keyed 0..k-1")
+    assert(rows.forall(_.getSeq[Float](1).length === 64))
+    val b = Kmeans.kmeansParallelInit(emb, 64, rounds = 3, oversample = 32)
+      .orderBy("centroid_id").collect()
+    assert(rows.map(_.getSeq[Float](1).toSeq).toSeq ===
+      b.map(_.getSeq[Float](1).toSeq).toSeq, "seeding must be deterministic")
+  }
+
+  test("kmeans||: fails fast when the candidate pool cannot reach k") {
+    // 1 round at tiny oversample on 500 vectors cannot yield 64 candidates
+    val ex = intercept[IllegalArgumentException](
+      Kmeans.kmeansParallelInit(emb, 64, rounds = 1, oversample = 2))
+    assert(ex.getMessage.contains("weighted candidates"))
+  }
+
   test("kmeans: training is deterministic and keeps every centroid id") {
     val a = Kmeans.train(emb, 8, 2).orderBy("centroid_id").collect()
     val b = Kmeans.train(emb, 8, 2).orderBy("centroid_id").collect()
