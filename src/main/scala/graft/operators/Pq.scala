@@ -52,6 +52,21 @@ object Pq {
     when(svn > 0 && cn > 0,
       round(nativeDot(df, sv, cv) / (svn * cn), 6)).otherwise(lit(-2.0))
 
+  /** L2 assignment score: argmin |x−c|² = argmax (2·dot(x,c) − |c|²)
+    * (|x|² is constant per slice, so it drops out of the argmax). This is
+    * the assignment real PQ uses — minimizing reconstruction error, which
+    * directly bounds the ADC inner-product error |dot(q, x−c)| ≤
+    * |q|·|x−c|. Cosine assignment matches direction but discards slice
+    * MAGNITUDE, and the discarded share grows as subspaces shrink —
+    * measured here: cosine ADC recall plateaus at ~0.7 (m=8..16) and
+    * DEGRADES to 0.63 at m=32, while L2 recall climbs with m (see
+    * SimilaritySpec). No division, so no zero-norm guard needed; ties
+    * break to the lowest centroid id via the same packed-long ord (scores
+    * stay |…| ≤ ~10³ for unit-ish embeddings, far inside the 2^31/1e6
+    * packing budget). */
+  private def subScoreL2(df: DataFrame, sv: Column, cv: Column, cn2: Column): Column =
+    round(lit(2.0) * nativeDot(df, sv, cv) - cn2, 6)
+
   /** Train per-subspace codebooks: `(sub_id: int, centroid_id: long,
     * cv: array<float>)`.
     *
@@ -69,10 +84,12 @@ object Pq {
     * [[Kmeans.train]] reference and the q_pq oracles replay the
     * per-subspace recursion unchanged. */
   def trainCodebooks(emb: DataFrame, m: Int, dim: Int, k: Int, iters: Int,
+      metric: String = "cosine",
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     require(k >= 2, s"need k >= 2 codebook entries, got $k")
     require(iters >= 1, s"need >= 1 Lloyd iteration, got $iters")
+    require(metric == "cosine" || metric == "l2", s"unknown metric '$metric'")
     val subDim = dim / m
     val slices = array((0 until m).map(s => subVec(col(vecCol), s, subDim)): _*)
     def exploded = Par.spread(emb.select(col(idCol).as("vec_id"), col(vecCol)))
@@ -89,13 +106,17 @@ object Pq {
       col("centroid_id").cast("long")
     for (_ <- 1 to iters) {
       val cb = broadcast(cents.select(col("sub_id"), col("centroid_id"), col("cv"),
-        sqrt(nativeDot(cents, col("cv"), col("cv"))).as("cn")))
+        sqrt(nativeDot(cents, col("cv"), col("cv"))).as("cn"),
+        nativeDot(cents, col("cv"), col("cv")).as("cn2")))
       val ex = exploded
         .select(col("vec_id"), col("sub_id"), col("sv"),
           sqrt(nativeDot(emb, col("sv"), col("sv"))).as("svn"))
+      val score =
+        if (metric == "l2") subScoreL2(emb, col("sv"), col("cv"), col("cn2"))
+        else subScore(emb, col("sv"), col("cv"), col("svn"), col("cn"))
       val assigned = ex.join(cb, Seq("sub_id"))
         .select(col("vec_id"), col("sub_id"), col("centroid_id"),
-          subScore(emb, col("sv"), col("cv"), col("svn"), col("cn")).as("score"))
+          score.as("score"))
         .groupBy(col("vec_id"), col("sub_id"))
         .agg(max_by(col("centroid_id"), ord).as("centroid_id"))
       val means = assigned
@@ -122,8 +143,10 @@ object Pq {
     * why the order packs into a long) — the only shuffle carries
     * (vec, sub, best) tuples, never vectors. */
   def encode(emb: DataFrame, codebooks: DataFrame, m: Int, dim: Int,
+      metric: String = "cosine",
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    require(metric == "cosine" || metric == "l2", s"unknown metric '$metric'")
     val subDim = dim / m
     val slices = array((0 until m).map(s => subVec(col(vecCol), s, subDim)): _*)
     val exploded = Par.spread(emb.select(col(idCol).as("vec_id"), col(vecCol)))
@@ -131,20 +154,23 @@ object Pq {
       .select(col("vec_id"), col("sub_id"), col("sv"),
         sqrt(nativeDot(emb, col("sv"), col("sv"))).as("svn"))
     val cb = broadcast(codebooks.select(col("sub_id"), col("centroid_id"), col("cv"),
-      sqrt(nativeDot(codebooks, col("cv"), col("cv"))).as("cn")))
+      sqrt(nativeDot(codebooks, col("cv"), col("cv"))).as("cn"),
+      nativeDot(codebooks, col("cv"), col("cv")).as("cn2")))
+    val score =
+      if (metric == "l2") subScoreL2(emb, col("sv"), col("cv"), col("cn2"))
+      else subScore(emb, col("sv"), col("cv"), col("svn"), col("cn"))
     val ord = round(col("score") * 1e6).cast("long") * lit(4294967296L) -
       col("centroid_id").cast("long")
     exploded.join(cb, Seq("sub_id"))
-      .select(col("vec_id"), col("sub_id"), col("centroid_id"),
-        subScore(emb, col("sv"), col("cv"), col("svn"), col("cn")).as("score"))
+      .select(col("vec_id"), col("sub_id"), col("centroid_id"), score.as("score"))
       .groupBy(col("vec_id"), col("sub_id"))
       .agg(max_by(col("centroid_id"), ord).as("code"), max(col("score")).as("score"))
   }
 
   /** The encoded corpus as `(neighbor_id, sub_id, code)`. */
   private def corpusCodes(emb: DataFrame, codebooks: DataFrame, m: Int,
-      dim: Int, idCol: String, vecCol: String): DataFrame =
-    encode(emb, codebooks, m, dim, idCol, vecCol)
+      dim: Int, metric: String, idCol: String, vecCol: String): DataFrame =
+    encode(emb, codebooks, m, dim, metric, idCol, vecCol)
       .select(col("vec_id").as("neighbor_id"), col("sub_id"), col("code"))
 
   /** Per-query ADC lookup table `(query_id, sub_id, code, contrib)` —
@@ -181,9 +207,9 @@ object Pq {
     * tuples through one partial-aggregated shuffle; original vectors are
     * read exactly once (at encode time). */
   def adcTopK(emb: DataFrame, codebooks: DataFrame, queryPred: Column,
-      m: Int, dim: Int, k: Int,
+      m: Int, dim: Int, k: Int, metric: String = "cosine",
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val codes = corpusCodes(emb, codebooks, m, dim, idCol, vecCol)
+    val codes = corpusCodes(emb, codebooks, m, dim, metric, idCol, vecCol)
     val lut = queryLut(emb, codebooks, queryPred, m, dim, idCol, vecCol)
     rankApprox(
       codes.join(broadcast(lut), Seq("sub_id", "code"))
@@ -200,6 +226,7 @@ object Pq {
     * nothing larger than (id, sub, code) ever shuffles. */
   def ivfAdcTopK(emb: DataFrame, coarse: DataFrame, codebooks: DataFrame,
       queryPred: Column, nProbe: Int, m: Int, dim: Int, k: Int,
+      metric: String = "cosine",
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val assign = Similarity.assignToCentroids(emb, coarse, idCol, vecCol)
       .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
@@ -219,7 +246,7 @@ object Pq {
     val cand = probes.join(assign, Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
-    val codes = corpusCodes(emb, codebooks, m, dim, idCol, vecCol)
+    val codes = corpusCodes(emb, codebooks, m, dim, metric, idCol, vecCol)
     val lut = queryLut(emb, codebooks, queryPred, m, dim, idCol, vecCol)
     rankApprox(
       cand.join(codes, Seq("neighbor_id"))

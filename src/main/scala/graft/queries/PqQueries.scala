@@ -96,9 +96,15 @@ object PqQueries extends graft.QueryPack {
        |  FROM ex_$s q JOIN c2_$s c ON q.i = c.i
        |  WHERE q.vec_id < 5 GROUP BY 1, 2)""".stripMargin
 
-  private def subChain(s: Int): Seq[String] = {
-    val lo = s * SubDim + 1
-    Seq(base(s.toString, lo, lo + SubDim - 1, K), kmIter(s.toString, 1),
+  private def subChain(s: Int): Seq[String] = subChainAt(s, SubDim, K)
+
+  /** Subspace chain at EXPLICIT geometry — the generators are fully
+    * parameter-generic (k and subDim appear only as data/bounds), so the
+    * same SQL shape replays the m=4/k=4 toy codebooks and the
+    * production-size m=8/k=256 ones. */
+  private def subChainAt(s: Int, subDim: Int, k: Int): Seq[String] = {
+    val lo = s * subDim + 1
+    Seq(base(s.toString, lo, lo + subDim - 1, k), kmIter(s.toString, 1),
       kmIter(s.toString, 2))
   }
 
@@ -108,6 +114,70 @@ object PqQueries extends graft.QueryPack {
 
   private val withCodes: String =
     (Seq(trained) ++ (0 until M).map(s => assignAll(s.toString))).mkString(",\n")
+
+  // ---- production geometry: m=16 × 4 dims, k=256 entries, L2 codes ----
+  // 8-bit codes, 16 bytes/vector vs 256 raw. L2 (not cosine) assignment:
+  // argmin |x−c|² = argmax (2·dot − |c|²) — see Pq.subScoreL2 for why
+  // cosine caps ADC recall (~0.7 here) while L2 reaches 0.8+. Codebooks
+  // train on the id-prefix SAMPLE (vec_id < TrainMax) and encode the
+  // full corpus — the production shape (PQ trains on ~10⁵ samples, never
+  // the corpus). The L2 generators need no vector norms at all.
+  private val MProd = 16
+  private val TrainMax = 1000
+
+  private def baseL2(sfx: String, lo: Int, hi: Int, k: Int): String =
+    s"""ex_$sfx AS (SELECT vec_id, v, i - ${lo - 1} AS i
+       |  FROM ex WHERE i BETWEEN $lo AND $hi),
+       |ext_$sfx AS (SELECT * FROM ex_$sfx WHERE vec_id < $TrainMax),
+       |c0_$sfx AS (SELECT vec_id AS centroid_id, CAST(v AS DOUBLE) AS cv, i
+       |  FROM ext_$sfx WHERE vec_id < $k)""".stripMargin
+
+  private def kmIterL2(sfx: String, n: Int): String = {
+    val prev = s"c${n - 1}_$sfx"
+    s"""kn${n - 1}_$sfx AS (SELECT centroid_id, SUM(cv * cv) AS nrm2
+       |  FROM $prev GROUP BY 1),
+       |s${n}_$sfx AS (
+       |  SELECT d.vec_id, d.centroid_id, ROUND(2 * d.dot - nc.nrm2, 6) AS score
+       |  FROM (SELECT e.vec_id, c.centroid_id,
+       |               SUM(CAST(e.v AS DOUBLE) * c.cv) AS dot
+       |        FROM ext_$sfx e JOIN $prev c ON e.i = c.i GROUP BY 1, 2) d
+       |  JOIN kn${n - 1}_$sfx nc ON nc.centroid_id = d.centroid_id),
+       |a${n}_$sfx AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT vec_id, centroid_id, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+       |  FROM s${n}_$sfx) WHERE rn = 1),
+       |m${n}_$sfx AS (SELECT a.centroid_id, e.i,
+       |    CAST(CAST(ROUND(AVG(CAST(e.v AS DOUBLE)), 6) AS FLOAT) AS DOUBLE) AS cv
+       |  FROM a${n}_$sfx a JOIN ext_$sfx e ON e.vec_id = a.vec_id GROUP BY 1, 2),
+       |c${n}_$sfx AS (SELECT c.centroid_id, c.i, COALESCE(m.cv, c.cv) AS cv
+       |  FROM $prev c LEFT JOIN m${n}_$sfx m
+       |    ON m.centroid_id = c.centroid_id AND m.i = c.i)""".stripMargin
+  }
+
+  /** L2 assignment of the FULL corpus slice against trained `c2_sfx`. */
+  private def assignAllL2(sfx: String): String =
+    s"""kn2_$sfx AS (SELECT centroid_id, SUM(cv * cv) AS nrm2 FROM c2_$sfx GROUP BY 1),
+       |sc_$sfx AS (
+       |  SELECT d.vec_id, d.centroid_id, ROUND(2 * d.dot - nc.nrm2, 6) AS score
+       |  FROM (SELECT e.vec_id, c.centroid_id,
+       |               SUM(CAST(e.v AS DOUBLE) * c.cv) AS dot
+       |        FROM ex_$sfx e JOIN c2_$sfx c ON e.i = c.i GROUP BY 1, 2) d
+       |  JOIN kn2_$sfx nc ON nc.centroid_id = d.centroid_id),
+       |codes_$sfx AS (SELECT vec_id, centroid_id AS code, score FROM (
+       |  SELECT vec_id, centroid_id, score, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+       |  FROM sc_$sfx) WHERE rn = 1)""".stripMargin
+
+  private def subChainL2(s: Int): Seq[String] = {
+    val subDim = 64 / MProd
+    val lo = s * subDim + 1
+    Seq(baseL2(s.toString, lo, lo + subDim - 1, 256), kmIterL2(s.toString, 1),
+      kmIterL2(s.toString, 2))
+  }
+
+  private val withCodesProd: String =
+    (Seq(duckEx) ++ (0 until MProd).flatMap(subChainL2) ++
+      (0 until MProd).map(s => assignAllL2(s.toString))).mkString(",\n")
 
   /** + the full-space coarse quantizer (k=8) and its corpus assignment. */
   private val withCoarse: String =
@@ -191,6 +261,37 @@ object PqQueries extends graft.QueryPack {
               |agg AS (
               |  SELECT query_id, neighbor_id, ROUND(SUM(contrib), 6) AS approx_score
               |  FROM allc GROUP BY 1, 2)
+              |SELECT query_id, neighbor_id, approx_score, rnk FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY approx_score DESC, neighbor_id) AS rnk
+              |  FROM agg)
+              |WHERE rnk <= $TopK""".stripMargin)),
+
+    // ---- PQ5: ADC at PRODUCTION codebook geometry (m=16, k=256, L2) -----
+    // The toy q_pq1-q_pq4 oracles pin the arithmetic; this one pins the
+    // regime PQ actually deploys at — 8-bit L2 codes from sample-trained
+    // codebooks, where recall becomes usable (SimilaritySpec measures
+    // >= 0.8 vs brute force). The oracle replays all SIXTEEN k=256
+    // codebook trainings plus the full-corpus encode.
+    Q("q_pq5_adc_prod",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cb = Pq.trainCodebooks(e.filter(col("vec_id") < TrainMax),
+          MProd, 64, 256, 2, metric = "l2")
+        Pq.adcTopK(e, cb, col("vec_id") < 5, MProd, 64, TopK, metric = "l2")
+      },
+      Some(s"""WITH $withCodesProd,
+              |${(0 until MProd).map(s =>
+                 s"""${lutSub(s)},
+                    |contrib_$s AS (
+                    |  SELECT l.query_id, e.vec_id AS neighbor_id, l.contrib
+                    |  FROM codes_$s e JOIN lut_$s l ON l.code = e.code)""".stripMargin)
+                 .mkString(",\n")},
+              |allc AS (${(0 until MProd).map(s => s"SELECT * FROM contrib_$s")
+                 .mkString(" UNION ALL ")}),
+              |agg AS (
+              |  SELECT query_id, neighbor_id, ROUND(SUM(contrib), 6) AS approx_score
+              |  FROM allc WHERE neighbor_id <> query_id GROUP BY 1, 2)
               |SELECT query_id, neighbor_id, approx_score, rnk FROM (
               |  SELECT *, row_number() OVER (
               |    PARTITION BY query_id ORDER BY approx_score DESC, neighbor_id) AS rnk
