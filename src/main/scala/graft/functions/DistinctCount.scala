@@ -13,7 +13,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
   * Exists because `size(array_distinct(x))` is an interpreted HOF doing
   * O(n²) string compares per row (measured 4× regression on the sf0.1
   * bench). This kernel is the linear scalar-function spelling for
-  * projections and SQL sessions (injected via GraftExtensions).
+  * projections and SQL sessions (injected via GraftExtensions);
+  * production consumers: [[graft.operators.TextAnalysis.repetitionMetrics]]
+  * and [[graft.operators.TextAnalysis.qualityScore]] — both map-only
+  * sites, A/B notes at the call sites.
   *
   * Honest scope note (bench-measured): it did NOT earn a place in the
   * dedup hot path — wiring per-doc shingle-set sizes through it forced an

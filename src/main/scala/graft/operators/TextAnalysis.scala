@@ -107,11 +107,21 @@ object TextAnalysis {
     * sort, so the shape survives a corpus-scale shuffle. Fractions are
     * single double divisions of exact integer counts rounded to 6 dp. */
   def repetitionMetrics(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // distinct_count, not size(array_distinct(..)): this site is MAP-ONLY
+    // (no exchange whose aggregation could absorb the count — the dedup
+    // sizes lesson does not apply here), and the interpreted HOF does
+    // O(n²) string compares per doc where the kernel does one O(n) hash
+    // pass. A/B at sf0.1 (back-to-back ×2): q_x10 is a WASH (1.42-1.46 →
+    // 1.41-1.47 — the two ngramCounts explode+agg passes dominate this
+    // query, not the count), q_x16 wins ~15% (0.36-0.37 → 0.30-0.33).
+    // Kept: equal-or-better now, and the HOF's O(n²) term grows with doc
+    // length while the kernel stays linear.
+    graft.functions.DistinctCount.register(df.sparkSession)
     val base = df.select(col(idCol).as("sid"), length(col(textCol)).as("n_chars"),
       tokens(col(textCol)).as("toks"))
     val tok = base.select(col("sid"), col("n_chars"),
       size(col("toks")).as("n_tokens"),
-      size(array_distinct(col("toks"))).as("n_distinct"))
+      call_function("distinct_count", col("toks")).as("n_distinct"))
     val g2 = ngramCounts(df, textCol, idCol, 2)
     val mx2 = g2.groupBy(col("sid")).agg(max(col("cnt")).as("mc"))
     val top2 = g2.join(mx2, Seq("sid")).filter(col("cnt") === col("mc"))
@@ -145,12 +155,16 @@ object TextAnalysis {
     * across engines. */
   def qualityScore(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5): DataFrame = {
+    // native O(n) distinct_count for the same reason as repetitionMetrics
+    // above: map-only site, O(n²) interpreted HOF replaced in place
+    graft.functions.DistinctCount.register(df.sparkSession)
     val toksed = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
     val nTok = size(col("toks"))
     val avgLen = round(length(array_join(col("toks"), "")).cast("double") / nTok, 4)
     val stopRatio = round(hitCount(col("toks"), langStopwords.head._2)
       .cast("double") / nTok, 4)
-    val dupFrac = round((nTok - size(array_distinct(col("toks")))).cast("double") / nTok, 6)
+    val dupFrac = round((nTok - call_function("distinct_count", col("toks")))
+      .cast("double") / nTok, 6)
     // weights chosen by inspection: longer docs and stopword presence up,
     // extreme token length and repetition down — stand-ins for trained
     // coefficients, wired as literals exactly like a broadcast model row
