@@ -188,6 +188,67 @@ object Dedup {
           .otherwise(lit("kept")).as("status"))
   }
 
+  /** Persist the signature artifacts of a curated corpus so nightly
+    * incremental batches ([[dedupAgainstSignatures]]) never touch the
+    * corpus TEXT again: distinct content hashes (`dir/hashes`), the LSH
+    * band relation (`dir/bands`), and the distinct shingle relation the
+    * exact rescore needs (`dir/shingles`). One tokenize+shingle pass over
+    * the corpus at write time buys every later batch a read of three
+    * narrow columnar relations — the production trade: at 100 TB the
+    * corpus text is the thing you cannot afford to re-tokenize per batch.
+    * Plain parquet via the [[graft.sources.Sinks]] layout conventions;
+    * re-run after folding a batch in (or append the batch's own
+    * signatures, which these same writers produce for any frame). */
+  def writeCorpusSignatures(existing: DataFrame, textCol: String, idCol: String,
+      dir: String, shingleK: Int = 3, numHashes: Int = 8,
+      rowsPerBand: Int = 2): Unit = {
+    existing.select(md5(col(textCol)).as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/hashes")
+    bandRelation(existing, textCol, idCol, shingleK, numHashes, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    docShingles(existing, textCol, idCol, shingleK)
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  /** [[dedupAgainstStatus]] against PERSISTED corpus signatures
+    * ([[writeCorpusSignatures]] output) instead of the corpus itself:
+    * byte-identical classification (q_d13 shares q_d12's oracle verbatim
+    * on the same fixture), but the existing side's text column is never
+    * scanned — only the incoming batch is tokenized; the existing hashes,
+    * bands, and shingles arrive as narrow parquet reads. The signature
+    * parameters must match the ones the signatures were written with
+    * (they parameterize the persisted relations, so a mismatch shows up
+    * as empty/garbage candidates, not silent wrong answers at the exact
+    * stage). */
+  def dedupAgainstSignatures(incoming: DataFrame, sigDir: String,
+      textCol: String, idCol: String,
+      shingleK: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      thresholdTenths: Int = 1): DataFrame = {
+    val spark = incoming.sparkSession
+    val exHashes = spark.read.parquet(s"$sigDir/hashes")
+    val exBands = spark.read.parquet(s"$sigDir/bands")
+    val exShingles = spark.read.parquet(s"$sigDir/shingles")
+    val incH = incoming.select(col(idCol).as("sid"), md5(col(textCol)).as("h"))
+    val exact = incH.join(exHashes, Seq("h"), "left_semi")
+      .select(col("sid")).withColumn("is_exact", lit(true))
+    val bn = bandRelation(incoming, textCol, idCol, shingleK, numHashes, rowsPerBand)
+    val cand = bn.select(col("sid").as("a_id"), col("band"), col("bh"))
+      .join(exBands.select(col("sid").as("b_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val shingAll = docShingles(incoming.select(col(idCol), col(textCol)),
+      textCol, idCol).unionByName(exShingles)
+    val near = jaccardForPairs(cand, shingAll, thresholdTenths)
+      .select(col("a_id").as("sid")).distinct().withColumn("is_near", lit(true))
+    incoming.select(col(idCol).as("doc_id"))
+      .join(exact.withColumnRenamed("sid", "doc_id"), Seq("doc_id"), "left")
+      .join(near.withColumnRenamed("sid", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact"), lit("exact_dup"))
+          .when(col("is_near"), lit("near_dup"))
+          .otherwise(lit("kept")).as("status"))
+  }
+
   /** Exact n-gram Jaccard computed ONLY for the given candidate pairs —
     * the verification stage between LSH candidate generation and
     * clustering. Unlike [[jaccardPairs]] (which scores every

@@ -308,7 +308,31 @@ object DedupQueries extends graft.QueryPack {
           docs.filter(col("doc_id") % 3 =!= 0),
           docs.filter(col("doc_id") % 3 === 0), "text", "doc_id")
       },
-      Some(s"""$duckShingles,
+      Some(duckIncrementalDedup)),
+
+    // ---- D13: incremental dedup from PERSISTED signatures ---------------
+    // The nightly-production variant of q_d12: the existing corpus's
+    // hashes/bands/shingles are written once (writeCorpusSignatures) and
+    // the batch classifies against those parquet relations — the existing
+    // TEXT is never re-scanned (plan-asserted in DedupClusterSpec). Shares
+    // q_d12's oracle VERBATIM: output equality is the proof.
+    Q("q_d13_incremental_sigs",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_sigs_").toString
+        Dedup.writeCorpusSignatures(
+          docs.filter(col("doc_id") % 3 === 0), "text", "doc_id", dir)
+        Dedup.dedupAgainstSignatures(
+          docs.filter(col("doc_id") % 3 =!= 0), dir, "text", "doc_id")
+      },
+      Some(duckIncrementalDedup))
+  )
+
+  /** q_d12's oracle — shared verbatim by q_d13 (same classification, the
+    * signature source is the only difference). */
+  private lazy val duckIncrementalDedup: String =
+    s"""$duckShingles,
               |mh AS (SELECT doc_id,
               |  min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
               |  min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
@@ -343,8 +367,7 @@ object DedupQueries extends graft.QueryPack {
               |       ELSE 'kept' END AS status
               |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0) d
               |LEFT JOIN exact e ON e.doc_id = d.doc_id
-              |LEFT JOIN near n ON n.doc_id = d.doc_id""".stripMargin))
-  )
+              |LEFT JOIN near n ON n.doc_id = d.doc_id""".stripMargin
 
   /** Shared CTE chain ending in `sigs(doc_id, simhash)` — the DuckDB
     * replica of [[Dedup.simhashSignature]]. */

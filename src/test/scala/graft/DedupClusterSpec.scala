@@ -111,6 +111,38 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(got === Map(1L -> "exact_dup", 2L -> "near_dup", 3L -> "kept"))
   }
 
+  test("signature-based incremental dedup matches the text-based path and never scans existing text") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog near the old stone bridge"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sig_spec_").toString
+    // land existing docs in their OWN parquet file so a scan of it (the
+    // thing the signature path must never do) is visible by path
+    Seq(
+      (100L, base),
+      (101L, "completely different words about spark query engines and shuffles here")
+    ).toDF("doc_id", "text").write.parquet(s"$tmp/existing_docs")
+    val existing = spark.read.parquet(s"$tmp/existing_docs")
+    val incoming = Seq(
+      (1L, base),
+      (2L, base + " tonight"),
+      (3L, "unrelated text mentioning databases columns rows and very boring metadata content")
+    ).toDF("doc_id", "text")
+    Dedup.writeCorpusSignatures(existing, "text", "doc_id", s"$tmp/sigs")
+    val viaSigs = Dedup.dedupAgainstSignatures(incoming, s"$tmp/sigs", "text", "doc_id")
+    assert(viaSigs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "exact_dup", 2L -> "near_dup", 3L -> "kept"))
+    // output equality with the text-based path on the same fixture
+    val viaText = Dedup.dedupAgainstStatus(incoming, existing, "text", "doc_id")
+    assert(viaSigs.exceptAll(viaText).isEmpty && viaText.exceptAll(viaSigs).isEmpty)
+    // the plan reads the three signature relations, never the corpus text
+    val p = viaSigs.queryExecution.executedPlan.toString
+    assert(p.contains("sigs/hashes") && p.contains("sigs/bands") &&
+      p.contains("sigs/shingles"), s"signature relations missing from plan:\n$p")
+    assert(!p.contains("existing_docs"),
+      s"the existing corpus was re-scanned — the persisted signatures exist " +
+        s"precisely so this never happens:\n$p")
+  }
+
   test("cluster keeper semantics: one keeper per component on real pairs") {
     val pairs = Dedup.minhashCandidates(
       Dedup.docShingles(
