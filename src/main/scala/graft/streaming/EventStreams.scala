@@ -91,16 +91,34 @@ object EventStreams {
   final case class UserCount(user_id: Long, n: Long)
 
   /** Custom keyed state via flatMapGroupsWithState: running per-user event
-    * count emitted on every update. */
-  def statefulUserCounts(spark: SparkSession, events: DataFrame): Dataset[UserCount] = {
+    * count emitted on every update.
+    *
+    * State is BOUNDED by an idle timeout (every other stateful op here is
+    * watermark-bounded; unbounded per-key state is the one shape that
+    * cannot survive an unbounded key space): a key idle for more than
+    * `idleTimeout` of processing time has its state evicted on the next
+    * micro-batch, and a later event for that user restarts its count from
+    * zero — the state-size/continuity trade a production running-count
+    * makes explicit. Timeouts fire only when a batch runs (Spark checks
+    * them per micro-batch), which is the steady state of a live stream. */
+  def statefulUserCounts(spark: SparkSession, events: DataFrame,
+      idleTimeout: String = "30 minutes"): Dataset[UserCount] = {
     import spark.implicits._
     events.select(col("user_id").cast("long")).as[Long]
       .groupByKey(identity)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, rows: Iterator[Long], state: GroupState[Long]) =>
-          val n = state.getOption.getOrElse(0L) + rows.size
-          state.update(n)
-          Iterator(UserCount(userId, n))
+          if (state.hasTimedOut) {
+            // idle key: evict, emit nothing — the count is simply gone
+            state.remove()
+            Iterator.empty
+          } else {
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            state.setTimeoutDuration(idleTimeout)
+            Iterator(UserCount(userId, n))
+          }
       }
   }
 

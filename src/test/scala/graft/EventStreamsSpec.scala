@@ -229,6 +229,19 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // processAllAvailable NEVER RETURNS for a ProcessingTimeTimeout query:
+  // the engine always owes a future no-data batch (timeouts re-check per
+  // batch), so "all available processed" is never a quiescent state.
+  // Poll the sink for the expected rows instead — the production-faithful
+  // observation anyway.
+  private def awaitRows(deadlineMs: Long = 30000)(pred: => Boolean): Unit = {
+    val end = System.currentTimeMillis() + deadlineMs
+    while (!pred) {
+      assert(System.currentTimeMillis() < end, "condition not met in time")
+      Thread.sleep(100)
+    }
+  }
+
   test("flatMapGroupsWithState keeps running per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -237,15 +250,37 @@ class EventStreamsSpec extends AnyFunSuite {
       input.toDF().withColumnRenamed("value", "user_id"))
     val q = counts.writeStream.outputMode("append")
       .format("memory").queryName("stateful_out").start()
+    def maxCounts = spark.table("stateful_out")
+      .groupBy(col("user_id")).agg(max(col("n")).as("n"))
+      .as[(Long, Long)].collect().toMap
     try {
       input.addData(1L, 1L, 2L)
-      q.processAllAvailable()
+      awaitRows()(maxCounts == Map(1L -> 2L, 2L -> 1L))
       input.addData(1L, 2L, 2L)
-      q.processAllAvailable()
-      val rows = spark.table("stateful_out")
-        .groupBy(col("user_id")).agg(max(col("n")).as("n"))
-        .as[(Long, Long)].collect().toMap
-      assert(rows === Map(1L -> 3L, 2L -> 3L)) // state carried across batches
+      awaitRows()(maxCounts == Map(1L -> 3L, 2L -> 3L)) // state carried across batches
+    } finally q.stop()
+  }
+
+  test("stateful counts evict idle keys after the processing-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val counts = EventStreams.statefulUserCounts(spark,
+      input.toDF().withColumnRenamed("value", "user_id"),
+      idleTimeout = "1 second")
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("stateful_ttl_out").start()
+    def rows = spark.table("stateful_ttl_out")
+      .as[(Long, Long)].collect().toSet
+    try {
+      input.addData(1L, 1L)
+      awaitRows()(rows == Set((1L, 2L))) // count = 2, timeout armed
+      Thread.sleep(2500)                 // user 1 idles past the 1s timeout
+      input.addData(2L)                  // any batch after expiry evicts 1
+      awaitRows()(rows == Set((1L, 2L), (2L, 1L)))
+      input.addData(1L)                  // user 1 returns — fresh state
+      // an UNEVICTED key would emit (1,3); eviction makes it (1,1)
+      awaitRows()(rows == Set((1L, 2L), (2L, 1L), (1L, 1L)))
     } finally q.stop()
   }
 }
