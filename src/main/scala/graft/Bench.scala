@@ -51,10 +51,34 @@ object Bench {
     // is the steady-state number a dedicated host would show
     val r1 = names.map(n => n -> exec(n)).toMap
     val r2 = names.map(n => n -> exec(n)).toMap
-    val results = names.map { n =>
+    val results0 = names.map { n =>
       val (a, b) = (r1(n), r2(n))
       n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
+
+    // Migration ETL at export scale (VERDICT r4 #8): full pipeline —
+    // 8-file XML parse → broadcast join → nested transforms → distributed
+    // XML + CSV sinks — over a synthesized 100k-customer export. One
+    // warmup + min-of-2, same protocol as the queries; the fixture is
+    // deterministic and cached on disk so rounds are comparable. The
+    // reference's O(|CSV|·|XML|) loop is minutes at this size.
+    def etlRun(): Double = {
+      import graft.etl.{MigrationFixture, MigrationPipeline}
+      val fx = MigrationFixture.ensure("target/bench-etl/100k", 100000, files = 8)
+      val cfg = MigrationPipeline.MigrationConfig(
+        csvPath = fx.csvPath, xmlPath = fx.xmlDir,
+        outDir = "target/bench-etl/out", runId = "bench",
+        runDate = "2026-01-01", todayIso = "2026-01-01T00:00:00+00:00",
+        strictDuplicateSemantics = false, singleFile = false)
+      val t0 = System.nanoTime()
+      try { MigrationPipeline.run(spark, cfg); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] etl failed: ${e.getMessage}"); -1.0 }
+    }
+    val etlName = "etl_migration_100k"
+    val results =
+      if (!only.forall(_.exists(p => etlName.startsWith(p)))) results0
+      else { etlRun(); results0 :+ (etlName -> math.min(etlRun(), etlRun())) }
     // centisecond precision keeps the line SHORT: the driver captures a
     // fixed log TAIL (~2.9 KB) and anything longer loses its {"metric"
     // head — that truncated BENCH_r02 AND BENCH_r03 (3-dp × 78 queries

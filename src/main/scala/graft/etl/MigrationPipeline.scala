@@ -145,25 +145,42 @@ object MigrationPipeline {
       applyIf = Some(col("mandatory_reference").isNotNull)),
     AttrRule("MEK_DefaultDeliveryday", col("delivery_day_filled")))
 
-  /** Rewrite one custom-attributes container (null-safe). */
+  /** Rewrite one custom-attributes container (null-safe).
+    *
+    * Expression-shape note (this file's one hard perf lesson): these
+    * nested transforms run INTERPRETED — higher-order functions have no
+    * codegen, and interpreted eval has no common-subexpression reuse. A
+    * `when(cond, struct.withField(..)).otherwise(struct)` chain therefore
+    * re-evaluates the full previous struct for every reference, and
+    * chained whole-struct steps compound multiplicatively (measured:
+    * ~140 ms/row at 4 chained levels, tools/EtlProfile). Every update
+    * here is expressed FIELD-level instead — `withField` null-propagates
+    * the container and each field value is computed once from the
+    * original input — which is linear and ~100× faster. */
   private def rewriteContainer(container: Column): Column = {
     val arr = container.getField("custom-attribute")
-    when(container.isNull || arr.isNull, container)
-      .otherwise(container.withField("`custom-attribute`",
-        NestedOps.rewriteAttrs(arr, xmlRules, N, V, DT)))
+    container.withField("`custom-attribute`",
+      when(arr.isNull, arr).otherwise(NestedOps.rewriteAttrs(arr, xmlRules, N, V, DT)))
   }
 
-  /** N2 append branch: container creation + dt stamping (:186-216). */
-  private def appendAttr(container: Column, name: String, value: Column, dt: String): Column = {
+  /** N2 append branch: container creation + dt stamping (:186-216),
+    * conditional on `cond` (field-level — see [[rewriteContainer]] note). */
+  private def appendAttrIf(container: Column, cond: Column,
+      name: String, value: Column, dt: String): Column = {
     val newAttr = struct(value.as("_VALUE"), lit(dt).as("_dt:dt"), lit(name).as("_name"))
     val arr = container.getField("custom-attribute")
-    when(container.isNull, struct(array(newAttr).as("custom-attribute")))
+    when(container.isNull,
+      when(cond, struct(array(newAttr).as("custom-attribute"))).otherwise(container))
       .otherwise(container.withField("`custom-attribute`",
-        when(arr.isNull, array(newAttr)).otherwise(array_append(arr, newAttr))))
+        when(cond && arr.isNull, array(newAttr))
+          .when(cond, array_append(arr, newAttr))
+          .otherwise(arr)))
   }
 
-  /** All nested transforms on the matched (customer × CSV-row) frame. */
-  def transformMatched(joined: DataFrame, todayIso: String): DataFrame = {
+  /** All nested transforms on the matched (customer × CSV-row) frame.
+    * `withN5` exists for phase profiling (tools/EtlProfile) only. */
+  def transformMatched(joined: DataFrame, todayIso: String,
+      withN5: Boolean = true): DataFrame = {
     val custAttrs = col("custom-attributes").getField("custom-attribute")
 
     def attrExistsAnywhere(name: String): Column = {
@@ -181,54 +198,58 @@ object MigrationPipeline {
 
     val step1 = joined
       .withColumn("graft_old_id", oldId)
+      // N2 upsert guards — computed BEFORE the N1 rewrite: pass 1 never
+      // adds or removes attribute NAMES, so existence over the original
+      // columns equals the reference's post-pass-1 probes (:167-175)
+      .withColumn("graft_dd_absent", !attrExistsAnywhere("MEK_DefaultDeliveryday"))
+      .withColumn("graft_mand_absent", !attrExistsAnywhere("MEK_CustomerOrderNumberMandatory"))
       // N1 both levels
       .withColumn("custom-attributes", rewriteContainer(col("custom-attributes")))
       .withColumn("user", transform(col("user"), u =>
         u.withField("`custom-attributes`", rewriteContainer(u.getField("custom-attributes")))))
-      // N2 upsert-append (update path already handled by N1 above)
-      .withColumn("graft_dd_absent", !attrExistsAnywhere("MEK_DefaultDeliveryday"))
-      .withColumn("graft_mand_absent", !attrExistsAnywhere("MEK_CustomerOrderNumberMandatory"))
 
     val step2 = step1
       .withColumn("custom-attributes",
-        when(col("graft_dd_absent") && col("delivery_day_filled").isNotNull,
-          appendAttr(col("custom-attributes"), "MEK_DefaultDeliveryday",
-            col("delivery_day_filled"), "string"))
-          .otherwise(col("custom-attributes")))
+        appendAttrIf(col("custom-attributes"),
+          col("graft_dd_absent") && col("delivery_day_filled").isNotNull,
+          "MEK_DefaultDeliveryday", col("delivery_day_filled"), "string"))
       .withColumn("custom-attributes",
-        when(col("graft_mand_absent") && col("mandatory_reference").isNotNull,
-          appendAttr(col("custom-attributes"), "MEK_CustomerOrderNumberMandatory",
-            lower(pyBool(col("mandatory_reference"))), "boolean"))
-          .otherwise(col("custom-attributes")))
-      // N3/N4/N6 + bpno per user (:218-254)
+        appendAttrIf(col("custom-attributes"),
+          col("graft_mand_absent") && col("mandatory_reference").isNotNull,
+          "MEK_CustomerOrderNumberMandatory", lower(pyBool(col("mandatory_reference"))), "boolean"))
+      // N3/N4/N6 + bpno per user (:218-254). Every update is FIELD-level
+      // on the one lambda variable (see rewriteContainer note): each step
+      // touches a different field, so they commute, withField
+      // null-propagates the missing-subtree guards, and nothing
+      // re-evaluates a previous step's whole struct.
       .withColumn("user", transform(col("user"), u => {
-        val u1 = when(u.getField("_business-partner-no") === col("graft_old_id"),
-          u.withField("`_business-partner-no`", newId)).otherwise(u)
-        val groups = u1.getField("user-groups").getField("user-group")
-        val u2 = when(u1.getField("user-groups").isNotNull && groups.isNotNull,
-          u1.withField("`user-groups`.`user-group`",
-            NestedOps.insertGroupIfAbsent(groups, "_id",
-              struct(lit("CG_Mekonomen").as("_id")), "CG_Mekonomen"))).otherwise(u1)
-        val uattrs = u2.getField("custom-attributes").getField("custom-attribute")
-        val u3 = when(u2.getField("custom-attributes").isNotNull && uattrs.isNotNull,
-          u2.withField("`custom-attributes`.`custom-attribute`",
-            NestedOps.deleteAttr(uattrs, "LastOrderDate", N))).otherwise(u2)
-        // :243-247 removes the child element but keeps <credentials/>;
-        // Catalyst forbids an empty struct, so null the field (null fields
-        // are omitted by the XML writer → same serialized shape)
-        val u4 = when(u3.getField("credentials").isNotNull,
-          u3.withField("credentials.`last-logged-in`", lit(null).cast("string")))
-          .otherwise(u3)
-        when(u4.getField("profile").isNotNull &&
-            u4.getField("profile").getField("creation-date").isNotNull,
-          u4.withField("profile.`creation-date`", lit(todayIso))).otherwise(u4)
+        val bp = u.getField("_business-partner-no")
+        val groups = u.getField("user-groups").getField("user-group")
+        val uattrs = u.getField("custom-attributes").getField("custom-attribute")
+        val created = u.getField("profile").getField("creation-date")
+        u.withField("`_business-partner-no`",
+            when(bp === col("graft_old_id"), newId).otherwise(bp))
+          .withField("`user-groups`.`user-group`",
+            when(groups.isNull, groups).otherwise(
+              NestedOps.insertGroupIfAbsent(groups, "_id",
+                struct(lit("CG_Mekonomen").as("_id")), "CG_Mekonomen")))
+          .withField("`custom-attributes`.`custom-attribute`",
+            when(uattrs.isNull, uattrs).otherwise(
+              NestedOps.deleteAttr(uattrs, "LastOrderDate", N)))
+          // :243-247 removes the child element but keeps <credentials/>;
+          // Catalyst forbids an empty struct, so null the field (null
+          // fields are omitted by the XML writer → same serialized shape)
+          .withField("credentials.`last-logged-in`", lit(null).cast("string"))
+          .withField("profile.`creation-date`",
+            when(created.isNull, created).otherwise(lit(todayIso)))
       }))
       // :153 id rewrite — after transforms so oldId comparisons used the original
       .withColumn("_id", newId)
 
     // N5 — schema-agnostic descendant TEXT replace over the user subtree
     // (:223-225). Attribute fields (prefix "_") are not text nodes; _VALUE is.
-    NestedOps.replaceNestedText(
+    if (!withN5) step2.withColumn("graft_new_id", newId)
+    else NestedOps.replaceNestedText(
       step2.withColumn("graft_new_id", newId), "user", "graft_old_id", "graft_new_id",
       skipStructField = f => f.startsWith("_") && f != "_VALUE")
   }
@@ -257,6 +278,15 @@ object MigrationPipeline {
         col("csv_idx"))
   }
 
+  /** The ONE join stage at the pipeline's core: mapping rows broadcast,
+    * the (possibly 100 TB) customer export streams through it — exposed
+    * separately so plan audits can assert the shape at bench scale. */
+  def coreJoin(customers: DataFrame, prepared: DataFrame): DataFrame = {
+    val joinCond = customers("_id") === prepared("join_key") &&
+      customers("key_ordinal") === prepared("key_ordinal")
+    customers.join(broadcast(prepared), joinCond, "inner")
+  }
+
   /** Full pipeline: returns output paths + the V6 consistency counts. */
   def run(spark: SparkSession, cfg: MigrationConfig): MigrationResult = {
     val prepared = prepareCsv(readCsv(spark, cfg.csvPath)).cache()
@@ -264,9 +294,7 @@ object MigrationPipeline {
       CustomerXml.read(spark, cfg.xmlPath, cfg.customerSchema),
       cfg.strictDuplicateSemantics)
 
-    val joinCond = customers("_id") === prepared("join_key") &&
-      customers("key_ordinal") === prepared("key_ordinal")
-    val matched = customers.join(broadcast(prepared), joinCond, "inner")
+    val matched = coreJoin(customers, prepared)
 
     val transformed = transformMatched(matched, cfg.todayIso)
     val outCols = cfg.customerSchema.fields.map(f => col(s"`${f.name}`"))
