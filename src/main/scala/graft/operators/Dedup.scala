@@ -21,6 +21,47 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Span-level exact dedup — the relational rendering of
+    * suffix-array substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"), at fixed non-overlapping
+    * `window`-token span granularity so candidate generation stays a
+    * keyed shuffle instead of a corpus-wide suffix sort. Paragraph-level
+    * dedup is the same operator with spans = paragraphs.
+    *
+    * Every document is cut into consecutive `window`-token spans
+    * (map-only: slice over the token array, no explode of tokens). A
+    * span KEEPS only its globally-first occurrence — order is (doc id,
+    * span position), ties impossible — and every later exact repeat is
+    * dropped. Survivors reassemble in position order; documents whose
+    * every span was seen elsewhere disappear (their content is fully
+    * redundant).
+    *
+    * Scale shape: one shuffle keyed by span content (the ranking), one
+    * keyed by doc id (the reassembly). Span text itself is the shuffle
+    * key/payload — at 100 TB swap the key to `md5(span)` and carry the
+    * text only through the reassembly side.
+    */
+  def spanDedup(docs: DataFrame, textCol: String, idCol: String,
+      window: Int = 8): DataFrame = {
+    require(window >= 1, s"span window must be >= 1, got $window")
+    import org.apache.spark.sql.expressions.{Window => W}
+    val nSpans = floor((size(col("toks")) - 1) / lit(window)).cast("int") + 1
+    val spans =
+      Par.spread(docs.select(col(idCol).as("sid"), TextAnalysis.tokens(col(textCol)).as("toks")))
+        .filter(size(col("toks")) > 0)
+        .select(col("sid"), posexplode(transform(sequence(lit(0), nSpans - 1),
+          c => array_join(slice(col("toks"), c * window + 1, lit(window)), " ")))
+          .as(Seq("c", "span")))
+    val firstWin = W.partitionBy(col("span")).orderBy(col("sid"), col("c"))
+    spans.withColumn("rn", row_number().over(firstWin)).filter(col("rn") === 1)
+      .groupBy(col("sid"))
+      .agg(sort_array(collect_list(struct(col("c"), col("span")))).as("ks"),
+        count(lit(1)).as("n_kept"))
+      .select(col("sid").as(idCol),
+        array_join(transform(col("ks"), k => k.getField("span")), " ").as("text_dedup"),
+        col("n_kept"))
+  }
+
   /** Distinct (id, shingle) pairs — the base relation for Jaccard and
     * MinHash. Exploding shingles keys everything by content, so the
     * self-join below is an equi-join, not a cross product. */

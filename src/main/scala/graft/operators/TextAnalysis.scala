@@ -241,4 +241,31 @@ object TextAnalysis {
           s => s.getField("tok"))).as("dedup_text"),
         sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_kept"))
+
+  /** PII patterns for training-corpus redaction, in APPLICATION ORDER:
+    * URLs replace first so an address inside a link redacts as part of
+    * the link, not as a second partial hit. Regex subset chosen to mean
+    * the same thing under Java regex (Spark) and RE2 (DuckDB oracle):
+    * classes, bounded repeats, and `\b` only — no backrefs/lookaround.
+    * Patterns are lowercase-text oriented (corpus convention); callers
+    * with mixed-case text should lower() first. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\+?[0-9]{3}[- .][0-9]{3,4}[- .][0-9]{4}\\b", "<PHONE>"))
+
+  /** Redact every PII pattern to its placeholder token. Map-only chain
+    * of codegen'd `regexp_replace` — at 100 TB this is a pure scan
+    * stage, no shuffle, no UDF. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, p, t)) => regexp_replace(c, p, t) }
+
+  /** Per-kind PII hit counts over the ORIGINAL text (counted before any
+    * replacement, so overlapping kinds are attributed to every pattern
+    * that matches — the audit-trail convention). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (k, p, _) =>
+      s"n_${k}s" -> regexp_count(text, lit(p))
+    }
 }

@@ -326,7 +326,30 @@ object DedupQueries extends graft.QueryPack {
         Dedup.dedupAgainstSignatures(
           docs.filter(col("doc_id") % 3 =!= 0), dir, "text", "doc_id")
       },
-      Some(duckIncrementalDedup))
+      Some(duckIncrementalDedup)),
+
+    // ---- D14: span-level exact dedup (substring dedup, relationalized) --
+    // Non-overlapping 8-token spans; a span survives only at its globally
+    // first occurrence (ordered by doc_id, position); documents
+    // reassemble from surviving spans, fully-redundant docs vanish.
+    Q("q_d14_span_dedup",
+      (s, d) => Dedup.spanDedup(Tables.documents(s, d), "text", "doc_id", 8),
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |spans AS (
+             |  SELECT doc_id,
+             |    unnest(range(0, (len(toks)-1)//8 + 1)) AS c,
+             |    unnest(list_transform(range(0, (len(toks)-1)//8 + 1),
+             |      c -> array_to_string(toks[c*8+1:c*8+8], ' '))) AS span
+             |  FROM t WHERE len(toks) > 0),
+             |kept AS (
+             |  SELECT doc_id, c, span,
+             |    row_number() OVER (PARTITION BY span ORDER BY doc_id, c) AS rn
+             |  FROM spans QUALIFY rn = 1)
+             |SELECT doc_id, string_agg(span, ' ' ORDER BY c) AS text_dedup,
+             |  COUNT(*) AS n_kept
+             |FROM kept GROUP BY doc_id""".stripMargin))
   )
 
   /** q_d12's oracle — shared verbatim by q_d13 (same classification, the

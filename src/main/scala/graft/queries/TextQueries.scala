@@ -274,6 +274,41 @@ object TextQueries extends graft.QueryPack {
               |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh)
               |SELECT doc_id, min(md5(sh)) AS fp,
               |  count(DISTINCT sh) AS n_distinct_shingles
-              |FROM ex GROUP BY doc_id""".stripMargin))
+              |FROM ex GROUP BY doc_id""".stripMargin)),
+
+    // ---- X17: PII redaction (emails / URLs / IPs / phones) -------------
+    // The corpus carries no organic PII, so the query INJECTS a
+    // deterministic sample of every kind — derived purely from parquet
+    // columns, replayed identically by the oracle — then redacts and
+    // audits it. The redaction chain itself is the operator under test;
+    // on a real crawl it runs directly on `text`.
+    Q("q_x17_pii_redact",
+      (s, d) => {
+        val pii = concat(col("text"),
+          lit(" contact "), col("source"), lit("@example.com via https://"),
+          col("source"), lit(".example.com/d/"), col("doc_id"),
+          lit(" from 192.168."), col("doc_id") % 256, lit("."), col("doc_id") % 100,
+          lit(" call 555-123-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        val counts = TextAnalysis.piiCounts(pii).map { case (n, c) => c.as(n) }
+        Tables.documents(s, d).select(
+          col("doc_id") +: TextAnalysis.redactPii(pii).as("text_clean") +: counts: _*)
+      },
+      Some("""WITH pii AS (SELECT doc_id,
+             |    text || ' contact ' || source || '@example.com via https://' ||
+             |    source || '.example.com/d/' || doc_id ||
+             |    ' from 192.168.' || (doc_id % 256) || '.' || (doc_id % 100) ||
+             |    ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             |    'https?://[^\s]+', '<URL>', 'g'),
+             |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             |    '\b\+?[0-9]{3}[- .][0-9]{3,4}[- .][0-9]{4}\b', '<PHONE>', 'g') AS text_clean,
+             |  len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_urls,
+             |  len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+             |  len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+             |  len(regexp_extract_all(t, '\b\+?[0-9]{3}[- .][0-9]{3,4}[- .][0-9]{4}\b')) AS n_phones
+             |FROM pii""".stripMargin))
   )
 }

@@ -143,6 +143,34 @@ class DedupClusterSpec extends AnyFunSuite {
         s"precisely so this never happens:\n$p")
   }
 
+  test("span dedup: first occurrence wins, redundant docs vanish, order preserved") {
+    import spark.implicits._
+    // window=2 spans: doc 1 = [a b][c d][e f]; doc 2 repeats [c d] and
+    // adds [x y]; doc 3 is entirely doc-1 spans → vanishes; doc 4 has a
+    // 3-token tail (ragged last span [q] survives independently)
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "c d x y"),
+      (3L, "a b e f"),   // spans [a b][e f] — both already in doc 1
+      (4L, "n m q")      // spans [n m][q]
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "text", "doc_id", window = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> (("a b c d e f", 3L)),
+      2L -> (("x y", 1L)),
+      4L -> (("n m q", 2L))))
+  }
+
+  test("span dedup: identical docs keep only the lowest-id copy") {
+    import spark.implicits._
+    val docs = Seq((7L, "p q r s"), (5L, "p q r s"), (9L, "p q r s"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "text", "doc_id", window = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList
+    assert(got === List((5L, "p q r s")))
+  }
+
   test("cluster keeper semantics: one keeper per component on real pairs") {
     val pairs = Dedup.minhashCandidates(
       Dedup.docShingles(

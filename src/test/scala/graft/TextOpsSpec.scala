@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** Unit coverage for the PII redaction chain — the ordering and boundary
+  * semantics the corpus-level oracle (q_x17) cannot isolate. */
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def redact(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(TextAnalysis.redactPii(col("t")).as("r"))
+      .head().getString(0)
+  }
+
+  private def counts(s: String): Map[String, Int] = {
+    import spark.implicits._
+    val cols = TextAnalysis.piiCounts(col("t")).map { case (n, c) => c.as(n) }
+    val row = Seq(s).toDF("t").select(cols: _*).head()
+    row.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> row.getInt(i) }.toMap
+  }
+
+  test("each kind redacts to its placeholder") {
+    assert(redact("mail bob@example.com now") === "mail <EMAIL> now")
+    assert(redact("see https://a.example.com/x?q=1 ok") === "see <URL> ok")
+    assert(redact("host 10.0.255.3 down") === "host <IP> down")
+    assert(redact("call 555-123-4567 or +555 123 4567") === "call <PHONE> or +<PHONE>")
+  }
+
+  test("an email inside a URL redacts as part of the URL, not twice") {
+    assert(redact("https://x.example.com/u/bob@example.com rest") === "<URL> rest")
+  }
+
+  test("word boundaries: version-ish digit runs are not IPs or phones") {
+    assert(redact("v1.2.3 build 12345678") === "v1.2.3 build 12345678")
+  }
+
+  test("counts audit the original text per kind") {
+    val c = counts("a@b.io and c@d.io at 1.2.3.4 via https://e.io/f 555-123-0000")
+    assert(c === Map("n_emails" -> 2, "n_urls" -> 1, "n_ips" -> 1, "n_phones" -> 1))
+  }
+
+  test("redaction is idempotent") {
+    val once = redact("bob@example.com 1.2.3.4 https://x.io 555-123-4567")
+    assert(redact(once) === once)
+  }
+}
