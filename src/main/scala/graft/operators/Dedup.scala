@@ -290,6 +290,30 @@ object Dedup {
           .otherwise(lit("kept")).as("status"))
   }
 
+  /** Fold an ACCEPTED batch into a persisted signature store — the step
+    * that closes the nightly loop: classify a batch against `dir`
+    * ([[dedupAgainstSignatures]]), filter to the `kept` ids, then append
+    * exactly the three relations [[writeCorpusSignatures]] produces,
+    * computed from the batch alone. The next batch then sees
+    * corpus ∪ accepted-batch without anything ever re-tokenizing the
+    * existing side. Append-mode parquet: no rewrite of the (100 TB-scale)
+    * store, just new part files; hash uniqueness is maintained by the
+    * loop itself (a doc whose hash is already in the store classifies
+    * `exact_dup` and is never accepted), and the exact semi-join is
+    * duplicate-key-robust regardless. Parameters must match the store's.
+    */
+  def appendBatchSignatures(batch: DataFrame, accepted: DataFrame,
+      textCol: String, idCol: String, dir: String, shingleK: Int = 3,
+      numHashes: Int = 8, rowsPerBand: Int = 2): Unit = {
+    val docs = batch.join(accepted.select(col(idCol)), Seq(idCol), "left_semi")
+    docs.select(md5(col(textCol)).as("h")).distinct()
+      .write.mode("append").parquet(s"$dir/hashes")
+    bandRelation(docs, textCol, idCol, shingleK, numHashes, rowsPerBand)
+      .write.mode("append").parquet(s"$dir/bands")
+    docShingles(docs, textCol, idCol, shingleK)
+      .write.mode("append").parquet(s"$dir/shingles")
+  }
+
   /** Exact n-gram Jaccard computed ONLY for the given candidate pairs —
     * the verification stage between LSH candidate generation and
     * clustering. Unlike [[jaccardPairs]] (which scores every

@@ -6,8 +6,15 @@ import org.apache.spark.sql.types._
 
 /** Nested-record transform operators (SURVEY.md §2.7, N1-N6) over
   * `ArrayType(StructType)` columns, re-expressing the reference's in-place
-  * DOM mutations (migrate.py:153-254) as pure higher-order-function column
-  * expressions — fully codegen-friendly, no UDFs, no shuffles.
+  * DOM mutations (migrate.py:153-254) as pure column expressions — no
+  * UDFs, no shuffles. NOTE: higher-order functions (`transform`/`filter`/
+  * `exists`) have NO codegen — their lambdas evaluate interpreted, with
+  * no common-subexpression reuse. Callers must keep per-element updates
+  * FIELD-level (`withField` per field, each computed once from the lambda
+  * variable); chaining whole-struct `when(...).otherwise(prev)` steps
+  * re-evaluates `prev` per reference and compounds multiplicatively —
+  * measured at ~140 ms/row before MigrationPipeline.rewriteContainer's
+  * restructure (see its scaladoc and tools/EtlProfile).
   *
   * Attribute elements are structs with fields (name, value, dt) mirroring
   * `<custom-attribute name=... dt:dt=...>text</>` (migrate.py:161-216).

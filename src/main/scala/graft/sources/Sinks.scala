@@ -56,4 +56,15 @@ object Sinks {
   def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC interchange (Spark-native source, no extra jars): for pipelines
+    * whose upstream/downstream is Hive-ecosystem ORC rather than parquet.
+    * Same columnar pruning/pushdown story — `PushedFilters` reach the ORC
+    * scan exactly as they do the parquet one (asserted in SinksSpec). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

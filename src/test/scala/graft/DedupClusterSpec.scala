@@ -143,6 +143,35 @@ class DedupClusterSpec extends AnyFunSuite {
         s"precisely so this never happens:\n$p")
   }
 
+  test("nightly loop: accepted batch signatures append, next batch sees them") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nightly").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val novel1 = "completely different words about spark query engines and shuffles here"
+    val novel2 = "unrelated text mentioning databases columns rows and very boring metadata content"
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    Dedup.writeCorpusSignatures(corpus, "text", "doc_id", s"$tmp/sigs")
+
+    // batch 1: one exact dup of the corpus, two novel docs
+    val batch1 = Seq((1L, base), (2L, novel1), (3L, novel2)).toDF("doc_id", "text")
+    val st1 = Dedup.dedupAgainstSignatures(batch1, s"$tmp/sigs", "text", "doc_id")
+    assert(st1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "exact_dup", 2L -> "kept", 3L -> "kept"))
+    Dedup.appendBatchSignatures(batch1,
+      st1.filter(col("status") === "kept"), "text", "doc_id", s"$tmp/sigs")
+
+    // batch 2 classifies against corpus ∪ batch-1-accepted: an exact copy
+    // of a batch-1 doc, a near-dup of another, and a novel doc
+    val batch2 = Seq(
+      (11L, novel1),              // exact dup of doc 2 — only visible via the append
+      (12L, novel2 + " tonight"), // near-dup of doc 3
+      (13L, "fresh sentences on benchmarking columnar layouts under heavy concurrency today")
+    ).toDF("doc_id", "text")
+    val st2 = Dedup.dedupAgainstSignatures(batch2, s"$tmp/sigs", "text", "doc_id")
+    assert(st2.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(11L -> "exact_dup", 12L -> "near_dup", 13L -> "kept"))
+  }
+
   test("span dedup: first occurrence wins, redundant docs vanish, order preserved") {
     import spark.implicits._
     // window=2 spans: doc 1 = [a b][c d][e f]; doc 2 repeats [c d] and

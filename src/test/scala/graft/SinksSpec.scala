@@ -49,6 +49,19 @@ class SinksSpec extends AnyFunSuite {
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 
+  test("ORC round-trip: rows survive and filters push to the ORC scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    Sinks.writeOrc(nation, s"$dir/nation")
+    val back = Sinks.readOrc(spark, s"$dir/nation", nation.schema)
+    assert(back.count() === nation.count())
+    assert(back.exceptAll(nation).isEmpty && nation.exceptAll(back).isEmpty)
+    val plan = back.filter(col("n_regionkey") === 1)
+      .select("n_name").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"),
+      s"no pushdown into ORC scan:\n$plan")
+  }
+
   test("sorted layout: disjoint key ranges per file (zone-map-prunable)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sorted").toString
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
