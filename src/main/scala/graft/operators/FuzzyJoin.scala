@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy (edit-distance) self-join — entity resolution over identifier
+  * strings: find every pair of rows whose key strings are within
+  * Levenshtein distance 1 (near-miss ids, typo'd names), without ever
+  * comparing all pairs.
+  *
+  * Candidate generation uses the DELETION NEIGHBORHOOD: two strings at
+  * edit distance ≤ 1 necessarily share a member of {s} ∪ {s minus one
+  * char} (substitution pairs share the variant with the differing char
+  * deleted from both; insert/delete pairs share the shorter string
+  * itself). So candidates come from ONE keyed equi-join on the variant
+  * string — the same never-all-pairs discipline as the dedup family —
+  * and the exact `levenshtein` rescore runs only on candidates. Variant
+  * fan-out is O(len) per row: built for short identifier/name columns,
+  * not document text (that's [[Dedup]]'s job). Distance ≥ 2 would need
+  * depth-2 deletion neighborhoods (O(len²) variants) — out of scope
+  * until a consumer needs it.
+  */
+object FuzzyJoin {
+
+  /** {s} ∪ all single-character deletions of s (deduplicated). */
+  def deletionVariants(s: Column): Column =
+    array_union(
+      transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))),
+      array(s))
+
+  /** All (a_id, b_id, dist) pairs with dist ≤ 1 and a_id < b_id. */
+  def selfJoin(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val v = df.select(col(idCol).as("sid"), col(strCol).as("s"))
+      .select(col("sid"), col("s"), explode(deletionVariants(col("s"))).as("v"))
+    v.select(col("sid").as("a_id"), col("s").as("a_name"), col("v"))
+      .join(v.select(col("sid").as("b_id"), col("s").as("b_name"), col("v")), Seq("v"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_name"), col("b_name")).distinct()
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 1)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+}

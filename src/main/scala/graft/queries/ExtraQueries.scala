@@ -157,6 +157,27 @@ object ExtraQueries extends graft.QueryPack {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderstatus""".stripMargin)),
 
+    // ---- J12: fuzzy self-join (edit-distance entity resolution) ---------
+    // Deletion-neighborhood candidates (keyed equi-join on the variant
+    // string — never all pairs) + exact levenshtein rescore. Customer
+    // names are near-miss-rich: ids differing in one digit are dist 1.
+    Q("q_j12_fuzzy_join",
+      (s, d) => graft.operators.FuzzyJoin.selfJoin(
+        Tables.customer(s, d), "c_custkey", "c_name"),
+      Some("""WITH names AS (SELECT c_custkey, c_name FROM customer),
+             |vars AS (
+             |  SELECT c_custkey, c_name,
+             |    unnest(list_transform(range(1, length(c_name)+1),
+             |      i -> substr(c_name, 1, i-1) || substr(c_name, i+1, length(c_name)))) AS v
+             |  FROM names
+             |  UNION ALL SELECT c_custkey, c_name, c_name FROM names),
+             |cands AS (
+             |  SELECT DISTINCT a.c_custkey AS a_id, a.c_name AS a_name,
+             |                  b.c_custkey AS b_id, b.c_name AS b_name
+             |  FROM vars a JOIN vars b ON a.v = b.v AND a.c_custkey < b.c_custkey)
+             |SELECT a_id, b_id, levenshtein(a_name, b_name) AS dist
+             |FROM cands WHERE levenshtein(a_name, b_name) <= 1""".stripMargin)),
+
     // ---- J9: full-outer join (both-sided exclusives) --------------------
     Q("q_j9_full_outer",
       (s, d) => {

@@ -47,4 +47,22 @@ class TextOpsSpec extends AnyFunSuite {
     val once = redact("bob@example.com 1.2.3.4 https://x.io 555-123-4567")
     assert(redact(once) === once)
   }
+
+  test("fuzzy self-join: substitution/insert/delete found, transposition (dist 2) not") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "kitten"), (2L, "sitten"),  // substitution → dist 1
+      (3L, "abc"), (4L, "ab"),         // deletion → dist 1
+      (5L, "abcd"),                    // insertion vs 3 → dist 1
+      (6L, "abdc"),                    // transposition vs 5 → dist 2, excluded
+                                       //   (but vs 3 it's one insert → dist 1)
+      (7L, "kitten"),                  // exact dup of 1 → dist 0
+      (8L, "zzzzz")                    // no partner
+    ).toDF("id", "name")
+    val got = graft.operators.FuzzyJoin.selfJoin(rows, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got === Map(
+      (1L, 2L) -> 1, (1L, 7L) -> 0, (2L, 7L) -> 1,
+      (3L, 4L) -> 1, (3L, 5L) -> 1, (3L, 6L) -> 1))
+  }
 }
