@@ -78,7 +78,14 @@ object Bench {
     val etlName = "etl_migration_100k"
     val results =
       if (!only.forall(_.exists(p => etlName.startsWith(p)))) results0
-      else { etlRun(); results0 :+ (etlName -> math.min(etlRun(), etlRun())) }
+      else {
+        etlRun() // warmup
+        // same failure protocol as the queries: one transient failure
+        // still reports the surviving measurement (-1 only if both fail)
+        val (a, b) = (etlRun(), etlRun())
+        results0 :+ (etlName ->
+          (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)))
+      }
     // centisecond precision keeps the line SHORT: the driver captures a
     // fixed log TAIL (~2.9 KB) and anything longer loses its {"metric"
     // head — that truncated BENCH_r02 AND BENCH_r03 (3-dp × 78 queries

@@ -49,7 +49,16 @@ object MigrationFixture {
     val fx = stats(baseDir, customers)
     if (Files.exists(marker) && Files.readString(marker).trim == key) return fx
 
+    // regenerate from a clean slate: drop the stale marker FIRST (a crash
+    // mid-write must not leave an old marker vouching for mixed content),
+    // and empty the export dir (a smaller `files` count would otherwise
+    // leave stale extra shards that CustomerXml.read's glob picks up)
+    Files.deleteIfExists(marker)
     val xmlDir = dir.resolve("export")
+    if (Files.exists(xmlDir)) {
+      val entries = Files.list(xmlDir)
+      try entries.forEach(p => Files.delete(p)) finally entries.close()
+    }
     Files.createDirectories(xmlDir)
     val chunk = math.max(1, (customers + files - 1) / files)
     var start = 0

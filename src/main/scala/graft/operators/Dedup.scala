@@ -217,7 +217,8 @@ object Dedup {
       .select(col("a_id"), col("b_id")).distinct()
     val shingAll = docShingles(
       incoming.select(col(idCol), col(textCol))
-        .unionByName(existing.select(col(idCol), col(textCol))), textCol, idCol)
+        .unionByName(existing.select(col(idCol), col(textCol))),
+      textCol, idCol, shingleK)
     val near = jaccardForPairs(cand, shingAll, thresholdTenths)
       .select(col("a_id").as("sid")).distinct().withColumn("is_near", lit(true))
     incoming.select(col(idCol).as("doc_id"))
@@ -258,9 +259,12 @@ object Dedup {
     * scanned — only the incoming batch is tokenized; the existing hashes,
     * bands, and shingles arrive as narrow parquet reads. The signature
     * parameters must match the ones the signatures were written with
-    * (they parameterize the persisted relations, so a mismatch shows up
-    * as empty/garbage candidates, not silent wrong answers at the exact
-    * stage). */
+    * (they parameterize the persisted relations — every one, including
+    * `shingleK`, is threaded through to the batch side so both sides
+    * always shingle identically). Ids must be disjoint between the batch
+    * and everything in the store ([[dedupAgainstStatus]]'s invariant;
+    * see [[appendBatchSignatures]] for why the nightly loop makes this
+    * the caller's job). Output: (doc_id, status). */
   def dedupAgainstSignatures(incoming: DataFrame, sigDir: String,
       textCol: String, idCol: String,
       shingleK: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
@@ -278,7 +282,7 @@ object Dedup {
         Seq("band", "bh"))
       .select(col("a_id"), col("b_id")).distinct()
     val shingAll = docShingles(incoming.select(col(idCol), col(textCol)),
-      textCol, idCol).unionByName(exShingles)
+      textCol, idCol, shingleK).unionByName(exShingles)
     val near = jaccardForPairs(cand, shingAll, thresholdTenths)
       .select(col("a_id").as("sid")).distinct().withColumn("is_near", lit(true))
     incoming.select(col(idCol).as("doc_id"))
@@ -301,11 +305,23 @@ object Dedup {
     * loop itself (a doc whose hash is already in the store classifies
     * `exact_dup` and is never accepted), and the exact semi-join is
     * duplicate-key-robust regardless. Parameters must match the store's.
+    *
+    * INVARIANT the loop's caller owns: ids must be GLOBALLY unique
+    * across every batch ever appended (the rescore merges shingle
+    * relations by id — [[dedupAgainstStatus]]'s disjointness note
+    * compounds here because the store accumulates forever). Nightly id
+    * sequences that restart per batch must be namespaced (e.g.
+    * date-prefixed) before entering the loop. `accepted` may be the
+    * status frame [[dedupAgainstSignatures]] returns (ids in `doc_id`)
+    * or any frame carrying `idCol`.
     */
   def appendBatchSignatures(batch: DataFrame, accepted: DataFrame,
       textCol: String, idCol: String, dir: String, shingleK: Int = 3,
       numHashes: Int = 8, rowsPerBand: Int = 2): Unit = {
-    val docs = batch.join(accepted.select(col(idCol)), Seq(idCol), "left_semi")
+    val accIds =
+      if (accepted.columns.contains(idCol)) accepted.select(col(idCol))
+      else accepted.select(col("doc_id").as(idCol))
+    val docs = batch.join(accIds, Seq(idCol), "left_semi")
     docs.select(md5(col(textCol)).as("h")).distinct()
       .write.mode("append").parquet(s"$dir/hashes")
     bandRelation(docs, textCol, idCol, shingleK, numHashes, rowsPerBand)

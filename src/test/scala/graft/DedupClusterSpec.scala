@@ -143,6 +143,24 @@ class DedupClusterSpec extends AnyFunSuite {
         s"precisely so this never happens:\n$p")
   }
 
+  test("non-default shingleK threads through the whole signature path (regression)") {
+    import spark.implicits._
+    // the rescore must shingle the batch at the SAME k the store was
+    // written with — a dropped k (the bug this pins) intersects 5-gram
+    // store shingles with 3-gram batch shingles and misses every near-dup
+    val tmp = java.nio.file.Files.createTempDirectory("graft-k5").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    Dedup.writeCorpusSignatures(corpus, "text", "doc_id", s"$tmp/sigs", shingleK = 5)
+    val batch = Seq((1L, base + " ok"), (2L, "totally unrelated words about joins")).toDF("doc_id", "text")
+    val viaSigs = Dedup.dedupAgainstSignatures(batch, s"$tmp/sigs", "text", "doc_id", shingleK = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaSigs === Map(1L -> "near_dup", 2L -> "kept"))
+    val viaText = Dedup.dedupAgainstStatus(batch, corpus, "text", "doc_id", shingleK = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaText === viaSigs)
+  }
+
   test("nightly loop: accepted batch signatures append, next batch sees them") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-nightly").toString

@@ -19,15 +19,26 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * tools/PlanAudit.scala remains the human-readable sweep (exchange
   * counts, join strategies); this spec is the enforced subset.
+  *
+  * KNOWN BLIND SPOT, audited by hand instead: a query whose operator
+  * eagerly `localCheckpoint`s (the iterative k-means/CC family) returns
+  * a LogicalRDD leaf — its actual training plans ran at construction
+  * time where this sweep cannot see them. Those interior plans carry
+  * their own justifications at the call sites (bounded k-row frames for
+  * the partition-less windows in Kmeans; per-round keyed joins in CC)
+  * and their scale behavior is measured in SCALE.md rather than
+  * lint-asserted here.
   */
 class PlanAuditSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
   /** Partition-less windows ranking relations bounded by construction —
-    * the k-row/candidate-pool frames where a single-partition sort is the
-    * right plan (documented at each call site). */
-  private val boundedWindowAllowlist = Set("q_sim9_kmeanspar_seeds")
+    * the k-row/candidate-pool frames where a single-partition sort is
+    * the right plan (documented at each call site). Currently empty:
+    * the one such query (q_sim9) checkpoints and so never even shows
+    * its window here (see the blind-spot note above). */
+  private val boundedWindowAllowlist = Set.empty[String]
 
   test("every registered query passes the global plan invariants") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
