@@ -29,10 +29,14 @@ object FuzzyJoin {
         i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))),
       array(s))
 
+  private def variantRelation(df: DataFrame, idCol: String, strCol: String,
+      idAs: String, strAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(strCol).as(strAs))
+      .select(col(idAs), col(strAs), explode(deletionVariants(col(strAs))).as("v"))
+
   /** All (a_id, b_id, dist) pairs with dist ≤ 1 and a_id < b_id. */
   def selfJoin(df: DataFrame, idCol: String, strCol: String): DataFrame = {
-    val v = df.select(col(idCol).as("sid"), col(strCol).as("s"))
-      .select(col("sid"), col("s"), explode(deletionVariants(col("s"))).as("v"))
+    val v = variantRelation(df, idCol, strCol, "sid", "s")
     v.select(col("sid").as("a_id"), col("s").as("a_name"), col("v"))
       .join(v.select(col("sid").as("b_id"), col("s").as("b_name"), col("v")), Seq("v"))
       .filter(col("a_id") < col("b_id"))
@@ -40,5 +44,21 @@ object FuzzyJoin {
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .filter(col("dist") <= 1)
       .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
+  /** Two-table variant — resolve each left row against a reference table
+    * (dirty feed × canonical dimension): every (left_id, right_id) pair
+    * within distance 1, exact matches included. Same candidate shape;
+    * broadcast the smaller variant relation when one side is a dimension.
+    */
+  def join(left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String): DataFrame = {
+    val lv = variantRelation(left, leftId, leftStr, "left_id", "ls")
+    val rv = variantRelation(right, rightId, rightStr, "right_id", "rs")
+    lv.join(rv, Seq("v"))
+      .select(col("left_id"), col("right_id"), col("ls"), col("rs")).distinct()
+      .withColumn("dist", levenshtein(col("ls"), col("rs")))
+      .filter(col("dist") <= 1)
+      .select(col("left_id"), col("right_id"), col("dist"))
   }
 }

@@ -65,4 +65,19 @@ class TextOpsSpec extends AnyFunSuite {
       (1L, 2L) -> 1, (1L, 7L) -> 0, (2L, 7L) -> 1,
       (3L, 4L) -> 1, (3L, 5L) -> 1, (3L, 6L) -> 1))
   }
+
+  test("fuzzy two-table join: dirty feed resolves against the canonical side") {
+    import spark.implicits._
+    val canon = Seq((1L, "stockholm"), (2L, "uppsala"), (3L, "lund")).toDF("id", "name")
+    val dirty = Seq((10L, "stockhelm"), (11L, "upsala"), (12L, "lundx"),
+      (13L, "lund"), (14L, "malmo")).toDF("id", "name")
+    val got = graft.operators.FuzzyJoin
+      .join(dirty, "id", "name", canon, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got === Map(
+      (10L, 1L) -> 1,   // substitution
+      (11L, 2L) -> 1,   // deletion
+      (12L, 3L) -> 1,   // insertion
+      (13L, 3L) -> 0))  // exact; malmo resolves to nothing
+  }
 }
