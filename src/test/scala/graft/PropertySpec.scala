@@ -208,4 +208,60 @@ class PropertySpec extends AnyFunSuite {
       Skew.saltedAggregate(onlyMap, Seq("m"), 4, Seq(("m", fst, fst))))
     assert(ex.getMessage.contains("no hash()-eligible column"))
   }
+
+  // tiny vocab forces heavy span collisions across random docs
+  private val docsGen: Gen[List[(Long, String)]] = {
+    val word = Gen.oneOf("a", "b", "c")
+    val doc = Gen.chooseNum(1, 11).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+  }
+
+  test("span dedup properties: kept spans globally unique and equal the input span SET") {
+    forAll(docsGen, n = 10) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val out = graft.operators.Dedup.spanDedup(df, "text", "doc_id", window = 2)
+        .as[(Long, String, Long)].collect().toSeq
+      // reference: spans of every doc, driver-side
+      def spansOf(t: String): Seq[String] =
+        t.split("\\s+").filter(_.nonEmpty).grouped(2).map(_.mkString(" ")).toSeq
+      val inputSpans = docs.flatMap { case (_, t) => spansOf(t) }
+      // (1) each distinct input span survives exactly once, none invented
+      val keptSpans = out.flatMap { case (_, t, _) => spansOf(t) }
+      assert(keptSpans.sorted === inputSpans.distinct.sorted)
+      // n.b. re-chunking the reassembled text is only valid because every
+      // span but a doc's last has exactly `window` tokens and the ragged
+      // tail (if any) stays the final span — boundaries cannot shift
+      // (2) n_kept agrees with the reassembled text
+      out.foreach { case (_, t, k) => assert(spansOf(t).size === k) }
+      // (3) exactly one output row per surviving doc
+      assert(out.map(_._1).distinct.size === out.size)
+    }
+  }
+
+  test("fuzzy self-join completeness: equals brute-force levenshtein<=1 on random strings") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val strGen = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('x', 'y')).map(_.mkString))
+    val rowsGen = Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, strGen))
+      .map(_.zipWithIndex.map { case (s, i) => (i.toLong, s) })
+    forAll(rowsGen, n = 10) { rows =>
+      val got = graft.operators.FuzzyJoin.selfJoin(rows.toDF("id", "s"), "id", "s")
+        .as[(Long, Long, Int)].collect().toSet
+      val want = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib && lev(sa, sb) <= 1
+      } yield (ia, ib, lev(sa, sb))).toSet
+      assert(got === want)
+    }
+  }
 }
