@@ -84,6 +84,39 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/o").count() === orders.count())
   }
 
+  test("z-ordered layout: per-file ranges tighten on BOTH dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    graft.operators.ZOrder.zorderedParquet(li, s"$dir/li", 8, "l_orderkey", "l_partkey")
+
+    val back = spark.read.parquet(s"$dir/li")
+    assert(back.count() === li.count())
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+
+    val files = new java.io.File(s"$dir/li").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    assert(files.length >= 4, s"expected several z-ordered files, got ${files.length}")
+    def span(path: String, c: String): Double = {
+      val r = spark.read.parquet(path).agg(min(col(c)), max(col(c))).head()
+      (r.getLong(1) - r.getLong(0)).toDouble
+    }
+    def globalSpan(c: String): Double = {
+      val r = li.agg(min(col(c)), max(col(c))).head()
+      (r.getLong(1) - r.getLong(0)).toDouble
+    }
+    // a single-key sort gives per-file width ~= global/numFiles on ITS key
+    // but ~= global on the other; z-order must tighten BOTH dimensions,
+    // which is exactly what makes parquet min/max stats prune either filter
+    val avgOrder = files.map(span(_, "l_orderkey")).sum / files.length
+    val avgPart = files.map(span(_, "l_partkey")).sum / files.length
+    assert(avgOrder < 0.6 * globalSpan("l_orderkey"),
+      s"orderkey locality too loose: $avgOrder vs ${globalSpan("l_orderkey")}")
+    assert(avgPart < 0.6 * globalSpan("l_partkey"),
+      s"partkey locality too loose: $avgPart vs ${globalSpan("l_partkey")}")
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
