@@ -218,6 +218,18 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(got === List((5L, "p q r s")))
   }
 
+  test("span dedup edges: window beyond doc length, null/empty text dropped") {
+    import spark.implicits._
+    // window larger than every doc → whole-doc spans → exact keep-first
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c"),
+      (4L, null.asInstanceOf[String]), (5L, ""))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "text", "doc_id", window = 100)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // null/empty-text docs have no spans and drop out rather than throw
+    assert(got === Map(1L -> "a b", 3L -> "c"))
+  }
+
   test("cluster keeper semantics: one keeper per component on real pairs") {
     val pairs = Dedup.minhashCandidates(
       Dedup.docShingles(
