@@ -51,13 +51,18 @@ object MigrationFixture {
 
     // regenerate from a clean slate: drop the stale marker FIRST (a crash
     // mid-write must not leave an old marker vouching for mixed content),
-    // and empty the export dir (a smaller `files` count would otherwise
-    // leave stale extra shards that CustomerXml.read's glob picks up)
+    // then recreate the export dir from empty (a smaller `files` count
+    // would otherwise leave stale extra shards that CustomerXml.read's
+    // glob picks up). Recursive children-first delete over a materialized
+    // list: survives stray subdirectories (e.g. a crashed _temporary)
+    // and never deletes while iterating the directory stream.
     Files.deleteIfExists(marker)
     val xmlDir = dir.resolve("export")
     if (Files.exists(xmlDir)) {
-      val entries = Files.list(xmlDir)
-      try entries.forEach(p => Files.delete(p)) finally entries.close()
+      val walk = Files.walk(xmlDir)
+      val paths = try walk.sorted(java.util.Comparator.reverseOrder())
+        .toArray(new Array[java.nio.file.Path](_)) finally walk.close()
+      paths.foreach(Files.delete)
     }
     Files.createDirectories(xmlDir)
     val chunk = math.max(1, (customers + files - 1) / files)

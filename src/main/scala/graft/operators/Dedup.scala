@@ -312,15 +312,20 @@ object Dedup {
     * compounds here because the store accumulates forever). Nightly id
     * sequences that restart per batch must be namespaced (e.g.
     * date-prefixed) before entering the loop. `accepted` may be the
-    * status frame [[dedupAgainstSignatures]] returns (ids in `doc_id`)
-    * or any frame carrying `idCol`.
+    * status frame [[dedupAgainstSignatures]] returns — filtered or not:
+    * when a `status` column is present only `kept` rows count, so
+    * passing the raw classification cannot append dup signatures — or
+    * any frame carrying `idCol`.
     */
   def appendBatchSignatures(batch: DataFrame, accepted: DataFrame,
       textCol: String, idCol: String, dir: String, shingleK: Int = 3,
       numHashes: Int = 8, rowsPerBand: Int = 2): Unit = {
+    val keptOnly =
+      if (accepted.columns.contains("status")) accepted.filter(col("status") === "kept")
+      else accepted
     val accIds =
-      if (accepted.columns.contains(idCol)) accepted.select(col(idCol))
-      else accepted.select(col("doc_id").as(idCol))
+      if (keptOnly.columns.contains(idCol)) keptOnly.select(col(idCol))
+      else keptOnly.select(col("doc_id").as(idCol))
     val docs = batch.join(accIds, Seq(idCol), "left_semi")
     docs.select(md5(col(textCol)).as("h")).distinct()
       .write.mode("append").parquet(s"$dir/hashes")

@@ -48,13 +48,17 @@ object FuzzyJoin {
 
   /** Two-table variant — resolve each left row against a reference table
     * (dirty feed × canonical dimension): every (left_id, right_id) pair
-    * within distance 1, exact matches included. Same candidate shape;
-    * broadcast the smaller variant relation when one side is a dimension.
-    */
+    * within distance 1, exact matches included. Same candidate shape.
+    * `broadcastRight = true` broadcasts the right variant relation —
+    * set it when the right side is a dimension small enough to ship
+    * (variant fan-out is O(len) rows per name, so a table can exceed
+    * the auto-broadcast threshold well before its base size suggests). */
   def join(left: DataFrame, leftId: String, leftStr: String,
-      right: DataFrame, rightId: String, rightStr: String): DataFrame = {
+      right: DataFrame, rightId: String, rightStr: String,
+      broadcastRight: Boolean = false): DataFrame = {
     val lv = variantRelation(left, leftId, leftStr, "left_id", "ls")
-    val rv = variantRelation(right, rightId, rightStr, "right_id", "rs")
+    val rv0 = variantRelation(right, rightId, rightStr, "right_id", "rs")
+    val rv = if (broadcastRight) broadcast(rv0) else rv0
     lv.join(rv, Seq("v"))
       .select(col("left_id"), col("right_id"), col("ls"), col("rs")).distinct()
       .withColumn("dist", levenshtein(col("ls"), col("rs")))

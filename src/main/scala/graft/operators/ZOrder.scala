@@ -41,16 +41,23 @@ object ZOrder {
       floor((v - mn).cast("double") / (mx - mn).cast("double") * 65535.0)
         .cast("long"))
 
-  /** `df` plus a `zorder` column over two numeric keys. */
+  private val Z = "_graft_zorder"
+  private val B = Seq("_graft_za_min", "_graft_za_max", "_graft_zb_min", "_graft_zb_max")
+
+  /** `df` plus a `_graft_zorder` column over two numeric keys. Fails
+    * fast on (implausible) column-name collisions rather than silently
+    * replacing user data. */
   def withZOrder(df: DataFrame, colA: String, colB: String): DataFrame = {
+    (Z +: B).foreach(c => require(!df.columns.contains(c),
+      s"input already has a column named $c"))
     val bounds = df.agg(
-      min(col(colA)).cast("long").as("za_min"), max(col(colA)).cast("long").as("za_max"),
-      min(col(colB)).cast("long").as("zb_min"), max(col(colB)).cast("long").as("zb_max"))
+      min(col(colA)).cast("long").as(B(0)), max(col(colA)).cast("long").as(B(1)),
+      min(col(colB)).cast("long").as(B(2)), max(col(colB)).cast("long").as(B(3)))
     df.crossJoin(broadcast(bounds))
-      .withColumn("zorder", interleave16(
-        rank16(col(colA).cast("long"), col("za_min"), col("za_max")),
-        rank16(col(colB).cast("long"), col("zb_min"), col("zb_max"))))
-      .drop("za_min", "za_max", "zb_min", "zb_max")
+      .withColumn(Z, interleave16(
+        rank16(col(colA).cast("long"), col(B(0)), col(B(1))),
+        rank16(col(colB).cast("long"), col(B(2)), col(B(3)))))
+      .drop(B: _*)
   }
 
   /** Write parquet range-partitioned + sorted by the Morton key: each
@@ -59,8 +66,8 @@ object ZOrder {
   def zorderedParquet(df: DataFrame, path: String, numFiles: Int,
       colA: String, colB: String): Unit =
     withZOrder(df, colA, colB)
-      .repartitionByRange(numFiles, col("zorder"))
-      .sortWithinPartitions(col("zorder"))
-      .drop("zorder")
+      .repartitionByRange(numFiles, col(Z))
+      .sortWithinPartitions(col(Z))
+      .drop(Z)
       .write.mode("overwrite").parquet(path)
 }

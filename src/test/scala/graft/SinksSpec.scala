@@ -108,12 +108,18 @@ class SinksSpec extends AnyFunSuite {
     }
     // a single-key sort gives per-file width ~= global/numFiles on ITS key
     // but ~= global on the other; z-order must tighten BOTH dimensions,
-    // which is exactly what makes parquet min/max stats prune either filter
+    // which is exactly what makes parquet min/max stats prune either
+    // filter. Thresholds follow the Morton bit geometry at 8 files: the
+    // top three key bits are (b15, a15, b14), so b (partkey) splits into
+    // ~4 groups (ideal avg span ~0.3) while a (orderkey) only halves
+    // (~0.58 ideal, plus octant-straddling files that span a fully) —
+    // 0.5/0.85 leave real margin over the ideal, while still strictly
+    // beating the ~1.0 the other-key-sorted layout gives each dimension
     val avgOrder = files.map(span(_, "l_orderkey")).sum / files.length
     val avgPart = files.map(span(_, "l_partkey")).sum / files.length
-    assert(avgOrder < 0.6 * globalSpan("l_orderkey"),
+    assert(avgOrder < 0.85 * globalSpan("l_orderkey"),
       s"orderkey locality too loose: $avgOrder vs ${globalSpan("l_orderkey")}")
-    assert(avgPart < 0.6 * globalSpan("l_partkey"),
+    assert(avgPart < 0.5 * globalSpan("l_partkey"),
       s"partkey locality too loose: $avgPart vs ${globalSpan("l_partkey")}")
   }
 
