@@ -36,15 +36,21 @@ object Dedup {
     * every span was seen elsewhere disappear (their content is fully
     * redundant).
     *
-    * Scale shape: one shuffle keyed by span content (the ranking), one
-    * keyed by doc id (the reassembly). Span text itself is the shuffle
-    * key/payload — at 100 TB swap the key to `md5(span)` and carry the
+    * Scale shape: one shuffle keyed by span content (the
+    * first-occurrence reduction), one keyed by doc id (the reassembly).
+    * First-occurrence is `min(struct(sid, c))` per span — a two-phase
+    * HASH aggregation whose map-side partial pre-reduces every
+    * partition's repeats of a span to one row, so a viral boilerplate
+    * span arrives at its reducer once per task, not once per occurrence
+    * (a row_number window would instead SORT the full occurrence list
+    * of the hottest span on one reducer — the skew shape
+    * capShingleFrequency exists to avoid). Span text itself is the
+    * shuffle key — at 100 TB swap the key to `md5(span)` and carry the
     * text only through the reassembly side.
     */
   def spanDedup(docs: DataFrame, textCol: String, idCol: String,
       window: Int = 8): DataFrame = {
     require(window >= 1, s"span window must be >= 1, got $window")
-    import org.apache.spark.sql.expressions.{Window => W}
     val nSpans = floor((size(col("toks")) - 1) / lit(window)).cast("int") + 1
     val spans =
       Par.spread(docs.select(col(idCol).as("sid"), TextAnalysis.tokens(col(textCol)).as("toks")))
@@ -52,8 +58,9 @@ object Dedup {
         .select(col("sid"), posexplode(transform(sequence(lit(0), nSpans - 1),
           c => array_join(slice(col("toks"), c * window + 1, lit(window)), " ")))
           .as(Seq("c", "span")))
-    val firstWin = W.partitionBy(col("span")).orderBy(col("sid"), col("c"))
-    spans.withColumn("rn", row_number().over(firstWin)).filter(col("rn") === 1)
+    spans.groupBy(col("span"))
+      .agg(min(struct(col("sid"), col("c"))).as("f")) // global first occurrence
+      .select(col("f.sid").as("sid"), col("f.c").as("c"), col("span"))
       .groupBy(col("sid"))
       .agg(sort_array(collect_list(struct(col("c"), col("span")))).as("ks"),
         count(lit(1)).as("n_kept"))

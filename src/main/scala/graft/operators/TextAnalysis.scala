@@ -242,6 +242,17 @@ object TextAnalysis {
         sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_kept"))
 
+  /** Unicode-normalize a string column via the native codegen'd kernel
+    * ([[graft.functions.UnicodeNormalize]]) — the canonicalization pass
+    * that must precede hash-keyed dedup on crawl text (composed vs
+    * decomposed accents hash differently; NFKC additionally folds
+    * ligatures/full-width forms). `form`: NFC|NFD|NFKC|NFKD. */
+  def normalizeUnicode(spark: org.apache.spark.sql.SparkSession,
+      c: Column, form: String = "NFKC"): Column = {
+    graft.functions.UnicodeNormalize.register(spark)
+    call_function("unicode_normalize", c, lit(form))
+  }
+
   /** PII patterns for training-corpus redaction, in APPLICATION ORDER:
     * URLs replace first so an address inside a link redacts as part of
     * the link, not as a second partial hit. Regex subset chosen to mean

@@ -309,6 +309,29 @@ object TextQueries extends graft.QueryPack {
              |  len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
              |  len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
              |  len(regexp_extract_all(t, '\b\+?[0-9]{3}[- .][0-9]{3,4}[- .][0-9]{4}\b')) AS n_phones
-             |FROM pii""".stripMargin))
+             |FROM pii""".stripMargin)),
+
+    // ---- X18: Unicode NFC normalization (native kernel) ----------------
+    // The corpus is ASCII, so the query appends engine-independently
+    // constructed non-ASCII (combining accents + a precomposed char) and
+    // normalizes; DuckDB's nfc_normalize cross-checks the kernel. NFKC
+    // (the dedup-key form) has no DuckDB twin — spec-covered instead.
+    Q("q_x18_unicode_nfc",
+      (s, d) => {
+        // source literal holds DECOMPOSED e+U+0301 / A+U+0300 plus a
+        // precomposed U+00E9 — byte-identical to the oracle's chr() build
+        val raw = concat(col("text"), lit(" é À xé"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          TextAnalysis.normalizeUnicode(s, raw, "NFC").as("text_nfc"),
+          length(raw).as("n_raw"),
+          length(TextAnalysis.normalizeUnicode(s, raw, "NFC")).as("n_nfc"))
+      },
+      Some("""WITH r AS (SELECT doc_id,
+             |    text || ' e' || chr(769) || ' A' || chr(768) || ' x' || chr(233) AS raw
+             |  FROM documents)
+             |SELECT doc_id, nfc_normalize(raw) AS text_nfc,
+             |  length(raw) AS n_raw, length(nfc_normalize(raw)) AS n_nfc
+             |FROM r""".stripMargin))
   )
 }

@@ -66,6 +66,33 @@ class TextOpsSpec extends AnyFunSuite {
       (3L, 4L) -> 1, (3L, 5L) -> 1, (3L, 6L) -> 1))
   }
 
+  test("unicode normalization: NFC composes, NFKC folds compatibility forms") {
+    import spark.implicits._
+    def norm(s: String, form: String): String =
+      Seq(s).toDF("t")
+        .select(TextAnalysis.normalizeUnicode(spark, col("t"), form).as("r"))
+        .head().getString(0)
+    val decomposed = "e\u0301"        // e + combining acute
+    val composed = "\u00e9"
+    assert(norm(decomposed, "NFC") === composed)
+    assert(norm(decomposed, "NFC").length === 1)
+    // NFC preserves compatibility chars; NFKC folds them
+    val liga = "\ufb01le \uff14"      // fi-ligature, full-width 4
+    assert(norm(liga, "NFC") === liga)
+    assert(norm(liga, "NFKC") === "file 4")
+    // idempotent; ASCII passes through untouched
+    assert(norm(norm(decomposed, "NFKC"), "NFKC") === norm(decomposed, "NFKC"))
+    assert(norm("plain ascii 123", "NFKC") === "plain ascii 123")
+    // invalid form fails fast with a real message
+    val ex = intercept[IllegalArgumentException](
+      graft.functions.UnicodeNormalize(null, "NFX"))
+    assert(ex.getMessage.contains("NFC|NFD|NFKC|NFKD"))
+    // SQL surface via GraftExtensions (\u escape inside the SQL literal)
+    val viaSql = spark.sql(
+      "SELECT unicode_normalize('e\\u0301', 'NFC') AS r").head().getString(0)
+    assert(viaSql === composed)
+  }
+
   test("fuzzy two-table join: dirty feed resolves against the canonical side") {
     import spark.implicits._
     val canon = Seq((1L, "stockholm"), (2L, "uppsala"), (3L, "lund")).toDF("id", "name")
