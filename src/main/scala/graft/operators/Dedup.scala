@@ -38,12 +38,14 @@ object Dedup {
     *
     * Scale shape: one shuffle keyed by span content (the
     * first-occurrence reduction), one keyed by doc id (the reassembly).
-    * First-occurrence is `min(struct(sid, c))` per span — a two-phase
-    * HASH aggregation whose map-side partial pre-reduces every
-    * partition's repeats of a span to one row, so a viral boilerplate
-    * span arrives at its reducer once per task, not once per occurrence
-    * (a row_number window would instead SORT the full occurrence list
-    * of the hottest span on one reducer — the skew shape
+    * First-occurrence is `min(struct(sid, c))` per span, aggregated in
+    * two phases with a map-side partial — the struct-typed buffer isn't
+    * UnsafeRow-mutable so Spark plans SortAggregate rather than
+    * HashAggregate, but the property that matters for skew survives:
+    * every task pre-reduces its repeats of a span to ONE row, so a
+    * viral boilerplate span arrives at its reducer once per task, not
+    * once per occurrence (a row_number window would instead sort the
+    * hottest span's full occurrence list on one reducer — the shape
     * capShingleFrequency exists to avoid). Span text itself is the
     * shuffle key — at 100 TB swap the key to `md5(span)` and carry the
     * text only through the reassembly side.

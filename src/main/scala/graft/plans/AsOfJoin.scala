@@ -366,16 +366,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => graft.functions.DistinctCount(exprs.head)))
     e.injectFunction((FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[graft.functions.UnicodeNormalize].getName, "unicode_normalize"),
-      exprs => {
-        require(exprs.length == 2, "unicode_normalize(str, form)")
-        val form = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
-            v.toString
-          case other => throw new IllegalArgumentException(
-            s"unicode_normalize form must be a string literal, got $other")
-        }
-        graft.functions.UnicodeNormalize(exprs.head, form)
-      }))
+      graft.functions.UnicodeNormalize.builder))
   }
 }
 

@@ -318,9 +318,11 @@ object TextQueries extends graft.QueryPack {
     // (the dedup-key form) has no DuckDB twin — spec-covered instead.
     Q("q_x18_unicode_nfc",
       (s, d) => {
-        // source literal holds DECOMPOSED e+U+0301 / A+U+0300 plus a
-        // precomposed U+00E9 — byte-identical to the oracle's chr() build
-        val raw = concat(col("text"), lit(" é À xé"))
+        // explicit escapes (DECOMPOSED e+U+0301 / A+U+0300, precomposed
+        // U+00E9) keep the source ASCII-stable: a raw combining-mark
+        // literal would silently change if any tool NFC-normalized this
+        // file. Byte-identical to the oracle's chr() build.
+        val raw = concat(col("text"), lit(" e\u0301 A\u0300 x\u00e9"))
         Tables.documents(s, d).select(
           col("doc_id"),
           TextAnalysis.normalizeUnicode(s, raw, "NFC").as("text_nfc"),

@@ -94,6 +94,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(badCol.getMessage.contains("no_such_col"))
   }
 
+  test("unicode_normalize resolves via extensions alone (fresh session, no register)") {
+    // a FRESH session has the extension-injected entry but no temp
+    // registration (other suites' register() calls would shadow it here)
+    val fresh = spark.newSession()
+    val r = fresh.sql("SELECT unicode_normalize('e\\u0301', 'NFC') AS r")
+      .head().getString(0)
+    assert(r === "\u00e9")
+    // non-literal form fails fast at resolution, not mid-job
+    val ex = intercept[Exception](
+      fresh.sql("SELECT unicode_normalize('x', concat('NF', 'C'))").collect())
+    assert(ex.getMessage.contains("literal"))
+  }
+
   test("dedup kernels callable from SQL via extensions alone (no register call)") {
     registerAll()
     // TestSpark sets spark.sql.extensions=GraftExtensions; the kernels

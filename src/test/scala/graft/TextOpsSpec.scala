@@ -87,10 +87,9 @@ class TextOpsSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](
       graft.functions.UnicodeNormalize(null, "NFX"))
     assert(ex.getMessage.contains("NFC|NFD|NFKC|NFKD"))
-    // SQL surface via GraftExtensions (\u escape inside the SQL literal)
-    val viaSql = spark.sql(
-      "SELECT unicode_normalize('e\\u0301', 'NFC') AS r").head().getString(0)
-    assert(viaSql === composed)
+    // (the extensions-only SQL surface is asserted in SqlSurfaceSpec on
+    // a FRESH session — norm() above temp-registers the function here,
+    // which would shadow the injected path and make the check vacuous)
   }
 
   test("fuzzy two-table join: dirty feed resolves against the canonical side") {
