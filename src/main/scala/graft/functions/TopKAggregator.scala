@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
+import org.apache.spark.sql.functions.udaf
 
 /** Exact grouped top-k as a typed [[Aggregator]]: the buffer holds at most
   * k (score, id) pairs, so partial aggregation bounds both memory and
@@ -14,9 +15,11 @@ object TopKAggregator {
 
   final case class Scored(score: Double, id: Long)
 
-  /** Ordering: best score first; id breaks ties. */
+  /** Ordering: best score first; id breaks ties. `+ 0.0` collapses -0.0
+    * onto 0.0 so the tie-break matches SQL semantics (where -0.0 = 0.0)
+    * instead of IEEE total order. */
   private val ord: Ordering[Scored] =
-    Ordering.by((s: Scored) => (-s.score, s.id))
+    Ordering.by((s: Scored) => (-(s.score + 0.0), s.id))
 
   final class TopK[IN](k: Int, f: IN => Scored)
       extends Aggregator[IN, Seq[Scored], Seq[Scored]] {
@@ -34,6 +37,16 @@ object TopKAggregator {
   }
 
   def topK[IN](k: Int)(f: IN => Scored): TopK[IN] = new TopK(k, f)
+
+  /** Untyped (Column) form of [[TopK]] for DataFrame pipelines:
+    * `groupBy(g).agg(topKColumn(k)(score, id))` yields the ≤k best
+    * (score desc, id asc) pairs per group as a best-first
+    * `array<struct<score:double, id:long>>`. Same bounded-buffer
+    * guarantee as the typed form — the partial aggregate ships at most
+    * k pairs per group per map task. */
+  def topKColumn(k: Int): UserDefinedFunction =
+    udaf(topK[(Double, Long)](k)(t => Scored(t._1, t._2)),
+      ExpressionEncoder[(Double, Long)]())
 
   /** String-keyed variant for hash-ordered sampling: keeps the k SMALLEST
     * (key, id) pairs per group — the md5-sample shape (`ORDER BY md5(..)
@@ -59,4 +72,12 @@ object TopKAggregator {
   }
 
   def minK[IN](k: Int)(f: IN => Keyed): MinK[IN] = new MinK(k, f)
+
+  /** Untyped (Column) form of [[MinK]]:
+    * `groupBy(g).agg(minKColumn(k)(key, id))` yields the ≤k smallest
+    * (key asc, id asc) pairs per group as a first-is-smallest
+    * `array<struct<key:string, id:long>>`. */
+  def minKColumn(k: Int): UserDefinedFunction =
+    udaf(minK[(String, Long)](k)(t => Keyed(t._1, t._2)),
+      ExpressionEncoder[(String, Long)]())
 }

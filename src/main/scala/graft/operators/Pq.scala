@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product quantization (PQ) for approximate inner-product search over
@@ -190,14 +189,16 @@ object Pq {
   }
 
   /** Sum each (query, neighbor)'s m contributions into the approximate
-    * inner product and keep the per-query top-k. */
+    * inner product and keep the per-query top-k — via the bounded
+    * [[graft.functions.TopKAggregator]] buffer ([[Similarity.perQueryTopK]]),
+    * so after the sum only ≤k (score, id) pairs per query per map task
+    * shuffle; no reducer ever sorts a query's full ADC-scored corpus. */
   private def rankApprox(scored: DataFrame, k: Int): DataFrame =
-    scored
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(round(sum(col("contrib")), 6).as("approx_score"))
-      .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("approx_score").desc, col("neighbor_id"))))
-      .filter(col("rnk") <= k)
+    Similarity.perQueryTopK(
+      scored
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(round(sum(col("contrib")), 6).as("approx_score")),
+      k, scoreName = "approx_score")
 
   /** ADC top-k: approximate inner-product search against the ENCODED
     * corpus. Per query, a lookup table of dot(q_s, codebook entry) —
@@ -232,16 +233,15 @@ object Pq {
       .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
     val cents = broadcast(coarse.select(col("centroid_id"), col("cv"),
       sqrt(nativeDot(coarse, col("cv"), col("cv"))).as("cn")))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("cscore").desc, col("centroid_id"))
-    val probes = emb.filter(queryPred)
+    val probeScores = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         sqrt(nativeDot(emb, col(vecCol), col(vecCol))).as("qn"))
       .crossJoin(cents)
       .select(col("query_id"), col("centroid_id"),
         round(nativeDot(emb, col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
           .as("cscore"))
-      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+    val probes = Similarity.perQueryTopK(probeScores, nProbe,
+        idName = "centroid_id", scoreName = "cscore")
       .select(col("query_id"), col("centroid_id"))
     val cand = probes.join(assign, Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -1,10 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.FloatVecDot
+import graft.functions.{FloatVecDot, TopKAggregator}
 
 /** Similarity search over embedding columns (`ArrayType(FloatType)`):
   * (small single-split inputs are spread across cores before CPU-heavy
@@ -45,6 +44,30 @@ object Similarity {
   private def nativeNorm(spark: SparkSession, a: Column): Column =
     sqrt(nativeDot(spark, a, a))
 
+  /** Bounded per-query top-k over a scored candidate relation
+    * `(query_id, <idName>, <scoreName>)` → the same relation plus an
+    * int `rnk` (1 = best; score desc, id asc, ≤ k rows per query).
+    *
+    * This is the [[TopKAggregator]] shape, not a window: a
+    * `row_number() OVER (PARTITION BY query_id)` must shuffle EVERY
+    * scored candidate and sort each query's full candidate set on a
+    * single reducer — at 100 TB a hot query's millions of candidates
+    * land on one task. The k-bounded aggregation buffer partial-combines
+    * map-side, so at most k (score, id) pairs per query per map task
+    * ever shuffle, and no per-query sort beyond k elements exists
+    * anywhere. Ids ride as longs and are cast back to the input type. */
+  private[graft] def perQueryTopK(scored: DataFrame, k: Int,
+      idName: String = "neighbor_id", scoreName: String = "score"): DataFrame = {
+    val idType = scored.schema(idName).dataType
+    scored
+      .groupBy(col("query_id"))
+      .agg(TopKAggregator.topKColumn(k)(col(scoreName),
+        col(idName).cast("long")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").cast(idType).as(idName),
+        col("t.score").as(scoreName), (col("pos") + lit(1)).as("rnk"))
+  }
+
   /** Cosine similarity rounded to `scale` decimals. */
   def cosine(a: Column, b: Column, scale: Int = 6): Column =
     round(dot(a, b) / (norm(a) * norm(b)), scale)
@@ -66,25 +89,37 @@ object Similarity {
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         round(nativeDot(sp, col("qv"), col(vecCol)) / (col("qn") * col("nn")), 6).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    perQueryTopK(scored, k)
   }
 
   /** Sign-LSH bucket per vector: one bit per hyperplane (the first
-    * `numPlanes` corpus vectors serve as deterministic planes). */
+    * `numPlanes` corpus vectors serve as deterministic planes).
+    *
+    * ZERO-shuffle: the planes are bounded by construction (a handful of
+    * bits — a 64-bit bucket is already absurdly selective), so they
+    * collect to the driver once and inline as literals; every vector's
+    * bucket string is then a single map-side projection. The former
+    * shape (crossJoin(broadcast(planes)) + groupBy(vec_id) collect_list)
+    * shuffled numPlanes rows PER CORPUS VECTOR just to reassemble bits
+    * that were computed on one map task to begin with — at 100 TB that
+    * is a corpus-sized exchange for a map-only computation. */
   def lshBuckets(emb: DataFrame, numPlanes: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(numPlanes > 0 && numPlanes <= 64,
+      s"numPlanes must be in [1, 64], got $numPlanes — sign-LSH buckets " +
+        "are bit strings; more than 64 planes means every vector is alone")
+    val sp = emb.sparkSession
     val planes = emb.filter(col(idCol) < numPlanes)
-      .select(col(idCol).as("plane_id"), col(vecCol).as("pv"))
-    spread(emb).crossJoin(broadcast(planes))
-      .select(col(idCol).as("vec_id"), col("plane_id"),
-        when(round(nativeDot(emb.sparkSession, col(vecCol), col("pv")), 6) >= 0, lit("1"))
-          .otherwise(lit("0")).as("bit"))
-      .groupBy(col("vec_id"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("plane_id"), col("bit")))),
-          x => x.getField("bit")), "").as("bucket"))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(planes.nonEmpty, s"no plane vectors with $idCol < $numPlanes")
+    val bits = planes.map { case (_, pv) =>
+      when(round(nativeDot(sp, col(vecCol), typedLit(pv.toSeq)), 6) >= 0,
+        lit("1")).otherwise(lit("0"))
+    }
+    spread(emb).select(col(idCol).as("vec_id"), concat(bits: _*).as("bucket"))
   }
 
   /** Above this quantizer size the inlined-literal path stops making
@@ -227,17 +262,21 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
     val cents = centroids.select(col("centroid_id"), col("cv"),
       nativeNorm(sp, col("cv")).as("cn"))
-    // probe lists per query: nProbe best centroids
+    // probe lists per query: nProbe best centroids. Scoring is map-only
+    // (broadcast centroids); the bounded top-nProbe aggregation ships only
+    // (query_id, centroid_id) pairs — the query VECTOR never rides the
+    // probe-selection shuffle (the former window shuffled qv once per
+    // centroid), and rejoins exactly once per query afterwards.
     val q = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         nativeNorm(sp, col(vecCol)).as("qn"))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("cscore").desc, col("centroid_id"))
-    val probes = q.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"),
+    val probeScores = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("centroid_id"),
         round(nativeDot(sp, col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cscore"))
-      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
+    val probes = perQueryTopK(probeScores, nProbe, idName = "centroid_id",
+        scoreName = "cscore")
+      .select(col("query_id"), col("centroid_id"))
+      .join(q, Seq("query_id"))
     // score only candidates in the probed lists
     val cands = probes.join(assign, Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
