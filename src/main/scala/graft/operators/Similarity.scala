@@ -284,9 +284,57 @@ object Similarity {
         nativeNorm(sp, col(vecCol)).as("nn")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(nativeDot(sp, col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    cands.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    perQueryTopK(cands, k)
+  }
+
+  /** Semantic deduplication (SemDeDup — Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * 2023): cluster the embedding space with k-means, score pairwise
+    * cosine ONLY within each cluster, and drop every vector that is the
+    * higher id of a ≥ `tau` pair — one representative (the lowest id)
+    * survives each semantic duplicate group. Near-dup detection by
+    * MEANING rather than by surface form: paraphrases and re-renderings
+    * that share no shingles still land in the same cluster and score
+    * high.
+    *
+    * Scale shape: the only candidate generator is the trained quantizer —
+    * within-cluster pairing is a keyed equi-join on centroid_id, never
+    * all-pairs; the paper's economics apply (pick k ≈ n / target-cluster-
+    * size so per-cluster O(c²) work is bounded; k grows with the corpus,
+    * not the pair count). Everything downstream of [[Kmeans.train]] is
+    * one self-join + a map-side cosine + a semi-join-shaped drop.
+    *
+    * Returns `(vec_id, centroid_id, status)`, status ∈ kept | dropped.
+    * Deterministic end-to-end: trained centroids replay bit-exactly (see
+    * [[Kmeans.train]]), scores round to 6 dp, and the drop rule has no
+    * order dependence — a DuckDB oracle hash-matches the whole pipeline.
+    * Like the paper's greedy keep-one, a vector similar only to DROPPED
+    * vectors is still dropped (the pair relation is not re-walked after
+    * removal). */
+  def semanticDedup(emb: DataFrame, k: Int, iters: Int, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val sp = emb.sparkSession
+    val cents = Kmeans.train(emb, k, iters, idCol, vecCol)
+    val assign = assignToCentroids(emb, cents, idCol, vecCol)
+      .select(col("vec_id"), col("centroid_id"))
+    val members = assign.join(
+      emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        nativeNorm(sp, col(vecCol)).as("nrm")), Seq("vec_id"))
+    val pairs = members.select(col("centroid_id"), col("vec_id").as("a_id"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(members.select(col("centroid_id"), col("vec_id").as("b_id"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("centroid_id"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("b_id"),
+        round(nativeDot(sp, col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("score"))
+    val dropped = pairs.filter(col("score") >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("st", lit("dropped"))
+    assign.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        coalesce(col("st"), lit("kept")).as("status"))
   }
 
   /** Embedding near-dup: candidate pairs share an LSH bucket, then exact

@@ -414,6 +414,39 @@ object SimilarityQueries extends graft.QueryPack {
               |${kppRound(2, 32)},
               |${kppRound(3, 32)},
               |${kppReduce(3, 64, 2)}
-              |SELECT centroid_id, i AS dim, cv AS cval FROM wc2""".stripMargin))
+              |SELECT centroid_id, i AS dim, cv AS cval FROM wc2""".stripMargin)),
+
+    // ---- D15: SemDeDup — semantic dedup (k-means + within-cluster cos) --
+    // The oracle replays the full chain: the 2-iteration k=8 training
+    // (duckKmeans's c2/s3), the argmax assignment, every within-cluster
+    // pair's 6-dp cosine, and the higher-id drop rule.
+    Q("q_d15_semantic_dedup",
+      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d),
+        k = 8, iters = 2, tau = 0.35),
+      Some(s"""$duckEx,
+              |$duckKmeans,
+              |sd_assign AS (
+              |  SELECT vec_id, centroid_id FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+              |    FROM s3) WHERE rn = 1),
+              |sd_dots AS (
+              |  SELECT ma.vec_id AS a_id, mb.vec_id AS b_id,
+              |         SUM(CAST(ea.v AS DOUBLE) * CAST(eb.v AS DOUBLE)) AS dot
+              |  FROM sd_assign ma JOIN sd_assign mb
+              |    ON ma.centroid_id = mb.centroid_id AND ma.vec_id < mb.vec_id
+              |  JOIN ex ea ON ea.vec_id = ma.vec_id
+              |  JOIN ex eb ON eb.vec_id = mb.vec_id AND eb.i = ea.i
+              |  GROUP BY 1, 2),
+              |sd_drop AS (
+              |  SELECT DISTINCT sd.b_id AS vec_id
+              |  FROM sd_dots sd
+              |  JOIN norms na ON na.vec_id = sd.a_id
+              |  JOIN norms nb ON nb.vec_id = sd.b_id
+              |  WHERE ROUND(sd.dot / (na.nrm * nb.nrm), 6) >= 0.35)
+              |SELECT a.vec_id, a.centroid_id,
+              |       CASE WHEN dr.vec_id IS NOT NULL
+              |            THEN 'dropped' ELSE 'kept' END AS status
+              |FROM sd_assign a LEFT JOIN sd_drop dr USING (vec_id)""".stripMargin))
   )
 }

@@ -324,4 +324,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.map(_.getLong(0)).toSeq === (0L until 8L))
     assert(a.toSeq === b.toSeq)
   }
+
+  test("lsh bucketing is map-only: no keyed shuffle, join, or aggregate") {
+    // the only allowed exchange is Par.spread's round-robin repartition
+    // (fans a single-split file across cores); bucket computation itself
+    // must be one projection
+    val p = Similarity.lshBuckets(emb, 4).queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"), s"bucketing must not shuffle by key:\n$p")
+    assert(!p.contains("Join"), s"planes must inline, not join:\n$p")
+    assert(!p.contains("Aggregate"), s"no bit-reassembly aggregation:\n$p")
+  }
+
+  test("lsh bucketing rejects a plane count that cannot bucket") {
+    assert(intercept[IllegalArgumentException](
+      Similarity.lshBuckets(emb, 0)).getMessage.contains("numPlanes"))
+    assert(intercept[IllegalArgumentException](
+      Similarity.lshBuckets(emb, 65)).getMessage.contains("numPlanes"))
+  }
+
+  test("semantic dedup drops an injected exact duplicate, keeps the original") {
+    // vec 9999 duplicates vec 10's embedding exactly: same cluster, pair
+    // cosine 1.0 >= tau — the higher id must drop, the original survive.
+    val dup = emb.filter(col("vec_id") === 10)
+      .select(lit(9999L).as("vec_id"), col("embedding"), col("label"))
+    val st = Similarity.semanticDedup(emb.unionByName(dup), 8, 2, tau = 0.999)
+      .select(col("vec_id"), col("status"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(st(9999L) === "dropped")
+    assert(st(10L) === "kept")
+    assert(st.size === emb.count() + 1, "every vector gets exactly one status")
+  }
+
+  test("semantic dedup: statuses partition the corpus and tau is validated") {
+    val out = Similarity.semanticDedup(emb, 8, 2, tau = 0.35)
+    val counts = out.groupBy("status").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts.values.sum === emb.count())
+    assert(counts.getOrElse("dropped", 0L) > 0, s"tau=0.35 should drop some: $counts")
+    assert(counts.getOrElse("kept", 0L) > 0, s"tau=0.35 should keep some: $counts")
+    assert(intercept[IllegalArgumentException](
+      Similarity.semanticDedup(emb, 8, 2, tau = 0.0)).getMessage.contains("tau"))
+  }
 }
