@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TopKAggregator
+
 /** Deterministic, engine-stable dataset splitting and downsampling for
   * training-data curation. Both derive a per-row bucket from
   * md5(salt|id), so
@@ -38,4 +40,59 @@ object Sampling {
   /** Keep ~`pct`% of rows, deterministically by id. */
   def downsample(df: DataFrame, idCol: String, salt: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(idCol), salt) < pct)
+
+  /** Training-mixture sampling: take EXACTLY `quotas(domain)` rows per
+    * domain (fewer only if the domain is smaller than its quota),
+    * deterministically — a domain's sample is its `quota` lowest
+    * md5(salt|id) keys, ties broken by id. This is how a pretraining mix
+    * ("books 30 %, web 60 %, code 10 % of N docs") is materialized from
+    * an over-supplied corpus: exact per-source counts, stable under
+    * re-runs, repartitioning, and corpus growth ORDER (adding docs only
+    * displaces the highest-keyed survivors).
+    *
+    * Shape: one bounded-buffer aggregation per domain
+    * ([[graft.functions.TopKAggregator.MinK]]) — the partial buffer
+    * ships ≤ max-quota (key, id) pairs per domain per map task, so no
+    * reducer ever sorts a full domain. The buffer is quota-sized:
+    * this is a DOWN-sampling operator (quota ≪ domain size); a quota
+    * near the corpus size degrades to collect-the-domain and should be
+    * a filter instead.
+    *
+    * Returns `(<idCol>, <domainCol>, rn)` with rn ∈ [1, quota] the
+    * within-domain sample rank. Domains absent from `quotas` are
+    * excluded entirely. */
+  def mixtureSample(df: DataFrame, domainCol: String, idCol: String,
+      salt: String, quotas: Map[String, Int]): DataFrame = {
+    require(quotas.nonEmpty, "need at least one domain quota")
+    require(quotas.values.forall(_ > 0), s"quotas must be positive: $quotas")
+    val maxQ = quotas.values.max
+    val idType = df.schema(idCol).dataType
+    val quotaDf = broadcast(
+      df.sparkSession.createDataFrame(quotas.toSeq.sortBy(_._1))
+        .toDF(domainCol, "quota"))
+    df.select(col(domainCol),
+        md5(concat(lit(s"$salt|"), col(idCol).cast("string"))).as("hk"),
+        col(idCol).cast("long").as("id"))
+      .join(quotaDf, Seq(domainCol))   // drops unlisted domains pre-agg
+      .groupBy(col(domainCol), col("quota"))
+      .agg(TopKAggregator.minKColumn(maxQ)(col("hk"), col("id")).as("sel"))
+      .select(col(domainCol), col("quota"),
+        posexplode(col("sel")).as(Seq("pos", "t")))
+      .filter(col("pos") < col("quota"))
+      .select(col("t.id").cast(idType).as(idCol), col(domainCol),
+        (col("pos") + lit(1)).as("rn"))
+  }
+
+  /** [[mixtureSample]] with quotas derived from target weights:
+    * `quota(d) = floor(weights(d) × total)`. Weights needn't sum to 1 —
+    * they are treated as independent per-domain fractions of `total`. */
+  def mixtureByWeights(df: DataFrame, domainCol: String, idCol: String,
+      salt: String, weights: Map[String, Double], total: Long): DataFrame = {
+    require(total > 0, s"total must be positive, got $total")
+    val quotas = weights.map { case (d, w) =>
+      require(w > 0, s"weight for '$d' must be positive, got $w")
+      d -> math.max(1, (w * total).toLong.min(Int.MaxValue)).toInt
+    }
+    mixtureSample(df, domainCol, idCol, salt, quotas)
+  }
 }

@@ -456,6 +456,23 @@ object RelationalQueries extends graft.QueryPack {
              |    PARTITION BY lang
              |    ORDER BY md5('smp|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
              |  FROM documents)
-             |WHERE rn <= 5""".stripMargin))
+             |WHERE rn <= 5""".stripMargin)),
+
+    // ---- X19: training-mixture sampling (exact per-domain quotas) -------
+    // Materialize a pretraining mix from an over-supplied corpus: each
+    // listed source contributes exactly its quota (its lowest-md5 docs),
+    // unlisted sources contribute nothing. Bounded-buffer MinK per
+    // domain — see Sampling.mixtureSample for the shuffle contract.
+    Q("q_x19_mixture_sample",
+      (s, d) => graft.operators.Sampling.mixtureSample(
+        Tables.documents(s, d), "source", "doc_id", "mix",
+        Map("src0" -> 10, "src1" -> 5, "src2" -> 15)),
+      Some("""SELECT doc_id, source, rn FROM (
+             |  SELECT doc_id, source, row_number() OVER (
+             |    PARTITION BY source
+             |    ORDER BY md5('mix|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+             |WHERE rn <= CASE source WHEN 'src0' THEN 10
+             |                        WHEN 'src1' THEN 5 ELSE 15 END""".stripMargin))
   )
 }

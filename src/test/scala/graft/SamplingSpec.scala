@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("mixture sampling takes exactly the quota per listed domain") {
+    val out = Sampling.mixtureSample(docs, "source", "doc_id", "mix",
+      Map("src0" -> 10, "src1" -> 5, "src2" -> 15))
+    val counts = out.groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts === Map("src0" -> 10L, "src1" -> 5L, "src2" -> 15L))
+    // rn is a dense within-domain rank starting at 1
+    val rns = out.filter(col("source") === "src0")
+      .select("rn").collect().map(_.getInt(0)).sorted.toSeq
+    assert(rns === (1 to 10))
+  }
+
+  test("mixture sampling is deterministic and partitioning-independent") {
+    val quotas = Map("src3" -> 7, "src4" -> 3)
+    val a = Sampling.mixtureSample(docs, "source", "doc_id", "mix", quotas)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val b = Sampling.mixtureSample(docs.repartition(13), "source", "doc_id",
+        "mix", quotas)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(a === b, "sample must not depend on physical layout")
+  }
+
+  test("a domain smaller than its quota contributes all of itself") {
+    // src5 has 25 docs at sf0.001; quota 100 takes the whole domain
+    val out = Sampling.mixtureSample(docs, "source", "doc_id", "mix",
+      Map("src5" -> 100))
+    assert(out.count() === 25)
+    assert(out.agg(max("rn")).head.getInt(0) === 25)
+  }
+
+  test("raising a quota only appends: the smaller sample is a prefix") {
+    def ids(q: Int) = Sampling.mixtureSample(docs, "source", "doc_id", "mix",
+        Map("src6" -> q))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val small = ids(5)
+    val big = ids(12)
+    assert(small.subsetOf(big),
+      "the md5 rank order is fixed — a bigger quota must extend, not reshuffle")
+  }
+
+  test("weights derive quotas as floor(weight * total), minimum 1") {
+    val out = Sampling.mixtureByWeights(docs, "source", "doc_id", "mix",
+      Map("src7" -> 0.5, "src8" -> 0.01), total = 20)
+    val counts = out.groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts === Map("src7" -> 10L, "src8" -> 1L))
+  }
+
+  test("mixture sampling validates its inputs") {
+    assert(intercept[IllegalArgumentException](
+      Sampling.mixtureSample(docs, "source", "doc_id", "mix", Map.empty))
+      .getMessage.contains("domain"))
+    assert(intercept[IllegalArgumentException](
+      Sampling.mixtureSample(docs, "source", "doc_id", "mix", Map("src0" -> 0)))
+      .getMessage.contains("positive"))
+  }
+}
