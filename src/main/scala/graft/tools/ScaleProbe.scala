@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   * ETL mode — `runMain graft.tools.ScaleProbe etl`: end-to-end
   * MigrationPipeline.run over generated fixtures at 12.5k/25k/100k
   * customers (distributed mode, unique-id fast path).
+  *
+  * Vector mode — `runMain graft.tools.ScaleProbe vec q_sim1_cosine_topk`:
+  * amplifies the sf0.1 embeddings ×1/×10/×100 (2k → 200k vectors; exact
+  * copies with remapped ids — per-vector work, no pair structure to
+  * distort), the round-4 ANN-scaling protocol.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -51,13 +56,42 @@ object ScaleProbe {
       spark.stop(); return
     }
 
-    val qnames = args.headOption.map(_.split(",").toSeq)
+    // A/B the per-query top-k primitive in isolation: identical scored
+    // relation (8 queries × N/8 candidates each), (a) the former
+    // row_number window, (b) the bounded TopKAggregator shape shipped in
+    // Similarity.perQueryTopK. The window must shuffle ALL N rows into 8
+    // reducer groups and sort each; the bounded buffer partial-combines
+    // to ≤k rows per (query, map task).
+    if (args.headOption.contains("topk")) {
+      import org.apache.spark.sql.expressions.Window
+      Seq(1000000L, 10000000L, 100000000L).foreach { n =>
+        def scored = spark.range(n).select(
+          (col("id") % 8).as("query_id"), col("id").as("neighbor_id"),
+          (pmod(hash(col("id")), lit(1000000)) / 1e6).as("score"))
+        def run(f: => Unit): Double = { f /* warmup */; math.min(time(f), time(f)) }
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))
+        val tWin = run(scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .write.format("noop").mode("overwrite").save())
+        val tAgg = run(graft.operators.Similarity.perQueryTopK(scored, 10)
+          .write.format("noop").mode("overwrite").save())
+        println(f"[scaleprobe] topk n=$n%-10d window $tWin%6.2f s   bounded-agg $tAgg%6.2f s")
+      }
+      spark.stop(); return
+    }
+
+    val vecMode = args.headOption.contains("vec")
+    val qnames = (if (vecMode) args.drop(1).headOption else args.headOption)
+      .map(_.split(",").toSeq)
       .getOrElse(Seq("q_d14_span_dedup"))
-    Seq(1, 4, 16).foreach { f =>
-      val dir = s"target/scaleprobe/x$f"
+    val factors = if (vecMode) Seq(1, 10, 100) else Seq(1, 4, 16)
+    factors.foreach { f =>
+      val dir = if (vecMode) s"target/scaleprobe/v$f" else s"target/scaleprobe/x$f"
       val marker = new java.io.File(s"$dir/.done")
       if (!marker.exists) {
-        amplify(spark, "/root/testdata/sf0.1", dir, f)
+        if (vecMode) amplifyVec(spark, "/root/testdata/sf0.1", dir, f)
+        else amplify(spark, "/root/testdata/sf0.1", dir, f)
         marker.createNewFile()
       }
       qnames.foreach { q =>
@@ -84,5 +118,17 @@ object ScaleProbe {
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+  }
+
+  /** Id-remapped ×`f` amplification of `src/embeddings.parquet`. */
+  private def amplifyVec(spark: SparkSession, src: String, dst: String, f: Int): Unit = {
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val n = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    (0 until f).map { k =>
+      emb.select((col("vec_id") + lit(k * n)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
   }
 }
