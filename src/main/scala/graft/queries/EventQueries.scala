@@ -67,6 +67,20 @@ object EventQueries extends graft.QueryPack {
              |  COUNT(*) AS n_events
              |FROM g GROUP BY user_id, sid""".stripMargin)),
 
+    // ---- E7: stream-static dimension enrichment --------------------------
+    // Runs the STREAMING operator itself on the batch frame (withWatermark
+    // is a no-op in batch), so the oracle pins exactly the code the stream
+    // executes incrementally; EventStreamsSpec asserts stream == batch.
+    Q("q_e7_dim_enrichment",
+      (s, d) => graft.streaming.EventStreams.enrichedSegmentCounts(
+        Tables.events(s, d),
+        graft.streaming.EventStreams.segmentDim(Tables.customer(s, d))),
+      Some("""SELECT date_trunc('hour', e.ts) AS win_start,
+             |  c.c_mktsegment AS segment, COUNT(*) AS n,
+             |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+             |GROUP BY 1, 2""".stripMargin)),
+
     // ---- E4: dedup-keep-first (deterministic dropDuplicates) ------------
     Q("q_e4_dedup_first",
       (s, d) => {

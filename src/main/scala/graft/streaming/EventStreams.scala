@@ -52,6 +52,36 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("n"))
 
+  /** Stream-static dimension enrichment — the canonical "fact stream ×
+    * dimension table" shape: the static side joins as a broadcast against
+    * every micro-batch (Spark re-plans the batch side per trigger, so a
+    * refreshed dimension parquet is picked up without restarting the
+    * query), then the enriched stream aggregates per tumbling window and
+    * dimension attribute. Stream-static inner joins are append-safe: no
+    * state store involvement on the static side, so the only state is
+    * the windowed aggregation's, bounded by the watermark. Works
+    * identically over a batch frame (withWatermark is a no-op there) —
+    * q_e7's DuckDB oracle pins the semantics the stream executes
+    * incrementally.
+    *
+    * `dim` must carry `(user_id, segment)` — pre-project with
+    * [[segmentDim]] for the customer table. */
+  def enrichedSegmentCounts(events: DataFrame, dim: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("segment"),
+        col("n"), col("sum_value"))
+
+  /** The customer table as the `(user_id, segment)` dimension
+    * [[enrichedSegmentCounts]] joins (event user ids are customer keys). */
+  def segmentDim(customer: DataFrame): DataFrame =
+    customer.select(col("c_custkey").cast("long").as("user_id"),
+      col("c_mktsegment").as("segment"))
+
   /** Session windows with a 30-minute inactivity gap, per user. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "1 hour"): DataFrame =

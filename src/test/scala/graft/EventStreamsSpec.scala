@@ -57,6 +57,22 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static dimension enrichment == batch enrichment") {
+    val dim = EventStreams.segmentDim(
+      spark.read.parquet(s"$dir/customer.parquet"))
+    val q = EventStreams.runToMemory(
+      EventStreams.enrichedSegmentCounts(
+        EventStreams.readEvents(spark, path), dim),
+      "enrich_out", "complete")
+    try {
+      val streamed = spark.table("enrich_out")
+      val batch = SparkEntry.queries("q_e7_dim_enrichment")(spark, dir)
+      assert(streamed.count() === batch.count())
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark emits each event_id once") {
     val q = EventStreams.runToMemory(
       EventStreams.dedupEvents(EventStreams.readEvents(spark, path)),
