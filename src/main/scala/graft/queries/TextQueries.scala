@@ -117,6 +117,27 @@ object TextQueries extends graft.QueryPack {
               |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin)),
 
     // ---- X7: deterministic train/val/test split + downsample ------------
+    // ---- X20: sequence packing (token-budget training batches) ----------
+    // The oracle replays the whole layout: md5 sharding, within-shard
+    // hash order, exclusive-cumsum pack assignment at a 512-token budget.
+    Q("q_x20_pack_sequences",
+      (s, d) => graft.operators.Packing.packSequences(
+        Tables.documents(s, d), budget = 512, shards = 4, salt = "pk"),
+      Some(s"""WITH b AS (
+              |  SELECT doc_id,
+              |    CAST('0x' || substr(md5('pk|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 AS shard,
+              |    md5('pk|' || CAST(doc_id AS VARCHAR)) AS hk,
+              |    len($duckToks) AS n_tokens
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id, shard, n_tokens,
+              |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY hk, doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM b)
+              |SELECT doc_id, shard,
+              |  CAST(FLOOR((cum - n_tokens) / 512.0) AS INT) AS pack, n_tokens
+              |FROM c""".stripMargin)),
+
     Q("q_x7_train_split",
       (s, d) => {
         import graft.operators.Sampling

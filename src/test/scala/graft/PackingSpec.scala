@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Packing
+
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private val budget = 512
+
+  test("every document lands in exactly one pack; packs are dense per shard") {
+    val out = Packing.packSequences(docs, budget, shards = 4, salt = "pk").cache()
+    assert(out.count() === docs.count())
+    assert(out.select("doc_id").distinct().count() === docs.count())
+    // packs within a shard are 0..max with no gaps
+    val gaps = out.groupBy("shard")
+      .agg(max("pack").as("mx"), countDistinct("pack").as("n"))
+      .filter(col("n") =!= col("mx") + 1)
+    assert(gaps.isEmpty, "pack ids must be dense per shard")
+    out.unpersist()
+  }
+
+  test("pack totals respect the bounded-overflow contract") {
+    val out = Packing.packSequences(docs, budget, shards = 4, salt = "pk")
+    val maxTok = out.agg(max("n_tokens")).head.getInt(0)
+    val totals = out.groupBy("shard", "pack")
+      .agg(sum("n_tokens").as("total"), max("pack").as("p"))
+    val lastPack = out.groupBy("shard").agg(max("pack").as("last"))
+    val joined = totals.join(lastPack, Seq("shard")).collect()
+    joined.foreach { r =>
+      val total = r.getAs[Long]("total")
+      assert(total < budget + maxTok,
+        s"pack exceeded budget+maxdoc: $r (maxTok $maxTok)")
+      if (r.getAs[Int]("p") != r.getAs[Int]("last"))
+        assert(total > budget - maxTok,
+          s"non-final pack underfilled beyond one straddle: $r (maxTok $maxTok)")
+    }
+  }
+
+  test("packing is deterministic and independent of physical layout") {
+    val a = Packing.packSequences(docs, budget, 4, "pk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = Packing.packSequences(docs.repartition(17), budget, 4, "pk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a === b)
+  }
+
+  test("inputs are validated") {
+    assert(intercept[IllegalArgumentException](
+      Packing.packSequences(docs, 0, 4, "pk")).getMessage.contains("budget"))
+    assert(intercept[IllegalArgumentException](
+      Packing.packSequences(docs, 512, 0, "pk")).getMessage.contains("shard"))
+  }
+}
