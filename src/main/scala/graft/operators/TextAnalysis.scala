@@ -275,6 +275,40 @@ object TextAnalysis {
   /** Per-kind PII hit counts over the ORIGINAL text (counted before any
     * replacement, so overlapping kinds are attributed to every pattern
     * that matches — the audit-trail convention). */
+  /** Sliding-window document chunking — the RAG / context-window prep
+    * shape: each document splits into `chunkTokens`-token windows that
+    * advance by `chunkTokens - overlap`, so consecutive chunks share
+    * `overlap` tokens of context. A window is emitted only if it adds
+    * tokens beyond the previous window's end (`start = 0` or
+    * `start + overlap < n`), so no chunk is a pure suffix of its
+    * predecessor; the final chunk may be shorter than the budget.
+    * Zero-token documents yield zero chunks.
+    *
+    * Map-only: tokenize, enumerate starts, slice — one generator
+    * expression per document inside the scan's codegen stage, no
+    * shuffle, no UDF. Returns
+    * `(<idCol>, chunk_id, chunk_tokens, chunk_text)` with
+    * `chunk_id = start / stride` (dense from 0 per document). */
+  def chunk(docs: DataFrame, chunkTokens: Int, overlap: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap of $chunkTokens")
+    val stride = chunkTokens - overlap
+    val base = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val starts = when(col("n") === 0, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(0), col("n") - 1, lit(stride)),
+        s => (s === 0) || (s + lit(overlap) < col("n"))))
+    base.withColumn("s", explode(starts))
+      .select(col(idCol),
+        (col("s") / lit(stride)).cast("int").as("chunk_id"),
+        least(lit(chunkTokens), col("n") - col("s")).as("chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("s") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
   def piiCounts(text: Column): Seq[(String, Column)] =
     piiPatterns.map { case (k, p, _) =>
       s"n_${k}s" -> regexp_count(text, lit(p))

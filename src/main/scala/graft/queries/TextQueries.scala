@@ -117,6 +117,22 @@ object TextQueries extends graft.QueryPack {
               |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin)),
 
     // ---- X7: deterministic train/val/test split + downsample ------------
+    // ---- X21: sliding-window chunking (RAG / context prep) --------------
+    // 64-token windows advancing by 48 (16-token overlap); the oracle
+    // replays tokenization, start enumeration, the adds-new-tokens
+    // filter, and the slice/join per chunk.
+    Q("q_x21_chunks",
+      (s, d) => graft.operators.TextAnalysis.chunk(
+        Tables.documents(s, d), chunkTokens = 64, overlap = 16),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, $duckToks AS toks FROM documents),
+              |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+              |st AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS s FROM n)
+              |SELECT doc_id, CAST(s // 48 AS INT) AS chunk_id,
+              |  LEAST(64, n - s) AS chunk_tokens,
+              |  array_to_string(list_slice(toks, s + 1, s + 64), ' ') AS chunk_text
+              |FROM st WHERE s = 0 OR s + 16 < n""".stripMargin)),
+
     // ---- X20: sequence packing (token-budget training batches) ----------
     // The oracle replays the whole layout: md5 sharding, within-shard
     // hash order, exclusive-cumsum pack assignment at a 512-token budget.

@@ -106,4 +106,42 @@ class TextOpsSpec extends AnyFunSuite {
       (12L, 3L) -> 1,   // insertion
       (13L, 3L) -> 0))  // exact; malmo resolves to nothing
   }
+
+  test("chunking reconstructs the document: overlap-stripped chunks concatenate back") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 150).map(i => s"t$i").mkString(" ")),  // multi-chunk
+      (2L, (1 to 64).map(i => s"u$i").mkString(" ")),   // exactly one budget
+      (3L, "a b c"),                                    // shorter than budget
+      (4L, "")                                          // empty -> no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs, chunkTokens = 64, overlap = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(!out.exists(_._1 == 4L), "empty doc must yield no chunks")
+    assert(out.count(_._1 == 2L) === 1, "doc fitting one budget yields one chunk")
+    Seq(1L, 2L, 3L).foreach { id =>
+      val chunks = out.filter(_._1 == id).sortBy(_._2)
+      assert(chunks.map(_._2).toSeq === chunks.indices.toSeq, "chunk ids dense")
+      val rebuilt = chunks.zipWithIndex.flatMap { case ((_, _, _, txt), i) =>
+        val toks = txt.split(" ").toSeq
+        if (i == 0) toks else toks.drop(16)
+      }
+      val orig = docs.filter(col("doc_id") === id).head.getString(1)
+        .split("\\s+").filter(_.nonEmpty).toSeq
+      assert(rebuilt === orig, s"doc $id must reconstruct exactly")
+      chunks.foreach { case (_, _, n, txt) =>
+        assert(txt.split(" ").count(_.nonEmpty) === n) }
+    }
+  }
+
+  test("chunking is map-only and validates its window geometry") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = TextAnalysis.chunk(docs, 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.chunk(docs, 0, 0)).getMessage.contains("chunkTokens"))
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.chunk(docs, 64, 64)).getMessage.contains("overlap"))
+  }
 }
