@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling: project an irregular observation stream onto a
+  * uniform per-key time grid with last-observation-carried-forward (LOCF)
+  * values — the standard prep for joining event data against
+  * fixed-cadence features (pandas `resample().ffill()`, kdb `aj` on a
+  * grid).
+  *
+  * Composition, not a new exec: the grid generates per key as one
+  * `sequence` expression (map-side after a tiny per-key min/max agg), and
+  * the fill is the library's own native as-of join
+  * ([[graft.plans.AsOfJoin]], whole-stage-codegen'd SMJ) from grid points
+  * to the latest observation at-or-before each point. Both stages key by
+  * the series key: one agg shuffle + the as-of join's sort — nothing
+  * scales with grid × observations.
+  *
+  * The grid starts at the first step boundary AT-OR-AFTER each key's
+  * first observation (so every grid point has a defined LOCF value — no
+  * null-leading edge) and ends at its last observation. Observations are
+  * pre-reduced to one row per (key, ts) with `max(value)` so the as-of
+  * match is deterministic under timestamp ties.
+  *
+  * Returns `(<keyCol>, grid_ts, last_obs_ts, <valueCol>)` — `last_obs_ts`
+  * is the provenance timestamp; `grid_ts - last_obs_ts` is the staleness
+  * of the carried value.
+  */
+object Resample {
+
+  def fillForward(obs: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, s"step must be positive micros, got $stepMicros")
+    val uniq = obs
+      .groupBy(col(keyCol), col(tsCol))
+      .agg(max(col(valueCol)).as(valueCol))
+    val e = unix_micros(col(tsCol))
+    // first boundary >= min ts: e0 + (step - e0 % step) % step, integer math
+    // a key whose observations all sit inside one step (no boundary in
+    // [e0, e1]) yields an empty grid — guarded, since sequence() throws
+    // on start > stop
+    val g0 = col("e0") + pmod(lit(stepMicros) - pmod(col("e0"), lit(stepMicros)),
+      lit(stepMicros))
+    val grid = uniq.groupBy(col(keyCol))
+      .agg(min(e).as("e0"), max(e).as("e1"))
+      .select(col(keyCol), explode(when(g0 <= col("e1"),
+        sequence(g0, col("e1"), lit(stepMicros)))
+        .otherwise(array().cast("array<long>"))).as("ge"))
+      .select(col(keyCol).as("__gk"), timestamp_micros(col("ge")).as("grid_ts"))
+    graft.plans.AsOfJoin.asofJoin(
+        grid, uniq.select(col(keyCol).as("__ok"), col(tsCol).as("last_obs_ts"),
+          col(valueCol)),
+        "__gk", "__ok", "grid_ts", "last_obs_ts")
+      .select(col("__gk").as(keyCol), col("grid_ts"), col("last_obs_ts"),
+        col(valueCol))
+  }
+}

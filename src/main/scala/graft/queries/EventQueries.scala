@@ -81,6 +81,33 @@ object EventQueries extends graft.QueryPack {
              |FROM events e JOIN customer c ON c.c_custkey = e.user_id
              |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- E8: LOCF resampling onto a uniform per-user hourly grid --------
+    // Grid generation + the native as-of join composed into the pandas
+    // resample().ffill() shape; the oracle replays boundary arithmetic,
+    // the grid, and the latest-at-or-before match.
+    Q("q_e8_resample_locf",
+      (s, d) => graft.operators.Resample.fillForward(
+        Tables.events(s, d), "user_id", "ts", "value",
+        stepMicros = 3600000000L),
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, MAX(value) AS value
+             |  FROM events GROUP BY 1, 2),
+             |b AS (
+             |  SELECT user_id, MIN(epoch_us(ts)) AS e0, MAX(epoch_us(ts)) AS e1
+             |  FROM o GROUP BY 1),
+             |g AS (
+             |  SELECT user_id,
+             |    unnest(range(e0 + (3600000000 - e0 % 3600000000) % 3600000000,
+             |                 e1 + 1, 3600000000)) AS ge
+             |  FROM b),
+             |j AS (
+             |  SELECT g.user_id, g.ge, MAX(epoch_us(o.ts)) AS oe
+             |  FROM g JOIN o ON o.user_id = g.user_id AND epoch_us(o.ts) <= g.ge
+             |  GROUP BY 1, 2)
+             |SELECT j.user_id, make_timestamp(j.ge) AS grid_ts,
+             |  make_timestamp(j.oe) AS last_obs_ts, o.value
+             |FROM j JOIN o ON o.user_id = j.user_id AND epoch_us(o.ts) = j.oe""".stripMargin)),
+
     // ---- E4: dedup-keep-first (deterministic dropDuplicates) ------------
     Q("q_e4_dedup_first",
       (s, d) => {

@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Resample
+
+class ResampleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("LOCF grid: boundary start, carried values, staleness provenance") {
+    import spark.implicits._
+    val obs = Seq(
+      ("a", ts("2024-01-01 10:05:00"), 1.0),
+      ("a", ts("2024-01-01 11:30:00"), 2.0),
+      ("a", ts("2024-01-01 13:45:00"), 3.0)
+    ).toDF("k", "t", "v")
+    val out = Resample.fillForward(obs, "k", "t", "v", 3600000000L)
+      .orderBy("grid_ts")
+      .collect().map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getDouble(3)))
+    // grid starts at 11:00 (first boundary >= 10:05), ends at 13:45's hour
+    assert(out.toSeq === Seq(
+      ("2024-01-01 11:00:00.0", "2024-01-01 10:05:00.0", 1.0),
+      ("2024-01-01 12:00:00.0", "2024-01-01 11:30:00.0", 2.0),
+      ("2024-01-01 13:00:00.0", "2024-01-01 11:30:00.0", 2.0)))
+  }
+
+  test("observation exactly on a boundary anchors the grid and fills itself") {
+    import spark.implicits._
+    val obs = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 5.0),
+      ("a", ts("2024-01-01 12:10:00"), 7.0)
+    ).toDF("k", "t", "v")
+    val out = Resample.fillForward(obs, "k", "t", "v", 3600000000L)
+      .orderBy("grid_ts")
+      .collect().map(r => (r.getTimestamp(1).toString, r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01 10:00:00.0", 5.0),
+      ("2024-01-01 11:00:00.0", 5.0),
+      ("2024-01-01 12:00:00.0", 5.0)))
+  }
+
+  test("a key never crossing a boundary yields no grid rows, not an error") {
+    import spark.implicits._
+    val obs = Seq(
+      ("tiny", ts("2024-01-01 10:10:00"), 1.0),
+      ("tiny", ts("2024-01-01 10:20:00"), 2.0),
+      ("big", ts("2024-01-01 10:10:00"), 3.0),
+      ("big", ts("2024-01-01 12:20:00"), 4.0)
+    ).toDF("k", "t", "v")
+    val out = Resample.fillForward(obs, "k", "t", "v", 3600000000L)
+    assert(out.filter(col("k") === "tiny").count() === 0)
+    assert(out.filter(col("k") === "big").count() === 2) // 11:00 and 12:00
+  }
+
+  test("duplicate (key, ts) observations reduce deterministically to max") {
+    import spark.implicits._
+    val obs = Seq(
+      ("a", ts("2024-01-01 10:30:00"), 1.0),
+      ("a", ts("2024-01-01 10:30:00"), 9.0),
+      ("a", ts("2024-01-01 11:30:00"), 2.0)
+    ).toDF("k", "t", "v")
+    val out = Resample.fillForward(obs, "k", "t", "v", 3600000000L)
+      .orderBy("grid_ts").collect()
+    assert(out.head.getDouble(3) === 9.0)
+  }
+
+  test("step must be positive") {
+    import spark.implicits._
+    val obs = Seq(("a", ts("2024-01-01 10:00:00"), 1.0)).toDF("k", "t", "v")
+    assert(intercept[IllegalArgumentException](
+      Resample.fillForward(obs, "k", "t", "v", 0L)).getMessage.contains("step"))
+  }
+}
