@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-key z-score anomaly flagging: score every observation against its
+  * key's own distribution — `z = (value − mean) / stddev` — and flag
+  * |z| ≥ threshold. The two-pass shape (one hash aggregation for per-key
+  * moments, one equi-join back to the stream) is deliberate: a windowed
+  * `avg/stddev OVER (PARTITION BY key)` computes the same numbers but
+  * re-shuffles and SORTS every observation, while the agg+join plan
+  * partial-aggregates map-side and re-joins with a plain hash join —
+  * and at 100 TB the moments side is keys-sized, usually broadcastable.
+  *
+  * Numerics: moments round to 6 dp before the z computation (two-pass
+  * variance here, Welford inside some engines — agreeing on rounded
+  * moments makes the downstream z bit-stable), z rounds to 6 dp, and
+  * keys with stddev 0 or a single observation flag nothing (z = null).
+  *
+  * Returns the input plus `(z, is_anomaly)`.
+  */
+object Anomaly {
+
+  def zscores(obs: DataFrame, keyCol: String, valueCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val moments = obs.groupBy(col(keyCol))
+      .agg(round(avg(col(valueCol)), 6).as("__mean"),
+        round(stddev_samp(col(valueCol)), 6).as("__sd"))
+    val z = round((col(valueCol) - col("__mean")) / col("__sd"), 6)
+    obs.join(broadcast(moments), Seq(keyCol))
+      .withColumn("z", when(col("__sd") > 0, z))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) >= threshold, lit(false)))
+      .drop("__mean", "__sd")
+  }
+}

@@ -108,6 +108,25 @@ object EventQueries extends graft.QueryPack {
              |  make_timestamp(j.oe) AS last_obs_ts, o.value
              |FROM j JOIN o ON o.user_id = j.user_id AND epoch_us(o.ts) = j.oe""".stripMargin)),
 
+    // ---- E9: per-key z-score anomaly flagging ----------------------------
+    // agg + broadcast-join (never a per-key window sort over the stream);
+    // moments and z round to 6 dp so both engines agree bit-for-bit.
+    Q("q_e9_anomaly",
+      (s, d) => graft.operators.Anomaly.zscores(
+        Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),
+        "user_id", "value", threshold = 2.0),
+      Some("""WITH m AS (
+             |  SELECT user_id, ROUND(AVG(value), 6) AS mean,
+             |         ROUND(STDDEV_SAMP(value), 6) AS sd
+             |  FROM events GROUP BY 1)
+             |SELECT e.event_id, e.user_id, e.value,
+             |  CASE WHEN m.sd > 0
+             |       THEN ROUND((e.value - m.mean) / m.sd, 6) END AS z,
+             |  COALESCE(CASE WHEN m.sd > 0
+             |       THEN ABS(ROUND((e.value - m.mean) / m.sd, 6)) >= 2.0 END,
+             |    FALSE) AS is_anomaly
+             |FROM events e JOIN m USING (user_id)""".stripMargin)),
+
     // ---- E4: dedup-keep-first (deterministic dropDuplicates) ------------
     Q("q_e4_dedup_first",
       (s, d) => {

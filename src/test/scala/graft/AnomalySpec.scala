@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Anomaly
+
+class AnomalySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("an obvious outlier flags; its in-distribution peers do not") {
+    import spark.implicits._
+    val obs = (Seq.fill(20)(10.0) :+ 100.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "a", v) }
+      .toDF("id", "k", "v")
+    val out = Anomaly.zscores(obs, "k", "v", 2.0)
+    val flagged = out.filter(col("is_anomaly")).select("v")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(flagged === Seq(100.0))
+    assert(out.count() === 21)
+  }
+
+  test("constant and single-observation keys flag nothing, z stays null") {
+    import spark.implicits._
+    val obs = Seq(
+      (1L, "const", 5.0), (2L, "const", 5.0), (3L, "const", 5.0),
+      (4L, "solo", 42.0)
+    ).toDF("id", "k", "v")
+    val out = Anomaly.zscores(obs, "k", "v", 2.0).collect()
+    assert(out.forall(!_.getAs[Boolean]("is_anomaly")))
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("z"))))
+  }
+
+  test("threshold must be positive") {
+    import spark.implicits._
+    val obs = Seq((1L, "a", 1.0)).toDF("id", "k", "v")
+    assert(intercept[IllegalArgumentException](
+      Anomaly.zscores(obs, "k", "v", 0.0)).getMessage.contains("threshold"))
+  }
+}
