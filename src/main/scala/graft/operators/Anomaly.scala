@@ -16,21 +16,29 @@ import org.apache.spark.sql.functions._
   * variance here, Welford inside some engines — agreeing on rounded
   * moments makes the downstream z bit-stable), z rounds to 6 dp, and
   * keys with stddev 0 or a single observation flag nothing (z = null).
+  * Null keys form their own cohort (the join is null-safe), so every
+  * input row comes back — the output is exactly the input plus
+  * `(z, is_anomaly)`.
   *
-  * Returns the input plus `(z, is_anomaly)`.
+  * `broadcastMoments = false` drops the broadcast hint for very high
+  * key cardinality (a billion-key moments side should shuffle-join,
+  * not collect to the driver); the default fits the common case where
+  * moments are keys-sized and tiny.
   */
 object Anomaly {
 
   def zscores(obs: DataFrame, keyCol: String, valueCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, broadcastMoments: Boolean = true): DataFrame = {
     require(threshold > 0, s"threshold must be positive, got $threshold")
     val moments = obs.groupBy(col(keyCol))
       .agg(round(avg(col(valueCol)), 6).as("__mean"),
         round(stddev_samp(col(valueCol)), 6).as("__sd"))
+      .withColumnRenamed(keyCol, "__mk")
+    val mSide = if (broadcastMoments) broadcast(moments) else moments
     val z = round((col(valueCol) - col("__mean")) / col("__sd"), 6)
-    obs.join(broadcast(moments), Seq(keyCol))
+    obs.join(mSide, col(keyCol) <=> col("__mk"), "left")
       .withColumn("z", when(col("__sd") > 0, z))
       .withColumn("is_anomaly", coalesce(abs(col("z")) >= threshold, lit(false)))
-      .drop("__mean", "__sd")
+      .drop("__mk", "__mean", "__sd")
   }
 }

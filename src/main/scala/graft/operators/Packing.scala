@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * Deterministic relational rendering: documents are sharded by
   * md5(salt|id) (stable under re-runs and repartitioning), ordered
   * within their shard by the same hash, and packed by EXCLUSIVE
-  * cumulative token count — a document belongs to the pack where its
-  * first token lands, `pack = floor(cum_before / budget)`. A document
-  * straddling a boundary stays in the pack it started, so a pack's
-  * total is < budget + max-document-tokens: bounded overflow, never
+  * cumulative token count — a document belongs to the budget span where
+  * its first token lands (`floor(cum_before / budget)`), and spans
+  * renumber densely into pack ids (a document longer than the budget
+  * consumes several spans; dense_rank closes those gaps so consumers
+  * can enumerate packs 0..max). A document straddling a boundary stays
+  * in the pack it started, so a pack's total is < budget +
+  * max-document-tokens: bounded overflow, never
   * underfill (the greedy no-overflow variant leaves holes instead and
   * needs a sequential scan that has no distributed rendering —
   * trainers that cannot tolerate overflow truncate the final document
@@ -40,16 +43,26 @@ object Packing {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
     require(shards > 0, s"shard count must be positive, got $shards")
+    // ONE salted key per row: the shard derives from the key's first 8
+    // hex chars (same arithmetic as Sampling.hashBucket) instead of
+    // recomputing the md5
     val base = docs.select(col(idCol),
-      Sampling.hashBucket(col(idCol), salt, shards).as("shard"),
-      md5(concat(lit(s"$salt|"), col(idCol).cast("string"))).as("hk"),
-      size(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
+        Sampling.saltedKey(col(idCol), salt).as("hk"),
+        size(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
+      .withColumn("shard",
+        conv(substring(col("hk"), 1, 8), 16, 10).cast("long") % shards)
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("hk"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // span = which budget-multiple the doc STARTS in; a doc longer than
+    // the budget consumes several spans, so spans can skip — dense_rank
+    // renumbers them into gapless pack ids (same shard partitioning, the
+    // rank rides the window stage)
+    val wr = Window.partitionBy(col("shard")).orderBy(col("span"))
     base.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("span", floor((col("cum") - col("n_tokens")) / budget))
       .select(col(idCol), col("shard"),
-        floor((col("cum") - col("n_tokens")) / budget).cast("int").as("pack"),
+        (dense_rank().over(wr) - 1).cast("int").as("pack"),
         col("n_tokens"))
   }
 }

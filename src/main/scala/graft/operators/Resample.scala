@@ -29,9 +29,17 @@ import org.apache.spark.sql.functions._
   */
 object Resample {
 
+  /** `maxGridPerKey` bounds the per-key grid (the sequence() array one
+    * row holds before exploding): a millisecond step over a month-long
+    * key is 2.6e9 points — beyond Spark's sequence cap and a
+    * single-task OOM long before that. Keys over the cap fail loudly
+    * with the key name instead of dying inside codegen; raise the cap
+    * deliberately or coarsen the step. */
   def fillForward(obs: DataFrame, keyCol: String, tsCol: String,
-      valueCol: String, stepMicros: Long): DataFrame = {
+      valueCol: String, stepMicros: Long,
+      maxGridPerKey: Long = 10000000L): DataFrame = {
     require(stepMicros > 0, s"step must be positive micros, got $stepMicros")
+    require(maxGridPerKey > 0, s"maxGridPerKey must be positive, got $maxGridPerKey")
     val uniq = obs
       .groupBy(col(keyCol), col(tsCol))
       .agg(max(col(valueCol)).as(valueCol))
@@ -42,11 +50,17 @@ object Resample {
     // on start > stop
     val g0 = col("e0") + pmod(lit(stepMicros) - pmod(col("e0"), lit(stepMicros)),
       lit(stepMicros))
+    val npoints = floor((col("e1") - g0) / lit(stepMicros)) + 1
     val grid = uniq.groupBy(col(keyCol))
       .agg(min(e).as("e0"), max(e).as("e1"))
-      .select(col(keyCol), explode(when(g0 <= col("e1"),
-        sequence(g0, col("e1"), lit(stepMicros)))
-        .otherwise(array().cast("array<long>"))).as("ge"))
+      .select(col(keyCol), explode(
+        when(g0 > col("e1"), array().cast("array<long>"))
+          .when(npoints > maxGridPerKey, raise_error(concat(
+            lit("fillForward: key "), col(keyCol).cast("string"),
+            lit(" needs "), npoints.cast("string"),
+            lit(s" grid points (cap $maxGridPerKey) — coarsen the step " +
+              "or raise maxGridPerKey"))).cast("array<long>"))
+          .otherwise(sequence(g0, col("e1"), lit(stepMicros)))).as("ge"))
       .select(col(keyCol).as("__gk"), timestamp_micros(col("ge")).as("grid_ts"))
     graft.plans.AsOfJoin.asofJoin(
         grid, uniq.select(col(keyCol).as("__ok"), col(tsCol).as("last_obs_ts"),

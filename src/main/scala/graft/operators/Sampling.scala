@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 import graft.functions.TopKAggregator
 
@@ -21,9 +22,16 @@ import graft.functions.TopKAggregator
   */
 object Sampling {
 
+  /** The deterministic per-row key every sampler here derives from:
+    * md5 of `salt|id`. ONE definition — the DuckDB oracles replicate
+    * this exact expression, so any change to the scheme (separator,
+    * hash) happens here and in the oracle SQL together. */
+  def saltedKey(id: Column, salt: String): Column =
+    md5(concat(lit(s"$salt|"), id.cast("string")))
+
   /** Bucket in [0, buckets) from the first 8 md5 hex chars of salt|id. */
   def hashBucket(id: Column, salt: String, buckets: Int = 100): Column =
-    conv(substring(md5(concat(lit(s"$salt|"), id.cast("string"))), 1, 8), 16, 10)
+    conv(substring(saltedKey(id, salt), 1, 8), 16, 10)
       .cast("long") % buckets
 
   /** Split label: buckets [0, trainPct) → train, [trainPct,
@@ -60,18 +68,24 @@ object Sampling {
     *
     * Returns `(<idCol>, <domainCol>, rn)` with rn ∈ [1, quota] the
     * within-domain sample rank. Domains absent from `quotas` are
-    * excluded entirely. */
+    * excluded entirely. Ids ride the buffer as longs, so the id column
+    * must be integral (fail-fast; re-key string-id corpora first);
+    * null-id rows are excluded. */
   def mixtureSample(df: DataFrame, domainCol: String, idCol: String,
       salt: String, quotas: Map[String, Int]): DataFrame = {
     require(quotas.nonEmpty, "need at least one domain quota")
     require(quotas.values.forall(_ > 0), s"quotas must be positive: $quotas")
     val maxQ = quotas.values.max
     val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"$idCol must be an integral id column, got $idType — ids ride the " +
+        "bounded MinK buffer as longs; re-key the corpus first")
     val quotaDf = broadcast(
       df.sparkSession.createDataFrame(quotas.toSeq.sortBy(_._1))
         .toDF(domainCol, "quota"))
-    df.select(col(domainCol),
-        md5(concat(lit(s"$salt|"), col(idCol).cast("string"))).as("hk"),
+    df.filter(col(idCol).isNotNull)
+      .select(col(domainCol),
+        saltedKey(col(idCol), salt).as("hk"),
         col(idCol).cast("long").as("id"))
       .join(quotaDf, Seq(domainCol))   // drops unlisted domains pre-agg
       .groupBy(col(domainCol), col("quota"))

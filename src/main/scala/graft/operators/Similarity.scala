@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 import graft.functions.{FloatVecDot, TopKAggregator}
 
@@ -55,11 +56,20 @@ object Similarity {
     * land on one task. The k-bounded aggregation buffer partial-combines
     * map-side, so at most k (score, id) pairs per query per map task
     * ever shuffle, and no per-query sort beyond k elements exists
-    * anywhere. Ids ride as longs and are cast back to the input type. */
+    * anywhere. Ids ride the buffer as longs and are cast back to the
+    * input type — so the id column must be integral (fail-fast below;
+    * re-key string-id corpora before searching). Null-scored candidates
+    * (null/zero-norm embeddings have no defined cosine) are dropped
+    * before ranking — they are not neighbors. */
   private[graft] def perQueryTopK(scored: DataFrame, k: Int,
       idName: String = "neighbor_id", scoreName: String = "score"): DataFrame = {
     val idType = scored.schema(idName).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"$idName must be an integral id column, got $idType — ids ride the " +
+        "bounded top-k buffer as longs; re-key the corpus (e.g. " +
+        "row_number() - 1) before searching")
     scored
+      .filter(col(scoreName).isNotNull && col(idName).isNotNull)
       .groupBy(col("query_id"))
       .agg(TopKAggregator.topKColumn(k)(col(scoreName),
         col(idName).cast("long")).as("top"))
@@ -316,8 +326,12 @@ object Similarity {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     val sp = emb.sparkSession
     val cents = Kmeans.train(emb, k, iters, idCol, vecCol)
+    // materialized: the assignment subtree (corpus × centroids argmax)
+    // feeds the pair self-join twice AND the final status join — without
+    // a checkpoint Spark re-executes it per consumer
     val assign = assignToCentroids(emb, cents, idCol, vecCol)
       .select(col("vec_id"), col("centroid_id"))
+      .localCheckpoint(true)
     val members = assign.join(
       emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
         nativeNorm(sp, col(vecCol)).as("nrm")), Seq("vec_id"))

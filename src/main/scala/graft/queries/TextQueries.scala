@@ -151,7 +151,9 @@ object TextQueries extends graft.QueryPack {
               |      ROWS UNBOUNDED PRECEDING) AS cum
               |  FROM b)
               |SELECT doc_id, shard,
-              |  CAST(FLOOR((cum - n_tokens) / 512.0) AS INT) AS pack, n_tokens
+              |  CAST(DENSE_RANK() OVER (PARTITION BY shard
+              |    ORDER BY (cum - n_tokens) // 512) - 1 AS INT) AS pack,
+              |  n_tokens
               |FROM c""".stripMargin)),
 
     Q("q_x7_train_split",

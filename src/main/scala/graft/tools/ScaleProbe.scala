@@ -84,7 +84,8 @@ object ScaleProbe {
     val vecMode = args.headOption.contains("vec")
     val qnames = (if (vecMode) args.drop(1).headOption else args.headOption)
       .map(_.split(",").toSeq)
-      .getOrElse(Seq("q_d14_span_dedup"))
+      .getOrElse(if (vecMode) Seq("q_sim1_cosine_topk")
+        else Seq("q_d14_span_dedup"))
     val factors = if (vecMode) Seq(1, 10, 100) else Seq(1, 4, 16)
     factors.foreach { f =>
       val dir = if (vecMode) s"target/scaleprobe/v$f" else s"target/scaleprobe/x$f"

@@ -31,6 +31,20 @@ class AnomalySpec extends AnyFunSuite {
     assert(out.forall(_.isNullAt(out.head.fieldIndex("z"))))
   }
 
+  test("null keys come back as their own cohort — no row is dropped") {
+    import spark.implicits._
+    val obs = Seq(
+      (1L, Option("a"), 1.0), (2L, Option("a"), 2.0),
+      (3L, Option.empty[String], 10.0), (4L, Option.empty[String], 10.5),
+      (5L, Option.empty[String], 99.0)
+    ).toDF("id", "k", "v")
+    val out = Anomaly.zscores(obs, "k", "v", 1.1)
+    assert(out.count() === 5, "every input row must return")
+    val nullFlagged = out.filter(col("k").isNull && col("is_anomaly"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(nullFlagged === Seq(5L), "the null cohort scores within itself")
+  }
+
   test("threshold must be positive") {
     import spark.implicits._
     val obs = Seq((1L, "a", 1.0)).toDF("id", "k", "v")

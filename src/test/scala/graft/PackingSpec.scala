@@ -39,6 +39,22 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("a document longer than the budget keeps pack ids dense") {
+    import spark.implicits._
+    // one 1100-token doc in a 512 budget consumes >2 spans: without the
+    // dense renumbering the next doc would land in span 2 and pack 1
+    // would never exist
+    val fixture = Seq(
+      (1L, (1 to 1100).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 100).map(i => s"u$i").mkString(" ")),
+      (3L, (1 to 600).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Packing.packSequences(fixture, budget, shards = 1, salt = "pk")
+    val packs = out.select("pack").collect().map(_.getInt(0)).sorted.toSeq
+    assert(packs.distinct === (0 to packs.max).toSeq, s"gapless packs: $packs")
+    assert(out.groupBy("pack").count().count() === packs.distinct.size)
+  }
+
   test("packing is deterministic and independent of physical layout") {
     val a = Packing.packSequences(docs, budget, 4, "pk")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet

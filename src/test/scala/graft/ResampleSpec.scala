@@ -70,6 +70,20 @@ class ResampleSpec extends AnyFunSuite {
     assert(out.head.getDouble(3) === 9.0)
   }
 
+  test("a key whose grid exceeds the cap fails loudly with the key name") {
+    import spark.implicits._
+    val obs = Seq(
+      ("huge", ts("2024-01-01 00:00:00"), 1.0),
+      ("huge", ts("2024-01-02 00:00:00"), 2.0)
+    ).toDF("k", "t", "v")
+    val ex = intercept[Exception](
+      Resample.fillForward(obs, "k", "t", "v", 3600000000L, maxGridPerKey = 3)
+        .collect())
+    assert(ex.getMessage.contains("grid points") ||
+      Option(ex.getCause).exists(_.getMessage.contains("grid points")),
+      s"want the cap message, got: ${ex.getMessage}")
+  }
+
   test("step must be positive") {
     import spark.implicits._
     val obs = Seq(("a", ts("2024-01-01 10:00:00"), 1.0)).toDF("k", "t", "v")

@@ -57,6 +57,13 @@ class SamplingSpec extends AnyFunSuite {
     assert(counts === Map("src7" -> 10L, "src8" -> 1L))
   }
 
+  test("non-integral id columns fail fast instead of corrupting silently") {
+    val stringIds = docs.withColumn("doc_id", col("doc_id").cast("string"))
+    assert(intercept[IllegalArgumentException](
+      Sampling.mixtureSample(stringIds, "source", "doc_id", "mix",
+        Map("src0" -> 5))).getMessage.contains("integral"))
+  }
+
   test("mixture sampling validates its inputs") {
     assert(intercept[IllegalArgumentException](
       Sampling.mixtureSample(docs, "source", "doc_id", "mix", Map.empty))
