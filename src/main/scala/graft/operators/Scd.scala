@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) construction from a change log —
+  * the warehouse-ETL staple: turn `(key, ts, value)` change events into
+  * validity intervals `(key, value, valid_from, valid_to, is_current)`
+  * where `valid_to` is the next change's timestamp (null = open/current).
+  *
+  * Change compression comes first: a row whose value equals the key's
+  * previous value is no change at all and is dropped (null-safely — a
+  * null value is a real state), so intervals always describe actual
+  * transitions. Observations pre-reduce to one row per (key, ts) with
+  * `max(value)` for deterministic tie handling, mirroring [[Resample]].
+  *
+  * Shape: everything keys by the dimension key — one shuffle, then two
+  * window passes over key-local history (bounded by a key's change
+  * count, the natural unit; no corpus-wide sort). This is the batch
+  * rebuild; an incremental merge against an existing dimension is the
+  * same compression applied to (current open rows ∪ new changes).
+  */
+object Scd {
+
+  def type2(changes: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val uniq = changes.groupBy(col(keyCol), col(tsCol))
+      .agg(max(col(valueCol)).as(valueCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    // lag over a struct: the struct is null ONLY on a key's first row,
+    // so "first row" and "value changed (null-safely)" separate cleanly
+    val compressed = uniq
+      .withColumn("__pv", lag(struct(col(valueCol).as("v")), 1).over(w))
+      .filter(col("__pv").isNull || !(col("__pv.v") <=> col(valueCol)))
+      .drop("__pv")
+    compressed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col(valueCol), col("valid_from"),
+        col("valid_to"), col("is_current"))
+  }
+}

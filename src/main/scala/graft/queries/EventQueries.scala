@@ -127,6 +127,28 @@ object EventQueries extends graft.QueryPack {
              |    FALSE) AS is_anomaly
              |FROM events e JOIN m USING (user_id)""".stripMargin)),
 
+    // ---- E10: SCD type-2 dimension build from the event change log ------
+    // Change compression (consecutive equal states collapse) + validity
+    // intervals via lead(); the oracle replays both window passes.
+    Q("q_e10_scd2",
+      (s, d) => graft.operators.Scd.type2(
+        Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type")),
+        "user_id", "ts", "event_type"),
+      Some("""WITH u AS (
+             |  SELECT user_id, ts, MAX(event_type) AS event_type
+             |  FROM events GROUP BY 1, 2),
+             |c AS (
+             |  SELECT user_id, ts, event_type,
+             |    lag(event_type) OVER w AS pv,
+             |    row_number() OVER w AS rn
+             |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |k AS (SELECT user_id, ts, event_type FROM c
+             |      WHERE rn = 1 OR pv <> event_type)
+             |SELECT user_id, event_type, ts AS valid_from,
+             |  lead(ts) OVER w2 AS valid_to,
+             |  lead(ts) OVER w2 IS NULL AS is_current
+             |FROM k WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)""".stripMargin)),
+
     // ---- E4: dedup-keep-first (deterministic dropDuplicates) ------------
     Q("q_e4_dedup_first",
       (s, d) => {

@@ -458,6 +458,22 @@ object RelationalQueries extends graft.QueryPack {
              |  FROM documents)
              |WHERE rn <= 5""".stripMargin)),
 
+    // ---- V2: data-quality profile (completeness / uniqueness metrics) ---
+    // One aggregation job for all columns (Expand-based multi-distinct);
+    // the gate a pipeline runs before publishing a dataset.
+    Q("q_v2_profile",
+      (s, d) => graft.operators.Profile.describe(
+        Tables.documents(s, d), Seq("doc_id", "lang", "source")),
+      Some("""SELECT 'doc_id' AS column, COUNT(*) AS n_rows,
+             |  COUNT(*) - COUNT(doc_id) AS n_null,
+             |  COUNT(DISTINCT doc_id) AS n_distinct FROM documents
+             |UNION ALL
+             |SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+             |  COUNT(DISTINCT lang) FROM documents
+             |UNION ALL
+             |SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+             |  COUNT(DISTINCT source) FROM documents""".stripMargin)),
+
     // ---- X19: training-mixture sampling (exact per-domain quotas) -------
     // Materialize a pretraining mix from an over-supplied corpus: each
     // listed source contributes exactly its quota (its lowest-md5 docs),

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Profile, Scd}
+
+class ScdProfileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("scd2: consecutive equal states compress; intervals chain gaplessly") {
+    import spark.implicits._
+    val changes = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), "bronze"),
+      ("u1", ts("2024-01-01 11:00:00"), "bronze"),   // no change -> drops
+      ("u1", ts("2024-01-01 12:00:00"), "silver"),
+      ("u1", ts("2024-01-01 13:00:00"), "gold"),
+      ("u2", ts("2024-01-01 09:00:00"), "silver")
+    ).toDF("k", "t", "v")
+    val out = Scd.type2(changes, "k", "t", "v")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getTimestamp(2).toString, Option(r.getTimestamp(3)).map(_.toString),
+        r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      ("u1", "bronze", "2024-01-01 10:00:00.0", Some("2024-01-01 12:00:00.0"), false),
+      ("u1", "silver", "2024-01-01 12:00:00.0", Some("2024-01-01 13:00:00.0"), false),
+      ("u1", "gold", "2024-01-01 13:00:00.0", None, true),
+      ("u2", "silver", "2024-01-01 09:00:00.0", None, true)))
+  }
+
+  test("scd2: a null state is a real state; the first row always survives") {
+    import spark.implicits._
+    val changes = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), Option.empty[String]),
+      ("u1", ts("2024-01-01 11:00:00"), Option.empty[String]),  // still null -> drops
+      ("u1", ts("2024-01-01 12:00:00"), Option("active"))
+    ).toDF("k", "t", "v")
+    val out = Scd.type2(changes, "k", "t", "v").orderBy("valid_from").collect()
+    assert(out.length === 2)
+    assert(out(0).isNullAt(1) && !out(0).getBoolean(4))
+    assert(out(1).getString(1) === "active" && out(1).getBoolean(4))
+  }
+
+  test("profile counts rows, nulls, and distincts per column in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("a"), Option(1)), (Option("a"), Option(2)),
+      (Option("b"), None), (None, Option(2))
+    ).toDF("s", "i")
+    val out = Profile.describe(df, Seq("s", "i"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out === Set(("s", 4L, 1L, 2L), ("i", 4L, 1L, 2L)))
+  }
+
+  test("profile: approx mode returns plausible counts; inputs validated") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ex = Profile.describe(docs, Seq("lang")).collect().head
+    val ap = Profile.describe(docs, Seq("lang"), exact = false).collect().head
+    assert(ex.getLong(3) === 5)
+    assert(math.abs(ap.getLong(3) - 5) <= 1, s"approx distinct off: $ap")
+    assert(intercept[IllegalArgumentException](
+      Profile.describe(docs, Seq.empty)).getMessage.contains("column"))
+    assert(intercept[IllegalArgumentException](
+      Profile.describe(docs, Seq("nope"))).getMessage.contains("nope"))
+  }
+}
