@@ -41,4 +41,33 @@ object Scd {
       .select(col(keyCol), col(valueCol), col("valid_from"),
         col("valid_to"), col("is_current"))
   }
+
+  /** Incremental nightly merge — the production shape: fold a batch of
+    * NEW changes into an existing type-2 dimension without replaying the
+    * full history. Closed intervals pass through untouched (they can
+    * never change again); each key's OPEN row re-enters the builder as a
+    * pseudo-change at its own `valid_from`, so compression against the
+    * current state works across the batch boundary (a new change equal
+    * to the current state folds away, exactly as in a full rebuild) and
+    * the open row's original `valid_from` is preserved.
+    *
+    * Contract: every new change must be strictly newer than its key's
+    * open `valid_from` (late-arriving history would silently interleave
+    * before the current state — rebuild from the full log instead; the
+    * equality `merge(dim, batch) == type2(full log)` is spec-proven for
+    * in-contract batches). Only the open rows and the batch shuffle;
+    * the closed majority of a years-old dimension never moves. */
+  def mergeType2(dim: DataFrame, changes: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String): DataFrame = {
+    val closed = dim.filter(!col("is_current"))
+      .select(col(keyCol), col(valueCol), col("valid_from"),
+        col("valid_to"), col("is_current"))
+    val openAsChanges = dim.filter(col("is_current"))
+      .select(col(keyCol), col("valid_from").as(tsCol), col(valueCol))
+    val rebuilt = type2(
+      openAsChanges.unionByName(
+        changes.select(col(keyCol), col(tsCol), col(valueCol))),
+      keyCol, tsCol, valueCol)
+    closed.unionByName(rebuilt)
+  }
 }

@@ -54,9 +54,14 @@ object EventStreams {
 
   /** Stream-static dimension enrichment — the canonical "fact stream ×
     * dimension table" shape: the static side joins as a broadcast against
-    * every micro-batch (Spark re-plans the batch side per trigger, so a
-    * refreshed dimension parquet is picked up without restarting the
-    * query), then the enriched stream aggregates per tumbling window and
+    * every micro-batch. The dimension SNAPSHOTS at query start — its
+    * file listing rides the captured plan, so an in-place parquet
+    * overwrite under a running query fails the next batch (stale index;
+    * observed with and without refreshByPath). Rolling a new dimension
+    * = restart the query with a re-read dim (spec-pinned; checkpointed
+    * sinks make restarts exactly-once — see [[runToIdempotentParquet]]),
+    * or keep the dim in a snapshot-refreshing table format. The enriched
+    * stream then aggregates per tumbling window and
     * dimension attribute. Stream-static inner joins are append-safe: no
     * state store involvement on the static side, so the only state is
     * the windowed aggregation's, bounded by the watermark. Works

@@ -81,6 +81,30 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // SemDeDup at scale is only honest with the paper's knob applied: k
+    // grows with the corpus (k ~ n / target-cluster-size), keeping the
+    // within-cluster quadratic term bounded. Probing the registered
+    // query's fixed k=8 at 100x data would measure a deliberately
+    // misconfigured operator (10000x the pair work), not the method.
+    if (args.headOption.contains("semdedup")) {
+      Seq((1, 8), (10, 80), (100, 800)).foreach { case (f, k) =>
+        val dir = s"target/scaleprobe/v$f"
+        val marker = new java.io.File(s"$dir/.done")
+        if (!marker.exists) {
+          amplifyVec(spark, "/root/testdata/sf0.1", dir, f)
+          marker.createNewFile()
+        }
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        def run(): Double = time {
+          graft.operators.Similarity.semanticDedup(emb, k, 2, 0.35)
+            .write.format("noop").mode("overwrite").save()
+        }
+        run() // warmup
+        println(f"[scaleprobe] semdedup x$f%-4d k=$k%-4d ${math.min(run(), run())}%.2f s")
+      }
+      spark.stop(); return
+    }
+
     val vecMode = args.headOption.contains("vec")
     val qnames = (if (vecMode) args.drop(1).headOption else args.headOption)
       .map(_.split(",").toSeq)

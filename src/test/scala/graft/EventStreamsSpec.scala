@@ -73,6 +73,44 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: the dim snapshots at query start; a restart rolls it") {
+    // pins the operational contract the operator documents: a running
+    // query keeps the dimension it started with (an in-place parquet
+    // overwrite fails the next batch on a stale file index — observed
+    // with AND without refreshByPath, since the captured plan holds the
+    // old listing); rolling a new dimension = restart the query with a
+    // re-read dim, which checkpointed sinks make exactly-once
+    import spark.implicits._
+    val dimPath = java.nio.file.Files.createTempDirectory("graft-dim").toString + "/dim"
+    Seq((13L, "OLDSEG")).toDF("user_id", "segment")
+      .write.mode("overwrite").parquet(dimPath)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    def start(name: String) = EventStreams.enrichedSegmentCounts(
+        events, spark.read.parquet(dimPath))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(name).start()
+    def segs(name: String) = spark.table(name)
+      .select("segment").collect().map(_.getString(0)).toSet
+    val q1 = start("dim_v1_out")
+    try {
+      input.addData((13L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
+      q1.processAllAvailable()
+      assert(segs("dim_v1_out") === Set("OLDSEG"))
+    } finally q1.stop()
+    Seq((13L, "NEWSEG")).toDF("user_id", "segment")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.catalog.refreshByPath(dimPath)
+    val q2 = start("dim_v2_out")
+    try {
+      input.addData((13L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1.0))
+      q2.processAllAvailable()
+      assert(segs("dim_v2_out") === Set("NEWSEG"),
+        s"restarted query must join the rolled dim: ${segs("dim_v2_out")}")
+    } finally q2.stop()
+  }
+
   test("dropDuplicatesWithinWatermark emits each event_id once") {
     val q = EventStreams.runToMemory(
       EventStreams.dedupEvents(EventStreams.readEvents(spark, path)),

@@ -45,6 +45,27 @@ class ScdProfileSpec extends AnyFunSuite {
     assert(out(1).getString(1) === "active" && out(1).getBoolean(4))
   }
 
+  test("scd2 incremental merge equals the full rebuild, closed rows untouched") {
+    import spark.implicits._
+    val day1 = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), "bronze"),
+      ("u1", ts("2024-01-01 12:00:00"), "silver"),
+      ("u2", ts("2024-01-01 09:00:00"), "gold"))
+    val day2 = Seq(
+      ("u1", ts("2024-01-02 08:00:00"), "silver"),  // == current -> compresses
+      ("u1", ts("2024-01-02 09:00:00"), "gold"),
+      ("u2", ts("2024-01-02 10:00:00"), "gold"),    // == current -> compresses
+      ("u3", ts("2024-01-02 11:00:00"), "bronze"))  // brand-new key
+    val dim1 = Scd.type2(day1.toDF("k", "t", "v"), "k", "t", "v")
+    val merged = Scd.mergeType2(dim1, day2.toDF("k", "t", "v"), "k", "t", "v")
+    val full = Scd.type2((day1 ++ day2).toDF("k", "t", "v"), "k", "t", "v")
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "incremental merge must equal the full-history rebuild")
+    // the u1 bronze interval (closed on day 1) survives byte-identically
+    val bronze = merged.filter(col("k") === "u1" && col("v") === "bronze").collect()
+    assert(bronze.length === 1 && !bronze.head.getBoolean(4))
+  }
+
   test("profile counts rows, nulls, and distincts per column in one pass") {
     import spark.implicits._
     val df = Seq(
