@@ -97,6 +97,29 @@ object Sampling {
         (col("pos") + lit(1)).as("rn"))
   }
 
+  /** Class-balanced downsample — the classifier-training prep: every
+    * class contributes EXACTLY the smallest class's row count, sampled
+    * deterministically by md5 rank ([[mixtureSample]] with runtime
+    * quotas). The per-class counts collect to the driver first: class
+    * columns are enum-like by definition (a high-cardinality column is
+    * not a class label), so the collect is bounded and the quota map
+    * broadcast-joins like any other mixture. Null-class rows are
+    * excluded (they are unlabeled, not a class). The class column must
+    * be a string (it keys the quota map). */
+  def balanceClasses(df: DataFrame, classCol: String, idCol: String,
+      salt: String): DataFrame = {
+    require(df.schema(classCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"$classCol must be a string class-label column")
+    val counts = df.filter(col(classCol).isNotNull)
+      .groupBy(col(classCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(counts.nonEmpty, s"no non-null classes in $classCol")
+    val minN = counts.map(_._2).min.min(Int.MaxValue).toInt
+    mixtureSample(df, classCol, idCol, salt,
+      counts.map(t => t._1 -> minN).toMap)
+  }
+
   /** [[mixtureSample]] with quotas derived from target weights:
     * `quota(d) = floor(weights(d) × total)`. Weights needn't sum to 1 —
     * they are treated as independent per-domain fractions of `total`. */

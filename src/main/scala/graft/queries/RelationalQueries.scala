@@ -458,6 +458,20 @@ object RelationalQueries extends graft.QueryPack {
              |  FROM documents)
              |WHERE rn <= 5""".stripMargin)),
 
+    // ---- X22: class-balanced downsample (min-class quota per class) -----
+    Q("q_x22_balance_classes",
+      (s, d) => graft.operators.Sampling.balanceClasses(
+        Tables.documents(s, d), "lang", "doc_id", "bal"),
+      Some("""WITH m AS (
+             |  SELECT MIN(cnt) AS mn FROM (
+             |    SELECT COUNT(*) AS cnt FROM documents GROUP BY lang)),
+             |r AS (
+             |  SELECT doc_id, lang, row_number() OVER (
+             |    PARTITION BY lang
+             |    ORDER BY md5('bal|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |SELECT doc_id, lang, rn FROM r, m WHERE rn <= m.mn""".stripMargin)),
+
     // ---- V2: data-quality profile (completeness / uniqueness metrics) ---
     // One aggregation job for all columns (Expand-based multi-distinct);
     // the gate a pipeline runs before publishing a dataset.

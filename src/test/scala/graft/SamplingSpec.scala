@@ -57,6 +57,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(counts === Map("src7" -> 10L, "src8" -> 1L))
   }
 
+  test("class balancing levels every class to the smallest one") {
+    val out = Sampling.balanceClasses(docs, "lang", "doc_id", "bal")
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val minClass = docs.groupBy("lang").count()
+      .agg(min("count")).head.getLong(0)
+    assert(counts.values.toSet === Set(minClass),
+      s"every class must contribute exactly $minClass rows: $counts")
+    assert(counts.keySet === docs.select("lang").distinct()
+      .collect().map(_.getString(0)).toSet)
+    assert(intercept[IllegalArgumentException](
+      Sampling.balanceClasses(docs, "doc_id", "doc_id", "bal"))
+      .getMessage.contains("string"))
+  }
+
   test("non-integral id columns fail fast instead of corrupting silently") {
     val stringIds = docs.withColumn("doc_id", col("doc_id").cast("string"))
     assert(intercept[IllegalArgumentException](
