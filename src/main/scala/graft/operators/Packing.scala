@@ -43,14 +43,12 @@ object Packing {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
     require(shards > 0, s"shard count must be positive, got $shards")
-    // ONE salted key per row: the shard derives from the key's first 8
-    // hex chars (same arithmetic as Sampling.hashBucket) instead of
-    // recomputing the md5
+    // ONE salted key per row; the shard derives from it via the shared
+    // Sampling.bucketOfKey instead of recomputing the md5
     val base = docs.select(col(idCol),
         Sampling.saltedKey(col(idCol), salt).as("hk"),
         size(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
-      .withColumn("shard",
-        conv(substring(col("hk"), 1, 8), 16, 10).cast("long") % shards)
+      .withColumn("shard", Sampling.bucketOfKey(col("hk"), shards))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("hk"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

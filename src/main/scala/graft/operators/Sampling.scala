@@ -29,10 +29,14 @@ object Sampling {
   def saltedKey(id: Column, salt: String): Column =
     md5(concat(lit(s"$salt|"), id.cast("string")))
 
+  /** Bucket in [0, buckets) from a [[saltedKey]]'s first 8 hex chars —
+    * the one derivation every bucketing consumer shares. */
+  def bucketOfKey(hk: Column, buckets: Int): Column =
+    conv(substring(hk, 1, 8), 16, 10).cast("long") % buckets
+
   /** Bucket in [0, buckets) from the first 8 md5 hex chars of salt|id. */
   def hashBucket(id: Column, salt: String, buckets: Int = 100): Column =
-    conv(substring(saltedKey(id, salt), 1, 8), 16, 10)
-      .cast("long") % buckets
+    bucketOfKey(saltedKey(id, salt), buckets)
 
   /** Split label: buckets [0, trainPct) → train, [trainPct,
     * trainPct+valPct) → val, rest → test. */
@@ -104,20 +108,37 @@ object Sampling {
     * columns are enum-like by definition (a high-cardinality column is
     * not a class label), so the collect is bounded and the quota map
     * broadcast-joins like any other mixture. Null-class rows are
-    * excluded (they are unlabeled, not a class). The class column must
-    * be a string (it keys the quota map). */
+    * excluded (they are unlabeled, not a class), and null-id rows are
+    * excluded from the COUNTS too — [[mixtureSample]] cannot emit them,
+    * so counting them would silently under-fill their class. The class
+    * column must be a string (it keys the quota map).
+    *
+    * EXACT balance ranks every class down to the min-class size, so the
+    * bounded buffers are min-class-sized — fine for label distributions
+    * (thousands to ~1M per class), NOT for a near-balanced pair of
+    * 50M-row classes, where the "bound" is the whole class.
+    * `maxMinClass` fail-fasts there: approximate balance at that scale
+    * is a per-class [[downsample]] percentage, which is map-only. */
   def balanceClasses(df: DataFrame, classCol: String, idCol: String,
-      salt: String): DataFrame = {
+      salt: String, maxMinClass: Int = 1000000): DataFrame = {
     require(df.schema(classCol).dataType ==
         org.apache.spark.sql.types.StringType,
       s"$classCol must be a string class-label column")
-    val counts = df.filter(col(classCol).isNotNull)
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(idCol).dataType),
+      s"$idCol must be an integral id column, got ${df.schema(idCol).dataType}")
+    val counts = df.filter(col(classCol).isNotNull && col(idCol).isNotNull)
       .groupBy(col(classCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     require(counts.nonEmpty, s"no non-null classes in $classCol")
-    val minN = counts.map(_._2).min.min(Int.MaxValue).toInt
+    val minN = counts.map(_._2).min
+    require(minN <= maxMinClass,
+      s"smallest class has $minN rows > maxMinClass $maxMinClass — exact " +
+        "balance would buffer min-class-sized ranks per task; use a " +
+        "per-class downsample percentage at this scale, or raise " +
+        "maxMinClass deliberately")
     mixtureSample(df, classCol, idCol, salt,
-      counts.map(t => t._1 -> minN).toMap)
+      counts.map(t => t._1 -> minN.toInt).toMap)
   }
 
   /** [[mixtureSample]] with quotas derived from target weights:

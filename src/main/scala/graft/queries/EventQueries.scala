@@ -143,7 +143,7 @@ object EventQueries extends graft.QueryPack {
              |    row_number() OVER w AS rn
              |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
              |k AS (SELECT user_id, ts, event_type FROM c
-             |      WHERE rn = 1 OR pv <> event_type)
+             |      WHERE rn = 1 OR pv IS DISTINCT FROM event_type)
              |SELECT user_id, event_type, ts AS valid_from,
              |  lead(ts) OVER w2 AS valid_to,
              |  lead(ts) OVER w2 IS NULL AS is_current

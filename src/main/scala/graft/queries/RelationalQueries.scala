@@ -464,12 +464,13 @@ object RelationalQueries extends graft.QueryPack {
         Tables.documents(s, d), "lang", "doc_id", "bal"),
       Some("""WITH m AS (
              |  SELECT MIN(cnt) AS mn FROM (
-             |    SELECT COUNT(*) AS cnt FROM documents GROUP BY lang)),
+             |    SELECT COUNT(*) AS cnt FROM documents
+             |    WHERE lang IS NOT NULL GROUP BY lang)),
              |r AS (
              |  SELECT doc_id, lang, row_number() OVER (
              |    PARTITION BY lang
              |    ORDER BY md5('bal|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
-             |  FROM documents)
+             |  FROM documents WHERE lang IS NOT NULL)
              |SELECT doc_id, lang, rn FROM r, m WHERE rn <= m.mn""".stripMargin)),
 
     // ---- V2: data-quality profile (completeness / uniqueness metrics) ---

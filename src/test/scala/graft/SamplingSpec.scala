@@ -70,6 +70,11 @@ class SamplingSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       Sampling.balanceClasses(docs, "doc_id", "doc_id", "bal"))
       .getMessage.contains("string"))
+    // exact balance buffers min-class-sized ranks — past the cap the
+    // operator must point at the map-only alternative, not OOM
+    assert(intercept[IllegalArgumentException](
+      Sampling.balanceClasses(docs, "lang", "doc_id", "bal", maxMinClass = 2))
+      .getMessage.contains("downsample"))
   }
 
   test("non-integral id columns fail fast instead of corrupting silently") {

@@ -88,5 +88,7 @@ class ScdProfileSpec extends AnyFunSuite {
       Profile.describe(docs, Seq.empty)).getMessage.contains("column"))
     assert(intercept[IllegalArgumentException](
       Profile.describe(docs, Seq("nope"))).getMessage.contains("nope"))
+    assert(intercept[IllegalArgumentException](
+      Profile.describe(docs, Seq("lang", "lang"))).getMessage.contains("duplicate"))
   }
 }
