@@ -69,4 +69,40 @@ object Resample {
       .select(col("__gk").as(keyCol), col("grid_ts"), col("last_obs_ts"),
         col(valueCol))
   }
+
+  /** Linear-interpolation resampling: same uniform per-key grid as
+    * [[fillForward]], but each grid point's value interpolates between
+    * the latest observation at-or-before and the earliest at-or-after —
+    * BOTH directions of the native as-of join composed back to back
+    * (backward for the left bracket, `forward = true` for the right).
+    * A grid point landing exactly on an observation takes that
+    * observation's value (zero-width bracket). Values round to 6 dp
+    * with the same double-arithmetic shape the DuckDB oracle replays
+    * (`prev + (next − prev) × frac`, frac divided first), so results
+    * hash-match bit-for-bit. Both brackets always exist: the grid spans
+    * [first boundary ≥ first obs, last obs].
+    *
+    * Returns `(<keyCol>, grid_ts, prev_ts, next_ts, <valueCol>)`. */
+  def interpolate(obs: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, stepMicros: Long,
+      maxGridPerKey: Long = 10000000L): DataFrame = {
+    val locf = fillForward(obs, keyCol, tsCol, valueCol, stepMicros,
+        maxGridPerKey)
+      .select(col(keyCol).as("__gk"), col("grid_ts"),
+        col("last_obs_ts").as("prev_ts"), col(valueCol).as("__vp"))
+    val uniq = obs.groupBy(col(keyCol), col(tsCol))
+      .agg(max(col(valueCol)).as(valueCol))
+      .select(col(keyCol).as("__ok"), col(tsCol).as("next_ts"),
+        col(valueCol).as("__vn"))
+    val frac = (unix_micros(col("grid_ts")) - unix_micros(col("prev_ts")))
+      .cast("double") /
+      (unix_micros(col("next_ts")) - unix_micros(col("prev_ts"))).cast("double")
+    graft.plans.AsOfJoin.asofJoin(locf, uniq,
+        "__gk", "__ok", "grid_ts", "next_ts", forward = true)
+      .select(col("__gk").as(keyCol), col("grid_ts"), col("prev_ts"),
+        col("next_ts"),
+        when(col("next_ts") === col("prev_ts"), col("__vp"))
+          .otherwise(round(col("__vp") + (col("__vn") - col("__vp")) * frac, 6))
+          .as(valueCol))
+  }
 }

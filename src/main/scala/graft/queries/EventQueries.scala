@@ -108,6 +108,44 @@ object EventQueries extends graft.QueryPack {
              |  make_timestamp(j.oe) AS last_obs_ts, o.value
              |FROM j JOIN o ON o.user_id = j.user_id AND epoch_us(o.ts) = j.oe""".stripMargin)),
 
+    // ---- E11: linear-interpolation resampling ----------------------------
+    // Both as-of directions composed: backward bracket from the LOCF
+    // path, forward bracket via forward=true; the oracle replays the
+    // grid, both brackets, and the interpolation arithmetic shape.
+    Q("q_e11_resample_interp",
+      (s, d) => graft.operators.Resample.interpolate(
+        Tables.events(s, d), "user_id", "ts", "value",
+        stepMicros = 3600000000L),
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, MAX(value) AS value
+             |  FROM events GROUP BY 1, 2),
+             |b AS (
+             |  SELECT user_id, MIN(epoch_us(ts)) AS e0, MAX(epoch_us(ts)) AS e1
+             |  FROM o GROUP BY 1),
+             |g AS (
+             |  SELECT user_id,
+             |    unnest(range(e0 + (3600000000 - e0 % 3600000000) % 3600000000,
+             |                 e1 + 1, 3600000000)) AS ge
+             |  FROM b),
+             |jp AS (
+             |  SELECT g.user_id, g.ge, MAX(epoch_us(o.ts)) AS pe
+             |  FROM g JOIN o ON o.user_id = g.user_id AND epoch_us(o.ts) <= g.ge
+             |  GROUP BY 1, 2),
+             |jn AS (
+             |  SELECT g.user_id, g.ge, MIN(epoch_us(o.ts)) AS ne
+             |  FROM g JOIN o ON o.user_id = g.user_id AND epoch_us(o.ts) >= g.ge
+             |  GROUP BY 1, 2)
+             |SELECT jp.user_id, make_timestamp(jp.ge) AS grid_ts,
+             |  make_timestamp(jp.pe) AS prev_ts, make_timestamp(jn.ne) AS next_ts,
+             |  CASE WHEN jn.ne = jp.pe THEN op.value
+             |       ELSE ROUND(op.value + (onx.value - op.value) *
+             |         (CAST(jp.ge - jp.pe AS DOUBLE) / CAST(jn.ne - jp.pe AS DOUBLE)), 6)
+             |  END AS value
+             |FROM jp
+             |JOIN jn ON jn.user_id = jp.user_id AND jn.ge = jp.ge
+             |JOIN o op ON op.user_id = jp.user_id AND epoch_us(op.ts) = jp.pe
+             |JOIN o onx ON onx.user_id = jp.user_id AND epoch_us(onx.ts) = jn.ne""".stripMargin)),
+
     // ---- E9: per-key z-score anomaly flagging ----------------------------
     // agg + broadcast-join (never a per-key window sort over the stream);
     // moments and z round to 6 dp so both engines agree bit-for-bit.

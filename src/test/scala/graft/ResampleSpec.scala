@@ -70,6 +70,25 @@ class ResampleSpec extends AnyFunSuite {
     assert(out.head.getDouble(3) === 9.0)
   }
 
+  test("interpolation brackets each grid point; exact hits take the observation") {
+    import spark.implicits._
+    val obs = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 10.0),  // on-boundary: exact hit
+      ("a", ts("2024-01-01 11:30:00"), 40.0),
+      ("a", ts("2024-01-01 13:00:00"), 10.0)   // on-boundary: exact hit
+    ).toDF("k", "t", "v")
+    val out = Resample.interpolate(obs, "k", "t", "v", 3600000000L)
+      .orderBy("grid_ts")
+      .collect().map(r => (r.getTimestamp(1).toString, r.getDouble(4)))
+    // 10:00 exact 10.0; 11:00 = 10 + 30*(60/90) = 30; 12:00 = 40 + -30*(30/90) = 30;
+    // 13:00 exact 10.0
+    assert(out.toSeq === Seq(
+      ("2024-01-01 10:00:00.0", 10.0),
+      ("2024-01-01 11:00:00.0", 30.0),
+      ("2024-01-01 12:00:00.0", 30.0),
+      ("2024-01-01 13:00:00.0", 10.0)))
+  }
+
   test("a key whose grid exceeds the cap fails loudly with the key name") {
     import spark.implicits._
     val obs = Seq(
