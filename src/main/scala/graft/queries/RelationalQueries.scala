@@ -473,6 +473,48 @@ object RelationalQueries extends graft.QueryPack {
              |  FROM documents WHERE lang IS NOT NULL)
              |SELECT doc_id, lang, rn FROM r, m WHERE rn <= m.mn""".stripMargin)),
 
+    // ---- X23: composed training-data prep: balance → pack ---------------
+    // The round's sampling and packing operators chained as a user would
+    // chain them: level classes to the minority size, then pack the
+    // balanced sample into 512-token training sequences. ONE oracle
+    // replays the whole pipeline (min-count quota, md5 ranks, shard
+    // derivation, cumsum spans, dense pack ids).
+    Q("q_x23_balanced_pack",
+      (s, d) => {
+        import graft.operators.{Packing, Sampling}
+        val docs = Tables.documents(s, d)
+        val balanced = docs.join(
+          Sampling.balanceClasses(docs, "lang", "doc_id", "bal")
+            .select("doc_id"), Seq("doc_id"))
+        Packing.packSequences(balanced, budget = 512, shards = 4, salt = "pk")
+      },
+      Some("""WITH m AS (
+             |  SELECT MIN(cnt) AS mn FROM (
+             |    SELECT COUNT(*) AS cnt FROM documents
+             |    WHERE lang IS NOT NULL GROUP BY lang)),
+             |r AS (
+             |  SELECT doc_id, row_number() OVER (
+             |    PARTITION BY lang
+             |    ORDER BY md5('bal|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents WHERE lang IS NOT NULL),
+             |sel AS (SELECT doc_id FROM r, m WHERE rn <= m.mn),
+             |b AS (
+             |  SELECT d.doc_id,
+             |    CAST('0x' || substr(md5('pk|' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 AS shard,
+             |    md5('pk|' || CAST(d.doc_id AS VARCHAR)) AS hk,
+             |    len(list_filter(regexp_split_to_array(d.text, '\s+'), t -> t <> '')) AS n_tokens
+             |  FROM documents d JOIN sel USING (doc_id)),
+             |c AS (
+             |  SELECT doc_id, shard, n_tokens,
+             |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY hk, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM b)
+             |SELECT doc_id, shard,
+             |  CAST(DENSE_RANK() OVER (PARTITION BY shard
+             |    ORDER BY (cum - n_tokens) // 512) - 1 AS INT) AS pack,
+             |  n_tokens
+             |FROM c""".stripMargin)),
+
     // ---- V2: data-quality profile (completeness / uniqueness metrics) ---
     // One aggregation job for all columns (Expand-based multi-distinct);
     // the gate a pipeline runs before publishing a dataset.
