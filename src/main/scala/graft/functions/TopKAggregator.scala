@@ -23,6 +23,9 @@ object TopKAggregator {
 
   final class TopK[IN](k: Int, f: IN => Scored)
       extends Aggregator[IN, Seq[Scored], Seq[Scored]] {
+    // Fail at construction (driver side): with k <= 0 the `b.last` probe in
+    // reduce would NPE-style blow up inside executor tasks instead.
+    require(k >= 1, s"TopK requires k >= 1, got $k")
     override def zero: Seq[Scored] = Seq.empty
     override def reduce(b: Seq[Scored], in: IN): Seq[Scored] = {
       val a = f(in)
@@ -58,6 +61,7 @@ object TopKAggregator {
 
   final class MinK[IN](k: Int, f: IN => Keyed)
       extends Aggregator[IN, Seq[Keyed], Seq[Keyed]] {
+    require(k >= 1, s"MinK requires k >= 1, got $k")
     override def zero: Seq[Keyed] = Seq.empty
     override def reduce(b: Seq[Keyed], in: IN): Seq[Keyed] = {
       val a = f(in)

@@ -142,8 +142,11 @@ object Sampling {
   }
 
   /** [[mixtureSample]] with quotas derived from target weights:
-    * `quota(d) = floor(weights(d) × total)`. Weights needn't sum to 1 —
-    * they are treated as independent per-domain fractions of `total`. */
+    * `quota(d) = max(1, floor(weights(d) × total))` — a listed domain is
+    * never silently dropped: a weight whose floor is 0 still contributes
+    * one row (drop the domain from `weights` to exclude it). Weights
+    * needn't sum to 1 — they are treated as independent per-domain
+    * fractions of `total`. */
   def mixtureByWeights(df: DataFrame, domainCol: String, idCol: String,
       salt: String, weights: Map[String, Double], total: Long): DataFrame = {
     require(total > 0, s"total must be positive, got $total")

@@ -55,13 +55,27 @@ object Scd {
     * open `valid_from` (late-arriving history would silently interleave
     * before the current state — rebuild from the full log instead; the
     * equality `merge(dim, batch) == type2(full log)` is spec-proven for
-    * in-contract batches). Only the open rows and the batch shuffle;
-    * the closed majority of a years-old dimension never moves. */
+    * in-contract batches). `strict = true` enforces the contract with a
+    * validation join over (open rows ⋈ batch) — both small relative to
+    * the closed history — and raises naming the violating key count
+    * instead of emitting a corrupt dimension. Only the open rows and
+    * the batch shuffle; the closed majority of a years-old dimension
+    * never moves. */
   def mergeType2(dim: DataFrame, changes: DataFrame, keyCol: String,
-      tsCol: String, valueCol: String): DataFrame = {
+      tsCol: String, valueCol: String, strict: Boolean = false): DataFrame = {
     val closed = dim.filter(!col("is_current"))
       .select(col(keyCol), col(valueCol), col("valid_from"),
         col("valid_to"), col("is_current"))
+    if (strict) {
+      val lateKeys = changes.alias("c")
+        .join(dim.filter(col("is_current")).alias("o"), Seq(keyCol))
+        .filter(col(s"c.$tsCol") <= col("o.valid_from"))
+        .select(col(keyCol)).distinct().count()
+      require(lateKeys == 0L,
+        s"mergeType2(strict=true): $lateKeys key(s) have changes at or " +
+          s"before their open valid_from — late-arriving history cannot " +
+          s"be merged incrementally; rebuild with type2(full log)")
+    }
     val openAsChanges = dim.filter(col("is_current"))
       .select(col(keyCol), col("valid_from").as(tsCol), col(valueCol))
     val rebuilt = type2(

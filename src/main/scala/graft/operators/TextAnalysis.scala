@@ -272,9 +272,6 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (_, p, t)) => regexp_replace(c, p, t) }
 
-  /** Per-kind PII hit counts over the ORIGINAL text (counted before any
-    * replacement, so overlapping kinds are attributed to every pattern
-    * that matches — the audit-trail convention). */
   /** Sliding-window document chunking — the RAG / context-window prep
     * shape: each document splits into `chunkTokens`-token windows that
     * advance by `chunkTokens - overlap`, so consecutive chunks share
@@ -309,6 +306,9 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Per-kind PII hit counts over the ORIGINAL text (counted before any
+    * replacement, so overlapping kinds are attributed to every pattern
+    * that matches — the audit-trail convention). */
   def piiCounts(text: Column): Seq[(String, Column)] =
     piiPatterns.map { case (k, p, _) =>
       s"n_${k}s" -> regexp_count(text, lit(p))

@@ -149,6 +149,10 @@ object EventQueries extends graft.QueryPack {
     // ---- E9: per-key z-score anomaly flagging ----------------------------
     // agg + broadcast-join (never a per-key window sort over the stream);
     // moments and z round to 6 dp so both engines agree bit-for-bit.
+    // The oracle join is null-safe (IS NOT DISTINCT FROM) to pin the
+    // operator's null-key cohort semantics even though the fixture has
+    // no null user_id: GROUP BY aggregates nulls as one group, and the
+    // null-safe join reattaches that group's moments.
     Q("q_e9_anomaly",
       (s, d) => graft.operators.Anomaly.zscores(
         Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),
@@ -163,7 +167,8 @@ object EventQueries extends graft.QueryPack {
              |  COALESCE(CASE WHEN m.sd > 0
              |       THEN ABS(ROUND((e.value - m.mean) / m.sd, 6)) >= 2.0 END,
              |    FALSE) AS is_anomaly
-             |FROM events e JOIN m USING (user_id)""".stripMargin)),
+             |FROM events e
+             |JOIN m ON e.user_id IS NOT DISTINCT FROM m.user_id""".stripMargin)),
 
     // ---- E10: SCD type-2 dimension build from the event change log ------
     // Change compression (consecutive equal states collapse) + validity

@@ -66,6 +66,25 @@ class ScdProfileSpec extends AnyFunSuite {
     assert(bronze.length === 1 && !bronze.head.getBoolean(4))
   }
 
+  test("scd2 strict merge rejects late-arriving history, accepts in-contract batches") {
+    import spark.implicits._
+    val day1 = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), "bronze"),
+      ("u1", ts("2024-01-01 12:00:00"), "silver"))
+    val dim1 = Scd.type2(day1.toDF("k", "t", "v"), "k", "t", "v")
+    // u1's open row starts at 12:00; an 11:00 change is late history
+    val late = Seq(("u1", ts("2024-01-01 11:00:00"), "gold")).toDF("k", "t", "v")
+    val ex = intercept[IllegalArgumentException](
+      Scd.mergeType2(dim1, late, "k", "t", "v", strict = true).collect())
+    assert(ex.getMessage.contains("late-arriving"))
+    // an in-contract batch passes strict validation and matches non-strict
+    val ok = Seq(("u1", ts("2024-01-02 09:00:00"), "gold")).toDF("k", "t", "v")
+    val strictOut = Scd.mergeType2(dim1, ok, "k", "t", "v", strict = true)
+    val looseOut = Scd.mergeType2(dim1, ok, "k", "t", "v")
+    assert(strictOut.exceptAll(looseOut).isEmpty &&
+      looseOut.exceptAll(strictOut).isEmpty)
+  }
+
   test("profile counts rows, nulls, and distincts per column in one pass") {
     import spark.implicits._
     val df = Seq(

@@ -355,6 +355,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(st.size === emb.count() + 1, "every vector gets exactly one status")
   }
 
+  test("top-k buffers reject k < 1 at the driver, not inside executor tasks") {
+    // with k <= 0 the old reduce path threw NoSuchElementException on
+    // b.last deep inside a task; now construction fails fast
+    assert(intercept[IllegalArgumentException](
+      graft.functions.TopKAggregator.topKColumn(0)).getMessage.contains("k >= 1"))
+    assert(intercept[IllegalArgumentException](
+      graft.functions.TopKAggregator.minKColumn(-3)).getMessage.contains("k >= 1"))
+    assert(intercept[IllegalArgumentException](
+      Similarity.bruteForceTopK(emb, col("vec_id") < 2, k = 0))
+      .getMessage.contains("k >= 1"))
+  }
+
   test("semantic dedup: statuses partition the corpus and tau is validated") {
     val out = Similarity.semanticDedup(emb, 8, 2, tau = 0.35)
     val counts = out.groupBy("status").count()
