@@ -102,10 +102,24 @@ object Bench {
     }
     val line = mkLine(2)
     // belt and braces: persist the full line where a log-tail capture
-    // can't hurt it, then print it as the very last stdout of the run
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), mkLine(3) + "\n")
-    catch { case e: Exception => System.err.println(s"[bench] local write failed: $e") }
+    // can't hurt it, then print it as the very last stdout of the run.
+    // Only FULL runs persist — a dev-filtered run must not clobber the
+    // round record with a 3-query subset.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), mkLine(3) + "\n")
+      catch { case e: Exception => System.err.println(s"[bench] local write failed: $e") }
+    // the driver keeps only the last ~2 KB of output, which clips the
+    // HEAD of the full line once the suite passed ~90 queries (every
+    // BENCH_r1–r6 parsed:null). So the full line prints first and a
+    // compact summary — total + slowest-10 only, a few hundred bytes —
+    // prints LAST: whatever the tail window clips, the summary survives
+    // whole and parses. Full per-query data stays in BENCH_LOCAL.json.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    val sq = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+      .mkString("{", ",", "}")
+    val summary = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$sq,"sf":"$sfDir","n_queries":${results.size},"note":"slowest-10 shown; full per-query line above and in BENCH_LOCAL.json"}"""
     spark.stop()
     println(line)
+    println(summary)
   }
 }

@@ -128,6 +128,28 @@ object Dedup {
     shing.join(keep, Seq("sh"), "left_semi")
   }
 
+  /** Capped Jaccard as ONE stage: cap, materialize the capped shingle
+    * relation once (`localCheckpoint` — the Curation stage-boundary
+    * discipline), then generate pairs. [[jaccardPairs]] consumes its
+    * input three times (per-doc set sizes + both sides of the shared-
+    * shingle self-join); without a boundary every consumer replays
+    * tokenize → explode → distinct → df-agg → semi-join, so the O(df²)
+    * guard pass roughly doubled the query instead of costing one pass
+    * (q_d2b benched 4.73s vs plain q_d2's 2.70s at sf0.1 in r6).
+    * Materializing the CAPPED relation is the scale-sane boundary: it
+    * is post-distinct and post-cap — the smallest the shingle relation
+    * ever gets — and truncating lineage there also cuts the recompute
+    * horizon for the three downstream shuffles.
+    *
+    * Measured (r7, `ScaleProbe iso`, sf0.1, same JVM): q_d2b 2.06s vs
+    * plain q_d2 1.80s — the guard now costs ~14% over the uncapped
+    * query instead of ~75%; the remaining delta is the (real) df-agg +
+    * semi-join work, paid once. */
+  def jaccardPairsCapped(shing: DataFrame, maxDocs: Int,
+      thresholdTenths: Int): DataFrame =
+    jaccardPairs(capShingleFrequency(shing, maxDocs).localCheckpoint(true),
+      thresholdTenths)
+
   /** MinHash signature: k independent hash functions h_i(s) = md5(i|s),
     * each minimized over the shingle set — one aggregation, k min()s. */
   def minhashSignature(shing: DataFrame, numHashes: Int): DataFrame = {

@@ -131,7 +131,9 @@ object Kmeans {
     * checkpointed — feed straight into [[trainFrom]].
     *
     * Which init for which workload (measured in SimilaritySpec on the
-    * synthetic corpus; see q_sim8's honest recall note): first-N (id
+    * synthetic corpus; q_sim7 keeps the ff chain under oracle as the
+    * documented trade — no REGISTERED search rides it since q_sim8
+    * moved to k-means‖ seeds): first-N (id
     * order) is the cheapest and — fed through Lloyd — gave the BEST IVF
     * recall at a fixed probe budget here, because density-proportional
     * lists stay balanced; farthest-first optimizes worst-case cluster

@@ -322,8 +322,22 @@ object Similarity {
     * vectors is still dropped (the pair relation is not re-walked after
     * removal). */
   def semanticDedup(emb: DataFrame, k: Int, iters: Int, tau: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxAvgClusterSize: Int = 1000): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    // Scale guard: fixed k at growing n is a deliberately misconfigured
+    // operator (the committed probe measured 10,000x the pair work at
+    // x100 data) — within-cluster pairing is O(c²) per cluster, so the
+    // average cluster size must stay bounded. Fail fast at the driver
+    // naming the knobs, mirroring balanceClasses.maxMinClass.
+    val n = emb.count()
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(n == 0 || n.toDouble / k <= maxAvgClusterSize,
+      f"semanticDedup: $n vectors / $k clusters = ${n.toDouble / k}%.0f " +
+        s"per cluster > maxAvgClusterSize $maxAvgClusterSize — within-" +
+        "cluster pair work is quadratic in cluster size; scale k with " +
+        "the corpus (kFor(n), or semanticDedupAuto), or raise " +
+        "maxAvgClusterSize deliberately")
     val sp = emb.sparkSession
     val cents = Kmeans.train(emb, k, iters, idCol, vecCol)
     // materialized: the assignment subtree (corpus × centroids argmax)
@@ -350,6 +364,28 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"),
         coalesce(col("st"), lit("kept")).as("status"))
   }
+
+  /** The paper-economics k for a corpus of `n` vectors: k ≈ n /
+    * targetClusterSize (ceiling, min 1), so per-cluster pair work stays
+    * O(targetClusterSize²) no matter how n grows. 250 matches the
+    * committed `ScaleProbe semdedup` protocol (k = n/250 held the x100
+    * probe to 10.9x time). */
+  def kFor(n: Long, targetClusterSize: Int = 250): Int = {
+    require(n >= 0, s"n must be non-negative, got $n")
+    require(targetClusterSize >= 1,
+      s"targetClusterSize must be >= 1, got $targetClusterSize")
+    math.max(1L, math.min(Int.MaxValue.toLong,
+      (n + targetClusterSize - 1) / targetClusterSize)).toInt
+  }
+
+  /** [[semanticDedup]] with k derived from the corpus size via
+    * [[kFor]] — the configuration that holds at scale without the
+    * caller doing cluster-size arithmetic. */
+  def semanticDedupAuto(emb: DataFrame, iters: Int, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      targetClusterSize: Int = 250): DataFrame =
+    semanticDedup(emb, kFor(emb.count(), targetClusterSize), iters, tau,
+      idCol, vecCol)
 
   /** Embedding near-dup: candidate pairs share an LSH bucket, then exact
     * (rounded) cosine filters at `minScore`. Only within-bucket pairs are

@@ -116,6 +116,12 @@ object TextAnalysis {
     // query, not the count), q_x16 wins ~15% (0.36-0.37 → 0.30-0.33).
     // Kept: equal-or-better now, and the HOF's O(n²) term grows with doc
     // length while the kernel stays linear.
+    // BENCH_r06's 4.36s for q_x10 does NOT reproduce in isolation:
+    // `ScaleProbe iso` across 3 fresh JVMs (r7) measured 1.79/2.95/2.05s
+    // at sf0.1, with all co-probed queries moving in lockstep run-to-run
+    // — in-suite timing after ~110 queries of heap/page-cache churn plus
+    // box load, not a code regression (code unchanged since the 1.41s
+    // A/B above). SCALE.md round-7 table is the record.
     graft.functions.DistinctCount.register(df.sparkSession)
     val base = df.select(col(idCol).as("sid"), length(col(textCol)).as("n_chars"),
       tokens(col(textCol)).as("toks"))

@@ -52,9 +52,8 @@ object DedupQueries extends graft.QueryPack {
     // Note: sizes are computed on the CAPPED sets in both engines, so the
     // semantics stay a well-defined Jaccard over filtered shingle space.
     Q("q_d2b_jaccard_capped",
-      (s, d) => Dedup.jaccardPairs(
-        Dedup.capShingleFrequency(
-          Dedup.docShingles(Tables.documents(s, d), "text", "doc_id"), 20), 1),
+      (s, d) => Dedup.jaccardPairsCapped(
+        Dedup.docShingles(Tables.documents(s, d), "text", "doc_id"), 20, 1),
       Some(s"""$duckShingles,
               |capped AS (
               |  SELECT doc_id, sh FROM (

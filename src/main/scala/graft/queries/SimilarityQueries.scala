@@ -353,19 +353,31 @@ object SimilarityQueries extends graft.QueryPack {
               |$duckKmeans,
               |$duckIvfSearch""".stripMargin)),
 
-    // ---- SIM8: IVF top-k on FARTHEST-FIRST-trained centroids ------------
-    // Same probed search as q_sim5, different seeding: the oracle swaps
-    // the first-N chain for the greedy ff chain and reuses the search
-    // block verbatim.
-    Q("q_sim8_ff_ivf_topk",
+    // ---- SIM8: IVF top-k on K-MEANS‖-seeded centroids -------------------
+    // Same probed search as q_sim5, scale-path seeding: k-means‖ samples
+    // candidates in O(rounds) corpus passes (no k-serial driver loop —
+    // this used to run on the farthest-first chain, whose k−1 sequential
+    // rounds are exactly the shape that dies at large k; q_sim7 keeps
+    // that operator under oracle as the documented recall/latency
+    // trade). The oracle reuses q_sim9's seeding chain at k=8, aliases
+    // its wc2 seeds to the c2 trained-centroid contract, and reuses the
+    // assignment + search blocks verbatim.
+    Q("q_sim8_kpp_ivf_topk",
       (s, d) => {
         val e = Tables.embeddings(s, d)
         Similarity.ivfTopKWith(e,
-          Kmeans.trainFrom(e, Kmeans.farthestFirstInit(e, 8), 2),
+          Kmeans.kmeansParallelInit(e, 8, rounds = 3, oversample = 32,
+            refineIters = 2),
           col("vec_id") < 5, nProbe = 2, k = 5)
       },
       Some(s"""$duckEx,
-              |$duckFfKmeans,
+              |cs0 AS MATERIALIZED (SELECT MIN(vec_id) AS cid FROM embeddings),
+              |${kppRound(1, 32)},
+              |${kppRound(2, 32)},
+              |${kppRound(3, 32)},
+              |${kppReduce(3, 8, 2)},
+              |c2 AS (SELECT centroid_id, i, cv FROM wc2),
+              |$duckAssignTail,
               |$duckIvfSearch""".stripMargin)),
 
     // ---- SIM3: embedding near-dup (bucket candidates + exact rescore) ---

@@ -39,6 +39,68 @@ object ScaleProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // Iso mode — `runMain graft.tools.ScaleProbe iso q_x10_repetition,...`:
+    // each named registered query alone against sf0.1 in THIS fresh JVM,
+    // full warmup + min-of-2. This is the arbiter for cross-run Bench
+    // movers: Bench times a query after ~110 others have churned the heap
+    // and the OS page cache, so a suite-order-sensitive query can read
+    // 2-4x its isolated cost there. If the iso number reproduces the old
+    // call-site A/B, the box (or suite order) is the cause, not the code.
+    if (args.headOption.contains("iso")) {
+      val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      args.drop(1).headOption.map(_.split(",").toSeq).getOrElse(Seq.empty)
+        .foreach { q =>
+          def run(): Double = time {
+            graft.SparkEntry.queries(q)(spark, sf)
+              .write.format("noop").mode("overwrite").save()
+          }
+          run() // warmup
+          println(f"[scaleprobe] iso $q%-28s ${math.min(run(), run())}%.2f s   ($sf)")
+        }
+      spark.stop(); return
+    }
+
+    // Flagship mode — `runMain graft.tools.ScaleProbe flagship`: the five
+    // headline queries at x4-amplified sf0.1 (documents token-salted,
+    // embeddings id-remapped, lineitem key-shifted) + the 400k-customer
+    // ETL, each min-of-3 after a warmup. One fresh-JVM table per round in
+    // SCALE.md, insulated from suite-order effects and big enough that
+    // the box's 20-30% noise band doesn't swamp a real regression.
+    if (args.headOption.contains("flagship")) {
+      val dir = "target/scaleprobe/flagship"
+      val marker = new java.io.File(s"$dir/.done")
+      if (!marker.exists) {
+        amplify(spark, "/root/testdata/sf0.1", dir, 4)
+        amplifyVec(spark, "/root/testdata/sf0.1", dir, 4)
+        val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        val n = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1
+        (0 until 4).map(k => li.withColumn("l_orderkey", col("l_orderkey") + lit(k * n)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        marker.createNewFile()
+      }
+      def min3(f: => Double): Double = { f /* warmup */; Seq(f, f, f).min }
+      Seq("q1_agg", "q_d7_verified_clusters", "q_sim5_ivf_topk",
+          "q_pq4_ivfpq_topk").foreach { q =>
+        val t = min3(time {
+          graft.SparkEntry.queries(q)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+        })
+        println(f"[scaleprobe] flagship $q%-24s $t%.2f s   (x4 sf0.1, min-of-3)")
+      }
+      import graft.etl.{MigrationFixture, MigrationPipeline}
+      val fx = MigrationFixture.ensure(s"$dir/etl400k", 400000, files = 8)
+      val tEtl = min3(time {
+        MigrationPipeline.run(spark, MigrationPipeline.MigrationConfig(
+          csvPath = fx.csvPath, xmlPath = fx.xmlDir,
+          outDir = s"$dir/etl400k-out", runId = "probe",
+          runDate = "2026-01-01", todayIso = "2026-01-01T00:00:00+00:00",
+          strictDuplicateSemantics = false, singleFile = false))
+      })
+      println(f"[scaleprobe] flagship etl_migration_400k       $tEtl%.2f s   (min-of-3)")
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("etl")) {
       import graft.etl.{MigrationFixture, MigrationPipeline}
       Seq(12500, 25000, 100000).foreach { n =>

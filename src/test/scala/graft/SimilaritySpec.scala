@@ -355,6 +355,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(st.size === emb.count() + 1, "every vector gets exactly one status")
   }
 
+  test("semantic dedup scale guard: under-k'd corpus fails fast naming the knob") {
+    // 8 clusters over this corpus is fine at the default bound...
+    // (covered by the tests above); force the guard with a tight bound
+    val n = emb.count()
+    val ex = intercept[IllegalArgumentException](
+      Similarity.semanticDedup(emb, 1, 1, tau = 0.99,
+        maxAvgClusterSize = (n / 2).toInt))
+    assert(ex.getMessage.contains("maxAvgClusterSize") &&
+      ex.getMessage.contains("kFor"))
+    // kFor follows the committed probe economics: k ~ n / 250, min 1
+    assert(Similarity.kFor(0) === 1)
+    assert(Similarity.kFor(250) === 1)
+    assert(Similarity.kFor(251) === 2)
+    assert(Similarity.kFor(200000) === 800)
+    assert(Similarity.kFor(100, targetClusterSize = 10) === 10)
+    // the auto variant runs end-to-end with a derived k
+    val out = Similarity.semanticDedupAuto(emb, 1, tau = 0.9,
+      targetClusterSize = math.max(10, (n / 4).toInt))
+    assert(out.count() === n, "every vector still gets exactly one status")
+  }
+
   test("top-k buffers reject k < 1 at the driver, not inside executor tasks") {
     // with k <= 0 the old reduce path threw NoSuchElementException on
     // b.last deep inside a task; now construction fails fast
