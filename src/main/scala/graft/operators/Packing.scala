@@ -40,14 +40,25 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   def packSequences(docs: DataFrame, budget: Int, shards: Int, salt: String,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    packByCount(docs.select(col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).as("n_tokens")),
+      budget, shards, salt, idCol)
+
+  /** [[packSequences]] over a PRECOMPUTED token-count column — the shape
+    * a real pipeline uses once counts come from an actual tokenizer
+    * (e.g. [[TextAnalysis.bpeTokenize]]'s `n_bpe`) rather than the
+    * whitespace proxy. Same sharding/ordering/budget semantics; the
+    * count column is taken as-is. */
+  def packByCount(docs: DataFrame, budget: Int, shards: Int, salt: String,
+      idCol: String = "doc_id", countCol: String = "n_tokens"): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
     require(shards > 0, s"shard count must be positive, got $shards")
     // ONE salted key per row; the shard derives from it via the shared
     // Sampling.bucketOfKey instead of recomputing the md5
     val base = docs.select(col(idCol),
         Sampling.saltedKey(col(idCol), salt).as("hk"),
-        size(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
+        col(countCol).as("n_tokens"))
       .withColumn("shard", Sampling.bucketOfKey(col("hk"), shards))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("hk"), col(idCol))

@@ -43,6 +43,72 @@ object TextAnalysis {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit(bpePattern), lit(0))
 
+  /** Learn a deterministic toy BPE merges table from the corpus itself,
+    * in two rounds — the table-driven counterpart of [[bpeTokens]]'s
+    * regex placeholder. Round 1 counts adjacent CODE-POINT pairs over
+    * every occurrence of the learning vocabulary (lowercase-alnum words
+    * — ASCII-only so count ties break identically in any engine's
+    * collation) and keeps the top `k1` by (count desc, pair asc).
+    * Round 2 applies those merges ([[graft.functions.BpeEncode]]) to
+    * the distinct learning words, counts adjacent SYMBOL pairs weighted
+    * by word frequency, and appends the top `k2` at ranks k1…k1+k2−1 —
+    * so learned symbols compound (multi-char merges of multi-char
+    * symbols), exercising real rank-cascade behavior.
+    *
+    * This is a deliberately replayable stand-in for offline BPE
+    * training (which is vocab-size sequential passes, run once, not a
+    * per-query operator): two aggregations and two bounded `collect`s
+    * of ≤ k1/k2 rows — the merges TABLE is the artifact, and the DuckDB
+    * oracle re-derives it from the same parquet with the same
+    * statistics, which is what lets q_x24 hash-check the entire
+    * tokenizer (table + application) end-to-end. */
+  def learnBpeMerges(df: DataFrame, textCol: String,
+      k1: Int = 24, k2: Int = 24): Seq[(String, String)] = {
+    require(k1 >= 1 && k2 >= 0, s"need k1 >= 1, k2 >= 0, got $k1/$k2")
+    val wc = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    def topPairs(pairs: DataFrame, k: Int): Seq[(String, String)] =
+      pairs.groupBy(col("a"), col("b")).agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(k)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val m1 = topPairs(
+      wc.filter(length(col("w")) >= 2)
+        .select(col("wc"), explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => struct(col("w").substr(i, lit(1)).as("a"),
+            col("w").substr(i + 1, lit(1)).as("b")))).as("p"))
+        .select(col("wc"), col("p.a"), col("p.b")), k1)
+    if (k2 == 0) return m1
+    graft.functions.BpeEncode.register(df.sparkSession)
+    val spec1 = m1.map { case (a, b) => s"$a $b" }.mkString("\n")
+    val m2 = topPairs(
+      wc.select(col("wc"),
+          split(call_function("bpe_encode", col("w"), lit(spec1)), " ").as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(col("wc"), explode(transform(
+          sequence(lit(0), size(col("ss")) - 2),
+          i => struct(element_at(col("ss"), i + 1).as("a"),
+            element_at(col("ss"), i + 2).as("b")))).as("p"))
+        .select(col("wc"), col("p.a"), col("p.b")), k2)
+    m1 ++ m2
+  }
+
+  /** Apply a ranked merges table to every document: returns
+    * `(<idCol>, bpe, n_bpe)` where `bpe` is the space-joined token
+    * stream and `n_bpe` its length. Map-only — the merges table rides
+    * the plan as an inlined literal (see [[graft.functions.BpeEncode]]),
+    * so at 100 TB this is a pure scan stage: no join, no shuffle, no
+    * UDF, one codegen'd pass per document. */
+  def bpeTokenize(df: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.functions.BpeEncode.register(df.sparkSession)
+    val spec = merges.map { case (a, b) => s"$a $b" }.mkString("\n")
+    df.select(col(idCol),
+        call_function("bpe_encode", col(textCol), lit(spec)).as("bpe"))
+      .withColumn("n_bpe", size(tokens(col("bpe"))).cast("long"))
+  }
+
   /** How many tokens appear in `words` (language/stopword hit count). */
   def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))

@@ -15,6 +15,72 @@ object TextQueries extends graft.QueryPack {
   private val duckToks =
     "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
 
+  /** One merge-application recursion: start every word of `src` as its
+    * space-separated code-point symbols (state padded with sentinel
+    * spaces), and at each step merge the LEFTMOST occurrence of the
+    * LOWEST-ranked applicable pair from `merges` — exactly the
+    * [[graft.functions.BpeEncode]] contract, one merge per step so
+    * cascades re-select from rank 0. `out` ends as (w, final state). */
+  private def duckBpeApply(name: String, src: String, merges: String): String =
+    s"""$name AS (
+       |  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS st, 0 AS step FROM $src
+       |  UNION ALL
+       |  SELECT w,
+       |    substr(st, 1, strpos(st, pat) - 1) || ' ' || mm.a || mm.b || ' ' ||
+       |      substr(st, strpos(st, pat) + len(pat)) AS st,
+       |    step + 1
+       |  FROM (SELECT w, st, step, mm, ' ' || mm.a || ' ' || mm.b || ' ' AS pat
+       |        FROM (SELECT w, st, step,
+       |                (SELECT {'a': m.a, 'b': m.b} FROM $merges m
+       |                 WHERE strpos(st, ' ' || m.a || ' ' || m.b || ' ') > 0
+       |                 ORDER BY m.rnk LIMIT 1) AS mm
+       |              FROM $name))
+       |  WHERE mm IS NOT NULL),
+       |${name}_f AS (SELECT w, st FROM (
+       |  SELECT w, st, row_number() OVER (PARTITION BY w ORDER BY step DESC) AS rn
+       |  FROM $name) WHERE rn = 1)""".stripMargin
+
+  /** The full table-driven-BPE replay, ending in
+    * `bpe AS (doc_id, bpe, n_bpe)`: learn 24 char-pair merges over the
+    * lowercase-alnum vocabulary (count desc, pair asc), apply them,
+    * learn 24 compound symbol-pair merges at ranks 24..47, then apply
+    * the full table to every distinct word and reassemble per document
+    * in word order. Mirrors `TextAnalysis.learnBpeMerges` +
+    * `bpeTokenize` stage for stage. */
+  private lazy val duckBpe: String =
+    s"""WITH RECURSIVE
+       |dw AS (
+       |  SELECT doc_id, i AS idx, w FROM (
+       |    SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS i
+       |    FROM (SELECT doc_id, $duckToks AS ws FROM documents))),
+       |lw AS (SELECT w, COUNT(*) AS wc FROM dw
+       |       WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY 1),
+       |p1 AS (
+       |  SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, SUM(wc) AS cnt
+       |  FROM (SELECT w, wc, unnest(range(1, len(w))) AS i FROM lw WHERE len(w) >= 2)
+       |  GROUP BY 1, 2),
+       |m1 AS (SELECT a, b, row_number() OVER (ORDER BY cnt DESC, a, b) - 1 AS rnk
+       |       FROM p1 ORDER BY cnt DESC, a, b LIMIT 24),
+       |${duckBpeApply("r1", "lw", "m1")},
+       |p2 AS (
+       |  SELECT ss[i] AS a, ss[i + 1] AS b, SUM(wc) AS cnt
+       |  FROM (SELECT l.wc, s.ss, unnest(range(1, len(s.ss))) AS i
+       |        FROM (SELECT w, string_split(trim(st), ' ') AS ss FROM r1_f) s
+       |        JOIN lw l USING (w)
+       |        WHERE len(s.ss) >= 2)
+       |  GROUP BY 1, 2),
+       |m2 AS (SELECT a, b, 24 + row_number() OVER (ORDER BY cnt DESC, a, b) - 1 AS rnk
+       |       FROM p2 ORDER BY cnt DESC, a, b LIMIT 24),
+       |mall AS (SELECT a, b, rnk FROM m1 UNION ALL SELECT a, b, rnk FROM m2),
+       |aw AS (SELECT DISTINCT w FROM dw),
+       |${duckBpeApply("r2", "aw", "mall")},
+       |bpe AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(string_agg(trim(t.st), ' ' ORDER BY d.idx), '') AS bpe,
+       |    CAST(COALESCE(SUM(len(string_split(trim(t.st), ' '))), 0) AS BIGINT) AS n_bpe
+       |  FROM dw d JOIN r2_f t ON t.w = d.w
+       |  GROUP BY 1)""".stripMargin
+
   override def queries: Seq[Q] = Seq(
 
     // ---- X1: token counting -------------------------------------------
@@ -145,6 +211,51 @@ object TextQueries extends graft.QueryPack {
               |    md5('pk|' || CAST(doc_id AS VARCHAR)) AS hk,
               |    len($duckToks) AS n_tokens
               |  FROM documents),
+              |c AS (
+              |  SELECT doc_id, shard, n_tokens,
+              |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY hk, doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM b)
+              |SELECT doc_id, shard,
+              |  CAST(DENSE_RANK() OVER (PARTITION BY shard
+              |    ORDER BY (cum - n_tokens) // 512) - 1 AS INT) AS pack,
+              |  n_tokens
+              |FROM c""".stripMargin)),
+
+    // ---- X24: REAL table-driven BPE (corpus-learned merges table) -------
+    // The merges TABLE is the artifact: learned deterministically from
+    // the corpus in two rounds (char pairs, then compound symbol pairs),
+    // inlined into the map-only bpe_encode kernel, and re-derived by the
+    // oracle from the same parquet — so the hash pins the table AND the
+    // rank-order/leftmost application semantics end-to-end.
+    Q("q_x24_bpe_real",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.bpeTokenize(docs,
+          TextAnalysis.learnBpeMerges(docs, "text"), "text", "doc_id")
+      },
+      Some(s"""$duckBpe
+              |SELECT doc_id, bpe, n_bpe FROM bpe""".stripMargin)),
+
+    // ---- X25: sequence packing under the REAL tokenizer's budget --------
+    // q_x20's layout with n_tokens from the learned BPE instead of the
+    // whitespace proxy — the wiring a real pipeline uses (quota sampling,
+    // packing, and chunking all key off true token counts).
+    Q("q_x25_pack_bpe",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Packing.packByCount(
+          TextAnalysis.bpeTokenize(docs,
+            TextAnalysis.learnBpeMerges(docs, "text"), "text", "doc_id"),
+          budget = 512, shards = 4, salt = "pk", countCol = "n_bpe")
+      },
+      Some(s"""$duckBpe,
+              |b AS (
+              |  SELECT doc_id,
+              |    CAST('0x' || substr(md5('pk|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 AS shard,
+              |    md5('pk|' || CAST(doc_id AS VARCHAR)) AS hk,
+              |    n_bpe AS n_tokens
+              |  FROM bpe),
               |c AS (
               |  SELECT doc_id, shard, n_tokens,
               |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY hk, doc_id

@@ -134,6 +134,48 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe kernel: rank order, leftmost occurrence, cascade re-selection") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def enc(text: String, merges: String): String =
+      graft.functions.BpeEncode.compute(
+        UTF8String.fromString(text), merges).toString
+    // lowest rank first: (b,c) at rank 0 beats (a,b) at rank 1
+    assert(enc("abc", "b c\na b") === "a bc")
+    // leftmost occurrence under overlap: 'aaa' with (a,a) -> [aa, a]
+    assert(enc("aaa", "a a") === "aa a")
+    // cascade re-selects from rank 0: merging (a,b)@r0 creates the pair
+    // for (a,ab)@r1, which a single rank-order pass would miss
+    assert(enc("aab", "a b\na ab") === "aab")
+    // a merge product participates in later merges (compound symbols)
+    assert(enc("abcd", "a b\nc d\nab cd") === "abcd")
+    // multi-word text: words tokenize independently, tokens space-join
+    assert(enc("ab  cab", "a b") === "ab c ab")
+    // words with no applicable merges pass through as code points
+    assert(enc("xyz", "a b") === "x y z")
+    // empty-ish text
+    assert(enc("   ", "a b") === "")
+  }
+
+  test("bpe end-to-end: learned table drives map-only tokenization") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = TextAnalysis.learnBpeMerges(docs, "text")
+    assert(merges.size === 48, s"expected 24+24 merges, got ${merges.size}")
+    assert(merges.distinct.size === merges.size, "merges table has duplicates")
+    // round 2 learned compound pairs: at least one side is multi-char
+    assert(merges.drop(24).exists { case (a, b) => a.length > 1 || b.length > 1 })
+    val out = TextAnalysis.bpeTokenize(docs, merges)
+    // application is map-only: no exchange anywhere in the plan
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"bpe application must not shuffle:\n$p")
+    // n_bpe between (chars-level upper bound irrelevant) — sanity: for
+    // every doc, token count <= code-point count and >= whitespace words
+    val bad = out.join(docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          TextAnalysis.tokens(col("text"))).as("n_ws")), Seq("doc_id"))
+      .filter(col("n_bpe") < col("n_ws")).count()
+    assert(bad === 0, "BPE can only split words further, never below word count")
+  }
+
   test("chunking is map-only and validates its window geometry") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = TextAnalysis.chunk(docs, 64, 16)
