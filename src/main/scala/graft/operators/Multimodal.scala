@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * (the JVM analogue of arrow-batched UDFs) so per-partition setup — a
   * decoder context, a model session — happens once per task, not per row.
   *
-  * The decode step itself is a clearly-marked STUB: no image/audio codecs
-  * exist in this environment, so [[DeterministicFakeDecoder]] derives a
-  * pseudo-feature from the content hash. Everything around it — schema,
-  * encoders, partitioning, batch iteration, frame sampling — is the real
-  * distributed shape and is oracle-tested.
+  * The decode and resize steps are REAL: [[ImageIoDecoder]] reads
+  * PNG/BMP payloads through the JDK's `javax.imageio` and derives
+  * pixel-statistics features; [[ImageResize]] decodes, resamples
+  * (nearest-neighbor), and re-encodes. The image fixtures are
+  * synthesized deterministically from relational data
+  * ([[synthesizeImages]]), so a DuckDB oracle can replay every
+  * pixel-derived number without owning a codec: if the decode path read
+  * pixels wrongly, the feature hashes would diverge.
   */
 object Multimodal {
 
@@ -32,14 +35,70 @@ object Multimodal {
     def decode(bytes: Array[Byte], meta: MediaMeta): Array[Float]
   }
 
-  /** STUB decoder — a real deployment would wrap an image/audio codec
-    * here; this one folds the md5 digest into 4 floats deterministically
-    * so tests and oracles stay exact. */
-  object DeterministicFakeDecoder extends MediaDecoder {
+  /** Closed-form pixel content for the synthesized image fixtures: each
+    * channel of pixel `idx` (row-major, 0-based) is simple modular
+    * arithmetic over (media_id, idx) — trivially replayable in SQL, and
+    * rich enough that every image differs and every channel differs. */
+  object PixelSynth {
+    def r(mediaId: Long, idx: Int): Int = ((mediaId + idx) % 256).toInt
+    def g(mediaId: Long, idx: Int): Int = ((mediaId * 3 + idx * 5 + 17) % 256).toInt
+    def b(mediaId: Long, idx: Int): Int = ((mediaId * 7 + idx * 11 + 41) % 256).toInt
+    def argb(mediaId: Long, idx: Int): Int =
+      0xff000000 | (r(mediaId, idx) << 16) | (g(mediaId, idx) << 8) | b(mediaId, idx)
+  }
+
+  /** PNG-encode an RGB pixel buffer / decode any ImageIO-supported
+    * payload (PNG, BMP, JPEG…). `ImageIO.setUseCache(false)` keeps the
+    * codec on heap buffers — no per-task temp-file churn. */
+  object ImageCodec {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    def encodePng(argb: Array[Int], w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, w, h, argb, 0, w)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    def encodeBmp(argb: Array[Int], w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, w, h, argb, 0, w)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", out)
+      out.toByteArray
+    }
+
+    def decode(bytes: Array[Byte], mime: String): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null,
+        s"payload declared '$mime' did not decode as an image (ImageIO " +
+          "returned null) — is the column really an encoded image?")
+      img
+    }
+  }
+
+  /** REAL image decoder (JDK `javax.imageio`: PNG, BMP, JPEG, GIF):
+    * features are `[width, height, meanR, meanG, meanB]` — decoded
+    * dimensions (not the metadata's claim) and per-channel means,
+    * computed as exact integer sums narrowed double→float so the DuckDB
+    * oracle reproduces them bit-for-bit from the closed-form pixels. */
+  object ImageIoDecoder extends MediaDecoder {
     override def decode(bytes: Array[Byte], meta: MediaMeta): Array[Float] = {
-      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      (0 until 4).map(i =>
-        java.nio.ByteBuffer.wrap(d, i * 4, 4).getInt.toFloat / Int.MaxValue).toArray
+      val img = ImageCodec.decode(bytes, meta.mime)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var i = 0
+      while (i < px.length) {
+        sr += (px(i) >> 16) & 0xff; sg += (px(i) >> 8) & 0xff; sb += px(i) & 0xff
+        i += 1
+      }
+      val n = px.length.toDouble
+      Array(w.toFloat, h.toFloat,
+        (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat)
     }
   }
 
@@ -52,28 +111,55 @@ object Multimodal {
       struct(lit("application/octet-stream").as("mime"),
         lit(0).as("width"), lit(0).as("height")).as("meta"))
 
+  /** Synthesize a deterministic PNG media table keyed by `media_id`:
+    * every pixel comes from [[PixelSynth]]'s closed form, so any number
+    * a decoder derives from the pixels is SQL-replayable even though
+    * the encoded PNG bytes themselves are codec-owned. Encoding runs in
+    * mapPartitions like every media stage (one codec setup per task). */
+  def synthesizeImages(spark: SparkSession, ids: DataFrame, w: Int, h: Int,
+      idCol: String = "media_id"): DataFrame = {
+    import spark.implicits._
+    require(w >= 1 && h >= 1, s"image dimensions must be positive, got ${w}x$h")
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val argb = Array.tabulate(w * h)(i => PixelSynth.argb(id, i))
+        MediaRecord(id, ImageCodec.encodePng(argb, w, h),
+          MediaMeta("image/png", w, h))
+      }
+    }.toDF()
+  }
+
   /** Pluggable payload transform (resize, transcode, crop), instantiated
     * once per partition like [[MediaDecoder]]. */
   trait MediaTransform extends Serializable {
     def apply(bytes: Array[Byte], meta: MediaMeta): (Array[Byte], MediaMeta)
   }
 
-  /** STUB resize — a real deployment wraps an image library here; this
-    * one truncates the payload to `w*h` CHARACTERS (the payloads staged by
-    * [[fromDocuments]] are UTF-8 text, and the oracle expresses the
-    * truncation as `substr(text, 1, w*h)`, which counts characters — a
-    * byte-based `take` would diverge on any multibyte character) and
-    * stamps the new dimensions. A real resize operates on decoded pixels,
-    * where the byte/char distinction doesn't exist. */
-  final case class TruncatingFakeResize(w: Int, h: Int) extends MediaTransform {
+  /** REAL resize: decode (any ImageIO format), nearest-neighbor
+    * resample to `w × h`, re-encode as PNG. The sampling is an explicit
+    * integer map — `src(x) = x·srcW / dstW` (floor) — rather than a
+    * `Graphics2D.drawImage` scale: both are real pixel work on the
+    * decoded buffer, but AWT's scaler doesn't pin its sample positions
+    * across JDK implementations, and this operator's contract is that a
+    * SQL oracle can replay every output pixel exactly. */
+  final case class ImageResize(w: Int, h: Int) extends MediaTransform {
+    require(w >= 1 && h >= 1, s"target dimensions must be positive, got ${w}x$h")
     override def apply(bytes: Array[Byte], meta: MediaMeta): (Array[Byte], MediaMeta) = {
-      // codepoint-counted, not String.take (UTF-16 code units), so
-      // astral-plane characters count as one — matching SQL substr
-      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      val n = math.min(w * h, s.codePointCount(0, s.length))
-      val truncated = s.substring(0, s.offsetByCodePoints(0, n))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      (truncated, MediaMeta(meta.mime, w, h))
+      val img = ImageCodec.decode(bytes, meta.mime)
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      val src = img.getRGB(0, 0, sw, sh, null, 0, sw)
+      val dst = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val sy = y * sh / h
+        var x = 0
+        while (x < w) {
+          dst(y * w + x) = src(sy * sw + x * sw / w)
+          x += 1
+        }
+        y += 1
+      }
+      (ImageCodec.encodePng(dst, w, h), MediaMeta("image/png", w, h))
     }
   }
 
@@ -89,6 +175,29 @@ object Multimodal {
         MediaRecord(rec.media_id, b2, m2)
       }
     }.toDF()
+  }
+
+  /** Frame accounting over OPAQUE payloads (audio/video chunking shape):
+    * fixed-size frame split + every-k sampling, no decode — the stage a
+    * pipeline runs on media it only ships, never interprets. Same
+    * mapPartitions discipline; returns the [[MediaFeatures]] columns
+    * minus the feature vector. */
+  def frameStats(spark: SparkSession, media: DataFrame,
+      frameBytes: Int, sampleEvery: Int): DataFrame = {
+    import spark.implicits._
+    require(frameBytes >= 1 && sampleEvery >= 1,
+      s"frameBytes/sampleEvery must be positive, got $frameBytes/$sampleEvery")
+    media.as[MediaRecord].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { rec =>
+        val len = rec.bytes.length.toLong
+        val nFrames = (len + frameBytes - 1) / frameBytes
+        val nSampled = (nFrames + sampleEvery - 1) / sampleEvery
+        md.reset()
+        val hash = md.digest(rec.bytes).map("%02x".format(_)).mkString
+        (rec.media_id, len, hash, nFrames, nSampled)
+      }
+    }.toDF("media_id", "byte_len", "content_hash", "n_frames", "n_sampled")
   }
 
   /** Batch feature extraction: fixed-size frame split + every-k sampling

@@ -6,12 +6,37 @@ import graft.Q
 import graft.operators.Multimodal
 import graft.sources.Tables
 
-/** Multimodal plumbing surface: binary columns + typed metadata, decoded
-  * via the real mapPartitions batch path. The oracle checks the
-  * relationally-expressible outputs (lengths, hashes, frame counts);
-  * the stub feature vector is covered by ScalaTest instead.
+/** Multimodal surface: binary columns + typed metadata, REAL JDK image
+  * codec (`javax.imageio`) decode/resize inside the mapPartitions batch
+  * path. The image fixtures are synthesized PNGs whose pixels follow a
+  * closed form over (media_id, pixel index), so the oracles replay every
+  * pixel-derived feature relationally — a decode bug (wrong channel
+  * order, row stride, sample position) breaks the hash. Encoded-byte
+  * facts (PNG length/hash) are codec-owned and spec-covered instead.
   */
 object MultimodalQueries extends graft.QueryPack {
+
+  /** Closed-form channel sums over the synthesized `W × H` fixture,
+    * optionally through the nearest-neighbor index map of a resize —
+    * ends with `ch AS (media_id, sr, sg, sb)` plus `n` pixels summed. */
+  private def duckChannelSums(nPix: Int, sidx: String): String =
+    s"""g AS (SELECT doc_id AS media_id, unnest(range(0, $nPix)) AS j FROM documents),
+       |m AS (SELECT media_id, $sidx AS sidx FROM g),
+       |ch AS (SELECT media_id,
+       |  SUM((media_id + sidx) % 256) AS sr,
+       |  SUM((media_id * 3 + sidx * 5 + 17) % 256) AS sg,
+       |  SUM((media_id * 7 + sidx * 11 + 41) % 256) AS sb
+       |FROM m GROUP BY 1)""".stripMargin
+
+  /** `[w, h, meanR, meanG, meanB]` as DOUBLEs of the decoder's FLOATs:
+    * integer channel sums divided in double then narrowed to float —
+    * the exact arithmetic [[Multimodal.ImageIoDecoder]] runs. */
+  private def duckFeature(w: Int, h: Int, n: Int): Seq[String] = Seq(
+    s"CAST(CAST($w AS FLOAT) AS DOUBLE)",
+    s"CAST(CAST($h AS FLOAT) AS DOUBLE)",
+    s"CAST(CAST(CAST(sr AS DOUBLE) / $n AS FLOAT) AS DOUBLE)",
+    s"CAST(CAST(CAST(sg AS DOUBLE) / $n AS FLOAT) AS DOUBLE)",
+    s"CAST(CAST(CAST(sb AS DOUBLE) / $n AS FLOAT) AS DOUBLE)")
 
   override def queries: Seq[Q] = Seq(
 
@@ -28,29 +53,64 @@ object MultimodalQueries extends graft.QueryPack {
              |  'application/octet-stream' AS mime
              |FROM documents""".stripMargin)),
 
-    // ---- M3: batch payload transform (stub resize) ----------------------
-    Q("q_m3_media_resize",
-      (s, d) => Multimodal.transformMedia(s,
-          Multimodal.fromDocuments(Tables.documents(s, d)),
-          Multimodal.TruncatingFakeResize(16, 8))
-        .select(col("media_id"),
-          octet_length(col("bytes")).as("new_len"),
-          md5(col("bytes")).as("new_hash"),
-          col("meta.width").as("w"), col("meta.height").as("h")),
-      Some("""SELECT doc_id AS media_id,
-             |  octet_length(encode(substr(text, 1, 128))) AS new_len,
-             |  md5(substr(text, 1, 128)) AS new_hash,
-             |  16 AS w, 8 AS h
-             |FROM documents""".stripMargin)),
-
-    // ---- M2: mapPartitions feature extraction (frame split + sampling) --
+    // ---- M2: REAL PNG decode -> pixel features (16x8 fixture) -----------
+    // The oracle never sees a PNG: it recomputes the channel means from
+    // the closed-form pixels. Equality proves ImageIO decode + the
+    // feature pass read exactly the pixels the encoder wrote.
     Q("q_m2_media_features",
       (s, d) => Multimodal.extractFeatures(s,
-          Multimodal.fromDocuments(Tables.documents(s, d)),
-          Multimodal.DeterministicFakeDecoder, frameBytes = 64, sampleEvery = 4)
+          Multimodal.synthesizeImages(s,
+            Tables.documents(s, d).select(col("doc_id")), 16, 8,
+            idCol = "doc_id"),
+          Multimodal.ImageIoDecoder, frameBytes = 64, sampleEvery = 4)
         .toDF()
-        .select(col("media_id"), col("byte_len"), col("content_hash"),
-          col("n_frames"), col("n_sampled")),
+        .select(col("media_id"),
+          element_at(col("feature"), 1).cast("double").as("img_w"),
+          element_at(col("feature"), 2).cast("double").as("img_h"),
+          element_at(col("feature"), 3).cast("double").as("mean_r"),
+          element_at(col("feature"), 4).cast("double").as("mean_g"),
+          element_at(col("feature"), 5).cast("double").as("mean_b")),
+      Some(s"""WITH ${duckChannelSums(128, "j")}
+              |SELECT media_id,
+              |  ${duckFeature(16, 8, 128).zip(
+                   Seq("img_w", "img_h", "mean_r", "mean_g", "mean_b"))
+                   .map { case (e, a) => s"$e AS $a" }.mkString(",\n              |  ")}
+              |FROM ch""".stripMargin)),
+
+    // ---- M3: REAL decode -> nearest-neighbor resize -> decode again -----
+    // 16x8 -> 7x3 (non-divisible on purpose: the sample map floor(x*16/7)
+    // is exercised at every coordinate). The oracle replays the index map
+    // and the resized image's channel means.
+    Q("q_m3_media_resize",
+      (s, d) => Multimodal.extractFeatures(s,
+          Multimodal.transformMedia(s,
+            Multimodal.synthesizeImages(s,
+              Tables.documents(s, d).select(col("doc_id")), 16, 8,
+              idCol = "doc_id"),
+            Multimodal.ImageResize(7, 3)),
+          Multimodal.ImageIoDecoder, frameBytes = 64, sampleEvery = 4)
+        .toDF()
+        .select(col("media_id"),
+          element_at(col("feature"), 1).cast("double").as("img_w"),
+          element_at(col("feature"), 2).cast("double").as("img_h"),
+          element_at(col("feature"), 3).cast("double").as("mean_r"),
+          element_at(col("feature"), 4).cast("double").as("mean_g"),
+          element_at(col("feature"), 5).cast("double").as("mean_b")),
+      Some(s"""WITH ${duckChannelSums(21,
+                 "((j // 7) * 8 // 3) * 16 + ((j % 7) * 16 // 7)")}
+              |SELECT media_id,
+              |  ${duckFeature(7, 3, 21).zip(
+                   Seq("img_w", "img_h", "mean_r", "mean_g", "mean_b"))
+                   .map { case (e, a) => s"$e AS $a" }.mkString(",\n              |  ")}
+              |FROM ch""".stripMargin)),
+
+    // ---- M5: frame accounting over opaque payloads (no decode) ----------
+    // The audio/video chunking shape: fixed-size frames + every-k
+    // sampling over bytes the pipeline ships but never interprets.
+    Q("q_m5_frame_stats",
+      (s, d) => Multimodal.frameStats(s,
+          Multimodal.fromDocuments(Tables.documents(s, d)),
+          frameBytes = 64, sampleEvery = 4),
       Some("""SELECT doc_id AS media_id,
              |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
              |  md5(text) AS content_hash,
@@ -58,47 +118,44 @@ object MultimodalQueries extends graft.QueryPack {
              |  ((octet_length(encode(text)) + 63) // 64 + 3) // 4 AS n_sampled
              |FROM documents""".stripMargin)),
 
-    // ---- M4: media → feature → ANN bridge -------------------------------
-    // The stub decoder's feature vector itself goes under the oracle here
-    // (md5 → big-endian signed int32 → float division, replayed in SQL),
-    // then brute-force cosine top-k runs over those features — media
-    // similarity search end-to-end on the multimodal plumbing.
+    // ---- M4: media -> REAL pixel features -> ANN bridge -----------------
+    // Brute-force cosine top-k over the decoded feature vectors — media
+    // similarity search end-to-end on the multimodal plumbing, every
+    // number from real decoded pixels.
     Q("q_m4_media_ann",
       (s, d) => {
         import graft.operators.Similarity
         val feats = Multimodal.extractFeatures(s,
-            Multimodal.fromDocuments(Tables.documents(s, d)),
-            Multimodal.DeterministicFakeDecoder, frameBytes = 64, sampleEvery = 4)
+            Multimodal.synthesizeImages(s,
+              Tables.documents(s, d).select(col("doc_id")), 16, 8,
+              idCol = "doc_id"),
+            Multimodal.ImageIoDecoder, frameBytes = 64, sampleEvery = 4)
           .toDF().select(col("media_id"), col("feature"))
         Similarity.bruteForceTopK(feats, col("media_id") < 3, 5,
           idCol = "media_id", vecCol = "feature")
       },
-      Some("""WITH base AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
-             |ix AS (SELECT media_id, h, unnest(range(1, 5)) AS i FROM base),
-             |raws AS (SELECT media_id, i,
-             |  CAST('0x' || substr(h, CAST((i - 1) * 8 + 1 AS INT), 8) AS BIGINT) AS raw
-             |  FROM ix),
-             |fx AS (SELECT media_id, i,
-             |  CAST(CAST(CASE WHEN raw >= 2147483648 THEN raw - 4294967296 ELSE raw END AS FLOAT)
-             |       / CAST(2147483647 AS FLOAT) AS DOUBLE) AS v
-             |  FROM raws),
-             |norms AS (SELECT media_id, sqrt(SUM(v * v)) AS nrm FROM fx GROUP BY 1),
-             |dots AS (
-             |  SELECT q.media_id AS query_id, e.media_id AS neighbor_id,
-             |         SUM(q.v * e.v) AS dot
-             |  FROM fx q JOIN fx e ON q.i = e.i
-             |  WHERE q.media_id < 3 AND e.media_id <> q.media_id
-             |  GROUP BY 1, 2),
-             |scored AS (
-             |  SELECT d.query_id, d.neighbor_id,
-             |         ROUND(d.dot / (nq.nrm * nn.nrm), 6) AS score
-             |  FROM dots d
-             |  JOIN norms nq ON nq.media_id = d.query_id
-             |  JOIN norms nn ON nn.media_id = d.neighbor_id)
-             |SELECT query_id, neighbor_id, score, rnk FROM (
-             |  SELECT *, row_number() OVER (
-             |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
-             |  FROM scored)
-             |WHERE rnk <= 5""".stripMargin))
+      Some(s"""WITH ${duckChannelSums(128, "j")},
+              |fx AS (
+              |  ${duckFeature(16, 8, 128).zipWithIndex.map { case (e, i) =>
+                   s"SELECT media_id, ${i + 1} AS i, $e AS v FROM ch"
+                 }.mkString("\n              |  UNION ALL ")}),
+              |norms AS (SELECT media_id, sqrt(SUM(v * v)) AS nrm FROM fx GROUP BY 1),
+              |dots AS (
+              |  SELECT q.media_id AS query_id, e.media_id AS neighbor_id,
+              |         SUM(q.v * e.v) AS dot
+              |  FROM fx q JOIN fx e ON q.i = e.i
+              |  WHERE q.media_id < 3 AND e.media_id <> q.media_id
+              |  GROUP BY 1, 2),
+              |scored AS (
+              |  SELECT d.query_id, d.neighbor_id,
+              |         ROUND(d.dot / (nq.nrm * nn.nrm), 6) AS score
+              |  FROM dots d
+              |  JOIN norms nq ON nq.media_id = d.query_id
+              |  JOIN norms nn ON nn.media_id = d.neighbor_id)
+              |SELECT query_id, neighbor_id, score, rnk FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+              |  FROM scored)
+              |WHERE rnk <= 5""".stripMargin))
   )
 }

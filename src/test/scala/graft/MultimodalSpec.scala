@@ -9,21 +9,77 @@ import graft.sources.Discovery
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("extractFeatures: frame math, hash, and deterministic stub features") {
+  test("frameStats: frame math and hash over opaque payloads, no decode") {
     import spark.implicits._
     val media = Multimodal.fromDocuments(
       Seq((1L, "a" * 130), (2L, "b")).toDF("doc_id", "text"))
+    val out = Multimodal.frameStats(spark, media, frameBytes = 64, sampleEvery = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 130 && out(1L).getLong(3) === 3 && out(1L).getLong(4) === 2)
+    assert(out(2L).getLong(1) === 1 && out(2L).getLong(3) === 1 && out(2L).getLong(4) === 1)
+  }
+
+  test("image codec: known-pixel PNG and BMP decode to exact features") {
+    // 2x2 image with hand-picked channel values
+    //   (10,20,30) (40,50,60)
+    //   (70,80,90) (200,210,220)
+    val argb = Array(
+      0xff000000 | (10 << 16) | (20 << 8) | 30,
+      0xff000000 | (40 << 16) | (50 << 8) | 60,
+      0xff000000 | (70 << 16) | (80 << 8) | 90,
+      0xff000000 | (200 << 16) | (210 << 8) | 220)
+    val meta = Multimodal.MediaMeta("image/png", 2, 2)
+    for (bytes <- Seq(Multimodal.ImageCodec.encodePng(argb, 2, 2),
+        Multimodal.ImageCodec.encodeBmp(argb, 2, 2))) {
+      val f = Multimodal.ImageIoDecoder.decode(bytes, meta)
+      assert(f.toSeq === Seq(2f, 2f, (10 + 40 + 70 + 200) / 4f,
+        (20 + 50 + 80 + 210) / 4f, (30 + 60 + 90 + 220) / 4f))
+    }
+    // non-image bytes fail loudly, naming the declared mime
+    val ex = intercept[IllegalArgumentException](
+      Multimodal.ImageIoDecoder.decode("not a png".getBytes, meta))
+    assert(ex.getMessage.contains("image/png"))
+  }
+
+  test("image resize: nearest-neighbor sample map is exact") {
+    // 2x2 -> 1x1 keeps the top-left pixel (src index 0*2/1 = 0)
+    val argb = Array(
+      0xff000000 | (10 << 16) | (20 << 8) | 30,
+      0xff000000 | (40 << 16) | (50 << 8) | 60,
+      0xff000000 | (70 << 16) | (80 << 8) | 90,
+      0xff000000 | (200 << 16) | (210 << 8) | 220)
+    val meta = Multimodal.MediaMeta("image/png", 2, 2)
+    val (small, m2) = Multimodal.ImageResize(1, 1)(
+      Multimodal.ImageCodec.encodePng(argb, 2, 2), meta)
+    assert(m2 === Multimodal.MediaMeta("image/png", 1, 1))
+    assert(Multimodal.ImageIoDecoder.decode(small, m2).toSeq ===
+      Seq(1f, 1f, 10f, 20f, 30f))
+    // 2x2 -> 4x4 upscale: every dst pixel maps to floor(x*2/4) — the
+    // four quadrants replicate the four source pixels
+    val (big, m4) = Multimodal.ImageResize(4, 4)(
+      Multimodal.ImageCodec.encodePng(argb, 2, 2), meta)
+    val f4 = Multimodal.ImageIoDecoder.decode(big, m4)
+    assert(f4.take(2).toSeq === Seq(4f, 4f))
+    assert(f4.drop(2).toSeq === Seq((10 + 40 + 70 + 200) / 4f,
+      (20 + 50 + 80 + 210) / 4f, (30 + 60 + 90 + 220) / 4f))
+  }
+
+  test("synthesized fixture: decoded pixels match the closed form") {
+    import spark.implicits._
+    val media = Multimodal.synthesizeImages(spark,
+      Seq(0L, 7L, 123L).toDF("media_id"), 16, 8)
     val out = Multimodal.extractFeatures(spark, media,
-      Multimodal.DeterministicFakeDecoder, frameBytes = 64, sampleEvery = 2)
-      .collect().map(f => f.media_id -> f).toMap
-    assert(out(1L).byte_len === 130 && out(1L).n_frames === 3 && out(1L).n_sampled === 2)
-    assert(out(2L).byte_len === 1 && out(2L).n_frames === 1 && out(2L).n_sampled === 1)
-    assert(out(1L).feature.length === 4)
-    // determinism: same bytes → same stub feature
-    val again = Multimodal.extractFeatures(spark, media,
-      Multimodal.DeterministicFakeDecoder, 64, 2).collect()
-      .find(_.media_id == 1L).get
-    assert(again.feature.toSeq === out(1L).feature.toSeq)
+      Multimodal.ImageIoDecoder, frameBytes = 64, sampleEvery = 4)
+      .collect().map(f => f.media_id -> f.feature).toMap
+    for (id <- Seq(0L, 7L, 123L)) {
+      val sums = (0 until 128).foldLeft((0L, 0L, 0L)) { case ((r, g, b), i) =>
+        (r + Multimodal.PixelSynth.r(id, i),
+          g + Multimodal.PixelSynth.g(id, i),
+          b + Multimodal.PixelSynth.b(id, i))
+      }
+      assert(out(id).toSeq === Seq(16f, 8f, (sums._1 / 128.0).toFloat,
+        (sums._2 / 128.0).toFloat, (sums._3 / 128.0).toFloat))
+    }
   }
 
   test("Discovery.latestFiles: extension filter, mtime desc, cap") {
