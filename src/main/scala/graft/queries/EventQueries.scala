@@ -44,12 +44,12 @@ object EventQueries extends graft.QueryPack {
              |SELECT win_start, COUNT(*) AS n FROM starts GROUP BY 1""".stripMargin)),
 
     // ---- E3: session windows (30-min gap) as gaps-and-islands -----------
+    // The batch query runs the STREAMING operator itself (q_e7
+    // discipline): sessionCounts' watermark is a no-op on a batch frame,
+    // so the oracle pins exactly the semantics the stream executes
+    // incrementally (EventStreamsSpec proves incremental == batch).
     Q("q_e3_session_windows",
-      (s, d) => Tables.events(s, d)
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"), col("session_window.start").as("session_start"),
-          col("session_window.end").as("session_end"), col("n_events")),
+      (s, d) => graft.streaming.EventStreams.sessionCounts(Tables.events(s, d)),
       Some("""WITH o AS (
              |  SELECT user_id, ts,
              |    CASE WHEN lag(ts) OVER w IS NULL

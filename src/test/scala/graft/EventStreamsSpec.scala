@@ -57,6 +57,40 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows merge INCREMENTALLY across micro-batches == batch") {
+    // a session extended by a later micro-batch must merge in the state
+    // store — the incremental path a single-batch file read never hits
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // batch 1: user 1 opens a session; user 2 opens one
+      Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:05:00"))),
+      // batch 2: user 1 EXTENDS the open session (gap < 30 min)
+      Seq((1L, ts("2024-01-01 10:20:00")), (1L, ts("2024-01-01 10:40:00"))),
+      // batch 3: user 1 starts a NEW session (gap > 30 min)
+      Seq((1L, ts("2024-01-01 12:00:00"))))
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val q = EventStreams.sessionCounts(events)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("session_incr").start()
+    try {
+      rows.foreach { batch => input.addData(batch); q.processAllAvailable() }
+      val streamed = spark.table("session_incr")
+      val batchAll = EventStreams.sessionCounts(
+        rows.flatten.toDF("user_id", "ts"))
+      assert(streamed.exceptAll(batchAll).count() === 0 &&
+        batchAll.exceptAll(streamed).count() === 0,
+        "incrementally merged sessions must equal the batch rebuild")
+      // and the merge really happened: user 1's first session spans all
+      // three batch-1/2 events as ONE row of 3 events
+      val u1 = streamed.filter(col("user_id") === 1 &&
+        col("session_start") === ts("2024-01-01 10:00:00")).collect()
+      assert(u1.length === 1 && u1.head.getAs[Long]("n_events") === 3)
+    } finally q.stop()
+  }
+
   test("stream-static dimension enrichment == batch enrichment") {
     val dim = EventStreams.segmentDim(
       spark.read.parquet(s"$dir/customer.parquet"))
