@@ -53,23 +53,22 @@ object Multimodal {
   object ImageCodec {
     javax.imageio.ImageIO.setUseCache(false)
 
-    def encodePng(argb: Array[Int], w: Int, h: Int): Array[Byte] = {
+    private def encode(argb: Array[Int], w: Int, h: Int,
+        format: String): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       img.setRGB(0, 0, w, h, argb, 0, w)
       val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
+      require(javax.imageio.ImageIO.write(img, format, out),
+        s"no ImageIO writer for format '$format'")
       out.toByteArray
     }
 
-    def encodeBmp(argb: Array[Int], w: Int, h: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      img.setRGB(0, 0, w, h, argb, 0, w)
-      val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "bmp", out)
-      out.toByteArray
-    }
+    def encodePng(argb: Array[Int], w: Int, h: Int): Array[Byte] =
+      encode(argb, w, h, "png")
+
+    def encodeBmp(argb: Array[Int], w: Int, h: Int): Array[Byte] =
+      encode(argb, w, h, "bmp")
 
     def decode(bytes: Array[Byte], mime: String): java.awt.image.BufferedImage = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -177,6 +176,20 @@ object Multimodal {
     }.toDF()
   }
 
+  /** One source of truth for the frame-accounting contract shared by
+    * [[frameStats]] and [[extractFeatures]]: ceil-div frame count,
+    * ceil-div every-k sampled-frame count, hex md5 content hash.
+    * Returns `(byte_len, content_hash, n_frames, n_sampled)`. */
+  private def frameAccounting(md: java.security.MessageDigest,
+      bytes: Array[Byte], frameBytes: Int,
+      sampleEvery: Int): (Long, String, Long, Long) = {
+    val len = bytes.length.toLong
+    val nFrames = (len + frameBytes - 1) / frameBytes
+    val nSampled = (nFrames + sampleEvery - 1) / sampleEvery
+    md.reset()
+    (len, md.digest(bytes).map("%02x".format(_)).mkString, nFrames, nSampled)
+  }
+
   /** Frame accounting over OPAQUE payloads (audio/video chunking shape):
     * fixed-size frame split + every-k sampling, no decode — the stage a
     * pipeline runs on media it only ships, never interprets. Same
@@ -190,11 +203,8 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { rec =>
-        val len = rec.bytes.length.toLong
-        val nFrames = (len + frameBytes - 1) / frameBytes
-        val nSampled = (nFrames + sampleEvery - 1) / sampleEvery
-        md.reset()
-        val hash = md.digest(rec.bytes).map("%02x".format(_)).mkString
+        val (len, hash, nFrames, nSampled) =
+          frameAccounting(md, rec.bytes, frameBytes, sampleEvery)
         (rec.media_id, len, hash, nFrames, nSampled)
       }
     }.toDF("media_id", "byte_len", "content_hash", "n_frames", "n_sampled")
@@ -205,17 +215,15 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, media: DataFrame,
       decoder: MediaDecoder, frameBytes: Int, sampleEvery: Int): Dataset[MediaFeatures] = {
     import spark.implicits._
+    require(frameBytes >= 1 && sampleEvery >= 1,
+      s"frameBytes/sampleEvery must be positive, got $frameBytes/$sampleEvery")
     media.as[MediaRecord].mapPartitions { it =>
       // per-partition setup happens HERE (decoder context, buffers)
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { rec =>
-        val len = rec.bytes.length.toLong
-        val nFrames = (len + frameBytes - 1) / frameBytes
-        val sampled = rec.bytes.grouped(frameBytes).zipWithIndex
-          .filter(_._2 % sampleEvery == 0).map(_._1).toArray
-        md.reset()
-        val hash = md.digest(rec.bytes).map("%02x".format(_)).mkString
-        MediaFeatures(rec.media_id, len, hash, nFrames, sampled.length.toLong,
+        val (len, hash, nFrames, nSampled) =
+          frameAccounting(md, rec.bytes, frameBytes, sampleEvery)
+        MediaFeatures(rec.media_id, len, hash, nFrames, nSampled,
           decoder.decode(rec.bytes, rec.meta))
       }
     }

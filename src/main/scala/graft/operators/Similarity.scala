@@ -323,14 +323,22 @@ object Similarity {
     * removal). */
   def semanticDedup(emb: DataFrame, k: Int, iters: Int, tau: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxAvgClusterSize: Int = 1000): DataFrame = {
+      maxAvgClusterSize: Int = 1000): DataFrame =
+    semanticDedupImpl(emb, emb.count(), k, iters, tau, idCol, vecCol,
+      maxAvgClusterSize)
+
+  /** Body shared with [[semanticDedupAuto]], which already holds the
+    * corpus count from deriving k — taking `n` here keeps that path to
+    * one scan of the embedding lineage instead of two. */
+  private def semanticDedupImpl(emb: DataFrame, n: Long, k: Int,
+      iters: Int, tau: Double, idCol: String, vecCol: String,
+      maxAvgClusterSize: Int): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     // Scale guard: fixed k at growing n is a deliberately misconfigured
     // operator (the committed probe measured 10,000x the pair work at
     // x100 data) — within-cluster pairing is O(c²) per cluster, so the
     // average cluster size must stay bounded. Fail fast at the driver
     // naming the knobs, mirroring balanceClasses.maxMinClass.
-    val n = emb.count()
     require(k >= 1, s"k must be >= 1, got $k")
     require(n == 0 || n.toDouble / k <= maxAvgClusterSize,
       f"semanticDedup: $n vectors / $k clusters = ${n.toDouble / k}%.0f " +
@@ -380,12 +388,20 @@ object Similarity {
 
   /** [[semanticDedup]] with k derived from the corpus size via
     * [[kFor]] — the configuration that holds at scale without the
-    * caller doing cluster-size arithmetic. */
+    * caller doing cluster-size arithmetic. Counts the corpus exactly
+    * once, and passes the scale guard a bound consistent with the k it
+    * just derived (k = ⌈n/target⌉ guarantees n/k ≤ target, so any
+    * targetClusterSize — including ones above the standalone default of
+    * 1000 — is self-consistently accepted). */
   def semanticDedupAuto(emb: DataFrame, iters: Int, tau: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      targetClusterSize: Int = 250): DataFrame =
-    semanticDedup(emb, kFor(emb.count(), targetClusterSize), iters, tau,
-      idCol, vecCol)
+      targetClusterSize: Int = 250): DataFrame = {
+    val n = emb.count()
+    // floor at 2: kFor can give 1 on a corpus smaller than the target
+    // cluster size, but Lloyd's needs at least two centroids
+    semanticDedupImpl(emb, n, math.max(2, kFor(n, targetClusterSize)),
+      iters, tau, idCol, vecCol, maxAvgClusterSize = targetClusterSize)
+  }
 
   /** Embedding near-dup: candidate pairs share an LSH bucket, then exact
     * (rounded) cosine filters at `minScore`. Only within-bucket pairs are

@@ -86,19 +86,6 @@ object SimilarityQueries extends graft.QueryPack {
     duckAssignTail
   ).mkString(",\n")
 
-  /** Same trained `c2`/`s3` contract, but seeded by the farthest-first
-    * chain instead of the first 8 ids. (lazy: `duckFf` is declared below —
-    * a strict val here would capture null at object init.) */
-  private lazy val duckFfKmeans = Seq(
-    duckFf,
-    """c0 AS (SELECT CAST(c.ord AS BIGINT) AS centroid_id,
-      |    CAST(e.v AS DOUBLE) AS cv, e.i
-      |  FROM ch8 c JOIN ex e ON e.vec_id = c.cid)""".stripMargin,
-    kmIter(1),
-    kmIter(2),
-    duckAssignTail
-  ).mkString(",\n")
-
   /** Probed-list top-k search over `s3` (nProbe=2, k=5, queries < 5) —
     * the q_sim5 search block, shared verbatim by the ff-trained variant. */
   private val duckIvfSearch =

@@ -74,12 +74,24 @@ object TextQueries extends graft.QueryPack {
        |mall AS (SELECT a, b, rnk FROM m1 UNION ALL SELECT a, b, rnk FROM m2),
        |aw AS (SELECT DISTINCT w FROM dw),
        |${duckBpeApply("r2", "aw", "mall")},
-       |bpe AS (
+       |bagg AS (
        |  SELECT d.doc_id,
-       |    COALESCE(string_agg(trim(t.st), ' ' ORDER BY d.idx), '') AS bpe,
-       |    CAST(COALESCE(SUM(len(string_split(trim(t.st), ' '))), 0) AS BIGINT) AS n_bpe
+       |    string_agg(trim(t.st), ' ' ORDER BY d.idx) AS bpe,
+       |    SUM(len(string_split(trim(t.st), ' '))) AS n_bpe
        |  FROM dw d JOIN r2_f t ON t.w = d.w
-       |  GROUP BY 1)""".stripMargin
+       |  GROUP BY 1),
+       |bpe AS (
+       |  -- anchor on documents so token-less docs survive: Spark's
+       |  -- bpe_encode keeps (doc_id, '', 0) for empty/whitespace text
+       |  -- and (doc_id, NULL, NULL) for NULL text (nullSafeEval +
+       |  -- size(null)=null); dw has no rows for either, so joining
+       |  -- from dw would silently drop them
+       |  SELECT doc.doc_id,
+       |    CASE WHEN doc.text IS NULL THEN NULL
+       |         ELSE COALESCE(a.bpe, '') END AS bpe,
+       |    CAST(CASE WHEN doc.text IS NULL THEN NULL
+       |         ELSE COALESCE(a.n_bpe, 0) END AS BIGINT) AS n_bpe
+       |  FROM documents doc LEFT JOIN bagg a USING (doc_id))""".stripMargin
 
   override def queries: Seq[Q] = Seq(
 

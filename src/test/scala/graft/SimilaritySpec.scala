@@ -374,6 +374,12 @@ class SimilaritySpec extends AnyFunSuite {
     val out = Similarity.semanticDedupAuto(emb, 1, tau = 0.9,
       targetClusterSize = math.max(10, (n / 4).toInt))
     assert(out.count() === n, "every vector still gets exactly one status")
+    // self-consistency: the auto variant must accept ANY targetClusterSize,
+    // including ones above the standalone default bound of 1000 — the
+    // guard bound travels with the k it derives (kFor gives n/k <= target)
+    val big = Similarity.semanticDedupAuto(emb, 1, tau = 0.9,
+      targetClusterSize = 5000)
+    assert(big.count() === n)
   }
 
   test("top-k buffers reject k < 1 at the driver, not inside executor tasks") {

@@ -176,6 +176,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(bad === 0, "BPE can only split words further, never below word count")
   }
 
+  test("bpe tokenization keeps token-less documents: ('',0) / (null,null)") {
+    // The q_x24/q_x25 oracle anchors its final CTE on `documents` for
+    // exactly this contract — a doc with no tokens must survive with
+    // n_bpe=0 (empty/whitespace text) or NULL (null text), never vanish.
+    import spark.implicits._
+    val docs = Seq((1L, "some real text"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+      .union(Seq(4L).toDF("doc_id").withColumn("text",
+        org.apache.spark.sql.functions.lit(null).cast("string")))
+    val out = TextAnalysis.bpeTokenize(docs, Seq("t" -> "e"))
+      .orderBy("doc_id").collect()
+    assert(out.length === 4, "token-less docs must not be dropped")
+    assert(out(1).getString(1) === "" && out(1).getLong(2) === 0L)
+    assert(out(2).getString(1) === "" && out(2).getLong(2) === 0L)
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2))
+  }
+
   test("chunking is map-only and validates its window geometry") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = TextAnalysis.chunk(docs, 64, 16)
