@@ -71,6 +71,58 @@ object Dedup {
         col("n_kept"))
   }
 
+  /** Boilerplate scrub — the C4/RefinedWeb corpus-frequency rule
+    * (Raffel et al. 2020 §2.2 drop repeated lines; Penedo et al. 2023
+    * line-wise filtering): a span whose text occurs in at least
+    * `minDocFreq` DISTINCT documents is boilerplate (nav chrome, cookie
+    * banners, license headers) and is removed from EVERY document —
+    * including the first — unlike [[spanDedup]], which keeps the global
+    * first occurrence. Documents are cut into the same consecutive
+    * non-overlapping `window`-token spans ("lines" for a corpus with no
+    * newline structure); survivors reassemble in position order. A
+    * document whose every span is boilerplate comes back with empty
+    * `text_clean` (n_kept = 0) rather than vanishing — the caller
+    * decides whether empty docs survive.
+    *
+    * Scale shape: one hash aggregation keyed by (span, sid) collapsing
+    * to per-span distinct-doc counts (two-phase, map-side partial — a
+    * viral span reaches its reducer once per task per doc, not once per
+    * occurrence), one left-anti equi-join marking hot spans, one
+    * reassembly aggregation keyed by doc id. No window over the corpus,
+    * no driver-side state. At 100 TB swap the join/agg key to
+    * `md5(span)` exactly as [[spanDedup]] documents. */
+  def boilerplateScrub(docs: DataFrame, textCol: String, idCol: String,
+      window: Int = 8, minDocFreq: Int = 2): DataFrame = {
+    require(window >= 1, s"span window must be >= 1, got $window")
+    require(minDocFreq >= 2,
+      s"minDocFreq must be >= 2 (1 would scrub every span), got $minDocFreq")
+    val nSpans = floor((size(col("toks")) - 1) / lit(window)).cast("int") + 1
+    val spans =
+      Par.spread(docs.select(col(idCol).as("sid"), TextAnalysis.tokens(col(textCol)).as("toks")))
+        .filter(size(col("toks")) > 0)
+        .select(col("sid"), nSpans.as("ns"),
+          posexplode(transform(sequence(lit(0), nSpans - 1),
+            c => array_join(slice(col("toks"), c * window + 1, lit(window)), " ")))
+            .as(Seq("c", "span")))
+    val hot = spans.groupBy(col("span"))
+      .agg(countDistinct(col("sid")).as("span_df"))
+      .filter(col("span_df") >= minDocFreq)
+      .select(col("span"))
+    val kept = spans.join(hot, Seq("span"), "left_anti")
+      .groupBy(col("sid"))
+      .agg(sort_array(collect_list(struct(col("c"), col("span")))).as("ks"),
+        count(lit(1)).as("n_kept"))
+    // anchor on per-doc span totals so a doc whose every span was
+    // scrubbed re-enters with empty text_clean instead of vanishing
+    spans.groupBy(col("sid")).agg(first(col("ns")).as("ns"))
+      .join(kept, Seq("sid"), "left")
+      .select(col("sid").as(idCol),
+        coalesce(array_join(transform(col("ks"), k => k.getField("span")), " "),
+          lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("ns") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_dropped"))
+  }
+
   /** Distinct (id, shingle) pairs — the base relation for Jaccard and
     * MinHash. Exploding shingles keys everything by content, so the
     * self-join below is an equi-join, not a cross product. */

@@ -348,7 +348,36 @@ object DedupQueries extends graft.QueryPack {
              |  FROM spans QUALIFY rn = 1)
              |SELECT doc_id, string_agg(span, ' ' ORDER BY c) AS text_dedup,
              |  COUNT(*) AS n_kept
-             |FROM kept GROUP BY doc_id""".stripMargin))
+             |FROM kept GROUP BY doc_id""".stripMargin)),
+
+    // ---- X26: C4-style boilerplate scrub (corpus-frequency rule) -------
+    // Unlike q_d14's first-occurrence-wins, a span in >= 3 distinct docs
+    // is removed from EVERY doc; fully-scrubbed docs stay with empty text.
+    Q("q_x26_boilerplate",
+      (s, d) => Dedup.boilerplateScrub(Tables.documents(s, d), "text", "doc_id",
+        window = 8, minDocFreq = 3),
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |spans AS (
+             |  SELECT doc_id, (len(toks)-1)//8 + 1 AS ns,
+             |    unnest(range(0, (len(toks)-1)//8 + 1)) AS c,
+             |    unnest(list_transform(range(0, (len(toks)-1)//8 + 1),
+             |      c -> array_to_string(toks[c*8+1:c*8+8], ' '))) AS span
+             |  FROM t WHERE len(toks) > 0),
+             |hot AS (SELECT span FROM (
+             |    SELECT span, COUNT(DISTINCT doc_id) AS span_df FROM spans GROUP BY 1)
+             |  WHERE span_df >= 3),
+             |ka AS (
+             |  SELECT doc_id, string_agg(span, ' ' ORDER BY c) AS text_clean,
+             |    COUNT(*) AS n_kept
+             |  FROM spans WHERE span NOT IN (SELECT span FROM hot)
+             |  GROUP BY doc_id)
+             |SELECT s.doc_id, COALESCE(ka.text_clean, '') AS text_clean,
+             |  CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+             |  CAST(s.ns - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_dropped
+             |FROM (SELECT DISTINCT doc_id, ns FROM spans) s
+             |LEFT JOIN ka USING (doc_id)""".stripMargin))
   )
 
   /** q_d12's oracle — shared verbatim by q_d13 (same classification, the

@@ -230,6 +230,34 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(got === Map(1L -> "a b", 3L -> "c"))
   }
 
+  test("boilerplate scrub: hot spans leave EVERY doc, empty docs survive") {
+    import spark.implicits._
+    // window=2, minDocFreq=2: [c d] is in docs 1/2/3 → boilerplate,
+    // scrubbed everywhere INCLUDING its first occurrence (the rule that
+    // separates this from spanDedup); doc 3 is nothing but boilerplate
+    // and must come back empty, not vanish; doc 4 is untouched.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "c d x y"),
+      (3L, "c d"),
+      (4L, "n m q")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateScrub(docs, "text", "doc_id",
+        window = 2, minDocFreq = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      1L -> (("a b e f", 2L, 1L)),
+      2L -> (("x y", 1L, 1L)),
+      3L -> (("", 0L, 1L)),
+      4L -> (("n m q", 2L, 0L))))
+    // threshold below 2 is a config error, not a silent full scrub
+    assert(intercept[IllegalArgumentException](
+      Dedup.boilerplateScrub(docs, "text", "doc_id", 2, 1))
+      .getMessage.contains("minDocFreq"))
+  }
+
   test("cluster keeper semantics: one keeper per component on real pairs") {
     val pairs = Dedup.minhashCandidates(
       Dedup.docShingles(
