@@ -249,6 +249,78 @@ object TextAnalysis {
       .withColumn("keep", col("quality_score") >= threshold)
   }
 
+  /** CCNet-style LM-perplexity quality signal (Wenzek et al. 2020,
+    * "CCNet: Extracting high quality monolingual datasets from web
+    * crawl data"): score every document by the perplexity of a language
+    * model and bucket the corpus into head / middle / tail — the
+    * standard web-crawl quality gate. The production recipe scores with
+    * an offline-trained KenLM; here the LM is an add-α bigram model
+    * trained ON THE CORPUS ITSELF in the same job (two hash
+    * aggregations), which keeps the whole operator — training AND
+    * scoring — replayable by a relational oracle:
+    *
+    *   p(w2|w1) = (C(w1 w2) + α) / (C(w1) + α·V)
+    *   avg_nll  = −(1/n) Σ ln p   (n = doc's bigram count)
+    *   ppl      = exp(avg_nll)
+    *
+    * `headPpl`/`tailPpl` are FIXED thresholds (CCNet likewise ships
+    * precomputed per-language cutoffs) — corpus-quantile cutoffs would
+    * put an interpolated float on the bucket boundary, which no
+    * cross-engine oracle can hash-match. Docs with fewer than 2 tokens
+    * get null scores and bucket 'empty'.
+    *
+    * Determinism: counts are exact integers; each bigram's ln is
+    * rounded to 6 dp (absorbing ≤1-ulp ln() differences across engines,
+    * the q_x16 contract) and summed as DECIMAL — exact and
+    * order-independent, so the distributed aggregation order can't
+    * perturb the result; the final exp is rounded to 4 dp.
+    *
+    * Scale shape: training is two hash aggregations with map-side
+    * partials (shuffled volume = distinct bigrams/unigrams, not the
+    * token stream); scoring joins the bigram relation to the two count
+    * relations by key (AQE broadcasts them while they fit) and reduces
+    * per doc. The vocabulary size rides a broadcast 1-row aggregate.
+    * No window, no driver-side state, no UDF. */
+  def bigramPerplexity(df: DataFrame, textCol: String, idCol: String,
+      headPpl: Double, tailPpl: Double,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(headPpl < tailPpl,
+      s"need headPpl < tailPpl, got $headPpl >= $tailPpl")
+    val toksed = Par.spread(df.select(col(idCol).as("doc_id"),
+      tokens(lower(col(textCol))).as("toks")))
+    // bigram MULTISET (one row per adjacent-pair occurrence — LM counts
+    // occurrences, unlike the dedup shingle relations' distinct sets)
+    val bi = toksed.select(col("doc_id"), explode(shingles(col("toks"), 2)).as("gram"))
+    val biCnt = bi.groupBy(col("gram")).agg(count(lit(1)).as("cb"))
+    val uni = toksed.select(explode(col("toks")).as("w"))
+    val uniCnt = uni.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val vocab = uni.select(countDistinct(col("w")).as("vsz"))
+    val perDoc = bi
+      .join(biCnt, Seq("gram"))
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .join(uniCnt.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((col("cb") + lit(alpha)) /
+          (col("cu") + lit(alpha) * col("vsz"))), 6)
+          .cast("decimal(18,6)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("s").cast("double") / col("n_bigrams"), 6).as("avg_nll"))
+    df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nll"),
+        round(exp(col("avg_nll")), 4).as("ppl"))
+      .withColumn("bucket",
+        when(col("ppl").isNull, lit("empty"))
+          .when(col("ppl") <= headPpl, lit("head"))
+          .when(col("ppl") >= tailPpl, lit("tail"))
+          .otherwise(lit("middle")))
+  }
+
   /** Compressibility quality signal: DEFLATE length over raw length
     * (codegen'd [[graft.functions.DeflateLen]] kernel). Repetitive /
     * templated / machine-generated text compresses far below natural

@@ -279,6 +279,38 @@ object TextQueries extends graft.QueryPack {
               |  n_tokens
               |FROM c""".stripMargin)),
 
+    // ---- X27: CCNet-style bigram-LM perplexity filter -------------------
+    // Corpus-trained add-1 bigram LM; fixed head/tail cutoffs (29.7 /
+    // 30.45 ≈ the corpus tertiles at both SFs) bucket the crawl.
+    Q("q_x27_lm_perplexity",
+      (s, d) => TextAnalysis.bigramPerplexity(Tables.documents(s, d),
+        "text", "doc_id", headPpl = 29.7, tailPpl = 30.45),
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |bi AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram, toks[i] AS w1
+             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+             |        FROM t WHERE len(toks) >= 2)),
+             |bc AS (SELECT gram, COUNT(*) AS cb FROM bi GROUP BY 1),
+             |un AS (SELECT unnest(toks) AS w FROM t),
+             |uc AS (SELECT w, COUNT(*) AS cu FROM un GROUP BY 1),
+             |v AS (SELECT COUNT(DISTINCT w) AS vsz FROM un),
+             |sc AS (SELECT doc_id,
+             |    CAST(ROUND(ln((cb + 1.0) / (cu + 1.0 * vsz)), 6) AS DECIMAL(18,6)) AS lp
+             |  FROM bi JOIN bc USING (gram) JOIN uc ON uc.w = bi.w1, v),
+             |pd AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+             |    ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+             |  FROM sc GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |  pd.avg_nll,
+             |  ROUND(exp(pd.avg_nll), 4) AS ppl,
+             |  CASE WHEN pd.avg_nll IS NULL THEN 'empty'
+             |       WHEN ROUND(exp(pd.avg_nll), 4) <= 29.7 THEN 'head'
+             |       WHEN ROUND(exp(pd.avg_nll), 4) >= 30.45 THEN 'tail'
+             |       ELSE 'middle' END AS bucket
+             |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin)),
+
     Q("q_x7_train_split",
       (s, d) => {
         import graft.operators.Sampling

@@ -193,6 +193,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3).isNullAt(1) && out(3).isNullAt(2))
   }
 
+  test("bigram perplexity: hand-computed LM on a 3-doc corpus, buckets + empty") {
+    import spark.implicits._
+    // corpus: "a b a b" / "a b" / "z" — vocab {a,b,z} V=3;
+    // C(a)=3 C(b)=3 C(z)=1; bigrams: (a b)x3, (b a)x1
+    // p(b|a) = (3+1)/(3+3) = 2/3; p(a|b) = (1+1)/(3+3) = 1/3
+    val docs = Seq((1L, "a b a b"), (2L, "A B"), (3L, "z")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramPerplexity(docs, "text", "doc_id",
+        headPpl = 1.6, tailPpl = 3.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double]), r.getString(4))))
+      .toMap
+    // doc 1: nll = -(ln(2/3)+ln(1/3)+ln(2/3))/3; ppl = exp(nll)
+    val ppl1 = BigDecimal(math.exp(-(math.round(math.log(2.0 / 3) * 1e6) * 2
+      + math.round(math.log(1.0 / 3) * 1e6)) / 3e6))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((3L, Some(ppl1), "middle")))
+    assert(ppl1 > 1.6 && ppl1 < 3.0)
+    // doc 2 ("A B" lowercased): single bigram p(b|a)=2/3, ppl=1.5 → head
+    assert(got(2L)._1 === 1L && got(2L)._3 === "head")
+    assert(got(2L)._2.get === BigDecimal(math.exp(
+      -math.round(math.log(2.0 / 3) * 1e6) / 1e6))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // doc 3: one token, no bigrams → null score, bucket 'empty'
+    assert(got(3L) === ((0L, None, "empty")))
+    // misconfigured thresholds fail fast
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.bigramPerplexity(docs, "text", "doc_id", 5.0, 2.0))
+      .getMessage.contains("headPpl"))
+  }
+
   test("chunking is map-only and validates its window geometry") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = TextAnalysis.chunk(docs, 64, 16)
