@@ -367,6 +367,60 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
   }
 
+  /** BM25 keyword retrieval (Robertson & Zaragoza 2009, "The
+    * Probabilistic Relevance Framework") — score every document against
+    * a small query set and return the top `k` docs per query:
+    *
+    *   score(q,d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *   idf(t)     = ln((N − df + 0.5)/(df + 0.5) + 1)
+    *
+    * The retrieval shape of a training-data pipeline's "find documents
+    * about X" probes (targeted decontamination, topic audits, eval-set
+    * mining). Queries are a driver-side literal list (broadcast), so
+    * the corpus-side plan is: one tf hash aggregation, one df hash
+    * aggregation, a broadcast join of the query terms onto tf, and the
+    * bounded [[graft.functions.TopKAggregator]] ranking — ≤k (score,
+    * id) pairs per query per map task, never a per-query reducer sort.
+    * Corpus stats (N, avgdl) ride a broadcast 1-row aggregate.
+    *
+    * Determinism: tf/df/dl are exact integers; idf's ln and the tf
+    * normalization each round to 6 dp and multiply as DECIMAL (exact),
+    * so the per-(query,doc) sum is order-independent; ties rank by
+    * (score desc, doc_id asc). Returns (query_id, doc_id, score, rnk).
+    */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+      queries: Seq[(Int, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    require(queries.forall(_._2.nonEmpty), "every query needs >= 1 term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val toksed = Par.spread(df.select(col(idCol).as("doc_id"),
+      tokens(lower(col(textCol))).as("toks")))
+    val tf = toksed
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = toksed.select(count(lit(1)).as("n_docs"),
+      (sum(size(col("toks"))).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t.toLowerCase)) }
+      .toDF("query_id", "term")
+    val idf = round(log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0)), 6).cast("decimal(18,6)")
+    val tfNorm = round(col("tf") * (lit(k1) + lit(1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))), 6)
+      .cast("decimal(18,6)")
+    val scored = broadcast(qterms)
+      .join(tf, Seq("term"))
+      .join(dfr, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), (idf * tfNorm).as("c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("c")).cast("double"), 6).as("score"))
+    Similarity.perQueryTopK(scored, k, idName = "doc_id")
+  }
+
   /** Within-document dedup: drop every repeat of a token, keeping first
     * occurrences in document order — the intra-doc analogue of corpus
     * dedup (boilerplate/navigation strings repeat INSIDE crawled pages).

@@ -223,6 +223,31 @@ class TextOpsSpec extends AnyFunSuite {
       .getMessage.contains("headPpl"))
   }
 
+  test("bm25: hand-computed scores, dl normalization, per-query isolation") {
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // N=2, avgdl=2.5; df(x)=2 → idf = ln(0.5/2.5 + 1) = ln(1.2)
+    val docs = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+        queries = Seq(0 -> Seq("X"), 1 -> Seq("z")), k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val idf = BigDecimal(r6(math.log(1.2)))
+    def tfn(tf: Long, dl: Long): BigDecimal =
+      BigDecimal(r6(tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / 2.5))))
+    val s1 = r6((idf * tfn(2, 3)).toDouble)   // doc 1: tf=2, dl=3
+    val s2 = r6((idf * tfn(1, 2)).toDouble)   // doc 2: tf=1, dl=2
+    assert(s1 > s2, "higher tf must outrank despite longer doc here")
+    // df(z)=1 → idf = ln((2-1+0.5)/(1+0.5) + 1) = ln(2)
+    val idfZ = BigDecimal(r6(math.log(2.0)))
+    assert(got === Seq((0, 1L, s1, 1), (0, 2L, s2, 2),
+      (1, 2L, r6((idfZ * tfn(1, 2)).toDouble), 1)))
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.bm25TopK(docs, "text", "doc_id", Seq(0 -> Seq()), 10))
+      .getMessage.contains("term"))
+  }
+
   test("chunking is map-only and validates its window geometry") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = TextAnalysis.chunk(docs, 64, 16)
