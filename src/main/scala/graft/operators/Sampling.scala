@@ -141,6 +141,48 @@ object Sampling {
       counts.map(t => t._1 -> minN.toInt).toMap)
   }
 
+  /** Temperature-flattened domain resampling (the multilingual-training
+    * recipe — Conneau & Lample 2019 §3.1, Raffel et al. 2020 §3.4.3 on
+    * examples-proportional mixing): sampling weight ∝ n_d^α, so α = 1
+    * is proportional to the natural distribution and α → 0 flattens
+    * toward uniform — low-resource domains are up-weighted relative to
+    * their share without hand-written quotas. Quotas derive as
+    * `max(1, floor(total · n_d^α / Σ_e n_e^α))` and feed
+    * [[mixtureSample]] (bounded MinK buffers, exact md5-rank
+    * selection); a domain with fewer rows than its quota contributes
+    * everything it has.
+    *
+    * The per-domain counts collect to the driver (bounded: domains are
+    * enum-like; `maxDomains` fail-fasts if the column is actually
+    * high-cardinality). Determinism: Σ n^α folds in LEXICOGRAPHIC
+    * domain order — float addition isn't associative, so a pinned order
+    * is what lets an external replayer reproduce the quotas; at
+    * α = 0.5 the power is IEEE-exact sqrt, making the whole derivation
+    * reproducible to the last bit from the counts alone. */
+  def temperatureSample(df: DataFrame, domainCol: String, idCol: String,
+      salt: String, total: Long, alpha: Double = 0.5,
+      maxDomains: Int = 100000): DataFrame = {
+    require(total > 0, s"total must be positive, got $total")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.filter(col(domainCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    require(counts.nonEmpty, s"no non-null domains in $domainCol")
+    require(counts.length <= maxDomains,
+      s"${counts.length} distinct domains > maxDomains $maxDomains — " +
+        s"$domainCol looks high-cardinality, not enum-like; raise " +
+        "maxDomains deliberately if the driver can hold the counts")
+    def pw(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    val s = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + pw(n) }
+    val quotas = counts.map { case (d, n) =>
+      d -> math.max(1L, math.floor(total * pw(n) / s).toLong)
+        .min(Int.MaxValue).toInt
+    }.toMap
+    mixtureSample(df, domainCol, idCol, salt, quotas)
+  }
+
   /** [[mixtureSample]] with quotas derived from target weights:
     * `quota(d) = max(1, floor(weights(d) × total))` — a listed domain is
     * never silently dropped: a weight whose floor is 0 still contributes

@@ -546,6 +546,25 @@ object RelationalQueries extends graft.QueryPack {
              |    ORDER BY md5('mix|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
              |  FROM documents WHERE source IN ('src0', 'src1', 'src2'))
              |WHERE rn <= CASE source WHEN 'src0' THEN 10
-             |                        WHEN 'src1' THEN 5 ELSE 15 END""".stripMargin))
+             |                        WHEN 'src1' THEN 5 ELSE 15 END""".stripMargin)),
+
+    // ---- X29: temperature-flattened domain resampling (alpha = 0.5) ----
+    // quota_d = max(1, floor(307 * sqrt(n_d) / sum sqrt)); 307 is chosen
+    // off the integer boundary so summation-order ulps can't flip a floor.
+    Q("q_x29_temperature_sample",
+      (s, d) => graft.operators.Sampling.temperatureSample(
+        Tables.documents(s, d), "source", "doc_id", "temp", total = 307),
+      Some("""WITH c AS (SELECT source, COUNT(*) AS n FROM documents
+             |    WHERE source IS NOT NULL AND doc_id IS NOT NULL GROUP BY 1),
+             |q AS (SELECT source, GREATEST(1, CAST(floor(
+             |      307 * sqrt(CAST(n AS DOUBLE)) /
+             |      (SELECT SUM(sqrt(CAST(n AS DOUBLE))) FROM c)) AS BIGINT)) AS quota
+             |  FROM c),
+             |r AS (SELECT doc_id, source, row_number() OVER (
+             |      PARTITION BY source
+             |      ORDER BY md5('temp|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents WHERE source IS NOT NULL AND doc_id IS NOT NULL)
+             |SELECT r.doc_id, r.source, r.rn
+             |FROM r JOIN q USING (source) WHERE r.rn <= q.quota""".stripMargin))
   )
 }

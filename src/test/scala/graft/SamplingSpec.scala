@@ -57,6 +57,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(counts === Map("src7" -> 10L, "src8" -> 1L))
   }
 
+  test("temperature resampling flattens toward uniform; alpha=1 is proportional") {
+    import spark.implicits._
+    // a:16, b:4, c:1 rows. alpha=0.5 → weights sqrt = 4:2:1 (S=7);
+    // total=7 → quotas a=4, b=2, c=1. Proportional (alpha=1) at
+    // total=21 → a=16, b=4, c=1 — the natural distribution.
+    val skewed = ((1L to 16L).map(i => (i, "a")) ++
+      (17L to 20L).map(i => (i, "b")) :+ ((21L, "c")))
+      .toDF("doc_id", "source")
+    def domCounts(out: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      out.groupBy("source").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val flat = Sampling.temperatureSample(skewed, "source", "doc_id", "t",
+      total = 7, alpha = 0.5)
+    assert(domCounts(flat) === Map("a" -> 4L, "b" -> 2L, "c" -> 1L),
+      "sqrt-flattened quotas must up-weight the small domains")
+    val prop = Sampling.temperatureSample(skewed, "source", "doc_id", "t",
+      total = 21, alpha = 1.0)
+    assert(domCounts(prop) === Map("a" -> 16L, "b" -> 4L, "c" -> 1L),
+      "alpha=1 must reproduce the natural distribution")
+    // every listed domain keeps >= 1 row even when its quota floors to 0
+    val tiny = Sampling.temperatureSample(skewed, "source", "doc_id", "t",
+      total = 2, alpha = 0.5)
+    assert(domCounts(tiny).keySet === Set("a", "b", "c"))
+    // guards: alpha range and the high-cardinality fail-fast name the knob
+    assert(intercept[IllegalArgumentException](
+      Sampling.temperatureSample(skewed, "source", "doc_id", "t", 7, 1.5))
+      .getMessage.contains("alpha"))
+    assert(intercept[IllegalArgumentException](
+      Sampling.temperatureSample(skewed, "source", "doc_id", "t", 7, 0.5,
+        maxDomains = 2)).getMessage.contains("maxDomains"))
+  }
+
   test("class balancing levels every class to the smallest one") {
     val out = Sampling.balanceClasses(docs, "lang", "doc_id", "bal")
     val counts = out.groupBy("lang").count()
