@@ -105,4 +105,42 @@ object Resample {
           .otherwise(round(col("__vp") + (col("__vn") - col("__vp")) * frac, 6))
           .as(valueCol))
   }
+
+  /** Trailing time-range aggregation per key — the moving-average /
+    * rolling-count shape (pandas `rolling('10min')`, SQL `RANGE BETWEEN
+    * INTERVAL ... PRECEDING`): for every observation, count and average
+    * the key's observations in the `windowMicros`-wide window ENDING at
+    * (and including) it. The frame is a numeric RANGE on epoch
+    * microseconds, so both frame boundaries and same-timestamp peer
+    * semantics are engine-independent (an interval frame over raw
+    * timestamps would tie the row set to each engine's timestamp
+    * comparison precision).
+    *
+    * Determinism: the windowed sum runs over DECIMAL(18,2) — exact and
+    * independent of the engine's frame-evaluation order (sliding-window
+    * sums are segment trees in some engines, naive re-scans in others;
+    * a double sum would differ in ulps between the two) — and the
+    * average divides once as double, rounded to 4 dp.
+    *
+    * Scale shape: one shuffle keyed by `keyCol`, per-key sort inside the
+    * window — the partitioned-window shape (never a corpus-wide
+    * unpartitioned window). Keys with pathological per-key row counts
+    * are the same skew story as every keyed window; salt upstream if one
+    * key dominates. */
+  def trailingAgg(obs: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowMicros: Long): DataFrame = {
+    require(windowMicros >= 0, s"windowMicros must be >= 0, got $windowMicros")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowMicros, 0)
+    obs.select(col("*"), unix_micros(col(tsCol)).as("__us"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_dec",
+        sum(col(valueCol).cast(DecimalType(18, 2))).over(w))
+      .select(col(keyCol), col(tsCol), col(valueCol),
+        col("n_win"),
+        round(col("sum_dec").cast("double") / col("n_win"), 4).as("avg_win"))
+  }
 }

@@ -146,6 +146,22 @@ object EventQueries extends graft.QueryPack {
              |JOIN o op ON op.user_id = jp.user_id AND epoch_us(op.ts) = jp.pe
              |JOIN o onx ON onx.user_id = jp.user_id AND epoch_us(onx.ts) = jn.ne""".stripMargin)),
 
+    // ---- E12: trailing time-range moving average -------------------------
+    // RANGE frame on epoch micros (engine-independent boundaries); the
+    // windowed sum rides DECIMAL(18,2) so frame-evaluation order
+    // (segment tree vs re-scan) can't perturb the float result.
+    Q("q_e12_moving_avg",
+      (s, d) => graft.operators.Resample.trailingAgg(
+        Tables.events(s, d).select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", windowMicros = 600000000L),
+      Some("""SELECT user_id, ts, value,
+             |  COUNT(*) OVER w AS n_win,
+             |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             |    / COUNT(*) OVER w, 4) AS avg_win
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // ---- E9: per-key z-score anomaly flagging ----------------------------
     // agg + broadcast-join (never a per-key window sort over the stream);
     // moments and z round to 6 dp so both engines agree bit-for-bit.

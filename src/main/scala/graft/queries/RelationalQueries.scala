@@ -531,6 +531,40 @@ object RelationalQueries extends graft.QueryPack {
              |SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
              |  COUNT(DISTINCT source) FROM documents""".stripMargin)),
 
+    // ---- V3: keyed snapshot diff (nightly reconciliation audit) ---------
+    // Two overlapping order snapshots with a simulated status update on
+    // o_orderkey % 7 — exercises all four classifications. The operator
+    // compares via an internal md5 row hash; the oracle pins the
+    // resulting classification column-by-column.
+    Q("q_v3_snapshot_diff",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+        def proj(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))
+        val oldSnap = proj(ord.filter(col("o_orderdate") < lit("1999-01-01")))
+        val newSnap = proj(ord.filter(col("o_orderdate") >= lit("1997-01-01")))
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 7 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")))
+        graft.operators.Diff.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderstatus,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+             |n AS (SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+             |      AS o_orderstatus,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+             |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+             |       WHEN n.o_orderkey IS NULL THEN 'removed'
+             |       WHEN o.o_orderstatus = n.o_orderstatus AND o.price = n.price
+             |         THEN 'unchanged'
+             |       ELSE 'changed' END AS status
+             |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey""".stripMargin)),
+
     // ---- X19: training-mixture sampling (exact per-domain quotas) -------
     // Materialize a pretraining mix from an over-supplied corpus: each
     // listed source contributes exactly its quota (its lowest-md5 docs),

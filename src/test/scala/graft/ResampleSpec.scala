@@ -103,6 +103,34 @@ class ResampleSpec extends AnyFunSuite {
       s"want the cap message, got: ${ex.getMessage}")
   }
 
+  test("trailing agg: frame includes edge-exact rows, excludes the past, per key") {
+    import spark.implicits._
+    // 10-minute (600s) trailing window. Key 1: rows at :00, :05, :10,
+    // :21 — the :10 row's frame includes :00 (exactly 600s back, RANGE
+    // is inclusive) and :05; the :21 row sees only itself. Key 2 is
+    // independent.
+    val obs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-01 00:05:00"), 20.0),
+      (1L, ts("2024-01-01 00:10:00"), 40.0),
+      (1L, ts("2024-01-01 00:21:00"), 100.0),
+      (2L, ts("2024-01-01 00:05:00"), 7.0)
+    ).toDF("user_id", "ts", "value")
+    val got = Resample.trailingAgg(obs, "user_id", "ts", "value", 600000000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2.getTime))
+    assert(got === Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-01 00:05:00"), 2L, 15.0),
+      (1L, ts("2024-01-01 00:10:00"), 3L, 23.3333),   // (10+20+40)/3 @4dp
+      (1L, ts("2024-01-01 00:21:00"), 1L, 100.0),
+      (2L, ts("2024-01-01 00:05:00"), 1L, 7.0)))
+    assert(intercept[IllegalArgumentException](
+      Resample.trailingAgg(obs, "user_id", "ts", "value", -1L))
+      .getMessage.contains("windowMicros"))
+  }
+
   test("step must be positive") {
     import spark.implicits._
     val obs = Seq(("a", ts("2024-01-01 10:00:00"), 1.0)).toDF("k", "t", "v")

@@ -85,6 +85,33 @@ class ScdProfileSpec extends AnyFunSuite {
       looseOut.exceptAll(strictOut).isEmpty)
   }
 
+  test("snapshot diff classifies added/removed/changed/unchanged; nulls compare safely") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, Some("a"), Some(10)), (2L, Some("b"), Some(20)),
+      (3L, None: Option[String], Some(30)), (4L, Some("d"), Some(40))
+    ).toDF("id", "s", "v")
+    val newSnap = Seq(
+      (1L, Some("a"), Some(10)),            // unchanged
+      (2L, Some("B"), Some(20)),            // changed (s)
+      (3L, Some(""), Some(30)),             // changed: null -> "" must NOT collide
+      (5L, Some("e"), Some(50))             // added; 4 removed
+    ).toDF("id", "s", "v")
+    val got = graft.operators.Diff.snapshotDiff(oldSnap, newSnap, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+    // schema drift and key-only snapshots fail fast
+    assert(intercept[IllegalArgumentException](
+      graft.operators.Diff.snapshotDiff(oldSnap,
+        newSnap.withColumnRenamed("v", "w"), Seq("id")))
+      .getMessage.contains("schema"))
+    assert(intercept[IllegalArgumentException](
+      graft.operators.Diff.snapshotDiff(oldSnap.select("id"),
+        newSnap.select("id"), Seq("id")))
+      .getMessage.contains("non-key"))
+  }
+
   test("profile counts rows, nulls, and distincts per column in one pass") {
     import spark.implicits._
     val df = Seq(
