@@ -421,6 +421,42 @@ object TextAnalysis {
     Similarity.perQueryTopK(scored, k, idName = "doc_id")
   }
 
+  /** Feature-hashing vectorizer (Weinberger et al. 2009, "Feature
+    * Hashing for Large Scale Multitask Learning" — the HashingTF
+    * shape): every token hashes to one of `dims` buckets
+    * ([[Sampling.bucketOfKey]], the library's one shared md5
+    * derivation) and the document becomes the dense vector of bucket
+    * term-frequencies — a fixed-width embedding with no vocabulary to
+    * build, broadcast, or keep in sync. This is the model-free bridge
+    * from text onto the ENTIRE vector stack ([[Kmeans]] topic
+    * clustering, [[Similarity]] ANN/near-dup, [[Pq]] compression):
+    * cosine over hashed-tf profiles is classic bag-of-words similarity.
+    *
+    * Counts are exact integers narrowed to float (exact to 2^24), so
+    * vectors replay bit-for-bit in a relational oracle. Documents with
+    * no tokens are EXCLUDED (a zero vector has no cosine direction —
+    * same contract as the Pq zero-norm rule). Map-only except the one
+    * (doc, bucket) counting aggregation; the per-doc reassembly buffer
+    * is bounded by `dims`.
+    *
+    * Returns `(doc_id, vec: array<float>)` with `vec.length == dims`. */
+  def hashedTfVectors(df: DataFrame, textCol: String, idCol: String,
+      dims: Int): DataFrame = {
+    require(dims >= 2 && dims <= 65536, s"dims must be in [2, 65536], got $dims")
+    val toksed = Par.spread(df.select(col(idCol).as("doc_id"),
+        tokens(lower(col(textCol))).as("toks")))
+      .filter(size(col("toks")) > 0)
+    toksed.select(col("doc_id"), explode(col("toks")).as("t"))
+      .select(col("doc_id"), Sampling.bucketOfKey(md5(col("t")), dims).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("tf")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L))
+            .cast("float")).as("vec"))
+  }
+
   /** Within-document dedup: drop every repeat of a token, keeping first
     * occurrences in document order — the intra-doc analogue of corpus
     * dedup (boilerplate/navigation strings repeat INSIDE crawled pages).

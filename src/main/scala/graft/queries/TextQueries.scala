@@ -346,6 +346,47 @@ object TextQueries extends graft.QueryPack {
              |  FROM agg)
              |WHERE rnk <= 10""".stripMargin)),
 
+    // ---- X30: topic clustering over hashed-tf doc vectors ---------------
+    // The model-free text→vector bridge: feature-hash every doc into a
+    // 16-dim tf profile, train the library's own k-means quantizer on
+    // it, and assign every doc a topic cluster. The oracle replays
+    // hashing, vector build, both Lloyd iterations, and the final
+    // argmax via the shared DuckKmeansSql chain (the q_sim6 gate).
+    Q("q_x30_topic_clusters",
+      (s, d) => {
+        import graft.operators.{Kmeans, Similarity}
+        val vecs = TextAnalysis.hashedTfVectors(
+          Tables.documents(s, d), "text", "doc_id", dims = 16)
+        val cents = Kmeans.train(vecs, k = 8, iters = 2, "doc_id", "vec")
+        Similarity.assignToCentroids(vecs, cents, "doc_id", "vec")
+          .select(col("vec_id").as("doc_id"), col("centroid_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+              |  FROM documents),
+              |tnz AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+              |htf AS (SELECT doc_id,
+              |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 16 AS b,
+              |    COUNT(*) AS tf
+              |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tnz) GROUP BY 1, 2),
+              |ex AS (SELECT d.doc_id AS vec_id, r.i,
+              |    CAST(CAST(COALESCE(h.tf, 0) AS FLOAT) AS DOUBLE) AS v
+              |  FROM (SELECT doc_id FROM tnz) d
+              |  CROSS JOIN (SELECT unnest(range(1, 17)) AS i) r
+              |  LEFT JOIN htf h ON h.doc_id = d.doc_id AND h.b = r.i - 1),
+              |norms AS (SELECT vec_id,
+              |    sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+              |  FROM ex GROUP BY 1),
+              |c0 AS (SELECT vec_id AS centroid_id, CAST(v AS DOUBLE) AS cv, i
+              |  FROM ex WHERE vec_id < 8),
+              |${DuckKmeansSql.kmIter(1)},
+              |${DuckKmeansSql.kmIter(2)},
+              |${DuckKmeansSql.assignTail}
+              |SELECT vec_id AS doc_id, centroid_id FROM (
+              |  SELECT vec_id, centroid_id, row_number() OVER (
+              |      PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+              |  FROM s3) WHERE rn = 1""".stripMargin)),
+
     Q("q_x7_train_split",
       (s, d) => {
         import graft.operators.Sampling

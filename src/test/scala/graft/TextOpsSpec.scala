@@ -248,6 +248,33 @@ class TextOpsSpec extends AnyFunSuite {
       .getMessage.contains("term"))
   }
 
+  test("hashed tf vectors: exact bucket counts, fixed width, token-less exclusion") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "b"), (3L, "   "),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val dims = 8
+    val got = TextAnalysis.hashedTfVectors(docs, "text", "doc_id", dims)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // token-less docs are excluded (zero vectors have no cosine direction)
+    assert(got.keySet === Set(1L, 2L))
+    assert(got.values.forall(_.length === dims), "fixed-width vectors")
+    // replicate the shared bucket derivation driver-side
+    def bucket(t: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % dims).toInt
+    }
+    val expect1 = Array.fill(dims)(0f)
+    expect1(bucket("a")) += 2f; expect1(bucket("b")) += 1f
+    assert(got(1L) === expect1.toSeq)
+    assert(got(2L).sum === 1f && got(2L)(bucket("b")) === 1f)
+    // every doc's vector mass equals its token count
+    assert(got(1L).sum === 3f)
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.hashedTfVectors(docs, "text", "doc_id", 1))
+      .getMessage.contains("dims"))
+  }
+
   test("chunking is map-only and validates its window geometry") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = TextAnalysis.chunk(docs, 64, 16)
