@@ -391,25 +391,46 @@ object TextAnalysis {
   def bm25TopK(df: DataFrame, textCol: String, idCol: String,
       queries: Seq[(Int, Seq[String])], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queries.nonEmpty, "need at least one query")
-    require(queries.forall(_._2.nonEmpty), "every query needs >= 1 term")
-    require(k >= 1, s"k must be >= 1, got $k")
-    val sp = df.sparkSession
-    import sp.implicits._
+    val (tf, stats) = bm25Corpus(df, textCol, idCol)
+    bm25Score(tf, stats, queries, k, k1, b)
+  }
+
+  /** The two BM25 index relations for a corpus: the postings
+    * `(doc_id, dl, term, tf)` and the one-row raw stats
+    * `(n_docs, sum_dl)` — exact integers, so the derived avgdl is the
+    * same double no matter where the stats are re-read from. */
+  private def bm25Corpus(df: DataFrame, textCol: String,
+      idCol: String): (DataFrame, DataFrame) = {
     val toksed = Par.spread(df.select(col(idCol).as("doc_id"),
       tokens(lower(col(textCol))).as("toks")))
     val tf = toksed
       .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = toksed.select(count(lit(1)).as("n_docs"),
-      (sum(size(col("toks"))).cast("double") / count(lit(1))).as("avgdl"))
+      sum(size(col("toks"))).as("sum_dl"))
+    (tf, stats)
+  }
+
+  /** Scoring core shared by [[bm25TopK]] and [[bm25TopKFromIndex]]:
+    * takes the postings + raw stats relations, derives df per term with
+    * one aggregation over the (narrow) postings, and ranks through the
+    * bounded top-k. */
+  private def bm25Score(tf: DataFrame, stats: DataFrame,
+      queries: Seq[(Int, Seq[String])], k: Int,
+      k1: Double, b: Double): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    require(queries.forall(_._2.nonEmpty), "every query needs >= 1 term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sp = tf.sparkSession
+    import sp.implicits._
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qterms = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t.toLowerCase)) }
       .toDF("query_id", "term")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = round(log((col("n_docs") - col("df") + lit(0.5)) /
       (col("df") + lit(0.5)) + lit(1.0)), 6).cast("decimal(18,6)")
     val tfNorm = round(col("tf") * (lit(k1) + lit(1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))), 6)
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl)), 6)
       .cast("decimal(18,6)")
     val scored = broadcast(qterms)
       .join(tf, Seq("term"))
@@ -420,6 +441,32 @@ object TextAnalysis {
       .agg(round(sum(col("c")).cast("double"), 6).as("score"))
     Similarity.perQueryTopK(scored, k, idName = "doc_id")
   }
+
+  /** Persist the BM25 retrieval index — postings `(doc_id, dl, term,
+    * tf)` and the one-row `(n_docs, sum_dl)` stats — so later query
+    * batches ([[bm25TopKFromIndex]]) never touch the corpus text again:
+    * the [[Dedup.writeCorpusSignatures]] discipline applied to
+    * retrieval. One tokenize pass at write time buys every later query
+    * set a read of two narrow columnar relations; at 100 TB the corpus
+    * text is the thing you cannot afford to re-tokenize per query
+    * batch. */
+  def writeBm25Index(df: DataFrame, textCol: String, idCol: String,
+      dir: String): Unit = {
+    val (tf, stats) = bm25Corpus(df, textCol, idCol)
+    tf.write.mode("overwrite").parquet(s"$dir/postings")
+    stats.write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** [[bm25TopK]] against a PERSISTED index ([[writeBm25Index]] output)
+    * instead of the corpus: byte-identical scores (exact-integer stats
+    * → the same derived avgdl; the registered query shares q_x28's
+    * oracle verbatim — output equality is the proof), but the corpus
+    * text is never scanned. */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: Seq[(Int, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Score(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/stats"), queries, k, k1, b)
 
   /** Feature-hashing vectorizer (Weinberger et al. 2009, "Feature
     * Hashing for Large Scale Multitask Learning" — the HashingTF

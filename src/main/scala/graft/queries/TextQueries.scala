@@ -93,6 +93,41 @@ object TextQueries extends graft.QueryPack {
        |         ELSE COALESCE(a.n_bpe, 0) END AS BIGINT) AS n_bpe
        |  FROM documents doc LEFT JOIN bagg a USING (doc_id))""".stripMargin
 
+  /** The q_x28/q_x31 query set and its DuckDB oracle (shared verbatim —
+    * the index-backed variant must score byte-identically). */
+  private val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("spark", "join", "fast"),
+    1 -> Seq("window", "stream"),
+    2 -> Seq("customer", "merge", "table"))
+
+  private lazy val duckBm25: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t)
+      |  GROUP BY 1, 2, 3),
+      |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl FROM t),
+      |q AS (SELECT * FROM (VALUES
+      |    (0, 'spark'), (0, 'join'), (0, 'fast'),
+      |    (1, 'window'), (1, 'stream'),
+      |    (2, 'customer'), (2, 'merge'), (2, 'table')) AS v(query_id, term)),
+      |sc AS (SELECT query_id, doc_id,
+      |    CAST(ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) AS DECIMAL(18,6)) *
+      |    CAST(ROUND(tf * (1.2 + 1.0) /
+      |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS DECIMAL(18,6)) AS c
+      |  FROM q JOIN tf USING (term) JOIN dfr USING (term), st),
+      |agg AS (SELECT query_id, doc_id,
+      |    ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
+      |  FROM sc GROUP BY 1, 2)
+      |SELECT query_id, doc_id, score, rnk FROM (
+      |  SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+      |  FROM agg)
+      |WHERE rnk <= 10""".stripMargin
+
   override def queries: Seq[Q] = Seq(
 
     // ---- X1: token counting -------------------------------------------
@@ -314,37 +349,21 @@ object TextQueries extends graft.QueryPack {
     // ---- X28: BM25 keyword retrieval, bounded top-k per query -----------
     Q("q_x28_bm25",
       (s, d) => TextAnalysis.bm25TopK(Tables.documents(s, d), "text", "doc_id",
-        queries = Seq(
-          0 -> Seq("spark", "join", "fast"),
-          1 -> Seq("window", "stream"),
-          2 -> Seq("customer", "merge", "table")),
-        k = 10),
-      Some("""WITH t AS (SELECT doc_id,
-             |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
-             |  FROM documents),
-             |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
-             |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t)
-             |  GROUP BY 1, 2, 3),
-             |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-             |st AS (SELECT COUNT(*) AS n_docs,
-             |    CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl FROM t),
-             |q AS (SELECT * FROM (VALUES
-             |    (0, 'spark'), (0, 'join'), (0, 'fast'),
-             |    (1, 'window'), (1, 'stream'),
-             |    (2, 'customer'), (2, 'merge'), (2, 'table')) AS v(query_id, term)),
-             |sc AS (SELECT query_id, doc_id,
-             |    CAST(ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) AS DECIMAL(18,6)) *
-             |    CAST(ROUND(tf * (1.2 + 1.0) /
-             |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS DECIMAL(18,6)) AS c
-             |  FROM q JOIN tf USING (term) JOIN dfr USING (term), st),
-             |agg AS (SELECT query_id, doc_id,
-             |    ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
-             |  FROM sc GROUP BY 1, 2)
-             |SELECT query_id, doc_id, score, rnk FROM (
-             |  SELECT *, row_number() OVER (
-             |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
-             |  FROM agg)
-             |WHERE rnk <= 10""".stripMargin)),
+        queries = bm25Queries, k = 10),
+      Some(duckBm25)),
+
+    // ---- X31: BM25 from a PERSISTED index (nightly retrieval shape) -----
+    // Index written once (postings + raw stats parquet), queries scored
+    // without touching the corpus text. Shares q_x28's oracle VERBATIM:
+    // output equality is the proof.
+    Q("q_x31_bm25_index",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_bm25_").toString
+        TextAnalysis.writeBm25Index(Tables.documents(s, d), "text", "doc_id", dir)
+        TextAnalysis.bm25TopKFromIndex(s, dir, bm25Queries, k = 10)
+      },
+      Some(duckBm25)),
 
     // ---- X30: topic clustering over hashed-tf doc vectors ---------------
     // The model-free text→vector bridge: feature-hash every doc into a

@@ -193,7 +193,10 @@ object ScaleProbe {
     spark.stop()
   }
 
-  /** Token-salted ×`f` amplification of `src/documents.parquet`. */
+  /** Token-salted ×`f` amplification of `src/documents.parquet`, plus
+    * key-shifted copies of `events` (new user ids per copy — per-key row
+    * counts stay constant, the realistic growth axis) and `orders`, so
+    * corpus-mode probes can run any documents/events/orders query. */
   private def amplify(spark: SparkSession, src: String, dst: String, f: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val n = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
@@ -205,6 +208,29 @@ object ScaleProbe {
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    // raw events.ts is TIMESTAMP(NANOS): read as long (the Tables.events
+    // flag) and pass the raw nanos through untouched — the copy lands as
+    // plain INT64, which Tables.events handles identically
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val (en, eu) = {
+      val r = ev.agg(max(col("event_id")), max(col("user_id"))).head
+      (r.getLong(0) + 1, r.getLong(1) + 1)
+    }
+    (0 until f).map { k =>
+      ev.select((col("event_id") + lit(k * en)).as("event_id"), col("ts"),
+        (col("user_id") + lit(k * eu)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val on = ord.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+    (0 until f).map { k =>
+      ord.select((col("o_orderkey") + lit(k * on)).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
   }
 
   /** Id-remapped ×`f` amplification of `src/embeddings.parquet`. */

@@ -275,6 +275,24 @@ class TextOpsSpec extends AnyFunSuite {
       .getMessage.contains("dims"))
   }
 
+  test("bm25 index: persisted scores equal direct, corpus text never scanned") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val qs = Seq(0 -> Seq("spark", "join"), 1 -> Seq("customer"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25spec_").toString
+    TextAnalysis.writeBm25Index(docs, "text", "doc_id", dir)
+    val fromIdx = TextAnalysis.bm25TopKFromIndex(spark, dir, qs, k = 5)
+    val direct = TextAnalysis.bm25TopK(docs, "text", "doc_id", qs, k = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(fromIdx) === rows(direct),
+      "index-backed scoring must be byte-identical to direct scoring")
+    // the index path's plan reads ONLY the persisted relations
+    val p = fromIdx.queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"),
+      s"index path must not re-scan the corpus:\n$p")
+  }
+
   test("chunking is map-only and validates its window geometry") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = TextAnalysis.chunk(docs, 64, 16)
