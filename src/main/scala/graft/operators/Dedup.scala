@@ -53,13 +53,8 @@ object Dedup {
   def spanDedup(docs: DataFrame, textCol: String, idCol: String,
       window: Int = 8): DataFrame = {
     require(window >= 1, s"span window must be >= 1, got $window")
-    val nSpans = floor((size(col("toks")) - 1) / lit(window)).cast("int") + 1
-    val spans =
-      Par.spread(docs.select(col(idCol).as("sid"), TextAnalysis.tokens(col(textCol)).as("toks")))
-        .filter(size(col("toks")) > 0)
-        .select(col("sid"), posexplode(transform(sequence(lit(0), nSpans - 1),
-          c => array_join(slice(col("toks"), c * window + 1, lit(window)), " ")))
-          .as(Seq("c", "span")))
+    val spans = docSpans(docs, textCol, idCol, window)
+      .select(col("sid"), col("c"), col("span"))
     spans.groupBy(col("span"))
       .agg(min(struct(col("sid"), col("c"))).as("f")) // global first occurrence
       .select(col("f.sid").as("sid"), col("f.c").as("c"), col("span"))
@@ -91,19 +86,30 @@ object Dedup {
     * reassembly aggregation keyed by doc id. No window over the corpus,
     * no driver-side state. At 100 TB swap the join/agg key to
     * `md5(span)` exactly as [[spanDedup]] documents. */
+  /** The consecutive non-overlapping `window`-token span relation
+    * `(sid, ns, c, span)` shared by [[spanDedup]] and
+    * [[boilerplateScrub]] (`ns` = the doc's span count): map-only slice
+    * over the token array, no token explode. Token-less docs drop out.
+    * At 100 TB swap the downstream join/agg key to `md5(span)` and
+    * carry the text only through the reassembly side — one change, both
+    * consumers. */
+  private def docSpans(docs: DataFrame, textCol: String, idCol: String,
+      window: Int): DataFrame = {
+    val nSpans = floor((size(col("toks")) - 1) / lit(window)).cast("int") + 1
+    Par.spread(docs.select(col(idCol).as("sid"), TextAnalysis.tokens(col(textCol)).as("toks")))
+      .filter(size(col("toks")) > 0)
+      .select(col("sid"), nSpans.as("ns"),
+        posexplode(transform(sequence(lit(0), nSpans - 1),
+          c => array_join(slice(col("toks"), c * window + 1, lit(window)), " ")))
+          .as(Seq("c", "span")))
+  }
+
   def boilerplateScrub(docs: DataFrame, textCol: String, idCol: String,
       window: Int = 8, minDocFreq: Int = 2): DataFrame = {
     require(window >= 1, s"span window must be >= 1, got $window")
     require(minDocFreq >= 2,
       s"minDocFreq must be >= 2 (1 would scrub every span), got $minDocFreq")
-    val nSpans = floor((size(col("toks")) - 1) / lit(window)).cast("int") + 1
-    val spans =
-      Par.spread(docs.select(col(idCol).as("sid"), TextAnalysis.tokens(col(textCol)).as("toks")))
-        .filter(size(col("toks")) > 0)
-        .select(col("sid"), nSpans.as("ns"),
-          posexplode(transform(sequence(lit(0), nSpans - 1),
-            c => array_join(slice(col("toks"), c * window + 1, lit(window)), " ")))
-            .as(Seq("c", "span")))
+    val spans = docSpans(docs, textCol, idCol, window)
     val hot = spans.groupBy(col("span"))
       .agg(countDistinct(col("sid")).as("span_df"))
       .filter(col("span_df") >= minDocFreq)

@@ -10,13 +10,17 @@ import org.apache.spark.sql.functions._
   * REPORTS them — reconciliation checks, CDC bootstrapping, sink
   * validation).
   *
-  * Non-key columns compare via an md5 over their null-safe string forms
-  * (unit-separator joined, a distinct sentinel for NULL so `("a", null)`
-  * never collides with `("a", "")` or a shifted split) — so the compare
-  * cost is one map-side hash per row and the join carries one 32-char
-  * hash instead of the full row. Callers hashing floating-point columns
-  * should pre-cast them to DECIMAL in the snapshot projection: double →
-  * string rendering is engine-specific, exact decimals are not.
+  * Non-key columns compare via an md5 over the concatenation of each
+  * column's OWN md5 (with a non-hex sentinel for NULL): every component
+  * is either exactly 32 hex chars or the literal `null`, which contains
+  * no hex digit — so the token stream parses unambiguously and no
+  * arrangement of values (separators embedded in data, null vs empty
+  * string, shifted splits) can make two different rows concatenate
+  * equal. The compare cost is one map-side hash chain per row and the
+  * join carries one 32-char hash instead of the full row. Callers
+  * hashing floating-point columns should pre-cast them to DECIMAL in
+  * the snapshot projection: double → string rendering is
+  * engine-specific, exact decimals are not.
   *
   * Keys are assumed unique per snapshot (it is a snapshot, not a log);
   * duplicate keys fan out through the full-outer join exactly as SQL
@@ -28,9 +32,6 @@ import org.apache.spark.sql.functions._
   */
 object Diff {
 
-  private val sep = "\u001f"      // unit separator
-  private val nullMark = "\u001e" // record separator as the NULL sentinel
-
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
@@ -39,8 +40,11 @@ object Diff {
         s"${newSnap.columns.toSeq}")
     val cmp = oldSnap.columns.toSeq.filterNot(keyCols.contains)
     require(cmp.nonEmpty, "snapshots have no non-key columns to compare")
-    val rowHash = md5(concat_ws(sep,
-      cmp.map(c => coalesce(col(c).cast("string"), lit(nullMark))): _*))
+    // "null" contains no hex digit, md5 output is exactly 32 hex chars:
+    // the concatenation parses unambiguously, so distinct value tuples
+    // can never hash-collide by construction (only by md5 itself)
+    val rowHash = md5(concat(
+      cmp.map(c => coalesce(md5(col(c).cast("string")), lit("null"))): _*))
     val o = oldSnap.select(keyCols.map(col) :+ rowHash.as("__h_old"): _*)
     val n = newSnap.select(keyCols.map(col) :+ rowHash.as("__h_new"): _*)
     o.join(n, keyCols, "full_outer")

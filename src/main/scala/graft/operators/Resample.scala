@@ -135,12 +135,19 @@ object Resample {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(unix_micros(col(tsCol)))
       .rangeBetween(-windowMicros, 0)
-    obs.select(col("*"), unix_micros(col(tsCol)).as("__us"))
+    // avg divides by the NON-NULL value count (SQL AVG semantics — the
+    // null-skipping sum over a null-counting denominator would silently
+    // deflate averages on sparse observations); n_win stays the frame's
+    // row count, and an all-null frame averages to null, not 0
+    obs
       .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("n_val", count(col(valueCol)).over(w))
       .withColumn("sum_dec",
         sum(col(valueCol).cast(DecimalType(18, 2))).over(w))
       .select(col(keyCol), col(tsCol), col(valueCol),
         col("n_win"),
-        round(col("sum_dec").cast("double") / col("n_win"), 4).as("avg_win"))
+        when(col("n_val") > 0,
+          round(col("sum_dec").cast("double") / col("n_val"), 4))
+          .as("avg_win"))
   }
 }

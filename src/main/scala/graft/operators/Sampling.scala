@@ -164,6 +164,10 @@ object Sampling {
       maxDomains: Int = 100000): DataFrame = {
     require(total > 0, s"total must be positive, got $total")
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(df.schema(domainCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"$domainCol must be a string domain column, got " +
+        s"${df.schema(domainCol).dataType}")
     val counts = df.filter(col(domainCol).isNotNull && col(idCol).isNotNull)
       .groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))

@@ -423,9 +423,15 @@ object TextAnalysis {
     require(k >= 1, s"k must be >= 1, got $k")
     val sp = tf.sparkSession
     import sp.implicits._
-    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qterms = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t.toLowerCase)) }
       .toDF("query_id", "term")
+    // restrict the postings to the query terms BEFORE the df aggregation:
+    // df(t) only depends on t's own postings, and aggregating the whole
+    // corpus vocabulary to then keep a handful of terms is the dominant
+    // wasted shuffle of a repeated-query-batch workload
+    val tfQ = tf.join(broadcast(qterms.select(col("term")).distinct()),
+      Seq("term"), "left_semi")
+    val dfr = tfQ.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = round(log((col("n_docs") - col("df") + lit(0.5)) /
       (col("df") + lit(0.5)) + lit(1.0)), 6).cast("decimal(18,6)")
@@ -433,7 +439,7 @@ object TextAnalysis {
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl)), 6)
       .cast("decimal(18,6)")
     val scored = broadcast(qterms)
-      .join(tf, Seq("term"))
+      .join(tfQ, Seq("term"))
       .join(dfr, Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"), (idf * tfNorm).as("c"))

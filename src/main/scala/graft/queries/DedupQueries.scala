@@ -318,8 +318,7 @@ object DedupQueries extends graft.QueryPack {
     Q("q_d13_incremental_sigs",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_sigs_").toString
+        val dir = TempDirs.scratch("graft_sigs_")
         Dedup.writeCorpusSignatures(
           docs.filter(col("doc_id") % 3 === 0), "text", "doc_id", dir)
         Dedup.dedupAgainstSignatures(

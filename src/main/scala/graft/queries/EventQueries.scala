@@ -156,8 +156,9 @@ object EventQueries extends graft.QueryPack {
         "user_id", "ts", "value", windowMicros = 600000000L),
       Some("""SELECT user_id, ts, value,
              |  COUNT(*) OVER w AS n_win,
-             |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
-             |    / COUNT(*) OVER w, 4) AS avg_win
+             |  CASE WHEN COUNT(value) OVER w > 0 THEN
+             |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             |      / COUNT(value) OVER w, 4) END AS avg_win
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin)),

@@ -358,8 +358,7 @@ object TextQueries extends graft.QueryPack {
     // output equality is the proof.
     Q("q_x31_bm25_index",
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_bm25_").toString
+        val dir = TempDirs.scratch("graft_bm25_")
         TextAnalysis.writeBm25Index(Tables.documents(s, d), "text", "doc_id", dir)
         TextAnalysis.bm25TopKFromIndex(s, dir, bm25Queries, k = 10)
       },

@@ -175,7 +175,11 @@ object ScaleProbe {
     val factors = if (vecMode) Seq(1, 10, 100) else Seq(1, 4, 16)
     factors.foreach { f =>
       val dir = if (vecMode) s"target/scaleprobe/v$f" else s"target/scaleprobe/x$f"
-      val marker = new java.io.File(s"$dir/.done")
+      // marker is VERSIONED: corpus-mode dirs amplified before events/
+      // orders were added carry only .done and regenerate instead of
+      // crashing the newly-supported events/orders probes
+      val marker = new java.io.File(
+        if (vecMode) s"$dir/.done" else s"$dir/.done_v2")
       if (!marker.exists) {
         if (vecMode) amplifyVec(spark, "/root/testdata/sf0.1", dir, f)
         else amplify(spark, "/root/testdata/sf0.1", dir, f)

@@ -129,6 +129,22 @@ class ResampleSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       Resample.trailingAgg(obs, "user_id", "ts", "value", -1L))
       .getMessage.contains("windowMicros"))
+    // null observations: SQL AVG semantics — null values stay out of the
+    // denominator; an all-null frame averages to null, not 0
+    val sparse = Seq(
+      (9L, ts("2024-01-01 00:00:00"), Some(10.0)),
+      (9L, ts("2024-01-01 00:05:00"), None: Option[Double]),
+      (8L, ts("2024-01-01 00:00:00"), None: Option[Double])
+    ).toDF("user_id", "ts", "value")
+    val g2 = Resample.trailingAgg(sparse, "user_id", "ts", "value", 600000000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .sortBy(t => (t._1, t._2.getTime))
+    assert(g2 === Seq(
+      (8L, ts("2024-01-01 00:00:00"), 1L, None),
+      (9L, ts("2024-01-01 00:00:00"), 1L, Some(10.0)),
+      (9L, ts("2024-01-01 00:05:00"), 2L, Some(10.0))))
   }
 
   test("step must be positive") {

@@ -101,6 +101,12 @@ class ScdProfileSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
       4L -> "removed", 5L -> "added"))
+    // shifted splits can't collide: ("a?","b") vs ("a","?b") is CHANGED
+    // for any separator-ish character ? because each column hashes alone
+    val shiftOld = Seq((1L, "a\u001f", "b")).toDF("id", "s1", "s2")
+    val shiftNew = Seq((1L, "a", "\u001fb")).toDF("id", "s1", "s2")
+    assert(graft.operators.Diff.snapshotDiff(shiftOld, shiftNew, Seq("id"))
+      .head().getString(1) === "changed")
     // schema drift and key-only snapshots fail fast
     assert(intercept[IllegalArgumentException](
       graft.operators.Diff.snapshotDiff(oldSnap,
