@@ -27,18 +27,37 @@ import org.apache.spark.sql.functions._
   */
 object Anomaly {
 
-  def zscores(obs: DataFrame, keyCol: String, valueCol: String,
-      threshold: Double, broadcastMoments: Boolean = true): DataFrame = {
+  /** The per-key moments relation `(<keyCol>, mean, sd)` — 6-dp-rounded,
+    * null keys aggregated as their own cohort. Persist or snapshot this
+    * to score a LATER stream against history ([[scoreAgainstMoments]],
+    * `EventStreams.anomalyFlags`). */
+  def moments(obs: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    obs.groupBy(col(keyCol))
+      .agg(round(avg(col(valueCol)), 6).as("mean"),
+        round(stddev_samp(col(valueCol)), 6).as("sd"))
+
+  /** Score observations against an EXPLICIT `(<keyCol>, mean, sd)`
+    * moments relation — the scoring half of [[zscores]], shared with the
+    * streaming path (it is one broadcast join + map-side arithmetic, so
+    * it runs unchanged under Structured Streaming). Keys with no moments
+    * row (cold start), sd = 0, or a single observation get z = null and
+    * flag nothing; every input row comes back. */
+  def scoreAgainstMoments(obs: DataFrame, mom: DataFrame, keyCol: String,
+      valueCol: String, threshold: Double,
+      broadcastMoments: Boolean = true): DataFrame = {
     require(threshold > 0, s"threshold must be positive, got $threshold")
-    val moments = obs.groupBy(col(keyCol))
-      .agg(round(avg(col(valueCol)), 6).as("__mean"),
-        round(stddev_samp(col(valueCol)), 6).as("__sd"))
-      .withColumnRenamed(keyCol, "__mk")
-    val mSide = if (broadcastMoments) broadcast(moments) else moments
+    val m = mom.select(col(keyCol).as("__mk"), col("mean").as("__mean"),
+      col("sd").as("__sd"))
+    val mSide = if (broadcastMoments) broadcast(m) else m
     val z = round((col(valueCol) - col("__mean")) / col("__sd"), 6)
     obs.join(mSide, col(keyCol) <=> col("__mk"), "left")
       .withColumn("z", when(col("__sd") > 0, z))
       .withColumn("is_anomaly", coalesce(abs(col("z")) >= threshold, lit(false)))
       .drop("__mk", "__mean", "__sd")
   }
+
+  def zscores(obs: DataFrame, keyCol: String, valueCol: String,
+      threshold: Double, broadcastMoments: Boolean = true): DataFrame =
+    scoreAgainstMoments(obs, moments(obs, keyCol, valueCol), keyCol,
+      valueCol, threshold, broadcastMoments)
 }

@@ -187,6 +187,33 @@ object EventQueries extends graft.QueryPack {
              |FROM events e
              |JOIN m ON e.user_id IS NOT DISTINCT FROM m.user_id""".stripMargin)),
 
+    // ---- E13: streaming anomaly flags vs a history-moments snapshot -----
+    // The q_e7 discipline: the batch query runs the STREAMING operator
+    // itself. Moments train on the even-id history half; every event
+    // (including cold-start odd-only users, if any) scores against that
+    // snapshot — unlike q_e9, which scores each key against its own
+    // full-stream distribution.
+    Q("q_e13_stream_anomaly",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"))
+        val mom = graft.operators.Anomaly.moments(
+          ev.filter(col("event_id") % 2 === 0), "user_id", "value")
+        graft.streaming.EventStreams.anomalyFlags(ev, mom, threshold = 2.0)
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, ROUND(AVG(value), 6) AS mean,
+             |         ROUND(STDDEV_SAMP(value), 6) AS sd
+             |  FROM events WHERE event_id % 2 = 0 GROUP BY 1)
+             |SELECT e.event_id, e.user_id, e.value,
+             |  CASE WHEN m.sd > 0
+             |       THEN ROUND((e.value - m.mean) / m.sd, 6) END AS z,
+             |  COALESCE(CASE WHEN m.sd > 0
+             |       THEN ABS(ROUND((e.value - m.mean) / m.sd, 6)) >= 2.0 END,
+             |    FALSE) AS is_anomaly
+             |FROM events e
+             |LEFT JOIN m ON e.user_id IS NOT DISTINCT FROM m.user_id""".stripMargin)),
+
     // ---- E10: SCD type-2 dimension build from the event change log ------
     // Change compression (consecutive equal states collapse) + validity
     // intervals via lead(); the oracle replays both window passes.

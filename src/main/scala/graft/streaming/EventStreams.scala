@@ -87,6 +87,23 @@ object EventStreams {
     customer.select(col("c_custkey").cast("long").as("user_id"),
       col("c_mktsegment").as("segment"))
 
+  /** Streaming anomaly flagging against a SNAPSHOT moments dimension —
+    * the production monitoring shape: per-key moments are trained on
+    * HISTORY (a batch [[graft.operators.Anomaly.moments]] pass, e.g.
+    * nightly), and the live stream scores each event against them with
+    * one broadcast join + map-side arithmetic — stateless, so it runs
+    * identically over a stream or a batch frame, and the same
+    * dim-snapshot/restart contract as [[enrichedSegmentCounts]] applies
+    * to rolling in refreshed moments. Cold-start keys (no history row)
+    * come through with z = null, flagged false — events are never
+    * dropped by monitoring. Left stream-static joins are append-safe:
+    * no state store, no watermark needed. */
+  def anomalyFlags(events: DataFrame, moments: DataFrame,
+      threshold: Double = 2.0): DataFrame =
+    graft.operators.Anomaly.scoreAgainstMoments(
+      events.select(col("event_id"), col("user_id"), col("value")),
+      moments, "user_id", "value", threshold)
+
   /** Session windows with a 30-minute inactivity gap, per user. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "1 hour"): DataFrame =

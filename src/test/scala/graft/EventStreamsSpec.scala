@@ -107,6 +107,27 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly flags vs history moments == batch run of the operator") {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val mom = graft.operators.Anomaly.moments(
+      ev.filter(col("event_id") % 2 === 0), "user_id", "value")
+    // stateless stream-static left join: append mode, no watermark
+    val q = EventStreams.runToMemory(
+      EventStreams.anomalyFlags(EventStreams.readEvents(spark, path), mom),
+      "anomaly_out", "append")
+    try {
+      val streamed = spark.table("anomaly_out")
+      val batch = SparkEntry.queries("q_e13_stream_anomaly")(spark, dir)
+      assert(streamed.count() === batch.count())
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+      // the flagged set is non-trivial in both directions
+      assert(streamed.filter(col("is_anomaly")).count() > 0)
+      assert(streamed.filter(!col("is_anomaly")).count() > 0)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: the dim snapshots at query start; a restart rolls it") {
     // pins the operational contract the operator documents: a running
     // query keeps the dimension it started with (an in-place parquet
