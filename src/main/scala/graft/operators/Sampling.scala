@@ -187,6 +187,41 @@ object Sampling {
     mixtureSample(df, domainCol, idCol, salt, quotas)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): each row draws
+    * `key = u^(1/w)` with `u ∈ (0,1)` and the k LARGEST keys win —
+    * inclusion probability proportional to weight, no replacement, one
+    * pass. The training-data use: quality-weighted corpus sampling
+    * (w = a quality score) instead of hard thresholding.
+    *
+    * Deterministic and engine-replayable: `u` derives from the first 8
+    * md5 hex chars of `salt|id` shifted by +0.5 and divided by 2^32 —
+    * integer arithmetic plus a power-of-two division, so `u` is the
+    * same double everywhere and never 0 — and the key rounds to 12 dp
+    * (absorbing ≤1-ulp pow() differences) with ties broken by id.
+    *
+    * Scale shape: the ranking is ONE global [[graft.functions.TopKAggregator]]
+    * aggregation — each map task ships at most k (key, id) pairs, the
+    * single reducer merges bounded buffers; no corpus sort, no window.
+    * Rows with null/non-positive weight or null id are excluded (E-S is
+    * defined for w > 0). Returns `(<idCol>, wkey, rnk)`, best first. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      salt: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"$idCol must be an integral id column, got $idType")
+    val u = (conv(substring(saltedKey(col(idCol), salt), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val key = round(pow(u, lit(1.0) / col(weightCol)), 12)
+    df.filter(col(idCol).isNotNull && col(weightCol) > 0)
+      .select(key.as("wkey"), col(idCol).cast("long").as("id"))
+      .agg(TopKAggregator.topKColumn(k)(col("wkey"), col("id")).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.id").cast(idType).as(idCol),
+        col("t.score").as("wkey"), (col("pos") + lit(1)).as("rnk"))
+  }
+
   /** [[mixtureSample]] with quotas derived from target weights:
     * `quota(d) = max(1, floor(weights(d) × total))` — a listed domain is
     * never silently dropped: a weight whose floor is 0 still contributes

@@ -565,6 +565,26 @@ object RelationalQueries extends graft.QueryPack {
              |       ELSE 'changed' END AS status
              |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey""".stripMargin)),
 
+    // ---- X32: weighted sampling without replacement (E-S reservoir) -----
+    // Quality-weighted corpus sampling: longer docs (n_chars as the
+    // weight stand-in) are proportionally likelier, short docs still
+    // possible — no hard threshold. One bounded global top-k.
+    Q("q_x32_weighted_sample",
+      (s, d) => graft.operators.Sampling.weightedSample(
+        Tables.documents(s, d), "doc_id", "n_chars", "ws", k = 50),
+      Some("""SELECT doc_id, wkey, rnk FROM (
+             |  SELECT doc_id, wkey,
+             |    row_number() OVER (ORDER BY wkey DESC, doc_id) AS rnk
+             |  FROM (
+             |    SELECT doc_id,
+             |      ROUND(POW(
+             |        (CAST('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 8)
+             |          AS BIGINT) + 0.5) / 4294967296.0,
+             |        1.0 / n_chars), 12) AS wkey
+             |    FROM documents
+             |    WHERE doc_id IS NOT NULL AND n_chars > 0))
+             |WHERE rnk <= 50""".stripMargin)),
+
     // ---- X19: training-mixture sampling (exact per-domain quotas) -------
     // Materialize a pretraining mix from an over-supplied corpus: each
     // listed source contributes exactly its quota (its lowest-md5 docs),

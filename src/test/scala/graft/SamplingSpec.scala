@@ -89,6 +89,33 @@ class SamplingSpec extends AnyFunSuite {
         maxDomains = 2)).getMessage.contains("maxDomains"))
   }
 
+  test("weighted sampling: proportional inclusion, determinism, exclusions") {
+    import spark.implicits._
+    // heavy rows (w=50) vs light rows (w=1): over a 200-row population
+    // the k=40 sample must be dominated by heavy rows, but E-S keeps
+    // light rows possible — assert dominance, not exclusion
+    val pop = ((1L to 100L).map(i => (i, 50L)) ++
+      (101L to 200L).map(i => (i, 1L))).toDF("doc_id", "w")
+    val got = Sampling.weightedSample(pop, "doc_id", "w", "t", k = 40)
+    val picked = got.collect().map(_.getLong(0))
+    assert(picked.length === 40)
+    assert(picked.distinct.length === 40, "without replacement")
+    val heavy = picked.count(_ <= 100L)
+    assert(heavy >= 30, s"w=50 rows must dominate the sample, got $heavy/40")
+    // deterministic and layout-independent
+    val again = Sampling.weightedSample(pop.repartition(17), "doc_id", "w", "t", 40)
+      .collect().map(_.getLong(0))
+    assert(again.toSeq === picked.toSeq)
+    // null/non-positive weights and null ids are excluded, not errors
+    val dirty = Seq((1L, Some(5L)), (2L, Some(0L)), (3L, None: Option[Long]))
+      .toDF("doc_id", "w")
+    assert(Sampling.weightedSample(dirty, "doc_id", "w", "t", 10)
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(intercept[IllegalArgumentException](
+      Sampling.weightedSample(pop, "doc_id", "w", "t", 0))
+      .getMessage.contains("k"))
+  }
+
   test("class balancing levels every class to the smallest one") {
     val out = Sampling.balanceClasses(docs, "lang", "doc_id", "bal")
     val counts = out.groupBy("lang").count()
