@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Numeric feature conditioning — the scaling/clipping prep a training
+  * pipeline runs before features leave the warehouse. Both operators are
+  * the [[Anomaly]] two-pass shape: one hash aggregation for the
+  * per-group statistics, one equi-join back (broadcast while the group
+  * side is keys-sized), map-side arithmetic — never a `PARTITION BY`
+  * window re-sorting the observation stream.
+  *
+  * Numerics: statistics round to 6 dp before the arithmetic, outputs
+  * round to 6 dp — every op between is a single IEEE double operation,
+  * so results replay bit-for-bit in a relational oracle.
+  */
+object Features {
+
+  /** Per-group min-max scaling: `scaled = (x − min) / (max − min)` onto
+    * [0, 1]. Degenerate groups (min = max, a constant feature) scale to
+    * null rather than dividing by zero — a constant carries no signal
+    * and flagging that beats inventing a midpoint. Null keys form their
+    * own cohort (null-safe join); null values pass through as null.
+    * Returns the input plus `<valueCol>_scaled`. */
+  def minMaxScale(df: DataFrame, keyCol: String, valueCol: String,
+      broadcastStats: Boolean = true): DataFrame = {
+    val stats = df.groupBy(col(keyCol))
+      .agg(round(min(col(valueCol)), 6).as("__lo"),
+        round(max(col(valueCol)), 6).as("__hi"))
+      .withColumnRenamed(keyCol, "__sk")
+    val sSide = if (broadcastStats) broadcast(stats) else stats
+    df.join(sSide, col(keyCol) <=> col("__sk"), "left")
+      .withColumn(s"${valueCol}_scaled",
+        when(col("__hi") > col("__lo"),
+          round((col(valueCol) - col("__lo")) / (col("__hi") - col("__lo")), 6)))
+      .drop("__sk", "__lo", "__hi")
+  }
+
+  /** Winsorize: clip `valueCol` at the exact [pLo, pHi] corpus
+    * percentiles — the standard outlier-damping transform (heavy-tailed
+    * rewards, response times) that preserves ranks while bounding
+    * leverage. Exact interpolated percentiles via one global aggregate
+    * (two doubles broadcast — never a sort of the corpus). Cutoffs and
+    * output round to 6 dp. Returns the input plus `<valueCol>_wins`. */
+  def winsorize(df: DataFrame, valueCol: String,
+      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got $pLo / $pHi")
+    val cuts = df.select(
+      round(expr(s"percentile($valueCol, $pLo)"), 6).as("__lo"),
+      round(expr(s"percentile($valueCol, $pHi)"), 6).as("__hi"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(s"${valueCol}_wins",
+        round(least(greatest(col(valueCol), col("__lo")), col("__hi")), 6))
+      .drop("__lo", "__hi")
+  }
+}

@@ -585,6 +585,38 @@ object RelationalQueries extends graft.QueryPack {
              |    WHERE doc_id IS NOT NULL AND n_chars > 0))
              |WHERE rnk <= 50""".stripMargin)),
 
+    // ---- X33: per-group min-max feature scaling --------------------------
+    // Two-pass agg+join (the Anomaly shape) — no per-key window sort;
+    // constant groups scale to null rather than inventing a midpoint.
+    Q("q_x33_minmax_scale",
+      (s, d) => graft.operators.Features.minMaxScale(
+        Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),
+        "user_id", "value"),
+      Some("""WITH st AS (
+             |  SELECT user_id, ROUND(MIN(value), 6) AS lo,
+             |         ROUND(MAX(value), 6) AS hi
+             |  FROM events GROUP BY 1)
+             |SELECT e.event_id, e.user_id, e.value,
+             |  CASE WHEN st.hi > st.lo
+             |       THEN ROUND((e.value - st.lo) / (st.hi - st.lo), 6)
+             |  END AS value_scaled
+             |FROM events e
+             |LEFT JOIN st ON e.user_id IS NOT DISTINCT FROM st.user_id""".stripMargin)),
+
+    // ---- X34: winsorization at exact corpus percentiles ------------------
+    Q("q_x34_winsorize",
+      (s, d) => graft.operators.Features.winsorize(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", pLo = 0.05, pHi = 0.95),
+      Some("""WITH c AS (
+             |  SELECT ROUND(quantile_cont(o_totalprice, 0.05), 6) AS lo,
+             |         ROUND(quantile_cont(o_totalprice, 0.95), 6) AS hi
+             |  FROM orders)
+             |SELECT o.o_orderkey, o.o_totalprice,
+             |  ROUND(LEAST(GREATEST(o.o_totalprice, c.lo), c.hi), 6)
+             |    AS o_totalprice_wins
+             |FROM orders o, c""".stripMargin)),
+
     // ---- X19: training-mixture sampling (exact per-domain quotas) -------
     // Materialize a pretraining mix from an over-supplied corpus: each
     // listed source contributes exactly its quota (its lowest-md5 docs),

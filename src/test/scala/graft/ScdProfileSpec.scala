@@ -118,6 +118,26 @@ class ScdProfileSpec extends AnyFunSuite {
       .getMessage.contains("non-key"))
   }
 
+  test("feature scaling: min-max per group, constant groups null, winsorize clips") {
+    import spark.implicits._
+    import graft.operators.Features
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 15.0), ("b", 7.0), ("b", 7.0))
+      .toDF("k", "v")
+    val sc = Features.minMaxScale(df, "k", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(sc === Set(("a", 10.0, Some(0.0)), ("a", 20.0, Some(1.0)),
+      ("a", 15.0, Some(0.5)),
+      ("b", 7.0, None)))   // constant group → null, not 0/0
+    // winsorize: exact percentiles of 1..10 at [0.1, 0.9] are 1.9 / 9.1
+    val w = Features.winsorize((1 to 10).map(_.toDouble).toDF("x"), "x",
+        pLo = 0.1, pHi = 0.9)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    assert(w(1.0) === 1.9 && w(10.0) === 9.1 && w(5.0) === 5.0)
+    assert(intercept[IllegalArgumentException](
+      Features.winsorize(df, "v", 0.9, 0.1)).getMessage.contains("pLo"))
+  }
+
   test("profile counts rows, nulls, and distincts per column in one pass") {
     import spark.implicits._
     val df = Seq(
