@@ -46,9 +46,12 @@ object Features {
       pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi,
       s"need 0 <= pLo < pHi <= 1, got $pLo / $pHi")
+    // backticked: the spliced name must stay a column reference even for
+    // non-identifier names ("my col", "a.b") — everywhere else col() does
+    // this; percentile has no Column-API exact form
     val cuts = df.select(
-      round(expr(s"percentile($valueCol, $pLo)"), 6).as("__lo"),
-      round(expr(s"percentile($valueCol, $pHi)"), 6).as("__hi"))
+      round(expr(s"percentile(`$valueCol`, $pLo)"), 6).as("__lo"),
+      round(expr(s"percentile(`$valueCol`, $pHi)"), 6).as("__hi"))
     df.crossJoin(broadcast(cuts))
       .withColumn(s"${valueCol}_wins",
         round(least(greatest(col(valueCol), col("__lo")), col("__hi")), 6))

@@ -38,6 +38,17 @@ object Sampling {
   def hashBucket(id: Column, salt: String, buckets: Int = 100): Column =
     bucketOfKey(saltedKey(id, salt), buckets)
 
+  /** Shared guard: ids ride the bounded MinK/TopK buffers as longs, so
+    * every sampler requires an integral id column. */
+  private def requireIntegralId(df: DataFrame,
+      idCol: String): org.apache.spark.sql.types.DataType = {
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"$idCol must be an integral id column, got $idType — ids ride the " +
+        "bounded sample buffers as longs; re-key the corpus first")
+    idType
+  }
+
   /** Split label: buckets [0, trainPct) → train, [trainPct,
     * trainPct+valPct) → val, rest → test. */
   def splitLabel(id: Column, salt: String, trainPct: Int, valPct: Int): Column = {
@@ -80,10 +91,7 @@ object Sampling {
     require(quotas.nonEmpty, "need at least one domain quota")
     require(quotas.values.forall(_ > 0), s"quotas must be positive: $quotas")
     val maxQ = quotas.values.max
-    val idType = df.schema(idCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
-      s"$idCol must be an integral id column, got $idType — ids ride the " +
-        "bounded MinK buffer as longs; re-key the corpus first")
+    val idType = requireIntegralId(df, idCol)
     val quotaDf = broadcast(
       df.sparkSession.createDataFrame(quotas.toSeq.sortBy(_._1))
         .toDF(domainCol, "quota"))
@@ -124,9 +132,7 @@ object Sampling {
     require(df.schema(classCol).dataType ==
         org.apache.spark.sql.types.StringType,
       s"$classCol must be a string class-label column")
-    require(Seq(ByteType, ShortType, IntegerType, LongType)
-        .contains(df.schema(idCol).dataType),
-      s"$idCol must be an integral id column, got ${df.schema(idCol).dataType}")
+    requireIntegralId(df, idCol)
     val counts = df.filter(col(classCol).isNotNull && col(idCol).isNotNull)
       .groupBy(col(classCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -203,18 +209,19 @@ object Sampling {
     * Scale shape: the ranking is ONE global [[graft.functions.TopKAggregator]]
     * aggregation — each map task ships at most k (key, id) pairs, the
     * single reducer merges bounded buffers; no corpus sort, no window.
-    * Rows with null/non-positive weight or null id are excluded (E-S is
-    * defined for w > 0). Returns `(<idCol>, wkey, rnk)`, best first. */
+    * Rows with null, non-positive, or NaN weight, or null id, are
+    * excluded (E-S is defined for finite w > 0; a NaN key would also
+    * rank last in the buffer's total order but first under a SQL ORDER
+    * BY DESC — excluding it keeps the operator replayable). Returns `(<idCol>, wkey, rnk)`, best first. */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       salt: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val idType = df.schema(idCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
-      s"$idCol must be an integral id column, got $idType")
+    val idType = requireIntegralId(df, idCol)
     val u = (conv(substring(saltedKey(col(idCol), salt), 1, 8), 16, 10)
       .cast("double") + lit(0.5)) / lit(4294967296.0)
     val key = round(pow(u, lit(1.0) / col(weightCol)), 12)
-    df.filter(col(idCol).isNotNull && col(weightCol) > 0)
+    df.filter(col(idCol).isNotNull && col(weightCol) > 0 &&
+        !isnan(col(weightCol).cast("double")))
       .select(key.as("wkey"), col(idCol).cast("long").as("id"))
       .agg(TopKAggregator.topKColumn(k)(col("wkey"), col("id")).as("top"))
       .select(posexplode(col("top")).as(Seq("pos", "t")))

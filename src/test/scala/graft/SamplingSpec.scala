@@ -106,8 +106,11 @@ class SamplingSpec extends AnyFunSuite {
     val again = Sampling.weightedSample(pop.repartition(17), "doc_id", "w", "t", 40)
       .collect().map(_.getLong(0))
     assert(again.toSeq === picked.toSeq)
-    // null/non-positive weights and null ids are excluded, not errors
-    val dirty = Seq((1L, Some(5L)), (2L, Some(0L)), (3L, None: Option[Long]))
+    // null/NaN/non-positive weights and null ids are excluded, not errors
+    val dirty = Seq(
+      (Some(1L), Some(5.0)), (Some(2L), Some(0.0)),
+      (Some(3L), None: Option[Double]), (Some(4L), Some(Double.NaN)),
+      (None: Option[Long], Some(9.0)))
       .toDF("doc_id", "w")
     assert(Sampling.weightedSample(dirty, "doc_id", "w", "t", 10)
       .collect().map(_.getLong(0)).toSeq === Seq(1L))
