@@ -275,4 +275,24 @@ object Kmeans {
     }
     chosenDf().localCheckpoint(true)
   }
+
+  /** Persist a trained quantizer `(centroid_id, cv)` so later batches
+    * assign against it without retraining — the third leg of the
+    * nightly-persistence triad ([[Dedup.writeCorpusSignatures]],
+    * `TextAnalysis.writeBm25Index`): train once on the curated corpus,
+    * classify every incremental batch with one broadcast-join pass
+    * ([[Similarity.assignToCentroids]] over [[readCentroids]]). The
+    * centroid table is k rows of floats — trivially small; the cost the
+    * store saves is the training passes over the corpus. */
+  def writeCentroids(centroids: DataFrame, dir: String): Unit =
+    centroids.select(col("centroid_id"), col("cv"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Read a persisted quantizer back as the `(centroid_id, cv)` frame
+    * every assign/search entry point accepts. */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("cv").cast("array<float>").as("cv"))
 }

@@ -128,6 +128,37 @@ object TextQueries extends graft.QueryPack {
       |  FROM agg)
       |WHERE rnk <= 10""".stripMargin
 
+  /** The q_x30/q_x35 oracle (shared verbatim — assignment against the
+    * persisted quantizer must equal train-and-assign in one job):
+    * hashed-tf vector build + both Lloyd iterations + final argmax via
+    * the shared [[DuckKmeansSql]] chain. */
+  private lazy val duckTopicClusters: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |tnz AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+       |htf AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 16 AS b,
+       |    COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tnz) GROUP BY 1, 2),
+       |ex AS (SELECT d.doc_id AS vec_id, r.i,
+       |    CAST(CAST(COALESCE(h.tf, 0) AS FLOAT) AS DOUBLE) AS v
+       |  FROM (SELECT doc_id FROM tnz) d
+       |  CROSS JOIN (SELECT unnest(range(1, 17)) AS i) r
+       |  LEFT JOIN htf h ON h.doc_id = d.doc_id AND h.b = r.i - 1),
+       |norms AS (SELECT vec_id,
+       |    sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+       |  FROM ex GROUP BY 1),
+       |c0 AS (SELECT vec_id AS centroid_id, CAST(v AS DOUBLE) AS cv, i
+       |  FROM ex WHERE vec_id < 8),
+       |${DuckKmeansSql.kmIter(1)},
+       |${DuckKmeansSql.kmIter(2)},
+       |${DuckKmeansSql.assignTail}
+       |SELECT vec_id AS doc_id, centroid_id FROM (
+       |  SELECT vec_id, centroid_id, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+       |  FROM s3) WHERE rn = 1""".stripMargin
+
   override def queries: Seq[Q] = Seq(
 
     // ---- X1: token counting -------------------------------------------
@@ -379,31 +410,25 @@ object TextQueries extends graft.QueryPack {
         Similarity.assignToCentroids(vecs, cents, "doc_id", "vec")
           .select(col("vec_id").as("doc_id"), col("centroid_id"))
       },
-      Some(s"""WITH t AS (SELECT doc_id,
-              |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
-              |  FROM documents),
-              |tnz AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
-              |htf AS (SELECT doc_id,
-              |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 16 AS b,
-              |    COUNT(*) AS tf
-              |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tnz) GROUP BY 1, 2),
-              |ex AS (SELECT d.doc_id AS vec_id, r.i,
-              |    CAST(CAST(COALESCE(h.tf, 0) AS FLOAT) AS DOUBLE) AS v
-              |  FROM (SELECT doc_id FROM tnz) d
-              |  CROSS JOIN (SELECT unnest(range(1, 17)) AS i) r
-              |  LEFT JOIN htf h ON h.doc_id = d.doc_id AND h.b = r.i - 1),
-              |norms AS (SELECT vec_id,
-              |    sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
-              |  FROM ex GROUP BY 1),
-              |c0 AS (SELECT vec_id AS centroid_id, CAST(v AS DOUBLE) AS cv, i
-              |  FROM ex WHERE vec_id < 8),
-              |${DuckKmeansSql.kmIter(1)},
-              |${DuckKmeansSql.kmIter(2)},
-              |${DuckKmeansSql.assignTail}
-              |SELECT vec_id AS doc_id, centroid_id FROM (
-              |  SELECT vec_id, centroid_id, row_number() OVER (
-              |      PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-              |  FROM s3) WHERE rn = 1""".stripMargin)),
+      Some(duckTopicClusters)),
+
+    // ---- X35: topic assignment from a PERSISTED quantizer ---------------
+    // The nightly shape: train once, persist the k-row centroid table,
+    // classify batches against the store without retraining. Shares
+    // q_x30's oracle VERBATIM — output equality is the proof.
+    Q("q_x35_topic_assign_store",
+      (s, d) => {
+        import graft.operators.{Kmeans, Similarity}
+        val vecs = TextAnalysis.hashedTfVectors(
+          Tables.documents(s, d), "text", "doc_id", dims = 16)
+        val dir = TempDirs.scratch("graft_cents_")
+        Kmeans.writeCentroids(
+          Kmeans.train(vecs, k = 8, iters = 2, "doc_id", "vec"), dir)
+        Similarity.assignToCentroids(vecs, Kmeans.readCentroids(s, dir),
+            "doc_id", "vec")
+          .select(col("vec_id").as("doc_id"), col("centroid_id"))
+      },
+      Some(duckTopicClusters)),
 
     Q("q_x7_train_split",
       (s, d) => {

@@ -382,6 +382,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(big.count() === n)
   }
 
+  test("persisted centroids round-trip: assignment from the store == in-job") {
+    import graft.operators.Kmeans
+    val cents = Kmeans.train(emb, 8, 2)
+    val dir = java.nio.file.Files.createTempDirectory("centspec_").toString
+    Kmeans.writeCentroids(cents, dir)
+    val back = Kmeans.readCentroids(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType.simpleString)).toSet ===
+      Set(("centroid_id", "bigint"), ("cv", "array<float>")))
+    val a = Similarity.assignToCentroids(emb, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Similarity.assignToCentroids(emb, back)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b, "store-backed assignment must equal in-job assignment")
+  }
+
   test("top-k buffers reject k < 1 at the driver, not inside executor tasks") {
     // with k <= 0 the old reduce path threw NoSuchElementException on
     // b.last deep inside a task; now construction fails fast
