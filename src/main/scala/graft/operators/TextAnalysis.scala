@@ -510,6 +510,54 @@ object TextAnalysis {
             .cast("float")).as("vec"))
   }
 
+  /** Content-defined chunking (the rolling-hash boundary rule of
+    * LBFS/rsync-family dedup, relationalized): a chunk boundary falls
+    * AFTER token i exactly when the hash of the k-gram ENDING at i is
+    * ≡ 0 mod `divisor` — so boundaries are decided by local content,
+    * not position, and an insertion near the head re-chunks only up to
+    * the next surviving boundary (fixed windows shift EVERY downstream
+    * span — [[graft.operators.Dedup.spanDedup]]'s known weakness, and
+    * why CDC is the chunker of storage dedup). Expected chunk length ≈
+    * `divisor` tokens; docs shorter than k tokens are one chunk.
+    *
+    * Entirely map-only: grams, boundary positions, and chunk slices are
+    * array HOFs over the materialized token column — zero shuffle; the
+    * downstream chunk-hash dedup/df is whatever keyed consumer the
+    * caller composes (the md5 is emitted per chunk for exactly that).
+    *
+    * Returns `(doc_id, c, chunk, chunk_hash)` with `c` the 0-based
+    * chunk ordinal; chunks reassemble to the document in order. */
+  def cdcChunks(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 4, divisor: Int = 16): DataFrame = {
+    require(k >= 1, s"gram size k must be >= 1, got $k")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val toksed = Par.spread(df.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("toks")))
+      .filter(size(col("toks")) > 0)
+    val n = size(col("toks"))
+    // gram j (1-based) covers tokens j..j+k-1, i.e. ENDS at token j+k-1
+    val grams = shingles(col("toks"), k)
+    // sequence(1, 0) would DESCEND in Spark — guard the <k-token case
+    // (no grams → no content boundaries → the whole doc is one chunk)
+    val gidx = when(size(grams) >= 1, sequence(lit(1), size(grams)))
+      .otherwise(array().cast("array<int>"))
+    val cutsMid = filter(
+      transform(filter(gidx,
+        j => Sampling.bucketOfKey(md5(element_at(grams, j)), divisor) === 0),
+        j => j + lit(k - 1)),
+      c => c < n) // a boundary AT the end is the implicit final cut
+    toksed
+      .withColumn("cuts", concat(array(lit(0)), cutsMid, array(n)))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("cuts")) - 1),
+          ci => array_join(slice(col("toks"),
+            element_at(col("cuts"), ci) + 1,
+            element_at(col("cuts"), ci + 1) - element_at(col("cuts"), ci)),
+            " ")))
+          .as(Seq("c", "chunk")))
+      .withColumn("chunk_hash", md5(col("chunk")))
+  }
+
   /** Within-document dedup: drop every repeat of a token, keeping first
     * occurrences in document order — the intra-doc analogue of corpus
     * dedup (boilerplate/navigation strings repeat INSIDE crawled pages).

@@ -430,6 +430,31 @@ object TextQueries extends graft.QueryPack {
       },
       Some(duckTopicClusters)),
 
+    // ---- X36: content-defined chunking (rolling-hash boundaries) --------
+    // Boundary after token i iff md5 of the 4-gram ending at i ≡ 0 mod
+    // 16 — insertion-robust chunking for chunk-level dedup (the
+    // LBFS/rsync rule; spanDedup's fixed windows shift on insertion).
+    Q("q_x36_cdc_chunks",
+      (s, d) => TextAnalysis.cdcChunks(Tables.documents(s, d), "text", "doc_id",
+        k = 4, divisor = 16),
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |g AS (SELECT doc_id, toks, len(toks) AS n,
+              |    list_transform(range(1, len(toks) - 4 + 2),
+              |      j -> array_to_string(toks[j:j+3], ' ')) AS grams
+              |  FROM t WHERE len(toks) > 0),
+              |c AS (SELECT doc_id, toks,
+              |    [0] || list_filter(list_transform(range(1, len(grams) + 1),
+              |        j -> CASE WHEN CAST('0x' || substr(md5(grams[j]), 1, 8)
+              |                        AS BIGINT) % 16 = 0
+              |                  THEN j + 3 END),
+              |      x -> x IS NOT NULL AND x < n) || [n] AS cuts
+              |  FROM g),
+              |ch AS (SELECT doc_id, ci - 1 AS c,
+              |    array_to_string(toks[cuts[ci]+1 : cuts[ci+1]], ' ') AS chunk
+              |  FROM (SELECT doc_id, toks, cuts,
+              |          unnest(range(1, len(cuts))) AS ci FROM c))
+              |SELECT doc_id, c, chunk, md5(chunk) AS chunk_hash FROM ch""".stripMargin)),
+
     Q("q_x7_train_split",
       (s, d) => {
         import graft.operators.Sampling

@@ -293,6 +293,43 @@ class TextOpsSpec extends AnyFunSuite {
       s"index path must not re-scan the corpus:\n$p")
   }
 
+  test("cdc chunking: boundaries survive insertion, fixed windows don't") {
+    import spark.implicits._
+    val words = (1 to 240).map(i => s"t$i")   // unique tokens: chunk
+    // identity is then purely a boundary question, and the fixed-window
+    // contrast below can't be rescued by content periodicity
+    val base = words.mkString(" ")
+    val shifted = "zzz " + base          // one token prepended at the head
+    def chunksOf(text: String): Seq[String] =
+      TextAnalysis.cdcChunks(Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id")
+        .orderBy("c").collect().map(_.getString(2)).toSeq
+    val c1 = chunksOf(base)
+    val c2 = chunksOf(shifted)
+    assert(c1.size > 5, s"content should produce several chunks, got ${c1.size}")
+    // reassembly: chunks concatenate back to the token stream, both docs
+    assert(c1.mkString(" ") === base)
+    assert(c2.mkString(" ") === shifted)
+    // CDC: everything after the first surviving boundary is untouched —
+    // the chunk stream of the shifted doc ENDS WITH the original's
+    // stream minus its head chunk (exact sequence alignment; a set
+    // compare would under-count because periodic content repeats chunks)
+    assert(c2.size >= c1.size && c2.takeRight(c1.size - 1) === c1.drop(1),
+      s"insertion must only re-chunk the head:\n  c1=$c1\n  c2=$c2")
+    // fixed windows shift EVERYTHING: the same experiment through the
+    // spanDedup geometry shares (nearly) nothing
+    def windows(text: String): Set[String] = {
+      val t = text.split(" ").toSeq
+      t.grouped(8).map(_.mkString(" ")).toSet
+    }
+    assert(windows(base).intersect(windows(shifted)).size <= 2,
+      "fixed windows should demonstrate the shift fragility CDC avoids")
+    // docs shorter than the gram size are one whole-doc chunk
+    assert(chunksOf("a b") === Seq("a b"))
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.cdcChunks(Seq((1L, "x")).toDF("doc_id", "text"),
+        "text", "doc_id", divisor = 1)).getMessage.contains("divisor"))
+  }
+
   test("chunking is map-only and validates its window geometry") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = TextAnalysis.chunk(docs, 64, 16)
