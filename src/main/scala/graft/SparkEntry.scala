@@ -21,6 +21,7 @@ object SparkEntry {
     qpacks.PqQueries,
     qpacks.EventQueries,
     qpacks.MultimodalQueries,
+    qpacks.GraphQueries,
     qpacks.ExtraQueries)
 
   private lazy val qs: Seq[Q] = packs.flatMap(_.queries)

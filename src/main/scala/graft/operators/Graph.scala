@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph ranking over an edge list — the corpus-curation use is domain /
+  * source quality ranking (rank a source by who links to it, then weight
+  * or filter the training mixture by rank), the classic web-scale data
+  * pipeline step.
+  *
+  * PageRank here is the power iteration expressed relationally, the only
+  * shape that survives 100 TB: each round is one equi-join of the edge
+  * list with the current rank vector on `src` (both sides hash-partition
+  * on the same key, so a cluster co-partitions them once and reuses the
+  * exchange), one `dst`-keyed aggregation of contributions (map-side
+  * partial — a node's in-edges combine within each task before the
+  * shuffle), and one keys-sized left join back to the node set. Nothing
+  * is ever collected to the driver except the node COUNT (one scalar);
+  * the loop runs a FIXED number of rounds, and `localCheckpoint`
+  * truncates the growing lineage each round exactly like the
+  * connected-components loop in [[Dedup]].
+  *
+  * Dangling nodes (no out-edges) are handled the standard way: their
+  * rank mass is redistributed uniformly each round (a 1-row aggregate,
+  * broadcast), so ranks always sum to ~1 and the iteration cannot leak
+  * mass. Numerics: ranks are carried as integer MICRO-units (rank ×
+  * 10⁶, a long). Per-edge shares quantize via `floor(x + 0.5)` —
+  * explicit single IEEE ops, never ROUND, whose double→decimal
+  * tie-breaking differs between engines on the exact .5 boundaries
+  * integer division produces constantly — and per-node sums are exact
+  * integer sums (order-independent). Every float step in between is a
+  * single IEEE double op, so a relational oracle replays the whole
+  * iteration bit-for-bit (the first attempt with 6-dp ROUND + DECIMAL
+  * sums hash-mismatched at sf0.01 on precisely such a tie).
+  */
+object Graph {
+
+  /** PageRank over directed `edges(src, dst)`. Parallel edges are
+    * legal (they weight the link); self-loops are legal. Returns
+    * `(node, rank)` over every node appearing as src or dst, ranks
+    * rounded to 6 dp and summing to ~1.
+    *
+    * `iters` is bounded: the caller picks convergence depth explicitly
+    * (each round is a full pass over the edge relation — at 100 TB that
+    * is the dominant cost and must be a conscious choice, not a
+    * convergence loop that silently runs 80 rounds).
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")
+    require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
+
+    val e = edges.select(col("src"), col("dst"))
+    // out-degrees and the degree-annotated edge list are materialized
+    // ONCE and reused every round (the joins below would otherwise
+    // recompute the degree aggregation per iteration)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
+      .localCheckpoint()
+    val withDeg = e.join(deg, "src").localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count() // one driver scalar — the node count
+    require(n > 0, "pageRank: empty edge list")
+    // restart mass per node, in micro-units — same IEEE op order as the
+    // oracle: (1 - d), × 1e6, ÷ n
+    val restartM = (1.0 - damping) * 1e6 / n
+
+    var ranks = nodes.withColumn("rank_m",
+      lit(math.floor(1e6 / n + 0.5).toLong))
+    for (_ <- 1 to iters) {
+      // share per out-edge: long/long division is IEEE double in both
+      // engines; floor(x + 0.5) quantizes to micros deterministically
+      val contribs = withDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          floor(col("rank_m") / col("__outdeg") + lit(0.5)).as("__c"))
+        .groupBy("dst").agg(sum("__c").as("__s"))
+      // rank mass sitting on dangling nodes (no out-edges), redistributed
+      // uniformly; 1-row aggregate, pure integer sum — exact
+      val dangling = ranks
+        .join(deg, col("node") === col("src"), "left_anti")
+        .agg(coalesce(sum("rank_m"), lit(0L)).as("__dm"))
+      ranks = nodes
+        .join(contribs, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          floor(lit(restartM) + lit(damping) *
+            (coalesce(col("__s"), lit(0L)).cast("double") +
+              col("__dm").cast("double") / n) + lit(0.5)).as("rank_m"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"),
+      (col("rank_m").cast("double") / lit(1e6)).as("rank"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.operators.Graph
+import graft.sources.Tables
+
+/** Graph-ranking surface: PageRank over the customer↔supplier trade
+  * graph (distinct (customer, supplier) pairs from orders ⋈ lineitem,
+  * one directed edge each way — the undirected-projection construction,
+  * which also guarantees no dangling nodes in THIS query; the operator
+  * itself handles danglers by uniform redistribution). The DuckDB oracle
+  * unrolls the same power iteration round by round in integer
+  * micro-rank units — exact integer sums, floor(x + 0.5) quantization,
+  * every float step a single IEEE double op — so the replay is
+  * bit-exact.
+  */
+object GraphQueries extends graft.QueryPack {
+
+  private val iters = 5
+
+  /** One oracle iteration: micro-ranks `prev` → micro-ranks `out`.
+    * Mirrors [[Graph.pageRank]] op for op: share = FLOOR(rank_m/outdeg
+    * + 0.5) summed as exact integers; dangling mass = exact integer sum
+    * of micro-ranks of nodes with no out-edges; new micro-rank =
+    * FLOOR((1-d)*1e6/n + d*(S + DM/n) + 0.5) — float literals CAST to
+    * DOUBLE because a bare 0.85 is a DECIMAL in DuckDB, and no ROUND
+    * anywhere (its .5 tie-breaking differs between engines). */
+  private def duckIter(out: String, prev: String): String =
+    s"""$out AS (
+       |  SELECT nodes.node,
+       |    CAST(FLOOR(
+       |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * 1e6 / nn.n
+       |      + CAST(0.85 AS DOUBLE) *
+       |        (CAST(COALESCE(s.s, 0) AS DOUBLE)
+       |         + CAST(dm.dm AS DOUBLE) / nn.n)
+       |      + 0.5) AS BIGINT) AS rank_m
+       |  FROM nodes
+       |  CROSS JOIN nn
+       |  CROSS JOIN (
+       |    SELECT COALESCE(SUM(r.rank_m), 0) AS dm
+       |    FROM $prev r
+       |    WHERE r.node NOT IN (SELECT src FROM deg)) dm
+       |  LEFT JOIN (
+       |    SELECT e.dst AS node,
+       |      SUM(CAST(FLOOR(r.rank_m / deg.outdeg + 0.5) AS BIGINT)) AS s
+       |    FROM e
+       |    JOIN $prev r ON e.src = r.node
+       |    JOIN deg ON deg.src = e.src
+       |    GROUP BY 1) s ON s.node = nodes.node)""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+
+    // ---- G1: PageRank over the customer↔supplier trade graph ----------
+    // Per round: one src-keyed equi-join + one dst-keyed agg (map-side
+    // partial) + one keys-sized left join — the only shape that holds at
+    // a 100 TB edge list. Fixed iteration count, lineage checkpointed.
+    Q("q_g1_pagerank",
+      (s, d) => {
+        val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey")).as("c"),
+            concat(lit("s:"), col("l_suppkey")).as("ss"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("ss").as("dst"))
+          .unionAll(pairs.select(col("ss").as("src"), col("c").as("dst")))
+        Graph.pageRank(edges, iters)
+      },
+      Some(s"""WITH p AS (
+             |  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS ss
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |e AS (
+             |  SELECT c AS src, ss AS dst FROM p
+             |  UNION ALL
+             |  SELECT ss AS src, c AS dst FROM p),
+             |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+             |nodes AS (SELECT DISTINCT node FROM (
+             |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+             |nn AS (SELECT COUNT(*) AS n FROM nodes),
+             |r0 AS (
+             |  SELECT node, CAST(FLOOR(1e6 / nn.n + 0.5) AS BIGINT) AS rank_m
+             |  FROM nodes CROSS JOIN nn),
+             |${(1 to iters).map(i => duckIter(s"r$i", s"r${i - 1}")).mkString(",\n")}
+             |SELECT node, CAST(rank_m AS DOUBLE) / 1e6 AS rank FROM r$iters""".stripMargin))
+  )
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ranks(edges: Seq[(String, String)], iters: Int = 5)
+      : Map[String, Double] = {
+    import spark.implicits._
+    Graph.pageRank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  test("symmetric cycle: all nodes equal, ranks sum to 1") {
+    val r = ranks(Seq("a" -> "b", "b" -> "c", "c" -> "a"))
+    assert(r.size === 3)
+    assert(r.values.toSet.size === 1)
+    assert(math.abs(r.values.sum - 1.0) < 1e-4)
+  }
+
+  test("star graph: the hub outranks every leaf") {
+    val leaves = Seq("l1", "l2", "l3", "l4")
+    val edges = leaves.flatMap(l => Seq(l -> "hub", "hub" -> l))
+    val r = ranks(edges)
+    assert(leaves.forall(l => r("hub") > r(l)))
+    assert(math.abs(r.values.sum - 1.0) < 1e-4)
+  }
+
+  test("dangling node: mass is redistributed, ranks still sum to 1") {
+    // d has no out-edges; without redistribution total rank decays
+    val r = ranks(Seq("a" -> "b", "b" -> "a", "a" -> "d"))
+    assert(r.size === 3)
+    assert(math.abs(r.values.sum - 1.0) < 1e-4)
+    assert(r("d") > 0)
+  }
+
+  test("a node linked by the hub beats one linked by a leaf only") {
+    // hub collects from 3 leaves, then links x; y is linked by one leaf
+    val edges = Seq("l1" -> "hub", "l2" -> "hub", "l3" -> "hub",
+      "hub" -> "x", "l1" -> "y", "x" -> "l1", "y" -> "l2")
+    val r = ranks(edges)
+    assert(r("x") > r("y"))
+  }
+
+  test("bad arguments fail fast") {
+    import spark.implicits._
+    val e = Seq("a" -> "b").toDF("src", "dst")
+    intercept[IllegalArgumentException](Graph.pageRank(e, 0))
+    intercept[IllegalArgumentException](Graph.pageRank(e, 51))
+    intercept[IllegalArgumentException](Graph.pageRank(e, 5, damping = 1.0))
+  }
+}
