@@ -1,7 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
+
 import graft.Q
-import graft.operators.Curation
+import graft.operators.{Curation, Dsir}
 import graft.sources.Tables
 
 /** The end-to-end curation composition: one query running the full
@@ -135,6 +137,46 @@ object CurationQueries extends graft.QueryPack {
              |       WHEN CAST('0x' || substr(md5('exp1|' || CAST(q.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 95 THEN 'val'
              |       ELSE 'test' END AS split
              |FROM q LEFT JOIN dropd d ON d.doc_id = q.doc_id
-             |WHERE d.doc_id IS NULL""".stripMargin))
+             |WHERE d.doc_id IS NULL""".stripMargin)),
+
+    // ---- X37: DSIR importance-resampling selection ----------------------
+    // Target model = English docs, raw model = whole pool; every doc
+    // weighted by its hashed-unigram log-likelihood ratio, top-100 kept
+    // via ONE bounded TopK aggregation. The oracle replays the token
+    // bucketing, both smoothed models, the decimal weight sum, and the
+    // ranked selection.
+    Q("q_x37_dsir_select",
+      (s, d) => Dsir.selectTopN(Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "en", n = 100, buckets = 4096),
+      Some("""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |dt AS (
+             |  SELECT doc_id, tgt,
+             |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 4096 AS b,
+             |    COUNT(*) AS tf
+             |  FROM (SELECT doc_id, tgt, unnest(toks) AS tok FROM t)
+             |  GROUP BY 1, 2, 3),
+             |bc AS (
+             |  SELECT b, SUM(tf) AS cr,
+             |    SUM(CASE WHEN tgt THEN tf ELSE 0 END) AS ct
+             |  FROM dt GROUP BY 1),
+             |tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM bc),
+             |lr AS (
+             |  SELECT b,
+             |    CAST(ROUND(ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE)), 6)
+             |       - ROUND(ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 4096 AS DOUBLE)), 6)
+             |      AS DECIMAL(18,6)) AS llr
+             |  FROM bc CROSS JOIN tot),
+             |w AS (
+             |  SELECT dt.doc_id,
+             |    CAST(SUM(lr.llr * CAST(dt.tf AS DECIMAL(9,0))) AS DOUBLE) AS weight
+             |  FROM dt JOIN lr ON lr.b = dt.b
+             |  GROUP BY 1)
+             |SELECT doc_id, weight, rnk FROM (
+             |  SELECT doc_id, weight, row_number() OVER (
+             |      ORDER BY weight DESC, doc_id) AS rnk
+             |  FROM w)
+             |WHERE rnk <= 100""".stripMargin))
   )
 }
