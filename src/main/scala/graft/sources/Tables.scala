@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet testdata
   * (TESTDATA.md). Parquet scans are Catalyst-native: column pruning and
@@ -23,13 +24,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for: read it as a long (legacy flag) and truncate to a micros
-    * timestamp — the same truncation DuckDB applies, so oracle timestamps
-    * agree. */
+  /** Normalize an events frame's `ts` to session-zone TimestampType
+    * regardless of how the parquet was generated. The driver has shipped
+    * two physical encodings across rounds: TIMESTAMP(NANOS) — no native
+    * Spark type, read as a long via the legacy flag and truncated to
+    * micros — and plain TIMESTAMP(MICROS) (isAdjustedToUTC=false), which
+    * Spark surfaces as TIMESTAMP_NTZ. The session zone is pinned to UTC
+    * everywhere, so casting NTZ → TIMESTAMP yields the same instants the
+    * nanos path produced, and both agree with DuckDB's reading. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampType => df
+    case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -18,8 +18,10 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Raw file schema: `ts` is parquet TIMESTAMP(NANOS) → long (see
-    * [[graft.sources.Tables.events]]). */
+  /** Raw file schema with `ts` left abstract: the driver has generated
+    * both TIMESTAMP(NANOS) (→ long under the legacy flag) and plain
+    * TIMESTAMP(MICROS) (→ TIMESTAMP_NTZ) across rounds — see
+    * [[graft.sources.Tables.normalizeTs]]. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -29,11 +31,17 @@ object EventStreams {
     StructField("props", StringType)))
 
   /** File-source stream over a parquet path (explicit schema — streaming
-    * sources must never infer); nanos truncated to a micros timestamp. */
+    * sources must never infer). The `ts` physical type is taken from a
+    * one-off batch footer read of the same path (runs no job), then
+    * normalized to session-zone TimestampType exactly as the batch
+    * loader does, so batch/stream parity specs compare like for like. */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventSchema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val schema = StructType(eventSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(path))
   }
 
   /** Tumbling 1-hour counts/sums per event type. */

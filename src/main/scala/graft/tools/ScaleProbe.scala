@@ -212,9 +212,9 @@ object ScaleProbe {
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
-    // raw events.ts is TIMESTAMP(NANOS): read as long (the Tables.events
-    // flag) and pass the raw nanos through untouched — the copy lands as
-    // plain INT64, which Tables.events handles identically
+    // events.ts passes through untouched whatever its physical type
+    // (long nanos under the legacy flag, or native TIMESTAMP_NTZ) — the
+    // copy round-trips it and Tables.normalizeTs adapts on read
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$src/events.parquet")
     val (en, eu) = {
