@@ -166,10 +166,56 @@ object Pq {
       .agg(max_by(col("centroid_id"), ord).as("code"), max(col("score")).as("score"))
   }
 
-  /** The encoded corpus as `(neighbor_id, sub_id, code)`. */
+  /** Map-only corpus encoding through the [[graft.functions.PqEncode]]
+    * kernel: one projection computes all m codes per vector — no
+    * posexplode, no n·m·k scored-row join, no argmax aggregate. The
+    * codebook (m·k rows, bounded like the ≤256-centroid literal dispatch
+    * in [[Similarity.assignToCentroids]]) collects once to the driver and
+    * rides the expression; per-entry norms precompute once per task.
+    * Bit-parity with the relational [[encode]] is pinned by PqSpec and by
+    * the q_pq oracles, which replay the relational arithmetic in DuckDB
+    * against this path's output. */
+  def encodeCodes(emb: DataFrame, codebooks: DataFrame, m: Int, dim: Int,
+      metric: String = "cosine",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    require(metric == "cosine" || metric == "l2", s"unknown metric '$metric'")
+    val subDim = dim / m
+    val rows = codebooks.select(col("sub_id"), col("centroid_id"), col("cv"))
+      .collect()
+    require(rows.length <= 65536,
+      s"pq_encode inlines the codebook: ${rows.length} entries exceed the " +
+        "65536 bound — shard the codebook or use the relational encode()")
+    require(rows.length % m == 0 && rows.nonEmpty,
+      s"codebook has ${rows.length} entries, not a multiple of m=$m")
+    val k = rows.length / m
+    val bySub = rows.groupBy(_.getInt(0))
+    require(bySub.keySet == (0 until m).toSet &&
+        bySub.valuesIterator.forall(_.length == k),
+      s"codebook must carry exactly k=$k entries for every sub_id 0..${m - 1}")
+    val sorted = (0 until m).flatMap(s => bySub(s).sortBy(_.getLong(1)))
+    val ids = sorted.map(_.getLong(1)).toArray
+    val cvs = new Array[Float](m * k * subDim)
+    sorted.zipWithIndex.foreach { case (r, e) =>
+      val cv = r.getSeq[Float](2)
+      require(cv.length == subDim,
+        s"codebook entry (sub=${r.getInt(0)}, id=${r.getLong(1)}) has " +
+          s"${cv.length} dims, expected subDim=$subDim")
+      cv.copyToArray(cvs, e * subDim)
+    }
+    graft.functions.PqEncode.register(emb.sparkSession)
+    val kernel = call_function("pq_encode", col(vecCol),
+      typedLit(ids), typedLit(cvs), lit(m), lit(k), lit(subDim),
+      lit(metric == "cosine"))
+    Par.spread(emb.select(col(idCol).as("vec_id"), col(vecCol)))
+      .select(col("vec_id"), posexplode(kernel).as(Seq("sub_id", "code")))
+  }
+
+  /** The encoded corpus as `(neighbor_id, sub_id, code)` — the kernel
+    * path; [[encode]] remains the relational oracle twin. */
   private def corpusCodes(emb: DataFrame, codebooks: DataFrame, m: Int,
       dim: Int, metric: String, idCol: String, vecCol: String): DataFrame =
-    encode(emb, codebooks, m, dim, metric, idCol, vecCol)
+    encodeCodes(emb, codebooks, m, dim, metric, idCol, vecCol)
       .select(col("vec_id").as("neighbor_id"), col("sub_id"), col("code"))
 
   /** Per-query ADC lookup table `(query_id, sub_id, code, contrib)` —

@@ -140,6 +140,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(outOfRange === 0)
   }
 
+  test("pq: kernel encode is bit-identical to the relational encode, both metrics") {
+    for (metric <- Seq("cosine", "l2")) {
+      val cb = Pq.trainCodebooks(emb, 4, 64, 4, 2, metric = metric)
+      val rel = Pq.encode(emb, cb, 4, 64, metric = metric)
+        .select(col("vec_id"), col("sub_id"), col("code"))
+      val ker = Pq.encodeCodes(emb, cb, 4, 64, metric = metric)
+      assert(ker.count() === rel.count(), s"metric=$metric row counts diverge")
+      assert(ker.exceptAll(rel).isEmpty && rel.exceptAll(ker).isEmpty,
+        s"metric=$metric kernel/relational encode diverged")
+    }
+  }
+
+  test("pq: kernel encode plan is map-only — no join, no aggregate") {
+    // Par.spread may insert one round-robin repartition on a tiny input
+    // (the under-parallel-file case); the claim here is that the k-blowup
+    // join and the argmax aggregate are gone, not that no exchange exists
+    val cb = Pq.trainCodebooks(emb, 4, 64, 4, 2)
+    val p = Pq.encodeCodes(emb, cb, 4, 64).queryExecution.executedPlan.toString
+    for (bad <- Seq("Join", "Aggregate"))
+      assert(!p.contains(bad), s"kernel encode plan contains $bad:\n$p")
+  }
+
+  test("pq: kernel encode zero-norm slice matches the relational sentinel path") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1f, 0f, 1f, 0f)), (1L, Array(0f, 1f, 0f, 1f)),
+      (2L, Array(1f, 1f, 1f, 1f)), (3L, Array(0.5f, 0.2f, 0.3f, 0.9f)),
+      (4L, Array(1f, 2f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cb = Pq.trainCodebooks(df, m = 2, dim = 4, k = 2, iters = 1)
+    val rel = Pq.encode(df, cb, m = 2, dim = 4).select(col("vec_id"), col("sub_id"), col("code"))
+    val ker = Pq.encodeCodes(df, cb, m = 2, dim = 4)
+    assert(ker.exceptAll(rel).isEmpty && rel.exceptAll(ker).isEmpty,
+      "zero-norm slice: kernel/relational encode diverged")
+  }
+
   test("pq: adc ranking recalls a sane share of the exact top-k") {
     // crude quantizer (4 subspaces × 4 entries = 256 distinct encodings
     // for 500 vectors), so expect partial — but far-from-random — recall
