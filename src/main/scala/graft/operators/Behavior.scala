@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over an event stream — the funnel / cohort
+  * surface every product-analytics warehouse query pack carries.
+  *
+  * Both operators reduce the event relation to per-user keyed aggregates
+  * before anything else touches it, so every shuffle is keyed by user —
+  * no windows over the raw event stream, no driver-side iteration over
+  * data. Step/offset counts are small by construction (steps are a
+  * caller-fixed list; offsets are bounded by the corpus time span in
+  * weeks), so the output never needs its own reduction strategy.
+  */
+object Behavior {
+
+  /** Ordered-funnel reach counts: how many users performed `steps(0)`,
+    * then `steps(1)` STRICTLY after it, then `steps(2)` strictly after
+    * that, … Each stage keeps the EARLIEST qualifying timestamp per user
+    * (the canonical funnel semantics: a user converts on their first
+    * opportunity, and a later step must follow the first completion of
+    * the previous one).
+    *
+    * Shape: one filtered min-aggregate for step 1, then per step one
+    * keyed equi-join (user ⨝ user) + min-aggregate — steps.length − 1
+    * shuffles total, each carrying one row per surviving user. The
+    * per-step counts union into a steps.length-row result; no count ever
+    * collects to the driver.
+    *
+    * Returns `(step: int 1-based, event_type, users: long)` — users is 0
+    * for stages nobody reached (the row is still present, so a funnel
+    * chart never silently loses its tail). */
+  def funnel(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.length == steps.length,
+      s"funnel steps must be distinct, got ${steps.mkString(", ")}")
+    val ev = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+      col(tsCol).as("__ts"))
+    var reached = ev.filter(col("__t") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__ts")).as("__first"))
+    val stages = Seq.newBuilder[DataFrame]
+    def countOf(df: DataFrame, step: Int, tpe: String): DataFrame =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(step).as("step"), lit(tpe).as("event_type"), col("users"))
+    stages += countOf(reached, 1, steps.head)
+    steps.zipWithIndex.drop(1).foreach { case (tpe, i) =>
+      reached = ev.filter(col("__t") === tpe)
+        .join(reached.select(col("__u"), col("__first").as("__prev")), Seq("__u"))
+        .filter(col("__ts") > col("__prev"))
+        .groupBy(col("__u")).agg(min(col("__ts")).as("__first"))
+      stages += countOf(reached, i + 1, tpe)
+    }
+    stages.result().reduce(_ unionByName _)
+  }
+
+  /** Weekly retention cohorts: users are cohorted by the ISO week
+    * (Monday-truncated) of their FIRST event; for every later week in
+    * which a cohort member was active, the cohort's retained-user count
+    * is reported at that week offset.
+    *
+    * Shape: the event relation first reduces to the distinct
+    * (user, week) activity grid — the only pass over raw events — then
+    * one min-aggregate per user for the cohort and one keyed join back.
+    * offset 0 is each cohort's full size, so retention ratios derive in
+    * the result without another query.
+    *
+    * Returns `(cohort_week: date, week_offset: int, users: long)`. */
+  def retention(events: DataFrame,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val weeks = events
+      .select(col(userCol).as("__u"),
+        date_trunc("week", col(tsCol)).cast("date").as("__wk"))
+      .distinct()
+    val cohorts = weeks.groupBy(col("__u"))
+      .agg(min(col("__wk")).as("cohort_week"))
+    weeks.join(cohorts, Seq("__u"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("__wk"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+}

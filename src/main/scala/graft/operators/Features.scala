@@ -57,4 +57,30 @@ object Features {
         round(least(greatest(col(valueCol), col("__lo")), col("__hi")), 6))
       .drop("__lo", "__hi")
   }
+
+  /** Equi-depth discretization: assign each row to one of `nBins`
+    * equal-population buckets bounded by the exact interpolated
+    * 1/n … (n−1)/n percentiles (the [[winsorize]] percentile mechanism —
+    * one global aggregate, nBins−1 doubles broadcast, never a corpus
+    * sort or an `ntile` window over the full stream). Bucket edges are
+    * half-open on the left: `bin = #{boundaries b : x > b}`, so a value
+    * equal to a boundary lands in the LOWER bucket and heavy ties pile
+    * deterministically into one bin rather than splitting
+    * engine-dependently. Boundaries round to 6 dp so the rule replays
+    * exactly in a relational oracle. Null values get a null bin.
+    * Returns the input plus `<valueCol>_bin` (int, 0-based). */
+  def equiDepthBins(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    val ps = (1 until nBins).map(i => i.toDouble / nBins)
+    val cuts = df.select(
+      (1 until nBins).map(i =>
+        round(expr(s"percentile(`$valueCol`, ${ps(i - 1)})"), 6).as(s"__b$i")): _*)
+    val bin = (1 until nBins)
+      .map(i => when(col(valueCol) > col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    df.crossJoin(broadcast(cuts))
+      .withColumn(s"${valueCol}_bin",
+        when(col(valueCol).isNotNull, bin).cast("int"))
+      .drop((1 until nBins).map(i => s"__b$i"): _*)
+  }
 }

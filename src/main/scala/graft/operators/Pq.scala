@@ -104,20 +104,34 @@ object Pq {
     val ord = round(col("score") * 1e6).cast("long") * lit(4294967296L) -
       col("centroid_id").cast("long")
     for (_ <- 1 to iters) {
-      val cb = broadcast(cents.select(col("sub_id"), col("centroid_id"), col("cv"),
-        sqrt(nativeDot(cents, col("cv"), col("cv"))).as("cn"),
-        nativeDot(cents, col("cv"), col("cv")).as("cn2")))
-      val ex = exploded
-        .select(col("vec_id"), col("sub_id"), col("sv"),
-          sqrt(nativeDot(emb, col("sv"), col("sv"))).as("svn"))
-      val score =
-        if (metric == "l2") subScoreL2(emb, col("sv"), col("cv"), col("cn2"))
-        else subScore(emb, col("sv"), col("cv"), col("svn"), col("cn"))
-      val assigned = ex.join(cb, Seq("sub_id"))
-        .select(col("vec_id"), col("sub_id"), col("centroid_id"),
-          score.as("score"))
-        .groupBy(col("vec_id"), col("sub_id"))
-        .agg(max_by(col("centroid_id"), ord).as("centroid_id"))
+      // Assignment rides the map-only pq_encode kernel (bit-identical
+      // arithmetic — subScore/subScoreL2 with the −2.0 guard, 6-dp HALF_UP
+      // rounds, packed-long ord — see PqEncode's parity contract), so each
+      // Lloyd iteration pays one codegen'd projection instead of the
+      // n·m·k scored-row join + argmax aggregate. cents is a checkpointed
+      // m·k-row frame, so the per-iteration driver collect inside
+      // encodeCodes reads materialized rows, not a recomputation. The
+      // relational shape remains for codebooks past the 64k inline bound.
+      val assigned =
+        if (m.toLong * k <= 65536)
+          encodeCodes(emb, cents, m, dim, metric, idCol, vecCol)
+            .select(col("vec_id"), col("sub_id"), col("code").as("centroid_id"))
+        else {
+          val cb = broadcast(cents.select(col("sub_id"), col("centroid_id"), col("cv"),
+            sqrt(nativeDot(cents, col("cv"), col("cv"))).as("cn"),
+            nativeDot(cents, col("cv"), col("cv")).as("cn2")))
+          val ex = exploded
+            .select(col("vec_id"), col("sub_id"), col("sv"),
+              sqrt(nativeDot(emb, col("sv"), col("sv"))).as("svn"))
+          val score =
+            if (metric == "l2") subScoreL2(emb, col("sv"), col("cv"), col("cn2"))
+            else subScore(emb, col("sv"), col("cv"), col("svn"), col("cn"))
+          ex.join(cb, Seq("sub_id"))
+            .select(col("vec_id"), col("sub_id"), col("centroid_id"),
+              score.as("score"))
+            .groupBy(col("vec_id"), col("sub_id"))
+            .agg(max_by(col("centroid_id"), ord).as("centroid_id"))
+        }
       val means = assigned
         .join(exploded.select(col("vec_id"), col("sub_id"), col("sv")),
           Seq("vec_id", "sub_id"))

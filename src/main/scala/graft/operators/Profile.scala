@@ -45,4 +45,63 @@ object Profile {
     }
     one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
+
+  /** k-anonymity audit over a quasi-identifier combination: every
+    * equivalence class (distinct quasi-identifier tuple) with its size
+    * and whether it meets the k threshold — the privacy gate a dataset
+    * passes before leaving the warehouse (a class below k singles its
+    * members out by the quasi-identifiers alone). One hash aggregation
+    * keyed by the quasi-identifiers; null values form their own class
+    * (a null segment is as identifying as any other value).
+    *
+    * Returns the quasi columns plus `(n: long, anonymous: boolean)`;
+    * `anonymous = n >= k`. Suppression/generalization policy is the
+    * caller's — the audit names the offending classes, which is the
+    * operator-shaped part of the job. */
+  def kAnonymity(df: DataFrame, quasi: Seq[String], k: Int): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k-anonymity needs k >= 2, got $k")
+    quasi.foreach(c => require(df.columns.contains(c),
+      s"column '$c' not in ${df.columns.mkString(", ")}"))
+    df.groupBy(quasi.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("anonymous", col("n") >= k)
+  }
+
+  /** Pairwise Pearson correlation matrix over numeric columns, computed
+    * in ONE aggregation job (all m·(m−1)/2 `corr` aggregates share the
+    * single scan — the [[describe]] discipline), then unpivoted to long
+    * form. Rounded to 6 dp: `corr`'s running-moment accumulation is
+    * order-sensitive in the last ulps, and 6 dp is far above any
+    * partition-order wobble while far below signal.
+    *
+    * Returns `(col_a, col_b, corr_r: double)` for a < b in the given
+    * order; a constant column yields null correlations. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.length >= 2, s"need at least two columns, got $cols")
+    require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    cols.foreach(c => require(df.columns.contains(c),
+      s"column '$c' not in ${df.columns.mkString(", ")}"))
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (i, j)
+    // corr composed from covar_samp / stddev_samp (identical co-moment
+    // accumulation) rather than corr(): under ANSI mode Spark's corr
+    // THROWS DIVIDE_BY_ZERO on a zero-variance column, where the null
+    // answer is the useful one (and DuckDB's). Stddevs aggregate once
+    // per column, covariances once per pair — still one job.
+    val aggs =
+      cols.indices.map(i => stddev_samp(col(s"`${cols(i)}`")).as(s"__s_$i")) ++
+      pairs.map { case (i, j) =>
+        covar_samp(col(s"`${cols(i)}`"), col(s"`${cols(j)}`")).as(s"__v_${i}_$j")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = pairs.map { case (i, j) =>
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        round(when(col(s"__s_$i") > 0 && col(s"__s_$j") > 0,
+          col(s"__v_${i}_$j") / (col(s"__s_$i") * col(s"__s_$j"))), 6)
+          .as("corr_r"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
 }

@@ -350,6 +350,46 @@ object EventQueries extends graft.QueryPack {
         col("event_id"),
         get_json_object(col("props"), "$.k").as("k_val")),
       Some("""SELECT event_id, json_extract_string(props, '$.k') AS k_val
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    // ---- E14: ordered funnel reach (view → click → purchase) ------------
+    // Canonical funnel semantics: earliest qualifying event per user per
+    // stage, each stage strictly after the user's FIRST completion of the
+    // previous one. The oracle replays the stage recursion as CTEs.
+    Q("q_e14_funnel",
+      (s, d) => graft.operators.Behavior.funnel(Tables.events(s, d),
+        Seq("view", "click", "purchase")),
+      Some("""WITH s1 AS (
+             |  SELECT user_id, min(ts) AS t FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id, min(e.ts) AS t FROM events e
+             |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+             |  WHERE e.event_type = 'click' GROUP BY 1),
+             |s3 AS (
+             |  SELECT e.user_id, min(e.ts) AS t FROM events e
+             |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+             |  WHERE e.event_type = 'purchase' GROUP BY 1)
+             |SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
+             |       (SELECT count(*) FROM s1) AS users
+             |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+             |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin)),
+
+    // ---- E15: weekly retention cohorts ----------------------------------
+    // Cohort = Monday-truncated week of first activity; one row per
+    // (cohort, week offset) with retained distinct users. offset 0 is the
+    // cohort size.
+    Q("q_e15_retention",
+      (s, d) => graft.operators.Behavior.retention(Tables.events(s, d)),
+      Some("""WITH wk AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(date_trunc('week', ts) AS DATE) AS w
+             |  FROM events),
+             |c AS (SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY 1)
+             |SELECT c.cohort_week,
+             |  CAST(date_diff('day', c.cohort_week, wk.w) // 7 AS INT) AS week_offset,
+             |  count(*) AS users
+             |FROM wk JOIN c ON wk.user_id = c.user_id
+             |GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -651,6 +651,38 @@ object RelationalQueries extends graft.QueryPack {
              |      ORDER BY md5('temp|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
              |  FROM documents WHERE source IS NOT NULL AND doc_id IS NOT NULL)
              |SELECT r.doc_id, r.source, r.rn
-             |FROM r JOIN q USING (source) WHERE r.rn <= q.quota""".stripMargin))
+             |FROM r JOIN q USING (source) WHERE r.rn <= q.quota""".stripMargin)),
+
+    // ---- V4: k-anonymity audit over quasi-identifiers -------------------
+    // Every (nation, segment) equivalence class with its size and whether
+    // it meets k=10 — the privacy gate before a dataset leaves the
+    // warehouse. One hash aggregation keyed by the quasi columns.
+    Q("q_v4_k_anonymity",
+      (s, d) => graft.operators.Profile.kAnonymity(
+        Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"), 10),
+      Some("""SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+             |  COUNT(*) >= 10 AS anonymous
+             |FROM customer GROUP BY 1, 2""".stripMargin)),
+
+    // ---- V5: pairwise correlation matrix, one aggregation job -----------
+    // All six lineitem-measure correlations share a single scan (the
+    // q_v2 Expand discipline applied to corr), unpivoted to long form.
+    Q("q_v5_corr",
+      (s, d) => graft.operators.Profile.corrMatrix(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+      Some("""WITH a AS (SELECT
+             |    ROUND(corr(l_quantity, l_extendedprice), 6) AS c01,
+             |    ROUND(corr(l_quantity, l_discount), 6) AS c02,
+             |    ROUND(corr(l_quantity, l_tax), 6) AS c03,
+             |    ROUND(corr(l_extendedprice, l_discount), 6) AS c12,
+             |    ROUND(corr(l_extendedprice, l_tax), 6) AS c13,
+             |    ROUND(corr(l_discount, l_tax), 6) AS c23
+             |  FROM lineitem)
+             |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, c01 AS corr_r FROM a
+             |UNION ALL SELECT 'l_quantity', 'l_discount', c02 FROM a
+             |UNION ALL SELECT 'l_quantity', 'l_tax', c03 FROM a
+             |UNION ALL SELECT 'l_extendedprice', 'l_discount', c12 FROM a
+             |UNION ALL SELECT 'l_extendedprice', 'l_tax', c13 FROM a
+             |UNION ALL SELECT 'l_discount', 'l_tax', c23 FROM a""".stripMargin))
   )
 }

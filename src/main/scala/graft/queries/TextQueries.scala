@@ -672,6 +672,26 @@ object TextQueries extends graft.QueryPack {
              |  FROM documents)
              |SELECT doc_id, nfc_normalize(raw) AS text_nfc,
              |  length(raw) AS n_raw, length(nfc_normalize(raw)) AS n_nfc
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // ---- X38: equi-depth length discretization (quartile bins) ----------
+    // Exact interpolated 25/50/75 boundaries via one global aggregate
+    // (the winsorize mechanism), broadcast; bin = #{b : x > b} so
+    // boundary ties land deterministically in the lower bucket. The
+    // doc-length feature a mixture recipe stratifies on.
+    Q("q_x38_bucketize",
+      (s, d) => graft.operators.Features.equiDepthBins(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "n_chars", 4),
+      Some("""WITH b AS (SELECT
+             |    ROUND(quantile_cont(n_chars, 0.25), 6) AS b1,
+             |    ROUND(quantile_cont(n_chars, 0.50), 6) AS b2,
+             |    ROUND(quantile_cont(n_chars, 0.75), 6) AS b3
+             |  FROM documents)
+             |SELECT doc_id, n_chars,
+             |  CAST(CASE WHEN n_chars IS NULL THEN NULL ELSE
+             |    (n_chars > b1)::int + (n_chars > b2)::int + (n_chars > b3)::int
+             |  END AS INT) AS n_chars_bin
+             |FROM documents, b""".stripMargin))
   )
 }

@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Behavior
+
+class BehaviorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.map { case (u, t, at) => (u, t, ts(at)) }
+      .toDF("user_id", "event_type", "ts")
+  }
+
+  test("funnel: strict ordering — a same-timestamp next step does not count") {
+    val events = ev(
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 10:00:01"),
+      (1L, "purchase", "2024-01-01 10:00:02"),
+      // u2 clicks at the same instant as the view: not strictly after
+      (2L, "view", "2024-01-01 10:00:00"), (2L, "click", "2024-01-01 10:00:00"),
+      // u3 clicks BEFORE viewing: ordered funnel rejects it
+      (3L, "click", "2024-01-01 09:00:00"), (3L, "view", "2024-01-01 10:00:00"))
+    val out = Behavior.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)))
+  }
+
+  test("funnel: conversion counts from the FIRST completion of the previous step") {
+    // u1 views at 10:00 and 12:00; the only click is at 11:00 — after the
+    // first view, so it converts even though it precedes the second view
+    val events = ev(
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "view", "2024-01-01 12:00:00"),
+      (1L, "click", "2024-01-01 11:00:00"))
+    val out = Behavior.funnel(events, Seq("view", "click"))
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(out.toSeq === Seq((1, 1L), (2, 1L)))
+  }
+
+  test("funnel: unreached tail stages stay present with zero users") {
+    val events = ev((1L, "view", "2024-01-01 10:00:00"))
+    val out = Behavior.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(out.toSeq === Seq((1, 1L), (2, 0L), (3, 0L)))
+  }
+
+  test("funnel: duplicate steps fail fast") {
+    val events = ev((1L, "view", "2024-01-01 10:00:00"))
+    assert(intercept[IllegalArgumentException](
+      Behavior.funnel(events, Seq("view", "view"))).getMessage.contains("distinct"))
+  }
+
+  test("retention: offset 0 is the cohort size; later weeks count distinct actives") {
+    val events = ev(
+      // cohort of Mon 2024-01-01: u1 active weeks 0 and 1, u2 week 0 only
+      (1L, "view", "2024-01-03 10:00:00"), (1L, "view", "2024-01-10 10:00:00"),
+      (1L, "click", "2024-01-10 11:00:00"), // same week: must not double-count
+      (2L, "view", "2024-01-04 10:00:00"),
+      // cohort of Mon 2024-01-08: u3 active weeks 0 and 2
+      (3L, "view", "2024-01-08 10:00:00"), (3L, "view", "2024-01-22 10:00:00"))
+    val out = Behavior.retention(events)
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L),
+      ("2024-01-08", 0, 1L), ("2024-01-08", 2, 1L)))
+  }
+
+  test("funnel and retention shuffle only by user key — no window over raw events") {
+    val events = ev((1L, "view", "2024-01-01 10:00:00"))
+    for (p <- Seq(
+        Behavior.funnel(events, Seq("view", "click")).queryExecution.executedPlan.toString,
+        Behavior.retention(events).queryExecution.executedPlan.toString)) {
+      assert(!p.contains("Window"), s"unexpected window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    }
+  }
+}

@@ -138,6 +138,62 @@ class ScdProfileSpec extends AnyFunSuite {
       Features.winsorize(df, "v", 0.9, 0.1)).getMessage.contains("pLo"))
   }
 
+  test("equi-depth bins: boundary ties fall to the lower bucket, nulls stay null") {
+    import spark.implicits._
+    import graft.operators.Features
+    // 1..8: exact quartile boundaries 2.75 / 4.5 / 6.25
+    val df = (1 to 8).map(i => Some(i.toDouble)).toDF("x")
+    val bins = Features.equiDepthBins(df, "x", 4)
+      .collect().map(r => (r.getDouble(0), r.getInt(1))).toMap
+    assert(bins === Map(1.0 -> 0, 2.0 -> 0, 3.0 -> 1, 4.0 -> 1,
+      5.0 -> 2, 6.0 -> 2, 7.0 -> 3, 8.0 -> 3))
+    // a value exactly ON a boundary lands in the LOWER bucket
+    val tied = Features.equiDepthBins(
+      Seq(1.0, 2.0, 2.0, 2.0, 2.0, 3.0).toDF("x"), "x", 2)
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+    assert(tied.filter(_._1 == 2.0).forall(_._2 == 0),
+      "median-valued rows must all land in bin 0")
+    val withNull = Features.equiDepthBins(
+      Seq(Some(1.0), Some(2.0), Some(3.0), None).toDF("x"), "x", 2)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(withNull.contains((None, None)), "null value must get a null bin")
+    assert(intercept[IllegalArgumentException](
+      Features.equiDepthBins(df, "x", 1)).getMessage.contains("nBins"))
+  }
+
+  test("k-anonymity: classes below k flagged, null quasi values form a class") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("US"), "a"), (Option("US"), "a"), (Option("US"), "a"),
+      (Option("DE"), "a"),
+      (None, "b"), (None, "b")
+    ).toDF("country", "seg")
+    val out = Profile.kAnonymity(df, Seq("country", "seg"), 2)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1),
+        r.getLong(2), r.getBoolean(3))).toSet
+    assert(out === Set(
+      (Some("US"), "a", 3L, true),
+      (Some("DE"), "a", 1L, false),
+      (None, "b", 2L, true)))
+    assert(intercept[IllegalArgumentException](
+      Profile.kAnonymity(df, Seq("country"), 1)).getMessage.contains("k >= 2"))
+  }
+
+  test("correlation matrix: exact pairs, constant column nulls, one scan") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, 5.0), (2.0, 4.0, 5.0), (3.0, 6.0, 5.0))
+      .toDF("a", "b", "c")
+    val m = Profile.corrMatrix(df, Seq("a", "b", "c"))
+    val rows = m.collect()
+      .map(r => ((r.getString(0), r.getString(1)), Option(r.get(2)))).toMap
+    assert(rows(("a", "b")) === Some(1.0))     // perfectly linear
+    assert(rows(("a", "c")) === None)          // constant column → null
+    assert(rows(("b", "c")) === None)
+    // one aggregation job over one scan — no join, no repeated read
+    val p = m.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"corr matrix must not self-join:\n$p")
+  }
+
   test("profile counts rows, nulls, and distincts per column in one pass") {
     import spark.implicits._
     val df = Seq(
