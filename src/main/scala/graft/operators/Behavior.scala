@@ -31,12 +31,18 @@ object Behavior {
     * Returns `(step: int 1-based, event_type, users: long)` — users is 0
     * for stages nobody reached (the row is still present, so a funnel
     * chart never silently loses its tail). */
+  /** `withinSeconds`: optional conversion deadline — each stage must
+    * land within that many seconds of the previous stage's completion
+    * ("purchased within 30 minutes of the click"), the standard
+    * product-analytics windowed funnel. None = unbounded. */
   def funnel(events: DataFrame, steps: Seq[String],
       userCol: String = "user_id", typeCol: String = "event_type",
-      tsCol: String = "ts"): DataFrame = {
+      tsCol: String = "ts", withinSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.length == steps.length,
       s"funnel steps must be distinct, got ${steps.mkString(", ")}")
+    withinSeconds.foreach(w =>
+      require(w > 0, s"withinSeconds must be positive, got $w"))
     val ev = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
       col(tsCol).as("__ts"))
     var reached = ev.filter(col("__t") === steps.head)
@@ -47,9 +53,12 @@ object Behavior {
         .select(lit(step).as("step"), lit(tpe).as("event_type"), col("users"))
     stages += countOf(reached, 1, steps.head)
     steps.zipWithIndex.drop(1).foreach { case (tpe, i) =>
+      val deadline = withinSeconds
+        .map(w => col("__ts") <= col("__prev") + expr(s"INTERVAL $w SECOND"))
+        .getOrElse(lit(true))
       reached = ev.filter(col("__t") === tpe)
         .join(reached.select(col("__u"), col("__first").as("__prev")), Seq("__u"))
-        .filter(col("__ts") > col("__prev"))
+        .filter(col("__ts") > col("__prev") && deadline)
         .groupBy(col("__u")).agg(min(col("__ts")).as("__first"))
       stages += countOf(reached, i + 1, tpe)
     }

@@ -92,4 +92,47 @@ object Graph {
     ranks.select(col("node"),
       (col("rank_m").cast("double") / lit(1e6)).as("rank"))
   }
+
+  /** Label-propagation community detection over directed `edges(src,
+    * dst)` — the lightweight community pass a curation pipeline runs to
+    * group domains/sources before per-community mixing decisions (pass
+    * each edge both ways for the undirected semantics). Synchronous LPA:
+    * every node starts as its own label; each round a node adopts the
+    * label most frequent among its in-neighbors, ties broken to the
+    * SMALLEST label (total order ⇒ deterministic, engine-replayable —
+    * asynchronous/randomized LPA variants trade that away); isolated
+    * nodes keep their label.
+    *
+    * Shape per round: one src-keyed equi-join of the edge list with the
+    * current label vector, one (dst, label) hash count (map-side
+    * partial), the per-node max-count + min-label resolution as two
+    * keyed aggregations, one keys-sized left join back — all keyed
+    * shuffles, nothing driver-side, lineage checkpointed per round like
+    * [[pageRank]] and the connected-components loop. Pure integer/string
+    * arithmetic: no floats anywhere, so the oracle replay is exact by
+    * construction.
+    *
+    * `iters` bounded for the same reason as [[pageRank]]: each round is
+    * a full edge-relation pass. Returns `(node, label)`. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val counts = e.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("__cnt"))
+      val top = counts.groupBy(col("dst")).agg(max(col("__cnt")).as("__mx"))
+      val winner = counts.join(top, Seq("dst"))
+        .filter(col("__cnt") === col("__mx"))
+        .groupBy(col("dst")).agg(min(col("label")).as("__new"))
+      labels = labels
+        .join(winner, col("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

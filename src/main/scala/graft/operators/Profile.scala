@@ -104,4 +104,35 @@ object Profile {
     }
     one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Persist per-key HLL distinct-count sketches (DataSketches, the
+    * Spark-native `hll_sketch_agg`) for one batch — the MERGEABLE
+    * counterpart of an exact `count_distinct`: each nightly batch
+    * aggregates its own sketch relation (keys-sized, a few KB per key at
+    * lgK=12 / ±~1.6%) and appends it; cross-batch distinct counts then
+    * come from unioning the stored sketches WITHOUT ever rescanning the
+    * raw data — exact distinct counts cannot be combined this way at
+    * all (|A ∪ B| ≠ |A| + |B|). Completes the nightly-persistence set
+    * (dedup signatures, BM25 postings, ANN centroids) with the metric
+    * store. Append-mode parquet: a batch never rewrites history. */
+  def appendDistinctSketches(df: DataFrame, keys: Seq[String],
+      valueCol: String, path: String, lgK: Int = 12): Unit = {
+    require(keys.nonEmpty, "need at least one key column")
+    df.groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(hll_sketch_agg(col(s"`$valueCol`"), lgK).as("sketch"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Distinct-count estimates per key from a sketch store written by
+    * [[appendDistinctSketches]] across any number of batches: one
+    * keys-sized aggregation over the store (`hll_union_agg` is a
+    * register-wise max — order-independent, so estimates are
+    * deterministic however batches landed). Returns the key columns plus
+    * `n_distinct_est: long`. */
+  def distinctFromSketches(spark: org.apache.spark.sql.SparkSession,
+      path: String, keys: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sketch"), lit(true))).as("n_distinct_est"))
 }

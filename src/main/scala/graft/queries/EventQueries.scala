@@ -375,6 +375,32 @@ object EventQueries extends graft.QueryPack {
              |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
              |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin)),
 
+    // ---- E16: windowed funnel (1-hour conversion deadline per stage) ----
+    // Same stage recursion as q_e14 with the standard product-analytics
+    // deadline: each stage must land within an hour of the previous
+    // stage's completion (the filter bites hard on this corpus: 150 → 3
+    // users at stage 2, sf0.01).
+    Q("q_e16_funnel_window",
+      (s, d) => graft.operators.Behavior.funnel(Tables.events(s, d),
+        Seq("view", "click", "purchase"), withinSeconds = Some(3600L)),
+      Some("""WITH s1 AS (
+             |  SELECT user_id, min(ts) AS t FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id, min(e.ts) AS t FROM events e
+             |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+             |    AND e.ts <= s1.t + INTERVAL 1 HOUR
+             |  WHERE e.event_type = 'click' GROUP BY 1),
+             |s3 AS (
+             |  SELECT e.user_id, min(e.ts) AS t FROM events e
+             |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+             |    AND e.ts <= s2.t + INTERVAL 1 HOUR
+             |  WHERE e.event_type = 'purchase' GROUP BY 1)
+             |SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
+             |       (SELECT count(*) FROM s1) AS users
+             |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+             |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin)),
+
     // ---- E15: weekly retention cohorts ----------------------------------
     // Cohort = Monday-truncated week of first activity; one row per
     // (cohort, week offset) with retained distinct users. offset 0 is the

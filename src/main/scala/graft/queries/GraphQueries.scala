@@ -19,6 +19,30 @@ import graft.sources.Tables
 object GraphQueries extends graft.QueryPack {
 
   private val iters = 5
+  private val lpaIters = 3
+
+  /** One LPA oracle round: labels `prev` → labels `out`. Mirrors
+    * [[Graph.labelPropagation]] op for op: in-neighbor label counts,
+    * per-node max count, smallest label among the tied maxima, isolated
+    * nodes keep their label. Integer counts + string min — exact. */
+  private def lpaIter(out: String, prev: String): String =
+    s"""$out AS (
+       |  SELECT n.node, COALESCE(w.new_label, p.label) AS label
+       |  FROM nodes n
+       |  JOIN $prev p ON p.node = n.node
+       |  LEFT JOIN (
+       |    SELECT c.dst, MIN(c.label) AS new_label
+       |    FROM (
+       |      SELECT e.dst, p2.label, COUNT(*) AS cnt
+       |      FROM e JOIN $prev p2 ON e.src = p2.node
+       |      GROUP BY 1, 2) c
+       |    JOIN (
+       |      SELECT dst, MAX(cnt) AS mx FROM (
+       |        SELECT e.dst, p3.label, COUNT(*) AS cnt
+       |        FROM e JOIN $prev p3 ON e.src = p3.node
+       |        GROUP BY 1, 2) GROUP BY 1) m
+       |      ON m.dst = c.dst AND c.cnt = m.mx
+       |    GROUP BY 1) w ON w.dst = n.node)""".stripMargin
 
   /** One oracle iteration: micro-ranks `prev` → micro-ranks `out`.
     * Mirrors [[Graph.pageRank]] op for op: share = FLOOR(rank_m/outdeg
@@ -83,6 +107,35 @@ object GraphQueries extends graft.QueryPack {
              |  SELECT node, CAST(FLOOR(1e6 / nn.n + 0.5) AS BIGINT) AS rank_m
              |  FROM nodes CROSS JOIN nn),
              |${(1 to iters).map(i => duckIter(s"r$i", s"r${i - 1}")).mkString(",\n")}
-             |SELECT node, CAST(rank_m AS DOUBLE) / 1e6 AS rank FROM r$iters""".stripMargin))
+             |SELECT node, CAST(rank_m AS DOUBLE) / 1e6 AS rank FROM r$iters""".stripMargin)),
+
+    // ---- G6: label-propagation communities over the same trade graph ----
+    // Synchronous LPA, ties to the smallest label — pure integer/string
+    // arithmetic, so the oracle's round-by-round replay is exact by
+    // construction (no quantization discipline needed, unlike q_g1).
+    Q("q_g6_label_prop",
+      (s, d) => {
+        val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey")).as("c"),
+            concat(lit("s:"), col("l_suppkey")).as("ss"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("ss").as("dst"))
+          .unionAll(pairs.select(col("ss").as("src"), col("c").as("dst")))
+        Graph.labelPropagation(edges, lpaIters)
+      },
+      Some(s"""WITH p AS (
+             |  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS ss
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |e AS (
+             |  SELECT c AS src, ss AS dst FROM p
+             |  UNION ALL
+             |  SELECT ss AS src, c AS dst FROM p),
+             |nodes AS (SELECT DISTINCT node FROM (
+             |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+             |l0 AS (SELECT node, node AS label FROM nodes),
+             |${(1 to lpaIters).map(i => lpaIter(s"l$i", s"l${i - 1}")).mkString(",\n")}
+             |SELECT node, label FROM l$lpaIters""".stripMargin))
   )
 }

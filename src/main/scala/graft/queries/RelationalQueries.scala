@@ -653,6 +653,24 @@ object RelationalQueries extends graft.QueryPack {
              |SELECT r.doc_id, r.source, r.rn
              |FROM r JOIN q USING (source) WHERE r.rn <= q.quota""".stripMargin)),
 
+    // ---- V6: mergeable distinct-count sketch store ----------------------
+    // Two "nightly" batches (doc_id parity halves) each append per-source
+    // HLL sketches; the estimate unions the STORED sketches without
+    // rescanning documents. DataSketches binary → engine-specific →
+    // rows-only driver check; ProfileSketchSpec pins the error bound vs
+    // exact and merged==single-pass agreement.
+    Q("q_v6_sketch_store",
+      (s, d) => {
+        val store = TempDirs.scratch("graft-hll-store")
+        val docs = Tables.documents(s, d)
+        graft.operators.Profile.appendDistinctSketches(
+          docs.filter(col("doc_id") % 2 === 0), Seq("source"), "text", store)
+        graft.operators.Profile.appendDistinctSketches(
+          docs.filter(col("doc_id") % 2 === 1), Seq("source"), "text", store)
+        graft.operators.Profile.distinctFromSketches(s, store, Seq("source"))
+      },
+      None),
+
     // ---- V4: k-anonymity audit over quasi-identifiers -------------------
     // Every (nation, segment) equivalence class with its size and whether
     // it meets k=10 — the privacy gate before a dataset leaves the

@@ -48,6 +48,21 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1, 1L), (2, 0L), (3, 0L)))
   }
 
+  test("funnel: conversion deadline — a next step outside the window does not count") {
+    val events = ev(
+      // u1 clicks 30s after viewing: inside a 60s window
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 10:00:30"),
+      // u2 clicks 2min after viewing: outside, even though it's their first
+      (2L, "view", "2024-01-01 10:00:00"), (2L, "click", "2024-01-01 10:02:00"))
+    val out = Behavior.funnel(events, Seq("view", "click"),
+        withinSeconds = Some(60L))
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(out.toSeq === Seq((1, 2L), (2, 1L)))
+    assert(intercept[IllegalArgumentException](
+      Behavior.funnel(events, Seq("view"), withinSeconds = Some(0L)))
+      .getMessage.contains("positive"))
+  }
+
   test("funnel: duplicate steps fail fast") {
     val events = ev((1L, "view", "2024-01-01 10:00:00"))
     assert(intercept[IllegalArgumentException](

@@ -51,5 +51,41 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.pageRank(e, 0))
     intercept[IllegalArgumentException](Graph.pageRank(e, 51))
     intercept[IllegalArgumentException](Graph.pageRank(e, 5, damping = 1.0))
+    intercept[IllegalArgumentException](Graph.labelPropagation(e, 0))
+  }
+
+  private def labels(edges: Seq[(String, String)], iters: Int)
+      : Map[String, String] = {
+    import spark.implicits._
+    // undirected semantics: pass each edge both ways
+    val sym = edges ++ edges.map(_.swap)
+    Graph.labelPropagation(sym.toDF("src", "dst"), iters)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("label propagation: two cliques joined by one bridge keep distinct communities") {
+    def clique(ns: Seq[String]) =
+      for { a <- ns; b <- ns if a < b } yield a -> b
+    val edges = clique(Seq("a1", "a2", "a3", "a4")) ++
+      clique(Seq("b1", "b2", "b3", "b4")) :+ ("a1" -> "b1")
+    val l = labels(edges, 4)
+    assert(Seq("a2", "a3", "a4").map(l).toSet.size === 1,
+      s"a-clique fragmented: $l")
+    assert(Seq("b2", "b3", "b4").map(l).toSet.size === 1,
+      s"b-clique fragmented: $l")
+    assert(l("a2") !== l("b2"), s"cliques merged across the bridge: $l")
+  }
+
+  test("label propagation: ties break to the smallest label, isolated nodes keep theirs") {
+    import spark.implicits._
+    // z hears exactly one vote each from a and b: tie → min label "a".
+    // i -> i only gives i an in-neighbor vote from itself.
+    val e = Seq("a" -> "z", "b" -> "z", "i" -> "i").toDF("src", "dst")
+    val l = Graph.labelPropagation(e, 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(l("z") === "a")
+    assert(l("i") === "i")
+    // a and b have no in-edges: they keep their own labels
+    assert(l("a") === "a" && l("b") === "b")
   }
 }

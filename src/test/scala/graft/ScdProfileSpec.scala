@@ -194,6 +194,36 @@ class ScdProfileSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"corr matrix must not self-join:\n$p")
   }
 
+  test("sketch store: merged batches estimate within HLL bounds, == single-pass") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val store = java.nio.file.Files.createTempDirectory("hll-spec").toString
+    Profile.appendDistinctSketches(
+      docs.filter(col("doc_id") % 2 === 0), Seq("source"), "text", store)
+    Profile.appendDistinctSketches(
+      docs.filter(col("doc_id") % 2 === 1), Seq("source"), "text", store)
+    val merged = Profile.distinctFromSketches(spark, store, Seq("source"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // single-pass sketch over the full corpus (no store, no split)
+    val single = java.nio.file.Files.createTempDirectory("hll-spec-one").toString
+    Profile.appendDistinctSketches(docs, Seq("source"), "text", single)
+    val onePass = Profile.distinctFromSketches(spark, single, Seq("source"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs.groupBy("source").agg(countDistinct("text").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet === exact.keySet)
+    exact.foreach { case (src, n) =>
+      val est = merged(src)
+      // lgK=12 → rsd ~1.04/sqrt(4096) ≈ 1.6%; allow 3 sigma + integer slop
+      assert(math.abs(est - n) <= math.max(2, 0.05 * n),
+        s"source $src: estimate $est vs exact $n out of bounds")
+      // union of per-batch sketches is register-wise max: must agree with
+      // the single-pass sketch (order-independence of the store)
+      assert(est === onePass(src),
+        s"source $src: merged $est != single-pass ${onePass(src)}")
+    }
+  }
+
   test("profile counts rows, nulls, and distincts per column in one pass") {
     import spark.implicits._
     val df = Seq(
