@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** User-behavior analytics over an event stream — the funnel / cohort
@@ -63,6 +64,40 @@ object Behavior {
       stages += countOf(reached, i + 1, tpe)
     }
     stages.result().reduce(_ unionByName _)
+  }
+
+  /** Tag every event with its session id — the event-level
+    * gaps-and-islands complement to the session-window AGGREGATE
+    * ([[graft.streaming.EventStreams.sessionCounts]]): downstream
+    * per-session feature extraction needs the tag on each row, not just
+    * per-session counts. A session breaks when the gap to the user's
+    * previous event reaches `gapSeconds` (same `>=` break rule as the
+    * session-window operator, so the two agree on boundaries).
+    *
+    * Session ids are `<user>#<n>` with n counting the user's sessions in
+    * time order from 1 — deterministic and replayable. Shape: one window
+    * over the per-USER partition ordered by ts (lag + running sum — the
+    * standard islands construction; user keys are many, so the partition
+    * sort distributes; this is the documented exception to the no-window
+    * rule, as a per-user event sequence has no keyed-aggregate
+    * equivalent). Ties on ts within a user order by the id column for a
+    * total order. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val brk = when(lag(col(tsCol), 1).over(w).isNull ||
+      unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)) >=
+        gapSeconds * 1000000L, 1).otherwise(0)
+    events
+      .withColumn("__brk", brk)
+      .withColumn("session_id",
+        concat(col(userCol).cast("string"), lit("#"),
+          sum(col("__brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("string")))
+      .drop("__brk")
   }
 
   /** Weekly retention cohorts: users are cohorted by the ISO week

@@ -23,6 +23,34 @@ import org.apache.spark.sql.functions._
   */
 object Scd {
 
+  /** Point-in-time (temporal) join: enrich each fact with the dimension
+    * state that was valid AT the fact's timestamp — the lookup every
+    * SCD2 dimension exists to serve, and the join that makes training
+    * data leak-free (features must reflect what was knowable at event
+    * time, not the current row). A fact before the key's first interval
+    * gets a null state (left semantics); a fact inside an interval gets
+    * exactly that interval's value.
+    *
+    * Shape: the native as-of join ([[graft.plans.AsOfJoin]] — sort-merge
+    * on the key, backward scan on time, whole-stage codegen) picks the
+    * latest `valid_from <= fact ts` per fact; one map-side guard then
+    * null-outs matches whose interval had already CLOSED before the fact
+    * (possible only when a key's history has gaps, which [[type2]]'s
+    * gapless chaining never produces — but dimensions from other builders
+    * may). No interval-range shuffle, no per-fact window. */
+  def pointInTime(facts: DataFrame, dim: DataFrame,
+      factKeyCol: String, dimKeyCol: String, factTsCol: String,
+      valueCol: String): DataFrame = {
+    val joined = graft.plans.AsOfJoin.asofJoin(
+      facts, dim.select(col(dimKeyCol), col(valueCol),
+        col("valid_from"), col("valid_to")),
+      factKeyCol, dimKeyCol, factTsCol, "valid_from")
+    joined.withColumn(valueCol,
+      when(col("valid_to").isNull || col(factTsCol) < col("valid_to"),
+        col(valueCol)))
+      .drop("valid_from", "valid_to")
+  }
+
   def type2(changes: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     val uniq = changes.groupBy(col(keyCol), col(tsCol))

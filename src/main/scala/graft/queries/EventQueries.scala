@@ -236,6 +236,48 @@ object EventQueries extends graft.QueryPack {
              |  lead(ts) OVER w2 IS NULL AS is_current
              |FROM k WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)""".stripMargin)),
 
+    // ---- E18: point-in-time join against the SCD2 dimension -------------
+    // Each click is enriched with the user's status (last signup/purchase
+    // state) AS OF the click — the leak-free temporal lookup an SCD2
+    // dimension exists to serve. Operator = native as-of join + closed-
+    // interval guard; the oracle replays the dimension build (the q_e10
+    // chain on the filtered change stream) and joins by interval
+    // containment — equivalent on a gapless dimension, which is exactly
+    // what type2 produces.
+    Q("q_e18_pit_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val dim = graft.operators.Scd.type2(
+          ev.filter(col("event_type").isin("signup", "purchase"))
+            .select(col("user_id"), col("ts"), col("event_type").as("status")),
+          "user_id", "ts", "status")
+          .withColumnRenamed("user_id", "pit_user")
+        val facts = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.operators.Scd.pointInTime(facts, dim,
+            "user_id", "pit_user", "ts", "status")
+          .select(col("event_id"), col("user_id"), col("ts"), col("status"))
+      },
+      Some("""WITH ch AS (
+             |  SELECT user_id, ts, MAX(event_type) AS status
+             |  FROM events WHERE event_type IN ('signup', 'purchase')
+             |  GROUP BY 1, 2),
+             |c AS (
+             |  SELECT user_id, ts, status, lag(status) OVER w AS pv,
+             |    row_number() OVER w AS rn
+             |  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |k AS (SELECT user_id, ts, status FROM c
+             |      WHERE rn = 1 OR pv IS DISTINCT FROM status),
+             |dim AS (
+             |  SELECT user_id, status, ts AS valid_from,
+             |    lead(ts) OVER w2 AS valid_to
+             |  FROM k WINDOW w2 AS (PARTITION BY user_id ORDER BY ts))
+             |SELECT f.event_id, f.user_id, f.ts, d.status
+             |FROM events f LEFT JOIN dim d ON d.user_id = f.user_id
+             |  AND d.valid_from <= f.ts
+             |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+             |WHERE f.event_type = 'click'""".stripMargin)),
+
     // ---- E4: dedup-keep-first (deterministic dropDuplicates) ------------
     Q("q_e4_dedup_first",
       (s, d) => {
@@ -400,6 +442,25 @@ object EventQueries extends graft.QueryPack {
              |       (SELECT count(*) FROM s1) AS users
              |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
              |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin)),
+
+    // ---- E17: event-level sessionization (gaps-and-islands tag) ---------
+    // Same >= break rule as the session-window aggregate (q_e3), so the
+    // two agree on boundaries; ids are user#n in time order.
+    Q("q_e17_sessionize",
+      (s, d) => graft.operators.Behavior.sessionize(Tables.events(s, d))
+        .select(col("event_id"), col("user_id"), col("ts"), col("session_id")),
+      Some("""WITH o AS (
+             |  SELECT event_id, user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT event_id, user_id, ts,
+             |  CAST(user_id AS VARCHAR) || '#' || CAST(
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                   ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS session_id
+             |FROM o""".stripMargin)),
 
     // ---- E15: weekly retention cohorts ----------------------------------
     // Cohort = Monday-truncated week of first activity; one row per

@@ -67,4 +67,51 @@ object Sinks {
   def readOrc(spark: org.apache.spark.sql.SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).orc(path)
+
+  /** CSV with a malformed-row audit channel — production CSV feeds (the
+    * reference engine's driving input) carry truncated/ragged/mistyped
+    * rows, and silently dropping them (DROPMALFORMED) or failing the job
+    * (FAILFAST) are both wrong for a pipeline with a log channel: the
+    * migration log pattern (V1–V6) wants bad rows REPORTED and good rows
+    * PROCESSED. PERMISSIVE mode + an explicit `_corrupt_record` column
+    * routes every unparseable row's raw text into the audit frame in one
+    * pass over the file.
+    *
+    * Returns (good, bad): `good` is schema-shaped rows with the audit
+    * column dropped; `bad` is `(raw: string)` — the original line of
+    * every row that failed to parse. The split is two lazy filters over
+    * ONE cached-free scan; at 100 TB each side prunes to the columns it
+    * needs (the audit side reads only the corrupt-record column).
+    * Callers persist `bad` through the log sink of their choice. */
+  def readCsvAudited(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      header: Boolean = true): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema must not already carry _corrupt_record")
+    val withAudit = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    val raw = spark.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withAudit).csv(path)
+    // Spark defines CSV corruption RELATIVE TO THE REQUIRED SCHEMA: a
+    // mistyped field that a consumer's plan pruned away never flags its
+    // row (measured: a not-a-number field passed `_corrupt_record IS
+    // NULL` the moment the consumer selected a column subset — and no
+    // conf restores detection for pruned plans). An audit is
+    // definitionally a full-row parse, so the verdict is pinned behind a
+    // lazy localCheckpoint: the file parses ONCE with every column
+    // required, the first action materializes it, and downstream
+    // projections prune the materialized rows — never the parse. This is
+    // the "parse CSV once, then split" landing pattern; pipelines
+    // wanting a durable landing write `good`/`bad` straight to parquet
+    // and get the same single-parse guarantee.
+    val pinned = raw.localCheckpoint(false)
+    val good = pinned.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val bad = pinned.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+    (good, bad)
+  }
 }

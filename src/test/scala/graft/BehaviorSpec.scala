@@ -85,6 +85,35 @@ class BehaviorSpec extends AnyFunSuite {
       ("2024-01-08", 0, 1L), ("2024-01-08", 2, 1L)))
   }
 
+  test("sessionize: a gap of exactly gapSeconds breaks; ids count per user in time order") {
+    import spark.implicits._
+    val events = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00")),
+      (11L, 1L, ts("2024-01-01 10:29:59")), // 29:59 gap — same session
+      (12L, 1L, ts("2024-01-01 10:59:59")), // exactly 30:00 gap — breaks
+      (13L, 2L, ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val out = Behavior.sessionize(events)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out === Map(10L -> "1#1", 11L -> "1#1", 12L -> "1#2", 13L -> "2#1"))
+    assert(intercept[IllegalArgumentException](
+      Behavior.sessionize(events, gapSeconds = 0))
+      .getMessage.contains("positive"))
+  }
+
+  test("sessionize boundaries agree with the session-window aggregate") {
+    // the >= break rule must match EventStreams.sessionCounts: sessions
+    // per user derived from the tag equal the aggregate's session count
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val fromTag = Behavior.sessionize(events)
+      .select(col("user_id"), col("session_id")).distinct()
+      .groupBy("user_id").count()
+    val fromAgg = graft.streaming.EventStreams.sessionCounts(events)
+      .groupBy("user_id").count()
+    assert(fromTag.exceptAll(fromAgg).isEmpty && fromAgg.exceptAll(fromTag).isEmpty,
+      "per-user session counts diverge between the tag and the aggregate")
+  }
+
   test("funnel and retention shuffle only by user key — no window over raw events") {
     val events = ev((1L, "view", "2024-01-01 10:00:00"))
     for (p <- Seq(

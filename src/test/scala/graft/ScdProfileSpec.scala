@@ -138,6 +138,29 @@ class ScdProfileSpec extends AnyFunSuite {
       Features.winsorize(df, "v", 0.9, 0.1)).getMessage.contains("pLo"))
   }
 
+  test("point-in-time join: as-of state, pre-history nulls, gapped intervals guarded") {
+    import spark.implicits._
+    val dim = Seq(
+      // u1: bronze [10:00, 12:00) then GAP, then gold [14:00, null)
+      ("u1", "bronze", ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 12:00:00"))),
+      ("u1", "gold", ts("2024-01-01 14:00:00"), None)
+    ).toDF("k", "status", "valid_from", "valid_to")
+      .select(col("k"), col("status"), col("valid_from"),
+        col("valid_to").cast("timestamp"))
+    val facts = Seq(
+      (1L, "u1", ts("2024-01-01 09:00:00")),  // before history → null
+      (2L, "u1", ts("2024-01-01 10:00:00")),  // exactly at valid_from → bronze
+      (3L, "u1", ts("2024-01-01 11:59:59")),  // inside → bronze
+      (4L, "u1", ts("2024-01-01 13:00:00")),  // in the GAP → null (closed guard)
+      (5L, "u1", ts("2024-01-01 15:00:00")),  // open interval → gold
+      (6L, "u2", ts("2024-01-01 10:00:00"))   // no dim rows at all → null
+    ).toDF("fid", "fk", "fts")
+    val out = graft.operators.Scd.pointInTime(facts, dim, "fk", "k", "fts", "status")
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("status"))).toMap
+    assert(out === Map(1L -> None, 2L -> Some("bronze"), 3L -> Some("bronze"),
+      4L -> None, 5L -> Some("gold"), 6L -> None))
+  }
+
   test("equi-depth bins: boundary ties fall to the lower bucket, nulls stay null") {
     import spark.implicits._
     import graft.operators.Features

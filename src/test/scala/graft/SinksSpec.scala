@@ -148,4 +148,31 @@ class SinksSpec extends AnyFunSuite {
         orders("o_custkey") === cust("c_custkey")).count())
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("csv audit channel: good rows parse, malformed rows land in the audit frame") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("csv-audit")
+    java.nio.file.Files.writeString(dir.resolve("feed.csv"),
+      """id,name,amount
+        |1,alice,10.5
+        |2,bob,not_a_number
+        |3,carol,7.25
+        |just-garbage-no-commas
+        |5,dave,1.0
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("amount", DoubleType)))
+    val (good, bad) = graft.sources.Sinks.readCsvAudited(
+      spark, dir.toString, schema)
+    val ids = good.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L, 5L), s"good side wrong: $ids")
+    val raws = bad.collect().map(_.getString(0)).toSet
+    assert(raws === Set("2,bob,not_a_number", "just-garbage-no-commas"),
+      s"audit side wrong: $raws")
+    // a schema already carrying the audit column is a caller bug
+    assert(intercept[IllegalArgumentException](
+      graft.sources.Sinks.readCsvAudited(spark, dir.toString,
+        schema.add("_corrupt_record", StringType)))
+      .getMessage.contains("_corrupt_record"))
+  }
 }
