@@ -109,6 +109,59 @@ object TextAnalysis {
       .withColumn("n_bpe", size(tokens(col("bpe"))).cast("long"))
   }
 
+  /** Deterministic BPE vocabulary from a tokenized corpus: every
+    * distinct piece the merges table produces, with dense integer ids in
+    * lexicographic piece order — the id assignment an oracle (or another
+    * engine) can replay exactly. The global `row_number` window sorts a
+    * VOCAB-sized relation (≤ |V| rows — tens of thousands, never the
+    * corpus), so the single-partition sort it implies is bounded by
+    * construction. Returns `(piece: string, token_id: int)`. */
+  def buildBpeVocab(df: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame =
+    bpeTokenize(df, merges, textCol, df.columns.head)
+      .select(explode(tokens(col("bpe"))).as("piece")).distinct()
+      .withColumn("token_id",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("piece"))) - 1).cast("int"))
+
+  /** Persist the vocab ([[buildBpeVocab]]) — train the tokenizer once,
+    * encode every later batch against the STORED piece→id table (the
+    * signature-store discipline applied to the tokenizer). */
+  def writeBpeVocab(df: DataFrame, merges: Seq[(String, String)],
+      path: String, textCol: String = "text"): Unit =
+    buildBpeVocab(df, merges, textCol).write.mode("overwrite").parquet(path)
+
+  /** Encode documents to integer token-id sequences — the handoff format
+    * a training pipeline actually ships. Pieces come from the map-only
+    * [[bpeTokenize]] kernel; ids from a broadcast join against the
+    * vocab-sized piece→id table; the one keyed shuffle reassembles each
+    * doc's ids in stream order. A piece absent from the vocab (a NEW
+    * batch encoded against a stored vocab) maps to −1, the conventional
+    * unk sentinel — never silently dropped, so `n_tokens` always equals
+    * the tokenizer's output length. Token-less docs keep an empty array.
+    * Returns `(<idCol>, token_ids: array<int>, n_tokens: long)`. */
+  def encodeTokenIds(df: DataFrame, merges: Seq[(String, String)],
+      vocab: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val bpe = bpeTokenize(df, merges, textCol, idCol)
+    val pieces = bpe
+      .select(col(idCol), posexplode(tokens(col("bpe"))).as(Seq("pos", "piece")))
+    val ids = pieces
+      .join(broadcast(vocab.select(col("piece"), col("token_id"))),
+        Seq("piece"), "left")
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          coalesce(col("token_id"), lit(-1)).as("tid")))),
+        s => s.getField("tid")).as("token_ids"))
+    bpe.select(col(idCol), col("n_bpe").as("n_tokens"))
+      .join(ids, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("token_ids"),
+          array().cast("array<int>")).as("token_ids"),
+        col("n_tokens"))
+  }
+
   /** How many tokens appear in `words` (language/stopword hit count). */
   def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))

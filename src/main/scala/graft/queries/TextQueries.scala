@@ -315,6 +315,45 @@ object TextQueries extends graft.QueryPack {
       Some(s"""$duckBpe
               |SELECT doc_id, bpe, n_bpe FROM bpe""".stripMargin)),
 
+    // ---- X39: integer token-id encoding (the training handoff format) ---
+    // Learn merges → build the deterministic piece→id vocab (lexicographic
+    // dense ids) → encode every doc to its id sequence. The oracle replays
+    // the whole chain: the q_x24 BPE CTE, positional piece explode, the
+    // same vocab ranking, and order-preserving id reassembly.
+    Q("q_x39_token_ids",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = TextAnalysis.learnBpeMerges(docs, "text")
+        // the id sequence rides the driver compare as a joined string —
+        // the registry convention for array payloads (cell-level list
+        // compare isn't in the oracle contract); the operator itself
+        // returns the real array<int>
+        TextAnalysis.encodeTokenIds(docs, merges,
+            TextAnalysis.buildBpeVocab(docs, merges))
+          .select(col("doc_id"),
+            array_join(transform(col("token_ids"), t => t.cast("string")), ",")
+              .as("ids_csv"),
+            col("n_tokens"))
+      },
+      Some(s"""$duckBpe,
+              |px AS (
+              |  SELECT doc_id,
+              |    generate_subscripts(string_split(bpe, ' '), 1) AS pos,
+              |    unnest(string_split(bpe, ' ')) AS piece
+              |  FROM bpe WHERE n_bpe > 0),
+              |vocab AS (
+              |  SELECT piece,
+              |    CAST(row_number() OVER (ORDER BY piece) - 1 AS INT) AS token_id
+              |  FROM (SELECT DISTINCT piece FROM px)),
+              |ids AS (
+              |  SELECT px.doc_id,
+              |    string_agg(CAST(v.token_id AS VARCHAR), ',' ORDER BY px.pos)
+              |      AS ids_csv
+              |  FROM px JOIN vocab v USING (piece) GROUP BY 1)
+              |SELECT b.doc_id, COALESCE(i.ids_csv, '') AS ids_csv,
+              |  b.n_bpe AS n_tokens
+              |FROM bpe b LEFT JOIN ids i USING (doc_id)""".stripMargin)),
+
     // ---- X25: sequence packing under the REAL tokenizer's budget --------
     // q_x20's layout with n_tokens from the learned BPE instead of the
     // whitespace proxy — the wiring a real pipeline uses (quota sampling,

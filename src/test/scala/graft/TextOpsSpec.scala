@@ -193,6 +193,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3).isNullAt(1) && out(3).isNullAt(2))
   }
 
+  test("token ids: stored vocab round-trips, unseen pieces map to -1, order preserved") {
+    import spark.implicits._
+    val train = Seq((1L, "te te ab"), (2L, "ab te")).toDF("doc_id", "text")
+    val merges = Seq("t" -> "e", "a" -> "b")
+    // vocab from the training corpus: pieces {te, ab} → lexicographic ids
+    val vocab = TextAnalysis.buildBpeVocab(train, merges)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(vocab === Map("ab" -> 0, "te" -> 1))
+    val store = java.nio.file.Files.createTempDirectory("bpe-vocab").toString
+    TextAnalysis.writeBpeVocab(train, merges, store)
+    val stored = spark.read.parquet(store)
+    // in-job and stored vocab encode identically (the persistence contract)
+    val a = TextAnalysis.encodeTokenIds(train, merges,
+      TextAnalysis.buildBpeVocab(train, merges))
+    val b = TextAnalysis.encodeTokenIds(train, merges, stored)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // order preserved: doc 1 is "te te ab" → [1, 1, 0]
+    val d1 = a.filter(col("doc_id") === 1).head
+    assert(d1.getSeq[Int](1) === Seq(1, 1, 0) && d1.getLong(2) === 3L)
+    // a NEW batch with unseen pieces: "zz" has no merge, so it stays two
+    // char-level pieces — both unknown to the stored vocab → -1, never
+    // dropped, and n_tokens still equals the tokenizer's output length
+    val fresh = Seq((9L, "te zz")).toDF("doc_id", "text")
+    val enc = TextAnalysis.encodeTokenIds(fresh, merges, stored).head
+    assert(enc.getSeq[Int](1) === Seq(1, -1, -1) && enc.getLong(2) === 3L)
+  }
+
   test("bigram perplexity: hand-computed LM on a 3-doc corpus, buckets + empty") {
     import spark.implicits._
     // corpus: "a b a b" / "a b" / "z" — vocab {a,b,z} V=3;
