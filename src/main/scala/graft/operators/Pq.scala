@@ -186,9 +186,11 @@ object Pq {
     * codebook (m·k rows, bounded like the ≤256-centroid literal dispatch
     * in [[Similarity.assignToCentroids]]) collects once to the driver and
     * rides the expression; per-entry norms precompute once per task.
-    * Bit-parity with the relational [[encode]] is pinned by PqSpec and by
-    * the q_pq oracles, which replay the relational arithmetic in DuckDB
-    * against this path's output. */
+    * Bit-parity with the relational [[encode]] is pinned by
+    * SimilaritySpec (kernel==relational on real embeddings, both
+    * metrics, plus the zero-norm fixture) and by the q_pq oracles, which
+    * replay the relational arithmetic in DuckDB against this path's
+    * output. */
   def encodeCodes(emb: DataFrame, codebooks: DataFrame, m: Int, dim: Int,
       metric: String = "cosine",
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

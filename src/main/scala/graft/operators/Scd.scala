@@ -41,6 +41,11 @@ object Scd {
   def pointInTime(facts: DataFrame, dim: DataFrame,
       factKeyCol: String, dimKeyCol: String, factTsCol: String,
       valueCol: String): DataFrame = {
+    Seq("valid_from", "valid_to", valueCol).foreach(c =>
+      require(!facts.columns.contains(c),
+        s"facts already carry a '$c' column — rename it before the " +
+          "point-in-time join (the dimension's interval columns ride the " +
+          "join and are dropped afterwards)"))
     val joined = graft.plans.AsOfJoin.asofJoin(
       facts, dim.select(col(dimKeyCol), col(valueCol),
         col("valid_from"), col("valid_to")),

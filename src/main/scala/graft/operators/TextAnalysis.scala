@@ -112,17 +112,26 @@ object TextAnalysis {
   /** Deterministic BPE vocabulary from a tokenized corpus: every
     * distinct piece the merges table produces, with dense integer ids in
     * lexicographic piece order — the id assignment an oracle (or another
-    * engine) can replay exactly. The global `row_number` window sorts a
-    * VOCAB-sized relation (≤ |V| rows — tens of thousands, never the
-    * corpus), so the single-partition sort it implies is bounded by
-    * construction. Returns `(piece: string, token_id: int)`. */
+    * engine) can replay exactly. The distributed part is the distinct
+    * over the exploded piece relation; the ranking happens on the DRIVER
+    * over the collected vocab (≤ maxVocab rows — a BPE vocab is
+    * tens of thousands of pieces by construction, never corpus-sized),
+    * the bounded-collect pattern the codebook/centroid inlines use —
+    * NOT an unpartitioned rank window, which the global plan audit
+    * rightly forbids. Returns `(piece: string, token_id: int)`. */
   def buildBpeVocab(df: DataFrame, merges: Seq[(String, String)],
-      textCol: String = "text"): DataFrame =
-    bpeTokenize(df, merges, textCol, df.columns.head)
+      textCol: String = "text", maxVocab: Int = 262144): DataFrame = {
+    val pieces = bpeTokenize(df, merges, textCol, df.columns.head)
       .select(explode(tokens(col("bpe"))).as("piece")).distinct()
-      .withColumn("token_id",
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("piece"))) - 1).cast("int"))
+      .limit(maxVocab + 1).collect().map(_.getString(0))
+    require(pieces.length <= maxVocab,
+      s"vocab exceeds maxVocab=$maxVocab pieces — raise the bound or " +
+        "shrink the merges table; the piece→id ranking collects to the driver")
+    val spark = df.sparkSession
+    import spark.implicits._
+    pieces.sorted.zipWithIndex.map { case (p, i) => (p, i) }
+      .toSeq.toDF("piece", "token_id")
+  }
 
   /** Persist the vocab ([[buildBpeVocab]]) — train the tokenizer once,
     * encode every later batch against the STORED piece→id table (the
