@@ -206,6 +206,19 @@ object PqQueries extends graft.QueryPack {
                  s"SELECT vec_id, CAST($s AS INTEGER) AS sub_id, code, score FROM codes_$s")
                  .mkString("\nUNION ALL\n")}""".stripMargin)),
 
+    // ---- PQ6: the map-only encode KERNEL under its own oracle -----------
+    // Same oracle arithmetic as q_pq2 minus the score column (the kernel
+    // returns codes only — the corpus payload); hash equality against the
+    // relational replay is the kernel's bit-parity proof at the driver
+    // level, the q_d8/q_d9 map-only-twin discipline.
+    Q("q_pq6_encode_maponly",
+      (s, d) => Pq.encodeCodes(Tables.embeddings(s, d),
+        Pq.trainCodebooks(Tables.embeddings(s, d), M, 64, K, 2), M, 64),
+      Some(s"""WITH $withCodes
+              |${(0 until M).map(s =>
+                 s"SELECT vec_id, CAST($s AS INTEGER) AS sub_id, code FROM codes_$s")
+                 .mkString("\nUNION ALL\n")}""".stripMargin)),
+
     // ---- PQ3: ADC approximate inner-product top-k -----------------------
     Q("q_pq3_adc_topk",
       (s, d) => Pq.adcTopK(Tables.embeddings(s, d),
