@@ -78,6 +78,35 @@ object Similarity {
         col("t.score").as(scoreName), (col("pos") + lit(1)).as("rnk"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k
+    * most-similar corpus vectors that are NOT near-duplicates — similar
+    * enough to be hard (the model must work to separate them), below the
+    * near-dup threshold so they aren't secret positives. The standard
+    * retrieve-then-filter recipe: take the top `kRetrieve` cosine
+    * neighbors, drop those with `score >= tauNear` (the [[nearDupByCosine]]
+    * duplicate band), keep the best k of the remainder through the same
+    * bounded [[perQueryTopK]] buffer — so the ranking shuffle stays ≤k
+    * pairs per query per map task, like every other ANN path here.
+    *
+    * `kRetrieve` bounds how deep the near-dup band can reach: if ALL
+    * kRetrieve retrieved neighbors are dups, fewer than k negatives come
+    * back (by design — inventing weaker negatives silently would poison
+    * the contrastive batch). Scale path: swap the brute-force retrieval
+    * for [[ivfTopKWith]] candidates at corpus scale; the filter+rerank
+    * stages are retrieval-agnostic. */
+  def hardNegatives(emb: DataFrame, queryPred: Column, k: Int,
+      kRetrieve: Int, tauNear: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && kRetrieve >= k,
+      s"need 1 <= k <= kRetrieve, got k=$k kRetrieve=$kRetrieve")
+    require(tauNear > 0 && tauNear <= 1,
+      s"need 0 < tauNear <= 1, got $tauNear")
+    perQueryTopK(
+      bruteForceTopK(emb, queryPred, kRetrieve, idCol, vecCol)
+        .filter(col("score") < tauNear)
+        .select(col("query_id"), col("neighbor_id"), col("score")), k)
+  }
+
   /** Cosine similarity rounded to `scale` decimals. */
   def cosine(a: Column, b: Column, scale: Int = 6): Column =
     round(dot(a, b) / (norm(a) * norm(b)), scale)

@@ -236,6 +236,39 @@ object SimilarityQueries extends graft.QueryPack {
               |  FROM scored)
               |WHERE rnk <= 10""".stripMargin)),
 
+    // ---- SIM10: hard-negative mining (contrastive-training pairs) -------
+    // Top-40 retrieval, drop the near-dup band (score >= 0.35, q_sim3's
+    // tau), keep the 10 best survivors — similar-but-not-duplicate, the
+    // negatives a contrastive batch actually needs. Oracle = the q_sim1
+    // scoring chain + rank-40 cut + band filter + re-rank.
+    Q("q_sim10_hard_negatives",
+      (s, d) => Similarity.hardNegatives(Tables.embeddings(s, d),
+        col("vec_id") < 5, k = 10, kRetrieve = 40, tauNear = 0.35),
+      Some(s"""$duckEx,
+              |dots AS (
+              |  SELECT qx.vec_id AS query_id, e.vec_id AS neighbor_id,
+              |         SUM(CAST(qx.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS dot
+              |  FROM ex qx JOIN ex e ON qx.i = e.i
+              |  WHERE qx.vec_id < 5 AND e.vec_id <> qx.vec_id
+              |  GROUP BY 1, 2),
+              |scored AS (
+              |  SELECT d.query_id, d.neighbor_id,
+              |         ROUND(d.dot / (nq.nrm * nn.nrm), 6) AS score
+              |  FROM dots d
+              |  JOIN norms nq ON nq.vec_id = d.query_id
+              |  JOIN norms nn ON nn.vec_id = d.neighbor_id),
+              |cand AS (
+              |  SELECT query_id, neighbor_id, score FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+              |    FROM scored)
+              |  WHERE rk <= 40)
+              |SELECT query_id, neighbor_id, score, rnk FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+              |  FROM cand WHERE score < 0.35)
+              |WHERE rnk <= 10""".stripMargin)),
+
     // ---- SIM2: sign-LSH bucketing (the ANN scale path) ------------------
     Q("q_sim2_lsh_buckets",
       (s, d) => Similarity.lshBuckets(Tables.embeddings(s, d), 4),

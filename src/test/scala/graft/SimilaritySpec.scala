@@ -176,6 +176,31 @@ class SimilaritySpec extends AnyFunSuite {
       "zero-norm slice: kernel/relational encode diverged")
   }
 
+  test("hard negatives: below the near-dup band, ranked, short when dups dominate") {
+    import spark.implicits._
+    val out = Similarity.hardNegatives(emb, col("vec_id") < 5,
+      k = 10, kRetrieve = 40, tauNear = 0.35)
+    val rows = out.collect()
+    assert(rows.forall(_.getAs[Double]("score") < 0.35),
+      "a hard negative must sit below the near-dup threshold")
+    // ranks are dense 1..n per query
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq ===
+        (1 to rs.length).toSeq)
+    }
+    // every retrieved neighbor a dup → FEWER than k negatives, not invented
+    val clones = (0L to 5L).map(i => (i, Array.fill(4)(1.0f + i * 1e-6f)))
+      .toDF("vec_id", "embedding")
+    val starved = Similarity.hardNegatives(clones, col("vec_id") === 0,
+      k = 3, kRetrieve = 5, tauNear = 0.9)
+    assert(starved.count() === 0,
+      "near-identical corpus must yield no hard negatives, not fake ones")
+    assert(intercept[IllegalArgumentException](
+      Similarity.hardNegatives(emb, col("vec_id") < 5, 10, 5, 0.35))
+      .getMessage.contains("kRetrieve"))
+  }
+
   test("pq: adc ranking recalls a sane share of the exact top-k") {
     // crude quantizer (4 subspaces × 4 entries = 256 distinct encodings
     // for 500 vectors), so expect partial — but far-from-random — recall
