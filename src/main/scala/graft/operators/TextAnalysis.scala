@@ -171,6 +171,39 @@ object TextAnalysis {
         col("n_tokens"))
   }
 
+  /** Canonical URL key — the first-pass dedup key a web corpus groups on
+    * before any content hashing (the same page arrives as `HTTP://X.COM`,
+    * `http://x.com:80/`, and `http://x.com/?utm_source=…`). Deterministic
+    * string rules, all map-only and exactly replayable in a relational
+    * oracle:
+    *   - fragment dropped; scheme and authority lowercased (paths stay
+    *     case-sensitive per the URL spec);
+    *   - default ports stripped (`:80` for http, `:443` for https);
+    *   - tracking params removed (`utm_*`, `fbclid`, `gclid`), remaining
+    *     query params sorted bytewise, empty params dropped;
+    *   - a single trailing slash stripped from non-root paths.
+    * A value with no `scheme://` prefix passes through unchanged —
+    * refusing to guess beats inventing a canonicalization for relative
+    * or garbage values. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth0 = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val auth = when(scheme === "http", regexp_replace(auth0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth0, ":443$", ""))
+      .otherwise(auth0)
+    val path0 = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(length(path0) > 1, regexp_replace(path0, "/$", ""))
+      .otherwise(path0)
+    val q0 = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val params = filter(split(q0, "&"), p =>
+      !(p.rlike("^(utm_[^=]*|fbclid|gclid)(=.*)?$") || p === lit("")))
+    val qsorted = array_join(array_sort(params), "&")
+    when(scheme === "", url).otherwise(
+      concat(scheme, lit("://"), auth, path,
+        when(qsorted === "", lit("")).otherwise(concat(lit("?"), qsorted))))
+  }
+
   /** How many tokens appear in `words` (language/stopword hit count). */
   def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))

@@ -354,6 +354,52 @@ object TextQueries extends graft.QueryPack {
               |  b.n_bpe AS n_tokens
               |FROM bpe b LEFT JOIN ids i USING (doc_id)""".stripMargin)),
 
+    // ---- X40: URL canonicalization (web-corpus first-pass dedup key) ----
+    // URLs constructed engine-independently from documents columns (the
+    // q_x18 discipline) covering the rule matrix: noisy case + default
+    // port + tracking params + fragment / duplicate params needing a sort
+    // / trailing slash. The oracle replays every rule with the same
+    // regexes and list ops.
+    Q("q_x40_url_canon",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val url = concat(lit("HTTP://Example-"), col("source"), lit(".COM:80/Docs/"),
+          col("doc_id"),
+          when(col("doc_id") % 3 === 0, lit("/?utm_source=feed&b=2&a=1#frag"))
+            .when(col("doc_id") % 3 === 1, lit("?z=9&utm_campaign=x&z=1"))
+            .otherwise(lit("/")))
+        docs.select(col("doc_id"), url.as("url"),
+          TextAnalysis.canonicalUrl(url).as("canon_url"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |    'HTTP://Example-' || source || '.COM:80/Docs/' || doc_id ||
+             |    CASE doc_id % 3 WHEN 0 THEN '/?utm_source=feed&b=2&a=1#frag'
+             |                    WHEN 1 THEN '?z=9&utm_campaign=x&z=1'
+             |                    ELSE '/' END AS url
+             |  FROM documents),
+             |c AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM u),
+             |p AS (SELECT doc_id, url,
+             |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             |    lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth0,
+             |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+             |    COALESCE(regexp_extract(nf, '\?(.*)$', 1), '') AS q0
+             |  FROM c),
+             |q AS (SELECT *, COALESCE(array_to_string(list_sort(list_filter(
+             |    string_split(q0, '&'),
+             |    x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)(=.*)?$')
+             |         AND x <> '')), '&'), '') AS qs FROM p)
+             |SELECT doc_id, url,
+             |  CASE WHEN scheme = '' THEN url ELSE
+             |    scheme || '://' ||
+             |    CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+             |         WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+             |         ELSE auth0 END ||
+             |    CASE WHEN length(path0) > 1 THEN regexp_replace(path0, '/$', '')
+             |         ELSE path0 END ||
+             |    CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+             |  END AS canon_url
+             |FROM q""".stripMargin)),
+
     // ---- X25: sequence packing under the REAL tokenizer's budget --------
     // q_x20's layout with n_tokens from the learned BPE instead of the
     // whitespace proxy — the wiring a real pipeline uses (quota sampling,

@@ -220,6 +220,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(enc.getSeq[Int](1) === Seq(1, -1, -1) && enc.getLong(2) === 3L)
   }
 
+  test("url canonicalization: the rule matrix on hand cases") {
+    import spark.implicits._
+    val cases = Seq(
+      // case + default port + tracking + fragment + sort
+      "HTTP://Ex.COM:80/A/b?utm_source=x&b=2&a=1#frag" -> "http://ex.com/A/b?a=1&b=2",
+      // https default port; path case preserved
+      "https://Ex.com:443/Path/" -> "https://ex.com/Path",
+      // non-default port kept; duplicate params sort bytewise; root '/'
+      // survives (only non-root trailing slashes strip)
+      "http://ex.com:8080/?z=9&z=1" -> "http://ex.com:8080/?z=1&z=9",
+      // root path survives as-is; all-tracking query vanishes
+      "http://ex.com/?utm_campaign=a&gclid=1&fbclid=2" -> "http://ex.com/",
+      // empty params dropped
+      "http://ex.com/p?&a=1&" -> "http://ex.com/p?a=1",
+      // no scheme: refuse to guess, pass through unchanged
+      "not a url" -> "not a url",
+      "relative/path?utm_source=x" -> "relative/path?utm_source=x")
+    val out = cases.map(_._1).toDF("u")
+      .select(col("u"), TextAnalysis.canonicalUrl(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(out(in) === want, s"canonicalUrl('$in')") }
+    // idempotence: canonicalizing a canonical URL is a no-op
+    val canon = cases.map(_._2).toDF("u")
+      .select(col("u"), TextAnalysis.canonicalUrl(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    canon.foreach { case (in, again) => assert(again === in, s"not idempotent: '$in'") }
+  }
+
   test("bigram perplexity: hand-computed LM on a 3-doc corpus, buckets + empty") {
     import spark.implicits._
     // corpus: "a b a b" / "a b" / "z" — vocab {a,b,z} V=3;
