@@ -379,9 +379,6 @@ object TextAnalysis {
   def bigramPerplexity(df: DataFrame, textCol: String, idCol: String,
       headPpl: Double, tailPpl: Double,
       alpha: Double = 1.0): DataFrame = {
-    require(alpha > 0, s"alpha must be positive, got $alpha")
-    require(headPpl < tailPpl,
-      s"need headPpl < tailPpl, got $headPpl >= $tailPpl")
     val toksed = Par.spread(df.select(col(idCol).as("doc_id"),
       tokens(lower(col(textCol))).as("toks")))
     // bigram MULTISET (one row per adjacent-pair occurrence — LM counts
@@ -391,20 +388,71 @@ object TextAnalysis {
     val uni = toksed.select(explode(col("toks")).as("w"))
     val uniCnt = uni.groupBy(col("w")).agg(count(lit(1)).as("cu"))
     val vocab = uni.select(countDistinct(col("w")).as("vsz"))
+    pplCore(df, textCol, idCol, biCnt, uniCnt, vocab, headPpl, tailPpl, alpha)
+  }
+
+  /** Persist the bigram LM ([[bigramPerplexity]]'s count relations) as
+    * exact-integer parquet: bigram counts, unigram counts, and the 1-row
+    * vocab size — the CCNet deployment shape (the LM trains ONCE on the
+    * reference corpus; every crawl batch scores against the store without
+    * the reference corpus ever being rescanned). The signature-store /
+    * BM25-index / quantizer-store discipline applied to the LM. */
+  def writeLmCounts(df: DataFrame, textCol: String, dir: String): Unit = {
+    val toksed = Par.spread(df.select(tokens(lower(col(textCol))).as("toks")))
+    toksed.select(explode(shingles(col("toks"), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cb"))
+      .write.mode("overwrite").parquet(s"$dir/bigrams")
+    val uni = toksed.select(explode(col("toks")).as("w"))
+    uni.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      .write.mode("overwrite").parquet(s"$dir/unigrams")
+    uni.select(countDistinct(col("w")).as("vsz"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Score a batch against a PERSISTED LM ([[writeLmCounts]] output):
+    * identical arithmetic to the in-job [[bigramPerplexity]] — counts are
+    * exact integers either way, so scoring the training corpus itself
+    * reproduces the in-job result bit-for-bit (the registered query
+    * shares q_x27's oracle verbatim; output equality is the proof). Grams
+    * and heads the store has never seen score with their smoothing floor
+    * (count 0), exactly what add-α smoothing is for — rows are never
+    * dropped. */
+  def bigramPerplexityFromLm(spark: org.apache.spark.sql.SparkSession,
+      dir: String, df: DataFrame, textCol: String, idCol: String,
+      headPpl: Double, tailPpl: Double, alpha: Double = 1.0): DataFrame =
+    pplCore(df, textCol, idCol,
+      spark.read.parquet(s"$dir/bigrams"),
+      spark.read.parquet(s"$dir/unigrams"),
+      spark.read.parquet(s"$dir/stats"),
+      headPpl, tailPpl, alpha)
+
+  /** Shared scoring core: add-α bigram NLL per doc against the given
+    * count relations, bucketed. Left joins + count-0 coalesce make
+    * unseen grams/heads take the smoothing floor — a no-op when scoring
+    * the corpus the counts came from (every gram matches). */
+  private def pplCore(target: DataFrame, textCol: String, idCol: String,
+      biCnt: DataFrame, uniCnt: DataFrame, vocab: DataFrame,
+      headPpl: Double, tailPpl: Double, alpha: Double): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(headPpl < tailPpl,
+      s"need headPpl < tailPpl, got $headPpl >= $tailPpl")
+    val toksed = Par.spread(target.select(col(idCol).as("doc_id"),
+      tokens(lower(col(textCol))).as("toks")))
+    val bi = toksed.select(col("doc_id"), explode(shingles(col("toks"), 2)).as("gram"))
     val perDoc = bi
-      .join(biCnt, Seq("gram"))
+      .join(biCnt, Seq("gram"), "left")
       .withColumn("w1", split(col("gram"), " ").getItem(0))
-      .join(uniCnt.withColumnRenamed("w", "w1"), Seq("w1"))
+      .join(uniCnt.withColumnRenamed("w", "w1"), Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
-        round(log((col("cb") + lit(alpha)) /
-          (col("cu") + lit(alpha) * col("vsz"))), 6)
+        round(log((coalesce(col("cb"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("cu"), lit(0L)) + lit(alpha) * col("vsz"))), 6)
           .cast("decimal(18,6)").as("lp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
       .select(col("doc_id"), col("n_bigrams"),
         round(-col("s").cast("double") / col("n_bigrams"), 6).as("avg_nll"))
-    df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+    target.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_nll"),

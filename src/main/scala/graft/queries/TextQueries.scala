@@ -93,6 +93,36 @@ object TextQueries extends graft.QueryPack {
        |         ELSE COALESCE(a.n_bpe, 0) END AS BIGINT) AS n_bpe
        |  FROM documents doc LEFT JOIN bagg a USING (doc_id))""".stripMargin
 
+  /** q_x27's oracle, shared verbatim by q_x41_ppl_store (the
+    * store-scored variant must reproduce the in-job result exactly —
+    * output equality is the equivalence proof). */
+  private lazy val duckPpl: String =
+    """WITH t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |bi AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram, toks[i] AS w1
+             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+             |        FROM t WHERE len(toks) >= 2)),
+             |bc AS (SELECT gram, COUNT(*) AS cb FROM bi GROUP BY 1),
+             |un AS (SELECT unnest(toks) AS w FROM t),
+             |uc AS (SELECT w, COUNT(*) AS cu FROM un GROUP BY 1),
+             |v AS (SELECT COUNT(DISTINCT w) AS vsz FROM un),
+             |sc AS (SELECT doc_id,
+             |    CAST(ROUND(ln((cb + 1.0) / (cu + 1.0 * vsz)), 6) AS DECIMAL(18,6)) AS lp
+             |  FROM bi JOIN bc USING (gram) JOIN uc ON uc.w = bi.w1, v),
+             |pd AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+             |    ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+             |  FROM sc GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |  pd.avg_nll,
+             |  ROUND(exp(pd.avg_nll), 4) AS ppl,
+             |  CASE WHEN pd.avg_nll IS NULL THEN 'empty'
+             |       WHEN ROUND(exp(pd.avg_nll), 4) <= 29.7 THEN 'head'
+             |       WHEN ROUND(exp(pd.avg_nll), 4) >= 30.45 THEN 'tail'
+             |       ELSE 'middle' END AS bucket
+             |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+
   /** The q_x28/q_x31 query set and its DuckDB oracle (shared verbatim —
     * the index-backed variant must score byte-identically). */
   private val bm25Queries: Seq[(Int, Seq[String])] = Seq(
@@ -354,6 +384,21 @@ object TextQueries extends graft.QueryPack {
               |  b.n_bpe AS n_tokens
               |FROM bpe b LEFT JOIN ids i USING (doc_id)""".stripMargin)),
 
+    // ---- X41: perplexity gate from the PERSISTED LM ---------------------
+    // Train-once/score-nightly: counts land in a parquet store, the batch
+    // scores against it without the reference corpus rescanning. Shares
+    // q_x27's oracle verbatim — output equality IS the equivalence proof
+    // (the q_x31/q_d13 store discipline).
+    Q("q_x41_ppl_store",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val store = TempDirs.scratch("graft-lm-store")
+        TextAnalysis.writeLmCounts(docs, "text", store)
+        TextAnalysis.bigramPerplexityFromLm(s, store, docs,
+          "text", "doc_id", headPpl = 29.7, tailPpl = 30.45)
+      },
+      Some(duckPpl)),
+
     // ---- X40: URL canonicalization (web-corpus first-pass dedup key) ----
     // URLs constructed engine-independently from documents columns (the
     // q_x18 discipline) covering the rule matrix: noisy case + default
@@ -436,31 +481,7 @@ object TextQueries extends graft.QueryPack {
     Q("q_x27_lm_perplexity",
       (s, d) => TextAnalysis.bigramPerplexity(Tables.documents(s, d),
         "text", "doc_id", headPpl = 29.7, tailPpl = 30.45),
-      Some("""WITH t AS (SELECT doc_id,
-             |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
-             |  FROM documents),
-             |bi AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram, toks[i] AS w1
-             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
-             |        FROM t WHERE len(toks) >= 2)),
-             |bc AS (SELECT gram, COUNT(*) AS cb FROM bi GROUP BY 1),
-             |un AS (SELECT unnest(toks) AS w FROM t),
-             |uc AS (SELECT w, COUNT(*) AS cu FROM un GROUP BY 1),
-             |v AS (SELECT COUNT(DISTINCT w) AS vsz FROM un),
-             |sc AS (SELECT doc_id,
-             |    CAST(ROUND(ln((cb + 1.0) / (cu + 1.0 * vsz)), 6) AS DECIMAL(18,6)) AS lp
-             |  FROM bi JOIN bc USING (gram) JOIN uc ON uc.w = bi.w1, v),
-             |pd AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-             |    ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_nll
-             |  FROM sc GROUP BY 1)
-             |SELECT d.doc_id,
-             |  CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-             |  pd.avg_nll,
-             |  ROUND(exp(pd.avg_nll), 4) AS ppl,
-             |  CASE WHEN pd.avg_nll IS NULL THEN 'empty'
-             |       WHEN ROUND(exp(pd.avg_nll), 4) <= 29.7 THEN 'head'
-             |       WHEN ROUND(exp(pd.avg_nll), 4) >= 30.45 THEN 'tail'
-             |       ELSE 'middle' END AS bucket
-             |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin)),
+      Some(duckPpl)),
 
     // ---- X28: BM25 keyword retrieval, bounded top-k per query -----------
     Q("q_x28_bm25",

@@ -220,6 +220,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(enc.getSeq[Int](1) === Seq(1, -1, -1) && enc.getLong(2) === 3L)
   }
 
+  test("lm store: store-scored == in-job on the training corpus; unseen grams smooth") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val store = java.nio.file.Files.createTempDirectory("lm-store").toString
+    TextAnalysis.writeLmCounts(docs, "text", store)
+    val inJob = TextAnalysis.bigramPerplexity(docs, "text", "doc_id", 29.7, 30.45)
+    val fromStore = TextAnalysis.bigramPerplexityFromLm(
+      spark, store, docs, "text", "doc_id", 29.7, 30.45)
+    assert(inJob.exceptAll(fromStore).isEmpty && fromStore.exceptAll(inJob).isEmpty,
+      "store-scored perplexity diverged from the in-job result")
+    // a batch the LM never saw: every gram unseen → smoothing floor,
+    // rows kept, n_bigrams still the tokenizer's count
+    val fresh = Seq((9001L, "zzq wwx yyk")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPerplexityFromLm(
+      spark, store, fresh, "text", "doc_id", 29.7, 30.45).head
+    assert(out.getLong(1) === 2L, "unseen grams must not drop")
+    assert(!out.isNullAt(3), "unseen grams must score (smoothing floor), not null")
+  }
+
   test("url canonicalization: the rule matrix on hand cases") {
     import spark.implicits._
     val cases = Seq(
