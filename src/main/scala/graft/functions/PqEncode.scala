@@ -110,6 +110,11 @@ case class PqEncode(children: Seq[Expression]) extends Expression {
     java.math.BigDecimal.valueOf(x)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Per-task scratch for raw scores (instances are per-task — the plan
+    * deserializes fresh copies into each task closure, like the lazily
+    * computed norms). */
+  @transient private lazy val rawBuf = new Array[Double](k)
+
   def compute(vecRaw: Any): ArrayData = {
     val vec = vecRaw.asInstanceOf[ArrayData]
     val (cn, cn2) = norms
@@ -132,8 +137,17 @@ case class PqEncode(children: Seq[Expression]) extends Expression {
         }
         svn = math.sqrt(acc)
       }
-      var bestOrd = Long.MinValue
-      var best = 0L
+      // Pass 1: RAW scores only — no rounding. BigDecimal HALF_UP per
+      // (slice, centroid) was the measured bottleneck (n·m·k allocations
+      // dominate the pure-float dot loop ~10:1), and rounding is
+      // MONOTONE: round6(x) < round6(y) whenever y − x > 1e-6, so only
+      // entries within 1.5e-6 of the raw max (margin covers the 5e-7
+      // rounding radius on each side plus the threshold subtraction's
+      // own ulp) can reach the maximal ROUNDED score. Pass 2 rounds just
+      // those (typically one) through the exact BigDecimal path and
+      // applies the packed-long ord — bit-identical argmax, k× fewer
+      // roundings.
+      var rawMax = Double.NegativeInfinity
       var c = 0
       while (c < k) {
         val e = s * k + c
@@ -143,12 +157,24 @@ case class PqEncode(children: Seq[Expression]) extends Expression {
           dot += vec.getFloat(base + d).toDouble * cvs(e * subDim + d).toDouble
           d += 1
         }
-        val score =
+        val raw =
           if (cosine) {
-            if (svn > 0 && cn(e) > 0) round6(dot / (svn * cn(e))) else -2.0
-          } else round6(2.0 * dot - cn2(e))
-        val ord = round0(score * 1e6).toLong * 4294967296L - ids(e)
-        if (ord > bestOrd) { bestOrd = ord; best = ids(e) }
+            if (svn > 0 && cn(e) > 0) dot / (svn * cn(e)) else -2.0
+          } else 2.0 * dot - cn2(e)
+        rawBuf(c) = raw
+        if (raw > rawMax) rawMax = raw
+        c += 1
+      }
+      val floor = rawMax - 1.5e-6
+      var bestOrd = Long.MinValue
+      var best = 0L
+      c = 0
+      while (c < k) {
+        if (rawBuf(c) >= floor) {
+          val e = s * k + c
+          val ord = round0(round6(rawBuf(c)) * 1e6).toLong * 4294967296L - ids(e)
+          if (ord > bestOrd) { bestOrd = ord; best = ids(e) }
+        }
         c += 1
       }
       codes(s) = best

@@ -167,6 +167,40 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // PQ encode A/B at PRODUCTION geometry (m=16, k=256): the relational
+    // path materializes n·m·k scored rows (819M at ×100 embeddings);
+    // the pq_encode kernel is one codegen'd projection. Codebooks train
+    // once on the id-prefix sample and are shared by both paths, so the
+    // measured delta is purely the encode stage.
+    if (args.headOption.contains("pqenc")) {
+      import graft.operators.Pq
+      Seq(1, 10, 100).foreach { f =>
+        val dir = s"target/scaleprobe/v$f"
+        val marker = new java.io.File(s"$dir/.done")
+        if (!marker.exists) {
+          amplifyVec(spark, "/root/testdata/sf0.1", dir, f)
+          marker.createNewFile()
+        }
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val cb = Pq.trainCodebooks(emb.filter(col("vec_id") < 1000),
+          16, 64, 256, 2, metric = "l2").localCheckpoint()
+        cb.count()
+        def rel(): Double = time {
+          Pq.encode(emb, cb, 16, 64, metric = "l2")
+            .select(col("vec_id"), col("sub_id"), col("code"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        def ker(): Double = time {
+          Pq.encodeCodes(emb, cb, 16, 64, metric = "l2")
+            .write.format("noop").mode("overwrite").save()
+        }
+        rel(); ker() // warmup
+        println(f"[scaleprobe] pqenc x$f%-4d relational ${math.min(rel(), rel())}%7.2f s" +
+          f"   kernel ${math.min(ker(), ker())}%6.2f s")
+      }
+      spark.stop(); return
+    }
+
     val vecMode = args.headOption.contains("vec")
     val qnames = (if (vecMode) args.drop(1).headOption else args.headOption)
       .map(_.split(",").toSeq)
