@@ -65,6 +65,13 @@ case class PqEncode(children: Seq[Expression]) extends Expression {
       return TypeCheckResult.TypeCheckFailure(
         "pq_encode requires (array<float>, array<bigint> lit, array<float> lit, " +
           s"int lit, int lit, int lit, boolean lit), got ${types.map(_.catalogString).mkString(", ")}")
+    // the shape check below evaluates the foldable literals — a NULL
+    // literal (legal to type-check, e.g. CAST(NULL AS ARRAY<BIGINT>) from
+    // a direct SQL call) must fail HERE as a clean type-check error, not
+    // NPE inside the analyzer when ids/m/k/subDim dereference it
+    if (children.drop(1).exists(_.eval() == null))
+      return TypeCheckResult.TypeCheckFailure(
+        "pq_encode codebook and geometry literals must be non-null")
     if (ids.length != m * k || cvs.length != m * k * subDim)
       TypeCheckResult.TypeCheckFailure(
         s"pq_encode codebook shape mismatch: ${ids.length} ids / " +

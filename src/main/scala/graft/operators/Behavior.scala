@@ -25,9 +25,14 @@ object Behavior {
     *
     * Shape: one filtered min-aggregate for step 1, then per step one
     * keyed equi-join (user ⨝ user) + min-aggregate — steps.length − 1
-    * shuffles total, each carrying one row per surviving user. The
-    * per-step counts union into a steps.length-row result; no count ever
-    * collects to the driver.
+    * shuffles total, each carrying one row per surviving user. Each
+    * stage's per-user frame is materialized once via
+    * [[Iterate.checkpoint]] before it feeds BOTH its own count and the
+    * next stage (without that, the final union would re-execute stage
+    * j's entire lineage — the event scan plus joins of stages 1..j —
+    * independently per stage: O(steps²) passes over the event relation).
+    * The per-step counts union into a steps.length-row result; no count
+    * ever collects to the driver.
     *
     * Returns `(step: int 1-based, event_type, users: long)` — users is 0
     * for stages nobody reached (the row is still present, so a funnel
@@ -46,8 +51,8 @@ object Behavior {
       require(w > 0, s"withinSeconds must be positive, got $w"))
     val ev = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
       col(tsCol).as("__ts"))
-    var reached = ev.filter(col("__t") === steps.head)
-      .groupBy(col("__u")).agg(min(col("__ts")).as("__first"))
+    var reached = Iterate.checkpoint(ev.filter(col("__t") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__ts")).as("__first")))
     val stages = Seq.newBuilder[DataFrame]
     def countOf(df: DataFrame, step: Int, tpe: String): DataFrame =
       df.agg(count(lit(1)).as("users"))
@@ -57,10 +62,10 @@ object Behavior {
       val deadline = withinSeconds
         .map(w => col("__ts") <= col("__prev") + expr(s"INTERVAL $w SECOND"))
         .getOrElse(lit(true))
-      reached = ev.filter(col("__t") === tpe)
+      reached = Iterate.checkpoint(ev.filter(col("__t") === tpe)
         .join(reached.select(col("__u"), col("__first").as("__prev")), Seq("__u"))
         .filter(col("__ts") > col("__prev") && deadline)
-        .groupBy(col("__u")).agg(min(col("__ts")).as("__first"))
+        .groupBy(col("__u")).agg(min(col("__ts")).as("__first")))
       stages += countOf(reached, i + 1, tpe)
     }
     stages.result().reduce(_ unionByName _)

@@ -570,20 +570,21 @@ object Dedup {
     * after diameter rounds (near-dup clusters are shallow — a handful).
     *
     * Scale shape: each round is one keyed shuffle join (edges × labels) +
-    * one aggregation — the standard Spark formulation; `localCheckpoint`
-    * truncates lineage so plan size stays O(1) across rounds instead of
-    * O(rounds). Deterministic: labels are min() folds of ids.
+    * one aggregation — the standard Spark formulation;
+    * [[Iterate.checkpoint]] truncates lineage so plan size stays O(1)
+    * across rounds instead of O(rounds) (reliable checkpoint files when
+    * the deployment sets a checkpoint dir, executor-local blocks
+    * otherwise). Deterministic: labels are min() folds of ids.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-    val edges = fwd.unionByName(
-      fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-      .localCheckpoint()
+    val edges = Iterate.checkpoint(fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     // round 0 fused into initialization: every node starts at
     // min(self, neighbors) — one aggregation instead of the first
     // join+aggregate propagation round
-    var checkpointed = edges.groupBy(col("src").as("node"))
-      .agg(least(col("src"), min(col("dst"))).as("label")).localCheckpoint()
+    var checkpointed = Iterate.checkpoint(edges.groupBy(col("src").as("node"))
+      .agg(least(col("src"), min(col("dst"))).as("label")))
     var labels = checkpointed
     // one propagation round: min neighbor label per node, folded with the
     // node's own label; `improved` marks rows the round actually changed
@@ -592,11 +593,10 @@ object Dedup {
         .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("label")).as("nbr_label"))
-      labels.join(viaNbr, Seq("node"), "left")
+      Iterate.checkpoint(labels.join(viaNbr, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (col("nbr_label") < col("label")).as("improved"))
-        .localCheckpoint()
+          (col("nbr_label") < col("label")).as("improved")))
     }
     def advance(next: DataFrame): Long = {
       val changed = next.filter(col("improved")).count()

@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   * exchange), one `dst`-keyed aggregation of contributions (map-side
   * partial — a node's in-edges combine within each task before the
   * shuffle), and one keys-sized left join back to the node set. Nothing
-  * is ever collected to the driver except the node COUNT (one scalar);
-  * the loop runs a FIXED number of rounds, and `localCheckpoint`
-  * truncates the growing lineage each round exactly like the
-  * connected-components loop in [[Dedup]].
+  * is ever collected to the driver except the node COUNT and (under
+  * `tol`) one movement scalar per round; rounds truncate lineage via
+  * [[Iterate.checkpoint]] — executor-local blocks on local[32], reliable
+  * checkpoint files when the deployment has set a checkpoint dir (the
+  * 100 TB posture: an executor loss mid-iteration then recovers instead
+  * of killing the job) — exactly like the connected-components loop in
+  * [[Dedup]].
   *
   * Dangling nodes (no out-edges) are handled the standard way: their
   * rank mass is redistributed uniformly each round (a 1-row aggregate,
@@ -43,22 +46,30 @@ object Graph {
     * `iters` is bounded: the caller picks convergence depth explicitly
     * (each round is a full pass over the edge relation — at 100 TB that
     * is the dominant cost and must be a conscious choice, not a
-    * convergence loop that silently runs 80 rounds).
-    */
+    * convergence loop that silently runs 80 rounds). `tol` adds the
+    * early exit a bounded round count can't express: after each round,
+    * ONE extra scalar aggregate computes the total absolute rank
+    * movement Σ|Δrank| (exact integer micro-units, so the test is
+    * deterministic), and the loop stops once movement ≤ tol. The
+    * round's output is kept, so the result is bit-identical to running
+    * exactly that many fixed rounds — an oracle replaying the executed
+    * round count reproduces it (GraphSpec pins early-exit ==
+    * fixed-iters at the stop round). `iters` stays the hard ceiling. */
   def pageRank(edges: DataFrame, iters: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, tol: Option[Double] = None): DataFrame = {
     require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")
     require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
+    tol.foreach(t => require(t >= 0, s"tol must be >= 0, got $t"))
 
     val e = edges.select(col("src"), col("dst"))
     // out-degrees and the degree-annotated edge list are materialized
     // ONCE and reused every round (the joins below would otherwise
     // recompute the degree aggregation per iteration)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
-      .localCheckpoint()
-    val withDeg = e.join(deg, "src").localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val deg = Iterate.checkpoint(
+      e.groupBy("src").agg(count(lit(1)).as("__outdeg")))
+    val withDeg = Iterate.checkpoint(e.join(deg, "src"))
+    val nodes = Iterate.checkpoint(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count() // one driver scalar — the node count
     require(n > 0, "pageRank: empty edge list")
     // restart mass per node, in micro-units — same IEEE op order as the
@@ -67,7 +78,10 @@ object Graph {
 
     var ranks = nodes.withColumn("rank_m",
       lit(math.floor(1e6 / n + 0.5).toLong))
-    for (_ <- 1 to iters) {
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
+      round += 1
       // share per out-edge: long/long division is IEEE double in both
       // engines; floor(x + 0.5) quantizes to micros deterministically
       val contribs = withDeg
@@ -80,14 +94,22 @@ object Graph {
       val dangling = ranks
         .join(deg, col("node") === col("src"), "left_anti")
         .agg(coalesce(sum("rank_m"), lit(0L)).as("__dm"))
-      ranks = nodes
+      val prev = ranks.select(col("node"), col("rank_m").as("__prev"))
+      ranks = Iterate.checkpoint(nodes
         .join(contribs, col("node") === col("dst"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
           floor(lit(restartM) + lit(damping) *
             (coalesce(col("__s"), lit(0L)).cast("double") +
-              col("__dm").cast("double") / n) + lit(0.5)).as("rank_m"))
-        .localCheckpoint()
+              col("__dm").cast("double") / n) + lit(0.5)).as("rank_m")))
+      tol.foreach { t =>
+        // exact-integer movement scalar: ranks are materialized by the
+        // checkpoint, so this keys-sized join reads blocks, not lineage
+        val movedM = ranks.join(prev, Seq("node"))
+          .agg(coalesce(sum(abs(col("rank_m") - col("__prev"))), lit(0L)))
+          .first().getLong(0)
+        if (movedM.toDouble / 1e6 <= t) converged = true
+      }
     }
     ranks.select(col("node"),
       (col("rank_m").cast("double") / lit(1e6)).as("rank"))
@@ -107,20 +129,30 @@ object Graph {
     * current label vector, one (dst, label) hash count (map-side
     * partial), the per-node max-count + min-label resolution as two
     * keyed aggregations, one keys-sized left join back — all keyed
-    * shuffles, nothing driver-side, lineage checkpointed per round like
-    * [[pageRank]] and the connected-components loop. Pure integer/string
-    * arithmetic: no floats anywhere, so the oracle replay is exact by
-    * construction.
+    * shuffles, nothing driver-side, lineage truncated per round via
+    * [[Iterate.checkpoint]] like [[pageRank]] and the
+    * connected-components loop. Pure integer/string arithmetic: no
+    * floats anywhere, so the oracle replay is exact by construction.
     *
     * `iters` bounded for the same reason as [[pageRank]]: each round is
-    * a full edge-relation pass. Returns `(node, label)`. */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    * a full edge-relation pass. `tolChanged` is the convergence
+    * counterpart of pageRank's `tol`: after each round one scalar counts
+    * the nodes whose label CHANGED, and the loop stops once that count
+    * ≤ tolChanged (0 = run to stability) — output identical to the
+    * fixed round count actually executed (GraphSpec). Returns
+    * `(node, label)`. */
+  def labelPropagation(edges: DataFrame, iters: Int,
+      tolChanged: Option[Long] = None): DataFrame = {
     require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    tolChanged.foreach(t => require(t >= 0, s"tolChanged must be >= 0, got $t"))
+    val e = Iterate.checkpoint(edges.select(col("src"), col("dst")))
+    val nodes = Iterate.checkpoint(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     var labels = nodes.withColumn("label", col("node"))
-    for (_ <- 1 to iters) {
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
+      round += 1
       val counts = e.join(labels, col("src") === col("node"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("__cnt"))
@@ -128,10 +160,16 @@ object Graph {
       val winner = counts.join(top, Seq("dst"))
         .filter(col("__cnt") === col("__mx"))
         .groupBy(col("dst")).agg(min(col("label")).as("__new"))
-      labels = labels
+      val next = Iterate.checkpoint(labels
         .join(winner, col("node") === col("dst"), "left")
-        .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
-        .localCheckpoint()
+        .select(col("node"),
+          coalesce(col("__new"), col("label")).as("label"),
+          (col("__new").isNotNull && col("__new") =!= col("label"))
+            .as("__chg")))
+      tolChanged.foreach { t =>
+        if (next.filter(col("__chg")).count() <= t) converged = true
+      }
+      labels = next.select(col("node"), col("label"))
     }
     labels
   }

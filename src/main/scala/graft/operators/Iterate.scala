@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage control for iterative loops (PageRank, label propagation,
+  * connected components, funnel stages): every round must truncate its
+  * growing plan, but HOW to truncate is a deployment decision, not an
+  * algorithm decision.
+  *
+  *  - `localCheckpoint` materializes to executor-local block storage —
+  *    fast (no distributed-FS write) and the right default on local[32],
+  *    but it FORFEITS fault recovery: the checkpointed blocks live only
+  *    on the executors that computed them, so on a real cluster a single
+  *    executor loss mid-iteration kills the whole multi-hour job.
+  *  - reliable `checkpoint()` writes the rows to the SparkContext's
+  *    checkpoint directory (HDFS / object store on a cluster) — each
+  *    round pays a distributed write, and in exchange any executor can
+  *    rebuild any partition after a loss.
+  *
+  * [[checkpoint]] picks automatically: if the caller has set a checkpoint
+  * directory (`spark.sparkContext.setCheckpointDir(...)` — the explicit
+  * opt-in a 100 TB deployment makes anyway), rounds checkpoint reliably;
+  * otherwise they fall back to `localCheckpoint`. Loops therefore need no
+  * extra parameter, and the same operator code is fault-tolerant on a
+  * cluster and fast in local mode (IterateSpec exercises both paths).
+  */
+object Iterate {
+
+  /** Truncate `df`'s lineage at an iteration boundary: reliable
+    * `checkpoint(eager)` when the SparkContext has a checkpoint dir set,
+    * `localCheckpoint(eager)` otherwise. */
+  def checkpoint(df: DataFrame, eager: Boolean = true): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+}

@@ -154,7 +154,18 @@ object Pq {
     * a broadcast join against the m·k-row codebook, and one hash argmax
     * via the packed-long max_by (see [[Similarity.assignToCentroids]] for
     * why the order packs into a long) — the only shuffle carries
-    * (vec, sub, best) tuples, never vectors. */
+    * (vec, sub, best) tuples, never vectors.
+    *
+    * Null-vector contract (shared with [[encodeCodes]]): a row whose
+    * embedding IS NULL has no defined codes and is EXCLUDED from the
+    * code relation — both paths pre-filter it identically, so the
+    * kernel/relational bit-parity holds on null-bearing inputs too
+    * (without the shared filter the two paths diverged: the kernel's
+    * null-in/null-out posexplode dropped the row while the relational
+    * −2.0 guard here invented sentinel codes for it; PqSpec pins the
+    * parity on a null-row fixture). A null vector silently entering ADC
+    * candidate sets under fabricated codes is the wrong default for a
+    * curation pipeline — absence is. */
   def encode(emb: DataFrame, codebooks: DataFrame, m: Int, dim: Int,
       metric: String = "cosine",
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -162,7 +173,8 @@ object Pq {
     require(metric == "cosine" || metric == "l2", s"unknown metric '$metric'")
     val subDim = dim / m
     val slices = array((0 until m).map(s => subVec(col(vecCol), s, subDim)): _*)
-    val exploded = Par.spread(emb.select(col(idCol).as("vec_id"), col(vecCol)))
+    val exploded = Par.spread(emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), col(vecCol)))
       .select(col("vec_id"), posexplode(slices).as(Seq("sub_id", "sv")))
       .select(col("vec_id"), col("sub_id"), col("sv"),
         sqrt(nativeDot(emb, col("sv"), col("sv"))).as("svn"))
@@ -223,7 +235,12 @@ object Pq {
     val kernel = call_function("pq_encode", col(vecCol),
       typedLit(ids), typedLit(cvs), lit(m), lit(k), lit(subDim),
       lit(metric == "cosine"))
-    Par.spread(emb.select(col(idCol).as("vec_id"), col(vecCol)))
+    // null-vector rows are excluded, matching encode()'s pre-filter (see
+    // the null-vector contract there) — the explicit filter keeps the
+    // exclusion a stated semantic rather than a side effect of the
+    // kernel's null-in/null-out + posexplode behavior
+    Par.spread(emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), col(vecCol)))
       .select(col("vec_id"), posexplode(kernel).as(Seq("sub_id", "code")))
   }
 

@@ -79,9 +79,16 @@ object Sinks {
     *
     * Returns (good, bad): `good` is schema-shaped rows with the audit
     * column dropped; `bad` is `(raw: string)` — the original line of
-    * every row that failed to parse. The split is two lazy filters over
-    * ONE cached-free scan; at 100 TB each side prunes to the columns it
-    * needs (the audit side reads only the corrupt-record column).
+    * every row that failed to parse. The split is two filters over one
+    * checkpoint-pinned full-width parse — which means the ENTIRE parsed
+    * dataset materializes to executor-local storage on first action, and
+    * downstream column pruning stops at that pin (audit semantics
+    * require the full-row parse; see the inline note). That
+    * materialization cost is fine for the config-sized CSV feeds this
+    * serves; for a LARGE feed the primary path is the durable landing —
+    * write `good`/`bad` straight to parquet in one pass and read the
+    * landed parquet back (same single-parse guarantee, no executor-local
+    * pin, and the landing prunes/pushes down like any parquet source).
     * Callers persist `bad` through the log sink of their choice. */
   def readCsvAudited(spark: org.apache.spark.sql.SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType,

@@ -34,10 +34,18 @@ object EventStreams {
     * sources must never infer). The `ts` physical type is taken from a
     * one-off batch footer read of the same path (runs no job), then
     * normalized to session-zone TimestampType exactly as the batch
-    * loader does, so batch/stream parity specs compare like for like. */
+    * loader does, so batch/stream parity specs compare like for like.
+    * An empty or not-yet-created directory is a NORMAL startup state for
+    * a file-source stream (the producer may land files after the query
+    * starts), so a failed probe falls back to the LongType default of
+    * [[eventSchema]] instead of propagating "unable to infer schema"
+    * (EventStreamsSpec pins the empty-dir start). */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val tsType =
+      try spark.read.parquet(path).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        eventSchema("ts").dataType }
     val schema = StructType(eventSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
     graft.sources.Tables.normalizeTs(

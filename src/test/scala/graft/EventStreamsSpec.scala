@@ -20,6 +20,22 @@ class EventStreamsSpec extends AnyFunSuite {
     d.toString
   }
 
+  test("readEvents starts on an empty directory — files may land after the query") {
+    val empty = java.nio.file.Files.createTempDirectory("graft-empty-events")
+    val stream = EventStreams.readEvents(spark, empty.toString)
+    assert(stream.isStreaming)
+    // the footer probe found nothing: the LongType default applied, and
+    // normalizeTs still surfaces a session-zone timestamp
+    assert(stream.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    // the stream is actually runnable from the empty state: one
+    // AvailableNow pass completes with zero rows instead of throwing
+    val q = EventStreams.runToMemory(
+      EventStreams.tumblingCounts(stream), "empty_start_out", "complete")
+    try assert(spark.table("empty_start_out").count() === 0)
+    finally q.stop()
+  }
+
   test("streaming tumbling counts == batch tumbling counts") {
     val q = EventStreams.runToMemory(
       EventStreams.tumblingCounts(EventStreams.readEvents(spark, path)),

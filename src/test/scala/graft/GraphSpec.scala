@@ -76,6 +76,48 @@ class GraphSpec extends AnyFunSuite {
     assert(l("a2") !== l("b2"), s"cliques merged across the bridge: $l")
   }
 
+  test("pagerank tol: a converged graph early-exits with the full-iters result") {
+    import spark.implicits._
+    // a symmetric cycle's uniform ranks are an exact fixed point of the
+    // integer-micro iteration, so round 1 moves nothing and tol=0 stops
+    // there — and the output must equal running all 10 fixed rounds
+    val e = Seq("a" -> "b", "b" -> "c", "c" -> "a").toDF("src", "dst")
+    val early = Graph.pageRank(e, 10, tol = Some(0.0)).collect().toSet
+    val full = Graph.pageRank(e, 10).collect().toSet
+    assert(early === full)
+  }
+
+  test("pagerank tol: a tol above max possible movement stops after exactly one round") {
+    import spark.implicits._
+    // sum|delta rank| <= 2 always (each round's ranks sum to ~1), so
+    // tol=2 accepts round 1's movement: output == the fixed-1-round run
+    val leaves = Seq("l1", "l2", "l3", "l4")
+    val edges = leaves.flatMap(l => Seq(l -> "hub", "hub" -> l)).toDF("src", "dst")
+    val one = Graph.pageRank(edges, 1).collect().toSet
+    val early = Graph.pageRank(edges, 10, tol = Some(2.0)).collect().toSet
+    val full = Graph.pageRank(edges, 10).collect().toSet
+    assert(early === one)
+    assert(full !== one, "star graph must still be moving after round 1, " +
+      "or this test pins nothing")
+  }
+
+  test("label propagation tolChanged: stability stop equals the fixed-iters result") {
+    import spark.implicits._
+    def clique(ns: Seq[String]) =
+      for { a <- ns; b <- ns if a < b } yield a -> b
+    val edges = clique(Seq("a1", "a2", "a3", "a4")) ++
+      clique(Seq("b1", "b2", "b3", "b4")) :+ ("a1" -> "b1")
+    val sym = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    val early = Graph.labelPropagation(sym, 10, tolChanged = Some(0L))
+      .collect().toSet
+    val full = Graph.labelPropagation(sym, 10).collect().toSet
+    assert(early === full)
+    // a tolerance at the node count accepts any round: exactly one runs
+    val one = Graph.labelPropagation(sym, 1).collect().toSet
+    assert(Graph.labelPropagation(sym, 10, tolChanged = Some(8L))
+      .collect().toSet === one)
+  }
+
   test("label propagation: ties break to the smallest label, isolated nodes keep theirs") {
     import spark.implicits._
     // z hears exactly one vote each from a and b: tie → min label "a".

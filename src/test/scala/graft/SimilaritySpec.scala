@@ -176,6 +176,37 @@ class SimilaritySpec extends AnyFunSuite {
       "zero-norm slice: kernel/relational encode diverged")
   }
 
+  test("pq: null-vector rows are excluded identically by kernel and relational encode") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Option(Array(1f, 0f, 1f, 0f))), (1L, Option(Array(0f, 1f, 0f, 1f))),
+      (2L, Option.empty[Array[Float]]), (3L, Option(Array(0.5f, 0.2f, 0.3f, 0.9f)))
+    ).toDF("vec_id", "embedding")
+    val cb = Pq.trainCodebooks(df.filter(col("embedding").isNotNull),
+      m = 2, dim = 4, k = 2, iters = 1)
+    for (metric <- Seq("cosine", "l2")) {
+      val rel = Pq.encode(df, cb, m = 2, dim = 4, metric = metric)
+        .select(col("vec_id"), col("sub_id"), col("code"))
+      val ker = Pq.encodeCodes(df, cb, m = 2, dim = 4, metric = metric)
+      assert(rel.filter(col("vec_id") === 2L).count() === 0,
+        s"metric=$metric: the null-vector row must carry no codes")
+      assert(ker.count() === 6 && rel.count() === 6,
+        s"metric=$metric: 3 non-null vectors x 2 subspaces")
+      assert(ker.exceptAll(rel).isEmpty && rel.exceptAll(ker).isEmpty,
+        s"metric=$metric: null-bearing input broke kernel/relational parity")
+    }
+  }
+
+  test("pq_encode: a null codebook/geometry literal fails the type check, not the analyzer") {
+    graft.functions.PqEncode.register(spark)
+    val err = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT pq_encode(array(CAST(1.0 AS FLOAT)), " +
+        "CAST(NULL AS ARRAY<BIGINT>), array(CAST(1.0 AS FLOAT)), 1, 1, 1, true)")
+        .collect())
+    assert(err.getMessage.toLowerCase.contains("non-null"),
+      s"expected the clean non-null type-check message, got: ${err.getMessage}")
+  }
+
   test("hard negatives: below the near-dup band, ranked, short when dups dominate") {
     import spark.implicits._
     val out = Similarity.hardNegatives(emb, col("vec_id") < 5,
