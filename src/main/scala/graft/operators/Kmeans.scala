@@ -144,7 +144,16 @@ object Kmeans {
     * ff-trained (0.516 vs 0.496) and spread between ff and first-N
     * (max pairwise seed cosine 0.156 vs ff 0.026 / first-N 0.206) — the
     * balanced middle of the recall/spread trade, at the only job count
-    * that survives k in the thousands. */
+    * that survives k in the thousands.
+    *
+    * Perf note (round-9 arbitration): q_sim9's in-suite 3.18s→7.25s
+    * r7→r8 move was SUITE CHURN, not a regression — this file and the
+    * q_sim9 registration were bit-identical across the rounds (git
+    * diff empty), and the exclusive-JVM `ScaleProbe iso` min-of-3
+    * reads 4.64s (SCALE.md, round-9 arbitration table). k-means‖ is
+    * intrinsically multi-job (rounds × sample/weight passes), so it
+    * reads high variance when ~110 suite queries churn the heap and
+    * page cache before it. */
   def kmeansParallelInit(emb: DataFrame, k: Int, rounds: Int = 3,
       oversample: Int = 0, refineIters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

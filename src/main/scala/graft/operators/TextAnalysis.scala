@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-data-pipeline preprocessing over a
@@ -139,6 +139,24 @@ object TextAnalysis {
   def writeBpeVocab(df: DataFrame, merges: Seq[(String, String)],
       path: String, textCol: String = "text"): Unit =
     buildBpeVocab(df, merges, textCol).write.mode("overwrite").parquet(path)
+
+  /** Persist a learned merges table as `(rnk: int, a, b)` parquet — the
+    * other half of the tokenizer store: with merges AND vocab persisted,
+    * a nightly batch encodes with ZERO learning passes (q_x42 registers
+    * that shape; [[readBpeMerges]] restores rank order). */
+  def writeBpeMerges(spark: SparkSession, merges: Seq[(String, String)],
+      path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rnk", "a", "b").write.mode("overwrite").parquet(path)
+  }
+
+  /** Restore a persisted merges table in rank order. The collect is
+    * bounded by construction: a merges table is the learned artifact
+    * (dozens to tens of thousands of rows), never corpus-sized. */
+  def readBpeMerges(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy(col("rnk"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
 
   /** Encode documents to integer token-id sequences — the handoff format
     * a training pipeline actually ships. Pieces come from the map-only

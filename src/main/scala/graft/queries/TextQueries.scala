@@ -189,6 +189,29 @@ object TextQueries extends graft.QueryPack {
        |      PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
        |  FROM s3) WHERE rn = 1""".stripMargin
 
+  /** The q_x39 oracle, shared verbatim by q_x42_token_ids_store (the
+    * store-twin discipline): BPE chain → positional piece explode →
+    * lexicographic dense vocab ids → order-preserving reassembly. */
+  private lazy val duckTokenIds: String =
+    s"""$duckBpe,
+       |px AS (
+       |  SELECT doc_id,
+       |    generate_subscripts(string_split(bpe, ' '), 1) AS pos,
+       |    unnest(string_split(bpe, ' ')) AS piece
+       |  FROM bpe WHERE n_bpe > 0),
+       |vocab AS (
+       |  SELECT piece,
+       |    CAST(row_number() OVER (ORDER BY piece) - 1 AS INT) AS token_id
+       |  FROM (SELECT DISTINCT piece FROM px)),
+       |ids AS (
+       |  SELECT px.doc_id,
+       |    string_agg(CAST(v.token_id AS VARCHAR), ',' ORDER BY px.pos)
+       |      AS ids_csv
+       |  FROM px JOIN vocab v USING (piece) GROUP BY 1)
+       |SELECT b.doc_id, COALESCE(i.ids_csv, '') AS ids_csv,
+       |  b.n_bpe AS n_tokens
+       |FROM bpe b LEFT JOIN ids i USING (doc_id)""".stripMargin
+
   override def queries: Seq[Q] = Seq(
 
     // ---- X1: token counting -------------------------------------------
@@ -365,24 +388,33 @@ object TextQueries extends graft.QueryPack {
               .as("ids_csv"),
             col("n_tokens"))
       },
-      Some(s"""$duckBpe,
-              |px AS (
-              |  SELECT doc_id,
-              |    generate_subscripts(string_split(bpe, ' '), 1) AS pos,
-              |    unnest(string_split(bpe, ' ')) AS piece
-              |  FROM bpe WHERE n_bpe > 0),
-              |vocab AS (
-              |  SELECT piece,
-              |    CAST(row_number() OVER (ORDER BY piece) - 1 AS INT) AS token_id
-              |  FROM (SELECT DISTINCT piece FROM px)),
-              |ids AS (
-              |  SELECT px.doc_id,
-              |    string_agg(CAST(v.token_id AS VARCHAR), ',' ORDER BY px.pos)
-              |      AS ids_csv
-              |  FROM px JOIN vocab v USING (piece) GROUP BY 1)
-              |SELECT b.doc_id, COALESCE(i.ids_csv, '') AS ids_csv,
-              |  b.n_bpe AS n_tokens
-              |FROM bpe b LEFT JOIN ids i USING (doc_id)""".stripMargin)),
+      Some(duckTokenIds)),
+
+    // ---- X42: token-id encoding from the PERSISTED tokenizer store ------
+    // The nightly-batch shape a 100 TB pipeline actually runs: merges AND
+    // vocab land in parquet ONCE (train), and the registered scoring path
+    // reads both stores and encodes — zero learning aggregations in its
+    // plan (TextOpsSpec pins the vocab side to a parquet scan of the
+    // store, not a freshly built local relation). Shares q_x39's oracle
+    // verbatim: output equality IS the store-equivalence proof (the
+    // q_x41/q_x35 store-twin discipline).
+    Q("q_x42_token_ids_store",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val store = TempDirs.scratch("graft-bpe-store")
+        val merges = TextAnalysis.learnBpeMerges(docs, "text")
+        TextAnalysis.writeBpeMerges(s, merges, s"$store/merges")
+        TextAnalysis.writeBpeVocab(docs, merges, s"$store/vocab")
+        // everything below this line touches ONLY the stores + the batch
+        TextAnalysis.encodeTokenIds(docs,
+            TextAnalysis.readBpeMerges(s, s"$store/merges"),
+            s.read.parquet(s"$store/vocab"))
+          .select(col("doc_id"),
+            array_join(transform(col("token_ids"), t => t.cast("string")), ",")
+              .as("ids_csv"),
+            col("n_tokens"))
+      },
+      Some(duckTokenIds)),
 
     // ---- X41: perplexity gate from the PERSISTED LM ---------------------
     // Train-once/score-nightly: counts land in a parquet store, the batch

@@ -220,6 +220,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(enc.getSeq[Int](1) === Seq(1, -1, -1) && enc.getLong(2) === 3L)
   }
 
+  test("tokenizer store: persisted merges + vocab drive a zero-learning encode (q_x42 shape)") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("bpe-store").toString
+    // the batch lands as parquet so the plan pin below isolates the
+    // VOCAB side: any LocalTableScan left must be a learned relation
+    Seq((1L, "te te ab"), (2L, "ab te")).toDF("doc_id", "text")
+      .write.parquet(s"$store/batch")
+    val train = spark.read.parquet(s"$store/batch")
+    val merges = Seq("t" -> "e", "a" -> "b")
+    TextAnalysis.writeBpeMerges(spark, merges, s"$store/merges")
+    TextAnalysis.writeBpeVocab(train, merges, s"$store/vocab")
+    // the merges table round-trips in rank order (order IS the tokenizer)
+    assert(TextAnalysis.readBpeMerges(spark, s"$store/merges") === merges)
+    val enc = TextAnalysis.encodeTokenIds(train,
+      TextAnalysis.readBpeMerges(spark, s"$store/merges"),
+      spark.read.parquet(s"$store/vocab"))
+    val fresh = TextAnalysis.encodeTokenIds(train, merges,
+      TextAnalysis.buildBpeVocab(train, merges))
+    assert(enc.exceptAll(fresh).isEmpty && fresh.exceptAll(enc).isEmpty,
+      "store-driven encode diverged from the in-job learning path")
+    // no-learn plan pin: the store path's vocab side is a parquet SCAN;
+    // the in-job path's is a driver-built local relation (the learning
+    // pass's collected output) — q_x42 registers the scan shape
+    val storePlan = enc.queryExecution.executedPlan.toString
+    val freshPlan = fresh.queryExecution.executedPlan.toString
+    assert(!storePlan.contains("LocalTableScan"),
+      s"store-driven encode still carries a learned local relation:\n$storePlan")
+    assert(freshPlan.contains("LocalTableScan"),
+      "pin lost its contrast: the in-job path no longer inlines the vocab")
+  }
+
   test("lm store: store-scored == in-job on the training corpus; unseen grams smooth") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
