@@ -68,6 +68,64 @@ object Profile {
       .withColumn("anonymous", col("n") >= k)
   }
 
+  /** Generalize-and-recheck k-anonymity REPAIR — what [[kAnonymity]]
+    * (the audit) deliberately leaves to the caller, composed from the
+    * two existing operators: numeric quasi-identifiers generalize by
+    * [[Features.equiDepthBins]] on a halving ladder (startBins → … → 2
+    * → 1, where 1 is full suppression to a constant), and each rung
+    * re-audits until every equivalence class reaches k. This is the
+    * standard domain-generalization-hierarchy loop with equi-depth
+    * buckets as the numeric hierarchy.
+    *
+    * Scale shape: each rung is one percentile aggregate (nBins−1
+    * broadcast doubles — the equiDepthBins mechanism, never a corpus
+    * sort), the map-only bin projection, and ONE audit aggregation
+    * keyed by the quasi tuple; the only driver traffic is the per-rung
+    * min-class-size scalar (the connected-components `changed` pattern).
+    * The ladder is O(log startBins) rungs and usually stops on the
+    * first.
+    *
+    * Deterministic and oracle-replayable: the rung chosen is "the first
+    * ladder level whose min class size ≥ k", which a relational oracle
+    * reproduces by computing every level and selecting — the same
+    * answer the sequential early-exit loop produces (q_v8 pins it).
+    *
+    * Returns the CLASS-level result: `catQuasi…, <num>_bin…, n,
+    * anonymous, bins_used` — `bins_used` pins which rung was published.
+    * If even full suppression leaves a class below k (the categorical
+    * quasi combination is itself too identifying), the bins_used=1
+    * audit returns with `anonymous = false` rows — an honest failed
+    * audit, not an exception. The row-level publishable artifact is one
+    * more map-only `equiDepthBins(df, c, bins_used)` call. */
+  def kAnonymize(df: DataFrame, catQuasi: Seq[String], numQuasi: Seq[String],
+      k: Int, startBins: Int = 8): DataFrame = {
+    require(k >= 2, s"k-anonymity needs k >= 2, got $k")
+    require(numQuasi.nonEmpty,
+      "need at least one numeric quasi-identifier to generalize")
+    require(startBins >= 2 && Integer.bitCount(startBins) == 1,
+      s"startBins must be a power of two >= 2, got $startBins")
+    (catQuasi ++ numQuasi).foreach(c => require(df.columns.contains(c),
+      s"column '$c' not in ${df.columns.mkString(", ")}"))
+    val ladder = Iterator.iterate(startBins)(_ / 2).takeWhile(_ >= 1).toSeq
+    var out: DataFrame = null
+    for (bins <- ladder if out == null) {
+      val gen =
+        if (bins >= 2)
+          numQuasi.foldLeft(df)((acc, c) => Features.equiDepthBins(acc, c, bins))
+        else
+          // full suppression: every non-null value collapses to one
+          // bucket (nulls keep their own class, as in equiDepthBins)
+          numQuasi.foldLeft(df)((acc, c) => acc.withColumn(s"${c}_bin",
+            when(col(s"`$c`").isNotNull, 0).cast("int")))
+      val audit = kAnonymity(gen, catQuasi ++ numQuasi.map(c => s"${c}_bin"), k)
+      val minN = audit.agg(coalesce(min(col("n")), lit(Long.MaxValue)))
+        .first().getLong(0)
+      if (minN >= k || bins == 1)
+        out = audit.withColumn("bins_used", lit(bins))
+    }
+    out
+  }
+
   /** Pairwise Pearson correlation matrix over numeric columns, computed
     * in ONE aggregation job (all m·(m−1)/2 `corr` aggregates share the
     * single scan — the [[describe]] discipline), then unpivoted to long

@@ -671,6 +671,83 @@ object RelationalQueries extends graft.QueryPack {
       },
       None),
 
+    // ---- V7: the sketch store's error bound, under the FULL oracle ------
+    // q_v6's estimates are engine-specific (DataSketches registers), so it
+    // is rows-only by design; this twin puts the ERROR BOUND itself under
+    // rows+schema+hash: the same two-batch store is unioned and compared
+    // against the exact distinct computed in the SAME query, and only
+    // (key, exact count, bounded-error verdict) leave the engine — the
+    // q_pq6 in-row-verdict discipline. lgK=12 HLL reads ~1.6% relative
+    // standard error; the asserted bound is 5% (≈3 standard errors), so
+    // the TRUE column is deterministic unless the sketch path actually
+    // breaks — which is exactly when the hash should mismatch.
+    Q("q_v7_sketch_bound",
+      (s, d) => {
+        val store = TempDirs.scratch("graft-hll-bound")
+        val docs = Tables.documents(s, d)
+        graft.operators.Profile.appendDistinctSketches(
+          docs.filter(col("doc_id") % 2 === 0), Seq("source"), "text", store)
+        graft.operators.Profile.appendDistinctSketches(
+          docs.filter(col("doc_id") % 2 === 1), Seq("source"), "text", store)
+        val est = graft.operators.Profile.distinctFromSketches(
+          s, store, Seq("source"))
+        docs.groupBy(col("source"))
+          .agg(countDistinct(col("text")).as("n_exact"))
+          .join(est, Seq("source"))
+          .select(col("source"), col("n_exact"),
+            (abs(col("n_distinct_est").cast("double") -
+              col("n_exact").cast("double")) <=
+              col("n_exact").cast("double") * lit(0.05)).as("within_bound"))
+      },
+      Some("""SELECT source, COUNT(DISTINCT text) AS n_exact,
+             |  TRUE AS within_bound
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ---- V8: k-anonymity generalize-and-recheck repair ------------------
+    // The q_v4 audit's missing half: numeric quasi-identifiers generalize
+    // down an equi-depth ladder (8 → 4 → 2 → full suppression) until every
+    // class reaches k=30. The engine runs the sequential early-exit loop
+    // (one percentile + one audit aggregation per rung, one scalar to the
+    // driver); the oracle replays it by computing EVERY rung and selecting
+    // the first whose min class size meets k — same rung, same classes,
+    // by construction (the 4-bin cuts are the 8-ladder's even cuts, so
+    // one quantile CTE serves all rungs). At sf0.01 this descends to the
+    // 4-bin rung; the bins_used column pins the descent in the hash.
+    Q("q_v8_k_anonymize",
+      (s, d) => graft.operators.Profile.kAnonymize(Tables.customer(s, d),
+        Seq("c_mktsegment"), Seq("c_acctbal"), k = 30, startBins = 8),
+      Some {
+        val cuts = (1 to 7)
+          .map(i => s"ROUND(quantile_cont(c_acctbal, $i/8.0), 6) AS c$i")
+          .mkString(",\n             |    ")
+        val bin8 = (1 to 7).map(i => s"(c_acctbal > c$i)::int").mkString(" + ")
+        s"""WITH q AS (SELECT c_mktsegment, c_acctbal FROM customer),
+           |cuts AS (SELECT
+           |    $cuts
+           |  FROM q),
+           |g AS (SELECT c_mktsegment,
+           |    CAST($bin8 AS INT) AS bin8,
+           |    CAST((c_acctbal > c2)::int + (c_acctbal > c4)::int +
+           |      (c_acctbal > c6)::int AS INT) AS bin4,
+           |    CAST((c_acctbal > c4)::int AS INT) AS bin2,
+           |    CAST(0 AS INT) AS bin1
+           |  FROM q, cuts),
+           |a8 AS (SELECT c_mktsegment, bin8 AS bin, COUNT(*) AS n FROM g GROUP BY 1, 2),
+           |a4 AS (SELECT c_mktsegment, bin4 AS bin, COUNT(*) AS n FROM g GROUP BY 1, 2),
+           |a2 AS (SELECT c_mktsegment, bin2 AS bin, COUNT(*) AS n FROM g GROUP BY 1, 2),
+           |a1 AS (SELECT c_mktsegment, bin1 AS bin, COUNT(*) AS n FROM g GROUP BY 1, 2),
+           |lvl AS (SELECT CASE
+           |    WHEN (SELECT MIN(n) FROM a8) >= 30 THEN 8
+           |    WHEN (SELECT MIN(n) FROM a4) >= 30 THEN 4
+           |    WHEN (SELECT MIN(n) FROM a2) >= 30 THEN 2
+           |    ELSE 1 END AS bins),
+           |u AS (SELECT 8 AS lv, * FROM a8 UNION ALL SELECT 4, * FROM a4
+           |      UNION ALL SELECT 2, * FROM a2 UNION ALL SELECT 1, * FROM a1)
+           |SELECT c_mktsegment, bin AS c_acctbal_bin, n, n >= 30 AS anonymous,
+           |  lv AS bins_used
+           |FROM u WHERE lv = (SELECT bins FROM lvl)""".stripMargin
+      }),
+
     // ---- V4: k-anonymity audit over quasi-identifiers -------------------
     // Every (nation, segment) equivalence class with its size and whether
     // it meets k=10 — the privacy gate before a dataset leaves the

@@ -202,6 +202,33 @@ class ScdProfileSpec extends AnyFunSuite {
       Profile.kAnonymity(df, Seq("country"), 1)).getMessage.contains("k >= 2"))
   }
 
+  test("k-anonymize: the ladder descends exactly until every class reaches k") {
+    import spark.implicits._
+    // 32 rows, one segment, values 1..32: 4 bins give classes of 8, so
+    // k=8 stops at the 4-bin rung (8 bins would give classes of 4)
+    val df = (1 to 32).map(i => ("s", i.toDouble)).toDF("seg", "v")
+    val out = Profile.kAnonymize(df, Seq("seg"), Seq("v"), k = 8,
+      startBins = 8).collect()
+    assert(out.forall(_.getAs[Int]("bins_used") === 4))
+    assert(out.forall(_.getAs[Boolean]("anonymous")))
+    assert(out.map(_.getAs[Long]("n")).sorted.toSeq === Seq(8L, 8L, 8L, 8L))
+    // k=4 is satisfied by the first rung — no descent
+    val first = Profile.kAnonymize(df, Seq("seg"), Seq("v"), k = 4,
+      startBins = 8).collect()
+    assert(first.forall(_.getAs[Int]("bins_used") === 8))
+    assert(first.length === 8)
+    // an unreachable k runs the ladder out: full suppression, honest
+    // anonymous=false audit rather than an exception
+    val failed = Profile.kAnonymize(df, Seq("seg"), Seq("v"), k = 33,
+      startBins = 8).collect()
+    assert(failed.length === 1 && failed.head.getAs[Int]("bins_used") === 1)
+    assert(!failed.head.getAs[Boolean]("anonymous") &&
+      failed.head.getAs[Long]("n") === 32L)
+    assert(intercept[IllegalArgumentException](
+      Profile.kAnonymize(df, Seq("seg"), Seq("v"), 8, startBins = 6))
+      .getMessage.contains("power of two"))
+  }
+
   test("correlation matrix: exact pairs, constant column nulls, one scan") {
     import spark.implicits._
     val df = Seq((1.0, 2.0, 5.0), (2.0, 4.0, 5.0), (3.0, 6.0, 5.0))
