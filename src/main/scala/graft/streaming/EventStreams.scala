@@ -190,6 +190,75 @@ object EventStreams {
       }
   }
 
+  final case class SessionTag(event_id: Long, user_id: Long, session_id: String)
+  private[streaming] final case class SessionState(
+    nSessions: Long, lastTs: Long, buffer: List[(Long, Long)])
+
+  /** Event-level STREAMING sessionize — the incremental twin of
+    * [[graft.operators.Behavior.sessionize]], with identical boundary
+    * semantics: a session breaks when the gap to the user's previous
+    * event reaches `gapSeconds`, ids are `<user>#<n>` with n counting
+    * the user's sessions in event-time order from 1, ties on ts order
+    * by event_id (EventStreamsSpec proves incremental == batch on the
+    * shared rules).
+    *
+    * Why not a window: the batch operator's gaps-and-islands
+    * lag+running-sum needs the user's whole ordered history — in a
+    * stream that history never ends. Instead, per-user state buffers
+    * ONLY the events still inside the watermark allowance; everything
+    * older is FINAL (a session id counts breaks at-or-before its event,
+    * and the watermark guarantees no earlier arrival can insert a new
+    * break), so each trigger emits the newly-finalized prefix in ts
+    * order and keeps `(session count, last final ts)` — two scalars —
+    * as the only permanent state. An event-time timeout re-fires the
+    * group when the watermark passes buffered events with no new data.
+    * Events later than the watermark are dropped (the standard
+    * contract, same as every built-in watermarked op). State: O(events
+    * within the allowance) per ACTIVE user + O(1) per seen user; at
+    * 100 TB the O(1) residue is the deliberate trade for stable session
+    * numbering (evicting idle users — the [[statefulUserCounts]]
+    * timeout pattern — would restart their numbering). */
+  def sessionTags(spark: SparkSession, events: DataFrame,
+      gapSeconds: Long = 1800L,
+      watermark: String = "10 minutes"): Dataset[SessionTag] = {
+    import spark.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    // the watermarked TIMESTAMP attribute must survive into the grouping
+    // input (the unsupported-op checker requires it for event-time
+    // timeouts), so it rides the tuple alongside its micros projection
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")), col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+            state: GroupState[SessionState]) =>
+          val st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, Nil))
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          // too-late arrivals (older than the watermark) drop here; the
+          // buffered events below the watermark became final instead
+          val fresh = rows.map(r => (r._3, r._2)).filter(_._1 >= wmMicros)
+          val merged = (st.buffer ++ fresh).sorted
+          val (fin, keep) = merged.partition(_._1 < wmMicros)
+          var n = st.nSessions
+          var last = st.lastTs
+          val out = fin.map { case (tsUs, eid) =>
+            if (n == 0L || tsUs - last >= gapMicros) n += 1
+            last = tsUs
+            SessionTag(eid, userId, s"$userId#$n")
+          }
+          state.update(SessionState(n, last, keep))
+          // re-fire this group the moment the watermark passes the oldest
+          // buffered event (strictly after the current watermark, per the
+          // timeout contract)
+          keep.headOption.foreach(b =>
+            state.setTimeoutTimestamp(b._1 / 1000L + 1L))
+          out.iterator
+      }
+  }
+
   /** Drive a stream to a named in-memory table synchronously (local
     * smoke path; production uses real sinks + triggers). */
   def runToMemory(df: DataFrame, name: String, mode: String): StreamingQuery = {

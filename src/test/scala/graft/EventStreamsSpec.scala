@@ -107,6 +107,54 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize tags events INCREMENTALLY == batch gaps-and-islands") {
+    // the q_e7 discipline applied to Behavior.sessionize: the streaming
+    // operator (buffer-within-watermark + finalized-prefix emission) must
+    // reproduce the batch operator's session ids exactly, including an
+    // out-of-order arrival that lands INSIDE an already-open session
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val real = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")), (1L, 2L, ts("2024-01-01 10:20:00")),
+      (2L, 3L, ts("2024-01-01 10:05:00")),
+      // batch 2: e4 arrives LATE but inside the 10-min allowance — it
+      // must slot between e1 and e2 in session 1#1
+      (1L, 4L, ts("2024-01-01 10:11:00")), (1L, 5L, ts("2024-01-01 12:00:00")),
+      (2L, 6L, ts("2024-01-01 10:50:00")))
+    val batches = Seq(real.take(3), real.drop(3),
+      // sentinels: two far-future batches advance the watermark past
+      // every real event AND deliver a data batch at the advanced
+      // watermark so the last event-time timeouts fire deterministically
+      // (processAllAvailable does not wait for no-data micro-batches);
+      // the sentinel user is excluded from the compare
+      Seq((99L, 999L, ts("2030-01-01 00:00:00"))),
+      Seq((99L, 998L, ts("2030-01-02 00:00:00"))))
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "event_id", "ts")
+    val q = EventStreams.sessionTags(spark, events)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("session_tags_incr").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("session_tags_incr")
+        .filter(col("user_id") =!= 99L)
+        .select(col("event_id"), col("session_id"))
+      val batch = graft.operators.Behavior
+        .sessionize(real.toDF("user_id", "event_id", "ts"),
+          idCol = "event_id")
+        .select(col("event_id"), col("session_id"))
+      assert(streamed.count() === 6, "every real event must be tagged exactly once")
+      assert(streamed.exceptAll(batch).count() === 0 &&
+        batch.exceptAll(streamed).count() === 0,
+        "incremental session tags must equal the batch gaps-and-islands run")
+      // the reorder really happened: e4 joined session 1#1, and the
+      // later-session events broke correctly
+      val m = streamed.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(m(4L) === "1#1" && m(2L) === "1#1" && m(5L) === "1#2" && m(6L) === "2#2")
+    } finally q.stop()
+  }
+
   test("stream-static dimension enrichment == batch enrichment") {
     val dim = EventStreams.segmentDim(
       spark.read.parquet(s"$dir/customer.parquet"))
