@@ -181,6 +181,78 @@ object Profile {
       .write.mode("append").parquet(path)
   }
 
+  /** Append a tagged THETA sketch of `valueCol`'s distinct members —
+    * the SET-OPERATION counterpart of [[appendDistinctSketches]]'s HLL
+    * store: theta sketches support intersection and difference, not
+    * just union, so CROSS-CORPUS overlap ("how much of the new crawl is
+    * already in the training set" — the decontamination-planning
+    * question) is answered from two stored sketches WITHOUT ever
+    * joining the corpora. Each call lands one `(tag, sketch)` row;
+    * append-mode parquet, a batch never rewrites history. `lgNomEntries`
+    * = log2 nominal entries (default 12 → 4096 retained hashes, ~1.6%
+    * relative standard error above that cardinality, EXACT below it). */
+  def appendSetSketch(df: DataFrame, tag: String, valueCol: String,
+      path: String, lgNomEntries: Int = 12): Unit =
+    df.agg(expr(s"theta_sketch_agg(`$valueCol`, $lgNomEntries)").as("sketch"))
+      .select(lit(tag).as("tag"), col("sketch"))
+      .write.mode("append").parquet(path)
+
+  /** Overlap estimates between two tagged sketch sets in a store written
+    * by [[appendSetSketch]]: each tag's batches first union into one
+    * sketch (`theta_union_agg` — so a tag may have appended any number
+    * of nightly batches), then one row reports |A|, |B|, |A∩B|, |A∪B|
+    * and |A∖B| estimates. The store scan is sketches-sized; the raw
+    * corpora are never touched. */
+  def overlapFromSketches(spark: org.apache.spark.sql.SparkSession,
+      path: String, tagA: String, tagB: String): DataFrame = {
+    val merged = spark.read.parquet(path)
+      .filter(col("tag").isin(tagA, tagB))
+      .groupBy(col("tag"))
+      .agg(expr("theta_union_agg(sketch)").as("sketch"))
+    merged.filter(col("tag") === tagA).select(col("sketch").as("sa"))
+      .crossJoin(merged.filter(col("tag") === tagB).select(col("sketch").as("sb")))
+      .select(
+        expr("theta_sketch_estimate(sa)").as("n_a_est"),
+        expr("theta_sketch_estimate(sb)").as("n_b_est"),
+        expr("theta_sketch_estimate(theta_intersection(sa, sb))").as("n_and_est"),
+        expr("theta_sketch_estimate(theta_union(sa, sb))").as("n_or_est"),
+        expr("theta_sketch_estimate(theta_difference(sa, sb))").as("n_a_only_est"))
+  }
+
+  /** Append per-key KLL quantile sketches of a DOUBLE column — the
+    * MERGEABLE percentile store: exact percentiles cannot be combined
+    * across batches (the q_a8 rows-only gap), KLL sketches can
+    * (`kll_sketch_merge` is lossless in the error bound), so nightly
+    * batches append keys-sized sketch relations and any later quantile
+    * query merges the store without rescanning raw data. `k` bounds the
+    * sketch size AND the normalized rank error (~1.65% at the default
+    * 200; 800 → ~0.4%). */
+  def appendQuantileSketches(df: DataFrame, keys: Seq[String],
+      valueCol: String, path: String, k: Int = 800): Unit = {
+    require(keys.nonEmpty, "need at least one key column")
+    df.groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(expr(s"kll_sketch_agg_double(CAST(`$valueCol` AS DOUBLE), $k)")
+        .as("sketch"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Per-key quantile estimates from a KLL store written by
+    * [[appendQuantileSketches]]: one keys-sized merge aggregation over
+    * the store, then `kll_sketch_get_quantile` per requested p. Returns
+    * the key columns plus `q_<p·100> : double` per percentile. */
+  def quantilesFromSketches(spark: org.apache.spark.sql.SparkSession,
+      path: String, keys: Seq[String], ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1),
+      s"percentiles must be in (0, 1), got $ps")
+    val qs = ps.map(p =>
+      expr(s"kll_sketch_get_quantile_double(merged, CAST($p AS DOUBLE))")
+        .as(s"q_${math.round(p * 100)}"))
+    spark.read.parquet(path)
+      .groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(expr("kll_merge_agg_double(sketch)").as("merged"))
+      .select(keys.map(c => col(s"`$c`")) ++ qs: _*)
+  }
+
   /** Distinct-count estimates per key from a sketch store written by
     * [[appendDistinctSketches]] across any number of batches: one
     * keys-sized aggregation over the store (`hll_union_agg` is a

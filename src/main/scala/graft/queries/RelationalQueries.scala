@@ -703,6 +703,93 @@ object RelationalQueries extends graft.QueryPack {
              |  TRUE AS within_bound
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // ---- V9: theta-sketch corpus overlap, join-free, bounded-error ------
+    // Decontamination PLANNING at 100 TB: "how much of the crawl is
+    // already in the training set" answered from two stored theta
+    // sketches (union/intersection/difference are sketch ops) without
+    // ever joining the corpora. The q_v7 in-row-verdict discipline: the
+    // exact overlap computes in the same query (one pass over documents)
+    // and only exact counts + bounded-error verdicts leave the engine —
+    // at these cardinalities (< the 4096-entry nominal) theta is exact,
+    // so the 5% verdicts are deterministic. The train tag appends TWO
+    // batches to exercise the store's theta_union_agg merge.
+    Q("q_v9_theta_overlap",
+      (s, d) => {
+        val store = TempDirs.scratch("graft-theta-store")
+        val docs = Tables.documents(s, d)
+        val a = docs.filter(col("doc_id") % 3 =!= 2)
+        val b = docs.filter(col("doc_id") % 2 === 0)
+        graft.operators.Profile.appendSetSketch(
+          a.filter(col("doc_id") % 5 < 3), "train", "doc_id", store)
+        graft.operators.Profile.appendSetSketch(
+          a.filter(col("doc_id") % 5 >= 3), "train", "doc_id", store)
+        graft.operators.Profile.appendSetSketch(b, "crawl", "doc_id", store)
+        val est = graft.operators.Profile.overlapFromSketches(
+          s, store, "train", "crawl")
+        docs.select((col("doc_id") % 3 =!= 2).as("ia"),
+            (col("doc_id") % 2 === 0).as("ib"))
+          .agg(count(when(col("ia"), 1)).as("n_a_exact"),
+            count(when(col("ib"), 1)).as("n_b_exact"),
+            count(when(col("ia") && col("ib"), 1)).as("n_and_exact"),
+            count(when(col("ia") || col("ib"), 1)).as("n_or_exact"))
+          .crossJoin(broadcast(est))
+          .select(col("n_a_exact"), col("n_b_exact"),
+            col("n_and_exact"), col("n_or_exact"),
+            (abs(col("n_a_est") - col("n_a_exact")) <=
+              col("n_a_exact").cast("double") * 0.05).as("a_ok"),
+            (abs(col("n_b_est") - col("n_b_exact")) <=
+              col("n_b_exact").cast("double") * 0.05).as("b_ok"),
+            (abs(col("n_and_est") - col("n_and_exact")) <=
+              col("n_and_exact").cast("double") * 0.05).as("and_ok"),
+            (abs(col("n_or_est") - col("n_or_exact")) <=
+              col("n_or_exact").cast("double") * 0.05).as("or_ok"))
+      },
+      Some("""SELECT
+             |  COUNT(CASE WHEN doc_id % 3 <> 2 THEN 1 END) AS n_a_exact,
+             |  COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS n_b_exact,
+             |  COUNT(CASE WHEN doc_id % 3 <> 2 AND doc_id % 2 = 0 THEN 1 END)
+             |    AS n_and_exact,
+             |  COUNT(CASE WHEN doc_id % 3 <> 2 OR doc_id % 2 = 0 THEN 1 END)
+             |    AS n_or_exact,
+             |  TRUE AS a_ok, TRUE AS b_ok, TRUE AS and_ok, TRUE AS or_ok
+             |FROM documents""".stripMargin)),
+
+    // ---- V10: mergeable KLL quantile store, bounded rank error ----------
+    // The q_a8 gap closed the store way: exact percentiles cannot merge
+    // across batches, KLL sketches can — two nightly appends per key,
+    // one keys-sized merge, and the estimates verify IN-ROW against the
+    // exact rank interval (value ranks, tie-aware) at a 5% band (k=800
+    // reads ~0.4% rank error, so the verdicts are deterministic in
+    // practice). Only exact counts + verdicts leave the engine.
+    Q("q_v10_quantile_store",
+      (s, d) => {
+        val store = TempDirs.scratch("graft-kll-store")
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"))
+        graft.operators.Profile.appendQuantileSketches(
+          li.filter(col("l_orderkey") % 2 === 0), Seq("l_returnflag"),
+          "l_quantity", store)
+        graft.operators.Profile.appendQuantileSketches(
+          li.filter(col("l_orderkey") % 2 === 1), Seq("l_returnflag"),
+          "l_quantity", store)
+        val est = graft.operators.Profile.quantilesFromSketches(
+          s, store, Seq("l_returnflag"), Seq(0.5, 0.9))
+        def rankOk(q: Column, p: Double): Column = {
+          val lt = count(when(col("l_quantity") < q, 1)).cast("double")
+          val le = count(when(col("l_quantity") <= q, 1)).cast("double")
+          val n = count(lit(1)).cast("double")
+          (lt / n - 0.05 <= p) && (lit(p) <= le / n + 0.05)
+        }
+        li.join(broadcast(est), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            rankOk(col("q_50"), 0.5).as("q50_ok"),
+            rankOk(col("q_90"), 0.9).as("q90_ok"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  TRUE AS q50_ok, TRUE AS q90_ok
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
     // ---- V8: k-anonymity generalize-and-recheck repair ------------------
     // The q_v4 audit's missing half: numeric quasi-identifiers generalize
     // down an equi-depth ladder (8 → 4 → 2 → full suppression) until every

@@ -274,6 +274,43 @@ class ScdProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("theta set store: batched sketches answer overlap without joining the corpora") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("theta-store").toString
+    // corpus A = {0..599}, corpus B = {400..899}: |A∩B| = 200, |A∪B| = 900
+    // — each appended in two nightly batches to exercise theta_union_agg
+    val a = (0L until 600L).toDF("k")
+    val b = (400L until 900L).toDF("k")
+    Profile.appendSetSketch(a.filter(col("k") % 2 === 0), "train", "k", store)
+    Profile.appendSetSketch(a.filter(col("k") % 2 === 1), "train", "k", store)
+    Profile.appendSetSketch(b.filter(col("k") < 700), "crawl", "k", store)
+    Profile.appendSetSketch(b.filter(col("k") >= 700), "crawl", "k", store)
+    val r = Profile.overlapFromSketches(spark, store, "train", "crawl").head
+    // below the 4096-entry nominal a theta sketch is EXACT (estimates
+    // surface as rounded longs)
+    assert(r.getLong(0) === 600L && r.getLong(1) === 500L)
+    assert(r.getLong(2) === 200L, "intersection estimate")
+    assert(r.getLong(3) === 900L, "union estimate")
+    assert(r.getLong(4) === 400L, "difference estimate")
+  }
+
+  test("kll quantile store: merged batches estimate quantiles within the rank bound") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("kll-store").toString
+    val df = (1 to 10000).map(i => ("g", i.toDouble)).toDF("key", "v")
+    Profile.appendQuantileSketches(df.filter(col("v") <= 5000), Seq("key"), "v", store)
+    Profile.appendQuantileSketches(df.filter(col("v") > 5000), Seq("key"), "v", store)
+    val q = Profile.quantilesFromSketches(spark, store, Seq("key"),
+      Seq(0.5, 0.9)).head
+    // k=800 → normalized rank error ~0.4%; assert a loose 2% band on the
+    // VALUE (uniform 1..10000, so value band == rank band)
+    assert(math.abs(q.getDouble(1) - 5000.0) <= 200.0, s"median came back ${q.getDouble(1)}")
+    assert(math.abs(q.getDouble(2) - 9000.0) <= 200.0, s"p90 came back ${q.getDouble(2)}")
+    assert(intercept[IllegalArgumentException](
+      Profile.quantilesFromSketches(spark, store, Seq("key"), Seq(1.5)))
+      .getMessage.contains("percentiles"))
+  }
+
   test("profile counts rows, nulls, and distincts per column in one pass") {
     import spark.implicits._
     val df = Seq(
