@@ -259,6 +259,71 @@ object EventStreams {
       }
   }
 
+  final case class FunnelReach(user_id: Long, step: Int, event_type: String)
+  private[streaming] final case class FunnelState(
+    stage: Int, firstTs: Long, buffer: List[(Long, Long)])
+
+  /** STREAMING ordered funnel — the incremental twin of
+    * [[graft.operators.Behavior.funnel]] under the same semantics: a
+    * user advances to step j on the EARLIEST step-j event strictly
+    * after their first completion of step j−1 (within the optional
+    * conversion deadline). Emits one [[FunnelReach]] record per (user,
+    * stage) the first time the stage completes; funnel counts are a
+    * downstream `groupBy(step).count` (EventStreamsSpec proves the
+    * emitted reach == the batch operator's per-step counts).
+    *
+    * Same finalized-prefix construction as [[sessionTags]]: ascending
+    * event-time order makes the fold's first qualifying match the
+    * batch MIN by construction, and a stage completion is final once
+    * the watermark passes it (no earlier arrival can precede it). The
+    * input prunes map-side to the step types, so per-user state is the
+    * (stage, firstTs) pair plus only in-allowance STEP events. */
+  def funnelReach(spark: SparkSession, events: DataFrame,
+      steps: Seq[String], withinSeconds: Option[Long] = None,
+      watermark: String = "10 minutes"): Dataset[FunnelReach] = {
+    import spark.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.length == steps.length,
+      s"funnel steps must be distinct, got ${steps.mkString(", ")}")
+    withinSeconds.foreach(w =>
+      require(w > 0, s"withinSeconds must be positive, got $w"))
+    val deadlineMicros = withinSeconds.map(_ * 1000000L)
+    events.withWatermark("ts", watermark)
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id").cast("long"),
+        array_position(typedLit(steps), col("event_type")).cast("long") - 1L,
+        unix_micros(col("ts")), col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+            state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(FunnelState(0, Long.MinValue, Nil))
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val fresh = rows.map(r => (r._3, r._2)).filter(_._1 >= wmMicros)
+          val merged = (st.buffer ++ fresh).sorted
+          val (fin, keep) = merged.partition(_._1 < wmMicros)
+          var stage = st.stage
+          var firstTs = st.firstTs
+          val out = List.newBuilder[FunnelReach]
+          fin.foreach { case (tsUs, sIdx) =>
+            if (stage < steps.length && sIdx == stage &&
+                (stage == 0 ||
+                  (tsUs > firstTs &&
+                    deadlineMicros.forall(d => tsUs <= firstTs + d)))) {
+              stage += 1
+              firstTs = tsUs
+              out += FunnelReach(userId, stage, steps(stage - 1))
+            }
+          }
+          state.update(FunnelState(stage, firstTs, keep))
+          keep.headOption.foreach(b =>
+            state.setTimeoutTimestamp(b._1 / 1000L + 1L))
+          out.result().iterator
+      }
+  }
+
   /** Drive a stream to a named in-memory table synchronously (local
     * smoke path; production uses real sinks + triggers). */
   def runToMemory(df: DataFrame, name: String, mode: String): StreamingQuery = {

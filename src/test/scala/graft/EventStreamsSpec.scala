@@ -155,6 +155,62 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel reach INCREMENTALLY == batch funnel counts") {
+    // the other half of the funnel/sessionize parity pair: the streaming
+    // per-user state machine must reproduce the batch operator's
+    // strictly-after + deadline semantics, including an out-of-order
+    // step-1 arrival that unlocks a buffered step-2 event
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val steps = Seq("view", "cart", "buy")
+    val real = Seq(
+      // batch 1 — u1's cart arrives BEFORE its view in arrival order but
+      // after it in event time (out-of-order test); u2 views then carts
+      // at the SAME instant, so strictly-after must fail in the fold
+      (1L, 1L, "cart", ts("2024-01-01 10:05:00")),
+      (1L, 2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 4L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 5L, "cart", ts("2024-01-01 10:00:00")),
+      // batch 2 — u1 buys within the 20-min deadline of its 10:05 cart;
+      // u3 carts past the deadline (never reaches stage 2); u4 carts
+      // without viewing (reaches nothing); noise type prunes map-side
+      (1L, 3L, "buy", ts("2024-01-01 10:20:00")),
+      (3L, 6L, "view", ts("2024-01-01 10:00:00")),
+      (3L, 7L, "cart", ts("2024-01-01 10:45:00")),
+      (4L, 8L, "cart", ts("2024-01-01 10:10:00")),
+      (1L, 9L, "noise", ts("2024-01-01 10:01:00")))
+    val batches = Seq(real.take(4), real.drop(4),
+      Seq((99L, 998L, "view", ts("2030-01-01 00:00:00"))),
+      Seq((99L, 999L, "view", ts("2030-01-02 00:00:00"))))
+    val input = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "event_id", "event_type", "ts")
+    val q = EventStreams.funnelReach(spark, events, steps,
+        withinSeconds = Some(1200L))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_incr").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("funnel_incr")
+        .filter(col("user_id") =!= 99L)
+      val streamedCounts = streamed.groupBy(col("step"), col("event_type"))
+        .agg(count(lit(1)).as("users"))
+      val batch = graft.operators.Behavior.funnel(
+          real.toDF("user_id", "event_id", "event_type", "ts"),
+          steps, withinSeconds = Some(1200L))
+        .filter(col("users") > 0) // reach records exist only for reached stages
+        .select(col("step"), col("event_type"), col("users"))
+      assert(streamedCounts.exceptAll(batch).count() === 0 &&
+        batch.exceptAll(streamedCounts).count() === 0,
+        "incremental funnel reach must equal the batch counts")
+      // the per-user detail: u1 full funnel, u2/u3 stop at view, u4 none
+      val reach = streamed.collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .view.mapValues(_.map(_.getAs[Int]("step")).sorted.toSeq).toMap
+      assert(reach === Map(1L -> Seq(1, 2, 3), 2L -> Seq(1), 3L -> Seq(1)))
+    } finally q.stop()
+  }
+
   test("stream-static dimension enrichment == batch enrichment") {
     val dim = EventStreams.segmentDim(
       spark.read.parquet(s"$dir/customer.parquet"))
