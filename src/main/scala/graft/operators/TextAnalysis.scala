@@ -189,6 +189,37 @@ object TextAnalysis {
         col("n_tokens"))
   }
 
+  /** Append a heavy-hitters (frequent-items) sketch of the corpus token
+    * stream — the [[graft.queries.TextQueries]] q_x6 top-tokens STORE
+    * twin, and the third mergeable-sketch family (HLL distinct, theta
+    * sets, KLL quantiles, now frequent items): exact token counts
+    * cannot merge across batches without re-aggregating the union, a
+    * frequent-items sketch can. Nightly batches append one sketch row
+    * each; vocabulary-drift monitoring then reads the sketches-sized
+    * store, never the corpora. `maxItemsTracked` bounds the sketch —
+    * BELOW it the counts are exact, so at the registered settings the
+    * store replays q_x6's exact oracle verbatim. */
+  def appendTopTokenSketch(df: DataFrame, textCol: String, path: String,
+      maxItemsTracked: Int = 100000): Unit =
+    df.select(explode(tokens(col(s"`$textCol`"))).as("token"))
+      .agg(expr(s"approx_top_k_accumulate(token, $maxItemsTracked)").as("sketch"))
+      .write.mode("append").parquet(path)
+
+  /** Top-k tokens from a sketch store written by
+    * [[appendTopTokenSketch]]: one combine aggregation over the store,
+    * a deep estimate (50·k, far past any top-k tie ambiguity in the
+    * exact regime), then the deterministic re-rank (count desc, token
+    * asc) q_x6 uses — `TakeOrderedAndProject`, never a full sort. */
+  def topTokensFromSketches(spark: SparkSession, path: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    spark.read.parquet(path)
+      .agg(expr("approx_top_k_combine(sketch)").as("comb"))
+      .select(explode(expr(s"approx_top_k_estimate(comb, ${k * 50})")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+  }
+
   /** Canonical URL key — the first-pass dedup key a web corpus groups on
     * before any content hashing (the same page arrives as `HTTP://X.COM`,
     * `http://x.com:80/`, and `http://x.com/?utm_source=…`). Deterministic

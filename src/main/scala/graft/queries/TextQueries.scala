@@ -189,6 +189,14 @@ object TextQueries extends graft.QueryPack {
        |      PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
        |  FROM s3) WHERE rn = 1""".stripMargin
 
+  /** The q_x6 oracle, shared verbatim by q_x43_top_tokens_store (the
+    * store-twin discipline): exact corpus token counts, top 20, ties to
+    * the token. */
+  private lazy val duckTopTokens: String =
+    s"""SELECT token, COUNT(*) AS n FROM (
+       |  SELECT unnest($duckToks) AS token FROM documents)
+       |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin
+
   /** The q_x39 oracle, shared verbatim by q_x42_token_ids_store (the
     * store-twin discipline): BPE chain → positional piece explode →
     * lexicographic dense vocab ids → order-preserving reassembly. */
@@ -309,9 +317,26 @@ object TextQueries extends graft.QueryPack {
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(20),
-      Some(s"""SELECT token, COUNT(*) AS n FROM (
-              |  SELECT unnest($duckToks) AS token FROM documents)
-              |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+      Some(duckTopTokens)),
+
+    // ---- X43: top tokens from the PERSISTED frequent-items store --------
+    // The q_x6 store twin (vocabulary-drift monitoring at 100 TB reads
+    // the sketches-sized store, not the corpora): two nightly batches
+    // accumulate approx_top_k sketches, the query combines the STORE and
+    // re-ranks. Below maxItemsTracked the sketch counts are exact, so
+    // this shares q_x6's exact oracle verbatim — output equality IS the
+    // store-equivalence proof (the q_x41/q_x42 discipline).
+    Q("q_x43_top_tokens_store",
+      (s, d) => {
+        val store = TempDirs.scratch("graft-topk-store")
+        val docs = Tables.documents(s, d)
+        TextAnalysis.appendTopTokenSketch(
+          docs.filter(col("doc_id") % 2 === 0), "text", store)
+        TextAnalysis.appendTopTokenSketch(
+          docs.filter(col("doc_id") % 2 === 1), "text", store)
+        TextAnalysis.topTokensFromSketches(s, store, 20)
+      },
+      Some(duckTopTokens)),
 
     // ---- X7: deterministic train/val/test split + downsample ------------
     // ---- X21: sliding-window chunking (RAG / context prep) --------------

@@ -251,6 +251,24 @@ class TextOpsSpec extends AnyFunSuite {
       "pin lost its contrast: the in-job path no longer inlines the vocab")
   }
 
+  test("top-token store: combined batch sketches equal the exact corpus counts") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("topk-store").toString
+    val docs = Seq(
+      (0L, "a a a b b c"), (1L, "a b d d"), (2L, "a c c e"), (3L, "b a"))
+      .toDF("doc_id", "text")
+    TextAnalysis.appendTopTokenSketch(docs.filter(col("doc_id") < 2), "text", store)
+    TextAnalysis.appendTopTokenSketch(docs.filter(col("doc_id") >= 2), "text", store)
+    val fromStore = TextAnalysis.topTokensFromSketches(spark, store, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // exact: a=6, b=4, c=3, d=2, e=1 — below maxItemsTracked the sketch
+    // is exact and ties break to the token
+    assert(fromStore === Seq(("a", 6L), ("b", 4L), ("c", 3L)))
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.topTokensFromSketches(spark, store, 0))
+      .getMessage.contains("k >= 1"))
+  }
+
   test("lm store: store-scored == in-job on the training corpus; unseen grams smooth") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
