@@ -127,6 +127,42 @@ object ScaleProbe {
     // to ≤k rows per (query, map task).
     if (args.headOption.contains("topk")) {
       import org.apache.spark.sql.expressions.Window
+      // third contender: Spark's native CollectTopK (the internal
+      // window-group-limit aggregate — expression-only, so register it
+      // as a temp function here) over struct(score, -id) so the
+      // (score desc, id asc) tiebreak contract matches the bounded
+      // TopKAggregator exactly
+      // CollectTopK is private[sql] — probe-only reflection (NOT a shape
+      // used by the shipped operators; this A/B decides whether it should)
+      val ctkCtor = Class
+        .forName("org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK")
+        .getConstructor(
+          classOf[org.apache.spark.sql.catalyst.expressions.Expression],
+          java.lang.Integer.TYPE, java.lang.Boolean.TYPE,
+          java.lang.Integer.TYPE, java.lang.Integer.TYPE)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "collect_top_k",
+        exprs => ctkCtor.newInstance(exprs(0),
+            Int.box(exprs(1).eval().asInstanceOf[Int]),
+            Boolean.box(exprs(2).eval().asInstanceOf[Boolean]),
+            Int.box(0), Int.box(0))
+          .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression],
+        "internal")
+      def native(scored: org.apache.spark.sql.DataFrame, k: Int) =
+        scored.groupBy(col("query_id"))
+          .agg(expr(s"collect_top_k(struct(score, -neighbor_id AS nid), $k, false)")
+            .as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("query_id"), (-col("t.nid")).as("neighbor_id"),
+            col("t.score").as("score"), (col("pos") + lit(1)).as("rnk"))
+      // correctness gate before any timing: native == bounded-agg on a
+      // small relation (ordering AND tiebreak)
+      val small = spark.range(1000).select(
+        (col("id") % 8).as("query_id"), col("id").as("neighbor_id"),
+        (pmod(hash(col("id")), lit(100)) / 1e2).as("score"))
+      val a = graft.operators.Similarity.perQueryTopK(small, 10).collect().toSet
+      val b = native(small, 10).collect().toSet
+      require(a == b, s"collect_top_k contender diverged from TopKAggregator:\n${(a -- b)}\n${(b -- a)}")
       Seq(1000000L, 10000000L, 100000000L).foreach { n =>
         def scored = spark.range(n).select(
           (col("id") % 8).as("query_id"), col("id").as("neighbor_id"),
@@ -139,7 +175,9 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save())
         val tAgg = run(graft.operators.Similarity.perQueryTopK(scored, 10)
           .write.format("noop").mode("overwrite").save())
-        println(f"[scaleprobe] topk n=$n%-10d window $tWin%6.2f s   bounded-agg $tAgg%6.2f s")
+        val tNat = run(native(scored, 10)
+          .write.format("noop").mode("overwrite").save())
+        println(f"[scaleprobe] topk n=$n%-10d window $tWin%6.2f s   bounded-agg $tAgg%6.2f s   collect_top_k $tNat%6.2f s")
       }
       spark.stop(); return
     }
