@@ -394,6 +394,27 @@ object EventQueries extends graft.QueryPack {
       Some("""SELECT event_id, json_extract_string(props, '$.k') AS k_val
              |FROM events""".stripMargin)),
 
+    // ---- E19: VARIANT semi-structured extraction ------------------------
+    // The Spark-4 successor to per-path get_json_object: parse the props
+    // JSON ONCE into a VARIANT value and extract many typed paths from
+    // the binary encoding — at 100 TB the repeated-extraction pattern
+    // stops re-parsing the string per path (q_e5 keeps the legacy
+    // single-path shape under its own oracle). Typed int + string
+    // extraction and a missing path (clean NULL, not an error) all
+    // replay exactly in the JSON oracle.
+    Q("q_e19_variant_props",
+      (s, d) => Tables.events(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'int')").as("k_int"),
+          expr("variant_get(v, '$.k', 'string')").as("k_str"),
+          expr("variant_get(v, '$.missing', 'string')").as("absent")),
+      Some("""SELECT event_id,
+             |  CAST(json_extract(props, '$.k') AS INT) AS k_int,
+             |  json_extract_string(props, '$.k') AS k_str,
+             |  CAST(NULL AS VARCHAR) AS absent
+             |FROM events""".stripMargin)),
+
     // ---- E14: ordered funnel reach (view → click → purchase) ------------
     // Canonical funnel semantics: earliest qualifying event per user per
     // stage, each stage strictly after the user's FIRST completion of the

@@ -125,6 +125,31 @@ object ScaleProbe {
     // Similarity.perQueryTopK. The window must shuffle ALL N rows into 8
     // reducer groups and sort each; the bounded buffer partial-combines
     // to ≤k rows per (query, map task).
+    // Checkpoint-mode tax — `runMain graft.tools.ScaleProbe ckpt`: the
+    // iterative graph queries under (a) localCheckpoint (the local[32]
+    // default) and (b) a RELIABLE checkpoint dir (what a cluster
+    // deployment sets for executor-loss recovery — Iterate.checkpoint
+    // switches on the dir). Quantifies the fault-tolerance tax so the
+    // 100 TB knob is a measured trade, not a guess.
+    if (args.headOption.contains("ckpt")) {
+      val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      Seq("q_g1_pagerank", "q_g6_label_prop").foreach { q =>
+        def run(): Double = time {
+          graft.SparkEntry.queries(q)(spark, sf)
+            .write.format("noop").mode("overwrite").save()
+        }
+        run() // warmup
+        val tLocal = math.min(run(), run())
+        val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-probe")
+        spark.sparkContext.setCheckpointDir(dir.toString)
+        val tReliable =
+          try { run(); math.min(run(), run()) }
+          finally spark.sparkContext.setCheckpointDir(null)
+        println(f"[scaleprobe] ckpt $q%-20s local $tLocal%5.2f s   reliable $tReliable%5.2f s   (${tReliable / tLocal}%.2fx)")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("topk")) {
       import org.apache.spark.sql.expressions.Window
       // third contender: Spark's native CollectTopK (the internal
