@@ -359,9 +359,21 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
       thresholdTenths: Int = 1): DataFrame = {
     val spark = incoming.sparkSession
-    val exHashes = spark.read.parquet(s"$sigDir/hashes")
-    val exBands = spark.read.parquet(s"$sigDir/bands")
-    val exShingles = spark.read.parquet(s"$sigDir/shingles")
+    dedupAgainstSignatureFrames(incoming,
+      spark.read.parquet(s"$sigDir/hashes"),
+      spark.read.parquet(s"$sigDir/bands"),
+      spark.read.parquet(s"$sigDir/shingles"),
+      textCol, idCol, shingleK, numHashes, rowsPerBand, thresholdTenths)
+  }
+
+  /** [[dedupAgainstSignatures]] with the three signature relations
+    * passed as frames — the seam the streaming ingest loop
+    * ([[ingestBatch]]) needs to restrict the store to PRIOR batches. */
+  def dedupAgainstSignatureFrames(incoming: DataFrame, exHashes: DataFrame,
+      exBands: DataFrame, exShingles: DataFrame,
+      textCol: String, idCol: String,
+      shingleK: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      thresholdTenths: Int = 1): DataFrame = {
     val incH = incoming.select(col(idCol).as("sid"), md5(col(textCol)).as("h"))
     val exact = incH.join(exHashes, Seq("h"), "left_semi")
       .select(col("sid")).withColumn("is_exact", lit(true))
@@ -422,6 +434,66 @@ object Dedup {
       .write.mode("append").parquet(s"$dir/bands")
     docShingles(docs, textCol, idCol, shingleK)
       .write.mode("append").parquet(s"$dir/shingles")
+  }
+
+  /** One replay-idempotent step of the CONTINUOUS ingest-dedup loop —
+    * the streaming counterpart of the [[dedupAgainstSignatures]] +
+    * [[appendBatchSignatures]] nightly pair, shaped for
+    * `foreachBatch` ([[graft.streaming.EventStreams.streamingIngestDedup]]):
+    *
+    *  - the batch classifies against the signatures of STRICTLY PRIOR
+    *    batches (`batch=<id>` partition subdirs, pruned `< batchId`) —
+    *    so a replayed micro-batch never sees its own half-written
+    *    signatures and never classifies its docs as duplicates of
+    *    themselves;
+    *  - accepted docs land at `outDir/batch=<id>` and the batch's
+    *    three signature relations at `sigDir/<rel>/batch=<id>`, all
+    *    mode-overwrite — replay rewrites the same directories
+    *    byte-for-byte instead of duplicating (the
+    *    [[graft.streaming.EventStreams.runToIdempotentParquet]]
+    *    pattern, IngestDedupSpec proves store and output are
+    *    replay-stable);
+    *  - an empty or not-yet-created store is a normal first-batch
+    *    state: the prior relations fall back to empty frames with the
+    *    exact schemas the signature writers produce.
+    *
+    * Same invariants as the nightly loop: ids globally unique across
+    * all batches, parameters fixed for the store's lifetime. Returns
+    * the batch's (doc_id, status) classification. */
+  def ingestBatch(batch: DataFrame, batchId: Long, sigDir: String,
+      outDir: String, textCol: String, idCol: String,
+      shingleK: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      thresholdTenths: Int = 1): DataFrame = {
+    val spark = batch.sparkSession
+    def prior(sub: String, empty: => DataFrame): DataFrame =
+      // missing-store probe: the read itself (or its schema inference)
+      // may surface as AnalysisException OR a raw FileNotFoundException
+      // depending on the path state — both mean "no prior batches"
+      try spark.read.parquet(s"$sigDir/$sub")
+        .filter(col("batch") < batchId).drop("batch")
+      catch { case scala.util.control.NonFatal(_) => empty }
+    val none = batch.limit(0)
+    val exHashes = prior("hashes", none.select(md5(col(textCol)).as("h")))
+    val exBands = prior("bands",
+      bandRelation(none, textCol, idCol, shingleK, numHashes, rowsPerBand))
+    val exShingles = prior("shingles",
+      docShingles(none.select(col(idCol), col(textCol)), textCol, idCol, shingleK))
+    // pinned once: the classification feeds the accepted output AND the
+    // three signature appends below
+    val status = Iterate.checkpoint(dedupAgainstSignatureFrames(
+      batch, exHashes, exBands, exShingles, textCol, idCol,
+      shingleK, numHashes, rowsPerBand, thresholdTenths))
+    val kept = batch.join(
+      status.filter(col("status") === "kept").select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_semi")
+    kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    kept.select(md5(col(textCol)).as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$sigDir/hashes/batch=$batchId")
+    bandRelation(kept, textCol, idCol, shingleK, numHashes, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$sigDir/bands/batch=$batchId")
+    docShingles(kept.select(col(idCol), col(textCol)), textCol, idCol, shingleK)
+      .write.mode("overwrite").parquet(s"$sigDir/shingles/batch=$batchId")
+    status
   }
 
   /** Exact n-gram Jaccard computed ONLY for the given candidate pairs —

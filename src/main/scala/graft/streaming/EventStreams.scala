@@ -378,4 +378,28 @@ object EventStreams {
         batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
+
+  /** CONTINUOUS corpus-ingest dedup: every micro-batch of documents
+    * classifies against the signatures of all prior batches (exact
+    * hash + MinHash-LSH near-dup, the [[graft.operators.Dedup]]
+    * nightly pair run per trigger), accepted docs land in
+    * replay-idempotent `batch=<id>` parquet, and the batch's own
+    * signatures fold into the store for the NEXT trigger — the
+    * corpus text is never re-scanned, exactly like the nightly loop.
+    * All the exactly-once and empty-store handling lives in
+    * [[graft.operators.Dedup.ingestBatch]] (batch-testable; see its
+    * scaladoc for the replay contract). */
+  def streamingIngestDedup(docs: DataFrame, sigDir: String, outDir: String,
+      checkpointDir: String, textCol: String = "text",
+      idCol: String = "doc_id", shingleK: Int = 3, numHashes: Int = 8,
+      rowsPerBand: Int = 2, thresholdTenths: Int = 1): StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Dedup.ingestBatch(batch.toDF(), batchId, sigDir,
+          outDir, textCol, idCol, shingleK, numHashes, rowsPerBand,
+          thresholdTenths)
+        ()
+      }
+      .start()
 }
