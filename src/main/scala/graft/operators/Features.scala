@@ -58,6 +58,29 @@ object Features {
       .drop("__lo", "__hi")
   }
 
+  /** Robust scaling: `scaled = (x − median) / IQR` — the outlier-proof
+    * standardization (sklearn's RobustScaler shape): median and
+    * interquartile range are insensitive to the heavy tails that wreck
+    * mean/stddev z-scores on real feature distributions. Same
+    * one-aggregate + broadcast mechanics as [[winsorize]] (exact
+    * interpolated percentiles, never a corpus sort); statistics round
+    * to 6 dp, output to 6 dp, so the rule replays exactly in a
+    * relational oracle. A degenerate column (IQR = 0, at least half the
+    * mass on one value) scales to null rather than dividing by zero —
+    * the [[minMaxScale]] constant-column convention. Null values pass
+    * through as null. Returns the input plus `<valueCol>_robust`. */
+  def robustScale(df: DataFrame, valueCol: String): DataFrame = {
+    val cuts = df.select(
+      round(expr(s"percentile(`$valueCol`, 0.25)"), 6).as("__q1"),
+      round(expr(s"percentile(`$valueCol`, 0.5)"), 6).as("__med"),
+      round(expr(s"percentile(`$valueCol`, 0.75)"), 6).as("__q3"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(s"${valueCol}_robust",
+        when(col("__q3") > col("__q1"),
+          round((col(valueCol) - col("__med")) / (col("__q3") - col("__q1")), 6)))
+      .drop("__q1", "__med", "__q3")
+  }
+
   /** Equi-depth discretization: assign each row to one of `nBins`
     * equal-population buckets bounded by the exact interpolated
     * 1/n … (n−1)/n percentiles (the [[winsorize]] percentile mechanism —

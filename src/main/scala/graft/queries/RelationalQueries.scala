@@ -617,6 +617,26 @@ object RelationalQueries extends graft.QueryPack {
              |    AS o_totalprice_wins
              |FROM orders o, c""".stripMargin)),
 
+    // ---- X44: robust (median/IQR) scaling -------------------------------
+    // The outlier-proof standardization completing the feature-scaling
+    // trio (min-max, winsorize, robust): exact interpolated quartiles in
+    // one global aggregate, broadcast, map-side arithmetic. Division
+    // replays exactly at 6 dp; a zero-IQR column scales to null.
+    Q("q_x44_robust_scale",
+      (s, d) => graft.operators.Features.robustScale(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice"),
+      Some("""WITH c AS (
+             |  SELECT ROUND(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+             |         ROUND(quantile_cont(o_totalprice, 0.5), 6) AS med,
+             |         ROUND(quantile_cont(o_totalprice, 0.75), 6) AS q3
+             |  FROM orders)
+             |SELECT o.o_orderkey, o.o_totalprice,
+             |  CASE WHEN c.q3 > c.q1 THEN
+             |    ROUND((o.o_totalprice - c.med) / (c.q3 - c.q1), 6)
+             |  END AS o_totalprice_robust
+             |FROM orders o, c""".stripMargin)),
+
     // ---- X19: training-mixture sampling (exact per-domain quotas) -------
     // Materialize a pretraining mix from an over-supplied corpus: each
     // listed source contributes exactly its quota (its lowest-md5 docs),

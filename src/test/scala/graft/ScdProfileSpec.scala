@@ -161,6 +161,20 @@ class ScdProfileSpec extends AnyFunSuite {
       4L -> None, 5L -> Some("gold"), 6L -> None))
   }
 
+  test("robust scale: median/IQR standardization, zero-IQR columns go null") {
+    import spark.implicits._
+    // values 1..5: q1=2, med=3, q3=4, IQR=2 → scaled = (x-3)/2
+    val df = (1 to 5).map(_.toDouble).toDF("v")
+    val out = graft.operators.Features.robustScale(df, "v")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1.0 -> -1.0, 2.0 -> -0.5, 3.0 -> 0.0,
+      4.0 -> 0.5, 5.0 -> 1.0))
+    // over half the mass on one value → IQR 0 → null, not divide-by-zero
+    val flat = Seq(7.0, 7.0, 7.0, 7.0, 9.0).toDF("v")
+    val fr = graft.operators.Features.robustScale(flat, "v").collect()
+    assert(fr.forall(_.isNullAt(1)))
+  }
+
   test("equi-depth bins: boundary ties fall to the lower bucket, nulls stay null") {
     import spark.implicits._
     import graft.operators.Features
