@@ -58,6 +58,53 @@ object Features {
       .drop("__lo", "__hi")
   }
 
+  /** Deterministic categorical index — the StringIndexer shape a
+    * training pipeline needs before categorical features leave the
+    * warehouse: labels rank by frequency desc, label asc (a total
+    * order, so the id assignment replays in any engine), dense ids
+    * from 0. The ranking happens on the DRIVER over the collected
+    * label counts (≤ `maxLabels` rows with a loud fail-fast — the
+    * vocab/codebook bounded-collect pattern, NOT an unpartitioned rank
+    * window, which the global plan audit forbids). Null labels are
+    * excluded from the index (they encode to null, not to an id).
+    * Returns `(label: string, cat_id: int)`. */
+  def buildCategoryIndex(df: DataFrame, labelCol: String,
+      maxLabels: Int = 65536): DataFrame = {
+    val counts = df.filter(col(s"`$labelCol`").isNotNull)
+      .groupBy(col(s"`$labelCol`").cast("string").as("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .limit(maxLabels + 1).collect()
+    require(counts.length <= maxLabels,
+      s"more than maxLabels=$maxLabels distinct labels in '$labelCol' — " +
+        "an index that big should be a hashed feature, not a dictionary")
+    val spark = df.sparkSession
+    import spark.implicits._
+    counts.map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (l, n) => (-n, l) }
+      .zipWithIndex.map { case ((l, _), i) => (l, i) }
+      .toSeq.toDF("label", "cat_id")
+  }
+
+  /** Persist / restore the index — train once, encode nightly batches
+    * against the STORE (the tokenizer-vocab discipline). */
+  def writeCategoryIndex(df: DataFrame, labelCol: String, path: String,
+      maxLabels: Int = 65536): Unit =
+    buildCategoryIndex(df, labelCol, maxLabels)
+      .write.mode("overwrite").parquet(path)
+
+  /** Encode a label column to its dense id via a broadcast join against
+    * the (vocab-sized) index: `<labelCol>_id`, with the unk sentinel −1
+    * for labels ABSENT from the index (a new batch against a stored
+    * index — never silently dropped) and null for null labels. */
+  def encodeCategories(df: DataFrame, labelCol: String,
+      index: DataFrame): DataFrame =
+    df.join(broadcast(index.select(col("label"), col("cat_id"))),
+        col(s"`$labelCol`").cast("string") === col("label"), "left")
+      .withColumn(s"${labelCol}_id",
+        when(col(s"`$labelCol`").isNotNull,
+          coalesce(col("cat_id"), lit(-1))).cast("int"))
+      .drop("label", "cat_id")
+
   /** Robust scaling: `scaled = (x − median) / IQR` — the outlier-proof
     * standardization (sklearn's RobustScaler shape): median and
     * interquartile range are insensitive to the heavy tails that wreck

@@ -181,6 +181,32 @@ object Profile {
       .write.mode("append").parquet(path)
   }
 
+  /** Key-skew profile — the measurement that decides whether a join or
+    * aggregation key needs salting ([[Skew]]) BEFORE a 100 TB job
+    * discovers it the expensive way: one hash aggregation to per-key
+    * counts (map-side combined — the only pass over the data), then one
+    * tiny aggregation over the KEYS-sized count relation. Returns a
+    * single row: `n_rows, n_keys, max_n, p50_n, p99_n, skew_ratio`
+    * (max over median — the heuristic trigger; > ~20 on a big key space
+    * usually means salt). Exact interpolated percentiles over the
+    * count relation (keys-sized, so exactness is affordable where it
+    * wouldn't be over rows); everything rounds to 6 dp for oracle
+    * replay. Null keys count as a real key (they're usually the skew). */
+  def keySkew(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    keys.foreach(c => require(df.columns.contains(c),
+      s"column '$c' not in ${df.columns.mkString(", ")}"))
+    df.groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("__n")).as("max_n"),
+        round(expr("percentile(__n, 0.5)"), 6).as("p50_n"),
+        round(expr("percentile(__n, 0.99)"), 6).as("p99_n"))
+      .withColumn("skew_ratio",
+        round(col("max_n").cast("double") / col("p50_n"), 6))
+  }
+
   /** Append a tagged THETA sketch of `valueCol`'s distinct members —
     * the SET-OPERATION counterpart of [[appendDistinctSketches]]'s HLL
     * store: theta sketches support intersection and difference, not

@@ -637,6 +637,30 @@ object RelationalQueries extends graft.QueryPack {
              |  END AS o_totalprice_robust
              |FROM orders o, c""".stripMargin)),
 
+    // ---- X45: deterministic categorical index + encode ------------------
+    // The StringIndexer shape: labels rank by frequency desc, label asc
+    // (driver-side over the bounded label-count collect — the vocab
+    // pattern, no rank window), encode via broadcast join. The oracle
+    // replays the ranking with a window over the KEYS-sized count
+    // relation — fine in DuckDB, where it isn't a distributed sort.
+    Q("q_x45_category_index",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        graft.operators.Features.encodeCategories(cust, "c_mktsegment",
+          graft.operators.Features.buildCategoryIndex(cust, "c_mktsegment"))
+      },
+      Some("""WITH idx AS (
+             |  SELECT label,
+             |    CAST(row_number() OVER (ORDER BY cnt DESC, label) - 1 AS INT)
+             |      AS cat_id
+             |  FROM (SELECT c_mktsegment AS label, COUNT(*) AS cnt
+             |        FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1))
+             |SELECT c.c_custkey, c.c_mktsegment,
+             |  CASE WHEN c.c_mktsegment IS NOT NULL
+             |    THEN COALESCE(i.cat_id, -1) END AS c_mktsegment_id
+             |FROM customer c LEFT JOIN idx i ON c.c_mktsegment = i.label""".stripMargin)),
+
     // ---- X19: training-mixture sampling (exact per-domain quotas) -------
     // Materialize a pretraining mix from an over-supplied corpus: each
     // listed source contributes exactly its quota (its lowest-md5 docs),
@@ -809,6 +833,26 @@ object RelationalQueries extends graft.QueryPack {
       Some("""SELECT l_returnflag, COUNT(*) AS n,
              |  TRUE AS q50_ok, TRUE AS q90_ok
              |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // ---- V11: key-skew profile (the salt-or-not measurement) ------------
+    // One hash agg to per-key counts, one tiny agg over the keys-sized
+    // count relation: max/median/p99 per-key multiplicity and the
+    // max-over-median skew ratio that triggers Skew.saltedJoin. Measured
+    // BEFORE the 100 TB job, not discovered by a straggler task.
+    Q("q_v11_key_skew",
+      (s, d) => graft.operators.Profile.keySkew(
+        Tables.events(s, d), Seq("user_id")),
+      Some("""WITH c AS (
+             |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+             |s AS (
+             |  SELECT CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+             |    MAX(n) AS max_n,
+             |    ROUND(quantile_cont(n, 0.5), 6) AS p50_n,
+             |    ROUND(quantile_cont(n, 0.99), 6) AS p99_n
+             |  FROM c)
+             |SELECT n_rows, n_keys, max_n, p50_n, p99_n,
+             |  ROUND(CAST(max_n AS DOUBLE) / p50_n, 6) AS skew_ratio
+             |FROM s""".stripMargin)),
 
     // ---- V8: k-anonymity generalize-and-recheck repair ------------------
     // The q_v4 audit's missing half: numeric quasi-identifiers generalize

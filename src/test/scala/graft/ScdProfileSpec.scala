@@ -161,6 +161,35 @@ class ScdProfileSpec extends AnyFunSuite {
       4L -> None, 5L -> Some("gold"), 6L -> None))
   }
 
+  test("key skew: one row of per-key multiplicity stats, null keys are real keys") {
+    import spark.implicits._
+    // key a: 6 rows, b: 2, c: 1, null: 1 → max 6, median 1.5, ratio 4
+    val df = (Seq.fill(6)(Option("a")) ++ Seq.fill(2)(Option("b")) ++
+      Seq(Option("c"), Option.empty[String])).toDF("k")
+    val r = Profile.keySkew(df, Seq("k")).head
+    assert(r.getLong(0) === 10L && r.getLong(1) === 4L && r.getLong(2) === 6L)
+    assert(r.getDouble(3) === 1.5 && r.getDouble(5) === 4.0)
+  }
+
+  test("category index: frequency-then-label ranking, stored round-trip, unk sentinel") {
+    import spark.implicits._
+    val df = (Seq.fill(3)("de") ++ Seq.fill(3)("en") ++ Seq("fr") ++
+      Seq(null.asInstanceOf[String])).toDF("lang")
+    val idx = graft.operators.Features.buildCategoryIndex(df, "lang")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // de/en tie on count 3 → label asc breaks it; null excluded
+    assert(idx === Map("de" -> 0, "en" -> 1, "fr" -> 2))
+    val store = java.nio.file.Files.createTempDirectory("cat-idx").toString
+    graft.operators.Features.writeCategoryIndex(df, "lang", store)
+    val fresh = Seq("en", "zz", null.asInstanceOf[String]).toDF("lang")
+    val enc = graft.operators.Features.encodeCategories(fresh, "lang",
+        spark.read.parquet(store))
+      .collect().map(r => Option(r.getString(0)) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(enc === Map(Some("en") -> Some(1), Some("zz") -> Some(-1),
+      None -> None), "unseen -> -1, null -> null")
+  }
+
   test("robust scale: median/IQR standardization, zero-IQR columns go null") {
     import spark.implicits._
     // values 1..5: q1=2, med=3, q3=4, IQR=2 → scaled = (x-3)/2
