@@ -57,6 +57,45 @@ object Sinks {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Compact a parquet LEAF directory's small files into size-targeted
+    * ones — the nightly maintenance a streaming/foreachBatch sink makes
+    * necessary (each trigger lands its own part files; a month of
+    * 30-second triggers is ~86k files whose listing + footer reads
+    * dominate every later scan at 100 TB). One read → repartition to
+    * ceil(bytes / targetBytes) → staged write → atomic directory swap,
+    * so a crashed compaction leaves the original data untouched and a
+    * reader never observes a half-compacted directory. Returns
+    * (files before, files after). Leaf dirs only (no `k=v` partition
+    * subdirs — compact each partition separately, which is also the
+    * realistic incremental pattern: compact yesterday's partition,
+    * leave the sealed history alone). */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get(dir)
+    require(Files.isDirectory(root), s"$dir is not a directory")
+    val entries = Files.list(root).toArray.map(_.asInstanceOf[java.nio.file.Path])
+    require(!entries.exists(p => Files.isDirectory(p) && p.getFileName.toString.contains("=")),
+      s"$dir has partition subdirectories — compact each partition dir instead")
+    val parts = entries.filter(p => p.getFileName.toString.endsWith(".parquet"))
+    val bytes = parts.map(Files.size).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val staged = s"$dir.compacting"
+    spark.read.parquet(dir).repartition(n)
+      .write.mode("overwrite").parquet(staged)
+    val retired = Paths.get(s"$dir.retired")
+    Files.move(root, retired, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(staged), root, StandardCopyOption.ATOMIC_MOVE)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(retired.toFile)
+    val after = Files.list(root).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .count(p => p.getFileName.toString.endsWith(".parquet"))
+    (parts.length, after)
+  }
+
   /** ORC interchange (Spark-native source, no extra jars): for pipelines
     * whose upstream/downstream is Hive-ecosystem ORC rather than parquet.
     * Same columnar pruning/pushdown story — `PushedFilters` reach the ORC

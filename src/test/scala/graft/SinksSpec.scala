@@ -149,6 +149,33 @@ class SinksSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("compaction: small files merge to the size target, data identical, partition dirs refused") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").resolve("t")
+    // 16 tiny files — the streaming-sink shape
+    (1 to 1600).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .repartition(16).write.parquet(dir.toString)
+    val before = spark.read.parquet(dir.toString)
+      .collect().map(_.getLong(0)).toSet
+    val (nBefore, nAfter) = graft.sources.Sinks.compactParquet(
+      spark, dir.toString, targetBytes = 1L * 1024 * 1024)
+    assert(nBefore === 16 && nAfter === 1,
+      s"expected 16 -> 1 files, got $nBefore -> $nAfter")
+    val after = spark.read.parquet(dir.toString)
+      .collect().map(_.getLong(0)).toSet
+    assert(after === before, "compaction must not change the data")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir.toString + ".retired")),
+      "the retired originals must be cleaned up")
+    // partitioned layouts are refused — compact each partition dir
+    val pdir = java.nio.file.Files.createTempDirectory("compact-p").resolve("t")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "p")
+      .write.partitionBy("p").parquet(pdir.toString)
+    assert(intercept[IllegalArgumentException](
+      graft.sources.Sinks.compactParquet(spark, pdir.toString))
+      .getMessage.contains("partition subdirectories"))
+  }
+
   test("csv audit channel: good rows parse, malformed rows land in the audit frame") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("csv-audit")
