@@ -96,6 +96,60 @@ object Sinks {
     (parts.length, after)
   }
 
+  /** Keyed UPSERT into a parquet directory — the MERGE-shaped sink a
+    * plain-parquet warehouse needs for mutable reference tables (the
+    * table-format engines make this a transaction; without their jars
+    * the honest spelling is copy-on-write): rows in `updates` REPLACE
+    * existing rows with the same key, new keys append, untouched rows
+    * carry over. One anti-join (existing minus updated keys, broadcast
+    * while `updates` is batch-sized) + a union, staged write, and the
+    * same atomic directory swap as [[compactParquet]] — a crashed
+    * upsert leaves the original table untouched, and a reader never
+    * observes a half-merged table. A missing/empty directory is a
+    * normal first-write state. Schemas must match by name; `updates`
+    * must be key-unique (fail-fast — "last update wins" inside one
+    * batch is a silent bug factory). Copy-on-write rewrites the whole
+    * table: right for reference/dimension tables (the use case);
+    * fact-scale mutation wants SCD2 appends or partition-scoped
+    * rewrites instead. */
+  def upsertParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+      updates: DataFrame, keyCols: Seq[String]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(keyCols.nonEmpty, "need at least one key column")
+    keyCols.foreach(c => require(updates.columns.contains(c),
+      s"key column '$c' not in updates: ${updates.columns.mkString(", ")}"))
+    val dupKeys = updates.groupBy(keyCols.map(c => col(s"`$c`")): _*)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("__n"))
+      .filter(col("__n") > 1).count()
+    require(dupKeys == 0,
+      s"updates carry $dupKeys duplicate keys — resolve to one row per key first")
+    val root = Paths.get(dir)
+    val merged =
+      if (Files.isDirectory(root)) {
+        val existing = spark.read.parquet(dir)
+        require(existing.columns.sorted.sameElements(updates.columns.sorted),
+          s"schema mismatch: table has ${existing.columns.sorted.mkString(",")}, " +
+            s"updates have ${updates.columns.sorted.mkString(",")}")
+        existing.join(
+            org.apache.spark.sql.functions.broadcast(
+              updates.select(keyCols.map(c => col(s"`$c`")): _*)),
+            keyCols, "left_anti")
+          .unionByName(updates)
+      } else updates
+    val staged = s"$dir.upserting"
+    merged.write.mode("overwrite").parquet(staged)
+    if (Files.isDirectory(root)) {
+      val retired = Paths.get(s"$dir.retired")
+      Files.move(root, retired, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(staged), root, StandardCopyOption.ATOMIC_MOVE)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(retired.toFile)
+    } else Files.move(Paths.get(staged), root, StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** ORC interchange (Spark-native source, no extra jars): for pipelines
     * whose upstream/downstream is Hive-ecosystem ORC rather than parquet.
     * Same columnar pruning/pushdown story — `PushedFilters` reach the ORC

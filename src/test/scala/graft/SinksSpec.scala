@@ -176,6 +176,34 @@ class SinksSpec extends AnyFunSuite {
       .getMessage.contains("partition subdirectories"))
   }
 
+  test("upsert: updated keys replace, new keys append, untouched rows carry over") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsert").resolve("t").toString
+    // first write onto the missing directory
+    graft.sources.Sinks.upsertParquet(spark, dir,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "s", "v"),
+      Seq("k"))
+    // merge: change k=2, add k=4
+    graft.sources.Sinks.upsertParquet(spark, dir,
+      Seq((2L, "B", 22), (4L, "d", 40)).toDF("k", "s", "v"), Seq("k"))
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === Set((1L, "a", 10), (2L, "B", 22), (3L, "c", 30), (4L, "d", 40)))
+    // idempotent re-apply of the same batch
+    graft.sources.Sinks.upsertParquet(spark, dir,
+      Seq((2L, "B", 22), (4L, "d", 40)).toDF("k", "s", "v"), Seq("k"))
+    assert(spark.read.parquet(dir).count() === 4)
+    // duplicate keys in one batch and schema drift both fail fast
+    assert(intercept[IllegalArgumentException](
+      graft.sources.Sinks.upsertParquet(spark, dir,
+        Seq((5L, "x", 1), (5L, "y", 2)).toDF("k", "s", "v"), Seq("k")))
+      .getMessage.contains("duplicate keys"))
+    assert(intercept[IllegalArgumentException](
+      graft.sources.Sinks.upsertParquet(spark, dir,
+        Seq((5L, "x")).toDF("k", "s"), Seq("k")))
+      .getMessage.contains("schema mismatch"))
+  }
+
   test("csv audit channel: good rows parse, malformed rows land in the audit frame") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("csv-audit")
