@@ -128,6 +128,109 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Closed-form PCM content for the synthesized audio fixtures — the
+    * [[PixelSynth]] idea applied to samples: sample `i` of `media_id` is
+    * modular arithmetic shifted to be signed (range −1000..999), so
+    * every signal differs, zero crossings abound, and any number a
+    * decoder derives from the samples is SQL-replayable. */
+  object SampleSynth {
+    def s(mediaId: Long, i: Int): Int =
+      (((mediaId * 31 + i.toLong * 17) % 2000) - 1000).toInt
+  }
+
+  /** REAL WAV codec through the JDK's `javax.sound.sampled`: encode
+    * writes a RIFF/WAVE container around 16-bit little-endian mono PCM
+    * via `AudioSystem.write`; decode parses any WAV the platform
+    * `AudioSystem` reads back to samples. Like [[ImageCodec]], the
+    * container bytes are codec-owned — the oracle never sees them, only
+    * the sample-derived numbers. */
+  object WavCodec {
+    def encodePcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val data = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(data.putShort)
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data.array), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    def decodePcm16(bytes: Array[Byte]): (Array[Short], Int) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian,
+        s"expected 16-bit LE mono PCM, got $fmt")
+      val raw = ais.readAllBytes()
+      val buf = java.nio.ByteBuffer.wrap(raw)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val samples = new Array[Short](raw.length / 2)
+      var i = 0
+      while (i < samples.length) { samples(i) = buf.getShort; i += 1 }
+      (samples, fmt.getSampleRate.toInt)
+    }
+  }
+
+  /** Synthesize a deterministic WAV media table keyed by `media_id` —
+    * the audio analogue of [[synthesizeImages]]. Rides the same
+    * [[MediaRecord]] schema; the meta struct's two generic geometry
+    * slots carry `width = n_samples`, `height = sample rate` (a media
+    * table's meta is codec-specific by nature; one shared shape keeps
+    * every media stage composable). */
+  def synthesizeAudio(spark: SparkSession, ids: DataFrame, nSamples: Int,
+      sampleRate: Int = 8000, idCol: String = "media_id"): DataFrame = {
+    import spark.implicits._
+    require(nSamples >= 2 && sampleRate >= 1,
+      s"need nSamples >= 2 and a positive rate, got $nSamples/$sampleRate")
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val samples = Array.tabulate(nSamples)(i => SampleSynth.s(id, i).toShort)
+        MediaRecord(id, WavCodec.encodePcm16(samples, sampleRate),
+          MediaMeta("audio/wav", nSamples, sampleRate))
+      }
+    }.toDF()
+  }
+
+  /** REAL audio feature extraction: decode the WAV container, then
+    * per-signal `peak` (max |sample|), `zero_crossings` (strict sign
+    * flips — a zero sample never counts, so the rule replays without a
+    * sign(0) convention), and 6-dp `rms` — the audio-quality trio a
+    * speech-corpus pipeline gates on (silence ⇒ rms ≈ 0, clipping ⇒
+    * peak at full scale). Integer sums in exact longs/doubles, rounding
+    * through the same BigDecimal HALF_UP as Spark's ROUND, so the
+    * DuckDB oracle reproduces every number from the closed-form
+    * samples — equality proves the codec round-trip read exactly the
+    * samples the encoder wrote. */
+  def audioFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        val (samples, rate) = WavCodec.decodePcm16(rec.bytes)
+        var peak = 0L
+        var zc = 0L
+        var sq = 0.0
+        var i = 0
+        while (i < samples.length) {
+          val v = samples(i).toLong
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > 0 && samples(i - 1).toLong * v < 0) zc += 1
+          sq += v.toDouble * v.toDouble
+          i += 1
+        }
+        val rms = java.math.BigDecimal
+          .valueOf(math.sqrt(sq / samples.length))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        (rec.media_id, samples.length, rate, peak, zc, rms)
+      }
+    }.toDF("media_id", "n_samples", "sample_rate", "peak",
+      "zero_crossings", "rms")
+  }
+
   /** Pluggable payload transform (resize, transcode, crop), instantiated
     * once per partition like [[MediaDecoder]]. */
   trait MediaTransform extends Serializable {

@@ -118,6 +118,33 @@ object MultimodalQueries extends graft.QueryPack {
              |  ((octet_length(encode(text)) + 63) // 64 + 3) // 4 AS n_sampled
              |FROM documents""".stripMargin)),
 
+    // ---- M6: REAL WAV decode -> signal features -------------------------
+    // The audio modality made real the same way as the image one: PCM
+    // samples come from a closed form, the engine round-trips them
+    // through the JDK's actual RIFF/WAVE codec (javax.sound.sampled),
+    // and the oracle recomputes peak / strict-sign zero crossings / rms
+    // from the formula — it never sees a WAV byte. Equality proves the
+    // container write+parse read exactly the samples the encoder wrote.
+    Q("q_m6_audio_features",
+      (s, d) => Multimodal.audioFeatures(s,
+        Multimodal.synthesizeAudio(s,
+          Tables.documents(s, d).select(col("doc_id")), nSamples = 160,
+          sampleRate = 8000, idCol = "doc_id")),
+      Some("""WITH smp AS (
+             |  SELECT doc_id AS media_id, i,
+             |    ((doc_id * 31 + i * 17) % 2000) - 1000 AS v
+             |  FROM documents, (SELECT unnest(range(0, 160)) AS i)),
+             |p AS (
+             |  SELECT media_id, v,
+             |    lag(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+             |  FROM smp)
+             |SELECT media_id,
+             |  160 AS n_samples, 8000 AS sample_rate,
+             |  MAX(ABS(v)) AS peak,
+             |  COUNT(CASE WHEN pv * v < 0 THEN 1 END) AS zero_crossings,
+             |  ROUND(sqrt(SUM(CAST(v AS DOUBLE) * v) / 160), 6) AS rms
+             |FROM p GROUP BY 1""".stripMargin)),
+
     // ---- M4: media -> REAL pixel features -> ANN bridge -----------------
     // Brute-force cosine top-k over the decoded feature vectors — media
     // similarity search end-to-end on the multimodal plumbing, every

@@ -82,6 +82,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("wav codec: samples round-trip the RIFF container bit-exactly") {
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 5, -5)
+    val bytes = Multimodal.WavCodec.encodePcm16(samples, 8000)
+    val (back, rate) = Multimodal.WavCodec.decodePcm16(bytes)
+    assert(back.toSeq === samples.toSeq && rate === 8000)
+  }
+
+  test("audio features: silence, clipping, and known signals score exactly") {
+    import spark.implicits._
+    def media(id: Long, s: Array[Short]) = Multimodal.MediaRecord(
+      id, Multimodal.WavCodec.encodePcm16(s, 8000),
+      Multimodal.MediaMeta("audio/wav", s.length, 8000))
+    val rows = Seq(
+      media(1L, Array[Short](0, 0, 0, 0)),                  // silence
+      media(2L, Array[Short](32767, -32768, 32767, -32768)), // clipping
+      media(3L, Array[Short](3, -4, 0, 5)))                  // mixed, with a zero
+    val out = Multimodal.audioFeatures(spark, rows.toDF())
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out(1L) === ((0L, 0L, 0.0)), "silence: zero peak, zc, rms")
+    assert(out(2L)._1 === 32768L && out(2L)._2 === 3L, "full-scale clipping")
+    // mixed: crossings at (3,-4) and (-4,... 0 never counts ...) — only
+    // the strict sign flips; rms = sqrt((9+16+0+25)/4)
+    assert(out(3L)._2 === 1L)
+    assert(out(3L)._3 === BigDecimal(math.sqrt(50.0 / 4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("Discovery.latestFiles: extension filter, mtime desc, cap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-disc")
     for (i <- 1 to 7) {
