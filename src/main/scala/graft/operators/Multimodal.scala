@@ -279,6 +279,99 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Length-prefixed PNG-frame video container ("GVID"): 4-byte magic,
+    * big-endian int32 width/height/frame-count, then per frame
+    * `[int32 len][png bytes]` — the MJPEG idea with an explicit index.
+    * The JDK ships no real video demuxer, so the container is ours (and
+    * documented), but every FRAME is a real ImageIO PNG: the
+    * video-pipeline shape — container parse → frame sample → per-frame
+    * decode → temporal feature — runs on genuine codec work, exactly
+    * like the image and audio paths. */
+  object GvidCodec {
+    private val Magic = Array[Byte]('G', 'V', 'I', 'D')
+
+    def encode(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(out)
+      dos.write(Magic)
+      dos.writeInt(w); dos.writeInt(h); dos.writeInt(frames.length)
+      frames.foreach { f => dos.writeInt(f.length); dos.write(f) }
+      out.toByteArray
+    }
+
+    /** Parse the container: (w, h, frame payloads). */
+    def decode(bytes: Array[Byte]): (Int, Int, IndexedSeq[Array[Byte]]) = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      require(magic.sameElements(Magic), "not a GVID payload")
+      val (w, h, n) = (in.readInt(), in.readInt(), in.readInt())
+      val frames = (0 until n).map { _ =>
+        val f = new Array[Byte](in.readInt()); in.readFully(f); f
+      }
+      (w, h, frames)
+    }
+  }
+
+  /** Synthesize deterministic videos: frame `f`'s pixel `i` is
+    * [[PixelSynth]] at flat index `f·w·h + i`, so frames differ and the
+    * oracle replays every sampled pixel. Each frame is a REAL PNG. */
+  def synthesizeVideos(spark: SparkSession, ids: DataFrame, w: Int, h: Int,
+      nFrames: Int, idCol: String = "media_id"): DataFrame = {
+    import spark.implicits._
+    require(w >= 1 && h >= 1 && nFrames >= 1,
+      s"need positive dims/frames, got ${w}x$h x$nFrames")
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val frames = (0 until nFrames).map { f =>
+          val argb = Array.tabulate(w * h)(i => PixelSynth.argb(id, f * w * h + i))
+          ImageCodec.encodePng(argb, w, h)
+        }
+        MediaRecord(id, GvidCodec.encode(frames, w, h),
+          MediaMeta("video/x-graft-gvid", w, h))
+      }
+    }.toDF()
+  }
+
+  /** REAL video feature extraction: parse the container, sample every
+    * k-th frame, ImageIO-decode each sampled frame, and derive EXACT
+    * INTEGER signal features — per-channel pixel sums across the
+    * sampled frames and `motion_r` = Σ |sumR(next) − sumR(prev)| over
+    * consecutive sampled frames (the cheap scene-change signal a video
+    * curation pipeline thresholds on). All-integer outputs make the
+    * oracle replay trivially exact. Returns `(media_id, n_frames,
+    * n_sampled, sum_r, sum_g, sum_b, motion_r)`. */
+  def videoFeatures(spark: SparkSession, media: DataFrame,
+      sampleEvery: Int): DataFrame = {
+    import spark.implicits._
+    require(sampleEvery >= 1, s"sampleEvery must be positive, got $sampleEvery")
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        val (w, h, frames) = GvidCodec.decode(rec.bytes)
+        val sampled = frames.indices.by(sampleEvery).map(frames)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var motion = 0L
+        var prevR = -1L
+        sampled.foreach { png =>
+          val img = ImageCodec.decode(png, rec.meta.mime)
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var (fr, fg, fb) = (0L, 0L, 0L)
+          var i = 0
+          while (i < px.length) {
+            fr += (px(i) >> 16) & 0xff; fg += (px(i) >> 8) & 0xff; fb += px(i) & 0xff
+            i += 1
+          }
+          sr += fr; sg += fg; sb += fb
+          if (prevR >= 0) motion += math.abs(fr - prevR)
+          prevR = fr
+        }
+        (rec.media_id, frames.length.toLong, sampled.length.toLong,
+          sr, sg, sb, motion)
+      }
+    }.toDF("media_id", "n_frames", "n_sampled", "sum_r", "sum_g", "sum_b",
+      "motion_r")
+  }
+
   /** One source of truth for the frame-accounting contract shared by
     * [[frameStats]] and [[extractFeatures]]: ceil-div frame count,
     * ceil-div every-k sampled-frame count, hex md5 content hash.

@@ -145,6 +145,43 @@ object MultimodalQueries extends graft.QueryPack {
              |  ROUND(sqrt(SUM(CAST(v AS DOUBLE) * v) / 160), 6) AS rms
              |FROM p GROUP BY 1""".stripMargin)),
 
+    // ---- M7: REAL per-frame video decode -> temporal features -----------
+    // The video-pipeline shape end-to-end: container parse (GVID — a
+    // documented length-prefixed PNG-frame container; the JDK ships no
+    // demuxer) → every-4th frame sample → per-frame ImageIO decode →
+    // exact-integer channel sums + frame-to-frame motion. The oracle
+    // replays the sampled frames' pixels from the closed form (frame f,
+    // pixel i ⇒ flat index f·128+i) and never sees a container byte.
+    Q("q_m7_video_features",
+      (s, d) => Multimodal.videoFeatures(s,
+        Multimodal.synthesizeVideos(s,
+          Tables.documents(s, d).select(col("doc_id")), 16, 8,
+          nFrames = 6, idCol = "doc_id"),
+        sampleEvery = 4),
+      Some("""WITH px AS (
+             |  SELECT doc_id AS media_id, f,
+             |    (doc_id + f*128 + i) % 256 AS r,
+             |    (doc_id*3 + (f*128 + i)*5 + 17) % 256 AS g,
+             |    (doc_id*7 + (f*128 + i)*11 + 41) % 256 AS b
+             |  FROM documents,
+             |    (SELECT unnest([0, 4]) AS f),
+             |    (SELECT unnest(range(0, 128)) AS i)),
+             |fs AS (
+             |  SELECT media_id, f, CAST(SUM(r) AS BIGINT) AS fr,
+             |    CAST(SUM(g) AS BIGINT) AS fg, CAST(SUM(b) AS BIGINT) AS fb
+             |  FROM px GROUP BY 1, 2),
+             |lagged AS (
+             |  SELECT *, lag(fr) OVER (PARTITION BY media_id ORDER BY f) AS pf
+             |  FROM fs)
+             |SELECT media_id, CAST(6 AS BIGINT) AS n_frames,
+             |  CAST(2 AS BIGINT) AS n_sampled,
+             |  CAST(SUM(fr) AS BIGINT) AS sum_r,
+             |  CAST(SUM(fg) AS BIGINT) AS sum_g,
+             |  CAST(SUM(fb) AS BIGINT) AS sum_b,
+             |  CAST(SUM(CASE WHEN pf IS NOT NULL THEN ABS(fr - pf)
+             |    ELSE 0 END) AS BIGINT) AS motion_r
+             |FROM lagged GROUP BY 1""".stripMargin)),
+
     // ---- M4: media -> REAL pixel features -> ANN bridge -----------------
     // Brute-force cosine top-k over the decoded feature vectors — media
     // similarity search end-to-end on the multimodal plumbing, every

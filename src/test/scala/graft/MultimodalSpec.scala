@@ -110,6 +110,35 @@ class MultimodalSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("video: container round-trips, sampled frames decode to closed-form sums, motion is exact") {
+    import spark.implicits._
+    // container round-trip
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4), Array[Byte](5, 6))
+    val (w, h, back) = Multimodal.GvidCodec.decode(
+      Multimodal.GvidCodec.encode(frames, 9, 7))
+    assert(w === 9 && h === 7 && back.map(_.toSeq) === frames.map(_.toSeq))
+    assert(intercept[IllegalArgumentException](
+      Multimodal.GvidCodec.decode(Array[Byte](1, 2, 3, 4, 5)))
+      .getMessage.contains("GVID"))
+    // real per-frame decode: features equal the closed form for id 7,
+    // 16x8 frames, 6 frames sampled every 4 -> frames {0, 4}
+    val out = Multimodal.videoFeatures(spark,
+        Multimodal.synthesizeVideos(spark, Seq(7L).toDF("media_id"), 16, 8, 6),
+        sampleEvery = 4).head
+    def frameSums(f: Int) = (0 until 128).foldLeft((0L, 0L, 0L)) {
+      case ((r, g, b), i) =>
+        (r + Multimodal.PixelSynth.r(7L, f * 128 + i),
+          g + Multimodal.PixelSynth.g(7L, f * 128 + i),
+          b + Multimodal.PixelSynth.b(7L, f * 128 + i))
+    }
+    val (r0, g0, b0) = frameSums(0)
+    val (r4, g4, b4) = frameSums(4)
+    assert(out.getLong(1) === 6L && out.getLong(2) === 2L)
+    assert((out.getLong(3), out.getLong(4), out.getLong(5)) ===
+      ((r0 + r4, g0 + g4, b0 + b4)))
+    assert(out.getLong(6) === math.abs(r4 - r0), "motion_r")
+  }
+
   test("Discovery.latestFiles: extension filter, mtime desc, cap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-disc")
     for (i <- 1 to 7) {
