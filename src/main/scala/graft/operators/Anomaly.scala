@@ -60,4 +60,29 @@ object Anomaly {
       threshold: Double, broadcastMoments: Boolean = true): DataFrame =
     scoreAgainstMoments(obs, moments(obs, keyCol, valueCol), keyCol,
       valueCol, threshold, broadcastMoments)
+
+  /** Tukey-fence outlier flags — the ROBUST complement to [[zscores]]:
+    * a value is anomalous when it falls outside `[q1 − k·IQR,
+    * q3 + k·IQR]` (k = 1.5, the boxplot standard). Quartiles are exact
+    * interpolated percentiles per key (6-dp rounded, oracle-exact) —
+    * unlike mean/stddev they don't move when the outliers themselves
+    * get bigger, which is precisely the failure mode that makes z-score
+    * thresholds drift on heavy-tailed data. Same two-pass shape: one
+    * per-key aggregate, broadcast join back, map-side flag. A zero-IQR
+    * key (at least half the mass on one value) flags anything off that
+    * value — the fences collapse to the quartiles, which is the
+    * standard behavior. Null values never flag. */
+  def tukeyFences(obs: DataFrame, keyCol: String, valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    require(k > 0, s"fence multiplier must be positive, got $k")
+    val q = obs.groupBy(col(keyCol).as("__tk"))
+      .agg(round(expr(s"percentile(`$valueCol`, 0.25)"), 6).as("__q1"),
+        round(expr(s"percentile(`$valueCol`, 0.75)"), 6).as("__q3"))
+    val lo = round(col("__q1") - lit(k) * (col("__q3") - col("__q1")), 6)
+    val hi = round(col("__q3") + lit(k) * (col("__q3") - col("__q1")), 6)
+    obs.join(broadcast(q), col(keyCol) <=> col("__tk"), "left")
+      .withColumn("is_anomaly",
+        coalesce(col(valueCol) < lo || col(valueCol) > hi, lit(false)))
+      .drop("__tk", "__q1", "__q3")
+  }
 }

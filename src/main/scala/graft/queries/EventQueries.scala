@@ -170,6 +170,27 @@ object EventQueries extends graft.QueryPack {
     // operator's null-key cohort semantics even though the fixture has
     // no null user_id: GROUP BY aggregates nulls as one group, and the
     // null-safe join reattaches that group's moments.
+    // ---- E20: Tukey-fence outlier flags (the robust complement) ---------
+    // q_e9's z-scores drift when the outliers themselves fatten the
+    // stddev; quartile fences don't. Same two-pass shape, per-event-type
+    // cohorts, exact interpolated quartiles replayed in the oracle.
+    Q("q_e20_tukey",
+      (s, d) => graft.operators.Anomaly.tukeyFences(
+        Tables.events(s, d).select(col("event_id"), col("event_type"),
+          col("value")),
+        "event_type", "value"),
+      Some("""WITH q AS (
+             |  SELECT event_type,
+             |    ROUND(quantile_cont(value, 0.25), 6) AS q1,
+             |    ROUND(quantile_cont(value, 0.75), 6) AS q3
+             |  FROM events GROUP BY 1)
+             |SELECT e.event_id, e.event_type, e.value,
+             |  COALESCE(
+             |    e.value < ROUND(q.q1 - 1.5 * (q.q3 - q.q1), 6) OR
+             |    e.value > ROUND(q.q3 + 1.5 * (q.q3 - q.q1), 6),
+             |    FALSE) AS is_anomaly
+             |FROM events e LEFT JOIN q USING (event_type)""".stripMargin)),
+
     Q("q_e9_anomaly",
       (s, d) => graft.operators.Anomaly.zscores(
         Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),

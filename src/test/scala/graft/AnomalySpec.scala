@@ -45,6 +45,25 @@ class AnomalySpec extends AnyFunSuite {
     assert(nullFlagged === Seq(5L), "the null cohort scores within itself")
   }
 
+  test("tukey fences: robust flags survive the fat outlier that defeats z-scores") {
+    import spark.implicits._
+    // one enormous outlier inflates the stddev enough that z-scores
+    // (threshold 2) miss it in a small cohort; quartile fences don't move
+    val obs = ((1 to 11).map(i => (i.toLong, "a", 10.0 + (i % 3))) :+
+      (99L, "a", 1e6)).toDF("id", "k", "v")
+    val tukey = Anomaly.tukeyFences(obs, "k", "v")
+      .filter(col("is_anomaly")).select("id").collect().map(_.getLong(0)).toSeq
+    assert(tukey === Seq(99L), "fences flag exactly the outlier")
+    // constant cohorts flag nothing; null values never flag
+    val flat = Seq((1L, "c", Option(5.0)), (2L, "c", Option(5.0)),
+      (3L, "c", Option.empty[Double])).toDF("id", "k", "v")
+    assert(Anomaly.tukeyFences(flat, "k", "v")
+      .filter(col("is_anomaly")).count() === 0)
+    assert(intercept[IllegalArgumentException](
+      Anomaly.tukeyFences(obs, "k", "v", k = 0.0))
+      .getMessage.contains("positive"))
+  }
+
   test("threshold must be positive") {
     import spark.implicits._
     val obs = Seq((1L, "a", 1.0)).toDF("id", "k", "v")
