@@ -125,6 +125,38 @@ object ScaleProbe {
     // Similarity.perQueryTopK. The window must shuffle ALL N rows into 8
     // reducer groups and sort each; the bounded buffer partial-combines
     // to ≤k rows per (query, map task).
+    // Continuous-ingest throughput — `runMain graft.tools.ScaleProbe
+    // ingest`: the documents corpus (×1 then ×4 token-salted) split into
+    // 4 sequential batches through Dedup.ingestBatch — measures what the
+    // streaming loop actually pays per trigger, and how the per-batch
+    // cost moves as the signature STORE accumulates the prior batches
+    // (batch 3 classifies against 3 batches of signatures).
+    if (args.headOption.contains("ingest")) {
+      Seq(1, 4).foreach { f =>
+        val dir = s"target/scaleprobe/x$f"
+        val marker = new java.io.File(s"$dir/.done_v2")
+        if (!marker.exists) {
+          amplify(spark, "/root/testdata/sf0.1", dir, f)
+          marker.createNewFile()
+        }
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val root = java.nio.file.Files.createTempDirectory(s"ingest-x$f")
+        val times = (0 until 4).map { b =>
+          val batch = docs.filter(col("doc_id") % 4 === b)
+          val t0 = System.nanoTime()
+          graft.operators.Dedup.ingestBatch(batch, b.toLong,
+            s"$root/sigs", s"$root/out", "text", "doc_id")
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[scaleprobe] ingest x$f%-3d " +
+          times.zipWithIndex.map { case (t, b) => f"b$b ${t}%.2f s" }
+            .mkString("   "))
+      }
+      spark.stop(); return
+    }
+
     // Checkpoint-mode tax — `runMain graft.tools.ScaleProbe ckpt`: the
     // iterative graph queries under (a) localCheckpoint (the local[32]
     // default) and (b) a RELIABLE checkpoint dir (what a cluster
