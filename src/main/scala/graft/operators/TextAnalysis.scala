@@ -702,6 +702,44 @@ object TextAnalysis {
             .cast("float")).as("vec"))
   }
 
+  /** Model-based quality filtering — LINEAR classifier INFERENCE over
+    * the hashed-TF features (the fastText-style quality gate every
+    * modern curation stack runs; training happens offline, which is not
+    * this engine's job — scoring the corpus is). Weights arrive as a
+    * `(bucket: int, wm: long)` relation in integer MILLI-units plus a
+    * milli bias: quantized weights make the score an EXACT integer sum
+    * (order-independent, engine-replayable — the PageRank micro-unit
+    * discipline applied to model inference; float weights would make
+    * the partial-aggregation order observable in the last ulps).
+    *
+    * Shape: the (doc, bucket, tf) relation (one counting aggregation —
+    * the [[hashedTfVectors]] chain without the dense reassembly) joins
+    * the broadcast vocab-sized weight relation, one keyed sum, and a
+    * keys-sized left join back so EVERY doc gets a verdict — token-less
+    * docs score the bare bias (a quality gate must not silently drop
+    * the very docs most likely to be junk). Returns `(doc_id, score_m:
+    * long, accept: boolean)` with accept = score_m ≥ thresholdM. */
+  def linearQualityScore(df: DataFrame, weights: DataFrame, biasM: Long,
+      dims: Int, thresholdM: Long = 0L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(dims >= 2 && dims <= 65536, s"dims must be in [2, 65536], got $dims")
+    val tf = Par.spread(df.select(col(idCol).as("doc_id"),
+        tokens(lower(col(textCol))).as("toks")))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .select(col("doc_id"), Sampling.bucketOfKey(md5(col("t")), dims).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(broadcast(weights.select(col("bucket").as("b"),
+        col("wm").cast("long"))), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * coalesce(col("wm"), lit(0L))).as("__s"))
+    df.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("__s"), lit(0L)) + lit(biasM)).as("score_m"))
+      .withColumn("accept", col("score_m") >= thresholdM)
+  }
+
   /** Content-defined chunking (the rolling-hash boundary rule of
     * LBFS/rsync-family dedup, relationalized): a chunk boundary falls
     * AFTER token i exactly when the hash of the k-gram ENDING at i is

@@ -837,6 +837,36 @@ object TextQueries extends graft.QueryPack {
              |  length(raw) AS n_raw, length(nfc_normalize(raw)) AS n_nfc
              |FROM r""".stripMargin)),
 
+    // ---- X46: model-based quality filtering (linear inference) ----------
+    // fastText-style gate, scored engine-exactly: closed-form integer
+    // MILLI-weights over the 16-bucket hashed-TF relation, one keyed
+    // integer sum, every doc verdicted (token-less docs score the bare
+    // bias). The oracle replays the md5 bucket hash, the weight formula,
+    // and the exact integer dot.
+    Q("q_x46_quality_classifier",
+      (s, d) => {
+        import s.implicits._
+        val weights = (0 until 16)
+          .map(b => (b, ((b * 37 % 21) - 10).toLong)).toDF("bucket", "wm")
+        TextAnalysis.linearQualityScore(Tables.documents(s, d), weights,
+          biasM = 250L, dims = 16, thresholdM = 0L)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |tnz AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+             |htf AS (SELECT doc_id,
+             |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 16 AS b,
+             |    COUNT(*) AS tf
+             |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tnz) GROUP BY 1, 2),
+             |sc AS (SELECT doc_id,
+             |    CAST(SUM(tf * ((b * 37 % 21) - 10)) AS BIGINT) AS s
+             |  FROM htf GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE(sc.s, 0) + 250 AS BIGINT) AS score_m,
+             |  (COALESCE(sc.s, 0) + 250) >= 0 AS accept
+             |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin)),
+
     // ---- X38: equi-depth length discretization (quartile bins) ----------
     // Exact interpolated 25/50/75 boundaries via one global aggregate
     // (the winsorize mechanism), broadcast; bin = #{b : x > b} so

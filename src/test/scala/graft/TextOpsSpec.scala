@@ -251,6 +251,28 @@ class TextOpsSpec extends AnyFunSuite {
       "pin lost its contrast: the in-job path no longer inlines the vocab")
   }
 
+  test("linear quality classifier: exact integer scores, every doc verdicted") {
+    import spark.implicits._
+    // weights keyed to the actual md5 buckets of the fixture's tokens
+    val dims = 16
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % dims).toInt
+    }
+    val docs = Seq((1L, "good good bad"), (2L, ""), (3L, "bad")).toDF("doc_id", "text")
+    val weights = Seq((bucket("good"), 100L), (bucket("bad"), -400L))
+      .toDF("bucket", "wm")
+    val out = TextAnalysis.linearQualityScore(docs, weights, biasM = 50L,
+        dims = dims, thresholdM = 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // doc 1: 2*100 - 400 + 50 = -150 reject; doc 2: bias only (50, accept);
+    // doc 3: -400 + 50 = -350 reject
+    assert(out === Map(1L -> ((-150L, false)), 2L -> ((50L, true)),
+      3L -> ((-350L, false))))
+  }
+
   test("top-token store: combined batch sketches equal the exact corpus counts") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("topk-store").toString
