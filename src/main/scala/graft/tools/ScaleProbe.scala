@@ -125,6 +125,57 @@ object ScaleProbe {
     // Similarity.perQueryTopK. The window must shuffle ALL N rows into 8
     // reducer groups and sort each; the bounded buffer partial-combines
     // to ≤k rows per (query, map task).
+    // Streaming-operator throughput — `runMain graft.tools.ScaleProbe
+    // stream`: N synthetic events through MemoryStream micro-batches
+    // into (a) the tumbling-window aggregation, (b) event-level
+    // sessionTags, (c) funnelReach; wall-clock over processAllAvailable,
+    // reported as events/sec. The state-store paths get a measured
+    // number instead of an assumed one.
+    if (args.headOption.contains("stream")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.col
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val n = 400000
+      val batches = 8
+      val users = 5000
+      val types = Array("view", "cart", "buy", "noise")
+      def rows(lo: Int, hi: Int) = (lo until hi).map { i =>
+        (i.toLong % users, i.toLong, types(i % types.length),
+          new java.sql.Timestamp(1704067200000L + (i.toLong * 7919) % 86400000L))
+      }
+      def drive(name: String, mk: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame): Unit = {
+        val input = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+        val q = mk(input.toDF().toDF("user_id", "event_id", "event_type", "ts"))
+          .writeStream.outputMode(
+            if (name == "tumbling") "complete" else "append")
+          .format("memory").queryName(s"probe_$name").start()
+        try {
+          val t0 = System.nanoTime()
+          (0 until batches).foreach { b =>
+            input.addData(rows(b * n / batches, (b + 1) * n / batches))
+            q.processAllAvailable()
+          }
+          // sentinel flush for the finalized-prefix operators
+          input.addData(Seq((999999L, 999999999L, "view",
+            java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))))
+          q.processAllAvailable()
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"[scaleprobe] stream $name%-10s $n events / $batches batches: " +
+            f"$secs%6.2f s  (${n / secs}%,.0f ev/s)")
+        } finally q.stop()
+      }
+      drive("tumbling", df => graft.streaming.EventStreams.tumblingCounts(
+        df.withColumn("value", col("event_id").cast("double"))))
+      drive("sessionize", df => graft.streaming.EventStreams
+        .sessionTags(spark, df, watermark = "2 hours").toDF())
+      drive("funnel", df => graft.streaming.EventStreams
+        .funnelReach(spark, df, Seq("view", "cart", "buy"),
+          watermark = "2 hours").toDF())
+      spark.stop(); return
+    }
+
     // Continuous-ingest throughput — `runMain graft.tools.ScaleProbe
     // ingest`: the documents corpus (×1 then ×4 token-salted) split into
     // 4 sequential batches through Dedup.ingestBatch — measures what the
