@@ -367,6 +367,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[graft.functions.UnicodeNormalize].getName, "unicode_normalize"),
       graft.functions.UnicodeNormalize.builder))
+    // the tokenizer + PQ kernels too: a pure-SQL session can BPE-encode
+    // against an inlined merges table and PQ-encode against an inlined
+    // codebook without ever touching the DataFrame API (the per-call
+    // createOrReplaceTempFunction registrations in the operators remain
+    // for sessions built without the extensions)
+    e.injectFunction((FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[graft.functions.BpeEncode].getName, "bpe_encode"),
+      exprs => graft.functions.BpeEncode(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "pq_encode"),
+      exprs => graft.functions.PqEncode(exprs)))
   }
 }
 

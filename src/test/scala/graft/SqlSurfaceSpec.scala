@@ -126,6 +126,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(bands.forall(_.getSeq[String](1).length === 4))
   }
 
+  test("tokenizer + PQ kernels resolve via extensions alone (fresh session)") {
+    val fresh = spark.newSession()
+    // bpe_encode against an inlined two-merge table
+    val bpe = fresh.sql("SELECT bpe_encode('tea bat', 't e\na b') AS s")
+      .head().getString(0)
+    assert(bpe === "te a b a t", s"unexpected bpe stream: $bpe")
+    // pq_encode against an inlined 1-subspace, 2-centroid codebook:
+    // vec (1,0) is closer (cosine) to centroid 0 = (1,0) than 1 = (0,1)
+    val code = fresh.sql(
+      """SELECT pq_encode(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |  array(CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+        |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT),
+        |        CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)),
+        |  1, 2, 2, true) AS codes""".stripMargin)
+      .head().getSeq[Long](0)
+    assert(code === Seq(0L))
+  }
+
   test("custom native functions callable from SQL text") {
     registerAll()
     FloatVecDot.register(spark)
