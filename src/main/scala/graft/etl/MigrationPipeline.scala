@@ -322,7 +322,7 @@ object MigrationPipeline {
     val found = log.filter(col("status") =!= "Not OK" ||
       col("reason") =!= "Not found in source XML").count()
     val distinct = prepared.agg(
-      countDistinct(col("current_customer_id").cast("string"))).head.getLong(0)
+      countDistinct(col("current_customer_id").cast("string"))).head().getLong(0)
 
     val fs = new Path(cfg.outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val xmlPath =

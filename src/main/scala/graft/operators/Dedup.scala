@@ -619,7 +619,7 @@ object Dedup {
     // An EMPTY benchmark yields a null blob; might_contain(null,…) is
     // null, the filter keeps nothing, and the left join below reports
     // all-zero contamination — same as the plain report, no guard needed.
-    val blob = bloom.head.getAs[Array[Byte]]("bf")
+    val blob = bloom.head().getAs[Array[Byte]]("bf")
     val prefiltered = trainShing
       .filter(ccol(new BloomFilterMightContain(
         Literal.create(blob, org.apache.spark.sql.types.BinaryType),

@@ -60,7 +60,7 @@ object ResolveAsOfJoinTvf extends Rule[LogicalPlan] {
               s"(${p.output.map(_.name).mkString(", ")})"))
       // key arguments accept comma-separated lists for composite keys,
       // mirroring AsOfJoin.asofJoinMulti
-      def keys(s: String): Seq[String] = s.split(',').map(_.trim).filter(_.nonEmpty)
+      def keys(s: String): Seq[String] = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       val (lNames, rNames) = (keys(t.leftKeyCol), keys(t.rightKeyCol))
       if (lNames.isEmpty || lNames.length != rNames.length)
         throw new IllegalArgumentException(

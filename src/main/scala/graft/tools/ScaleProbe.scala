@@ -74,7 +74,7 @@ object ScaleProbe {
         amplify(spark, "/root/testdata/sf0.1", dir, 4)
         amplifyVec(spark, "/root/testdata/sf0.1", dir, 4)
         val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
-        val n = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1
+        val n = li.agg(max(col("l_orderkey"))).head().getLong(0) + 1
         (0 until 4).map(k => li.withColumn("l_orderkey", col("l_orderkey") + lit(k * n)))
           .reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
@@ -384,7 +384,7 @@ object ScaleProbe {
     * corpus-mode probes can run any documents/events/orders query. */
   private def amplify(spark: SparkSession, src: String, dst: String, f: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    val n = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     (0 until f).map { k =>
       docs.select(
         (col("doc_id") + lit(k * n)).as("doc_id"),
@@ -399,7 +399,7 @@ object ScaleProbe {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$src/events.parquet")
     val (en, eu) = {
-      val r = ev.agg(max(col("event_id")), max(col("user_id"))).head
+      val r = ev.agg(max(col("event_id")), max(col("user_id"))).head()
       (r.getLong(0) + 1, r.getLong(1) + 1)
     }
     (0 until f).map { k =>
@@ -409,7 +409,7 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
     val ord = spark.read.parquet(s"$src/orders.parquet")
-    val on = ord.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+    val on = ord.agg(max(col("o_orderkey"))).head().getLong(0) + 1
     (0 until f).map { k =>
       ord.select((col("o_orderkey") + lit(k * on)).as("o_orderkey"),
         col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
@@ -421,7 +421,7 @@ object ScaleProbe {
   /** Id-remapped ×`f` amplification of `src/embeddings.parquet`. */
   private def amplifyVec(spark: SparkSession, src: String, dst: String, f: Int): Unit = {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    val n = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val n = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     (0 until f).map { k =>
       emb.select((col("vec_id") + lit(k * n)).as("vec_id"),
         col("embedding"), col("label"))
