@@ -73,6 +73,51 @@ class IngestDedupSpec extends AnyFunSuite {
     assert(counts() === after, "replay must not grow the store or the output")
   }
 
+  test("property: any batch split of a dup-structured corpus matches the nightly loop") {
+    import spark.implicits._
+    // deterministic corpus with planted structure: bases, exact copies,
+    // near-copies (append-token), unique tails — split into k batches by
+    // a seed-shuffled assignment; the ingest loop must match the nightly
+    // dedupAgainstStatus iteration on the same splits
+    val bases = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      "one two three four five six seven eight nine ten eleven twelve",
+      "red orange yellow green blue indigo violet ultra infra deep dark light")
+    val docs: Seq[(Long, String)] =
+      bases.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      bases.zipWithIndex.map { case (t, i) => (100L + i, t) } ++          // exact dups
+      bases.zipWithIndex.map { case (t, i) => (200L + i, t + " tonight") } ++ // near dups
+      (0 until 3).map(i => (300L + i, s"unique document number $i with own words $i$i"))
+    for (seed <- 0 until 4) {
+      val rnd = new scala.util.Random(seed)
+      val k = 2 + seed % 3
+      val assign = docs.map(d => (d, rnd.nextInt(k)))
+      val batches = (0 until k).map(b => assign.filter(_._2 == b).map(_._1))
+        .filter(_.nonEmpty)
+      val (sigs, out, _) = dirs()
+      val viaIngest = batches.zipWithIndex.flatMap { case (b, id) =>
+        Dedup.ingestBatch(b.toDF("doc_id", "text"), id.toLong, sigs, out,
+          "text", "doc_id")
+          .collect().map(r => r.getLong(0) -> r.getString(1))
+      }.toMap
+      // nightly reference: classify each batch against the ACCEPTED docs
+      // of all prior batches, accumulate accepted
+      var corpus = Seq.empty[(Long, String)]
+      val viaNightly = batches.flatMap { b =>
+        val status =
+          if (corpus.isEmpty) b.map(_._1 -> "kept")
+          else Dedup.dedupAgainstStatus(b.toDF("doc_id", "text"),
+              corpus.toDF("doc_id", "text"), "text", "doc_id")
+            .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+        val keptIds = status.filter(_._2 == "kept").map(_._1).toSet
+        corpus = corpus ++ b.filter(d => keptIds.contains(d._1))
+        status
+      }.toMap
+      assert(viaIngest === viaNightly,
+        s"seed $seed (k=$k): ingest loop diverged from the nightly loop")
+    }
+  }
+
   test("streaming ingest dedup over micro-batches == the batch loop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
