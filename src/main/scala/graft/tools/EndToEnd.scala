@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, Packing, TextAnalysis}
+import graft.sources.Tables
+
+/** Runnable end-to-end PRETRAINING DATA BUILD — the adoption story in
+  * one main: every stage is one of the library's oracle-checked
+  * operators, composed the way a production corpus build composes them.
+  *
+  *   documents ─ curate (quality gate → exact dedup → verified near-dup
+  *   clusters → split labels) ─ decontaminate vs the held-out benchmark
+  *   slice (13-gram overlap) ─ tokenize against the PERSISTED
+  *   merges+vocab stores (zero learning in the scoring pass) ─ pack into
+  *   token-budget training sequences ─ land packs + a stage manifest.
+  *
+  * `runMain graft.tools.EndToEnd [sfDir] [outDir]` — prints one JSON
+  * line of per-stage row counts (the manifest also lands as parquet, so
+  * a scheduler can diff successive runs). EndToEndSpec drives it at
+  * sf0.001 and pins the stage monotonicity + output shapes. */
+object EndToEnd {
+
+  final case class Result(
+      nDocs: Long, nCurated: Long, nTrain: Long, nClean: Long,
+      nPacked: Long, nPacks: Long, outDir: String)
+
+  def run(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+
+    // the held-out benchmark slice plays the role of the eval set a real
+    // build must never leak into training data
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+
+    // 1. curation chain: quality gate -> exact dedup -> verified
+    // near-dup clusters -> deterministic split labels
+    val splits = Curation.curate(corpus)
+    val nCurated = splits.count()
+    val train = corpus.join(
+      splits.filter(col("split") === "train").select(col("doc_id")),
+      Seq("doc_id"), "left_semi").localCheckpoint()
+    val nTrain = train.count()
+
+    // 2. decontamination: drop training docs sharing too many 13-gram
+    // shingles with the benchmark slice
+    val contam = Dedup.contaminationReport(
+        Dedup.docShingles(train, "text", "doc_id", k = 13),
+        Dedup.docShingles(bench, "text", "doc_id", k = 13))
+      .filter(col("contamination") > 0.5)
+      .select(col("sid").as("doc_id"))
+    val clean = train.join(contam, Seq("doc_id"), "left_anti").localCheckpoint()
+    val nClean = clean.count()
+
+    // 3. tokenizer stores: train once, then the scoring pass reads ONLY
+    // the persisted merges + vocab (the q_x42 nightly shape)
+    val merges = TextAnalysis.learnBpeMerges(clean, "text")
+    TextAnalysis.writeBpeMerges(spark, merges, s"$outDir/bpe/merges")
+    TextAnalysis.writeBpeVocab(clean, merges, s"$outDir/bpe/vocab")
+    val tokens = TextAnalysis.encodeTokenIds(clean,
+      TextAnalysis.readBpeMerges(spark, s"$outDir/bpe/merges"),
+      spark.read.parquet(s"$outDir/bpe/vocab"))
+    tokens.write.mode("overwrite").parquet(s"$outDir/tokens")
+
+    // 4. pack the tokenized docs into training sequences
+    val packed = Packing.packByCount(
+      spark.read.parquet(s"$outDir/tokens").filter(col("n_tokens") > 0),
+      budget = 512, shards = 8, salt = "e2e")
+    packed.write.mode("overwrite").parquet(s"$outDir/packs")
+    val nPacked = spark.read.parquet(s"$outDir/packs").count()
+    val nPacks = spark.read.parquet(s"$outDir/packs")
+      .select(col("shard"), col("pack")).distinct().count()
+
+    val res = Result(nDocs, nCurated, nTrain, nClean, nPacked, nPacks, outDir)
+    manifest(spark, res).write.mode("overwrite").parquet(s"$outDir/manifest")
+    res
+  }
+
+  private def manifest(spark: SparkSession, r: Result): DataFrame = {
+    import spark.implicits._
+    Seq(("docs", r.nDocs), ("curated", r.nCurated), ("train", r.nTrain),
+      ("clean", r.nClean), ("packed_docs", r.nPacked), ("packs", r.nPacks))
+      .toDF("stage", "rows")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.drop(1).headOption
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft-e2e").toString)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val r = run(spark, sfDir, outDir)
+    println(s"""{"docs":${r.nDocs},"curated":${r.nCurated},""" +
+      s""""train":${r.nTrain},"clean":${r.nClean},""" +
+      s""""packed_docs":${r.nPacked},"packs":${r.nPacks},""" +
+      s""""out":"${r.outDir}"}""")
+    spark.stop()
+  }
+}
