@@ -81,6 +81,113 @@ object CurationQueries extends graft.QueryPack {
              |FROM e LEFT JOIN dropd d ON d.doc_id = e.doc_id
              |WHERE d.doc_id IS NULL""".stripMargin)),
 
+    // ---- X47: curation + decontamination composed under ONE oracle ------
+    // The EndToEnd build's first two stages as a single hash-checked
+    // query: curate the corpus (quality → exact dedup → verified
+    // near-dup CC → split), keep the train split, then drop every train
+    // doc sharing >50% of its 13-gram shingles with the held-out
+    // benchmark slice. The oracle chains the full q_x9 recursion with
+    // the q_d10 contamination tail at k=13 — the two halves were
+    // previously proven separately; this pins their composition.
+    Q("q_x47_clean_train_corpus",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(col("doc_id") % 50 === 0)
+        val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+        val splits = Curation.curate(corpus)
+        val train = corpus.join(
+          splits.filter(col("split") === "train").select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val contam = graft.operators.Dedup.contaminationReport(
+            graft.operators.Dedup.docShingles(train, "text", "doc_id", k = 13),
+            graft.operators.Dedup.docShingles(bench, "text", "doc_id", k = 13))
+          .filter(col("contamination") > 0.5)
+          .select(col("sid").as("doc_id"))
+        train.join(contam, Seq("doc_id"), "left_anti").select(col("doc_id"))
+      },
+      Some {
+        val sh13 = (0 to 12).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+        val isTrain = "CAST('0x' || substr(md5('exp1|' || " +
+          "CAST(e.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90"
+        s"""WITH RECURSIVE
+           |t AS (SELECT doc_id, text,
+           |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+           |  FROM documents WHERE doc_id % 50 <> 0),
+           |m AS (SELECT doc_id, text, toks, len(toks) AS n_tokens,
+           |  ROUND(CAST(length(list_aggregate(toks, 'string_agg', '')) AS DOUBLE) / len(toks), 4) AS avg_len,
+           |  ROUND(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE) / len(toks), 4) AS stop_ratio
+           |  FROM t),
+           |q AS (SELECT doc_id, text, toks FROM m
+           |  WHERE n_tokens >= 20 AND avg_len >= 2.0 AND avg_len <= 10.0
+           |    AND stop_ratio >= 0.02),
+           |ek AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+           |e AS (SELECT q.doc_id, q.toks FROM q JOIN ek ON ek.doc_id = q.doc_id),
+           |shx AS (SELECT doc_id,
+           |  list_transform(range(1, len(toks) - 1),
+           |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+           |  FROM e WHERE len(toks) >= 3),
+           |exd AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM shx),
+           |mh AS (SELECT doc_id,
+           |  min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+           |  min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
+           |  min(md5('4|' || sh)) AS m4, min(md5('5|' || sh)) AS m5,
+           |  min(md5('6|' || sh)) AS m6, min(md5('7|' || sh)) AS m7
+           |  FROM exd GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM mh
+           |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM mh
+           |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM mh
+           |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM mh),
+           |prs AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM exd GROUP BY doc_id),
+           |inter AS (
+           |  SELECT p.a_id, p.b_id, COUNT(*) AS inter
+           |  FROM prs p
+           |  JOIN exd a ON a.doc_id = p.a_id
+           |  JOIN exd b ON b.doc_id = p.b_id AND b.sh = a.sh
+           |  GROUP BY 1, 2),
+           |ver AS (
+           |  SELECT i.a_id, i.b_id FROM inter i
+           |  JOIN sizes sa ON sa.doc_id = i.a_id
+           |  JOIN sizes sb ON sb.doc_id = i.b_id
+           |  WHERE i.inter * 10 >= (sa.n + sb.n - i.inter) * 1),
+           |edges AS (
+           |  SELECT a_id AS src, b_id AS dst FROM ver
+           |  UNION SELECT b_id, a_id FROM ver),
+           |cc(node, label) AS (
+           |  SELECT DISTINCT src, src FROM edges
+           |  UNION
+           |  SELECT e2.dst, c.label FROM cc c JOIN edges e2 ON e2.src = c.node),
+           |comp AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node),
+           |dropd AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+           |train0 AS (
+           |  SELECT e.doc_id, e.toks
+           |  FROM e LEFT JOIN dropd dd ON dd.doc_id = e.doc_id
+           |  WHERE dd.doc_id IS NULL AND $isTrain),
+           |tsh AS (SELECT DISTINCT doc_id, unnest(
+           |    list_transform(range(1, len(toks) - 11), i -> $sh13)) AS sh
+           |  FROM train0 WHERE len(toks) >= 13),
+           |bsh AS (SELECT DISTINCT sh FROM (
+           |  SELECT unnest(
+           |    list_transform(range(1, len(toks) - 11), i -> $sh13)) AS sh
+           |  FROM (SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+           |          x -> x <> '') AS toks
+           |        FROM documents WHERE doc_id % 50 = 0)
+           |  WHERE len(toks) >= 13)),
+           |tot AS (SELECT doc_id, COUNT(*) AS n FROM tsh GROUP BY 1),
+           |shr AS (SELECT t2.doc_id, COUNT(*) AS sh_n
+           |  FROM tsh t2 JOIN bsh USING (sh) GROUP BY 1),
+           |contam AS (SELECT t3.doc_id FROM tot t3
+           |  LEFT JOIN shr ON shr.doc_id = t3.doc_id
+           |  WHERE ROUND(CAST(COALESCE(shr.sh_n, 0) AS DOUBLE) / t3.n, 6) > 0.5)
+           |SELECT t0.doc_id FROM train0 t0
+           |LEFT JOIN contam c ON c.doc_id = t0.doc_id
+           |WHERE c.doc_id IS NULL""".stripMargin
+      }),
+
     // ---- X14: joint text+embedding curation -----------------------------
     // Quality gate on text signals, near-dup drop by embedding cosine
     // (sign-LSH buckets + exact rescore — the q_sim3 blocks), split last.
