@@ -478,21 +478,29 @@ object Dedup {
       bandRelation(none, textCol, idCol, shingleK, numHashes, rowsPerBand))
     val exShingles = prior("shingles",
       docShingles(none.select(col(idCol), col(textCol)), textCol, idCol, shingleK))
-    // pinned once: the classification feeds the accepted output AND the
-    // three signature appends below
-    val status = Iterate.checkpoint(dedupAgainstSignatureFrames(
+    // cached across the four writes below (the classification joins are
+    // the expensive part), then RELEASED before returning — a
+    // long-running stream must not accumulate one pinned frame per
+    // trigger. Releasing is safe because the frame is recomputable
+    // CORRECTLY even after this batch's own signatures land: the prior()
+    // reads filter `batch < batchId`, so a recompute still classifies
+    // against exactly the prior store (the same property that makes
+    // crash replay idempotent).
+    val status = dedupAgainstSignatureFrames(
       batch, exHashes, exBands, exShingles, textCol, idCol,
-      shingleK, numHashes, rowsPerBand, thresholdTenths))
-    val kept = batch.join(
-      status.filter(col("status") === "kept").select(col("doc_id").as(idCol)),
-      Seq(idCol), "left_semi")
-    kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-    kept.select(md5(col(textCol)).as("h")).distinct()
-      .write.mode("overwrite").parquet(s"$sigDir/hashes/batch=$batchId")
-    bandRelation(kept, textCol, idCol, shingleK, numHashes, rowsPerBand)
-      .write.mode("overwrite").parquet(s"$sigDir/bands/batch=$batchId")
-    docShingles(kept.select(col(idCol), col(textCol)), textCol, idCol, shingleK)
-      .write.mode("overwrite").parquet(s"$sigDir/shingles/batch=$batchId")
+      shingleK, numHashes, rowsPerBand, thresholdTenths).persist()
+    try {
+      val kept = batch.join(
+        status.filter(col("status") === "kept").select(col("doc_id").as(idCol)),
+        Seq(idCol), "left_semi")
+      kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      kept.select(md5(col(textCol)).as("h")).distinct()
+        .write.mode("overwrite").parquet(s"$sigDir/hashes/batch=$batchId")
+      bandRelation(kept, textCol, idCol, shingleK, numHashes, rowsPerBand)
+        .write.mode("overwrite").parquet(s"$sigDir/bands/batch=$batchId")
+      docShingles(kept.select(col(idCol), col(textCol)), textCol, idCol, shingleK)
+        .write.mode("overwrite").parquet(s"$sigDir/shingles/batch=$batchId")
+    } finally status.unpersist()
     status
   }
 

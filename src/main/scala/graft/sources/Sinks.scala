@@ -74,7 +74,11 @@ object Sinks {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = Paths.get(dir)
     require(Files.isDirectory(root), s"$dir is not a directory")
-    val entries = Files.list(root).toArray.map(_.asInstanceOf[java.nio.file.Path])
+    def list(p: java.nio.file.Path): Array[java.nio.file.Path] = {
+      val s = Files.list(p)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path]) finally s.close()
+    }
+    val entries = list(root)
     require(!entries.exists(p => Files.isDirectory(p) && p.getFileName.toString.contains("=")),
       s"$dir has partition subdirectories — compact each partition dir instead")
     val parts = entries.filter(p => p.getFileName.toString.endsWith(".parquet"))
@@ -90,9 +94,7 @@ object Sinks {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
     }
     rm(retired.toFile)
-    val after = Files.list(root).toArray
-      .map(_.asInstanceOf[java.nio.file.Path])
-      .count(p => p.getFileName.toString.endsWith(".parquet"))
+    val after = list(root).count(p => p.getFileName.toString.endsWith(".parquet"))
     (parts.length, after)
   }
 
