@@ -75,6 +75,9 @@ object EndToEnd {
 
     val res = Result(nDocs, nCurated, nTrain, nClean, nPacked, nPacks, outDir)
     manifest(spark, res).write.mode("overwrite").parquet(s"$outDir/manifest")
+    // stage frames served their downstream consumers — release the
+    // pinned blocks (a scheduler-embedded run shares the session)
+    train.unpersist(); clean.unpersist()
     res
   }
 

@@ -190,6 +190,35 @@ class ScdProfileSpec extends AnyFunSuite {
       None -> None), "unseen -> -1, null -> null")
   }
 
+  test("property: kAnonymize always picks the first ladder rung meeting k") {
+    import spark.implicits._
+    // random value multisets with ties; for each k, the chosen rung must
+    // equal the exhaustive first-satisfying level, and its audit must
+    // actually meet k (or be the honest bins_used=1 failure)
+    for (seed <- 0 until 4) {
+      val rnd = new scala.util.Random(seed)
+      val df = (1 to 64).map(_ => ("s", (rnd.nextInt(40) + 1).toDouble))
+        .toDF("seg", "v")
+      def minClass(bins: Int): Long = {
+        val gen = if (bins >= 2) graft.operators.Features.equiDepthBins(df, "v", bins)
+          else df.withColumn("v_bin", lit(0))
+        Profile.kAnonymity(gen, Seq("seg", "v_bin"), 2)
+          .agg(min(col("n"))).head().getLong(0)
+      }
+      for (k <- Seq(4, 10, 20, 70)) {
+        val expected = Seq(8, 4, 2, 1)
+          .find(b => minClass(b) >= k).getOrElse(1)
+        val out = Profile.kAnonymize(df, Seq("seg"), Seq("v"), k,
+          startBins = 8).collect()
+        assert(out.forall(_.getAs[Int]("bins_used") === expected),
+          s"seed $seed k=$k: expected rung $expected")
+        if (minClass(expected) >= k)
+          assert(out.forall(_.getAs[Boolean]("anonymous")),
+            s"seed $seed k=$k: chosen rung must satisfy k")
+      }
+    }
+  }
+
   test("robust scale: median/IQR standardization, zero-IQR columns go null") {
     import spark.implicits._
     // values 1..5: q1=2, med=3, q3=4, IQR=2 → scaled = (x-3)/2
