@@ -531,6 +531,52 @@ object RelationalQueries extends graft.QueryPack {
              |SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
              |  COUNT(DISTINCT source) FROM documents""".stripMargin)),
 
+    // ---- V12: profile drift — the nightly stats-snapshot reconciliation -
+    // Two Profile.describe snapshots diffed by column name: today nulls
+    // part of `lang` (a real ingestion regression shape), drops `text`
+    // from the profile, and adds `n_chars` — so all four snapshotDiff
+    // classifications fire on PROFILE rows, composing the two proven
+    // operators into the schema/stat drift check a scheduler runs before
+    // publishing.
+    Q("q_v12_profile_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val yesterday = graft.operators.Profile.describe(docs,
+          Seq("doc_id", "lang", "text"))
+        val today = graft.operators.Profile.describe(
+          docs.withColumn("lang",
+            when(col("doc_id") % 25 === 0, lit(null)).otherwise(col("lang"))),
+          Seq("doc_id", "lang", "n_chars"))
+        graft.operators.Diff.snapshotDiff(yesterday, today, Seq("column"))
+      },
+      Some("""WITH y AS (
+             |  SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+             |    COUNT(*) - COUNT(doc_id) AS n_null,
+             |    COUNT(DISTINCT doc_id) AS n_distinct FROM documents
+             |  UNION ALL SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+             |    COUNT(DISTINCT lang) FROM documents
+             |  UNION ALL SELECT 'text', COUNT(*), COUNT(*) - COUNT(text),
+             |    COUNT(DISTINCT text) FROM documents),
+             |t AS (
+             |  SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+             |    COUNT(*) - COUNT(doc_id) AS n_null,
+             |    COUNT(DISTINCT doc_id) AS n_distinct FROM documents
+             |  UNION ALL SELECT 'lang', COUNT(*),
+             |    COUNT(*) - COUNT(CASE WHEN doc_id % 25 = 0 THEN NULL
+             |      ELSE lang END),
+             |    COUNT(DISTINCT CASE WHEN doc_id % 25 = 0 THEN NULL
+             |      ELSE lang END) FROM documents
+             |  UNION ALL SELECT 'n_chars', COUNT(*),
+             |    COUNT(*) - COUNT(n_chars),
+             |    COUNT(DISTINCT n_chars) FROM documents)
+             |SELECT COALESCE(y.col_name, t.col_name) AS column,
+             |  CASE WHEN y.col_name IS NULL THEN 'added'
+             |       WHEN t.col_name IS NULL THEN 'removed'
+             |       WHEN y.n_rows = t.n_rows AND y.n_null = t.n_null
+             |         AND y.n_distinct = t.n_distinct THEN 'unchanged'
+             |       ELSE 'changed' END AS status
+             |FROM y FULL OUTER JOIN t ON y.col_name = t.col_name""".stripMargin)),
+
     // ---- V3: keyed snapshot diff (nightly reconciliation audit) ---------
     // Two overlapping order snapshots with a simulated status update on
     // o_orderkey % 7 — exercises all four classifications. The operator
