@@ -257,6 +257,32 @@ object TextAnalysis {
   def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
 
+  /** Blocklist gate — the word-list filter every curation stack runs
+    * (NSFW/toxicity/spam term lists): per doc, the count and ratio of
+    * LOWERCASED tokens hitting the list, and a keep verdict at
+    * `maxRatio` (ratio STRICTLY above flags; a token-less doc has
+    * nothing to flag and keeps). Map-only — the list rides the plan as
+    * an inlined literal array like the langid stopwords; production
+    * lists in the thousands stay well inside literal-dispatch territory,
+    * beyond that swap to a broadcast-join variant of the same relation.
+    * Returns `(<idCol>, n_tokens, n_blocked, blocked_ratio, keep)`. */
+  def blocklistFilter(df: DataFrame, terms: Seq[String], maxRatio: Double,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "need at least one blocklist term")
+    require(maxRatio >= 0, s"maxRatio must be >= 0, got $maxRatio")
+    val lowered = terms.map(_.toLowerCase)
+    val toksed = df.select(col(idCol),
+      tokens(lower(col(s"`$textCol`"))).as("__t"))
+    toksed.select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        hitCount(col("__t"), lowered).cast("long").as("n_blocked"))
+      .withColumn("blocked_ratio",
+        when(col("n_tokens") > 0,
+          round(col("n_blocked").cast("double") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("keep", col("blocked_ratio") <= maxRatio)
+  }
+
   /** Small built-in stopword lists for the n-gram language-ID heuristic. */
   val langStopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),

@@ -837,6 +837,33 @@ object TextQueries extends graft.QueryPack {
              |  length(raw) AS n_raw, length(nfc_normalize(raw)) AS n_nfc
              |FROM r""".stripMargin)),
 
+    // ---- X48: blocklist gate (the word-list filter) ---------------------
+    // The NSFW/toxicity/spam list pass every curation stack runs —
+    // here with a stand-in list of common tokens so the sf corpus
+    // exercises both verdicts; the mechanism (lowercased token hits,
+    // strict-ratio flag, token-less docs keep) is what the oracle pins.
+    Q("q_x48_blocklist",
+      (s, d) => TextAnalysis.blocklistFilter(Tables.documents(s, d),
+        Seq("the", "and", "of"), maxRatio = 0.05),
+      Some("""WITH t AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |    x -> x <> '') AS toks
+             |  FROM documents),
+             |m AS (SELECT doc_id,
+             |  CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_filter(toks,
+             |    x -> list_contains(['the','and','of'], x))) AS BIGINT)
+             |    AS n_blocked
+             |  FROM t)
+             |SELECT doc_id, n_tokens, n_blocked,
+             |  CASE WHEN n_tokens > 0
+             |    THEN ROUND(CAST(n_blocked AS DOUBLE) / n_tokens, 6)
+             |    ELSE 0.0 END AS blocked_ratio,
+             |  (CASE WHEN n_tokens > 0
+             |    THEN ROUND(CAST(n_blocked AS DOUBLE) / n_tokens, 6)
+             |    ELSE 0.0 END) <= 0.05 AS keep
+             |FROM m""".stripMargin)),
+
     // ---- X46: model-based quality filtering (linear inference) ----------
     // fastText-style gate, scored engine-exactly: closed-form integer
     // MILLI-weights over the 16-bucket hashed-TF relation, one keyed
