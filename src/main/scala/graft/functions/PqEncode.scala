@@ -72,6 +72,14 @@ case class PqEncode(children: Seq[Expression]) extends Expression {
     if (children.drop(1).exists(_.eval() == null))
       return TypeCheckResult.TypeCheckFailure(
         "pq_encode codebook and geometry literals must be non-null")
+    // ...and the same for null ELEMENTS inside the two array literals
+    // (array(CAST(NULL AS BIGINT)) passes the whole-value check above
+    // but would NPE in toLongArray below)
+    val arrs = Seq(children(1), children(2))
+      .map(_.eval().asInstanceOf[ArrayData])
+    if (arrs.exists(a => (0 until a.numElements()).exists(a.isNullAt)))
+      return TypeCheckResult.TypeCheckFailure(
+        "pq_encode codebook arrays must not contain null elements")
     if (ids.length != m * k || cvs.length != m * k * subDim)
       TypeCheckResult.TypeCheckFailure(
         s"pq_encode codebook shape mismatch: ${ids.length} ids / " +

@@ -71,16 +71,19 @@ object Anomaly {
     * per-key aggregate, broadcast join back, map-side flag. A zero-IQR
     * key (at least half the mass on one value) flags anything off that
     * value — the fences collapse to the quartiles, which is the
-    * standard behavior. Null values never flag. */
+    * standard behavior. Null values never flag. `broadcastFences =
+    * false` for key spaces too large to broadcast — the same escape
+    * hatch [[scoreAgainstMoments]] exposes as `broadcastMoments`. */
   def tukeyFences(obs: DataFrame, keyCol: String, valueCol: String,
-      k: Double = 1.5): DataFrame = {
+      k: Double = 1.5, broadcastFences: Boolean = true): DataFrame = {
     require(k > 0, s"fence multiplier must be positive, got $k")
     val q = obs.groupBy(col(keyCol).as("__tk"))
       .agg(round(expr(s"percentile(`$valueCol`, 0.25)"), 6).as("__q1"),
         round(expr(s"percentile(`$valueCol`, 0.75)"), 6).as("__q3"))
+    val qSide = if (broadcastFences) broadcast(q) else q
     val lo = round(col("__q1") - lit(k) * (col("__q3") - col("__q1")), 6)
     val hi = round(col("__q3") + lit(k) * (col("__q3") - col("__q1")), 6)
-    obs.join(broadcast(q), col(keyCol) <=> col("__tk"), "left")
+    obs.join(qSide, col(keyCol) <=> col("__tk"), "left")
       .withColumn("is_anomaly",
         coalesce(col(valueCol) < lo || col(valueCol) > hi, lit(false)))
       .drop("__tk", "__q1", "__q3")

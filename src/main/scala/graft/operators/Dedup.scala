@@ -466,12 +466,19 @@ object Dedup {
       thresholdTenths: Int = 1): DataFrame = {
     val spark = batch.sparkSession
     def prior(sub: String, empty: => DataFrame): DataFrame =
-      // missing-store probe: the read itself (or its schema inference)
-      // may surface as AnalysisException OR a raw FileNotFoundException
-      // depending on the path state — both mean "no prior batches"
+      // missing-store probe: ONLY the path-absent cases fall back to the
+      // empty frame (AnalysisException path-not-found from the reader, or
+      // a raw FileNotFoundException from schema inference, depending on
+      // the path state). Anything else — a transient FS failure, a
+      // corrupt footer — must FAIL the micro-batch: a broad catch here
+      // would silently classify the whole batch as novel and permanently
+      // fold duplicates into the store and the accepted output.
       try spark.read.parquet(s"$sigDir/$sub")
         .filter(col("batch") < batchId).drop("batch")
-      catch { case scala.util.control.NonFatal(_) => empty }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => empty
+        case _: java.io.FileNotFoundException => empty
+      }
     val none = batch.limit(0)
     val exHashes = prior("hashes", none.select(md5(col(textCol)).as("h")))
     val exBands = prior("bands",

@@ -95,15 +95,19 @@ object Features {
   /** Encode a label column to its dense id via a broadcast join against
     * the (vocab-sized) index: `<labelCol>_id`, with the unk sentinel −1
     * for labels ABSENT from the index (a new batch against a stored
-    * index — never silently dropped) and null for null labels. */
+    * index — never silently dropped) and null for null labels. The
+    * index columns join under `__`-prefixed temp names so a caller
+    * frame that happens to carry `label`/`cat_id` columns neither
+    * breaks resolution nor loses its own columns. */
   def encodeCategories(df: DataFrame, labelCol: String,
       index: DataFrame): DataFrame =
-    df.join(broadcast(index.select(col("label"), col("cat_id"))),
-        col(s"`$labelCol`").cast("string") === col("label"), "left")
+    df.join(broadcast(index.select(col("label").as("__ci_label"),
+        col("cat_id").as("__ci_id"))),
+        col(s"`$labelCol`").cast("string") === col("__ci_label"), "left")
       .withColumn(s"${labelCol}_id",
         when(col(s"`$labelCol`").isNotNull,
-          coalesce(col("cat_id"), lit(-1))).cast("int"))
-      .drop("label", "cat_id")
+          coalesce(col("__ci_id"), lit(-1))).cast("int"))
+      .drop("__ci_label", "__ci_id")
 
   /** Robust scaling: `scaled = (x − median) / IQR` — the outlier-proof
     * standardization (sklearn's RobustScaler shape): median and

@@ -23,6 +23,17 @@ import org.apache.spark.sql.DataFrame
   * otherwise they fall back to `localCheckpoint`. Loops therefore need no
   * extra parameter, and the same operator code is fault-tolerant on a
   * cluster and fast in local mode (IterateSpec exercises both paths).
+  *
+  * Reliable-mode housekeeping: Spark does NOT delete reliable
+  * checkpoint files on its own unless
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, so an
+  * N-round loop leaves up to N materialized copies of its (keys-sized)
+  * iteration frame under the checkpoint dir for the app's lifetime.
+  * Deployments should enable that cleaner flag (older rounds' frames
+  * are unreferenced as soon as the next round materializes) or point
+  * the checkpoint dir at a TTL'd/job-scoped path — the frames are the
+  * small rank/label relations, never the corpus, so this is a
+  * housekeeping concern, not a data-volume one.
   */
 object Iterate {
 

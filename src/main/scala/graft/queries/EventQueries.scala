@@ -189,7 +189,8 @@ object EventQueries extends graft.QueryPack {
              |    e.value < ROUND(q.q1 - 1.5 * (q.q3 - q.q1), 6) OR
              |    e.value > ROUND(q.q3 + 1.5 * (q.q3 - q.q1), 6),
              |    FALSE) AS is_anomaly
-             |FROM events e LEFT JOIN q USING (event_type)""".stripMargin)),
+             |FROM events e LEFT JOIN q
+             |  ON e.event_type IS NOT DISTINCT FROM q.event_type""".stripMargin)),
 
     Q("q_e9_anomaly",
       (s, d) => graft.operators.Anomaly.zscores(

@@ -57,44 +57,75 @@ object Sinks {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Hadoop-FS helpers for the directory-swap maintenance ops below:
+    * they work on any FileSystem Spark can reach (file://, hdfs://),
+    * and the swap recovers from a crash on the NEXT invocation. The
+    * swap itself is two renames, so it is single-writer and a reader on
+    * the same path can observe a brief missing-directory window between
+    * them — on an object store without atomic rename, use a real table
+    * format instead (these ops exist precisely because one isn't on the
+    * classpath). */
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Crash recovery for a previous swap attempt: a populated
+    * `$dir.retired` with a MISSING `$dir` means the crash hit between
+    * the two renames — restore the original; a populated retired dir
+    * NEXT TO a live `$dir` means the crash hit during cleanup — finish
+    * deleting it. Stale staged dirs are always removed (the next staged
+    * write would overwrite them anyway). */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, stagedSuffix: String): Unit = {
+    val retired = root.suffix(".retired")
+    if (fs.exists(retired)) {
+      if (!fs.exists(root)) { fs.rename(retired, root); () }
+      else { fs.delete(retired, true); () }
+    }
+    val staged = root.suffix(stagedSuffix)
+    if (fs.exists(staged)) { fs.delete(staged, true); () }
+  }
+
+  private def swapInStaged(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, staged: org.apache.hadoop.fs.Path): Unit = {
+    val retired = root.suffix(".retired")
+    require(fs.rename(root, retired), s"could not retire $root")
+    require(fs.rename(staged, root), s"could not promote $staged")
+    fs.delete(retired, true); ()
+  }
+
   /** Compact a parquet LEAF directory's small files into size-targeted
     * ones — the nightly maintenance a streaming/foreachBatch sink makes
     * necessary (each trigger lands its own part files; a month of
     * 30-second triggers is ~86k files whose listing + footer reads
     * dominate every later scan at 100 TB). One read → repartition to
-    * ceil(bytes / targetBytes) → staged write → atomic directory swap,
-    * so a crashed compaction leaves the original data untouched and a
-    * reader never observes a half-compacted directory. Returns
-    * (files before, files after). Leaf dirs only (no `k=v` partition
-    * subdirs — compact each partition separately, which is also the
-    * realistic incremental pattern: compact yesterday's partition,
-    * leave the sealed history alone). */
+    * ceil(bytes / targetBytes) → staged write → directory swap; a crash
+    * at any point leaves the data recoverable and the NEXT invocation
+    * repairs the layout ([[recoverSwap]]). Works on any Hadoop
+    * FileSystem path (file://, hdfs://); see the swap caveats above.
+    * Returns (files before, files after). Leaf dirs only (no `k=v`
+    * partition subdirs — compact each partition separately, which is
+    * also the realistic incremental pattern: compact yesterday's
+    * partition, leave the sealed history alone). */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val root = Paths.get(dir)
-    require(Files.isDirectory(root), s"$dir is not a directory")
-    def list(p: java.nio.file.Path): Array[java.nio.file.Path] = {
-      val s = Files.list(p)
-      try s.toArray.map(_.asInstanceOf[java.nio.file.Path]) finally s.close()
-    }
-    val entries = list(root)
-    require(!entries.exists(p => Files.isDirectory(p) && p.getFileName.toString.contains("=")),
+    val (fs, root) = hadoopFs(spark, dir)
+    recoverSwap(fs, root, ".compacting")
+    require(fs.getFileStatus(root).isDirectory, s"$dir is not a directory")
+    val entries = fs.listStatus(root)
+    require(!entries.exists(s => s.isDirectory && s.getPath.getName.contains("=")),
       s"$dir has partition subdirectories — compact each partition dir instead")
-    val parts = entries.filter(p => p.getFileName.toString.endsWith(".parquet"))
-    val bytes = parts.map(Files.size).sum
+    val parts = entries.filter(s => s.getPath.getName.endsWith(".parquet"))
+    val bytes = parts.map(_.getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val staged = s"$dir.compacting"
+    val staged = root.suffix(".compacting")
     spark.read.parquet(dir).repartition(n)
-      .write.mode("overwrite").parquet(staged)
-    val retired = Paths.get(s"$dir.retired")
-    Files.move(root, retired, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(staged), root, StandardCopyOption.ATOMIC_MOVE)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(retired.toFile)
-    val after = list(root).count(p => p.getFileName.toString.endsWith(".parquet"))
+      .write.mode("overwrite").parquet(staged.toString)
+    swapInStaged(fs, root, staged)
+    val after = fs.listStatus(root)
+      .count(s => s.getPath.getName.endsWith(".parquet"))
     (parts.length, after)
   }
 
@@ -105,18 +136,17 @@ object Sinks {
     * existing rows with the same key, new keys append, untouched rows
     * carry over. One anti-join (existing minus updated keys, broadcast
     * while `updates` is batch-sized) + a union, staged write, and the
-    * same atomic directory swap as [[compactParquet]] — a crashed
-    * upsert leaves the original table untouched, and a reader never
-    * observes a half-merged table. A missing/empty directory is a
-    * normal first-write state. Schemas must match by name; `updates`
-    * must be key-unique (fail-fast — "last update wins" inside one
-    * batch is a silent bug factory). Copy-on-write rewrites the whole
-    * table: right for reference/dimension tables (the use case);
-    * fact-scale mutation wants SCD2 appends or partition-scoped
-    * rewrites instead. */
+    * same recoverable directory swap as [[compactParquet]] (same
+    * Hadoop-FS reach, same crash-recovery-on-next-invocation, same
+    * brief swap-window caveat). A missing/empty directory is a normal
+    * first-write state. Schemas must match by name; `updates` must be
+    * key-unique (fail-fast — "last update wins" inside one batch is a
+    * silent bug factory). Copy-on-write rewrites the whole table:
+    * right for reference/dimension tables (the use case); fact-scale
+    * mutation wants SCD2 appends or partition-scoped rewrites
+    * instead. */
   def upsertParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
       updates: DataFrame, keyCols: Seq[String]): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     require(keyCols.nonEmpty, "need at least one key column")
     keyCols.foreach(c => require(updates.columns.contains(c),
       s"key column '$c' not in updates: ${updates.columns.mkString(", ")}"))
@@ -126,9 +156,11 @@ object Sinks {
       .filter(col("__n") > 1).count()
     require(dupKeys == 0,
       s"updates carry $dupKeys duplicate keys — resolve to one row per key first")
-    val root = Paths.get(dir)
+    val (fs, root) = hadoopFs(spark, dir)
+    recoverSwap(fs, root, ".upserting")
+    val exists = fs.exists(root)
     val merged =
-      if (Files.isDirectory(root)) {
+      if (exists) {
         val existing = spark.read.parquet(dir)
         require(existing.columns.sorted.sameElements(updates.columns.sorted),
           s"schema mismatch: table has ${existing.columns.sorted.mkString(",")}, " +
@@ -139,17 +171,10 @@ object Sinks {
             keyCols, "left_anti")
           .unionByName(updates)
       } else updates
-    val staged = s"$dir.upserting"
-    merged.write.mode("overwrite").parquet(staged)
-    if (Files.isDirectory(root)) {
-      val retired = Paths.get(s"$dir.retired")
-      Files.move(root, retired, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(Paths.get(staged), root, StandardCopyOption.ATOMIC_MOVE)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(retired.toFile)
-    } else Files.move(Paths.get(staged), root, StandardCopyOption.ATOMIC_MOVE)
+    val staged = root.suffix(".upserting")
+    merged.write.mode("overwrite").parquet(staged.toString)
+    if (exists) swapInStaged(fs, root, staged)
+    else require(fs.rename(staged, root), s"could not promote $staged")
   }
 
   /** ORC interchange (Spark-native source, no extra jars): for pipelines

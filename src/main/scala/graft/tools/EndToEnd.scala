@@ -39,9 +39,12 @@ object EndToEnd {
     // near-dup clusters -> deterministic split labels
     val splits = Curation.curate(corpus)
     val nCurated = splits.count()
-    val train = corpus.join(
+    // stage boundary: TWO consumers read train (the contamination
+    // shingles and the clean anti-join) — pin it once; Iterate picks
+    // reliable checkpointing when the deployment set a checkpoint dir
+    val train = graft.operators.Iterate.checkpoint(corpus.join(
       splits.filter(col("split") === "train").select(col("doc_id")),
-      Seq("doc_id"), "left_semi").localCheckpoint()
+      Seq("doc_id"), "left_semi"))
     val nTrain = train.count()
 
     // 2. decontamination: drop training docs sharing too many 13-gram
@@ -51,7 +54,8 @@ object EndToEnd {
         Dedup.docShingles(bench, "text", "doc_id", k = 13))
       .filter(col("contamination") > 0.5)
       .select(col("sid").as("doc_id"))
-    val clean = train.join(contam, Seq("doc_id"), "left_anti").localCheckpoint()
+    val clean = graft.operators.Iterate.checkpoint(
+      train.join(contam, Seq("doc_id"), "left_anti"))
     val nClean = clean.count()
 
     // 3. tokenizer stores: train once, then the scoring pass reads ONLY
@@ -75,9 +79,13 @@ object EndToEnd {
 
     val res = Result(nDocs, nCurated, nTrain, nClean, nPacked, nPacks, outDir)
     manifest(spark, res).write.mode("overwrite").parquet(s"$outDir/manifest")
-    // stage frames served their downstream consumers — release the
-    // pinned blocks (a scheduler-embedded run shares the session)
-    train.unpersist(); clean.unpersist()
+    // NOTE: the checkpoint blocks behind train/clean are RDD-level
+    // storage — Dataset.unpersist would be a no-op on them; local-mode
+    // blocks free when the checkpointed RDDs are garbage-collected
+    // after this method's references drop. A scheduler embedding many
+    // runs in one session should either accept that GC latency or set
+    // a checkpoint dir (reliable files + the cleaner flag — see
+    // Iterate's housekeeping note).
     res
   }
 

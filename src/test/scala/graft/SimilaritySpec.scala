@@ -205,6 +205,13 @@ class SimilaritySpec extends AnyFunSuite {
         .collect())
     assert(err.getMessage.toLowerCase.contains("non-null"),
       s"expected the clean non-null type-check message, got: ${err.getMessage}")
+    // ...and a null ELEMENT inside an array literal fails just as cleanly
+    val errEl = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT pq_encode(array(CAST(1.0 AS FLOAT)), " +
+        "array(CAST(NULL AS BIGINT)), array(CAST(1.0 AS FLOAT)), 1, 1, 1, true)")
+        .collect())
+    assert(errEl.getMessage.toLowerCase.contains("null elements"),
+      s"expected the null-element type-check message, got: ${errEl.getMessage}")
   }
 
   test("hard negatives: below the near-dup band, ranked, short when dups dominate") {
