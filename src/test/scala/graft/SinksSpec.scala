@@ -176,6 +176,27 @@ class SinksSpec extends AnyFunSuite {
       .getMessage.contains("partition subdirectories"))
   }
 
+  test("swap recovery: an interrupted maintenance op heals on the next invocation") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("swap-recover")
+    val dir = base.resolve("t").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").write.parquet(dir)
+    // simulate a crash BETWEEN the two renames: data sits in .retired,
+    // the live dir is gone, and a stale staged dir is half-written
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir + ".retired"))
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(dir + ".upserting"))
+    // the next upsert recovers the original, then applies normally
+    graft.sources.Sinks.upsertParquet(spark, dir,
+      Seq((2L, "B"), (3L, "c")).toDF("k", "s"), Seq("k"))
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "a"), (2L, "B"), (3L, "c")),
+      "recovery must restore the retired original before merging")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".retired")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".upserting")))
+  }
+
   test("upsert: updated keys replace, new keys append, untouched rows carry over") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("upsert").resolve("t").toString
