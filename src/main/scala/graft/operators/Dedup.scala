@@ -649,6 +649,81 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** Persist the decontamination artifacts ONCE — the train-once half of
+    * the nightly store triad, applied to benchmark screening: the
+    * benchmark's distinct shingle set plus a MERGEABLE bloom-filter
+    * store. The shingles hash-slice into `slices` independent bloom
+    * blobs of IDENTICAL geometry (same expectedItems/numBits literals),
+    * one row each, so a new benchmark slice tomorrow appends one more
+    * row instead of rebuilding the filter — bloom union over equal
+    * geometry is bitwise OR, and [[contaminationAgainstStore]] merges
+    * the rows at read time through the public sketch API. The bloom
+    * build reads the just-written shingle parquet, so the benchmark
+    * text is scanned exactly once. Layout: `dir/shingles` (sh STRING),
+    * `dir/blooms` (slice INT, bf BINARY). */
+  def writeContaminationStore(bench: DataFrame, textCol: String, idCol: String,
+      dir: String, slices: Int = 4, shingleK: Int = 3,
+      expectedItems: Long = 100000L, numBits: Long = 1000000L): Unit = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge.{column => ccol, expression => cexpr}
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(slices >= 1, s"slices must be >= 1, got $slices")
+    docShingles(bench, textCol, idCol, shingleK)
+      .select(col("sh")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+    bench.sparkSession.read.parquet(s"$dir/shingles")
+      .groupBy(pmod(xxhash64(col("sh")), lit(slices.toLong)).cast("int").as("slice"))
+      .agg(ccol(new BloomFilterAggregate(new XxHash64(Seq(cexpr(col("sh")))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .write.mode("overwrite").parquet(s"$dir/blooms")
+  }
+
+  /** [[contaminationReport]] scored AGAINST THE STORE — the
+    * score-nightly half: the benchmark text is never re-scanned. The
+    * bloom rows (slices × numBits/8 bytes, a bounded driver read) merge
+    * into one filter via the public sketch API and prefilter the
+    * training shingles MAP-SIDE exactly like
+    * [[contaminationReportBloom]]'s inline blob; the stored shingle
+    * relation then settles the exact semi-join, so bloom false
+    * positives vanish and the output is IDENTICAL to
+    * [[contaminationReport]] (q_d16 shares q_d10's oracle verbatim).
+    * An empty store (zero bloom rows — empty benchmark) degenerates to
+    * the all-zero report through the same null-blob contract the
+    * inline variant documents. */
+  def contaminationAgainstStore(trainShing: DataFrame, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge.{column => ccol, expression => cexpr}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    val spark = trainShing.sparkSession
+    // bounded driver read: one row per slice, numBits/8 bytes each —
+    // the same blob size a broadcast would ship
+    val blobs = spark.read.parquet(s"$dir/blooms").select(col("bf"))
+      .collect().map(_.getAs[Array[Byte]]("bf"))
+    val blob: Array[Byte] =
+      if (blobs.isEmpty) null
+      else {
+        val merged = blobs.map(b => org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(b)))
+          .reduce((a, b) => a.mergeInPlace(b))
+        val out = new java.io.ByteArrayOutputStream()
+        merged.writeTo(out)
+        out.toByteArray
+      }
+    val benchSet = spark.read.parquet(s"$dir/shingles")
+    val totals = trainShing.groupBy(col("sid")).agg(count(lit(1)).as("n_shingles"))
+    val prefiltered = trainShing
+      .filter(ccol(new BloomFilterMightContain(
+        Literal.create(blob, org.apache.spark.sql.types.BinaryType),
+        new XxHash64(Seq(cexpr(col("sh")))))))
+      .select(col("sid"), col("sh"))
+    val shared = prefiltered.join(benchSet, Seq("sh"), "left_semi")
+      .groupBy(col("sid")).agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, Seq("sid"), "left")
+      .select(col("sid"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_shingles"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+  }
+
   /** Connected components over an undirected candidate-pair graph — the
     * step that turns near-dup PAIRS into dedup CLUSTERS (keep the
     * min-id doc per component, drop the rest). Iterative min-label

@@ -258,18 +258,7 @@ object DedupQueries extends graft.QueryPack {
           Dedup.docShingles(docs.filter(col("doc_id") % 50 === 0), "text", "doc_id"))
           .withColumnRenamed("sid", "doc_id")
       },
-      Some(s"""$duckShingles,
-              |bench AS (SELECT DISTINCT sh FROM exd WHERE doc_id % 50 = 0),
-              |train AS (SELECT doc_id, sh FROM exd WHERE doc_id % 50 <> 0),
-              |totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1),
-              |shared AS (
-              |  SELECT t.doc_id, COUNT(*) AS n_shared
-              |  FROM train t JOIN bench b ON b.sh = t.sh GROUP BY 1)
-              |SELECT t.doc_id,
-              |  COALESCE(s.n_shared, 0) AS n_shared,
-              |  t.n_shingles,
-              |  ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_shingles, 6) AS contamination
-              |FROM totals t LEFT JOIN shared s ON s.doc_id = t.doc_id""".stripMargin)),
+      Some(duckContamination)),
 
     // ---- D11: decontamination with a bloom runtime pre-filter -----------
     // Bloom false positives are removed by the exact semi-join, so the
@@ -283,18 +272,27 @@ object DedupQueries extends graft.QueryPack {
           Dedup.docShingles(docs.filter(col("doc_id") % 50 === 0), "text", "doc_id"))
           .withColumnRenamed("sid", "doc_id")
       },
-      Some(s"""$duckShingles,
-              |bench AS (SELECT DISTINCT sh FROM exd WHERE doc_id % 50 = 0),
-              |train AS (SELECT doc_id, sh FROM exd WHERE doc_id % 50 <> 0),
-              |totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1),
-              |shared AS (
-              |  SELECT t.doc_id, COUNT(*) AS n_shared
-              |  FROM train t JOIN bench b ON b.sh = t.sh GROUP BY 1)
-              |SELECT t.doc_id,
-              |  COALESCE(s.n_shared, 0) AS n_shared,
-              |  t.n_shingles,
-              |  ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_shingles, 6) AS contamination
-              |FROM totals t LEFT JOIN shared s ON s.doc_id = t.doc_id""".stripMargin)),
+      Some(duckContamination)),
+
+    // ---- D16: decontamination from the PERSISTED bloom store ------------
+    // The nightly-production variant of q_d11 (the q_d13 store-twin
+    // discipline): writeContaminationStore lands the benchmark's
+    // mergeable bloom slices + distinct shingles once, and the score
+    // pass reads only the store — benchmark text never re-scanned
+    // (plan-asserted in DedupClusterSpec). Shares q_d10's oracle
+    // VERBATIM: output equality is the proof.
+    Q("q_d16_contamination_store",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dir = TempDirs.scratch("graft_bloomstore_")
+        Dedup.writeContaminationStore(
+          docs.filter(col("doc_id") % 50 === 0), "text", "doc_id", dir)
+        Dedup.contaminationAgainstStore(
+          Dedup.docShingles(docs.filter(col("doc_id") % 50 =!= 0), "text", "doc_id"),
+          dir)
+          .withColumnRenamed("sid", "doc_id")
+      },
+      Some(duckContamination)),
 
     // ---- D12: incremental-corpus dedup (new batch vs curated corpus) ----
     // Existing corpus: every 3rd doc; incoming batch: the rest. Each
@@ -378,6 +376,23 @@ object DedupQueries extends graft.QueryPack {
              |FROM (SELECT DISTINCT doc_id, ns FROM spans) s
              |LEFT JOIN ka USING (doc_id)""".stripMargin))
   )
+
+  /** q_d10's oracle — shared verbatim by q_d11 (inline bloom prefilter)
+    * and q_d16 (persisted bloom store): all three must produce the
+    * identical exact contamination report. */
+  private lazy val duckContamination: String =
+    s"""$duckShingles,
+       |bench AS (SELECT DISTINCT sh FROM exd WHERE doc_id % 50 = 0),
+       |train AS (SELECT doc_id, sh FROM exd WHERE doc_id % 50 <> 0),
+       |totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1),
+       |shared AS (
+       |  SELECT t.doc_id, COUNT(*) AS n_shared
+       |  FROM train t JOIN bench b ON b.sh = t.sh GROUP BY 1)
+       |SELECT t.doc_id,
+       |  COALESCE(s.n_shared, 0) AS n_shared,
+       |  t.n_shingles,
+       |  ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_shingles, 6) AS contamination
+       |FROM totals t LEFT JOIN shared s ON s.doc_id = t.doc_id""".stripMargin
 
   /** q_d12's oracle — shared verbatim by q_d13 (same classification, the
     * signature source is the only difference). */

@@ -143,6 +143,75 @@ class DedupClusterSpec extends AnyFunSuite {
         s"precisely so this never happens:\n$p")
   }
 
+  test("bloom-store contamination matches the in-memory report and never scans benchmark text") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloomstore_spec_").toString
+    val base = "the quick brown fox jumps over a lazy dog near the old stone bridge"
+    // benchmark docs land in their OWN parquet file so a score-time scan
+    // of it (the thing the store exists to prevent) is visible by path
+    Seq(
+      (100L, base),
+      (101L, "held out benchmark prose about evaluation suites and leakage risks today")
+    ).toDF("doc_id", "text").write.parquet(s"$tmp/bench_docs")
+    val bench = spark.read.parquet(s"$tmp/bench_docs")
+    val train = Seq(
+      (1L, base + " tonight"),
+      (2L, "unrelated training text mentioning databases columns rows and boring metadata")
+    ).toDF("doc_id", "text")
+    val trainShing = Dedup.docShingles(train, "text", "doc_id")
+    Dedup.writeContaminationStore(bench, "text", "doc_id", s"$tmp/store")
+    val viaStore = Dedup.contaminationAgainstStore(trainShing, s"$tmp/store")
+    // output equality with the in-memory exact report on the same fixture
+    val inMem = Dedup.contaminationReport(
+      trainShing, Dedup.docShingles(bench, "text", "doc_id"))
+    assert(viaStore.exceptAll(inMem).isEmpty && inMem.exceptAll(viaStore).isEmpty)
+    // doc 1 shares the overlapping base shingles; doc 2 shares none
+    val byId = viaStore.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) > 0L && byId(2L) === 0L)
+    // the score plan reads the store relations, never the benchmark text
+    val p = viaStore.queryExecution.executedPlan.toString
+    assert(p.contains("store/shingles"), s"stored shingles missing from plan:\n$p")
+    assert(!p.contains("bench_docs"),
+      s"the benchmark corpus was re-scanned — the store exists precisely " +
+        s"so this never happens:\n$p")
+  }
+
+  test("bloom-store slices merge: multi-slice store equals single-slice store") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloomslices_").toString
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val trainShing = Dedup.docShingles(Seq(
+      (1L, "gamma delta epsilon zeta eta theta plus new trailing words"),
+      (2L, "three four five six seven different tail tokens here"),
+      (3L, "nothing in common with either benchmark document at all")
+    ).toDF("doc_id", "text"), "text", "doc_id")
+    Dedup.writeContaminationStore(bench, "text", "doc_id", s"$tmp/s1", slices = 1)
+    Dedup.writeContaminationStore(bench, "text", "doc_id", s"$tmp/s4", slices = 4)
+    // identical geometry per slice means read-time mergeInPlace must
+    // reproduce the single-filter behavior bit-for-bit
+    val one = Dedup.contaminationAgainstStore(trainShing, s"$tmp/s1")
+    val four = Dedup.contaminationAgainstStore(trainShing, s"$tmp/s4")
+    assert(one.exceptAll(four).isEmpty && four.exceptAll(one).isEmpty)
+    assert(spark.read.parquet(s"$tmp/s4/blooms").count() > 1L,
+      "the 4-slice store should actually hold multiple bloom rows")
+  }
+
+  test("bloom-store empty benchmark degenerates to the all-zero report") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloomempty_").toString
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Dedup.writeContaminationStore(bench, "text", "doc_id", s"$tmp/store")
+    val trainShing = Dedup.docShingles(
+      Seq((1L, "some training words that overlap nothing because nothing exists"))
+        .toDF("doc_id", "text"), "text", "doc_id")
+    val got = Dedup.contaminationAgainstStore(trainShing, s"$tmp/store").collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(1) === 0L && got.head.getDouble(3) === 0.0)
+  }
+
   test("non-default shingleK threads through the whole signature path (regression)") {
     import spark.implicits._
     // the rescore must shingle the batch at the SAME k the store was
