@@ -68,6 +68,33 @@ object Profile {
       .withColumn("anonymous", col("n") >= k)
   }
 
+  /** Distinct l-diversity audit — [[kAnonymity]]'s standard complement
+    * (Machanavajjhala et al.): a class can be k-anonymous yet leak its
+    * sensitive attribute when every member shares one value (the
+    * homogeneity attack). Groups by the quasi tuple and counts the
+    * DISTINCT sensitive values alongside the class size; `diverse =
+    * n_sensitive >= l`. A null sensitive value counts as one more
+    * distinct value (knowing "it is missing" is a disclosure like any
+    * other), mirroring the null-segment stance of the k audit.
+    * Returns the quasi columns plus `(n, n_sensitive, diverse)`.
+    *
+    * Scale shape: ONE aggregation keyed by the quasi tuple — the count
+    * and the count-distinct share the scan (the distinct runs as the
+    * standard two-phase partial aggregate, still one keyed shuffle). */
+  def lDiversity(df: DataFrame, quasi: Seq[String], sensitive: String,
+      l: Int): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l-diversity needs l >= 2, got $l")
+    (quasi :+ sensitive).foreach(c => require(df.columns.contains(c),
+      s"column '$c' not in ${df.columns.mkString(", ")}"))
+    df.groupBy(quasi.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("n"),
+        (countDistinct(col(s"`$sensitive`")) +
+          max(when(col(s"`$sensitive`").isNull, 1L).otherwise(0L)))
+          .as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+  }
+
   /** Generalize-and-recheck k-anonymity REPAIR — what [[kAnonymity]]
     * (the audit) deliberately leaves to the caller, composed from the
     * two existing operators: numeric quasi-identifiers generalize by

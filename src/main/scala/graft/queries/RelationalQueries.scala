@@ -956,6 +956,26 @@ object RelationalQueries extends graft.QueryPack {
              |  COUNT(*) >= 10 AS anonymous
              |FROM customer GROUP BY 1, 2""".stripMargin)),
 
+    // ---- V13: distinct l-diversity audit --------------------------------
+    // The q_v4 audit's sensitive-attribute half: every (priority,
+    // order-year) class with its size and its count of DISTINCT order
+    // statuses — a k-anonymous class whose members all share one status
+    // still leaks it (homogeneity attack). One keyed aggregation; the
+    // count and count-distinct share the scan. Order-year is the
+    // classic generalized quasi-identifier (dates → years).
+    Q("q_v13_l_diversity",
+      (s, d) => graft.operators.Profile.lDiversity(
+        Tables.orders(s, d).withColumn("o_year", year(col("o_orderdate"))),
+        Seq("o_orderpriority", "o_year"), "o_orderstatus", 3),
+      Some("""SELECT o_orderpriority,
+             |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             |  COUNT(*) AS n,
+             |  COUNT(DISTINCT o_orderstatus) +
+             |    MAX(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_sensitive,
+             |  (COUNT(DISTINCT o_orderstatus) +
+             |    MAX(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)) >= 3 AS diverse
+             |FROM orders GROUP BY 1, 2""".stripMargin)),
+
     // ---- V5: pairwise correlation matrix, one aggregation job -----------
     // All six lineitem-measure correlations share a single scan (the
     // q_v2 Expand discipline applied to corr), unpivoted to long form.

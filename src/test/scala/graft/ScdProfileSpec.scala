@@ -274,6 +274,31 @@ class ScdProfileSpec extends AnyFunSuite {
       Profile.kAnonymity(df, Seq("country"), 1)).getMessage.contains("k >= 2"))
   }
 
+  test("l-diversity: homogeneous classes flagged, null sensitive counts as a value") {
+    import spark.implicits._
+    val df = Seq(
+      // k-anonymous (n=3) but every member shares one diagnosis → not diverse
+      ("US", Option("flu")), ("US", Option("flu")), ("US", Option("flu")),
+      // two distinct values, l=2 met
+      ("DE", Option("flu")), ("DE", Option("cold")),
+      // one real value + a null: the null is a distinct disclosure → l=2 met
+      ("FR", Option("flu")), ("FR", None)
+    ).toDF("country", "diagnosis")
+    val out = Profile.lDiversity(df, Seq("country"), "diagnosis", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(out === Set(
+      ("US", 3L, 1L, false),
+      ("DE", 2L, 2L, true),
+      ("FR", 2L, 2L, true)))
+    assert(intercept[IllegalArgumentException](
+      Profile.lDiversity(df, Seq("country"), "diagnosis", 1))
+      .getMessage.contains("l >= 2"))
+    assert(intercept[IllegalArgumentException](
+      Profile.lDiversity(df, Seq("country"), "nope", 2))
+      .getMessage.contains("not in"))
+  }
+
   test("k-anonymize: the ladder descends exactly until every class reaches k") {
     import spark.implicits._
     // 32 rows, one segment, values 1..32: 4 bins give classes of 8, so
