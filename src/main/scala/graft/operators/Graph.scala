@@ -115,6 +115,83 @@ object Graph {
       (col("rank_m").cast("double") / lit(1e6)).as("rank"))
   }
 
+  /** Personalized PageRank over directed `edges(src, dst)`: restart
+    * mass teleports to the `seeds` node set instead of uniformly — the
+    * proximity-to-trusted-seeds score web-corpus curation uses to
+    * weight sources by their link distance from a vetted whitelist
+    * (rather than by global popularity, which [[pageRank]] measures).
+    * Dangling mass likewise returns to the seeds, the standard
+    * formulation that keeps total mass at ~1.
+    *
+    * `seeds` is a keys-sized one-column (`node`) relation — it is
+    * deduplicated, intersected with the graph's nodes, and broadcast;
+    * seeds outside the graph are ignored (an empty intersection fails
+    * loudly). Iteration shape, integer micro-rank numerics, `tol`
+    * early-exit, and per-round lineage truncation are exactly
+    * [[pageRank]]'s — same bit-exact oracle replay discipline, with the
+    * seed flag deciding between the two FLOOR expressions per node.
+    * With seeds = ALL nodes this reduces to [[pageRank]] exactly
+    * (GraphSpec pins that equivalence). Returns `(node, rank)`. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      damping: Double = 0.85, tol: Option[Double] = None): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")
+    require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
+    tol.foreach(t => require(t >= 0, s"tol must be >= 0, got $t"))
+
+    val e = edges.select(col("src"), col("dst"))
+    val deg = Iterate.checkpoint(
+      e.groupBy("src").agg(count(lit(1)).as("__outdeg")))
+    val withDeg = Iterate.checkpoint(e.join(deg, "src"))
+    val seedSet = seeds.select(col("node")).distinct()
+      .withColumn("__sd", lit(true))
+    val nodes = Iterate.checkpoint(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(broadcast(seedSet), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__sd"), lit(false)).as("__seed")))
+    val s = nodes.filter(col("__seed")).count() // one driver scalar
+    require(s > 0, "personalizedPageRank: no seed appears in the graph")
+    // seed restart mass in micro-units — same IEEE op order as the oracle
+    val restartM = (1.0 - damping) * 1e6 / s
+
+    var ranks = nodes.select(col("node"), col("__seed"),
+      when(col("__seed"), lit(math.floor(1e6 / s + 0.5).toLong))
+        .otherwise(lit(0L)).as("rank_m"))
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
+      round += 1
+      val contribs = withDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          floor(col("rank_m") / col("__outdeg") + lit(0.5)).as("__c"))
+        .groupBy("dst").agg(sum("__c").as("__s"))
+      // dangling mass returns to the SEEDS (uniformly over s, not n)
+      val dangling = ranks
+        .join(deg, col("node") === col("src"), "left_anti")
+        .agg(coalesce(sum("rank_m"), lit(0L)).as("__dm"))
+      val prev = ranks.select(col("node"), col("rank_m").as("__prev"))
+      ranks = Iterate.checkpoint(nodes
+        .join(contribs, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("__seed"),
+          when(col("__seed"),
+            floor(lit(restartM) + lit(damping) *
+              (coalesce(col("__s"), lit(0L)).cast("double") +
+                col("__dm").cast("double") / s) + lit(0.5)))
+            .otherwise(floor(lit(damping) *
+              coalesce(col("__s"), lit(0L)).cast("double") + lit(0.5)))
+            .as("rank_m")))
+      tol.foreach { t =>
+        val movedM = ranks.join(prev, Seq("node"))
+          .agg(coalesce(sum(abs(col("rank_m") - col("__prev"))), lit(0L)))
+          .first().getLong(0)
+        if (movedM.toDouble / 1e6 <= t) converged = true
+      }
+    }
+    ranks.select(col("node"),
+      (col("rank_m").cast("double") / lit(1e6)).as("rank"))
+  }
+
   /** Label-propagation community detection over directed `edges(src,
     * dst)` — the lightweight community pass a curation pipeline runs to
     * group domains/sources before per-community mixing decisions (pass

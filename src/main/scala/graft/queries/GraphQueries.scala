@@ -19,6 +19,7 @@ import graft.sources.Tables
 object GraphQueries extends graft.QueryPack {
 
   private val iters = 5
+  private val pprIters = 3
   private val lpaIters = 3
 
   /** One LPA oracle round: labels `prev` → labels `out`. Mirrors
@@ -74,6 +75,40 @@ object GraphQueries extends graft.QueryPack {
        |    JOIN deg ON deg.src = e.src
        |    GROUP BY 1) s ON s.node = nodes.node)""".stripMargin
 
+  /** One personalized-PageRank oracle iteration: micro-ranks `prev` →
+    * `out`. Mirrors [[Graph.personalizedPageRank]] op for op — the seed
+    * CASE (suppliers, `node LIKE 's:%'`) selects between the
+    * restart+dangling expression (over the SEED count ss.s) and the
+    * bare damped-contribution expression. Same FLOOR/CAST discipline
+    * as [[duckIter]]. */
+  private def pprIter(out: String, prev: String): String =
+    s"""$out AS (
+       |  SELECT nodes.node,
+       |    CASE WHEN nodes.node LIKE 's:%' THEN
+       |      CAST(FLOOR(
+       |        (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * 1e6 / ss.s
+       |        + CAST(0.85 AS DOUBLE) *
+       |          (CAST(COALESCE(c.s, 0) AS DOUBLE)
+       |           + CAST(dm.dm AS DOUBLE) / ss.s)
+       |        + 0.5) AS BIGINT)
+       |    ELSE
+       |      CAST(FLOOR(CAST(0.85 AS DOUBLE) *
+       |        CAST(COALESCE(c.s, 0) AS DOUBLE) + 0.5) AS BIGINT)
+       |    END AS rank_m
+       |  FROM nodes
+       |  CROSS JOIN ss
+       |  CROSS JOIN (
+       |    SELECT COALESCE(SUM(r.rank_m), 0) AS dm
+       |    FROM $prev r
+       |    WHERE r.node NOT IN (SELECT src FROM deg)) dm
+       |  LEFT JOIN (
+       |    SELECT e.dst AS node,
+       |      SUM(CAST(FLOOR(r.rank_m / deg.outdeg + 0.5) AS BIGINT)) AS s
+       |    FROM e
+       |    JOIN $prev r ON e.src = r.node
+       |    JOIN deg ON deg.src = e.src
+       |    GROUP BY 1) c ON c.node = nodes.node)""".stripMargin
+
   def queries: Seq[Q] = Seq(
 
     // ---- G1: PageRank over the customer↔supplier trade graph ----------
@@ -108,6 +143,44 @@ object GraphQueries extends graft.QueryPack {
              |  FROM nodes CROSS JOIN nn),
              |${(1 to iters).map(i => duckIter(s"r$i", s"r${i - 1}")).mkString(",\n")}
              |SELECT node, CAST(rank_m AS DOUBLE) / 1e6 AS rank FROM r$iters""".stripMargin)),
+
+    // ---- G2: personalized PageRank, supplier-seeded ---------------------
+    // Same trade graph, restart mass teleporting to the SUPPLIER nodes
+    // only — proximity-to-seed-set ranking (the whitelist-weighted
+    // source scoring a web-corpus mixture uses), 3 rounds, same
+    // integer micro-rank replay discipline as q_g1.
+    Q("q_g2_ppr",
+      (s, d) => {
+        val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey")).as("c"),
+            concat(lit("s:"), col("l_suppkey")).as("ss"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("ss").as("dst"))
+          .unionAll(pairs.select(col("ss").as("src"), col("c").as("dst")))
+        Graph.personalizedPageRank(edges,
+          pairs.select(col("ss").as("node")), pprIters)
+      },
+      Some(s"""WITH p AS (
+             |  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS ss
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |e AS (
+             |  SELECT c AS src, ss AS dst FROM p
+             |  UNION ALL
+             |  SELECT ss AS src, c AS dst FROM p),
+             |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+             |nodes AS (SELECT DISTINCT node FROM (
+             |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+             |ss AS (SELECT COUNT(*) AS s FROM nodes WHERE node LIKE 's:%'),
+             |r0 AS (
+             |  SELECT node,
+             |    CASE WHEN node LIKE 's:%'
+             |      THEN CAST(FLOOR(1e6 / ss.s + 0.5) AS BIGINT)
+             |      ELSE 0 END AS rank_m
+             |  FROM nodes CROSS JOIN ss),
+             |${(1 to pprIters).map(i => pprIter(s"r$i", s"r${i - 1}")).mkString(",\n")}
+             |SELECT node, CAST(rank_m AS DOUBLE) / 1e6 AS rank FROM r$pprIters""".stripMargin)),
 
     // ---- G6: label-propagation communities over the same trade graph ----
     // Synchronous LPA, ties to the smallest label — pure integer/string

@@ -63,6 +63,44 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
   }
 
+  test("personalized pagerank with ALL nodes as seeds equals plain pagerank") {
+    import spark.implicits._
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c", "d" -> "a")
+      .toDF("src", "dst")
+    val allNodes = Seq("a", "b", "c", "d").toDF("node")
+    val plain = Graph.pageRank(edges, 5)
+    val ppr = Graph.personalizedPageRank(edges, allNodes, 5)
+    assert(ppr.exceptAll(plain).isEmpty && plain.exceptAll(ppr).isEmpty)
+  }
+
+  test("personalized pagerank: restart and dangling mass flow only to the seeds") {
+    import spark.implicits._
+    // a <-> b, seed = {a}: hand-unrolled round 1 — a keeps only its
+    // restart mass (150000 micro), b receives a's full damped rank
+    val edges = Seq("a" -> "b", "b" -> "a").toDF("src", "dst")
+    val r = Graph.personalizedPageRank(edges, Seq("a").toDF("node"), 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r === Map("a" -> 0.15, "b" -> 0.85))
+    assert(math.abs(r.values.sum - 1.0) < 1e-4)
+    // seeds outside the graph are ignored; none inside fails loudly
+    assert(intercept[IllegalArgumentException](
+      Graph.personalizedPageRank(edges, Seq("zz").toDF("node"), 1))
+      .getMessage.contains("no seed"))
+  }
+
+  test("personalized pagerank: proximity to the seed beats global popularity") {
+    import spark.implicits._
+    // hub is globally popular (every leaf links it); 'near' is linked
+    // FROM the seed only. Personalizing on the seed must rank 'near'
+    // above a leaf that the seed never reaches directly.
+    val edges = Seq("seed" -> "near", "near" -> "seed",
+      "l1" -> "hub", "l2" -> "hub", "hub" -> "l1", "hub" -> "l2")
+      .toDF("src", "dst")
+    val r = Graph.personalizedPageRank(edges, Seq("seed").toDF("node"), 5)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("near") > r("hub") && r("near") > r("l1"))
+  }
+
   test("label propagation: two cliques joined by one bridge keep distinct communities") {
     def clique(ns: Seq[String]) =
       for { a <- ns; b <- ns if a < b } yield a -> b
