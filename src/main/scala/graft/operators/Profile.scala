@@ -95,6 +95,61 @@ object Profile {
       .withColumn("diverse", col("n_sensitive") >= l)
   }
 
+  /** t-closeness audit — the third rung of the privacy ladder after
+    * [[kAnonymity]] and [[lDiversity]]: an l-diverse class still leaks
+    * when its sensitive-value DISTRIBUTION diverges from the corpus's
+    * (the skewness attack — "90% positive here vs 1% overall"). Per
+    * quasi class, the total-variation distance between the class's
+    * sensitive distribution and the global one:
+    * `tvd = ½ Σ_v |p_class(v) − p_global(v)|`, `close = tvd <= t`.
+    * Null sensitive values are a category of their own (the
+    * [[lDiversity]] stance), compared null-safely throughout.
+    *
+    * Numerics: the inner sum is EXACT — Σ_v |cnt_v·N − gcnt_v·n| in
+    * DECIMAL(38,0) over the (class × global-value) grid (longs would
+    * overflow once n·N exceeds 2⁶³, which a 100 TB corpus reaches) —
+    * and the only float op is the final division by 2·n·N, so the
+    * statistic is order-independent and an oracle replays it
+    * bit-for-bit (the micro-rank discipline applied to a statistic;
+    * DuckDB carries the same sum in HUGEINT).
+    *
+    * Scale shape: ONE corpus aggregation (the (quasi, value) counts);
+    * class sizes and the global value distribution both derive from
+    * that keys-sized relation, and the grid join is keys-sized ×
+    * values-sized — the corpus is never joined row-to-row. Returns
+    * the quasi columns plus `(n, tvd, close)`. */
+  def tCloseness(df: DataFrame, quasi: Seq[String], sensitive: String,
+      t: Double): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(t > 0 && t < 1, s"t-closeness needs 0 < t < 1, got $t")
+    (quasi :+ sensitive).foreach(c => require(df.columns.contains(c),
+      s"column '$c' not in ${df.columns.mkString(", ")}"))
+    val base = df.select(
+      (quasi.map(c => col(s"`$c`")) :+ col(s"`$sensitive`").as("__v")): _*)
+    val cv = base.groupBy((quasi :+ "__v").map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val classes = cv.groupBy(quasi.map(c => col(s"`$c`")): _*)
+      .agg(sum("__c").as("n"))
+    val gv = cv.groupBy(col("__v").as("__gv")).agg(sum("__c").as("__g"))
+    val tot = gv.agg(sum("__g").as("__N"))
+    val cvr = cv.select(
+      (quasi.map(c => col(s"`$c`").as(s"__r_$c")) :+
+        col("__v").as("__rv") :+ col("__c")): _*)
+    val joinCond = (quasi.map(c => col(s"`$c`") <=> col(s"__r_$c")) :+
+      (col("__gv") <=> col("__rv"))).reduce(_ && _)
+    val grid = classes.crossJoin(broadcast(gv)).crossJoin(broadcast(tot))
+      .join(cvr, joinCond, "left")
+    val term = abs(
+      coalesce(col("__c"), lit(0L)).cast("decimal(38,0)") * col("__N") -
+        col("__g").cast("decimal(38,0)") * col("n"))
+    grid.groupBy((quasi.map(c => col(s"`$c`")) :+ col("n") :+ col("__N")): _*)
+      .agg(sum(term).as("__inner"))
+      .select((quasi.map(c => col(s"`$c`")) :+ col("n") :+
+        (col("__inner").cast("double") /
+          (lit(2.0) * col("n") * col("__N"))).as("tvd")): _*)
+      .withColumn("close", col("tvd") <= lit(t))
+  }
+
   /** Generalize-and-recheck k-anonymity REPAIR — what [[kAnonymity]]
     * (the audit) deliberately leaves to the caller, composed from the
     * two existing operators: numeric quasi-identifiers generalize by

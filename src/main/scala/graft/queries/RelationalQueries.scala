@@ -976,6 +976,45 @@ object RelationalQueries extends graft.QueryPack {
              |    MAX(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)) >= 3 AS diverse
              |FROM orders GROUP BY 1, 2""".stripMargin)),
 
+    // ---- V14: t-closeness audit ----------------------------------------
+    // The privacy ladder's third rung: per (priority, order-year) class,
+    // the total-variation distance between the class's order-status
+    // distribution and the global one. The inner sum is exact (DECIMAL /
+    // HUGEINT), the only float op is the final division — bit-exact
+    // replay, no rounding anywhere.
+    Q("q_v14_t_closeness",
+      (s, d) => graft.operators.Profile.tCloseness(
+        Tables.orders(s, d).withColumn("o_year", year(col("o_orderdate"))),
+        Seq("o_orderpriority", "o_year"), "o_orderstatus", 0.2),
+      Some("""WITH b AS (SELECT o_orderpriority,
+             |    CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             |    o_orderstatus AS v
+             |  FROM orders),
+             |cv AS (SELECT o_orderpriority, o_year, v, COUNT(*) AS c
+             |  FROM b GROUP BY 1, 2, 3),
+             |cls AS (SELECT o_orderpriority, o_year, SUM(c) AS n
+             |  FROM cv GROUP BY 1, 2),
+             |gv AS (SELECT v, SUM(c) AS g FROM cv GROUP BY 1),
+             |-- the corpus total is named gn, NOT "N": DuckDB identifiers
+             |-- are case-insensitive, so n (class size) and N would be the
+             |-- same column and the formula would silently divide by n twice
+             |tot AS (SELECT SUM(g) AS gn FROM gv),
+             |j AS (SELECT cls.o_orderpriority, cls.o_year, cls.n,
+             |    gv.g, tot.gn, COALESCE(cv.c, 0) AS c
+             |  FROM cls CROSS JOIN gv CROSS JOIN tot
+             |  LEFT JOIN cv
+             |    ON cv.o_orderpriority IS NOT DISTINCT FROM cls.o_orderpriority
+             |   AND cv.o_year IS NOT DISTINCT FROM cls.o_year
+             |   AND cv.v IS NOT DISTINCT FROM gv.v)
+             |SELECT o_orderpriority, o_year, n,
+             |  CAST(SUM(ABS(CAST(c AS HUGEINT) * gn - CAST(g AS HUGEINT) * n))
+             |      AS DOUBLE)
+             |    / (CAST(2.0 AS DOUBLE) * n * gn) AS tvd,
+             |  (CAST(SUM(ABS(CAST(c AS HUGEINT) * gn - CAST(g AS HUGEINT) * n))
+             |      AS DOUBLE)
+             |    / (CAST(2.0 AS DOUBLE) * n * gn)) <= 0.2 AS close
+             |FROM j GROUP BY o_orderpriority, o_year, n, gn""".stripMargin)),
+
     // ---- V5: pairwise correlation matrix, one aggregation job -----------
     // All six lineitem-measure correlations share a single scan (the
     // q_v2 Expand discipline applied to corr), unpivoted to long form.

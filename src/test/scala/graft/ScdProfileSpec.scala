@@ -299,6 +299,40 @@ class ScdProfileSpec extends AnyFunSuite {
       .getMessage.contains("not in"))
   }
 
+  test("t-closeness: skewed classes flagged, balanced class passes, exact TVD") {
+    import spark.implicits._
+    // global: x:3, y:3 (N=6). A={x,x}: tvd = ½(|2/2−3/6| + |0−3/6|) = 0.5
+    // B={y,y}: symmetric 0.5. C={x,y}: matches the global mix, tvd = 0.
+    val df = Seq(
+      ("A", "x"), ("A", "x"),
+      ("B", "y"), ("B", "y"),
+      ("C", "x"), ("C", "y")
+    ).toDF("grp", "diag")
+    val out = Profile.tCloseness(df, Seq("grp"), "diag", 0.2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    assert(out === Set(
+      ("A", 2L, 0.5, false),
+      ("B", 2L, 0.5, false),
+      ("C", 2L, 0.0, true)))
+    assert(intercept[IllegalArgumentException](
+      Profile.tCloseness(df, Seq("grp"), "diag", 1.5))
+      .getMessage.contains("0 < t < 1"))
+  }
+
+  test("t-closeness: a null sensitive value is a category of its own") {
+    import spark.implicits._
+    // global: null:1, x:1 (N=2). E={null}: tvd = ½(|1/1−1/2| + |0−1/2|)
+    // = 0.5 — if nulls were dropped E's distribution would look empty
+    // and the distance would be wrong
+    val df = Seq(("E", Option.empty[String]), ("F", Option("x")))
+      .toDF("grp", "diag")
+    val out = Profile.tCloseness(df, Seq("grp"), "diag", 0.6)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+    assert(out === Set(("E", 0.5, true), ("F", 0.5, true)))
+  }
+
   test("k-anonymize: the ladder descends exactly until every class reaches k") {
     import spark.implicits._
     // 32 rows, one segment, values 1..32: 4 bins give classes of 8, so
