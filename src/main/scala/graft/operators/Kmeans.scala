@@ -285,6 +285,32 @@ object Kmeans {
     chosenDf().localCheckpoint(true)
   }
 
+  /** [[farthestFirstInit]] at scale — the sample-then-select form: ONE
+    * corpus pass extracts a deterministic sample of `k · sampleFactor`
+    * vectors (the lowest `md5(id)` values — pseudo-random spread, ties
+    * impossible across distinct ids, and replayable in any engine,
+    * unlike a seeded RNG), materializes it, and the k-serial greedy
+    * loop then runs against that bounded sample only. The corpus is
+    * never rescanned; each selection round is a sample-sized job
+    * instead of a corpus-sized one, so the sequential phase does
+    * O(k²·sampleFactor) scoring work total regardless of corpus size —
+    * the classic coreset trade (seed spread is computed over the
+    * sample, which for sampleFactor ≫ 1 tracks the full-corpus choice).
+    * With a sample covering the whole corpus this IS
+    * [[farthestFirstInit]] (SimilaritySpec pins the equivalence). */
+  def farthestFirstInitSampled(emb: DataFrame, k: Int,
+      sampleFactor: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2, s"need k >= 2 centroids, got $k")
+    require(sampleFactor >= 2, s"need sampleFactor >= 2, got $sampleFactor")
+    val sample = emb
+      .select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k * sampleFactor)
+      .localCheckpoint(true)
+    farthestFirstInit(sample, k, idCol, vecCol)
+  }
+
   /** Persist a trained quantizer `(centroid_id, cv)` so later batches
     * assign against it without retraining — the third leg of the
     * nightly-persistence triad ([[Dedup.writeCorpusSignatures]],

@@ -181,14 +181,16 @@ object SimilarityQueries extends graft.QueryPack {
 
   /** One farthest-first selection round: score every unchosen vector's
     * max 6-dp cosine against the chosen set `ch{n}`, pick the argmin
-    * (ties to the lowest vec_id), append as ordinal `n` → `ch{n+1}`. */
-  private def ffStep(n: Int): String =
+    * (ties to the lowest vec_id), append as ordinal `n` → `ch{n+1}`.
+    * `ex` names the candidate-vector relation — "ex" for the full
+    * corpus (q_sim7), the sampled CTE for q_sim11. */
+  private def ffStep(n: Int, ex: String = "ex"): String =
     s"""d_ff$n AS MATERIALIZED (
        |  SELECT a.vec_id, c.cid,
        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
        |  FROM ch$n c
-       |  JOIN ex b ON b.vec_id = c.cid
-       |  JOIN ex a ON a.i = b.i
+       |  JOIN $ex b ON b.vec_id = c.cid
+       |  JOIN $ex a ON a.i = b.i
        |  WHERE a.vec_id NOT IN (SELECT cid FROM ch$n)
        |  GROUP BY 1, 2),
        |s_ff$n AS MATERIALIZED (
@@ -209,7 +211,20 @@ object SimilarityQueries extends graft.QueryPack {
     * handles before it exhausts patience. */
   private val duckFf: String = (Seq(
     "ch1 AS MATERIALIZED (SELECT 0 AS ord, MIN(vec_id) AS cid FROM embeddings)") ++
-    (1 to 7).map(ffStep)).mkString(",\n")
+    (1 to 7).map(n => ffStep(n))).mkString(",\n")
+
+  /** q_sim11's sampled farthest-first chain: the candidate pool is the
+    * k·sampleFactor lowest-md5(id) vectors (the engine's deterministic
+    * sample), and every selection round scores against that pool only.
+    * Mirrors [[graft.operators.Kmeans.farthestFirstInitSampled]]. */
+  private def duckFfSampled(sampleN: Int): String = (Seq(
+    s"""samp AS MATERIALIZED (
+       |  SELECT vec_id FROM (SELECT DISTINCT vec_id FROM ex)
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $sampleN)""".stripMargin,
+    """exs AS MATERIALIZED (
+      |  SELECT ex.* FROM ex JOIN samp USING (vec_id))""".stripMargin,
+    "ch1 AS MATERIALIZED (SELECT 0 AS ord, MIN(vec_id) AS cid FROM samp)") ++
+    (1 to 7).map(n => ffStep(n, ex = "exs"))).mkString(",\n")
 
   override def queries: Seq[Q] = Seq(
 
@@ -304,6 +319,30 @@ object SimilarityQueries extends graft.QueryPack {
       },
       Some(s"""$duckEx,
               |$duckFf,
+              |c0 AS (SELECT CAST(c.ord AS BIGINT) AS centroid_id,
+              |    CAST(e.v AS DOUBLE) AS cv, e.i
+              |  FROM ch8 c JOIN ex e ON e.vec_id = c.cid),
+              |${kmIter(1)},
+              |${kmIter(2)}
+              |SELECT centroid_id, i AS dim, cv AS cval FROM c2""".stripMargin)),
+
+    // ---- SIM11: SAMPLED farthest-first init + Lloyd training ------------
+    // q_sim7's scale form: one md5-ordered corpus pass extracts a
+    // k·32-vector sample, the k-serial greedy loop runs over the
+    // SAMPLE only (sample-sized jobs, corpus never rescanned), then
+    // Lloyd trains on the full corpus as usual. The oracle replays the
+    // sample cut, all 7 selection rounds over it, and both Lloyd
+    // iterations — bit-identical across engines.
+    Q("q_sim11_ff_sampled",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Kmeans.trainFrom(e, Kmeans.farthestFirstInitSampled(e, 8, 32), 2)
+          .select(col("centroid_id"), posexplode(col("cv")).as(Seq("p", "x")))
+          .select(col("centroid_id"), (col("p") + 1).cast("long").as("dim"),
+            col("x").cast("double").as("cval"))
+      },
+      Some(s"""$duckEx,
+              |${duckFfSampled(8 * 32)},
               |c0 AS (SELECT CAST(c.ord AS BIGINT) AS centroid_id,
               |    CAST(e.v AS DOUBLE) AS cv, e.i
               |  FROM ch8 c JOIN ex e ON e.vec_id = c.cid),

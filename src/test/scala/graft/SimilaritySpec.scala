@@ -398,6 +398,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ff.map(_._2.toSeq).toSeq === again.map(_._2.toSeq).toSeq)
   }
 
+  test("sampled farthest-first: full-coverage sample equals the unsampled init") {
+    val n = emb.count().toInt
+    // sampleFactor large enough that the md5 cut keeps every vector —
+    // the sampled path must then reproduce farthestFirstInit exactly
+    val full = Kmeans.farthestFirstInit(emb, 8)
+    val sampled = Kmeans.farthestFirstInitSampled(emb, 8,
+      sampleFactor = n / 8 + 1)
+    assert(sampled.exceptAll(full).isEmpty && full.exceptAll(sampled).isEmpty)
+  }
+
+  test("sampled farthest-first: a bounded sample still yields k spread seeds") {
+    val sampled = Kmeans.farthestFirstInitSampled(emb, 8, sampleFactor = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    assert(sampled.length === 8 && sampled.map(_._1).toSeq === (0L until 8L))
+    assert(sampled.map(_._2).distinct.length === 8,
+      "sampled seeding picked a duplicate vector")
+    // deterministic: the md5 cut and the greedy chain have no randomness
+    val again = Kmeans.farthestFirstInitSampled(emb, 8, sampleFactor = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    assert(sampled.toSeq === again.toSeq)
+    assert(intercept[IllegalArgumentException](
+      Kmeans.farthestFirstInitSampled(emb, 8, sampleFactor = 1))
+      .getMessage.contains("sampleFactor"))
+  }
+
   test("kmeans||: trains k=64 seeds in O(rounds) passes, deterministically") {
     val a = Kmeans.kmeansParallelInit(emb, 64, rounds = 3, oversample = 32)
     val rows = a.orderBy("centroid_id").collect()
