@@ -324,6 +324,70 @@ object EventStreams {
       }
   }
 
+  final case class RetentionCell(user_id: Long,
+    cohort_week: java.time.LocalDate, week_offset: Int)
+  private[streaming] final case class RetentionState(
+    cohortDay: Long, emitted: List[Long], buffer: List[Long])
+
+  /** STREAMING weekly retention — the incremental twin of
+    * [[graft.operators.Behavior.retention]]: emits one [[RetentionCell]]
+    * per (user, week-offset) the first time that activity week
+    * finalizes; cohort counts are the downstream
+    * `groupBy(cohort_week, week_offset).count` (StreamingPropertySpec
+    * proves the emitted cells == the batch operator's counts under
+    * random arrival orders and batch splits).
+    *
+    * Same finalized-prefix construction as [[sessionTags]]: events
+    * below the watermark finalize in ascending event-time order, so
+    * the FIRST finalized event pins the user's cohort week permanently
+    * — any later arrival carries ts >= watermark > that event, and
+    * can therefore never predate it. Week truncation is the Monday of
+    * the event's UTC day, matching `date_trunc("week", ts)` under the
+    * engine's UTC session timezone. Per-user state is the cohort day,
+    * the emitted offset list (one entry per ACTIVE week — bounded by
+    * the observation span, not the event count), and only
+    * in-allowance buffered event times. */
+  def retentionCells(spark: SparkSession, events: DataFrame,
+      watermark: String = "10 minutes"): Dataset[RetentionCell] = {
+    import spark.implicits._
+    def mondayOf(us: Long): Long = {
+      val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(us, 86400000000L))
+      d.minusDays(d.getDayOfWeek.getValue - 1L).toEpochDay
+    }
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[RetentionState]) =>
+          val st = state.getOption.getOrElse(
+            RetentionState(Long.MinValue, Nil, Nil))
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val fresh = rows.map(_._2).filter(_ >= wmMicros)
+          val merged = (st.buffer ++ fresh).sorted
+          val (fin, keep) = merged.partition(_ < wmMicros)
+          var cohort = st.cohortDay
+          var emitted = st.emitted
+          val out = List.newBuilder[RetentionCell]
+          fin.foreach { us =>
+            val wk = mondayOf(us)
+            if (cohort == Long.MinValue) cohort = wk
+            val off = (wk - cohort) / 7L
+            if (!emitted.contains(off)) {
+              emitted = off :: emitted
+              out += RetentionCell(userId,
+                java.time.LocalDate.ofEpochDay(cohort), off.toInt)
+            }
+          }
+          state.update(RetentionState(cohort, emitted, keep))
+          keep.headOption.foreach(b =>
+            state.setTimeoutTimestamp(b / 1000L + 1L))
+          out.result().iterator
+      }
+  }
+
   /** Drive a stream to a named in-memory table synchronously (local
     * smoke path; production uses real sinks + triggers). */
   def runToMemory(df: DataFrame, name: String, mode: String): StreamingQuery = {

@@ -211,6 +211,41 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming retention: cohort pins to the first FINALIZED week, late events drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday. Tight 1-hour allowance: after batch 2's
+    // sentinel-free advance, u1's week-0 activity is final; the week-0
+    // event arriving in batch 3 (far below the watermark) must DROP,
+    // not re-emit or shift the cohort.
+    val input = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "event_id", "event_type", "ts")
+    val q = EventStreams.retentionCells(spark, events, watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ret_incr").start()
+    try {
+      Seq(
+        // u1 active in week 0 and week 2
+        Seq((1L, 1L, "view", ts("2024-01-02 10:00:00")),
+          (1L, 2L, "view", ts("2024-01-16 10:00:00"))),
+        // watermark advances far past week 2
+        Seq((99L, 998L, "view", ts("2024-03-01 00:00:00"))),
+        // a week-0 straggler for u1: below the watermark → dropped;
+        // a second week-2 event: offset 2 already emitted → no new cell
+        Seq((1L, 3L, "view", ts("2024-01-03 09:00:00")),
+          (1L, 4L, "view", ts("2024-01-17 09:00:00"))),
+        Seq((99L, 999L, "view", ts("2024-03-02 00:00:00"))),
+        Seq((99L, 997L, "view", ts("2024-03-03 00:00:00")))
+      ).foreach { b => input.addData(b); q.processAllAvailable() }
+      val got = spark.table("ret_incr").filter(col("user_id") === 1L)
+        .collect()
+        .map(r => (r.getDate(1).toString, r.getInt(2))).sorted.toSeq
+      assert(got === Seq(("2024-01-01", 0), ("2024-01-01", 2)),
+        "u1: cohort week 2024-01-01, offsets 0 and 2, each emitted once")
+    } finally q.stop()
+  }
+
   test("stream-static dimension enrichment == batch enrichment") {
     val dim = EventStreams.segmentDim(
       spark.read.parquet(s"$dir/customer.parquet"))

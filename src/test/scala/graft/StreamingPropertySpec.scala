@@ -83,6 +83,45 @@ class StreamingPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Retention needs MULTI-WEEK spread: same shape as [[eventsGen]] but
+    * timestamps range over ~5 weeks at hour granularity. */
+  private val weeksGen: Gen[List[(Long, Long, String, java.sql.Timestamp)]] =
+    for {
+      n <- Gen.chooseNum(8, 16)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 3L)
+        h <- Gen.chooseNum(0L, 35L * 24L)
+      } yield (u, h))
+    } yield rows.zipWithIndex.map { case ((u, h), i) =>
+      (u, i.toLong, "view", new java.sql.Timestamp(base + h * 3600000L))
+    }
+
+  test("property: streaming retention == batch for random events and arrival orders") {
+    forAll(weeksGen, 5) { (rows, i) =>
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+      val events = input.toDF().toDF("user_id", "event_id", "event_type", "ts")
+      val q = EventStreams.retentionCells(spark, events, watermark = "90 days")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"prop_ret_$i").start()
+      try {
+        arrivalBatches(rows, i).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+        val streamed = spark.table(s"prop_ret_$i")
+          .filter(col("user_id") =!= 99L)
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(count(lit(1)).as("users"))
+        val batch = Behavior.retention(
+            rows.toDF("user_id", "event_id", "event_type", "ts"))
+          .select(col("cohort_week"), col("week_offset"), col("users"))
+        assert(streamed.exceptAll(batch).count() === 0 &&
+          batch.exceptAll(streamed).count() === 0,
+          s"seed $i: retention cohorts diverged from the batch operator")
+      } finally q.stop()
+    }
+  }
+
   test("property: streaming funnel == batch for random events and arrival orders") {
     val steps = Seq("view", "cart", "buy")
     forAll(eventsGen, 5) { (rows, i) =>
