@@ -591,16 +591,43 @@ object Dedup {
     * beyond; never quadratic. Output: (sid, n_shared, n_shingles,
     * contamination = shared/total rounded 6dp) for every training doc
     * with ≥1 shingle; docs sharing nothing report 0. */
-  def contaminationReport(trainShing: DataFrame, benchShing: DataFrame): DataFrame = {
-    val benchSet = benchShing.select(col("sh")).distinct()
+  def contaminationReport(trainShing: DataFrame, benchShing: DataFrame): DataFrame =
+    contaminationTail(trainShing, trainShing,
+      benchShing.select(col("sh")).distinct())
+
+  /** The contamination report's shared tail — totals over the FULL
+    * training shingle relation, exact semi-join of the (possibly
+    * bloom-prefiltered) candidate relation against the benchmark set,
+    * the coalesce/round final projection. One body behind
+    * [[contaminationReport]] / [[contaminationReportBloom]] /
+    * [[contaminationAgainstStore]], so the three-way output-identity
+    * contract (they share q_d10's oracle verbatim) is structural, not
+    * copy-discipline. */
+  private def contaminationTail(trainShing: DataFrame, candidates: DataFrame,
+      benchSet: DataFrame): DataFrame = {
     val totals = trainShing.groupBy(col("sid")).agg(count(lit(1)).as("n_shingles"))
-    val shared = trainShing.join(benchSet, Seq("sh"), "left_semi")
+    val shared = candidates.join(benchSet, Seq("sh"), "left_semi")
       .groupBy(col("sid")).agg(count(lit(1)).as("n_shared"))
     totals.join(shared, Seq("sid"), "left")
       .select(col("sid"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         col("n_shingles"),
         round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"), 6)
           .as("contamination"))
+  }
+
+  /** Map-side `might_contain` prefilter of the training shingles
+    * against an inlined bloom blob — shared by the inline and
+    * store-backed report variants. A null blob (empty benchmark /
+    * empty store) keeps nothing: might_contain(null, …) is null. */
+  private def bloomPrefilter(trainShing: DataFrame,
+      blob: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge.{column => ccol, expression => cexpr}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    trainShing
+      .filter(ccol(new BloomFilterMightContain(
+        Literal.create(blob, org.apache.spark.sql.types.BinaryType),
+        new XxHash64(Seq(cexpr(col("sh")))))))
+      .select(col("sid"), col("sh"))
   }
 
   /** [[contaminationReport]] with a BLOOM-FILTER pre-pass: the benchmark
@@ -619,34 +646,22 @@ object Dedup {
     // behind Spark's own InjectRuntimeFilter; they have no public DSL
     // wrapper, so the columns are built through the sql-package bridge
     import org.apache.spark.sql.graftbridge.GraftSqlBridge.{column => ccol, expression => cexpr}
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val benchSet = benchShing.select(col("sh")).distinct()
     val bloom = benchSet.agg(
       ccol(new BloomFilterAggregate(new XxHash64(Seq(cexpr(col("sh")))),
         Literal(expectedItems), Literal(numBits)).toAggregateExpression()).as("bf"))
-    val totals = trainShing.groupBy(col("sid")).agg(count(lit(1)).as("n_shingles"))
     // might_contain demands a CONSTANT bloom (or a scalar subquery) — the
     // same contract Spark's InjectRuntimeFilter satisfies by executing the
     // build side first and inlining the blob. Mirror that: materialize the
     // ONE-row aggregate (a bounded driver action, numBits/8 bytes — the
     // same blob a broadcast would ship) and embed it as a binary literal.
     // An EMPTY benchmark yields a null blob; might_contain(null,…) is
-    // null, the filter keeps nothing, and the left join below reports
+    // null, the filter keeps nothing, and the tail's left join reports
     // all-zero contamination — same as the plain report, no guard needed.
     val blob = bloom.head().getAs[Array[Byte]]("bf")
-    val prefiltered = trainShing
-      .filter(ccol(new BloomFilterMightContain(
-        Literal.create(blob, org.apache.spark.sql.types.BinaryType),
-        new XxHash64(Seq(cexpr(col("sh")))))))
-      .select(col("sid"), col("sh"))
-    val shared = prefiltered.join(benchSet, Seq("sh"), "left_semi")
-      .groupBy(col("sid")).agg(count(lit(1)).as("n_shared"))
-    totals.join(shared, Seq("sid"), "left")
-      .select(col("sid"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        col("n_shingles"),
-        round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"), 6)
-          .as("contamination"))
+    contaminationTail(trainShing, bloomPrefilter(trainShing, blob), benchSet)
   }
 
   /** Persist the decontamination artifacts ONCE — the train-once half of
@@ -691,8 +706,6 @@ object Dedup {
     * the all-zero report through the same null-blob contract the
     * inline variant documents. */
   def contaminationAgainstStore(trainShing: DataFrame, dir: String): DataFrame = {
-    import org.apache.spark.sql.graftbridge.GraftSqlBridge.{column => ccol, expression => cexpr}
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     val spark = trainShing.sparkSession
     // bounded driver read: one row per slice, numBits/8 bytes each —
     // the same blob size a broadcast would ship
@@ -708,20 +721,8 @@ object Dedup {
         merged.writeTo(out)
         out.toByteArray
       }
-    val benchSet = spark.read.parquet(s"$dir/shingles")
-    val totals = trainShing.groupBy(col("sid")).agg(count(lit(1)).as("n_shingles"))
-    val prefiltered = trainShing
-      .filter(ccol(new BloomFilterMightContain(
-        Literal.create(blob, org.apache.spark.sql.types.BinaryType),
-        new XxHash64(Seq(cexpr(col("sh")))))))
-      .select(col("sid"), col("sh"))
-    val shared = prefiltered.join(benchSet, Seq("sh"), "left_semi")
-      .groupBy(col("sid")).agg(count(lit(1)).as("n_shared"))
-    totals.join(shared, Seq("sid"), "left")
-      .select(col("sid"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        col("n_shingles"),
-        round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"), 6)
-          .as("contamination"))
+    contaminationTail(trainShing, bloomPrefilter(trainShing, blob),
+      spark.read.parquet(s"$dir/shingles"))
   }
 
   /** Connected components over an undirected candidate-pair graph — the

@@ -56,7 +56,18 @@ object Graph {
     * round count reproduces it (GraphSpec pins early-exit ==
     * fixed-iters at the stop round). `iters` stays the hard ceiling. */
   def pageRank(edges: DataFrame, iters: Int,
-      damping: Double = 0.85, tol: Option[Double] = None): DataFrame = {
+      damping: Double = 0.85, tol: Option[Double] = None): DataFrame =
+    pageRankCore(edges, seeds = None, iters, damping, tol)
+
+  /** The one seeded power-iteration core behind [[pageRank]] (seeds =
+    * None → every node is a seed, the uniform-restart classic) and
+    * [[personalizedPageRank]] (seeds = Some(set)). Factored so a fix to
+    * the round shape lands in exactly one place — the all-seeds case is
+    * spec-pinned bit-identical to the dedicated plain form this
+    * replaced (GraphSpec), and q_g1's oracle hash re-proves it at
+    * sf0.01 every round. */
+  private def pageRankCore(edges: DataFrame, seeds: Option[DataFrame],
+      iters: Int, damping: Double, tol: Option[Double]): DataFrame = {
     require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")
     require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
     tol.foreach(t => require(t >= 0, s"tol must be >= 0, got $t"))
@@ -68,16 +79,27 @@ object Graph {
     val deg = Iterate.checkpoint(
       e.groupBy("src").agg(count(lit(1)).as("__outdeg")))
     val withDeg = Iterate.checkpoint(e.join(deg, "src"))
-    val nodes = Iterate.checkpoint(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
-    val n = nodes.count() // one driver scalar — the node count
-    require(n > 0, "pageRank: empty edge list")
-    // restart mass per node, in micro-units — same IEEE op order as the
-    // oracle: (1 - d), × 1e6, ÷ n
-    val restartM = (1.0 - damping) * 1e6 / n
+    val allNodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nodes = Iterate.checkpoint(seeds match {
+      case Some(sd) =>
+        val seedSet = sd.select(col("node")).distinct()
+          .withColumn("__sd", lit(true))
+        allNodes.join(broadcast(seedSet), Seq("node"), "left")
+          .select(col("node"), coalesce(col("__sd"), lit(false)).as("__seed"))
+      case None => allNodes.withColumn("__seed", lit(true))
+    })
+    val s = nodes.filter(col("__seed")).count() // one driver scalar
+    require(s > 0,
+      if (seeds.isDefined) "personalizedPageRank: no seed appears in the graph"
+      else "pageRank: empty edge list")
+    // restart mass per seed, in micro-units — same IEEE op order as the
+    // oracle: (1 - d), × 1e6, ÷ s (s = node count in the plain form)
+    val restartM = (1.0 - damping) * 1e6 / s
 
-    var ranks = nodes.withColumn("rank_m",
-      lit(math.floor(1e6 / n + 0.5).toLong))
+    var ranks = nodes.select(col("node"), col("__seed"),
+      when(col("__seed"), lit(math.floor(1e6 / s + 0.5).toLong))
+        .otherwise(lit(0L)).as("rank_m"))
     var round = 0
     var converged = false
     while (round < iters && !converged) {
@@ -89,8 +111,9 @@ object Graph {
         .select(col("dst"),
           floor(col("rank_m") / col("__outdeg") + lit(0.5)).as("__c"))
         .groupBy("dst").agg(sum("__c").as("__s"))
-      // rank mass sitting on dangling nodes (no out-edges), redistributed
-      // uniformly; 1-row aggregate, pure integer sum — exact
+      // rank mass sitting on dangling nodes (no out-edges), returned to
+      // the seeds uniformly (= all nodes in the plain form); 1-row
+      // aggregate, pure integer sum — exact
       val dangling = ranks
         .join(deg, col("node") === col("src"), "left_anti")
         .agg(coalesce(sum("rank_m"), lit(0L)).as("__dm"))
@@ -98,10 +121,14 @@ object Graph {
       ranks = Iterate.checkpoint(nodes
         .join(contribs, col("node") === col("dst"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("node"),
-          floor(lit(restartM) + lit(damping) *
-            (coalesce(col("__s"), lit(0L)).cast("double") +
-              col("__dm").cast("double") / n) + lit(0.5)).as("rank_m")))
+        .select(col("node"), col("__seed"),
+          when(col("__seed"),
+            floor(lit(restartM) + lit(damping) *
+              (coalesce(col("__s"), lit(0L)).cast("double") +
+                col("__dm").cast("double") / s) + lit(0.5)))
+            .otherwise(floor(lit(damping) *
+              coalesce(col("__s"), lit(0L)).cast("double") + lit(0.5)))
+            .as("rank_m")))
       tol.foreach { t =>
         // exact-integer movement scalar: ranks are materialized by the
         // checkpoint, so this keys-sized join reads blocks, not lineage
@@ -133,64 +160,8 @@ object Graph {
     * With seeds = ALL nodes this reduces to [[pageRank]] exactly
     * (GraphSpec pins that equivalence). Returns `(node, rank)`. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
-      damping: Double = 0.85, tol: Option[Double] = None): DataFrame = {
-    require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")
-    require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
-    tol.foreach(t => require(t >= 0, s"tol must be >= 0, got $t"))
-
-    val e = edges.select(col("src"), col("dst"))
-    val deg = Iterate.checkpoint(
-      e.groupBy("src").agg(count(lit(1)).as("__outdeg")))
-    val withDeg = Iterate.checkpoint(e.join(deg, "src"))
-    val seedSet = seeds.select(col("node")).distinct()
-      .withColumn("__sd", lit(true))
-    val nodes = Iterate.checkpoint(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .join(broadcast(seedSet), Seq("node"), "left")
-      .select(col("node"), coalesce(col("__sd"), lit(false)).as("__seed")))
-    val s = nodes.filter(col("__seed")).count() // one driver scalar
-    require(s > 0, "personalizedPageRank: no seed appears in the graph")
-    // seed restart mass in micro-units — same IEEE op order as the oracle
-    val restartM = (1.0 - damping) * 1e6 / s
-
-    var ranks = nodes.select(col("node"), col("__seed"),
-      when(col("__seed"), lit(math.floor(1e6 / s + 0.5).toLong))
-        .otherwise(lit(0L)).as("rank_m"))
-    var round = 0
-    var converged = false
-    while (round < iters && !converged) {
-      round += 1
-      val contribs = withDeg
-        .join(ranks, col("src") === col("node"))
-        .select(col("dst"),
-          floor(col("rank_m") / col("__outdeg") + lit(0.5)).as("__c"))
-        .groupBy("dst").agg(sum("__c").as("__s"))
-      // dangling mass returns to the SEEDS (uniformly over s, not n)
-      val dangling = ranks
-        .join(deg, col("node") === col("src"), "left_anti")
-        .agg(coalesce(sum("rank_m"), lit(0L)).as("__dm"))
-      val prev = ranks.select(col("node"), col("rank_m").as("__prev"))
-      ranks = Iterate.checkpoint(nodes
-        .join(contribs, col("node") === col("dst"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"), col("__seed"),
-          when(col("__seed"),
-            floor(lit(restartM) + lit(damping) *
-              (coalesce(col("__s"), lit(0L)).cast("double") +
-                col("__dm").cast("double") / s) + lit(0.5)))
-            .otherwise(floor(lit(damping) *
-              coalesce(col("__s"), lit(0L)).cast("double") + lit(0.5)))
-            .as("rank_m")))
-      tol.foreach { t =>
-        val movedM = ranks.join(prev, Seq("node"))
-          .agg(coalesce(sum(abs(col("rank_m") - col("__prev"))), lit(0L)))
-          .first().getLong(0)
-        if (movedM.toDouble / 1e6 <= t) converged = true
-      }
-    }
-    ranks.select(col("node"),
-      (col("rank_m").cast("double") / lit(1e6)).as("rank"))
-  }
+      damping: Double = 0.85, tol: Option[Double] = None): DataFrame =
+    pageRankCore(edges, Some(seeds), iters, damping, tol)
 
   /** Label-propagation community detection over directed `edges(src,
     * dst)` — the lightweight community pass a curation pipeline runs to

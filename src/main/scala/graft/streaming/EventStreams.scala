@@ -218,6 +218,25 @@ object EventStreams {
     * 100 TB the O(1) residue is the deliberate trade for stable session
     * numbering (evicting idle users — the [[statefulUserCounts]]
     * timeout pattern — would restart their numbering). */
+  /** The finalized-prefix operators' watermark floor in micros.
+    * `getCurrentWatermarkMs()` returns 0 before ANY watermark exists
+    * (the first micro-batches); treating that 0 as a real watermark
+    * inside the state function would finalize or drop events against a
+    * phantom 1970 boundary. MinValue keeps everything buffered until a
+    * genuine watermark is established.
+    *
+    * Engine boundary, documented honestly: Spark's OWN late-row filter
+    * runs UPSTREAM of flatMapGroupsWithState against that same initial
+    * 0 watermark, so pre-epoch (negative-micros) events arriving in
+    * the first micro-batches are dropped by the ENGINE before any
+    * state function sees them (EventStreamsSpec pins this). Streams of
+    * historical pre-1970 data diverge from the batch operators for
+    * exactly those rows — a Spark watermark-model property, not an
+    * operator choice; this floor only guarantees the state machines
+    * add no second phantom boundary of their own. */
+  private def watermarkFloorMicros(wmMs: Long): Long =
+    if (wmMs == 0L) Long.MinValue else wmMs * 1000L
+
   def sessionTags(spark: SparkSession, events: DataFrame,
       gapSeconds: Long = 1800L,
       watermark: String = "10 minutes"): Dataset[SessionTag] = {
@@ -236,7 +255,7 @@ object EventStreams {
         (userId: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
             state: GroupState[SessionState]) =>
           val st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, Nil))
-          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val wmMicros = watermarkFloorMicros(state.getCurrentWatermarkMs())
           // too-late arrivals (older than the watermark) drop here; the
           // buffered events below the watermark became final instead
           val fresh = rows.map(r => (r._3, r._2)).filter(_._1 >= wmMicros)
@@ -300,7 +319,7 @@ object EventStreams {
         (userId: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
             state: GroupState[FunnelState]) =>
           val st = state.getOption.getOrElse(FunnelState(0, Long.MinValue, Nil))
-          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val wmMicros = watermarkFloorMicros(state.getCurrentWatermarkMs())
           val fresh = rows.map(r => (r._3, r._2)).filter(_._1 >= wmMicros)
           val merged = (st.buffer ++ fresh).sorted
           val (fin, keep) = merged.partition(_._1 < wmMicros)
@@ -364,7 +383,7 @@ object EventStreams {
             state: GroupState[RetentionState]) =>
           val st = state.getOption.getOrElse(
             RetentionState(Long.MinValue, Nil, Nil))
-          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val wmMicros = watermarkFloorMicros(state.getCurrentWatermarkMs())
           val fresh = rows.map(_._2).filter(_ >= wmMicros)
           val merged = (st.buffer ++ fresh).sorted
           val (fin, keep) = merged.partition(_ < wmMicros)

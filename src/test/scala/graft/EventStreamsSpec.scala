@@ -226,15 +226,17 @@ class EventStreamsSpec extends AnyFunSuite {
       .queryName("ret_incr").start()
     try {
       Seq(
-        // u1 active in week 0 and week 2
+        // u1 active in week 0 and TWICE in week 2 — both week-2 events
+        // finalize together, so the second must hit the emitted-offset
+        // dedup branch and produce no duplicate cell
         Seq((1L, 1L, "view", ts("2024-01-02 10:00:00")),
-          (1L, 2L, "view", ts("2024-01-16 10:00:00"))),
-        // watermark advances far past week 2
-        Seq((99L, 998L, "view", ts("2024-03-01 00:00:00"))),
-        // a week-0 straggler for u1: below the watermark → dropped;
-        // a second week-2 event: offset 2 already emitted → no new cell
-        Seq((1L, 3L, "view", ts("2024-01-03 09:00:00")),
+          (1L, 2L, "view", ts("2024-01-16 10:00:00")),
           (1L, 4L, "view", ts("2024-01-17 09:00:00"))),
+        // watermark advances far past week 2 → everything above is final
+        Seq((99L, 998L, "view", ts("2024-03-01 00:00:00"))),
+        // a week-0 straggler for u1: below the watermark → dropped, the
+        // cohort must not shift and offset 0 must not re-emit
+        Seq((1L, 3L, "view", ts("2024-01-03 09:00:00"))),
         Seq((99L, 999L, "view", ts("2024-03-02 00:00:00"))),
         Seq((99L, 997L, "view", ts("2024-03-03 00:00:00")))
       ).foreach { b => input.addData(b); q.processAllAvailable() }
@@ -243,6 +245,42 @@ class EventStreamsSpec extends AnyFunSuite {
         .map(r => (r.getDate(1).toString, r.getInt(2))).sorted.toSeq
       assert(got === Seq(("2024-01-01", 0), ("2024-01-01", 2)),
         "u1: cohort week 2024-01-01, offsets 0 and 2, each emitted once")
+    } finally q.stop()
+  }
+
+  test("streaming retention: the engine drops pre-1970 events at the initial watermark (documented boundary)") {
+    // Spark's late-row filter runs upstream of flatMapGroupsWithState
+    // against the INITIAL watermark of 0 (= 1970-01-01), so pre-epoch
+    // events in the first batches never reach the state function — an
+    // engine watermark-model property the operator scaladoc documents.
+    // This pin exists so a Spark behavior change (or an accidental
+    // second phantom boundary in OUR state machines) is caught loudly.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "event_id", "event_type", "ts")
+    val q = EventStreams.retentionCells(spark, events, watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ret_pre1970").start()
+    try {
+      Seq(
+        // the pre-epoch event is engine-dropped; the 1970-02 event in
+        // the SAME first batch (no watermark yet) must survive and
+        // cohort normally — proving our state function itself imposes
+        // no phantom initial boundary
+        Seq((1L, 1L, "view", ts("1969-12-02 10:00:00")),
+          (2L, 2L, "view", ts("1970-02-03 10:00:00"))),
+        Seq((99L, 998L, "view", ts("1970-06-01 00:00:00"))),
+        Seq((99L, 999L, "view", ts("1970-06-02 00:00:00"))),
+        Seq((99L, 997L, "view", ts("1970-06-03 00:00:00")))
+      ).foreach { b => input.addData(b); q.processAllAvailable() }
+      val byUser = spark.table("ret_pre1970").filter(col("user_id") =!= 99L)
+        .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getInt(2)))
+        .toSeq.sorted
+      assert(byUser === Seq((2L, "1970-02-02", 0)),
+        "pre-epoch event engine-dropped; the epoch-era event in the " +
+          "same no-watermark batch cohorts to its Monday week")
     } finally q.stop()
   }
 
