@@ -163,6 +163,60 @@ object Graph {
       damping: Double = 0.85, tol: Option[Double] = None): DataFrame =
     pageRankCore(edges, Some(seeds), iters, damping, tol)
 
+  /** HITS hubs-and-authorities over directed `edges(src, dst)` — the
+    * complement of [[pageRank]] for link corpora where "points at good
+    * content" (hub) and "is good content" (authority) are distinct
+    * signals: a crawl frontier scores SEED LISTS by hub value and
+    * DOCUMENTS by authority value. Kleinberg's alternating iteration:
+    * each round the authority vector aggregates in-edge hub mass, then
+    * the hub vector aggregates out-edge mass of the NEW authorities.
+    *
+    * Numerics follow the [[pageRank]] micro-rank discipline, with
+    * MAX-normalization replacing the L2 norm (a square root cannot be
+    * replayed exactly; dividing by the exact-integer per-round maximum
+    * can): raw scores are exact integer sums, and the rescale is
+    * `floor(raw · 1e6 / max + 0.5)` — two IEEE double ops and one
+    * quantization, so a relational oracle replays every round
+    * bit-for-bit. The per-round maximum lands at exactly 1e6, so the
+    * iteration cannot drift or overflow. Shape per half-round: one
+    * keyed equi-join + one map-side-combined sum + a broadcast 1-row
+    * max + a keys-sized left join; lineage truncates per round via
+    * [[Iterate.checkpoint]]. Returns `(node, auth, hub)` rounded to
+    * 6 dp, maxima at 1.0. */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")
+    val e = Iterate.checkpoint(edges.select(col("src"), col("dst")))
+    val nodes = Iterate.checkpoint(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    require(nodes.limit(1).count() > 0, "hits: empty edge list")
+
+    def rescaled(raw: DataFrame, joinKey: String, outCol: String): DataFrame = {
+      val mx = raw.agg(max(col("__raw")).as("__mx"))
+      nodes.join(raw, col("node") === col(joinKey), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          floor(coalesce(col("__raw"), lit(0L)).cast("double") * lit(1e6) /
+            col("__mx") + lit(0.5)).as(outCol))
+    }
+
+    var scores = nodes
+      .withColumn("auth_m", lit(1000000L))
+      .withColumn("hub_m", lit(1000000L))
+    (1 to iters).foreach { _ =>
+      val aRaw = e.join(scores.select(col("node"), col("hub_m")),
+          col("node") === col("src"))
+        .groupBy(col("dst")).agg(sum("hub_m").as("__raw"))
+      val auth = rescaled(aRaw, "dst", "auth_m")
+      val hRaw = e.join(auth, col("node") === col("dst"))
+        .groupBy(col("src")).agg(sum("auth_m").as("__raw"))
+      val hub = rescaled(hRaw, "src", "hub_m")
+      scores = Iterate.checkpoint(auth.join(hub, Seq("node")))
+    }
+    scores.select(col("node"),
+      (col("auth_m").cast("double") / lit(1e6)).as("auth"),
+      (col("hub_m").cast("double") / lit(1e6)).as("hub"))
+  }
+
   /** Label-propagation community detection over directed `edges(src,
     * dst)` — the lightweight community pass a curation pipeline runs to
     * group domains/sources before per-community mixing decisions (pass

@@ -20,6 +20,7 @@ object GraphQueries extends graft.QueryPack {
 
   private val iters = 5
   private val pprIters = 3
+  private val hitsIters = 3
   private val lpaIters = 3
 
   /** One LPA oracle round: labels `prev` → labels `out`. Mirrors
@@ -109,6 +110,27 @@ object GraphQueries extends graft.QueryPack {
        |    JOIN deg ON deg.src = e.src
        |    GROUP BY 1) c ON c.node = nodes.node)""".stripMargin
 
+  /** One HITS oracle round: scores `s{n-1}` → `s{n}`. Mirrors
+    * [[Graph.hits]] op for op — exact integer raw sums, then the
+    * max-normalized rescale `FLOOR(raw·1e6/max + 0.5)` (two IEEE
+    * double ops, no square roots), authorities first, hubs from the
+    * NEW authorities. */
+  private def hitsIter(n: Int): String =
+    s"""ar$n AS (SELECT e.dst AS node, SUM(s.hub_m) AS raw
+       |  FROM e JOIN s${n - 1} s ON s.node = e.src GROUP BY 1),
+       |am$n AS (SELECT MAX(raw) AS mx FROM ar$n),
+       |a$n AS (SELECT nodes.node,
+       |    CAST(FLOOR(CAST(COALESCE(r.raw, 0) AS DOUBLE) * 1e6 / m.mx
+       |      + 0.5) AS BIGINT) AS auth_m
+       |  FROM nodes CROSS JOIN am$n m LEFT JOIN ar$n r ON r.node = nodes.node),
+       |hr$n AS (SELECT e.src AS node, SUM(a.auth_m) AS raw
+       |  FROM e JOIN a$n a ON a.node = e.dst GROUP BY 1),
+       |hm$n AS (SELECT MAX(raw) AS mx FROM hr$n),
+       |s$n AS (SELECT a.node, a.auth_m,
+       |    CAST(FLOOR(CAST(COALESCE(r.raw, 0) AS DOUBLE) * 1e6 / m.mx
+       |      + 0.5) AS BIGINT) AS hub_m
+       |  FROM a$n a CROSS JOIN hm$n m LEFT JOIN hr$n r ON r.node = a.node)""".stripMargin
+
   def queries: Seq[Q] = Seq(
 
     // ---- G1: PageRank over the customer↔supplier trade graph ----------
@@ -181,6 +203,39 @@ object GraphQueries extends graft.QueryPack {
              |  FROM nodes CROSS JOIN ss),
              |${(1 to pprIters).map(i => pprIter(s"r$i", s"r${i - 1}")).mkString(",\n")}
              |SELECT node, CAST(rank_m AS DOUBLE) / 1e6 AS rank FROM r$pprIters""".stripMargin)),
+
+    // ---- G3: HITS hubs/authorities over the same trade graph -----------
+    // Kleinberg's alternating iteration with exact-integer raw sums and
+    // max-normalization (no square roots — replayable), 3 rounds, same
+    // micro-unit replay discipline as q_g1/q_g2.
+    Q("q_g3_hits",
+      (s, d) => {
+        val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey")).as("c"),
+            concat(lit("s:"), col("l_suppkey")).as("ss"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("ss").as("dst"))
+          .unionAll(pairs.select(col("ss").as("src"), col("c").as("dst")))
+        Graph.hits(edges, hitsIters)
+      },
+      Some(s"""WITH p AS (
+             |  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS ss
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |e AS (
+             |  SELECT c AS src, ss AS dst FROM p
+             |  UNION ALL
+             |  SELECT ss AS src, c AS dst FROM p),
+             |nodes AS (SELECT DISTINCT node FROM (
+             |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+             |s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS auth_m,
+             |    CAST(1000000 AS BIGINT) AS hub_m
+             |  FROM nodes),
+             |${(1 to hitsIters).map(hitsIter).mkString(",\n")}
+             |SELECT node, CAST(auth_m AS DOUBLE) / 1e6 AS auth,
+             |  CAST(hub_m AS DOUBLE) / 1e6 AS hub
+             |FROM s$hitsIters""".stripMargin)),
 
     // ---- G6: label-propagation communities over the same trade graph ----
     // Synchronous LPA, ties to the smallest label — pure integer/string

@@ -101,6 +101,36 @@ class GraphSpec extends AnyFunSuite {
     assert(r("near") > r("hub") && r("near") > r("l1"))
   }
 
+  test("hits: one hand-unrolled round — authorities from hubs, hubs from NEW authorities") {
+    import spark.implicits._
+    // l1..l3 -> a, a -> b. Round 1: auth raw a=3e6, b=1e6 (max 3e6) =>
+    // auth a=1.0, b=0.333333; hub raw l*=auth(a)=1e6, a=auth(b)=333333
+    // (max 1e6) => hub l*=1.0, a=0.333333; b has no out-edges => hub 0.
+    val edges = Seq("l1" -> "a", "l2" -> "a", "l3" -> "a", "a" -> "b")
+      .toDF("src", "dst")
+    val r = Graph.hits(edges, 1).collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r("a") === ((1.0, 0.333333)))
+    assert(r("b") === ((0.333333, 0.0)))
+    Seq("l1", "l2", "l3").foreach(l => assert(r(l) === ((0.0, 1.0))))
+  }
+
+  test("hits: deterministic across runs, maxima pinned at 1.0, empty graph fails fast") {
+    import spark.implicits._
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c", "d" -> "a")
+      .toDF("src", "dst")
+    val one = Graph.hits(edges, 3)
+    val two = Graph.hits(edges, 3)
+    assert(one.exceptAll(two).isEmpty && two.exceptAll(one).isEmpty)
+    val rows = one.collect().map(x => (x.getDouble(1), x.getDouble(2)))
+    assert(rows.map(_._1).max === 1.0 && rows.map(_._2).max === 1.0,
+      "max-normalization must pin both maxima at exactly 1.0")
+    assert(rows.forall { case (a, h) => a >= 0.0 && a <= 1.0 && h >= 0.0 && h <= 1.0 })
+    assert(intercept[IllegalArgumentException](
+      Graph.hits(Seq.empty[(String, String)].toDF("src", "dst"), 3))
+      .getMessage.contains("empty edge list"))
+  }
+
   test("label propagation: two cliques joined by one bridge keep distinct communities") {
     def clique(ns: Seq[String]) =
       for { a <- ns; b <- ns if a < b } yield a -> b
