@@ -183,8 +183,10 @@ object Graph {
     * max + a keys-sized left join; lineage truncates per round via
     * [[Iterate.checkpoint]]. Returns `(node, auth, hub)` rounded to
     * 6 dp, maxima at 1.0. */
-  def hits(edges: DataFrame, iters: Int): DataFrame = {
+  def hits(edges: DataFrame, iters: Int,
+      tol: Option[Double] = None): DataFrame = {
     require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")
+    tol.foreach(t => require(t >= 0, s"tol must be >= 0, got $t"))
     val e = Iterate.checkpoint(edges.select(col("src"), col("dst")))
     val nodes = Iterate.checkpoint(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
@@ -202,7 +204,10 @@ object Graph {
     var scores = nodes
       .withColumn("auth_m", lit(1000000L))
       .withColumn("hub_m", lit(1000000L))
-    (1 to iters).foreach { _ =>
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
+      round += 1
       val aRaw = e.join(scores.select(col("node"), col("hub_m")),
           col("node") === col("src"))
         .groupBy(col("dst")).agg(sum("hub_m").as("__raw"))
@@ -210,7 +215,20 @@ object Graph {
       val hRaw = e.join(auth, col("node") === col("dst"))
         .groupBy(col("src")).agg(sum("auth_m").as("__raw"))
       val hub = rescaled(hRaw, "src", "hub_m")
+      val prev = scores.select(col("node"),
+        col("auth_m").as("__pa"), col("hub_m").as("__ph"))
       scores = Iterate.checkpoint(auth.join(hub, Seq("node")))
+      tol.foreach { t =>
+        // the pageRank tol discipline: one exact-integer movement
+        // scalar per round — Σ(|Δauth_m| + |Δhub_m|) over the
+        // checkpointed frames; output equals the fixed round count
+        // actually executed (GraphSpec)
+        val movedM = scores.join(prev, Seq("node"))
+          .agg(coalesce(sum(abs(col("auth_m") - col("__pa")) +
+            abs(col("hub_m") - col("__ph"))), lit(0L)))
+          .first().getLong(0)
+        if (movedM.toDouble / 1e6 <= t) converged = true
+      }
     }
     scores.select(col("node"),
       (col("auth_m").cast("double") / lit(1e6)).as("auth"),

@@ -844,6 +844,29 @@ object TextAnalysis {
     call_function("unicode_normalize", c, lit(form))
   }
 
+  /** Encoding-artifact (mojibake) detection — the web-corpus hygiene
+    * gate next to [[normalizeUnicode]]: UTF-8 text decoded once too
+    * often as Latin-1/cp1252 leaves telltale sequences ("Ã©" where é
+    * was meant, "â€™" for a curly apostrophe, "Â" riding a
+    * non-breaking space), and outright decode failures leave U+FFFD
+    * replacement characters. Counts both per document with one
+    * map-only non-overlapping regexp pass — the patterns are LITERAL
+    * alternations, so Java regex and RE2 agree by construction (the
+    * [[piiPatterns]] portability rule) — and flags documents carrying
+    * either. Deliberately not a fixer: re-decoding is lossy guesswork;
+    * the flag routes documents to quarantine or re-crawl. Null text
+    * counts as clean (0/0, flag false). */
+  val mojibakePattern: String =
+    "Ã©|Ã¨|Ã¡|Ã¤|Ã¶|Ã¼|Ã±|â€™|â€œ|â€“|â€”|Â "
+
+  def mojibakeFlags(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      coalesce(regexp_count(col(textCol), lit(mojibakePattern)), lit(0))
+        .cast("long").as("n_artifacts"),
+      coalesce(regexp_count(col(textCol), lit("�")), lit(0))
+        .cast("long").as("n_replacement"))
+      .withColumn("mojibake", col("n_artifacts") > 0 || col("n_replacement") > 0)
+
   /** PII patterns for training-corpus redaction, in APPLICATION ORDER:
     * URLs replace first so an address inside a link redacts as part of
     * the link, not as a second partial hit. Regex subset chosen to mean

@@ -864,6 +864,42 @@ object TextQueries extends graft.QueryPack {
              |    ELSE 0.0 END) <= 0.05 AS keep
              |FROM m""".stripMargin)),
 
+    // ---- X49: encoding-artifact (mojibake) detection --------------------
+    // Deterministic artifact injection (the q_x17 synthesis pattern):
+    // every 7th doc gains four double-decoded UTF-8 sequences, every
+    // 11th a U+FFFD replacement char, so the detector has real positives
+    // under the oracle. Literal-alternation regexes — Java and RE2
+    // agree by construction.
+    Q("q_x49_mojibake",
+      (s, d) => {
+        val noisy = concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" cafÃ© â€” nÃ±o Â oui"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" bad�decode"))
+            .otherwise(lit("")))
+        TextAnalysis.mojibakeFlags(
+          Tables.documents(s, d).select(col("doc_id"), noisy.as("text")),
+          "text", "doc_id")
+      },
+      Some("""WITH noisy AS (SELECT doc_id,
+             |    text ||
+             |    CASE WHEN doc_id % 7 = 0
+             |      THEN ' cafÃ© â€” nÃ±o Â oui' ELSE '' END ||
+             |    CASE WHEN doc_id % 11 = 0
+             |      THEN ' bad' || chr(65533) || 'decode' ELSE '' END AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(COALESCE(len(regexp_extract_all(t,
+             |    'Ã©|Ã¨|Ã¡|Ã¤|Ã¶|Ã¼|Ã±|â€™|â€œ|â€“|â€”|Â ')), 0) AS BIGINT)
+             |    AS n_artifacts,
+             |  CAST(COALESCE(len(regexp_extract_all(t, chr(65533))), 0) AS BIGINT)
+             |    AS n_replacement,
+             |  (CAST(COALESCE(len(regexp_extract_all(t,
+             |    'Ã©|Ã¨|Ã¡|Ã¤|Ã¶|Ã¼|Ã±|â€™|â€œ|â€“|â€”|Â ')), 0) AS BIGINT) > 0
+             |   OR CAST(COALESCE(len(regexp_extract_all(t, chr(65533))), 0)
+             |     AS BIGINT) > 0) AS mojibake
+             |FROM noisy""".stripMargin)),
+
     // ---- X46: model-based quality filtering (linear inference) ----------
     // fastText-style gate, scored engine-exactly: closed-form integer
     // MILLI-weights over the 16-bucket hashed-TF relation, one keyed

@@ -131,6 +131,16 @@ class GraphSpec extends AnyFunSuite {
       .getMessage.contains("empty edge list"))
   }
 
+  test("hits tol: a converged graph early-exits with the full-iters result") {
+    import spark.implicits._
+    // the l*->a star converges after round 1 (scores repeat exactly),
+    // so tol=0 must stop early with output identical to 10 fixed rounds
+    val edges = Seq("l1" -> "a", "l2" -> "a", "l3" -> "a").toDF("src", "dst")
+    val fixed = Graph.hits(edges, 10)
+    val early = Graph.hits(edges, 10, tol = Some(0.0))
+    assert(early.exceptAll(fixed).isEmpty && fixed.exceptAll(early).isEmpty)
+  }
+
   test("label propagation: two cliques joined by one bridge keep distinct communities") {
     def clique(ns: Seq[String]) =
       for { a <- ns; b <- ns if a < b } yield a -> b

@@ -439,6 +439,24 @@ class TextOpsSpec extends AnyFunSuite {
       s"index path must not re-scan the corpus:\n$p")
   }
 
+  test("mojibake: double-decoded sequences and replacement chars flag, clean and null text pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("a perfectly clean english sentence")),
+      (2L, Option("le cafÃ© est bon â€” trÃ¨s bon")), // Ã©, â€”, Ã¨ = 3
+      (3L, Option("bad�decode�")),          // 2 replacement chars
+      (4L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.mojibakeFlags(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((0L, 0L, false)))
+    assert(got(2L) === ((3L, 0L, true)))
+    assert(got(3L) === ((0L, 2L, true)))
+    assert(got(4L) === ((0L, 0L, false)),
+      "null text must count as clean, not null out the flag")
+  }
+
   test("cdc chunking: boundaries survive insertion, fixed windows don't") {
     import spark.implicits._
     val words = (1 to 240).map(i => s"t$i")   // unique tokens: chunk
