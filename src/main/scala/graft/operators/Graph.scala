@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   *
   * Dangling nodes (no out-edges) are handled the standard way: their
   * rank mass is redistributed uniformly each round (a 1-row aggregate,
-  * broadcast), so ranks always sum to ~1 and the iteration cannot leak
-  * mass. Numerics: ranks are carried as integer MICRO-units (rank ×
-  * 10⁶, a long). Per-edge shares quantize via `floor(x + 0.5)` —
+  * broadcast), so the iteration cannot leak mass. Numerics: ranks are
+  * carried as integer MICRO-units PER NODE (each seed starts at exactly
+  * 10⁶; total mass is s·10⁶, normalized to sum ~1 only at output — so
+  * precision is independent of graph size, where a per-graph 10⁶ would
+  * underflow past ~10⁶ nodes). Per-edge shares quantize via `floor(x + 0.5)` —
   * explicit single IEEE ops, never ROUND, whose double→decimal
   * tie-breaking differs between engines on the exact .5 boundaries
   * integer division produces constantly — and per-node sums are exact
@@ -93,13 +95,18 @@ object Graph {
     require(s > 0,
       if (seeds.isDefined) "personalizedPageRank: no seed appears in the graph"
       else "pageRank: empty edge list")
-    // restart mass per seed, in micro-units — same IEEE op order as the
-    // oracle: (1 - d), × 1e6, ÷ s (s = node count in the plain form)
-    val restartM = (1.0 - damping) * 1e6 / s
+    // PRECISION AT SCALE: micro-units are carried PER NODE — every seed
+    // starts at exactly 1e6 and total mass is s·1e6, normalized back to
+    // sum ~1 only at output. The earlier per-graph scaling (init
+    // floor(1e6/s)) underflowed to 0-1 micro-units once the graph
+    // passed ~10⁶ nodes, collapsing all precision exactly where a
+    // 100 TB edge list lives; per-node units keep quantization error at
+    // 1e-6 of a node's mass regardless of graph size. restartM is the
+    // constant (1-d)·1e6 — exact at 150000 for the default damping.
+    val restartM = (1.0 - damping) * 1e6
 
     var ranks = nodes.select(col("node"), col("__seed"),
-      when(col("__seed"), lit(math.floor(1e6 / s + 0.5).toLong))
-        .otherwise(lit(0L)).as("rank_m"))
+      when(col("__seed"), lit(1000000L)).otherwise(lit(0L)).as("rank_m"))
     var round = 0
     var converged = false
     while (round < iters && !converged) {
@@ -131,15 +138,17 @@ object Graph {
             .as("rank_m")))
       tol.foreach { t =>
         // exact-integer movement scalar: ranks are materialized by the
-        // checkpoint, so this keys-sized join reads blocks, not lineage
+        // checkpoint, so this keys-sized join reads blocks, not lineage.
+        // Normalized by s so tol keeps meaning "total movement in
+        // OUTPUT-rank units (which sum to ~1)" under per-node micros.
         val movedM = ranks.join(prev, Seq("node"))
           .agg(coalesce(sum(abs(col("rank_m") - col("__prev"))), lit(0L)))
           .first().getLong(0)
-        if (movedM.toDouble / 1e6 <= t) converged = true
+        if (movedM.toDouble / 1e6 / s <= t) converged = true
       }
     }
     ranks.select(col("node"),
-      (col("rank_m").cast("double") / lit(1e6)).as("rank"))
+      (col("rank_m").cast("double") / lit(1e6) / s).as("rank"))
   }
 
   /** Personalized PageRank over directed `edges(src, dst)`: restart

@@ -50,14 +50,16 @@ object GraphQueries extends graft.QueryPack {
     * Mirrors [[Graph.pageRank]] op for op: share = FLOOR(rank_m/outdeg
     * + 0.5) summed as exact integers; dangling mass = exact integer sum
     * of micro-ranks of nodes with no out-edges; new micro-rank =
-    * FLOOR((1-d)*1e6/n + d*(S + DM/n) + 0.5) — float literals CAST to
-    * DOUBLE because a bare 0.85 is a DECIMAL in DuckDB, and no ROUND
-    * anywhere (its .5 tie-breaking differs between engines). */
+    * FLOOR((1-d)*1e6 + d*(S + DM/n) + 0.5) — micros are PER NODE
+    * (init 1e6 each, total mass n·1e6, normalized at output), float
+    * literals CAST to DOUBLE because a bare 0.85 is a DECIMAL in
+    * DuckDB, and no ROUND anywhere (its .5 tie-breaking differs
+    * between engines). */
   private def duckIter(out: String, prev: String): String =
     s"""$out AS (
        |  SELECT nodes.node,
        |    CAST(FLOOR(
-       |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * 1e6 / nn.n
+       |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * 1e6
        |      + CAST(0.85 AS DOUBLE) *
        |        (CAST(COALESCE(s.s, 0) AS DOUBLE)
        |         + CAST(dm.dm AS DOUBLE) / nn.n)
@@ -87,7 +89,7 @@ object GraphQueries extends graft.QueryPack {
        |  SELECT nodes.node,
        |    CASE WHEN nodes.node LIKE 's:%' THEN
        |      CAST(FLOOR(
-       |        (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * 1e6 / ss.s
+       |        (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * 1e6
        |        + CAST(0.85 AS DOUBLE) *
        |          (CAST(COALESCE(c.s, 0) AS DOUBLE)
        |           + CAST(dm.dm AS DOUBLE) / ss.s)
@@ -161,10 +163,10 @@ object GraphQueries extends graft.QueryPack {
              |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
              |nn AS (SELECT COUNT(*) AS n FROM nodes),
              |r0 AS (
-             |  SELECT node, CAST(FLOOR(1e6 / nn.n + 0.5) AS BIGINT) AS rank_m
-             |  FROM nodes CROSS JOIN nn),
+             |  SELECT node, CAST(1000000 AS BIGINT) AS rank_m FROM nodes),
              |${(1 to iters).map(i => duckIter(s"r$i", s"r${i - 1}")).mkString(",\n")}
-             |SELECT node, CAST(rank_m AS DOUBLE) / 1e6 AS rank FROM r$iters""".stripMargin)),
+             |SELECT node, CAST(rank_m AS DOUBLE) / 1e6 / nn.n AS rank
+             |FROM r$iters CROSS JOIN nn""".stripMargin)),
 
     // ---- G2: personalized PageRank, supplier-seeded ---------------------
     // Same trade graph, restart mass teleporting to the SUPPLIER nodes
@@ -198,11 +200,12 @@ object GraphQueries extends graft.QueryPack {
              |r0 AS (
              |  SELECT node,
              |    CASE WHEN node LIKE 's:%'
-             |      THEN CAST(FLOOR(1e6 / ss.s + 0.5) AS BIGINT)
+             |      THEN CAST(1000000 AS BIGINT)
              |      ELSE 0 END AS rank_m
-             |  FROM nodes CROSS JOIN ss),
+             |  FROM nodes),
              |${(1 to pprIters).map(i => pprIter(s"r$i", s"r${i - 1}")).mkString(",\n")}
-             |SELECT node, CAST(rank_m AS DOUBLE) / 1e6 AS rank FROM r$pprIters""".stripMargin)),
+             |SELECT node, CAST(rank_m AS DOUBLE) / 1e6 / ss.s AS rank
+             |FROM r$pprIters CROSS JOIN ss""".stripMargin)),
 
     // ---- G3: HITS hubs/authorities over the same trade graph -----------
     // Kleinberg's alternating iteration with exact-integer raw sums and
