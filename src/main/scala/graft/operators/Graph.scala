@@ -69,17 +69,22 @@ object Graph {
     * replaced (GraphSpec), and q_g1's oracle hash re-proves it at
     * sf0.01 every round. */
   private def pageRankCore(edges: DataFrame, seeds: Option[DataFrame],
-      iters: Int, damping: Double, tol: Option[Double]): DataFrame = {
+      iters: Int, damping: Double, tol: Option[Double],
+      weighted: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")
     require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
     tol.foreach(t => require(t >= 0, s"tol must be >= 0, got $t"))
 
-    val e = edges.select(col("src"), col("dst"))
-    // out-degrees and the degree-annotated edge list are materialized
-    // ONCE and reused every round (the joins below would otherwise
-    // recompute the degree aggregation per iteration)
+    val e =
+      if (weighted) edges.select(col("src"), col("dst"), col("w"))
+      else edges.select(col("src"), col("dst"))
+    // out-degrees (weighted: total out-weight) and the degree-annotated
+    // edge list are materialized ONCE and reused every round (the joins
+    // below would otherwise recompute the degree aggregation per
+    // iteration)
     val deg = Iterate.checkpoint(
-      e.groupBy("src").agg(count(lit(1)).as("__outdeg")))
+      if (weighted) e.groupBy("src").agg(sum(col("w")).as("__outdeg"))
+      else e.groupBy("src").agg(count(lit(1)).as("__outdeg")))
     val withDeg = Iterate.checkpoint(e.join(deg, "src"))
     val allNodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -112,11 +117,17 @@ object Graph {
     while (round < iters && !converged) {
       round += 1
       // share per out-edge: long/long division is IEEE double in both
-      // engines; floor(x + 0.5) quantizes to micros deterministically
+      // engines; floor(x + 0.5) quantizes to micros deterministically.
+      // Weighted: rank·w/wsum as CAST-to-double FIRST then two IEEE ops
+      // (the exact-integer product could overflow at mass × weight)
+      val share =
+        if (weighted)
+          floor(col("rank_m").cast("double") * col("w") / col("__outdeg") +
+            lit(0.5))
+        else floor(col("rank_m") / col("__outdeg") + lit(0.5))
       val contribs = withDeg
         .join(ranks, col("src") === col("node"))
-        .select(col("dst"),
-          floor(col("rank_m") / col("__outdeg") + lit(0.5)).as("__c"))
+        .select(col("dst"), share.as("__c"))
         .groupBy("dst").agg(sum("__c").as("__s"))
       // rank mass sitting on dangling nodes (no out-edges), returned to
       // the seeds uniformly (= all nodes in the plain form); 1-row
@@ -150,6 +161,25 @@ object Graph {
     ranks.select(col("node"),
       (col("rank_m").cast("double") / lit(1e6) / s).as("rank"))
   }
+
+  /** Weighted PageRank over `edges(src, dst, w)`: a node's rank splits
+    * across its out-edges PROPORTIONALLY TO `w` instead of uniformly —
+    * the natural form when the edge relation aggregates interactions
+    * ("customer ordered from supplier 17 times") rather than listing
+    * one row per interaction. Weights must be POSITIVE integers (a
+    * zero-total-weight source divides by zero; model absent links by
+    * omitting the edge, not weighting it 0). Per-edge share is
+    * `floor(rank·w/wsum + 0.5)` with the cast to double BEFORE the
+    * product — the exact-integer product could overflow at mass ×
+    * weight — so the replay contract still holds: two IEEE ops and one
+    * quantization, mirrored by the oracle. With all weights 1 this
+    * reduces to [[pageRank]] bit-exactly (GraphSpec pins it; other
+    * uniform weights agree only up to double rounding of c·x/c·y).
+    * Everything else (per-node micros, dangling, `tol`) is
+    * [[pageRank]]'s. */
+  def pageRankWeighted(edges: DataFrame, iters: Int,
+      damping: Double = 0.85, tol: Option[Double] = None): DataFrame =
+    pageRankCore(edges, seeds = None, iters, damping, tol, weighted = true)
 
   /** Personalized PageRank over directed `edges(src, dst)`: restart
     * mass teleports to the `seeds` node set instead of uniformly — the

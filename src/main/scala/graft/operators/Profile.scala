@@ -150,6 +150,34 @@ object Profile {
       .withColumn("close", col("tvd") <= lit(t))
   }
 
+  /** The composed privacy RELEASE GATE — all three ladder rungs in one
+    * report: per quasi class, the k-anonymity verdict (class size ≥ k),
+    * the l-diversity verdict (distinct sensitive values ≥ l), and the
+    * t-closeness verdict (TVD vs the corpus distribution ≤ t), with
+    * `release` true only when all three hold — the decision a dataset
+    * actually needs before leaving the warehouse, under ONE oracle.
+    *
+    * Composes [[lDiversity]] (which already carries the class size, so
+    * the k verdict is free) with [[tCloseness]], joined null-safely on
+    * the quasi tuple (null quasi values form real classes in every
+    * rung). Two corpus aggregations total; the join is keys-sized. */
+  def privacyReport(df: DataFrame, quasi: Seq[String], sensitive: String,
+      k: Int, l: Int, t: Double): DataFrame = {
+    require(k >= 2, s"k-anonymity needs k >= 2, got $k")
+    val ld = lDiversity(df, quasi, sensitive, l)
+    val tcr = tCloseness(df, quasi, sensitive, t).select(
+      (quasi.map(c => col(s"`$c`").as(s"__r_$c")) :+
+        col("tvd") :+ col("close")): _*)
+    val cond = quasi.map(c => col(s"`$c`") <=> col(s"__r_$c")).reduce(_ && _)
+    ld.join(tcr, cond)
+      .select((quasi.map(c => col(s"`$c`")) :+
+        col("n") :+ (col("n") >= k).as("anonymous") :+
+        col("n_sensitive") :+ col("diverse") :+
+        col("tvd") :+ col("close")): _*)
+      .withColumn("release",
+        col("anonymous") && col("diverse") && col("close"))
+  }
+
   /** Generalize-and-recheck k-anonymity REPAIR — what [[kAnonymity]]
     * (the audit) deliberately leaves to the caller, composed from the
     * two existing operators: numeric quasi-identifiers generalize by

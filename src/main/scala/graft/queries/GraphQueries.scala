@@ -112,6 +112,33 @@ object GraphQueries extends graft.QueryPack {
        |    JOIN deg ON deg.src = e.src
        |    GROUP BY 1) c ON c.node = nodes.node)""".stripMargin
 
+  /** One WEIGHTED PageRank oracle iteration — [[duckIter]] with the
+    * per-edge share `FLOOR(CAST(rank_m AS DOUBLE) * w / wsum + 0.5)`
+    * (cast before the product, exactly like the engine). */
+  private def wIter(out: String, prev: String): String =
+    s"""$out AS (
+       |  SELECT nodes.node,
+       |    CAST(FLOOR(
+       |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * 1e6
+       |      + CAST(0.85 AS DOUBLE) *
+       |        (CAST(COALESCE(s.s, 0) AS DOUBLE)
+       |         + CAST(dm.dm AS DOUBLE) / nn.n)
+       |      + 0.5) AS BIGINT) AS rank_m
+       |  FROM nodes
+       |  CROSS JOIN nn
+       |  CROSS JOIN (
+       |    SELECT COALESCE(SUM(r.rank_m), 0) AS dm
+       |    FROM $prev r
+       |    WHERE r.node NOT IN (SELECT src FROM deg)) dm
+       |  LEFT JOIN (
+       |    SELECT e.dst AS node,
+       |      SUM(CAST(FLOOR(CAST(r.rank_m AS DOUBLE) * e.w / deg.wsum
+       |        + 0.5) AS BIGINT)) AS s
+       |    FROM e
+       |    JOIN $prev r ON e.src = r.node
+       |    JOIN deg ON deg.src = e.src
+       |    GROUP BY 1) s ON s.node = nodes.node)""".stripMargin
+
   /** One HITS oracle round: scores `s{n-1}` → `s{n}`. Mirrors
     * [[Graph.hits]] op for op — exact integer raw sums, then the
     * max-normalized rescale `FLOOR(raw·1e6/max + 0.5)` (two IEEE
@@ -206,6 +233,46 @@ object GraphQueries extends graft.QueryPack {
              |${(1 to pprIters).map(i => pprIter(s"r$i", s"r${i - 1}")).mkString(",\n")}
              |SELECT node, CAST(rank_m AS DOUBLE) / 1e6 / ss.s AS rank
              |FROM r$pprIters CROSS JOIN ss""".stripMargin)),
+
+    // ---- G4: WEIGHTED PageRank over the trade graph ---------------------
+    // Edge weight = the number of orders linking the customer-supplier
+    // pair: rank splits proportionally to trade intensity instead of
+    // uniformly — the natural form for an aggregated edge relation.
+    // 3 rounds, same per-node micro-unit replay discipline.
+    Q("q_g4_wpagerank",
+      (s, d) => {
+        val w = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey")).as("c"),
+            concat(lit("s:"), col("l_suppkey")).as("ss"),
+            col("o_orderkey"))
+          .distinct()
+          .groupBy(col("c"), col("ss"))
+          .agg(count(lit(1)).as("w"))
+        val edges = w.select(col("c").as("src"), col("ss").as("dst"), col("w"))
+          .unionAll(w.select(col("ss").as("src"), col("c").as("dst"), col("w")))
+        Graph.pageRankWeighted(edges, pprIters)
+      },
+      Some(s"""WITH pw AS (
+             |  SELECT c, ss, COUNT(*) AS w FROM (
+             |    SELECT DISTINCT 'c:' || o_custkey AS c,
+             |      's:' || l_suppkey AS ss, o_orderkey
+             |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+             |  GROUP BY 1, 2),
+             |e AS (
+             |  SELECT c AS src, ss AS dst, w FROM pw
+             |  UNION ALL
+             |  SELECT ss AS src, c AS dst, w FROM pw),
+             |deg AS (SELECT src, SUM(w) AS wsum FROM e GROUP BY 1),
+             |nodes AS (SELECT DISTINCT node FROM (
+             |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+             |nn AS (SELECT COUNT(*) AS n FROM nodes),
+             |r0 AS (
+             |  SELECT node, CAST(1000000 AS BIGINT) AS rank_m FROM nodes),
+             |${(1 to pprIters).map(i => wIter(s"r$i", s"r${i - 1}")).mkString(",\n")}
+             |SELECT node, CAST(rank_m AS DOUBLE) / 1e6 / nn.n AS rank
+             |FROM r$pprIters CROSS JOIN nn""".stripMargin)),
 
     // ---- G3: HITS hubs/authorities over the same trade graph -----------
     // Kleinberg's alternating iteration with exact-integer raw sums and

@@ -1015,6 +1015,55 @@ object RelationalQueries extends graft.QueryPack {
              |    / (CAST(2.0 AS DOUBLE) * n * gn)) <= 0.2 AS close
              |FROM j GROUP BY o_orderpriority, o_year, n, gn""".stripMargin)),
 
+    // ---- V15: composed privacy release gate -----------------------------
+    // All three ladder rungs (k=400 / l=3 / t=0.2) on the same classes
+    // in one report; release only when every rung holds. The k=400 bar
+    // splits the sf0.01 classes (full years ~450, the partial 2001 year
+    // ~250), so both verdict branches appear under the oracle.
+    Q("q_v15_privacy_gate",
+      (s, d) => graft.operators.Profile.privacyReport(
+        Tables.orders(s, d).withColumn("o_year", year(col("o_orderdate"))),
+        Seq("o_orderpriority", "o_year"), "o_orderstatus",
+        k = 400, l = 3, t = 0.2),
+      Some("""WITH b AS (SELECT o_orderpriority,
+             |    CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             |    o_orderstatus AS v
+             |  FROM orders),
+             |cv AS (SELECT o_orderpriority, o_year, v, COUNT(*) AS c
+             |  FROM b GROUP BY 1, 2, 3),
+             |cls AS (SELECT o_orderpriority, o_year, SUM(c) AS n
+             |  FROM cv GROUP BY 1, 2),
+             |gv AS (SELECT v, SUM(c) AS g FROM cv GROUP BY 1),
+             |tot AS (SELECT SUM(g) AS gn FROM gv),
+             |j AS (SELECT cls.o_orderpriority, cls.o_year, cls.n,
+             |    gv.g, tot.gn, COALESCE(cv.c, 0) AS c
+             |  FROM cls CROSS JOIN gv CROSS JOIN tot
+             |  LEFT JOIN cv
+             |    ON cv.o_orderpriority IS NOT DISTINCT FROM cls.o_orderpriority
+             |   AND cv.o_year IS NOT DISTINCT FROM cls.o_year
+             |   AND cv.v IS NOT DISTINCT FROM gv.v),
+             |tc AS (SELECT o_orderpriority, o_year,
+             |    CAST(SUM(ABS(CAST(c AS HUGEINT) * gn - CAST(g AS HUGEINT) * n))
+             |        AS DOUBLE)
+             |      / (CAST(2.0 AS DOUBLE) * n * gn) AS tvd
+             |  FROM j GROUP BY o_orderpriority, o_year, n, gn),
+             |ld AS (SELECT o_orderpriority,
+             |    CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             |    COUNT(*) AS n,
+             |    COUNT(DISTINCT o_orderstatus) +
+             |      MAX(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+             |      AS n_sensitive
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT ld.o_orderpriority, ld.o_year, ld.n,
+             |  ld.n >= 400 AS anonymous,
+             |  ld.n_sensitive, ld.n_sensitive >= 3 AS diverse,
+             |  tc.tvd, tc.tvd <= 0.2 AS close,
+             |  (ld.n >= 400 AND ld.n_sensitive >= 3 AND tc.tvd <= 0.2)
+             |    AS release
+             |FROM ld JOIN tc
+             |  ON tc.o_orderpriority IS NOT DISTINCT FROM ld.o_orderpriority
+             | AND tc.o_year IS NOT DISTINCT FROM ld.o_year""".stripMargin)),
+
     // ---- V5: pairwise correlation matrix, one aggregation job -----------
     // All six lineitem-measure correlations share a single scan (the
     // q_v2 Expand discipline applied to corr), unpivoted to long form.

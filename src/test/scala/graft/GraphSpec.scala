@@ -101,6 +101,31 @@ class GraphSpec extends AnyFunSuite {
     assert(r("near") > r("hub") && r("near") > r("l1"))
   }
 
+  test("weighted pagerank: unit weights reduce to plain pagerank bit-exactly") {
+    import spark.implicits._
+    val plainEdges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c", "d" -> "a")
+      .toDF("src", "dst")
+    val unit = plainEdges.withColumn("w",
+      org.apache.spark.sql.functions.lit(1L))
+    val plain = Graph.pageRank(plainEdges, 5)
+    val weighted = Graph.pageRankWeighted(unit, 5)
+    assert(weighted.exceptAll(plain).isEmpty && plain.exceptAll(weighted).isEmpty)
+  }
+
+  test("weighted pagerank: rank follows the heavy edge") {
+    import spark.implicits._
+    // hub splits 9:1 between x and y; x must outrank y (symmetric
+    // otherwise: both return all mass to hub)
+    val edges = Seq(
+      ("hub", "x", 9L), ("hub", "y", 1L),
+      ("x", "hub", 1L), ("y", "hub", 1L)
+    ).toDF("src", "dst", "w")
+    val r = Graph.pageRankWeighted(edges, 5)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("x") > r("y"), s"weighted split must favor x: $r")
+    assert(math.abs(r.values.sum - 1.0) < 1e-4)
+  }
+
   test("hits: one hand-unrolled round — authorities from hubs, hubs from NEW authorities") {
     import spark.implicits._
     // l1..l3 -> a, a -> b. Round 1: auth raw a=3e6, b=1e6 (max 3e6) =>

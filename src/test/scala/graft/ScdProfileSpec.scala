@@ -333,6 +333,31 @@ class ScdProfileSpec extends AnyFunSuite {
     assert(out === Set(("E", 0.5, true), ("F", 0.5, true)))
   }
 
+  test("privacy gate: release only when all three rungs hold, null quasi joins") {
+    import spark.implicits._
+    // A (n=3, homogeneous): k ok, l fails. B (n=3, 3 values, matches
+    // the global thirds): all rungs ok. null-group (n=1): k fails.
+    val df = Seq(
+      (Option("A"), "x"), (Option("A"), "x"), (Option("A"), "x"),
+      (Option("B"), "x"), (Option("B"), "y"), (Option("B"), "z"),
+      (Option.empty[String], "y"), (Option.empty[String], "z"),
+      (Option.empty[String], "y")
+    ).toDF("grp", "diag")
+    val out = Profile.privacyReport(df, Seq("grp"), "diag", k = 2, l = 2, t = 0.4)
+      .collect().map(r => (Option(r.getString(0)),
+        (r.getBoolean(2), r.getBoolean(4), r.getBoolean(6), r.getBoolean(7))))
+      .toMap
+    // global: x 4/9, y 3/9, z 2/9
+    // A={x,x,x}: tvd = ½(|1-4/9| + 3/9 + 2/9) = ½·10/9 = 5/9 > 0.4
+    assert(out(Some("A")) === ((true, false, false, false)))
+    // B={x,y,z}: tvd = ½(|3/9-4/9|·3... ) = ½(1/9+0+1/9) = 1/9 <= 0.4
+    assert(out(Some("B")) === ((true, true, true, true)))
+    // null group {y,y,z}: n=3>=2 ok; 2 values ok; tvd = ½(4/9+|2/3-1/3|+|1/3-2/9|)
+    // = ½(4/9+3/9+1/9) = 4/9 > 0.4 -> close false, release false
+    assert(out(None) === ((true, true, false, false)),
+      "the null quasi class must flow through the null-safe join")
+  }
+
   test("k-anonymize: the ladder descends exactly until every class reaches k") {
     import spark.implicits._
     // 32 rows, one segment, values 1..32: 4 bins give classes of 8, so
