@@ -867,6 +867,31 @@ object TextAnalysis {
         .cast("long").as("n_replacement"))
       .withColumn("mojibake", col("n_artifacts") > 0 || col("n_replacement") > 0)
 
+  /** One-row corpus DATASHEET — the "dataset card" numbers a training
+    * corpus ships with: document count, token total / mean / median,
+    * empty-document count, and the exact-duplicate rate
+    * (docs − distinct content hashes, over docs). ONE aggregation pass
+    * over the token-counted projection — the count-distinct rides the
+    * same shuffle as the sums. Null text counts as an empty doc (0
+    * tokens) and is excluded from the dup-rate numerator (no hash).
+    * Counts are exact; each ratio is a single rounded division (the
+    * house numeric discipline), so the row hashes identically across
+    * engines. */
+  def corpusCard(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = df.select(col(idCol),
+      md5(col(textCol)).as("__h"),
+      size(tokens(col(textCol))).as("__nt"))
+    val nt0 = coalesce(col("__nt"), lit(0))
+    t.agg(
+      count(lit(1)).as("n_docs"),
+      sum(nt0).cast("long").as("n_tokens"),
+      round(sum(nt0).cast("double") / count(lit(1)), 6).as("avg_tokens"),
+      round(expr("percentile(__nt, 0.5)"), 4).as("p50_tokens"),
+      sum(when(nt0 === 0, 1L).otherwise(0L)).cast("long").as("n_empty"),
+      round((count(col("__h")) - countDistinct(col("__h"))).cast("double") /
+        count(lit(1)), 6).as("dup_rate"))
+  }
+
   /** PII patterns for training-corpus redaction, in APPLICATION ORDER:
     * URLs replace first so an address inside a link redacts as part of
     * the link, not as a second partial hit. Regex subset chosen to mean

@@ -900,6 +900,26 @@ object TextQueries extends graft.QueryPack {
              |     AS BIGINT) > 0) AS mojibake
              |FROM noisy""".stripMargin)),
 
+    // ---- X50: corpus datasheet card -------------------------------------
+    // The one-row dataset card: doc/token counts, token distribution,
+    // empty docs, exact-dup rate — one aggregation pass.
+    Q("q_x50_corpus_card",
+      (s, d) => TextAnalysis.corpusCard(Tables.documents(s, d), "text", "doc_id"),
+      Some("""WITH t AS (SELECT doc_id, md5(text) AS h,
+             |    len(list_filter(regexp_split_to_array(text, '\s+'),
+             |      x -> x <> '')) AS nt
+             |  FROM documents)
+             |SELECT COUNT(*) AS n_docs,
+             |  CAST(SUM(COALESCE(nt, 0)) AS BIGINT) AS n_tokens,
+             |  ROUND(CAST(SUM(COALESCE(nt, 0)) AS DOUBLE) / COUNT(*), 6)
+             |    AS avg_tokens,
+             |  ROUND(quantile_cont(nt, 0.5), 4) AS p50_tokens,
+             |  CAST(SUM(CASE WHEN COALESCE(nt, 0) = 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_empty,
+             |  ROUND(CAST(COUNT(h) - COUNT(DISTINCT h) AS DOUBLE)
+             |    / COUNT(*), 6) AS dup_rate
+             |FROM t""".stripMargin)),
+
     // ---- X46: model-based quality filtering (linear inference) ----------
     // fastText-style gate, scored engine-exactly: closed-form integer
     // MILLI-weights over the 16-bucket hashed-TF relation, one keyed

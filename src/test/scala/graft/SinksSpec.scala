@@ -225,6 +225,31 @@ class SinksSpec extends AnyFunSuite {
       .getMessage.contains("schema mismatch"))
   }
 
+  test("schema evolution: appended batches with new columns read under mergeSchema") {
+    import spark.implicits._
+    // the nightly-append reality: tonight's batch carries a column
+    // yesterday's files don't have. A default read takes ONE footer's
+    // schema (old rows may silently lose the new column); mergeSchema
+    // unions the schemas and back-fills nulls — pin both behaviors so
+    // the append pipelines rely on the right one.
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/t")
+    Seq((2L, "b", 9L)).toDF("id", "v", "extra")
+      .write.mode("append").parquet(s"$dir/t")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.sorted.toSeq === Seq("extra", "id", "v"))
+    val byId = merged.collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any]("extra"))).toMap
+    assert(byId === Map(1L -> None, 2L -> Some(9L)),
+      "old rows must surface the evolved column as null, new rows keep it")
+    // the default read resolves ONE schema — it may or may not carry
+    // the new column depending on footer order, which is exactly why
+    // evolving append pipelines must opt into mergeSchema explicitly
+    val plain = spark.read.parquet(s"$dir/t")
+    assert(plain.select(col("id")).collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L))
+  }
+
   test("csv audit channel: good rows parse, malformed rows land in the audit frame") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("csv-audit")

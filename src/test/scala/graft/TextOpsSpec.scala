@@ -457,6 +457,25 @@ class TextOpsSpec extends AnyFunSuite {
       "null text must count as clean, not null out the flag")
   }
 
+  test("corpus card: counts, token stats, empty docs, and dup rate by hand") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("one two three")),       // 3 tokens
+      (2L, Option("one two three")),       // exact dup of 1
+      (3L, Option("four five")),           // 2 tokens
+      (4L, Option("")),                    // empty -> 0 tokens
+      (5L, Option.empty[String])           // null -> empty, no hash
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.corpusCard(df, "text", "doc_id")
+      .collect().head
+    assert(r.getLong(0) === 5L)                 // n_docs
+    assert(r.getLong(1) === 8L)                 // n_tokens
+    assert(r.getDouble(2) === 1.6)              // avg over ALL docs
+    assert(r.getDouble(3) === 2.5)              // p50 of (0,2,3,3) non-null
+    assert(r.getLong(4) === 2L)                 // empty + null
+    assert(r.getDouble(5) === 0.2)              // 4 hashes, 3 distinct, /5
+  }
+
   test("cdc chunking: boundaries survive insertion, fixed windows don't") {
     import spark.implicits._
     val words = (1 to 240).map(i => s"t$i")   // unique tokens: chunk
