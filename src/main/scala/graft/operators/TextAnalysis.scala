@@ -419,6 +419,59 @@ object TextAnalysis {
       .withColumn("keep", col("quality_score") >= threshold)
   }
 
+  /** Gopher quality RULES (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", App. A1.1) —
+    * the published hard-threshold filter set, complementing the
+    * composite [[qualityScore]]: word-count bounds, mean-word-length
+    * band, symbol-to-word ratio (#, …, ...), bullet-started and
+    * ellipsis-ended line ratios, alphabetic-word ratio, and the
+    * ≥2-distinct-stop-words test. `keep` requires every rule to hold;
+    * an empty document fails the word-count rule, which short-circuits
+    * the null ratios (`false AND null` is false in both engines).
+    *
+    * Map-only — one projection, no shuffle, no UDF; every ratio is a
+    * single rounded division so the row hashes identically across
+    * engines. */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val t = df.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+      tokens(col(textCol)).as("toks"),
+      tokens(lower(col(textCol))).as("ltoks"),
+      split(col(textCol), "\n").as("lines"))
+    val n = size(col("toks"))
+    val nLines = size(col("lines"))
+    def occurrences(what: String, width: Int) =
+      ((length(col("__t")) - length(expr(s"replace(__t, '$what', '')"))) /
+        lit(width)).cast("long")
+    val nSym = occurrences("#", 1) + occurrences("…", 1) + occurrences("...", 3)
+    val bulletLines = size(filter(col("lines"), l =>
+      startswith(l, lit("- ")) || startswith(l, lit("• ")) ||
+        startswith(l, lit("* "))))
+    val ellipsisLines = size(filter(col("lines"), l =>
+      endswith(l, lit("...")) || endswith(l, lit("…"))))
+    val alphaWords = size(filter(col("ltoks"), w => w.rlike("[a-z]")))
+    def ratio(num: Column, den: Column) =
+      when(den > 0, round(num.cast("double") / den, 4))
+    val meanLen = ratio(length(array_join(col("toks"), "")), n)
+    val symbolRatio = ratio(nSym, n)
+    val bulletRatio = ratio(bulletLines, nLines)
+    val ellipsisRatio = ratio(ellipsisLines, nLines)
+    val alphaRatio = ratio(alphaWords, n)
+    val stopHits = size(array_intersect(col("ltoks"),
+      typedLit(stops))).cast("long")
+    t.select(col("doc_id"), n.cast("long").as("n_words"),
+        meanLen.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
+        bulletRatio.as("bullet_ratio"), ellipsisRatio.as("ellipsis_ratio"),
+        alphaRatio.as("alpha_ratio"), stopHits.as("stop_hits"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_ratio") <= 0.9 && col("ellipsis_ratio") <= 0.3 &&
+          col("alpha_ratio") >= 0.8 && col("stop_hits") >= 2L)
+  }
+
   /** CCNet-style LM-perplexity quality signal (Wenzek et al. 2020,
     * "CCNet: Extracting high quality monolingual datasets from web
     * crawl data"): score every document by the perplexity of a language

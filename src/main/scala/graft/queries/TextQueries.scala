@@ -920,6 +920,64 @@ object TextQueries extends graft.QueryPack {
              |    / COUNT(*), 6) AS dup_rate
              |FROM t""".stripMargin)),
 
+    // ---- X51: Gopher quality rules (published hard-threshold gate) ------
+    // Rae et al. 2021 App. A1.1 — word-count bounds, mean-word-length
+    // band, symbol ratio, bullet/ellipsis line ratios, alphabetic-word
+    // ratio, >=2 distinct stop words. Map-only; every ratio one rounded
+    // division.
+    Q("q_x51_gopher_rules",
+      (s, d) => TextAnalysis.gopherRules(Tables.documents(s, d), "text", "doc_id"),
+      Some("""WITH t AS (SELECT doc_id, text AS tx,
+             |    list_filter(regexp_split_to_array(text, '\s+'),
+             |      x -> x <> '') AS toks,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |      x -> x <> '') AS ltoks,
+             |    string_split(text, chr(10)) AS lines
+             |  FROM documents),
+             |m AS (SELECT doc_id,
+             |    len(toks) AS n, len(lines) AS nl,
+             |    length(array_to_string(toks, '')) AS chars,
+             |    CAST((length(tx) - length(replace(tx, '#', ''))) AS BIGINT)
+             |      + CAST((length(tx) - length(replace(tx, '…', ''))) AS BIGINT)
+             |      + CAST((length(tx) - length(replace(tx, '...', ''))) / 3
+             |          AS BIGINT) AS nsym,
+             |    len(list_filter(lines, l -> starts_with(l, '- ')
+             |      OR starts_with(l, '• ') OR starts_with(l, '* '))) AS nbullet,
+             |    len(list_filter(lines, l -> ends_with(l, '...')
+             |      OR ends_with(l, '…'))) AS nell,
+             |    len(list_filter(ltoks,
+             |      w -> regexp_matches(w, '[a-z]'))) AS nalpha,
+             |    len(list_filter(['the','be','to','of','and','that','have','with'],
+             |      sw -> list_contains(ltoks, sw))) AS shits
+             |  FROM t)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+             |  CASE WHEN n > 0
+             |    THEN ROUND(CAST(chars AS DOUBLE) / n, 4) END AS mean_word_len,
+             |  CASE WHEN n > 0
+             |    THEN ROUND(CAST(nsym AS DOUBLE) / n, 4) END AS symbol_ratio,
+             |  CASE WHEN nl > 0
+             |    THEN ROUND(CAST(nbullet AS DOUBLE) / nl, 4) END AS bullet_ratio,
+             |  CASE WHEN nl > 0
+             |    THEN ROUND(CAST(nell AS DOUBLE) / nl, 4) END AS ellipsis_ratio,
+             |  CASE WHEN n > 0
+             |    THEN ROUND(CAST(nalpha AS DOUBLE) / n, 4) END AS alpha_ratio,
+             |  CAST(shits AS BIGINT) AS stop_hits,
+             |  (n >= 50 AND n <= 100000
+             |   AND (CASE WHEN n > 0
+             |     THEN ROUND(CAST(chars AS DOUBLE) / n, 4) END) >= 3.0
+             |   AND (CASE WHEN n > 0
+             |     THEN ROUND(CAST(chars AS DOUBLE) / n, 4) END) <= 10.0
+             |   AND (CASE WHEN n > 0
+             |     THEN ROUND(CAST(nsym AS DOUBLE) / n, 4) END) <= 0.1
+             |   AND (CASE WHEN nl > 0
+             |     THEN ROUND(CAST(nbullet AS DOUBLE) / nl, 4) END) <= 0.9
+             |   AND (CASE WHEN nl > 0
+             |     THEN ROUND(CAST(nell AS DOUBLE) / nl, 4) END) <= 0.3
+             |   AND (CASE WHEN n > 0
+             |     THEN ROUND(CAST(nalpha AS DOUBLE) / n, 4) END) >= 0.8
+             |   AND shits >= 2) AS keep
+             |FROM m""".stripMargin)),
+
     // ---- X46: model-based quality filtering (linear inference) ----------
     // fastText-style gate, scored engine-exactly: closed-form integer
     // MILLI-weights over the 16-bucket hashed-TF relation, one keyed

@@ -476,6 +476,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getDouble(5) === 0.2)              // 4 hashes, 3 distinct, /5
   }
 
+  test("gopher rules: each rule rejects its own pathology, a normal doc keeps") {
+    import spark.implicits._
+    val good = (("the quick brown fox jumps over a lazy dog and " +
+      "that dog did not have any idea what to do with itself today ") * 2).trim
+    val df = Seq(
+      (1L, good),                                      // passes everything
+      (2L, "too few words here"),                      // word-count floor
+      (3L, ("### " * 60).trim),                        // symbols + no alpha + no stops
+      (4L, Seq.fill(60)("- bullet line with the and of that have to be with more words").mkString("\n")), // bullets
+      (5L, ("a " * 60).trim)                           // mean word len < 3
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.gopherRules(df, "text", "doc_id",
+        minWords = 20)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(8)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false))
+    // spot the signal columns on the good doc
+    val g = graft.operators.TextAnalysis.gopherRules(df, "text", "doc_id",
+        minWords = 20)
+      .filter(col("doc_id") === 1L).collect().head
+    assert(g.getLong(1) === 46L)                      // n_words
+    assert(g.getLong(7) >= 2L)                        // stop hits
+    assert(g.getDouble(6) === 1.0)                    // alpha ratio
+  }
+
   test("cdc chunking: boundaries survive insertion, fixed windows don't") {
     import spark.implicits._
     val words = (1 to 240).map(i => s"t$i")   // unique tokens: chunk
