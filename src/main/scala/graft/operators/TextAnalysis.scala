@@ -592,6 +592,93 @@ object TextAnalysis {
           .otherwise(lit("middle")))
   }
 
+  /** Trigram scoring with STUPID BACKOFF (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the large-corpus LM
+    * shape beyond the bigram gate: no discounting, no normalization,
+    * just relative frequencies with a fixed 0.4 factor per back-off
+    * level:
+    *
+    *   S(w3|w1 w2) = C(w1w2w3)/C(w1w2)        trigram seen in train
+    *               = 0.4 · C(w2w3)/C(w2)      else, bigram seen
+    *               = 0.4 · 0.4 · C(w3)/N      else, w3 seen
+    *               = null (OOV)               w3 never seen
+    *
+    * Trains counts on `train` and scores `target` — the two-corpus
+    * shape (reference → new batch) is what makes the back-off branches
+    * real; self-scoring never leaves the first branch. Emits per-doc
+    * trigram/OOV counts, the average negative log-score, its exp (a
+    * perplexity-like magnitude), and a head/middle/tail bucket; docs
+    * under 3 tokens bucket 'empty', docs whose every trigram is OOV
+    * bucket 'oov'.
+    *
+    * Determinism: counts exact; each trigram's ln rounds to 6 dp and
+    * sums as DECIMAL (the [[bigramPerplexity]] contract); score
+    * branches are single IEEE op chains mirrored by the oracle. Scale:
+    * three training hash aggregations (distinct-gram-sized shuffles);
+    * scoring is keyed left joins (AQE broadcasts the count relations
+    * while they fit) + one per-doc reduce. */
+  def stupidBackoff(train: DataFrame, target: DataFrame,
+      textCol: String, idCol: String,
+      headS: Double, tailS: Double): DataFrame = {
+    require(headS < tailS, s"need headS < tailS, got $headS >= $tailS")
+    val trToks = Par.spread(train.select(tokens(lower(col(textCol))).as("toks")))
+    val tri = trToks.select(explode(shingles(col("toks"), 3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c3"))
+    val big = trToks.select(explode(shingles(col("toks"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c2"))
+    val uni = trToks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val tot = trToks.agg(coalesce(sum(size(col("toks"))), lit(0L)).as("nn"))
+    val grams = Par.spread(target.select(col(idCol).as("doc_id"),
+        tokens(lower(col(textCol))).as("toks")))
+      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("g"))
+      .withColumn("__p", split(col("g"), " "))
+      .select(col("doc_id"), col("g"),
+        concat_ws(" ", col("__p").getItem(0), col("__p").getItem(1)).as("b12"),
+        concat_ws(" ", col("__p").getItem(1), col("__p").getItem(2)).as("b23"),
+        col("__p").getItem(1).as("w2x"), col("__p").getItem(2).as("w3x"))
+    val perDoc = grams
+      .join(tri.select(col("g").as("__g3"), col("c3")),
+        col("g") === col("__g3"), "left")
+      .join(big.select(col("g").as("__b12"), col("c2").as("c12")),
+        col("b12") === col("__b12"), "left")
+      .join(big.select(col("g").as("__b23"), col("c2").as("c23")),
+        col("b23") === col("__b23"), "left")
+      .join(uni.select(col("w").as("__w2"), col("c1").as("cw2")),
+        col("w2x") === col("__w2"), "left")
+      .join(uni.select(col("w").as("__w3"), col("c1").as("cw3")),
+        col("w3x") === col("__w3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        when(col("c3").isNotNull, col("c3").cast("double") / col("c12"))
+          .when(col("c23").isNotNull,
+            lit(0.4) * (col("c23").cast("double") / col("cw2")))
+          .when(col("cw3").isNotNull,
+            lit(0.4) * lit(0.4) * (col("cw3").cast("double") / col("nn")))
+          .as("sc"))
+      .select(col("doc_id"),
+        when(col("sc").isNotNull,
+          round(log(col("sc")), 6).cast("decimal(18,6)")).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), count(col("lp")).as("n_scored"),
+        sum(col("lp")).as("s"))
+      .select(col("doc_id"), col("n_trigrams"),
+        (col("n_trigrams") - col("n_scored")).as("n_oov"),
+        round(-col("s").cast("double") / col("n_scored"), 6).as("avg_nls"))
+    target.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        col("avg_nls"),
+        round(exp(col("avg_nls")), 4).as("sbo_ppl"))
+      .withColumn("bucket",
+        when(col("n_trigrams") === 0, lit("empty"))
+          .when(col("sbo_ppl").isNull, lit("oov"))
+          .when(col("sbo_ppl") <= headS, lit("head"))
+          .when(col("sbo_ppl") >= tailS, lit("tail"))
+          .otherwise(lit("middle")))
+  }
+
   /** Compressibility quality signal: DEFLATE length over raw length
     * (codegen'd [[graft.functions.DeflateLen]] kernel). Repetitive /
     * templated / machine-generated text compresses far below natural

@@ -501,6 +501,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(g.getDouble(6) === 1.0)                    // alpha ratio
   }
 
+  test("stupid backoff: each branch scores by hand — trigram, bigram, unigram floor, OOV") {
+    import spark.implicits._
+    // train: "a b c a b d" → trigrams {abc, bca, cab, abd}; bigrams
+    // {ab:2, bc, ca, bd}; unigrams {a:2, b:2, c:1, d:1}; N=6
+    val train = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    val target = Seq(
+      (1L, "a b c"),    // trigram branch: C(abc)/C(ab) = 1/2
+      (2L, "c a b"),    // trigram branch: C(cab)/C(ca) = 1/1
+      (3L, "b a c"),    // unseen tri+bigram(ba): backoff twice? bigram "a c" unseen too -> 0.4*0.4*C(c)/6
+      (4L, "a b z"),    // w3 'z' OOV -> null score, n_oov = 1
+      (5L, "a")         // <3 tokens -> empty bucket
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.stupidBackoff(
+        train, target, "text", "doc_id", headS = 2.0, tailS = 40.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getAs[Any]("sbo_ppl")),
+          r.getString(5)))).toMap
+    // doc1: sc = 0.5 → exp(-ln 0.5) = 2.0 → head (<= 2.0)
+    assert(out(1L) === ((1L, 0L, Some(2.0), "head")))
+    // doc2: sc = 1.0 → ppl 1.0 → head
+    assert(out(2L) === ((1L, 0L, Some(1.0), "head")))
+    // doc3: "b a c": trigram bac unseen; bigram "a c" unseen; w3=c seen
+    //  → sc = 0.16·(1/6) ≈ 0.026667 → ppl = 1/sc ≈ 37.5 → middle
+    assert(out(3L)._4 === "middle" && out(3L)._3.get
+      .asInstanceOf[Double] > 37.0)
+    // doc4: single trigram, w3 OOV → no scored grams → bucket oov
+    assert(out(4L) === ((1L, 1L, None, "oov")))
+    assert(out(5L) === ((0L, 0L, None, "empty")))
+  }
+
   test("cdc chunking: boundaries survive insertion, fixed windows don't") {
     import spark.implicits._
     val words = (1 to 240).map(i => s"t$i")   // unique tokens: chunk
