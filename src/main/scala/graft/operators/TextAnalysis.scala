@@ -620,7 +620,6 @@ object TextAnalysis {
   def stupidBackoff(train: DataFrame, target: DataFrame,
       textCol: String, idCol: String,
       headS: Double, tailS: Double): DataFrame = {
-    require(headS < tailS, s"need headS < tailS, got $headS >= $tailS")
     val trToks = Par.spread(train.select(tokens(lower(col(textCol))).as("toks")))
     val tri = trToks.select(explode(shingles(col("toks"), 3)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c3"))
@@ -629,6 +628,52 @@ object TextAnalysis {
     val uni = trToks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
     val tot = trToks.agg(coalesce(sum(size(col("toks"))), lit(0L)).as("nn"))
+    stupidBackoffFrom(tri, big, uni, tot, target, textCol, idCol, headS, tailS)
+  }
+
+  /** Persist [[stupidBackoff]]'s trigram/bigram/unigram count relations
+    * + the 1-row token total as exact-integer parquet — the
+    * [[writeLmCounts]] discipline one order up: the reference corpus
+    * trains ONCE, every crawl batch scores against the store without
+    * the reference ever being rescanned. */
+  def writeBackoffCounts(train: DataFrame, textCol: String,
+      dir: String): Unit = {
+    val trToks = Par.spread(train.select(tokens(lower(col(textCol))).as("toks")))
+    trToks.select(explode(shingles(col("toks"), 3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c3"))
+      .write.mode("overwrite").parquet(s"$dir/trigrams")
+    trToks.select(explode(shingles(col("toks"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c2"))
+      .write.mode("overwrite").parquet(s"$dir/bigrams")
+    trToks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+      .write.mode("overwrite").parquet(s"$dir/unigrams")
+    trToks.agg(coalesce(sum(size(col("toks"))), lit(0L)).as("nn"))
+      .write.mode("overwrite").parquet(s"$dir/total")
+  }
+
+  /** [[stupidBackoff]] scored against a PERSISTED count store
+    * ([[writeBackoffCounts]] output): byte-identical scoring (q_x53
+    * shares q_x52's oracle verbatim on the same split) with the
+    * reference corpus never rescanned — only the target batch is
+    * tokenized; the counts arrive as narrow parquet reads. */
+  def stupidBackoffFromStore(target: DataFrame, dir: String,
+      textCol: String, idCol: String,
+      headS: Double, tailS: Double): DataFrame = {
+    val spark = target.sparkSession
+    stupidBackoffFrom(
+      spark.read.parquet(s"$dir/trigrams"),
+      spark.read.parquet(s"$dir/bigrams"),
+      spark.read.parquet(s"$dir/unigrams"),
+      spark.read.parquet(s"$dir/total"),
+      target, textCol, idCol, headS, tailS)
+  }
+
+  private def stupidBackoffFrom(tri: DataFrame, big: DataFrame,
+      uni: DataFrame, tot: DataFrame, target: DataFrame,
+      textCol: String, idCol: String,
+      headS: Double, tailS: Double): DataFrame = {
+    require(headS < tailS, s"need headS < tailS, got $headS >= $tailS")
     val grams = Par.spread(target.select(col(idCol).as("doc_id"),
         tokens(lower(col(textCol))).as("toks")))
       .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("g"))

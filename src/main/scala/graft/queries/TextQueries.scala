@@ -130,6 +130,73 @@ object TextQueries extends graft.QueryPack {
     1 -> Seq("window", "stream"),
     2 -> Seq("customer", "merge", "table"))
 
+  /** q_x52's oracle — shared verbatim by q_x53 (the persisted count
+    * store must reproduce the inline scoring byte-for-byte). */
+  private lazy val duckStupidBackoff: Option[String] =
+    Some("""WITH trd AS (SELECT
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |      x -> x <> '') AS toks
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |tri AS (SELECT g, COUNT(*) AS c3 FROM (
+             |    SELECT unnest(list_transform(range(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+             |    FROM trd WHERE len(toks) >= 3) GROUP BY 1),
+             |big AS (SELECT g, COUNT(*) AS c2 FROM (
+             |    SELECT unnest(list_transform(range(1, len(toks)),
+             |      i -> toks[i] || ' ' || toks[i+1])) AS g
+             |    FROM trd WHERE len(toks) >= 2) GROUP BY 1),
+             |uni AS (SELECT w, COUNT(*) AS c1 FROM (
+             |    SELECT unnest(toks) AS w FROM trd) GROUP BY 1),
+             |tot AS (SELECT COALESCE(SUM(len(toks)), 0) AS tn FROM trd),
+             |tgt AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |      x -> x <> '') AS toks
+             |  FROM documents WHERE doc_id % 2 <> 0),
+             |p AS (SELECT doc_id, g, string_split(g, ' ') AS parts FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(range(1, len(toks) - 1),
+             |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+             |    FROM tgt WHERE len(toks) >= 3)),
+             |lp AS (SELECT doc_id,
+             |    CASE WHEN sc IS NOT NULL
+             |      THEN CAST(ROUND(LN(sc), 6) AS DECIMAL(18,6)) END AS lp
+             |  FROM (SELECT p.doc_id,
+             |      CASE
+             |        WHEN t.c3 IS NOT NULL
+             |          THEN CAST(t.c3 AS DOUBLE) / b12.c2
+             |        WHEN b23.c2 IS NOT NULL
+             |          THEN CAST(0.4 AS DOUBLE) *
+             |            (CAST(b23.c2 AS DOUBLE) / u2.c1)
+             |        WHEN u3.c1 IS NOT NULL
+             |          THEN CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) *
+             |            (CAST(u3.c1 AS DOUBLE) / tot.tn)
+             |      END AS sc
+             |    FROM p
+             |    LEFT JOIN tri t ON t.g = p.g
+             |    LEFT JOIN big b12 ON b12.g = parts[1] || ' ' || parts[2]
+             |    LEFT JOIN big b23 ON b23.g = parts[2] || ' ' || parts[3]
+             |    LEFT JOIN uni u2 ON u2.w = parts[2]
+             |    LEFT JOIN uni u3 ON u3.w = parts[3]
+             |    CROSS JOIN tot)),
+             |agg AS (SELECT doc_id, COUNT(*) AS n_trigrams,
+             |    COUNT(lp) AS n_scored, SUM(lp) AS s
+             |  FROM lp GROUP BY 1),
+             |fin AS (SELECT d.doc_id,
+             |    COALESCE(a.n_trigrams, 0) AS n_trigrams,
+             |    COALESCE(a.n_trigrams - a.n_scored, 0) AS n_oov,
+             |    ROUND(-CAST(a.s AS DOUBLE) / a.n_scored, 6) AS avg_nls
+             |  FROM (SELECT doc_id FROM documents WHERE doc_id % 2 <> 0) d
+             |  LEFT JOIN agg a ON a.doc_id = d.doc_id)
+             |SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams,
+             |  CAST(n_oov AS BIGINT) AS n_oov, avg_nls,
+             |  ROUND(EXP(avg_nls), 4) AS sbo_ppl,
+             |  CASE WHEN n_trigrams = 0 THEN 'empty'
+             |    WHEN ROUND(EXP(avg_nls), 4) IS NULL THEN 'oov'
+             |    WHEN ROUND(EXP(avg_nls), 4) <= 35.0 THEN 'head'
+             |    WHEN ROUND(EXP(avg_nls), 4) >= 50.0 THEN 'tail'
+             |    ELSE 'middle' END AS bucket
+             |FROM fin""".stripMargin)
+
   private lazy val duckBm25: String =
     """WITH t AS (SELECT doc_id,
       |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
@@ -991,69 +1058,24 @@ object TextQueries extends graft.QueryPack {
           docs.filter(col("doc_id") % 2 =!= 0),
           "text", "doc_id", headS = 35.0, tailS = 50.0)
       },
-      Some("""WITH trd AS (SELECT
-             |    list_filter(regexp_split_to_array(lower(text), '\s+'),
-             |      x -> x <> '') AS toks
-             |  FROM documents WHERE doc_id % 2 = 0),
-             |tri AS (SELECT g, COUNT(*) AS c3 FROM (
-             |    SELECT unnest(list_transform(range(1, len(toks) - 1),
-             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
-             |    FROM trd WHERE len(toks) >= 3) GROUP BY 1),
-             |big AS (SELECT g, COUNT(*) AS c2 FROM (
-             |    SELECT unnest(list_transform(range(1, len(toks)),
-             |      i -> toks[i] || ' ' || toks[i+1])) AS g
-             |    FROM trd WHERE len(toks) >= 2) GROUP BY 1),
-             |uni AS (SELECT w, COUNT(*) AS c1 FROM (
-             |    SELECT unnest(toks) AS w FROM trd) GROUP BY 1),
-             |tot AS (SELECT COALESCE(SUM(len(toks)), 0) AS tn FROM trd),
-             |tgt AS (SELECT doc_id,
-             |    list_filter(regexp_split_to_array(lower(text), '\s+'),
-             |      x -> x <> '') AS toks
-             |  FROM documents WHERE doc_id % 2 <> 0),
-             |p AS (SELECT doc_id, g, string_split(g, ' ') AS parts FROM (
-             |    SELECT doc_id,
-             |      unnest(list_transform(range(1, len(toks) - 1),
-             |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
-             |    FROM tgt WHERE len(toks) >= 3)),
-             |lp AS (SELECT doc_id,
-             |    CASE WHEN sc IS NOT NULL
-             |      THEN CAST(ROUND(LN(sc), 6) AS DECIMAL(18,6)) END AS lp
-             |  FROM (SELECT p.doc_id,
-             |      CASE
-             |        WHEN t.c3 IS NOT NULL
-             |          THEN CAST(t.c3 AS DOUBLE) / b12.c2
-             |        WHEN b23.c2 IS NOT NULL
-             |          THEN CAST(0.4 AS DOUBLE) *
-             |            (CAST(b23.c2 AS DOUBLE) / u2.c1)
-             |        WHEN u3.c1 IS NOT NULL
-             |          THEN CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) *
-             |            (CAST(u3.c1 AS DOUBLE) / tot.tn)
-             |      END AS sc
-             |    FROM p
-             |    LEFT JOIN tri t ON t.g = p.g
-             |    LEFT JOIN big b12 ON b12.g = parts[1] || ' ' || parts[2]
-             |    LEFT JOIN big b23 ON b23.g = parts[2] || ' ' || parts[3]
-             |    LEFT JOIN uni u2 ON u2.w = parts[2]
-             |    LEFT JOIN uni u3 ON u3.w = parts[3]
-             |    CROSS JOIN tot)),
-             |agg AS (SELECT doc_id, COUNT(*) AS n_trigrams,
-             |    COUNT(lp) AS n_scored, SUM(lp) AS s
-             |  FROM lp GROUP BY 1),
-             |fin AS (SELECT d.doc_id,
-             |    COALESCE(a.n_trigrams, 0) AS n_trigrams,
-             |    COALESCE(a.n_trigrams - a.n_scored, 0) AS n_oov,
-             |    ROUND(-CAST(a.s AS DOUBLE) / a.n_scored, 6) AS avg_nls
-             |  FROM (SELECT doc_id FROM documents WHERE doc_id % 2 <> 0) d
-             |  LEFT JOIN agg a ON a.doc_id = d.doc_id)
-             |SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams,
-             |  CAST(n_oov AS BIGINT) AS n_oov, avg_nls,
-             |  ROUND(EXP(avg_nls), 4) AS sbo_ppl,
-             |  CASE WHEN n_trigrams = 0 THEN 'empty'
-             |    WHEN ROUND(EXP(avg_nls), 4) IS NULL THEN 'oov'
-             |    WHEN ROUND(EXP(avg_nls), 4) <= 35.0 THEN 'head'
-             |    WHEN ROUND(EXP(avg_nls), 4) >= 50.0 THEN 'tail'
-             |    ELSE 'middle' END AS bucket
-             |FROM fin""".stripMargin)),
+      duckStupidBackoff),
+
+    // ---- X53: stupid backoff from the PERSISTED count store -------------
+    // The nightly-production twin of q_x52 (the q_d13/q_x41 store
+    // discipline): counts land once, the batch scores against the
+    // parquet store — reference corpus never rescanned. Shares q_x52's
+    // oracle VERBATIM: output equality is the proof.
+    Q("q_x53_backoff_store",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dir = TempDirs.scratch("graft_sbo_")
+        TextAnalysis.writeBackoffCounts(
+          docs.filter(col("doc_id") % 2 === 0), "text", dir)
+        TextAnalysis.stupidBackoffFromStore(
+          docs.filter(col("doc_id") % 2 =!= 0), dir,
+          "text", "doc_id", headS = 35.0, tailS = 50.0)
+      },
+      duckStupidBackoff),
 
     // ---- X46: model-based quality filtering (linear inference) ----------
     // fastText-style gate, scored engine-exactly: closed-form integer

@@ -531,6 +531,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(5L) === ((0L, 0L, None, "empty")))
   }
 
+  test("backoff store: persisted counts reproduce inline scoring, reference never rescanned") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sbo_spec_").toString
+    // reference docs land in their OWN parquet so a score-time scan of
+    // them is visible by path (the q_d13 discipline)
+    Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/ref_docs")
+    val ref = spark.read.parquet(s"$tmp/ref_docs")
+    val batch = Seq((1L, "a b c"), (2L, "b a c"), (3L, "a b z"))
+      .toDF("doc_id", "text")
+    graft.operators.TextAnalysis.writeBackoffCounts(ref, "text", s"$tmp/store")
+    val viaStore = graft.operators.TextAnalysis.stupidBackoffFromStore(
+      batch, s"$tmp/store", "text", "doc_id", headS = 2.0, tailS = 40.0)
+    val inline = graft.operators.TextAnalysis.stupidBackoff(
+      ref, batch, "text", "doc_id", headS = 2.0, tailS = 40.0)
+    assert(viaStore.exceptAll(inline).isEmpty &&
+      inline.exceptAll(viaStore).isEmpty)
+    val p = viaStore.queryExecution.executedPlan.toString
+    assert(p.contains("store/trigrams") && p.contains("store/unigrams"),
+      s"count store missing from the score plan:\n$p")
+    assert(!p.contains("ref_docs"),
+      s"the reference corpus was re-scanned — the store exists precisely " +
+        s"so this never happens:\n$p")
+  }
+
   test("cdc chunking: boundaries survive insertion, fixed windows don't") {
     import spark.implicits._
     val words = (1 to 240).map(i => s"t$i")   // unique tokens: chunk
