@@ -43,7 +43,9 @@ object Graph {
   /** PageRank over directed `edges(src, dst)`. Parallel edges are
     * legal (they weight the link); self-loops are legal. Returns
     * `(node, rank)` over every node appearing as src or dst, ranks
-    * rounded to 6 dp and summing to ~1.
+    * summing to ~1 (full-precision doubles — the 6-dp micro-unit
+    * quantization is internal per-node mass, normalized by the node
+    * count at output).
     *
     * `iters` is bounded: the caller picks convergence depth explicitly
     * (each round is a full pass over the edge relation — at 100 TB that

@@ -120,14 +120,31 @@ object Profile {
     * the quasi columns plus `(n, tvd, close)`. */
   def tCloseness(df: DataFrame, quasi: Seq[String], sensitive: String,
       t: Double): DataFrame = {
-    require(quasi.nonEmpty, "need at least one quasi-identifier column")
     require(t > 0 && t < 1, s"t-closeness needs 0 < t < 1, got $t")
+    tClosenessFromCounts(classValueCounts(df, quasi, sensitive), quasi, t)
+  }
+
+  /** The per-(quasi class, sensitive value) count relation every
+    * privacy rung derives from — ONE corpus aggregation; the result is
+    * keys × values sized. Null values group as categories (SQL GROUP
+    * BY semantics, the ladder's shared stance). */
+  private def classValueCounts(df: DataFrame, quasi: Seq[String],
+      sensitive: String): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
     (quasi :+ sensitive).foreach(c => require(df.columns.contains(c),
       s"column '$c' not in ${df.columns.mkString(", ")}"))
-    val base = df.select(
-      (quasi.map(c => col(s"`$c`")) :+ col(s"`$sensitive`").as("__v")): _*)
-    val cv = base.groupBy((quasi :+ "__v").map(c => col(s"`$c`")): _*)
+    df.select(
+        (quasi.map(c => col(s"`$c`")) :+ col(s"`$sensitive`").as("__v")): _*)
+      .groupBy((quasi :+ "__v").map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as("__c"))
+  }
+
+  /** [[tCloseness]] from a prebuilt [[classValueCounts]] relation — the
+    * seam [[privacyReport]] uses to serve every rung from one corpus
+    * pass. Backticked `__r_` references keep dotted quasi names safe
+    * (the [[describe]] alias trap). */
+  private def tClosenessFromCounts(cv: DataFrame, quasi: Seq[String],
+      t: Double): DataFrame = {
     val classes = cv.groupBy(quasi.map(c => col(s"`$c`")): _*)
       .agg(sum("__c").as("n"))
     val gv = cv.groupBy(col("__v").as("__gv")).agg(sum("__c").as("__g"))
@@ -135,7 +152,7 @@ object Profile {
     val cvr = cv.select(
       (quasi.map(c => col(s"`$c`").as(s"__r_$c")) :+
         col("__v").as("__rv") :+ col("__c")): _*)
-    val joinCond = (quasi.map(c => col(s"`$c`") <=> col(s"__r_$c")) :+
+    val joinCond = (quasi.map(c => col(s"`$c`") <=> col(s"`__r_$c`")) :+
       (col("__gv") <=> col("__rv"))).reduce(_ && _)
     val grid = classes.crossJoin(broadcast(gv)).crossJoin(broadcast(tot))
       .join(cvr, joinCond, "left")
@@ -157,22 +174,30 @@ object Profile {
     * `release` true only when all three hold — the decision a dataset
     * actually needs before leaving the warehouse, under ONE oracle.
     *
-    * Composes [[lDiversity]] (which already carries the class size, so
-    * the k verdict is free) with [[tCloseness]], joined null-safely on
-    * the quasi tuple (null quasi values form real classes in every
-    * rung). Two corpus aggregations total; the join is keys-sized. */
+    * ONE corpus aggregation total: the shared (quasi, value) count
+    * relation is materialized keys-sized ([[Iterate.checkpoint]], the
+    * graph-loop discipline) and every rung derives from it — class
+    * size and distinct-sensitive count are per-class aggregates of the
+    * counts; the TVD grid joins it null-safely (null quasi values form
+    * real classes in every rung). */
   def privacyReport(df: DataFrame, quasi: Seq[String], sensitive: String,
       k: Int, l: Int, t: Double): DataFrame = {
     require(k >= 2, s"k-anonymity needs k >= 2, got $k")
-    val ld = lDiversity(df, quasi, sensitive, l)
-    val tcr = tCloseness(df, quasi, sensitive, t).select(
+    require(l >= 2, s"l-diversity needs l >= 2, got $l")
+    require(t > 0 && t < 1, s"t-closeness needs 0 < t < 1, got $t")
+    val cv = Iterate.checkpoint(classValueCounts(df, quasi, sensitive))
+    // n = class size; n_sensitive = distinct sensitive values = one cv
+    // row per value (null included) — [[lDiversity]]'s exact semantics
+    val ld = cv.groupBy(quasi.map(c => col(s"`$c`")): _*)
+      .agg(sum("__c").as("n"), count(lit(1)).as("n_sensitive"))
+    val tcr = tClosenessFromCounts(cv, quasi, t).select(
       (quasi.map(c => col(s"`$c`").as(s"__r_$c")) :+
         col("tvd") :+ col("close")): _*)
-    val cond = quasi.map(c => col(s"`$c`") <=> col(s"__r_$c")).reduce(_ && _)
+    val cond = quasi.map(c => col(s"`$c`") <=> col(s"`__r_$c`")).reduce(_ && _)
     ld.join(tcr, cond)
       .select((quasi.map(c => col(s"`$c`")) :+
         col("n") :+ (col("n") >= k).as("anonymous") :+
-        col("n_sensitive") :+ col("diverse") :+
+        col("n_sensitive") :+ (col("n_sensitive") >= l).as("diverse") :+
         col("tvd") :+ col("close")): _*)
       .withColumn("release",
         col("anonymous") && col("diverse") && col("close"))

@@ -426,8 +426,10 @@ object TextAnalysis {
     * band, symbol-to-word ratio (#, …, ...), bullet-started and
     * ellipsis-ended line ratios, alphabetic-word ratio, and the
     * ≥2-distinct-stop-words test. `keep` requires every rule to hold;
-    * an empty document fails the word-count rule, which short-circuits
-    * the null ratios (`false AND null` is false in both engines).
+    * null text is normalized to the empty string FIRST, so both empty
+    * and null documents fail the word-count rule deterministically
+    * (`keep = false`, ratios null) — the oracle applies the same
+    * COALESCE, keeping the two engines cell-identical on null rows.
     *
     * Map-only — one projection, no shuffle, no UDF; every ratio is a
     * single rounded division so the row hashes identically across
@@ -435,10 +437,11 @@ object TextAnalysis {
   def gopherRules(df: DataFrame, textCol: String, idCol: String,
       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val t = df.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
-      tokens(col(textCol)).as("toks"),
-      tokens(lower(col(textCol))).as("ltoks"),
-      split(col(textCol), "\n").as("lines"))
+    val tx = coalesce(col(textCol), lit(""))
+    val t = df.select(col(idCol).as("doc_id"), tx.as("__t"),
+      tokens(tx).as("toks"),
+      tokens(lower(tx)).as("ltoks"),
+      split(tx, "\n").as("lines"))
     val n = size(col("toks"))
     val nLines = size(col("lines"))
     def occurrences(what: String, width: Int) =
@@ -526,15 +529,20 @@ object TextAnalysis {
     * the reference corpus ever being rescanned). The signature-store /
     * BM25-index / quantizer-store discipline applied to the LM. */
   def writeLmCounts(df: DataFrame, textCol: String, dir: String): Unit = {
+    // three write actions share ONE tokenization pass (the
+    // writeBackoffCounts persistence discipline)
     val toksed = Par.spread(df.select(tokens(lower(col(textCol))).as("toks")))
-    toksed.select(explode(shingles(col("toks"), 2)).as("gram"))
-      .groupBy(col("gram")).agg(count(lit(1)).as("cb"))
-      .write.mode("overwrite").parquet(s"$dir/bigrams")
-    val uni = toksed.select(explode(col("toks")).as("w"))
-    uni.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-      .write.mode("overwrite").parquet(s"$dir/unigrams")
-    uni.select(countDistinct(col("w")).as("vsz"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
+      .persist()
+    try {
+      toksed.select(explode(shingles(col("toks"), 2)).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("cb"))
+        .write.mode("overwrite").parquet(s"$dir/bigrams")
+      val uni = toksed.select(explode(col("toks")).as("w"))
+      uni.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+        .write.mode("overwrite").parquet(s"$dir/unigrams")
+      uni.select(countDistinct(col("w")).as("vsz"))
+        .write.mode("overwrite").parquet(s"$dir/stats")
+    } finally { toksed.unpersist(); () }
   }
 
   /** Score a batch against a PERSISTED LM ([[writeLmCounts]] output):
@@ -638,18 +646,24 @@ object TextAnalysis {
     * the reference ever being rescanned. */
   def writeBackoffCounts(train: DataFrame, textCol: String,
       dir: String): Unit = {
+    // four write actions share ONE tokenization pass: the projection is
+    // persisted (memory-and-disk, so oversized references spill rather
+    // than re-scan) for the duration of the store build
     val trToks = Par.spread(train.select(tokens(lower(col(textCol))).as("toks")))
-    trToks.select(explode(shingles(col("toks"), 3)).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("c3"))
-      .write.mode("overwrite").parquet(s"$dir/trigrams")
-    trToks.select(explode(shingles(col("toks"), 2)).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("c2"))
-      .write.mode("overwrite").parquet(s"$dir/bigrams")
-    trToks.select(explode(col("toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c1"))
-      .write.mode("overwrite").parquet(s"$dir/unigrams")
-    trToks.agg(coalesce(sum(size(col("toks"))), lit(0L)).as("nn"))
-      .write.mode("overwrite").parquet(s"$dir/total")
+      .persist()
+    try {
+      trToks.select(explode(shingles(col("toks"), 3)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c3"))
+        .write.mode("overwrite").parquet(s"$dir/trigrams")
+      trToks.select(explode(shingles(col("toks"), 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c2"))
+        .write.mode("overwrite").parquet(s"$dir/bigrams")
+      trToks.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+        .write.mode("overwrite").parquet(s"$dir/unigrams")
+      trToks.agg(coalesce(sum(size(col("toks"))), lit(0L)).as("nn"))
+        .write.mode("overwrite").parquet(s"$dir/total")
+    } finally { trToks.unpersist(); () }
   }
 
   /** [[stupidBackoff]] scored against a PERSISTED count store
@@ -1062,8 +1076,8 @@ object TextAnalysis {
     * Counts are exact; each ratio is a single rounded division (the
     * house numeric discipline), so the row hashes identically across
     * engines. */
-  def corpusCard(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val t = df.select(col(idCol),
+  def corpusCard(df: DataFrame, textCol: String): DataFrame = {
+    val t = df.select(
       md5(col(textCol)).as("__h"),
       size(tokens(col(textCol))).as("__nt"))
     val nt0 = coalesce(col("__nt"), lit(0))

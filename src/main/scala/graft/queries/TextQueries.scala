@@ -971,7 +971,7 @@ object TextQueries extends graft.QueryPack {
     // The one-row dataset card: doc/token counts, token distribution,
     // empty docs, exact-dup rate — one aggregation pass.
     Q("q_x50_corpus_card",
-      (s, d) => TextAnalysis.corpusCard(Tables.documents(s, d), "text", "doc_id"),
+      (s, d) => TextAnalysis.corpusCard(Tables.documents(s, d), "text"),
       Some("""WITH t AS (SELECT doc_id, md5(text) AS h,
              |    len(list_filter(regexp_split_to_array(text, '\s+'),
              |      x -> x <> '')) AS nt
@@ -994,12 +994,12 @@ object TextQueries extends graft.QueryPack {
     // division.
     Q("q_x51_gopher_rules",
       (s, d) => TextAnalysis.gopherRules(Tables.documents(s, d), "text", "doc_id"),
-      Some("""WITH t AS (SELECT doc_id, text AS tx,
-             |    list_filter(regexp_split_to_array(text, '\s+'),
+      Some("""WITH t AS (SELECT doc_id, COALESCE(text, '') AS tx,
+             |    list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
              |      x -> x <> '') AS toks,
-             |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |    list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '\s+'),
              |      x -> x <> '') AS ltoks,
-             |    string_split(text, chr(10)) AS lines
+             |    string_split(COALESCE(text, ''), chr(10)) AS lines
              |  FROM documents),
              |m AS (SELECT doc_id,
              |    len(toks) AS n, len(lines) AS nl,

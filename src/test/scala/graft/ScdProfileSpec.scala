@@ -336,7 +336,9 @@ class ScdProfileSpec extends AnyFunSuite {
   test("privacy gate: release only when all three rungs hold, null quasi joins") {
     import spark.implicits._
     // A (n=3, homogeneous): k ok, l fails. B (n=3, 3 values, matches
-    // the global thirds): all rungs ok. null-group (n=1): k fails.
+    // the global thirds): all rungs ok. null-group (n=3, 2 values,
+    // skewed): k and l hold, closeness fails — and the class itself
+    // proves null quasi values flow through the null-safe join.
     val df = Seq(
       (Option("A"), "x"), (Option("A"), "x"), (Option("A"), "x"),
       (Option("B"), "x"), (Option("B"), "y"), (Option("B"), "z"),

@@ -466,7 +466,7 @@ class TextOpsSpec extends AnyFunSuite {
       (4L, Option("")),                    // empty -> 0 tokens
       (5L, Option.empty[String])           // null -> empty, no hash
     ).toDF("doc_id", "text")
-    val r = graft.operators.TextAnalysis.corpusCard(df, "text", "doc_id")
+    val r = graft.operators.TextAnalysis.corpusCard(df, "text")
       .collect().head
     assert(r.getLong(0) === 5L)                 // n_docs
     assert(r.getLong(1) === 8L)                 // n_tokens
@@ -485,13 +485,14 @@ class TextOpsSpec extends AnyFunSuite {
       (2L, "too few words here"),                      // word-count floor
       (3L, ("### " * 60).trim),                        // symbols + no alpha + no stops
       (4L, Seq.fill(60)("- bullet line with the and of that have to be with more words").mkString("\n")), // bullets
-      (5L, ("a " * 60).trim)                           // mean word len < 3
+      (5L, ("a " * 60).trim),                          // mean word len < 3
+      (6L, null.asInstanceOf[String])                  // null text -> empty -> reject
     ).toDF("doc_id", "text")
     val got = graft.operators.TextAnalysis.gopherRules(df, "text", "doc_id",
         minWords = 20)
       .collect().map(r => r.getLong(0) -> r.getBoolean(8)).toMap
     assert(got === Map(1L -> true, 2L -> false, 3L -> false,
-      4L -> false, 5L -> false))
+      4L -> false, 5L -> false, 6L -> false))
     // spot the signal columns on the good doc
     val g = graft.operators.TextAnalysis.gopherRules(df, "text", "doc_id",
         minWords = 20)
