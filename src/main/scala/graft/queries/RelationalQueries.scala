@@ -992,7 +992,13 @@ object RelationalQueries extends graft.QueryPack {
              |  FROM orders),
              |cv AS (SELECT o_orderpriority, o_year, v, COUNT(*) AS c
              |  FROM b GROUP BY 1, 2, 3),
-             |cls AS (SELECT o_orderpriority, o_year, SUM(c) AS n
+             |-- n is PROJECTED to the output: DuckDB types SUM(BIGINT) as
+             |-- HUGEINT (int128) while Spark's sum is BIGINT, and the
+             |-- driver hash distinguishes physical types even when every
+             |-- value compares equal — any bare SUM() that reaches the
+             |-- SELECT list must be cast back to BIGINT.
+             |cls AS (SELECT o_orderpriority, o_year,
+             |    CAST(SUM(c) AS BIGINT) AS n
              |  FROM cv GROUP BY 1, 2),
              |gv AS (SELECT v, SUM(c) AS g FROM cv GROUP BY 1),
              |-- the corpus total is named gn, NOT "N": DuckDB identifiers

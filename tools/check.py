@@ -75,6 +75,16 @@ def main():
             n_bad += 1
             continue
         g, w = normalize(got), normalize(want)
+        # The driver's hash is sensitive to the PHYSICAL column type
+        # (e.g. DuckDB HUGEINT vs Spark BIGINT hash differently even when
+        # every value compares equal — the q_v14 round-9 red row). Flag
+        # dtype-kind mismatches loudly; integer-width differences
+        # (int32/int64) have hashed equal historically, so only warn.
+        for c in g.columns:
+            gk, wk = g[c].dtype.kind, w[c].dtype.kind
+            if gk != wk:
+                print(f"[TYPE] {name}.{c}: spark dtype {g[c].dtype} vs oracle {w[c].dtype} "
+                      f"— driver hash may diverge even if values match")
         bad_cells = []
         for c in g.columns:
             gv, wv = g[c].tolist(), w[c].tolist()
