@@ -465,20 +465,30 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
       thresholdTenths: Int = 1): DataFrame = {
     val spark = batch.sparkSession
-    def prior(sub: String, empty: => DataFrame): DataFrame =
+    def prior(sub: String, empty: => DataFrame): DataFrame = {
       // missing-store probe: ONLY the path-absent cases fall back to the
-      // empty frame (AnalysisException path-not-found from the reader, or
-      // a raw FileNotFoundException from schema inference, depending on
-      // the path state). Anything else — a transient FS failure, a
-      // corrupt footer — must FAIL the micro-batch: a broad catch here
-      // would silently classify the whole batch as novel and permanently
-      // fold duplicates into the store and the accepted output.
+      // empty frame — the reader's PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA
+      // conditions (absent dir, present-but-fileless dir), or a raw
+      // FileNotFoundException ONLY when the store dir is verifiably gone
+      // at probe time. Anything else — a transient FS failure, a corrupt
+      // footer, schema drift, a file deleted between listing and footer
+      // read — must FAIL the micro-batch: a broad catch here would
+      // silently classify the whole batch as novel and permanently fold
+      // duplicates into the store and the accepted output.
+      def storeAbsent: Boolean = {
+        val p = new org.apache.hadoop.fs.Path(s"$sigDir/$sub")
+        !p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
       try spark.read.parquet(s"$sigDir/$sub")
         .filter(col("batch") < batchId).drop("batch")
       catch {
-        case _: org.apache.spark.sql.AnalysisException => empty
-        case _: java.io.FileNotFoundException => empty
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.startsWith("PATH_NOT_FOUND") ||
+              c.startsWith("UNABLE_TO_INFER_SCHEMA")) => empty
+        case _: java.io.FileNotFoundException if storeAbsent => empty
       }
+    }
     val none = batch.limit(0)
     val exHashes = prior("hashes", none.select(md5(col(textCol)).as("h")))
     val exBands = prior("bands",

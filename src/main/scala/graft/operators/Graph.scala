@@ -222,8 +222,12 @@ object Graph {
     * iteration cannot drift or overflow. Shape per half-round: one
     * keyed equi-join + one map-side-combined sum + a broadcast 1-row
     * max + a keys-sized left join; lineage truncates per round via
-    * [[Iterate.checkpoint]]. Returns `(node, auth, hub)` rounded to
-    * 6 dp, maxima at 1.0. */
+    * [[Iterate.checkpoint]]. `tol` carries the same per-output-unit
+    * meaning as [[pageRank]]'s: the per-round movement scalar
+    * Σ(|Δauth| + |Δhub|) is normalized by the node count, so one tol
+    * value expresses the same per-node convergence bar on a 1k-node
+    * fixture and a 1B-node crawl graph. Returns `(node, auth, hub)`
+    * rounded to 6 dp, maxima at 1.0. */
   def hits(edges: DataFrame, iters: Int,
       tol: Option[Double] = None): DataFrame = {
     require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")
@@ -231,7 +235,8 @@ object Graph {
     val e = Iterate.checkpoint(edges.select(col("src"), col("dst")))
     val nodes = Iterate.checkpoint(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
-    require(nodes.limit(1).count() > 0, "hits: empty edge list")
+    val n = nodes.count() // one driver scalar, the tol normalizer
+    require(n > 0, "hits: empty edge list")
 
     def rescaled(raw: DataFrame, joinKey: String, outCol: String): DataFrame = {
       val mx = raw.agg(max(col("__raw")).as("__mx"))
@@ -262,13 +267,16 @@ object Graph {
       tol.foreach { t =>
         // the pageRank tol discipline: one exact-integer movement
         // scalar per round — Σ(|Δauth_m| + |Δhub_m|) over the
-        // checkpointed frames; output equals the fixed round count
-        // actually executed (GraphSpec)
+        // checkpointed frames, normalized by the NODE count so tol
+        // means "average per-node movement in score units" on any
+        // graph size, the same per-output-unit contract as pageRank's
+        // division by its seed count; output equals the fixed round
+        // count actually executed (GraphSpec)
         val movedM = scores.join(prev, Seq("node"))
           .agg(coalesce(sum(abs(col("auth_m") - col("__pa")) +
             abs(col("hub_m") - col("__ph"))), lit(0L)))
           .first().getLong(0)
-        if (movedM.toDouble / 1e6 <= t) converged = true
+        if (movedM.toDouble / 1e6 / n <= t) converged = true
       }
     }
     scores.select(col("node"),

@@ -1077,10 +1077,13 @@ object TextAnalysis {
     * house numeric discipline), so the row hashes identically across
     * engines. */
   def corpusCard(df: DataFrame, textCol: String): DataFrame = {
+    // __nt is coalesced AT THE SOURCE so every statistic — including the
+    // median, whose percentile() would otherwise skip nulls — sees a
+    // null-text doc as exactly 0 tokens (the documented semantics).
     val t = df.select(
       md5(col(textCol)).as("__h"),
-      size(tokens(col(textCol))).as("__nt"))
-    val nt0 = coalesce(col("__nt"), lit(0))
+      coalesce(size(tokens(col(textCol))), lit(0)).as("__nt"))
+    val nt0 = col("__nt")
     t.agg(
       count(lit(1)).as("n_docs"),
       sum(nt0).cast("long").as("n_tokens"),

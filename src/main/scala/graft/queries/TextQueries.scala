@@ -973,15 +973,17 @@ object TextQueries extends graft.QueryPack {
     Q("q_x50_corpus_card",
       (s, d) => TextAnalysis.corpusCard(Tables.documents(s, d), "text"),
       Some("""WITH t AS (SELECT doc_id, md5(text) AS h,
-             |    len(list_filter(regexp_split_to_array(text, '\s+'),
-             |      x -> x <> '')) AS nt
+             |    -- nt coalesced AT THE SOURCE (mirrors corpusCard): a
+             |    -- null-text doc is 0 tokens in EVERY stat, median included
+             |    COALESCE(len(list_filter(regexp_split_to_array(text, '\s+'),
+             |      x -> x <> '')), 0) AS nt
              |  FROM documents)
              |SELECT COUNT(*) AS n_docs,
-             |  CAST(SUM(COALESCE(nt, 0)) AS BIGINT) AS n_tokens,
-             |  ROUND(CAST(SUM(COALESCE(nt, 0)) AS DOUBLE) / COUNT(*), 6)
+             |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+             |  ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6)
              |    AS avg_tokens,
              |  ROUND(quantile_cont(nt, 0.5), 4) AS p50_tokens,
-             |  CAST(SUM(CASE WHEN COALESCE(nt, 0) = 0 THEN 1 ELSE 0 END)
+             |  CAST(SUM(CASE WHEN nt = 0 THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_empty,
              |  ROUND(CAST(COUNT(h) - COUNT(DISTINCT h) AS DOUBLE)
              |    / COUNT(*), 6) AS dup_rate

@@ -51,6 +51,23 @@ class IngestDedupSpec extends AnyFunSuite {
     assert(sigIds === Set(1L, 2L, 12L))
   }
 
+  test("a present-but-unreadable store FAILS the batch instead of classifying it as novel") {
+    import spark.implicits._
+    val (sigs, out, _) = dirs()
+    // a store dir that exists but holds a corrupt (non-parquet) file is
+    // NOT the missing-store case — silently treating it as empty would
+    // fold every duplicate in the batch into the store permanently
+    val bad = new java.io.File(s"$sigs/hashes/batch=0")
+    bad.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$bad/part-00000.parquet"), "not parquet")
+    val batch = Seq(1L -> tA).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.ingestBatch(batch, 1L, sigs, out, "text", "doc_id").collect()
+    }
+    assert(!e.isInstanceOf[java.io.FileNotFoundException])
+  }
+
   test("a replayed batch rewrites its own partitions — store and output stay stable") {
     import spark.implicits._
     val (sigs, out, _) = dirs()

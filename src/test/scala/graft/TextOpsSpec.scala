@@ -471,7 +471,7 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getLong(0) === 5L)                 // n_docs
     assert(r.getLong(1) === 8L)                 // n_tokens
     assert(r.getDouble(2) === 1.6)              // avg over ALL docs
-    assert(r.getDouble(3) === 2.5)              // p50 of (0,2,3,3) non-null
+    assert(r.getDouble(3) === 2.0)              // p50 of (0,0,2,3,3): null = 0
     assert(r.getLong(4) === 2L)                 // empty + null
     assert(r.getDouble(5) === 0.2)              // 4 hashes, 3 distinct, /5
   }
