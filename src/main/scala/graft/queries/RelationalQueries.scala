@@ -426,6 +426,47 @@ object RelationalQueries extends graft.QueryPack {
         .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx")),
       None),
 
+    // ---- A9: q_a8's error bound, under the FULL oracle ------------------
+    // The q_v7/q_v10 in-row-verdict discipline applied to the original
+    // approx-quantile surface: the same percentile_approx(accuracy=1000,
+    // rank error ≤ 0.1%) verifies IN-ROW against the exact tie-aware rank
+    // interval at a 5% band, and only (key, exact count, verdict) leave
+    // the engine — the driver hash goes green, and goes red exactly when
+    // the sketch's bound actually breaks. One grouped sketch agg, a
+    // broadcast keys-sized join back, one grouped rank count.
+    Q("q_a9_quantile_bound",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderstatus"), col("o_totalprice"))
+        val est = o.groupBy(col("o_orderstatus"))
+          .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+            .as("__p50"))
+        o.join(broadcast(est), Seq("o_orderstatus"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            ((count(when(col("o_totalprice") < col("__p50"), 1))
+                .cast("double") / count(lit(1)) - lit(0.05) <= lit(0.5)) &&
+              (lit(0.5) <= count(when(col("o_totalprice") <= col("__p50"), 1))
+                .cast("double") / count(lit(1)) + lit(0.05))).as("p50_ok"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n, TRUE AS p50_ok
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ---- A10: q_hll's error bound, under the FULL oracle ----------------
+    // Same discipline for approx_count_distinct: rsd=1% HLL++ vs the
+    // exact distinct computed in the SAME aggregation, asserted at 5%
+    // (5 standard errors) — the verdict is deterministic unless the
+    // sketch path breaks, which is exactly when the row should go red.
+    Q("q_a10_hll_bound",
+      (s, d) => Tables.orders(s, d)
+        .agg(countDistinct(col("o_custkey")).as("n_exact"),
+          approx_count_distinct(col("o_custkey"), 0.01).as("__est"))
+        .select(col("n_exact"),
+          (abs(col("__est").cast("double") - col("n_exact").cast("double")) <=
+            col("n_exact").cast("double") * lit(0.05)).as("within_bound")),
+      Some("""SELECT COUNT(DISTINCT o_custkey) AS n_exact,
+             |  TRUE AS within_bound FROM orders""".stripMargin)),
+
     // ---- X8: deterministic per-group sample (k smallest md5 per lang) ---
     // Stratified sampling for training pipelines: k docs per stratum,
     // chosen by hash order — reproducible, salt-rollable, oracle-exact.

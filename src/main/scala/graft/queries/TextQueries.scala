@@ -822,6 +822,46 @@ object TextQueries extends graft.QueryPack {
       (s, d) => TextAnalysis.compressionRatio(Tables.documents(s, d), "text", "doc_id"),
       None),
 
+    // ---- X55: q_x15's DEFLATE invariants, under the FULL oracle ---------
+    // zlib byte-lengths stay engine-specific (q_x15 is rows-only by
+    // design); what CAN go under rows+schema+hash are the invariants any
+    // correct DEFLATE stream satisfies, verified in-row per document:
+    //   compress_pos      — a finished stream is never empty;
+    //   bounded_overhead  — stored-block fallback caps expansion at
+    //                       n + n/1000 + 64 (the documented zlib bound);
+    //   doubling_saves    — text||text back-references the first copy
+    //                       inside the 32 KB window, so it compresses to
+    //                       ≤ 2·deflate(text) + slack; asserted only when
+    //                       the doc fits the window (≤ 16 KB), trivially
+    //                       true above it where the window can't reach.
+    // Only exact byte counts + verdicts leave the engine — the row goes
+    // red exactly when the codec's contract breaks. Map-only: two
+    // codegen'd deflate_len calls per row inside the scan stage.
+    Q("q_x55_compress_verdicts",
+      (s, d) => {
+        graft.functions.DeflateLen.register(s)
+        Tables.documents(s, d)
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("__t"))
+          .select(col("doc_id"),
+            octet_length(col("__t")).cast("long").as("n_bytes"),
+            call_function("deflate_len", col("__t")).cast("long").as("__dl"),
+            call_function("deflate_len", concat(col("__t"), col("__t")))
+              .cast("long").as("__dl2"))
+          .select(col("doc_id"), col("n_bytes"),
+            (col("__dl") > 0).as("compress_pos"),
+            (col("__dl") <= col("n_bytes") + col("n_bytes") / lit(1000L) +
+              lit(64L)).as("bounded_overhead"),
+            (col("n_bytes") > 16384L ||
+              col("__dl2") <= col("__dl") * lit(2L) + lit(64L))
+              .as("doubling_saves"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+             |    AS n_bytes,
+             |  TRUE AS compress_pos, TRUE AS bounded_overhead,
+             |  TRUE AS doubling_saves
+             |FROM documents""".stripMargin)),
+
     // ---- X4: document fingerprint (min-hash over shingle set) ----------
     Q("q_x4_fingerprint",
       // the length guard is on toks, BEFORE shingling: a filter on the
