@@ -189,6 +189,61 @@ object TextAnalysis {
         col("n_tokens"))
   }
 
+  /** Byte-fallback token-id encoding — the production tokenizer contract
+    * (the GPT-2 / SentencePiece `byte_fallback` convention): no token is
+    * ever unk. Ids 0–255 are reserved for raw bytes; learned-piece ids
+    * shift up by 256. A piece found in the vocab encodes as its single
+    * shifted id; a piece ABSENT from the vocab (a new batch encoded
+    * against a stored vocab) decomposes to its UTF-8 bytes, each mapped
+    * to its byte id — so unseen words, scripts, and mojibake all encode
+    * losslessly instead of collapsing to a −1 sentinel.
+    *
+    * Same scale shape as [[encodeTokenIds]]: map-only BPE kernel,
+    * broadcast vocab join, one keyed shuffle to reassemble stream order.
+    * The byte decomposition is pure codegen'd column algebra (hex of the
+    * UTF-8 bytes → 2-char chunks → ints), no UDF. Each row also proves
+    * its own invertibility: `roundtrip_ok` rebuilds every fallback
+    * piece from the emitted byte ids and compares, and vocab hits are
+    * identity by join construction. Returns
+    * `(<idCol>, token_ids: array<int>, n_tokens, roundtrip_ok)` —
+    * `n_tokens` counts emitted ids (≥ the piece count when fallbacks
+    * split), null for null text, and `token_ids` never contains −1. */
+  def encodeTokenIdsByteFallback(df: DataFrame, merges: Seq[(String, String)],
+      vocab: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val bpe = bpeTokenize(df, merges, textCol, idCol)
+    val pieces = bpe
+      .select(col(idCol), posexplode(tokens(col("bpe"))).as(Seq("pos", "piece")))
+    val hexStr = lower(hex(encode(col("piece"), "UTF-8")))
+    val byteIds = transform(
+      sequence(lit(1), (length(hexStr) / 2).cast("int")),
+      i => conv(hexStr.substr(i * 2 - 1, lit(2)), 16, 10).cast("int"))
+    val rebuilt = decode(unhex(concat_ws("",
+      transform(byteIds, b => lpad(hex(b), 2, "0")))), "UTF-8")
+    val ids = pieces
+      .join(broadcast(vocab.select(col("piece"), col("token_id"))),
+        Seq("piece"), "left")
+      .select(col(idCol), col("pos"),
+        when(col("token_id").isNotNull,
+          array((col("token_id") + 256).cast("int")))
+          .otherwise(byteIds).as("ids"),
+        (col("token_id").isNotNull || rebuilt === col("piece")).as("rt"))
+      .groupBy(col(idCol))
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("ids")))),
+          s => s.getField("ids"))).as("token_ids"),
+        expr("bool_and(rt)").as("roundtrip_ok"))
+    bpe.select(col(idCol), col("n_bpe"))
+      .join(ids, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("token_ids"), array().cast("array<int>")).as("token_ids"),
+        when(col("n_bpe").isNull, lit(null).cast("long"))
+          .otherwise(size(coalesce(col("token_ids"),
+            array().cast("array<int>"))).cast("long")).as("n_tokens"),
+        coalesce(col("roundtrip_ok"), lit(true)).as("roundtrip_ok"))
+  }
+
   /** Append a heavy-hitters (frequent-items) sketch of the corpus token
     * stream — the [[graft.queries.TextQueries]] q_x6 top-tokens STORE
     * twin, and the third mergeable-sketch family (HLL distinct, theta

@@ -287,6 +287,60 @@ object TextQueries extends graft.QueryPack {
        |  b.n_bpe AS n_tokens
        |FROM bpe b LEFT JOIN ids i USING (doc_id)""".stripMargin
 
+  /** The q_x54 oracle: replay the whole byte-fallback contract — learn
+    * merges + vocab on the ORIGINAL corpus (the q_x39 chain verbatim,
+    * ids shifted +256 past the reserved byte range), re-apply the merges
+    * to the OOV-injected corpus, then encode each piece as its shifted
+    * vocab id or, when absent, its UTF-8 bytes via hex-pair digits. */
+  private lazy val duckByteFallbackIds: String =
+    s"""$duckBpe,
+       |px0 AS (
+       |  SELECT generate_subscripts(string_split(bpe, ' '), 1) AS pos,
+       |    unnest(string_split(bpe, ' ')) AS piece
+       |  FROM bpe WHERE n_bpe > 0),
+       |vocab AS (
+       |  SELECT piece,
+       |    CAST(row_number() OVER (ORDER BY piece) - 1 + 256 AS INT)
+       |      AS token_id
+       |  FROM (SELECT DISTINCT piece FROM px0)),
+       |doc2 AS (
+       |  SELECT doc_id, COALESCE(text, '') || ' zq' ||
+       |    CAST(doc_id % 7 AS VARCHAR) || 'ßø' AS text
+       |  FROM documents),
+       |dwa AS (
+       |  SELECT doc_id, i AS idx, w FROM (
+       |    SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS i
+       |    FROM (SELECT doc_id, $duckToks AS ws FROM doc2))),
+       |awa AS (SELECT DISTINCT w FROM dwa),
+       |${duckBpeApply("r4", "awa", "mall")},
+       |bagg2 AS (
+       |  SELECT d.doc_id,
+       |    string_agg(trim(t.st), ' ' ORDER BY d.idx) AS bpe
+       |  FROM dwa d JOIN r4_f t ON t.w = d.w
+       |  GROUP BY 1),
+       |px2 AS (
+       |  SELECT doc_id,
+       |    generate_subscripts(string_split(bpe, ' '), 1) AS pos,
+       |    unnest(string_split(bpe, ' ')) AS piece
+       |  FROM bagg2),
+       |pid AS (
+       |  SELECT p.doc_id, p.pos,
+       |    CASE WHEN v.token_id IS NOT NULL THEN [v.token_id]
+       |    ELSE list_transform(range(1, octet_length(encode(p.piece)) + 1),
+       |      i -> CAST(
+       |        (strpos('0123456789abcdef',
+       |           substring(lower(hex(encode(p.piece))), 2 * i - 1, 1)) - 1) * 16
+       |        + (strpos('0123456789abcdef',
+       |           substring(lower(hex(encode(p.piece))), 2 * i, 1)) - 1)
+       |        AS INT))
+       |    END AS ids
+       |  FROM px2 p LEFT JOIN vocab v USING (piece))
+       |SELECT doc_id,
+       |  string_agg(array_to_string(ids, ','), ',' ORDER BY pos) AS ids_csv,
+       |  CAST(SUM(len(ids)) AS BIGINT) AS n_tokens,
+       |  TRUE AS no_unk, TRUE AS roundtrip_ok
+       |FROM pid GROUP BY doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
 
     // ---- X1: token counting -------------------------------------------
@@ -507,6 +561,34 @@ object TextQueries extends graft.QueryPack {
             col("n_tokens"))
       },
       Some(duckTokenIds)),
+
+    // ---- X54: byte-fallback token-id encoding (no token is ever unk) ----
+    // The production tokenizer contract on top of the q_x39 chain: learn
+    // merges + vocab on the corpus, then encode an OOV-INJECTED copy —
+    // every doc gains a word containing characters the corpus never has
+    // (ß, ø: multi-byte UTF-8), so the fallback branch provably fires.
+    // Unknown pieces decompose to reserved byte ids 0–255 (learned ids
+    // shift +256); `no_unk` proves no −1 survives anywhere and
+    // `roundtrip_ok` proves each fallback piece rebuilds exactly from
+    // its emitted byte ids. The fixture derives purely from parquet
+    // columns, so the oracle replays the whole contract byte-for-byte.
+    Q("q_x54_byte_fallback_ids",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = TextAnalysis.learnBpeMerges(docs, "text")
+        val vocab = TextAnalysis.buildBpeVocab(docs, merges)
+        val oov = docs.select(col("doc_id"),
+          concat(coalesce(col("text"), lit("")), lit(" zq"),
+            (col("doc_id") % 7).cast("string"), lit("ßø")).as("text"))
+        TextAnalysis.encodeTokenIdsByteFallback(oov, merges, vocab)
+          .select(col("doc_id"),
+            array_join(transform(col("token_ids"), t => t.cast("string")), ",")
+              .as("ids_csv"),
+            col("n_tokens"),
+            (!array_contains(col("token_ids"), -1)).as("no_unk"),
+            col("roundtrip_ok"))
+      },
+      Some(duckByteFallbackIds)),
 
     // ---- X41: perplexity gate from the PERSISTED LM ---------------------
     // Train-once/score-nightly: counts land in a parquet store, the batch

@@ -220,6 +220,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(enc.getSeq[Int](1) === Seq(1, -1, -1) && enc.getLong(2) === 3L)
   }
 
+  test("byte fallback: unseen pieces become UTF-8 byte ids, never -1, and round-trip") {
+    import spark.implicits._
+    val train = Seq((1L, "te te ab"), (2L, "ab te")).toDF("doc_id", "text")
+    val merges = Seq("t" -> "e", "a" -> "b")
+    val vocab = TextAnalysis.buildBpeVocab(train, merges) // ab→0, te→1
+    // "zß" has no merge: pieces (z, ß), both OOV → bytes [0x7a] and
+    // [0xc3, 0x9f] (multi-byte UTF-8); "te" maps to its id shifted +256
+    val fresh = Seq((9L, "te zß"), (10L, null.asInstanceOf[String]),
+      (11L, "")).toDF("doc_id", "text")
+    val enc = TextAnalysis.encodeTokenIdsByteFallback(fresh, merges, vocab)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d9 = enc(9L)
+    assert(d9.getSeq[Int](1) === Seq(257, 0x7a, 0xc3, 0x9f))
+    assert(d9.getLong(2) === 4L && d9.getBoolean(3))
+    assert(!d9.getSeq[Int](1).contains(-1))
+    // null text: null count, empty ids (the encodeTokenIds convention);
+    // empty text: zero tokens
+    assert(enc(10L).isNullAt(2) && enc(10L).getSeq[Int](1).isEmpty)
+    assert(enc(11L).getLong(2) === 0L && enc(11L).getSeq[Int](1).isEmpty)
+  }
+
   test("tokenizer store: persisted merges + vocab drive a zero-learning encode (q_x42 shape)") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("bpe-store").toString
