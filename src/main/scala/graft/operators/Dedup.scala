@@ -66,6 +66,69 @@ object Dedup {
         col("n_kept"))
   }
 
+  /** Variable-length substring dedup — the full Lee et al. ExactSubstr
+    * semantics ("remove every repeated substring of ≥ `minLen` tokens,
+    * keep the first occurrence"), which [[spanDedup]]'s fixed
+    * non-overlapping grid deliberately approximates. The suffix-array
+    * construction the paper uses is a single-machine algorithm; the
+    * relational equivalent is SLIDING `minLen`-gram anchors at stride 1:
+    * a repeated substring of length m ≥ L is exactly a run of m−L+1
+    * repeated L-grams, so the union of [start, start+L) over every
+    * non-first occurrence of a duplicated L-gram covers precisely the
+    * tokens the suffix-array form removes — variable length, boundary
+    * positions included, no grid alignment anywhere.
+    *
+    * Scale shape: the gram relation is one row per token position
+    * (each token rides in ≤ L grams but each gram is ONE row), keyed by
+    * `md5(gram)` so the shuffle carries 32-hex keys, not token text.
+    * First-occurrence is the same skew-proof two-phase
+    * `min(struct(sid, i))` reduction as [[spanDedup]] — a viral
+    * boilerplate gram pre-reduces to one row per map task. Coverage
+    * then folds per document: one keyed shuffle collects each doc's
+    * duplicate-anchor starts, and the kept-token filter is a map-only
+    * array HOF over (position, starts) — per-doc work, nothing
+    * corpus-wide, no window over the corpus. Cost relative to
+    * [[spanDedup]]: L× more gram rows (stride 1 vs L) buying exact
+    * variable-length semantics; run it where fidelity matters, the
+    * fixed grid where a cheap approximation is enough.
+    *
+    * Docs with ≥ 1 token all return (empty `text_dedup` when fully
+    * covered — the [[boilerplateScrub]] convention); token-less and
+    * null-text docs drop out ([[spanDedup]] convention). Returns
+    * `(<idCol>, text_dedup, n_kept, n_dropped)`. */
+  def substringDedup(docs: DataFrame, textCol: String, idCol: String,
+      minLen: Int = 8): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val t = Par.spread(docs.select(col(idCol).as("sid"),
+        TextAnalysis.tokens(col(textCol)).as("toks")))
+      .filter(size(col("toks")) > 0)
+      .select(col("sid"), col("toks"), size(col("toks")).as("n"))
+    val grams = t.filter(col("n") >= minLen)
+      .select(col("sid"), posexplode(transform(
+        sequence(lit(0), (col("n") - minLen).cast("int")),
+        i => md5(array_join(slice(col("toks"), i + 1, lit(minLen)), " "))))
+        .as(Seq("i", "g")))
+    val firsts = grams.groupBy(col("g"))
+      .agg(min(struct(col("sid"), col("i"))).as("f"), count(lit(1)).as("cnt"))
+    val dupStarts = grams.join(firsts, Seq("g"))
+      .filter(col("cnt") > 1 &&
+        !(col("sid") === col("f.sid") && col("i") === col("f.i")))
+      .groupBy(col("sid"))
+      .agg(sort_array(collect_set(col("i"))).as("starts"))
+    t.join(dupStarts, Seq("sid"), "left")
+      .select(col("sid"), col("n"),
+        filter(transform(sequence(lit(0), (col("n") - 1).cast("int")),
+          p => struct(p.as("p"), element_at(col("toks"), p + 1).as("tok"))),
+          st => !exists(coalesce(col("starts"), array().cast("array<int>")),
+            s => st.getField("p") >= s && st.getField("p") < s + minLen))
+          .as("kept"))
+      .select(col("sid").as(idCol),
+        array_join(transform(col("kept"), k => k.getField("tok")), " ")
+          .as("text_dedup"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (col("n") - size(col("kept"))).cast("long").as("n_dropped"))
+  }
+
   /** Boilerplate scrub — the C4/RefinedWeb corpus-frequency rule
     * (Raffel et al. 2020 §2.2 drop repeated lines; Penedo et al. 2023
     * line-wise filtering): a span whose text occurs in at least

@@ -347,6 +347,74 @@ object DedupQueries extends graft.QueryPack {
              |  COUNT(*) AS n_kept
              |FROM kept GROUP BY doc_id""".stripMargin)),
 
+    // ---- D17: variable-length substring dedup (Lee-et-al ExactSubstr) ---
+    // q_d14's fixed grid misses repeats offset by a non-multiple of the
+    // window; the sliding-anchor form removes EVERY repeated substring of
+    // >= 8 tokens wherever it starts. The fixture injects the SAME
+    // 12-token passage into every 5th doc behind a doc-varying pad prefix
+    // (1-4 filler tokens), so the repeat straddles any fixed span grid —
+    // the first copy keeps its passage, every later copy loses exactly
+    // those tokens. Derived purely from parquet columns; the oracle
+    // replays the injection, the sliding grams, the global
+    // first-occurrence rule, and the coverage union.
+    Q("q_d17_substring_dedup",
+      (s, d) => {
+        val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+        val doc2 = Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat_ws(" ",
+            array_join(transform(
+              sequence(lit(1), (col("doc_id") % 4 + 1).cast("int")),
+              i => concat(lit("pad"), i.cast("string"))), " "),
+            lit(shared), coalesce(col("text"), lit(""))))
+          .otherwise(col("text")).as("text"))
+        Dedup.substringDedup(doc2, "text", "doc_id", minLen = 8)
+      },
+      Some("""WITH doc2 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN
+             |      array_to_string(list_transform(
+             |        range(1, CAST(doc_id % 4 AS INT) + 2),
+             |        i -> 'pad' || CAST(i AS VARCHAR)), ' ')
+             |      || ' alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu '
+             |      || COALESCE(text, '')
+             |    ELSE text END AS text
+             |  FROM documents),
+             |t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |      x -> x <> '') AS toks
+             |  FROM doc2),
+             |t2 AS (SELECT doc_id, toks, len(toks) AS n
+             |  FROM t WHERE len(toks) > 0),
+             |g AS (
+             |  SELECT doc_id, i, md5(array_to_string(toks[i+1:i+8], ' ')) AS gm
+             |  FROM (SELECT doc_id, toks,
+             |          unnest(range(0, n - 8 + 1)) AS i
+             |        FROM t2 WHERE n >= 8)),
+             |f AS (
+             |  SELECT doc_id, i,
+             |    row_number() OVER (PARTITION BY gm ORDER BY doc_id, i) AS rn,
+             |    COUNT(*) OVER (PARTITION BY gm) AS cnt
+             |  FROM g),
+             |ds AS (SELECT doc_id, i FROM f WHERE cnt > 1 AND rn > 1),
+             |cov AS (SELECT DISTINCT doc_id, p
+             |  FROM (SELECT doc_id, unnest(range(i, i + 8)) AS p FROM ds)),
+             |px AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS p,
+             |    unnest(toks) AS tok
+             |  FROM t2),
+             |keep AS (
+             |  SELECT px.doc_id, px.p, px.tok
+             |  FROM px LEFT JOIN cov
+             |    ON cov.doc_id = px.doc_id AND cov.p = px.p
+             |  WHERE cov.p IS NULL),
+             |agg AS (
+             |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_dedup,
+             |    COUNT(*) AS n_kept
+             |  FROM keep GROUP BY 1)
+             |SELECT t2.doc_id, COALESCE(a.text_dedup, '') AS text_dedup,
+             |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+             |  CAST(t2.n - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped
+             |FROM t2 LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
     // ---- X26: C4-style boilerplate scrub (corpus-frequency rule) -------
     // Unlike q_d14's first-occurrence-wins, a span in >= 3 distinct docs
     // is removed from EVERY doc; fully-scrubbed docs stay with empty text.

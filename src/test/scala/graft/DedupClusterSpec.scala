@@ -278,6 +278,34 @@ class DedupClusterSpec extends AnyFunSuite {
       4L -> (("n m q", 2L))))
   }
 
+  test("substring dedup: variable-length repeats removed wherever they start") {
+    import spark.implicits._
+    // minLen=3. doc 2 repeats doc 1's "c d e f" (4 tokens — LONGER than
+    // minLen, at an arbitrary offset, no grid anywhere); doc 3 is
+    // entirely a repeat; doc 4 is shorter than minLen (untouchable);
+    // doc 5 repeats its own leading "m n o" twice more (within-doc,
+    // run-length 6 — the coverage union removes the whole tail)
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "x y c d e f z"),
+      (3L, "c d e"),
+      (4L, "p q"),
+      (5L, "m n o m n o m n o"),
+      (6L, null.asInstanceOf[String]),
+      (7L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, "text", "doc_id", minLen = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      1L -> (("a b c d e f g", 7L, 0L)),  // first occurrences keep all
+      2L -> (("x y z", 3L, 4L)),          // exactly "c d e f" removed
+      3L -> (("", 0L, 3L)),               // fully-covered doc stays, empty
+      4L -> (("p q", 2L, 0L)),            // below minLen: no anchors
+      5L -> (("m n o", 3L, 6L))))         // self-repeat tail removed
+  }
+
   test("span dedup: identical docs keep only the lowest-id copy") {
     import spark.implicits._
     val docs = Seq((7L, "p q r s"), (5L, "p q r s"), (9L, "p q r s"))
