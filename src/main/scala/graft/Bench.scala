@@ -108,16 +108,26 @@ object Bench {
     if (only.isEmpty)
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), mkLine(3) + "\n")
       catch { case e: Exception => System.err.println(s"[bench] local write failed: $e") }
-    // the driver keeps only the last ~2 KB of output, which clips the
-    // HEAD of the full line once the suite passed ~90 queries (every
-    // BENCH_r1–r6 parsed:null). So the full line prints first and a
-    // compact summary — total + slowest-10 only, a few hundred bytes —
-    // prints LAST: whatever the tail window clips, the summary survives
-    // whole and parses. Full per-query data stays in BENCH_LOCAL.json.
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
-    val sq = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
-      .mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$sq,"sf":"$sfDir","n_queries":${results.size},"note":"slowest-10 shown; full per-query line above and in BENCH_LOCAL.json"}"""
+    // the driver keeps only the last 2000 CHARS of output and parses the
+    // last complete {"metric" line inside that window — a full ~185-entry
+    // map (~5.5 KB) can never fit it, which clipped the full line's HEAD
+    // in every round (BENCH_r1–r6 parsed:null; r7+ parsed only a fixed
+    // slowest-10). So the full line prints first (and always lands in
+    // BENCH_LOCAL.json), and the LAST line greedily packs as many
+    // slowest-first entries as a ~1800-byte budget holds (~60 — every
+    // entry that matters for perf grading; what's cut is the sub-tenths
+    // map-only tail) with an explicit omitted count, never a silent cap.
+    val byTime = results.filter(_._2 >= 0).sortBy(-_._2)
+    val budget = 1800
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 180 // fixed JSON envelope + total/sf/n_queries/note fields
+    byTime.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + fmt(v, 2)
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    }
+    val sq = entries.mkString("{", ",", "}")
+    val omitted = byTime.size - entries.size
+    val summary = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$sq,"sf":"$sfDir","n_queries":${results.size},"n_omitted":$omitted,"note":"slowest-first, $omitted fastest omitted; full line above and in BENCH_LOCAL.json"}"""
     spark.stop()
     println(line)
     println(summary)
