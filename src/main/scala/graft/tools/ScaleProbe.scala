@@ -293,6 +293,128 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Graph-edge growth — `runMain graft.tools.ScaleProbe graph`: the
+    // weighted-PageRank query (and HITS as its comparator) at ×1/×4/×16
+    // EDGE amplification. Orders AND lineitem copy with consistently
+    // shifted order keys (the join key) and shifted customer/supplier
+    // ids, so each copy is a disjoint subgraph: nodes and edges grow ×f
+    // while degree structure stays constant — the realistic growth axis
+    // for a trade graph (more entities, not denser ones).
+    if (args.headOption.contains("graph")) {
+      val src = "/root/testdata/sf0.1"
+      Seq(1, 4, 16).foreach { f =>
+        val dir = if (f == 1) src else s"target/scaleprobe/g$f"
+        if (f > 1) {
+          val marker = new java.io.File(s"$dir/.done")
+          if (!marker.exists) {
+            val ord = spark.read.parquet(s"$src/orders.parquet")
+            val li = spark.read.parquet(s"$src/lineitem.parquet")
+            val r = ord.agg(max(col("o_orderkey")), max(col("o_custkey"))).head()
+            val (on, cn) = (r.getLong(0) + 1, r.getLong(1) + 1)
+            val sn = li.agg(max(col("l_suppkey"))).head().getLong(0) + 1
+            (0 until f).map(k => ord
+                .withColumn("o_orderkey", col("o_orderkey") + lit(k * on))
+                .withColumn("o_custkey", col("o_custkey") + lit(k * cn)))
+              .reduce(_ unionByName _)
+              .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+            (0 until f).map(k => li
+                .withColumn("l_orderkey", col("l_orderkey") + lit(k * on))
+                .withColumn("l_suppkey", col("l_suppkey") + lit(k * sn)))
+              .reduce(_ unionByName _)
+              .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+            marker.createNewFile()
+          }
+        }
+        Seq("q_g4_wpagerank", "q_g3_hits").foreach { q =>
+          def run(): Double = time {
+            graft.SparkEntry.queries(q)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+          }
+          run() // warmup
+          println(f"[scaleprobe] graph x$f%-3d $q%-18s ${math.min(run(), run())}%.2f s")
+        }
+      }
+      spark.stop(); return
+    }
+
+    // Privacy-grid cardinality — `runMain graft.tools.ScaleProbe
+    // privacy`: privacyReport's TVD grid is classes × DISTINCT
+    // sensitive values (the broadcast crossJoin term); amplify the
+    // sensitive cardinality ×1/×4/×16 (3 → 12 → 48 values via a
+    // deterministic key-derived suffix) on the unchanged sf0.1 orders
+    // and measure where the keys×values grid stops being free.
+    if (args.headOption.contains("privacy")) {
+      val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+        .withColumn("o_year", year(col("o_orderdate")))
+      Seq(1, 4, 16).foreach { m =>
+        val df = ord.withColumn("o_status_x",
+          concat(col("o_orderstatus"), lit("#"),
+            (col("o_orderkey") % m).cast("string")))
+        def run(): Double = time {
+          graft.operators.Profile.privacyReport(df,
+            Seq("o_orderpriority", "o_year"), "o_status_x",
+            k = 400, l = 3, t = 0.2)
+            .write.format("noop").mode("overwrite").save()
+        }
+        run() // warmup
+        val nv = 3 * m
+        println(f"[scaleprobe] privacy x$m%-3d ($nv%2d sensitive values) ${math.min(run(), run())}%.2f s")
+      }
+      spark.stop(); return
+    }
+
+    // Streaming state size — `runMain graft.tools.ScaleProbe statesize`:
+    // the three behavior twins claim state bounded by the observation
+    // span, NOT the event count. Fix the user population, grow events
+    // ×1/×4/×16, and read the engine's own state-store metrics
+    // (numRowsTotal / memoryUsedBytes from the last progress) — flat
+    // state under growing events is the claim, now with a number.
+    if (args.headOption.contains("statesize")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val users = 5000
+      val types = Array("view", "cart", "buy", "noise")
+      Seq(1, 4, 16).foreach { f =>
+        val n = 100000 * f
+        def rows(lo: Int, hi: Int) = (lo until hi).map { i =>
+          (i.toLong % users, i.toLong, types(i % types.length),
+            new java.sql.Timestamp(1704067200000L + (i.toLong * 7919) % 86400000L))
+        }
+        def drive(name: String, mk: org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.DataFrame): Unit = {
+          val input = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+          val q = mk(input.toDF().toDF("user_id", "event_id", "event_type", "ts"))
+            .writeStream.outputMode("append")
+            .format("memory").queryName(s"state_${name}_$f").start()
+          try {
+            (0 until 8).foreach { b =>
+              input.addData(rows(b * n / 8, (b + 1) * n / 8))
+              q.processAllAvailable()
+            }
+            // rows from the LAST progress (the settled store); memory as
+            // the MAX over recent progresses — the final no-data batch
+            // reports only what it re-loaded, not the working size
+            val rowsT = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+            val mem = q.recentProgress
+              .map(_.stateOperators.map(_.memoryUsedBytes).sum)
+              .foldLeft(0L)(math.max)
+            println(f"[scaleprobe] statesize x$f%-3d $name%-10s $n%7d events: " +
+              f"state rows $rowsT%7d  mem ${mem / 1024.0}%9.1f KiB  " +
+              f"(${mem.toDouble / users}%6.1f B/user)")
+          } finally q.stop()
+        }
+        drive("sessionize", df => graft.streaming.EventStreams
+          .sessionTags(spark, df, watermark = "2 hours").toDF())
+        drive("funnel", df => graft.streaming.EventStreams
+          .funnelReach(spark, df, Seq("view", "cart", "buy"),
+            watermark = "2 hours").toDF())
+        drive("retention", df => graft.streaming.EventStreams
+          .retentionCells(spark, df, watermark = "2 hours").toDF())
+      }
+      spark.stop(); return
+    }
+
     // SemDeDup at scale is only honest with the paper's knob applied: k
     // grows with the corpus (k ~ n / target-cluster-size), keeping the
     // within-cluster quadratic term bounded. Probing the registered
