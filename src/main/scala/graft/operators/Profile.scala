@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling: one row per profiled column with row count,
@@ -426,4 +426,68 @@ object Profile {
       .groupBy(keys.map(c => col(s"`$c`")): _*)
       .agg(hll_sketch_estimate(
         hll_union_agg(col("sketch"), lit(true))).as("n_distinct_est"))
+
+  /** The count-min bucket for hash row `d` of value `v` — 15 hex chars
+    * of md5 (60 bits, always a non-negative BIGINT in both engines) mod
+    * `width`. One md5 per (depth, value); a relational oracle computes
+    * the identical bucket (`CAST('0x' || substr(md5(…),1,15) AS BIGINT)
+    * % w`), which is what makes the whole sketch engine-replayable. */
+  private def cmsBucket(d: Column, v: Column, width: Int): Column =
+    conv(substring(md5(concat_ws("|", d, v)), 1, 15), 16, 10)
+      .cast("long") % width
+
+  /** Append one batch's COUNT-MIN sketch of `valueCol` — the mergeable
+    * FREQUENCY store completing the sketch-store family (bloom:
+    * membership, HLL: distinct, theta: set overlap, KLL: quantiles,
+    * frequent-items: heavy hitters; count-min: point frequency of ANY
+    * key, not just the heavy ones). Unlike the DataSketches-backed
+    * stores, this sketch is RELATIONAL: the depth×width counter matrix
+    * is stored as `(d, idx, cnt)` rows (≤ depth·width per batch, a few
+    * KB), built by one hash aggregation over the batch, and batches
+    * merge by plain `SUM` — counters are exact integers, so the merge
+    * is associative and order-independent by construction. Because the
+    * bucket hash is md5-derived (not a private seeded hash family), a
+    * relational oracle replays the ENTIRE sketch bit-for-bit — the
+    * estimates themselves sit under the full rows+schema+hash check,
+    * strictly stronger than the bounded-error-verdict discipline the
+    * opaque-binary stores need (q_v7).
+    *
+    * Standard CMS contract (Cormode & Muthukrishnan 2005): estimates
+    * never undercount; with prob ≥ 1−e^−depth each estimate overcounts
+    * by ≤ (e/width)·N (N = total values appended). Geometry
+    * (depth, width) is the caller's cross-batch contract, like lgK for
+    * the HLL store. Nulls are skipped (they are not a countable key). */
+  def appendCountMinSketch(df: DataFrame, valueCol: String, path: String,
+      depth: Int = 4, width: Int = 256): Unit = {
+    require(depth >= 1 && depth <= 16, s"need 1 <= depth <= 16, got $depth")
+    require(width >= 2, s"need width >= 2, got $width")
+    df.select(col(s"`$valueCol`").cast("string").as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(explode(sequence(lit(1), lit(depth))).as("d"), col("__v"))
+      .groupBy(col("d"), cmsBucket(col("d"), col("__v"), width).as("idx"))
+      .agg(count(lit(1)).as("cnt"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Point-frequency estimates for `queries`' `queryCol` values from a
+    * count-min store written by [[appendCountMinSketch]] (same
+    * depth/width): one sketch-sized merge aggregation over the store
+    * (≤ depth·width rows however many batches landed), broadcast
+    * against the query keys, estimate = MIN over the depth rows — the
+    * raw data is never rescanned. A key that hashed to never-written
+    * buckets estimates 0 (exact for anything truly absent). Returns
+    * `(key, n_est)` over the DISTINCT query keys. */
+  def countsFromCmsSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, queryCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val merged = spark.read.parquet(path)
+      .groupBy(col("d"), col("idx")).agg(sum("cnt").as("cnt"))
+    val probes = queries.select(col(s"`$queryCol`").cast("string").as("key"))
+      .filter(col("key").isNotNull).distinct()
+      .select(col("key"), explode(sequence(lit(1), lit(depth))).as("d"))
+      .withColumn("idx", cmsBucket(col("d"), col("key"), width))
+    probes.join(broadcast(merged), Seq("d", "idx"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+  }
 }

@@ -921,6 +921,71 @@ object RelationalQueries extends graft.QueryPack {
              |  TRUE AS q50_ok, TRUE AS q90_ok
              |FROM lineitem GROUP BY 1""".stripMargin)),
 
+    // ---- V16: RELATIONAL count-min sketch store, fully replayed ---------
+    // The frequency counterpart of the HLL/theta/KLL/FI stores — and the
+    // one sketch family that needs NO bounded-error verdict escape hatch:
+    // the depth×width counter matrix lives as (d, idx, cnt) rows with
+    // md5-derived buckets, so the DuckDB oracle rebuilds the sketch
+    // bit-for-bit and the ESTIMATES themselves sit under rows+schema+hash.
+    // Two "nightly" batches (doc parity halves) append; merge is a plain
+    // SUM over the sketch-sized relation (exact integers — associative,
+    // order-independent); estimates broadcast-join the ≤ d·w-row merged
+    // sketch against the query keys, never rescanning the corpus. The
+    // over_ok verdicts are deterministic (CMS never undercounts); the
+    // bound_ok verdicts are probabilistic in theory but replayed exactly
+    // by the oracle either way — both engines compute the same n_est.
+    Q("q_v16_cms_store",
+      (s, d) => {
+        val store = TempDirs.scratch("graft-cms-store")
+        val toks = Tables.documents(s, d)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            explode(graft.operators.TextAnalysis.tokens(lower(col("text"))))
+              .as("tok"))
+        graft.operators.Profile.appendCountMinSketch(
+          toks.filter(col("doc_id") % 2 === 0), "tok", store)
+        graft.operators.Profile.appendCountMinSketch(
+          toks.filter(col("doc_id") % 2 === 1), "tok", store)
+        val est = graft.operators.Profile.countsFromCmsSketch(
+          s, store, toks, "tok")
+        val tot = toks.agg(count(lit(1)).as("__n"))
+        toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+          .join(est, col("tok") === col("key"))
+          .crossJoin(broadcast(tot))
+          .select(col("tok").as("token"), col("n_exact"), col("n_est"),
+            (col("n_est") >= col("n_exact")).as("over_ok"),
+            ((col("n_est") - col("n_exact")).cast("double") <=
+              round(lit(2.718281828459045) * col("__n") / lit(256), 6))
+              .as("bound_ok"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |    regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+             |    AS tok
+             |  FROM documents WHERE text IS NOT NULL),
+             |dd AS (SELECT unnest(range(1, 5)) AS d),
+             |cells AS (
+             |  SELECT d, CAST('0x' || substr(md5(CAST(d AS VARCHAR)
+             |      || '|' || tok), 1, 15) AS BIGINT) % 256 AS idx,
+             |    COUNT(*) AS cnt
+             |  FROM toks CROSS JOIN dd GROUP BY 1, 2),
+             |keys AS (SELECT DISTINCT tok FROM toks),
+             |est AS (
+             |  SELECT k.tok, MIN(COALESCE(c.cnt, CAST(0 AS BIGINT))) AS n_est
+             |  FROM keys k CROSS JOIN dd
+             |  LEFT JOIN cells c ON c.d = dd.d
+             |    AND c.idx = CAST('0x' || substr(md5(CAST(dd.d AS VARCHAR)
+             |      || '|' || k.tok), 1, 15) AS BIGINT) % 256
+             |  GROUP BY 1),
+             |exact AS (SELECT tok, COUNT(*) AS n_exact FROM toks GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS n FROM toks)
+             |SELECT e.tok AS token, x.n_exact, e.n_est,
+             |  e.n_est >= x.n_exact AS over_ok,
+             |  CAST(e.n_est - x.n_exact AS DOUBLE) <=
+             |    ROUND(CAST(2.718281828459045 AS DOUBLE) * tot.n / 256, 6)
+             |    AS bound_ok
+             |FROM est e JOIN exact x USING (tok) CROSS JOIN tot""".stripMargin)),
+
     // ---- V11: key-skew profile (the salt-or-not measurement) ------------
     // One hash agg to per-key counts, one tiny agg over the keys-sized
     // count relation: max/median/p99 per-key multiplicity and the

@@ -469,6 +469,38 @@ class ScdProfileSpec extends AnyFunSuite {
       .getMessage.contains("percentiles"))
   }
 
+  test("count-min store: batched appends merge to the single-pass sketch; " +
+      "estimates never undercount; absent keys read 0") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("cms-store").toString
+    val single = java.nio.file.Files.createTempDirectory("cms-single").toString
+    // skewed stream: "hot" ×500, "warm" ×50, tail of 200 singletons
+    val rows = (Seq.fill(500)("hot") ++ Seq.fill(50)("warm") ++
+      (0 until 200).map(i => s"tail$i")).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+    Profile.appendCountMinSketch(rows.filter(col("i") % 2 === 0), "v", store)
+    Profile.appendCountMinSketch(rows.filter(col("i") % 2 === 1), "v", store)
+    Profile.appendCountMinSketch(rows, "v", single)
+    // merged two-batch sketch == one-pass sketch, cell for cell (SUM over
+    // exact integer counters is associative — the mergeability claim)
+    val m = spark.read.parquet(store).groupBy("d", "idx")
+      .agg(sum("cnt").as("cnt"))
+    val s1 = spark.read.parquet(single)
+    assert(m.except(s1).isEmpty && s1.except(m).isEmpty,
+      "two-batch merge must equal the single-pass sketch")
+    val probes = Seq("hot", "warm", "tail7", "never-seen").toDF("v")
+    val est = Profile.countsFromCmsSketch(spark, store, probes, "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("hot") >= 500L && est("warm") >= 50L && est("tail7") >= 1L,
+      s"CMS must never undercount: $est")
+    // 750 values in 256-wide rows: overcount bounded by e/256·N ≈ 8
+    assert(est("hot") <= 508L && est("warm") <= 58L, s"overcount blew the bound: $est")
+    assert(est("never-seen") >= 0L && est("never-seen") <= 8L)
+    assert(intercept[IllegalArgumentException](
+      Profile.appendCountMinSketch(rows, "v", store, depth = 0))
+      .getMessage.contains("depth"))
+  }
+
   test("profile counts rows, nulls, and distincts per column in one pass") {
     import spark.implicits._
     val df = Seq(
