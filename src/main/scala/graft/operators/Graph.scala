@@ -284,6 +284,66 @@ object Graph {
       (col("hub_m").cast("double") / lit(1e6)).as("hub"))
   }
 
+  /** Triangle counting + local clustering coefficient over `edges(src,
+    * dst)` treated as an UNDIRECTED simple graph (direction dropped,
+    * self-loops and parallel edges removed) — the local-density signal a
+    * link-corpus curation pass uses to separate organic neighborhoods
+    * (high clustering) from spam farms and scraped link lists (star
+    * shapes: high degree, near-zero clustering).
+    *
+    * The 100 TB shape is the degree-ORIENTED wedge join (the published
+    * MapReduce triangle-counting trick — Suri & Vassilvitskii 2011,
+    * Cohen 2009): orient every undirected edge from its lower to its
+    * higher endpoint under the total order (degree, node), then count
+    * paths u→v→w closed by an edge u→w. Each triangle has exactly one
+    * vertex ordering compatible with the orientation, so it is found
+    * exactly ONCE (no /6 correction, no duplicate elimination), and —
+    * the scale point — a node's oriented OUT-degree is O(√m) however
+    * skewed its raw degree (a celebrity node with 10⁸ followers orients
+    * almost all of those edges INWARD), so the wedge relation is
+    * bounded by Σ outdeg² ≤ O(m^1.5) instead of the unbounded Σ deg² a
+    * naive wedge join produces. Three keyed equi-joins, two hash
+    * aggregations, pure integer arithmetic until the final 6-dp
+    * coefficient — nothing driver-side, no iteration.
+    *
+    * Returns `(node, degree, n_tri, lcc)` for every node:
+    * `lcc = 2·n_tri / (degree·(degree−1))` rounded to 6 dp, 0.0 for
+    * degree < 2 (the convention that makes isolated-ish nodes sort
+    * low, not null-out). */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // orient low → high under (degree, node); `a < b` already, so the
+    // degree tie breaks to `a` — one deterministic total order
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("degree").as("__da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("__db")), "b")
+      .select(
+        when(col("__da") <= col("__db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("__da") <= col("__db"), col("b")).otherwise(col("a")).as("v"))
+    val o1 = oriented.select(col("u").as("x"), col("v").as("y"))
+    val o2 = oriented.select(col("u").as("y"), col("v").as("z"))
+    val o3 = oriented.select(col("u").as("x"), col("v").as("z"))
+    val tri = o1.join(o2, "y").join(o3, Seq("x", "z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lcc",
+        when(col("degree") >= 2,
+          round((lit(2L) * col("n_tri")).cast("double") /
+            (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** Label-propagation community detection over directed `edges(src,
     * dst)` — the lightweight community pass a curation pipeline runs to
     * group domains/sources before per-community mixing decisions (pass

@@ -334,6 +334,54 @@ object GraphQueries extends graft.QueryPack {
              |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
              |l0 AS (SELECT node, node AS label FROM nodes),
              |${(1 to lpaIters).map(i => lpaIter(s"l$i", s"l${i - 1}")).mkString(",\n")}
-             |SELECT node, label FROM l$lpaIters""".stripMargin))
+             |SELECT node, label FROM l$lpaIters""".stripMargin)),
+
+    // ---- G7: triangle count + clustering coefficient --------------------
+    // Part co-occurrence graph ("bought together": parts sharing an
+    // order), SPARSE at every SF (pairs grow with orders, node pairs
+    // with parts² — density falls as the data grows). Degree-oriented
+    // wedge join: one vertex ordering per triangle ⇒ found exactly once,
+    // and a skewed node's oriented out-degree is O(√m) — the published
+    // MapReduce-triangle bound. Pure integers until the 6-dp lcc.
+    Q("q_g7_triangles",
+      (s, d) => {
+        val pr = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = pr.select(col("o"), col("p").as("pa"))
+          .join(pr.select(col("o"), col("p").as("pb")), "o")
+          .filter(col("pa") < col("pb"))
+          .select(col("pa").as("src"), col("pb").as("dst"))
+          .distinct()
+        Graph.triangles(edges)
+      },
+      Some("""WITH pr AS (
+             |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+             |  FROM pr x JOIN pr y ON x.o = y.o AND x.p < y.p),
+             |deg AS (SELECT node, COUNT(*) AS degree FROM (
+             |  SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+             |  GROUP BY 1),
+             |o AS (SELECT
+             |    CASE WHEN da.degree <= db.degree THEN e.a ELSE e.b END AS u,
+             |    CASE WHEN da.degree <= db.degree THEN e.b ELSE e.a END AS v
+             |  FROM e
+             |  JOIN deg da ON da.node = e.a
+             |  JOIN deg db ON db.node = e.b),
+             |tri AS (SELECT o1.u AS x, o1.v AS y, o2.v AS z
+             |  FROM o o1
+             |  JOIN o o2 ON o1.v = o2.u
+             |  JOIN o o3 ON o3.u = o1.u AND o3.v = o2.v),
+             |pn AS (SELECT node, COUNT(*) AS n_tri FROM (
+             |  SELECT x AS node FROM tri
+             |  UNION ALL SELECT y AS node FROM tri
+             |  UNION ALL SELECT z AS node FROM tri) GROUP BY 1)
+             |SELECT d.node, d.degree,
+             |  COALESCE(p.n_tri, CAST(0 AS BIGINT)) AS n_tri,
+             |  CASE WHEN d.degree >= 2
+             |    THEN ROUND(CAST(2 * COALESCE(p.n_tri, 0) AS DOUBLE) /
+             |      (d.degree * (d.degree - 1)), 6)
+             |    ELSE CAST(0 AS DOUBLE) END AS lcc
+             |FROM deg d LEFT JOIN pn p ON p.node = d.node""".stripMargin))
   )
 }

@@ -221,6 +221,35 @@ class GraphSpec extends AnyFunSuite {
       .collect().toSet === one)
   }
 
+  test("triangles: clique saturates lcc at 1, stars stay at 0, direction and " +
+      "duplicates are normalized away") {
+    import spark.implicits._
+    // K4 on a..d (each node: degree 3, 3 triangles, lcc 1.0) plus a star
+    // center s with leaves l1..l3 (degree 3, no triangles) plus a pendant
+    // p hanging off a — fed with mixed directions, a duplicate edge, and
+    // a self-loop, all of which must normalize away
+    val edges = Seq(
+      "a" -> "b", "b" -> "a", "a" -> "c", "a" -> "d",
+      "b" -> "c", "c" -> "d", "d" -> "b",
+      "s" -> "l1", "l2" -> "s", "s" -> "l3",
+      "a" -> "p", "p" -> "p"
+    ).toDF("src", "dst")
+    val out = Graph.triangles(edges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out("a") === ((4L, 3L, 0.5)),     "a: K4 plus the pendant edge")
+    assert(out("b") === ((3L, 3L, 1.0)))
+    assert(out("c") === ((3L, 3L, 1.0)))
+    assert(out("d") === ((3L, 3L, 1.0)))
+    assert(out("s") === ((3L, 0L, 0.0)),     "star center: degree 3, no closure")
+    assert(out("l1") === ((1L, 0L, 0.0)),    "degree-1 node: lcc pinned 0.0")
+    assert(out("p") === ((1L, 0L, 0.0)),     "self-loop dropped, pendant stays")
+    assert(out.size === 9)
+    // global count: K4 has C(4,3) = 4 triangles, nothing else closes —
+    // per-node credits sum to 3 × 4
+    assert(out.values.map(_._2).sum === 12L)
+  }
+
   test("label propagation: ties break to the smallest label, isolated nodes keep theirs") {
     import spark.implicits._
     // z hears exactly one vote each from a and b: tie → min label "a".
