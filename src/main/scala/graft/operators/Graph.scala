@@ -344,6 +344,62 @@ object Graph {
           .otherwise(lit(0.0)))
   }
 
+  /** k-core decomposition (the k-core itself, by iterative peeling) over
+    * `edges(src, dst)` treated as an UNDIRECTED simple graph — the
+    * density filter a link-corpus curation pass uses to keep only the
+    * mutually-well-connected region of a domain graph (a node survives
+    * only if ≥ k of its neighbors ALSO survive, recursively — degree
+    * alone can't express that cascade).
+    *
+    * Matula & Beck's peeling, relationalized: each round recomputes
+    * degrees over the surviving-induced subgraph (two keyed semi-joins
+    * of the edge relation against the alive set + one hash count) and
+    * drops every node below k. Pure integer arithmetic — no
+    * quantization discipline needed, the oracle's round-by-round replay
+    * is exact by construction. The early exit (no node dropped) is
+    * OUTPUT-INVARIANT: a stable round is a no-op, so running the
+    * ceiling `iters` rounds yields bit-identical output — which is
+    * exactly what lets a fixed-round oracle replay an early-exiting
+    * engine (the LPA/tol contract, here with no tolerance knob at all).
+    * One scalar count per round reaches the driver; lineage truncates
+    * per round via [[Iterate.checkpoint]].
+    *
+    * Returns `(node, degree)` for the nodes of the k-core, `degree`
+    * being the WITHIN-CORE degree (≥ k by construction). Empty result
+    * when the graph has no k-core — that is an answer, not an error. */
+  def kCore(edges: DataFrame, k: Int, iters: Int = 20): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")
+    val und = Iterate.checkpoint(edges
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    var alive = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node"))).distinct()
+    var nAlive = alive.count() // one driver scalar per round
+    var result = alive.withColumn("degree", lit(0L)).limit(0)
+    var round = 0
+    var converged = nAlive == 0
+    while (round < iters && !converged) {
+      round += 1
+      val live = und
+        .join(alive.select(col("node").as("a")), Seq("a"))
+        .join(alive.select(col("node").as("b")), Seq("b"))
+      val surviving = Iterate.checkpoint(
+        live.select(col("a").as("node")).unionAll(live.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("degree"))
+          .filter(col("degree") >= k))
+      val n = surviving.count()
+      if (n == nAlive) converged = true
+      nAlive = n
+      alive = surviving.select(col("node"))
+      result = surviving
+      if (n == 0) converged = true
+    }
+    result
+  }
+
   /** Label-propagation community detection over directed `edges(src,
     * dst)` — the lightweight community pass a curation pipeline runs to
     * group domains/sources before per-community mixing decisions (pass

@@ -22,6 +22,7 @@ object GraphQueries extends graft.QueryPack {
   private val pprIters = 3
   private val hitsIters = 3
   private val lpaIters = 3
+  private val kcoreIters = 10
 
   /** One LPA oracle round: labels `prev` → labels `out`. Mirrors
     * [[Graph.labelPropagation]] op for op: in-neighbor label counts,
@@ -45,6 +46,22 @@ object GraphQueries extends graft.QueryPack {
        |        GROUP BY 1, 2) GROUP BY 1) m
        |      ON m.dst = c.dst AND c.cnt = m.mx
        |    GROUP BY 1) w ON w.dst = n.node)""".stripMargin
+
+  /** One k-core peeling oracle round over alive set `prev` → `out`
+    * (keeping `s$n` as the degreed relation the final round projects):
+    * recompute degrees over the `prev`-induced subgraph, keep nodes with
+    * degree ≥ k. Mirrors [[Graph.kCore]] op for op — pure integers,
+    * exact by construction; a converged round is a no-op, which is what
+    * lets this fixed-round replay match the engine's early exit. */
+  private def kcoreIter(n: Int, k: Int): String =
+    s"""s$n AS MATERIALIZED (SELECT node, COUNT(*) AS degree FROM (
+       |    SELECT e.a AS node FROM e
+       |      JOIN a${n - 1} x ON x.node = e.a JOIN a${n - 1} y ON y.node = e.b
+       |    UNION ALL
+       |    SELECT e.b AS node FROM e
+       |      JOIN a${n - 1} x ON x.node = e.a JOIN a${n - 1} y ON y.node = e.b)
+       |  GROUP BY 1 HAVING COUNT(*) >= $k),
+       |a$n AS MATERIALIZED (SELECT node FROM s$n)""".stripMargin
 
   /** One oracle iteration: micro-ranks `prev` → micro-ranks `out`.
     * Mirrors [[Graph.pageRank]] op for op: share = FLOOR(rank_m/outdeg
@@ -382,6 +399,33 @@ object GraphQueries extends graft.QueryPack {
              |    THEN ROUND(CAST(2 * COALESCE(p.n_tri, 0) AS DOUBLE) /
              |      (d.degree * (d.degree - 1)), 6)
              |    ELSE CAST(0 AS DOUBLE) END AS lcc
-             |FROM deg d LEFT JOIN pn p ON p.node = d.node""".stripMargin))
+             |FROM deg d LEFT JOIN pn p ON p.node = d.node""".stripMargin)),
+
+    // ---- G8: k-core of the part co-occurrence graph ---------------------
+    // Iterative peeling (k = 80 cascades ~6 rounds at sf0.01 — a REAL
+    // recursion, not a degree filter): a part survives only if ≥ 80 of
+    // its co-purchased parts also survive. Two keyed semi-joins + one
+    // hash count per round, one scalar to the driver, early exit
+    // output-invariant so the fixed 10-round oracle replay is exact.
+    Q("q_g8_kcore",
+      (s, d) => {
+        val pr = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = pr.select(col("o"), col("p").as("pa"))
+          .join(pr.select(col("o"), col("p").as("pb")), "o")
+          .filter(col("pa") < col("pb"))
+          .select(col("pa").as("src"), col("pb").as("dst"))
+          .distinct()
+        Graph.kCore(edges, k = 80, iters = kcoreIters)
+      },
+      Some(s"""WITH pr AS (
+             |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+             |  FROM pr x JOIN pr y ON x.o = y.o AND x.p < y.p),
+             |a0 AS MATERIALIZED (SELECT DISTINCT node FROM (
+             |  SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)),
+             |${(1 to kcoreIters).map(i => kcoreIter(i, 80)).mkString(",\n")}
+             |SELECT node, degree FROM s$kcoreIters""".stripMargin))
   )
 }

@@ -250,6 +250,31 @@ class GraphSpec extends AnyFunSuite {
     assert(out.values.map(_._2).sum === 12L)
   }
 
+  test("k-core: peeling cascades down a chain into the triangle core; " +
+      "ceiling-rounds output equals the early-exit output") {
+    import spark.implicits._
+    // chain a-b-c-d grafted onto triangle t1-t2-t3 at t1: the 2-core is
+    // exactly the triangle, reached only by CASCADE (a drops, THEN b
+    // becomes a leaf, ...) — a plain degree>=2 filter would keep b, c, d
+    val edges = Seq(
+      "a" -> "b", "b" -> "c", "c" -> "d", "d" -> "t1",
+      "t1" -> "t2", "t2" -> "t3", "t3" -> "t1"
+    ).toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core === Map("t1" -> 2L, "t2" -> 2L, "t3" -> 2L))
+    // iters at the exact cascade depth == generous ceiling (the
+    // output-invariance that lets a fixed-round oracle replay the
+    // early exit)
+    val tight = Graph.kCore(edges, k = 2, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tight === core)
+    // no 3-core anywhere: empty result is an answer, not an error
+    assert(Graph.kCore(edges, k = 3).count() === 0L)
+    assert(intercept[IllegalArgumentException](
+      Graph.kCore(edges, k = 0)).getMessage.contains("k >= 1"))
+  }
+
   test("label propagation: ties break to the smallest label, isolated nodes keep theirs") {
     import spark.implicits._
     // z hears exactly one vote each from a and b: tie → min label "a".
