@@ -530,6 +530,57 @@ object TextAnalysis {
           col("alpha_ratio") >= 0.8 && col("stop_hits") >= 2L)
   }
 
+  /** C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning…", §2.2) — the OTHER published web-crawl gate
+    * next to [[gopherRules]], and the line-granular one: Gopher scores
+    * a page, C4 first REWRITES it line by line and then gates the
+    * remainder. Implemented faithfully:
+    *
+    *   - keep only lines that end in a terminal punctuation mark
+    *     (`.`, `!`, `?`, `"`), hold at least `minLineWords` words, and
+    *     do not mention "javascript" (the cookie/JS-warning boilerplate
+    *     rule);
+    *   - drop the whole page when the CLEANED text has fewer than
+    *     `minSentences` sentences (terminal-punctuation count, C4's own
+    *     sentence proxy), when the RAW page contains "lorem ipsum"
+    *     (placeholder text), or when it contains a curly bracket `{`
+    *     (the it's-probably-code rule).
+    *
+    * (C4's remaining rules live elsewhere in this engine: the bad-words
+    * list is [[blocklistFilter]], three-sentence-span dedup is
+    * [[graft.operators.Dedup]]'s span/paragraph family.)
+    *
+    * Pure map-only higher-order-function pipeline over the line array —
+    * no shuffle, no UDF, the same 100 TB shape as every other gate;
+    * counts are exact integers so the relational oracle replays it
+    * by construction. Returns `(doc_id, n_lines, n_kept, n_sentences,
+    * clean_text, keep)` — `clean_text` is the kept lines re-joined, the
+    * page payload downstream stages train on when `keep`. */
+  def c4Rules(df: DataFrame, textCol: String, idCol: String,
+      minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    val tx = coalesce(col(textCol), lit(""))
+    val t = df.select(col(idCol).as("doc_id"), tx.as("__t"),
+      split(tx, "\n").as("__lines"))
+    val kept = filter(col("__lines"), l =>
+      size(filter(split(l, "\\s+"), w => w =!= "")) >= minLineWords &&
+        substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
+        !lower(l).contains("javascript"))
+    t.select(col("doc_id"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(kept, "\n").as("clean_text"),
+        col("__t"))
+      .withColumn("n_sentences",
+        (length(col("clean_text")) -
+          length(regexp_replace(col("clean_text"), "[.!?]", ""))).cast("long"))
+      .withColumn("keep",
+        col("n_sentences") >= minSentences &&
+          !lower(col("__t")).contains("lorem ipsum") &&
+          !col("__t").contains("{"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        col("n_sentences"), col("clean_text"), col("keep"))
+  }
+
   /** CCNet-style LM-perplexity quality signal (Wenzek et al. 2020,
     * "CCNet: Extracting high quality monolingual datasets from web
     * crawl data"): score every document by the perplexity of a language

@@ -1169,6 +1169,81 @@ object TextQueries extends graft.QueryPack {
              |   AND shits >= 2) AS keep
              |FROM m""".stripMargin)),
 
+    // ---- X56: C4 cleaning rules (Raffel et al. 2020 §2.2) ---------------
+    // The line-granular published gate next to Gopher's page-granular
+    // one. The synthetic corpus has no line structure or punctuation, so
+    // the query builds a deterministic page per doc (the q_x49 injection
+    // pattern) exercising every rule: terminal-punctuation keep, <5-word
+    // drop, javascript-line drop, lorem-ipsum page drop, curly-brace
+    // page drop, <3-sentence page drop — replayed verbatim by the
+    // oracle, structure and all.
+    Q("q_x56_c4_rules",
+      (s, d) => {
+        val t0 = coalesce(col("text"), lit(""))
+        val page = concat(concat_ws("\n",
+          concat(substring(t0, 1, 60), lit(".")),
+          concat(substring(t0, 61, 60),
+            when(col("doc_id") % 3 === 0, lit(" etc.")).otherwise(lit(""))),
+          concat(substring(t0, 121, 60),
+            when(col("doc_id") % 2 === 0, lit(" done!"))
+              .otherwise(lit(" trailing"))),
+          lit("too short."),
+          when(col("doc_id") % 7 === 0,
+            lit("Please enable JavaScript and cookies to continue browsing."))
+            .otherwise(
+              lit("A perfectly ordinary closing sentence appears right here."))),
+          when(col("doc_id") % 11 === 0, lit("\nlorem ipsum dolor sit amet."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit("\nfunction f() { return 1; }"))
+            .otherwise(lit("")))
+        TextAnalysis.c4Rules(
+          Tables.documents(s, d).select(col("doc_id"), page.as("text")),
+          "text", "doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+             |pg AS (SELECT doc_id,
+             |    substr(t, 1, 60) || '.' || chr(10) ||
+             |    substr(t, 61, 60) ||
+             |      CASE WHEN doc_id % 3 = 0 THEN ' etc.' ELSE '' END ||
+             |      chr(10) ||
+             |    substr(t, 121, 60) ||
+             |      CASE WHEN doc_id % 2 = 0 THEN ' done!'
+             |        ELSE ' trailing' END || chr(10) ||
+             |    'too short.' || chr(10) ||
+             |    CASE WHEN doc_id % 7 = 0
+             |      THEN 'Please enable JavaScript and cookies to continue browsing.'
+             |      ELSE 'A perfectly ordinary closing sentence appears right here.'
+             |      END ||
+             |    CASE WHEN doc_id % 11 = 0
+             |      THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END ||
+             |    CASE WHEN doc_id % 13 = 0
+             |      THEN chr(10) || 'function f() { return 1; }' ELSE '' END AS p
+             |  FROM base),
+             |k AS (SELECT doc_id, p,
+             |    len(regexp_split_to_array(p, chr(10))) AS n_lines,
+             |    list_filter(regexp_split_to_array(p, chr(10)), l ->
+             |      len(list_filter(regexp_split_to_array(l, '\s+'),
+             |        x -> x <> '')) >= 5
+             |      AND right(rtrim(l), 1) IN ('.', '!', '?', '"')
+             |      AND NOT contains(lower(l), 'javascript')) AS kept
+             |  FROM pg),
+             |c AS (SELECT doc_id, p, n_lines, len(kept) AS n_kept,
+             |    COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+             |  FROM k)
+             |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+             |  CAST(n_kept AS BIGINT) AS n_kept,
+             |  CAST(length(clean_text) -
+             |    length(regexp_replace(clean_text, '[.!?]', '', 'g'))
+             |    AS BIGINT) AS n_sentences,
+             |  clean_text,
+             |  (CAST(length(clean_text) -
+             |      length(regexp_replace(clean_text, '[.!?]', '', 'g'))
+             |      AS BIGINT) >= 3
+             |    AND NOT contains(lower(p), 'lorem ipsum')
+             |    AND NOT contains(p, '{')) AS keep
+             |FROM c""".stripMargin)),
+
     // ---- X52: stupid-backoff trigram scoring (two-corpus shape) ---------
     // Train counts on the even docs, score the odd docs — unseen
     // trigrams genuinely back off (self-scoring never leaves the first

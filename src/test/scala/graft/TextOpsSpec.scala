@@ -497,6 +497,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getDouble(5) === 0.2)              // 4 hashes, 3 distinct, /5
   }
 
+  test("c4 rules: line keeps need terminal punctuation, five words, no " +
+      "javascript; page drops on few sentences, lorem ipsum, curly braces") {
+    import spark.implicits._
+    val goodLine = "This sentence holds enough words and ends properly."
+    val df = Seq(
+      (1L, s"$goodLine\n$goodLine\n$goodLine"),            // keeps: 3 sentences
+      (2L, s"$goodLine\nno terminal punctuation here at all\n$goodLine"),
+      (3L, s"$goodLine\nShort line.\n$goodLine"),          // 2-word line drops
+      (4L, s"$goodLine\nPlease enable JavaScript to see this page.\n$goodLine"),
+      (5L, s"$goodLine\n$goodLine\n$goodLine lorem ipsum dolor."),
+      (6L, s"$goodLine\n$goodLine\nvar x = { a: 1 };\n$goodLine"),
+      (7L, s"$goodLine\n$goodLine"),                       // only 2 sentences
+      (8L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.c4Rules(df, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getBoolean(5))))
+      .toMap
+    assert(out(1L) === ((3L, 3L, 3L, s"$goodLine\n$goodLine\n$goodLine", true)))
+    assert(out(2L)._2 === 2L && !out(2L)._5, "unterminated line dropped, page under 3 sentences")
+    assert(out(3L)._2 === 2L && !out(3L)._5, "two-word line dropped despite terminal dot")
+    assert(out(4L)._2 === 2L && !out(4L)._5, "javascript line dropped")
+    assert(out(5L)._2 === 3L && out(5L)._3 >= 3L && !out(5L)._5, "lorem ipsum kills the page")
+    assert(!out(6L)._5, "curly brace kills the page")
+    assert(out(6L)._2 === 3L, "the code line itself also fails the line rules")
+    assert(!out(7L)._5, "two sentences is below the C4 floor")
+    assert(out(8L) === ((1L, 0L, 0L, "", false)), "null text: one empty line, nothing kept")
+  }
+
   test("gopher rules: each rule rejects its own pathology, a normal doc keeps") {
     import spark.implicits._
     val good = (("the quick brown fox jumps over a lazy dog and " +
