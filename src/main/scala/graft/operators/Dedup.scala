@@ -66,6 +66,53 @@ object Dedup {
         col("n_kept"))
   }
 
+  /** Paragraph-level global exact dedup — the newline-granular member
+    * of the exact-dedup family ([[exactDedup]]: whole doc, this:
+    * paragraph, [[spanDedup]]/[[substringDedup]]: token spans), and the
+    * rendering of C4's repeated-span removal at the granularity web
+    * boilerplate actually repeats (nav bars, cookie banners, footers —
+    * identical PARAGRAPHS pasted across millions of pages). Every
+    * paragraph keeps its globally FIRST occurrence (total order
+    * (doc_id, position) — deterministic, engine-replayable) and
+    * vanishes everywhere else; docs rebuild from their kept paragraphs
+    * in document order.
+    *
+    * Scale shape is [[spanDedup]]'s verbatim: the paragraph relation is
+    * one row per (doc, position) keyed by `md5(paragraph)` (32-hex keys
+    * on the wire, not paragraph text), first-occurrence is the
+    * skew-proof `min(struct(sid, pos))` reduction (a cookie banner
+    * repeated in 10⁸ docs pre-reduces to one candidate row per map
+    * task — no hot reducer), and the rebuild is one sid-keyed shuffle.
+    * Two keyed shuffles total, no window over the corpus, no driver
+    * state.
+    *
+    * Empty paragraphs (consecutive newlines, leading/trailing) are
+    * dropped, not deduped; docs with no non-empty paragraph (and
+    * null-text docs) drop out — the [[spanDedup]] convention. Returns
+    * `(<idCol>, text_dedup, n_kept, n_dropped)`. */
+  def paragraphDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val paras = Par.spread(docs.select(col(idCol).as("sid"),
+        filter(split(col(textCol), "\n"), p => p =!= "").as("ps")))
+      .filter(size(col("ps")) > 0)
+      .select(col("sid"), posexplode(col("ps")).as(Seq("pos", "para")))
+      .select(col("sid"), col("pos"), col("para"), md5(col("para")).as("k"))
+    val firsts = paras.groupBy(col("k"))
+      .agg(min(struct(col("sid"), col("pos"))).as("f"))
+      .select(col("k"), col("f.sid").as("fsid"), col("f.pos").as("fpos"))
+    paras.join(firsts, Seq("k"))
+      .groupBy(col("sid"))
+      .agg(
+        sort_array(collect_list(when(
+          col("sid") === col("fsid") && col("pos") === col("fpos"),
+          struct(col("pos"), col("para"))))).as("ks"),
+        count(lit(1)).as("n_total"))
+      .select(col("sid").as(idCol),
+        array_join(transform(col("ks"), k => k.getField("para")), "\n")
+          .as("text_dedup"),
+        size(col("ks")).cast("long").as("n_kept"),
+        (col("n_total") - size(col("ks"))).cast("long").as("n_dropped"))
+  }
+
   /** Variable-length substring dedup — the full Lee et al. ExactSubstr
     * semantics ("remove every repeated substring of ≥ `minLen` tokens,
     * keep the first occurrence"), which [[spanDedup]]'s fixed

@@ -347,6 +347,55 @@ object DedupQueries extends graft.QueryPack {
              |  COUNT(*) AS n_kept
              |FROM kept GROUP BY doc_id""".stripMargin)),
 
+    // ---- D18: paragraph-level global exact dedup ------------------------
+    // The C4-granularity boilerplate scrub: every doc gets an identical
+    // "Subscribe" paragraph injected (plus every 5th doc repeating its
+    // own first slice), so the globally-first doc keeps the banner and
+    // every other doc sheds it — first occurrence by (doc_id, position),
+    // replayed by the oracle's window. Two keyed shuffles in the engine
+    // (md5-keyed first-occurrence reduce, sid-keyed rebuild).
+    Q("q_d18_paragraph_dedup",
+      (s, d) => {
+        val t0 = coalesce(col("text"), lit(""))
+        val page = concat(concat_ws("\n",
+          substring(t0, 1, 80),
+          lit("Subscribe to our newsletter today."),
+          substring(t0, 81, 80)),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("\n"), substring(t0, 1, 80))).otherwise(lit("")))
+        Dedup.paragraphDedup(
+          Tables.documents(s, d).select(col("doc_id"), page.as("text")),
+          "text", "doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+             |pg AS (SELECT doc_id,
+             |    substr(t, 1, 80) || chr(10) ||
+             |    'Subscribe to our newsletter today.' || chr(10) ||
+             |    substr(t, 81, 80) ||
+             |    CASE WHEN doc_id % 5 = 0
+             |      THEN chr(10) || substr(t, 1, 80) ELSE '' END AS p
+             |  FROM base),
+             |paras AS (
+             |  SELECT doc_id, unnest(range(0, len(ps))) AS pos,
+             |    unnest(ps) AS para
+             |  FROM (SELECT doc_id, list_filter(
+             |      regexp_split_to_array(p, chr(10)), x -> x <> '') AS ps
+             |    FROM pg)
+             |  WHERE len(ps) > 0),
+             |kept AS (
+             |  SELECT doc_id, pos, para,
+             |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos)
+             |      AS rn
+             |  FROM paras)
+             |SELECT doc_id,
+             |  COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+             |    ORDER BY pos), '') AS text_dedup,
+             |  CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+             |  CAST(COUNT(*) - COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT)
+             |    AS n_dropped
+             |FROM kept GROUP BY doc_id""".stripMargin)),
+
     // ---- D17: variable-length substring dedup (Lee-et-al ExactSubstr) ---
     // q_d14's fixed grid misses repeats offset by a non-multiple of the
     // window; the sliding-anchor form removes EVERY repeated substring of

@@ -306,6 +306,28 @@ class DedupClusterSpec extends AnyFunSuite {
       5L -> (("m n o", 3L, 6L))))         // self-repeat tail removed
   }
 
+  test("paragraph dedup: shared banner survives only in the first doc; " +
+      "within-doc repeats drop; empty paragraphs neither dedupe nor count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique one\nshared banner\nunique two"),
+      (2L, "shared banner\nanother paragraph"),       // banner seen in doc 1
+      (3L, "twin\n\ntwin\nlast"),                     // within-doc repeat + empty
+      (4L, "shared banner"),                          // fully covered -> empty
+      (5L, null.asInstanceOf[String]),                // drops out
+      (6L, "\n\n")                                    // only empties: drops out
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.paragraphDedup(docs, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === (("unique one\nshared banner\nunique two", 3L, 0L)))
+    assert(out(2L) === (("another paragraph", 1L, 1L)))
+    assert(out(3L) === (("twin\nlast", 2L, 1L)), "second twin drops, empty line ignored")
+    assert(out(4L) === (("", 0L, 1L)), "fully-deduped doc stays with empty text")
+    assert(out.size === 4, "null-text and empty-only docs drop out")
+  }
+
   test("span dedup: identical docs keep only the lowest-id copy") {
     import spark.implicits._
     val docs = Seq((7L, "p q r s"), (5L, "p q r s"), (9L, "p q r s"))
