@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 
 import graft.functions.{FloatVecDot, TopKAggregator}
 
@@ -76,6 +76,38 @@ object Similarity {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.id").cast(idType).as(idName),
         col("t.score").as(scoreName), (col("pos") + lit(1)).as("rnk"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of any
+    * number of per-query ranked runs — THE standard hybrid-retrieval
+    * combiner (BM25 lexical + dense-embedding ranks fuse without score
+    * calibration, because RRF consumes only RANKS):
+    * `rrf(doc) = Σ_runs 1/(rrfK + rank)`, missing-from-a-run contributes
+    * nothing. Each input run is `(query_id, doc_id, rnk)` (the
+    * [[perQueryTopK]] / BM25 output shape).
+    *
+    * Determinism: each reciprocal term is rounded to 9 dp and summed as
+    * DECIMAL(18,9) — exact and order-independent, so the distributed
+    * aggregation order can't perturb the fused score (the engine's
+    * standard float-sum discipline); final ranking ties break by doc id.
+    * Scale shape: runs are already ≤ k·queries rows (bounded by their
+    * own top-k buffers), so the union + one hash aggregation + one
+    * bounded [[perQueryTopK]] ranking is queries-sized work, regardless
+    * of corpus size. Returns `(query_id, doc_id, rrf, rnk)`, the k best
+    * fused docs per query. */
+  def rrfFuse(runs: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse needs at least one run")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    val u = runs.map(_.select(col("query_id"), col("doc_id"), col("rnk")))
+      .reduce(_ unionAll _)
+    val fused = u.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(round(lit(1.0) / (lit(rrfK) + col("rnk")), 9)
+        .cast(DecimalType(18, 9))).as("__d"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("__d").cast("double").as("score"))
+    perQueryTopK(fused, k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("score").as("rrf"), col("rnk"))
   }
 
   /** Hard-negative mining for contrastive training: per query, the k

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Q
-import graft.operators.TextAnalysis
+import graft.operators.{Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Text-analysis extension surface over the `documents` table: token
@@ -706,6 +706,105 @@ object TextQueries extends graft.QueryPack {
         TextAnalysis.bm25TopKFromIndex(s, dir, bm25Queries, k = 10)
       },
       Some(duckBm25)),
+
+    // ---- X57: hybrid retrieval — BM25 + dense ranks fused by RRF --------
+    // The standard hybrid-search recipe: the SAME query set retrieves
+    // through the lexical path (BM25 top-10) AND the dense path
+    // (hashed-tf cosine top-10, the model-free embedding bridge), and
+    // reciprocal-rank fusion combines the two lists WITHOUT score
+    // calibration — RRF consumes only ranks. Hashed-tf components are
+    // exact integers, so the dense dot products replay exactly; the
+    // fused score is a DECIMAL(18,9) sum of 9-dp reciprocal terms. The
+    // oracle replays both retrieval chains and the fusion end to end.
+    Q("q_x57_hybrid_rrf",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val bm25 = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+            bm25Queries, k = 10)
+          .select(col("query_id"), col("doc_id"), col("rnk"))
+        val docVecs = TextAnalysis.hashedTfVectors(docs, "text", "doc_id", 16)
+        val qVecs = bm25Queries
+          .map { case (qid, terms) => (qid, terms.mkString(" ")) }
+          .toDF("qid", "qtext")
+        val dense = Similarity.perQueryTopK(
+          docVecs.crossJoin(broadcast(
+            TextAnalysis.hashedTfVectors(qVecs, "qtext", "qid", 16)
+              .select(col("doc_id").as("query_id"), col("vec").as("qv"))))
+            .select(col("query_id"), col("doc_id").as("neighbor_id"),
+              Similarity.cosine(col("qv"), col("vec")).as("score")), 10)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+        Similarity.rrfFuse(Seq(bm25, dense), k = 10)
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+             |      x -> x <> '') AS toks
+             |  FROM documents),
+             |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+             |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t)
+             |  GROUP BY 1, 2, 3),
+             |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT COUNT(*) AS n_docs,
+             |    CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl FROM t),
+             |q AS (SELECT * FROM (VALUES
+             |    (0, 'spark'), (0, 'join'), (0, 'fast'),
+             |    (1, 'window'), (1, 'stream'),
+             |    (2, 'customer'), (2, 'merge'), (2, 'table'))
+             |    AS v(query_id, term)),
+             |sc AS (SELECT query_id, doc_id,
+             |    CAST(ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+             |      AS DECIMAL(18,6)) *
+             |    CAST(ROUND(tf * (1.2 + 1.0) /
+             |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+             |      AS DECIMAL(18,6)) AS c
+             |  FROM q JOIN tf USING (term) JOIN dfr USING (term), st),
+             |bagg AS (SELECT query_id, doc_id,
+             |    ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
+             |  FROM sc GROUP BY 1, 2),
+             |bm25r AS (SELECT query_id, doc_id, rnk FROM (
+             |  SELECT *, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+             |  FROM bagg) WHERE rnk <= 10),
+             |htf AS (SELECT doc_id,
+             |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 16 AS b,
+             |    COUNT(*) AS tf
+             |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t
+             |    WHERE len(toks) > 0) GROUP BY 1, 2),
+             |dn AS (SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+             |  FROM htf GROUP BY 1),
+             |qd AS (SELECT * FROM (VALUES
+             |    (0, 'spark join fast'), (1, 'window stream'),
+             |    (2, 'customer merge table')) AS v(qid, qtext)),
+             |qhtf AS (SELECT qid,
+             |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 16 AS b,
+             |    COUNT(*) AS tf
+             |  FROM (SELECT qid, unnest(list_filter(
+             |      regexp_split_to_array(lower(qtext), '\\s+'), x -> x <> ''))
+             |      AS tok FROM qd) GROUP BY 1, 2),
+             |qn AS (SELECT qid, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+             |  FROM qhtf GROUP BY 1),
+             |dots AS (SELECT q.qid AS query_id, h.doc_id,
+             |    SUM(q.tf * h.tf) AS dot
+             |  FROM qhtf q JOIN htf h ON q.b = h.b GROUP BY 1, 2),
+             |dscored AS (SELECT d.query_id, d.doc_id,
+             |    ROUND(d.dot / (qn.nrm * dn.nrm), 6) AS score
+             |  FROM dots d
+             |  JOIN qn ON qn.qid = d.query_id
+             |  JOIN dn ON dn.doc_id = d.doc_id),
+             |denser AS (SELECT query_id, doc_id, rnk FROM (
+             |  SELECT *, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+             |  FROM dscored) WHERE rnk <= 10),
+             |runs AS (SELECT * FROM bm25r UNION ALL SELECT * FROM denser),
+             |fused AS (SELECT query_id, doc_id,
+             |    CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / (60 + rnk), 9)
+             |      AS DECIMAL(18,9))) AS DOUBLE) AS rrf
+             |  FROM runs GROUP BY 1, 2)
+             |SELECT query_id, doc_id, rrf, rnk FROM (
+             |  SELECT *, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+             |  FROM fused)
+             |WHERE rnk <= 10""".stripMargin)),
 
     // ---- X30: topic clustering over hashed-tf doc vectors ---------------
     // The model-free text→vector bridge: feature-hash every doc into a

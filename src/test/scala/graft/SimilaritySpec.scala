@@ -543,4 +543,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       Similarity.semanticDedup(emb, 8, 2, tau = 0.0)).getMessage.contains("tau"))
   }
+
+  test("rrf fusion: a doc ranked in both runs beats either run's solo " +
+      "leader; absent runs contribute nothing; ties break by doc id") {
+    import spark.implicits._
+    // run A top: docs 1,2,3 — run B top: docs 3,4,5. Doc 3 (rank 3 + rank 1)
+    // scores 1/63 + 1/61; doc 1 (rank 1, one run) scores only 1/61.
+    val runA = Seq((0, 1L, 1L), (0, 2L, 2L), (0, 3L, 3L))
+      .toDF("query_id", "doc_id", "rnk")
+    val runB = Seq((0, 3L, 1L), (0, 4L, 2L), (0, 5L, 3L))
+      .toDF("query_id", "doc_id", "rnk")
+    val out = Similarity.rrfFuse(Seq(runA, runB), k = 10)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.head._1 === 3L, "the both-runs doc must fuse to the top")
+    assert(out.head._2 > out(1)._2)
+    // docs 1 and 4 tie exactly (rank 1 in A ≡ rank 2 in B? no — doc 1 is
+    // 1/61, doc 4 is 1/62): check strict ordering and the id tie-break on
+    // the true tie pair (2 in A vs 4 in B, both rank 2 → equal 1/62)
+    val byDoc = out.map(t => t._1 -> t._2).toMap
+    assert(byDoc(2L) === byDoc(4L), "equal ranks in different runs fuse equal")
+    assert(out.indexWhere(_._1 == 2L) < out.indexWhere(_._1 == 4L),
+      "exact ties order by doc id")
+    assert(out.length === 5)
+    assert(intercept[IllegalArgumentException](
+      Similarity.rrfFuse(Seq.empty, 5)).getMessage.contains("at least one"))
+  }
 }
