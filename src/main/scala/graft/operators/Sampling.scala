@@ -229,6 +229,64 @@ object Sampling {
         col("t.score").as("wkey"), (col("pos") + lit(1)).as("rnk"))
   }
 
+  /** DoReMi-style domain-mixture reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * multiplicative weights over a per-domain EXCESS-LOSS signal —
+    * domains where the model underperforms get upweighted round by
+    * round, `w ← normalize(w · exp(η · L(d)))`. The published recipe
+    * retrains a proxy model between rounds to refresh L; that is a
+    * training job, not a data-engine pass, so THIS operator implements
+    * the reweighting iteration given any loss signal, with the
+    * saturation form `L_t(d) = loss(d) · (1 − w_t(d))` standing in for
+    * the proxy refresh (more sampling ⇒ the domain gets learned ⇒ its
+    * excess loss decays — the qualitative behavior the retraining
+    * produces, in a deterministic, engine-replayable closed form).
+    * The output weights feed [[mixtureByWeights]] directly.
+    *
+    * Numerics are the PageRank micro-unit discipline applied to a
+    * distribution: weights are integer MICROS summing to ~1e6, the
+    * per-round multiplier is `round(exp(·), 6)` (6-dp rounding absorbs
+    * ≤1-ulp exp() differences across engines — the ln/ppl contract),
+    * products quantize via `floor(x + 0.5)`, and normalization divides
+    * by the exact integer round total. Every float step is a single
+    * IEEE op, so a relational oracle unrolls the rounds bit-for-bit.
+    *
+    * Scale shape: `domainLoss` is domains-sized BY DEFINITION (a
+    * mixture has dozens of domains, `maxDomains` fail-fasts surprise
+    * cardinality); the corpus pass that produced the loss signal
+    * happened upstream, ONCE. Each round here is one map over the
+    * domain relation + a broadcast 1-row total — keys-sized work,
+    * lineage checkpointed. Input `(domain, loss)` (duplicate domains
+    * resolve to MAX loss, deterministically); returns
+    * `(domain, weight_m, weight)`, micros and the ~1-summing double. */
+  def mixtureReweight(domainLoss: DataFrame, rounds: Int,
+      eta: Double = 0.5, maxDomains: Int = 100000): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, s"need 1 <= rounds <= 50, got $rounds")
+    require(eta > 0 && eta <= 10, s"need 0 < eta <= 10, got $eta")
+    val base = Iterate.checkpoint(domainLoss
+      .filter(col("domain").isNotNull && col("loss").isNotNull)
+      .groupBy(col("domain")).agg(max(col("loss").cast("double")).as("loss")))
+    val n = base.count() // one driver scalar
+    require(n > 0, "mixtureReweight: no non-null domains")
+    require(n <= maxDomains,
+      s"$n distinct domains > maxDomains $maxDomains — the domain column " +
+        "looks high-cardinality, not enum-like")
+    var w = base.withColumn("w", lit(math.floor(1e6 / n + 0.5).toLong))
+    for (_ <- 1 to rounds) {
+      val raw = w.select(col("domain"), col("loss"),
+        floor(col("w") *
+          round(exp(lit(eta) * col("loss") * (lit(1e6) - col("w")) / lit(1e6)),
+            6) + lit(0.5)).cast("long").as("wr"))
+      val tot = raw.agg(sum("wr").as("__s"))
+      w = Iterate.checkpoint(raw.crossJoin(broadcast(tot))
+        .select(col("domain"), col("loss"),
+          floor(col("wr") * lit(1e6) / col("__s") + lit(0.5)).cast("long")
+            .as("w")))
+    }
+    w.select(col("domain"), col("w").as("weight_m"),
+      (col("w").cast("double") / lit(1e6)).as("weight"))
+  }
+
   /** [[mixtureSample]] with quotas derived from target weights:
     * `quota(d) = max(1, floor(weights(d) × total))` — a listed domain is
     * never silently dropped: a weight whose floor is 0 still contributes

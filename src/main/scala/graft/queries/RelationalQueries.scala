@@ -784,6 +784,58 @@ object RelationalQueries extends graft.QueryPack {
              |SELECT r.doc_id, r.source, r.rn
              |FROM r JOIN q USING (source) WHERE r.rn <= q.quota""".stripMargin)),
 
+    // ---- X58: DoReMi-style mixture reweighting (training-mixture opt) ---
+    // Excess loss per source = its mean doc length relative to the
+    // corpus mean, minus 1 (longer-than-average domains read as
+    // underperforming and upweight) — exact integer counts into single
+    // IEEE divisions, 6-dp rounded. Five multiplicative-weight rounds in
+    // integer micros with round(exp,6) factors and floor(x+0.5)
+    // quantization; the oracle unrolls all five rounds (CTEs
+    // MATERIALIZED: each round references the previous twice — the
+    // normalization total — and inlining would expand exponentially).
+    Q("q_x58_doremi_mixture",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .filter(col("text").isNotNull && col("source").isNotNull)
+          .select(col("source"),
+            size(graft.operators.TextAnalysis.tokens(col("text"))).as("nt"))
+        val perDom = t.groupBy(col("source"))
+          .agg(count(lit(1)).as("nd"), sum(col("nt")).as("sd"))
+        val tot = t.agg(count(lit(1)).as("nc"), sum(col("nt")).as("sc"))
+        val loss = perDom.crossJoin(broadcast(tot))
+          .select(col("source").as("domain"),
+            round(col("sd").cast("double") / col("nd") /
+              (col("sc").cast("double") / col("nc")) - lit(1.0), 6).as("loss"))
+        graft.operators.Sampling.mixtureReweight(loss, rounds = 5, eta = 0.5)
+      },
+      Some {
+        def rw(i: Int): String =
+          s"""r${i}a AS MATERIALIZED (SELECT domain, loss,
+             |    CAST(FLOOR(w * ROUND(exp(CAST(0.5 AS DOUBLE) * loss *
+             |      (1e6 - w) / 1e6), 6) + 0.5) AS BIGINT) AS wr
+             |  FROM w${i - 1}),
+             |w$i AS MATERIALIZED (SELECT domain, loss,
+             |    CAST(FLOOR(wr * 1e6 / s.s + 0.5) AS BIGINT) AS w
+             |  FROM r${i}a CROSS JOIN (SELECT SUM(wr) AS s FROM r${i}a) s)"""
+            .stripMargin
+        s"""WITH t AS (SELECT source, len(list_filter(
+           |    regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS nt
+           |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+           |dm AS (SELECT source, COUNT(*) AS nd, SUM(nt) AS sd
+           |  FROM t GROUP BY 1),
+           |c AS (SELECT COUNT(*) AS nc, SUM(nt) AS sc FROM t),
+           |l AS MATERIALIZED (SELECT source AS domain,
+           |    ROUND(CAST(sd AS DOUBLE) / nd / (CAST(sc AS DOUBLE) / nc)
+           |      - CAST(1.0 AS DOUBLE), 6) AS loss
+           |  FROM dm CROSS JOIN c),
+           |w0 AS MATERIALIZED (SELECT domain, loss,
+           |    CAST(FLOOR(1e6 / nn.c + 0.5) AS BIGINT) AS w
+           |  FROM l CROSS JOIN (SELECT COUNT(*) AS c FROM l) nn),
+           |${(1 to 5).map(rw).mkString(",\n")}
+           |SELECT domain, w AS weight_m, CAST(w AS DOUBLE) / 1e6 AS weight
+           |FROM w5""".stripMargin
+      }),
+
     // ---- V6: mergeable distinct-count sketch store ----------------------
     // Two "nightly" batches (doc_id parity halves) each append per-source
     // HLL sketches; the estimate unions the STORED sketches without
