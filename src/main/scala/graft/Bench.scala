@@ -43,8 +43,31 @@ object Bench {
 
     // dev filter (the driver never sets it): SPARK_GRAFT_ONLY=q_d7,q_x9
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // per-commit dev tier (the driver never sets it):
+    // SPARK_GRAFT_TIER=flagship runs only the ~30 slowest round-10
+    // entries — they carry >70% of total wall-clock, so a regression
+    // anywhere that matters shows up here in ~1/4 the time. The full
+    // registry stays the nightly/per-round run (the driver's), which
+    // also REFRESHES this pinned list when the slow set shifts.
+    val flagship = Set("q_g7_triangles", "q_g4_wpagerank", "q_g1_pagerank",
+      "q_g3_hits", "q_g8_kcore", "q_g2_ppr", "q_g6_label_prop",
+      "etl_migration_100k", "q_sim8_kpp_ivf_topk", "q_x47_clean_train_corpus",
+      "q_x30_topic_clusters", "q_x35_topic_assign_store",
+      "q_x42_token_ids_store", "q_d13_incremental_sigs",
+      "q_sim9_kmeanspar_seeds", "q_x54_byte_fallback_ids", "q_a10_hll_bound",
+      "q_x36_cdc_chunks", "q_d2b_jaccard_capped", "q_sim7_ff_kmeans",
+      "q_j12_fuzzy_join", "q_x39_token_ids", "q_m7_video_features",
+      "q_pq5_adc_prod", "q_v16_cms_store", "q_x41_ppl_store",
+      "q_x31_bm25_index", "q_x53_backoff_store", "q_d2_jaccard_pairs",
+      "q_x10_repetition")
+    val tierFiltered = sys.env.get("SPARK_GRAFT_TIER") match {
+      case Some("flagship") => true
+      case Some(other) => sys.error(s"unknown SPARK_GRAFT_TIER '$other'")
+      case None => false
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
+      .filter(n => !tierFiltered || flagship.contains(n))
     names.foreach(exec) // warmup pass: codegen + JIT + FS caches
     // two measured passes, report the per-query MIN: the box sees external
     // load spikes and GC pauses that inflate single timings 2-5x; min-of-2
@@ -77,7 +100,8 @@ object Bench {
     }
     val etlName = "etl_migration_100k"
     val results =
-      if (!only.forall(_.exists(p => etlName.startsWith(p)))) results0
+      if (!only.forall(_.exists(p => etlName.startsWith(p))) ||
+          (tierFiltered && !flagship.contains(etlName))) results0
       else {
         etlRun() // warmup
         // same failure protocol as the queries: one transient failure
@@ -105,7 +129,7 @@ object Bench {
     // can't hurt it, then print it as the very last stdout of the run.
     // Only FULL runs persist — a dev-filtered run must not clobber the
     // round record with a 3-query subset.
-    if (only.isEmpty)
+    if (only.isEmpty && !tierFiltered)
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), mkLine(3) + "\n")
       catch { case e: Exception => System.err.println(s"[bench] local write failed: $e") }
     // the driver keeps only the last 2000 CHARS of output and parses the
@@ -113,21 +137,31 @@ object Bench {
     // map (~5.5 KB) can never fit it, which clipped the full line's HEAD
     // in every round (BENCH_r1–r6 parsed:null; r7+ parsed only a fixed
     // slowest-10). So the full line prints first (and always lands in
-    // BENCH_LOCAL.json), and the LAST line greedily packs as many
-    // slowest-first entries as a ~1800-byte budget holds (~60 — every
-    // entry that matters for perf grading; what's cut is the sub-tenths
+    // BENCH_LOCAL.json), and the LAST line packs the slowest-first
+    // PREFIX that fits a ~1900-byte budget (~60 entries — every one
+    // that matters for perf grading; what's cut is the sub-tenths
     // map-only tail) with an explicit omitted count, never a silent cap.
     val byTime = results.filter(_._2 >= 0).sortBy(-_._2)
-    val budget = 1800
+    def mkSummary(sq: String, omitted: Int): String =
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$sq,"sf":"$sfDir","n_queries":${results.size},"n_omitted":$omitted,"note":"slowest-first, $omitted fastest omitted; full line above and in BENCH_LOCAL.json"}"""
+    // the envelope is MEASURED, not estimated (a long sfDir path broke
+    // the fixed-180 estimate), with the worst-case omitted-count digits
+    val budget = 1900 - mkSummary("{}", byTime.size).length
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    var used = 180 // fixed JSON envelope + total/sf/n_queries/note fields
-    byTime.foreach { case (k, v) =>
+    var used = 0
+    // STOP at the first non-fitting entry (no best-fit backfill): the
+    // "N fastest omitted" claim is only true if the kept set is exactly
+    // the slowest prefix
+    val it = byTime.iterator
+    var fits = true
+    while (fits && it.hasNext) {
+      val (k, v) = it.next()
       val e = "\"" + k + "\":" + fmt(v, 2)
       if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      else fits = false
     }
     val sq = entries.mkString("{", ",", "}")
-    val omitted = byTime.size - entries.size
-    val summary = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$sq,"sf":"$sfDir","n_queries":${results.size},"n_omitted":$omitted,"note":"slowest-first, $omitted fastest omitted; full line above and in BENCH_LOCAL.json"}"""
+    val summary = mkSummary(sq, byTime.size - entries.size)
     spark.stop()
     println(line)
     println(summary)

@@ -226,8 +226,13 @@ object Graph {
     * meaning as [[pageRank]]'s: the per-round movement scalar
     * Σ(|Δauth| + |Δhub|) is normalized by the node count, so one tol
     * value expresses the same per-node convergence bar on a 1k-node
-    * fixture and a 1B-node crawl graph. Returns `(node, auth, hub)`
-    * rounded to 6 dp, maxima at 1.0. */
+    * fixture and a 1B-node crawl graph. COMPATIBILITY NOTE: this
+    * per-node normalization landed in round 10 — before that, `tol`
+    * compared against the ABSOLUTE total movement, so a tol tuned to
+    * the old scale is now ~n× looser on an n-node graph and converges
+    * at a different round; divide pre-round-10 tolerances by the node
+    * count when migrating. Returns `(node, auth, hub)` rounded to
+    * 6 dp, maxima at 1.0. */
   def hits(edges: DataFrame, iters: Int,
       tol: Option[Double] = None): DataFrame = {
     require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")
@@ -365,9 +370,36 @@ object Graph {
     * per round via [[Iterate.checkpoint]].
     *
     * Returns `(node, degree)` for the nodes of the k-core, `degree`
-    * being the WITHIN-CORE degree (≥ k by construction). Empty result
-    * when the graph has no k-core — that is an answer, not an error. */
+    * being the WITHIN-CORE degree (≥ k by construction) WHEN the
+    * peeling converged within `iters` rounds. If the cascade is still
+    * running when `iters` exhausts, the returned nodes are a SUPERSET
+    * of the true k-core and the degrees are measured in the LAST
+    * surviving-induced subgraph (so they can exceed the true
+    * within-core degree) — [[kCoreWithStatus]] reports which case
+    * happened, and this convenience wrapper logs the truncation loudly
+    * instead of letting a 100×-scale caller mistake a partial peel for
+    * the real core. Empty result when the graph has no k-core — that
+    * is an answer, not an error. */
   def kCore(edges: DataFrame, k: Int, iters: Int = 20): DataFrame = {
+    val (result, converged) = kCoreWithStatus(edges, k, iters)
+    if (!converged)
+      System.err.println(s"[graft] kCore: peel did NOT stabilize within " +
+        s"$iters rounds — result is a SUPERSET of the true $k-core and " +
+        "degrees are measured in the last surviving-induced subgraph; " +
+        "raise iters (or call kCoreWithStatus to branch on convergence)")
+    result
+  }
+
+  /** [[kCore]] with an explicit convergence verdict: `(core, converged)`.
+    * `converged == false` means the iteration ceiling cut the cascade
+    * short — `core` is then a superset of the true k-core (its `degree`
+    * column measured in the last surviving-induced subgraph, not the
+    * final core) and the caller must either raise `iters` or treat the
+    * result as an upper bound. Peeling depth is graph-dependent and
+    * unknown a priori (a long chain cascades one node per round), so at
+    * scales where `iters` is a guess this is the honest entry point. */
+  def kCoreWithStatus(edges: DataFrame, k: Int,
+      iters: Int = 20): (DataFrame, Boolean) = {
     require(k >= 1, s"need k >= 1, got $k")
     require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")
     val und = Iterate.checkpoint(edges
@@ -397,7 +429,7 @@ object Graph {
       result = surviving
       if (n == 0) converged = true
     }
-    result
+    (result, converged)
   }
 
   /** Label-propagation community detection over directed `edges(src,
@@ -457,5 +489,108 @@ object Graph {
       labels = next.select(col("node"), col("label"))
     }
     labels
+  }
+
+  /** Co-occurrence edge construction: items sharing a container become an
+    * undirected edge (`src < dst`, distinct) — the "bought together" /
+    * "cited together" graph every basket or link analysis starts from.
+    *
+    * The pair expansion is QUADRATIC PER CONTAINER (a container with n
+    * items emits n·(n−1)/2 pairs), which is fine for organic baskets
+    * (tens of items) and catastrophic for degenerate ones — one
+    * million-item container is 5·10¹¹ pairs on a single join key, a
+    * task that never finishes and never errors. So the expansion is
+    * GUARDED the [[Resample.fillForward]] way: a containers-sized count
+    * relation joins in before the self-join, and any container over
+    * `maxItemsPerContainer` fails the job loudly WITH THE KEY NAMED
+    * (in-plan `raise_error`, so the guard holds on executors at any
+    * scale — no driver pass). Cap it deliberately higher for known-fat
+    * containers, or pre-split them upstream; at the default 1000 the
+    * worst container costs ≤ ~500k pairs, one task's honest work.
+    *
+    * Shape: one keyed distinct, one containers-sized count + keyed
+    * join, one keyed self-join — all equi-joins on the container key,
+    * nothing driver-side. Returns `(src, dst)`. */
+  def coOccurrenceEdges(df: DataFrame, containerCol: String, itemCol: String,
+      maxItemsPerContainer: Int = 1000): DataFrame = {
+    require(maxItemsPerContainer >= 2,
+      s"need maxItemsPerContainer >= 2, got $maxItemsPerContainer")
+    val pr = df
+      .filter(col(containerCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(containerCol).as("__o"), col(itemCol).as("__p"))
+      .distinct()
+    val itemType = pr.schema("__p").dataType
+    val counts = pr.groupBy(col("__o")).agg(count(lit(1)).as("__n"))
+    // the guard rides the ITEM column, so projection pruning can't
+    // drop it: any oversized container fails before its pairs exist
+    val guarded = pr.join(counts, Seq("__o"))
+      .select(col("__o"),
+        when(col("__n") > maxItemsPerContainer, raise_error(concat(
+          lit("coOccurrenceEdges: container "), col("__o").cast("string"),
+          lit(" holds "), col("__n").cast("string"),
+          lit(s" items (cap $maxItemsPerContainer) — its pair expansion " +
+            "is quadratic; pre-split the container or raise " +
+            "maxItemsPerContainer deliberately"))).cast(itemType))
+          .otherwise(col("__p")).as("__p"))
+    guarded.select(col("__o"), col("__p").as("pa"))
+      .join(guarded.select(col("__o"), col("__p").as("pb")), Seq("__o"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+      .distinct()
+  }
+
+  /** Multi-source BFS depth (unit-weight single-source shortest paths
+    * generalized to a seed SET) over directed `edges(src, dst)` — the
+    * crawl-depth signal a link-corpus curation pass uses: distance from
+    * trusted seeds is the classic quality prior (TrustRank's first
+    * half), and "reachable within d hops" is the frontier-bounded crawl
+    * scope. Returns `(node, dist)` for every node REACHED within
+    * `iters` hops, `dist` the minimum hop count from any seed (0 for
+    * the seeds themselves); unreached nodes are absent — that is an
+    * answer, not an error. Seeds not present in the edge relation still
+    * return (they are trivially at distance 0).
+    *
+    * Relational frontier iteration (level-synchronous BFS): each round
+    * joins the CURRENT frontier (nodes first reached last round — not
+    * the whole distance relation) with the edge list on `src`, then
+    * min-merges the relaxed distances into the accumulated relation —
+    * one keyed equi-join + one keyed min-aggregation per round, nothing
+    * driver-side but the one frontier-size scalar, lineage truncated
+    * via [[Iterate.checkpoint]]. Under unit weights a node's FIRST
+    * reached level is already its minimal distance, so settled nodes
+    * never move; an empty frontier is therefore OUTPUT-INVARIANT
+    * convergence — running the ceiling `iters` rounds yields
+    * bit-identical output, which lets a fixed-round oracle replay the
+    * early-exiting engine (the kCore contract). Pure integer
+    * arithmetic — exact by construction. Frontier pruning keeps the
+    * per-round join frontier-sized: on a 100 TB graph the steady-state
+    * rounds touch only the BFS wavefront, not every settled node. */
+  def bfsDepth(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")
+    val e = Iterate.checkpoint(edges
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src"), col("dst")).distinct())
+    var dist = Iterate.checkpoint(seeds
+      .filter(col("node").isNotNull)
+      .select(col("node")).distinct()
+      .withColumn("dist", lit(0L)))
+    var frontier = dist
+    var round = 0
+    var frontierSize = frontier.count() // one driver scalar per round
+    require(frontierSize > 0, "bfsDepth: empty seed set")
+    while (round < iters && frontierSize > 0) {
+      round += 1
+      val relaxed = e.join(frontier, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist"))
+      val merged = Iterate.checkpoint(dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+      // the new frontier: nodes whose min dist IS this round's level —
+      // exactly the first-reached set (settled nodes keep smaller dists)
+      frontier = Iterate.checkpoint(
+        merged.filter(col("dist") === lit(round.toLong)))
+      frontierSize = frontier.count()
+      dist = merged
+    }
+    dist
   }
 }

@@ -248,8 +248,11 @@ object Sampling {
     * per-round multiplier is `round(exp(·), 6)` (6-dp rounding absorbs
     * ≤1-ulp exp() differences across engines — the ln/ppl contract),
     * products quantize via `floor(x + 0.5)`, and normalization divides
-    * by the exact integer round total. Every float step is a single
-    * IEEE op, so a relational oracle unrolls the rounds bit-for-bit.
+    * by the exact integer round total (one driver scalar per round,
+    * REQUIRED positive — a loss signal so negative that every
+    * multiplier rounds to 0 fails fast instead of emitting silent null
+    * weights). Every float step is a single IEEE op, so a relational
+    * oracle unrolls the rounds bit-for-bit.
     *
     * Scale shape: `domainLoss` is domains-sized BY DEFINITION (a
     * mixture has dozens of domains, `maxDomains` fail-fasts surprise
@@ -272,15 +275,24 @@ object Sampling {
       s"$n distinct domains > maxDomains $maxDomains — the domain column " +
         "looks high-cardinality, not enum-like")
     var w = base.withColumn("w", lit(math.floor(1e6 / n + 0.5).toLong))
-    for (_ <- 1 to rounds) {
-      val raw = w.select(col("domain"), col("loss"),
+    for (r <- 1 to rounds) {
+      val raw = Iterate.checkpoint(w.select(col("domain"), col("loss"),
         floor(col("w") *
           round(exp(lit(eta) * col("loss") * (lit(1e6) - col("w")) / lit(1e6)),
-            6) + lit(0.5)).cast("long").as("wr"))
-      val tot = raw.agg(sum("wr").as("__s"))
-      w = Iterate.checkpoint(raw.crossJoin(broadcast(tot))
+            6) + lit(0.5)).cast("long").as("wr")))
+      // the normalization total is one exact-integer driver scalar per
+      // round (the kCore discipline), REQUIRED positive: a strongly
+      // negative loss (eta·loss·(1−w) ≲ −14.5) rounds its exp multiplier
+      // to 0, and if EVERY domain collapses the division would emit
+      // silent null weights — degenerate inputs fail fast instead
+      val tot = raw.agg(coalesce(sum("wr"), lit(0L))).first().getLong(0)
+      require(tot > 0,
+        s"mixtureReweight: round $r total weight collapsed to 0 — every " +
+          "domain's exp multiplier rounded to zero (eta*loss too " +
+          "negative); rescale the loss signal or lower eta")
+      w = Iterate.checkpoint(raw
         .select(col("domain"), col("loss"),
-          floor(col("wr") * lit(1e6) / col("__s") + lit(0.5)).cast("long")
+          floor(col("wr") * lit(1e6) / lit(tot) + lit(0.5)).cast("long")
             .as("w")))
     }
     w.select(col("domain"), col("w").as("weight_m"),
@@ -301,5 +313,41 @@ object Sampling {
       d -> math.max(1, (w * total).toLong.min(Int.MaxValue)).toInt
     }
     mixtureSample(df, domainCol, idCol, salt, quotas)
+  }
+
+  /** The DoReMi loop CLOSED end to end: [[mixtureReweight]]'s optimized
+    * domain weights drive [[mixtureByWeights]]'s exact quota sampling in
+    * one call — loss signal in, materialized training mixture out. This
+    * is the composition the published recipe actually runs (optimize
+    * weights on a proxy signal, THEN resample the corpus to the new
+    * mixture); shipping it as one operator keeps the weight→quota
+    * handoff deterministic and oracle-replayable instead of leaving a
+    * float round-trip to the caller.
+    *
+    * The optimized weights collect to the driver between the stages —
+    * bounded BY CONSTRUCTION: [[mixtureReweight]]'s `maxDomains`
+    * fail-fast already guarantees the relation is domains-sized (the
+    * [[balanceClasses]] precedent), and the quota map broadcast-joins
+    * back like every other mixture. Weights cross as the exact integer
+    * MICROS (`weight_m / 1e6` — one power-of-two-free but exact double
+    * division, the same value the relation carries), so an oracle
+    * replays the handoff bit-for-bit from the unrolled rounds alone.
+    * Domains whose POSITIVE optimized weight floors to a zero quota
+    * still contribute one row each (the [[mixtureByWeights]] max(1, ·)
+    * contract — DoReMi reweights, it never silently starves a domain);
+    * a domain driven to exactly ZERO micros (the optimizer's hard kill,
+    * reachable only under extreme weight skew) is excluded, which is
+    * what a zero mixture weight means.
+    *
+    * Returns the [[mixtureSample]] shape: `(<idCol>, <domainCol>, rn)`,
+    * rn ∈ [1, quota]. */
+  def doremiMixture(df: DataFrame, domainCol: String, idCol: String,
+      domainLoss: DataFrame, rounds: Int, salt: String, total: Long,
+      eta: Double = 0.5, maxDomains: Int = 100000): DataFrame = {
+    val w = mixtureReweight(domainLoss, rounds, eta, maxDomains)
+      .select(col("domain"), col("weight_m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 1e6)
+      .filter(_._2 > 0).toMap
+    mixtureByWeights(df, domainCol, idCol, salt, w, total)
   }
 }

@@ -1033,6 +1033,55 @@ object TextAnalysis {
             .cast("float")).as("vec"))
   }
 
+  /** Persist BOTH sides of the hybrid-retrieval index in one corpus
+    * pass: the BM25 postings/stats ([[writeBm25Index]]) under
+    * `dir/bm25` and the hashed-TF document vectors
+    * ([[hashedTfVectors]]) under `dir/vecs` — so every later hybrid
+    * query batch ([[hybridTopKFromIndex]]) reads two narrow stores and
+    * NEVER re-tokenizes the corpus. At 100 TB the corpus text is the
+    * thing you cannot afford to touch per query batch; this is the
+    * [[Dedup.writeCorpusSignatures]] nightly discipline applied to the
+    * fused retrieval path. */
+  def writeHybridIndex(df: DataFrame, textCol: String, idCol: String,
+      dims: Int, dir: String): Unit = {
+    writeBm25Index(df, textCol, idCol, s"$dir/bm25")
+    hashedTfVectors(df, textCol, idCol, dims)
+      .write.mode("overwrite").parquet(s"$dir/vecs")
+  }
+
+  /** Hybrid retrieval from PERSISTED stores only: BM25 ranks from the
+    * `dir/bm25` index, dense cosine ranks from the `dir/vecs` hashed-TF
+    * vector store, fused by [[Similarity.rrfFuse]] — the query path a
+    * nightly pipeline actually runs, with the corpus text never in the
+    * plan (spec-pinned). Scores are byte-identical to the in-job chain
+    * (exact-integer postings and vectors persist losslessly), so the
+    * registered query shares the in-job query's oracle VERBATIM —
+    * output equality is the proof. The dense side stays the exact
+    * brute-force scan BY DESIGN: routing it through the IVF centroid
+    * store would trade recall for speed and break rank parity with the
+    * oracle; swap in [[Similarity.ivfTopKWith]] candidates when
+    * approximate dense recall is acceptable. `dims` must match the
+    * dims the store was written with (the query vectors must live in
+    * the same hashed space). Returns `(query_id, doc_id, rrf, rnk)`. */
+  def hybridTopKFromIndex(spark: SparkSession, dir: String,
+      queries: Seq[(Int, Seq[String])], k: Int, dims: Int,
+      rrfK: Int = 60): DataFrame = {
+    import spark.implicits._
+    val bm25 = bm25TopKFromIndex(spark, s"$dir/bm25", queries, k)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+    val docVecs = spark.read.parquet(s"$dir/vecs")
+    val qVecs = hashedTfVectors(
+      queries.map { case (qid, terms) => (qid, terms.mkString(" ")) }
+        .toDF("qid", "qtext"), "qtext", "qid", dims)
+      .select(col("doc_id").as("query_id"), col("vec").as("qv"))
+    val dense = Similarity.perQueryTopK(
+      docVecs.crossJoin(broadcast(qVecs))
+        .select(col("query_id"), col("doc_id").as("neighbor_id"),
+          Similarity.cosine(col("qv"), col("vec")).as("score")), k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+    Similarity.rrfFuse(Seq(bm25, dense), k, rrfK)
+  }
+
   /** Model-based quality filtering — LINEAR classifier INFERENCE over
     * the hashed-TF features (the fastText-style quality gate every
     * modern curation stack runs; training happens offline, which is not

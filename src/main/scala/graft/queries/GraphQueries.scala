@@ -23,6 +23,20 @@ object GraphQueries extends graft.QueryPack {
   private val hitsIters = 3
   private val lpaIters = 3
   private val kcoreIters = 10
+  private val bfsIters = 6
+
+  /** One BFS oracle round: distance relation `prev` → `out`. Mirrors
+    * [[Graph.bfsDepth]]'s min-merge (the oracle relaxes the WHOLE
+    * relation where the engine relaxes only the frontier — identical
+    * output, a settled node's re-relaxed dist+1 always loses the MIN).
+    * Pure integers — exact. */
+  private def bfsIter(out: String, prev: String): String =
+    s"""$out AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+       |    SELECT node, dist FROM $prev
+       |    UNION ALL
+       |    SELECT e.dst AS node, p.dist + 1 AS dist
+       |    FROM e JOIN $prev p ON e.src = p.node)
+       |  GROUP BY 1)""".stripMargin
 
   /** One LPA oracle round: labels `prev` → labels `out`. Mirrors
     * [[Graph.labelPropagation]] op for op: in-neighbor label counts,
@@ -356,22 +370,16 @@ object GraphQueries extends graft.QueryPack {
     // ---- G7: triangle count + clustering coefficient --------------------
     // Part co-occurrence graph ("bought together": parts sharing an
     // order), SPARSE at every SF (pairs grow with orders, node pairs
-    // with parts² — density falls as the data grows). Degree-oriented
-    // wedge join: one vertex ordering per triangle ⇒ found exactly once,
-    // and a skewed node's oriented out-degree is O(√m) — the published
-    // MapReduce-triangle bound. Pure integers until the 6-dp lcc.
+    // with parts² — density falls as the data grows). The edge build is
+    // Graph.coOccurrenceEdges — the per-container pair expansion is
+    // quadratic, so a hot basket fails LOUDLY at the cap instead of
+    // hanging a task. Degree-oriented wedge join: one vertex ordering
+    // per triangle ⇒ found exactly once, and a skewed node's oriented
+    // out-degree is O(√m) — the published MapReduce-triangle bound.
+    // Pure integers until the 6-dp lcc.
     Q("q_g7_triangles",
-      (s, d) => {
-        val pr = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val edges = pr.select(col("o"), col("p").as("pa"))
-          .join(pr.select(col("o"), col("p").as("pb")), "o")
-          .filter(col("pa") < col("pb"))
-          .select(col("pa").as("src"), col("pb").as("dst"))
-          .distinct()
-        Graph.triangles(edges)
-      },
+      (s, d) => Graph.triangles(Graph.coOccurrenceEdges(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey")),
       Some("""WITH pr AS (
              |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
              |e AS (SELECT DISTINCT x.p AS a, y.p AS b
@@ -408,17 +416,9 @@ object GraphQueries extends graft.QueryPack {
     // hash count per round, one scalar to the driver, early exit
     // output-invariant so the fixed 10-round oracle replay is exact.
     Q("q_g8_kcore",
-      (s, d) => {
-        val pr = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val edges = pr.select(col("o"), col("p").as("pa"))
-          .join(pr.select(col("o"), col("p").as("pb")), "o")
-          .filter(col("pa") < col("pb"))
-          .select(col("pa").as("src"), col("pb").as("dst"))
-          .distinct()
-        Graph.kCore(edges, k = 80, iters = kcoreIters)
-      },
+      (s, d) => Graph.kCore(Graph.coOccurrenceEdges(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey"),
+        k = 80, iters = kcoreIters),
       Some(s"""WITH pr AS (
              |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
              |e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
@@ -426,6 +426,40 @@ object GraphQueries extends graft.QueryPack {
              |a0 AS MATERIALIZED (SELECT DISTINCT node FROM (
              |  SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)),
              |${(1 to kcoreIters).map(i => kcoreIter(i, 80)).mkString(",\n")}
-             |SELECT node, degree FROM s$kcoreIters""".stripMargin))
+             |SELECT node, degree FROM s$kcoreIters""".stripMargin)),
+
+    // ---- G9: BFS depth from a trusted seed (crawl-depth curation) -------
+    // Multi-source unit-weight shortest paths over the trade graph —
+    // hop distance from the smallest customer (a deterministic seed
+    // that exists at every SF). Level-synchronous frontier iteration:
+    // one keyed equi-join + one keyed min-merge per round, the frontier
+    // (not the settled set) drives the join, empty frontier early-exits
+    // output-invariantly so the fixed 6-round oracle replay is exact.
+    Q("q_g9_bfs_depth",
+      (s, d) => {
+        val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey")).as("c"),
+            concat(lit("s:"), col("l_suppkey")).as("ss"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("ss").as("dst"))
+          .unionAll(pairs.select(col("ss").as("src"), col("c").as("dst")))
+        val seeds = Tables.orders(s, d)
+          .agg(min(col("o_custkey")).as("mc"))
+          .select(concat(lit("c:"), col("mc")).as("node"))
+        Graph.bfsDepth(edges, seeds, bfsIters)
+      },
+      Some(s"""WITH p AS (
+             |  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS ss
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |e AS MATERIALIZED (
+             |  SELECT c AS src, ss AS dst FROM p
+             |  UNION ALL
+             |  SELECT ss AS src, c AS dst FROM p),
+             |d0 AS (SELECT 'c:' || MIN(o_custkey) AS node,
+             |    CAST(0 AS BIGINT) AS dist FROM orders),
+             |${(1 to bfsIters).map(i => bfsIter(s"d$i", s"d${i - 1}")).mkString(",\n")}
+             |SELECT node, dist FROM d$bfsIters""".stripMargin))
   )
 }

@@ -836,6 +836,69 @@ object RelationalQueries extends graft.QueryPack {
            |FROM w5""".stripMargin
       }),
 
+    // ---- X59: DoReMi closed loop — reweight → quota → sample -----------
+    // The q_x47 composition discipline applied to the mixture
+    // optimizer: q_x58's five multiplicative-weight rounds produce the
+    // optimized domain weights, which drive the exact-quota md5-rank
+    // sampler (q_x19's machinery) in ONE operator under ONE oracle —
+    // loss signal in, materialized training mixture out. The weights
+    // cross the stage boundary as exact integer micros, so the oracle
+    // replays reweighting, the weight→quota floor, and the per-domain
+    // rank selection end to end with one hash.
+    Q("q_x59_doremi_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val t = docs
+          .filter(col("text").isNotNull && col("source").isNotNull)
+          .select(col("source"),
+            size(graft.operators.TextAnalysis.tokens(col("text"))).as("nt"))
+        val perDom = t.groupBy(col("source"))
+          .agg(count(lit(1)).as("nd"), sum(col("nt")).as("sd"))
+        val tot = t.agg(count(lit(1)).as("nc"), sum(col("nt")).as("sc"))
+        val loss = perDom.crossJoin(broadcast(tot))
+          .select(col("source").as("domain"),
+            round(col("sd").cast("double") / col("nd") /
+              (col("sc").cast("double") / col("nc")) - lit(1.0), 6).as("loss"))
+        graft.operators.Sampling.doremiMixture(docs, "source", "doc_id",
+          loss, rounds = 5, salt = "doremi", total = 307)
+      },
+      Some {
+        def rw(i: Int): String =
+          s"""r${i}a AS MATERIALIZED (SELECT domain, loss,
+             |    CAST(FLOOR(w * ROUND(exp(CAST(0.5 AS DOUBLE) * loss *
+             |      (1e6 - w) / 1e6), 6) + 0.5) AS BIGINT) AS wr
+             |  FROM w${i - 1}),
+             |w$i AS MATERIALIZED (SELECT domain, loss,
+             |    CAST(FLOOR(wr * 1e6 / s.s + 0.5) AS BIGINT) AS w
+             |  FROM r${i}a CROSS JOIN (SELECT SUM(wr) AS s FROM r${i}a) s)"""
+            .stripMargin
+        s"""WITH t AS (SELECT source, len(list_filter(
+           |    regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS nt
+           |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+           |dm AS (SELECT source, COUNT(*) AS nd, SUM(nt) AS sd
+           |  FROM t GROUP BY 1),
+           |c AS (SELECT COUNT(*) AS nc, SUM(nt) AS sc FROM t),
+           |l AS MATERIALIZED (SELECT source AS domain,
+           |    ROUND(CAST(sd AS DOUBLE) / nd / (CAST(sc AS DOUBLE) / nc)
+           |      - CAST(1.0 AS DOUBLE), 6) AS loss
+           |  FROM dm CROSS JOIN c),
+           |w0 AS MATERIALIZED (SELECT domain, loss,
+           |    CAST(FLOOR(1e6 / nn.c + 0.5) AS BIGINT) AS w
+           |  FROM l CROSS JOIN (SELECT COUNT(*) AS c FROM l) nn),
+           |${(1 to 5).map(rw).mkString(",\n")},
+           |q AS (SELECT domain, GREATEST(1, CAST(FLOOR(
+           |      CAST(w AS DOUBLE) / 1e6 * 307) AS BIGINT)) AS quota
+           |  FROM w5 WHERE w > 0),
+           |r AS (SELECT doc_id, source, row_number() OVER (
+           |      PARTITION BY source
+           |      ORDER BY md5('doremi|' || CAST(doc_id AS VARCHAR)), doc_id)
+           |    AS rn
+           |  FROM documents WHERE doc_id IS NOT NULL)
+           |SELECT r.doc_id, r.source, r.rn
+           |FROM r JOIN q ON q.domain = r.source
+           |WHERE r.rn <= q.quota""".stripMargin
+      }),
+
     // ---- V6: mergeable distinct-count sketch store ----------------------
     // Two "nightly" batches (doc_id parity halves) each append per-source
     // HLL sketches; the estimate unions the STORED sketches without

@@ -123,6 +123,80 @@ object TextQueries extends graft.QueryPack {
              |       ELSE 'middle' END AS bucket
              |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
 
+  /** Shared by q_x57 (in-job hybrid chain) and q_x60 (the same chain
+    * from persisted stores): replays BM25, the hashed-tf dense path,
+    * and the RRF fusion end to end. */
+  private val duckHybrid =
+    s"""WITH t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+             |      x -> x <> '') AS toks
+             |  FROM documents),
+             |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+             |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t)
+             |  GROUP BY 1, 2, 3),
+             |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT COUNT(*) AS n_docs,
+             |    CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl FROM t),
+             |q AS (SELECT * FROM (VALUES
+             |    (0, 'spark'), (0, 'join'), (0, 'fast'),
+             |    (1, 'window'), (1, 'stream'),
+             |    (2, 'customer'), (2, 'merge'), (2, 'table'))
+             |    AS v(query_id, term)),
+             |sc AS (SELECT query_id, doc_id,
+             |    CAST(ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+             |      AS DECIMAL(18,6)) *
+             |    CAST(ROUND(tf * (1.2 + 1.0) /
+             |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+             |      AS DECIMAL(18,6)) AS c
+             |  FROM q JOIN tf USING (term) JOIN dfr USING (term), st),
+             |bagg AS (SELECT query_id, doc_id,
+             |    ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
+             |  FROM sc GROUP BY 1, 2),
+             |bm25r AS (SELECT query_id, doc_id, rnk FROM (
+             |  SELECT *, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+             |  FROM bagg) WHERE rnk <= 10),
+             |htf AS (SELECT doc_id,
+             |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 16 AS b,
+             |    COUNT(*) AS tf
+             |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t
+             |    WHERE len(toks) > 0) GROUP BY 1, 2),
+             |dn AS (SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+             |  FROM htf GROUP BY 1),
+             |qd AS (SELECT * FROM (VALUES
+             |    (0, 'spark join fast'), (1, 'window stream'),
+             |    (2, 'customer merge table')) AS v(qid, qtext)),
+             |qhtf AS (SELECT qid,
+             |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 16 AS b,
+             |    COUNT(*) AS tf
+             |  FROM (SELECT qid, unnest(list_filter(
+             |      regexp_split_to_array(lower(qtext), '\\s+'), x -> x <> ''))
+             |      AS tok FROM qd) GROUP BY 1, 2),
+             |qn AS (SELECT qid, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+             |  FROM qhtf GROUP BY 1),
+             |dots AS (SELECT q.qid AS query_id, h.doc_id,
+             |    SUM(q.tf * h.tf) AS dot
+             |  FROM qhtf q JOIN htf h ON q.b = h.b GROUP BY 1, 2),
+             |dscored AS (SELECT d.query_id, d.doc_id,
+             |    ROUND(d.dot / (qn.nrm * dn.nrm), 6) AS score
+             |  FROM dots d
+             |  JOIN qn ON qn.qid = d.query_id
+             |  JOIN dn ON dn.doc_id = d.doc_id),
+             |denser AS (SELECT query_id, doc_id, rnk FROM (
+             |  SELECT *, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+             |  FROM dscored) WHERE rnk <= 10),
+             |runs AS (SELECT * FROM bm25r UNION ALL SELECT * FROM denser),
+             |fused AS (SELECT query_id, doc_id,
+             |    CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / (60 + rnk), 9)
+             |      AS DECIMAL(18,9))) AS DOUBLE) AS rrf
+             |  FROM runs GROUP BY 1, 2)
+             |SELECT query_id, doc_id, rrf, rnk FROM (
+             |  SELECT *, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+             |  FROM fused)
+             |WHERE rnk <= 10""".stripMargin
+
   /** The q_x28/q_x31 query set and its DuckDB oracle (shared verbatim —
     * the index-backed variant must score byte-identically). */
   private val bm25Queries: Seq[(Int, Seq[String])] = Seq(
@@ -736,75 +810,25 @@ object TextQueries extends graft.QueryPack {
           .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
         Similarity.rrfFuse(Seq(bm25, dense), k = 10)
       },
-      Some(s"""WITH t AS (SELECT doc_id,
-             |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
-             |      x -> x <> '') AS toks
-             |  FROM documents),
-             |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
-             |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t)
-             |  GROUP BY 1, 2, 3),
-             |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-             |st AS (SELECT COUNT(*) AS n_docs,
-             |    CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl FROM t),
-             |q AS (SELECT * FROM (VALUES
-             |    (0, 'spark'), (0, 'join'), (0, 'fast'),
-             |    (1, 'window'), (1, 'stream'),
-             |    (2, 'customer'), (2, 'merge'), (2, 'table'))
-             |    AS v(query_id, term)),
-             |sc AS (SELECT query_id, doc_id,
-             |    CAST(ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
-             |      AS DECIMAL(18,6)) *
-             |    CAST(ROUND(tf * (1.2 + 1.0) /
-             |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
-             |      AS DECIMAL(18,6)) AS c
-             |  FROM q JOIN tf USING (term) JOIN dfr USING (term), st),
-             |bagg AS (SELECT query_id, doc_id,
-             |    ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
-             |  FROM sc GROUP BY 1, 2),
-             |bm25r AS (SELECT query_id, doc_id, rnk FROM (
-             |  SELECT *, row_number() OVER (
-             |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
-             |  FROM bagg) WHERE rnk <= 10),
-             |htf AS (SELECT doc_id,
-             |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 16 AS b,
-             |    COUNT(*) AS tf
-             |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t
-             |    WHERE len(toks) > 0) GROUP BY 1, 2),
-             |dn AS (SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
-             |  FROM htf GROUP BY 1),
-             |qd AS (SELECT * FROM (VALUES
-             |    (0, 'spark join fast'), (1, 'window stream'),
-             |    (2, 'customer merge table')) AS v(qid, qtext)),
-             |qhtf AS (SELECT qid,
-             |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 16 AS b,
-             |    COUNT(*) AS tf
-             |  FROM (SELECT qid, unnest(list_filter(
-             |      regexp_split_to_array(lower(qtext), '\\s+'), x -> x <> ''))
-             |      AS tok FROM qd) GROUP BY 1, 2),
-             |qn AS (SELECT qid, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
-             |  FROM qhtf GROUP BY 1),
-             |dots AS (SELECT q.qid AS query_id, h.doc_id,
-             |    SUM(q.tf * h.tf) AS dot
-             |  FROM qhtf q JOIN htf h ON q.b = h.b GROUP BY 1, 2),
-             |dscored AS (SELECT d.query_id, d.doc_id,
-             |    ROUND(d.dot / (qn.nrm * dn.nrm), 6) AS score
-             |  FROM dots d
-             |  JOIN qn ON qn.qid = d.query_id
-             |  JOIN dn ON dn.doc_id = d.doc_id),
-             |denser AS (SELECT query_id, doc_id, rnk FROM (
-             |  SELECT *, row_number() OVER (
-             |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
-             |  FROM dscored) WHERE rnk <= 10),
-             |runs AS (SELECT * FROM bm25r UNION ALL SELECT * FROM denser),
-             |fused AS (SELECT query_id, doc_id,
-             |    CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / (60 + rnk), 9)
-             |      AS DECIMAL(18,9))) AS DOUBLE) AS rrf
-             |  FROM runs GROUP BY 1, 2)
-             |SELECT query_id, doc_id, rrf, rnk FROM (
-             |  SELECT *, row_number() OVER (
-             |      PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
-             |  FROM fused)
-             |WHERE rnk <= 10""".stripMargin)),
+      Some(duckHybrid)),
+
+    // ---- X60: hybrid retrieval from PERSISTED stores only ---------------
+    // q_x57's fused query path in its nightly shape: the BM25 postings/
+    // stats index and the hashed-tf vector store are written once, then
+    // BOTH retrieval runs and the RRF fusion read only the stores — the
+    // corpus text is never in the query plan (HybridStoreSpec pins
+    // that). Exact-integer postings and vectors persist losslessly, so
+    // this shares q_x57's oracle VERBATIM — output equality is the
+    // proof that the store round-trip changes nothing.
+    Q("q_x60_hybrid_store",
+      (s, d) => {
+        val dir = TempDirs.scratch("graft_hybrid_")
+        TextAnalysis.writeHybridIndex(Tables.documents(s, d), "text",
+          "doc_id", dims = 16, dir)
+        TextAnalysis.hybridTopKFromIndex(s, dir, bm25Queries, k = 10,
+          dims = 16)
+      },
+      Some(duckHybrid)),
 
     // ---- X30: topic clustering over hashed-tf doc vectors ---------------
     // The model-free text→vector bridge: feature-hash every doc into a

@@ -287,4 +287,84 @@ class GraphSpec extends AnyFunSuite {
     // a and b have no in-edges: they keep their own labels
     assert(l("a") === "a" && l("b") === "b")
   }
+
+  test("k-core status: converged path reports true; an iteration ceiling " +
+      "mid-cascade reports false and a superset of the true core") {
+    import spark.implicits._
+    // chain c1..c6 grafted onto a triangle: each chain node peels one
+    // round at a time (the slowest possible cascade), so the true
+    // 2-core (the triangle) needs 6 peel rounds + 1 stable round
+    val chain = (1 until 6).map(i => s"c$i" -> s"c${i + 1}")
+    val edges = (chain ++ Seq("c6" -> "t1",
+      "t1" -> "t2", "t2" -> "t3", "t3" -> "t1")).toDF("src", "dst")
+    val (full, conv) = Graph.kCoreWithStatus(edges, k = 2, iters = 10)
+    assert(conv, "a generous ceiling must report convergence")
+    assert(full.collect().map(_.getString(0)).toSet === Set("t1", "t2", "t3"))
+    // ceiling cuts the cascade after 2 rounds: NOT converged, and the
+    // result is a strict superset of the true core (partial peel)
+    val (part, conv2) = Graph.kCoreWithStatus(edges, k = 2, iters = 2)
+    assert(!conv2, "a mid-cascade ceiling must report non-convergence")
+    val nodes = part.collect().map(_.getString(0)).toSet
+    assert(Set("t1", "t2", "t3").subsetOf(nodes) && nodes.size > 3,
+      s"truncated peel must be a superset of the core, got $nodes")
+    // the convenience wrapper returns the same frame either way
+    assert(Graph.kCore(edges, k = 2, iters = 2)
+      .collect().map(_.getString(0)).toSet === nodes)
+  }
+
+  test("co-occurrence edges: pairs within a container, src < dst, " +
+      "deduped across containers; an oversized container fails LOUDLY " +
+      "with its key named") {
+    import spark.implicits._
+    val df = Seq(
+      ("o1", "p1"), ("o1", "p2"), ("o1", "p3"),
+      ("o2", "p2"), ("o2", "p3"), // repeats the (p2,p3) pair
+      ("o3", "p9"), (null, "p1"), ("o4", null)
+    ).toDF("o", "p")
+    val edges = Graph.coOccurrenceEdges(df, "o", "p")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(edges === Set(("p1", "p2"), ("p1", "p3"), ("p2", "p3")))
+    // cap = 2: o1 holds 3 items → in-plan raise_error names the key
+    val ex = intercept[Exception] {
+      Graph.coOccurrenceEdges(df, "o", "p", maxItemsPerContainer = 2)
+        .collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("coOccurrenceEdges") && msg.contains("o1"),
+      s"refusal must name the operator and the offending key, got: $msg")
+    assert(intercept[IllegalArgumentException](
+      Graph.coOccurrenceEdges(df, "o", "p", maxItemsPerContainer = 1))
+      .getMessage.contains("maxItemsPerContainer"))
+  }
+
+  test("bfs depth: hop distances from the seed set; unreached nodes " +
+      "absent; empty-frontier early exit equals the fixed-round run") {
+    import spark.implicits._
+    // two components: a->b->c->d reachable, x->y not; edge into the
+    // seed (e->a) does not pull e in (direction matters)
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "e" -> "a",
+      "x" -> "y").toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val d = Graph.bfsDepth(edges, seeds, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d === Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+    // output-invariance: frontier empties after round 3, so the
+    // generous ceiling equals the exact-depth run bit for bit
+    val tight = Graph.bfsDepth(edges, seeds, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tight === d)
+    // a second seed merges by MIN distance; a seed off the edge
+    // relation still reports itself at 0
+    val d2 = Graph.bfsDepth(edges, Seq("a", "c", "lone").toDF("node"), 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d2 === Map("a" -> 0L, "b" -> 1L, "c" -> 0L, "d" -> 1L,
+      "lone" -> 0L))
+    // iters bounds reach: one round from 'a' reaches only b
+    val d1 = Graph.bfsDepth(edges, seeds, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d1 === Map("a" -> 0L, "b" -> 1L))
+    intercept[IllegalArgumentException](
+      Graph.bfsDepth(edges, Seq.empty[String].toDF("node"), 5))
+  }
 }

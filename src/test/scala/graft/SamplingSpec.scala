@@ -154,4 +154,43 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.mixtureSample(docs, "source", "doc_id", "mix", Map("src0" -> 0)))
       .getMessage.contains("positive"))
   }
+
+  test("mixture reweighting: upweights the lossy domain; a loss signal " +
+      "so negative every multiplier rounds to 0 fails fast, not null") {
+    import spark.implicits._
+    val loss = Seq(("hard", 2.0), ("easy", 0.1)).toDF("domain", "loss")
+    val w = Sampling.mixtureReweight(loss, rounds = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(w("hard") > w("easy"), s"lossier domain must upweight: $w")
+    assert(math.abs(w.values.sum - 1000000L) <= w.size,
+      s"micros must renormalize to ~1e6: $w")
+    // eta·loss·(1−w) ≈ 0.5 · −60 · 0.5 = −15 < −14.5 for every domain:
+    // both exp multipliers round to 0 at 6 dp — the round total would
+    // be 0 and the old code emitted silent null weights
+    val degenerate = Seq(("a", -60.0), ("b", -60.0)).toDF("domain", "loss")
+    assert(intercept[IllegalArgumentException](
+      Sampling.mixtureReweight(degenerate, rounds = 1))
+      .getMessage.contains("collapsed"))
+  }
+
+  test("doremi mixture: optimized weights drive exact quotas end to end") {
+    import spark.implicits._
+    // 'hard' upweights past 'easy', so its quota must be strictly larger
+    // even though both get the same total budget share to start
+    val loss = Seq(("src0", 1.5), ("src1", 0.0)).toDF("domain", "loss")
+    val out = Sampling.doremiMixture(docs, "source", "doc_id", loss,
+      rounds = 3, salt = "dm", total = 40)
+    val counts = out.groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts.keySet === Set("src0", "src1"),
+      "domains outside the loss relation contribute nothing")
+    assert(counts("src0") > counts("src1"),
+      s"the lossier domain must win quota: $counts")
+    // determinism across physical layout (the mixtureSample contract)
+    val again = Sampling.doremiMixture(docs.repartition(7), "source",
+        "doc_id", loss, rounds = 3, salt = "dm", total = 40)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(again === out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet)
+  }
 }

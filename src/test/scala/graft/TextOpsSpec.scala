@@ -460,6 +460,44 @@ class TextOpsSpec extends AnyFunSuite {
       s"index path must not re-scan the corpus:\n$p")
   }
 
+  test("hybrid index: store-backed fusion equals the in-job chain, " +
+      "corpus text never scanned by the query path") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val qs = Seq(0 -> Seq("spark", "join"), 1 -> Seq("customer", "table"))
+    val dir = java.nio.file.Files.createTempDirectory("hybridspec_").toString
+    TextAnalysis.writeHybridIndex(docs, "text", "doc_id", dims = 16, dir)
+    val fromStores = TextAnalysis.hybridTopKFromIndex(spark, dir, qs,
+      k = 5, dims = 16)
+    // the in-job chain (the q_x57 shape) on the same queries
+    val bm25 = TextAnalysis.bm25TopK(docs, "text", "doc_id", qs, k = 5)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+    val docVecs = TextAnalysis.hashedTfVectors(docs, "text", "doc_id", 16)
+    import spark.implicits._
+    val qVecs = TextAnalysis.hashedTfVectors(
+      qs.map { case (qid, ts) => (qid, ts.mkString(" ")) }.toDF("q", "t"),
+      "t", "q", 16)
+      .select(col("doc_id").as("query_id"), col("vec").as("qv"))
+    val dense = graft.operators.Similarity.perQueryTopK(
+      docVecs.crossJoin(broadcast(qVecs))
+        .select(col("query_id"), col("doc_id").as("neighbor_id"),
+          graft.operators.Similarity.cosine(col("qv"), col("vec"))
+            .as("score")), 5)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+    val direct = graft.operators.Similarity.rrfFuse(Seq(bm25, dense), k = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(fromStores) === rows(direct),
+      "store-backed fusion must be byte-identical to the in-job chain")
+    // the nightly contract: BOTH retrieval runs and the fusion read
+    // only the persisted stores — the corpus text is not in the plan
+    val p = fromStores.queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"),
+      s"hybrid store path must not re-scan the corpus:\n$p")
+    assert(p.contains("bm25") && p.contains("vecs"),
+      s"both stores must be in the plan:\n$p")
+  }
+
   test("mojibake: double-decoded sequences and replacement chars flag, clean and null text pass") {
     import spark.implicits._
     val df = Seq(
