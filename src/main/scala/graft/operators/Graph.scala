@@ -316,11 +316,17 @@ object Graph {
     * degree < 2 (the convention that makes isolated-ish nodes sort
     * low, not null-out). */
   def triangles(edges: DataFrame): DataFrame = {
-    val und = edges
+    // und feeds 4 consumers (deg + both orientation joins + the final
+    // degree join) — materialize it ONCE; downstream relations stay
+    // LAZY: at edge-relation sizes the extra checkpoint barriers cost
+    // more than the recompute they save (measured on the co-occurrence
+    // bench query), and Catalyst reuses the materialized und blocks in
+    // every branch
+    val und = Iterate.checkpoint(edges
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b")).distinct())
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -501,16 +507,20 @@ object Graph {
     * million-item container is 5·10¹¹ pairs on a single join key, a
     * task that never finishes and never errors. So the expansion is
     * GUARDED the [[Resample.fillForward]] way: a containers-sized count
-    * relation joins in before the self-join, and any container over
+    * relation filters to the over-cap offenders and unions into the
+    * output as an empty-unless-violated branch — any container over
     * `maxItemsPerContainer` fails the job loudly WITH THE KEY NAMED
     * (in-plan `raise_error`, so the guard holds on executors at any
-    * scale — no driver pass). Cap it deliberately higher for known-fat
-    * containers, or pre-split them upstream; at the default 1000 the
-    * worst container costs ≤ ~500k pairs, one task's honest work.
+    * scale — no driver pass), and when every container is within the
+    * cap the branch is zero rows and costs one keyed count, never a
+    * join against the pair expansion. Cap it deliberately higher for
+    * known-fat containers, or pre-split them upstream; at the default
+    * 1000 the worst container costs ≤ ~500k pairs, one task's honest
+    * work.
     *
-    * Shape: one keyed distinct, one containers-sized count + keyed
-    * join, one keyed self-join — all equi-joins on the container key,
-    * nothing driver-side. Returns `(src, dst)`. */
+    * Shape: one keyed distinct, one containers-sized count (the guard
+    * branch), one keyed self-join — all equi-joins on the container
+    * key, nothing driver-side. Returns `(src, dst)`. */
   def coOccurrenceEdges(df: DataFrame, containerCol: String, itemCol: String,
       maxItemsPerContainer: Int = 1000): DataFrame = {
     require(maxItemsPerContainer >= 2,
@@ -520,23 +530,30 @@ object Graph {
       .select(col(containerCol).as("__o"), col(itemCol).as("__p"))
       .distinct()
     val itemType = pr.schema("__p").dataType
-    val counts = pr.groupBy(col("__o")).agg(count(lit(1)).as("__n"))
-    // the guard rides the ITEM column, so projection pruning can't
-    // drop it: any oversized container fails before its pairs exist
-    val guarded = pr.join(counts, Seq("__o"))
-      .select(col("__o"),
-        when(col("__n") > maxItemsPerContainer, raise_error(concat(
-          lit("coOccurrenceEdges: container "), col("__o").cast("string"),
-          lit(" holds "), col("__n").cast("string"),
-          lit(s" items (cap $maxItemsPerContainer) — its pair expansion " +
-            "is quadratic; pre-split the container or raise " +
-            "maxItemsPerContainer deliberately"))).cast(itemType))
-          .otherwise(col("__p")).as("__p"))
-    guarded.select(col("__o"), col("__p").as("pa"))
-      .join(guarded.select(col("__o"), col("__p").as("pb")), Seq("__o"))
+    // the guard is an EMPTY-unless-violated union branch, not a join on
+    // the hot path: the containers-sized count relation filters to the
+    // over-cap offenders, and projecting any surviving row raises with
+    // the key named — executed on executors at any scale, zero rows and
+    // ~zero cost when every container is within the cap (one extra
+    // keyed count over pr, no join against the pair expansion)
+    // both output columns carry the raise (a literal-null column here
+    // would let a pushed-down IsNotNull constant-fold the whole guard
+    // branch away without ever evaluating the error)
+    val boom = raise_error(concat(
+      lit("coOccurrenceEdges: container "), col("__o").cast("string"),
+      lit(" holds "), col("__n").cast("string"),
+      lit(s" items (cap $maxItemsPerContainer) — its pair expansion " +
+        "is quadratic; pre-split the container or raise " +
+        "maxItemsPerContainer deliberately"))).cast(itemType)
+    val offenders = pr.groupBy(col("__o")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxItemsPerContainer)
+      .select(boom.as("src"), boom.as("dst"))
+    pr.select(col("__o"), col("__p").as("pa"))
+      .join(pr.select(col("__o"), col("__p").as("pb")), Seq("__o"))
       .filter(col("pa") < col("pb"))
       .select(col("pa").as("src"), col("pb").as("dst"))
       .distinct()
+      .unionAll(offenders)
   }
 
   /** Multi-source BFS depth (unit-weight single-source shortest paths
@@ -592,5 +609,73 @@ object Graph {
       dist = merged
     }
     dist
+  }
+
+  /** Adamic-Adar link prediction over undirected `edges(src, dst)` —
+    * the common-neighbor completion signal (Adamic & Adar 2003): a
+    * candidate pair scores Σ 1/ln(deg z) over its common neighbors z,
+    * so RARE shared neighbors weigh most. The curation use is
+    * co-occurrence completion: "parts/domains that SHOULD be linked" —
+    * candidate related-item pairs mined from the basket graph without a
+    * trained model. Returns the k best PREDICTED (absent) links per
+    * node: `(node, candidate, aa_score, rnk)` — existing edges are
+    * excluded (prediction, not recall), both endpoints see the pair.
+    *
+    * Scale contract: exact common-neighbor enumeration is inherently
+    * Σ C(deg(z), 2) wedge work — no orientation trick applies because
+    * EVERY common neighbor contributes to the score (unlike triangle
+    * counting's found-once freedom). The published practical fix is a
+    * DEGREE CAP, and it is principled here, not just cheap: a center of
+    * degree d contributes 1/ln(d) → 0 to every one of its ~d²/2 pairs,
+    * so the hubs that dominate the quadratic cost are precisely the
+    * neighbors that carry no signal ("everyone bought tape" predicts
+    * nothing). Centers above `maxDegree` are dropped, bounding the
+    * wedge relation by Σ C(min(deg, cap), 2); the bounded
+    * [[graft.functions.TopKAggregator]] ranking ships ≤ k pairs per
+    * node per map task, never a per-node sort.
+    *
+    * Determinism: per-center weight = round(1/ln(deg), 6) as
+    * DECIMAL(18,6), summed exactly (order-independent); final ranking
+    * ties on the rounded score break by candidate id. Node ids must be
+    * integral (they ride the bounded ranking buffer as longs — the
+    * [[Similarity.perQueryTopK]] contract); re-key string-keyed graphs
+    * first. */
+  def adamicAdar(edges: DataFrame, k: Int, maxDegree: Int = 10000)
+      : DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(maxDegree >= 2, s"need maxDegree >= 2, got $maxDegree")
+    val und = Iterate.checkpoint(edges
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    val nbrs = und.select(col("a").as("z"), col("b").as("x"))
+      .unionAll(und.select(col("b").as("z"), col("a").as("x")))
+    // deg >= 2: a one-neighbor center closes no wedge (and ln(1) = 0);
+    // deg <= maxDegree: the signal-free hub cut that bounds the wedges
+    val centers = nbrs.groupBy(col("z"))
+      .agg(count(lit(1)).as("__d"))
+      .filter(col("__d") >= 2 && col("__d") <= maxDegree)
+      .select(col("z"),
+        round(lit(1.0) / log(col("__d")), 6).cast("decimal(18,6)").as("w"))
+    val wn = nbrs.join(centers, Seq("z"))
+    val pairs = wn.select(col("z"), col("x"), col("w"))
+      .join(wn.select(col("z"), col("x").as("y")), Seq("z"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(sum(col("w")).as("__s"))
+      // prediction, not recall: drop pairs that are already edges
+      .join(und, col("x") === col("a") && col("y") === col("b"),
+        "left_anti")
+      .select(col("x"), col("y"), col("__s").cast("double").as("score"))
+    val scored = pairs
+      .select(col("x").as("query_id"), col("y").as("neighbor_id"),
+        col("score"))
+      .unionAll(pairs.select(col("y").as("query_id"),
+        col("x").as("neighbor_id"), col("score")))
+    Similarity.perQueryTopK(scored, k)
+      .select(col("query_id").as("node"),
+        col("neighbor_id").as("candidate"),
+        col("score").as("aa_score"), col("rnk"))
   }
 }

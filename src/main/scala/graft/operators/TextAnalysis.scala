@@ -668,6 +668,66 @@ object TextAnalysis {
       spark.read.parquet(s"$dir/stats"),
       headPpl, tailPpl, alpha)
 
+  /** Min-K% Prob membership gate (Shi et al. 2023, "Detecting
+    * Pretraining Data from Large Language Models"): score a document by
+    * the MEAN of its k% lowest token log-probs under a reference LM —
+    * a member of the training data has few surprisingly-improbable
+    * tokens, so even its worst-k% tail scores high; a non-member's tail
+    * collapses. The published recipe's model is a neural LM; this
+    * engine's reference model is the persisted add-α bigram store
+    * ([[writeLmCounts]] — the same store the perplexity gate scores
+    * against), which keeps the whole signal exact-integer + single-IEEE
+    * and therefore relationally replayable. The curation use is
+    * eval-set leakage AUDIT: rank a held-out benchmark by membership
+    * score against the training store to find suspected contamination
+    * that exact/near-dup matching missed.
+    *
+    * Per doc: bigram log-probs as 6-dp DECIMAL (the [[pplCore]] lp),
+    * sorted ascending IN ROW (the per-doc array is doc-length-bounded —
+    * the coverage-union discipline, no window), the lowest
+    * `max(1, floor(n·kPct/100))` summed exactly and averaged. At
+    * kPct=100 the score is exactly −avg_nll of the perplexity gate
+    * (spec-pinned). Unseen grams take the smoothing floor, docs with
+    * <2 tokens have no signal: score null, member null — undefined is
+    * an answer, not a drop. Returns
+    * `(doc_id, n_bigrams, mink_avg_lp, member)`. */
+  def minKProbFromLm(spark: org.apache.spark.sql.SparkSession, dir: String,
+      df: DataFrame, textCol: String, idCol: String, kPct: Int,
+      tau: Double, alpha: Double = 1.0): DataFrame = {
+    require(kPct >= 1 && kPct <= 100, s"need 1 <= kPct <= 100, got $kPct")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val biCnt = spark.read.parquet(s"$dir/bigrams")
+    val uniCnt = spark.read.parquet(s"$dir/unigrams")
+    val vocab = spark.read.parquet(s"$dir/stats")
+    val toksed = Par.spread(df.select(col(idCol).as("doc_id"),
+      tokens(lower(col(textCol))).as("toks")))
+    val bi = toksed.select(col("doc_id"),
+      explode(shingles(col("toks"), 2)).as("gram"))
+    val m = greatest(lit(1),
+      floor(size(col("lps")) * lit(kPct) / lit(100))).cast("int")
+    val perDoc = bi
+      .join(biCnt, Seq("gram"), "left")
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .join(uniCnt.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((coalesce(col("cb"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("cu"), lit(0L)) + lit(alpha) * col("vsz"))), 6)
+          .cast("decimal(18,6)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("lp"))).as("lps"))
+      .select(col("doc_id"), size(col("lps")).cast("long").as("n_bigrams"),
+        round(aggregate(slice(col("lps"), lit(1), m),
+          lit(0).cast("decimal(28,6)"),
+          (acc, x) => (acc + x).cast("decimal(28,6)")).cast("double") / m, 6)
+          .as("mink_avg_lp"))
+    df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mink_avg_lp"),
+        (col("mink_avg_lp") >= lit(tau)).as("member"))
+  }
+
   /** Shared scoring core: add-α bigram NLL per doc against the given
     * count relations, bucketed. Left joins + count-0 coalesce make
     * unseen grams/heads take the smoothing floor — a no-op when scoring

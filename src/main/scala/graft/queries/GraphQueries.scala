@@ -460,6 +460,43 @@ object GraphQueries extends graft.QueryPack {
              |d0 AS (SELECT 'c:' || MIN(o_custkey) AS node,
              |    CAST(0 AS BIGINT) AS dist FROM orders),
              |${(1 to bfsIters).map(i => bfsIter(s"d$i", s"d${i - 1}")).mkString(",\n")}
-             |SELECT node, dist FROM d$bfsIters""".stripMargin))
+             |SELECT node, dist FROM d$bfsIters""".stripMargin)),
+
+    // ---- G10: Adamic-Adar link prediction over part co-occurrence -------
+    // "Should be bought together": the k best ABSENT links per part,
+    // scored by Σ 1/ln(deg) over common neighbors. maxDegree = 160
+    // actually clips at sf0.01 (degrees run 42–206), so the oracle
+    // replays the signal-free-hub cut, the exact DECIMAL wedge sum, the
+    // existing-edge anti-join, and the bounded per-node ranking.
+    Q("q_g10_adamic_adar",
+      (s, d) => Graph.adamicAdar(Graph.coOccurrenceEdges(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey"),
+        k = 5, maxDegree = 160),
+      Some("""WITH pr AS (
+             |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+             |  FROM pr x JOIN pr y ON x.o = y.o AND x.p < y.p),
+             |nb AS (SELECT a AS z, b AS x FROM e
+             |  UNION ALL SELECT b AS z, a AS x FROM e),
+             |ct AS (SELECT z, CAST(ROUND(CAST(1.0 AS DOUBLE) /
+             |      ln(CAST(COUNT(*) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+             |  FROM nb GROUP BY 1
+             |  HAVING COUNT(*) >= 2 AND COUNT(*) <= 160),
+             |wn AS MATERIALIZED (SELECT nb.z, nb.x, ct.w
+             |  FROM nb JOIN ct USING (z)),
+             |pp AS (SELECT w1.x AS x, w2.x AS y,
+             |    CAST(SUM(w1.w) AS DOUBLE) AS score
+             |  FROM wn w1 JOIN wn w2 ON w1.z = w2.z AND w1.x < w2.x
+             |  GROUP BY 1, 2),
+             |pred AS (SELECT x, y, score FROM pp
+             |  WHERE NOT EXISTS (SELECT 1 FROM e
+             |    WHERE e.a = pp.x AND e.b = pp.y)),
+             |bidir AS (SELECT x AS node, y AS candidate, score FROM pred
+             |  UNION ALL SELECT y AS node, x AS candidate, score FROM pred)
+             |SELECT node, candidate, score AS aa_score, rnk FROM (
+             |  SELECT *, row_number() OVER (
+             |      PARTITION BY node ORDER BY score DESC, candidate) AS rnk
+             |  FROM bidir)
+             |WHERE rnk <= 5""".stripMargin))
   )
 }

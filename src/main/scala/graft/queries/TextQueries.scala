@@ -679,6 +679,49 @@ object TextQueries extends graft.QueryPack {
       },
       Some(duckPpl)),
 
+    // ---- X61: Min-K% Prob membership gate (pretraining-data audit) ------
+    // Shi et al. 2023: mean of the k% LOWEST token log-probs under the
+    // persisted reference LM — the contamination-audit signal that
+    // catches leakage exact/near-dup matching misses. The per-doc lp
+    // multiset sorts IN ROW (doc-length-bounded array, no window); the
+    // lowest max(1, floor(n·20/100)) sum as exact DECIMAL. The oracle
+    // replays tokenize → add-1 bigram lp → sort → slice → mean, and the
+    // member verdict at tau = -8.25.
+    Q("q_x61_mink_prob",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val store = TempDirs.scratch("graft-lm-mink")
+        TextAnalysis.writeLmCounts(docs, "text", store)
+        TextAnalysis.minKProbFromLm(s, store, docs, "text", "doc_id",
+          kPct = 20, tau = -8.25)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |bi AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram, toks[i] AS w1
+             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+             |        FROM t WHERE len(toks) >= 2)),
+             |bc AS (SELECT gram, COUNT(*) AS cb FROM bi GROUP BY 1),
+             |un AS (SELECT unnest(toks) AS w FROM t),
+             |uc AS (SELECT w, COUNT(*) AS cu FROM un GROUP BY 1),
+             |v AS (SELECT COUNT(DISTINCT w) AS vsz FROM un),
+             |sc AS (SELECT doc_id,
+             |    CAST(ROUND(ln((cb + 1.0) / (cu + 1.0 * vsz)), 6) AS DECIMAL(18,6)) AS lp
+             |  FROM bi JOIN bc USING (gram) JOIN uc ON uc.w = bi.w1, v),
+             |pd AS (SELECT doc_id, list_sort(list(lp)) AS lps FROM sc GROUP BY 1),
+             |mk AS (SELECT doc_id, len(lps) AS n,
+             |    GREATEST(1, CAST(FLOOR(len(lps) * 20 / 100.0) AS BIGINT)) AS m,
+             |    lps FROM pd),
+             |s2 AS (SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+             |    ROUND(CAST(list_aggregate(list_slice(lps, 1, m), 'sum')
+             |      AS DOUBLE) / m, 6) AS mink_avg_lp
+             |  FROM mk)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE(s2.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |  s2.mink_avg_lp,
+             |  s2.mink_avg_lp >= -8.25 AS member
+             |FROM documents d LEFT JOIN s2 USING (doc_id)""".stripMargin)),
+
     // ---- X40: URL canonicalization (web-corpus first-pass dedup key) ----
     // URLs constructed engine-independently from documents columns (the
     // q_x18 discipline) covering the rule matrix: noisy case + default

@@ -337,6 +337,89 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Triangle growth — `runMain graft.tools.ScaleProbe tri`: q_g7 at
+    // ×1/×4/×16 EDGE amplification (lineitem copies with shifted order
+    // AND part keys, so each copy is a disjoint co-occurrence subgraph:
+    // nodes and edges grow ×f, degree structure constant), plus a
+    // HUB-SKEW variant — ×1 lineitem with ONE part injected into every
+    // ~101st order (~1.5k baskets → a raw co-occurrence degree in the
+    // thousands, the celebrity node). Next to each runtime the probe
+    // counts the ORIENTED wedge relation (Σ_y inOri(y)·outOri(y), the
+    // exact row count of the o1⋈o2 join Graph.triangles executes)
+    // against the naive direction-blind count (Σ_y deg·(deg−1)/2) — the
+    // O(m^1.5) orientation claim (Graph.scala) made measurable: the hub
+    // explodes the naive count and barely moves the oriented one.
+    if (args.headOption.contains("tri")) {
+      val src = "/root/testdata/sf0.1"
+      def liVariant(dir: String)(make: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame): Unit = {
+        val marker = new java.io.File(s"$dir/.done")
+        if (marker.exists) return
+        make(spark.read.parquet(s"$src/lineitem.parquet"))
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        marker.createNewFile()
+      }
+      def wedgeCounts(dir: String): (Long, Long) = {
+        val und = graft.operators.Graph.coOccurrenceEdges(
+          spark.read.parquet(s"$dir/lineitem.parquet"),
+          "l_orderkey", "l_partkey")
+        val deg = und.select(col("src").as("node"))
+          .unionAll(und.select(col("dst").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("degree"))
+        val naive = deg
+          .agg(sum(col("degree") * (col("degree") - 1)))
+          .head().getLong(0) / 2
+        // the same (degree, node) total order Graph.triangles orients by
+        val oriented = und
+          .join(deg.select(col("node").as("src"), col("degree").as("__da")), "src")
+          .join(deg.select(col("node").as("dst"), col("degree").as("__db")), "dst")
+          .select(
+            when(col("__da") <= col("__db"), col("src")).otherwise(col("dst")).as("u"),
+            when(col("__da") <= col("__db"), col("dst")).otherwise(col("src")).as("v"))
+        val outd = oriented.groupBy(col("u").as("node"))
+          .agg(count(lit(1)).as("o"))
+        val ind = oriented.groupBy(col("v").as("node"))
+          .agg(count(lit(1)).as("i"))
+        val wedgeRows = outd.join(ind, Seq("node"))
+          .agg(coalesce(sum(col("o") * col("i")), lit(0L)))
+          .head().getLong(0)
+        (naive, wedgeRows)
+      }
+      def measure(tag: String, dir: String): Unit = {
+        def run(): Double = time {
+          graft.SparkEntry.queries("q_g7_triangles")(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        run() // warmup
+        val t = math.min(run(), run())
+        val (naive, ori) = wedgeCounts(dir)
+        println(f"[scaleprobe] tri $tag%-6s q_g7_triangles ${t}%6.2f s   " +
+          f"wedges oriented=$ori%,d naive=$naive%,d (x${naive.toDouble / math.max(ori, 1)}%.1f)")
+      }
+      Seq(1, 4, 16).foreach { f =>
+        val dir = if (f == 1) src else s"target/scaleprobe/tri$f"
+        if (f > 1) liVariant(dir) { li =>
+          val r = li.agg(max(col("l_orderkey")), max(col("l_partkey"))).head()
+          val (on, pn) = (r.getLong(0) + 1, r.getLong(1) + 1)
+          (0 until f).map(k => li
+              .withColumn("l_orderkey", col("l_orderkey") + lit(k * on))
+              .withColumn("l_partkey", col("l_partkey") + lit(k * pn)))
+            .reduce(_ unionByName _)
+        }
+        measure(s"x$f", dir)
+      }
+      val hubDir = "target/scaleprobe/trihub"
+      liVariant(hubDir) { li =>
+        val hubId = li.agg(max(col("l_partkey"))).head().getLong(0) + 1
+        li.unionByName(li
+          .filter(pmod(col("l_orderkey"), lit(101)) === 0)
+          .dropDuplicates("l_orderkey")
+          .withColumn("l_partkey", lit(hubId)))
+      }
+      measure("x1+hub", hubDir)
+      spark.stop(); return
+    }
+
     // Privacy-grid cardinality — `runMain graft.tools.ScaleProbe
     // privacy`: privacyReport's TVD grid is classes × DISTINCT
     // sensitive values (the broadcast crossJoin term); amplify the

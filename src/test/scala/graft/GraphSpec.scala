@@ -333,6 +333,18 @@ class GraphSpec extends AnyFunSuite {
       Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
     assert(msg.contains("coOccurrenceEdges") && msg.contains("o1"),
       s"refusal must name the operator and the offending key, got: $msg")
+    // the guard must SURVIVE downstream null-filters (triangles pushes
+    // IsNotNull into the union branch — a foldable null column there
+    // would let Catalyst prune the guard without evaluating it)
+    val ex2 = intercept[Exception] {
+      Graph.triangles(
+        Graph.coOccurrenceEdges(df, "o", "p", maxItemsPerContainer = 2))
+        .collect()
+    }
+    val msg2 = Option(ex2.getMessage).getOrElse("") +
+      Option(ex2.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg2.contains("coOccurrenceEdges"),
+      s"guard must survive composition through triangles, got: $msg2")
     assert(intercept[IllegalArgumentException](
       Graph.coOccurrenceEdges(df, "o", "p", maxItemsPerContainer = 1))
       .getMessage.contains("maxItemsPerContainer"))
@@ -366,5 +378,42 @@ class GraphSpec extends AnyFunSuite {
     assert(d1 === Map("a" -> 0L, "b" -> 1L))
     intercept[IllegalArgumentException](
       Graph.bfsDepth(edges, Seq.empty[String].toDF("node"), 5))
+  }
+
+  test("adamic-adar: exact hand scores on a 4-cycle, existing edges " +
+      "excluded, the degree cap drops signal-free hub centers") {
+    import spark.implicits._
+    // square 1-2-3-4-1: the only absent pairs are the diagonals, each
+    // with two degree-2 common neighbors -> score 2 * round(1/ln 2, 6)
+    val square = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)
+      .toDF("src", "dst")
+    val aa = Graph.adamicAdar(square, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val w2 = BigDecimal(1.0 / math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(aa === Map((1L, 3L) -> 2 * w2, (3L, 1L) -> 2 * w2,
+      (2L, 4L) -> 2 * w2, (4L, 2L) -> 2 * w2),
+      s"only the diagonals predict, with exact hand scores: $aa")
+    // graft hub 9 onto every node: as a CENTER it closes (1,3) too,
+    // but over the cap it is dropped and only 2, 4 contribute
+    val hub = (square.collect().map(r => (r.getLong(0), r.getLong(1)))
+      ++ Seq(9L -> 1L, 9L -> 2L, 9L -> 3L, 9L -> 4L))
+      .toSeq.toDF("src", "dst")
+    def score(cap: Int): Double =
+      Graph.adamicAdar(hub, k = 10, maxDegree = cap)
+        .filter("node = 1 AND candidate = 3")
+        .collect().head.getDouble(2)
+    val w3 = BigDecimal(1.0 / math.log(3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w4 = BigDecimal(1.0 / math.log(4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(score(10) - (2 * w3 + w4)) < 1e-9,
+      "uncapped: 2, 4 (deg 3) and hub 9 (deg 4) all close (1,3)")
+    assert(math.abs(score(3) - 2 * w3) < 1e-9,
+      "cap 3: the hub center is dropped, only 2 and 4 contribute")
+    intercept[IllegalArgumentException](Graph.adamicAdar(square, 0))
+    intercept[IllegalArgumentException](
+      Graph.adamicAdar(square, 1, maxDegree = 1))
   }
 }

@@ -460,6 +460,49 @@ class TextOpsSpec extends AnyFunSuite {
       s"index path must not re-scan the corpus:\n$p")
   }
 
+  test("min-k% prob: k=100 equals -avg_nll of the perplexity gate; " +
+      "the trained-on doc outscores the OOV doc; short docs are null") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the cat sat on the mat and the cat slept"),
+      (2L, "the dog sat on the rug and the dog slept"),
+      (3L, "a bird flew over the quiet green hill today")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("minkspec_").toString
+    TextAnalysis.writeLmCounts(train, "text", dir)
+    // score the training docs + an OOV doc + a no-signal doc
+    val probe = train.unionByName(Seq(
+      (4L, "zygote quark flummox vexing jabberwock nimbus"),
+      (5L, "single")).toDF("doc_id", "text"))
+    val out = TextAnalysis.minKProbFromLm(spark, dir, probe, "text",
+        "doc_id", kPct = 20, tau = -8.25)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // membership separation: the worst-20% tail of a trained-on doc
+    // scores strictly above the all-unseen doc's tail
+    assert(out(1L).get > out(4L).get && out(2L).get > out(4L).get,
+      s"trained-on docs must outscore the OOV doc: $out")
+    // <2 tokens ⇒ no bigram signal ⇒ null score (an answer, not a drop)
+    assert(out(5L).isEmpty)
+    // k=100 takes ALL log-probs: the score is exactly -avg_nll of the
+    // perplexity gate (the two operators share the lp arithmetic)
+    val all = TextAnalysis.minKProbFromLm(spark, dir, probe, "text",
+        "doc_id", kPct = 100, tau = -8.25)
+      .select("doc_id", "mink_avg_lp").na.drop()
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nll = TextAnalysis.bigramPerplexityFromLm(spark, dir, probe,
+        "text", "doc_id", headPpl = 10, tailPpl = 20)
+      .select("doc_id", "avg_nll").na.drop()
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    nll.foreach { case (id, v) =>
+      assert(math.abs(all(id) + v) < 2e-6,
+        s"k=100 min-k must equal -avg_nll for doc $id: ${all(id)} vs -$v")
+    }
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.minKProbFromLm(spark, dir, probe, "text", "doc_id",
+        kPct = 0, tau = 0)).getMessage.contains("kPct"))
+  }
+
   test("hybrid index: store-backed fusion equals the in-job chain, " +
       "corpus text never scanned by the query path") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
