@@ -130,4 +130,43 @@ object Behavior {
         (datediff(col("__wk"), col("cohort_week")) / 7).cast("int").as("week_offset"))
       .agg(count(lit(1)).as("users"))
   }
+
+  /** Last-touch marketing attribution: for every conversion event, the
+    * LATEST touch event by the same user at-or-before the conversion and
+    * within the lookback window — the product-analytics attribution
+    * model every warehouse pack ships first (multi-touch models start
+    * from this join). Conversions with no in-window touch keep NULL
+    * channel/touch_ts — organic is an answer, not a drop.
+    *
+    * Shape: the library's own native as-of join
+    * ([[graft.plans.AsOfJoin]], whole-stage-codegen'd sort-merge) from
+    * conversions to touches keyed by user with `tolerance` as the
+    * lookback — no interval-range shuffle, no per-conversion window
+    * scan; both sides shuffle ONCE on user_id. Touches pre-reduce to
+    * one row per (user, ts) with `max(event_type)` so timestamp ties
+    * resolve deterministically (the [[Resample.fillForward]]
+    * discipline). Returns
+    * `(event_id, user_id, conv_ts, touch_ts, channel, value)`. */
+  def lastTouch(events: DataFrame, convType: String,
+      touchTypes: Seq[String], lookbackMicros: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch event type")
+    require(lookbackMicros > 0,
+      s"lookback must be positive micros, got $lookbackMicros")
+    require(!touchTypes.contains(convType),
+      s"'$convType' cannot be both conversion and touch")
+    val conv = events
+      .filter(col("event_type") === convType &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("conv_ts"), col("value"))
+    val touches = events
+      .filter(col("event_type").isin(touchTypes: _*) &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("user_id").as("tu"), col("ts").as("touch_ts"))
+      .agg(max(col("event_type")).as("channel"))
+    graft.plans.AsOfJoin.asofJoin(conv, touches, "user_id", "tu",
+        "conv_ts", "touch_ts", tolerance = Some(lookbackMicros))
+      .select(col("event_id"), col("user_id"), col("conv_ts"),
+        col("touch_ts"), col("channel"), col("value"))
+  }
 }

@@ -611,6 +611,60 @@ object Graph {
     dist
   }
 
+  /** Weighted multi-source shortest paths over directed `edges(src,
+    * dst, w)` with NON-NEGATIVE integer weights — [[bfsDepth]]'s
+    * frontier iteration generalized to costs (Bellman-Ford with DELTA
+    * relaxation): each round relaxes only the edges leaving nodes whose
+    * distance changed last round, then min-merges into the settled
+    * relation. Delta relaxation is round-for-round IDENTICAL to full
+    * relaxation (a node unchanged since round j already contributed
+    * dist_j(u)+w then, and min is idempotent), so a fixed-round oracle
+    * unrolling the FULL relaxation replays this engine bit-for-bit —
+    * while the engine's per-round join stays changed-set-sized, the
+    * 100 TB shape (steady-state rounds touch the moving wavefront, not
+    * every settled node). A no-change round is output-invariant
+    * convergence, same contract as [[bfsDepth]]/[[kCore]].
+    *
+    * Pure integer arithmetic (weights REQUIRED non-negative — one
+    * driver scalar checks the minimum; Bellman-Ford's negative-cycle
+    * regime has no fixed point to replay). Returns `(node, dist)` for
+    * nodes reached within `iters` relaxation rounds; unreached nodes
+    * are absent. */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")
+    val e = Iterate.checkpoint(edges
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull)
+      .select(col("src"), col("dst"), col("w").cast("long")))
+    val minW = e.agg(coalesce(min(col("w")), lit(0L))).first().getLong(0)
+    require(minW >= 0,
+      s"shortestPaths: negative edge weight $minW — non-negative " +
+        "weights only (no replayable fixed point under negative cycles)")
+    var dist = Iterate.checkpoint(seeds
+      .filter(col("node").isNotNull)
+      .select(col("node")).distinct()
+      .withColumn("dist", lit(0L)))
+    var changed = dist
+    var nChanged = changed.count() // one driver scalar per round
+    require(nChanged > 0, "shortestPaths: empty seed set")
+    var round = 0
+    while (round < iters && nChanged > 0) {
+      round += 1
+      val relaxed = e.join(changed, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val merged = Iterate.checkpoint(dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+      changed = Iterate.checkpoint(merged
+        .join(dist.withColumnRenamed("dist", "__pd"), Seq("node"), "left")
+        .filter(col("__pd").isNull || col("dist") < col("__pd"))
+        .select(col("node"), col("dist")))
+      nChanged = changed.count()
+      dist = merged
+    }
+    dist
+  }
+
   /** Adamic-Adar link prediction over undirected `edges(src, dst)` —
     * the common-neighbor completion signal (Adamic & Adar 2003): a
     * candidate pair scores Σ 1/ln(deg z) over its common neighbors z,

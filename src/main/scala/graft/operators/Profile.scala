@@ -490,4 +490,72 @@ object Profile {
       .groupBy(col("key"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
   }
+
+  /** Declarative data-quality expectation suite (the Deequ / dbt-test
+    * surface): a list of column rules verified in ONE aggregation pass
+    * over the relation, each producing `(check_id, column, rule,
+    * n_violations, passed)` — the publish gate a pipeline asserts on
+    * before promoting a dataset, as data, so the verdicts join into
+    * run manifests and drift dashboards like any other relation.
+    *
+    * Rules: `not_null`, `unique` (violations = non-null rows minus
+    * non-null distinct — nulls are a completeness concern, not a
+    * uniqueness one), `in_range(lo, hi)` (inclusive, null passes —
+    * compose with not_null to forbid), `matches(regex)` (null passes),
+    * `accepted_values(set)` (null passes). Every rule compiles to a
+    * conditional count inside the SAME aggregate, so the relation scans
+    * once however many expectations are declared; the one result row
+    * explodes into the per-check relation map-side. All counts are
+    * exact integers — trivially oracle-replayable. */
+  sealed trait Expectation { def column: String; def rule: String }
+  final case class NotNull(column: String) extends Expectation {
+    val rule = "not_null"
+  }
+  final case class Unique(column: String) extends Expectation {
+    val rule = "unique"
+  }
+  final case class InRange(column: String, lo: Double, hi: Double)
+      extends Expectation {
+    val rule = s"in_range($lo,$hi)"
+  }
+  final case class MatchesRegex(column: String, pattern: String)
+      extends Expectation {
+    val rule = s"matches($pattern)"
+  }
+  final case class AcceptedValues(column: String, values: Seq[String])
+      extends Expectation {
+    val rule = s"accepted_values(${values.mkString("|")})"
+  }
+
+  def expectations(df: DataFrame, specs: Seq[Expectation]): DataFrame = {
+    require(specs.nonEmpty, "need at least one expectation")
+    specs.foreach(e => require(df.columns.contains(e.column),
+      s"expectation on unknown column '${e.column}'"))
+    def violations(e: Expectation): Column = e match {
+      case NotNull(c) =>
+        sum(when(col(c).isNull, 1L).otherwise(0L))
+      case Unique(c) =>
+        count(col(c)) - countDistinct(col(c))
+      case InRange(c, lo, hi) =>
+        sum(when(col(c).isNotNull &&
+          (col(c) < lit(lo) || col(c) > lit(hi)), 1L).otherwise(0L))
+      case MatchesRegex(c, p) =>
+        sum(when(col(c).isNotNull && !col(c).rlike(p), 1L).otherwise(0L))
+      case AcceptedValues(c, vs) =>
+        sum(when(col(c).isNotNull && !col(c).isin(vs: _*), 1L)
+          .otherwise(0L))
+    }
+    val aggs = specs.zipWithIndex.map { case (e, i) =>
+      coalesce(violations(e), lit(0L)).as(s"__v$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val checks = specs.zipWithIndex.map { case (e, i) =>
+      struct(lit(i + 1).as("check_id"), lit(e.column).as("column"),
+        lit(e.rule).as("rule"), col(s"__v$i").as("n_violations"))
+    }
+    one.select(explode(array(checks: _*)).as("c"))
+      .select(col("c.check_id"), col("c.column"), col("c.rule"),
+        col("c.n_violations"),
+        (col("c.n_violations") === 0L).as("passed"))
+  }
 }

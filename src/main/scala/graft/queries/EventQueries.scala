@@ -192,6 +192,35 @@ object EventQueries extends graft.QueryPack {
              |FROM events e LEFT JOIN q
              |  ON e.event_type IS NOT DISTINCT FROM q.event_type""".stripMargin)),
 
+    // ---- E21: last-touch attribution (as-of join, lookback-bounded) -----
+    // Every purchase attributes to the user's latest click/view at-or-
+    // before it within 7 days — the native as-of join exec with
+    // tolerance as the lookback; organic purchases keep NULL channel.
+    // The oracle replays the match as a correlated MAX + equi-join back.
+    Q("q_e21_attribution",
+      (s, d) => graft.operators.Behavior.lastTouch(Tables.events(s, d),
+        convType = "purchase", touchTypes = Seq("click", "view"),
+        lookbackMicros = 7L * 86400L * 1000000L),
+      Some("""WITH tch AS (
+             |  SELECT user_id, ts, MAX(event_type) AS channel
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |    AND user_id IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |cv AS (
+             |  SELECT event_id, user_id, ts AS conv_ts, value FROM events
+             |  WHERE event_type = 'purchase'
+             |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+             |m AS (
+             |  SELECT c.event_id, c.user_id, c.conv_ts, c.value,
+             |    (SELECT MAX(t.ts) FROM tch t
+             |     WHERE t.user_id = c.user_id AND t.ts <= c.conv_ts
+             |       AND t.ts >= c.conv_ts - INTERVAL 7 DAY) AS touch_ts
+             |  FROM cv c)
+             |SELECT m.event_id, m.user_id, m.conv_ts, m.touch_ts,
+             |  t.channel, m.value
+             |FROM m LEFT JOIN tch t
+             |  ON t.user_id = m.user_id AND t.ts = m.touch_ts""".stripMargin)),
+
     Q("q_e9_anomaly",
       (s, d) => graft.operators.Anomaly.zscores(
         Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),

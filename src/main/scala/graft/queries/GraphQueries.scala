@@ -38,6 +38,17 @@ object GraphQueries extends graft.QueryPack {
        |    FROM e JOIN $prev p ON e.src = p.node)
        |  GROUP BY 1)""".stripMargin
 
+  /** One weighted-SSSP oracle round — [[bfsIter]] with the edge weight
+    * in the relaxation (FULL relaxation; round-for-round identical to
+    * the engine's delta relaxation, see [[Graph.shortestPaths]]). */
+  private def ssspIter(out: String, prev: String): String =
+    s"""$out AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+       |    SELECT node, dist FROM $prev
+       |    UNION ALL
+       |    SELECT e.dst AS node, p.dist + e.w AS dist
+       |    FROM e JOIN $prev p ON e.src = p.node)
+       |  GROUP BY 1)""".stripMargin
+
   /** One LPA oracle round: labels `prev` → labels `out`. Mirrors
     * [[Graph.labelPropagation]] op for op: in-neighbor label counts,
     * per-node max count, smallest label among the tied maxima, isolated
@@ -497,6 +508,45 @@ object GraphQueries extends graft.QueryPack {
              |  SELECT *, row_number() OVER (
              |      PARTITION BY node ORDER BY score DESC, candidate) AS rnk
              |  FROM bidir)
-             |WHERE rnk <= 5""".stripMargin))
+             |WHERE rnk <= 5""".stripMargin)),
+
+    // ---- G11: weighted shortest paths (Bellman-Ford, delta-relaxed) -----
+    // The trade graph with an integer edge cost (distinct orders linking
+    // the pair — deterministic and data-derived; the point is the
+    // weighted relaxation, exercised round by round). Delta relaxation
+    // in the engine, FULL relaxation in the oracle — provably identical
+    // per round, so the fixed 6-round replay is exact.
+    Q("q_g11_shortest_paths",
+      (s, d) => {
+        val pairs = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey")).as("c"),
+            concat(lit("s:"), col("l_suppkey")).as("ss"),
+            col("o_orderkey"))
+        val wp = pairs.groupBy(col("c"), col("ss"))
+          .agg(countDistinct(col("o_orderkey")).as("w"))
+        val edges = wp.select(col("c").as("src"), col("ss").as("dst"), col("w"))
+          .unionAll(wp.select(col("ss").as("src"), col("c").as("dst"), col("w")))
+        val seeds = Tables.orders(s, d)
+          .agg(min(col("o_custkey")).as("mc"))
+          .select(concat(lit("c:"), col("mc")).as("node"))
+        Graph.shortestPaths(edges, seeds, bfsIters)
+      },
+      Some(s"""WITH wp AS (
+             |  SELECT 'c:' || o_custkey AS c, 's:' || l_suppkey AS ss,
+             |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS w
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |  GROUP BY 1, 2),
+             |e AS MATERIALIZED (
+             |  SELECT c AS src, ss AS dst, w FROM wp
+             |  UNION ALL
+             |  SELECT ss AS src, c AS dst, w FROM wp),
+             |d0 AS (SELECT 'c:' || MIN(o_custkey) AS node,
+             |    CAST(0 AS BIGINT) AS dist FROM orders),
+             |${(1 to bfsIters).map(i => ssspIter(s"d$i", s"d${i - 1}")).mkString(",\n")}
+             |SELECT node, dist FROM d$bfsIters""".stripMargin))
   )
 }

@@ -1101,6 +1101,45 @@ object RelationalQueries extends graft.QueryPack {
              |    AS bound_ok
              |FROM est e JOIN exact x USING (tok) CROSS JOIN tot""".stripMargin)),
 
+    // ---- V17: declarative expectation suite (the publish gate) ----------
+    // Five rules over orders verified in ONE aggregation pass; verdicts
+    // come back as a relation so they join into run manifests. Exact
+    // integer counts — the oracle recomputes each rule directly.
+    Q("q_v17_expectations",
+      (s, d) => graft.operators.Profile.expectations(Tables.orders(s, d),
+        Seq(
+          graft.operators.Profile.NotNull("o_custkey"),
+          graft.operators.Profile.Unique("o_orderkey"),
+          graft.operators.Profile.InRange("o_totalprice", 0.0, 1000000.0),
+          graft.operators.Profile.MatchesRegex("o_orderpriority", "^[1-5]-"),
+          graft.operators.Profile.AcceptedValues("o_orderstatus",
+            Seq("F", "O", "P")))),
+      Some("""WITH v AS (SELECT
+             |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS v1,
+             |    CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+             |      AS BIGINT) AS v2,
+             |    CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND
+             |      (o_totalprice < 0 OR o_totalprice > 1000000)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+             |    CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL AND NOT
+             |      regexp_matches(o_orderpriority, '^[1-5]-')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+             |    CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL AND
+             |      o_orderstatus NOT IN ('F', 'O', 'P')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS v5
+             |  FROM orders)
+             |SELECT 1 AS check_id, 'o_custkey' AS "column",
+             |  'not_null' AS rule, v1 AS n_violations, v1 = 0 AS passed
+             |FROM v
+             |UNION ALL SELECT 2, 'o_orderkey', 'unique', v2, v2 = 0 FROM v
+             |UNION ALL SELECT 3, 'o_totalprice',
+             |  'in_range(0.0,1000000.0)', v3, v3 = 0 FROM v
+             |UNION ALL SELECT 4, 'o_orderpriority', 'matches(^[1-5]-)',
+             |  v4, v4 = 0 FROM v
+             |UNION ALL SELECT 5, 'o_orderstatus', 'accepted_values(F|O|P)',
+             |  v5, v5 = 0 FROM v""".stripMargin)),
+
     // ---- V11: key-skew profile (the salt-or-not measurement) ------------
     // One hash agg to per-key counts, one tiny agg over the keys-sized
     // count relation: max/median/p99 per-key multiplicity and the

@@ -123,4 +123,44 @@ class BehaviorSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
     }
   }
+
+  test("last-touch attribution: latest in-window touch wins, same-ts " +
+      "ties resolve to max channel, out-of-window and no-touch stay " +
+      "organic (null)") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 10L, "click", "2026-01-01 10:00:00", 0.0),
+      (2L, 10L, "view", "2026-01-03 09:00:00", 0.0),
+      // latest of the two touches wins
+      (3L, 10L, "purchase", "2026-01-03 12:00:00", 50.0),
+      (4L, 20L, "click", "2026-01-01 08:00:00", 0.0),
+      // touch is 8 days + 1 s before the conversion: outside the 7-day
+      // lookback -> organic
+      (5L, 20L, "purchase", "2026-01-09 08:00:01", 70.0),
+      (6L, 30L, "purchase", "2026-01-05 10:00:00", 30.0), // never touched
+      (7L, 40L, "click", "2026-01-02 10:00:00", 0.0),
+      (8L, 40L, "view", "2026-01-02 10:00:00", 0.0), // same-ts tie
+      // touch exactly AT the conversion ts matches (at-or-before)
+      (9L, 40L, "purchase", "2026-01-02 10:00:00", 10.0)
+    ).map { case (e, u, t, at, v) => (e, u, t, ts(at), v) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = Behavior.lastTouch(events, "purchase",
+        Seq("click", "view"), 7L * 86400L * 1000000L)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getAs[String]("channel")),
+          Option(r.getAs[Timestamp]("touch_ts"))))).toMap
+    assert(out.keySet === Set(3L, 5L, 6L, 9L),
+      "every conversion comes back, nothing else")
+    assert(out(3L) === ((Some("view"), Some(ts("2026-01-03 09:00:00")))))
+    assert(out(5L) === ((None, None)), "outside the lookback -> organic")
+    assert(out(6L) === ((None, None)), "never-touched user -> organic")
+    assert(out(9L) === ((Some("view"), Some(ts("2026-01-02 10:00:00")))),
+      "same-ts tie pre-reduces to the max channel, deterministically")
+    intercept[IllegalArgumentException](
+      Behavior.lastTouch(events, "purchase", Seq.empty, 1L))
+    intercept[IllegalArgumentException](
+      Behavior.lastTouch(events, "purchase", Seq("purchase"), 1L))
+    intercept[IllegalArgumentException](
+      Behavior.lastTouch(events, "purchase", Seq("click"), 0L))
+  }
 }

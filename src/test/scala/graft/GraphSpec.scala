@@ -416,4 +416,35 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Graph.adamicAdar(square, 1, maxDegree = 1))
   }
+
+  test("weighted shortest paths: a cheap 2-hop beats the expensive " +
+      "direct edge; early exit equals fixed rounds; negative weights " +
+      "refused") {
+    import spark.implicits._
+    // a->b direct costs 10; a->c->b costs 1+2=3 (found in round 2,
+    // IMPROVING b's round-1 dist of 10 — the relaxation update path)
+    val edges = Seq(("a", "b", 10L), ("a", "c", 1L), ("c", "b", 2L),
+      ("x", "y", 1L)).toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("node")
+    val d = Graph.shortestPaths(edges, seeds, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d === Map("a" -> 0L, "b" -> 3L, "c" -> 1L),
+      s"relaxation must improve b from 10 to 3: $d")
+    // output-invariance: converged by round 2, so ceiling == exact
+    val tight = Graph.shortestPaths(edges, seeds, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tight === d)
+    // one round sees only the direct relaxations
+    val one = Graph.shortestPaths(edges, seeds, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one === Map("a" -> 0L, "b" -> 10L, "c" -> 1L))
+    // zero-weight edges are legal (a tie the min-merge resolves)
+    val z = Graph.shortestPaths(
+      Seq(("a", "b", 0L)).toDF("src", "dst", "w"), seeds, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(z === Map("a" -> 0L, "b" -> 0L))
+    assert(intercept[IllegalArgumentException](
+      Graph.shortestPaths(Seq(("a", "b", -1L)).toDF("src", "dst", "w"),
+        seeds, 3)).getMessage.contains("negative"))
+  }
 }

@@ -526,4 +526,39 @@ class ScdProfileSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       Profile.describe(docs, Seq("lang", "lang"))).getMessage.contains("duplicate"))
   }
+
+  test("expectations: every rule counts its violations exactly in one " +
+      "pass; null handling per rule; unknown columns refused") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some(5.0), Some("1-URGENT"), Some("F")),
+      (Some(2L), Some(15.0), Some("9-BAD"), Some("O")),   // range+regex+ok
+      (Some(2L), None, None, Some("X")),                  // dup id, nulls, bad value
+      (None, Some(-1.0), Some("2-HIGH"), None)            // null id, below range
+    ).toDF("id", "price", "prio", "status")
+    val out = Profile.expectations(df, Seq(
+        Profile.NotNull("id"), Profile.Unique("id"),
+        Profile.InRange("price", 0.0, 10.0),
+        Profile.MatchesRegex("prio", "^[1-5]-"),
+        Profile.AcceptedValues("status", Seq("F", "O"))))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq.sortBy(_._1) === Seq(
+      (1, "id", "not_null", 1L, false),
+      (2, "id", "unique", 1L, false),       // one non-null duplicate
+      (3, "price", "in_range(0.0,10.0)", 2L, false), // 15.0 and -1.0; null passes
+      (4, "prio", "matches(^[1-5]-)", 1L, false),    // 9-BAD; null passes
+      (5, "status", "accepted_values(F|O)", 1L, false))) // X; null passes
+    // an all-green suite
+    val ok = Profile.expectations(df, Seq(Profile.NotNull("status"))
+      .map(_ => Profile.InRange("price", -10.0, 100.0)))
+      .collect()
+    assert(ok.length === 1 && ok.head.getLong(3) === 0L &&
+      ok.head.getBoolean(4))
+    assert(intercept[IllegalArgumentException](
+      Profile.expectations(df, Seq(Profile.NotNull("nope"))))
+      .getMessage.contains("unknown column"))
+    assert(intercept[IllegalArgumentException](
+      Profile.expectations(df, Seq.empty)).getMessage.contains("at least"))
+  }
 }
