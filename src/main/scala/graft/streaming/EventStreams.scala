@@ -278,6 +278,88 @@ object EventStreams {
       }
   }
 
+  final case class TouchAttribution(event_id: Long, user_id: Long,
+    conv_ts: java.sql.Timestamp, touch_ts: Option[java.sql.Timestamp],
+    channel: Option[String])
+  private[streaming] final case class AttribState(
+    lastTouchTs: Long, lastChannel: String,
+    buffer: List[(Long, Int, Long, String)])
+
+  /** STREAMING last-touch attribution — the incremental twin of
+    * [[graft.operators.Behavior.lastTouch]] under the same semantics:
+    * each conversion attributes to the user's LATEST touch at-or-before
+    * it within the lookback, same-timestamp touch ties resolving to the
+    * MAX channel, organic conversions emitting null channel/touch_ts.
+    *
+    * Same finalized-prefix construction as [[sessionTags]]: all touch
+    * and conversion events buffer within the watermark allowance; once
+    * the watermark passes them they fold in ascending (ts, kind) order
+    * — touches before conversions at equal ts, so at-or-before
+    * includes the tie exactly like the batch as-of join — and each
+    * finalized conversion emits exactly once. A finalized touch can
+    * only ever be SHADOWED by a later touch, never un-finalized, so
+    * the permanent per-user state is just the (ts, channel) of the
+    * latest finalized touch plus the in-allowance buffer — bounded by
+    * allowance × arrival rate, independent of history length. */
+  def touchAttributions(spark: SparkSession, events: DataFrame,
+      convType: String, touchTypes: Seq[String], lookbackMicros: Long,
+      watermark: String = "10 minutes"): Dataset[TouchAttribution] = {
+    import spark.implicits._
+    require(touchTypes.nonEmpty, "need at least one touch event type")
+    require(lookbackMicros > 0,
+      s"lookback must be positive micros, got $lookbackMicros")
+    require(!touchTypes.contains(convType),
+      s"'$convType' cannot be both conversion and touch")
+    events.withWatermark("ts", watermark)
+      .filter(col("event_type").isin((convType +: touchTypes): _*))
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")),
+        when(col("event_type") === convType, lit(1)).otherwise(lit(0)),
+        col("event_type"), col("ts"))
+      .as[(Long, Long, Long, Int, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long,
+            rows: Iterator[(Long, Long, Long, Int, String, java.sql.Timestamp)],
+            state: GroupState[AttribState]) =>
+          val st = state.getOption
+            .getOrElse(AttribState(Long.MinValue, "", Nil))
+          val wmMicros = watermarkFloorMicros(state.getCurrentWatermarkMs())
+          val fresh = rows.map(r => (r._3, r._4, r._2, r._5))
+            .filter(_._1 >= wmMicros)
+          // ascending (ts, kind): same-ts touches fold before the
+          // conversion they tie with — the batch at-or-before contract
+          val merged = (st.buffer ++ fresh).sorted
+          val (fin, keep) = merged.partition(_._1 < wmMicros)
+          var lastTs = st.lastTouchTs
+          var lastCh = st.lastChannel
+          val out = fin.flatMap { case (tsUs, kind, eid, etype) =>
+            if (kind == 0) {
+              // same-ts touches pre-reduce to the max channel, exactly
+              // like the batch operator's (user, ts) reduction
+              if (tsUs == lastTs) lastCh = Ordering[String].max(lastCh, etype)
+              else { lastTs = tsUs; lastCh = etype }
+              None
+            } else {
+              val attributed = lastTs != Long.MinValue &&
+                tsUs - lastTs <= lookbackMicros
+              Some(TouchAttribution(eid, userId,
+                java.sql.Timestamp.from(
+                  java.time.Instant.EPOCH.plusNanos(tsUs * 1000L)),
+                if (attributed) Some(java.sql.Timestamp.from(
+                  java.time.Instant.EPOCH.plusNanos(lastTs * 1000L)))
+                else None,
+                if (attributed) Some(lastCh) else None))
+            }
+          }
+          state.update(AttribState(lastTs, lastCh, keep))
+          keep.headOption.foreach(b =>
+            state.setTimeoutTimestamp(b._1 / 1000L + 1L))
+          out.iterator
+      }
+  }
+
   final case class FunnelReach(user_id: Long, step: Int, event_type: String)
   private[streaming] final case class FunnelState(
     stage: Int, firstTs: Long, buffer: List[(Long, Long)])

@@ -420,6 +420,58 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Adamic-Adar growth + cap sweep — `runMain graft.tools.ScaleProbe aa`:
+    // (1) the registered q_g10 (even-catalog slice, cap 80) at ×1/×4/×16
+    // disjoint-copy growth (reuses the `tri` dirs — build them first or
+    // this mode rebuilds them); (2) the CAP SWEEP on the FULL unsliced
+    // sf0.1 co-occurrence graph: runtime + the exact wedge-row count
+    // Σ C(min(deg,cap),2) at cap 40/80/160/∞ — the knob that bounds the
+    // operator's inherently-quadratic common-neighbor work, measured.
+    if (args.headOption.contains("aa")) {
+      val src = "/root/testdata/sf0.1"
+      Seq(1, 4, 16).foreach { f =>
+        val dir = if (f == 1) src else s"target/scaleprobe/tri$f"
+        if (f > 1) {
+          val marker = new java.io.File(s"$dir/.done")
+          if (!marker.exists) {
+            val li = spark.read.parquet(s"$src/lineitem.parquet")
+            val r = li.agg(max(col("l_orderkey")), max(col("l_partkey"))).head()
+            val (on, pn) = (r.getLong(0) + 1, r.getLong(1) + 1)
+            (0 until f).map(k => li
+                .withColumn("l_orderkey", col("l_orderkey") + lit(k * on))
+                .withColumn("l_partkey", col("l_partkey") + lit(k * pn)))
+              .reduce(_ unionByName _)
+              .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+            marker.createNewFile()
+          }
+        }
+        def run(): Double = time {
+          graft.SparkEntry.queries("q_g10_adamic_adar")(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        run() // warmup
+        println(f"[scaleprobe] aa x$f%-3d q_g10_adamic_adar ${math.min(run(), run())}%6.2f s")
+      }
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        spark.read.parquet(s"$src/lineitem.parquet"),
+        "l_orderkey", "l_partkey")
+      Seq(40, 80, 160, 1000000).foreach { cap =>
+        val nb = edges.select(col("src").as("z"))
+          .unionAll(edges.select(col("dst").as("z")))
+          .groupBy("z").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 2 && col("d") <= cap)
+        val wedgeRows = nb.agg(coalesce(sum(col("d") * (col("d") - 1)),
+          lit(0L))).head().getLong(0) / 2
+        def run(): Double = time {
+          graft.operators.Graph.adamicAdar(edges, k = 5, maxDegree = cap)
+            .write.format("noop").mode("overwrite").save()
+        }
+        run() // warmup
+        println(f"[scaleprobe] aa cap=$cap%-8d full-graph ${math.min(run(), run())}%6.2f s   wedges=$wedgeRows%,d")
+      }
+      spark.stop(); return
+    }
+
     // Privacy-grid cardinality — `runMain graft.tools.ScaleProbe
     // privacy`: privacyReport's TVD grid is classes × DISTINCT
     // sensitive values (the broadcast crossJoin term); amplify the

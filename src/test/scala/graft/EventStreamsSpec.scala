@@ -155,6 +155,63 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming last-touch attribution INCREMENTALLY == batch as-of join") {
+    // the sessionize discipline applied to Behavior.lastTouch: each
+    // finalized conversion emits once with the same channel/touch_ts the
+    // batch as-of join assigns — including an out-of-order touch that
+    // lands between an older touch and an already-buffered conversion,
+    // a same-timestamp channel tie, and an out-of-lookback organic
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val real = Seq(
+      (1L, 10L, "click", ts("2024-01-01 10:00:00"), 0.0),
+      (2L, 10L, "purchase", ts("2024-01-01 10:25:00"), 50.0),
+      (4L, 20L, "click", ts("2024-01-01 09:00:00"), 0.0),
+      (6L, 30L, "click", ts("2024-01-01 10:00:00"), 0.0),
+      (7L, 30L, "view", ts("2024-01-01 10:00:00"), 0.0),
+      (8L, 30L, "purchase", ts("2024-01-01 10:00:00"), 10.0), // tie -> view
+      // batch 2: e3 arrives LATE (10:20 < the 10:25 max already seen)
+      // but inside the allowance — it must become the attribution of
+      // the already-buffered conversion e2
+      (3L, 10L, "view", ts("2024-01-01 10:20:00"), 0.0),
+      (5L, 20L, "purchase", ts("2024-01-01 11:00:00"), 70.0)) // 2h gap: organic
+    val batches = Seq(real.take(6), real.drop(6),
+      Seq((998L, 99L, "view", ts("2030-01-01 00:00:00"), 0.0)),
+      Seq((999L, 99L, "view", ts("2030-01-02 00:00:00"), 0.0)))
+    val input = MemoryStream[(Long, Long, String, java.sql.Timestamp, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val lookback = 1800L * 1000000L // 30 minutes
+    val q = EventStreams.touchAttributions(spark, events, "purchase",
+        Seq("click", "view"), lookback)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attrib_incr").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("attrib_incr")
+        .filter(col("user_id") =!= 99L)
+        .select(col("event_id"), col("channel"),
+          unix_micros(col("touch_ts")).as("tus"))
+      val batch = graft.operators.Behavior.lastTouch(
+          real.toDF("event_id", "user_id", "event_type", "ts", "value"),
+          "purchase", Seq("click", "view"), lookback)
+        .select(col("event_id"), col("channel"),
+          unix_micros(col("touch_ts")).as("tus"))
+      assert(streamed.count() === 3,
+        "every real conversion must emit exactly once")
+      assert(streamed.exceptAll(batch).count() === 0 &&
+        batch.exceptAll(streamed).count() === 0,
+        "incremental attribution must equal the batch as-of join")
+      val m = streamed.collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(m(2L) === Some("view"),
+        "the late-arriving view must win over the earlier click")
+      assert(m(5L) === None, "outside the lookback -> organic")
+      assert(m(8L) === Some("view"), "same-ts tie resolves to max channel")
+    } finally q.stop()
+  }
+
   test("streaming funnel reach INCREMENTALLY == batch funnel counts") {
     // the other half of the funnel/sessionize parity pair: the streaming
     // per-user state machine must reproduce the batch operator's
