@@ -169,4 +169,57 @@ object Behavior {
       .select(col("event_id"), col("user_id"), col("conv_ts"),
         col("touch_ts"), col("channel"), col("value"))
   }
+
+  /** Linear (equal-credit) multi-touch attribution — [[lastTouch]]'s
+    * companion model: EVERY in-window touch shares the conversion's
+    * credit equally, aggregated per channel. Credit is integer MICROS
+    * (`nc·1e6 div n` — pure integral division, so a relational oracle
+    * replays it exactly; per-conversion credit sums to ≤1e6 with the
+    * division remainder dropped, never redistributed — deterministic
+    * beats cosmetically-exact here). Organic conversions emit one NULL
+    * -channel row carrying the full 1e6 — a conversion never vanishes
+    * from the attribution report.
+    *
+    * Shape: one user-keyed equi-join (both sides shuffle once on
+    * user_id) with the window as a post-join filter — per-user touch
+    * lists are bounded by lookback × arrival rate, so the join output
+    * is conversions × in-window touches, not a cross product — then
+    * two keyed aggregations and an anti-join for the organic branch.
+    * Returns `(event_id, user_id, conv_ts, channel, credit_m)`. */
+  def linearAttribution(events: DataFrame, convType: String,
+      touchTypes: Seq[String], lookbackMicros: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch event type")
+    require(lookbackMicros > 0,
+      s"lookback must be positive micros, got $lookbackMicros")
+    require(!touchTypes.contains(convType),
+      s"'$convType' cannot be both conversion and touch")
+    val conv = events
+      .filter(col("event_type") === convType &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts").as("conv_ts"))
+    val touches = events
+      .filter(col("event_type").isin(touchTypes: _*) &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts").as("touch_ts"),
+        col("event_type").as("channel"))
+    val j = conv.join(touches, Seq("user_id"))
+      .filter(col("touch_ts") <= col("conv_ts") &&
+        unix_micros(col("conv_ts")) - unix_micros(col("touch_ts")) <=
+          lit(lookbackMicros))
+    val n = j.groupBy(col("event_id")).agg(count(lit(1)).as("__n"))
+    val credited = j
+      .groupBy(col("event_id"), col("user_id"), col("conv_ts"),
+        col("channel"))
+      .agg(count(lit(1)).as("__nc"))
+      .join(n, Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("conv_ts"),
+        col("channel"),
+        expr("(__nc * CAST(1000000 AS BIGINT)) div __n").as("credit_m"))
+    val organic = conv.join(j.select(col("event_id")).distinct(),
+        Seq("event_id"), "left_anti")
+      .select(col("event_id"), col("user_id"), col("conv_ts"),
+        lit(null).cast("string").as("channel"),
+        lit(1000000L).as("credit_m"))
+    credited.unionAll(organic)
+  }
 }

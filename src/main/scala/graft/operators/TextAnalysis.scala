@@ -668,6 +668,31 @@ object TextAnalysis {
       spark.read.parquet(s"$dir/stats"),
       headPpl, tailPpl, alpha)
 
+  /** HTML → text extraction (the crawl-corpus first transform —
+    * trafilatura/jusText-lite, as a deterministic regex chain): drop
+    * script/style blocks and comments wholesale, strip the remaining
+    * tags to spaces, decode the six entities that dominate web text
+    * (`&nbsp; &lt; &gt; &quot; &#39;` and `&amp;` LAST, so
+    * double-encoded text decodes one level per pass instead of
+    * cascading), collapse whitespace. Every rule is one
+    * `regexp_replace`/`replace` in RE2-compatible syntax (inline
+    * `(?is)` flags, non-greedy blocks, NO backreferences), so a DuckDB
+    * oracle replays the chain verbatim. Map-only, codegen'd; null in →
+    * null out. This deliberately extracts ALL text (boilerplate
+    * included) — main-content selection is the downstream
+    * [[c4Rules]]/[[boilerplateScrub]] line-level pass; losing nav text
+    * here would hide it from those gates. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Min-K% Prob membership gate (Shi et al. 2023, "Detecting
     * Pretraining Data from Large Language Models"): score a document by
     * the MEAN of its k% lowest token log-probs under a reference LM —

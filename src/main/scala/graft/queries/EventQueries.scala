@@ -221,6 +221,42 @@ object EventQueries extends graft.QueryPack {
              |FROM m LEFT JOIN tch t
              |  ON t.user_id = m.user_id AND t.ts = m.touch_ts""".stripMargin)),
 
+    // ---- E22: linear multi-touch attribution (integer-micro credit) -----
+    // Every in-window touch shares the purchase's credit equally per
+    // channel; credit_m = nc*1e6 div n (pure integral division — exact
+    // replay); organic purchases carry the full 1e6 on a NULL channel.
+    Q("q_e22_linear_attribution",
+      (s, d) => graft.operators.Behavior.linearAttribution(
+        Tables.events(s, d), convType = "purchase",
+        touchTypes = Seq("click", "view"),
+        lookbackMicros = 7L * 86400L * 1000000L),
+      Some("""WITH cv AS (
+             |  SELECT event_id, user_id, ts AS conv_ts FROM events
+             |  WHERE event_type = 'purchase'
+             |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+             |tch AS (
+             |  SELECT user_id, ts AS touch_ts, event_type AS channel
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+             |j AS (
+             |  SELECT c.event_id, c.user_id, c.conv_ts, t.channel
+             |  FROM cv c JOIN tch t ON t.user_id = c.user_id
+             |    AND t.touch_ts <= c.conv_ts
+             |    AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),
+             |n AS (SELECT event_id, COUNT(*) AS n FROM j GROUP BY 1),
+             |cr AS (SELECT event_id, user_id, conv_ts, channel,
+             |    COUNT(*) AS nc
+             |  FROM j GROUP BY 1, 2, 3, 4)
+             |SELECT cr.event_id, cr.user_id, cr.conv_ts, cr.channel,
+             |  CAST(cr.nc * 1000000 // n.n AS BIGINT) AS credit_m
+             |FROM cr JOIN n USING (event_id)
+             |UNION ALL
+             |SELECT c.event_id, c.user_id, c.conv_ts,
+             |  CAST(NULL AS VARCHAR) AS channel,
+             |  CAST(1000000 AS BIGINT) AS credit_m
+             |FROM cv c WHERE NOT EXISTS (
+             |  SELECT 1 FROM j WHERE j.event_id = c.event_id)""".stripMargin)),
+
     Q("q_e9_anomaly",
       (s, d) => graft.operators.Anomaly.zscores(
         Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),

@@ -722,6 +722,47 @@ object TextQueries extends graft.QueryPack {
              |  s2.mink_avg_lp >= -8.25 AS member
              |FROM documents d LEFT JOIN s2 USING (doc_id)""".stripMargin)),
 
+    // ---- X62: HTML -> text extraction (crawl first transform) -----------
+    // HTML constructed engine-independently around documents.text (the
+    // q_x18/q_x40 discipline): script+style+comment blocks, attributed
+    // tags, and the six dominant entities incl. a double-encoded
+    // &amp;amp; (must decode exactly ONE level). The oracle replays the
+    // identical RE2-compatible regex/replace chain; null text stays
+    // null through the whole pipe.
+    Q("q_x62_html_strip",
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><style>p{c:1}</style>" +
+            "<script type=\"x\">var a=1<2;</script></head>" +
+            "<body><p class=\"t\">"),
+          col("text"),
+          lit("</p><!-- nav --><div>&amp;amp; &lt;b&gt; &quot;q&quot;" +
+            " &#39;s&#39;&nbsp;end</div></body></html>"))
+        Tables.documents(s, d).select(col("doc_id"),
+          graft.operators.TextAnalysis.stripHtml(html).as("clean"))
+      },
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(
+             |    replace(replace(replace(replace(replace(replace(
+             |      regexp_replace(
+             |        regexp_replace(
+             |          regexp_replace(
+             |            regexp_replace(html,
+             |              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             |          '(?s)<!--.*?-->', ' ', 'g'),
+             |        '<[^>]+>', ' ', 'g'),
+             |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+             |    '\s+', ' ', 'g')) AS clean
+             |FROM (SELECT doc_id,
+             |    '<html><head><style>p{c:1}</style>' ||
+             |    '<script type="x">var a=1<2;</script></head>' ||
+             |    '<body><p class="t">' || text ||
+             |    '</p><!-- nav --><div>&amp;amp; &lt;b&gt; &quot;q&quot;' ||
+             |    ' &#39;s&#39;&nbsp;end</div></body></html>' AS html
+             |  FROM documents)""".stripMargin)),
+
     // ---- X40: URL canonicalization (web-corpus first-pass dedup key) ----
     // URLs constructed engine-independently from documents columns (the
     // q_x18 discipline) covering the rule matrix: noisy case + default

@@ -163,4 +163,31 @@ class BehaviorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Behavior.lastTouch(events, "purchase", Seq("click"), 0L))
   }
+
+  test("linear attribution: equal credit per touch with integral-micro " +
+      "division, organic keeps the full credit on a null channel") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 10L, "click", "2026-01-01 10:00:00", 0.0),
+      (2L, 10L, "click", "2026-01-02 10:00:00", 0.0),
+      (3L, 10L, "view", "2026-01-03 10:00:00", 0.0),
+      (4L, 10L, "purchase", "2026-01-03 12:00:00", 60.0), // 3 touches in window
+      (5L, 20L, "click", "2026-01-01 08:00:00", 0.0),
+      (6L, 20L, "purchase", "2026-01-09 09:00:00", 70.0), // touch out of window
+      (7L, 30L, "purchase", "2026-01-05 10:00:00", 30.0)  // never touched
+    ).map { case (e, u, t, at, v) => (e, u, t, ts(at), v) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = Behavior.linearAttribution(events, "purchase",
+        Seq("click", "view"), 7L * 86400L * 1000000L)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(3))) -> r.getLong(4))
+      .toMap
+    // 2 clicks of 3 touches: 2e6 div 3; 1 view: 1e6 div 3 (floor, the
+    // remainder dropped — deterministic over cosmetically exact)
+    assert(out === Map(
+      (4L, Some("click")) -> 666666L, (4L, Some("view")) -> 333333L,
+      (6L, None) -> 1000000L, (7L, None) -> 1000000L))
+    intercept[IllegalArgumentException](
+      Behavior.linearAttribution(events, "purchase", Seq.empty, 1L))
+  }
 }

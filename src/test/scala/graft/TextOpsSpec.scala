@@ -460,6 +460,26 @@ class TextOpsSpec extends AnyFunSuite {
       s"index path must not re-scan the corpus:\n$p")
   }
 
+  test("html strip: blocks removed wholesale, tags to spaces, entities " +
+      "decode exactly one level, null propagates") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("<p>Hello <b>world</b></p><script>var x='<p>';</script>" +
+        "<style>a{b}</style><!-- hidden -->tail")),
+      (2L, Option("A &amp;amp; B &lt;i&gt; &quot;q&quot; &#39;s&#39;&nbsp;.")),
+      (3L, Option.empty[String])
+    ).toDF("doc_id", "html")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.stripHtml(col("html")).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(out(1L) === Some("Hello world tail"),
+      "script/style/comment bodies must vanish, tags become spaces")
+    assert(out(2L) === Some("A &amp; B <i> \"q\" 's' ."),
+      "entities decode exactly one level — &amp;amp; stays &amp;")
+    assert(out(3L) === None, "null in, null out")
+  }
+
   test("min-k% prob: k=100 equals -avg_nll of the perplexity gate; " +
       "the trained-on doc outscores the OOV doc; short docs are null") {
     import spark.implicits._
