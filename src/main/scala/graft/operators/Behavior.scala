@@ -222,4 +222,68 @@ object Behavior {
         lit(1000000L).as("credit_m"))
     credited.unionAll(organic)
   }
+
+  /** Position-based (U-shaped) multi-touch attribution — the third
+    * member of the family ([[lastTouch]], [[linearAttribution]]): the
+    * FIRST in-window touch gets 40% of the conversion's credit, the
+    * LAST 40%, and the middles share the remaining 20% equally — the
+    * standard 40/20/40 model. Degenerate cases follow the industry
+    * convention: a single touch takes the full credit; exactly two
+    * touches split 50/50. Credit is integer MICROS (the
+    * [[linearAttribution]] discipline): the middle share is
+    * `200000 div (n-2)` with the division remainder dropped, never
+    * redistributed, so a relational oracle replays every row exactly.
+    * Organic conversions emit one NULL-channel row with the full 1e6.
+    *
+    * Position needs a total order over each conversion's touches: one
+    * window PARTITIONED BY event_id ordered by `(touch_ts, channel)` —
+    * bounded per conversion by lookback × arrival rate, and the
+    * partition key is the many-valued conversion id, so the sort
+    * distributes (the [[sessionize]] exception to the no-window rule).
+    * Exact duplicate touches are interchangeable under this order and
+    * the per-channel aggregate is invariant to their permutation.
+    * Returns `(event_id, user_id, conv_ts, channel, credit_m)`. */
+  def positionAttribution(events: DataFrame, convType: String,
+      touchTypes: Seq[String], lookbackMicros: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch event type")
+    require(lookbackMicros > 0,
+      s"lookback must be positive micros, got $lookbackMicros")
+    require(!touchTypes.contains(convType),
+      s"'$convType' cannot be both conversion and touch")
+    val conv = events
+      .filter(col("event_type") === convType &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts").as("conv_ts"))
+    val touches = events
+      .filter(col("event_type").isin(touchTypes: _*) &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts").as("touch_ts"),
+        col("event_type").as("channel"))
+    val j = conv.join(touches, Seq("user_id"))
+      .filter(col("touch_ts") <= col("conv_ts") &&
+        unix_micros(col("conv_ts")) - unix_micros(col("touch_ts")) <=
+          lit(lookbackMicros))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("touch_ts"), col("channel"))
+    val wAll = Window.partitionBy(col("event_id"))
+    val positioned = j
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val credit =
+      when(col("__n") === 1, lit(1000000L))
+        .when(col("__n") === 2, lit(500000L))
+        .when(col("__rn") === 1 || col("__rn") === col("__n"), lit(400000L))
+        .otherwise(expr("CAST(200000 AS BIGINT) div (__n - 2)"))
+    val credited = positioned
+      .withColumn("__c", credit)
+      .groupBy(col("event_id"), col("user_id"), col("conv_ts"),
+        col("channel"))
+      .agg(sum(col("__c")).as("credit_m"))
+    val organic = conv.join(j.select(col("event_id")).distinct(),
+        Seq("event_id"), "left_anti")
+      .select(col("event_id"), col("user_id"), col("conv_ts"),
+        lit(null).cast("string").as("channel"),
+        lit(1000000L).as("credit_m"))
+    credited.unionAll(organic)
+  }
 }

@@ -278,6 +278,37 @@ object Dedup {
         round(col("inter").cast("double") / col("un"), 6).as("jaccard"))
   }
 
+  /** Containment near-dup — the asymmetric complement of
+    * [[jaccardPairs]]: `C(A,B) = |A∩B| / min(|A|,|B|)` flags QUOTE
+    * INCLUSION (a short doc embedded in a long one), which Jaccard
+    * structurally misses — a 50-shingle doc fully contained in a
+    * 5000-shingle doc has J ≈ 0.01 but C = 1.0. This is the Broder
+    * containment measure, the standard second axis of shingle-based
+    * dedup (news wire stories inside aggregator pages, quoted posts
+    * inside threads).
+    *
+    * Same candidate generation and shuffle shape as [[jaccardPairs]]
+    * (shared-shingle equi-join is the only wide exchange; feed it a
+    * [[capShingleFrequency]]-capped relation at corpus scale), and the
+    * same integer-exact cut: keep pairs with
+    * `inter * 10 >= min(na, nb) * thresholdTenths`. Returns
+    * `(a_id, b_id, inter, na, nb, containment)` with containment
+    * rounded to 6 dp. */
+  def containmentPairs(shing: DataFrame, thresholdTenths: Int): DataFrame = {
+    val sizes = shing.groupBy(col("sid")).agg(count(lit(1)).as("n"))
+    val a = shing.select(col("sid").as("a_id"), col("sh"))
+    val b = shing.select(col("sid").as("b_id"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("sid").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("sid").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .filter(col("inter") * 10 >= least(col("na"), col("nb")) * thresholdTenths)
+      .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"),
+        round(col("inter").cast("double") / least(col("na"), col("nb")), 6)
+          .as("containment"))
+  }
+
   /** Stop-shingle cap: drop shingles shared by more than `maxDocs`
     * documents before pair generation. At corpus scale a handful of
     * ubiquitous shingles (boilerplate, headers) would otherwise each

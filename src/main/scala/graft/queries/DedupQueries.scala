@@ -128,6 +128,47 @@ object DedupQueries extends graft.QueryPack {
               |  SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node)
               |SELECT node, MIN(label) AS component FROM cc GROUP BY node""".stripMargin)),
 
+    // ---- D19: containment near-dup (quote-inclusion detection) ----------
+    // The asymmetric Broder measure: every 5th doc contributes a derived
+    // "quote" row (its first 150 chars under doc_id + 1e6), whose
+    // shingles are a subset of the original's — containment 1.0 where
+    // Jaccard would sit near the size ratio and miss the pair. Same
+    // shared-shingle join as q_d2; threshold C >= 0.8 integer-exact.
+    Q("q_d19_containment",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val quotes = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            substring(col("text"), 1, 150).as("text"))
+        Dedup.containmentPairs(
+          Dedup.docShingles(docs.unionAll(quotes), "text", "doc_id"), 8)
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, substr(text, 1, 150)
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |t AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+             |  FROM corpus),
+             |sh AS (SELECT doc_id,
+             |  list_transform(range(1, len(toks) - 1),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+             |  FROM t WHERE len(toks) >= 3),
+             |exd AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM exd GROUP BY doc_id),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+             |  FROM exd a JOIN exd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT p.a_id, p.b_id, p.inter, sa.n AS na, sb.n AS nb,
+             |  ROUND(CAST(p.inter AS DOUBLE) / LEAST(sa.n, sb.n), 6)
+             |    AS containment
+             |FROM pairs p
+             |JOIN sizes sa ON sa.doc_id = p.a_id
+             |JOIN sizes sb ON sb.doc_id = p.b_id
+             |WHERE p.inter * 10 >= LEAST(sa.n, sb.n) * 8""".stripMargin)),
+
     // ---- D8: MinHash-LSH candidates, map-only signature kernel ----------
     // Same candidate set and same oracle as q_d3, but the signature is
     // computed by the native minhash_bands expression inside one

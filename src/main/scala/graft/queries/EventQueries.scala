@@ -257,6 +257,44 @@ object EventQueries extends graft.QueryPack {
              |FROM cv c WHERE NOT EXISTS (
              |  SELECT 1 FROM j WHERE j.event_id = c.event_id)""".stripMargin)),
 
+    // ---- E23: position-based (U-shaped 40/20/40) attribution ------------
+    // First in-window touch 40%, last 40%, middles share 20% integrally;
+    // 1 touch takes all, 2 split 50/50; organic keeps 1e6 on NULL. The
+    // oracle replays the same row_number order (touch_ts, channel).
+    Q("q_e23_position_attribution",
+      (s, d) => graft.operators.Behavior.positionAttribution(
+        Tables.events(s, d), convType = "purchase",
+        touchTypes = Seq("click", "view"),
+        lookbackMicros = 7L * 86400L * 1000000L),
+      Some("""WITH cv AS (
+             |  SELECT event_id, user_id, ts AS conv_ts FROM events
+             |  WHERE event_type = 'purchase'
+             |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+             |tch AS (
+             |  SELECT user_id, ts AS touch_ts, event_type AS channel
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+             |j AS (
+             |  SELECT c.event_id, c.user_id, c.conv_ts, t.channel,
+             |    ROW_NUMBER() OVER (PARTITION BY c.event_id
+             |      ORDER BY t.touch_ts, t.channel) AS rn,
+             |    COUNT(*) OVER (PARTITION BY c.event_id) AS n
+             |  FROM cv c JOIN tch t ON t.user_id = c.user_id
+             |    AND t.touch_ts <= c.conv_ts
+             |    AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY)
+             |SELECT event_id, user_id, conv_ts, channel,
+             |  CAST(SUM(CASE WHEN n = 1 THEN 1000000
+             |    WHEN n = 2 THEN 500000
+             |    WHEN rn = 1 OR rn = n THEN 400000
+             |    ELSE 200000 // (n - 2) END) AS BIGINT) AS credit_m
+             |FROM j GROUP BY 1, 2, 3, 4
+             |UNION ALL
+             |SELECT c.event_id, c.user_id, c.conv_ts,
+             |  CAST(NULL AS VARCHAR) AS channel,
+             |  CAST(1000000 AS BIGINT) AS credit_m
+             |FROM cv c WHERE NOT EXISTS (
+             |  SELECT 1 FROM j WHERE j.event_id = c.event_id)""".stripMargin)),
+
     Q("q_e9_anomaly",
       (s, d) => graft.operators.Anomaly.zscores(
         Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),

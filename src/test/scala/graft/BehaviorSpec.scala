@@ -190,4 +190,49 @@ class BehaviorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Behavior.linearAttribution(events, "purchase", Seq.empty, 1L))
   }
+
+  test("position attribution: 40/20/40 with integral middle shares, " +
+      "1-touch and 2-touch conventions, organic on a null channel") {
+    import spark.implicits._
+    val events = Seq(
+      // user 10: 4 touches -> first click 40, view+click middles 10+10, last view 40
+      (1L, 10L, "click", "2026-01-01 10:00:00", 0.0),
+      (2L, 10L, "view", "2026-01-02 10:00:00", 0.0),
+      (3L, 10L, "click", "2026-01-02 11:00:00", 0.0),
+      (4L, 10L, "view", "2026-01-03 10:00:00", 0.0),
+      (5L, 10L, "purchase", "2026-01-03 12:00:00", 60.0),
+      // user 20: exactly two touches -> 50/50
+      (6L, 20L, "click", "2026-01-01 08:00:00", 0.0),
+      (7L, 20L, "view", "2026-01-02 08:00:00", 0.0),
+      (8L, 20L, "purchase", "2026-01-03 09:00:00", 70.0),
+      // user 30: single touch takes all
+      (9L, 30L, "view", "2026-01-05 09:00:00", 0.0),
+      (10L, 30L, "purchase", "2026-01-05 10:00:00", 30.0),
+      // user 40: organic
+      (11L, 40L, "purchase", "2026-01-05 10:00:00", 10.0),
+      // user 50: 5 touches, middle share 200000 div 3 = 66666 each
+      (12L, 50L, "click", "2026-01-01 01:00:00", 0.0),
+      (13L, 50L, "view", "2026-01-01 02:00:00", 0.0),
+      (14L, 50L, "view", "2026-01-01 03:00:00", 0.0),
+      (15L, 50L, "view", "2026-01-01 04:00:00", 0.0),
+      (16L, 50L, "click", "2026-01-01 05:00:00", 0.0),
+      (17L, 50L, "purchase", "2026-01-01 06:00:00", 5.0)
+    ).map { case (e, u, t, at, v) => (e, u, t, ts(at), v) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = Behavior.positionAttribution(events, "purchase",
+        Seq("click", "view"), 7L * 86400L * 1000000L)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(3))) -> r.getLong(4))
+      .toMap
+    assert(out === Map(
+      // user 10: click first (400000) + click middle (100000); view middle
+      // (100000) + view last (400000)
+      (5L, Some("click")) -> 500000L, (5L, Some("view")) -> 500000L,
+      (8L, Some("click")) -> 500000L, (8L, Some("view")) -> 500000L,
+      (10L, Some("view")) -> 1000000L,
+      (11L, None) -> 1000000L,
+      // user 50: click first 400000 + click last 400000; 3 view middles
+      // at 200000 div 3 = 66666 each
+      (17L, Some("click")) -> 800000L, (17L, Some("view")) -> 199998L))
+  }
 }

@@ -259,6 +259,31 @@ class DedupClusterSpec extends AnyFunSuite {
       Map(11L -> "exact_dup", 12L -> "near_dup", 13L -> "kept"))
   }
 
+  test("containment: a quoted doc hits C=1.0 where Jaccard misses; " +
+      "threshold cuts integer-exactly") {
+    import spark.implicits._
+    // doc 2 = the first 4 tokens of doc 1 → its 2 shingles are all in
+    // doc 1's 8: C = 2/2 = 1.0 while J = 2/8 = 0.25 (Jaccard at 0.8
+    // would never flag this pair). doc 3 shares exactly 1 of its 2
+    // shingles with doc 4 → C = 0.5, below the 0.8 cut.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d"),
+      (3L, "p q r s"),
+      (4L, "q r s t")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(
+        Dedup.docShingles(docs, "text", "doc_id"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === Map((1L, 2L) -> ((2L, 8L, 2L, 1.0))))
+    // at thresholdTenths=5 the (3,4) pair appears with C = 0.5
+    val loose = Dedup.containmentPairs(
+        Dedup.docShingles(docs, "text", "doc_id"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose === Set((1L, 2L), (3L, 4L)))
+  }
+
   test("span dedup: first occurrence wins, redundant docs vanish, order preserved") {
     import spark.implicits._
     // window=2 spans: doc 1 = [a b][c d][e f]; doc 2 repeats [c d] and
