@@ -338,6 +338,51 @@ object TextAnalysis {
       .withColumn("keep", col("blocked_ratio") <= maxRatio)
   }
 
+  /** Host-level quality gate — the RefinedWeb/C4 step document-level
+    * filters can't express: a host whose documents are MOSTLY bad is
+    * evidence the whole host is spam/SEO-farm/boilerplate, so its
+    * remaining "good-looking" documents go too. Each doc carries a
+    * caller-computed boolean bad flag (compose with [[qualityScore]] /
+    * [[gopherRules]] / [[c4Rules]] verdicts); hosts with at least
+    * `minDocs` documents and a bad fraction STRICTLY above
+    * `maxBadRatio` are dropped wholesale. Hosts below the evidence bar,
+    * and docs whose URL has no parseable `scheme://authority` (host
+    * null — refusing to guess, the [[canonicalUrl]] philosophy), are
+    * kept: absence of evidence never drops data. A NULL bad flag counts
+    * as not-bad — compute flags null-safely upstream.
+    *
+    * Shape: host extraction is one map-side projection (authority
+    * lowercased, `:port` stripped); per-host stats are ONE hash
+    * aggregation on the host key; the verdict joins back keyed by host
+    * — the stats side is hosts-sized (≪ docs), so AQE broadcasts it
+    * while it fits and falls back to a keyed shuffle join beyond that.
+    * Returns `(<idCol>, host, host_docs, host_bad, bad_ratio, keep)`
+    * with host stats null for unparseable-host docs. */
+  def hostQualityGate(df: DataFrame, urlCol: String, badCol: String,
+      maxBadRatio: Double, minDocs: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxBadRatio >= 0 && maxBadRatio <= 1,
+      s"maxBadRatio must be in [0, 1], got $maxBadRatio")
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val auth = regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host = when(coalesce(auth, lit("")) === "", lit(null))
+      .otherwise(lower(regexp_replace(auth, ":[0-9]+$", "")))
+    val tagged = df.select(col(idCol), host.as("host"),
+      col(s"`$badCol`").cast("boolean").as("__bad"))
+    val stats = tagged.filter(col("host").isNotNull)
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("host_docs"),
+        sum(when(col("__bad"), 1L).otherwise(0L)).as("host_bad"))
+      .withColumn("bad_ratio",
+        round(col("host_bad").cast("double") / col("host_docs"), 6))
+    tagged.join(stats, Seq("host"), "left")
+      .select(col(idCol), col("host"), col("host_docs"), col("host_bad"),
+        col("bad_ratio"),
+        (col("host").isNull || col("host_docs") < minDocs ||
+          col("bad_ratio") <= maxBadRatio).as("keep"))
+  }
+
   /** Small built-in stopword lists for the n-gram language-ID heuristic. */
   val langStopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),

@@ -763,6 +763,52 @@ object TextQueries extends graft.QueryPack {
              |    ' &#39;s&#39;&nbsp;end</div></body></html>' AS html
              |  FROM documents)""".stripMargin)),
 
+    // ---- X63: host-level quality gate (RefinedWeb whole-host drop) ------
+    // URLs constructed engine-independently (3 hosts per source, an
+    // uppercase authority + :443 port to exercise normalization, and
+    // every 19th doc an unparseable URL -> null host, kept). The bad
+    // flag is null text or under 40 tokens; hosts with >= 5 docs and
+    // bad fraction strictly above 0.3 drop wholesale.
+    Q("q_x63_host_gate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val url = when(col("doc_id") % 19 === 0, lit("not a url"))
+          .otherwise(concat(lit("https://H"), col("doc_id") % 3,
+            lit("."), col("source"), lit(".com:443/p/"), col("doc_id")))
+        val bad = col("text").isNull ||
+          size(TextAnalysis.tokens(col("text"))) < 40
+        TextAnalysis.hostQualityGate(
+          docs.select(col("doc_id"), url.as("url"), bad.as("bad")),
+          "url", "bad", maxBadRatio = 0.3, minDocs = 5L)
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 19 = 0 THEN 'not a url'
+             |      ELSE 'https://H' || (doc_id % 3) || '.' || source ||
+             |        '.com:443/p/' || doc_id END AS url,
+             |    (text IS NULL OR len(list_filter(
+             |      regexp_split_to_array(text, '\s+'), x -> x <> '')) < 40)
+             |      AS bad
+             |  FROM documents),
+             |h AS (SELECT doc_id, bad,
+             |    CASE WHEN COALESCE(regexp_extract(url,
+             |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '') = ''
+             |      THEN NULL
+             |      ELSE lower(regexp_replace(regexp_extract(url,
+             |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+             |        ':[0-9]+$', '')) END AS host
+             |  FROM u),
+             |s AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS host_docs,
+             |    CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS host_bad
+             |  FROM h WHERE host IS NOT NULL GROUP BY 1),
+             |s2 AS (SELECT *, ROUND(CAST(host_bad AS DOUBLE) / host_docs, 6)
+             |    AS bad_ratio FROM s)
+             |SELECT h.doc_id, h.host, s2.host_docs, s2.host_bad,
+             |  s2.bad_ratio,
+             |  (h.host IS NULL OR s2.host_docs < 5 OR s2.bad_ratio <= 0.3)
+             |    AS keep
+             |FROM h LEFT JOIN s2 ON s2.host = h.host""".stripMargin)),
+
     // ---- X40: URL canonicalization (web-corpus first-pass dedup key) ----
     // URLs constructed engine-independently from documents columns (the
     // q_x18 discipline) covering the rule matrix: noisy case + default

@@ -480,6 +480,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L) === None, "null in, null out")
   }
 
+  test("host gate: a mostly-bad host drops wholesale, thin evidence and " +
+      "unparseable hosts keep, authority normalizes case and port") {
+    import spark.implicits._
+    val docs = Seq(
+      // spam.com: 5 docs, 4 bad (0.8 > 0.3) -> ALL drop, even the good one
+      (1L, "https://SPAM.com:443/a", true), (2L, "https://spam.com/b", true),
+      (3L, "https://spam.com/c", true), (4L, "https://spam.com/d", true),
+      (5L, "https://spam.com/e", false),
+      // good.org: 5 docs, 1 bad (0.2 <= 0.3) -> all keep
+      (6L, "http://good.org/1", false), (7L, "http://good.org/2", false),
+      (8L, "http://good.org/3", false), (9L, "http://good.org/4", false),
+      (10L, "http://good.org/5", true),
+      // thin.net: 2 docs both bad, below minDocs=5 -> kept (no evidence)
+      (11L, "https://thin.net/x", true), (12L, "https://thin.net/y", true),
+      // no parseable host -> kept, null stats
+      (13L, "garbage", true)
+    ).toDF("doc_id", "url", "bad")
+    val out = TextAnalysis.hostQualityGate(docs, "url", "bad", 0.3, 5L)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getBoolean(5)))).toMap
+    assert((1L to 5L).forall(i => out(i) === ((Some("spam.com"), false))),
+      s"the whole spam host must drop: $out")
+    assert((6L to 10L).forall(i => out(i) === ((Some("good.org"), true))))
+    assert((11L to 12L).forall(i => out(i) === ((Some("thin.net"), true))),
+      "below the evidence bar nothing drops")
+    assert(out(13L) === ((None, true)), "unparseable host keeps with null stats")
+    intercept[IllegalArgumentException](
+      TextAnalysis.hostQualityGate(docs, "url", "bad", 1.5, 5L))
+  }
+
   test("min-k% prob: k=100 equals -avg_nll of the perplexity gate; " +
       "the trained-on doc outscores the OOV doc; short docs are null") {
     import spark.implicits._
