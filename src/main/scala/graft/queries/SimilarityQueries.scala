@@ -251,6 +251,66 @@ object SimilarityQueries extends graft.QueryPack {
               |  FROM scored)
               |WHERE rnk <= 10""".stripMargin)),
 
+    // ---- SIM12: SQ8 scalar quantization, map-only encode ----------------
+    // Per-dimension affine grid from one hash agg; codes inline as a
+    // joined string (the driver compare can't diff LIST cells). The
+    // oracle replays the grid, the rounding, and the clamps per element.
+    Q("q_sim12_sq8_encode",
+      (s, d) => graft.operators.Sq.sqEncode(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          col("codes").cast("array<string>").as("c_str"))
+        .select(col("vec_id"), array_join(col("c_str"), ",").as("codes_str")),
+      Some(s"""$duckEx,
+              |mm AS (SELECT i, min(CAST(v AS DOUBLE)) AS mn,
+              |    max(CAST(v AS DOUBLE)) AS mx
+              |  FROM ex GROUP BY i),
+              |cd AS (SELECT e.vec_id, e.i,
+              |    CASE WHEN m.mx = m.mn THEN 0
+              |      ELSE LEAST(255, GREATEST(0, CAST(round(
+              |        (CAST(e.v AS DOUBLE) - m.mn) * 255 / (m.mx - m.mn))
+              |        AS INT))) END AS c
+              |  FROM ex e JOIN mm m ON m.i = e.i)
+              |SELECT vec_id, string_agg(c, ',' ORDER BY i) AS codes_str
+              |FROM cd GROUP BY vec_id""".stripMargin)),
+
+    // ---- SIM13: SQ8 asymmetric top-k (exact query vs dequantized corpus)
+    // The ADC discipline at the scalar tier: queries keep float vectors,
+    // corpus rides as uint8 codes and dequantizes in the map stage;
+    // cosine at 6 dp, ties to the lowest id, self excluded.
+    Q("q_sim13_sq8_topk",
+      (s, d) => graft.operators.Sq.sqTopK(
+        Tables.embeddings(s, d), col("vec_id") < 5, 5),
+      Some(s"""$duckEx,
+              |mm AS (SELECT i, min(CAST(v AS DOUBLE)) AS mn,
+              |    max(CAST(v AS DOUBLE)) AS mx
+              |  FROM ex GROUP BY i),
+              |dq AS (SELECT e.vec_id, e.i,
+              |    m.mn + (CASE WHEN m.mx = m.mn THEN 0
+              |      ELSE LEAST(255, GREATEST(0, CAST(round(
+              |        (CAST(e.v AS DOUBLE) - m.mn) * 255 / (m.mx - m.mn))
+              |        AS INT))) END) * (m.mx - m.mn) / 255 AS dv
+              |  FROM ex e JOIN mm m ON m.i = e.i),
+              |dn AS (SELECT vec_id, sqrt(SUM(dv * dv)) AS nrm
+              |  FROM dq GROUP BY vec_id),
+              |dots AS (
+              |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+              |    SUM(CAST(q.v AS DOUBLE) * d.dv) AS dot
+              |  FROM ex q JOIN dq d ON d.i = q.i
+              |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id
+              |  GROUP BY 1, 2),
+              |scored AS (
+              |  SELECT t.query_id, t.neighbor_id,
+              |    ROUND(t.dot / (nq.nrm * nn.nrm), 6) AS score
+              |  FROM dots t
+              |  JOIN norms nq ON nq.vec_id = t.query_id
+              |  JOIN dn nn ON nn.vec_id = t.neighbor_id)
+              |SELECT query_id, neighbor_id, score, rnk FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+              |    AS rnk
+              |  FROM scored)
+              |WHERE rnk <= 5""".stripMargin)),
+
     // ---- SIM10: hard-negative mining (contrastive-training pairs) -------
     // Top-40 retrieval, drop the near-dup band (score >= 0.35, q_sim3's
     // tau), keep the 10 best survivors — similar-but-not-duplicate, the

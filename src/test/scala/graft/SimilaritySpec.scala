@@ -114,6 +114,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cents(0).getSeq[Float](1) === Seq(1.175f, 0.075f))
   }
 
+  test("sq8: codes span the grid, constant dims code 0, dequantization " +
+      "error is bounded by half a step, topk ranks by dequantized cosine") {
+    import spark.implicits._
+    import graft.operators.Sq
+    val emb = Seq(
+      (0L, Array(0.0f, 1.0f, 5.0f)),
+      (1L, Array(10.0f, 1.0f, 0.0f)),
+      (2L, Array(5.0f, 1.0f, 2.5f)),
+      (3L, Array(2.0f, 1.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val codes = Sq.sqEncode(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // dim 0 spans [0,10]: 0 -> 0, 10 -> 255, 5 -> 128 (round .5 up), 2 -> 51
+    assert(codes(0L)(0) === 0 && codes(1L)(0) === 255)
+    assert(codes(2L)(0) === 128 && codes(3L)(0) === 51)
+    // dim 1 is constant -> every code 0
+    assert(codes.values.forall(_(1) === 0))
+    // dequantization error <= rng/(2*255) per dim
+    val (mn, rng) = Sq.collectParams(Sq.sqTrain(emb))
+    for ((id, cs) <- codes; i <- cs.indices) {
+      val orig = Map(0L -> Array(0.0, 1.0, 5.0), 1L -> Array(10.0, 1.0, 0.0),
+        2L -> Array(5.0, 1.0, 2.5), 3L -> Array(2.0, 1.0, 4.0))(id)(i)
+      val dv = mn(i) + cs(i) * rng(i) / 255.0
+      assert(math.abs(dv - orig) <= rng(i) / 510.0 + 1e-9,
+        s"vec $id dim $i: $dv vs $orig")
+    }
+    // topk: self excluded, <= k rows per query, rnk contract holds
+    val tk = Sq.sqTopK(emb, col("vec_id") < 2, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(tk.groupBy(_._1).forall { case (q, rows) =>
+      rows.length <= 2 && rows.forall(_._2 != q) &&
+        rows.sortBy(_._4).map(_._3).reverse.sorted.sameElements(
+          rows.map(_._3).sorted)
+    })
+  }
+
   test("pq: joint codebook training equals m independent sliced kmeans runs") {
     val joint = Pq.trainCodebooks(emb, 4, 64, 4, 2)
     val perSub = (0 until 4).map { s =>
