@@ -286,4 +286,68 @@ object Behavior {
         lit(1000000L).as("credit_m"))
     credited.unionAll(organic)
   }
+
+  /** Time-decay multi-touch attribution — the fourth member of the
+    * family: recent touches earn more, with weight halving per
+    * `halfLifeMicros` of age. The decay is QUANTIZED to whole
+    * half-lives: `w = 1e6 div 2^(age div halfLife)` — pure integer
+    * arithmetic (a shift, an integral division), so a relational oracle
+    * replays every weight exactly; the continuous `2^(-age/h)` differs
+    * from it by at most a factor of 2 per touch, far inside the noise
+    * of any attribution model, and "deterministic beats
+    * cosmetically-exact" is the house rule ([[linearAttribution]]).
+    * Per-channel credit is `Σ_channel w · 1e6 div Σ_all w` micros,
+    * remainder dropped; organic conversions emit the NULL-channel row
+    * with the full 1e6.
+    *
+    * Same join shape as [[linearAttribution]]: one user-keyed equi-join
+    * + window filter, two keyed aggregations, the organic anti-join —
+    * no windows, no per-conversion scans. */
+  def timeDecayAttribution(events: DataFrame, convType: String,
+      touchTypes: Seq[String], lookbackMicros: Long,
+      halfLifeMicros: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch event type")
+    require(lookbackMicros > 0,
+      s"lookback must be positive micros, got $lookbackMicros")
+    require(halfLifeMicros > 0,
+      s"half-life must be positive micros, got $halfLifeMicros")
+    require(lookbackMicros / halfLifeMicros < 62,
+      s"lookback spans ${lookbackMicros / halfLifeMicros} half-lives — " +
+        "beyond 62 the integer weight underflows the shift; widen the " +
+        "half-life or narrow the lookback")
+    require(!touchTypes.contains(convType),
+      s"'$convType' cannot be both conversion and touch")
+    val conv = events
+      .filter(col("event_type") === convType &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts").as("conv_ts"))
+    val touches = events
+      .filter(col("event_type").isin(touchTypes: _*) &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts").as("touch_ts"),
+        col("event_type").as("channel"))
+    val j = conv.join(touches, Seq("user_id"))
+      .filter(col("touch_ts") <= col("conv_ts") &&
+        unix_micros(col("conv_ts")) - unix_micros(col("touch_ts")) <=
+          lit(lookbackMicros))
+      .withColumn("__w", expr(
+        s"CAST(1000000 AS BIGINT) div shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST((unix_micros(conv_ts) - unix_micros(touch_ts)) div " +
+          s"${halfLifeMicros} AS INT))"))
+    val tot = j.groupBy(col("event_id")).agg(sum(col("__w")).as("__tw"))
+    val credited = j
+      .groupBy(col("event_id"), col("user_id"), col("conv_ts"),
+        col("channel"))
+      .agg(sum(col("__w")).as("__cw"))
+      .join(tot, Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("conv_ts"),
+        col("channel"),
+        expr("(__cw * CAST(1000000 AS BIGINT)) div __tw").as("credit_m"))
+    val organic = conv.join(j.select(col("event_id")).distinct(),
+        Seq("event_id"), "left_anti")
+      .select(col("event_id"), col("user_id"), col("conv_ts"),
+        lit(null).cast("string").as("channel"),
+        lit(1000000L).as("credit_m"))
+    credited.unionAll(organic)
+  }
 }

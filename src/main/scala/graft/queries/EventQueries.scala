@@ -257,6 +257,46 @@ object EventQueries extends graft.QueryPack {
              |FROM cv c WHERE NOT EXISTS (
              |  SELECT 1 FROM j WHERE j.event_id = c.event_id)""".stripMargin)),
 
+    // ---- E24: time-decay attribution (quantized half-life weights) ------
+    // w = 1e6 div 2^(age div 1day) — pure integer shift+division, exact
+    // in both engines; per-channel credit = channel_w * 1e6 div total_w;
+    // organic keeps 1e6 on NULL.
+    Q("q_e24_timedecay_attribution",
+      (s, d) => graft.operators.Behavior.timeDecayAttribution(
+        Tables.events(s, d), convType = "purchase",
+        touchTypes = Seq("click", "view"),
+        lookbackMicros = 7L * 86400L * 1000000L,
+        halfLifeMicros = 86400L * 1000000L),
+      Some("""WITH cv AS (
+             |  SELECT event_id, user_id, ts AS conv_ts FROM events
+             |  WHERE event_type = 'purchase'
+             |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+             |tch AS (
+             |  SELECT user_id, ts AS touch_ts, event_type AS channel
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+             |j AS (
+             |  SELECT c.event_id, c.user_id, c.conv_ts, t.channel,
+             |    CAST(1000000 AS BIGINT) // (CAST(1 AS BIGINT) <<
+             |      CAST((epoch_us(c.conv_ts) - epoch_us(t.touch_ts)) //
+             |        86400000000 AS INT)) AS w
+             |  FROM cv c JOIN tch t ON t.user_id = c.user_id
+             |    AND t.touch_ts <= c.conv_ts
+             |    AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),
+             |tot AS (SELECT event_id, SUM(w) AS tw FROM j GROUP BY 1),
+             |cw AS (SELECT event_id, user_id, conv_ts, channel,
+             |    SUM(w) AS chw
+             |  FROM j GROUP BY 1, 2, 3, 4)
+             |SELECT cw.event_id, cw.user_id, cw.conv_ts, cw.channel,
+             |  CAST(cw.chw * 1000000 // tot.tw AS BIGINT) AS credit_m
+             |FROM cw JOIN tot USING (event_id)
+             |UNION ALL
+             |SELECT c.event_id, c.user_id, c.conv_ts,
+             |  CAST(NULL AS VARCHAR) AS channel,
+             |  CAST(1000000 AS BIGINT) AS credit_m
+             |FROM cv c WHERE NOT EXISTS (
+             |  SELECT 1 FROM j WHERE j.event_id = c.event_id)""".stripMargin)),
+
     // ---- E23: position-based (U-shaped 40/20/40) attribution ------------
     // First in-window touch 40%, last 40%, middles share 20% integrally;
     // 1 touch takes all, 2 split 50/50; organic keeps 1e6 on NULL. The

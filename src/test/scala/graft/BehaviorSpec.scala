@@ -191,6 +191,35 @@ class BehaviorSpec extends AnyFunSuite {
       Behavior.linearAttribution(events, "purchase", Seq.empty, 1L))
   }
 
+  test("time-decay attribution: weights halve per whole half-life, " +
+      "credit splits by integral weight shares, organic keeps 1e6") {
+    import spark.implicits._
+    val events = Seq(
+      // user 10: click 2.5 days before (k=2, w=250000), view 0.5 days
+      // before (k=0, w=1000000); total 1250000
+      (1L, 10L, "click", "2026-01-01 00:00:00", 0.0),
+      (2L, 10L, "view", "2026-01-03 00:00:00", 0.0),
+      (3L, 10L, "purchase", "2026-01-03 12:00:00", 60.0),
+      // user 20: organic
+      (4L, 20L, "purchase", "2026-01-05 10:00:00", 10.0)
+    ).map { case (e, u, t, at, v) => (e, u, t, ts(at), v) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = Behavior.timeDecayAttribution(events, "purchase",
+        Seq("click", "view"), 7L * 86400L * 1000000L, 86400L * 1000000L)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(3))) -> r.getLong(4))
+      .toMap
+    // click: 250000*1e6 div 1250000 = 200000; view: 1000000*1e6 div
+    // 1250000 = 800000
+    assert(out === Map(
+      (3L, Some("click")) -> 200000L, (3L, Some("view")) -> 800000L,
+      (4L, None) -> 1000000L))
+    // beyond 62 half-lives the shift would underflow — loud refusal
+    intercept[IllegalArgumentException](
+      Behavior.timeDecayAttribution(events, "purchase", Seq("click"),
+        lookbackMicros = 100L * 86400L * 1000000L, halfLifeMicros = 1000L))
+  }
+
   test("position attribution: 40/20/40 with integral middle shares, " +
       "1-touch and 2-touch conventions, organic on a null channel") {
     import spark.implicits._
