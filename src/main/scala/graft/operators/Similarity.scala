@@ -110,6 +110,78 @@ object Similarity {
         col("score").as("rrf"), col("rnk"))
   }
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998) —
+    * the standard diversity pass over a retrieval run: greedily pick the
+    * candidate maximizing `λ·rel − (1−λ)·max_{s∈S} sim(c, s)`, so the
+    * final k trade raw relevance against redundancy with what is
+    * already selected (RAG context assembly, dedup-aware search UIs).
+    *
+    * Exact-integer contract: relevance and pairwise cosines convert to
+    * MICROS (`round(x·1e6)` of the 6-dp-rounded scores) and λ is given
+    * in TENTHS, so every MMR score is
+    * `λt·rel_m − (10−λt)·maxsim_m` — pure int64 arithmetic a relational
+    * oracle replays exactly; argmax ties break to the lowest doc id.
+    * Round 1 has no selected set: its score is `λt·rel_m` (the same
+    * argmax as pure relevance).
+    *
+    * Scale shape: the run is already ≤ kRetrieve·queries rows (bounded
+    * upstream); candidate pairwise sims are ONE keyed self-join +
+    * embedding lookups — ≤ kRetrieve² pairs per query, each a bounded
+    * dot — materialized once; then k rounds of query-keyed joins over
+    * query×k-sized frames, each round checkpointed (frames this small
+    * make the lineage barrier the only cost that matters). Queries with
+    * fewer than k candidates return all of them. Returns
+    * `(query_id, doc_id, mmr_m, rnk)`. */
+  def mmrRerank(run: DataFrame, emb: DataFrame, k: Int, lambdaTenths: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"lambdaTenths must be in [0, 10], got $lambdaTenths")
+    val sp = emb.sparkSession
+    val lam = lambdaTenths.toLong
+    val rel = run.select(col("query_id"), col("neighbor_id"),
+      round(col("score") * lit(1000000)).cast("long").as("rel_m"))
+    val ev = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"))
+    val aSide = rel.select(col("query_id"), col("neighbor_id").as("a_id"))
+    val bSide = rel.select(col("query_id"), col("neighbor_id").as("b_id"))
+    val pairs = aSide.join(bSide, Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .join(ev.select(col("__id").as("a_id"), col("__v").as("av"),
+        col("__n").as("an")), Seq("a_id"))
+      .join(ev.select(col("__id").as("b_id"), col("__v").as("bv"),
+        col("__n").as("bn")), Seq("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        round(round(nativeDot(sp, col("av"), col("bv")) /
+          (col("an") * col("bn")), 6) * lit(1000000))
+          .cast("long").as("sim_m"))
+      .localCheckpoint(true)
+    def argmax(scored: DataFrame, rnk: Int): DataFrame = scored
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("__mmr").as("m"),
+        (-col("neighbor_id")).as("ni"))).as("t"))
+      .select(col("query_id"), (-col("t.ni")).as("doc_id"),
+        col("t.m").as("mmr_m"), lit(rnk).as("rnk"))
+    var sel = argmax(rel.withColumn("__mmr", lit(lam) * col("rel_m")), 1)
+      .localCheckpoint(true)
+    (2 to k).foreach { r =>
+      val remaining = rel.join(
+        sel.select(col("query_id"), col("doc_id").as("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val scored = remaining
+        .join(pairs.withColumnRenamed("a_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"))
+        .join(sel.select(col("query_id"), col("doc_id").as("b_id")),
+          Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("rel_m"))
+        .agg(max(col("sim_m")).as("__ms"))
+        .withColumn("__mmr",
+          lit(lam) * col("rel_m") - lit(10L - lam) * col("__ms"))
+      sel = sel.unionAll(argmax(scored, r)).localCheckpoint(true)
+    }
+    sel
+  }
+
   /** Hard-negative mining for contrastive training: per query, the k
     * most-similar corpus vectors that are NOT near-duplicates — similar
     * enough to be hard (the model must work to separate them), below the

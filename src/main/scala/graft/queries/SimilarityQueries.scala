@@ -226,6 +226,45 @@ object SimilarityQueries extends graft.QueryPack {
     "ch1 AS MATERIALIZED (SELECT 0 AS ord, MIN(vec_id) AS cid FROM samp)") ++
     (1 to 7).map(n => ffStep(n, ex = "exs"))).mkString(",\n")
 
+  /** The q_sim14 greedy MMR unroll: round 1 is pure λ·rel argmax;
+    * round r scores every unselected candidate by
+    * `7·rel_m − 3·max(sim_m to the selected set)` and picks the
+    * row_number-1 winner (ties to the lowest id — the engine's packed
+    * struct-max contract). Every step MATERIALIZED: each round
+    * references its predecessor's selected set twice. */
+  private def duckMmrRounds(k: Int): String = {
+    val head =
+      """sel1 AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, 7 * rel_m AS mmr_m, 1 AS rnk
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY 7 * rel_m DESC, neighbor_id) AS rn FROM cand)
+        |  WHERE rn = 1),
+        |ss1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM sel1)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""mr$r AS MATERIALIZED (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    7 * c.rel_m - 3 * MAX(p.sim_m) AS mmr_m
+         |  FROM cand c
+         |  JOIN pw p ON p.query_id = c.query_id
+         |    AND p.a_id = c.neighbor_id
+         |  JOIN ss${r - 1} s ON s.query_id = p.query_id
+         |    AND s.neighbor_id = p.b_id
+         |  LEFT JOIN ss${r - 1} s2 ON s2.query_id = c.query_id
+         |    AND s2.neighbor_id = c.neighbor_id
+         |  WHERE s2.neighbor_id IS NULL
+         |  GROUP BY 1, 2, c.rel_m),
+         |sel$r AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, mmr_m, $r AS rnk
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY mmr_m DESC, neighbor_id) AS rn FROM mr$r)
+         |  WHERE rn = 1),
+         |ss$r AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM ss${r - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM sel$r)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
   override def queries: Seq[Q] = Seq(
 
     // ---- SIM1: brute-force cosine top-k --------------------------------
@@ -250,6 +289,64 @@ object SimilarityQueries extends graft.QueryPack {
               |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
               |  FROM scored)
               |WHERE rnk <= 10""".stripMargin)),
+
+    // ---- SIM14: MMR diversity re-rank over the q_sim1 run ---------------
+    // Greedy maximal marginal relevance in exact integer micros:
+    // mmr = 7·rel_m − 3·maxsim_m, ties to the lowest doc id; the oracle
+    // unrolls the 5 greedy rounds as MATERIALIZED CTEs (the kpp/ff
+    // discipline) over the same rank-10 candidate run.
+    Q("q_sim14_mmr",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.mmrRerank(
+          Similarity.bruteForceTopK(emb, col("vec_id") < 5, 10)
+            .select(col("query_id"), col("neighbor_id"), col("score")),
+          emb, k = 5, lambdaTenths = 7)
+      },
+      Some(s"""$duckEx,
+              |cand AS MATERIALIZED (
+              |  SELECT query_id, neighbor_id,
+              |    CAST(ROUND(score * 1000000) AS BIGINT) AS rel_m
+              |  FROM (
+              |    SELECT query_id, neighbor_id, score, row_number() OVER (
+              |      PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+              |      AS rnk
+              |    FROM (SELECT d.query_id, d.neighbor_id,
+              |        ROUND(d.dot / (nq.nrm * nn.nrm), 6) AS score
+              |      FROM (SELECT qx.vec_id AS query_id,
+              |          e.vec_id AS neighbor_id,
+              |          SUM(CAST(qx.v AS DOUBLE) * CAST(e.v AS DOUBLE))
+              |            AS dot
+              |        FROM ex qx JOIN ex e ON qx.i = e.i
+              |        WHERE qx.vec_id < 5 AND e.vec_id <> qx.vec_id
+              |        GROUP BY 1, 2) d
+              |      JOIN norms nq ON nq.vec_id = d.query_id
+              |      JOIN norms nn ON nn.vec_id = d.neighbor_id))
+              |  WHERE rnk <= 10),
+              |cids AS MATERIALIZED (SELECT DISTINCT neighbor_id FROM cand),
+              |dd AS MATERIALIZED (
+              |  SELECT x.vec_id AS aa, y.vec_id AS bb,
+              |    SUM(CAST(x.v AS DOUBLE) * CAST(y.v AS DOUBLE)) AS dot
+              |  FROM ex x JOIN cids ca ON ca.neighbor_id = x.vec_id
+              |  JOIN ex y ON y.i = x.i
+              |  JOIN cids cb ON cb.neighbor_id = y.vec_id
+              |  WHERE x.vec_id <> y.vec_id
+              |  GROUP BY 1, 2),
+              |pw AS MATERIALIZED (
+              |  SELECT a.query_id, a.neighbor_id AS a_id,
+              |    b.neighbor_id AS b_id,
+              |    CAST(ROUND(ROUND(dd.dot / (na.nrm * nb.nrm), 6) * 1000000)
+              |      AS BIGINT) AS sim_m
+              |  FROM cand a
+              |  JOIN cand b ON b.query_id = a.query_id
+              |    AND b.neighbor_id <> a.neighbor_id
+              |  JOIN dd ON dd.aa = a.neighbor_id AND dd.bb = b.neighbor_id
+              |  JOIN norms na ON na.vec_id = a.neighbor_id
+              |  JOIN norms nb ON nb.vec_id = b.neighbor_id),
+              |${duckMmrRounds(5)}
+              |SELECT query_id, neighbor_id AS doc_id, mmr_m, rnk
+              |FROM (${(1 to 5).map(r => s"SELECT * FROM sel$r")
+                .mkString(" UNION ALL ")})""".stripMargin)),
 
     // ---- SIM12: SQ8 scalar quantization, map-only encode ----------------
     // Per-dimension affine grid from one hash agg; codes inline as a

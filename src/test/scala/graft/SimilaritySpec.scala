@@ -114,6 +114,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cents(0).getSeq[Float](1) === Seq(1.175f, 0.075f))
   }
 
+  test("mmr: a near-duplicate of the top pick loses round 2 to a diverse " +
+      "candidate, ties break to the lowest id, scores are exact micros") {
+    import spark.implicits._
+    // A(10)=(1,0) rel .9; B(11)=(1,0) rel .89 — an exact duplicate of A;
+    // C(12)=(0,1) rel .6; D(13)=(0,1) rel .6 — duplicate of C.
+    val emb = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(1.0f, 0.0f)),
+      (12L, Array(0.0f, 1.0f)), (13L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val run = Seq(
+      (0L, 10L, 0.9), (0L, 11L, 0.89), (0L, 12L, 0.6), (0L, 13L, 0.6)
+    ).toDF("query_id", "neighbor_id", "score")
+    val out = graft.operators.Similarity.mmrRerank(run, emb, 4, 7)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getInt(3))))
+      .toMap
+    // r1: A by pure 7·rel. r2: B = 7·890000 − 3·1e6 = 3230000 loses to
+    // C = 4200000 (and C beats its tie-twin D by id). r3: B(3230000)
+    // beats D(4200000 − 3e6 = 1200000). r4: D.
+    assert(out === Map(
+      10L -> ((6300000L, 1)), 12L -> ((4200000L, 2)),
+      11L -> ((3230000L, 3)), 13L -> ((1200000L, 4))))
+    intercept[IllegalArgumentException](
+      graft.operators.Similarity.mmrRerank(run, emb, 4, 11))
+  }
+
   test("sq8: codes span the grid, constant dims code 0, dequantization " +
       "error is bounded by half a step, topk ranks by dequantized cosine") {
     import spark.implicits._
