@@ -170,6 +170,32 @@ object Behavior {
         col("touch_ts"), col("channel"), col("value"))
   }
 
+  /** The multi-touch blow-up guard: the conversions ⨝ touches join
+    * expands as convs × in-window touches PER USER — bounded by
+    * lookback × arrival rate for humans, quadratic for a bot user. The
+    * guard is an EMPTY-unless-violated union branch on the touches side
+    * (the [[Graph.coOccurrenceEdges]] pattern — no join on the hot
+    * path, one extra users-sized keyed count; EVERY projected column
+    * carries the raise so no pushed-down IsNotNull can constant-fold
+    * the branch away): any user holding more than `cap` touch events
+    * fails the job loudly with the user named, instead of hanging a
+    * task at 100× scale. [[lastTouch]] needs no guard — its as-of join
+    * is sort-merge, never a pair expansion. */
+  private def guardTouches(touches: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, s"maxTouchesPerUser must be >= 1, got $cap")
+    def boom(t: org.apache.spark.sql.types.DataType) = raise_error(concat(
+      lit("attribution: user "), col("user_id").cast("string"),
+      lit(" holds "), col("__n").cast("string"),
+      lit(s" touch events (cap $cap) — the conversions x touches join " +
+        "expands quadratically on a hot user; pre-filter bot traffic " +
+        "or raise maxTouchesPerUser deliberately"))).cast(t)
+    val offenders = touches.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap)
+      .select(touches.schema.map(f => boom(f.dataType).as(f.name)): _*)
+    touches.unionAll(offenders)
+  }
+
   /** Linear (equal-credit) multi-touch attribution — [[lastTouch]]'s
     * companion model: EVERY in-window touch shares the conversion's
     * credit equally, aggregated per channel. Credit is integer MICROS
@@ -187,7 +213,8 @@ object Behavior {
     * two keyed aggregations and an anti-join for the organic branch.
     * Returns `(event_id, user_id, conv_ts, channel, credit_m)`. */
   def linearAttribution(events: DataFrame, convType: String,
-      touchTypes: Seq[String], lookbackMicros: Long): DataFrame = {
+      touchTypes: Seq[String], lookbackMicros: Long,
+      maxTouchesPerUser: Int = 100000): DataFrame = {
     require(touchTypes.nonEmpty, "need at least one touch event type")
     require(lookbackMicros > 0,
       s"lookback must be positive micros, got $lookbackMicros")
@@ -197,11 +224,11 @@ object Behavior {
       .filter(col("event_type") === convType &&
         col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("event_id"), col("user_id"), col("ts").as("conv_ts"))
-    val touches = events
+    val touches = guardTouches(events
       .filter(col("event_type").isin(touchTypes: _*) &&
         col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), col("ts").as("touch_ts"),
-        col("event_type").as("channel"))
+        col("event_type").as("channel")), maxTouchesPerUser)
     val j = conv.join(touches, Seq("user_id"))
       .filter(col("touch_ts") <= col("conv_ts") &&
         unix_micros(col("conv_ts")) - unix_micros(col("touch_ts")) <=
@@ -244,7 +271,8 @@ object Behavior {
     * the per-channel aggregate is invariant to their permutation.
     * Returns `(event_id, user_id, conv_ts, channel, credit_m)`. */
   def positionAttribution(events: DataFrame, convType: String,
-      touchTypes: Seq[String], lookbackMicros: Long): DataFrame = {
+      touchTypes: Seq[String], lookbackMicros: Long,
+      maxTouchesPerUser: Int = 100000): DataFrame = {
     require(touchTypes.nonEmpty, "need at least one touch event type")
     require(lookbackMicros > 0,
       s"lookback must be positive micros, got $lookbackMicros")
@@ -254,11 +282,11 @@ object Behavior {
       .filter(col("event_type") === convType &&
         col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("event_id"), col("user_id"), col("ts").as("conv_ts"))
-    val touches = events
+    val touches = guardTouches(events
       .filter(col("event_type").isin(touchTypes: _*) &&
         col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), col("ts").as("touch_ts"),
-        col("event_type").as("channel"))
+        col("event_type").as("channel")), maxTouchesPerUser)
     val j = conv.join(touches, Seq("user_id"))
       .filter(col("touch_ts") <= col("conv_ts") &&
         unix_micros(col("conv_ts")) - unix_micros(col("touch_ts")) <=
@@ -305,7 +333,7 @@ object Behavior {
     * no windows, no per-conversion scans. */
   def timeDecayAttribution(events: DataFrame, convType: String,
       touchTypes: Seq[String], lookbackMicros: Long,
-      halfLifeMicros: Long): DataFrame = {
+      halfLifeMicros: Long, maxTouchesPerUser: Int = 100000): DataFrame = {
     require(touchTypes.nonEmpty, "need at least one touch event type")
     require(lookbackMicros > 0,
       s"lookback must be positive micros, got $lookbackMicros")
@@ -321,11 +349,11 @@ object Behavior {
       .filter(col("event_type") === convType &&
         col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("event_id"), col("user_id"), col("ts").as("conv_ts"))
-    val touches = events
+    val touches = guardTouches(events
       .filter(col("event_type").isin(touchTypes: _*) &&
         col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), col("ts").as("touch_ts"),
-        col("event_type").as("channel"))
+        col("event_type").as("channel")), maxTouchesPerUser)
     val j = conv.join(touches, Seq("user_id"))
       .filter(col("touch_ts") <= col("conv_ts") &&
         unix_micros(col("conv_ts")) - unix_micros(col("touch_ts")) <=

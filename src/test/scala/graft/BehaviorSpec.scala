@@ -191,6 +191,31 @@ class BehaviorSpec extends AnyFunSuite {
       Behavior.linearAttribution(events, "purchase", Seq.empty, 1L))
   }
 
+  test("multi-touch guard: a user over the touch cap fails loudly with " +
+      "the user named; within the cap the result is unchanged") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 10L, "click", "2026-01-01 10:00:00", 0.0),
+      (2L, 10L, "click", "2026-01-02 10:00:00", 0.0),
+      (3L, 10L, "view", "2026-01-03 10:00:00", 0.0),
+      (4L, 10L, "purchase", "2026-01-03 12:00:00", 60.0)
+    ).map { case (e, u, t, at, v) => (e, u, t, ts(at), v) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val ex = intercept[Exception] {
+      Behavior.linearAttribution(events, "purchase", Seq("click", "view"),
+        7L * 86400L * 1000000L, maxTouchesPerUser = 2).collect()
+    }
+    assert(ex.getMessage.contains("user 10") &&
+      ex.getMessage.contains("cap 2"), s"got: ${ex.getMessage}")
+    // exactly at the cap: no refusal; 40/20/40 over (click, click, view)
+    // = first click 400000 + middle click 200000, last view 400000
+    val ok = Behavior.positionAttribution(events, "purchase",
+        Seq("click", "view"), 7L * 86400L * 1000000L,
+        maxTouchesPerUser = 3)
+      .collect().map(r => Option(r.getString(3)) -> r.getLong(4)).toMap
+    assert(ok === Map(Some("click") -> 600000L, Some("view") -> 400000L))
+  }
+
   test("time-decay attribution: weights halve per whole half-life, " +
       "credit splits by integral weight shares, organic keeps 1e6") {
     import spark.implicits._
