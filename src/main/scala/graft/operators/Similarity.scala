@@ -139,8 +139,13 @@ object Similarity {
       s"lambdaTenths must be in [0, 10], got $lambdaTenths")
     val sp = emb.sparkSession
     val lam = lambdaTenths.toLong
+    // one stage boundary on the run: every greedy round references it
+    // (anti-join + rescoring), and without the boundary each round
+    // would replay the UPSTREAM RETRIEVAL's whole lineage — k extra
+    // executions of the expensive part (the jaccardPairsCapped lesson)
     val rel = run.select(col("query_id"), col("neighbor_id"),
       round(col("score") * lit(1000000)).cast("long").as("rel_m"))
+      .localCheckpoint(true)
     val ev = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       norm(col(vecCol)).as("__n"))
     val aSide = rel.select(col("query_id"), col("neighbor_id").as("a_id"))
