@@ -360,6 +360,90 @@ object EventStreams {
       }
   }
 
+  final case class LinearAttribution(event_id: Long, user_id: Long,
+    conv_ts: java.sql.Timestamp, channel: Option[String], credit_m: Long)
+  private[streaming] final case class LinAttribState(
+    touches: List[(Long, String)], buffer: List[(Long, Int, Long, String)])
+
+  /** STREAMING linear multi-touch attribution — the incremental twin of
+    * [[graft.operators.Behavior.linearAttribution]]: each finalized
+    * conversion splits its 1e6 micros equally over the user's in-window
+    * touches (per channel, `nc·1e6 div n` — the batch operator's exact
+    * integral arithmetic), organic conversions emitting one NULL-channel
+    * row with the full credit.
+    *
+    * Same finalized-prefix construction as [[touchAttributions]], with
+    * one real difference: last-touch state is two scalars, but linear
+    * attribution GENUINELY needs every in-window touch, so the permanent
+    * state is the finalized touches still inside the lookback of any
+    * possible future conversion — bounded by lookback × touch rate (the
+    * model's own window, not history length; the batch join buffers the
+    * same window per conversion). Touches prune twice: past each
+    * conversion's window as it folds, and past `watermark − lookback`
+    * at batch end, since every future conversion finalizes at-or-after
+    * the watermark. */
+  def linearAttributions(spark: SparkSession, events: DataFrame,
+      convType: String, touchTypes: Seq[String], lookbackMicros: Long,
+      watermark: String = "10 minutes"): Dataset[LinearAttribution] = {
+    import spark.implicits._
+    require(touchTypes.nonEmpty, "need at least one touch event type")
+    require(lookbackMicros > 0,
+      s"lookback must be positive micros, got $lookbackMicros")
+    require(!touchTypes.contains(convType),
+      s"'$convType' cannot be both conversion and touch")
+    def toTs(us: Long) = java.sql.Timestamp.from(
+      java.time.Instant.EPOCH.plusNanos(us * 1000L))
+    events.withWatermark("ts", watermark)
+      .filter(col("event_type").isin((convType +: touchTypes): _*))
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")),
+        when(col("event_type") === convType, lit(1)).otherwise(lit(0)),
+        col("event_type"), col("ts"))
+      .as[(Long, Long, Long, Int, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long,
+            rows: Iterator[(Long, Long, Long, Int, String, java.sql.Timestamp)],
+            state: GroupState[LinAttribState]) =>
+          val st = state.getOption.getOrElse(LinAttribState(Nil, Nil))
+          val wmMicros = watermarkFloorMicros(state.getCurrentWatermarkMs())
+          val fresh = rows.map(r => (r._3, r._4, r._2, r._5))
+            .filter(_._1 >= wmMicros)
+          // ascending (ts, kind): same-ts touches fold before the
+          // conversion they tie with — at-or-before includes the tie
+          val merged = (st.buffer ++ fresh).sorted
+          val (fin, keep) = merged.partition(_._1 < wmMicros)
+          var touches = st.touches // ascending ts, in-lookback suffix
+          val out = List.newBuilder[LinearAttribution]
+          fin.foreach { case (tsUs, kind, eid, etype) =>
+            if (kind == 0) touches = touches :+ ((tsUs, etype))
+            else {
+              // prune past THIS conversion's window first — later
+              // conversions are at-or-after it, so nothing pruned here
+              // could serve them either
+              touches = touches.dropWhile(t => tsUs - t._1 > lookbackMicros)
+              if (touches.isEmpty)
+                out += LinearAttribution(eid, userId, toTs(tsUs),
+                  None, 1000000L)
+              else {
+                val n = touches.size.toLong
+                touches.groupBy(_._2).foreach { case (ch, g) =>
+                  out += LinearAttribution(eid, userId, toTs(tsUs),
+                    Some(ch), g.size.toLong * 1000000L / n)
+                }
+              }
+            }
+          }
+          if (wmMicros != Long.MinValue)
+            touches = touches.dropWhile(t => wmMicros - t._1 > lookbackMicros)
+          state.update(LinAttribState(touches, keep))
+          keep.headOption.foreach(b =>
+            state.setTimeoutTimestamp(b._1 / 1000L + 1L))
+          out.result().iterator
+      }
+  }
+
   final case class FunnelReach(user_id: Long, step: Int, event_type: String)
   private[streaming] final case class FunnelState(
     stage: Int, firstTs: Long, buffer: List[(Long, Long)])

@@ -212,6 +212,58 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming linear attribution INCREMENTALLY == batch credit split") {
+    // the multi-touch twin: each finalized conversion splits 1e6 micros
+    // over its in-window touches with the batch operator's integral
+    // division — including an out-of-order touch that joins the window
+    // of an already-buffered conversion, a same-ts touch counted via
+    // the at-or-before tie, and an out-of-lookback organic
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val real = Seq(
+      (1L, 10L, "click", ts("2024-01-01 10:00:00"), 0.0),
+      (2L, 10L, "click", ts("2024-01-01 10:10:00"), 0.0),
+      (3L, 10L, "purchase", ts("2024-01-01 10:25:00"), 50.0),
+      (6L, 30L, "view", ts("2024-01-01 10:00:00"), 0.0),
+      (7L, 30L, "purchase", ts("2024-01-01 10:00:00"), 10.0), // tie counts
+      // batch 2: e4 arrives LATE (10:20 < the 10:25 already seen) but in
+      // the allowance — the buffered conversion e3 must split 3 ways
+      (4L, 10L, "view", ts("2024-01-01 10:20:00"), 0.0),
+      (5L, 20L, "purchase", ts("2024-01-01 11:00:00"), 70.0)) // organic
+    val batches = Seq(real.take(5), real.drop(5),
+      Seq((998L, 99L, "view", ts("2030-01-01 00:00:00"), 0.0)),
+      Seq((999L, 99L, "view", ts("2030-01-02 00:00:00"), 0.0)))
+    val input = MemoryStream[(Long, Long, String, java.sql.Timestamp, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val lookback = 1800L * 1000000L // 30 minutes
+    val q = EventStreams.linearAttributions(spark, events, "purchase",
+        Seq("click", "view"), lookback)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("linattr_incr").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("linattr_incr")
+        .filter(col("user_id") =!= 99L)
+        .select(col("event_id"), col("channel"), col("credit_m"))
+      val batch = graft.operators.Behavior.linearAttribution(
+          real.toDF("event_id", "user_id", "event_type", "ts", "value"),
+          "purchase", Seq("click", "view"), lookback)
+        .select(col("event_id"), col("channel"), col("credit_m"))
+      assert(streamed.exceptAll(batch).count() === 0 &&
+        batch.exceptAll(streamed).count() === 0,
+        "incremental credit rows must equal the batch operator's")
+      val m = streamed.collect()
+        .map(r => (r.getLong(0), Option(r.getString(1))) -> r.getLong(2))
+        .toMap
+      // e3: 2 clicks + the late view of 3 touches; e7: same-ts view
+      assert(m === Map(
+        (3L, Some("click")) -> 666666L, (3L, Some("view")) -> 333333L,
+        (7L, Some("view")) -> 1000000L, (5L, None) -> 1000000L))
+    } finally q.stop()
+  }
+
   test("streaming funnel reach INCREMENTALLY == batch funnel counts") {
     // the other half of the funnel/sessionize parity pair: the streaming
     // per-user state machine must reproduce the batch operator's
