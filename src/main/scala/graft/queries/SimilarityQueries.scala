@@ -232,7 +232,7 @@ object SimilarityQueries extends graft.QueryPack {
     * row_number-1 winner (ties to the lowest id — the engine's packed
     * struct-max contract). Every step MATERIALIZED: each round
     * references its predecessor's selected set twice. */
-  private def duckMmrRounds(k: Int): String = {
+  private[queries] def duckMmrRounds(k: Int): String = {
     val head =
       """sel1 AS MATERIALIZED (
         |  SELECT query_id, neighbor_id, 7 * rel_m AS mmr_m, 1 AS rnk

@@ -126,7 +126,7 @@ object TextQueries extends graft.QueryPack {
   /** Shared by q_x57 (in-job hybrid chain) and q_x60 (the same chain
     * from persisted stores): replays BM25, the hashed-tf dense path,
     * and the RRF fusion end to end. */
-  private val duckHybrid =
+  private val duckHybridCtes =
     s"""WITH t AS (SELECT doc_id,
              |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
              |      x -> x <> '') AS toks
@@ -190,12 +190,15 @@ object TextQueries extends graft.QueryPack {
              |fused AS (SELECT query_id, doc_id,
              |    CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / (60 + rnk), 9)
              |      AS DECIMAL(18,9))) AS DOUBLE) AS rrf
-             |  FROM runs GROUP BY 1, 2)
-             |SELECT query_id, doc_id, rrf, rnk FROM (
-             |  SELECT *, row_number() OVER (
-             |      PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
-             |  FROM fused)
-             |WHERE rnk <= 10""".stripMargin
+             |  FROM runs GROUP BY 1, 2)""".stripMargin
+
+  private val duckHybrid =
+    s"""$duckHybridCtes
+       |SELECT query_id, doc_id, rrf, rnk FROM (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+       |  FROM fused)
+       |WHERE rnk <= 10""".stripMargin
 
   /** The q_x28/q_x31 query set and its DuckDB oracle (shared verbatim —
     * the index-backed variant must score byte-identically). */
@@ -959,6 +962,72 @@ object TextQueries extends graft.QueryPack {
           dims = 16)
       },
       Some(duckHybrid)),
+
+    // ---- X64: hybrid retrieval -> MMR diversity (the full RAG path) -----
+    // The composed modern retrieval chain under ONE oracle (the q_x47
+    // discipline): BM25 + dense runs fuse by RRF, then the fused top-10
+    // re-ranks through greedy MMR (relevance = the exact rank-derived
+    // (11-rnk)/10, sims = hashed-tf cosines — both integer-exact in
+    // micros). Pairs with no shared hash bucket coalesce to dot 0 in
+    // the oracle, matching the engine's true zero cosine.
+    Q("q_x64_hybrid_mmr",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val bm25 = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+            bm25Queries, k = 10)
+          .select(col("query_id"), col("doc_id"), col("rnk"))
+        val docVecs = TextAnalysis.hashedTfVectors(docs, "text", "doc_id", 16)
+        val qVecs = bm25Queries
+          .map { case (qid, terms) => (qid, terms.mkString(" ")) }
+          .toDF("qid", "qtext")
+        val dense = Similarity.perQueryTopK(
+          docVecs.crossJoin(broadcast(
+            TextAnalysis.hashedTfVectors(qVecs, "qtext", "qid", 16)
+              .select(col("doc_id").as("query_id"), col("vec").as("qv"))))
+            .select(col("query_id"), col("doc_id").as("neighbor_id"),
+              Similarity.cosine(col("qv"), col("vec")).as("score")), 10)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+        val fused = Similarity.rrfFuse(Seq(bm25, dense), k = 10)
+        Similarity.mmrRerank(
+          fused.select(col("query_id"), col("doc_id").as("neighbor_id"),
+            ((lit(11) - col("rnk")).cast("double") / lit(10)).as("score")),
+          docVecs.select(col("doc_id").as("vec_id"), col("vec").as("embedding")),
+          k = 5, lambdaTenths = 7)
+      },
+      Some(s"""$duckHybridCtes,
+              |cand AS MATERIALIZED (
+              |  SELECT query_id, doc_id AS neighbor_id,
+              |    (11 - rnk) * CAST(100000 AS BIGINT) AS rel_m
+              |  FROM (SELECT *, row_number() OVER (
+              |      PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+              |    FROM fused)
+              |  WHERE rnk <= 10),
+              |cids AS MATERIALIZED (SELECT DISTINCT neighbor_id FROM cand),
+              |pd AS MATERIALIZED (
+              |  SELECT a.doc_id AS aa, b.doc_id AS bb,
+              |    SUM(a.tf * b.tf) AS dot
+              |  FROM htf a JOIN cids ca ON ca.neighbor_id = a.doc_id
+              |  JOIN htf b ON b.b = a.b
+              |  JOIN cids cb ON cb.neighbor_id = b.doc_id
+              |  WHERE a.doc_id <> b.doc_id
+              |  GROUP BY 1, 2),
+              |pw AS MATERIALIZED (
+              |  SELECT c1.query_id, c1.neighbor_id AS a_id,
+              |    c2.neighbor_id AS b_id,
+              |    CAST(ROUND(ROUND(COALESCE(p.dot, 0) /
+              |      (na.nrm * nb.nrm), 6) * 1000000) AS BIGINT) AS sim_m
+              |  FROM cand c1
+              |  JOIN cand c2 ON c2.query_id = c1.query_id
+              |    AND c2.neighbor_id <> c1.neighbor_id
+              |  LEFT JOIN pd p ON p.aa = c1.neighbor_id
+              |    AND p.bb = c2.neighbor_id
+              |  JOIN dn na ON na.doc_id = c1.neighbor_id
+              |  JOIN dn nb ON nb.doc_id = c2.neighbor_id),
+              |${SimilarityQueries.duckMmrRounds(5)}
+              |SELECT query_id, neighbor_id AS doc_id, mmr_m, rnk
+              |FROM (${(1 to 5).map(r => s"SELECT * FROM sel$r")
+                .mkString(" UNION ALL ")})""".stripMargin)),
 
     // ---- X30: topic clustering over hashed-tf doc vectors ---------------
     // The model-free text→vector bridge: feature-hash every doc into a
