@@ -103,6 +103,29 @@ object Sq {
       element_at(mnL, i + 1) +
         c.cast("double") * element_at(rngL, i + 1) / lit(255.0))
 
+  /** Shared asymmetric scoring core: dequantize a codes relation
+    * map-side, broadcast the (small by construction) query set, rank
+    * through the bounded top-k buffer. Self-pairs (a query id also
+    * present in the corpus) are excluded — the brute-force contract. */
+  private def topKAgainstCodes(codes: DataFrame, mn: Array[Double],
+      rng: Array[Double], queries: DataFrame, k: Int,
+      qIdCol: String, qVecCol: String): DataFrame = {
+    val mnL = array(mn.map(lit): _*)
+    val rngL = array(rng.map(lit): _*)
+    val deq = Par.spread(codes)
+      .select(col("vec_id"), dequant(col("codes"), mnL, rngL).as("dv"))
+      .withColumn("nn", Similarity.norm(col("dv")))
+    val q = queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
+        Similarity.norm(col(qVecCol)).as("qn"))
+    val scored = deq.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Similarity.dot(col("qv"), col("dv")) / (col("qn") * col("nn")), 6)
+          .as("score"))
+    Similarity.perQueryTopK(scored, k)
+  }
+
   /** Asymmetric top-k over the quantized corpus: exact float queries
     * against dequantized SQ8 corpus vectors, cosine rounded to 6 dp,
     * ties to the lowest neighbor id, self excluded — the
@@ -114,19 +137,37 @@ object Sq {
   def sqTopK(emb: DataFrame, queryPred: Column, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val (mn, rng) = collectParams(sqTrain(emb, idCol, vecCol))
-    val mnL = array(mn.map(lit): _*)
-    val rngL = array(rng.map(lit): _*)
-    val deq = Par.spread(sqEncodeWith(emb, mn, rng, idCol, vecCol))
-      .select(col("vec_id"), dequant(col("codes"), mnL, rngL).as("dv"))
-      .withColumn("nn", Similarity.norm(col("dv")))
-    val q = emb.filter(queryPred)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        Similarity.norm(col(vecCol)).as("qn"))
-    val scored = deq.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(Similarity.dot(col("qv"), col("dv")) / (col("qn") * col("nn")), 6)
-          .as("score"))
-    Similarity.perQueryTopK(scored, k)
+    topKAgainstCodes(sqEncodeWith(emb, mn, rng, idCol, vecCol), mn, rng,
+      emb.filter(queryPred), k, idCol, vecCol)
+  }
+
+  /** Persist the SQ8 index — the dims-sized `params` grid and the
+    * uint8 `codes` relation — so nightly query batches
+    * ([[sqTopKFromIndex]]) never touch the float corpus again: the
+    * [[graft.operators.TextAnalysis.writeBm25Index]] discipline applied
+    * to vector search. Codes are 4× narrower than the float vectors —
+    * at 100 TB the store IS the point: the full-precision embeddings
+    * can live in cold storage while every search reads the quantized
+    * relation. */
+  def writeSqIndex(emb: DataFrame, dir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val params = sqTrain(emb, idCol, vecCol)
+    params.write.mode("overwrite").parquet(s"$dir/params")
+    val (mn, rng) = collectParams(params)
+    sqEncodeWith(emb, mn, rng, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** [[sqTopK]] against a PERSISTED index ([[writeSqIndex]] output):
+    * the params grid and integer codes persist losslessly, so scores
+    * are byte-identical to the in-job path — the registered query
+    * shares q_sim13's oracle verbatim; output equality is the proof.
+    * Only the stores and the caller's query vectors enter the plan. */
+  def sqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, qIdCol: String = "vec_id",
+      qVecCol: String = "embedding"): DataFrame = {
+    val (mn, rng) = collectParams(spark.read.parquet(s"$dir/params"))
+    topKAgainstCodes(spark.read.parquet(s"$dir/codes"), mn, rng,
+      queries, k, qIdCol, qVecCol)
   }
 }

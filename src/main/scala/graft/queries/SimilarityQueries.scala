@@ -265,6 +265,40 @@ object SimilarityQueries extends graft.QueryPack {
     (head +: rounds).mkString(",\n")
   }
 
+  /** q_sim13's oracle — shared verbatim by q_sim15 (the persisted
+    * params+codes store must score byte-identically). */
+  private lazy val duckSq8TopK: String =
+    s"""$duckEx,
+       |mm AS (SELECT i, min(CAST(v AS DOUBLE)) AS mn,
+       |    max(CAST(v AS DOUBLE)) AS mx
+       |  FROM ex GROUP BY i),
+       |dq AS (SELECT e.vec_id, e.i,
+       |    m.mn + (CASE WHEN m.mx = m.mn THEN 0
+       |      ELSE LEAST(255, GREATEST(0, CAST(round(
+       |        (CAST(e.v AS DOUBLE) - m.mn) * 255 / (m.mx - m.mn))
+       |        AS INT))) END) * (m.mx - m.mn) / 255 AS dv
+       |  FROM ex e JOIN mm m ON m.i = e.i),
+       |dn AS (SELECT vec_id, sqrt(SUM(dv * dv)) AS nrm
+       |  FROM dq GROUP BY vec_id),
+       |dots AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+       |    SUM(CAST(q.v AS DOUBLE) * d.dv) AS dot
+       |  FROM ex q JOIN dq d ON d.i = q.i
+       |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT t.query_id, t.neighbor_id,
+       |    ROUND(t.dot / (nq.nrm * nn.nrm), 6) AS score
+       |  FROM dots t
+       |  JOIN norms nq ON nq.vec_id = t.query_id
+       |  JOIN dn nn ON nn.vec_id = t.neighbor_id)
+       |SELECT query_id, neighbor_id, score, rnk FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+       |    AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 5""".stripMargin
+
   override def queries: Seq[Q] = Seq(
 
     // ---- SIM1: brute-force cosine top-k --------------------------------
@@ -377,36 +411,22 @@ object SimilarityQueries extends graft.QueryPack {
     Q("q_sim13_sq8_topk",
       (s, d) => graft.operators.Sq.sqTopK(
         Tables.embeddings(s, d), col("vec_id") < 5, 5),
-      Some(s"""$duckEx,
-              |mm AS (SELECT i, min(CAST(v AS DOUBLE)) AS mn,
-              |    max(CAST(v AS DOUBLE)) AS mx
-              |  FROM ex GROUP BY i),
-              |dq AS (SELECT e.vec_id, e.i,
-              |    m.mn + (CASE WHEN m.mx = m.mn THEN 0
-              |      ELSE LEAST(255, GREATEST(0, CAST(round(
-              |        (CAST(e.v AS DOUBLE) - m.mn) * 255 / (m.mx - m.mn))
-              |        AS INT))) END) * (m.mx - m.mn) / 255 AS dv
-              |  FROM ex e JOIN mm m ON m.i = e.i),
-              |dn AS (SELECT vec_id, sqrt(SUM(dv * dv)) AS nrm
-              |  FROM dq GROUP BY vec_id),
-              |dots AS (
-              |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-              |    SUM(CAST(q.v AS DOUBLE) * d.dv) AS dot
-              |  FROM ex q JOIN dq d ON d.i = q.i
-              |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id
-              |  GROUP BY 1, 2),
-              |scored AS (
-              |  SELECT t.query_id, t.neighbor_id,
-              |    ROUND(t.dot / (nq.nrm * nn.nrm), 6) AS score
-              |  FROM dots t
-              |  JOIN norms nq ON nq.vec_id = t.query_id
-              |  JOIN dn nn ON nn.vec_id = t.neighbor_id)
-              |SELECT query_id, neighbor_id, score, rnk FROM (
-              |  SELECT *, row_number() OVER (
-              |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
-              |    AS rnk
-              |  FROM scored)
-              |WHERE rnk <= 5""".stripMargin)),
+      Some(duckSq8TopK)),
+
+    // ---- SIM15: SQ8 search from the PERSISTED index ---------------------
+    // The nightly shape: params grid + uint8 codes persist once; query
+    // batches score against the stores only (the float corpus enters
+    // the plan solely as the 5 query vectors). Lossless integer store
+    // -> shares q_sim13's oracle VERBATIM; equality is the proof.
+    Q("q_sim15_sq8_store",
+      (s, d) => {
+        val dir = TempDirs.scratch("graft_sq8_")
+        graft.operators.Sq.writeSqIndex(Tables.embeddings(s, d), dir)
+        graft.operators.Sq.sqTopKFromIndex(s, dir,
+          Tables.embeddings(s, d).filter(col("vec_id") < 5), 5)
+      },
+      Some(duckSq8TopK)),
+
 
     // ---- SIM10: hard-negative mining (contrastive-training pairs) -------
     // Top-40 retrieval, drop the near-dup band (score >= 0.35, q_sim3's

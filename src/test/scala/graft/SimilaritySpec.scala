@@ -114,6 +114,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cents(0).getSeq[Float](1) === Seq(1.175f, 0.075f))
   }
 
+  test("sq8 store: persisted params+codes score byte-identically to the " +
+      "in-job path and the scored side reads only the store") {
+    import spark.implicits._
+    import graft.operators.Sq
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 13).toFloat - 6f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("sq8s").toString
+    Sq.writeSqIndex(emb, dir)
+    val fromStore = Sq.sqTopKFromIndex(spark, dir,
+      emb.filter(col("vec_id") < 3), 4)
+    val inJob = Sq.sqTopK(emb, col("vec_id") < 3, 4)
+    assert(fromStore.exceptAll(inJob).count() === 0 &&
+      inJob.exceptAll(fromStore).count() === 0,
+      "store round-trip must change nothing")
+    val plan = fromStore.queryExecution.executedPlan.toString
+    assert(plan.contains(dir), "the scored side must read the store")
+  }
+
   test("mmr: a near-duplicate of the top pick loses round 2 to a diverse " +
       "candidate, ties break to the lowest id, scores are exact micros") {
     import spark.implicits._
