@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph ranking over an edge list — the corpus-curation use is domain /
@@ -732,4 +732,70 @@ object Graph {
         col("neighbor_id").as("candidate"),
         col("score").as("aa_score"), col("rnk"))
   }
+
+  /** Degree histogram of the undirected simple graph: `(degree,
+    * n_nodes)` — the first profiling question asked of any graph corpus
+    * (power-law tail? median degree? isolated hubs?), and the input to
+    * every sampling/cap decision the other operators take
+    * ([[adamicAdar]]'s maxDegree, [[coOccurrenceEdges]]' container
+    * cap). Two hash aggregations over the canonicalized edge relation —
+    * exact integers end to end. */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val und = undirected(edges)
+    und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over every edge (both directions — the standard
+    * symmetric treatment). Positive = hubs link to hubs (social
+    * graphs), negative = hubs link to leaves (the web, co-occurrence
+    * stars). All five moments accumulate as EXACT integer sums
+    * (degrees are integers; m is edge-direction count), so the only
+    * floating arithmetic is the final one-row formula, rounded to
+    * 6 dp — a relational oracle replays it bit-for-bit. Returns one row
+    * `(m_directed, assortativity)`; a graph whose degree variance is 0
+    * (every node the same degree) has no defined correlation and
+    * returns null. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = undirected(edges)
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val dd = und
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+    val sums = dd.select(col("da"), col("db"))
+      .unionAll(dd.select(col("db").as("da"), col("da").as("db")))
+      .agg(count(lit(1)).as("m"), sum(col("da")).as("sx"),
+        sum(col("db")).as("sy"), sum(col("da") * col("db")).as("sxy"),
+        sum(col("da") * col("da")).as("sxx"),
+        sum(col("db") * col("db")).as("syy"))
+    // the cross-moment products overflow int64 on big graphs (m·sxy is
+    // edge-count × Σ da·db) — they multiply as DECIMAL(38,0), exactly
+    // the HUGEINT arithmetic the oracle runs (the kpp parity pattern)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d38(c: Column) = c.cast(dec)
+    // try_divide: a zero-variance (regular) graph divides by sqrt(0) —
+    // the documented null, not an ANSI arithmetic error
+    sums.select(col("m").as("m_directed"),
+      round(try_divide((d38(col("m")) * d38(col("sxy")) -
+          d38(col("sx")) * d38(col("sy"))).cast("double"),
+        sqrt((d38(col("m")) * d38(col("sxx")) -
+            d38(col("sx")) * d38(col("sx"))).cast("double") *
+          (d38(col("m")) * d38(col("syy")) -
+            d38(col("sy")) * d38(col("sy"))).cast("double"))),
+        6).as("assortativity"))
+  }
+
+  /** Canonical undirected simple-graph edge relation shared by the
+    * profiling operators: null endpoints and self-loops dropped,
+    * (min, max) orientation, exact duplicates collapsed. */
+  private def undirected(edges: DataFrame): DataFrame = edges
+    .filter(col("src").isNotNull && col("dst").isNotNull)
+    .select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+    .filter(col("a") =!= col("b")).distinct()
 }

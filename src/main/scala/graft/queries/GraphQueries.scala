@@ -420,6 +420,55 @@ object GraphQueries extends graft.QueryPack {
              |    ELSE CAST(0 AS DOUBLE) END AS lcc
              |FROM deg d LEFT JOIN pn p ON p.node = d.node""".stripMargin)),
 
+    // ---- G12: degree histogram of the co-occurrence graph ---------------
+    // The profiling pass behind every cap decision (Adamic-Adar's
+    // maxDegree, the container cap): exact integer (degree, n_nodes).
+    Q("q_g12_degree_histogram",
+      (s, d) => Graph.degreeHistogram(Graph.coOccurrenceEdges(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey")),
+      Some("""WITH pr AS (
+             |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+             |  FROM pr x JOIN pr y ON x.o = y.o AND x.p < y.p),
+             |deg AS (SELECT node, COUNT(*) AS degree FROM (
+             |  SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+             |  GROUP BY 1)
+             |SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1""".stripMargin)),
+
+    // ---- G13: degree assortativity (Newman's r) -------------------------
+    // Hub-hub vs hub-leaf mixing in one number: Pearson over endpoint
+    // degrees, both directions; all moments exact integer sums, one
+    // 6-dp division at the end.
+    Q("q_g13_assortativity",
+      (s, d) => Graph.assortativity(Graph.coOccurrenceEdges(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey")),
+      Some("""WITH pr AS (
+             |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+             |  FROM pr x JOIN pr y ON x.o = y.o AND x.p < y.p),
+             |deg AS (SELECT node, COUNT(*) AS d FROM (
+             |  SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+             |  GROUP BY 1),
+             |dd AS (SELECT da.d AS x, db.d AS y FROM e
+             |  JOIN deg da ON da.node = e.a
+             |  JOIN deg db ON db.node = e.b),
+             |bi AS (SELECT x, y FROM dd UNION ALL SELECT y, x FROM dd),
+             |sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    CAST(SUM(y * y) AS BIGINT) AS syy
+             |  FROM bi)
+             |SELECT m AS m_directed,
+             |  ROUND(CAST(CAST(m AS HUGEINT) * sxy -
+             |      CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+             |    sqrt(CAST(CAST(m AS HUGEINT) * sxx -
+             |        CAST(sx AS HUGEINT) * sx AS DOUBLE) *
+             |      CAST(CAST(m AS HUGEINT) * syy -
+             |        CAST(sy AS HUGEINT) * sy AS DOUBLE)), 6)
+             |    AS assortativity
+             |FROM sums""".stripMargin)),
+
     // ---- G8: k-core of the part co-occurrence graph ---------------------
     // Iterative peeling (k = 80 cascades ~6 rounds at sf0.01 — a REAL
     // recursion, not a degree filter): a part survives only if ≥ 80 of

@@ -447,4 +447,25 @@ class GraphSpec extends AnyFunSuite {
       Graph.shortestPaths(Seq(("a", "b", -1L)).toDF("src", "dst", "w"),
         seeds, 3)).getMessage.contains("negative"))
   }
+
+  test("degree profile: histogram collapses duplicates/direction/self-loops; " +
+      "a star is perfectly disassortative, a regular ring has no correlation") {
+    import spark.implicits._
+    // star (hub h, 3 leaves) + noise: reversed dup, self-loop, exact dup
+    val star = Seq(("h", "x"), ("x", "h"), ("h", "y"), ("h", "z"),
+      ("h", "h"), ("h", "y")).toDF("src", "dst")
+    val hist = Graph.degreeHistogram(star)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist === Map(1L -> 3L, 3L -> 1L),
+      "3 leaves at degree 1, the hub at 3 — noise rows collapse")
+    val r = Graph.assortativity(star).head()
+    assert(r.getLong(0) === 6L, "3 undirected edges -> 6 directed")
+    assert(r.getDouble(1) === -1.0,
+      "every edge joins the hub to a leaf: perfectly disassortative")
+    // a 4-ring is 2-regular: zero degree variance -> undefined (null)
+    val ring = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    assert(Graph.assortativity(ring).head().isNullAt(1),
+      "no degree variance -> no defined correlation")
+  }
 }
