@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  def curate(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      minTokens: Int = 20, seed: String = "exp1",
-      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+  /** The shared stage chain: (quality survivors, exact-dedup survivors,
+    * near-dup survivors) — [[curate]] labels the last; [[curationFunnel]]
+    * counts all three. */
+  private def stageFrames(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Int): (DataFrame, DataFrame, DataFrame) = {
     // 1. quality gate — identical expressions (incl. 4-dp rounding) to the
     // oracle-checked q_x2 metrics
     val toksed = docs.select(col(idCol), col(textCol),
@@ -64,10 +66,55 @@ object Curation {
     val dropIds = clusters.filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
     val survivors = exact.join(dropIds, Seq(idCol), "left_anti")
+    (quality, exact, survivors)
+  }
 
+  def curate(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      minTokens: Int = 20, seed: String = "exp1",
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val (_, _, survivors) = stageFrames(docs, textCol, idCol, minTokens)
     // 4. deterministic split labels for the survivors
     survivors.select(col(idCol),
       Sampling.splitLabel(col(idCol), seed, trainPct, valPct).as("split"))
+  }
+
+  /** Per-source curation funnel — the pipeline report card: for every
+    * (source, stage) cell, how many documents survive raw → quality →
+    * exact dedup → near-dup dedup. This is the observability query every
+    * production corpus run publishes (which crawl went from 2M docs to
+    * 40k and why), and the input to rebalancing decisions — a source
+    * that loses 95% at the quality gate is a crawler bug, not a
+    * mixture-weight problem.
+    *
+    * The grid is COMPLETE: sources × stages cross the (bounded,
+    * broadcast) 4-row stage table, zero-count cells included — a funnel
+    * chart never silently loses its tail (the [[Behavior.funnel]]
+    * contract). A null source groups under the literal `'<null>'` so
+    * its documents stay visible. Shape: the stage chain itself plus one
+    * keyed count per stage and one broadcast grid join. */
+  def curationFunnel(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text", idCol: String = "doc_id",
+      minTokens: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (quality, exact, survivors) =
+      stageFrames(docs, textCol, idCol, minTokens)
+    val src = docs.select(col(idCol),
+      coalesce(col(sourceCol), lit("<null>")).as("source"))
+    def perSource(stage: Int, ids: DataFrame): DataFrame =
+      ids.select(col(idCol)).join(src, Seq(idCol))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .select(lit(stage).as("stage"), col("source"), col("n"))
+    val counts = Seq(perSource(0, src), perSource(1, quality),
+      perSource(2, exact), perSource(3, survivors))
+      .reduce(_ unionAll _)
+    val stages = Seq((0, "raw"), (1, "quality"), (2, "exact_dedup"),
+      (3, "near_dup")).toDF("stage", "stage_name")
+    src.select(col("source")).distinct()
+      .crossJoin(broadcast(stages))
+      .join(counts, Seq("source", "stage"), "left")
+      .select(col("stage"), col("stage_name"), col("source"),
+        coalesce(col("n"), lit(0L)).as("docs"))
   }
 
   /** Joint text+embedding curation: the cross-modal composition a corpus

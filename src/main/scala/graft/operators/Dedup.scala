@@ -729,6 +729,38 @@ object Dedup {
     connectedComponents(verified.select(col("a_id"), col("b_id")), maxIter)
   }
 
+  /** Soft deduplication weights (the SemDeDup/D4 alternative to hard
+    * dropping, and DataComp's documented trade: near-duplicate clusters
+    * carry signal, so DOWNWEIGHT them instead of deleting — each doc in
+    * a k-member verified cluster trains at weight 1/k, making every
+    * cluster contribute one document's worth of gradient regardless of
+    * how often it was crawled). Weights are integer MICROS
+    * (`1e6 div cluster_size` — the attribution family's exact-division
+    * discipline) ready for [[Sampling.weightedSample]] or a loss-scale
+    * column. Cluster membership is [[verifiedClusters]] (LSH candidates
+    * → exact-Jaccard rescore → CC), so chance band collisions never
+    * deflate an unrelated doc's weight; docs in no verified cluster are
+    * their own singleton at full weight — every input doc gets exactly
+    * one row. Returns `(doc_id, cluster, cluster_size, weight_m)`. */
+  def softDedupWeights(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2, thresholdTenths: Int = 1,
+      maxIter: Int = 20): DataFrame = {
+    val comp = verifiedClusters(docs, textCol, idCol, numHashes,
+      rowsPerBand, thresholdTenths, maxIter)
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val member = comp.join(sizes, Seq("component"))
+      .select(col("node").as("doc_id"), col("component"),
+        col("cluster_size"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(member, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_m",
+        expr("CAST(1000000 AS BIGINT) div cluster_size"))
+  }
+
   /** Benchmark decontamination: for every training document, count the
     * n-gram shingles it shares with an evaluation/benchmark corpus — the
     * standard test-set-contamination gate run before pretraining (public

@@ -81,6 +81,92 @@ object CurationQueries extends graft.QueryPack {
              |FROM e LEFT JOIN dropd d ON d.doc_id = e.doc_id
              |WHERE d.doc_id IS NULL""".stripMargin)),
 
+    // ---- X65: per-source curation funnel (the pipeline report card) -----
+    // (source, stage) survival counts through raw -> quality -> exact
+    // dedup -> near-dup dedup, zero cells included. The oracle reuses
+    // the q_x9 recursion and counts each stage per source.
+    Q("q_x65_curation_funnel",
+      (s, d) => Curation.curationFunnel(Tables.documents(s, d)),
+      Some("""WITH RECURSIVE
+             |src AS (SELECT doc_id, COALESCE(source, '<null>') AS source
+             |  FROM documents),
+             |t AS (SELECT doc_id, text,
+             |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |m AS (SELECT doc_id, text, toks, len(toks) AS n_tokens,
+             |  ROUND(CAST(length(list_aggregate(toks, 'string_agg', '')) AS DOUBLE) / len(toks), 4) AS avg_len,
+             |  ROUND(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE) / len(toks), 4) AS stop_ratio
+             |  FROM t),
+             |q AS (SELECT doc_id, text, toks FROM m
+             |  WHERE n_tokens >= 20 AND avg_len >= 2.0 AND avg_len <= 10.0
+             |    AND stop_ratio >= 0.02),
+             |ek AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+             |e AS (SELECT q.doc_id, q.toks FROM q JOIN ek ON ek.doc_id = q.doc_id),
+             |shx AS (SELECT doc_id,
+             |  list_transform(range(1, len(toks) - 1),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+             |  FROM e WHERE len(toks) >= 3),
+             |exd AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM shx),
+             |mh AS (SELECT doc_id,
+             |  min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+             |  min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
+             |  min(md5('4|' || sh)) AS m4, min(md5('5|' || sh)) AS m5,
+             |  min(md5('6|' || sh)) AS m6, min(md5('7|' || sh)) AS m7
+             |  FROM exd GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM mh
+             |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM mh
+             |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM mh
+             |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM mh),
+             |prs AS (
+             |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM exd GROUP BY doc_id),
+             |inter AS (
+             |  SELECT p.a_id, p.b_id, COUNT(*) AS inter
+             |  FROM prs p
+             |  JOIN exd a ON a.doc_id = p.a_id
+             |  JOIN exd b ON b.doc_id = p.b_id AND b.sh = a.sh
+             |  GROUP BY 1, 2),
+             |ver AS (
+             |  SELECT i.a_id, i.b_id FROM inter i
+             |  JOIN sizes sa ON sa.doc_id = i.a_id
+             |  JOIN sizes sb ON sb.doc_id = i.b_id
+             |  WHERE i.inter * 10 >= (sa.n + sb.n - i.inter) * 1),
+             |edges AS (
+             |  SELECT a_id AS src, b_id AS dst FROM ver
+             |  UNION SELECT b_id, a_id FROM ver),
+             |cc(node, label) AS (
+             |  SELECT DISTINCT src, src FROM edges
+             |  UNION
+             |  SELECT e2.dst, c.label FROM cc c JOIN edges e2 ON e2.src = c.node),
+             |comp AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node),
+             |dropd AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+             |surv AS (SELECT e.doc_id FROM e
+             |  LEFT JOIN dropd dd ON dd.doc_id = e.doc_id
+             |  WHERE dd.doc_id IS NULL),
+             |cn AS (
+             |  SELECT 0 AS stage, source, COUNT(*) AS n FROM src GROUP BY 2
+             |  UNION ALL
+             |  SELECT 1, s.source, COUNT(*) FROM q
+             |    JOIN src s USING (doc_id) GROUP BY 2
+             |  UNION ALL
+             |  SELECT 2, s.source, COUNT(*) FROM e
+             |    JOIN src s USING (doc_id) GROUP BY 2
+             |  UNION ALL
+             |  SELECT 3, s.source, COUNT(*) FROM surv
+             |    JOIN src s USING (doc_id) GROUP BY 2),
+             |sgrid AS (SELECT DISTINCT source FROM src),
+             |stg AS (SELECT * FROM (VALUES (0, 'raw'), (1, 'quality'),
+             |    (2, 'exact_dedup'), (3, 'near_dup'))
+             |  AS v(stage, stage_name))
+             |SELECT stg.stage, stg.stage_name, g.source,
+             |  CAST(COALESCE(cn.n, 0) AS BIGINT) AS docs
+             |FROM sgrid g CROSS JOIN stg
+             |LEFT JOIN cn ON cn.stage = stg.stage
+             |  AND cn.source = g.source""".stripMargin)),
+
     // ---- X47: curation + decontamination composed under ONE oracle ------
     // The EndToEnd build's first two stages as a single hash-checked
     // query: curate the corpus (quality → exact dedup → verified

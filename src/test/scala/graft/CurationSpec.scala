@@ -24,6 +24,35 @@ class CurationSpec extends AnyFunSuite {
     assert(out.select("doc_id").distinct().count() === survivors)
   }
 
+  test("curation funnel: complete source x stage grid, monotone counts, " +
+      "null sources visible, zero cells present") {
+    import spark.implicits._
+    val mix = Seq(
+      (1L, Option("srcA"), "the quick brown fox jumps over the lazy dog " +
+        "and then the fox rests in a field of green grass all day long"),
+      (2L, Option("srcA"), "the quick brown fox jumps over the lazy dog " +
+        "and then the fox rests in a field of green grass all day long"),
+      (3L, Option("srcB"), "tiny"),
+      (4L, Option.empty[String], "the quick brown fox jumps over a very " +
+        "lazy dog and then the fox naps in a sunny field of grass today")
+    ).toDF("doc_id", "source", "text")
+    val f = Curation.curationFunnel(mix)
+      .collect().map(r => (r.getString(2), r.getInt(0)) ->
+        ((r.getString(1), r.getLong(3)))).toMap
+    assert(f.size === 12, "3 sources x 4 stages, every cell present")
+    // srcB dies at the quality gate but its zero cells remain
+    assert(f(("srcB", 0)) === (("raw", 1L)) &&
+      f(("srcB", 1)) === (("quality", 0L)) &&
+      f(("srcB", 3)) === (("near_dup", 0L)))
+    // srcA: both docs pass quality, exact dedup keeps one
+    assert(f(("srcA", 1))._2 === 2L && f(("srcA", 2))._2 === 1L)
+    // the null source groups under the sentinel and survives
+    assert(f(("<null>", 3))._2 === 1L)
+    // counts never increase down the funnel
+    for (s <- Seq("srcA", "srcB", "<null>"); st <- 0 to 2)
+      assert(f((s, st))._2 >= f((s, st + 1))._2)
+  }
+
   test("curation is deterministic") {
     val a = Curation.curate(docs).orderBy("doc_id").collect()
     val b = Curation.curate(docs).orderBy("doc_id").collect()

@@ -259,6 +259,27 @@ class DedupClusterSpec extends AnyFunSuite {
       Map(11L -> "exact_dup", 12L -> "near_dup", 13L -> "kept"))
   }
 
+  test("soft dedup weights: cluster members split one doc's weight, " +
+      "singletons and pair-less docs keep the full 1e6") {
+    import spark.implicits._
+    // docs 1-3 identical (one 3-member cluster -> 333333 each);
+    // 4 similar to nothing; 5 too short for any shingle at all
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "one two three four five six seven"),
+      (5L, "hi")
+    ).toDF("doc_id", "text")
+    val got = Dedup.softDedupWeights(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((1L, 3L, 333333L)), 2L -> ((1L, 3L, 333333L)),
+      3L -> ((1L, 3L, 333333L)),
+      4L -> ((4L, 1L, 1000000L)), 5L -> ((5L, 1L, 1000000L))))
+  }
+
   test("containment: a quoted doc hits C=1.0 where Jaccard misses; " +
       "threshold cuts integer-exactly") {
     import spark.implicits._
