@@ -279,6 +279,109 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Deterministic pixel perturbation (the re-encode/recompress stand-in
+    * for near-dup fixtures): decode, shift the R channel of the first `k`
+    * pixels by `delta` modulo 256 (modular, not clamped, so the oracle
+    * replays the new value with one `%`), re-encode as PNG. */
+  final case class PixelShift(k: Int, delta: Int) extends MediaTransform {
+    require(k >= 1 && delta >= 1, s"need positive k/delta, got $k/$delta")
+    override def apply(bytes: Array[Byte], meta: MediaMeta): (Array[Byte], MediaMeta) = {
+      val img = ImageCodec.decode(bytes, meta.mime)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < math.min(k, px.length)) {
+        val p = px(i)
+        val r2 = (((p >> 16) & 0xff) + delta) % 256
+        px(i) = (p & 0xff00ffff) | (r2 << 16)
+        i += 1
+      }
+      (ImageCodec.encodePng(px, w, h), MediaMeta("image/png", w, h))
+    }
+  }
+
+  /** Average perceptual hash (aHash — the canonical pHash family member;
+    * Krawetz's "Looks Like It"): decode, nearest-neighbor-sample a
+    * `gw × gh` grid (the SAME integer map as [[ImageResize]], pinned so a
+    * SQL oracle replays every sample position), gray = r+g+b (monotonic
+    * in luma, division-free), bit j = gray_j · n > Σgray (strict, so no
+    * mean rounding convention leaks in). The hash is scale-invariant
+    * under the engine's own NN resize by construction: resize to
+    * `(a·gw) × (b·gh)` then hash ≡ hash of the original, which is
+    * exactly the invariance image near-dup pipelines buy with pHash.
+    * Returns `(media_id, ahash)` with the bit-j-in-position-j layout in
+    * a non-negative BIGINT (`gw·gh ≤ 63`). */
+  def imageAHash(spark: SparkSession, media: DataFrame, gw: Int, gh: Int): DataFrame = {
+    import spark.implicits._
+    require(gw >= 1 && gh >= 1 && gw * gh <= 63,
+      s"hash grid must fit a non-negative long, got ${gw}x$gh = ${gw * gh} bits")
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        val img = ImageCodec.decode(rec.bytes, rec.meta.mime)
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val px = img.getRGB(0, 0, sw, sh, null, 0, sw)
+        val n = gw * gh
+        val grays = new Array[Long](n)
+        var tot = 0L
+        var j = 0
+        while (j < n) {
+          val sx = (j % gw) * sw / gw
+          val sy = (j / gw) * sh / gh
+          val p = px(sy * sw + sx)
+          val gr = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
+          grays(j) = gr; tot += gr; j += 1
+        }
+        var h = 0L
+        j = 0
+        while (j < n) { if (grays(j) * n > tot) h |= 1L << j; j += 1 }
+        (rec.media_id, h)
+      }
+    }.toDF("media_id", "ahash")
+  }
+
+  /** Match each original to its best near-duplicate variant by hash
+    * hamming distance, with LSH banding as the candidate generator: a
+    * hash of `numBands · bandBits` bits splits into `numBands` bands;
+    * two hashes within hamming `maxHam < numBands` must agree on at
+    * least one band (pigeonhole), so the band equi-join is EXACT — the
+    * same trick the simhash text path uses, on a compact integer hash.
+    * Candidates sharing several bands are absorbed by the min-aggregate
+    * (no distinct needed). Output is bounded at one row per original:
+    * `(media_id, match_id, hamming)`, ties broken by smallest match_id.
+    *
+    * Scale shape: one keyed equi-join on (band_idx, band_val) + one hash
+    * aggregate — no all-pairs anywhere. Band-bucket skew is bounded by
+    * the hash distribution; real perceptual hashes are near-uniform, and
+    * a saturated synthetic fixture degrades to larger buckets, never to
+    * a cross join. */
+  def matchByHash(origs: DataFrame, variants: DataFrame,
+      numBands: Int, bandBits: Int, maxHam: Int): DataFrame = {
+    require(numBands >= 1 && bandBits >= 1 && numBands * bandBits <= 63,
+      s"bands must tile a non-negative long, got $numBands x $bandBits")
+    require(maxHam >= 0 && maxHam < numBands,
+      s"banding is exact only for maxHam < numBands (pigeonhole), " +
+        s"got maxHam=$maxHam with $numBands bands")
+    val mask = (1L << bandBits) - 1
+    def banded(df: DataFrame, side: String): DataFrame = df
+      .select(col("media_id").as(s"${side}_id"), col("ahash").as(s"${side}_hash"))
+      .withColumn("band", explode(array((0 until numBands).map { k =>
+        struct(lit(k).as("band_idx"),
+          shiftright(col(s"${side}_hash"), k * bandBits)
+            .bitwiseAND(lit(mask)).as("band_val"))
+      }: _*)))
+      .select(col(s"${side}_id"), col(s"${side}_hash"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+    banded(origs, "o")
+      .join(banded(variants, "v"), Seq("band_idx", "band_val"))
+      .withColumn("hamming",
+        bit_count(col("o_hash").bitwiseXOR(col("v_hash"))).cast("int"))
+      .where(col("hamming") <= maxHam)
+      .groupBy(col("o_id").as("media_id"))
+      .agg(min(struct(col("hamming"), col("v_id"))).as("best"))
+      .select(col("media_id"), col("best.v_id").as("match_id"),
+        col("best.hamming").as("hamming"))
+  }
+
   /** Length-prefixed PNG-frame video container ("GVID"): 4-byte magic,
     * big-endian int32 width/height/frame-count, then per frame
     * `[int32 len][png bytes]` — the MJPEG idea with an explicit index.

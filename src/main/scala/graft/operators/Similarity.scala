@@ -216,6 +216,37 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), col("score")), k)
   }
 
+  /** Embedding-space decontamination — the semantic twin of the n-gram
+    * contamination gate ([[graft.operators.Dedup.contaminationReport]]):
+    * a train vector is contaminated when its 6-dp cosine against ANY
+    * benchmark vector reaches `tauMicros` micros (exact integer compare
+    * on the rounded score, so no float-order ambiguity near the cut).
+    * Benchmark suites are fixed-size — they do not grow with the corpus —
+    * so the eval side broadcasts and scoring is one map-only pass over
+    * the train vectors; the only shuffle keys on train id and carries
+    * `(id, cos)` pairs, never a vector. Emits a verdict per train vector
+    * (observability over silent drops, like every gate here):
+    * `(vec_id, max_eval_cos, kept)`. Filter `kept` for the clean corpus. */
+  def semanticDecontaminate(emb: DataFrame, evalPred: Column, tauMicros: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(tauMicros > 0 && tauMicros <= 1000000L,
+      s"tau is micros of cosine in (0, 1e6], got $tauMicros")
+    val sp = emb.sparkSession
+    val ev = emb.filter(evalPred)
+      .select(col(idCol).as("eval_id"), col(vecCol).as("ev"),
+        nativeNorm(sp, col(vecCol)).as("en"))
+    spread(emb.filter(not(evalPred))
+        .select(col(idCol), col(vecCol), nativeNorm(sp, col(vecCol)).as("tn")))
+      .crossJoin(broadcast(ev))
+      .select(col(idCol),
+        round(nativeDot(sp, col(vecCol), col("ev")) / (col("tn") * col("en")), 6)
+          .as("cos"))
+      .groupBy(col(idCol))
+      .agg(max(col("cos")).as("max_eval_cos"))
+      .withColumn("kept",
+        round(col("max_eval_cos") * 1e6).cast("long") < tauMicros)
+  }
+
   /** Cosine similarity rounded to `scale` decimals. */
   def cosine(a: Column, b: Column, scale: Int = 6): Column =
     round(dot(a, b) / (norm(a) * norm(b)), scale)

@@ -786,11 +786,17 @@ object TextAnalysis {
           .cast("decimal(18,6)").as("lp"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("lp"))).as("lps"))
+      // same exact-micros rounding as pplCore's avg_nll (the score is
+      // negative, so round-half-up acts on the positive magnitude and
+      // negates — BigDecimal HALF_UP away-from-zero semantics, tie-safe)
+      .withColumn("__m", m.cast("long"))
+      .withColumn("__sp", (aggregate(slice(col("lps"), lit(1), m),
+        lit(0).cast("decimal(28,6)"),
+        (acc, x) => (acc + x).cast("decimal(28,6)")) * lit(-1000000L))
+        .cast("long"))
       .select(col("doc_id"), size(col("lps")).cast("long").as("n_bigrams"),
-        round(aggregate(slice(col("lps"), lit(1), m),
-          lit(0).cast("decimal(28,6)"),
-          (acc, x) => (acc + x).cast("decimal(28,6)")).cast("double") / m, 6)
-          .as("mink_avg_lp"))
+        (-expr("(2 * __sp + __m) div (2 * __m)").cast("double")
+          / lit(1000000.0)).as("mink_avg_lp"))
     df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -822,8 +828,17 @@ object TextAnalysis {
           .cast("decimal(18,6)").as("lp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
+      // avg_nll to 6 dp in EXACT integer micros: −Σlp is a positive
+      // integral number of micros (each lp carries 6 dp), and
+      // round-half-up(a/n) = (2a+n) div (2n) for a ≥ 0 — all long
+      // arithmetic, so Spark and any SQL oracle agree even when the
+      // true quotient sits exactly on a half-micro tie (a double
+      // ROUND(x, 6) falls on different sides per engine there; one
+      // such tie exists in the sf0.001 CCNet composition)
+      .withColumn("__sm", (col("s") * lit(-1000000L)).cast("long"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(-col("s").cast("double") / col("n_bigrams"), 6).as("avg_nll"))
+        (expr("(2 * __sm + n_bigrams) div (2 * n_bigrams)").cast("double")
+          / lit(1000000.0)).as("avg_nll"))
     target.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -957,9 +972,14 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_trigrams"), count(col("lp")).as("n_scored"),
         sum(col("lp")).as("s"))
+      // exact-micros rounding (the pplCore avg_nll discipline): −Σlp is
+      // integral micros; round-half-up(a/n) = (2a+n) div (2n), all longs
+      .withColumn("__sm", (col("s") * lit(-1000000L)).cast("long"))
       .select(col("doc_id"), col("n_trigrams"),
         (col("n_trigrams") - col("n_scored")).as("n_oov"),
-        round(-col("s").cast("double") / col("n_scored"), 6).as("avg_nls"))
+        when(col("n_scored") > 0,
+          expr("(2 * __sm + n_scored) div (2 * n_scored)").cast("double")
+            / lit(1000000.0)).as("avg_nls"))
     target.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),

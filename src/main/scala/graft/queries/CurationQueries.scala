@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.operators.{Curation, Dsir}
@@ -370,6 +370,116 @@ object CurationQueries extends graft.QueryPack {
              |  SELECT doc_id, weight, row_number() OVER (
              |      ORDER BY weight DESC, doc_id) AS rnk
              |  FROM w)
-             |WHERE rnk <= 100""".stripMargin))
+             |WHERE rnk <= 100""".stripMargin)),
+
+    // ---- X66: the CCNet pipeline composed under ONE oracle --------------
+    // Wenzek et al. 2020 ("CCNet: Extracting High Quality Monolingual
+    // Datasets from Web Crawl Data"), the published crawl-curation
+    // recipe, stage order preserved: (1) paragraph-level exact dedup
+    // over the corpus (q_d18's fixture: an injected boilerplate banner +
+    // a repeated leading paragraph every 5th doc), (2) language-ID gate
+    // on the DEDUPED text (the stopword argmax of q_x3 — on this
+    // synthetic corpus it keeps nearly everything, which the oracle
+    // replays; a per-language fan-out is the same plan re-keyed), then
+    // (3) a bigram-LM perplexity filter TRAINED ON THE GATED DEDUPED
+    // CORPUS itself, bucketing head/middle/tail (cutoffs 39.5/44.5 keep
+    // all three buckets populated at every test SF). Each stage is
+    // oracle-proven alone (q_d18, q_x3, q_x27); this pins the
+    // composition — dedup feeds the LID tokens, the LID gate shapes the
+    // LM's training counts, and the buckets shift if any stage drifts.
+    // The gated relation localCheckpoints once: the LM pass reads it
+    // three times (bigrams, unigrams, final join) — the mmrRerank
+    // stage-boundary discipline.
+    Q("q_x66_ccnet_pipeline",
+      (s, d) => {
+        val t0 = coalesce(col("text"), lit(""))
+        val page = concat(concat_ws("\n",
+          substring(t0, 1, 80),
+          lit("Subscribe to our newsletter today."),
+          substring(t0, 81, 80)),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("\n"), substring(t0, 1, 80))).otherwise(lit("")))
+        val dd = graft.operators.Dedup.paragraphDedup(
+          Tables.documents(s, d).select(col("doc_id"), page.as("text")),
+          "text", "doc_id")
+        val en = dd.filter(graft.operators.TextAnalysis.langId(
+            graft.operators.TextAnalysis.tokens(col("text_dedup"))) === "en")
+          .localCheckpoint()
+        graft.operators.TextAnalysis.bigramPerplexity(en, "text_dedup",
+            "doc_id", headPpl = 39.5, tailPpl = 44.5)
+          .join(en.select(col("doc_id"), col("n_dropped")), Seq("doc_id"))
+          .select(col("doc_id"), col("n_dropped"), col("n_bigrams"),
+            col("avg_nll"), col("ppl"), col("bucket"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+             |pg AS (SELECT doc_id,
+             |    substr(t, 1, 80) || chr(10) ||
+             |    'Subscribe to our newsletter today.' || chr(10) ||
+             |    substr(t, 81, 80) ||
+             |    CASE WHEN doc_id % 5 = 0
+             |      THEN chr(10) || substr(t, 1, 80) ELSE '' END AS p
+             |  FROM base),
+             |paras AS (
+             |  SELECT doc_id, unnest(range(0, len(ps))) AS pos,
+             |    unnest(ps) AS para
+             |  FROM (SELECT doc_id, list_filter(
+             |      regexp_split_to_array(p, chr(10)), x -> x <> '') AS ps
+             |    FROM pg)
+             |  WHERE len(ps) > 0),
+             |kept AS (
+             |  SELECT doc_id, pos, para, row_number() OVER (
+             |      PARTITION BY para ORDER BY doc_id, pos) AS rn
+             |  FROM paras),
+             |dd AS (
+             |  SELECT doc_id,
+             |    COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+             |      ORDER BY pos), '') AS text_dedup,
+             |    CAST(COUNT(*) - COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT)
+             |      AS n_dropped
+             |  FROM kept GROUP BY doc_id),
+             |lx AS (SELECT doc_id, text_dedup, n_dropped,
+             |    list_filter(regexp_split_to_array(text_dedup, '\s+'),
+             |      x -> x <> '') AS ltoks
+             |  FROM dd),
+             |cc AS (SELECT doc_id, text_dedup, n_dropped FROM lx
+             |  WHERE len(list_filter(ltoks, x -> list_contains(
+             |          ['the','a','of','and','is','to','in'], x)))
+             |    >= GREATEST(
+             |      len(list_filter(ltoks, x -> list_contains(
+             |          ['der','die','das','und','ist','ein','zu'], x))),
+             |      len(list_filter(ltoks, x -> list_contains(
+             |          ['el','la','de','y','es','un','en'], x))),
+             |      len(list_filter(ltoks, x -> list_contains(
+             |          ['le','la','de','et','est','un','dans'], x))))),
+             |t2 AS (SELECT doc_id, n_dropped,
+             |    list_filter(regexp_split_to_array(lower(text_dedup), '\s+'),
+             |      x -> x <> '') AS toks
+             |  FROM cc),
+             |bi AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram,
+             |    toks[i] AS w1
+             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+             |        FROM t2 WHERE len(toks) >= 2)),
+             |bc AS (SELECT gram, COUNT(*) AS cb FROM bi GROUP BY 1),
+             |un AS (SELECT unnest(toks) AS w FROM t2),
+             |uc AS (SELECT w, COUNT(*) AS cu FROM un GROUP BY 1),
+             |v AS (SELECT COUNT(DISTINCT w) AS vsz FROM un),
+             |sc AS (SELECT doc_id,
+             |    CAST(ROUND(ln((cb + 1.0) / (cu + 1.0 * vsz)), 6)
+             |      AS DECIMAL(18,6)) AS lp
+             |  FROM bi JOIN bc USING (gram) JOIN uc ON uc.w = bi.w1, v),
+             |pd AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+             |    CAST((2 * CAST(-SUM(lp) * 1000000 AS BIGINT) + COUNT(*))
+             |         // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS avg_nll
+             |  FROM sc GROUP BY 1)
+             |SELECT c.doc_id, c.n_dropped,
+             |  CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |  pd.avg_nll,
+             |  ROUND(exp(pd.avg_nll), 4) AS ppl,
+             |  CASE WHEN pd.avg_nll IS NULL THEN 'empty'
+             |       WHEN ROUND(exp(pd.avg_nll), 4) <= 39.5 THEN 'head'
+             |       WHEN ROUND(exp(pd.avg_nll), 4) >= 44.5 THEN 'tail'
+             |       ELSE 'middle' END AS bucket
+             |FROM cc c LEFT JOIN pd USING (doc_id)""".stripMargin))
   )
 }

@@ -38,6 +38,31 @@ object MultimodalQueries extends graft.QueryPack {
     s"CAST(CAST(CAST(sg AS DOUBLE) / $n AS FLOAT) AS DOUBLE)",
     s"CAST(CAST(CAST(sb AS DOUBLE) / $n AS FLOAT) AS DOUBLE)")
 
+  /** Closed-form aHash relation `name(media_id, ahash)` over the 16x8
+    * fixture sampled on the 8x4 grid (sidx = 32·(j div 8) + 2·(j mod 8) —
+    * the ImageResize NN map). `pertR = true` replays [[Multimodal
+    * .PixelShift]](1, 128): the variant's R channel at sidx 0 is shifted
+    * by 128 mod 256 (the 2x NN downscale keeps pixel 0, and aHash is
+    * invariant under the downscale itself). */
+  private def duckAHashRel(name: String, pertR: Boolean): String = {
+    val rShift = if (pertR) " + CASE WHEN sidx = 0 THEN 128 ELSE 0 END" else ""
+    s"""${name}_g AS (
+       |  SELECT media_id, j, gray,
+       |    SUM(gray) OVER (PARTITION BY media_id) AS tot
+       |  FROM (
+       |    SELECT doc_id AS media_id, j,
+       |      (doc_id + sidx$rShift) % 256
+       |      + (doc_id * 3 + sidx * 5 + 17) % 256
+       |      + (doc_id * 7 + sidx * 11 + 41) % 256 AS gray
+       |    FROM (SELECT doc_id, j, 32 * (j // 8) + 2 * (j % 8) AS sidx
+       |          FROM documents, (SELECT unnest(range(0, 32)) AS j)))),
+       |$name AS (
+       |  SELECT media_id,
+       |    CAST(SUM(CASE WHEN gray * 32 > tot
+       |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS ahash
+       |  FROM ${name}_g GROUP BY 1)""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
 
     // ---- M1: binary staging + metadata (pure column ops) ----------------
@@ -181,6 +206,51 @@ object MultimodalQueries extends graft.QueryPack {
              |  CAST(SUM(CASE WHEN pf IS NOT NULL THEN ABS(fr - pf)
              |    ELSE 0 END) AS BIGINT) AS motion_r
              |FROM lagged GROUP BY 1""".stripMargin)),
+
+    // ---- M8: REAL decode -> average perceptual hash ---------------------
+    // aHash over the 16x8 fixture on an 8x4 grid: NN-sample (the pinned
+    // ImageResize index map), gray = r+g+b, strict mean threshold. The
+    // oracle recomputes all 32 sampled grays from the closed form and
+    // packs the bits into the same BIGINT layout — a decode or sampling
+    // bug flips hash bits.
+    Q("q_m8_ahash",
+      (s, d) => Multimodal.imageAHash(s,
+        Multimodal.synthesizeImages(s,
+          Tables.documents(s, d).select(col("doc_id")), 16, 8,
+          idCol = "doc_id"), 8, 4),
+      Some(s"""WITH ${duckAHashRel("ho", pertR = false)}
+              |SELECT media_id, ahash FROM ho""".stripMargin)),
+
+    // ---- M9: perceptual-hash near-dup matching --------------------------
+    // The image-dedup pipeline end-to-end: originals vs variants that
+    // went through a deterministic pixel perturbation (re-encode stand-in)
+    // plus a 2x NN downscale (aHash is invariant under the engine's own
+    // NN resize by construction, so only the perturbation moves bits).
+    // Banded candidate join is EXACT for hamming <= 3 with 4 bands
+    // (pigeonhole); output is one best match per original. The oracle
+    // brute-forces all pairs — equality proves the banding lost nothing.
+    Q("q_m9_phash_match",
+      (s, d) => {
+        val ids = Tables.documents(s, d).select(col("doc_id"))
+        val origs = Multimodal.synthesizeImages(s, ids, 16, 8, idCol = "doc_id")
+        val varts = Multimodal.transformMedia(s,
+          Multimodal.transformMedia(s, origs, Multimodal.PixelShift(1, 128)),
+          Multimodal.ImageResize(8, 4))
+        Multimodal.matchByHash(
+          Multimodal.imageAHash(s, origs, 8, 4),
+          Multimodal.imageAHash(s, varts, 8, 4),
+          numBands = 4, bandBits = 8, maxHam = 3)
+      },
+      Some(s"""WITH ${duckAHashRel("ho", pertR = false)},
+              |${duckAHashRel("hv", pertR = true)}
+              |SELECT media_id, match_id, hamming FROM (
+              |  SELECT o.media_id, v.media_id AS match_id,
+              |    CAST(bit_count(xor(o.ahash, v.ahash)) AS INTEGER) AS hamming,
+              |    row_number() OVER (PARTITION BY o.media_id
+              |      ORDER BY bit_count(xor(o.ahash, v.ahash)), v.media_id) AS rn
+              |  FROM ho o, hv v
+              |  WHERE bit_count(xor(o.ahash, v.ahash)) <= 3)
+              |WHERE rn = 1""".stripMargin)),
 
     // ---- M4: media -> REAL pixel features -> ANN bridge -----------------
     // Brute-force cosine top-k over the decoded feature vectors — media

@@ -627,6 +627,33 @@ object SimilarityQueries extends graft.QueryPack {
               |${kppReduce(3, 64, 2)}
               |SELECT centroid_id, i AS dim, cv AS cval FROM wc2""".stripMargin)),
 
+    // ---- D21: semantic decontamination (embedding cosine vs eval set) ---
+    // The embedding-space twin of the n-gram contamination gate (q_d10):
+    // benchmark vectors are vec_id < 50 (a fixed-size eval suite — it
+    // broadcasts at any corpus scale); a train vector is contaminated at
+    // max 6-dp cosine >= 0.35 (exact integer-micro compare at the cut).
+    // Verdict per train vector, never a silent drop.
+    Q("q_d21_semantic_decontaminate",
+      (s, d) => Similarity.semanticDecontaminate(Tables.embeddings(s, d),
+        col("vec_id") < 50, tauMicros = 350000L),
+      Some(s"""$duckEx,
+              |dd AS (
+              |  SELECT t.vec_id, e.vec_id AS eval_id,
+              |         SUM(CAST(t.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS dot
+              |  FROM ex t JOIN ex e ON t.i = e.i
+              |  WHERE t.vec_id >= 50 AND e.vec_id < 50
+              |  GROUP BY 1, 2),
+              |mx AS (
+              |  SELECT d.vec_id,
+              |         MAX(ROUND(d.dot / (nt.nrm * ne.nrm), 6)) AS max_eval_cos
+              |  FROM dd d
+              |  JOIN norms nt ON nt.vec_id = d.vec_id
+              |  JOIN norms ne ON ne.vec_id = d.eval_id
+              |  GROUP BY 1)
+              |SELECT vec_id, max_eval_cos,
+              |       CAST(ROUND(max_eval_cos * 1e6) AS BIGINT) < 350000 AS kept
+              |FROM mx""".stripMargin)),
+
     // ---- D15: SemDeDup — semantic dedup (k-means + within-cluster cos) --
     // The oracle replays the full chain: the 2-iteration k=8 training
     // (duckKmeans's c2/s3), the argmax assignment, every within-cluster

@@ -111,7 +111,8 @@ object TextQueries extends graft.QueryPack {
              |    CAST(ROUND(ln((cb + 1.0) / (cu + 1.0 * vsz)), 6) AS DECIMAL(18,6)) AS lp
              |  FROM bi JOIN bc USING (gram) JOIN uc ON uc.w = bi.w1, v),
              |pd AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-             |    ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+             |    CAST((2 * CAST(-SUM(lp) * 1000000 AS BIGINT) + COUNT(*))
+             |         // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS avg_nll
              |  FROM sc GROUP BY 1)
              |SELECT d.doc_id,
              |  CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
@@ -261,7 +262,10 @@ object TextQueries extends graft.QueryPack {
              |fin AS (SELECT d.doc_id,
              |    COALESCE(a.n_trigrams, 0) AS n_trigrams,
              |    COALESCE(a.n_trigrams - a.n_scored, 0) AS n_oov,
-             |    ROUND(-CAST(a.s AS DOUBLE) / a.n_scored, 6) AS avg_nls
+             |    CASE WHEN a.n_scored > 0 THEN
+             |      CAST((2 * CAST(-a.s * 1000000 AS BIGINT) + a.n_scored)
+             |           // (2 * a.n_scored) AS DOUBLE) / 1000000.0
+             |    END AS avg_nls
              |  FROM (SELECT doc_id FROM documents WHERE doc_id % 2 <> 0) d
              |  LEFT JOIN agg a ON a.doc_id = d.doc_id)
              |SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams,
@@ -716,8 +720,9 @@ object TextQueries extends graft.QueryPack {
              |    GREATEST(1, CAST(FLOOR(len(lps) * 20 / 100.0) AS BIGINT)) AS m,
              |    lps FROM pd),
              |s2 AS (SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
-             |    ROUND(CAST(list_aggregate(list_slice(lps, 1, m), 'sum')
-             |      AS DOUBLE) / m, 6) AS mink_avg_lp
+             |    -(CAST((2 * CAST(-list_aggregate(list_slice(lps, 1, m), 'sum')
+             |        * 1000000 AS BIGINT) + m) // (2 * m) AS DOUBLE))
+             |      / 1000000.0 AS mink_avg_lp
              |  FROM mk)
              |SELECT d.doc_id,
              |  CAST(COALESCE(s2.n_bigrams, 0) AS BIGINT) AS n_bigrams,

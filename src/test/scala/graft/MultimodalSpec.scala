@@ -139,6 +139,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.getLong(6) === math.abs(r4 - r0), "motion_r")
   }
 
+  test("imageAHash: invariant under NN downscale; PixelShift moves few bits") {
+    import spark.implicits._
+    val ids = Seq(3L, 41L, 250L).toDF("media_id")
+    val origs = Multimodal.synthesizeImages(spark, ids, 16, 8)
+    def hashes(m: org.apache.spark.sql.DataFrame) =
+      Multimodal.imageAHash(spark, m, 8, 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ho = hashes(origs)
+    // scale invariance: the 2x NN downscale samples exactly the pixels
+    // the 8x4 hash grid samples, so the hash is bit-identical
+    val hr = hashes(Multimodal.transformMedia(spark, origs,
+      Multimodal.ImageResize(8, 4)))
+    assert(hr === ho, "aHash must be invariant under the engine's NN resize")
+    // perturbing one sampled pixel flips at most a few bits
+    val hp = hashes(Multimodal.transformMedia(spark, origs,
+      Multimodal.PixelShift(1, 128)))
+    for (id <- Seq(3L, 41L, 250L)) {
+      val ham = java.lang.Long.bitCount(ho(id) ^ hp(id))
+      assert(ham <= 3, s"one-pixel shift moved $ham bits for media $id")
+    }
+    // hash layout: 32-bit grid fits a non-negative long
+    assert(ho.values.forall(h => h >= 0 && h < (1L << 32)))
+    // grid too large for a long fails loudly
+    assert(intercept[IllegalArgumentException](
+      Multimodal.imageAHash(spark, origs, 8, 8)).getMessage.contains("64 bits"))
+  }
+
+  test("matchByHash: banded match equals brute force; pigeonhole guard") {
+    import spark.implicits._
+    val ids = spark.range(1, 201).select(col("id").as("media_id"))
+    val origs = Multimodal.synthesizeImages(spark, ids, 16, 8)
+    val varts = Multimodal.transformMedia(spark,
+      Multimodal.transformMedia(spark, origs, Multimodal.PixelShift(1, 128)),
+      Multimodal.ImageResize(8, 4))
+    val ho = Multimodal.imageAHash(spark, origs, 8, 4)
+    val hv = Multimodal.imageAHash(spark, varts, 8, 4)
+    val got = Multimodal.matchByHash(ho, hv, numBands = 4, bandBits = 8, maxHam = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // brute-force reference over the collected hashes
+    val o = ho.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val v = hv.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expect = o.flatMap { case (oid, oh) =>
+      val cands = v.map { case (vid, vh) => (java.lang.Long.bitCount(oh ^ vh), vid) }
+        .filter(_._1 <= 3)
+      if (cands.isEmpty) None else Some(oid -> { val m = cands.min; (m._2, m._1) })
+    }.toMap
+    assert(got === expect, "banding must lose no pair within maxHam < numBands")
+    assert(got.nonEmpty && got.forall(_._2._2 <= 3))
+    // maxHam >= numBands breaks the pigeonhole guarantee -> loud refusal
+    assert(intercept[IllegalArgumentException](
+      Multimodal.matchByHash(ho, hv, 4, 8, 4)).getMessage.contains("pigeonhole"))
+  }
+
   test("Discovery.latestFiles: extension filter, mtime desc, cap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-disc")
     for (i <- 1 to 7) {
