@@ -350,4 +350,43 @@ object Sampling {
       .filter(_._2 > 0).toMap
     mixtureByWeights(df, domainCol, idCol, salt, w, total)
   }
+
+  /** Curriculum data ordering (Bengio et al. 2009, the data-scheduling
+    * form LLM training runs use): rows bucket into difficulty TIERS
+    * (equi-depth bins over any numeric difficulty proxy — length,
+    * perplexity, a quality score), the schedule runs tiers easy → hard,
+    * and WITHIN a tier the order is the [[saltedKey]] md5 shuffle — a
+    * new salt reshuffles an epoch without touching the tier structure,
+    * and no RNG or row order leaks in.
+    *
+    * The global index composes per-tier ranks with tier offsets: the
+    * rank window is PARTITIONED by tier (never a global window — an
+    * equi-depth tier is 1/B of the corpus, so tiers are balanced
+    * partitions; at 100 TB each tier ranks independently), and the B−1
+    * offsets come from a B-row bounded driver read inlined as literals
+    * (the quantizer/quota discipline). Rows with a null difficulty have
+    * no place in a schedule and are excluded (count them upstream).
+    * Returns `(<idCol>, tier, curriculum_idx)` with curriculum_idx a
+    * gapless 0-based global schedule position. */
+  def curriculumOrder(df: DataFrame, diffCol: String, idCol: String,
+      nTiers: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = Features.equiDepthBins(df, diffCol, nTiers)
+      .where(col(s"${diffCol}_bin").isNotNull)
+      .select(col(idCol), col(s"${diffCol}_bin").cast("int").as("tier"))
+    val counts = binned.groupBy(col("tier")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require(counts.size <= nTiers,
+      s"equi-depth binning produced ${counts.size} tiers for nTiers=$nTiers")
+    val offsets = (0 until nTiers).scanLeft(0L) {
+      (acc, t) => acc + counts.getOrElse(t, 0L)
+    }
+    val offset = (0 until nTiers).map { t =>
+      when(col("tier") === t, lit(offsets(t)))
+    }.reduce((a, b) => coalesce(a, b))
+    val w = Window.partitionBy(col("tier"))
+      .orderBy(saltedKey(col(idCol), salt), col(idCol))
+    binned.select(col(idCol), col("tier"),
+      (offset + row_number().over(w) - 1).cast("long").as("curriculum_idx"))
+  }
 }

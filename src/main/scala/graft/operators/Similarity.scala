@@ -247,6 +247,65 @@ object Similarity {
         round(col("max_eval_cos") * 1e6).cast("long") < tauMicros)
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings") —
+    * the RATIO margin:
+    *
+    *   margin(x,y) = cos(x,y) / ((avgNNk(x→T) + avgNNk(y→S)) / 2)
+    *
+    * which deflates hub vectors whose whole neighborhood is close (raw
+    * cosine mining pairs hubs with everything; the margin normalizes by
+    * how close a candidate's OTHER neighbors already are). Exact
+    * integer arithmetic end to end: each cosine quantizes to micros,
+    * the two k-NN averages stay as SUMS (margin = 2k·cm / (sx+sy)), and
+    * the emitted score is parts-per-million by long division — no float
+    * division anywhere, so an SQL oracle replays every rank including
+    * ties (score desc, id asc — the [[perQueryTopK]] contract).
+    *
+    * Scale shape: the source (mined-query) side broadcasts; the scored
+    * relation is map-only over the target corpus; both k-NN passes ride
+    * the bounded top-k buffer (≤ k pairs per query per map task); the
+    * margin join keys on src/tgt ids carrying only (id, id, micros)
+    * rows. The scored relation localCheckpoints once — three consumers
+    * (two k-NN passes + the margin join) would replay the cosine pass.
+    * Returns the top-1 target per source: `(src_id, tgt_id,
+    * margin_ppm)`. */
+  def bitextMarginTopK(emb: DataFrame, srcPred: Column, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val sp = emb.sparkSession
+    val s = emb.filter(srcPred)
+      .select(col(idCol).as("src_id"), col(vecCol).as("sv"),
+        nativeNorm(sp, col(vecCol)).as("sn"))
+    val t = emb.filter(not(srcPred))
+      .select(col(idCol).as("tgt_id"), col(vecCol).as("tv"),
+        nativeNorm(sp, col(vecCol)).as("tn"))
+    val c = spread(t).crossJoin(broadcast(s))
+      .select(col("src_id"), col("tgt_id"),
+        round(round(nativeDot(sp, col("sv"), col("tv"))
+          / (col("sn") * col("tn")), 6) * 1e6).cast("long").as("cm"))
+      .localCheckpoint()
+    val sx = perQueryTopK(c.select(col("src_id").as("query_id"),
+        col("tgt_id").as("neighbor_id"), col("cm").cast("double").as("score")), k)
+      .groupBy(col("query_id"))
+      .agg(sum(col("score").cast("long")).as("sx"))
+      .select(col("query_id").as("src_id"), col("sx"))
+    val sy = perQueryTopK(c.select(col("tgt_id").as("query_id"),
+        col("src_id").as("neighbor_id"), col("cm").cast("double").as("score")), k)
+      .groupBy(col("query_id"))
+      .agg(sum(col("score").cast("long")).as("sy"))
+      .select(col("query_id").as("tgt_id"), col("sy"))
+    val margins = c.join(sx, Seq("src_id")).join(sy, Seq("tgt_id"))
+      .where(col("sx") + col("sy") > 0)
+      .select(col("src_id"), col("tgt_id"),
+        expr(s"(2 * $k * cm * 1000000) div (sx + sy)").as("margin_ppm"))
+    perQueryTopK(margins.select(col("src_id").as("query_id"),
+        col("tgt_id").as("neighbor_id"),
+        col("margin_ppm").cast("double").as("score")), 1)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        col("score").cast("long").as("margin_ppm"))
+  }
+
   /** Cosine similarity rounded to `scale` decimals. */
   def cosine(a: Column, b: Column, scale: Int = 6): Column =
     round(dot(a, b) / (norm(a) * norm(b)), scale)

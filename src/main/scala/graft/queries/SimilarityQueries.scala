@@ -627,6 +627,49 @@ object SimilarityQueries extends graft.QueryPack {
               |${kppReduce(3, 64, 2)}
               |SELECT centroid_id, i AS dim, cv AS cval FROM wc2""".stripMargin)),
 
+    // ---- SIM16: margin-based bitext mining (ratio margin, exact ppm) ----
+    // Artetxe-Schwenk: source side vec_id < 25 (the mined-query set —
+    // broadcasts), targets the rest; k = 4 neighbors on BOTH sides feed
+    // the hub-deflating denominator. Every number is integer micros/ppm
+    // (margin = 2k·cm / (sx+sy), long division truncating toward zero in
+    // both engines), so the oracle replays each rank and tie exactly.
+    Q("q_sim16_bitext_margin",
+      (s, d) => Similarity.bitextMarginTopK(Tables.embeddings(s, d),
+        col("vec_id") < 25, k = 4),
+      Some(s"""$duckEx,
+              |dots AS (
+              |  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+              |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+              |  FROM ex a JOIN ex b ON a.i = b.i
+              |  WHERE a.vec_id < 25 AND b.vec_id >= 25
+              |  GROUP BY 1, 2),
+              |cd AS (
+              |  SELECT d.src_id, d.tgt_id,
+              |    CAST(ROUND(ROUND(d.dot / (na.nrm * nb.nrm), 6) * 1e6)
+              |      AS BIGINT) AS cm
+              |  FROM dots d JOIN norms na ON na.vec_id = d.src_id
+              |  JOIN norms nb ON nb.vec_id = d.tgt_id),
+              |sx AS (SELECT src_id, SUM(cm) AS sx FROM (
+              |    SELECT src_id, cm, row_number() OVER (
+              |      PARTITION BY src_id ORDER BY cm DESC, tgt_id) AS rn
+              |    FROM cd)
+              |  WHERE rn <= 4 GROUP BY 1),
+              |sy AS (SELECT tgt_id, SUM(cm) AS sy FROM (
+              |    SELECT tgt_id, cm, row_number() OVER (
+              |      PARTITION BY tgt_id ORDER BY cm DESC, src_id) AS rn
+              |    FROM cd)
+              |  WHERE rn <= 4 GROUP BY 1),
+              |mg AS (SELECT c.src_id, c.tgt_id,
+              |    (2 * 4 * c.cm * 1000000) // (sx.sx + sy.sy) AS margin_ppm
+              |  FROM cd c JOIN sx USING (src_id) JOIN sy USING (tgt_id)
+              |  WHERE sx.sx + sy.sy > 0)
+              |SELECT src_id, tgt_id, CAST(margin_ppm AS BIGINT) AS margin_ppm
+              |FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY src_id ORDER BY margin_ppm DESC, tgt_id) AS rn
+              |  FROM mg)
+              |WHERE rn = 1""".stripMargin)),
+
     // ---- D21: semantic decontamination (embedding cosine vs eval set) ---
     // The embedding-space twin of the n-gram contamination gate (q_d10):
     // benchmark vectors are vec_id < 50 (a fixed-size eval suite — it

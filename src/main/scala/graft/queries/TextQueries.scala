@@ -1651,6 +1651,37 @@ object TextQueries extends graft.QueryPack {
              |  CAST(CASE WHEN n_chars IS NULL THEN NULL ELSE
              |    (n_chars > b1)::int + (n_chars > b2)::int + (n_chars > b3)::int
              |  END AS INT) AS n_chars_bin
-             |FROM documents, b""".stripMargin))
+             |FROM documents, b""".stripMargin)),
+
+    // ---- X67: curriculum data ordering (easy -> hard, salted in-tier) ---
+    // The training-schedule op: equi-depth difficulty tiers over n_chars
+    // (shortest = easiest first), md5-salted shuffle within a tier, and
+    // a gapless global schedule index composed from tier offsets (B-row
+    // driver-bounded read) + a PARTITIONED rank — no global window. A
+    // new salt reshuffles the epoch without touching the tier structure.
+    Q("q_x67_curriculum",
+      (s, d) => graft.operators.Sampling.curriculumOrder(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "n_chars", "doc_id", nTiers = 4, salt = "cur1"),
+      Some("""WITH b AS (SELECT
+             |    ROUND(quantile_cont(n_chars, 0.25), 6) AS b1,
+             |    ROUND(quantile_cont(n_chars, 0.50), 6) AS b2,
+             |    ROUND(quantile_cont(n_chars, 0.75), 6) AS b3
+             |  FROM documents),
+             |tiers AS (SELECT doc_id,
+             |    (n_chars > b1)::int + (n_chars > b2)::int
+             |      + (n_chars > b3)::int AS tier
+             |  FROM documents, b WHERE n_chars IS NOT NULL),
+             |r AS (SELECT doc_id, tier,
+             |    row_number() OVER (PARTITION BY tier
+             |      ORDER BY md5('cur1|' || CAST(doc_id AS VARCHAR)), doc_id)
+             |      AS rn
+             |  FROM tiers),
+             |off AS (SELECT tier, COUNT(*) AS n FROM tiers GROUP BY 1),
+             |cum AS (SELECT tier, SUM(n) OVER (ORDER BY tier) - n AS o
+             |  FROM off)
+             |SELECT r.doc_id, CAST(r.tier AS INT) AS tier,
+             |  CAST(c.o + r.rn - 1 AS BIGINT) AS curriculum_idx
+             |FROM r JOIN cum c USING (tier)""".stripMargin))
   )
 }

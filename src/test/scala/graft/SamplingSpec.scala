@@ -193,4 +193,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(again === out.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet)
   }
+
+  test("curriculum ordering: gapless easy->hard schedule, salted in-tier shuffle") {
+    import spark.implicits._
+    val df = (1L to 80L).map(i => (i, (i * 7 % 100).toInt))
+      .toDF("doc_id", "difficulty")
+      .union(Seq((999L, null.asInstanceOf[Integer])).map {
+        case (i, v) => (i, Option(v).map(_.toInt))
+      }.toDF("doc_id", "difficulty"))
+    val out = Sampling.curriculumOrder(df, "difficulty", "doc_id",
+        nTiers = 4, salt = "ep0")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // null-difficulty row excluded; the rest scheduled
+    assert(out.length === 80 && !out.exists(_._1 == 999L))
+    // curriculum_idx is a gapless 0-based permutation
+    assert(out.map(_._3).sorted.toSeq === (0L until 80L))
+    // tiers are non-decreasing along the schedule (easy -> hard)
+    val byIdx = out.sortBy(_._3).map(_._2)
+    assert(byIdx.zip(byIdx.tail).forall { case (a, b) => a <= b })
+    // a new salt reshuffles WITHIN tiers but never moves a row across
+    val ep1 = Sampling.curriculumOrder(df, "difficulty", "doc_id",
+        nTiers = 4, salt = "ep1")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val ep0 = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(ep0.keySet === ep1.keySet)
+    assert(ep0.forall { case (id, (tier, _)) => ep1(id)._1 === tier })
+    assert(ep0.exists { case (id, (_, idx)) => ep1(id)._2 != idx },
+      "a fresh salt must actually reshuffle")
+  }
 }

@@ -649,4 +649,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       Similarity.rrfFuse(Seq.empty, 5)).getMessage.contains("at least one"))
   }
+
+  test("bitext margin: the ratio margin deflates a hub that raw cosine prefers") {
+    import spark.implicits._
+    // sources a=[1,0], b=[0,1]; targets: hub h=[0.8,0.6] (close to BOTH
+    // sources), unique u=[0.986, 0.166] (cos≈0.986 with a, far from b),
+    // filler f=[-1,0]. Raw cosine for b picks h (0.6 beats everything
+    // else b sees), and margin keeps that. For a, u wins on raw cosine
+    // AND margin. The hub-deflation claim: margin(a,h) < cos-proportional
+    // rank because h's source-side neighborhood sum (sy) is fat.
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0.8f, 0.6f)), (3L, Array(0.986f, 0.166f)),
+      (4L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bitextMarginTopK(emb, col("vec_id") < 2, k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet === Set(0L, 1L))
+    assert(out(0L)._1 === 3L, "source a pairs with its unique target")
+    assert(out(1L)._1 === 2L, "source b's only close target is the hub")
+    // exact-integer replay of source a's margin: micros quantize first
+    def cosM(x: (Float, Float), y: (Float, Float)): Long = {
+      val d = x._1.toDouble * y._1 + x._2.toDouble * y._2
+      val n = math.sqrt(x._1.toDouble * x._1 + x._2.toDouble * x._2) *
+        math.sqrt(y._1.toDouble * y._1 + y._2.toDouble * y._2)
+      math.round(BigDecimal(d / n).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    }
+    val a = (1f, 0f); val b = (0f, 1f)
+    val h = (0.8f, 0.6f); val u = (0.986f, 0.166f); val f = (-1f, 0f)
+    val sxA = Seq(cosM(a, h), cosM(a, u), cosM(a, f)).sorted.reverse.take(2).sum
+    val syU = Seq(cosM(u, a), cosM(u, b)).sorted.reverse.take(2).sum
+    assert(out(0L)._2 === (2L * 2 * cosM(a, u) * 1000000L) / (sxA + syU))
+    // margin actually deflated the hub below the unique match for a
+    val syH = Seq(cosM(h, a), cosM(h, b)).sorted.reverse.take(2).sum
+    val mH = (2L * 2 * cosM(a, h) * 1000000L) / (sxA + syH)
+    assert(mH < out(0L)._2, "hub margin must fall below the unique match")
+  }
 }
