@@ -378,4 +378,35 @@ object Behavior {
         lit(1000000L).as("credit_m"))
     credited.unionAll(organic)
   }
+
+  /** First-order Markov transition matrix over per-user event paths —
+    * the path-analysis primitive (next-step prediction, funnel
+    * discovery, session flow charts): for each consecutive in-user pair
+    * `(e_i → e_{i+1})` count transitions and emit the row-conditional
+    * probability P(to | from) in exact micros.
+    *
+    * Shape: ONE window pass partitioned by user (ordered by ts with an
+    * explicit integral tiebreak — never rely on physical row order),
+    * then a hash aggregate to the |types|² transition relation; the
+    * row-total window runs over THAT aggregated relation (≤ |types|²
+    * rows — bounded however large the corpus). Probability is
+    * round-half-up((n·1e6)/row_total) as pure long arithmetic
+    * ((2a+b) div (2b) — the pplCore discipline), so the oracle replays
+    * every cell. Returns `(from_type, to_type, n, p_micros)`. */
+  def markovTransitions(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("from_type"), col(tsCol),
+        col(tieCol))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+    pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(2 * n * 1000000 + row_total) div (2 * row_total)")
+          .as("p_micros"))
+  }
 }

@@ -558,4 +558,41 @@ object Profile {
         col("c.n_violations"),
         (col("c.n_violations") === 0L).as("passed"))
   }
+
+  /** Differentially-private histogram release (the Laplace mechanism,
+    * Dwork et al. 2006) — the last rung of the privacy ladder after
+    * k-anonymity/l-diversity/t-closeness: per-group counts with
+    * Laplace(Δ/ε) noise, Δ = 1 for disjoint-group counting queries.
+    *
+    * Noise is DETERMINISTIC-SEEDED: u16 = first 16 bits of
+    * md5(salt|group) maps through the Laplace inverse CDF
+    * (−b·sgn(u−½)·ln(1−2|u−½|), u = (u16+½)/65536 — never 0 or 1, so
+    * ln's argument stays in (0,1]). Per release the noise is exactly
+    * Laplace-shaped across groups and reproducible — the audit/replay
+    * mode a regulated pipeline wants; a NEW salt per release restores
+    * the fresh-draw contract (reusing one salt across releases answers
+    * the same query twice for free, which DP accounting must not do —
+    * caller owns the budget ledger, the knob is explicit). The noisy
+    * count rounds to 6 dp (ln is the one libm call, the exp/ln oracle
+    * precedent); `released` clamps to a non-negative integer (standard
+    * post-processing, DP-safe). Emits the true count too — this is a
+    * library stage, the caller projects it away at the release boundary.
+    * Scale: one hash aggregate + map-only noise, groups-sized output. */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], epsilonMicros: Long,
+      salt: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(epsilonMicros > 0, s"epsilon must be positive micros, got $epsilonMicros")
+    val key = concat_ws("|", groupCols.map(col): _*)
+    val u16 = conv(substring(md5(concat(lit(s"$salt|"), key)), 1, 4), 16, 10)
+      .cast("long")
+    val u = (u16.cast("double") + 0.5) / 65536.0
+    val b = 1e6 / epsilonMicros.toDouble
+    val noise = round(
+      -lit(b) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5)), 6)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise", noise)
+      .withColumn("released",
+        greatest(round(col("n") + col("noise")).cast("long"), lit(0L)))
+  }
 }

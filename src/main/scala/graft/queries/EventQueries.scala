@@ -261,6 +261,28 @@ object EventQueries extends graft.QueryPack {
     // w = 1e6 div 2^(age div 1day) — pure integer shift+division, exact
     // in both engines; per-channel credit = channel_w * 1e6 div total_w;
     // organic keeps 1e6 on NULL.
+    // ---- E25: first-order Markov transition matrix -----------------------
+    // The path-analysis primitive: per-user event sequences (ts order,
+    // event_id tiebreak) reduce to the |types|^2 transition relation with
+    // exact-micro conditional probabilities ((2a+b) div (2b) half-up —
+    // pure long arithmetic, every cell oracle-replayable). The row-total
+    // window runs over the 25-row AGGREGATED relation, never the stream.
+    Q("q_e25_markov_transitions",
+      (s, d) => graft.operators.Behavior.markovTransitions(
+        Tables.events(s, d), "user_id", "event_type", "ts", "event_id"),
+      Some("""WITH p AS (SELECT user_id, event_type AS from_type,
+             |    lead(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |c AS (SELECT from_type, to_type, COUNT(*) AS n
+             |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY from_type)
+             |    AS BIGINT) AS rt
+             |  FROM c)
+             |SELECT from_type, to_type, n,
+             |  CAST((2 * n * 1000000 + rt) // (2 * rt) AS BIGINT) AS p_micros
+             |FROM t""".stripMargin)),
+
     Q("q_e24_timedecay_attribution",
       (s, d) => graft.operators.Behavior.timeDecayAttribution(
         Tables.events(s, d), convType = "purchase",

@@ -1330,6 +1330,32 @@ object RelationalQueries extends graft.QueryPack {
              |  ON tc.o_orderpriority IS NOT DISTINCT FROM ld.o_orderpriority
              | AND tc.o_year IS NOT DISTINCT FROM ld.o_year""".stripMargin)),
 
+    // ---- V18: differentially-private histogram release ------------------
+    // The Laplace mechanism over the q_v4 grid (epsilon = 1, sensitivity
+    // 1 for disjoint counts): deterministic-seeded noise via the inverse
+    // CDF of md5-derived uniforms, so the release is reproducible AND
+    // oracle-replayable; a new salt per release restores the fresh-draw
+    // contract. Noise rounds to 6 dp (the one libm ln, the exp/ln oracle
+    // precedent); released counts clamp to non-negative integers
+    // (DP-safe post-processing).
+    Q("q_v18_dp_counts",
+      (s, d) => graft.operators.Profile.dpCounts(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"), epsilonMicros = 1000000L,
+        salt = "dp1"),
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+             |  FROM customer GROUP BY 1, 2),
+             |nz AS (SELECT *,
+             |    ROUND(-1.0 * (CASE WHEN u > 0.5 THEN 1 ELSE -1 END)
+             |      * ln(1 - 2 * abs(u - 0.5)), 6) AS noise
+             |  FROM (SELECT *,
+             |      (CAST('0x' || substr(md5('dp1|'
+             |          || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment),
+             |        1, 4) AS INTEGER) + 0.5) / 65536.0 AS u
+             |    FROM g))
+             |SELECT c_nationkey, c_mktsegment, n, noise,
+             |  GREATEST(CAST(ROUND(n + noise) AS BIGINT), 0) AS released
+             |FROM nz""".stripMargin)),
+
     // ---- V5: pairwise correlation matrix, one aggregation job -----------
     // All six lineitem-measure correlations share a single scan (the
     // q_v2 Expand discipline applied to corr), unpivoted to long form.

@@ -289,4 +289,29 @@ class BehaviorSpec extends AnyFunSuite {
       // at 200000 div 3 = 66666 each
       (17L, Some("click")) -> 800000L, (17L, Some("view")) -> 199998L))
   }
+
+  test("markov transitions: exact counts, half-up micros, tie-broken order") {
+    import spark.implicits._
+    // user 1: a -> b -> a -> b   (a->b twice, b->a once)
+    // user 2: a -> a             (a->a once; same-ts pair ordered by id)
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (2L, 1L, 20L, "b"), (3L, 1L, 30L, "a"),
+      (4L, 1L, 40L, "b"),
+      (5L, 2L, 10L, "a"), (6L, 2L, 10L, "a"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.operators.Behavior.markovTransitions(
+        ev, "user_id", "event_type", "ts", "event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // from 'a': 3 transitions total — a->b 2 (666667 half-up), a->a 1 (333333)
+    assert(out(("a", "b")) === ((2L, 666667L)))
+    assert(out(("a", "a")) === ((1L, 333333L)))
+    assert(out(("b", "a")) === ((1L, 1000000L)))
+    assert(out.size === 3)
+    // per-from micros sum to 1e6 within integer truncation slack (< |row|)
+    val perFrom = out.toSeq.groupBy(_._1._1)
+      .map { case (f, xs) => f -> xs.map(_._2._2).sum }
+    assert(perFrom.forall { case (_, s) => s >= 999998L && s <= 1000001L })
+  }
 }

@@ -561,4 +561,37 @@ class ScdProfileSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       Profile.expectations(df, Seq.empty)).getMessage.contains("at least"))
   }
+
+  test("dp counts: reproducible Laplace release, clamped, salt-sensitive") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"g${i % 5}")).toDF("id", "grp")
+    def run(salt: String) = Profile.dpCounts(df, Seq("grp"),
+        epsilonMicros = 1000000L, salt = salt)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val a = run("dp1")
+    assert(a.size === 5 && a.values.forall(_._1 === 20L))
+    // deterministic: same salt, same release
+    assert(run("dp1") === a)
+    // fresh salt redraws the noise (group counts unchanged)
+    val b = run("dp2")
+    assert(b.values.map(_._1).toSeq === a.values.map(_._1).toSeq)
+    assert(a.exists { case (g, (_, nz, _)) => b(g)._2 != nz })
+    // released counts are non-negative integers near the true count
+    assert(a.values.forall { case (n, nz, rel) =>
+      rel >= 0L && rel === math.max(0L, math.round(n + nz)) })
+    // epsilon must be positive
+    assert(intercept[IllegalArgumentException](
+      Profile.dpCounts(df, Seq("grp"), 0L, "s")).getMessage
+      .contains("epsilon"))
+    // the noise really is the inverse-CDF value of the md5 uniform
+    val u16 = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("dp1|g0")
+        .substring(0, 4), 16)
+    val u = (u16 + 0.5) / 65536.0
+    val expect = BigDecimal(-math.signum(u - 0.5) *
+      math.log(1 - 2 * math.abs(u - 0.5)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(a("g0")._2 === expect)
+  }
 }
