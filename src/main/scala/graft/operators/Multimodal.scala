@@ -350,17 +350,25 @@ object Multimodal {
     * `(media_id, match_id, hamming)`, ties broken by smallest match_id.
     *
     * Scale shape: one keyed equi-join on (band_idx, band_val) + one hash
-    * aggregate — no all-pairs anywhere. Band-bucket skew is bounded by
-    * the hash distribution; real perceptual hashes are near-uniform, and
-    * a saturated synthetic fixture degrades to larger buckets, never to
-    * a cross join. */
+    * aggregate — no all-pairs anywhere. The candidate volume is
+    * Σ_bucket |origs| · |variants| per band bucket, so a DEGENERATE hash
+    * distribution (a synth fixture's saturated 32-bit space, a buggy
+    * decoder hashing everything equal) turns the join quadratic: the
+    * `maxBandBucket` guard is an empty-unless-violated raise_error union
+    * branch (the coOccurrenceEdges pattern — executors raise naming the
+    * offending band, ~zero cost when healthy, never a join on the hot
+    * path). A well-distributed hash holds ~corpus/2^bandBits per bucket;
+    * size bands to the corpus and raise the cap deliberately. */
   def matchByHash(origs: DataFrame, variants: DataFrame,
-      numBands: Int, bandBits: Int, maxHam: Int): DataFrame = {
+      numBands: Int, bandBits: Int, maxHam: Int,
+      maxBandBucket: Int = 100000): DataFrame = {
     require(numBands >= 1 && bandBits >= 1 && numBands * bandBits <= 63,
       s"bands must tile a non-negative long, got $numBands x $bandBits")
     require(maxHam >= 0 && maxHam < numBands,
       s"banding is exact only for maxHam < numBands (pigeonhole), " +
         s"got maxHam=$maxHam with $numBands bands")
+    require(maxBandBucket >= 1,
+      s"need maxBandBucket >= 1, got $maxBandBucket")
     val mask = (1L << bandBits) - 1
     def banded(df: DataFrame, side: String): DataFrame = df
       .select(col("media_id").as(s"${side}_id"), col("ahash").as(s"${side}_hash"))
@@ -371,8 +379,10 @@ object Multimodal {
       }: _*)))
       .select(col(s"${side}_id"), col(s"${side}_hash"),
         col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
-    banded(origs, "o")
-      .join(banded(variants, "v"), Seq("band_idx", "band_val"))
+    val ob = banded(origs, "o")
+    val vb = banded(variants, "v")
+    val matched = ob
+      .join(vb, Seq("band_idx", "band_val"))
       .withColumn("hamming",
         bit_count(col("o_hash").bitwiseXOR(col("v_hash"))).cast("int"))
       .where(col("hamming") <= maxHam)
@@ -380,6 +390,78 @@ object Multimodal {
       .agg(min(struct(col("hamming"), col("v_id"))).as("best"))
       .select(col("media_id"), col("best.v_id").as("match_id"),
         col("best.hamming").as("hamming"))
+    // every output column carries the raise — a literal-null column
+    // would let a pushed-down IsNotNull constant-fold the guard away
+    val st = matched.schema
+    def offenders(b: DataFrame, side: String): DataFrame = {
+      val boom = raise_error(concat(
+        lit(s"matchByHash: $side band ("), col("band_idx").cast("string"),
+        lit(", "), col("band_val").cast("string"), lit(") holds "),
+        col("__n").cast("string"),
+        lit(s" hashes (cap $maxBandBucket) — the candidate join is " +
+          "quadratic per bucket; use more/wider bands or raise " +
+          "maxBandBucket deliberately")))
+      b.groupBy(col("band_idx"), col("band_val"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBandBucket)
+        .select(boom.cast(st("media_id").dataType).as("media_id"),
+          boom.cast(st("match_id").dataType).as("match_id"),
+          boom.cast(st("hamming").dataType).as("hamming"))
+    }
+    matched.unionAll(offenders(ob, "origs")).unionAll(offenders(vb, "variants"))
+  }
+
+  /** All near-duplicate pairs within `maxHam` inside ONE hash relation —
+    * the self-dedup shape ([[matchByHash]] matches across two relations;
+    * this one feeds [[graft.operators.Dedup.connectedComponents]] for
+    * image dedup clusters, the pHash pipeline's canonical-selection
+    * stage). Same banded generation, same pigeonhole exactness, same
+    * empty-unless-violated band-bucket guard; each pair emits once
+    * (`a_id < b_id`), duplicates from shared bands absorbed by the
+    * min-aggregate (hamming is pair-determined, so min is the value).
+    * Returns `(a_id, b_id, hamming)`. */
+  def hashNearDupPairs(hashes: DataFrame, numBands: Int, bandBits: Int,
+      maxHam: Int, maxBandBucket: Int = 100000): DataFrame = {
+    require(numBands >= 1 && bandBits >= 1 && numBands * bandBits <= 63,
+      s"bands must tile a non-negative long, got $numBands x $bandBits")
+    require(maxHam >= 0 && maxHam < numBands,
+      s"banding is exact only for maxHam < numBands (pigeonhole), " +
+        s"got maxHam=$maxHam with $numBands bands")
+    require(maxBandBucket >= 1, s"need maxBandBucket >= 1, got $maxBandBucket")
+    val mask = (1L << bandBits) - 1
+    def banded(side: String): DataFrame = hashes
+      .select(col("media_id").as(s"${side}_id"), col("ahash").as(s"${side}_hash"))
+      .withColumn("band", explode(array((0 until numBands).map { k =>
+        struct(lit(k).as("band_idx"),
+          shiftright(col(s"${side}_hash"), k * bandBits)
+            .bitwiseAND(lit(mask)).as("band_val"))
+      }: _*)))
+      .select(col(s"${side}_id"), col(s"${side}_hash"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+    val ab = banded("a")
+    val pairs = ab
+      .join(banded("b"), Seq("band_idx", "band_val"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("hamming",
+        bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).cast("int"))
+      .where(col("hamming") <= maxHam)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(min(col("hamming")).as("hamming"))
+    val st = pairs.schema
+    val boom = raise_error(concat(
+      lit("hashNearDupPairs: band ("), col("band_idx").cast("string"),
+      lit(", "), col("band_val").cast("string"), lit(") holds "),
+      col("__n").cast("string"),
+      lit(s" hashes (cap $maxBandBucket) — the candidate join is " +
+        "quadratic per bucket; use more/wider bands or raise " +
+        "maxBandBucket deliberately")))
+    val offenders = ab.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBandBucket)
+      .select(boom.cast(st("a_id").dataType).as("a_id"),
+        boom.cast(st("b_id").dataType).as("b_id"),
+        boom.cast(st("hamming").dataType).as("hamming"))
+    pairs.unionAll(offenders)
   }
 
   /** Length-prefixed PNG-frame video container ("GVID"): 4-byte magic,

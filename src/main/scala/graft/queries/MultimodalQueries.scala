@@ -252,6 +252,36 @@ object MultimodalQueries extends graft.QueryPack {
               |  WHERE bit_count(xor(o.ahash, v.ahash)) <= 3)
               |WHERE rn = 1""".stripMargin)),
 
+    // ---- M10: image dedup clusters (pHash pairs -> connected components)
+    // The canonical-selection stage of the image-dedup pipeline: all
+    // within-corpus pairs at hamming <= 3 (banded, pigeonhole-exact),
+    // clustered by the shared CC machinery — the q_d6 shape on the
+    // multimodal column. The oracle brute-forces the pairs and replays
+    // the components as a recursive CTE; equality proves the banding
+    // lost no pair and the relational CC converged to true components.
+    Q("q_m10_phash_clusters",
+      (s, d) => graft.operators.Dedup.connectedComponents(
+        Multimodal.hashNearDupPairs(
+          Multimodal.imageAHash(s,
+            Multimodal.synthesizeImages(s,
+              Tables.documents(s, d).select(col("doc_id")), 16, 8,
+              idCol = "doc_id"), 8, 4),
+          numBands = 4, bandBits = 8, maxHam = 3)),
+      Some(s"""WITH RECURSIVE ${duckAHashRel("ho", pertR = false)},
+              |prs AS (
+              |  SELECT a.media_id AS a_id, b.media_id AS b_id
+              |  FROM ho a JOIN ho b ON a.media_id < b.media_id
+              |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM prs
+              |  UNION SELECT b_id, a_id FROM prs),
+              |cc(node, label) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node)
+              |SELECT node, MIN(label) AS component FROM cc GROUP BY node"""
+        .stripMargin)),
+
     // ---- M4: media -> REAL pixel features -> ANN bridge -----------------
     // Brute-force cosine top-k over the decoded feature vectors — media
     // similarity search end-to-end on the multimodal plumbing, every

@@ -190,6 +190,16 @@ class MultimodalSpec extends AnyFunSuite {
     // maxHam >= numBands breaks the pigeonhole guarantee -> loud refusal
     assert(intercept[IllegalArgumentException](
       Multimodal.matchByHash(ho, hv, 4, 8, 4)).getMessage.contains("pigeonhole"))
+    // band-bucket guard: a degenerate cap raises ON THE COMPOSED PATH
+    // (consuming the result), naming the offending band; at-cap result
+    // is unchanged
+    val ex = intercept[Exception](
+      Multimodal.matchByHash(ho, hv, 4, 8, 3, maxBandBucket = 3).collect())
+    assert(ex.getMessage.contains("matchByHash") &&
+      ex.getMessage.contains("quadratic per bucket"))
+    val atCap = Multimodal.matchByHash(ho, hv, 4, 8, 3, maxBandBucket = 200)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(atCap === got, "an un-tripped cap must not change the result")
   }
 
   test("Discovery.latestFiles: extension filter, mtime desc, cap") {
