@@ -463,6 +463,59 @@ object EventStreams {
     * the watermark passes it (no earlier arrival can precede it). The
     * input prunes map-side to the step types, so per-user state is the
     * (stage, firstTs) pair plus only in-allowance STEP events. */
+  final case class TransitionEvent(user_id: Long, from_type: String,
+    to_type: String)
+  private[streaming] final case class MarkovState(
+    lastTs: Long, lastId: Long, lastType: String,
+    buffer: List[(Long, Long, String)])
+
+  /** STREAMING first-order transitions — the incremental twin of
+    * [[graft.operators.Behavior.markovTransitions]]: per user, each
+    * consecutive event pair in (ts, event_id) order emits one
+    * [[TransitionEvent]] once the LATER event finalizes; the transition
+    * matrix is a downstream `groupBy(from,to).count` (the funnelReach
+    * emit-then-aggregate shape, EventStreamsSpec proves count parity).
+    *
+    * Same finalized-prefix construction as [[sessionTags]]: events
+    * buffer within the watermark allowance, fold in ascending
+    * (ts, event_id) order — the batch window's exact tiebreak — and a
+    * pair is final once the watermark passes its later member (no
+    * in-allowance arrival can sit between two finalized events).
+    * Permanent per-user state is ONE (ts, id, type) triple — the last
+    * finalized event — plus the in-allowance buffer: bounded by
+    * allowance × arrival rate, independent of history length. */
+  def transitionEvents(spark: SparkSession, events: DataFrame,
+      watermark: String = "10 minutes"): Dataset[TransitionEvent] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type").cast("string"), unix_micros(col("ts")), col("ts"))
+      .as[(Long, Long, String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long,
+            rows: Iterator[(Long, Long, String, Long, java.sql.Timestamp)],
+            state: GroupState[MarkovState]) =>
+          val st = state.getOption.getOrElse(
+            MarkovState(Long.MinValue, 0L, null, Nil))
+          val wmMicros = watermarkFloorMicros(state.getCurrentWatermarkMs())
+          val fresh = rows.map(r => (r._4, r._2, r._3)).filter(_._1 >= wmMicros)
+          val merged = (st.buffer ++ fresh).sortBy(e => (e._1, e._2))
+          val (fin, keep) = merged.partition(_._1 < wmMicros)
+          var last = (st.lastTs, st.lastId, st.lastType)
+          val out = fin.flatMap { case (tsUs, eid, tpe) =>
+            val prev = last
+            last = (tsUs, eid, tpe)
+            Option(prev._3).map(TransitionEvent(userId, _, tpe))
+          }
+          state.update(MarkovState(last._1, last._2, last._3, keep))
+          keep.headOption.foreach(b =>
+            state.setTimeoutTimestamp(b._1 / 1000L + 1L))
+          out.iterator
+      }
+  }
+
   def funnelReach(spark: SparkSession, events: DataFrame,
       steps: Seq[String], withinSeconds: Option[Long] = None,
       watermark: String = "10 minutes"): Dataset[FunnelReach] = {

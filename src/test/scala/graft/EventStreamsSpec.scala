@@ -264,6 +264,51 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transitions INCREMENTALLY == batch Markov counts") {
+    // the path-analysis twin: per-user consecutive pairs emit once the
+    // later event finalizes — including an out-of-order arrival that
+    // lands BETWEEN two buffered events (the implied pair must re-split
+    // around it) and a same-ts pair ordered by event_id
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val real = Seq(
+      (1L, 10L, "a", ts("2024-01-01 10:00:00")),
+      (3L, 10L, "b", ts("2024-01-01 10:10:00")),
+      (5L, 20L, "a", ts("2024-01-01 10:00:00")),
+      (6L, 20L, "a", ts("2024-01-01 10:00:00")), // same ts: id order
+      // batch 2: e2 arrives LATE between buffered e1 and e3 — the pair
+      // stream must read a->c, c->b, never a->b
+      (2L, 10L, "c", ts("2024-01-01 10:05:00")),
+      (7L, 20L, "b", ts("2024-01-01 10:30:00")))
+    val batches = Seq(real.take(4), real.drop(4),
+      Seq((998L, 99L, "x", ts("2030-01-01 00:00:00"))),
+      Seq((999L, 99L, "x", ts("2030-01-02 00:00:00"))))
+    val input = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val events = input.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    val q = EventStreams.transitionEvents(spark, events)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("markov_incr").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("markov_incr")
+        .filter(col("user_id") =!= 99L)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val batch = graft.operators.Behavior.markovTransitions(
+          real.toDF("event_id", "user_id", "event_type", "ts"),
+          "user_id", "event_type", "ts", "event_id")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(streamed === batch,
+        "incremental transition counts must equal the batch operator's")
+      assert(streamed === Map(("a", "c") -> 1L, ("c", "b") -> 1L,
+        ("a", "a") -> 1L, ("a", "b") -> 1L))
+    } finally q.stop()
+  }
+
   test("streaming funnel reach INCREMENTALLY == batch funnel counts") {
     // the other half of the funnel/sessionize parity pair: the streaming
     // per-user state machine must reproduce the batch operator's
