@@ -40,4 +40,32 @@ object RangeJoin {
       .filter(col(vCol) >= col(loCol) && col(vCol) < col(hiCol))
       .drop("graft_bin")
   }
+
+  /** Large×large interval-OVERLAP join (both sides are intervals; closed
+    * endpoints: overlap ⇔ aLo ≤ bHi ∧ bLo ≤ aHi) via the same binning:
+    * both sides explode into the bins their interval touches and
+    * candidates meet in a plain equi-join on the bin id. A pair sharing
+    * several bins would duplicate, so the FIRST-COMMON-BIN rule keeps
+    * exactly one copy — a pair's first shared bin is
+    * `max(floor(aLo/w), floor(bLo/w))`, a MAP-SIDE filter referencing
+    * only the joined row: no distinct, no second shuffle, no state.
+    *
+    * Same tuning rule as [[binnedPointInterval]]: `binWidth` near the
+    * typical interval width; the shuffle keys on bin (AQE-splittable)
+    * and candidate work is |pairs within a bin|, never |A|×|B|. Column
+    * names must be disjoint across the inputs. */
+  def binnedIntervalOverlap(a: DataFrame, aLo: String, aHi: String,
+      b: DataFrame, bLo: String, bHi: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def spans(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("graft_bin",
+        explode(sequence(floor(col(lo) / binWidth).cast("long"),
+          floor(col(hi) / binWidth).cast("long"))))
+    spans(a, aLo, aHi).join(spans(b, bLo, bHi), Seq("graft_bin"))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .filter(col("graft_bin") ===
+        greatest(floor(col(aLo) / binWidth), floor(col(bLo) / binWidth))
+          .cast("long"))
+      .drop("graft_bin")
+  }
 }

@@ -139,6 +139,46 @@ object ExtraQueries extends graft.QueryPack {
              | AND l.l_extendedprice <  o.o_totalprice + 1.0
              |GROUP BY 1""".stripMargin)),
 
+    // ---- J13: large×large interval-OVERLAP join via binning -------------
+    // Both sides are intervals (lineitem shipping windows × derived
+    // 14-day promo windows): each explodes into the 16-day bins it
+    // touches, candidates meet on the bin, the closed-endpoint predicate
+    // filters residually, and the FIRST-COMMON-BIN rule dedupes map-side
+    // (no distinct, no second shuffle). DuckDB computes the same
+    // relation with its native IEJoin — binning must lose and invent
+    // nothing.
+    Q("q_j13_interval_overlap",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            unix_date(to_date(col("l_shipdate"))).as("alo"))
+          .withColumn("ahi", col("alo") + (col("l_linenumber") % 7) + 1)
+        val pr = Tables.orders(s, d).where(col("o_orderkey") % 1000 === 0)
+          .select(col("o_orderkey"),
+            unix_date(to_date(col("o_orderdate"))).as("blo"))
+          .withColumn("bhi", col("blo") + 14)
+        graft.operators.RangeJoin
+          .binnedIntervalOverlap(li, "alo", "ahi", pr, "blo", "bhi", 16.0)
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_overlap"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+              .as("sum_qty"))
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity,
+             |    CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS alo,
+             |    CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+             |      + (l_linenumber % 7) + 1 AS ahi
+             |  FROM lineitem),
+             |pr AS (SELECT o_orderkey,
+             |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS blo,
+             |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' + 14 AS bhi
+             |  FROM orders WHERE o_orderkey % 1000 = 0)
+             |SELECT p.o_orderkey, COUNT(*) AS n_overlap,
+             |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_qty
+             |FROM pr p JOIN li l ON l.alo <= p.bhi AND p.blo <= l.ahi
+             |GROUP BY 1""".stripMargin)),
+
     // ---- J8: salted shuffle join (manual skew fallback) -----------------
     // Identical results to the plain join — the salt only spreads each
     // key over 8 reducers — so the oracle is the unsalted SQL join.

@@ -94,6 +94,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("binned interval-overlap join == naive, exactly once per pair") {
+    import graft.operators.RangeJoin
+    val ivGen = Gen.zip(Gen.choose(0.0, 1000.0), Gen.choose(0.0, 200.0))
+    val caseGen = Gen.zip(Gen.listOfN(25, ivGen), Gen.listOfN(12, ivGen))
+    forAll(caseGen, n = 8) { case (as, bs) =>
+      val a = as.zipWithIndex.map { case ((lo, w), i) => (i.toLong, lo, lo + w) }
+        .toDF("aid", "alo", "ahi")
+      val b = bs.zipWithIndex.map { case ((lo, w), i) => (i.toLong, lo, lo + w) }
+        .toDF("bid", "blo", "bhi")
+      // seq of (aid,bid) — NOT a set — so first-common-bin dedup failures
+      // (a pair emitted once per shared bin) are caught, not masked
+      val binned = RangeJoin
+        .binnedIntervalOverlap(a, "alo", "ahi", b, "blo", "bhi", 50.0)
+        .select(col("aid"), col("bid")).as[(Long, Long)].collect().sorted.toSeq
+      val naive = a.join(b, col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+        .select(col("aid"), col("bid")).as[(Long, Long)].collect().sorted.toSeq
+      assert(binned === naive)
+    }
+  }
+
   test("approx quantile lands within 5% of the exact percentile") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val rows = orders.groupBy(col("o_orderstatus")).agg(
