@@ -330,6 +330,34 @@ object Similarity {
     perQueryTopK(scored, k)
   }
 
+  /** Recall@k of an approximate retrieval run against an exact baseline
+    * — the evaluation gate every cheap ANN tier (IVF probes, PQ/SQ8
+    * codes, truncated matryoshka dims) needs before it replaces the
+    * exact path. Both inputs are run relations `(query_id, neighbor_id,
+    * rnk)` (the shape every retrieval here emits); recall counts the
+    * approximate run's top-k ids that appear in the baseline's top-k,
+    * as exact integers plus half-up micros ((2a+n) div (2n) — the house
+    * rounding). One keyed equi-join on (query, neighbor) + one hash
+    * aggregate over the k·queries-sized runs — the corpora never appear.
+    * Queries the approximate run missed entirely still emit (hits 0) —
+    * a silent drop would overstate recall. Returns
+    * `(query_id, hits, recall_ppm)`. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val a = approx.filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = exact.filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val qs = e.select(col("query_id")).distinct()
+    val hits = a.join(e, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    qs.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_ppm",
+        expr(s"(2 * hits * 1000000 + $k) div (2 * $k)"))
+  }
+
   /** Sign-LSH bucket per vector: one bit per hyperplane (the first
     * `numPlanes` corpus vectors serve as deterministic planes).
     *

@@ -627,6 +627,69 @@ object SimilarityQueries extends graft.QueryPack {
               |${kppReduce(3, 64, 2)}
               |SELECT centroid_id, i AS dim, cv AS cval FROM wc2""".stripMargin)),
 
+    // ---- SIM17: recall@k of a truncated-dimension tier vs exact ---------
+    // The matryoshka evaluation: the first 16 of 64 dims retrieve
+    // brute-force top-10 (cosine re-normalizes, so truncation alone IS
+    // the MRL cheap tier), scored against the full-dimension baseline by
+    // the generic recallAtK gate (exact hits + half-up ppm). Queries the
+    // cheap tier misses entirely still emit hits=0. The oracle replays
+    // both retrieval tiers and the semi-join count.
+    Q("q_sim17_mrl_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val trunc = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("embedding"))
+        Similarity.recallAtK(
+          Similarity.bruteForceTopK(trunc, col("vec_id") < 5, 10),
+          Similarity.bruteForceTopK(emb, col("vec_id") < 5, 10), 10)
+      },
+      Some(s"""$duckEx,
+              |e16 AS (SELECT vec_id, v, i FROM ex WHERE i <= 16),
+              |n16 AS (SELECT vec_id,
+              |    sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+              |  FROM e16 GROUP BY 1),
+              |fdot AS (
+              |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+              |         SUM(CAST(q.v AS DOUBLE) * CAST(t.v AS DOUBLE)) AS dot
+              |  FROM ex q JOIN ex t ON q.i = t.i
+              |  WHERE q.vec_id < 5 AND t.vec_id <> q.vec_id
+              |  GROUP BY 1, 2),
+              |etop AS (SELECT query_id, neighbor_id FROM (
+              |  SELECT d.query_id, d.neighbor_id, row_number() OVER (
+              |      PARTITION BY d.query_id
+              |      ORDER BY ROUND(d.dot / (nq.nrm * nn.nrm), 6) DESC,
+              |        d.neighbor_id) AS rnk
+              |  FROM fdot d
+              |  JOIN norms nq ON nq.vec_id = d.query_id
+              |  JOIN norms nn ON nn.vec_id = d.neighbor_id)
+              |  WHERE rnk <= 10),
+              |tdot AS (
+              |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+              |         SUM(CAST(q.v AS DOUBLE) * CAST(t.v AS DOUBLE)) AS dot
+              |  FROM e16 q JOIN e16 t ON q.i = t.i
+              |  WHERE q.vec_id < 5 AND t.vec_id <> q.vec_id
+              |  GROUP BY 1, 2),
+              |atop AS (SELECT query_id, neighbor_id FROM (
+              |  SELECT d.query_id, d.neighbor_id, row_number() OVER (
+              |      PARTITION BY d.query_id
+              |      ORDER BY ROUND(d.dot / (nq.nrm * nn.nrm), 6) DESC,
+              |        d.neighbor_id) AS rnk
+              |  FROM tdot d
+              |  JOIN n16 nq ON nq.vec_id = d.query_id
+              |  JOIN n16 nn ON nn.vec_id = d.neighbor_id)
+              |  WHERE rnk <= 10),
+              |hits AS (SELECT a.query_id, COUNT(*) AS hits
+              |  FROM atop a JOIN etop e
+              |    ON a.query_id = e.query_id
+              |   AND a.neighbor_id = e.neighbor_id
+              |  GROUP BY 1)
+              |SELECT q.query_id,
+              |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+              |  CAST((2 * COALESCE(h.hits, 0) * 1000000 + 10) // 20
+              |    AS BIGINT) AS recall_ppm
+              |FROM (SELECT DISTINCT query_id FROM etop) q
+              |LEFT JOIN hits h USING (query_id)""".stripMargin)),
+
     // ---- SIM16: margin-based bitext mining (ratio margin, exact ppm) ----
     // Artetxe-Schwenk: source side vec_id < 25 (the mined-query set —
     // broadcasts), targets the rest; k = 4 neighbors on BOTH sides feed
