@@ -393,6 +393,34 @@ object Behavior {
     * round-half-up((n·1e6)/row_total) as pure long arithmetic
     * ((2a+b) div (2b) — the pplCore discipline), so the oracle replays
     * every cell. Returns `(from_type, to_type, n, p_micros)`. */
+  /** Top user paths — the Sankey/flow report next to
+    * [[markovTransitions]]: each user's first `pathLen` events (ts
+    * order, integral tiebreak) join into a `a>b>c` path string; the
+    * most common paths return with counts, top-k by (count desc, path
+    * asc).
+    *
+    * Shape: the per-user prefix is a user-partitioned rank filtered to
+    * `rn ≤ pathLen` BEFORE any collection, so per-user state downstream
+    * is ≤ pathLen rows however hot the user (a bot with millions of
+    * events contributes the same 5-row prefix); the path fold is one
+    * user-keyed aggregate over those prefixes; the global top-k
+    * compiles to TakeOrderedAndProject (each partition keeps k rows —
+    * never a full sort). Returns `(path, n)`. */
+  def topPaths(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, pathLen: Int, k: Int): DataFrame = {
+    require(pathLen >= 1 && k >= 1, s"need pathLen/k >= 1, got $pathLen/$k")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events.select(col(userCol), col(typeCol).as("et"), col(tsCol), col(tieCol))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= pathLen)
+      .groupBy(col(userCol))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("rn"), col("et")))),
+        x => x.getField("et")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+  }
+
   def markovTransitions(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))

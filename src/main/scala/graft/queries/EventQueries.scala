@@ -261,6 +261,26 @@ object EventQueries extends graft.QueryPack {
     // w = 1e6 div 2^(age div 1day) — pure integer shift+division, exact
     // in both engines; per-channel credit = channel_w * 1e6 div total_w;
     // organic keeps 1e6 on NULL.
+    // ---- E26: top user paths (the Sankey/flow report) --------------------
+    // Each user's first-5-event path string, counted corpus-wide, top 10
+    // by (count desc, path asc). The per-user prefix filters to 5 rows
+    // BEFORE any collection (bot-proof); the top-k compiles to
+    // TakeOrderedAndProject.
+    Q("q_e26_top_paths",
+      (s, d) => graft.operators.Behavior.topPaths(
+        Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
+        pathLen = 5, k = 10),
+      Some("""WITH r AS (SELECT user_id, event_type,
+             |    row_number() OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |p AS (SELECT user_id,
+             |    string_agg(event_type, '>' ORDER BY rn) AS path
+             |  FROM r WHERE rn <= 5 GROUP BY 1),
+             |c AS (SELECT path, COUNT(*) AS n FROM p GROUP BY 1)
+             |SELECT path, n FROM c ORDER BY n DESC, path LIMIT 10"""
+        .stripMargin)),
+
     // ---- E25: first-order Markov transition matrix -----------------------
     // The path-analysis primitive: per-user event sequences (ts order,
     // event_id tiebreak) reduce to the |types|^2 transition relation with
