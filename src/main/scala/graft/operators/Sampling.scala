@@ -351,6 +351,55 @@ object Sampling {
     mixtureByWeights(df, domainCol, idCol, salt, w, total)
   }
 
+  /** Data-constrained mixture planning (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models"): given target mixture
+    * weights and a total token budget, how many tokens does each domain
+    * owe, how many does it HAVE, and how many epochs (repetitions) does
+    * closing the gap take — capped at `maxEpochs` (the paper's ~4-epoch
+    * useful-repetition limit), with the unmet remainder reported, never
+    * silently absorbed. All integer arithmetic: quotas are
+    * `weight_micros · total div 1e6`, epochs `ceil` by
+    * `(quota + avail − 1) div avail`.
+    *
+    * The output is one row per domain in EITHER input (full outer):
+    * weighted-but-absent domains surface with zero availability and the
+    * full quota unmet; corpus domains without a weight surface with a
+    * zero quota — both are answers a mixture audit needs. Scale: one
+    * domains-sized aggregate + a broadcast join against the weights
+    * relation. Returns `(domain, available_tokens, quota_tokens,
+    * epochs, effective_tokens, unmet_tokens)`. */
+  def epochPlan(df: DataFrame, domainCol: String, tokenCol: String,
+      weightsMicros: Map[String, Long], totalTokens: Long,
+      maxEpochs: Int): DataFrame = {
+    require(totalTokens > 0, s"need a positive token budget, got $totalTokens")
+    require(maxEpochs >= 1, s"need maxEpochs >= 1, got $maxEpochs")
+    weightsMicros.foreach { case (d, w) =>
+      require(w > 0, s"weight for '$d' must be positive micros, got $w") }
+    val sp = df.sparkSession
+    import sp.implicits._
+    val avail = df.groupBy(col(domainCol).as("domain"))
+      .agg(sum(col(tokenCol)).cast("long").as("available_tokens"))
+    // no broadcast hint: a FULL OUTER join must see all rows of both
+    // sides, so Spark cannot build-right-broadcast it (the hint only
+    // logs a warning); both relations are domains-sized anyway
+    val w = weightsMicros.toSeq.toDF("domain", "w_m")
+    avail.join(w, Seq("domain"), "full_outer")
+      .select(col("domain"),
+        coalesce(col("available_tokens"), lit(0L)).as("available_tokens"),
+        coalesce(expr(s"(w_m * ${totalTokens}L) div 1000000"), lit(0L))
+          .as("quota_tokens"))
+      .withColumn("epochs",
+        when(col("quota_tokens") === 0L, lit(0L))
+          .when(col("available_tokens") === 0L, lit(0L))
+          .otherwise(least(
+            expr("(quota_tokens + available_tokens - 1) div available_tokens"),
+            lit(maxEpochs.toLong))))
+      .withColumn("effective_tokens",
+        least(col("quota_tokens"), col("epochs") * col("available_tokens")))
+      .withColumn("unmet_tokens",
+        col("quota_tokens") - col("effective_tokens"))
+  }
+
   /** Curriculum data ordering (Bengio et al. 2009, the data-scheduling
     * form LLM training runs use): rows bucket into difficulty TIERS
     * (equi-depth bins over any numeric difficulty proxy — length,

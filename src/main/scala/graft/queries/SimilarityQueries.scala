@@ -85,6 +85,16 @@ object SimilarityQueries extends graft.QueryPack {
       |  FROM fin)
       |WHERE rnk <= 5""".stripMargin
 
+  /** [[duckIvfSearch]] repackaged as a CTE `ivf(query_id, neighbor_id,
+    * score, rnk)`: the block is a CTE list + final SELECT, so wrapping
+    * the whole string in parentheses is a syntax error — split at the
+    * final SELECT instead (q_sim18 composes it with the recall tail). */
+  private lazy val duckIvfAsCte: String = {
+    val i = duckIvfSearch.lastIndexOf("SELECT query_id")
+    duckIvfSearch.substring(0, i).trim + ",\nivf AS (\n" +
+      duckIvfSearch.substring(i) + ")"
+  }
+
   /** One k-means‖ sampling round: score every vector's max 6-dp cosine
     * against the candidate set `cs{r-1}`, derive integer micro-distances
     * `dµ = round((1−mx)·1e6)` and their total `φµ`, and add every vector
@@ -689,6 +699,50 @@ object SimilarityQueries extends graft.QueryPack {
               |    AS BIGINT) AS recall_ppm
               |FROM (SELECT DISTINCT query_id FROM etop) q
               |LEFT JOIN hits h USING (query_id)""".stripMargin)),
+
+    // ---- SIM18: recall@k of the PRODUCTION IVF tier vs exact -------------
+    // recallAtK composed over q_sim5's probed search (trained quantizer,
+    // nProbe=2) against the exact brute force — the acceptance gate an
+    // IVF deployment runs before swapping tiers. The oracle replays the
+    // whole chain: training, assignment, probed search, exact baseline,
+    // and the semi-join count.
+    Q("q_sim18_ivf_recall",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.recallAtK(
+          Similarity.ivfTopKWith(e, Kmeans.train(e, 8, 2),
+            col("vec_id") < 5, nProbe = 2, k = 5),
+          Similarity.bruteForceTopK(e, col("vec_id") < 5, 5), 5)
+      },
+      Some(s"""$duckEx,
+              |$duckKmeans,
+              |$duckIvfAsCte,
+              |fdot AS (
+              |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+              |         SUM(CAST(q.v AS DOUBLE) * CAST(t.v AS DOUBLE)) AS dot
+              |  FROM ex q JOIN ex t ON q.i = t.i
+              |  WHERE q.vec_id < 5 AND t.vec_id <> q.vec_id
+              |  GROUP BY 1, 2),
+              |etop AS (SELECT query_id, neighbor_id FROM (
+              |  SELECT d.query_id, d.neighbor_id, row_number() OVER (
+              |      PARTITION BY d.query_id
+              |      ORDER BY ROUND(d.dot / (nq.nrm * nn.nrm), 6) DESC,
+              |        d.neighbor_id) AS rnk
+              |  FROM fdot d
+              |  JOIN norms nq ON nq.vec_id = d.query_id
+              |  JOIN norms nn ON nn.vec_id = d.neighbor_id)
+              |  WHERE rnk <= 5),
+              |hh AS (SELECT a.query_id, COUNT(*) AS hits
+              |  FROM ivf a JOIN etop e2
+              |    ON a.query_id = e2.query_id
+              |   AND a.neighbor_id = e2.neighbor_id
+              |  GROUP BY 1)
+              |SELECT q.query_id,
+              |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+              |  CAST((2 * COALESCE(h.hits, 0) * 1000000 + 5) // 10
+              |    AS BIGINT) AS recall_ppm
+              |FROM (SELECT DISTINCT query_id FROM etop) q
+              |LEFT JOIN hh h USING (query_id)""".stripMargin)),
 
     // ---- SIM16: margin-based bitext mining (ratio margin, exact ppm) ----
     // Artetxe-Schwenk: source side vec_id < 25 (the mined-query set —

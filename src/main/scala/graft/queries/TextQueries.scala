@@ -1682,6 +1682,45 @@ object TextQueries extends graft.QueryPack {
              |  FROM off)
              |SELECT r.doc_id, CAST(r.tier AS INT) AS tier,
              |  CAST(c.o + r.rn - 1 AS BIGINT) AS curriculum_idx
-             |FROM r JOIN cum c USING (tier)""".stripMargin))
+             |FROM r JOIN cum c USING (tier)""".stripMargin)),
+
+    // ---- X68: data-constrained mixture planning (epoch budgeting) -------
+    // Muennighoff et al.: per-domain token quota vs availability, epochs
+    // capped at 4, unmet remainder reported. Weights cover a weighted-
+    // but-absent domain (srcZZ: full quota unmet) and leave most corpus
+    // sources unweighted (quota 0) — both audit branches exercised.
+    Q("q_x68_epoch_plan",
+      (s, d) => graft.operators.Sampling.epochPlan(
+        Tables.documents(s, d).select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
+        "source", "n_tokens",
+        weightsMicros = Map("src0" -> 400000L, "src1" -> 300000L,
+          "src2" -> 50000L, "srcZZ" -> 100000L),
+        totalTokens = 100000L, maxEpochs = 4),
+      Some(s"""WITH tk AS (SELECT source, len($duckToks) AS nt FROM documents),
+              |a AS (SELECT source AS domain,
+              |    CAST(SUM(nt) AS BIGINT) AS available_tokens
+              |  FROM tk GROUP BY 1),
+              |w AS (SELECT * FROM (VALUES ('src0', 400000), ('src1', 300000),
+              |    ('src2', 50000), ('srcZZ', 100000)) v(domain, w_m)),
+              |j AS (SELECT COALESCE(a.domain, w.domain) AS domain,
+              |    COALESCE(a.available_tokens, 0) AS available_tokens,
+              |    COALESCE((CAST(w.w_m AS BIGINT) * 100000) // 1000000, 0)
+              |      AS quota_tokens
+              |  FROM a FULL OUTER JOIN w ON a.domain = w.domain),
+              |e AS (SELECT domain, available_tokens, quota_tokens,
+              |    CASE WHEN quota_tokens = 0 OR available_tokens = 0 THEN 0
+              |      ELSE LEAST((quota_tokens + available_tokens - 1)
+              |                 // available_tokens, 4) END AS epochs
+              |  FROM j)
+              |SELECT domain,
+              |  CAST(available_tokens AS BIGINT) AS available_tokens,
+              |  CAST(quota_tokens AS BIGINT) AS quota_tokens,
+              |  CAST(epochs AS BIGINT) AS epochs,
+              |  CAST(LEAST(quota_tokens, epochs * available_tokens) AS BIGINT)
+              |    AS effective_tokens,
+              |  CAST(quota_tokens - LEAST(quota_tokens,
+              |    epochs * available_tokens) AS BIGINT) AS unmet_tokens
+              |FROM e""".stripMargin))
   )
 }
