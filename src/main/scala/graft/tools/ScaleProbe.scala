@@ -102,6 +102,45 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // pHash dedup scaling — `runMain graft.tools.ScaleProbe phash`:
+    // (a) the decode+hash stage over ×1/×4/×16 media counts (map-only,
+    // expect ~linear), and (b) the banded match + CC stage over a
+    // WELL-DISTRIBUTED 32-bit hash with planted 1-bit twins every 10th
+    // id — the real-pHash shape. The registered q_m9/q_m10 fixture
+    // deliberately SATURATES its hash space (206 distinct values) to
+    // exercise the bucket-skew path; scaling that fixture would measure
+    // cluster pathology, not the operator, so the probe separates them.
+    if (args.headOption.contains("phash")) {
+      import org.apache.spark.sql.functions._
+      Seq(5000, 20000, 80000).foreach { n =>
+        val ids = spark.range(1, n + 1).select(col("id").as("media_id"))
+        def runHash(): Double = time {
+          graft.operators.Multimodal.imageAHash(spark,
+            graft.operators.Multimodal.synthesizeImages(spark, ids, 16, 8),
+            8, 4).write.format("noop").mode("overwrite").save()
+        }
+        runHash()
+        val tH = Seq(runHash(), runHash()).min
+        val base = spark.range(1, n + 1).select(col("id").as("media_id"),
+          conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+            .cast("long").as("ahash"))
+        val twins = base.where(col("media_id") % 10 === 0)
+          .select((col("media_id") + 100000000L).as("media_id"),
+            expr("ahash ^ (CAST(1 AS BIGINT) << CAST(media_id % 32 AS INT))")
+              .as("ahash"))
+        val hashes = base.unionAll(twins).localCheckpoint()
+        def runMatch(): Double = time {
+          graft.operators.Dedup.connectedComponents(
+            graft.operators.Multimodal.hashNearDupPairs(hashes, 4, 8, 3))
+            .write.format("noop").mode("overwrite").save()
+        }
+        runMatch()
+        val tM = Seq(runMatch(), runMatch()).min
+        println(f"[scaleprobe] phash n=$n%-6d hash $tH%.2f s   match+cc $tM%.2f s")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("etl")) {
       import graft.etl.{MigrationFixture, MigrationPipeline}
       Seq(12500, 25000, 100000).foreach { n =>
