@@ -393,6 +393,36 @@ object Behavior {
     * round-half-up((n·1e6)/row_total) as pure long arithmetic
     * ((2a+b) div (2b) — the pplCore discipline), so the oracle replays
     * every cell. Returns `(from_type, to_type, n, p_micros)`. */
+  /** RFM segmentation (recency / frequency / monetary — the classic
+    * customer-value grid): per user over the purchase stream, the
+    * latest-purchase micros, the purchase count, and the exact DECIMAL
+    * spend, each scored 1..`bins` by EQUI-DEPTH cuts
+    * ([[Features.equiDepthBins]] — broadcast percentile cuts + a
+    * map-only compare, never a corpus-wide ntile window), composed into
+    * the `r·100 + f·10 + m` segment code. Users with no purchases are
+    * absent — RFM is defined over buyers. Returns
+    * `(<userCol>, r_score, f_score, m_score, segment)`. */
+  def rfmSegments(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, valueCol: String, purchaseType: String,
+      bins: Int = 5): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val per = events
+      .where(col(typeCol) === purchaseType && col(userCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(max(unix_micros(col(tsCol))).as("recency_us"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double")
+          .as("monetary"))
+    val binned = Seq("recency_us", "frequency", "monetary")
+      .foldLeft(per)((df, c) => Features.equiDepthBins(df, c, bins))
+    binned.select(col(userCol),
+      (col("recency_us_bin") + 1).as("r_score"),
+      (col("frequency_bin") + 1).as("f_score"),
+      (col("monetary_bin") + 1).as("m_score"))
+      .withColumn("segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+  }
+
   /** Top user paths — the Sankey/flow report next to
     * [[markovTransitions]]: each user's first `pathLen` events (ts
     * order, integral tiebreak) join into a `a>b>c` path string; the

@@ -761,6 +761,34 @@ object Dedup {
         expr("CAST(1000000 AS BIGINT) div cluster_size"))
   }
 
+  /** Leakage-safe train/val/test split: the assignment hashes the
+    * near-dup CLUSTER representative, not the document — so a page and
+    * its crawled-again near-duplicate can never land in different
+    * splits (the classic eval leak a per-doc hash split silently
+    * commits: the model "generalizes" to a test doc it effectively
+    * trained on). Cluster membership is [[verifiedClusters]] (LSH
+    * candidates → exact-Jaccard rescore → CC — chance band collisions
+    * never glue unrelated docs); unclustered docs are their own
+    * singleton representative, making the split identical to the plain
+    * [[Sampling.splitLabel]] wherever no near-dup exists. Same salt
+    * semantics as every sampler (new salt = new experiment; the
+    * assignment depends only on the cluster id). Returns
+    * `(<idCol>, cluster, split)` — one row per input doc. */
+  def leakageSafeSplit(docs: DataFrame, textCol: String, idCol: String,
+      salt: String, trainPct: Int, valPct: Int,
+      numHashes: Int = 8, rowsPerBand: Int = 2, thresholdTenths: Int = 1,
+      maxIter: Int = 20): DataFrame = {
+    val comp = verifiedClusters(docs, textCol, idCol, numHashes,
+      rowsPerBand, thresholdTenths, maxIter)
+    docs.select(col(idCol))
+      .join(comp.select(col("node").as(idCol), col("component")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster"))
+      .withColumn("split",
+        Sampling.splitLabel(col("cluster"), salt, trainPct, valPct))
+  }
+
   /** Benchmark decontamination: for every training document, count the
     * n-gram shingles it shares with an evaluation/benchmark corpus — the
     * standard test-set-contamination gate run before pretraining (public

@@ -559,6 +559,44 @@ object Profile {
         (col("c.n_violations") === 0L).as("passed"))
   }
 
+  /** Benford's-law first-digit audit — the forensic data-quality screen
+    * (fabricated, truncated, or unit-mixed numeric columns drift from
+    * the log distribution of naturally-occurring magnitudes): counts
+    * per leading digit of `floor(value)` for values ≥ 1 (floor on BOTH
+    * engines — a raw double→int cast truncates in Spark but rounds in
+    * SQL engines, flipping the digit at magnitude boundaries), observed
+    * shares as half-up ppm, and the Benford expectation
+    * `log10(1 + 1/d)` inlined as CONSTANT micros so no cross-engine
+    * log10 is ever evaluated. The 9-row digit grid is complete — a
+    * digit that never occurs shows n = 0 (a strong Benford signal in
+    * itself), never a missing row. Returns `(digit, n, observed_ppm,
+    * expected_ppm, deviation_ppm)`. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val expectedPpm = (1 to 9).map(d =>
+      d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6)).toMap
+    val digits = df
+      .where(col(valueCol).isNotNull && col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(count(lit(1)).as("total"))
+    val expected = (1 to 9).map(d =>
+      when(col("digit") === d, lit(expectedPpm(d)))).reduce(coalesce(_, _))
+    df.sparkSession.range(1, 10).select(col("id").cast("int").as("digit"))
+      .join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        col("total"))
+      .withColumn("observed_ppm",
+        when(col("total") > 0,
+          expr("(2 * n * 1000000 + total) div (2 * total)"))
+          .otherwise(lit(0L)))
+      .withColumn("expected_ppm", expected.cast("long"))
+      .select(col("digit"), col("n"), col("observed_ppm"),
+        col("expected_ppm"),
+        (col("observed_ppm") - col("expected_ppm")).as("deviation_ppm"))
+  }
+
   /** Differentially-private histogram release (the Laplace mechanism,
     * Dwork et al. 2006) — the last rung of the privacy ladder after
     * k-anonymity/l-diversity/t-closeness: per-group counts with

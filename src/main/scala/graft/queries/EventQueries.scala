@@ -261,6 +261,53 @@ object EventQueries extends graft.QueryPack {
     // w = 1e6 div 2^(age div 1day) — pure integer shift+division, exact
     // in both engines; per-channel credit = channel_w * 1e6 div total_w;
     // organic keeps 1e6 on NULL.
+    // ---- E27: RFM segmentation (recency/frequency/monetary grid) ---------
+    // Per buyer: latest-purchase micros, purchase count, exact DECIMAL
+    // spend; each scored 1..5 by equi-depth percentile cuts (broadcast +
+    // map-only compare — no corpus-wide ntile window), composed into the
+    // r*100+f*10+m segment code.
+    Q("q_e27_rfm",
+      (s, d) => graft.operators.Behavior.rfmSegments(
+        Tables.events(s, d), "user_id", "event_type", "ts", "value",
+        purchaseType = "purchase", bins = 5),
+      Some("""WITH per AS (
+             |  SELECT user_id,
+             |    MAX(epoch_us(ts)) AS recency_us,
+             |    COUNT(*) AS frequency,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             |      AS monetary
+             |  FROM events
+             |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+             |  GROUP BY 1),
+             |c AS (SELECT
+             |    ROUND(quantile_cont(recency_us, 0.2), 6) AS r1,
+             |    ROUND(quantile_cont(recency_us, 0.4), 6) AS r2,
+             |    ROUND(quantile_cont(recency_us, 0.6), 6) AS r3,
+             |    ROUND(quantile_cont(recency_us, 0.8), 6) AS r4,
+             |    ROUND(quantile_cont(frequency, 0.2), 6) AS f1,
+             |    ROUND(quantile_cont(frequency, 0.4), 6) AS f2,
+             |    ROUND(quantile_cont(frequency, 0.6), 6) AS f3,
+             |    ROUND(quantile_cont(frequency, 0.8), 6) AS f4,
+             |    ROUND(quantile_cont(monetary, 0.2), 6) AS m1,
+             |    ROUND(quantile_cont(monetary, 0.4), 6) AS m2,
+             |    ROUND(quantile_cont(monetary, 0.6), 6) AS m3,
+             |    ROUND(quantile_cont(monetary, 0.8), 6) AS m4
+             |  FROM per),
+             |sc AS (SELECT user_id,
+             |    CAST(1 + (recency_us > r1)::int + (recency_us > r2)::int
+             |      + (recency_us > r3)::int + (recency_us > r4)::int AS INT)
+             |      AS r_score,
+             |    CAST(1 + (frequency > f1)::int + (frequency > f2)::int
+             |      + (frequency > f3)::int + (frequency > f4)::int AS INT)
+             |      AS f_score,
+             |    CAST(1 + (monetary > m1)::int + (monetary > m2)::int
+             |      + (monetary > m3)::int + (monetary > m4)::int AS INT)
+             |      AS m_score
+             |  FROM per, c)
+             |SELECT user_id, r_score, f_score, m_score,
+             |  CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment
+             |FROM sc""".stripMargin)),
+
     // ---- E26: top user paths (the Sankey/flow report) --------------------
     // Each user's first-5-event path string, counted corpus-wide, top 10
     // by (count desc, path asc). The per-user prefix filters to 5 rows

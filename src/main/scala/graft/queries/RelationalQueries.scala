@@ -1330,6 +1330,36 @@ object RelationalQueries extends graft.QueryPack {
              |  ON tc.o_orderpriority IS NOT DISTINCT FROM ld.o_orderpriority
              | AND tc.o_year IS NOT DISTINCT FROM ld.o_year""".stripMargin)),
 
+    // ---- V19: Benford first-digit audit ----------------------------------
+    // The forensic data-quality screen over o_totalprice: leading digit
+    // of floor(value) (floor on BOTH engines — raw double->int casts
+    // truncate in Spark but round in DuckDB), observed half-up ppm vs
+    // the Benford expectation inlined as constant micros (no
+    // cross-engine log10). Complete 9-digit grid with zero cells.
+    Q("q_v19_benford",
+      (s, d) => graft.operators.Profile.benfordAudit(
+        Tables.orders(s, d), "o_totalprice"),
+      Some("""WITH v AS (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice)
+             |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+             |  FROM orders
+             |  WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1),
+             |c AS (SELECT digit, COUNT(*) AS n FROM v GROUP BY 1),
+             |t AS (SELECT COUNT(*) AS total FROM v),
+             |g AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+             |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091),
+             |    (3, 124939), (4, 96910), (5, 79181), (6, 66947),
+             |    (7, 57992), (8, 51153), (9, 45757)) x(digit, ep)),
+             |s2 AS (SELECT g.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+             |    CAST(CASE WHEN t.total > 0 THEN
+             |      (2 * COALESCE(c.n, 0) * 1000000 + t.total)
+             |        // (2 * t.total) ELSE 0 END AS BIGINT) AS observed_ppm,
+             |    CAST(e.ep AS BIGINT) AS expected_ppm
+             |  FROM g LEFT JOIN c ON c.digit = g.digit
+             |  JOIN e ON e.digit = g.digit, t)
+             |SELECT digit, n, observed_ppm, expected_ppm,
+             |  observed_ppm - expected_ppm AS deviation_ppm
+             |FROM s2""".stripMargin)),
+
     // ---- V18: differentially-private histogram release ------------------
     // The Laplace mechanism over the q_v4 grid (epsilon = 1, sensitivity
     // 1 for disjoint counts): deterministic-seeded noise via the inverse

@@ -434,4 +434,32 @@ class DedupClusterSpec extends AnyFunSuite {
       .filter(col("component") =!= col("mn")).count()
     assert(bad === 0)
   }
+
+  test("leakage-safe split: a near-dup cluster can NEVER straddle splits") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Dedup.leakageSafeSplit(docs, "text", "doc_id",
+      salt = "exp1", trainPct = 90, valPct = 5)
+    // one row per input doc
+    assert(out.count() === docs.count())
+    // the defining invariant: every cluster maps to exactly one split
+    val straddling = out.groupBy(col("cluster"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddling === 0, "a cluster straddled splits — the eval leak")
+    // non-trivial: at least one multi-doc cluster exists in the fixture,
+    // and its members moved TOGETHER relative to the per-doc hash split
+    val multi = out.groupBy(col("cluster")).agg(count(lit(1)).as("k"))
+      .filter(col("k") > 1).count()
+    assert(multi > 0, "fixture must contain at least one near-dup cluster")
+    // singletons split exactly like the plain per-doc hash split
+    import graft.operators.Sampling
+    val singles = out.groupBy(col("cluster")).agg(count(lit(1)).as("k"))
+      .filter(col("k") === 1).select(col("cluster"))
+    val diff = out.join(singles, Seq("cluster"), "left_semi")
+      .withColumn("plain",
+        Sampling.splitLabel(col("doc_id"), "exp1", 90, 5))
+      .filter(col("split") =!= col("plain")).count()
+    assert(diff === 0, "singletons must match the plain hash split")
+  }
 }
