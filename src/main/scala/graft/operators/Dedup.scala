@@ -789,6 +789,37 @@ object Dedup {
         Sampling.splitLabel(col("cluster"), salt, trainPct, valPct))
   }
 
+  /** MinHash-LSH parameter planner: the S-curve P(candidate | Jaccard s)
+    * = 1 − (1 − s^r)^b for every (bands b, rows-per-band r) factoring of
+    * `numHashes`, evaluated on the grid s = k/sSteps — the relation an
+    * LSH deployment reads to pick (b, r) for its target threshold (the
+    * curve's waterline sits near (1/b)^(1/r); steeper r = fewer false
+    * positives below it, more false negatives above). EXACT rational
+    * arithmetic: with D = sSteps^r, the probability is
+    * (D^b − (D − k^r)^b) / D^b — all BigInt, emitted as floor ppm, so
+    * both engines replay every cell with zero float pow (b·r =
+    * numHashes keeps D^b = sSteps^numHashes bounded). A constants
+    * relation (≤ divisors × sSteps rows), computed driver-side like
+    * every dimension table. Returns
+    * `(bands, rows_per_band, s_num, capture_ppm)` with s = s_num/sSteps. */
+  def lshCurve(spark: org.apache.spark.sql.SparkSession, numHashes: Int,
+      sSteps: Int = 20): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 16,
+      s"numHashes in [1,16], got $numHashes")
+    require(sSteps >= 2 && sSteps <= 100, s"sSteps in [2,100], got $sSteps")
+    import spark.implicits._
+    val rows = for {
+      r <- (1 to numHashes).filter(numHashes % _ == 0)
+      b = numHashes / r
+      k <- 1 until sSteps
+    } yield {
+      val d = BigInt(sSteps).pow(r)
+      val ppm = (d.pow(b) - (d - BigInt(k).pow(r)).pow(b)) * 1000000 / d.pow(b)
+      (b, r, k, ppm.toLong)
+    }
+    rows.toDF("bands", "rows_per_band", "s_num", "capture_ppm")
+  }
+
   /** Benchmark decontamination: for every training document, count the
     * n-gram shingles it shares with an evaluation/benchmark corpus — the
     * standard test-set-contamination gate run before pretraining (public

@@ -355,6 +355,37 @@ object DedupQueries extends graft.QueryPack {
               |       ELSE 'test' END AS split
               |FROM asg""".stripMargin)),
 
+    // ---- D23: MinHash-LSH parameter planner (exact S-curve) -------------
+    // P(candidate | Jaccard s) = 1 - (1 - s^r)^b for every (b, r)
+    // factoring of the 8-hash signature, on the s = k/20 grid — the
+    // relation a deployment reads to pick its banding. Exact rational
+    // arithmetic end to end (BigInt engine-side, recursive-CTE integer
+    // powers oracle-side): zero float pow anywhere.
+    Q("q_d23_lsh_curve",
+      (s, d) => Dedup.lshCurve(s, numHashes = 8, sSteps = 20),
+      Some("""WITH RECURSIVE
+             |rs AS (SELECT unnest([1, 2, 4, 8]) AS r),
+             |ks AS (SELECT CAST(unnest(range(1, 20)) AS BIGINT) AS k),
+             |p1(r, k, e, kv, dv) AS (
+             |  SELECT rs.r, ks.k, 1, ks.k, CAST(20 AS BIGINT) FROM rs, ks
+             |  UNION ALL SELECT r, k, e + 1, kv * k, dv * 20
+             |    FROM p1 WHERE e < r),
+             |base AS (SELECT r, k, kv AS kr, dv AS dr, 8 // r AS b
+             |  FROM p1 WHERE e = r),
+             |p2(r, k, e, mv, fv) AS (
+             |  SELECT r, k, 1, dr - kr, dr FROM base
+             |  UNION ALL SELECT p2.r, p2.k, e + 1, mv * (b2.dr - b2.kr),
+             |      fv * b2.dr
+             |    FROM p2 JOIN base b2 ON b2.r = p2.r AND b2.k = p2.k
+             |    WHERE e < b2.b),
+             |fin AS (SELECT b.b, b.r, b.k, p2.mv, p2.fv
+             |  FROM p2 JOIN base b ON b.r = p2.r AND b.k = p2.k
+             |  WHERE p2.e = b.b)
+             |SELECT CAST(b AS INT) AS bands, CAST(r AS INT) AS rows_per_band,
+             |  CAST(k AS INT) AS s_num,
+             |  CAST(((fv - mv) * 1000000) // fv AS BIGINT) AS capture_ppm
+             |FROM fin""".stripMargin)),
+
     // ---- D4: SimHash signatures ----------------------------------------
     Q("q_d4_simhash",
       (s, d) => Dedup.simhashSignature(Tables.documents(s, d), "text", "doc_id")
