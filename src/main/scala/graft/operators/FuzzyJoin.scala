@@ -59,6 +59,35 @@ object FuzzyJoin {
       .select(col("a_id"), col("b_id"), col("dist"))
   }
 
+  /** [[selfJoin]] with Jaro-Winkler scoring — blocking + scoring, the
+    * standard entity-resolution split: the deletion-1 neighborhood is
+    * the BLOCKER (recall bounded to edit-distance-1 pairs, as all
+    * blocking bounds recall), and the native codegen'd
+    * [[graft.functions.JaroWinkler]] is the SCORER — prefix-weighted
+    * similarity a name-matcher thresholds on, where raw edit distance
+    * treats all single edits alike. The cut is an exact integer-micro
+    * compare on the 6-dp score (the house rounding discipline). Returns
+    * `(a_id, b_id, jw)` for pairs scoring ≥ `minSimMicros`/1e6. */
+  def selfJoinJaroWinkler(df: DataFrame, idCol: String, strCol: String,
+      minSimMicros: Long): DataFrame = {
+    require(minSimMicros >= 0 && minSimMicros <= 1000000L,
+      s"minSimMicros in [0, 1e6], got $minSimMicros")
+    graft.functions.JaroWinkler.register(df.sparkSession)
+    val v = variantRelation(df, idCol, strCol, "sid", "s")
+    val names = df.select(col(idCol).as("nid"), col(strCol).as("nname"))
+    v.select(col("sid").as("a_id"), col("v"))
+      .join(v.select(col("sid").as("b_id"), col("v")), Seq("v"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+      .join(names.select(col("nid").as("a_id"), col("nname").as("a_name")),
+        Seq("a_id"))
+      .join(names.select(col("nid").as("b_id"), col("nname").as("b_name")),
+        Seq("b_id"))
+      .withColumn("jw", round(expr("jaro_winkler(a_name, b_name)"), 6))
+      .filter(round(col("jw") * 1e6).cast("long") >= minSimMicros)
+      .select(col("a_id"), col("b_id"), col("jw"))
+  }
+
   /** Two-table variant — resolve each left row against a reference table
     * (dirty feed × canonical dimension): every (left_id, right_id) pair
     * within distance 1, exact matches included. Same candidate shape.

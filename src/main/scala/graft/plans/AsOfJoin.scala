@@ -350,6 +350,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("hex_hamming"),
       new ExpressionInfo(classOf[graft.functions.HexHamming].getName, "hex_hamming"),
       exprs => graft.functions.HexHamming(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName, "jaro_winkler"),
+      exprs => graft.functions.JaroWinkler(exprs.head, exprs(1))))
     // the map-only dedup kernels, so pure-SQL sessions can build MinHash
     // bands / SimHash signatures without touching the DataFrame API
     e.injectFunction((FunctionIdentifier("minhash_bands"),

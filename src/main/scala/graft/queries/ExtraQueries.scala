@@ -218,6 +218,34 @@ object ExtraQueries extends graft.QueryPack {
              |SELECT a_id, b_id, levenshtein(a_name, b_name) AS dist
              |FROM cands WHERE levenshtein(a_name, b_name) <= 1""".stripMargin)),
 
+    // ---- J14: Jaro-Winkler entity scoring over blocked candidates -------
+    // q_j12's deletion-1 blocking with the native codegen'd jaro_winkler
+    // scorer (Spark ships no builtin; the expression's semantics are
+    // pinned empirically to DuckDB's jaro_winkler_similarity — 0/4000
+    // randomized mismatches incl. the empty-empty = 0 convention).
+    // Integer-micro cut at 0.9.
+    Q("q_j14_jw_entity_scores",
+      (s, d) => graft.operators.FuzzyJoin.selfJoinJaroWinkler(
+        Tables.customer(s, d), "c_custkey", "c_name",
+        minSimMicros = 900000L),
+      Some("""WITH names AS (SELECT c_custkey, c_name FROM customer),
+             |vars AS (
+             |  SELECT c_custkey, c_name,
+             |    unnest(list_transform(range(1, length(c_name)+1),
+             |      i -> substr(c_name, 1, i-1) || substr(c_name, i+1, length(c_name)))) AS v
+             |  FROM names
+             |  UNION ALL SELECT c_custkey, c_name, c_name FROM names),
+             |cands AS (
+             |  SELECT DISTINCT a.c_custkey AS a_id, a.c_name AS a_name,
+             |                  b.c_custkey AS b_id, b.c_name AS b_name
+             |  FROM vars a JOIN vars b
+             |    ON a.v = b.v AND a.c_custkey < b.c_custkey),
+             |sc AS (SELECT a_id, b_id,
+             |    ROUND(jaro_winkler_similarity(a_name, b_name), 6) AS jw
+             |  FROM cands)
+             |SELECT a_id, b_id, jw FROM sc
+             |WHERE CAST(ROUND(jw * 1e6) AS BIGINT) >= 900000""".stripMargin)),
+
     // ---- J9: full-outer join (both-sided exclusives) --------------------
     Q("q_j9_full_outer",
       (s, d) => {
