@@ -789,6 +789,35 @@ object Dedup {
         Sampling.splitLabel(col("cluster"), salt, trainPct, valPct))
   }
 
+  /** Per-document memorization-risk score — the duplication-exposure
+    * signal behind dedup-then-train (Lee et al. 2022) and memorization
+    * scaling (Carlini et al. 2022): the share of a doc's DISTINCT
+    * k-gram shingles that occur in ≥ 2 corpus documents. High dup_ppm
+    * docs are the ones a model can regurgitate because their content
+    * is drilled from several places; DISTINCT from within-doc
+    * repetition (q_x10's axis) and cross-corpus contamination (q_d10's)
+    * — this is corpus-level duplication pressure per document.
+    *
+    * Scale shape: shingles ride as md5 keys (32-hex on the wire, never
+    * shingle text — the paragraphDedup discipline); one keyed count
+    * over the distinct (doc, gram) relation, one keyed join back, one
+    * doc-keyed fold. Docs with < k tokens have no shingles and drop out
+    * (the spanDedup convention). Returns `(<idCol>, n_shingles, n_dup,
+    * dup_ppm)` with dup_ppm the house half-up integer division. */
+  def memorizationRisk(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 3): DataFrame = {
+    val shing = docShingles(docs, textCol, idCol, k)
+      .select(col("sid"), md5(col("sh")).as("h"))
+    val counts = shing.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+    shing.join(counts, Seq("h"))
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("sid").as(idCol), col("n_shingles"), col("n_dup"),
+        expr("(2 * n_dup * 1000000 + n_shingles) div (2 * n_shingles)")
+          .as("dup_ppm"))
+  }
+
   /** MinHash-LSH parameter planner: the S-curve P(candidate | Jaccard s)
     * = 1 − (1 − s^r)^b for every (bands b, rows-per-band r) factoring of
     * `numHashes`, evaluated on the grid s = k/sSteps — the relation an

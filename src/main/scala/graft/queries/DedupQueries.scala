@@ -355,6 +355,27 @@ object DedupQueries extends graft.QueryPack {
               |       ELSE 'test' END AS split
               |FROM asg""".stripMargin)),
 
+    // ---- D24: per-doc memorization-risk score ----------------------------
+    // Duplication exposure: the share of a doc's distinct 3-gram
+    // shingles occurring in >= 2 corpus docs — corpus-level duplication
+    // pressure, distinct from within-doc repetition (q_x10) and
+    // cross-corpus contamination (q_d10). md5 keys on the wire; half-up
+    // ppm.
+    Q("q_d24_memorization_risk",
+      (s, d) => Dedup.memorizationRisk(Tables.documents(s, d), "text",
+        "doc_id", k = 3),
+      Some(s"""$duckShingles,
+              |cnt AS (SELECT sh, COUNT(*) AS ndocs FROM exd GROUP BY 1),
+              |j AS (SELECT e.doc_id, COUNT(*) AS n_shingles,
+              |    CAST(SUM(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_dup
+              |  FROM exd e JOIN cnt c USING (sh) GROUP BY 1)
+              |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+              |  n_dup,
+              |  CAST((2 * n_dup * 1000000 + n_shingles)
+              |       // (2 * n_shingles) AS BIGINT) AS dup_ppm
+              |FROM j""".stripMargin)),
+
     // ---- D23: MinHash-LSH parameter planner (exact S-curve) -------------
     // P(candidate | Jaccard s) = 1 - (1 - s^r)^b for every (b, r)
     // factoring of the 8-hash signature, on the s = k/20 grid — the
