@@ -324,6 +324,9 @@ object Behavior {
     * from it by at most a factor of 2 per touch, far inside the noise
     * of any attribution model, and "deterministic beats
     * cosmetically-exact" is the house rule ([[linearAttribution]]).
+    * Weights are floored at 1 micro: past ~20 half-lives the integral
+    * division underflows, and an all-ancient-touch conversion must still
+    * credit rather than emit NULL credit rows.
     * Per-channel credit is `Σ_channel w · 1e6 div Σ_all w` micros,
     * remainder dropped; organic conversions emit the NULL-channel row
     * with the full 1e6.
@@ -358,10 +361,15 @@ object Behavior {
       .filter(col("touch_ts") <= col("conv_ts") &&
         unix_micros(col("conv_ts")) - unix_micros(col("touch_ts")) <=
           lit(lookbackMicros))
-      .withColumn("__w", expr(
+      // greatest(..., 1): past ~20 half-lives the integer division
+      // underflows to 0; an in-window touch always carries at least one
+      // micro of weight, so a conversion whose touches are all ancient
+      // still credits (never a div-0 NULL) — the "a conversion never
+      // vanishes" contract holds at every age inside the lookback.
+      .withColumn("__w", greatest(expr(
         s"CAST(1000000 AS BIGINT) div shiftleft(CAST(1 AS BIGINT), " +
           s"CAST((unix_micros(conv_ts) - unix_micros(touch_ts)) div " +
-          s"${halfLifeMicros} AS INT))"))
+          s"${halfLifeMicros} AS INT))"), lit(1L)))
     val tot = j.groupBy(col("event_id")).agg(sum(col("__w")).as("__tw"))
     val credited = j
       .groupBy(col("event_id"), col("user_id"), col("conv_ts"),

@@ -374,7 +374,12 @@ object Sampling {
     require(totalTokens > 0, s"need a positive token budget, got $totalTokens")
     require(maxEpochs >= 1, s"need maxEpochs >= 1, got $maxEpochs")
     weightsMicros.foreach { case (d, w) =>
-      require(w > 0, s"weight for '$d' must be positive micros, got $w") }
+      require(w > 0, s"weight for '$d' must be positive micros, got $w")
+      // quota fits a Long by construction (w_m/1e6 is a fraction of the
+      // Long budget), but the DECIMAL(38,0) intermediate below must also
+      // fit 38 digits: bound the micros so w_m * totalTokens < 1e38.
+      require(w <= 1000000000000L,
+        s"weight for '$d' exceeds 1e12 micros ($w) — not a mixture weight") }
     val sp = df.sparkSession
     import sp.implicits._
     val avail = df.groupBy(col(domainCol).as("domain"))
@@ -386,7 +391,12 @@ object Sampling {
     avail.join(w, Seq("domain"), "full_outer")
       .select(col("domain"),
         coalesce(col("available_tokens"), lit(0L)).as("available_tokens"),
-        coalesce(expr(s"(w_m * ${totalTokens}L) div 1000000"), lit(0L))
+        // multiply in DECIMAL(38,0): w_m * totalTokens overflows Long once
+        // the budget passes ~9.2e18/w_m — i.e. inside the multi-trillion-
+        // token regime this operator targets. `div` on the decimal product
+        // returns BIGINT, and the quota itself always fits (quota <= total).
+        coalesce(expr(s"(cast(w_m as decimal(38,0)) * ${totalTokens}L)" +
+            " div 1000000"), lit(0L))
           .as("quota_tokens"))
       .withColumn("epochs",
         when(col("quota_tokens") === 0L, lit(0L))

@@ -130,13 +130,22 @@ object Similarity {
     * dot — materialized once; then k rounds of query-keyed joins over
     * query×k-sized frames, each round checkpointed (frames this small
     * make the lineage barrier the only cost that matters). Queries with
-    * fewer than k candidates return all of them. Returns
+    * fewer than k candidates return all of them. `neighbor_id` must be
+    * INTEGRAL (the [[graft.operators.Graph.adamicAdar]] contract): the
+    * argmax tiebreak negates the id inside a max(struct), and a string
+    * id would cast to a NULL double and silently null every selection —
+    * so non-integral ids are refused loudly instead. Returns
     * `(query_id, doc_id, mmr_m, rnk)`. */
   def mmrRerank(run: DataFrame, emb: DataFrame, k: Int, lambdaTenths: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(lambdaTenths >= 0 && lambdaTenths <= 10,
       s"lambdaTenths must be in [0, 10], got $lambdaTenths")
+    val nidType = run.schema("neighbor_id").dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(nidType),
+      s"neighbor_id must be integral (tiebreak negates it inside " +
+        s"max(struct)); got $nidType — map string ids to longs upstream")
     val sp = emb.sparkSession
     val lam = lambdaTenths.toLong
     // one stage boundary on the run: every greedy round references it
@@ -232,19 +241,28 @@ object Similarity {
     require(tauMicros > 0 && tauMicros <= 1000000L,
       s"tau is micros of cosine in (0, 1e6], got $tauMicros")
     val sp = emb.sparkSession
+    val train = emb.filter(not(evalPred))
+      .select(col(idCol), col(vecCol), nativeNorm(sp, col(vecCol)).as("tn"))
     val ev = emb.filter(evalPred)
       .select(col(idCol).as("eval_id"), col(vecCol).as("ev"),
         nativeNorm(sp, col(vecCol)).as("en"))
-    spread(emb.filter(not(evalPred))
-        .select(col(idCol), col(vecCol), nativeNorm(sp, col(vecCol)).as("tn")))
+    val scored = spread(train)
       .crossJoin(broadcast(ev))
       .select(col(idCol),
         round(nativeDot(sp, col(vecCol), col("ev")) / (col("tn") * col("en")), 6)
           .as("cos"))
       .groupBy(col(idCol))
       .agg(max(col("cos")).as("max_eval_cos"))
-      .withColumn("kept",
-        round(col("max_eval_cos") * 1e6).cast("long") < tauMicros)
+    // left-join the verdicts back onto the train ids: with an EMPTY eval
+    // side the cross join above is an empty relation, and "a verdict per
+    // train vector" must still hold — unmatched rows surface as kept=true
+    // with a null max_eval_cos instead of silently disappearing (the
+    // exact failure mode this gate exists to prevent).
+    train.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .withColumn("kept", coalesce(
+        round(col("max_eval_cos") * 1e6).cast("long") < tauMicros,
+        lit(true)))
   }
 
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based

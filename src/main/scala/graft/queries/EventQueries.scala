@@ -366,9 +366,9 @@ object EventQueries extends graft.QueryPack {
              |    AND user_id IS NOT NULL AND ts IS NOT NULL),
              |j AS (
              |  SELECT c.event_id, c.user_id, c.conv_ts, t.channel,
-             |    CAST(1000000 AS BIGINT) // (CAST(1 AS BIGINT) <<
+             |    GREATEST(CAST(1000000 AS BIGINT) // (CAST(1 AS BIGINT) <<
              |      CAST((epoch_us(c.conv_ts) - epoch_us(t.touch_ts)) //
-             |        86400000000 AS INT)) AS w
+             |        86400000000 AS INT)), 1) AS w
              |  FROM cv c JOIN tch t ON t.user_id = c.user_id
              |    AND t.touch_ts <= c.conv_ts
              |    AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),

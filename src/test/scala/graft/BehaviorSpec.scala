@@ -245,6 +245,28 @@ class BehaviorSpec extends AnyFunSuite {
         lookbackMicros = 100L * 86400L * 1000000L, halfLifeMicros = 1000L))
   }
 
+  test("time-decay attribution: all-ancient touches clamp to 1 micro " +
+      "each — the conversion credits instead of emitting NULL rows") {
+    import spark.implicits._
+    // hourly half-life with a 2-day lookback = 48 half-lives (shift
+    // valid); the division underflows to 0 at k>=20, so both touches
+    // (k=36, k=30) land in the clamp regime
+    val events = Seq(
+      (1L, 10L, "click", "2026-01-01 00:00:00", 0.0), // 36h = k 36
+      (2L, 10L, "view", "2026-01-01 06:00:00", 0.0),  // 30h = k 30
+      (3L, 10L, "purchase", "2026-01-02 12:00:00", 60.0)
+    ).map { case (e, u, t, at, v) => (e, u, t, ts(at), v) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = Behavior.timeDecayAttribution(events, "purchase",
+        Seq("click", "view"), lookbackMicros = 2L * 86400L * 1000000L,
+        halfLifeMicros = 3600L * 1000000L)
+      .collect()
+      .map(r => Option(r.getString(3)) -> r.getLong(4)).toMap
+    // each touch weight clamps to 1; credit = 1*1e6 div 2 = 500000 each —
+    // no NULL credit, no vanished conversion
+    assert(out === Map(Some("click") -> 500000L, Some("view") -> 500000L))
+  }
+
   test("position attribution: 40/20/40 with integral middle shares, " +
       "1-touch and 2-touch conventions, organic on a null channel") {
     import spark.implicits._

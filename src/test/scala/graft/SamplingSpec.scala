@@ -221,4 +221,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(ep0.exists { case (id, (_, idx)) => ep1(id)._2 != idx },
       "a fresh salt must actually reshuffle")
   }
+
+  test("epoch plan: quota arithmetic survives a multi-quintillion-token " +
+      "budget (the w_m * total product overflows Long; DECIMAL doesn't)") {
+    import spark.implicits._
+    val df = Seq(("web", 4000000000000000000L), ("code", 100L))
+      .toDF("source", "n_tokens")
+    val out = Sampling.epochPlan(df, "source", "n_tokens",
+        weightsMicros = Map("web" -> 900000L, "code" -> 100000L),
+        totalTokens = 5000000000000000000L, maxEpochs = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    // web: quota = 0.9 * 5e18 = 4.5e18 (the raw product 4.5e24 wraps a
+    // Long); avail 4e18 -> 2 epochs cover it, unmet 0
+    assert(out("web") === ((4000000000000000000L, 4500000000000000000L,
+      2L, 0L)))
+    // code: quota 5e17 over 100 available tokens; 4-epoch cap leaves
+    // nearly the whole quota unmet
+    assert(out("code") === ((100L, 500000000000000000L, 4L,
+      500000000000000000L - 400L)))
+    // weights beyond 1e12 micros are refused (DECIMAL(38,0) headroom)
+    intercept[IllegalArgumentException](
+      Sampling.epochPlan(df, "source", "n_tokens",
+        Map("web" -> 2000000000000L), 100L, 1))
+  }
 }

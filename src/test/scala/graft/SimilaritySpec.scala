@@ -156,6 +156,29 @@ class SimilaritySpec extends AnyFunSuite {
       11L -> ((3230000L, 3)), 13L -> ((1200000L, 4))))
     intercept[IllegalArgumentException](
       graft.operators.Similarity.mmrRerank(run, emb, 4, 11))
+    // string neighbor_id: the struct tiebreak would cast to NULL double
+    // and null every selection — refused loudly instead
+    val strRun = run.select(col("query_id"),
+      concat(lit("d"), col("neighbor_id")).as("neighbor_id"), col("score"))
+    val ex = intercept[IllegalArgumentException](
+      graft.operators.Similarity.mmrRerank(strRun, emb, 4, 7))
+    assert(ex.getMessage.contains("integral"), s"got: ${ex.getMessage}")
+  }
+
+  test("semantic decontamination: an empty eval side keeps every train " +
+      "vector (null max_eval_cos) instead of dropping the corpus") {
+    import spark.implicits._
+    val emb = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f)),
+      (12L, Array(1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.semanticDecontaminate(
+        emb, col("vec_id") < 0L, tauMicros = 950000L)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), r.getBoolean(2))).toSeq.sortBy(_._1)
+    assert(out === Seq((10L, None, true), (11L, None, true),
+      (12L, None, true)),
+      "every train vector must surface kept=true with a null score")
   }
 
   test("sq8: codes span the grid, constant dims code 0, dequantization " +
