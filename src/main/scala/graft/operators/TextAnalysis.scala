@@ -716,15 +716,19 @@ object TextAnalysis {
   /** HTML → text extraction (the crawl-corpus first transform —
     * trafilatura/jusText-lite, as a deterministic regex chain): drop
     * script/style blocks and comments wholesale, strip the remaining
-    * tags to spaces, decode the six entities that dominate web text
+    * tags to spaces, decode NUMERIC character references
+    * (`&#NNN;` / `&#xHH;`, BMP-bounded — see [[decodeNumericEntities]]),
+    * decode the six named entities that dominate web text
     * (`&nbsp; &lt; &gt; &quot; &#39;` and `&amp;` LAST, so
     * double-encoded text decodes one level per pass instead of
-    * cascading), collapse whitespace. Every rule is one
-    * `regexp_replace`/`replace` in RE2-compatible syntax (inline
-    * `(?is)` flags, non-greedy blocks, NO backreferences), so a DuckDB
-    * oracle replays the chain verbatim. Map-only, codegen'd; null in →
-    * null out. This deliberately extracts ALL text (boilerplate
-    * included) — main-content selection is the downstream
+    * cascading — `&amp;#8220;` becomes the literal `&#8220;`, not `“`,
+    * because the numeric pass runs FIRST and never re-runs), collapse
+    * whitespace. Every rule is one `regexp_replace`/`replace`/
+    * split-transform in RE2-compatible syntax (inline `(?is)` flags,
+    * non-greedy blocks, NO backreferences), so a DuckDB oracle replays
+    * the chain verbatim. Map-only, codegen'd; null in → null out. This
+    * deliberately extracts ALL text (boilerplate included) —
+    * main-content selection is the downstream
     * [[c4Rules]]/[[boilerplateScrub]] line-level pass; losing nav text
     * here would hide it from those gates. */
   def stripHtml(html: Column): Column = {
@@ -734,8 +738,50 @@ object TextAnalysis {
     val noTags = regexp_replace(noComment, "<[^>]+>", " ")
     val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+      .foldLeft(decodeNumericEntities(noTags)) {
+        case (c, (from, to)) => replace(c, lit(from), lit(to)) }
     trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  /** Numeric HTML character references — `&#8220;` and `&#x201C;` are
+    * ubiquitous in crawl text (smart quotes, dashes, ellipses) where the
+    * named-entity table never reaches. Relational decode with no UDF:
+    * split on the literal `&#`, and every subsequent part either starts
+    * with `digits;` / `[xX]hex;` (decode the code point, keep the tail)
+    * or gets its `&#` restored verbatim — so malformed references pass
+    * through untouched. BOUNDED code points only: the Basic Multilingual
+    * Plane (9, 10, 13, or 32..0xFFFF excluding the D800..DFFF surrogate
+    * gap) decodes via a 2-byte UTF-16BE round-trip (Spark's `chr` is
+    * ASCII-mod-256, useless here); astral-plane and control references
+    * stay literal text — a bounded, documented refusal rather than a
+    * wrong char. ONE level, never cascaded: the output string is not
+    * rescanned. DuckDB replays with `string_split` + `list_transform` +
+    * `chr`. */
+  def decodeNumericEntities(s: Column): Column = {
+    // decodable BMP code point -> its character; anything else -> null
+    def chrBmp(cp: Column): Column = when(
+      cp.between(32L, 55295L) || cp.between(57344L, 65535L) ||
+        cp.isin(9L, 10L, 13L),
+      decode(unhex(lpad(hex(cp), 4, "0")), "UTF-16BE"))
+    def decodePart(x: Column): Column = {
+      val decCp = regexp_extract(x, "^([0-9]{1,7});", 1).cast("long")
+      val hexCp = conv(regexp_extract(x, "^[xX]([0-9a-fA-F]{1,6});", 1),
+        16, 10).cast("long")
+      when(x.rlike("^[0-9]{1,7};"),
+        concat(coalesce(chrBmp(decCp),
+            concat(lit("&#"), regexp_extract(x, "^([0-9]{1,7};)", 1))),
+          regexp_replace(x, "^[0-9]{1,7};", "")))
+        .when(x.rlike("^[xX][0-9a-fA-F]{1,6};"),
+          concat(coalesce(chrBmp(hexCp),
+              concat(lit("&#"),
+                regexp_extract(x, "^([xX][0-9a-fA-F]{1,6};)", 1))),
+            regexp_replace(x, "^[xX][0-9a-fA-F]{1,6};", "")))
+        .otherwise(concat(lit("&#"), x))
+    }
+    val parts = split(s, "&#")
+    concat(element_at(parts, 1),
+      array_join(transform(slice(parts, lit(2), size(parts)),
+        x => decodePart(x)), ""))
   }
 
   /** Min-K% Prob membership gate (Shi et al. 2023, "Detecting

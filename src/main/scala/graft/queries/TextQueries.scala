@@ -733,10 +733,15 @@ object TextQueries extends graft.QueryPack {
     // ---- X62: HTML -> text extraction (crawl first transform) -----------
     // HTML constructed engine-independently around documents.text (the
     // q_x18/q_x40 discipline): script+style+comment blocks, attributed
-    // tags, and the six dominant entities incl. a double-encoded
-    // &amp;amp; (must decode exactly ONE level). The oracle replays the
-    // identical RE2-compatible regex/replace chain; null text stays
-    // null through the whole pipe.
+    // tags, the six dominant named entities incl. a double-encoded
+    // &amp;amp; (must decode exactly ONE level), and numeric character
+    // references: smart quotes &#8220;/&#8221;, hex em-dash &#x2014;,
+    // a double-encoded &amp;#8230; (one level -> literal &#8230;), an
+    // out-of-range &#9999999;, an astral &#x1F600;, a control &#0;, and
+    // a malformed &#zz; — the last four must survive as literal text.
+    // The oracle replays the identical RE2-compatible chain, numeric
+    // decode via string_split + list_transform + chr BEFORE the named
+    // replaces; null text stays null through the whole pipe.
     Q("q_x62_html_strip",
       (s, d) => {
         val html = concat(
@@ -745,31 +750,70 @@ object TextQueries extends graft.QueryPack {
             "<body><p class=\"t\">"),
           col("text"),
           lit("</p><!-- nav --><div>&amp;amp; &lt;b&gt; &quot;q&quot;" +
-            " &#39;s&#39;&nbsp;end</div></body></html>"))
+            " &#39;s&#39;&nbsp;end</div>" +
+            "<div>&#8220;nq&#8221; d&#x2014;d &amp;#8230; &#9999999;" +
+            " &#x1F600; &#0; &#zz; tail</div></body></html>"))
         Tables.documents(s, d).select(col("doc_id"),
           graft.operators.TextAnalysis.stripHtml(html).as("clean"))
       },
-      Some("""SELECT doc_id,
-             |  trim(regexp_replace(
-             |    replace(replace(replace(replace(replace(replace(
-             |      regexp_replace(
-             |        regexp_replace(
-             |          regexp_replace(
-             |            regexp_replace(html,
-             |              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-             |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-             |          '(?s)<!--.*?-->', ' ', 'g'),
-             |        '<[^>]+>', ' ', 'g'),
-             |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-             |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-             |    '\s+', ' ', 'g')) AS clean
-             |FROM (SELECT doc_id,
+      Some("""WITH h AS (SELECT doc_id,
              |    '<html><head><style>p{c:1}</style>' ||
              |    '<script type="x">var a=1<2;</script></head>' ||
              |    '<body><p class="t">' || text ||
              |    '</p><!-- nav --><div>&amp;amp; &lt;b&gt; &quot;q&quot;' ||
-             |    ' &#39;s&#39;&nbsp;end</div></body></html>' AS html
-             |  FROM documents)""".stripMargin)),
+             |    ' &#39;s&#39;&nbsp;end</div>' ||
+             |    '<div>&#8220;nq&#8221; d&#x2014;d &amp;#8230; &#9999999;' ||
+             |    ' &#x1F600; &#0; &#zz; tail</div></body></html>' AS html
+             |  FROM documents),
+             |t AS (SELECT doc_id, string_split(
+             |    regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(
+             |          regexp_replace(html,
+             |            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             |        '(?s)<!--.*?-->', ' ', 'g'),
+             |      '<[^>]+>', ' ', 'g'), '&#') AS p
+             |  FROM h),
+             |n AS (SELECT doc_id, p[1] || COALESCE(array_to_string(
+             |    list_transform(p[2:], x -> CASE
+             |      WHEN regexp_matches(x, '^[0-9]{1,7};') THEN
+             |        (CASE WHEN
+             |            (CAST(regexp_extract(x, '^([0-9]{1,7});', 1)
+             |              AS BIGINT) BETWEEN 32 AND 55295)
+             |            OR (CAST(regexp_extract(x, '^([0-9]{1,7});', 1)
+             |              AS BIGINT) BETWEEN 57344 AND 65535)
+             |            OR CAST(regexp_extract(x, '^([0-9]{1,7});', 1)
+             |              AS BIGINT) IN (9, 10, 13)
+             |          THEN chr(CAST(regexp_extract(x, '^([0-9]{1,7});', 1)
+             |            AS INT))
+             |          ELSE '&#' || regexp_extract(x, '^([0-9]{1,7};)', 1)
+             |          END) || regexp_replace(x, '^[0-9]{1,7};', '')
+             |      WHEN regexp_matches(x, '^[xX][0-9a-fA-F]{1,6};') THEN
+             |        (CASE WHEN
+             |            (CAST(('0x' || regexp_extract(x,
+             |              '^[xX]([0-9a-fA-F]{1,6});', 1)) AS BIGINT)
+             |              BETWEEN 32 AND 55295)
+             |            OR (CAST(('0x' || regexp_extract(x,
+             |              '^[xX]([0-9a-fA-F]{1,6});', 1)) AS BIGINT)
+             |              BETWEEN 57344 AND 65535)
+             |            OR CAST(('0x' || regexp_extract(x,
+             |              '^[xX]([0-9a-fA-F]{1,6});', 1)) AS BIGINT)
+             |              IN (9, 10, 13)
+             |          THEN chr(CAST(('0x' || regexp_extract(x,
+             |            '^[xX]([0-9a-fA-F]{1,6});', 1)) AS INT))
+             |          ELSE '&#' || regexp_extract(x,
+             |            '^([xX][0-9a-fA-F]{1,6};)', 1)
+             |          END) || regexp_replace(x, '^[xX][0-9a-fA-F]{1,6};', '')
+             |      ELSE '&#' || x END), ''), '') AS d
+             |  FROM t)
+             |SELECT doc_id,
+             |  trim(regexp_replace(
+             |    replace(replace(replace(replace(replace(replace(d,
+             |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+             |    '\s+', ' ', 'g')) AS clean
+             |FROM n""".stripMargin)),
 
     // ---- X63: host-level quality gate (RefinedWeb whole-host drop) ------
     // URLs constructed engine-independently (3 hosts per source, an

@@ -480,6 +480,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L) === None, "null in, null out")
   }
 
+  test("html strip: numeric character references decode BMP-bounded, " +
+      "one level, malformed and astral forms survive literally") {
+    import spark.implicits._
+    val df = Seq(
+      // decimal + hex smart punctuation
+      (1L, "a &#8220;q&#8221; b&#x2014;c &#X201C;u"),
+      // double-encoded: one level only
+      (2L, "x &amp;#8230; y"),
+      // out-of-range / astral / control / surrogate / malformed: literal
+      (3L, "&#9999999; &#x1F600; &#0; &#xD800; &#zz; &# end"),
+      // whitespace code points decode then collapse
+      (4L, "a&#10;b&#9;c"),
+      // trailing bare prefix and leading entity
+      (5L, "&#65;BC&#")
+    ).toDF("doc_id", "html")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.stripHtml(col("html")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a “q” b—c “u")
+    assert(out(2L) === "x &#8230; y",
+      "&amp;#8230; must decode one level to the literal reference")
+    assert(out(3L) === "&#9999999; &#x1F600; &#0; &#xD800; &#zz; &# end",
+      "undecodable references must survive byte-for-byte")
+    assert(out(4L) === "a b c")
+    assert(out(5L) === "ABC&#")
+  }
+
   test("host gate: a mostly-bad host drops wholesale, thin evidence and " +
       "unparseable hosts keep, authority normalizes case and port") {
     import spark.implicits._
