@@ -686,7 +686,11 @@ object Graph {
     * nothing). Centers above `maxDegree` are dropped, bounding the
     * wedge relation by Σ C(min(deg, cap), 2); the bounded
     * [[graft.functions.TopKAggregator]] ranking ships ≤ k pairs per
-    * node per map task, never a per-node sort.
+    * node per map task, never a per-node sort. The pair aggregation's
+    * shuffle is SIZED from that same closed-form wedge count (~2M rows
+    * per reduce task, capped at 4096 partitions), so the agg state fits
+    * in memory at any graph size instead of spilling once the session
+    * default partitioning saturates.
     *
     * Determinism: per-center weight = round(1/ln(deg), 6) as
     * DECIMAL(18,6), summed exactly (order-independent); final ranking
@@ -707,15 +711,31 @@ object Graph {
       .unionAll(und.select(col("b").as("z"), col("a").as("x")))
     // deg >= 2: a one-neighbor center closes no wedge (and ln(1) = 0);
     // deg <= maxDegree: the signal-free hub cut that bounds the wedges
-    val centers = nbrs.groupBy(col("z"))
+    val cdeg = Iterate.checkpoint(nbrs.groupBy(col("z"))
       .agg(count(lit(1)).as("__d"))
-      .filter(col("__d") >= 2 && col("__d") <= maxDegree)
-      .select(col("z"),
-        round(lit(1.0) / log(col("__d")), 6).cast("decimal(18,6)").as("w"))
+      .filter(col("__d") >= 2 && col("__d") <= maxDegree))
+    // size the pair aggregation from the EXACT wedge count Σ C(d, 2)
+    // (one nodes-sized scalar over the checkpointed degree relation —
+    // tiny next to the wedge join it sizes): the (x, y) key space is
+    // wedge-bounded, and letting the session shuffle default decide it
+    // is what spilled above ~300M pair rows. ~2M rows per reduce task
+    // keeps the per-task agg state comfortably in memory; small graphs
+    // stay on the session default (no extra exchange, no bench tax).
+    val wedgeRows = cdeg.agg(coalesce(
+      sum(col("__d") * (col("__d") - lit(1L))), lit(0L)))
+      .first().getLong(0) / 2
+    val defaultParts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val pairParts = math.min(4096L,
+      math.max(defaultParts.toLong, wedgeRows / 2000000L + 1)).toInt
+    val centers = cdeg.select(col("z"),
+      round(lit(1.0) / log(col("__d")), 6).cast("decimal(18,6)").as("w"))
     val wn = nbrs.join(centers, Seq("z"))
-    val pairs = wn.select(col("z"), col("x"), col("w"))
+    val wedges = wn.select(col("z"), col("x"), col("w"))
       .join(wn.select(col("z"), col("x").as("y")), Seq("z"))
       .filter(col("x") < col("y"))
+    val spreadWedges = if (pairParts > defaultParts)
+      wedges.repartition(pairParts, col("x"), col("y")) else wedges
+    val pairs = spreadWedges
       .groupBy(col("x"), col("y"))
       .agg(sum(col("w")).as("__s"))
       // prediction, not recall: drop pairs that are already edges

@@ -444,6 +444,139 @@ object EventStreams {
       }
   }
 
+  final case class CreditAttribution(event_id: Long, user_id: Long,
+    conv_ts: java.sql.Timestamp, channel: Option[String], credit_m: Long)
+
+  /** Shared finalized-prefix fold for the lookback-buffered attribution
+    * twins ([[positionAttributions]], [[timeDecayAttributions]]) — the
+    * [[linearAttributions]] construction with the per-conversion credit
+    * rule injected: permanent state is the finalized touches still
+    * inside the lookback of any possible future conversion (bounded by
+    * lookback × touch rate), touches prune past each conversion's
+    * window as it folds and past `watermark − lookback` at batch end,
+    * and each finalized conversion emits once with whatever credit rows
+    * `credit(inWindowTouches, convTsMicros)` returns (empty window ⇒
+    * the organic NULL-channel row with the full 1e6). */
+  private def creditAttributions(spark: SparkSession, events: DataFrame,
+      convType: String, touchTypes: Seq[String], lookbackMicros: Long,
+      watermark: String)(
+      credit: (List[(Long, String)], Long) => List[(Option[String], Long)])
+      : Dataset[CreditAttribution] = {
+    import spark.implicits._
+    require(touchTypes.nonEmpty, "need at least one touch event type")
+    require(lookbackMicros > 0,
+      s"lookback must be positive micros, got $lookbackMicros")
+    require(!touchTypes.contains(convType),
+      s"'$convType' cannot be both conversion and touch")
+    def toTs(us: Long) = java.sql.Timestamp.from(
+      java.time.Instant.EPOCH.plusNanos(us * 1000L))
+    events.withWatermark("ts", watermark)
+      .filter(col("event_type").isin((convType +: touchTypes): _*))
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")),
+        when(col("event_type") === convType, lit(1)).otherwise(lit(0)),
+        col("event_type"), col("ts"))
+      .as[(Long, Long, Long, Int, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long,
+            rows: Iterator[(Long, Long, Long, Int, String, java.sql.Timestamp)],
+            state: GroupState[LinAttribState]) =>
+          val st = state.getOption.getOrElse(LinAttribState(Nil, Nil))
+          val wmMicros = watermarkFloorMicros(state.getCurrentWatermarkMs())
+          val fresh = rows.map(r => (r._3, r._4, r._2, r._5))
+            .filter(_._1 >= wmMicros)
+          // ascending (ts, kind): same-ts touches fold before the
+          // conversion they tie with — at-or-before includes the tie
+          val merged = (st.buffer ++ fresh).sorted
+          val (fin, keep) = merged.partition(_._1 < wmMicros)
+          var touches = st.touches // ascending ts, in-lookback suffix
+          val out = List.newBuilder[CreditAttribution]
+          fin.foreach { case (tsUs, kind, eid, etype) =>
+            if (kind == 0) touches = touches :+ ((tsUs, etype))
+            else {
+              touches = touches.dropWhile(t => tsUs - t._1 > lookbackMicros)
+              val creditRows =
+                if (touches.isEmpty) List((None: Option[String], 1000000L))
+                else credit(touches, tsUs)
+              creditRows.foreach { case (ch, cm) =>
+                out += CreditAttribution(eid, userId, toTs(tsUs), ch, cm) }
+            }
+          }
+          if (wmMicros != Long.MinValue)
+            touches = touches.dropWhile(t => wmMicros - t._1 > lookbackMicros)
+          state.update(LinAttribState(touches, keep))
+          keep.headOption.foreach(b =>
+            state.setTimeoutTimestamp(b._1 / 1000L + 1L))
+          out.result().iterator
+      }
+  }
+
+  /** STREAMING position-based (U-shaped 40/20/40) attribution — the
+    * incremental twin of
+    * [[graft.operators.Behavior.positionAttribution]]: each finalized
+    * conversion orders its in-window touches by `(touch_ts, channel)`
+    * (the batch row_number order), credits the first and last 400000
+    * micros each, splits 200000 integrally over the middles
+    * (`200000 div (n−2)` each), with the 1-touch (full 1e6) and 2-touch
+    * (500000 each) conventions, summed per channel; organic conversions
+    * emit the NULL-channel row. State is the [[linearAttributions]]
+    * lookback buffer — "first in-window touch" depends on each
+    * conversion's own window start, so first/last/count scalars alone
+    * cannot survive window trimming; the buffer is the bounded honest
+    * form (lookback × touch rate, never history length). */
+  def positionAttributions(spark: SparkSession, events: DataFrame,
+      convType: String, touchTypes: Seq[String], lookbackMicros: Long,
+      watermark: String = "10 minutes"): Dataset[CreditAttribution] =
+    creditAttributions(spark, events, convType, touchTypes, lookbackMicros,
+        watermark) { (win, _) =>
+      val ordered = win.sortBy(identity) // (ts, channel): the batch order
+      val n = ordered.size
+      val credits = ordered.zipWithIndex.map { case ((_, ch), i) =>
+        val cm =
+          if (n == 1) 1000000L
+          else if (n == 2) 500000L
+          else if (i == 0 || i == n - 1) 400000L
+          else 200000L / (n - 2)
+        ch -> cm
+      }
+      credits.groupBy(_._1).toList.map { case (ch, g) =>
+        (Some(ch): Option[String]) -> g.map(_._2).sum }
+    }
+
+  /** STREAMING time-decay attribution — the incremental twin of
+    * [[graft.operators.Behavior.timeDecayAttribution]]: each finalized
+    * conversion weighs every in-window touch by the batch operator's
+    * quantized half-life weight `max(1, 1e6 div 2^(age div halfLife))`
+    * (the 1-micro floor keeps all-ancient-touch conversions credited),
+    * and emits per-channel `Σ_channel w · 1e6 div Σ_all w` micros.
+    * Emission happens AT the conversion from the lookback-buffered
+    * touch ages — by then every in-window touch is finalized, so no
+    * weight can change after emit; state is exactly the
+    * [[linearAttributions]] buffer. */
+  def timeDecayAttributions(spark: SparkSession, events: DataFrame,
+      convType: String, touchTypes: Seq[String], lookbackMicros: Long,
+      halfLifeMicros: Long, watermark: String = "10 minutes")
+      : Dataset[CreditAttribution] = {
+    require(halfLifeMicros > 0,
+      s"half-life must be positive micros, got $halfLifeMicros")
+    require(lookbackMicros / halfLifeMicros < 62,
+      s"lookback spans ${lookbackMicros / halfLifeMicros} half-lives — " +
+        "beyond 62 the integer weight underflows the shift; widen the " +
+        "half-life or narrow the lookback")
+    creditAttributions(spark, events, convType, touchTypes, lookbackMicros,
+        watermark) { (win, convTs) =>
+      val weighted = win.map { case (tsUs, ch) =>
+        val k = ((convTs - tsUs) / halfLifeMicros).toInt
+        ch -> math.max(1L, 1000000L / (1L << k))
+      }
+      val tw = weighted.map(_._2).sum
+      weighted.groupBy(_._1).toList.map { case (ch, g) =>
+        (Some(ch): Option[String]) -> g.map(_._2).sum * 1000000L / tw }
+    }
+  }
+
   final case class FunnelReach(user_id: Long, step: Int, event_type: String)
   private[streaming] final case class FunnelState(
     stage: Int, firstTs: Long, buffer: List[(Long, Long)])

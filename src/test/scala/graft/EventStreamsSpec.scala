@@ -264,6 +264,112 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming position attribution INCREMENTALLY == batch 40/20/40") {
+    // the U-shaped twin: ordering by (touch_ts, channel), the 1/2/n-touch
+    // conventions, an out-of-order touch that becomes the MIDDLE of an
+    // already-buffered conversion's window (shifting who is last), and
+    // an out-of-lookback organic
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val real = Seq(
+      (1L, 10L, "click", ts("2024-01-01 10:00:00"), 0.0),
+      (2L, 10L, "click", ts("2024-01-01 10:22:00"), 0.0),
+      (3L, 10L, "purchase", ts("2024-01-01 10:25:00"), 50.0),
+      (6L, 30L, "view", ts("2024-01-01 10:00:00"), 0.0),
+      (7L, 30L, "click", ts("2024-01-01 10:00:00"), 0.0), // same-ts pair
+      (8L, 30L, "purchase", ts("2024-01-01 10:00:00"), 10.0), // tie counts
+      // batch 2: e4 lands LATE between e1 and e2 — the buffered e3 now
+      // has 3 touches: first click 40, middle view 20, last click 40
+      (4L, 10L, "view", ts("2024-01-01 10:10:00"), 0.0),
+      (5L, 20L, "purchase", ts("2024-01-01 11:00:00"), 70.0)) // organic
+    val batches = Seq(real.take(6), real.drop(6),
+      Seq((998L, 99L, "view", ts("2030-01-01 00:00:00"), 0.0)),
+      Seq((999L, 99L, "view", ts("2030-01-02 00:00:00"), 0.0)))
+    val input = MemoryStream[(Long, Long, String, java.sql.Timestamp, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val lookback = 1800L * 1000000L // 30 minutes
+    val q = EventStreams.positionAttributions(spark, events, "purchase",
+        Seq("click", "view"), lookback)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("posattr_incr").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("posattr_incr")
+        .filter(col("user_id") =!= 99L)
+        .select(col("event_id"), col("channel"), col("credit_m"))
+      val batch = graft.operators.Behavior.positionAttribution(
+          real.toDF("event_id", "user_id", "event_type", "ts", "value"),
+          "purchase", Seq("click", "view"), lookback)
+        .select(col("event_id"), col("channel"), col("credit_m"))
+      assert(streamed.exceptAll(batch).count() === 0 &&
+        batch.exceptAll(streamed).count() === 0,
+        "incremental position credit must equal the batch operator's")
+      val m = streamed.collect()
+        .map(r => (r.getLong(0), Option(r.getString(1))) -> r.getLong(2))
+        .toMap
+      // e3: clicks first+last 800000, the late view middle 200000;
+      // e8: same-ts (click, view) order by channel -> 500000 each
+      assert(m === Map(
+        (3L, Some("click")) -> 800000L, (3L, Some("view")) -> 200000L,
+        (8L, Some("click")) -> 500000L, (8L, Some("view")) -> 500000L,
+        (5L, None) -> 1000000L))
+    } finally q.stop()
+  }
+
+  test("streaming time-decay attribution INCREMENTALLY == batch " +
+      "half-life weights, incl. the 1-micro ancient-touch floor") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // half-life 1 minute, lookback 30 minutes (30 half-lives: the
+    // >=20-half-life touches exercise the clamp on both sides)
+    val real = Seq(
+      (1L, 10L, "click", ts("2024-01-01 10:00:00"), 0.0), // k=25: w=1
+      (2L, 10L, "view", ts("2024-01-01 10:24:00"), 0.0),  // k=1: w=500000
+      (3L, 10L, "purchase", ts("2024-01-01 10:25:00"), 50.0),
+      (6L, 30L, "view", ts("2024-01-01 10:00:00"), 0.0),
+      (7L, 30L, "purchase", ts("2024-01-01 10:00:00"), 10.0), // tie: k=0
+      // batch 2: e4 lands LATE inside e3's already-buffered window
+      (4L, 10L, "click", ts("2024-01-01 10:23:00"), 0.0), // k=2: w=250000
+      (5L, 20L, "purchase", ts("2024-01-01 11:00:00"), 70.0)) // organic
+    val batches = Seq(real.take(5), real.drop(5),
+      Seq((998L, 99L, "view", ts("2030-01-01 00:00:00"), 0.0)),
+      Seq((999L, 99L, "view", ts("2030-01-02 00:00:00"), 0.0)))
+    val input = MemoryStream[(Long, Long, String, java.sql.Timestamp, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val lookback = 1800L * 1000000L
+    val halfLife = 60L * 1000000L
+    val q = EventStreams.timeDecayAttributions(spark, events, "purchase",
+        Seq("click", "view"), lookback, halfLife)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tdattr_incr").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("tdattr_incr")
+        .filter(col("user_id") =!= 99L)
+        .select(col("event_id"), col("channel"), col("credit_m"))
+      val batch = graft.operators.Behavior.timeDecayAttribution(
+          real.toDF("event_id", "user_id", "event_type", "ts", "value"),
+          "purchase", Seq("click", "view"), lookback, halfLife)
+        .select(col("event_id"), col("channel"), col("credit_m"))
+      assert(streamed.exceptAll(batch).count() === 0 &&
+        batch.exceptAll(streamed).count() === 0,
+        "incremental time-decay credit must equal the batch operator's")
+      val m = streamed.collect()
+        .map(r => (r.getLong(0), Option(r.getString(1))) -> r.getLong(2))
+        .toMap
+      // e3: tw = 1 + 500000 + 250000 = 750001; click (1 + 250000),
+      // view 500000 — the ancient click still carries its floor micro
+      assert(m === Map(
+        (3L, Some("click")) -> (250001L * 1000000L / 750001L),
+        (3L, Some("view")) -> (500000L * 1000000L / 750001L),
+        (7L, Some("view")) -> 1000000L, (5L, None) -> 1000000L))
+    } finally q.stop()
+  }
+
   test("streaming transitions INCREMENTALLY == batch Markov counts") {
     // the path-analysis twin: per-user consecutive pairs emit once the
     // later event finalizes — including an out-of-order arrival that
