@@ -279,9 +279,10 @@ class EventStreamsSpec extends AnyFunSuite {
       (6L, 30L, "view", ts("2024-01-01 10:00:00"), 0.0),
       (7L, 30L, "click", ts("2024-01-01 10:00:00"), 0.0), // same-ts pair
       (8L, 30L, "purchase", ts("2024-01-01 10:00:00"), 10.0), // tie counts
-      // batch 2: e4 lands LATE between e1 and e2 — the buffered e3 now
-      // has 3 touches: first click 40, middle view 20, last click 40
-      (4L, 10L, "view", ts("2024-01-01 10:10:00"), 0.0),
+      // batch 2: e4 lands LATE (10:20 < the 10:22 already seen, inside
+      // the allowance) between e1 and e2 — the buffered e3 now has 3
+      // touches: first click 40, middle view 20, last click 40
+      (4L, 10L, "view", ts("2024-01-01 10:20:00"), 0.0),
       (5L, 20L, "purchase", ts("2024-01-01 11:00:00"), 70.0)) // organic
     val batches = Seq(real.take(6), real.drop(6),
       Seq((998L, 99L, "view", ts("2030-01-01 00:00:00"), 0.0)),
