@@ -231,6 +231,62 @@ object Multimodal {
       "zero_crossings", "rms")
   }
 
+  /** Audio fingerprint (chromaprint-lite — Chromaprint/AcoustID's shape
+    * with the FFT chroma stage replaced by time-domain band energies, so
+    * every bit replays from the closed-form signal in exact integers):
+    * decode the WAV, split the signal into `nWindows · bandsPerWindow`
+    * contiguous SEGMENTS by the NN index map `seg(i) = i·segs div n`
+    * (the [[ImageResize]]/[[imageAHash]] sampling discipline), energy
+    * per segment = Σ v² in exact longs, and bit j is the segment-vs-its-
+    * window sign: `energy_j · B > Σ_window energy` (strict, so no mean
+    * rounding convention leaks in — the [[imageAHash]] threshold on the
+    * audio axis). Loudness-localized edits move only their window's
+    * bits; uniform gain moves ALL energies together so most bits hold —
+    * the robustness/sensitivity trade every energy-sign fingerprint
+    * makes. Returns `(media_id, ahash)` in the shared hash slot
+    * ([[matchByHash]]/[[hashNearDupPairs]] consume it unchanged);
+    * `nWindows · bandsPerWindow ≤ 63`. */
+  def audioFingerprint(spark: SparkSession, media: DataFrame,
+      nWindows: Int = 8, bandsPerWindow: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(nWindows >= 1 && bandsPerWindow >= 1 &&
+      nWindows * bandsPerWindow <= 63,
+      s"fingerprint must fit a non-negative long, got " +
+        s"$nWindows x $bandsPerWindow bits")
+    val segs = nWindows * bandsPerWindow
+    val bpw = bandsPerWindow
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        val (samples, _) = WavCodec.decodePcm16(rec.bytes)
+        val n = samples.length
+        require(n >= segs,
+          s"media ${rec.media_id}: $n samples cannot fill $segs segments")
+        val e = new Array[Long](segs)
+        var i = 0
+        while (i < n) {
+          val v = samples(i).toLong
+          e((i.toLong * segs / n).toInt) += v * v
+          i += 1
+        }
+        var h = 0L
+        var w = 0
+        while (w < segs / bpw) {
+          var tot = 0L
+          var b = 0
+          while (b < bpw) { tot += e(w * bpw + b); b += 1 }
+          b = 0
+          while (b < bpw) {
+            val j = w * bpw + b
+            if (e(j) * bpw > tot) h |= 1L << j
+            b += 1
+          }
+          w += 1
+        }
+        (rec.media_id, h)
+      }
+    }.toDF("media_id", "ahash")
+  }
+
   /** Pluggable payload transform (resize, transcode, crop), instantiated
     * once per partition like [[MediaDecoder]]. */
   trait MediaTransform extends Serializable {
@@ -297,6 +353,24 @@ object Multimodal {
         i += 1
       }
       (ImageCodec.encodePng(px, w, h), MediaMeta("image/png", w, h))
+    }
+  }
+
+  /** Deterministic sample perturbation — [[PixelShift]]'s audio twin
+    * (the transcode/requantize stand-in for near-dup fixtures): decode
+    * the WAV, shift the first `k` samples by `delta` wrapping in the
+    * 16-bit space (`((v + delta + 32768) mod 65536) − 32768` — modular,
+    * not clamped, one `%` for the oracle), re-encode. */
+  final case class SampleShift(k: Int, delta: Int) extends MediaTransform {
+    require(k >= 1 && delta >= 1, s"need positive k/delta, got $k/$delta")
+    override def apply(bytes: Array[Byte], meta: MediaMeta): (Array[Byte], MediaMeta) = {
+      val (samples, rate) = WavCodec.decodePcm16(bytes)
+      var i = 0
+      while (i < math.min(k, samples.length)) {
+        samples(i) = (((samples(i).toInt + delta + 32768) % 65536) - 32768).toShort
+        i += 1
+      }
+      (WavCodec.encodePcm16(samples, rate), meta)
     }
   }
 
@@ -462,6 +536,81 @@ object Multimodal {
         boom.cast(st("b_id").dataType).as("b_id"),
         boom.cast(st("hamming").dataType).as("hamming"))
     pairs.unionAll(offenders)
+  }
+
+  /** [[matchByHash]] with the DISTINCT-signature collapse — the scale
+    * form for dup-heavy corpora (same argument as
+    * [[hashDedupClusters]]): the banded candidate join runs over
+    * DISTINCT original hashes × one representative per distinct variant
+    * hash, so its volume is bounded by the distinct-hash counts, not by
+    * Θ(dup_o · dup_v) media pairs per bucket. Tie-break parity is exact:
+    * media-level matchByHash picks `min (hamming, v_id)`, and for a
+    * fixed variant hash the minimum media id attains that lexicographic
+    * minimum, so `min (hamming, min_vid(vh))` over hashes equals the
+    * media-level answer (spec-pinned equal). The verdict maps back to
+    * every original via one hash-keyed join. Same pigeonhole exactness
+    * requirement and band-bucket guard (now counting distinct hashes —
+    * a cap trip means the HASH SPACE degenerated, not the corpus). */
+  def matchByHashDistinct(origs: DataFrame, variants: DataFrame,
+      numBands: Int, bandBits: Int, maxHam: Int,
+      maxBandBucket: Int = 100000): DataFrame = {
+    val ov = Iterate.checkpoint(origs) // consumed by distinct + map-back
+    val od = ov.select(col("ahash")).distinct()
+    val vrep = variants.groupBy(col("ahash"))
+      .agg(min(col("media_id")).as("__vmin"))
+    val hm = matchByHash(
+      od.select(col("ahash").as("media_id"), col("ahash")),
+      vrep.select(col("__vmin").as("media_id"), col("ahash")),
+      numBands, bandBits, maxHam, maxBandBucket)
+    // matchByHash's own tie-break ranks (hamming, media_id) and the
+    // variant side's ids ARE the per-hash min media ids — so its winner
+    // is the media-level winner already
+    ov.join(hm.select(col("media_id").as("__oh"),
+        col("match_id"), col("hamming")),
+      ov("ahash") === col("__oh"))
+      .select(col("media_id"), col("match_id"), col("hamming"))
+  }
+
+  /** Hash dedup clusters with the DISTINCT-signature collapse — the
+    * scale form of `connectedComponents(hashNearDupPairs(...))` for
+    * dup-HEAVY corpora (the exact case dedup exists for): a corpus of
+    * N media over D distinct hashes has Θ(Σ dup²) media-level near-dup
+    * pairs — quadratic in the duplicate multiplicity — but the SAME
+    * components fall out of the D-node hash graph (equal hashes are
+    * distance 0, so multiplicity never splits a component). Pipeline:
+    * distinct hashes → banded near-dup pairs over hash VALUES as node
+    * ids (pigeonhole-exact + band-bucket guard, unchanged) → CC on the
+    * hash graph → map components back over the corpus with the min
+    * media_id as the label (one keyed join against the hashes-sized
+    * component relation). Media whose component holds a single row are
+    * excluded, exactly like the edge-driven media-level CC. Returns
+    * `(node, component)` — provably equal to the media-level composition
+    * (spec-pinned), at Θ(corpus + D²-bounded pairs) instead of
+    * Θ(pairs). */
+  def hashDedupClusters(hashes: DataFrame, numBands: Int, bandBits: Int,
+      maxHam: Int, maxBandBucket: Int = 100000): DataFrame = {
+    // one stage boundary: three consumers (distinct, the tag join, the
+    // component aggregate) would each replay the upstream hash
+    // computation — typically a full media decode — without it
+    val h = Iterate.checkpoint(hashes)
+    val distinct = h.select(col("ahash")).distinct()
+    val hp = hashNearDupPairs(
+      distinct.select(col("ahash").as("media_id"), col("ahash")),
+      numBands, bandBits, maxHam, maxBandBucket)
+    val hcc = Dedup.connectedComponents(hp) // (node = hash value, component)
+    val hcomp = distinct
+      .join(hcc.withColumnRenamed("node", "ahash"), Seq("ahash"), "left")
+      .select(col("ahash"),
+        coalesce(col("component"), col("ahash")).as("__hc"))
+    // hcomp/comps are distinct-hashes-sized: small in the dup-heavy case
+    // this operator targets, corpus-sized only when nothing duplicates —
+    // no broadcast hint, AQE picks the join side at runtime
+    val tagged = h.join(hcomp, Seq("ahash"))
+    val comps = tagged.groupBy(col("__hc"))
+      .agg(min(col("media_id")).as("component"), count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+    tagged.join(comps, Seq("__hc"))
+      .select(col("media_id").as("node"), col("component"))
   }
 
   /** Length-prefixed PNG-frame video container ("GVID"): 4-byte magic,

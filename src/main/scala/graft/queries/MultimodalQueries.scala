@@ -63,6 +63,35 @@ object MultimodalQueries extends graft.QueryPack {
        |  FROM ${name}_g GROUP BY 1)""".stripMargin
   }
 
+  /** Closed-form audio fingerprint relation `name(media_id, ahash)` over
+    * the 160-sample fixture: 32 segments of 5 samples (`seg = i·32 div
+    * 160`), exact-integer segment energies Σv², bit j = energy·4 > its
+    * 4-segment window total (strict — [[Multimodal.audioFingerprint]]'s
+    * threshold). `shifted = true` replays [[Multimodal.SampleShift]]
+    * (5, 700): the first 5 samples (exactly segment 0) shift by 700
+    * wrapping in 16-bit space. */
+  private def duckAudioFpRel(name: String, shifted: Boolean): String = {
+    val base = "((doc_id*31 + i*17) % 2000) - 1000"
+    val vexpr = if (shifted)
+      s"CASE WHEN i < 5 THEN ((($base) + 700 + 32768) % 65536) - 32768 " +
+        s"ELSE $base END"
+    else base
+    s"""${name}_e AS (
+       |  SELECT media_id, (i * 32) // 160 AS s,
+       |    SUM(CAST(v AS BIGINT) * v) AS e
+       |  FROM (SELECT doc_id AS media_id, i, $vexpr AS v
+       |        FROM documents, (SELECT unnest(range(0, 160)) AS i))
+       |  GROUP BY 1, 2),
+       |${name}_w AS (
+       |  SELECT media_id, s, e,
+       |    SUM(e) OVER (PARTITION BY media_id, s // 4) AS tot
+       |  FROM ${name}_e),
+       |$name AS (
+       |  SELECT media_id, CAST(SUM(CASE WHEN e * 4 > tot
+       |    THEN (CAST(1 AS BIGINT) << s) ELSE 0 END) AS BIGINT) AS ahash
+       |  FROM ${name}_w GROUP BY 1)""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
 
     // ---- M1: binary staging + metadata (pure column ops) ----------------
@@ -271,6 +300,87 @@ object MultimodalQueries extends graft.QueryPack {
               |prs AS (
               |  SELECT a.media_id AS a_id, b.media_id AS b_id
               |  FROM ho a JOIN ho b ON a.media_id < b.media_id
+              |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM prs
+              |  UNION SELECT b_id, a_id FROM prs),
+              |cc(node, label) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node)
+              |SELECT node, MIN(label) AS component FROM cc GROUP BY node"""
+        .stripMargin)),
+
+    // ---- M11: audio fingerprint near-dup matching -----------------------
+    // The modality triad completed: chromaprint-lite fingerprints (band-
+    // energy sign bits over the REAL WAV round-trip) for originals vs
+    // SampleShift(5, 700) variants (a loudness-localized edit hitting
+    // exactly segment 0), banded candidate join EXACT for hamming <= 3
+    // with 4 bands (pigeonhole) + the band-bucket guard. The oracle
+    // recomputes both fingerprint relations from the closed-form signal
+    // and brute-forces ALL pairs — equality proves the band join lost
+    // nothing and the codec round-trip read the samples exactly.
+    Q("q_m11_audio_match",
+      (s, d) => {
+        val ids = Tables.documents(s, d).select(col("doc_id"))
+        val origs = Multimodal.synthesizeAudio(s, ids, nSamples = 160,
+          sampleRate = 8000, idCol = "doc_id")
+        val varts = Multimodal.transformMedia(s, origs,
+          Multimodal.SampleShift(5, 700))
+        // distinct-signature collapse: this fixture is dup-heavy (~100
+        // distinct fingerprints), so the media-level banded join is
+        // Θ(dup²) per bucket while the hash-level one stays ~100×~100;
+        // tie-break parity with plain matchByHash is spec-pinned
+        Multimodal.matchByHashDistinct(
+          Multimodal.audioFingerprint(s, origs),
+          Multimodal.audioFingerprint(s, varts),
+          numBands = 4, bandBits = 8, maxHam = 3)
+      },
+      Some(s"""WITH ${duckAudioFpRel("fo", shifted = false)},
+              |${duckAudioFpRel("fv", shifted = true)}
+              |SELECT media_id, match_id, hamming FROM (
+              |  SELECT o.media_id, v.media_id AS match_id,
+              |    CAST(bit_count(xor(o.ahash, v.ahash)) AS INTEGER) AS hamming,
+              |    row_number() OVER (PARTITION BY o.media_id
+              |      ORDER BY bit_count(xor(o.ahash, v.ahash)), v.media_id) AS rn
+              |  FROM fo o, fv v
+              |  WHERE bit_count(xor(o.ahash, v.ahash)) <= 3)
+              |WHERE rn = 1""".stripMargin)),
+
+    // ---- M12: audio dedup clusters (fingerprints -> CC) -----------------
+    // The canonical-selection stage on the audio axis: originals UNION
+    // their variants (ids offset by 1e6 — a corpus that really contains
+    // near-dups), clustered through the DISTINCT-signature collapse
+    // (hashDedupClusters): this fixture is dup-heavy by construction
+    // (~100 distinct fingerprints over 2·|docs| media at sf0.1), so
+    // media-level pair enumeration is Θ(dup²) ≈ 4.8M pairs while the
+    // hash graph stays ~100 nodes — the operator the shape exists for.
+    // The oracle brute-forces the MEDIA-level pairs over both closed-
+    // form fingerprint relations and replays the components as a
+    // recursive CTE; equality proves the collapse loses nothing.
+    Q("q_m12_audio_clusters",
+      (s, d) => {
+        val ids = Tables.documents(s, d).select(col("doc_id"))
+        val origs = Multimodal.synthesizeAudio(s, ids, nSamples = 160,
+          sampleRate = 8000, idCol = "doc_id")
+        val varts = Multimodal.transformMedia(s, origs,
+          Multimodal.SampleShift(5, 700))
+        val fps = Multimodal.audioFingerprint(s, origs).unionAll(
+          Multimodal.audioFingerprint(s, varts)
+            .select((col("media_id") + 1000000L).as("media_id"),
+              col("ahash")))
+        Multimodal.hashDedupClusters(fps,
+          numBands = 4, bandBits = 8, maxHam = 3)
+      },
+      Some(s"""WITH RECURSIVE ${duckAudioFpRel("fo", shifted = false)},
+              |${duckAudioFpRel("fv", shifted = true)},
+              |fp AS (
+              |  SELECT media_id, ahash FROM fo
+              |  UNION ALL
+              |  SELECT media_id + 1000000, ahash FROM fv),
+              |prs AS (
+              |  SELECT a.media_id AS a_id, b.media_id AS b_id
+              |  FROM fp a JOIN fp b ON a.media_id < b.media_id
               |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
               |edges AS (
               |  SELECT a_id AS src, b_id AS dst FROM prs

@@ -141,6 +141,49 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Audio dedup scaling — `runMain graft.tools.ScaleProbe audio`:
+    // (a) WAV decode + chromaprint-lite fingerprint over ×1/×4/×16 media
+    // counts (map-only, expect ~linear), and (b) the distinct-collapse
+    // match + cluster stages over the SAME dup-heavy regime the
+    // registered q_m11/q_m12 run in (the synth signal space folds to
+    // ~100 distinct fingerprints, so media-level pair work would be
+    // Θ(dup²) — the collapse is what keeps this flat-ish while media
+    // grow; the hash-graph size stays constant by construction).
+    if (args.headOption.contains("audio")) {
+      import org.apache.spark.sql.functions._
+      import graft.operators.Multimodal
+      Seq(5000, 20000, 80000).foreach { n =>
+        val ids = spark.range(1, n + 1).select(col("id").as("media_id"))
+        lazy val origs = Multimodal.synthesizeAudio(spark, ids, 160)
+        lazy val varts = Multimodal.transformMedia(spark, origs,
+          Multimodal.SampleShift(5, 700))
+        def runFp(): Double = time {
+          Multimodal.audioFingerprint(spark, origs)
+            .write.format("noop").mode("overwrite").save()
+        }
+        runFp()
+        val tF = Seq(runFp(), runFp()).min
+        val fo = Multimodal.audioFingerprint(spark, origs).localCheckpoint()
+        val fv = Multimodal.audioFingerprint(spark, varts).localCheckpoint()
+        def runMatch(): Double = time {
+          Multimodal.matchByHashDistinct(fo, fv, 4, 8, 3)
+            .write.format("noop").mode("overwrite").save()
+        }
+        runMatch()
+        val tM = Seq(runMatch(), runMatch()).min
+        val fps = fo.unionAll(fv.select(
+          (col("media_id") + 100000000L).as("media_id"), col("ahash")))
+        def runCc(): Double = time {
+          Multimodal.hashDedupClusters(fps, 4, 8, 3)
+            .write.format("noop").mode("overwrite").save()
+        }
+        runCc()
+        val tC = Seq(runCc(), runCc()).min
+        println(f"[scaleprobe] audio n=$n%-6d fp $tF%.2f s   match $tM%.2f s   clusters $tC%.2f s")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("etl")) {
       import graft.etl.{MigrationFixture, MigrationPipeline}
       Seq(12500, 25000, 100000).foreach { n =>

@@ -202,6 +202,116 @@ class MultimodalSpec extends AnyFunSuite {
     assert(atCap === got, "an un-tripped cap must not change the result")
   }
 
+  test("audioFingerprint: closed-form bits over the real WAV round-trip; " +
+      "SampleShift moves only its window's bits; gain-invariance holds") {
+    import spark.implicits._
+    val ids = Seq(3L, 41L, 250L).toDF("media_id")
+    val origs = Multimodal.synthesizeAudio(spark, ids, nSamples = 160)
+    def fps(m: org.apache.spark.sql.DataFrame) =
+      Multimodal.audioFingerprint(spark, m)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fo = fps(origs)
+    // hand replay of the closed form: 32 segments of 5 samples, energy
+    // sums, strict band-vs-window threshold — must match the engine's
+    // codec-round-tripped fingerprint bit for bit
+    def expect(id: Long): Long = {
+      val v = Array.tabulate(160)(i => (((id * 31 + i * 17) % 2000) - 1000))
+      val e = Array.tabulate(32)(s =>
+        (s * 5 until s * 5 + 5).map(i => v(i) * v(i)).sum)
+      (0 until 32).map { j =>
+        val tot = (j / 4 * 4 until j / 4 * 4 + 4).map(e).sum
+        if (e(j) * 4 > tot) 1L << j else 0L
+      }.sum
+    }
+    for (id <- Seq(3L, 41L, 250L))
+      assert(fo(id) === expect(id),
+        s"fingerprint of media $id must replay from the closed form")
+    assert(fo.values.forall(h => h >= 0 && h < (1L << 32)))
+    // a first-5-samples shift is confined to segment 0's window: only
+    // bits 0..3 may move
+    val fs = fps(Multimodal.transformMedia(spark, origs,
+      Multimodal.SampleShift(5, 700)))
+    for (id <- Seq(3L, 41L, 250L)) {
+      val moved = fo(id) ^ fs(id)
+      assert((moved & ~0xfL) === 0L,
+        s"media $id: a segment-0 edit moved bits outside window 0 " +
+          s"(diff ${moved.toBinaryString})")
+    }
+    // uniform gain scales every energy together: bits are invariant
+    // (2x gain = 4x every energy; the strict compare is homogeneous)
+    val doubled = origs.as[Multimodal.MediaRecord].map { rec =>
+      val (s, r) = Multimodal.WavCodec.decodePcm16(rec.bytes)
+      Multimodal.MediaRecord(rec.media_id,
+        Multimodal.WavCodec.encodePcm16(s.map(x => (x * 2).toShort), r),
+        rec.meta)
+    }.toDF()
+    assert(fps(doubled) === fo,
+      "uniform gain must not move any fingerprint bit")
+    // too few samples to fill the grid fails loudly
+    val tiny = Multimodal.synthesizeAudio(spark, ids, nSamples = 16)
+    assert(intercept[Exception](
+      Multimodal.audioFingerprint(spark, tiny).collect())
+      .getMessage.contains("cannot fill"))
+  }
+
+  test("audio near-dup: banded fingerprint match equals brute force; " +
+      "variant clusters join their originals") {
+    import spark.implicits._
+    val ids = spark.range(1, 201).select(col("id").as("media_id"))
+    val origs = Multimodal.synthesizeAudio(spark, ids, nSamples = 160)
+    val varts = Multimodal.transformMedia(spark, origs,
+      Multimodal.SampleShift(5, 700))
+    val fo = Multimodal.audioFingerprint(spark, origs)
+    val fv = Multimodal.audioFingerprint(spark, varts)
+    val got = Multimodal.matchByHash(fo, fv, numBands = 4, bandBits = 8,
+        maxHam = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val o = fo.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val v = fv.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expect = o.flatMap { case (oid, oh) =>
+      val cands = v.map { case (vid, vh) =>
+        (java.lang.Long.bitCount(oh ^ vh), vid) }.filter(_._1 <= 3)
+      if (cands.isEmpty) None else Some(oid -> { val m = cands.min; (m._2, m._1) })
+    }.toMap
+    assert(got === expect, "banding must lose no pair within maxHam < numBands")
+    assert(got.nonEmpty && got.forall(_._2._2 <= 3))
+    // the distinct-signature collapse returns the identical match
+    // relation — including the (hamming, min v_id) tie-break
+    val gotDistinct = Multimodal.matchByHashDistinct(fo, fv,
+        numBands = 4, bandBits = 8, maxHam = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(gotDistinct === got,
+      "matchByHashDistinct must equal media-level matchByHash")
+    // clusters: originals + offset variants through the shared CC — every
+    // matched variant lands in its original's component
+    val fps2 = fo.unionAll(fv.select((col("media_id") + 1000000L)
+      .as("media_id"), col("ahash")))
+    val comp = graft.operators.Dedup.connectedComponents(
+        Multimodal.hashNearDupPairs(fps2, 4, 8, 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val joined = got.count { case (oid, (vid, _)) =>
+      comp.get(oid).isDefined &&
+        comp.get(vid + 1000000L) === comp.get(oid) }
+    assert(joined === got.size,
+      "every hamming<=3 original/variant pair must share a component")
+    // the distinct-signature collapse is provably the same relation as
+    // the media-level composition — on a dup-heavy fixture where the
+    // media pair count dwarfs the hash pair count
+    val collapsed = Multimodal.hashDedupClusters(fps2, 4, 8, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(collapsed === comp,
+      "hashDedupClusters must equal connectedComponents(hashNearDupPairs)")
+    // a media whose hash is unique and isolated is excluded (no edges),
+    // exactly like the media-level CC
+    val lone = fo.limit(0).sparkSession.range(1)
+      .select(lit(777777L).as("media_id"),
+        lit((1L << 32) - 1L).as("ahash")) // all-ones: far from every fp
+    val withLone = Multimodal.hashDedupClusters(fps2.unionAll(lone), 4, 8, 3)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(!withLone.contains(777777L),
+      "an isolated media must not surface in the cluster relation")
+  }
+
   test("Discovery.latestFiles: extension filter, mtime desc, cap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-disc")
     for (i <- 1 to 7) {
