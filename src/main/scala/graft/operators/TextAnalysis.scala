@@ -1278,6 +1278,64 @@ object TextAnalysis {
     Similarity.rrfFuse(Seq(bm25, dense), k, rrfK)
   }
 
+  /** Train the linear quality classifier IN-ENGINE — the fastText-style
+    * loop closed (train on labeled seed docs → score the corpus), the
+    * training half [[linearQualityScore]] was missing: fixed-round BATCH
+    * PERCEPTRON over the hashed-TF relation in exact integer weight
+    * units (the Kmeans.train replay discipline — fixed rounds, pure
+    * integer arithmetic, a relational oracle unrolls the rounds as
+    * CTEs; float gradients would make partial-agg order observable).
+    *
+    * Per round: margin_d = Σ_b w_b·tf_db (one keyed sum against the
+    * broadcast dims-sized weight relation), prediction `margin ≥ 0`,
+    * and the batch update `w_b += Σ_{misclassified d} y_d·tf_db` (one
+    * aggregation over the misclassified docs' tf rows — y ∈ {+1,−1}).
+    * Weights start at zero, so round 1 reduces to `w = −Σ_{y=−1} tf`:
+    * deterministic from the first step. Scale: each round is two passes
+    * over the (doc, bucket, tf) relation (checkpointed once) + a
+    * dims-sized state merge — the weight state never exceeds `dims`
+    * rows however large the corpus. Labeled docs with a null label or
+    * zero tokens carry no tf rows and cannot move a weight (a doc the
+    * tokenizer sees as empty has no gradient). Returns `(bucket, wm)`
+    * ready for [[linearQualityScore]] (weight units ARE the milli slot:
+    * one update step = one milli). */
+  def trainLinearQuality(df: DataFrame, labelCol: String, dims: Int,
+      rounds: Int, textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    require(dims >= 2 && dims <= 65536, s"dims must be in [2, 65536], got $dims")
+    require(rounds >= 1 && rounds <= 16,
+      s"need 1 <= rounds <= 16 (fixed-round replay contract), got $rounds")
+    val tf = Iterate.checkpoint(Par.spread(
+        df.filter(col(labelCol).isNotNull)
+          .select(col(idCol).as("doc_id"),
+            when(col(labelCol).cast("boolean"), lit(1L)).otherwise(lit(-1L))
+              .as("y"),
+            tokens(lower(col(textCol))).as("toks")))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("y"), explode(col("toks")).as("t"))
+      .select(col("doc_id"), col("y"),
+        Sampling.bucketOfKey(md5(col("t")), dims).as("b"))
+      .groupBy(col("doc_id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("tf")))
+    var w = tf.select(col("b"), lit(0L).as("wm")).limit(0)
+    (1 to rounds).foreach { _ =>
+      val margins = tf
+        .join(broadcast(w), Seq("b"), "left")
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("tf") * coalesce(col("wm"), lit(0L))).as("__m"))
+      val mis = margins
+        .filter((col("__m") >= 0) =!= (col("y") > 0))
+        .select(col("doc_id"))
+      val upd = tf.join(mis, Seq("doc_id"))
+        .groupBy(col("b")).agg(sum(col("y") * col("tf")).as("__u"))
+      w = Iterate.checkpoint(w.join(upd, Seq("b"), "full_outer")
+        .select(col("b"),
+          (coalesce(col("wm"), lit(0L)) + coalesce(col("__u"), lit(0L)))
+            .as("wm")))
+    }
+    w.select(col("b").as("bucket"), col("wm"))
+  }
+
   /** Model-based quality filtering — LINEAR classifier INFERENCE over
     * the hashed-TF features (the fastText-style quality gate every
     * modern curation stack runs; training happens offline, which is not

@@ -1677,6 +1677,64 @@ object TextQueries extends graft.QueryPack {
              |  (COALESCE(sc.s, 0) + 250) >= 0 AS accept
              |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin)),
 
+    // ---- X69: classifier training closed in-engine (train -> score) -----
+    // The fastText-style loop q_x46 was missing the first half of:
+    // 3 batch-perceptron rounds over the 16-bucket hashed-TF relation in
+    // exact integer weight units, labeled seed = the doc_id % 3 slice
+    // with label `token count >= 40`, then the trained weights score the
+    // WHOLE corpus through the same linearQualityScore gate — ONE oracle
+    // hash over the chain. The oracle unrolls all 3 rounds as CTEs
+    // (round 1 collapses to w = -sum of negative-label tf because
+    // weights start at zero — pinned in both engines).
+    Q("q_x69_train_classifier",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val labeled = docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("label",
+            size(TextAnalysis.tokens(lower(col("text")))) >= 40)
+        val w = TextAnalysis.trainLinearQuality(labeled, "label",
+          dims = 16, rounds = 3)
+        TextAnalysis.linearQualityScore(docs, w, biasM = 0L, dims = 16,
+          thresholdM = 0L)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |tnz AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+             |htf AS (SELECT doc_id,
+             |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 16 AS b,
+             |    COUNT(*) AS tf
+             |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tnz) GROUP BY 1, 2),
+             |lab AS (SELECT doc_id,
+             |    CASE WHEN len(toks) >= 40 THEN 1 ELSE -1 END AS y
+             |  FROM tnz WHERE doc_id % 3 = 0),
+             |tfl AS (SELECT h.doc_id, l.y, h.b, h.tf
+             |  FROM htf h JOIN lab l USING (doc_id)),
+             |w1 AS (SELECT b, SUM(y * tf) AS wm FROM tfl WHERE y = -1 GROUP BY 1),
+             |m2 AS (SELECT f.doc_id, f.y, SUM(f.tf * COALESCE(w.wm, 0)) AS m
+             |  FROM tfl f LEFT JOIN w1 w ON w.b = f.b GROUP BY 1, 2),
+             |u2 AS (SELECT f.b, SUM(f.y * f.tf) AS u FROM tfl f
+             |  JOIN m2 ON m2.doc_id = f.doc_id
+             |  WHERE (m2.m >= 0) <> (m2.y > 0) GROUP BY 1),
+             |w2 AS (SELECT COALESCE(a.b, u.b) AS b,
+             |    COALESCE(a.wm, 0) + COALESCE(u.u, 0) AS wm
+             |  FROM w1 a FULL OUTER JOIN u2 u ON a.b = u.b),
+             |m3 AS (SELECT f.doc_id, f.y, SUM(f.tf * COALESCE(w.wm, 0)) AS m
+             |  FROM tfl f LEFT JOIN w2 w ON w.b = f.b GROUP BY 1, 2),
+             |u3 AS (SELECT f.b, SUM(f.y * f.tf) AS u FROM tfl f
+             |  JOIN m3 ON m3.doc_id = f.doc_id
+             |  WHERE (m3.m >= 0) <> (m3.y > 0) GROUP BY 1),
+             |w3 AS (SELECT COALESCE(a.b, u.b) AS b,
+             |    COALESCE(a.wm, 0) + COALESCE(u.u, 0) AS wm
+             |  FROM w2 a FULL OUTER JOIN u3 u ON a.b = u.b),
+             |sc AS (SELECT h.doc_id,
+             |    CAST(SUM(h.tf * COALESCE(w.wm, 0)) AS BIGINT) AS s
+             |  FROM htf h LEFT JOIN w3 w ON w.b = h.b GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE(sc.s, 0) AS BIGINT) AS score_m,
+             |  COALESCE(sc.s, 0) >= 0 AS accept
+             |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin)),
+
     // ---- X38: equi-depth length discretization (quartile bins) ----------
     // Exact interpolated 25/50/75 boundaries via one global aggregate
     // (the winsorize mechanism), broadcast; bin = #{b : x > b} so

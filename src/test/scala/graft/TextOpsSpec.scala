@@ -507,6 +507,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(5L) === "ABC&#")
   }
 
+  test("trained quality classifier separates a planted vocabulary split " +
+      "and generalizes to unlabeled docs") {
+    import spark.implicits._
+    // planted split: good docs speak one vocabulary, junk docs another;
+    // train on ids 0..59, hold out 60..99 (same generator, never seen)
+    val goodWords = Seq("insight", "method", "theory", "result", "proof")
+    val junkWords = Seq("casino", "pills", "winner", "jackpot", "click")
+    def doc(id: Long): (Long, String, Boolean) = {
+      val good = id % 2 == 0
+      val vocab = if (good) goodWords else junkWords
+      val words = (0 until 12).map(i => vocab(((id + i) % 5).toInt))
+      (id, words.mkString(" "), good)
+    }
+    val all = (0L until 100L).map(doc).toDF("doc_id", "text", "label")
+    val train = all.filter(col("doc_id") < 60)
+    val w = TextAnalysis.trainLinearQuality(train, "label",
+      dims = 64, rounds = 3)
+    val verdicts = TextAnalysis.linearQualityScore(
+        all.filter(col("doc_id") >= 60), w, biasM = 0L, dims = 64)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val correct = (60L until 100L).count(id => verdicts(id) === (id % 2 == 0))
+    assert(correct === 40,
+      s"the trained gate must separate the held-out planted split " +
+        s"($correct/40 correct)")
+    // training is deterministic: a second run yields identical weights
+    val w2 = TextAnalysis.trainLinearQuality(train, "label",
+      dims = 64, rounds = 3)
+    assert(w.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      w2.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    // fixed-round contract refuses unbounded loops
+    intercept[IllegalArgumentException](
+      TextAnalysis.trainLinearQuality(train, "label", 64, 0))
+  }
+
   test("host gate: a mostly-bad host drops wholesale, thin evidence and " +
       "unparseable hosts keep, authority normalizes case and port") {
     import spark.implicits._
