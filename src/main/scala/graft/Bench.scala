@@ -60,14 +60,31 @@ object Bench {
       "q_x54_byte_fallback_ids", "q_sim7_ff_kmeans", "q_d2b_jaccard_capped",
       "q_a10_hll_bound", "q_x36_cdc_chunks", "q_x41_ppl_store",
       "q_pq5_adc_prod", "q_x39_token_ids")
-    val tierFiltered = sys.env.get("SPARK_GRAFT_TIER") match {
-      case Some("flagship") => true
-      case Some(other) => sys.error(s"unknown SPARK_GRAFT_TIER '$other'")
-      case None => false
-    }
+    // store-twin entries: each re-runs a near-identical plan to its
+    // original from a PERSISTED store (different plan pinned — the
+    // no-rescan read path — same oracle). Together 21.9s of the 245.3s
+    // round-11 full run (8.9%): cheap enough that the driver's full run
+    // keeps them (dropping them would blind the round record to store-
+    // path regressions), big enough that a dev iterating on unrelated
+    // queries can skip them with SPARK_GRAFT_TIER=twinless (protocol
+    // note in SCALE.md; the driver never sets a tier).
+    val storeTwins = Set("q_x31_bm25_index", "q_x35_topic_assign_store",
+      "q_x41_ppl_store", "q_x53_backoff_store", "q_sim15_sq8_store",
+      "q_x60_hybrid_store", "q_x42_token_ids_store",
+      "q_x43_top_tokens_store", "q_d16_contamination_store",
+      "q_v10_quantile_store", "q_v16_cms_store", "q_v6_sketch_store",
+      "q_d13_incremental_sigs")
+    val tier = sys.env.get("SPARK_GRAFT_TIER")
+    tier.foreach(t => require(t == "flagship" || t == "twinless",
+      s"unknown SPARK_GRAFT_TIER '$t'"))
+    val tierFiltered = tier.isDefined
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
-      .filter(n => !tierFiltered || flagship.contains(n))
+      .filter(n => tier match {
+        case Some("flagship") => flagship.contains(n)
+        case Some("twinless") => !storeTwins.contains(n)
+        case _ => true
+      })
     names.foreach(exec) // warmup pass: codegen + JIT + FS caches
     // two measured passes, report the per-query MIN: the box sees external
     // load spikes and GC pauses that inflate single timings 2-5x; min-of-2
@@ -101,7 +118,7 @@ object Bench {
     val etlName = "etl_migration_100k"
     val results =
       if (!only.forall(_.exists(p => etlName.startsWith(p))) ||
-          (tierFiltered && !flagship.contains(etlName))) results0
+          (tier.contains("flagship") && !flagship.contains(etlName))) results0
       else {
         etlRun() // warmup
         // same failure protocol as the queries: one transient failure
