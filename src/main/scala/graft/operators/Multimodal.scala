@@ -667,6 +667,84 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Video fingerprint — the third modality's near-dup signature
+    * (images: [[imageAHash]]; audio: [[audioFingerprint]]): parse the
+    * GVID container, sample every `sampleEvery`-th frame (the
+    * [[videoFeatures]] cadence), ImageIO-decode each sampled frame and
+    * take its `gw × gh` aHash bits (same NN grid map, same strict
+    * per-frame mean threshold), concatenating sample ordinal `s`'s bits
+    * at positions `[s·gw·gh, (s+1)·gw·gh)`. A frame-local edit moves
+    * only its own frame's bit block — the temporal locality banding
+    * exploits; a re-encode that preserves pixels moves nothing. Videos
+    * with fewer than `maxSamples` sampled frames leave the tail bits 0
+    * (documented padding — short videos still fingerprint). Returns
+    * `(media_id, ahash)` in the shared hash slot;
+    * `maxSamples·gw·gh ≤ 63`. */
+  def videoFingerprint(spark: SparkSession, media: DataFrame,
+      gw: Int, gh: Int, sampleEvery: Int, maxSamples: Int): DataFrame = {
+    import spark.implicits._
+    require(gw >= 1 && gh >= 1 && sampleEvery >= 1 && maxSamples >= 1 &&
+      maxSamples * gw * gh <= 63,
+      s"fingerprint must fit a non-negative long, got " +
+        s"$maxSamples x ${gw}x$gh bits")
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        val (sw, sh, frames) = GvidCodec.decode(rec.bytes)
+        require(frames.nonEmpty, s"media ${rec.media_id}: empty video")
+        val n = gw * gh
+        var h = 0L
+        val sampled = frames.indices.by(sampleEvery).take(maxSamples)
+        sampled.zipWithIndex.foreach { case (fi, s) =>
+          val img = ImageCodec.decode(frames(fi), "image/png")
+          val px = img.getRGB(0, 0, sw, sh, null, 0, sw)
+          val grays = new Array[Long](n)
+          var tot = 0L
+          var j = 0
+          while (j < n) {
+            val sx = (j % gw) * sw / gw
+            val sy = (j / gw) * sh / gh
+            val p = px(sy * sw + sx)
+            val gr = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
+            grays(j) = gr; tot += gr; j += 1
+          }
+          j = 0
+          while (j < n) {
+            if (grays(j) * n > tot) h |= 1L << (s * n + j)
+            j += 1
+          }
+        }
+        (rec.media_id, h)
+      }
+    }.toDF("media_id", "ahash")
+  }
+
+  /** [[PixelShift]] scoped to one FRAME of a GVID video — the
+    * frame-local re-encode stand-in for video near-dup fixtures:
+    * decode the container, shift the R channel of the first `k` pixels
+    * of frame `frame` by `delta` modulo 256, re-encode that frame's
+    * PNG, repack the container. */
+  final case class FramePixelShift(frame: Int, k: Int, delta: Int)
+      extends MediaTransform {
+    require(frame >= 0 && k >= 1 && delta >= 1,
+      s"need frame >= 0 and positive k/delta, got $frame/$k/$delta")
+    override def apply(bytes: Array[Byte], meta: MediaMeta): (Array[Byte], MediaMeta) = {
+      val (w, h, frames) = GvidCodec.decode(bytes)
+      require(frame < frames.length,
+        s"frame $frame out of range (${frames.length} frames)")
+      val img = ImageCodec.decode(frames(frame), "image/png")
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < math.min(k, px.length)) {
+        val p = px(i)
+        val r2 = (((p >> 16) & 0xff) + delta) % 256
+        px(i) = (p & 0xff00ffff) | (r2 << 16)
+        i += 1
+      }
+      val out = frames.updated(frame, ImageCodec.encodePng(px, w, h))
+      (GvidCodec.encode(out, w, h), meta)
+    }
+  }
+
   /** REAL video feature extraction: parse the container, sample every
     * k-th frame, ImageIO-decode each sampled frame, and derive EXACT
     * INTEGER signal features — per-channel pixel sums across the

@@ -92,6 +92,38 @@ object MultimodalQueries extends graft.QueryPack {
        |  FROM ${name}_w GROUP BY 1)""".stripMargin
   }
 
+  /** Closed-form video fingerprint relation `name(media_id, ahash)` over
+    * the 16×8 × 6-frame fixture, frames 0 and 4 sampled (every-4th, max
+    * 2), 4×4 grid per frame (`sidx = 32·(j div 4) + 4·(j mod 4)`, flat
+    * pixel index `f·128 + sidx`), strict per-frame mean threshold, frame
+    * sample s's bits at `s·16 + j`. `pertR = true` replays
+    * [[Multimodal.FramePixelShift]](0, 1, 128): frame 0's pixel 0 (grid
+    * cell j = 0 of sample 0) gets its R channel shifted by 128 mod
+    * 256. */
+  private def duckVideoFpRel(name: String, pertR: Boolean): String = {
+    val rShift =
+      if (pertR) " + CASE WHEN s = 0 AND j = 0 THEN 128 ELSE 0 END" else ""
+    s"""${name}_g AS (
+       |  SELECT media_id, s, j, gray,
+       |    SUM(gray) OVER (PARTITION BY media_id, s) AS tot
+       |  FROM (
+       |    SELECT doc_id AS media_id, s, j,
+       |      (doc_id + flat$rShift) % 256
+       |      + (doc_id * 3 + flat * 5 + 17) % 256
+       |      + (doc_id * 7 + flat * 11 + 41) % 256 AS gray
+       |    FROM (SELECT doc_id, s, j,
+       |            (s * 4) * 128 + 32 * (j // 4) + 4 * (j % 4) AS flat
+       |          FROM documents,
+       |            (SELECT unnest([0, 1]) AS s),
+       |            (SELECT unnest(range(0, 16)) AS j)))),
+       |$name AS (
+       |  SELECT media_id,
+       |    CAST(SUM(CASE WHEN gray * 16 > tot
+       |      THEN (CAST(1 AS BIGINT) << (s * 16 + j)) ELSE 0 END)
+       |      AS BIGINT) AS ahash
+       |  FROM ${name}_g GROUP BY 1)""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
 
     // ---- M1: binary staging + metadata (pure column ops) ----------------
@@ -374,6 +406,80 @@ object MultimodalQueries extends graft.QueryPack {
       },
       Some(s"""WITH RECURSIVE ${duckAudioFpRel("fo", shifted = false)},
               |${duckAudioFpRel("fv", shifted = true)},
+              |fp AS (
+              |  SELECT media_id, ahash FROM fo
+              |  UNION ALL
+              |  SELECT media_id + 1000000, ahash FROM fv),
+              |prs AS (
+              |  SELECT a.media_id AS a_id, b.media_id AS b_id
+              |  FROM fp a JOIN fp b ON a.media_id < b.media_id
+              |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM prs
+              |  UNION SELECT b_id, a_id FROM prs),
+              |cc(node, label) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node)
+              |SELECT node, MIN(label) AS component FROM cc GROUP BY node"""
+        .stripMargin)),
+
+    // ---- M13: video fingerprint near-dup matching -----------------------
+    // The modality x dedup matrix completed (images q_m9, audio q_m11):
+    // per-sampled-frame aHash blocks concatenated into one 32-bit
+    // signature over the REAL GVID parse + per-frame ImageIO decode;
+    // variants get a frame-0-local pixel edit (FramePixelShift), so only
+    // sample 0's bit block can move — hamming <= 3 < 4 bands keeps the
+    // banded join pigeonhole-exact. Distinct-signature collapse (the
+    // synth fixture folds to few distinct signatures — the dup-heavy
+    // regime). Oracle: both fingerprint relations from the closed-form
+    // pixels, ALL pairs brute-forced.
+    Q("q_m13_video_match",
+      (s, d) => {
+        val ids = Tables.documents(s, d).select(col("doc_id"))
+        val origs = Multimodal.synthesizeVideos(s, ids, 16, 8,
+          nFrames = 6, idCol = "doc_id")
+        val varts = Multimodal.transformMedia(s, origs,
+          Multimodal.FramePixelShift(0, 1, 128))
+        Multimodal.matchByHashDistinct(
+          Multimodal.videoFingerprint(s, origs, 4, 4,
+            sampleEvery = 4, maxSamples = 2),
+          Multimodal.videoFingerprint(s, varts, 4, 4,
+            sampleEvery = 4, maxSamples = 2),
+          numBands = 4, bandBits = 8, maxHam = 3)
+      },
+      Some(s"""WITH ${duckVideoFpRel("fo", pertR = false)},
+              |${duckVideoFpRel("fv", pertR = true)}
+              |SELECT media_id, match_id, hamming FROM (
+              |  SELECT o.media_id, v.media_id AS match_id,
+              |    CAST(bit_count(xor(o.ahash, v.ahash)) AS INTEGER) AS hamming,
+              |    row_number() OVER (PARTITION BY o.media_id
+              |      ORDER BY bit_count(xor(o.ahash, v.ahash)), v.media_id) AS rn
+              |  FROM fo o, fv v
+              |  WHERE bit_count(xor(o.ahash, v.ahash)) <= 3)
+              |WHERE rn = 1""".stripMargin)),
+
+    // ---- M14: video dedup clusters (fingerprints -> CC) -----------------
+    // Originals UNION frame-edited variants (ids offset by 1e6) through
+    // the distinct-signature collapse and the shared CC; the oracle
+    // brute-forces the MEDIA-level pairs and replays components as a
+    // recursive CTE — the q_m10/q_m12 proof shape on the video axis.
+    Q("q_m14_video_clusters",
+      (s, d) => {
+        val ids = Tables.documents(s, d).select(col("doc_id"))
+        val origs = Multimodal.synthesizeVideos(s, ids, 16, 8,
+          nFrames = 6, idCol = "doc_id")
+        val varts = Multimodal.transformMedia(s, origs,
+          Multimodal.FramePixelShift(0, 1, 128))
+        val fps = Multimodal.videoFingerprint(s, origs, 4, 4, 4, 2)
+          .unionAll(Multimodal.videoFingerprint(s, varts, 4, 4, 4, 2)
+            .select((col("media_id") + 1000000L).as("media_id"),
+              col("ahash")))
+        Multimodal.hashDedupClusters(fps,
+          numBands = 4, bandBits = 8, maxHam = 3)
+      },
+      Some(s"""WITH RECURSIVE ${duckVideoFpRel("fo", pertR = false)},
+              |${duckVideoFpRel("fv", pertR = true)},
               |fp AS (
               |  SELECT media_id, ahash FROM fo
               |  UNION ALL

@@ -312,6 +312,51 @@ class MultimodalSpec extends AnyFunSuite {
       "an isolated media must not surface in the cluster relation")
   }
 
+  test("videoFingerprint: per-sampled-frame aHash blocks; a frame-local " +
+      "edit moves only its block; short videos pad with zero bits") {
+    import spark.implicits._
+    val ids = Seq(3L, 41L, 250L).toDF("media_id")
+    val origs = Multimodal.synthesizeVideos(spark, ids, 16, 8, nFrames = 6)
+    def fps(m: org.apache.spark.sql.DataFrame) =
+      Multimodal.videoFingerprint(spark, m, 4, 4, sampleEvery = 4,
+          maxSamples = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fo = fps(origs)
+    // hand replay: frames 0 and 4, 4x4 grid, flat = f*128 + 32*(j/4) +
+    // 4*(j%4), gray = r+g+b from PixelSynth, strict per-frame mean
+    def expect(id: Long): Long = {
+      def gray(flat: Long) = (id + flat) % 256 +
+        (id * 3 + flat * 5 + 17) % 256 + (id * 7 + flat * 11 + 41) % 256
+      (0 until 2).map { s =>
+        val g = Array.tabulate(16)(j =>
+          gray(s * 4 * 128 + 32 * (j / 4) + 4 * (j % 4)))
+        val tot = g.sum
+        (0 until 16).map(j =>
+          if (g(j) * 16 > tot) 1L << (s * 16 + j) else 0L).sum
+      }.sum
+    }
+    for (id <- Seq(3L, 41L, 250L))
+      assert(fo(id) === expect(id),
+        s"fingerprint of media $id must replay from the closed form")
+    // frame-0 edit: only sample 0's block (bits 0..15) may move
+    val fe = fps(Multimodal.transformMedia(spark, origs,
+      Multimodal.FramePixelShift(0, 1, 128)))
+    for (id <- Seq(3L, 41L, 250L)) {
+      val moved = fo(id) ^ fe(id)
+      assert((moved & ~0xffffL) === 0L,
+        s"media $id: a frame-0 edit moved bits outside block 0")
+    }
+    // an edit to an UNSAMPLED frame (1 of every-4 sampling) moves nothing
+    val fu = fps(Multimodal.transformMedia(spark, origs,
+      Multimodal.FramePixelShift(1, 1, 128)))
+    assert(fu === fo, "an unsampled-frame edit must not move any bit")
+    // short video: 2 frames at every-4 sampling = 1 sample; block-1 bits
+    // stay zero
+    val short = Multimodal.synthesizeVideos(spark, ids, 16, 8, nFrames = 2)
+    assert(fps(short).values.forall(h => (h & ~0xffffL) === 0L),
+      "a one-sample video must leave the tail bits zero")
+  }
+
   test("Discovery.latestFiles: extension filter, mtime desc, cap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-disc")
     for (i <- 1 to 7) {
