@@ -78,6 +78,85 @@ object Similarity {
         col("t.score").as(scoreName), (col("pos") + lit(1)).as("rnk"))
   }
 
+  /** The nDCG position discounts as integer MICROS —
+    * `round(1e6 / log2(r+1))` for ranks 1..k, computed ONCE here in
+    * driver Scala and inlined as literals into both the Spark plan and
+    * (by the registered query) the oracle SQL, so the one irrational
+    * ingredient of [[rankEval]] is a shared constant table instead of
+    * two engines' log implementations racing in the last ulp. */
+  def ndcgDiscountsM(k: Int): Seq[Long] =
+    (1 to k).map(r => Math.round(1e6 / (Math.log(r + 1.0) / Math.log(2.0))))
+
+  /** Ranking-quality evaluation (the trec_eval trio) for a retrieval
+    * `run(query_id, neighbor_id, rnk)` against graded judgments
+    * `qrels(query_id, doc_id, rel)` — the measurement half every
+    * retrieval stack needs next to its recall gates (q_sim17/q_sim18
+    * measure candidate recall vs the exact baseline; this measures
+    * RANKING quality vs human/synthetic grades):
+    *
+    *  - `mrr_ppm`    = 1e6 div rank of the first relevant hit (0 if none)
+    *  - `recall_ppm` = |relevant ∩ top-k| · 1e6 div |relevant|
+    *  - `ndcg_ppm`   = round-half-up(DCG@k · 1e6 / IDCG@k), with
+    *    gain `2^rel − 1` and the [[ndcgDiscountsM]] micro-discount table
+    *    — ALL integer arithmetic, so a relational oracle replays every
+    *    metric exactly (the one irrational, 1/log2(r+1), is a shared
+    *    k-row literal).
+    *
+    * Universe = judged queries (the trec_eval convention: unjudged run
+    * queries drop; judged queries missing from the run score 0/null
+    * with their n_rel intact — observability over silent drops). A
+    * query with no relevant docs has undefined recall/nDCG → null.
+    * Grades must be small non-negative ints (gain is a bit shift);
+    * grades above 30 are refused. Scale shape: one run↔qrels keyed
+    * join, two qrels-sized aggregations (the IDCG window partitions by
+    * query over judged docs — bounded per query), one broadcast of the
+    * k-row discount table. */
+  def rankEval(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"need 1 <= k <= 1000, got $k")
+    val sp = run.sparkSession
+    import sp.implicits._
+    val disc = ndcgDiscountsM(k).zipWithIndex
+      .map { case (d, i) => (i + 1, d) }.toDF("rnk", "__dm")
+    val q = qrels.select(col("query_id"), col("doc_id"),
+      col("rel").cast("int").as("rel"))
+    // gain = 2^rel - 1 over the `rel` column, with the grade bound
+    // enforced IN PLAN: an out-of-range grade poisons the shift
+    // silently, so raise instead
+    val gain: Column = expr(
+      "shiftleft(CAST(1 AS BIGINT), CASE WHEN rel BETWEEN 0 AND 30 " +
+        "THEN rel ELSE CAST(raise_error(concat('rankEval: rel grade ', " +
+        "CAST(rel AS STRING), ' outside [0, 30]')) AS INT) END) - 1")
+    val rels = q.filter(col("rel") > 0)
+    val idcgW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rel").desc, col("doc_id"))
+    val ideal = rels.withColumn("__rn", row_number().over(idcgW))
+      .filter(col("__rn") <= k)
+      .join(broadcast(disc.withColumnRenamed("rnk", "__rn")), Seq("__rn"))
+      .groupBy(col("query_id"))
+      .agg(sum(gain * col("__dm")).as("__idcg"))
+    val nrel = q.groupBy(col("query_id"))
+      .agg(sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel"))
+    val rk = run.filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+      .join(q, Seq("query_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+      .join(broadcast(disc), Seq("rnk"))
+    val per = rk.groupBy(col("query_id"))
+      .agg(sum(gain * col("__dm")).as("__dcg"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("__hits"),
+        min(when(col("rel") > 0, col("rnk"))).as("__fr"))
+    nrel.join(ideal, Seq("query_id"), "left")
+      .join(per, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(expr("1000000 div __fr"), lit(0L)).as("mrr_ppm"),
+        when(col("n_rel") > 0,
+          expr("(coalesce(__hits, 0) * 1000000) div n_rel"))
+          .as("recall_ppm"),
+        when(col("__idcg").isNotNull,
+          expr("(2 * coalesce(__dcg, 0) * 1000000 + __idcg) div (2 * __idcg)"))
+          .as("ndcg_ppm"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of any
     * number of per-query ranked runs — THE standard hybrid-retrieval
     * combiner (BM25 lexical + dense-embedding ranks fuse without score

@@ -334,6 +334,85 @@ object SimilarityQueries extends graft.QueryPack {
               |  FROM scored)
               |WHERE rnk <= 10""".stripMargin)),
 
+    // ---- SIM19: ranking-quality eval (nDCG/MRR/recall@k) -----------------
+    // trec_eval closed in-engine over the q_sim1 run and a synthetic
+    // graded qrels relation ((q·7 + d) % 5 -> grades 2/1/0 — engine-
+    // independent). All integer: gains 2^rel − 1, the one irrational
+    // (1/log2(r+1)) inlined as the SAME micro-literal table in both
+    // engines (Similarity.ndcgDiscountsM), ndcg as half-up ppm.
+    Q("q_sim19_rank_eval",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val run = Similarity.bruteForceTopK(emb, col("vec_id") < 5, 10)
+        val qrels = emb.select(col("vec_id").as("doc_id"))
+          .crossJoin(broadcast(emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"))))
+          .filter(col("query_id") =!= col("doc_id"))
+          .withColumn("rel",
+            when((col("query_id") * 7 + col("doc_id")) % 5 === 0, 2)
+              .when((col("query_id") * 7 + col("doc_id")) % 5 === 1, 1)
+              .otherwise(0))
+        Similarity.rankEval(run, qrels, k = 10)
+      },
+      Some {
+        val disc = Similarity.ndcgDiscountsM(10).zipWithIndex
+          .map { case (dm, i) => s"(${i + 1}, ${dm})" }.mkString(", ")
+        s"""$duckEx,
+           |run AS (
+           |  SELECT query_id, neighbor_id, rnk FROM (
+           |    SELECT d.query_id, d.neighbor_id,
+           |      row_number() OVER (PARTITION BY d.query_id
+           |        ORDER BY ROUND(d.dot / (nq.nrm * nn.nrm), 6) DESC,
+           |          d.neighbor_id) AS rnk
+           |    FROM (
+           |      SELECT qx.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |             SUM(CAST(qx.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS dot
+           |      FROM ex qx JOIN ex e ON qx.i = e.i
+           |      WHERE qx.vec_id < 5 AND e.vec_id <> qx.vec_id
+           |      GROUP BY 1, 2) d
+           |    JOIN norms nq ON nq.vec_id = d.query_id
+           |    JOIN norms nn ON nn.vec_id = d.neighbor_id)
+           |  WHERE rnk <= 10),
+           |qrels AS (
+           |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+           |    CASE (q.vec_id * 7 + e.vec_id) % 5
+           |      WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS rel
+           |  FROM embeddings e, (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+           |  WHERE q.vec_id <> e.vec_id),
+           |disc(rnk, dm) AS (SELECT * FROM (VALUES $disc)),
+           |nrel AS (SELECT query_id,
+           |    CAST(COUNT(CASE WHEN rel > 0 THEN 1 END) AS BIGINT) AS n_rel
+           |  FROM qrels GROUP BY 1),
+           |ideal AS (
+           |  SELECT query_id, SUM(((CAST(1 AS BIGINT) << rel) - 1) * dm) AS idcg
+           |  FROM (SELECT query_id, rel, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn
+           |    FROM qrels WHERE rel > 0)
+           |  JOIN disc ON disc.rnk = rn
+           |  WHERE rn <= 10 GROUP BY 1),
+           |per AS (
+           |  SELECT r.query_id,
+           |    SUM(((CAST(1 AS BIGINT) << COALESCE(j.rel, 0)) - 1) * d.dm) AS dcg,
+           |    COUNT(CASE WHEN j.rel > 0 THEN 1 END) AS hits,
+           |    MIN(CASE WHEN j.rel > 0 THEN r.rnk END) AS fr
+           |  FROM run r
+           |  LEFT JOIN qrels j ON j.query_id = r.query_id
+           |    AND j.doc_id = r.neighbor_id
+           |  JOIN disc d ON d.rnk = r.rnk
+           |  GROUP BY 1)
+           |SELECT n.query_id, n.n_rel,
+           |  CAST(COALESCE(1000000 // p.fr, 0) AS BIGINT) AS mrr_ppm,
+           |  CAST(CASE WHEN n.n_rel > 0
+           |    THEN (COALESCE(p.hits, 0) * 1000000) // n.n_rel END
+           |    AS BIGINT) AS recall_ppm,
+           |  CAST(CASE WHEN i.idcg IS NOT NULL
+           |    THEN (2 * COALESCE(p.dcg, 0) * 1000000 + i.idcg) // (2 * i.idcg)
+           |    END AS BIGINT) AS ndcg_ppm
+           |FROM nrel n
+           |LEFT JOIN ideal i ON i.query_id = n.query_id
+           |LEFT JOIN per p ON p.query_id = n.query_id""".stripMargin
+      }),
+
     // ---- SIM14: MMR diversity re-rank over the q_sim1 run ---------------
     // Greedy maximal marginal relevance in exact integer micros:
     // mmr = 7·rel_m − 3·maxsim_m, ties to the lowest doc id; the oracle

@@ -165,6 +165,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("integral"), s"got: ${ex.getMessage}")
   }
 
+  test("rankEval: hand-scored nDCG/MRR/recall, unjudged queries drop, " +
+      "no-relevant queries go null, bad grades refuse loudly") {
+    import spark.implicits._
+    // query 1: run ranks docs (11 rel 2) at rnk 2, (12 rel 0) at 1,
+    // (13 rel 1) at 3; judged relevant set = {11, 13, 14} (14 missed)
+    val run = Seq(
+      (1L, 12L, 1), (1L, 11L, 2), (1L, 13L, 3),
+      (9L, 50L, 1), // unjudged query: must drop
+      (2L, 21L, 1)  // judged query with rel-0 docs only
+    ).toDF("query_id", "neighbor_id", "rnk")
+    val qrels = Seq(
+      (1L, 11L, 2), (1L, 13L, 1), (1L, 14L, 2), (1L, 12L, 0),
+      (2L, 21L, 0),
+      (3L, 31L, 1) // judged + relevant but absent from the run
+    ).toDF("query_id", "doc_id", "rel")
+    val out = graft.operators.Similarity.rankEval(run, qrels, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    val d = graft.operators.Similarity.ndcgDiscountsM(3)
+    // q1: dcg = 3*d(2) + 1*d(3); idcg (rels sorted 2,2,1) = 3*d(1) +
+    // 3*d(2) + 1*d(3); mrr = 1e6 div 2; recall = 2*1e6 div 3
+    val dcg = 3 * d(1) + 1 * d(2)
+    val idcg = 3 * d(0) + 3 * d(1) + 1 * d(2)
+    val ndcg = (2 * dcg * 1000000L + idcg) / (2 * idcg)
+    assert(out(1L) === ((3L, 500000L, 666666L, ndcg)))
+    // q2: judged, zero relevant -> mrr 0, recall/ndcg null
+    assert(out(2L) === ((0L, 0L, -1L, -1L)))
+    // q3: relevant but unretrieved -> zero scores, n_rel intact
+    assert(out(3L) === ((1L, 0L, 0L, 0L)))
+    assert(!out.contains(9L), "unjudged run queries must drop")
+    // grade out of range refuses loudly in-plan
+    val bad = Seq((1L, 11L, 99)).toDF("query_id", "doc_id", "rel")
+    val ex = intercept[Exception](
+      graft.operators.Similarity.rankEval(run, bad, 3).collect())
+    assert(ex.getMessage.contains("outside [0, 30]"))
+  }
+
   test("semantic decontamination: an empty eval side keeps every train " +
       "vector (null max_eval_cos) instead of dropping the corpus") {
     import spark.implicits._
