@@ -633,4 +633,100 @@ object Profile {
       .withColumn("released",
         greatest(round(col("n") + col("noise")).cast("long"), lit(0L)))
   }
+
+  /** Population Stability Index (the model-monitoring drift standard —
+    * banking scorecards, feature monitors): bin a numeric column by the
+    * BASELINE's equi-depth cuts ([[graft.operators.Features
+    * .equiDepthBins]]'s exact-percentile rule — cuts come from the
+    * snapshot you compare AGAINST, never from the drifting batch), then
+    * per bin `psi_c = (p − q)·ln(p/q)` with base share p and current
+    * share q, zero shares floored at 1e-6 (the standard PSI convention —
+    * an empty bin is evidence, not a division error). Each contribution
+    * rounds to 6 dp (the pplCore ln discipline; DOUBLE at the output
+    * boundary, the house convention), so the total is
+    * an exact sum of replayable terms; rule of thumb: Σ < 0.1 stable,
+    * 0.1–0.25 moderate, > 0.25 action. Null values are excluded on both
+    * sides (count them upstream). Returns one row per bin 0..nBins−1
+    * (a bins SPINE — bins empty on both sides still surface):
+    * `(bin, base_n, cur_n, psi_c)`. Scale: one percentile pass over the
+    * baseline, two map-only binning passes + two bins-sized aggregates,
+    * a broadcast 1-row cut relation. */
+  def psiDrift(base: DataFrame, cur: DataFrame, valueCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"need 2 <= nBins <= 1000, got $nBins")
+    val sp = base.sparkSession
+    import sp.implicits._
+    val cuts = base.select(
+      (1 until nBins).map(i =>
+        round(expr(s"percentile(`$valueCol`, ${i.toDouble / nBins})"), 6)
+          .as(s"__b$i")): _*)
+    def binned(df: DataFrame, side: String): DataFrame = {
+      val bin = (1 until nBins)
+        .map(i => when(col(valueCol) > col(s"__b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      df.filter(col(valueCol).isNotNull)
+        .crossJoin(broadcast(cuts))
+        .select(bin.as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(s"${side}_n"))
+    }
+    val spine = (0 until nBins).toDF("bin")
+    val joined = spine
+      .join(binned(base, "base"), Seq("bin"), "left")
+      .join(binned(cur, "cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    // totals are bins-sized aggregates inlined via a 1-row broadcast
+    val tot = joined.agg(sum(col("base_n")).as("__bt"),
+      sum(col("cur_n")).as("__ct"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("bin"), col("base_n"), col("cur_n"),
+        round((greatest(col("base_n") / col("__bt"), lit(1e-6)) -
+          greatest(col("cur_n") / col("__ct"), lit(1e-6))) *
+          log(greatest(col("base_n") / col("__bt"), lit(1e-6)) /
+            greatest(col("cur_n") / col("__ct"), lit(1e-6))), 6)
+          .as("psi_c"))
+  }
+
+  /** Cohen's kappa (1960) — inter-annotator agreement for labeling
+    * pipelines (RLHF preference raters, quality-label vendors, LLM-judge
+    * vs human audits): observed agreement corrected by the agreement two
+    * independent raters with these marginals would reach by chance.
+    * EXACT integer arithmetic end to end: with N rows, A = agreeing
+    * rows, and E = Σ_label n1·n2 (marginal products),
+    * `kappa = (N·A − E) / (N² − E)` — a ratio of exact longs emitted as
+    * half-up ppm ((2a+n) div (2n)), so the oracle replays it bit-for-
+    * bit. Rows where either label is null are excluded (unjudged);
+    * N² − E = 0 (both raters constant and identical — chance agreement
+    * is total) has no defined kappa → null, with the counts intact.
+    * Returns ONE row `(n, agree_n, po_ppm, pe_ppm, kappa_ppm)`. Scale:
+    * two hash aggregates over the labeled relation (labels-sized
+    * intermediates), one 1-row join. */
+  def cohenKappa(df: DataFrame, r1Col: String, r2Col: String): DataFrame = {
+    val lab = df
+      .filter(col(r1Col).isNotNull && col(r2Col).isNotNull)
+      .select(col(r1Col).cast("string").as("__r1"),
+        col(r2Col).cast("string").as("__r2"))
+    val counts = lab.agg(count(lit(1)).as("n"),
+      sum(when(col("__r1") === col("__r2"), 1L).otherwise(0L)).as("agree_n"))
+    val marg = lab.select(col("__r1").as("__l")).groupBy(col("__l"))
+      .agg(count(lit(1)).as("__n1"))
+      .join(lab.select(col("__r2").as("__l")).groupBy(col("__l"))
+        .agg(count(lit(1)).as("__n2")), Seq("__l"))
+      .agg(coalesce(sum(col("__n1") * col("__n2")), lit(0L)).as("__e"))
+    // all ratio arithmetic in DECIMAL(38,0): n² and E·1e6 wrap a Long
+    // once the labeled relation passes ~3e9 rows (the epochPlan lesson)
+    counts.crossJoin(marg)
+      .select(col("n"), col("agree_n"),
+        expr("(2 * CAST(agree_n AS DECIMAL(38,0)) * 1000000 + n) div (2 * n)")
+          .as("po_ppm"),
+        expr("(2 * CAST(__e AS DECIMAL(38,0)) * 1000000 " +
+          "+ CAST(n AS DECIMAL(38,0)) * n) " +
+          "div (2 * CAST(n AS DECIMAL(38,0)) * n)").as("pe_ppm"),
+        when(expr("CAST(n AS DECIMAL(38,0)) * n - __e") =!= 0,
+          expr("(2 * (CAST(n AS DECIMAL(38,0)) * agree_n - __e) * 1000000 " +
+            "+ (CAST(n AS DECIMAL(38,0)) * n - __e)) " +
+            "div (2 * (CAST(n AS DECIMAL(38,0)) * n - __e))"))
+          .as("kappa_ppm"))
+  }
 }

@@ -1360,6 +1360,103 @@ object RelationalQueries extends graft.QueryPack {
              |  observed_ppm - expected_ppm AS deviation_ppm
              |FROM s2""".stripMargin)),
 
+    // ---- V20: PSI drift between order-date snapshots ---------------------
+    // The model-monitoring drift standard: o_totalprice binned by the
+    // BASELINE snapshot's (orders before 1996) exact-percentile deciles,
+    // per-bin (p - q)·ln(p/q) with the 1e-6 zero-share floor, each
+    // contribution rounded to 6 dp (the pplCore ln discipline). The
+    // later-years side is drifted if TPC-H price distributions move
+    // across years at all — either way the oracle replays every cell.
+    Q("q_v20_psi_drift",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        graft.operators.Profile.psiDrift(
+          o.filter(year(col("o_orderdate")) < 1996),
+          o.filter(year(col("o_orderdate")) >= 1996),
+          "o_totalprice", nBins = 10)
+      },
+      Some("""WITH b AS (SELECT o_totalprice AS v FROM orders
+             |  WHERE year(o_orderdate) < 1996 AND o_totalprice IS NOT NULL),
+             |cu AS (SELECT o_totalprice AS v FROM orders
+             |  WHERE year(o_orderdate) >= 1996 AND o_totalprice IS NOT NULL),
+             |c AS (SELECT
+             |    ROUND(quantile_cont(v, 0.1), 6) AS b1,
+             |    ROUND(quantile_cont(v, 0.2), 6) AS b2,
+             |    ROUND(quantile_cont(v, 0.3), 6) AS b3,
+             |    ROUND(quantile_cont(v, 0.4), 6) AS b4,
+             |    ROUND(quantile_cont(v, 0.5), 6) AS b5,
+             |    ROUND(quantile_cont(v, 0.6), 6) AS b6,
+             |    ROUND(quantile_cont(v, 0.7), 6) AS b7,
+             |    ROUND(quantile_cont(v, 0.8), 6) AS b8,
+             |    ROUND(quantile_cont(v, 0.9), 6) AS b9
+             |  FROM b),
+             |bb AS (SELECT CAST((v > b1)::int + (v > b2)::int + (v > b3)::int
+             |    + (v > b4)::int + (v > b5)::int + (v > b6)::int
+             |    + (v > b7)::int + (v > b8)::int + (v > b9)::int AS INT)
+             |    AS bin FROM b, c),
+             |cb AS (SELECT CAST((v > b1)::int + (v > b2)::int + (v > b3)::int
+             |    + (v > b4)::int + (v > b5)::int + (v > b6)::int
+             |    + (v > b7)::int + (v > b8)::int + (v > b9)::int AS INT)
+             |    AS bin FROM cu, c),
+             |bn AS (SELECT bin, COUNT(*) AS base_n FROM bb GROUP BY 1),
+             |cn AS (SELECT bin, COUNT(*) AS cur_n FROM cb GROUP BY 1),
+             |sp AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+             |j AS (SELECT sp.bin,
+             |    CAST(COALESCE(bn.base_n, 0) AS BIGINT) AS base_n,
+             |    CAST(COALESCE(cn.cur_n, 0) AS BIGINT) AS cur_n
+             |  FROM sp LEFT JOIN bn ON bn.bin = sp.bin
+             |  LEFT JOIN cn ON cn.bin = sp.bin),
+             |t AS (SELECT SUM(base_n) AS bt, SUM(cur_n) AS ct FROM j)
+             |SELECT bin, base_n, cur_n,
+             |  ROUND((GREATEST(base_n / (1.0 * bt), 0.000001)
+             |      - GREATEST(cur_n / (1.0 * ct), 0.000001))
+             |    * ln(GREATEST(base_n / (1.0 * bt), 0.000001)
+             |      / GREATEST(cur_n / (1.0 * ct), 0.000001)), 6) AS psi_c
+             |FROM j, t""".stripMargin)),
+
+    // ---- V21: Cohen's kappa between two deterministic raters -------------
+    // Inter-annotator agreement over document length labels: rater 1
+    // cuts at 20/60 tokens, rater 2 at 25/55 — partial agreement with
+    // realistic marginals. Exact longs end to end: kappa =
+    // (N·A − E)/(N² − E) as half-up ppm in DECIMAL(38,0), the oracle
+    // replays every count and the ratio.
+    Q("q_v21_cohen_kappa",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val nTok = size(graft.operators.TextAnalysis.tokens(col("text")))
+        graft.operators.Profile.cohenKappa(
+          docs.select(
+            when(col("text").isNotNull,
+              when(nTok < 20, "short").when(nTok < 60, "mid")
+                .otherwise("long")).as("r1"),
+            when(col("text").isNotNull,
+              when(nTok < 25, "short").when(nTok < 55, "mid")
+                .otherwise("long")).as("r2")),
+          "r1", "r2")
+      },
+      Some("""WITH lab AS (SELECT
+             |    CASE WHEN nt < 20 THEN 'short' WHEN nt < 60 THEN 'mid'
+             |      ELSE 'long' END AS r1,
+             |    CASE WHEN nt < 25 THEN 'short' WHEN nt < 55 THEN 'mid'
+             |      ELSE 'long' END AS r2
+             |  FROM (SELECT len(list_filter(
+             |      regexp_split_to_array(text, '\s+'), x -> x <> '')) AS nt
+             |    FROM documents WHERE text IS NOT NULL)),
+             |c AS (SELECT COUNT(*) AS n,
+             |    COUNT(CASE WHEN r1 = r2 THEN 1 END) AS agree_n FROM lab),
+             |m AS (SELECT COALESCE(SUM(n1 * n2), 0) AS e FROM
+             |  (SELECT r1 AS l, COUNT(*) AS n1 FROM lab GROUP BY 1) a
+             |  JOIN (SELECT r2 AS l, COUNT(*) AS n2 FROM lab GROUP BY 1) b
+             |  USING (l))
+             |SELECT CAST(n AS BIGINT) AS n, CAST(agree_n AS BIGINT) AS agree_n,
+             |  CAST((2 * agree_n * 1000000 + n) // (2 * n) AS BIGINT) AS po_ppm,
+             |  CAST((2 * e * 1000000 + n * n) // (2 * n * n) AS BIGINT)
+             |    AS pe_ppm,
+             |  CAST(CASE WHEN n * n - e <> 0 THEN
+             |    (2 * (n * agree_n - e) * 1000000 + (n * n - e))
+             |      // (2 * (n * n - e)) END AS BIGINT) AS kappa_ppm
+             |FROM c, m""".stripMargin)),
+
     // ---- V18: differentially-private histogram release ------------------
     // The Laplace mechanism over the q_v4 grid (epsilon = 1, sensitivity
     // 1 for disjoint counts): deterministic-seeded noise via the inverse

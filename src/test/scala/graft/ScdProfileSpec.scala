@@ -594,4 +594,61 @@ class ScdProfileSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(a("g0")._2 === expect)
   }
+
+  test("psi drift: identical snapshots score zero, a shifted batch " +
+      "scores positive, empty bins take the 1e-6 floor") {
+    import spark.implicits._
+    val base = (1 to 1000).map(_.toDouble).toDF("v")
+    // identical distribution -> every contribution exactly 0
+    val same = Profile.psiDrift(base, base, "v", 4)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(same.size === 4 && same.values.forall(_ === 0.0))
+    // shifted distribution -> strictly positive total, every bin surfaces
+    val shifted = (501 to 1500).map(_.toDouble).toDF("v")
+    val dr = Profile.psiDrift(base, shifted, "v", 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(dr.length === 4)
+    assert(dr.map(_._4).sum > 0.25, "a half-range shift is 'action' drift")
+    // the upper bins drained on the base side? no — CURRENT drains the
+    // LOW bins: bin 0 (v <= 250) holds zero current rows -> the q share
+    // takes the 1e-6 floor and the contribution is large positive
+    val bin0 = dr.find(_._1 == 0).get
+    assert(bin0._2 > 0 && bin0._3 === 0L && bin0._4 > 0)
+    // nulls are excluded, not binned
+    val withNulls = base.union(Seq.fill(5)(
+      null.asInstanceOf[java.lang.Double]).map(Option(_).map(_.toDouble))
+      .toDF("v"))
+    assert(Profile.psiDrift(withNulls, base, "v", 4)
+      .agg(org.apache.spark.sql.functions.sum("base_n")).first().getLong(0)
+      === 1000L)
+  }
+
+  test("cohen kappa: hand-scored agreement, chance-only raters score ~0, " +
+      "constant identical raters are undefined, nulls drop") {
+    import spark.implicits._
+    // classic 2x2 example: 20 a/a, 5 a/b, 10 b/a, 15 b/b
+    val rows = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(15)(("b", "b"))
+    val out = Profile.cohenKappa(rows.toDF("r1", "r2"), "r1", "r2")
+      .collect().head
+    // n=50, A=35; E = 25*30 + 25*20 = 1250; kappa = (50*35-1250) /
+    // (2500-1250) = 500/1250 = 0.4
+    assert(out.getLong(0) === 50L && out.getLong(1) === 35L)
+    assert(out.getLong(2) === 700000L, "po = 35/50")
+    assert(out.getLong(3) === 500000L, "pe = 1250/2500")
+    assert(out.getLong(4) === 400000L, "kappa = 0.4 exactly")
+    // both raters constant and identical: chance agreement is total ->
+    // kappa undefined (null), counts intact
+    val const = Profile.cohenKappa(
+      Seq.fill(10)(("x", "x")).toDF("r1", "r2"), "r1", "r2")
+      .collect().head
+    assert(const.getLong(0) === 10L && const.isNullAt(4))
+    // null labels are unjudged rows — excluded
+    val withNull = Profile.cohenKappa(
+      (rows.map { case (a, b) => (Option(a), Option(b)) } :+
+        ((Option.empty[String], Option("a")))).toDF("r1", "r2"), "r1", "r2")
+      .collect().head
+    assert(withNull.getLong(0) === 50L)
+  }
 }
