@@ -266,6 +266,99 @@ object EventQueries extends graft.QueryPack {
     // spend; each scored 1..5 by equi-depth percentile cuts (broadcast +
     // map-only compare — no corpus-wide ntile window), composed into the
     // r*100+f*10+m segment code.
+    // ---- E28/E29: pairwise-preference aggregation (RLHF data ops) -------
+    // A preference corpus synthesized engine-independently from events:
+    // 8 candidates, base direction the ROTATIONAL tournament (a beats b
+    // iff (b-a) mod 8 in 1..3 — maximally cyclic, so the audit has real
+    // cycles to find), 20% of judgments flipped by rater (user_id % 5 =
+    // 0) as noise. Copeland in exact halves; the cycle audit counts
+    // majority-tournament 3-cycles over the candidates^2-bounded edge
+    // relation.
+    Q("q_e28_copeland",
+      (s, d) => {
+        val prefs = Tables.events(s, d)
+          .filter(col("user_id").isNotNull)
+          .select((col("event_id") % 8).as("m1"),
+            expr("(event_id div 8) % 8").as("m2"), col("user_id"))
+          .filter(col("m1") =!= col("m2"))
+          .select(
+            when(expr("((m2 - m1) + 8) % 8 between 1 and 3") =!=
+              (col("user_id") % 5 === 0), col("m1")).otherwise(col("m2"))
+              .as("winner"),
+            when(expr("((m2 - m1) + 8) % 8 between 1 and 3") =!=
+              (col("user_id") % 5 === 0), col("m2")).otherwise(col("m1"))
+              .as("loser"))
+        graft.operators.Preferences.copelandScores(prefs, "winner", "loser")
+      },
+      Some("""WITH pr AS (
+             |  SELECT CASE WHEN win1 THEN m1 ELSE m2 END AS winner,
+             |    CASE WHEN win1 THEN m2 ELSE m1 END AS loser
+             |  FROM (SELECT m1, m2,
+             |      (((m2 - m1) + 8) % 8 BETWEEN 1 AND 3)
+             |        <> (user_id % 5 = 0) AS win1
+             |    FROM (SELECT event_id % 8 AS m1, (event_id // 8) % 8 AS m2,
+             |        user_id FROM events WHERE user_id IS NOT NULL)
+             |    WHERE m1 <> m2)),
+             |p AS (SELECT LEAST(winner, loser) AS a,
+             |    GREATEST(winner, loser) AS b,
+             |    CASE WHEN winner <= loser THEN 1 ELSE 0 END AS aw FROM pr),
+             |pc AS (SELECT a, b, SUM(aw) AS wab, COUNT(*) - SUM(aw) AS wba
+             |  FROM p GROUP BY 1, 2),
+             |side AS (
+             |  SELECT a AS candidate, (wab > wba)::int AS w,
+             |    (wab = wba)::int AS t FROM pc
+             |  UNION ALL
+             |  SELECT b, (wba > wab)::int, (wab = wba)::int FROM pc)
+             |SELECT candidate, CAST(SUM(w) AS BIGINT) AS n_wins,
+             |  CAST(SUM(t) AS BIGINT) AS n_ties,
+             |  CAST(COUNT(*) - SUM(w) - SUM(t) AS BIGINT) AS n_losses,
+             |  CAST(COUNT(*) AS BIGINT) AS n_opponents,
+             |  CAST(SUM(w) * 2 + SUM(t) AS BIGINT) AS copeland_x2
+             |FROM side GROUP BY 1""".stripMargin)),
+
+    Q("q_e29_pref_cycles",
+      (s, d) => {
+        val prefs = Tables.events(s, d)
+          .filter(col("user_id").isNotNull)
+          .select((col("event_id") % 8).as("m1"),
+            expr("(event_id div 8) % 8").as("m2"), col("user_id"))
+          .filter(col("m1") =!= col("m2"))
+          .select(
+            when(expr("((m2 - m1) + 8) % 8 between 1 and 3") =!=
+              (col("user_id") % 5 === 0), col("m1")).otherwise(col("m2"))
+              .as("winner"),
+            when(expr("((m2 - m1) + 8) % 8 between 1 and 3") =!=
+              (col("user_id") % 5 === 0), col("m2")).otherwise(col("m1"))
+              .as("loser"))
+        graft.operators.Preferences.cycleAudit(prefs, "winner", "loser")
+      },
+      Some("""WITH pr AS (
+             |  SELECT CASE WHEN win1 THEN m1 ELSE m2 END AS winner,
+             |    CASE WHEN win1 THEN m2 ELSE m1 END AS loser
+             |  FROM (SELECT m1, m2,
+             |      (((m2 - m1) + 8) % 8 BETWEEN 1 AND 3)
+             |        <> (user_id % 5 = 0) AS win1
+             |    FROM (SELECT event_id % 8 AS m1, (event_id // 8) % 8 AS m2,
+             |        user_id FROM events WHERE user_id IS NOT NULL)
+             |    WHERE m1 <> m2)),
+             |p AS (SELECT LEAST(winner, loser) AS a,
+             |    GREATEST(winner, loser) AS b,
+             |    CASE WHEN winner <= loser THEN 1 ELSE 0 END AS aw FROM pr),
+             |pc AS (SELECT a, b, SUM(aw) AS wab, COUNT(*) - SUM(aw) AS wba
+             |  FROM p GROUP BY 1, 2),
+             |edges AS (SELECT CASE WHEN wab > wba THEN a ELSE b END AS src,
+             |    CASE WHEN wab > wba THEN b ELSE a END AS dst
+             |  FROM pc WHERE wab <> wba)
+             |SELECT
+             |  (SELECT COUNT(DISTINCT c) FROM
+             |    (SELECT a AS c FROM pc UNION ALL SELECT b FROM pc))
+             |    AS n_candidates,
+             |  (SELECT COUNT(*) FROM edges) AS n_edges,
+             |  CAST((SELECT COUNT(*) FROM edges e1
+             |    JOIN edges e2 ON e1.dst = e2.src
+             |    JOIN edges e3 ON e2.dst = e3.src AND e3.dst = e1.src)
+             |    // 3 AS BIGINT) AS n_cycles""".stripMargin)),
+
     Q("q_e27_rfm",
       (s, d) => graft.operators.Behavior.rfmSegments(
         Tables.events(s, d), "user_id", "event_type", "ts", "value",
