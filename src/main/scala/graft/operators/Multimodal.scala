@@ -571,6 +571,41 @@ object Multimodal {
       .select(col("media_id"), col("match_id"), col("hamming"))
   }
 
+  /** Benchmark decontamination on the perceptual-hash axis — the
+    * multimodal member of the decontamination family (n-gram:
+    * `Dedup.contaminationReport`; embedding: `Similarity
+    * .semanticDecontaminate`; bloom: q_d11): a corpus medium is
+    * contaminated when its hash sits within `maxHam` of ANY benchmark
+    * medium's hash — eval images/audio/video leaking into training data
+    * survive re-encodes that exact byte matching misses, which is
+    * precisely what the perceptual hash family absorbs. Runs entirely on
+    * the DISTINCT-signature collapse ([[matchByHashDistinct]]'s
+    * argument): distinct corpus hashes × one representative per
+    * benchmark hash through the pigeonhole-exact banded join, verdicts
+    * mapped back over the corpus with one hash-keyed join. Emits a
+    * verdict PER CORPUS MEDIUM (the semanticDecontaminate contract —
+    * observability over silent drops; an empty benchmark keeps
+    * everything): `(media_id, min_bench_hamming, kept)` with
+    * `min_bench_hamming` null when no benchmark hash is inside the
+    * banded reach and `kept = (min_bench_hamming IS NULL)`. */
+  def hashDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      numBands: Int, bandBits: Int, maxHam: Int,
+      maxBandBucket: Int = 100000): DataFrame = {
+    val c = Iterate.checkpoint(corpus) // consumed by distinct + map-back
+    val cd = c.select(col("ahash")).distinct()
+    val brep = benchmark.groupBy(col("ahash"))
+      .agg(min(col("media_id")).as("__bid"))
+    val hm = matchByHash(
+      cd.select(col("ahash").as("media_id"), col("ahash")),
+      brep.select(col("__bid").as("media_id"), col("ahash")),
+      numBands, bandBits, maxHam, maxBandBucket)
+    c.join(hm.select(col("media_id").as("__h"),
+        col("hamming").as("min_bench_hamming")),
+      c("ahash") === col("__h"), "left")
+      .select(col("media_id"), col("min_bench_hamming"),
+        col("min_bench_hamming").isNull.as("kept"))
+  }
+
   /** Hash dedup clusters with the DISTINCT-signature collapse — the
     * scale form of `connectedComponents(hashNearDupPairs(...))` for
     * dup-HEAVY corpora (the exact case dedup exists for): a corpus of

@@ -498,6 +498,43 @@ object MultimodalQueries extends graft.QueryPack {
               |SELECT node, MIN(label) AS component FROM cc GROUP BY node"""
         .stripMargin)),
 
+    // ---- M15: multimodal benchmark decontamination ----------------------
+    // The decontamination family's perceptual member: every corpus image
+    // verdicts against a benchmark = the PixelShift'd variants of the
+    // doc_id % 10 slice (a re-encoded eval set leaking into training —
+    // exact byte matching would miss every one). Verdict per corpus
+    // medium, kept = no benchmark hash within hamming 3; the oracle
+    // brute-forces corpus x benchmark.
+    Q("q_m15_media_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val corpus = Multimodal.imageAHash(s,
+          Multimodal.synthesizeImages(s, docs, 16, 8, idCol = "doc_id"),
+          8, 4)
+        val bench = Multimodal.imageAHash(s,
+          Multimodal.transformMedia(s,
+            Multimodal.synthesizeImages(s,
+              docs.filter(col("doc_id") % 10 === 0), 16, 8,
+              idCol = "doc_id"),
+            Multimodal.PixelShift(1, 128)),
+          8, 4)
+        Multimodal.hashDecontaminate(corpus, bench,
+          numBands = 4, bandBits = 8, maxHam = 3)
+      },
+      Some(s"""WITH ${duckAHashRel("ho", pertR = false)},
+              |${duckAHashRel("hvall", pertR = true)},
+              |hv AS (SELECT * FROM hvall WHERE media_id % 10 = 0),
+              |best AS (
+              |  SELECT o.media_id,
+              |    MIN(bit_count(xor(o.ahash, v.ahash))) AS mh
+              |  FROM ho o JOIN hv v
+              |    ON bit_count(xor(o.ahash, v.ahash)) <= 3
+              |  GROUP BY 1)
+              |SELECT ho.media_id,
+              |  CAST(best.mh AS INTEGER) AS min_bench_hamming,
+              |  best.mh IS NULL AS kept
+              |FROM ho LEFT JOIN best USING (media_id)""".stripMargin)),
+
     // ---- M4: media -> REAL pixel features -> ANN bridge -----------------
     // Brute-force cosine top-k over the decoded feature vectors — media
     // similarity search end-to-end on the multimodal plumbing, every

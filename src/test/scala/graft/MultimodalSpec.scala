@@ -357,6 +357,40 @@ class MultimodalSpec extends AnyFunSuite {
       "a one-sample video must leave the tail bits zero")
   }
 
+  test("hashDecontaminate: re-encoded benchmark leaks drop, clean media " +
+      "keep, an empty benchmark keeps everything") {
+    import spark.implicits._
+    val ids = spark.range(1, 101).select(col("id").as("media_id"))
+    val corpus = Multimodal.imageAHash(spark,
+      Multimodal.synthesizeImages(spark, ids, 16, 8), 8, 4)
+    // benchmark = perturbed variants of media 1..10 (a re-encoded eval
+    // set — byte-identical matching would find none of them)
+    val bench = Multimodal.imageAHash(spark,
+      Multimodal.transformMedia(spark,
+        Multimodal.synthesizeImages(spark,
+          ids.filter(col("media_id") <= 10), 16, 8),
+        Multimodal.PixelShift(1, 128)), 8, 4)
+    val out = Multimodal.hashDecontaminate(corpus, bench, 4, 8, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1 else r.getInt(1)), r.getBoolean(2))).toMap
+    assert(out.size === 100, "a verdict per corpus medium")
+    // brute-force reference
+    val ch = corpus.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bh = bench.collect().map(_.getLong(1))
+    val expectDropped = ch.filter { case (_, h) =>
+      bh.exists(b => java.lang.Long.bitCount(h ^ b) <= 3) }.keySet
+    assert(out.filterNot(_._2._2).keySet === expectDropped,
+      "dropped set must equal the brute-force contaminated set")
+    assert(expectDropped.nonEmpty && expectDropped.size < 100,
+      "the fixture must actually separate")
+    // empty benchmark: everything keeps, scores null
+    val none = Multimodal.hashDecontaminate(corpus, bench.limit(0), 4, 8, 3)
+      .collect()
+    assert(none.length === 100 && none.forall(r =>
+      r.isNullAt(1) && r.getBoolean(2)),
+      "an empty benchmark must keep every medium with a null score")
+  }
+
   test("Discovery.latestFiles: extension filter, mtime desc, cap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-disc")
     for (i <- 1 to 7) {
