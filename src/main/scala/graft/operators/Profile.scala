@@ -688,6 +688,45 @@ object Profile {
           .as("psi_c"))
   }
 
+  /** Per-group gate-parity audit (the four-fifths / disparate-impact
+    * rule applied to curation gates): a quality/dedup/toxicity gate that
+    * accepts 80% of one language or source and 20% of another is
+    * reshaping the corpus in ways the gate's author should have to SEE.
+    * Per group: exact accept-rate ppm, plus its ratio to the BEST
+    * group's rate (`parity_ppm` — 1e6 = parity, below `minParityPpm`
+    * flags), with the global rate alongside. All integer arithmetic in
+    * DECIMAL(38,0) ratios (rates per group can involve billion-row
+    * counts), half-up ppm, so the audit replays exactly. Null group
+    * values form their own group (an unknown segment is a segment);
+    * null accept verdicts are refused upstream by contract — cast
+    * failures surface as nulls and a silent "null = reject" would hide
+    * them, so they count as REJECTS here but `n_null_verdict` reports
+    * them loudly. Returns one row per group:
+    * `(<groupCol>, n, n_accept, n_null_verdict, accept_ppm, parity_ppm,
+    * flagged)`. One hash aggregation + a 1-row broadcast of the best
+    * rate. */
+  def gateParity(df: DataFrame, groupCol: String, acceptCol: String,
+      minParityPpm: Long = 800000L): DataFrame = {
+    require(minParityPpm >= 1 && minParityPpm <= 1000000L,
+      s"minParityPpm must be in [1, 1e6], got $minParityPpm")
+    val per = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(acceptCol) === true, 1L).otherwise(0L)).as("n_accept"),
+        sum(when(col(acceptCol).isNull, 1L).otherwise(0L))
+          .as("n_null_verdict"))
+      .withColumn("accept_ppm", expr(
+        "(2 * CAST(n_accept AS DECIMAL(38,0)) * 1000000 + n) div (2 * n)"))
+    val best = per.agg(max(col("accept_ppm")).as("__best"))
+    per.crossJoin(broadcast(best))
+      .withColumn("parity_ppm",
+        when(col("__best") > 0, expr(
+          "(2 * CAST(accept_ppm AS DECIMAL(38,0)) * 1000000 + __best) " +
+            "div (2 * __best)")))
+      .withColumn("flagged",
+        coalesce(col("parity_ppm") < minParityPpm, lit(false)))
+      .drop("__best")
+  }
+
   /** Cohen's kappa (1960) — inter-annotator agreement for labeling
     * pipelines (RLHF preference raters, quality-label vendors, LLM-judge
     * vs human audits): observed agreement corrected by the agreement two

@@ -1457,6 +1457,43 @@ object RelationalQueries extends graft.QueryPack {
              |      // (2 * (n * n - e)) END AS BIGINT) AS kappa_ppm
              |FROM c, m""".stripMargin)),
 
+    // ---- V22: gate-parity audit (disparate impact of a curation gate) ---
+    // The four-fifths rule over a length gate per source: accept-rate
+    // ppm per group, ratio to the best group, flag under 80%. Null
+    // verdicts (null text -> null gate) count as rejects but surface in
+    // n_null_verdict; exact DECIMAL ratios replay in the oracle.
+    Q("q_v22_gate_parity",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val nTok = size(graft.operators.TextAnalysis.tokens(col("text")))
+        graft.operators.Profile.gateParity(
+          docs.select(col("source"),
+            when(col("text").isNotNull, nTok >= 40).as("accept")),
+          "source", "accept")
+      },
+      Some("""WITH g AS (SELECT source,
+             |    CASE WHEN text IS NULL THEN NULL ELSE
+             |      len(list_filter(regexp_split_to_array(text, '\s+'),
+             |        x -> x <> '')) >= 40 END AS accept
+             |  FROM documents),
+             |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(COUNT(CASE WHEN accept THEN 1 END) AS BIGINT)
+             |      AS n_accept,
+             |    CAST(COUNT(CASE WHEN accept IS NULL THEN 1 END) AS BIGINT)
+             |      AS n_null_verdict
+             |  FROM g GROUP BY 1),
+             |r AS (SELECT *, CAST((2 * n_accept * 1000000 + n) // (2 * n)
+             |    AS BIGINT) AS accept_ppm FROM per),
+             |b AS (SELECT MAX(accept_ppm) AS best FROM r)
+             |SELECT source, n, n_accept, n_null_verdict, accept_ppm,
+             |  CAST(CASE WHEN best > 0 THEN
+             |    (2 * accept_ppm * 1000000 + best) // (2 * best) END
+             |    AS BIGINT) AS parity_ppm,
+             |  COALESCE(CASE WHEN best > 0 THEN
+             |    (2 * accept_ppm * 1000000 + best) // (2 * best) < 800000
+             |    END, false) AS flagged
+             |FROM r, b""".stripMargin)),
+
     // ---- V18: differentially-private histogram release ------------------
     // The Laplace mechanism over the q_v4 grid (epsilon = 1, sensitivity
     // 1 for disjoint counts): deterministic-seeded noise via the inverse

@@ -624,6 +624,29 @@ class ScdProfileSpec extends AnyFunSuite {
       === 1000L)
   }
 
+  test("gate parity: the four-fifths rule flags a skewed gate, null " +
+      "verdicts count as rejects but surface, null groups segment") {
+    import spark.implicits._
+    val rows =
+      Seq.fill(8)(("en", Option(true))) ++ Seq.fill(2)(("en", Option(false))) ++
+      Seq.fill(3)(("de", Option(true))) ++ Seq.fill(7)(("de", Option(false))) ++
+      Seq.fill(4)(("fr", Option(true))) ++
+        Seq.fill(1)(("fr", Option.empty[Boolean])) ++
+      Seq((null.asInstanceOf[String], Option(true)))
+    val out = Profile.gateParity(rows.toDF("lang", "accept"),
+        "lang", "accept")
+      .collect().map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6)))).toMap
+    // en: 8/10 = 800000 ppm; null-group: 1/1 = 1e6 = best
+    assert(out("en") === ((10L, 8L, 0L, 800000L, 800000L, false)))
+    // de: 3/10 = 300000 -> parity 300000 < 800000 -> flagged
+    assert(out("de")._6 === true && out("de")._5 === 300000L)
+    // fr: null verdict counts as reject AND surfaces: 4/5 accepted
+    assert(out("fr") === ((5L, 4L, 1L, 800000L, 800000L, false)))
+    assert(out("<null>")._4 === 1000000L, "null group is its own segment")
+  }
+
   test("cohen kappa: hand-scored agreement, chance-only raters score ~0, " +
       "constant identical raters are undefined, nulls drop") {
     import spark.implicits._
