@@ -184,6 +184,48 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Video dedup scaling — `runMain graft.tools.ScaleProbe video`: the
+    // audio probe's protocol on the video axis (GVID parse + 2 sampled-
+    // frame PNG decodes per medium; match/clusters via the distinct
+    // collapse in the same dup-heavy regime).
+    if (args.headOption.contains("video")) {
+      import org.apache.spark.sql.functions._
+      import graft.operators.Multimodal
+      Seq(5000, 20000, 80000).foreach { n =>
+        val ids = spark.range(1, n + 1).select(col("id").as("media_id"))
+        lazy val origs = Multimodal.synthesizeVideos(spark, ids, 16, 8,
+          nFrames = 6)
+        lazy val varts = Multimodal.transformMedia(spark, origs,
+          Multimodal.FramePixelShift(0, 1, 128))
+        def runFp(): Double = time {
+          Multimodal.videoFingerprint(spark, origs, 4, 4, 4, 2)
+            .write.format("noop").mode("overwrite").save()
+        }
+        runFp()
+        val tF = Seq(runFp(), runFp()).min
+        val fo = Multimodal.videoFingerprint(spark, origs, 4, 4, 4, 2)
+          .localCheckpoint()
+        val fv = Multimodal.videoFingerprint(spark, varts, 4, 4, 4, 2)
+          .localCheckpoint()
+        def runMatch(): Double = time {
+          Multimodal.matchByHashDistinct(fo, fv, 4, 8, 3)
+            .write.format("noop").mode("overwrite").save()
+        }
+        runMatch()
+        val tM = Seq(runMatch(), runMatch()).min
+        val fps = fo.unionAll(fv.select(
+          (col("media_id") + 100000000L).as("media_id"), col("ahash")))
+        def runCc(): Double = time {
+          Multimodal.hashDedupClusters(fps, 4, 8, 3)
+            .write.format("noop").mode("overwrite").save()
+        }
+        runCc()
+        val tC = Seq(runCc(), runCc()).min
+        println(f"[scaleprobe] video n=$n%-6d fp $tF%.2f s   match $tM%.2f s   clusters $tC%.2f s")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("etl")) {
       import graft.etl.{MigrationFixture, MigrationPipeline}
       Seq(12500, 25000, 100000).foreach { n =>
