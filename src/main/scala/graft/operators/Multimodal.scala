@@ -571,6 +571,59 @@ object Multimodal {
       .select(col("media_id"), col("match_id"), col("hamming"))
   }
 
+  /** Corpus media triage — the PERMISSIVE decode pass a crawl pipeline
+    * runs BEFORE the decode-heavy stages: every downstream operator here
+    * ([[imageAHash]], [[audioFingerprint]], [[videoFingerprint]],
+    * [[extractFeatures]]) fails fast on a broken payload BY DESIGN
+    * (silently skipping media inside a fingerprint pass would corrupt
+    * dedup clusters invisibly), so at 100 TB the job-level contract is:
+    * triage first, route the failures to a quarantine sink, run the
+    * strict operators on the verified remainder. Attempts the full
+    * container+codec decode by mime family (image via ImageIO, audio
+    * via the WAV codec, the GVID container frame-by-frame)
+    * and emits ONE verdict per medium: `(media_id, mime, ok, err)` with
+    * `err` the exception's class+message (null when ok) — a corrupt
+    * byte stream becomes a row, never a task failure. Unknown mimes are
+    * `ok = false` with a named reason (an unroutable payload is not a
+    * healthy one). Map-only. */
+  def mediaTriage(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        val verdict: Either[String, Unit] =
+          try {
+            if (rec.meta.mime.startsWith("image/")) {
+              ImageCodec.decode(rec.bytes, rec.meta.mime); Right(())
+            } else if (rec.meta.mime.startsWith("audio/")) {
+              WavCodec.decodePcm16(rec.bytes); Right(())
+            } else if (rec.meta.mime == "video/x-graft-gvid") {
+              val (_, _, frames) = GvidCodec.decode(rec.bytes)
+              frames.foreach(f => ImageCodec.decode(f, "image/png"))
+              Right(())
+            } else Left(s"unroutable mime '${rec.meta.mime}'")
+          } catch {
+            case e: Throwable =>
+              Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          }
+        (rec.media_id, rec.meta.mime, verdict.isRight,
+          verdict.left.toOption.orNull)
+      }
+    }.toDF("media_id", "mime", "ok", "err")
+  }
+
+  /** Deterministic header corruption — the triage fixture's fault
+    * injector: zero the payload's first `k` bytes (magic/signature), so
+    * every real codec rejects it deterministically. */
+  final case class CorruptHeader(k: Int) extends MediaTransform {
+    require(k >= 1, s"need k >= 1, got $k")
+    override def apply(bytes: Array[Byte], meta: MediaMeta): (Array[Byte], MediaMeta) = {
+      val out = bytes.clone()
+      var i = 0
+      while (i < math.min(k, out.length)) { out(i) = 0; i += 1 }
+      (out, meta)
+    }
+  }
+
   /** Benchmark decontamination on the perceptual-hash axis — the
     * multimodal member of the decontamination family (n-gram:
     * `Dedup.contaminationReport`; embedding: `Similarity

@@ -535,6 +535,29 @@ object MultimodalQueries extends graft.QueryPack {
               |  best.mh IS NULL AS kept
               |FROM ho LEFT JOIN best USING (media_id)""".stripMargin)),
 
+    // ---- M16: permissive media triage ------------------------------------
+    // The quarantine pass every decode-heavy stage depends on at scale:
+    // a deterministic slice (doc_id % 13) gets its PNG signature zeroed
+    // (CorruptHeader — every codec rejects it), and triage turns each
+    // broken payload into a verdict ROW instead of a task failure. The
+    // oracle needs only the corruption rule; err text is engine-owned
+    // and stays out of the compared projection.
+    Q("q_m16_media_triage",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val media = Multimodal.synthesizeImages(s, docs, 16, 8,
+          idCol = "doc_id")
+        val bad = Multimodal.transformMedia(s,
+          media.filter(col("media_id") % 13 === 0),
+          Multimodal.CorruptHeader(8))
+        Multimodal.mediaTriage(s,
+            media.filter(col("media_id") % 13 =!= 0).unionAll(bad))
+          .select(col("media_id"), col("mime"), col("ok"))
+      },
+      Some("""SELECT doc_id AS media_id, 'image/png' AS mime,
+             |  doc_id % 13 <> 0 AS ok
+             |FROM documents""".stripMargin)),
+
     // ---- M4: media -> REAL pixel features -> ANN bridge -----------------
     // Brute-force cosine top-k over the decoded feature vectors — media
     // similarity search end-to-end on the multimodal plumbing, every

@@ -391,6 +391,45 @@ class MultimodalSpec extends AnyFunSuite {
       "an empty benchmark must keep every medium with a null score")
   }
 
+  test("mediaTriage: corrupt payloads become verdict rows across all " +
+      "three codecs, intact ones pass, unknown mimes are unroutable") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L).toDF("media_id")
+    def corrupt(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.transformMedia(spark,
+        df.filter(col("media_id") === 2L), Multimodal.CorruptHeader(8))
+    val img = Multimodal.synthesizeImages(spark, ids, 16, 8)
+    val wav = Multimodal.synthesizeAudio(spark, ids, 160)
+    val vid = Multimodal.synthesizeVideos(spark, ids, 16, 8, nFrames = 3)
+    val alien = spark.range(1).select(lit(9L).as("media_id"),
+      lit(Array[Byte](1, 2, 3)).as("bytes"),
+      struct(lit("application/pdf").as("mime"), lit(0).as("width"),
+        lit(0).as("height")).as("meta"))
+    val mixed = Seq(img -> 100L, wav -> 200L, vid -> 300L).map {
+        case (m, off) =>
+          m.filter(col("media_id") === 1L)
+            .select((col("media_id") + off).as("media_id"),
+              col("bytes"), col("meta"))
+            .unionAll(corrupt(m)
+              .select((col("media_id") + off).as("media_id"),
+                col("bytes"), col("meta")))
+      }.reduce(_ unionAll _).unionAll(alien)
+    val out = Multimodal.mediaTriage(spark, mixed)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), Option(r.getString(3))))).toMap
+    assert(out.size === 7)
+    // intact image/audio/video pass with a null err
+    for (id <- Seq(101L, 201L, 301L))
+      assert(out(id) === ((true, None)), s"intact medium $id must pass")
+    // every corrupted payload fails with a NAMED error, per codec
+    for (id <- Seq(102L, 202L, 302L))
+      assert(!out(id)._1 && out(id)._2.exists(_.nonEmpty),
+        s"corrupt medium $id must verdict false with a named error")
+    assert(out(9L)._1 === false &&
+      out(9L)._2.get.contains("unroutable"),
+      "unknown mimes are named, not crashed on")
+  }
+
   test("Discovery.latestFiles: extension filter, mtime desc, cap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-disc")
     for (i <- 1 to 7) {
