@@ -688,6 +688,94 @@ object Profile {
           .as("psi_c"))
   }
 
+  /** Cumulative Poisson(1) CDF thresholds scaled to the u32 space —
+    * `floor(P(X ≤ k) · 2³²)` for k = 0..max, computed ONCE in driver
+    * Scala and inlined as integer literals into both the Spark plan and
+    * the oracle SQL (the [[graft.operators.Similarity.ndcgDiscountsM]]
+    * shared-constant discipline): the bootstrap weight is then a pure
+    * integer compare of an md5-derived u32 against fixed literals. */
+  def poissonThresholdsU32(max: Int): Seq[Long] = {
+    val eInv = math.exp(-1.0)
+    var fact = 1.0
+    var cum = 0.0
+    (0 to max).map { k =>
+      if (k > 0) fact *= k
+      cum += eInv / fact
+      math.floor(cum * 4294967296.0).toLong
+    }
+  }
+
+  /** Paired Poisson bootstrap — "is pipeline A actually better than
+    * pipeline B, or is the delta noise?" for any per-item metric pair
+    * (per-query nDCG of two retrieval stacks, per-doc scores of two
+    * quality gates). The POISSON bootstrap (Chamandy et al., the
+    * distributed form — each item's replicate weight is an independent
+    * Poisson(1) draw, so no replicate ever needs a global resample) with
+    * DETERMINISTIC-SEEDED draws: weight = inverse-CDF of the
+    * md5(salt|replicate|item) u32 against the [[poissonThresholdsU32]]
+    * literals (capped at 8 — P(X>8) < 1e-6 — so the CASE chain is
+    * finite), exactly the [[dpCounts]] seeded-noise stance: a given salt
+    * replays bit-for-bit, a new salt is a fresh draw, the caller owns
+    * that contract.
+    *
+    * Per replicate the PAIRED statistic is `Σ_i w_ib·(a_i − b_i)` —
+    * only its SIGN matters for the test, so there is no division and
+    * the whole test is exact integers (scores arrive as integral units
+    * by contract; cast them to micros upstream). One-sided p-value =
+    * fraction of replicates with statistic ≤ 0 (half-up ppm). Items
+    * with a null score on either side are unpaired — excluded, counted.
+    * Returns ONE row `(n_items, n_unpaired, b_reps, wins_a, ties,
+    * wins_b, p_ppm, mean_delta)` with `mean_delta` the plain average
+    * item delta in half-up micros-of-a-unit (·1e6 div n, truncation
+    * toward zero for negatives — the engine's documented div).
+    *
+    * Scale shape: the scored relation explodes ×B (B defaults to 200;
+    * per-item metrics are queries/docs-sized, far below the corpus),
+    * one hash aggregation to B replicate rows, one 1-row reduction. */
+  def pairedBootstrap(scores: DataFrame, idCol: String, aCol: String,
+      bCol: String, b: Int = 200, salt: String = "boot"): DataFrame = {
+    require(b >= 10 && b <= 100000, s"need 10 <= B <= 100000, got $b")
+    val th = poissonThresholdsU32(8)
+    val paired = scores.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        (col(aCol).cast("long") - col(bCol).cast("long")).as("__d"))
+    val nUnpaired = scores.filter(col(aCol).isNull || col(bCol).isNull)
+      .agg(count(lit(1)).as("n_unpaired"))
+    val exploded = paired
+      .select(col("__id"), col("__d"),
+        explode(sequence(lit(1), lit(b))).as("__b"))
+      .withColumn("__u32", conv(substring(md5(concat(
+          lit(s"$salt|"), col("__b").cast("string"), lit("|"),
+          col("__id"))), 1, 8), 16, 10).cast("long"))
+      .withColumn("__w",
+        // reverse fold so k=0 lands OUTERMOST: w = smallest k with
+        // u32 < threshold(k)
+        th.zipWithIndex.reverse
+          .foldLeft(lit(8): org.apache.spark.sql.Column) {
+            case (acc, (t, k)) => when(col("__u32") < t, k).otherwise(acc)
+          })
+    // per-item weights are independent across items within a replicate,
+    // so the replicate statistic is one keyed sum in DECIMAL(38,0)
+    // (w ≤ 8 × |delta| × items can pass a Long at corpus-metric scale)
+    val reps = exploded.groupBy(col("__b"))
+      .agg(sum(expr("CAST(__w AS DECIMAL(38,0)) * __d")).as("__s"))
+    val test = reps.agg(
+      sum(when(col("__s") > 0, 1L).otherwise(0L)).as("wins_a"),
+      sum(when(col("__s") === 0, 1L).otherwise(0L)).as("ties"),
+      sum(when(col("__s") < 0, 1L).otherwise(0L)).as("wins_b"))
+    val base = paired.agg(count(lit(1)).as("n_items"),
+      sum(expr("CAST(__d AS DECIMAL(38,0))")).as("__dsum"))
+    base.crossJoin(broadcast(nUnpaired))
+      .crossJoin(broadcast(test))
+      .select(col("n_items"), col("n_unpaired"), lit(b.toLong).as("b_reps"),
+        col("wins_a"), col("ties"), col("wins_b"),
+        expr(s"(2 * (ties + wins_b) * 1000000 + ${b}L) div (2 * ${b}L)")
+          .as("p_ppm"),
+        when(col("n_items") > 0,
+          expr("(2 * __dsum * 1000000 + n_items) div (2 * n_items)"))
+          .as("mean_delta"))
+  }
+
   /** Per-group gate-parity audit (the four-fifths / disparate-impact
     * rule applied to curation gates): a quality/dedup/toxicity gate that
     * accepts 80% of one language or source and 20% of another is

@@ -1494,6 +1494,65 @@ object RelationalQueries extends graft.QueryPack {
              |    END, false) AS flagged
              |FROM r, b""".stripMargin)),
 
+    // ---- V23: paired Poisson bootstrap (pipeline A/B significance) ------
+    // Gate A scores raw token counts, gate B the same minus doc_id % 3:
+    // A is genuinely better by ~1 token, the test should say so at
+    // p ~ 0. Deterministic md5-seeded Poisson(1) weights against the
+    // SHARED u32 threshold literals; sign-only replicate statistics so
+    // the whole test is exact integers. Null-text docs are unpaired.
+    Q("q_v23_paired_bootstrap",
+      (s, d) => {
+        val nTok = size(graft.operators.TextAnalysis.tokens(col("text")))
+        graft.operators.Profile.pairedBootstrap(
+          Tables.documents(s, d).select(col("doc_id"),
+            when(col("text").isNotNull, nTok.cast("long")).as("a"),
+            when(col("text").isNotNull,
+              nTok.cast("long") - col("doc_id") % 3).as("b")),
+          "doc_id", "a", "b", b = 200, salt = "boot")
+      },
+      Some {
+        val th = graft.operators.Profile.poissonThresholdsU32(8)
+        val wCase = th.zipWithIndex
+          .map { case (t, k) => s"WHEN u32 < ${t} THEN $k" }
+          .mkString("CASE ", " ", " ELSE 8 END")
+        s"""WITH sc AS (SELECT doc_id,
+           |    CASE WHEN text IS NULL THEN NULL ELSE
+           |      len(list_filter(regexp_split_to_array(text, '\\s+'),
+           |        x -> x <> '')) END AS a,
+           |    CASE WHEN text IS NULL THEN NULL ELSE
+           |      len(list_filter(regexp_split_to_array(text, '\\s+'),
+           |        x -> x <> '')) - doc_id % 3 END AS b
+           |  FROM documents),
+           |p AS (SELECT CAST(doc_id AS VARCHAR) AS id, a - b AS d
+           |  FROM sc WHERE a IS NOT NULL AND b IS NOT NULL),
+           |up AS (SELECT COUNT(*) AS n_unpaired FROM sc
+           |  WHERE a IS NULL OR b IS NULL),
+           |e AS (SELECT id, d, br FROM p,
+           |  (SELECT unnest(range(1, 201)) AS br)),
+           |w AS (SELECT d, br, $wCase AS w FROM (
+           |  SELECT *, CAST('0x' || substr(md5('boot|' ||
+           |      CAST(br AS VARCHAR) || '|' || id), 1, 8) AS BIGINT) AS u32
+           |  FROM e)),
+           |r AS (SELECT br, SUM(w * d) AS st FROM w GROUP BY 1),
+           |tst AS (SELECT
+           |    COUNT(CASE WHEN st > 0 THEN 1 END) AS wins_a,
+           |    COUNT(CASE WHEN st = 0 THEN 1 END) AS ties,
+           |    COUNT(CASE WHEN st < 0 THEN 1 END) AS wins_b FROM r),
+           |bse AS (SELECT COUNT(*) AS n_items, SUM(d) AS dsum FROM p)
+           |SELECT CAST(n_items AS BIGINT) AS n_items,
+           |  CAST(n_unpaired AS BIGINT) AS n_unpaired,
+           |  CAST(200 AS BIGINT) AS b_reps,
+           |  CAST(wins_a AS BIGINT) AS wins_a,
+           |  CAST(ties AS BIGINT) AS ties,
+           |  CAST(wins_b AS BIGINT) AS wins_b,
+           |  CAST((2 * (ties + wins_b) * 1000000 + 200) // 400 AS BIGINT)
+           |    AS p_ppm,
+           |  CAST(CASE WHEN n_items > 0 THEN
+           |    (2 * dsum * 1000000 + n_items) // (2 * n_items) END
+           |    AS BIGINT) AS mean_delta
+           |FROM bse, up, tst""".stripMargin
+      }),
+
     // ---- V18: differentially-private histogram release ------------------
     // The Laplace mechanism over the q_v4 grid (epsilon = 1, sensitivity
     // 1 for disjoint counts): deterministic-seeded noise via the inverse

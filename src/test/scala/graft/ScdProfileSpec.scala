@@ -624,6 +624,46 @@ class ScdProfileSpec extends AnyFunSuite {
       === 1000L)
   }
 
+  test("paired bootstrap: a uniformly-better A never loses a replicate, " +
+      "identical scores are all ties, the draw is salt-deterministic") {
+    import spark.implicits._
+    val scores = (1L to 40L).map(i => (i, 100L + i, 90L + i))
+      .toDF("item", "a", "b") // a - b = 10 on every item
+    val r = Profile.pairedBootstrap(scores, "item", "a", "b", b = 100)
+      .collect().head
+    assert(r.getLong(0) === 40L && r.getLong(1) === 0L)
+    assert(r.getLong(5) === 0L, "a uniformly-better A cannot lose")
+    // a replicate ties only if every one of 40 Poisson weights is 0
+    // (P ~ e^-40): all 100 replicates should be wins
+    assert(r.getLong(3) === 100L && r.getLong(6) === 0L,
+      "p-value must be 0 ppm for a uniform winner")
+    assert(r.getLong(7) === 10000000L, "mean delta 10 in micros")
+    // identical scores: every replicate statistic is exactly 0
+    val same = Profile.pairedBootstrap(
+      (1L to 40L).map(i => (i, 5L, 5L)).toDF("item", "a", "b"),
+      "item", "a", "b", b = 100).collect().head
+    assert(same.getLong(4) === 100L && same.getLong(6) === 1000000L,
+      "identical pipelines: all ties, p = 1")
+    // unpaired items surface; salt determinism; fresh salt redraws
+    val withNull = scores.union(
+      Seq((99L, Option.empty[Long], Option(5L))).toDF("item", "a", "b"))
+    assert(Profile.pairedBootstrap(withNull, "item", "a", "b", b = 50)
+      .collect().head.getLong(1) === 1L)
+    // noisy case: per-item delta alternates +1/-9 (B better on average)
+    val noisy = (1L to 40L).map(i =>
+      (i, 100L, if (i % 10 == 0) 109L else 99L)).toDF("item", "a", "b")
+    val n1 = Profile.pairedBootstrap(noisy, "item", "a", "b", b = 200)
+      .collect().head
+    val n2 = Profile.pairedBootstrap(noisy, "item", "a", "b", b = 200)
+      .collect().head
+    assert(n1.toSeq === n2.toSeq, "same salt must replay bit-for-bit")
+    val n3 = Profile.pairedBootstrap(noisy, "item", "a", "b", b = 200,
+      salt = "other").collect().head
+    assert(n1.getLong(3) + n1.getLong(4) + n1.getLong(5) === 200L)
+    assert(n3.getLong(3) !== n1.getLong(3),
+      "a fresh salt must actually redraw")
+  }
+
   test("gate parity: the four-fifths rule flags a skewed gate, null " +
       "verdicts count as rejects but surface, null groups segment") {
     import spark.implicits._
