@@ -410,6 +410,50 @@ object Behavior {
     * the `r·100 + f·10 + m` segment code. Users with no purchases are
     * absent — RFM is defined over buyers. Returns
     * `(<userCol>, r_score, f_score, m_score, segment)`. */
+  /** Dialog-format audit — the chat-training-data QA gate (SFT/RLHF
+    * corpora are conversations, and a malformed one — double user
+    * turns, assistant-first, trailing user message, alien roles —
+    * poisons a chat template silently): per conversation, in event-time
+    * order with an explicit integral tiebreak, the turn count, the
+    * first/last roles, the number of ALTERNATION VIOLATIONS
+    * (consecutive same-role turns), the count of roles outside
+    * {user, assistant}, and the composed `well_formed` verdict
+    * (starts with user, ends with assistant, zero violations, zero
+    * alien roles). Null-role turns count as alien (a missing role is
+    * malformed, not ignorable). ONE window pass partitioned by
+    * conversation + one hash aggregate — conversations are bounded, the
+    * corpus is never globally sorted. Returns `(<convCol>, n_turns,
+    * first_role, last_role, n_violations, n_alien_roles,
+    * well_formed)`. */
+  def dialogAudit(df: DataFrame, convCol: String, tsCol: String,
+      idCol: String, roleCol: String, userRole: String = "user",
+      assistantRole: String = "assistant"): DataFrame = {
+    require(userRole != assistantRole, "user and assistant roles must differ")
+    val w = Window.partitionBy(col(convCol))
+      .orderBy(col(tsCol), col(idCol))
+    val ordered = df
+      .filter(col(convCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(convCol), col(tsCol), col(idCol),
+        col(roleCol).cast("string").as("__r"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__prev", lag(col("__r"), 1).over(w))
+    ordered.groupBy(col(convCol))
+      .agg(count(lit(1)).as("n_turns"),
+        max(when(col("__rn") === 1, col("__r"))).as("first_role"),
+        max(struct(col("__rn"), col("__r"))).getField("__r")
+          .as("last_role"),
+        sum(when(col("__prev").isNotNull &&
+          col("__prev") <=> col("__r"), 1L).otherwise(0L))
+          .as("n_violations"),
+        sum(when(col("__r").isNull ||
+          !col("__r").isin(userRole, assistantRole), 1L).otherwise(0L))
+          .as("n_alien_roles"))
+      .withColumn("well_formed",
+        coalesce(col("first_role") === userRole, lit(false)) &&
+          coalesce(col("last_role") === assistantRole, lit(false)) &&
+          col("n_violations") === 0L && col("n_alien_roles") === 0L)
+  }
+
   def rfmSegments(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, valueCol: String, purchaseType: String,
       bins: Int = 5): DataFrame = {

@@ -266,6 +266,48 @@ object EventQueries extends graft.QueryPack {
     // spend; each scored 1..5 by equi-depth percentile cuts (broadcast +
     // map-only compare — no corpus-wide ntile window), composed into the
     // r*100+f*10+m segment code.
+    // ---- E30: dialog-format audit (chat-training-data QA) ---------------
+    // Each user's event stream audited as a conversation: click/view map
+    // to 'user' turns, purchase to 'assistant', anything else is alien.
+    // The oracle replays the (ts, event_id) ordering, the lag-based
+    // alternation count, and the composed verdict.
+    Q("q_e30_dialog_audit",
+      (s, d) => graft.operators.Behavior.dialogAudit(
+        Tables.events(s, d)
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            when(col("event_type").isin("click", "view"), "user")
+              .when(col("event_type") === "purchase", "assistant")
+              .otherwise("other").as("role")),
+        "user_id", "ts", "event_id", "role"),
+      Some("""WITH r AS (SELECT user_id, ts, event_id,
+             |    CASE WHEN event_type IN ('click', 'view') THEN 'user'
+             |      WHEN event_type = 'purchase' THEN 'assistant'
+             |      ELSE 'other' END AS role
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |o AS (SELECT user_id, role,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn,
+             |    lag(role) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev
+             |  FROM r),
+             |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+             |    MAX(CASE WHEN rn = 1 THEN role END) AS first_role,
+             |    MAX(CASE WHEN rn = mx THEN role END) AS last_role,
+             |    CAST(COUNT(CASE WHEN prev = role THEN 1 END) AS BIGINT)
+             |      AS n_violations,
+             |    CAST(COUNT(CASE WHEN role NOT IN ('user', 'assistant')
+             |      THEN 1 END) AS BIGINT) AS n_alien_roles
+             |  FROM (SELECT *, MAX(rn) OVER (PARTITION BY user_id) AS mx
+             |        FROM o)
+             |  GROUP BY 1)
+             |SELECT user_id, n_turns, first_role, last_role, n_violations,
+             |  n_alien_roles,
+             |  COALESCE(first_role = 'user', false)
+             |    AND COALESCE(last_role = 'assistant', false)
+             |    AND n_violations = 0 AND n_alien_roles = 0 AS well_formed
+             |FROM a""".stripMargin)),
+
     // ---- E28/E29: pairwise-preference aggregation (RLHF data ops) -------
     // A preference corpus synthesized engine-independently from events:
     // 8 candidates, base direction the ROTATIONAL tournament (a beats b

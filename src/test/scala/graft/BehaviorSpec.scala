@@ -245,6 +245,40 @@ class BehaviorSpec extends AnyFunSuite {
         lookbackMicros = 100L * 86400L * 1000000L, halfLifeMicros = 1000L))
   }
 
+  test("dialog audit: alternation violations, role verdicts, null roles " +
+      "are alien, ordering ties break by id") {
+    import spark.implicits._
+    val rows = Seq(
+      // conv 1: perfect u/a/u/a dialog
+      (1L, 1L, "2026-01-01 10:00:00", "user"),
+      (1L, 2L, "2026-01-01 10:01:00", "assistant"),
+      (1L, 3L, "2026-01-01 10:02:00", "user"),
+      (1L, 4L, "2026-01-01 10:03:00", "assistant"),
+      // conv 2: double-user violation + trailing user
+      (2L, 5L, "2026-01-01 10:00:00", "user"),
+      (2L, 6L, "2026-01-01 10:01:00", "user"),
+      (2L, 7L, "2026-01-01 10:02:00", "assistant"),
+      (2L, 8L, "2026-01-01 10:03:00", "user"),
+      // conv 3: assistant-first, same-ts tie ordered by id (9 before 10),
+      // a null role (alien), a 'system' role (alien)
+      (3L, 9L, "2026-01-01 10:00:00", "assistant"),
+      (3L, 10L, "2026-01-01 10:00:00", "user"),
+      (3L, 11L, "2026-01-01 10:01:00", null.asInstanceOf[String]),
+      (3L, 12L, "2026-01-01 10:02:00", "system")
+    ).map { case (c, e, at, r) =>
+      (c, e, java.sql.Timestamp.valueOf(at), r) }
+      .toDF("conv", "event_id", "ts", "role")
+    val out = Behavior.dialogAudit(rows, "conv", "ts", "event_id", "role")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6)))).toMap
+    assert(out(1L) === ((4L, "user", "assistant", 0L, 0L, true)))
+    assert(out(2L) === ((4L, "user", "user", 1L, 0L, false)),
+      "one double-user violation; trailing user breaks the verdict")
+    assert(out(3L) === ((4L, "assistant", "system", 0L, 2L, false)),
+      "tie orders by id (assistant first), null + system are alien")
+  }
+
   test("time-decay attribution: all-ancient touches clamp to 1 micro " +
       "each — the conversion credits instead of emitting NULL rows") {
     import spark.implicits._
