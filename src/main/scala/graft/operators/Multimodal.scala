@@ -413,6 +413,44 @@ object Multimodal {
     }.toDF("media_id", "ahash")
   }
 
+  /** The literature's FULL 64-bit aHash (8×8 grid — Krawetz's original
+    * size; [[imageAHash]] is capped at 63 bits by its BIGINT slot) as a
+    * 16-hex signature in the text side's simhash slot: wide media
+    * hashes ride the EXISTING 64-bit machinery —
+    * [[graft.operators.Dedup.simhashNearDup]]'s 4×16-bit pigeonhole
+    * banding and the codegen'd hex_hamming kernel — instead of growing
+    * a parallel wide-hash stack. Same NN grid map, same strict mean
+    * threshold; bit j lands at two's-complement position j of the
+    * `%016x` value. Returns `(sid, simhash)` — the simhashNearDup input
+    * shape, media_id in the sid slot. */
+  def imageAHashHex(spark: SparkSession, media: DataFrame,
+      gw: Int, gh: Int): DataFrame = {
+    import spark.implicits._
+    require(gw >= 1 && gh >= 1 && gw * gh == 64,
+      s"the hex hash is exactly 64 bits (4x16 banding), got ${gw}x$gh")
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        val img = ImageCodec.decode(rec.bytes, rec.meta.mime)
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val px = img.getRGB(0, 0, sw, sh, null, 0, sw)
+        val grays = new Array[Long](64)
+        var tot = 0L
+        var j = 0
+        while (j < 64) {
+          val sx = (j % gw) * sw / gw
+          val sy = (j / gw) * sh / gh
+          val p = px(sy * sw + sx)
+          val gr = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
+          grays(j) = gr; tot += gr; j += 1
+        }
+        var h = 0L
+        j = 0
+        while (j < 64) { if (grays(j) * 64 > tot) h |= 1L << j; j += 1 }
+        (rec.media_id, f"$h%016x")
+      }
+    }.toDF("sid", "simhash")
+  }
+
   /** Match each original to its best near-duplicate variant by hash
     * hamming distance, with LSH banding as the candidate generator: a
     * hash of `numBands · bandBits` bits splits into `numBands` bands;

@@ -558,6 +558,37 @@ object MultimodalQueries extends graft.QueryPack {
              |  doc_id % 13 <> 0 AS ok
              |FROM documents""".stripMargin)),
 
+    // ---- M17: full 64-bit aHash riding the simhash machinery -------------
+    // Wide media hashes need no parallel stack: the 8x8 (64-bit,
+    // Krawetz-original) aHash emits a 16-hex signature and flows through
+    // the TEXT side's simhashNearDup (4x16-bit pigeonhole banding +
+    // codegen'd hex_hamming). The oracle never packs 64 bits (DuckDB
+    // refuses 1<<63): it compares the per-position BIT relations
+    // directly and brute-forces all pairs — equality proves grid, hex
+    // layout, banding, and the hamming kernel end to end.
+    Q("q_m17_ahash64_pairs",
+      (s, d) => graft.operators.Dedup.simhashNearDup(
+        Multimodal.imageAHashHex(s,
+          Multimodal.synthesizeImages(s,
+            Tables.documents(s, d).select(col("doc_id")), 16, 8,
+            idCol = "doc_id"), 8, 8), maxDist = 3)
+        .select(col("a_id"), col("b_id"), col("hamming")),
+      Some("""WITH g AS (SELECT doc_id AS media_id, j,
+             |    (doc_id + sidx) % 256 + (doc_id*3 + sidx*5 + 17) % 256
+             |      + (doc_id*7 + sidx*11 + 41) % 256 AS gray
+             |  FROM (SELECT doc_id, j, 16 * (j // 8) + 2 * (j % 8) AS sidx
+             |        FROM documents, (SELECT unnest(range(0, 64)) AS j))),
+             |w AS (SELECT media_id, j, gray,
+             |    SUM(gray) OVER (PARTITION BY media_id) AS tot FROM g),
+             |b AS (SELECT media_id, j, gray * 64 > tot AS bit FROM w)
+             |SELECT a_id, b_id, hamming FROM (
+             |  SELECT x.media_id AS a_id, y.media_id AS b_id,
+             |    CAST(COUNT(CASE WHEN x.bit <> y.bit THEN 1 END) AS INT)
+             |      AS hamming
+             |  FROM b x JOIN b y ON x.j = y.j AND x.media_id < y.media_id
+             |  GROUP BY 1, 2)
+             |WHERE hamming <= 3""".stripMargin)),
+
     // ---- M4: media -> REAL pixel features -> ANN bridge -----------------
     // Brute-force cosine top-k over the decoded feature vectors — media
     // similarity search end-to-end on the multimodal plumbing, every

@@ -391,6 +391,40 @@ class MultimodalSpec extends AnyFunSuite {
       "an empty benchmark must keep every medium with a null score")
   }
 
+  test("imageAHashHex: 64-bit hash matches the hand bit-pack, rides " +
+      "simhashNearDup with exact hamming, non-64 grids refuse") {
+    import spark.implicits._
+    val ids = Seq(3L, 41L, 250L).toDF("media_id")
+    val media = Multimodal.synthesizeImages(spark, ids, 16, 8)
+    val hx = Multimodal.imageAHashHex(spark, media, 8, 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def expect(id: Long): Long = {
+      def gray(sidx: Long) = (id + sidx) % 256 +
+        (id * 3 + sidx * 5 + 17) % 256 + (id * 7 + sidx * 11 + 41) % 256
+      val g = Array.tabulate(64)(j => gray(16 * (j / 8) + 2 * (j % 8)))
+      val tot = g.sum
+      (0 until 64).foldLeft(0L)((h, j) =>
+        if (g(j) * 64 > tot) h | (1L << j) else h)
+    }
+    for (id <- Seq(3L, 41L, 250L))
+      assert(hx(id) === f"${expect(id)}%016x",
+        s"hex hash of media $id must replay from the closed form")
+    // hamming through the simhash machinery equals the integer xor
+    val pairs = graft.operators.Dedup.simhashNearDup(
+        Multimodal.imageAHashHex(spark, media, 8, 8), maxDist = 3)
+      .collect()
+    val brute = Seq((3L, 41L), (3L, 250L), (41L, 250L)).flatMap {
+      case (a, b) =>
+        val h = java.lang.Long.bitCount(expect(a) ^ expect(b))
+        if (h <= 3) Some((a, b, h)) else None
+    }
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet === brute.toSet)
+    assert(intercept[IllegalArgumentException](
+      Multimodal.imageAHashHex(spark, media, 8, 4)).getMessage
+      .contains("64 bits"))
+  }
+
   test("mediaTriage: corrupt payloads become verdict rows across all " +
       "three codecs, intact ones pass, unknown mimes are unroutable") {
     import spark.implicits._
