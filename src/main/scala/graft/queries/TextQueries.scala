@@ -1786,6 +1786,52 @@ object TextQueries extends graft.QueryPack {
              |  CAST(c.o + r.rn - 1 AS BIGINT) AS curriculum_idx
              |FROM r JOIN cum c USING (tier)""".stripMargin)),
 
+    // ---- X70: composed training-mix build (mixture -> curriculum) -------
+    // The "build tonight's training mix" chain as ONE oracle-hashed
+    // query: exact-quota mixture sampling (40/25/35 of the three listed
+    // sources, lowest-md5 docs) -> the sampled subset joined back to its
+    // difficulty proxy -> curriculum ordering with tiers cut on the
+    // SAMPLED distribution (not the corpus's). Two proven operators,
+    // composition proven by the shared hash.
+    Q("q_x70_training_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val mix = graft.operators.Sampling.mixtureSample(docs, "source",
+          "doc_id", "mix2", Map("src0" -> 40, "src1" -> 25, "src2" -> 35))
+        graft.operators.Sampling.curriculumOrder(
+          mix.join(docs.select(col("doc_id"), col("n_chars")),
+            Seq("doc_id")),
+          "n_chars", "doc_id", nTiers = 4, salt = "cur2")
+      },
+      Some("""WITH mix AS (SELECT doc_id, n_chars FROM (
+             |  SELECT doc_id, n_chars, source, row_number() OVER (
+             |    PARTITION BY source
+             |    ORDER BY md5('mix2|' || CAST(doc_id AS VARCHAR)), doc_id)
+             |    AS rn
+             |  FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+             |  WHERE rn <= CASE source WHEN 'src0' THEN 40
+             |                          WHEN 'src1' THEN 25 ELSE 35 END),
+             |b AS (SELECT
+             |    ROUND(quantile_cont(n_chars, 0.25), 6) AS b1,
+             |    ROUND(quantile_cont(n_chars, 0.50), 6) AS b2,
+             |    ROUND(quantile_cont(n_chars, 0.75), 6) AS b3
+             |  FROM mix),
+             |tiers AS (SELECT doc_id,
+             |    (n_chars > b1)::int + (n_chars > b2)::int
+             |      + (n_chars > b3)::int AS tier
+             |  FROM mix, b WHERE n_chars IS NOT NULL),
+             |r AS (SELECT doc_id, tier,
+             |    row_number() OVER (PARTITION BY tier
+             |      ORDER BY md5('cur2|' || CAST(doc_id AS VARCHAR)), doc_id)
+             |      AS rn
+             |  FROM tiers),
+             |off AS (SELECT tier, COUNT(*) AS n FROM tiers GROUP BY 1),
+             |cum AS (SELECT tier, SUM(n) OVER (ORDER BY tier) - n AS o
+             |  FROM off)
+             |SELECT r.doc_id, CAST(r.tier AS INT) AS tier,
+             |  CAST(c.o + r.rn - 1 AS BIGINT) AS curriculum_idx
+             |FROM r JOIN cum c USING (tier)""".stripMargin)),
+
     // ---- X68: data-constrained mixture planning (epoch budgeting) -------
     // Muennighoff et al.: per-domain token quota vs availability, epochs
     // capped at 4, unmet remainder reported. Weights cover a weighted-
