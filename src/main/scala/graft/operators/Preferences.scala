@@ -24,7 +24,7 @@ object Preferences {
     * aggregation to the pairs relation; everything downstream is
     * candidates²-sized. Self-preferences (winner = loser) and null
     * candidates are judgment errors — excluded, count them upstream. */
-  private def pairCounts(prefs: DataFrame, winnerCol: String,
+  private[graft] def pairCounts(prefs: DataFrame, winnerCol: String,
       loserCol: String): DataFrame = {
     val p = prefs
       .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull &&

@@ -837,4 +837,29 @@ object EventStreams {
         ()
       }
       .start()
+
+  /** STREAMING pairwise-preference counts — the incremental twin of
+    * [[graft.operators.Preferences.pairCounts]] (and therefore of every
+    * Copeland/cycle derivation over it): the canonical-pair win counters
+    * are pure monotone sums, order-independent by construction, so the
+    * twin is a plain streaming aggregation — no finalized-prefix fold is
+    * needed (there is no "too late to matter" event; a judgment only
+    * ever increments its pair). Permanent state is exactly the
+    * candidates² counter relation — bounded by the candidate set
+    * (models/variants), never by judgment volume. Run with the
+    * `complete` output mode; self-preferences and null candidates are
+    * excluded like the batch operator. Returns
+    * `(a, b, wins_ab, wins_ba)`. */
+  def preferenceCounts(spark: SparkSession, prefs: DataFrame,
+      winnerCol: String, loserCol: String): DataFrame = {
+    prefs
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
+        col(winnerCol) =!= col(loserCol))
+      .select(least(col(winnerCol), col(loserCol)).as("a"),
+        greatest(col(winnerCol), col(loserCol)).as("b"),
+        when(col(winnerCol) <= col(loserCol), 1L).otherwise(0L).as("__aw"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("__aw")).as("wins_ab"),
+        (count(lit(1)) - sum(col("__aw"))).as("wins_ba"))
+  }
 }
