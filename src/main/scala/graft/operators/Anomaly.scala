@@ -88,4 +88,44 @@ object Anomaly {
         coalesce(col(valueCol) < lo || col(valueCol) > hi, lit(false)))
       .drop("__tk", "__q1", "__q3")
   }
+
+  /** Median/MAD robust z-score — the third member of the outlier trio
+    * ([[zscores]] drifts when outliers fatten the stddev; [[tukeyFences]]
+    * is robust but unitless; the MAD z is the robust score with the
+    * z-score's INTERPRETABILITY — "how many robust sigmas out"):
+    * `rz = 0.6745 · (x − median) / MAD`, MAD = median(|x − median|),
+    * the 0.6745 consistency constant making rz ≈ z on Gaussian data.
+    * Two per-key percentile aggregations (median, then MAD over the
+    * joined-back deviations — MAD is not expressible in one pass),
+    * broadcast join back, map-side score rounded to 6 dp. A zero-MAD
+    * key (at least half the mass on one value) has no defined scale:
+    * off-median values flag with a NULL rz (the verdict survives, the
+    * score is honestly undefined), on-median values pass. Null values
+    * never flag. Same `broadcast*` escape hatch as the other two.
+    * Returns the input plus `(rz, is_anomaly)`. */
+  def robustZ(obs: DataFrame, keyCol: String, valueCol: String,
+      threshold: Double = 3.5, broadcastStats: Boolean = true): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val med = obs.groupBy(col(keyCol).as("__rk"))
+      .agg(round(expr(s"percentile(`$valueCol`, 0.5)"), 6).as("__med"))
+    val medSide = if (broadcastStats) broadcast(med) else med
+    val mad = obs.join(medSide, col(keyCol) <=> col("__rk"))
+      .groupBy(col("__rk"))
+      .agg(round(expr(s"percentile(abs(`$valueCol` - __med), 0.5)"), 6)
+        .as("__mad"))
+    val stats = med.join(mad, Seq("__rk"))
+    val statsSide = if (broadcastStats) broadcast(stats) else stats
+    val rz = round(lit(0.6745) * (col(valueCol) - col("__med")) /
+      col("__mad"), 6)
+    obs.join(statsSide, col(keyCol) <=> col("__rk"), "left")
+      .withColumn("rz",
+        when(col("__mad") > 0, rz))
+      .withColumn("is_anomaly",
+        when(col(valueCol).isNull, lit(false))
+          .when(col("__mad") > 0, coalesce(abs(col("rz")) > threshold,
+            lit(false)))
+          .otherwise(coalesce(
+            round(col(valueCol), 6) =!= col("__med"), lit(false))))
+      .drop("__rk", "__med", "__mad")
+  }
 }

@@ -192,6 +192,38 @@ object EventQueries extends graft.QueryPack {
              |FROM events e LEFT JOIN q
              |  ON e.event_type IS NOT DISTINCT FROM q.event_type""".stripMargin)),
 
+    // ---- E31: median/MAD robust z-score (the outlier trio's third) ------
+    // rz = 0.6745*(x - median)/MAD per event-type cohort — robust like
+    // the fences, interpretable like the z. Zero-MAD cohorts flag
+    // off-median values with an honestly-NULL score. The oracle replays
+    // both percentile passes and the rounded score.
+    Q("q_e31_robust_z",
+      (s, d) => graft.operators.Anomaly.robustZ(
+        Tables.events(s, d).select(col("event_id"), col("event_type"),
+          col("value")),
+        "event_type", "value"),
+      Some("""WITH m AS (SELECT event_type,
+             |    ROUND(quantile_cont(value, 0.5), 6) AS med
+             |  FROM events GROUP BY 1),
+             |md AS (SELECT e.event_type,
+             |    ROUND(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+             |  FROM events e JOIN m
+             |    ON e.event_type IS NOT DISTINCT FROM m.event_type
+             |  GROUP BY 1)
+             |SELECT e.event_id, e.event_type, e.value,
+             |  CASE WHEN md.mad > 0 THEN
+             |    ROUND(0.6745 * (e.value - m.med) / md.mad, 6) END AS rz,
+             |  CASE WHEN e.value IS NULL THEN false
+             |    WHEN md.mad > 0 THEN COALESCE(
+             |      abs(ROUND(0.6745 * (e.value - m.med) / md.mad, 6)) > 3.5,
+             |      false)
+             |    ELSE COALESCE(ROUND(e.value, 6) <> m.med, false) END
+             |    AS is_anomaly
+             |FROM events e
+             |LEFT JOIN m ON e.event_type IS NOT DISTINCT FROM m.event_type
+             |LEFT JOIN md ON e.event_type IS NOT DISTINCT FROM md.event_type"""
+        .stripMargin)),
+
     // ---- E21: last-touch attribution (as-of join, lookback-bounded) -----
     // Every purchase attributes to the user's latest click/view at-or-
     // before it within 7 days — the native as-of join exec with

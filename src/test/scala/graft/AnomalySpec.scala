@@ -70,4 +70,30 @@ class AnomalySpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       Anomaly.zscores(obs, "k", "v", 0.0)).getMessage.contains("threshold"))
   }
+
+  test("robust z: hand MAD scores, an extreme outlier cannot mask " +
+      "itself, zero-MAD cohorts flag off-median with a null score") {
+    import spark.implicits._
+    // k=a: values 1..9 plus a 1e6 outlier. median = 5.5, MAD = 2.5
+    // (deviations 0.5..4.5 + the huge one; median of 10 devs = 2.5) —
+    // the outlier cannot fatten MAD the way it fattens stddev
+    val obs = ((1 to 9).map(i => (i.toLong, "a", i.toDouble)) :+
+      ((10L, "a", 1000000.0)) :+
+      // k=b: constant cohort + one deviant -> zero MAD
+      ((11L, "b", 7.0)) :+ ((12L, "b", 7.0)) :+ ((13L, "b", 7.0)) :+
+      ((14L, "b", 9.0))).toDF("id", "k", "v")
+    val out = Anomaly.robustZ(obs, "k", "v", threshold = 3.5)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getBoolean(4)))).toMap
+    // value 1: rz = .6745*(1-5.5)/2.5 = -1.2141 -> not anomalous
+    assert(out(1L)._1.get === -1.2141 && !out(1L)._2)
+    // the outlier: rz huge -> flagged (stddev-based z on this fixture
+    // would put the outlier at ~2.8 sigmas — below a 3.5 cut)
+    assert(out(10L)._2 === true && out(10L)._1.get > 1000.0)
+    // zero-MAD cohort: on-median passes, the deviant flags with null rz
+    assert(out(11L) === ((None, false)))
+    assert(out(14L) === ((None, true)),
+      "off-median in a zero-MAD cohort must flag with an honest null rz")
+  }
 }
