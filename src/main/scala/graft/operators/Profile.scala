@@ -688,6 +688,52 @@ object Profile {
           .as("psi_c"))
   }
 
+  /** Calibration audit (the ECE decomposition, Guo et al. 2017) for any
+    * probabilistic gate — "when the quality classifier says 0.9, is it
+    * right 90% of the time?": scores arrive as MICROS of probability
+    * (0..1e6 — quantize upstream; a classifier whose scores aren't
+    * probabilities has no business in a calibration audit), bin into
+    * `bins` equal-width confidence buckets (the top edge closes into
+    * the last bin), and per bin report the count, the exact mean
+    * confidence (half-up micros of the score sum), the exact accuracy
+    * (half-up ppm of positives), and the |acc − conf| calibration gap —
+    * ECE is the count-weighted mean of the gaps, left to the caller
+    * (the per-bin relation is the diagnostic; reliability diagrams plot
+    * it directly). A bins SPINE keeps empty bins visible (their gap is
+    * null — no evidence is not perfect calibration). Null scores or
+    * labels are unauditable — excluded; count them upstream. All
+    * integer arithmetic in DECIMAL(38,0). One hash aggregate. */
+  def calibrationBins(df: DataFrame, scoreMicrosCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"need 2 <= bins <= 1000, got $bins")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val scored = df
+      .filter(col(scoreMicrosCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreMicrosCol).cast("long").as("__s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+      .select(when(col("__s").between(0L, 1000000L), col("__s"))
+        .otherwise(raise_error(concat(lit("calibrationBins: score "),
+          col("__s").cast("string"),
+          lit(" outside [0, 1e6] micros — not a probability")))
+          .cast("long")).as("__s"), col("__y"))
+      .select(expr(s"CAST(least((__s * $bins) div 1000000, ${bins - 1}) " +
+        "AS INT)").as("bin"), col("__s"), col("__y"))
+    val per = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__s")).as("__ss"), sum(col("__y")).as("__pos"))
+      .select(col("bin"), col("n"),
+        expr("(2 * CAST(__ss AS DECIMAL(38,0)) + n) div (2 * n)")
+          .as("mean_conf_micros"),
+        expr("(2 * CAST(__pos AS DECIMAL(38,0)) * 1000000 + n) div (2 * n)")
+          .as("acc_ppm"))
+    (0 until bins).toDF("bin")
+      .join(per, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
+        col("mean_conf_micros"), col("acc_ppm"),
+        abs(col("acc_ppm") - col("mean_conf_micros")).as("gap_ppm"))
+  }
+
   /** Cumulative Poisson(1) CDF thresholds scaled to the u32 space —
     * `floor(P(X ≤ k) · 2³²)` for k = 0..max, computed ONCE in driver
     * Scala and inlined as integer literals into both the Spark plan and

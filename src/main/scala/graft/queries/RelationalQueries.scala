@@ -1553,6 +1553,40 @@ object RelationalQueries extends graft.QueryPack {
            |FROM bse, up, tst""".stripMargin
       }),
 
+    // ---- V24: calibration audit (ECE bins) --------------------------------
+    // A WELL-CALIBRATED synthetic gate: score s = (doc_id*7919) % 1e6+1
+    // micros, label drawn by the md5 u32 against s (u32·1e6 < s·2^32 —
+    // exact long compare, so P(label) ≈ s/1e6 by construction). The
+    // per-bin reliability relation replays exactly: counts, half-up mean
+    // confidence, half-up accuracy, |gap|.
+    Q("q_v24_calibration",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sc = (col("doc_id") * 7919) % 1000001
+        val u32 = conv(substring(md5(concat(lit("cal|"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        graft.operators.Profile.calibrationBins(
+          docs.select(sc.as("score"),
+            (u32 * 1000000L < sc * 4294967296L).as("label")),
+          "score", "label", bins = 10)
+      },
+      Some("""WITH sc AS (SELECT (doc_id * 7919) % 1000001 AS s,
+             |    (CAST('0x' || substr(md5('cal|' || CAST(doc_id AS VARCHAR)),
+             |       1, 8) AS BIGINT) * 1000000
+             |     < ((doc_id * 7919) % 1000001) * 4294967296) AS y
+             |  FROM documents),
+             |b AS (SELECT LEAST((s * 10) // 1000000, 9) AS bin, s,
+             |    CASE WHEN y THEN 1 ELSE 0 END AS yy FROM sc),
+             |per AS (SELECT bin, COUNT(*) AS n, SUM(s) AS ss,
+             |    SUM(yy) AS pos FROM b GROUP BY 1),
+             |sp AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin)
+             |SELECT sp.bin, CAST(COALESCE(per.n, 0) AS BIGINT) AS n,
+             |  CAST((2 * ss + n) // (2 * n) AS BIGINT) AS mean_conf_micros,
+             |  CAST((2 * pos * 1000000 + n) // (2 * n) AS BIGINT) AS acc_ppm,
+             |  CAST(abs((2 * pos * 1000000 + n) // (2 * n)
+             |    - (2 * ss + n) // (2 * n)) AS BIGINT) AS gap_ppm
+             |FROM sp LEFT JOIN per USING (bin)""".stripMargin)),
+
     // ---- V18: differentially-private histogram release ------------------
     // The Laplace mechanism over the q_v4 grid (epsilon = 1, sensitivity
     // 1 for disjoint counts): deterministic-seeded noise via the inverse

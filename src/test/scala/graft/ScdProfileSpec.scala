@@ -624,6 +624,32 @@ class ScdProfileSpec extends AnyFunSuite {
       === 1000L)
   }
 
+  test("calibration bins: a perfect oracle gate gaps at the bin-mean " +
+      "level, empty bins surface null, out-of-range scores refuse") {
+    import spark.implicits._
+    // 200 items at score 250000 with exactly 25% positives, 100 items at
+    // 900000 with exactly 90% positives: gaps = 0 in both bins
+    val rows = (1 to 200).map(i => (250000L, i % 4 == 0)) ++
+      (1 to 100).map(i => (900000L, i % 10 != 0))
+    val out = Profile.calibrationBins(rows.toDF("s", "y"), "s", "y", 10)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(out.size === 10)
+    assert(out(2) === ((200L, 250000L, 0L)), "bin 2: perfectly calibrated")
+    assert(out(9) === ((100L, 900000L, 0L)), "bin 9: perfectly calibrated")
+    assert(out(0) === ((0L, -1L, -1L)), "empty bins surface with nulls")
+    // the 1.0 edge closes into the last bin
+    val edge = Profile.calibrationBins(
+      Seq((1000000L, true)).toDF("s", "y"), "s", "y", 10)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(edge(9) === 1L)
+    // a non-probability score refuses in-plan
+    val ex = intercept[Exception](Profile.calibrationBins(
+      Seq((2000000L, true)).toDF("s", "y"), "s", "y", 10).collect())
+    assert(ex.getMessage.contains("not a probability"))
+  }
+
   test("paired bootstrap: a uniformly-better A never loses a replicate, " +
       "identical scores are all ties, the draw is salt-deterministic") {
     import spark.implicits._
