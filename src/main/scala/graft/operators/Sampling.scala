@@ -86,6 +86,35 @@ object Sampling {
     * excluded entirely. Ids ride the buffer as longs, so the id column
     * must be integral (fail-fast; re-key string-id corpora first);
     * null-id rows are excluded. */
+  /** Per-key cap — the host-balance / politeness sampler (C4-style
+    * crawl curation caps documents per host so megasites can't dominate
+    * the mix; the same shape caps user contributions, per-repo files,
+    * per-license samples): every key keeps AT MOST `k` rows, chosen by
+    * the deterministic md5 rank (lowest `md5(salt|id)` first — a new
+    * salt redraws, the [[mixtureSample]] discipline), keys under the cap
+    * keep everything. Unlike [[mixtureSample]] the quota is uniform and
+    * the key universe is NOT enumerated up front — any key that shows up
+    * is capped, which is the point (you cannot list the internet's
+    * hosts). Bounded MinK buffer per key: ≤ k (hash, id) pairs per key
+    * per map task ever shuffle, no per-key sort. Null keys form their
+    * own capped group (an unknown host is still a host); null ids are
+    * excluded ([[mixtureSample]]'s contract). Returns
+    * `(<idCol>, <keyCol>, rn)` with rn the 1-based within-key rank. */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+      salt: String, k: Int): DataFrame = {
+    require(k >= 1, s"cap must be positive, got $k")
+    val idType = requireIntegralId(df, idCol)
+    df.filter(col(idCol).isNotNull)
+      .select(col(keyCol),
+        saltedKey(col(idCol), salt).as("hk"),
+        col(idCol).cast("long").as("id"))
+      .groupBy(col(keyCol))
+      .agg(TopKAggregator.minKColumn(k)(col("hk"), col("id")).as("sel"))
+      .select(col(keyCol), posexplode(col("sel")).as(Seq("pos", "t")))
+      .select(col("t.id").cast(idType).as(idCol), col(keyCol),
+        (col("pos") + lit(1)).as("rn"))
+  }
+
   def mixtureSample(df: DataFrame, domainCol: String, idCol: String,
       salt: String, quotas: Map[String, Int]): DataFrame = {
     require(quotas.nonEmpty, "need at least one domain quota")

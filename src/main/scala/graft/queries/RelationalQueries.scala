@@ -765,6 +765,26 @@ object RelationalQueries extends graft.QueryPack {
              |WHERE rn <= CASE source WHEN 'src0' THEN 10
              |                        WHEN 'src1' THEN 5 ELSE 15 END""".stripMargin)),
 
+    // ---- X71: per-host cap (C4-style host balancing) ---------------------
+    // Every host keeps at most 4 docs by md5 rank — no host enumeration
+    // (the capPerKey point: you cannot list the internet's hosts), keys
+    // under the cap keep everything. Hosts derived engine-independently
+    // (the q_x63 rule, normalization exercised by the uppercase + port).
+    Q("q_x71_host_cap",
+      (s, d) => graft.operators.Sampling.capPerKey(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("h"), col("doc_id") % 3, lit("."), col("source"))
+            .as("host")),
+        "host", "doc_id", "hcap", k = 4),
+      Some("""SELECT doc_id, host, rn FROM (
+             |  SELECT doc_id, 'h' || (doc_id % 3) || '.' || source AS host,
+             |    row_number() OVER (
+             |      PARTITION BY 'h' || (doc_id % 3) || '.' || source
+             |      ORDER BY md5('hcap|' || CAST(doc_id AS VARCHAR)), doc_id)
+             |      AS rn
+             |  FROM documents)
+             |WHERE rn <= 4""".stripMargin)),
+
     // ---- X29: temperature-flattened domain resampling (alpha = 0.5) ----
     // quota_d = max(1, floor(307 * sqrt(n_d) / sum sqrt)); 307 is chosen
     // off the integer boundary so summation-order ulps can't flip a floor.

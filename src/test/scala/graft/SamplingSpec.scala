@@ -222,6 +222,32 @@ class SamplingSpec extends AnyFunSuite {
       "a fresh salt must actually reshuffle")
   }
 
+  test("per-key cap: over-cap keys keep exactly k lowest-md5 rows, " +
+      "under-cap keys keep everything, null keys group, salts redraw") {
+    import spark.implicits._
+    val df = ((1L to 20L).map(i => (i, Option("big.com"))) ++
+      (21L to 23L).map(i => (i, Option("small.org"))) ++
+      (24L to 30L).map(i => (i, Option.empty[String])))
+      .toDF("doc_id", "host")
+    val out = Sampling.capPerKey(df, "host", "doc_id", "s1", k = 5)
+      .collect().map(r => (Option(r.getString(1)), r.getLong(0))).toSeq
+    val byKey = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byKey(Some("big.com")).size === 5, "over-cap keys clip to k")
+    assert(byKey(Some("small.org")) === Set(21L, 22L, 23L),
+      "under-cap keys keep everything")
+    assert(byKey(None).size === 5, "null keys are a capped group too")
+    // the kept set is exactly the k lowest md5('s1|'||id) per key
+    val expect = (1L to 20L).sortBy(i =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"s1|$i"))
+      .take(5).toSet
+    assert(byKey(Some("big.com")) === expect)
+    // a fresh salt actually redraws
+    val out2 = Sampling.capPerKey(df, "host", "doc_id", "s2", k = 5)
+      .collect().filter(r => r.getString(1) == "big.com")
+      .map(_.getLong(0)).toSet
+    assert(out2 !== expect, "a fresh salt must redraw the capped set")
+  }
+
   test("epoch plan: quota arithmetic survives a multi-quintillion-token " +
       "budget (the w_m * total product overflows Long; DECIMAL doesn't)") {
     import spark.implicits._
