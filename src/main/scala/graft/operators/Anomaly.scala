@@ -113,7 +113,9 @@ object Anomaly {
       .groupBy(col("__rk"))
       .agg(round(expr(s"percentile(abs(`$valueCol` - __med), 0.5)"), 6)
         .as("__mad"))
-    val stats = med.join(mad, Seq("__rk"))
+    val stats = med.join(mad.withColumnRenamed("__rk", "__rk2"),
+        col("__rk") <=> col("__rk2"))
+      .drop("__rk2")
     val statsSide = if (broadcastStats) broadcast(stats) else stats
     val rz = round(lit(0.6745) * (col(valueCol) - col("__med")) /
       col("__mad"), 6)

@@ -387,29 +387,6 @@ object Behavior {
     credited.unionAll(organic)
   }
 
-  /** First-order Markov transition matrix over per-user event paths —
-    * the path-analysis primitive (next-step prediction, funnel
-    * discovery, session flow charts): for each consecutive in-user pair
-    * `(e_i → e_{i+1})` count transitions and emit the row-conditional
-    * probability P(to | from) in exact micros.
-    *
-    * Shape: ONE window pass partitioned by user (ordered by ts with an
-    * explicit integral tiebreak — never rely on physical row order),
-    * then a hash aggregate to the |types|² transition relation; the
-    * row-total window runs over THAT aggregated relation (≤ |types|²
-    * rows — bounded however large the corpus). Probability is
-    * round-half-up((n·1e6)/row_total) as pure long arithmetic
-    * ((2a+b) div (2b) — the pplCore discipline), so the oracle replays
-    * every cell. Returns `(from_type, to_type, n, p_micros)`. */
-  /** RFM segmentation (recency / frequency / monetary — the classic
-    * customer-value grid): per user over the purchase stream, the
-    * latest-purchase micros, the purchase count, and the exact DECIMAL
-    * spend, each scored 1..`bins` by EQUI-DEPTH cuts
-    * ([[Features.equiDepthBins]] — broadcast percentile cuts + a
-    * map-only compare, never a corpus-wide ntile window), composed into
-    * the `r·100 + f·10 + m` segment code. Users with no purchases are
-    * absent — RFM is defined over buyers. Returns
-    * `(<userCol>, r_score, f_score, m_score, segment)`. */
   /** Dialog-format audit — the chat-training-data QA gate (SFT/RLHF
     * corpora are conversations, and a malformed one — double user
     * turns, assistant-first, trailing user message, alien roles —
@@ -419,11 +396,19 @@ object Behavior {
     * (consecutive same-role turns), the count of roles outside
     * {user, assistant}, and the composed `well_formed` verdict
     * (starts with user, ends with assistant, zero violations, zero
-    * alien roles). Null-role turns count as alien (a missing role is
-    * malformed, not ignorable). ONE window pass partitioned by
-    * conversation + one hash aggregate — conversations are bounded, the
-    * corpus is never globally sorted. Returns `(<convCol>, n_turns,
-    * first_role, last_role, n_violations, n_alien_roles,
+    * alien roles, zero null-timestamp turns). Null-role turns count as
+    * alien (a missing role is malformed, not ignorable). A
+    * null-TIMESTAMP turn cannot be placed in the alternation order, so
+    * it is excluded from the ordered checks — but NEVER silently: it is
+    * counted in `n_null_ts` and fails the verdict (a conversation whose
+    * only defect is an unplaceable turn is still malformed, which is
+    * the whole point of the gate). A conversation where EVERY turn has
+    * a null timestamp still surfaces: `n_turns = 0`, null roles,
+    * `well_formed = false`. ONE window pass partitioned by conversation
+    * + one hash aggregate, plus a conversations-sized outer join for
+    * the null-ts counts — conversations are bounded, the corpus is
+    * never globally sorted. Returns `(<convCol>, n_turns, first_role,
+    * last_role, n_violations, n_alien_roles, n_null_ts,
     * well_formed)`. */
   def dialogAudit(df: DataFrame, convCol: String, tsCol: String,
       idCol: String, roleCol: String, userRole: String = "user",
@@ -431,13 +416,14 @@ object Behavior {
     require(userRole != assistantRole, "user and assistant roles must differ")
     val w = Window.partitionBy(col(convCol))
       .orderBy(col(tsCol), col(idCol))
-    val ordered = df
-      .filter(col(convCol).isNotNull && col(tsCol).isNotNull)
+    val base = df.filter(col(convCol).isNotNull)
       .select(col(convCol), col(tsCol), col(idCol),
         col(roleCol).cast("string").as("__r"))
+    val ordered = base
+      .filter(col(tsCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__prev", lag(col("__r"), 1).over(w))
-    ordered.groupBy(col(convCol))
+    val audited = ordered.groupBy(col(convCol))
       .agg(count(lit(1)).as("n_turns"),
         max(when(col("__rn") === 1, col("__r"))).as("first_role"),
         max(struct(col("__rn"), col("__r"))).getField("__r")
@@ -448,12 +434,31 @@ object Behavior {
         sum(when(col("__r").isNull ||
           !col("__r").isin(userRole, assistantRole), 1L).otherwise(0L))
           .as("n_alien_roles"))
+    val nullTs = base.filter(col(tsCol).isNull)
+      .groupBy(col(convCol)).agg(count(lit(1)).as("__n_null_ts"))
+    audited.join(nullTs, Seq(convCol), "full_outer")
+      .select(col(convCol),
+        coalesce(col("n_turns"), lit(0L)).as("n_turns"),
+        col("first_role"), col("last_role"),
+        coalesce(col("n_violations"), lit(0L)).as("n_violations"),
+        coalesce(col("n_alien_roles"), lit(0L)).as("n_alien_roles"),
+        coalesce(col("__n_null_ts"), lit(0L)).as("n_null_ts"))
       .withColumn("well_formed",
         coalesce(col("first_role") === userRole, lit(false)) &&
           coalesce(col("last_role") === assistantRole, lit(false)) &&
-          col("n_violations") === 0L && col("n_alien_roles") === 0L)
+          col("n_violations") === 0L && col("n_alien_roles") === 0L &&
+          col("n_null_ts") === 0L)
   }
 
+  /** RFM segmentation (recency / frequency / monetary — the classic
+    * customer-value grid): per user over the purchase stream, the
+    * latest-purchase micros, the purchase count, and the exact DECIMAL
+    * spend, each scored 1..`bins` by EQUI-DEPTH cuts
+    * ([[Features.equiDepthBins]] — broadcast percentile cuts + a
+    * map-only compare, never a corpus-wide ntile window), composed into
+    * the `r·100 + f·10 + m` segment code. Users with no purchases are
+    * absent — RFM is defined over buyers. Returns
+    * `(<userCol>, r_score, f_score, m_score, segment)`. */
   def rfmSegments(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, valueCol: String, purchaseType: String,
       bins: Int = 5): DataFrame = {
@@ -503,6 +508,20 @@ object Behavior {
       .orderBy(col("n").desc, col("path")).limit(k)
   }
 
+  /** First-order Markov transition matrix over per-user event paths —
+    * the path-analysis primitive (next-step prediction, funnel
+    * discovery, session flow charts): for each consecutive in-user pair
+    * `(e_i → e_{i+1})` count transitions and emit the row-conditional
+    * probability P(to | from) in exact micros.
+    *
+    * Shape: ONE window pass partitioned by user (ordered by ts with an
+    * explicit integral tiebreak — never rely on physical row order),
+    * then a hash aggregate to the |types|² transition relation; the
+    * row-total window runs over THAT aggregated relation (≤ |types|²
+    * rows — bounded however large the corpus). Probability is
+    * round-half-up((n·1e6)/row_total) as pure long arithmetic
+    * ((2a+b) div (2b) — the pplCore discipline), so the oracle replays
+    * every cell. Returns `(from_type, to_type, n, p_micros)`. */
   def markovTransitions(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))

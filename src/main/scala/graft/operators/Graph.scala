@@ -690,7 +690,12 @@ object Graph {
     * shuffle is SIZED from that same closed-form wedge count (~2M rows
     * per reduce task, capped at 4096 partitions), so the agg state fits
     * in memory at any graph size instead of spilling once the session
-    * default partitioning saturates.
+    * default partitioning saturates. That sizing probe is ONE eager
+    * nodes-sized scalar at plan-construction time (it runs a Spark job
+    * the moment this is called — the operator is batch-only by design);
+    * pass `sizeShuffle = false` to skip it and stay side-effect-free
+    * on the session default partitioning (lazily composable, at the
+    * cost of the spill protection — dev loops and small graphs).
     *
     * Determinism: per-center weight = round(1/ln(deg), 6) as
     * DECIMAL(18,6), summed exactly (order-independent); final ranking
@@ -698,8 +703,8 @@ object Graph {
     * integral (they ride the bounded ranking buffer as longs — the
     * [[Similarity.perQueryTopK]] contract); re-key string-keyed graphs
     * first. */
-  def adamicAdar(edges: DataFrame, k: Int, maxDegree: Int = 10000)
-      : DataFrame = {
+  def adamicAdar(edges: DataFrame, k: Int, maxDegree: Int = 10000,
+      sizeShuffle: Boolean = true): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(maxDegree >= 2, s"need maxDegree >= 2, got $maxDegree")
     val und = Iterate.checkpoint(edges
@@ -721,12 +726,14 @@ object Graph {
     // is what spilled above ~300M pair rows. ~2M rows per reduce task
     // keeps the per-task agg state comfortably in memory; small graphs
     // stay on the session default (no extra exchange, no bench tax).
-    val wedgeRows = cdeg.agg(coalesce(
-      sum(col("__d") * (col("__d") - lit(1L))), lit(0L)))
-      .first().getLong(0) / 2
     val defaultParts = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val pairParts = math.min(4096L,
-      math.max(defaultParts.toLong, wedgeRows / 2000000L + 1)).toInt
+    val pairParts = if (!sizeShuffle) defaultParts else {
+      val wedgeRows = cdeg.agg(coalesce(
+        sum(col("__d") * (col("__d") - lit(1L))), lit(0L)))
+        .first().getLong(0) / 2
+      math.min(4096L,
+        math.max(defaultParts.toLong, wedgeRows / 2000000L + 1)).toInt
+    }
     val centers = cdeg.select(col("z"),
       round(lit(1.0) / log(col("__d")), 6).cast("decimal(18,6)").as("w"))
     val wn = nbrs.join(centers, Seq("z"))

@@ -623,31 +623,44 @@ object Multimodal {
     * `err` the exception's class+message (null when ok) — a corrupt
     * byte stream becomes a row, never a task failure. Unknown mimes are
     * `ok = false` with a named reason (an unroutable payload is not a
-    * healthy one). Map-only. */
+    * healthy one). Only `NonFatal` decode errors become verdicts: a
+    * fatal executor error (OutOfMemoryError, LinkageError) is
+    * INFRASTRUCTURE failure, not data corruption — it must kill the
+    * task and surface, not hide as an `ok = false` row at 100 TB.
+    * Map-only. */
   def mediaTriage(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.map { rec =>
-        val verdict: Either[String, Unit] =
-          try {
-            if (rec.meta.mime.startsWith("image/")) {
-              ImageCodec.decode(rec.bytes, rec.meta.mime); Right(())
-            } else if (rec.meta.mime.startsWith("audio/")) {
-              WavCodec.decodePcm16(rec.bytes); Right(())
-            } else if (rec.meta.mime == "video/x-graft-gvid") {
-              val (_, _, frames) = GvidCodec.decode(rec.bytes)
-              frames.foreach(f => ImageCodec.decode(f, "image/png"))
-              Right(())
-            } else Left(s"unroutable mime '${rec.meta.mime}'")
-          } catch {
-            case e: Throwable =>
-              Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-          }
+        val verdict = triageAttempt {
+          if (rec.meta.mime.startsWith("image/")) {
+            ImageCodec.decode(rec.bytes, rec.meta.mime); Right(())
+          } else if (rec.meta.mime.startsWith("audio/")) {
+            WavCodec.decodePcm16(rec.bytes); Right(())
+          } else if (rec.meta.mime == "video/x-graft-gvid") {
+            val (_, _, frames) = GvidCodec.decode(rec.bytes)
+            frames.foreach(f => ImageCodec.decode(f, "image/png"))
+            Right(())
+          } else Left(s"unroutable mime '${rec.meta.mime}'")
+        }
         (rec.media_id, rec.meta.mime, verdict.isRight,
           verdict.left.toOption.orNull)
       }
     }.toDF("media_id", "mime", "ok", "err")
   }
+
+  /** [[mediaTriage]]'s catch discipline, factored for direct test: a
+    * `NonFatal` decode failure becomes a `Left` verdict; a fatal VM
+    * error (OutOfMemoryError, LinkageError) PROPAGATES and kills the
+    * task — infrastructure failure must never masquerade as data
+    * corruption. */
+  private[graft] def triageAttempt(attempt: => Either[String, Unit])
+      : Either[String, Unit] =
+    try attempt
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+    }
 
   /** Deterministic header corruption — the triage fixture's fault
     * injector: zero the payload's first `k` bytes (magic/signature), so

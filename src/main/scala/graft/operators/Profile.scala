@@ -769,7 +769,10 @@ object Profile {
     * the whole test is exact integers (scores arrive as integral units
     * by contract; cast them to micros upstream). One-sided p-value =
     * fraction of replicates with statistic ≤ 0 (half-up ppm). Items
-    * with a null score on either side are unpaired — excluded, counted.
+    * with a null score on either side — or a null id, whose md5 seed
+    * would be null and whose weight would silently resolve to the CASE
+    * default instead of a Poisson(1) draw — are unpaired: excluded,
+    * counted.
     * Returns ONE row `(n_items, n_unpaired, b_reps, wins_a, ties,
     * wins_b, p_ppm, mean_delta)` with `mean_delta` the plain average
     * item delta in half-up micros-of-a-unit (·1e6 div n, truncation
@@ -782,10 +785,12 @@ object Profile {
       bCol: String, b: Int = 200, salt: String = "boot"): DataFrame = {
     require(b >= 10 && b <= 100000, s"need 10 <= B <= 100000, got $b")
     val th = poissonThresholdsU32(8)
-    val paired = scores.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val paired = scores.filter(col(idCol).isNotNull &&
+        col(aCol).isNotNull && col(bCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"),
         (col(aCol).cast("long") - col(bCol).cast("long")).as("__d"))
-    val nUnpaired = scores.filter(col(aCol).isNull || col(bCol).isNull)
+    val nUnpaired = scores.filter(col(idCol).isNull ||
+        col(aCol).isNull || col(bCol).isNull)
       .agg(count(lit(1)).as("n_unpaired"))
     val exploded = paired
       .select(col("__id"), col("__d"),

@@ -64,28 +64,6 @@ object Sampling {
   def downsample(df: DataFrame, idCol: String, salt: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(idCol), salt) < pct)
 
-  /** Training-mixture sampling: take EXACTLY `quotas(domain)` rows per
-    * domain (fewer only if the domain is smaller than its quota),
-    * deterministically — a domain's sample is its `quota` lowest
-    * md5(salt|id) keys, ties broken by id. This is how a pretraining mix
-    * ("books 30 %, web 60 %, code 10 % of N docs") is materialized from
-    * an over-supplied corpus: exact per-source counts, stable under
-    * re-runs, repartitioning, and corpus growth ORDER (adding docs only
-    * displaces the highest-keyed survivors).
-    *
-    * Shape: one bounded-buffer aggregation per domain
-    * ([[graft.functions.TopKAggregator.MinK]]) — the partial buffer
-    * ships ≤ max-quota (key, id) pairs per domain per map task, so no
-    * reducer ever sorts a full domain. The buffer is quota-sized:
-    * this is a DOWN-sampling operator (quota ≪ domain size); a quota
-    * near the corpus size degrades to collect-the-domain and should be
-    * a filter instead.
-    *
-    * Returns `(<idCol>, <domainCol>, rn)` with rn ∈ [1, quota] the
-    * within-domain sample rank. Domains absent from `quotas` are
-    * excluded entirely. Ids ride the buffer as longs, so the id column
-    * must be integral (fail-fast; re-key string-id corpora first);
-    * null-id rows are excluded. */
   /** Per-key cap — the host-balance / politeness sampler (C4-style
     * crawl curation caps documents per host so megasites can't dominate
     * the mix; the same shape caps user contributions, per-repo files,
@@ -115,6 +93,28 @@ object Sampling {
         (col("pos") + lit(1)).as("rn"))
   }
 
+  /** Training-mixture sampling: take EXACTLY `quotas(domain)` rows per
+    * domain (fewer only if the domain is smaller than its quota),
+    * deterministically — a domain's sample is its `quota` lowest
+    * md5(salt|id) keys, ties broken by id. This is how a pretraining mix
+    * ("books 30 %, web 60 %, code 10 % of N docs") is materialized from
+    * an over-supplied corpus: exact per-source counts, stable under
+    * re-runs, repartitioning, and corpus growth ORDER (adding docs only
+    * displaces the highest-keyed survivors).
+    *
+    * Shape: one bounded-buffer aggregation per domain
+    * ([[graft.functions.TopKAggregator.MinK]]) — the partial buffer
+    * ships ≤ max-quota (key, id) pairs per domain per map task, so no
+    * reducer ever sorts a full domain. The buffer is quota-sized:
+    * this is a DOWN-sampling operator (quota ≪ domain size); a quota
+    * near the corpus size degrades to collect-the-domain and should be
+    * a filter instead.
+    *
+    * Returns `(<idCol>, <domainCol>, rn)` with rn ∈ [1, quota] the
+    * within-domain sample rank. Domains absent from `quotas` are
+    * excluded entirely. Ids ride the buffer as longs, so the id column
+    * must be integral (fail-fast; re-key string-id corpora first);
+    * null-id rows are excluded. */
   def mixtureSample(df: DataFrame, domainCol: String, idCol: String,
       salt: String, quotas: Map[String, Int]): DataFrame = {
     require(quotas.nonEmpty, "need at least one domain quota")

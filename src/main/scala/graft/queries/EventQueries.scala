@@ -301,8 +301,11 @@ object EventQueries extends graft.QueryPack {
     // ---- E30: dialog-format audit (chat-training-data QA) ---------------
     // Each user's event stream audited as a conversation: click/view map
     // to 'user' turns, purchase to 'assistant', anything else is alien.
-    // The oracle replays the (ts, event_id) ordering, the lag-based
-    // alternation count, and the composed verdict.
+    // Null-ts turns can't be placed in the alternation order, so they're
+    // excluded from the ordered checks but counted (n_null_ts) and fail
+    // the verdict. The oracle replays the (ts, event_id) ordering, the
+    // lag-based alternation count, the null-ts outer join, and the
+    // composed verdict.
     Q("q_e30_dialog_audit",
       (s, d) => graft.operators.Behavior.dialogAudit(
         Tables.events(s, d)
@@ -312,17 +315,17 @@ object EventQueries extends graft.QueryPack {
               .when(col("event_type") === "purchase", "assistant")
               .otherwise("other").as("role")),
         "user_id", "ts", "event_id", "role"),
-      Some("""WITH r AS (SELECT user_id, ts, event_id,
+      Some("""WITH b AS (SELECT user_id, ts, event_id,
              |    CASE WHEN event_type IN ('click', 'view') THEN 'user'
              |      WHEN event_type = 'purchase' THEN 'assistant'
              |      ELSE 'other' END AS role
-             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |  FROM events WHERE user_id IS NOT NULL),
              |o AS (SELECT user_id, role,
              |    row_number() OVER (PARTITION BY user_id
              |      ORDER BY ts, event_id) AS rn,
              |    lag(role) OVER (PARTITION BY user_id
              |      ORDER BY ts, event_id) AS prev
-             |  FROM r),
+             |  FROM b WHERE ts IS NOT NULL),
              |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
              |    MAX(CASE WHEN rn = 1 THEN role END) AS first_role,
              |    MAX(CASE WHEN rn = mx THEN role END) AS last_role,
@@ -332,13 +335,21 @@ object EventQueries extends graft.QueryPack {
              |      THEN 1 END) AS BIGINT) AS n_alien_roles
              |  FROM (SELECT *, MAX(rn) OVER (PARTITION BY user_id) AS mx
              |        FROM o)
-             |  GROUP BY 1)
-             |SELECT user_id, n_turns, first_role, last_role, n_violations,
-             |  n_alien_roles,
+             |  GROUP BY 1),
+             |nt AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_null_ts
+             |  FROM b WHERE ts IS NULL GROUP BY 1)
+             |SELECT COALESCE(a.user_id, nt.user_id) AS user_id,
+             |  COALESCE(n_turns, 0) AS n_turns, first_role, last_role,
+             |  COALESCE(n_violations, 0) AS n_violations,
+             |  COALESCE(n_alien_roles, 0) AS n_alien_roles,
+             |  COALESCE(n_null_ts, 0) AS n_null_ts,
              |  COALESCE(first_role = 'user', false)
              |    AND COALESCE(last_role = 'assistant', false)
-             |    AND n_violations = 0 AND n_alien_roles = 0 AS well_formed
-             |FROM a""".stripMargin)),
+             |    AND COALESCE(n_violations, 0) = 0
+             |    AND COALESCE(n_alien_roles, 0) = 0
+             |    AND COALESCE(n_null_ts, 0) = 0 AS well_formed
+             |FROM a FULL OUTER JOIN nt ON a.user_id = nt.user_id"""
+        .stripMargin)),
 
     // ---- E28/E29: pairwise-preference aggregation (RLHF data ops) -------
     // A preference corpus synthesized engine-independently from events:

@@ -1544,9 +1544,10 @@ object RelationalQueries extends graft.QueryPack {
            |        x -> x <> '')) - doc_id % 3 END AS b
            |  FROM documents),
            |p AS (SELECT CAST(doc_id AS VARCHAR) AS id, a - b AS d
-           |  FROM sc WHERE a IS NOT NULL AND b IS NOT NULL),
+           |  FROM sc WHERE doc_id IS NOT NULL
+           |    AND a IS NOT NULL AND b IS NOT NULL),
            |up AS (SELECT COUNT(*) AS n_unpaired FROM sc
-           |  WHERE a IS NULL OR b IS NULL),
+           |  WHERE doc_id IS NULL OR a IS NULL OR b IS NULL),
            |e AS (SELECT id, d, br FROM p,
            |  (SELECT unnest(range(1, 201)) AS br)),
            |w AS (SELECT d, br, $wCase AS w FROM (

@@ -96,4 +96,23 @@ class AnomalySpec extends AnyFunSuite {
     assert(out(14L) === ((None, true)),
       "off-median in a zero-MAD cohort must flag with an honest null rz")
   }
+
+  test("robust z: the null-key cohort keeps its median/MAD stats") {
+    import spark.implicits._
+    // null keys form their own cohort: values 1..9 + outlier, same
+    // shape as cohort a above — median 5.5, MAD 2.5. A null-unsafe
+    // stats join would drop the cohort's row and score every null-key
+    // observation rz=null / is_anomaly=false.
+    val obs = ((1 to 9).map(i => (i.toLong, null: String, i.toDouble)) :+
+      ((10L, null: String, 1000000.0)) :+
+      ((11L, "a", 1.0)) :+ ((12L, "a", 2.0)) :+ ((13L, "a", 90.0)))
+      .toDF("id", "k", "v")
+    val out = Anomaly.robustZ(obs, "k", "v", threshold = 3.5)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getBoolean(4)))).toMap
+    assert(out(1L)._1 === Some(-1.2141),
+      "null-key cohort must keep its median/MAD row through the stats join")
+    assert(out(10L)._2 === true && out(10L)._1.get > 1000.0)
+  }
 }

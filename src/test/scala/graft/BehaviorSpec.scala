@@ -264,19 +264,31 @@ class BehaviorSpec extends AnyFunSuite {
       (3L, 9L, "2026-01-01 10:00:00", "assistant"),
       (3L, 10L, "2026-01-01 10:00:00", "user"),
       (3L, 11L, "2026-01-01 10:01:00", null.asInstanceOf[String]),
-      (3L, 12L, "2026-01-01 10:02:00", "system")
+      (3L, 12L, "2026-01-01 10:02:00", "system"),
+      // conv 4: a perfect u/a alternation whose ONLY defect is one
+      // unplaceable (null-ts) turn — must still fail the verdict
+      (4L, 13L, "2026-01-01 10:00:00", "user"),
+      (4L, 14L, "2026-01-01 10:01:00", "assistant"),
+      (4L, 15L, null.asInstanceOf[String], "user"),
+      // conv 5: EVERY turn null-ts — still surfaces, malformed
+      (5L, 16L, null.asInstanceOf[String], "user")
     ).map { case (c, e, at, r) =>
-      (c, e, java.sql.Timestamp.valueOf(at), r) }
+      (c, e, if (at == null) null else java.sql.Timestamp.valueOf(at), r) }
       .toDF("conv", "event_id", "ts", "role")
     val out = Behavior.dialogAudit(rows, "conv", "ts", "event_id", "role")
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getString(2), r.getString(3), r.getLong(4),
-          r.getLong(5), r.getBoolean(6)))).toMap
-    assert(out(1L) === ((4L, "user", "assistant", 0L, 0L, true)))
-    assert(out(2L) === ((4L, "user", "user", 1L, 0L, false)),
+          r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+    assert(out(1L) === ((4L, "user", "assistant", 0L, 0L, 0L, true)))
+    assert(out(2L) === ((4L, "user", "user", 1L, 0L, 0L, false)),
       "one double-user violation; trailing user breaks the verdict")
-    assert(out(3L) === ((4L, "assistant", "system", 0L, 2L, false)),
+    assert(out(3L) === ((4L, "assistant", "system", 0L, 2L, 0L, false)),
       "tie orders by id (assistant first), null + system are alien")
+    assert(out(4L) === ((2L, "user", "assistant", 0L, 0L, 1L, false)),
+      "a conversation whose only violation is a null-ts turn must NOT " +
+        "audit well_formed — the dropped turn is counted, not hidden")
+    assert(out(5L) === ((0L, null, null, 0L, 0L, 1L, false)),
+      "an all-null-ts conversation still surfaces as malformed")
   }
 
   test("time-decay attribution: all-ancient touches clamp to 1 micro " +

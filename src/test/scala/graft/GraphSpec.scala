@@ -415,6 +415,12 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.adamicAdar(square, 0))
     intercept[IllegalArgumentException](
       Graph.adamicAdar(square, 1, maxDegree = 1))
+    // sizeShuffle = false: identical scores, plan construction runs no
+    // sizing job (lazily composable on the session default partitioning)
+    val lazyAa = Graph.adamicAdar(square, k = 5, sizeShuffle = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(lazyAa === aa, "sizeShuffle=false must not change scores")
   }
 
   test("weighted shortest paths: a cheap 2-hop beats the expensive " +

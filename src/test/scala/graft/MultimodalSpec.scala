@@ -464,6 +464,19 @@ class MultimodalSpec extends AnyFunSuite {
       "unknown mimes are named, not crashed on")
   }
 
+  test("mediaTriage catch discipline: NonFatal becomes a verdict, a " +
+      "fatal VM error propagates (infrastructure != data corruption)") {
+    val soft = Multimodal.triageAttempt(
+      throw new RuntimeException("bad magic"))
+    assert(soft === Left("RuntimeException: bad magic"))
+    val fatal = intercept[OutOfMemoryError](
+      Multimodal.triageAttempt(throw new OutOfMemoryError("codec blew up")))
+    assert(fatal.getMessage === "codec blew up",
+      "an OOM inside a codec must kill the task, not become ok=false")
+    intercept[LinkageError](
+      Multimodal.triageAttempt(throw new LinkageError("missing native")))
+  }
+
   test("Discovery.latestFiles: extension filter, mtime desc, cap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-disc")
     for (i <- 1 to 7) {

@@ -675,6 +675,15 @@ class ScdProfileSpec extends AnyFunSuite {
       Seq((99L, Option.empty[Long], Option(5L))).toDF("item", "a", "b"))
     assert(Profile.pairedBootstrap(withNull, "item", "a", "b", b = 50)
       .collect().head.getLong(1) === 1L)
+    // a null ID is unpaired too (its md5 seed would be null and the
+    // weight would silently resolve to the CASE default, not Poisson(1))
+    val withNullId = scores.union(
+      Seq((Option.empty[Long], Option(7L), Option(5L)))
+        .toDF("item", "a", "b"))
+    val ni = Profile.pairedBootstrap(withNullId, "item", "a", "b", b = 50)
+      .collect().head
+    assert(ni.getLong(0) === 40L && ni.getLong(1) === 1L,
+      "null-id rows are excluded from the paired relation and counted")
     // noisy case: per-item delta alternates +1/-9 (B better on average)
     val noisy = (1L to 40L).map(i =>
       (i, 100L, if (i % 10 == 0) 109L else 99L)).toDF("item", "a", "b")
