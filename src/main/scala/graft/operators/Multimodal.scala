@@ -975,4 +975,85 @@ object Multimodal {
       }
     }
   }
+
+  /** Paired image-text alignment curation — the CROSS-modal gate
+    * (Schuhmann et al. 2021, LAION-400M: CLIP-score filtering): a
+    * multimodal training record is an (image embedding, text embedding)
+    * PAIR, and it ships only if the two sides agree. Per pair, the
+    * 6-dp cosine between its own sides in integer micros
+    * (`round(round(cos, 6)·1e6)` — the [[Similarity.bitextMarginTopK]]
+    * quantization, so the gate compare is an exact long), the
+    * `aligned` verdict (`cos_micros ≥ tauMicros`), plus MISMATCHED-PAIR
+    * MINING: for each pair selected by `minePred`, the single OTHER
+    * pair whose text matches this pair's image best (`alt_id`,
+    * `alt_micros`, ties by lower id — the [[Similarity.perQueryTopK]]
+    * contract), and `mismatched = alt_micros > cos_micros` (an image
+    * that prefers a DIFFERENT caption over its own is mislabeled data,
+    * not merely weakly aligned data).
+    *
+    * Scale shape: the gate is MAP-ONLY (the pair's two vectors sit on
+    * one row — no join, no shuffle). Mining is one bounded top-k pass:
+    * the `minePred` slice of images BROADCASTS (the
+    * [[Similarity.bruteForceTopK]] queryPred contract — mine an audit
+    * sample or a suspect source, not the corpus; at full-corpus scale
+    * feed LSH/IVF candidate pairs instead), the text side streams
+    * map-only, and ≤ 1 (score, id) pair per image per map task ever
+    * shuffles. Null or zero-norm embeddings have no defined cosine:
+    * the pair surfaces with `cos_micros` null and `aligned = false`
+    * (a verdict per pair — the [[Similarity.semanticDecontaminate]]
+    * observability stance), its text never ranks as a mining
+    * candidate, and `mismatched` stays false without a baseline to
+    * compare against. Pair ids must be integral (they ride the bounded
+    * ranking buffer as longs). Returns `(<idCol>, <srcCol>,
+    * cos_micros, aligned, alt_id, alt_micros, mismatched)`. */
+  def pairAlignment(pairs: DataFrame, idCol: String, srcCol: String,
+      imgCol: String, txtCol: String, tauMicros: Long,
+      minePred: org.apache.spark.sql.Column): DataFrame = {
+    require(tauMicros >= -1000000L && tauMicros <= 1000000L,
+      s"tau is micros of cosine in [-1e6, 1e6], got $tauMicros")
+    val sp = pairs.sparkSession
+    def nrm(c: org.apache.spark.sql.Column) =
+      sqrt(Similarity.nativeDot(sp, c, c))
+    val base = pairs.select(col(idCol), col(srcCol),
+        col(imgCol).as("__iv"), col(txtCol).as("__tv"), minePred.as("__mine"))
+      .withColumn("__in", when(col("__iv").isNotNull, nrm(col("__iv"))))
+      .withColumn("__tn", when(col("__tv").isNotNull, nrm(col("__tv"))))
+    val verdicts = base.withColumn("cos_micros",
+        when(col("__in") > 0 && col("__tn") > 0,
+          round(round(Similarity.nativeDot(sp, col("__iv"), col("__tv"))
+            / (col("__in") * col("__tn")), 6) * 1e6).cast("long")))
+      .withColumn("aligned",
+        coalesce(col("cos_micros") >= tauMicros, lit(false)))
+    val queries = verdicts.filter(col("__mine") && col("__in") > 0)
+      .select(col(idCol).as("__qid"), col("__iv").as("__qv"),
+        col("__in").as("__qn"))
+    val cands = verdicts.filter(col("__tn") > 0)
+      .select(col(idCol).as("__cid"), col("__tv").as("__cv"),
+        col("__tn").as("__cn"))
+    val scored = Par.spread(cands).crossJoin(broadcast(queries))
+      .filter(col("__cid") =!= col("__qid"))
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        round(round(Similarity.nativeDot(sp, col("__qv"), col("__cv"))
+          / (col("__qn") * col("__cn")), 6) * 1e6).cast("long")
+          .cast("double").as("score"))
+    val alt = Similarity.perQueryTopK(scored, 1)
+      .select(col("query_id").as(idCol), col("neighbor_id").as("alt_id"),
+        col("score").cast("long").as("alt_micros"))
+    verdicts.join(alt, Seq(idCol), "left")
+      .select(col(idCol), col(srcCol), col("cos_micros"), col("aligned"),
+        col("alt_id"), col("alt_micros"),
+        coalesce(col("alt_micros") > col("cos_micros"), lit(false))
+          .as("mismatched"))
+  }
+
+  /** Per-source alignment-rate audit over [[pairAlignment]] verdicts —
+    * the [[Profile.gateParity]] four-fifths shape applied to the
+    * cross-modal gate: a source whose pairs align at a fraction of the
+    * best source's rate is shipping miscaptioned data wholesale, and
+    * the curator should see that BEFORE the gate silently reshapes the
+    * mix. One hash aggregation over the verdict relation. */
+  def pairAlignmentParity(verdicts: DataFrame, srcCol: String,
+      minParityPpm: Long = 800000L): DataFrame =
+    Profile.gateParity(verdicts.select(col(srcCol), col("aligned")),
+      srcCol, "aligned", minParityPpm)
 }

@@ -627,6 +627,116 @@ object MultimodalQueries extends graft.QueryPack {
               |  SELECT *, row_number() OVER (
               |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
               |  FROM scored)
-              |WHERE rnk <= 5""".stripMargin))
+              |WHERE rnk <= 5""".stripMargin)),
+
+    // ---- M18: paired image-text alignment (LAION-style CLIP gating) -----
+    // Paired records synthesized engine-independently from embeddings:
+    // even vec_id = the pair's image embedding, odd = its text embedding,
+    // pair_id = vec_id div 2, source = 's' || pid % 4. Gate at 100k
+    // micros (58/250 aligned at sf0.01); mining runs on the even-pid
+    // audit slice (the minePred contract) against ALL texts. The oracle
+    // replays the 6-dp micro cosine, the gate, and the top-1 mismatch
+    // argmax (ties by lower alt id).
+    Q("q_m18_pair_alignment",
+      (s, d) => Multimodal.pairAlignment(embPairs(s, d), "pair_id",
+        "source", "img_emb", "txt_emb", tauMicros = 100000L,
+        minePred = col("pair_id") % 2 === 0),
+      Some(s"""WITH $duckPairCos,
+              |xs AS (
+              |  SELECT a.pid AS qid, b.pid AS cid,
+              |         SUM(CAST(a.e AS DOUBLE) * CAST(b.e AS DOUBLE)) AS dot
+              |  FROM ix a JOIN tx b ON b.i = a.i
+              |  WHERE a.pid % 2 = 0 AND b.pid <> a.pid
+              |  GROUP BY 1, 2),
+              |altm AS (
+              |  SELECT c.qid, c.cid,
+              |    CAST(ROUND(ROUND(c.dot / (nq.nrm * nc.nrm), 6) * 1e6)
+              |      AS BIGINT) AS am
+              |  FROM xs c
+              |  JOIN inorm nq ON nq.pid = c.qid
+              |  JOIN tnorm nc ON nc.pid = c.cid),
+              |best AS (
+              |  SELECT qid, cid, am FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY qid ORDER BY am DESC, cid) AS rn
+              |    FROM altm) WHERE rn = 1)
+              |SELECT o.pid AS pair_id,
+              |  's' || CAST(o.pid % 4 AS VARCHAR) AS source,
+              |  o.cm AS cos_micros, o.cm >= 100000 AS aligned,
+              |  b.cid AS alt_id, b.am AS alt_micros,
+              |  COALESCE(b.am > o.cm, false) AS mismatched
+              |FROM ownm o LEFT JOIN best b ON b.qid = o.pid"""
+        .stripMargin)),
+
+    // ---- M20: per-source alignment-rate parity audit ---------------------
+    // The four-fifths gateParity shape over the M18 gate (mining off —
+    // the parity audit needs only the verdicts): a source shipping
+    // miscaptioned pairs wholesale flags before the gate reshapes the
+    // mix. Same exact-ppm arithmetic as q_v22.
+    Q("q_m20_alignment_parity",
+      (s, d) => Multimodal.pairAlignmentParity(
+        Multimodal.pairAlignment(embPairs(s, d), "pair_id", "source",
+          "img_emb", "txt_emb", tauMicros = 100000L,
+          minePred = lit(false)),
+        "source"),
+      Some(s"""WITH $duckPairCos,
+              |g AS (SELECT 's' || CAST(pid % 4 AS VARCHAR) AS source,
+              |    cm >= 100000 AS accept FROM ownm),
+              |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+              |    CAST(COUNT(CASE WHEN accept THEN 1 END) AS BIGINT)
+              |      AS n_accept,
+              |    CAST(COUNT(CASE WHEN accept IS NULL THEN 1 END) AS BIGINT)
+              |      AS n_null_verdict
+              |  FROM g GROUP BY 1),
+              |r AS (SELECT *, CAST((2 * n_accept * 1000000 + n) // (2 * n)
+              |    AS BIGINT) AS accept_ppm FROM per),
+              |b AS (SELECT MAX(accept_ppm) AS best FROM r)
+              |SELECT source, n, n_accept, n_null_verdict, accept_ppm,
+              |  CAST(CASE WHEN best > 0 THEN
+              |    (2 * accept_ppm * 1000000 + best) // (2 * best) END
+              |    AS BIGINT) AS parity_ppm,
+              |  COALESCE(CASE WHEN best > 0 THEN
+              |    (2 * accept_ppm * 1000000 + best) // (2 * best) < 800000
+              |    END, false) AS flagged
+              |FROM r, b""".stripMargin))
   )
+
+  /** The M18/M20 paired fixture: even vec_id = image side, odd = text
+    * side, pair_id = vec_id div 2, source = 's' || pid % 4 — both
+    * engines derive it from the embeddings parquet alone. */
+  private def embPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val emb = Tables.embeddings(s, d)
+    emb.filter(col("vec_id") % 2 === 0)
+      .select(expr("vec_id div 2").as("pair_id"),
+        col("embedding").as("img_emb"))
+      .join(emb.filter(col("vec_id") % 2 === 1)
+        .select(expr("vec_id div 2").as("pair_id"),
+          col("embedding").as("txt_emb")), Seq("pair_id"))
+      .withColumn("source",
+        concat(lit("s"), (col("pair_id") % 4).cast("string")))
+  }
+
+  /** Shared oracle prefix: the paired fixture's positional explode,
+    * norms, and own-pair integer-micro cosine `ownm(pid, cm)`. */
+  private val duckPairCos =
+    """img AS (SELECT vec_id // 2 AS pid, embedding AS v
+      |  FROM embeddings WHERE vec_id % 2 = 0),
+      |txt AS (SELECT vec_id // 2 AS pid, embedding AS v
+      |  FROM embeddings WHERE vec_id % 2 = 1),
+      |ix AS (SELECT pid, unnest(v) AS e,
+      |  unnest(range(1, len(v) + 1)) AS i FROM img),
+      |tx AS (SELECT pid, unnest(v) AS e,
+      |  unnest(range(1, len(v) + 1)) AS i FROM txt),
+      |inorm AS (SELECT pid, sqrt(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))
+      |  AS nrm FROM ix GROUP BY 1),
+      |tnorm AS (SELECT pid, sqrt(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))
+      |  AS nrm FROM tx GROUP BY 1),
+      |own AS (SELECT a.pid, SUM(CAST(a.e AS DOUBLE) * CAST(b.e AS DOUBLE))
+      |  AS dot FROM ix a JOIN tx b ON b.pid = a.pid AND b.i = a.i
+      |  GROUP BY 1),
+      |ownm AS (SELECT o.pid,
+      |    CAST(ROUND(ROUND(o.dot / (n1.nrm * n2.nrm), 6) * 1e6) AS BIGINT)
+      |      AS cm
+      |  FROM own o JOIN inorm n1 ON n1.pid = o.pid
+      |  JOIN tnorm n2 ON n2.pid = o.pid)""".stripMargin
 }

@@ -464,6 +464,59 @@ class MultimodalSpec extends AnyFunSuite {
       "unknown mimes are named, not crashed on")
   }
 
+  test("pairAlignment: planted mismatches are mined (ties by lower id), " +
+      "the gate is exact micros, null/zero-norm pairs surface unaligned") {
+    import spark.implicits._
+    val pairs = Seq(
+      // p1: perfectly aligned own pair
+      (1L, "a", Some(Seq(1f, 0f)), Some(Seq(1f, 0f))),
+      // p2: orthogonal own pair whose image PREFERS p1/p5's caption
+      (2L, "a", Some(Seq(1f, 0f)), Some(Seq(0f, 1f))),
+      // p3: own cos exactly 0.8 — aligned at tau 750000, still mismatched
+      (3L, "b", Some(Seq(0f, 1f)), Some(Seq(0.6f, 0.8f))),
+      // p4: null text — no own cosine, image still mines
+      (4L, "b", Some(Seq(1f, 0f)), None),
+      // p5: zero-norm image — no own cosine, never mined; its text ranks
+      (5L, "c", Some(Seq(0f, 0f)), Some(Seq(1f, 0f)))
+    ).toDF("pair_id", "source", "img_emb", "txt_emb")
+    val out = Multimodal.pairAlignment(pairs, "pair_id", "source",
+        "img_emb", "txt_emb", tauMicros = 750000L, minePred = lit(true))
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getBoolean(6)))).toMap
+    // p1: own 1e6; best alt = p5's identical caption (tie 1e6 with
+    // itself excluded; candidates 2:0, 3:600000, 5:1e6) — NOT mismatched
+    assert(out(1L) === ((Some(1000000L), true, Some(5L), Some(1000000L),
+      false)))
+    // p2: own 0; alts 1 and 5 tie at 1e6 -> lower id 1; mismatched
+    assert(out(2L) === ((Some(0L), false, Some(1L), Some(1000000L), true)))
+    // p3: own exactly 800000 (aligned); p2's caption matches at 1e6
+    assert(out(3L) === ((Some(800000L), true, Some(2L), Some(1000000L),
+      true)), "a pair can pass the gate and still be mismatched")
+    // p4: null text -> null cosine, unaligned, mining still runs but a
+    // missing baseline can never claim mismatch
+    assert(out(4L) === ((None, false, Some(1L), Some(1000000L), false)))
+    // p5: zero-norm image -> no cosine, no mining row
+    assert(out(5L) === ((None, false, None, None, false)))
+    // the minePred slice: only p2 mines, everyone else carries nulls
+    val sliced = Multimodal.pairAlignment(pairs, "pair_id", "source",
+        "img_emb", "txt_emb", tauMicros = 750000L,
+        minePred = col("pair_id") === 2L)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(4)).toMap
+    assert(!sliced(2L) && sliced(1L) && sliced(3L),
+      "mining is bounded to the minePred audit slice")
+    // per-source parity: a=1/2, b=1/2, c=0/1 -> c flags at 4/5ths
+    val par = Multimodal.pairAlignmentParity(
+      Multimodal.pairAlignment(pairs, "pair_id", "source", "img_emb",
+        "txt_emb", tauMicros = 750000L, minePred = lit(false)), "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(4), r.getBoolean(6)))).toMap
+    assert(par("a") === ((500000L, false)) && par("b") === ((500000L, false)))
+    assert(par("c") === ((0L, true)), "the all-misaligned source flags")
+  }
+
   test("mediaTriage catch discipline: NonFatal becomes a verdict, a " +
       "fatal VM error propagates (infrastructure != data corruption)") {
     val soft = Multimodal.triageAttempt(
