@@ -1735,6 +1735,79 @@ object TextQueries extends graft.QueryPack {
              |  COALESCE(sc.s, 0) >= 0 AS accept
              |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin)),
 
+    // ---- X72: multi-class language-ID training (train -> classify) ------
+    // The q_x69 discipline applied to LID: three synthetic "languages"
+    // derived engine-independently from documents (l0 = lowered text,
+    // l1 = vowels->digits, l2 = reversed — maximally distinct char-gram
+    // distributions), the doc_id % 4 < 2 slice labeled as seed, a
+    // 2-round one-vs-rest perceptron over 64-bucket hashed char 2-3
+    // grams, then the trained weights classify EVERY doc — ONE oracle
+    // hash over the whole chain, unrolling both rounds as CTEs and the
+    // argmax as a doc-partitioned rank (ties by class name).
+    Q("q_x72_train_langid",
+      (s, d) => {
+        val v = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            when(col("doc_id") % 3 === 0, lower(col("text")))
+              .when(col("doc_id") % 3 === 1,
+                translate(lower(col("text")), "aeiou", "01234"))
+              .otherwise(reverse(lower(col("text")))).as("txt"))
+        val labeled = v.filter(col("doc_id") % 4 < 2)
+          .withColumn("lang",
+            concat(lit("l"), (col("doc_id") % 3).cast("string")))
+        val w = TextAnalysis.trainLangId(labeled, "lang", dims = 64,
+          rounds = 2, nMin = 2, nMax = 3, textCol = "txt")
+        TextAnalysis.langIdTrained(v, w, dims = 64, nMin = 2, nMax = 3,
+          textCol = "txt")
+      },
+      Some("""WITH v AS (SELECT doc_id,
+             |    CASE CAST(doc_id % 3 AS INT)
+             |      WHEN 0 THEN lower(text)
+             |      WHEN 1 THEN translate(lower(text), 'aeiou', '01234')
+             |      ELSE reverse(lower(text)) END AS txt
+             |  FROM documents WHERE text IS NOT NULL),
+             |gidx AS (SELECT doc_id, txt, k,
+             |    unnest(range(1, len(txt) - k + 2)) AS i
+             |  FROM v, (SELECT unnest([2, 3]) AS k)),
+             |htf AS (SELECT doc_id,
+             |    CAST('0x' || substr(md5(substr(txt, i, k)), 1, 8) AS BIGINT)
+             |      % 64 AS b,
+             |    COUNT(*) AS tf
+             |  FROM gidx GROUP BY 1, 2),
+             |lab AS (SELECT doc_id, 'l' || CAST(doc_id % 3 AS VARCHAR)
+             |    AS lang
+             |  FROM v WHERE doc_id % 4 < 2),
+             |tfl AS (SELECT h.doc_id, l.lang, h.b, h.tf
+             |  FROM htf h JOIN lab l USING (doc_id)),
+             |tflc AS (SELECT t.doc_id, c.c,
+             |    CASE WHEN t.lang = c.c THEN 1 ELSE -1 END AS y, t.b, t.tf
+             |  FROM tfl t, (SELECT DISTINCT lang AS c FROM tfl) c),
+             |w1 AS (SELECT c, b, SUM(y * tf) AS wm FROM tflc
+             |  WHERE y = -1 GROUP BY 1, 2),
+             |m2 AS (SELECT f.doc_id, f.c, f.y,
+             |    SUM(f.tf * COALESCE(w.wm, 0)) AS m
+             |  FROM tflc f LEFT JOIN w1 w ON w.c = f.c AND w.b = f.b
+             |  GROUP BY 1, 2, 3),
+             |u2 AS (SELECT f.c, f.b, SUM(f.y * f.tf) AS u FROM tflc f
+             |  JOIN m2 ON m2.doc_id = f.doc_id AND m2.c = f.c
+             |  WHERE (m2.m >= 0) <> (m2.y > 0) GROUP BY 1, 2),
+             |w2 AS (SELECT COALESCE(a.c, u.c) AS c,
+             |    COALESCE(a.b, u.b) AS b,
+             |    COALESCE(a.wm, 0) + COALESCE(u.u, 0) AS wm
+             |  FROM w1 a FULL OUTER JOIN u2 u ON a.c = u.c AND a.b = u.b),
+             |spine AS (SELECT h.doc_id, h.b, h.tf, c.c
+             |  FROM htf h CROSS JOIN (SELECT DISTINCT c FROM w2) c),
+             |sc AS (SELECT s.doc_id, s.c,
+             |    CAST(SUM(s.tf * COALESCE(w.wm, 0)) AS BIGINT) AS m
+             |  FROM spine s LEFT JOIN w2 w ON w.c = s.c AND w.b = s.b
+             |  GROUP BY 1, 2),
+             |best AS (SELECT doc_id, c AS lang, m AS margin_m FROM (
+             |    SELECT *, row_number() OVER (
+             |      PARTITION BY doc_id ORDER BY m DESC, c) AS rn FROM sc)
+             |  WHERE rn = 1)
+             |SELECT v.doc_id, b.lang, b.margin_m
+             |FROM v LEFT JOIN best b USING (doc_id)""".stripMargin)),
+
     // ---- X38: equi-depth length discretization (quartile bins) ----------
     // Exact interpolated 25/50/75 boundaries via one global aggregate
     // (the winsorize mechanism), broadcast; bin = #{b : x > b} so

@@ -541,6 +541,68 @@ class TextOpsSpec extends AnyFunSuite {
       TextAnalysis.trainLinearQuality(train, "label", 64, 0))
   }
 
+  test("trained language ID separates a planted 3-language split and " +
+      "beats the stopword heuristic on stopword-free held-out docs") {
+    import spark.implicits._
+    // three planted languages: training docs carry both stopwords and
+    // content vocabulary; held-out docs (60..98, same generator, never
+    // seen) are CONTENT-ONLY — the stopword heuristic scores 0 hits
+    // everywhere there and falls back to its priority order, while the
+    // char-n-gram model still sees the vocabulary
+    val content = Map(
+      "en" -> Seq("running", "kitchen", "window", "yellow", "thought"),
+      "de" -> Seq("krankenhaus", "geschwindigkeit", "zeitung", "schnell",
+        "wohnung"),
+      "fr" -> Seq("bonjour", "fromage", "chateau", "oiseau", "jardin"))
+    val stop = Map("en" -> Seq("the", "and", "is"),
+      "de" -> Seq("der", "und", "ist"), "fr" -> Seq("le", "et", "est"))
+    val langs = Seq("en", "de", "fr")
+    def doc(id: Long): (Long, String, String) = {
+      val lang = langs((id % 3).toInt)
+      val c = content(lang)
+      val words = (0 until 10).map(i => c(((id + i) % 5).toInt))
+      val full =
+        if (id < 60) words.take(5) ++ stop(lang) ++ words.drop(5)
+        else words
+      (id, full.mkString(" "), lang)
+    }
+    val all = (0L until 99L).map(doc).toDF("doc_id", "text", "lang")
+    val train = all.filter(col("doc_id") < 60)
+    val heldOut = all.filter(col("doc_id") >= 60)
+    val w = TextAnalysis.trainLangId(train, "lang", dims = 256, rounds = 3)
+    val pred = TextAnalysis.langIdTrained(heldOut, w, dims = 256)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = (60L until 99L).map(id => id -> langs((id % 3).toInt)).toMap
+    val trainedCorrect = truth.count { case (id, l) => pred(id) == l }
+    // the stopword heuristic on the same held-out docs
+    val stopPred = heldOut
+      .withColumn("toks", TextAnalysis.tokens(lower(col("text"))))
+      .select(col("doc_id"), TextAnalysis.langId(col("toks")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stopCorrect = truth.count { case (id, l) => stopPred(id) == l }
+    assert(trainedCorrect === 39,
+      s"trained LID must separate the held-out split ($trainedCorrect/39)")
+    assert(stopCorrect <= 13,
+      s"stopword-free docs defeat the heuristic (got $stopCorrect/39 — " +
+        "the fixture no longer isolates the difference)")
+    assert(trainedCorrect > stopCorrect,
+      "the trained model must beat the stopword argmax held-out")
+    // a doc with no grams gets an honest null verdict
+    val nullDoc = Seq((999L, null.asInstanceOf[String], "en"))
+      .toDF("doc_id", "text", "lang")
+    val nv = TextAnalysis.langIdTrained(nullDoc, w, dims = 256).collect()
+    assert(nv.length === 1 && nv.head.isNullAt(1),
+      "no characters, no evidence: lang must be null, not a guess")
+    // training is deterministic; the fixed-round contract refuses 0
+    val w2 = TextAnalysis.trainLangId(train, "lang", dims = 256, rounds = 3)
+    assert(w.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq ===
+      w2.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq)
+    intercept[IllegalArgumentException](
+      TextAnalysis.trainLangId(train, "lang", 256, 0))
+  }
+
   test("host gate: a mostly-bad host drops wholesale, thin evidence and " +
       "unparseable hosts keep, authority normalizes case and port") {
     import spark.implicits._
