@@ -158,6 +158,87 @@ object TextAnalysis {
     spark.read.parquet(path).orderBy(col("rnk"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
 
+  /** Learn a unigram-LM (SentencePiece-style) piece table from the
+    * corpus — the [[learnBpeMerges]] stance applied to the OTHER
+    * standard subword tokenizer: candidates are every within-word
+    * substring of length 1..`maxLen` (weighted by word occurrence), the
+    * vocabulary the top `vocabSize` by (count desc, piece asc), and the
+    * micro log-prob QUANTIZED TO THE EXPONENT:
+    * `wm = −(bitlen(total) − bitlen(count)) · 1e6` (floor-log2 of the
+    * piece's corpus probability, in micro-bits). The quantization is
+    * the point, not a shortcut: `ln(count/total)` would put two
+    * engines' libm in a race in the last ulp (the ndcgDiscountsM
+    * lesson), while bit-length is EXACT integer arithmetic both engines
+    * (`bin()`) compute identically — the Viterbi DP is agnostic to
+    * where its micros came from, and finer mantissa precision is a
+    * training-recipe question, not engine machinery. Two aggregations +
+    * one bounded collect of ≤ vocabSize rows (the piece table is the
+    * artifact; the DuckDB oracle re-derives it from the same parquet
+    * with the same statistics — what lets q_x73 hash-check the whole
+    * tokenizer end to end). */
+  def learnUnigramPieces(df: DataFrame, textCol: String = "text",
+      maxLen: Int = 4, vocabSize: Int = 256): Seq[(String, Long)] = {
+    require(maxLen >= 1 && maxLen <= 16, s"need 1 <= maxLen <= 16, got $maxLen")
+    require(vocabSize >= 1 && vocabSize <= 65536,
+      s"need 1 <= vocabSize <= 65536, got $vocabSize")
+    val wc = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("occ"))
+    val cand = (1 to maxLen).map { k =>
+      wc.filter(length(col("w")) >= k)
+        .select(col("w"), col("occ"),
+          explode(sequence(lit(1), length(col("w")) - lit(k - 1))).as("i"))
+        .select(col("w").substr(col("i"), lit(k)).as("piece"), col("occ"))
+    }.reduce(_ unionAll _)
+      .groupBy(col("piece")).agg(sum(col("occ")).as("cnt"))
+    val total = cand.agg(coalesce(sum(col("cnt")), lit(0L)))
+      .first().getLong(0)
+    require(total > 0, "learnUnigramPieces: empty corpus")
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    cand.orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
+      .collect()
+      .map(r => (r.getString(0),
+        -(bitlen(total) - bitlen(r.getLong(1))).toLong * 1000000L))
+      .toSeq
+  }
+
+  /** Apply a unigram piece table to every document: returns
+    * `(<idCol>, sp, n_sp)` with `sp` the Viterbi piece stream
+    * ([[graft.functions.UnigramEncode]]: U+001F-separated pieces, each
+    * word's first piece `▁`-marked) and `n_sp` its piece count. Map-only
+    * — the piece table rides the plan as an inlined literal, so at
+    * 100 TB this is a pure codegen'd scan stage: no join, no shuffle,
+    * one memoized DP per distinct word per task. */
+  def unigramTokenize(df: DataFrame, pieces: Seq[(String, Long)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(pieces.nonEmpty, "need a non-empty piece table")
+    graft.functions.UnigramEncode.register(df.sparkSession)
+    val spec = pieces.sortBy(_._1)
+      .map { case (p, w) => s"$p\t$w" }.mkString("\n")
+    df.select(col(idCol),
+        call_function("unigram_encode", col(textCol), lit(spec)).as("sp"))
+      .withColumn("n_sp",
+        when(length(col("sp")) === 0, lit(0L))
+          .otherwise(size(split(col("sp"),
+            graft.functions.UnigramEncode.Sep)).cast("long")))
+  }
+
+  /** Persist a learned unigram piece table as `(piece, wm)` parquet —
+    * the tokenizer-store discipline ([[writeBpeMerges]]): train once,
+    * encode every later batch with zero learning passes. */
+  def writeUnigramPieces(spark: SparkSession, pieces: Seq[(String, Long)],
+      path: String): Unit = {
+    import spark.implicits._
+    pieces.toDF("piece", "wm").write.mode("overwrite").parquet(path)
+  }
+
+  /** Restore a persisted piece table (piece order normalized — the DP
+    * is order-independent, the spec literal is made deterministic by
+    * [[unigramTokenize]]'s sort). Bounded by construction: a piece
+    * table is the learned artifact, never corpus-sized. */
+  def readUnigramPieces(spark: SparkSession, path: String): Seq[(String, Long)] =
+    spark.read.parquet(path).orderBy(col("piece"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
   /** Encode documents to integer token-id sequences — the handoff format
     * a training pipeline actually ships. Pieces come from the map-only
     * [[bpeTokenize]] kernel; ids from a broadcast join against the

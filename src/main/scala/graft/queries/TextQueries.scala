@@ -1808,6 +1808,98 @@ object TextQueries extends graft.QueryPack {
              |SELECT v.doc_id, b.lang, b.margin_m
              |FROM v LEFT JOIN best b USING (doc_id)""".stripMargin)),
 
+    // ---- X73: unigram-LM (SentencePiece) tokenization -------------------
+    // The OTHER standard subword tokenizer next to BPE (Kudo 2018):
+    // learn a 48-piece table from within-word substrings (micro
+    // log-probs quantized to the exponent — bitlen arithmetic both
+    // engines compute exactly, no libm race), persist it, read it back,
+    // Viterbi-segment every doc against the stored table (codegen
+    // kernel, map-only, memoized per distinct word). ONE oracle hash
+    // over learn -> store -> encode: the DuckDB side re-derives the
+    // table from the same parquet and replays the DP as a recursive CTE
+    // over (word, position) with the tie-to-longest contract, plus the
+    // backtrace as a second recursion.
+    Q("q_x73_unigram_tokenize",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        val store = TempDirs.scratch("graft-unigram-store")
+        TextAnalysis.writeUnigramPieces(s,
+          TextAnalysis.learnUnigramPieces(docs, maxLen = 4, vocabSize = 48),
+          store)
+        TextAnalysis.unigramTokenize(docs,
+          TextAnalysis.readUnigramPieces(s, store))
+      },
+      Some("""WITH RECURSIVE
+             |wds AS (SELECT doc_id, unnest(ws) AS w,
+             |    unnest(range(1, len(ws) + 1)) AS ord
+             |  FROM (SELECT doc_id,
+             |          list_filter(regexp_split_to_array(text, '\s+'),
+             |            x -> x <> '') AS ws
+             |        FROM documents WHERE text IS NOT NULL)),
+             |wc AS (SELECT w, COUNT(*) AS occ, len(w) AS n FROM wds
+             |  GROUP BY 1),
+             |gidx AS (SELECT w, occ, k, unnest(range(1, n - k + 2)) AS i
+             |  FROM wc, (SELECT unnest([1, 2, 3, 4]) AS k)),
+             |cand AS (SELECT substr(w, i, k) AS piece, SUM(occ) AS cnt
+             |  FROM gidx GROUP BY 1),
+             |tot AS (SELECT SUM(cnt) AS t FROM cand),
+             |voc AS (SELECT piece, cnt FROM cand
+             |  ORDER BY cnt DESC, piece LIMIT 48),
+             |wt AS (SELECT piece,
+             |    -(len(bin(t)) - len(bin(cnt))) * 1000000 AS wm
+             |  FROM voc, tot),
+             |pwp AS (SELECT w, e,
+             |    MAX(CASE WHEN k = 1 THEN wm END) AS w1,
+             |    MAX(CASE WHEN k = 2 THEN wm END) AS w2,
+             |    MAX(CASE WHEN k = 3 THEN wm END) AS w3,
+             |    MAX(CASE WHEN k = 4 THEN wm END) AS w4
+             |  FROM (SELECT g.w, g.i + g.k - 1 AS e, g.k,
+             |          COALESCE(wt.wm,
+             |            CASE WHEN g.k = 1 THEN -20000000 END) AS wm
+             |        FROM gidx g
+             |        LEFT JOIN wt ON wt.piece = substr(g.w, g.i, g.k))
+             |  GROUP BY 1, 2),
+             |r AS (
+             |  SELECT w, 0 AS i, CAST(0 AS BIGINT) AS d0,
+             |    CAST(NULL AS BIGINT) AS d1, CAST(NULL AS BIGINT) AS d2,
+             |    CAST(NULL AS BIGINT) AS d3, '' AS bps, n
+             |  FROM wc
+             |  UNION ALL
+             |  SELECT r.w, r.i + 1,
+             |    greatest(r.d0 + p.w1, r.d1 + p.w2, r.d2 + p.w3,
+             |      r.d3 + p.w4),
+             |    r.d0, r.d1, r.d2,
+             |    r.bps || CAST(CASE
+             |      WHEN r.d3 + p.w4 = greatest(r.d0 + p.w1, r.d1 + p.w2,
+             |        r.d2 + p.w3, r.d3 + p.w4) THEN 4
+             |      WHEN r.d2 + p.w3 = greatest(r.d0 + p.w1, r.d1 + p.w2,
+             |        r.d2 + p.w3, r.d3 + p.w4) THEN 3
+             |      WHEN r.d1 + p.w2 = greatest(r.d0 + p.w1, r.d1 + p.w2,
+             |        r.d2 + p.w3, r.d3 + p.w4) THEN 2
+             |      ELSE 1 END AS VARCHAR),
+             |    r.n
+             |  FROM r JOIN pwp p ON p.w = r.w AND p.e = r.i + 1
+             |  WHERE r.i < r.n),
+             |fin AS (SELECT w, bps, n FROM r WHERE i = n),
+             |bt AS (
+             |  SELECT w, n AS pos, CAST(substr(bps, n, 1) AS INT) AS k
+             |  FROM fin
+             |  UNION ALL
+             |  SELECT b.w, b.pos - b.k,
+             |    CAST(substr(f.bps, b.pos - b.k, 1) AS INT)
+             |  FROM bt b JOIN fin f USING (w)
+             |  WHERE b.pos - b.k > 0),
+             |wseg AS (SELECT w,
+             |    '▁' || string_agg(substr(w, pos - k + 1, k), chr(31)
+             |      ORDER BY pos) AS stoks,
+             |    CAST(COUNT(*) AS BIGINT) AS np
+             |  FROM bt GROUP BY 1)
+             |SELECT wds.doc_id,
+             |  string_agg(ws.stoks, chr(31) ORDER BY wds.ord) AS sp,
+             |  CAST(SUM(ws.np) AS BIGINT) AS n_sp
+             |FROM wds JOIN wseg ws ON ws.w = wds.w
+             |GROUP BY 1""".stripMargin)),
+
     // ---- X38: equi-depth length discretization (quartile bins) ----------
     // Exact interpolated 25/50/75 boundaries via one global aggregate
     // (the winsorize mechanism), broadcast; bin = #{b : x > b} so

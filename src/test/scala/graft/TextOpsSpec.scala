@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.TextAnalysis
+import graft.operators.{Packing, TextAnalysis}
 
 /** Unit coverage for the PII redaction chain — the ordering and boundary
   * semantics the corpus-level oracle (q_x17) cannot isolate. */
@@ -218,6 +218,77 @@ class TextOpsSpec extends AnyFunSuite {
     val fresh = Seq((9L, "te zz")).toDF("doc_id", "text")
     val enc = TextAnalysis.encodeTokenIds(fresh, merges, stored).head
     assert(enc.getSeq[Int](1) === Seq(1, -1, -1) && enc.getLong(2) === 3L)
+  }
+
+  test("unigram tokenize: hand-checked Viterbi with tie-to-longest, unk " +
+      "char fallback, in-row invertibility, store round-trip, packing") {
+    import spark.implicits._
+    val Sep = graft.functions.UnigramEncode.Sep
+    // [abc] = -3e6 ties [ab, c] = -1e6 + -2e6: the LONGEST piece wins
+    val t1 = Seq("abc" -> -3000000L, "ab" -> -1000000L, "c" -> -2000000L,
+      "a" -> -2000000L, "b" -> -2000000L)
+    def enc(text: String, tab: Seq[(String, Long)]): (String, Long) = {
+      val r = TextAnalysis.unigramTokenize(
+        Seq((1L, text)).toDF("doc_id", "text"), tab).head
+      (r.getString(1), r.getLong(2))
+    }
+    assert(enc("abc", t1) === (("▁abc", 1L)),
+      "equal-score segmentations must resolve to the longest piece")
+    // [ab, c] = -2e6 strictly beats [abc] = -3e6
+    val t2 = Seq("abc" -> -3000000L, "ab" -> -1000000L, "c" -> -1000000L,
+      "a" -> -2000000L, "b" -> -2000000L)
+    assert(enc("abc", t2) === ((s"▁ab${Sep}c", 2L)))
+    // 'x' is not in the table: char fallback segments it at the UNK
+    // penalty instead of failing the word
+    assert(enc("axb", t2) === ((s"▁a${Sep}x${Sep}b", 3L)))
+    // learner: corpus "aa aa b" -> candidate counts a:4, aa:2, b:1,
+    // total 7 (bitlen 3); vocab 2 keeps {a: 0, aa: -1e6}, b falls out
+    val corpus = Seq((1L, "aa aa b")).toDF("doc_id", "text")
+    val learned = TextAnalysis.learnUnigramPieces(corpus, maxLen = 2,
+      vocabSize = 2)
+    assert(learned === Seq(("a", 0L), ("aa", -1000000L)))
+    // with those weights [a, a] = 0 beats [aa] = -1e6; b is unk
+    val encd = TextAnalysis.unigramTokenize(corpus, learned).head
+    assert(encd.getString(1) === s"▁a${Sep}a${Sep}▁a${Sep}a${Sep}▁b" &&
+      encd.getLong(2) === 5L)
+    // invertibility on messy whitespace + unseen chars: drop separators,
+    // marker -> space, and the whitespace-normalized text reappears
+    val messy = Seq((7L, "abc  zz\tab")).toDF("doc_id", "text")
+    val m = TextAnalysis.unigramTokenize(messy, t2).head.getString(1)
+    assert(m.replace(Sep, "").replace("▁", " ").stripPrefix(" ") ===
+      "abc zz ab", "the piece stream must invert to normalized text")
+    // token-less docs survive: ('', 0) / (null, null)
+    val edge = TextAnalysis.unigramTokenize(
+      Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+        .union(Seq(3L).toDF("doc_id").withColumn("text",
+          lit(null).cast("string"))), t2).orderBy("doc_id").collect()
+    assert(edge(0).getString(1) === "" && edge(0).getLong(2) === 0L)
+    assert(edge(1).getString(1) === "" && edge(1).getLong(2) === 0L)
+    assert(edge(2).isNullAt(1) && edge(2).isNullAt(2))
+    // application is map-only: no exchange anywhere in the plan
+    val p = TextAnalysis.unigramTokenize(corpus, learned)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"unigram application must not shuffle:\n$p")
+    // the persisted table encodes identically to the in-job one
+    val store = java.nio.file.Files.createTempDirectory("unigram-store")
+      .toString
+    TextAnalysis.writeUnigramPieces(spark, learned, store)
+    assert(TextAnalysis.readUnigramPieces(spark, store).sorted ===
+      learned.sorted)
+    // packing composes off the TRUE piece counts (the packByCount shape)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+    val pieces = TextAnalysis.learnUnigramPieces(docs, maxLen = 4,
+      vocabSize = 48)
+    val counts = TextAnalysis.unigramTokenize(docs, pieces)
+      .select(col("doc_id"), col("n_sp").as("n_tokens"))
+    val packed = Packing.packByCount(counts, budget = 512, shards = 4,
+      salt = "ug")
+    assert(packed.count() === docs.count(),
+      "every doc lands in exactly one pack")
+    assert(packed.agg(sum(col("n_tokens"))).head.getLong(0) ===
+      counts.agg(sum(col("n_tokens"))).head.getLong(0),
+      "packing preserves the tokenizer's total token count")
   }
 
   test("byte fallback: unseen pieces become UTF-8 byte ids, never -1, and round-trip") {
