@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM-data-pipeline curation (exact,
@@ -577,6 +577,42 @@ object Dedup {
       .write.mode("append").parquet(s"$dir/shingles")
   }
 
+  /** Opt-out purge of a persisted signature store — right-to-be-
+    * forgotten closed for the nightly dedup loop: every store here was
+    * append-only ([[appendBatchSignatures]] folds IN, nothing folded
+    * OUT), so a doc whose owner revokes it would keep classifying new
+    * near-dups of itself forever. The purge request must carry the
+    * PAYLOADS to forget (`(idCol, textCol)` rows — the exact-hash
+    * relation stores `md5(text)` without ids, and a store cannot
+    * reverse a hash; the accepted-output directory the loop already
+    * writes is where a caller recovers them). Steps, crash-ordered:
+    *
+    *  1. the purged ids append to `dir/tombstones` FIRST — the audit
+    *     trail survives any later crash, and re-running the purge is
+    *     idempotent (anti-joins of already-absent rows are no-ops);
+    *  2. `dir/hashes` drops the purged texts' md5 rows, `dir/bands` and
+    *     `dir/shingles` drop the purged ids — each via
+    *     [[graft.sources.Sinks.rewriteParquet]]'s recoverable staged
+    *     swap (copy-on-write: batch revocation requests nightly, not
+    *     per request).
+    *
+    * After the purge a RESUBMITTED copy of the purged doc classifies
+    * `kept` (it no longer matches anything) and a near-dup of it no
+    * longer blocks — the exact contract a deletion request demands,
+    * spec-proved as a two-batch accept → purge → re-classify flow. */
+  def purgeSignatures(spark: SparkSession, dir: String, purged: DataFrame,
+      textCol: String, idCol: String): Unit = {
+    val ids = purged.select(col(idCol).as("sid")).distinct()
+    val hs = purged.select(md5(col(textCol)).as("h")).distinct()
+    ids.write.mode("append").parquet(s"$dir/tombstones")
+    graft.sources.Sinks.rewriteParquet(spark, s"$dir/hashes",
+      _.join(broadcast(hs), Seq("h"), "left_anti"))
+    graft.sources.Sinks.rewriteParquet(spark, s"$dir/bands",
+      _.join(broadcast(ids), Seq("sid"), "left_anti"))
+    graft.sources.Sinks.rewriteParquet(spark, s"$dir/shingles",
+      _.join(broadcast(ids), Seq("sid"), "left_anti"))
+  }
+
   /** One replay-idempotent step of the CONTINUOUS ingest-dedup loop —
     * the streaming counterpart of the [[dedupAgainstSignatures]] +
     * [[appendBatchSignatures]] nightly pair, shaped for
@@ -945,23 +981,96 @@ object Dedup {
     * geometry is bitwise OR, and [[contaminationAgainstStore]] merges
     * the rows at read time through the public sketch API. The bloom
     * build reads the just-written shingle parquet, so the benchmark
-    * text is scanned exactly once. Layout: `dir/shingles` (sh STRING),
-    * `dir/blooms` (slice INT, bf BINARY). */
+    * text is scanned exactly once. Layout: `dir/shingles` (sh STRING,
+    * slice-PARTITIONED — so a purge's slice-scoped bloom rebuild prunes
+    * to the affected partitions instead of rescanning the store),
+    * `dir/blooms` (slice INT, bf BINARY), `dir/docs` (sid, sh — the
+    * id→shingle bookkeeping [[purgeContaminationStore]] needs to know
+    * which shingles are still referenced by the docs that stay). */
   def writeContaminationStore(bench: DataFrame, textCol: String, idCol: String,
       dir: String, slices: Int = 4, shingleK: Int = 3,
       expectedItems: Long = 100000L, numBits: Long = 1000000L): Unit = {
+    require(slices >= 1, s"slices must be >= 1, got $slices")
+    docShingles(bench, textCol, idCol, shingleK)
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val sh = bench.sparkSession.read.parquet(s"$dir/docs")
+      .select(col("sh")).distinct()
+      .withColumn("slice",
+        pmod(xxhash64(col("sh")), lit(slices.toLong)).cast("int"))
+    // partitionBy on an EMPTY relation writes no schema-bearing files
+    // and the read-back below would fail inference — an empty benchmark
+    // stores a plain empty parquet with the same (sh, slice) schema
+    if (sh.isEmpty) sh.write.mode("overwrite").parquet(s"$dir/shingles")
+    else sh.write.mode("overwrite").partitionBy("slice")
+      .parquet(s"$dir/shingles")
+    bloomRowsFor(bench.sparkSession.read.parquet(s"$dir/shingles"),
+      expectedItems, numBits)
+      .write.mode("overwrite").parquet(s"$dir/blooms")
+  }
+
+  /** Bloom rows `(slice, bf)` from a slice-tagged shingle relation —
+    * shared by the initial store build and the purge's slice-scoped
+    * rebuild (IDENTICAL geometry literals, so rebuilt and original
+    * slices stay mergeable). */
+  private def bloomRowsFor(shingles: DataFrame, expectedItems: Long,
+      numBits: Long): DataFrame = {
     import org.apache.spark.sql.graftbridge.GraftSqlBridge.{column => ccol, expression => cexpr}
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    require(slices >= 1, s"slices must be >= 1, got $slices")
-    docShingles(bench, textCol, idCol, shingleK)
-      .select(col("sh")).distinct()
-      .write.mode("overwrite").parquet(s"$dir/shingles")
-    bench.sparkSession.read.parquet(s"$dir/shingles")
-      .groupBy(pmod(xxhash64(col("sh")), lit(slices.toLong)).cast("int").as("slice"))
+    shingles.groupBy(col("slice"))
       .agg(ccol(new BloomFilterAggregate(new XxHash64(Seq(cexpr(col("sh")))),
         Literal(expectedItems), Literal(numBits)).toAggregateExpression()).as("bf"))
-      .write.mode("overwrite").parquet(s"$dir/blooms")
+  }
+
+  /** Opt-out purge of a persisted decontamination store — the bloom
+    * half of the right-to-be-forgotten contract. Bloom filters cannot
+    * delete, so the purge REBUILDS — but only the slices the purged
+    * shingles actually hash into, which is the point of the sliced
+    * layout: the rebuild scan carries a partition filter on `slice`
+    * (spec-pinned `PartitionFilters`), unaffected slice partitions are
+    * never read, and their bloom rows carry over BYTE-IDENTICAL.
+    * Shingle-sharing is respected: a shingle that also appears in a
+    * benchmark doc that STAYS is still protected and is not removed
+    * (the `dir/docs` bookkeeping settles referencing exactly). Steps,
+    * crash-ordered: tombstones append first; `docs` and `shingles`
+    * drop their rows via the recoverable staged swap; the affected
+    * slices' blooms rebuild from the POST-purge shingles and swap in
+    * alongside the untouched rows. A purge hitting nothing (unknown
+    * ids) is a no-op that still tombstones. */
+  def purgeContaminationStore(spark: SparkSession, dir: String,
+      purgedIds: DataFrame, idCol: String,
+      expectedItems: Long = 100000L, numBits: Long = 1000000L): Unit = {
+    val ids = purgedIds.select(col(idCol).as("sid")).distinct()
+    ids.write.mode("append").parquet(s"$dir/tombstones")
+    val docs = spark.read.parquet(s"$dir/docs")
+    // shingles to remove = referenced by purged docs AND by no survivor
+    val removed = docs.join(broadcast(ids), Seq("sid"), "left_semi")
+      .select(col("sh")).distinct()
+      .join(docs.join(broadcast(ids), Seq("sid"), "left_anti")
+        .select(col("sh")).distinct(), Seq("sh"), "left_anti")
+      .localCheckpoint(true) // settled BEFORE the docs rewrite below
+    // bounded collect: at most `slices` distinct values
+    val affected = spark.read.parquet(s"$dir/shingles")
+      .join(broadcast(removed), Seq("sh"), "left_semi")
+      .select(col("slice")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    graft.sources.Sinks.rewriteParquet(spark, s"$dir/docs",
+      _.join(broadcast(ids), Seq("sid"), "left_anti"))
+    affected.foreach { s =>
+      // partition-scoped rewrite: only the affected slice's leaf dir
+      graft.sources.Sinks.rewriteParquet(spark, s"$dir/shingles/slice=$s",
+        _.join(broadcast(removed), Seq("sh"), "left_anti"))
+    }
+    if (affected.nonEmpty) {
+      val rebuiltSrc = spark.read.parquet(s"$dir/shingles")
+        .filter(col("slice").isin(affected.map(Integer.valueOf): _*))
+      val keptRows = spark.read.parquet(s"$dir/blooms")
+        .filter(!col("slice").isin(affected.map(Integer.valueOf): _*))
+        .localCheckpoint(true) // read the OLD rows before the swap
+      val rebuilt = bloomRowsFor(rebuiltSrc, expectedItems, numBits)
+      graft.sources.Sinks.rewriteParquet(spark, s"$dir/blooms",
+        _ => keptRows.unionByName(rebuilt))
+    }
   }
 
   /** [[contaminationReport]] scored AGAINST THE STORE — the

@@ -1263,6 +1263,33 @@ object TextAnalysis {
     stats.write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Opt-out purge of a persisted BM25 index — the retrieval half of
+    * the right-to-be-forgotten contract: after the purge, the revoked
+    * docs can never be RETRIEVED again ([[bm25TopKFromIndex]] ranks
+    * only what the postings contain). The purged doc ids append to
+    * `dir/tombstones` first (audit + idempotent re-run), the postings
+    * drop the ids via the recoverable staged swap, and the stats row is
+    * recomputed EXACTLY (`n_docs`/`sum_dl` minus the purged docs'
+    * contribution, derived from the pre-purge postings — per-term `df`
+    * is derived at query time from the postings, so it self-corrects).
+    * Copy-on-write over the postings: batch revocations nightly. */
+  def purgeBm25Index(spark: SparkSession, dir: String,
+      purgedIds: DataFrame, idCol: String = "doc_id"): Unit = {
+    val ids = purgedIds.select(col(idCol).as("doc_id")).distinct()
+    ids.write.mode("append").parquet(s"$dir/tombstones")
+    // the purged docs' (doc_id, dl) BEFORE the postings rewrite
+    val gone = spark.read.parquet(s"$dir/postings")
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("__nd"), coalesce(sum(col("dl")), lit(0L)).as("__dl"))
+      .head()
+    graft.sources.Sinks.rewriteParquet(spark, s"$dir/postings",
+      _.join(broadcast(ids), Seq("doc_id"), "left_anti"))
+    graft.sources.Sinks.rewriteParquet(spark, s"$dir/stats",
+      _.select((col("n_docs") - lit(gone.getLong(0))).as("n_docs"),
+        (col("sum_dl") - lit(gone.getLong(1))).as("sum_dl")))
+  }
+
   /** [[bm25TopK]] against a PERSISTED index ([[writeBm25Index]] output)
     * instead of the corpus: byte-identical scores (exact-integer stats
     * → the same derived avgdl; the registered query shares q_x28's

@@ -177,6 +177,28 @@ object Sinks {
     else require(fs.rename(staged, root), s"could not promote $staged")
   }
 
+  /** Generic copy-on-write REWRITE of a parquet directory through a
+    * caller transform — the staged-swap discipline ([[compactParquet]]/
+    * [[upsertParquet]]) exposed for store maintenance that is neither a
+    * compaction nor a keyed upsert: the opt-out purges
+    * ([[graft.operators.Dedup.purgeSignatures]] and friends) delete by
+    * anti-join, which no predicate-only API can express. One read →
+    * `f` → staged write → recoverable directory swap; a crash at any
+    * point leaves the data readable and the NEXT invocation repairs the
+    * layout ([[recoverSwap]]). A missing directory is a no-op (nothing
+    * to rewrite). Copy-on-write rewrites the whole leaf — batch
+    * mutation requests and run this nightly, not per request; a
+    * partitioned store should rewrite only its affected partitions. */
+  def rewriteParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+      f: DataFrame => DataFrame): Unit = {
+    val (fs, root) = hadoopFs(spark, dir)
+    recoverSwap(fs, root, ".rewriting")
+    if (!fs.exists(root)) return
+    val staged = root.suffix(".rewriting")
+    f(spark.read.parquet(dir)).write.mode("overwrite").parquet(staged.toString)
+    swapInStaged(fs, root, staged)
+  }
+
   /** ORC interchange (Spark-native source, no extra jars): for pipelines
     * whose upstream/downstream is Hive-ecosystem ORC rather than parquet.
     * Same columnar pruning/pushdown story — `PushedFilters` reach the ORC

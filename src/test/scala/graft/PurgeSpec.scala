@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Opt-out / right-to-be-forgotten purges across the persisted stores
+  * (round-13: every store was append-only; purge folds OUT). The strong
+  * contract proved here: a PURGED store is indistinguishable from a
+  * store freshly built from the surviving docs — classification,
+  * retrieval, and (for the bloom slices) the stored bytes themselves. */
+class PurgeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val tA = "the quick brown fox jumps over the lazy dog again and again tonight"
+  private val tB = "completely different text about distributed query engines and their many shuffling operators"
+  private val tC = "a third unrelated document mentioning parquet sketches and boring metadata content"
+
+  test("signature-store purge: accept -> purge -> a resubmitted copy " +
+      "classifies kept; untouched docs still block; tombstones append") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("purge-sigs").toString
+    val corpus = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    Dedup.writeCorpusSignatures(corpus, "text", "doc_id", dir)
+    def classify(rows: Seq[(Long, String)]): Map[Long, String] =
+      Dedup.dedupAgainstSignatures(rows.toDF("doc_id", "text"),
+        dir, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // before the purge: both docs block their duplicates
+    assert(classify(Seq(10L -> tA, 11L -> (tB + " tonight"))) ===
+      Map(10L -> "exact_dup", 11L -> "near_dup"))
+    // doc 1's owner revokes it — the request carries the payload
+    Dedup.purgeSignatures(spark, dir, Seq((1L, tA)).toDF("doc_id", "text"),
+      "text", "doc_id")
+    // the purged doc no longer blocks anything — exact OR near
+    assert(classify(Seq(10L -> tA, 12L -> (tA + " tonight"))) ===
+      Map(10L -> "kept", 12L -> "kept"),
+      "a purged doc must neither exact- nor near-classify new arrivals")
+    // the surviving doc still protects its near-dups
+    assert(classify(Seq(11L -> (tB + " tonight"))) === Map(11L -> "near_dup"))
+    // purged store == store freshly built from the survivors
+    val fresh = java.nio.file.Files.createTempDirectory("purge-fresh").toString
+    Dedup.writeCorpusSignatures(Seq((2L, tB)).toDF("doc_id", "text"),
+      "text", "doc_id", fresh)
+    for (rel <- Seq("hashes", "bands", "shingles")) {
+      val a = spark.read.parquet(s"$dir/$rel")
+      val b = spark.read.parquet(s"$fresh/$rel")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"purged $rel must equal the survivor-built relation")
+    }
+    // tombstones audit; a re-run purge is an idempotent no-op
+    assert(spark.read.parquet(s"$dir/tombstones")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    Dedup.purgeSignatures(spark, dir, Seq((1L, tA)).toDF("doc_id", "text"),
+      "text", "doc_id")
+    assert(classify(Seq(10L -> tA)) === Map(10L -> "kept"))
+    assert(spark.read.parquet(s"$dir/tombstones").count() === 2L,
+      "every purge run appends its audit row")
+  }
+
+  test("contamination-store purge: slice-scoped bloom rebuild — " +
+      "unaffected slices byte-identical, shared shingles survive, " +
+      "purged store equals the survivor-built store") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("purge-bloom").toString
+    val bench = Seq(
+      (100L, tA),            // will be purged
+      (101L, tB),            // stays
+      (102L, tB + " extra")  // stays; SHARES tB's shingles with 101
+    ).toDF("doc_id", "text")
+    Dedup.writeContaminationStore(bench, "text", "doc_id", s"$root/store",
+      slices = 8)
+    val train = Seq((1L, tA + " tonight"), (2L, tB + " tonight"), (3L, tC))
+      .toDF("doc_id", "text")
+    val trainShing = Dedup.docShingles(train, "text", "doc_id")
+    def shared(): Map[Long, Long] =
+      Dedup.contaminationAgainstStore(trainShing, s"$root/store")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = shared()
+    assert(before(1L) > 0L && before(2L) > 0L && before(3L) === 0L)
+    val bloomsBefore = spark.read.parquet(s"$root/store/blooms")
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    // the purge's slice-pruned rebuild scan: partition filters reach the
+    // shingle store's slice partitions (the mechanism that makes the
+    // rebuild slice-scoped instead of a store rescan)
+    val pruned = spark.read.parquet(s"$root/store/shingles")
+      .filter(col("slice").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("PartitionFilters: [") &&
+      pruned.replaceAll("(?s).*PartitionFilters: \\[", "")
+        .takeWhile(_ != ']').contains("slice"),
+      s"slice must prune as a partition filter:\n$pruned")
+    Dedup.purgeContaminationStore(spark, s"$root/store",
+      Seq(100L).toDF("doc_id"), "doc_id")
+    val after = shared()
+    assert(after(1L) === 0L,
+      "the purged benchmark doc must stop flagging training text")
+    assert(after(2L) === before(2L) && after(3L) === 0L,
+      "surviving benchmark docs keep protecting exactly as before")
+    // purged store == store freshly built from the survivors: shingles,
+    // docs, and EVERY bloom row byte-for-byte (bloom insertion is
+    // commutative bit-OR, so equal shingle sets give equal bytes)
+    Dedup.writeContaminationStore(
+      bench.filter(col("doc_id") =!= 100L), "text", "doc_id",
+      s"$root/fresh", slices = 8)
+    for (rel <- Seq("shingles", "docs")) {
+      val a = spark.read.parquet(s"$root/store/$rel")
+      val b = spark.read.parquet(s"$root/fresh/$rel")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"purged $rel must equal the survivor-built relation")
+    }
+    val bloomsAfter = spark.read.parquet(s"$root/store/blooms")
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val bloomsFresh = spark.read.parquet(s"$root/fresh/blooms")
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(bloomsAfter === bloomsFresh,
+      "every purged-store bloom row must equal the survivor-built one")
+    // slices untouched by the purge carried over byte-identical
+    val untouched = bloomsAfter.keySet.filter(s =>
+      bloomsBefore.get(s) == bloomsAfter.get(s))
+    assert(untouched.nonEmpty,
+      "fixture regression: every slice was affected — widen `slices`")
+    // shared shingles survive: 101/102 both carry tB's shingles, so
+    // purging ONE of them must not remove them
+    Dedup.purgeContaminationStore(spark, s"$root/store",
+      Seq(102L).toDF("doc_id"), "doc_id")
+    assert(shared()(2L) === before(2L),
+      "a shingle still referenced by a surviving doc must stay protected")
+  }
+
+  test("bm25-index purge: the revoked doc can never be retrieved again " +
+      "and the purged index scores identically to a survivor-built one") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("purge-bm25").toString
+    val docs = Seq((1L, tA), (2L, tB), (3L, tC)).toDF("doc_id", "text")
+    TextAnalysis.writeBm25Index(docs, "text", "doc_id", s"$root/idx")
+    val q = Seq((1, Seq("quick", "fox")), (2, Seq("parquet", "metadata")))
+    def hits(dir: String): Set[(Int, Long)] =
+      TextAnalysis.bm25TopKFromIndex(spark, dir, q, k = 3)
+        .select(col("query_id"), col("doc_id")).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(hits(s"$root/idx").contains((1, 1L)))
+    TextAnalysis.purgeBm25Index(spark, s"$root/idx", Seq(1L).toDF("doc_id"))
+    val after = hits(s"$root/idx")
+    assert(!after.exists(_._2 == 1L),
+      "a purged doc must never surface from the index again")
+    assert(after.contains((2, 3L)), "surviving docs still retrieve")
+    // scores (not just ids) equal a survivor-built index: stats were
+    // recomputed exactly, df re-derives from the purged postings
+    TextAnalysis.writeBm25Index(docs.filter(col("doc_id") =!= 1L),
+      "text", "doc_id", s"$root/fresh")
+    val a = TextAnalysis.bm25TopKFromIndex(spark, s"$root/idx", q, k = 3)
+    val b = TextAnalysis.bm25TopKFromIndex(spark, s"$root/fresh", q, k = 3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "purged index must score byte-identically to the survivor index")
+    assert(spark.read.parquet(s"$root/idx/tombstones")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+}
