@@ -558,6 +558,100 @@ object MultimodalQueries extends graft.QueryPack {
              |  doc_id % 13 <> 0 AS ok
              |FROM documents""".stripMargin)),
 
+    // ---- M19: the composed media pipeline under ONE oracle ---------------
+    // The q_x47 composition discipline on the media axis: triage ->
+    // fingerprint -> distinct-collapse dedup -> perceptual
+    // decontamination over one fixture (the doc_id % 5 audit slice —
+    // decode cost stays bench-friendly). Fault-injected % 13 media drop
+    // at triage, PixelShift near-dup variants (% 7, ids offset 1e6)
+    // collapse to their originals, and the canonical survivors verdict
+    // against the % 10 re-encoded benchmark. One hash covers all four
+    // stages: a corrupt doc leaking past triage, a cluster picking the
+    // wrong canonical, or a missed benchmark match each break it.
+    Q("q_m19_media_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") % 5 === 0)
+        // each branch synthesizes only ITS slice (building the full
+        // relation per branch re-encodes everything 3x), and the union
+        // checkpoints once — both consumers below (triage, the
+        // survivors join) would otherwise re-run the synthesis
+        def synth(slice: org.apache.spark.sql.DataFrame) =
+          Multimodal.synthesizeImages(s, slice, 16, 8, idCol = "doc_id")
+        val all = graft.operators.Iterate.checkpoint(
+          synth(docs.filter(col("doc_id") % 13 =!= 0))
+            .unionAll(Multimodal.transformMedia(s,
+              synth(docs.filter(col("doc_id") % 13 === 0)),
+              Multimodal.CorruptHeader(8)))
+            .unionAll(Multimodal.transformMedia(s,
+              synth(docs.filter(col("doc_id") % 7 === 0 &&
+                col("doc_id") % 13 =!= 0)),
+              Multimodal.PixelShift(1, 128))
+              .select((col("media_id") + 1000000L).as("media_id"),
+                col("bytes"), col("meta"))))
+        val okIds = Multimodal.mediaTriage(s, all)
+          .filter(col("ok")).select(col("media_id"))
+        // checkpointed: consumed by the cluster pass AND the canon join
+        val hashes = graft.operators.Iterate.checkpoint(
+          Multimodal.imageAHash(s, all.join(okIds, Seq("media_id")), 8, 4))
+        val clusters = Multimodal.hashDedupClusters(hashes,
+          numBands = 4, bandBits = 8, maxHam = 3)
+        val canon = hashes
+          .join(clusters.withColumnRenamed("node", "media_id"),
+            Seq("media_id"), "left")
+          .filter(col("component").isNull ||
+            col("component") === col("media_id"))
+          .select(col("media_id"), col("ahash"))
+        val bench = Multimodal.imageAHash(s,
+          Multimodal.transformMedia(s,
+            Multimodal.synthesizeImages(s,
+              docs.filter(col("doc_id") % 10 === 0), 16, 8,
+              idCol = "doc_id"),
+            Multimodal.PixelShift(1, 128)),
+          8, 4)
+        Multimodal.hashDecontaminate(canon, bench,
+          numBands = 4, bandBits = 8, maxHam = 3)
+      },
+      Some(s"""WITH RECURSIVE ${duckAHashRel("hall", pertR = false)},
+              |${duckAHashRel("pall", pertR = true)},
+              |ho AS (SELECT * FROM hall
+              |  WHERE media_id % 5 = 0 AND media_id % 13 <> 0),
+              |hv AS (SELECT media_id + 1000000 AS media_id, ahash
+              |  FROM pall
+              |  WHERE media_id % 5 = 0 AND media_id % 7 = 0
+              |    AND media_id % 13 <> 0),
+              |fp AS (SELECT media_id, ahash FROM ho
+              |  UNION ALL SELECT media_id, ahash FROM hv),
+              |prs AS (
+              |  SELECT a.media_id AS a_id, b.media_id AS b_id
+              |  FROM fp a JOIN fp b ON a.media_id < b.media_id
+              |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM prs
+              |  UNION SELECT b_id, a_id FROM prs),
+              |cc(node, label) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
+              |comp AS (SELECT node, MIN(label) AS component FROM cc
+              |  GROUP BY 1),
+              |canon AS (
+              |  SELECT fp.media_id, fp.ahash
+              |  FROM fp LEFT JOIN comp ON comp.node = fp.media_id
+              |  WHERE comp.component IS NULL OR comp.component = fp.media_id),
+              |bench AS (SELECT media_id, ahash FROM pall
+              |  WHERE media_id % 5 = 0 AND media_id % 10 = 0),
+              |best AS (
+              |  SELECT c.media_id,
+              |    MIN(bit_count(xor(c.ahash, b.ahash))) AS mh
+              |  FROM canon c JOIN bench b
+              |    ON bit_count(xor(c.ahash, b.ahash)) <= 3
+              |  GROUP BY 1)
+              |SELECT canon.media_id,
+              |  CAST(best.mh AS INTEGER) AS min_bench_hamming,
+              |  best.mh IS NULL AS kept
+              |FROM canon LEFT JOIN best USING (media_id)""".stripMargin)),
+
     // ---- M17: full 64-bit aHash riding the simhash machinery -------------
     // Wide media hashes need no parallel stack: the 8x8 (64-bit,
     // Krawetz-original) aHash emits a 16-hex signature and flows through
