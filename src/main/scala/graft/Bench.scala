@@ -44,22 +44,21 @@ object Bench {
     // dev filter (the driver never sets it): SPARK_GRAFT_ONLY=q_d7,q_x9
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     // per-commit dev tier (the driver never sets it):
-    // SPARK_GRAFT_TIER=flagship runs only the ~30 slowest round-11
+    // SPARK_GRAFT_TIER=flagship runs only the ~30 slowest round-13
     // entries — they carry >70% of total wall-clock, so a regression
     // anywhere that matters shows up here in ~1/4 the time. The full
     // registry stays the nightly/per-round run (the driver's), which
     // also REFRESHES this pinned list when the slow set shifts.
-    val flagship = Set("q_g10_adamic_adar", "q_g4_wpagerank", "q_g1_pagerank",
-      "q_g7_triangles", "q_g3_hits", "q_g6_label_prop", "q_g2_ppr",
+    val flagship = Set("q_g10_adamic_adar", "q_g1_pagerank", "q_g7_triangles",
+      "q_g4_wpagerank", "q_g3_hits", "q_g2_ppr", "q_g6_label_prop",
       "q_g8_kcore", "q_g11_shortest_paths", "q_g9_bfs_depth",
-      "q_m13_video_match", "q_m12_audio_clusters", "q_m10_phash_clusters",
-      "q_m14_video_clusters", "q_g13_assortativity", "etl_migration_100k",
-      "q_m11_audio_match", "q_sim8_kpp_ivf_topk", "q_x47_clean_train_corpus",
-      "q_x30_topic_clusters", "q_x64_hybrid_mmr", "q_g12_degree_histogram",
-      "q_x36_cdc_chunks", "q_x54_byte_fallback_ids",
-      "q_x35_topic_assign_store", "q_a10_hll_bound",
-      "q_d13_incremental_sigs", "q_x42_token_ids_store", "q_sim7_ff_kmeans",
-      "q_d2b_jaccard_capped")
+      "q_x72_train_langid", "q_m13_video_match", "q_m12_audio_clusters",
+      "q_g13_assortativity", "q_m14_video_clusters", "etl_migration_100k",
+      "q_m11_audio_match", "q_sim8_kpp_ivf_topk", "q_m10_phash_clusters",
+      "q_x47_clean_train_corpus", "q_x30_topic_clusters", "q_x64_hybrid_mmr",
+      "q_g12_degree_histogram", "q_m19_media_pipeline",
+      "q_x35_topic_assign_store", "q_a10_hll_bound", "q_j12_fuzzy_join",
+      "q_d13_incremental_sigs", "q_x36_cdc_chunks", "q_x42_token_ids_store")
     // store-twin entries: each re-runs a near-identical plan to its
     // original from a PERSISTED store (different plan pinned — the
     // no-rescan read path — same oracle). Together 21.9s of the 245.3s
