@@ -907,4 +907,111 @@ object Profile {
             "div (2 * (CAST(n AS DECIMAL(38,0)) * n - __e))"))
           .as("kappa_ppm"))
   }
+
+  /** pass@k — THE code-generation eval metric (Chen et al. 2021,
+    * "Evaluating Large Language Models Trained on Code", eq. 1), in its
+    * UNBIASED combinatorial form: with `n` samples per problem of which
+    * `c` pass, `pass@k = 1 − C(n−c, k)/C(n, k)` — the probability that
+    * a random size-k subset contains at least one passing sample. The
+    * naive estimator (fraction of problems where the FIRST k pass) is
+    * biased; the paper's point is to compute this exactly, and it IS
+    * exact here: the ratio telescopes to
+    * `Π_{i=0}^{k−1} (n−c−i)/(n−i)`, whose cross-multiplied half-up ppm
+    * is pure DECIMAL(38,0) integer arithmetic — the oracle replays
+    * every row. Per (problem, k): `n < k` has no defined estimate
+    * (null — fewer samples than the subset size); `n − c < k` is
+    * exactly 1e6 (every size-k subset must contain a pass). Null
+    * verdicts are unjudged — excluded (count upstream). An in-plan
+    * raise refuses a problem with more than `maxN` samples: past it
+    * the exact product would overflow the DECIMAL(38,0) head-room
+    * (checked at plan time against max k), and silently switching to
+    * floats would un-replay the metric. One hash aggregation to the
+    * problems-sized relation, then |ks| map-only projections. Returns
+    * `(<problemCol>, k, n, c, pass_ppm)`. */
+  def passAtK(df: DataFrame, problemCol: String, passCol: String,
+      ks: Seq[Int], maxN: Int = 1000): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1) && ks.distinct.size == ks.size,
+      s"ks must be distinct positive sample sizes, got $ks")
+    require(maxN >= 1, s"maxN must be positive, got $maxN")
+    val kmax = ks.max
+    require(BigInt(maxN).pow(kmax) * 2000000 < BigInt(10).pow(38),
+      s"maxN=$maxN with k=$kmax overflows DECIMAL(38,0): n^k·2e6 must " +
+        "stay under 1e38 — lower k or maxN")
+    val per = df.filter(col(passCol).isNotNull)
+      .groupBy(col(problemCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(passCol) === true, 1L).otherwise(0L)).as("c"))
+      .withColumn("n", when(col("n") > maxN,
+          raise_error(concat(
+            lit(s"passAtK: a problem has more than $maxN samples ("),
+            col("n"),
+            lit(") — the exact C(n,k) ratio would overflow " +
+              "DECIMAL(38,0); raise maxN deliberately or subsample"))))
+        .otherwise(col("n")))
+    ks.map { k =>
+      val dProd = (0 until k)
+        .map(i => s"CAST(n - $i AS DECIMAL(38,0))").mkString(" * ")
+      val nProd = (0 until k)
+        .map(i => s"CAST(n - c - $i AS DECIMAL(38,0))").mkString(" * ")
+      per.select(col(problemCol), lit(k).as("k"), col("n"), col("c"),
+        when(col("n") < k, lit(null).cast("long"))
+          .when(col("n") - col("c") < k, lit(1000000L))
+          .otherwise(expr(
+            s"CAST((2 * (($dProd) - ($nProd)) * 1000000 + ($dProd)) " +
+              s"div (2 * ($dProd)) AS BIGINT)"))
+          .as("pass_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Majority-vote (self-consistency) eval — Wang et al. 2022,
+    * "Self-Consistency Improves Chain of Thought Reasoning": sample n
+    * answers per question, keep the MODE, score it against gold. Per
+    * question: the majority answer (ties break to the
+    * lexicographically smallest answer — deterministic across
+    * engines), its exact half-up vote share in ppm, the distinct-answer
+    * count (the diversity signal self-consistency trades on), and the
+    * verdict against the question's gold. Null answers are abstentions
+    * — excluded from the vote but counted (`n_null`); a question whose
+    * every answer is null surfaces with a null mode and `correct =
+    * false` (no vote is not a right answer). Gold must be constant per
+    * question (fail-fast raise on conflict — two golds for one question
+    * is a data bug, not a tie to break silently). Two hash
+    * aggregations, answers-sized intermediates. Returns `(<qCol>, n,
+    * n_null, n_distinct, mode_answer, vote_ppm, correct)`. */
+  def selfConsistency(df: DataFrame, qCol: String, ansCol: String,
+      goldCol: String): DataFrame = {
+    val base = df.select(col(qCol), col(ansCol).cast("string").as("__a"),
+      col(goldCol).cast("string").as("__g"))
+    val votes = base.filter(col("__a").isNotNull)
+      .groupBy(col(qCol), col("__a")).agg(count(lit(1)).as("__v"))
+    // mode via ONE struct-min over (−votes, answer): the most-voted
+    // answer, ties to the lexicographically smallest — no per-question
+    // sort, no window over the corpus
+    val mode = votes
+      .groupBy(col(qCol))
+      .agg(min(struct((-col("__v")).as("__nv"), col("__a"))).as("__m"),
+        sum(col("__v")).as("n"),
+        count(lit(1)).as("n_distinct"))
+      .select(col(qCol), col("n"), col("n_distinct"),
+        col("__m.__a").as("mode_answer"), (-col("__m.__nv")).as("__mv"))
+    val golds = base
+      .groupBy(col(qCol))
+      .agg(count_distinct(col("__g")).as("__ng"), max(col("__g")).as("__gold"),
+        sum(when(col("__a").isNull, 1L).otherwise(0L)).as("n_null"))
+      .withColumn("__gold", when(col("__ng") > 1,
+          raise_error(concat(lit("selfConsistency: conflicting golds for "),
+            col(qCol).cast("string"),
+            lit(" — one question must carry one gold"))))
+        .otherwise(col("__gold")))
+    golds.join(mode, Seq(qCol), "left")
+      .select(col(qCol),
+        coalesce(col("n"), lit(0L)).as("n"), col("n_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("mode_answer"),
+        when(col("n") > 0, expr(
+          "CAST((2 * CAST(__mv AS DECIMAL(38,0)) * 1000000 + n) " +
+            "div (2 * n) AS BIGINT)")).as("vote_ppm"),
+        coalesce(col("mode_answer") === col("__gold"), lit(false))
+          .as("correct"))
+  }
 }

@@ -1608,6 +1608,83 @@ object RelationalQueries extends graft.QueryPack {
              |    - (2 * ss + n) // (2 * n)) AS BIGINT) AS gap_ppm
              |FROM sp LEFT JOIN per USING (bin)""".stripMargin)),
 
+    // ---- V25: pass@k (the unbiased Chen-et-al. code-eval estimator) -----
+    // Per problem (doc_id % 40) with a deterministic ~31% pass rate,
+    // pass@{1,5,10} in exact half-up ppm: the C(n−c,k)/C(n,k) ratio
+    // telescopes to a product of ≤k integer factors — DECIMAL(38,0) on
+    // the Spark side, HUGEINT list_reduce on DuckDB's. n−c < k rows hit
+    // the exact-1e6 branch in the data.
+    Q("q_v25_pass_at_k",
+      (s, d) => graft.operators.Profile.passAtK(
+        Tables.documents(s, d).select((col("doc_id") % 40).as("problem"),
+          ((col("doc_id") * 7919) % 97 < 30).as("pass")),
+        "problem", "pass", ks = Seq(1, 5, 10)),
+      Some("""WITH s AS (SELECT doc_id % 40 AS problem,
+             |    (doc_id * 7919) % 97 < 30 AS pass FROM documents),
+             |per AS (SELECT problem, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(COUNT(CASE WHEN pass THEN 1 END) AS BIGINT) AS c
+             |  FROM s GROUP BY 1),
+             |ex AS (SELECT per.*, k.k,
+             |    list_reduce(list_transform(range(0, k),
+             |      i -> CAST(n - i AS HUGEINT)), (a, b) -> a * b) AS dprod,
+             |    list_reduce(list_transform(range(0, k),
+             |      i -> CAST(n - c - i AS HUGEINT)), (a, b) -> a * b) AS nprod
+             |  FROM per, (SELECT unnest([1, 5, 10]) AS k) k)
+             |SELECT problem, CAST(k AS INT) AS k, n, c,
+             |  CAST(CASE WHEN n < k THEN NULL
+             |    WHEN n - c < k THEN 1000000
+             |    ELSE (2 * (dprod - nprod) * 1000000 + dprod)
+             |      // (2 * dprod) END
+             |    AS BIGINT) AS pass_ppm
+             |FROM ex""".stripMargin)),
+
+    // ---- V26: majority-vote self-consistency eval ------------------------
+    // Wang et al. 2022 applied per question (doc_id % 25): ~47% of
+    // samples answer gold, ~45% a hash-spread distractor, ~8% abstain
+    // (null). Mode with the lexicographic tiebreak, exact vote share,
+    // verdict vs the per-question gold; the oracle replays the vote
+    // table and the (votes desc, answer asc) argmax.
+    Q("q_v26_self_consistency",
+      (s, d) => {
+        val q = col("doc_id") % 25
+        val r = (col("doc_id") * 7919) % 100
+        val gold = concat(lit("g"), ((q * 31) % 7).cast("string"))
+        graft.operators.Profile.selfConsistency(
+          Tables.documents(s, d).select(q.as("q"),
+            when(r < 8, lit(null).cast("string"))
+              .when(r < 55, gold)
+              .otherwise(concat(lit("g"),
+                ((col("doc_id") * 13) % 7).cast("string"))).as("ans"),
+            gold.as("gold")),
+          "q", "ans", "gold")
+      },
+      Some("""WITH s AS (SELECT doc_id % 25 AS q,
+             |    'g' || CAST((doc_id % 25) * 31 % 7 AS VARCHAR) AS g,
+             |    CASE WHEN (doc_id * 7919) % 100 < 8 THEN NULL
+             |      WHEN (doc_id * 7919) % 100 < 55
+             |        THEN 'g' || CAST((doc_id % 25) * 31 % 7 AS VARCHAR)
+             |      ELSE 'g' || CAST((doc_id * 13) % 7 AS VARCHAR) END AS a
+             |  FROM documents),
+             |v AS (SELECT q, a, CAST(COUNT(*) AS BIGINT) AS v
+             |  FROM s WHERE a IS NOT NULL GROUP BY 1, 2),
+             |m AS (SELECT q, a AS mode_answer, v AS mv FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY q
+             |      ORDER BY v DESC, a) AS rn FROM v) WHERE rn = 1),
+             |agg AS (SELECT q, CAST(SUM(v) AS BIGINT) AS n,
+             |    CAST(COUNT(*) AS BIGINT) AS n_distinct FROM v GROUP BY 1),
+             |gd AS (SELECT q, MAX(g) AS gold,
+             |    CAST(COUNT(CASE WHEN a IS NULL THEN 1 END) AS BIGINT)
+             |      AS n_null
+             |  FROM s GROUP BY 1)
+             |SELECT gd.q, COALESCE(agg.n, 0) AS n, gd.n_null,
+             |  COALESCE(agg.n_distinct, 0) AS n_distinct, m.mode_answer,
+             |  CAST(CASE WHEN agg.n > 0 THEN
+             |    (2 * m.mv * 1000000 + agg.n) // (2 * agg.n) END
+             |    AS BIGINT) AS vote_ppm,
+             |  COALESCE(m.mode_answer = gd.gold, false) AS correct
+             |FROM gd LEFT JOIN agg USING (q) LEFT JOIN m USING (q)"""
+        .stripMargin)),
+
     // ---- V18: differentially-private histogram release ------------------
     // The Laplace mechanism over the q_v4 grid (epsilon = 1, sensitivity
     // 1 for disjoint counts): deterministic-seeded noise via the inverse

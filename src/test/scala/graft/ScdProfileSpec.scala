@@ -749,4 +749,75 @@ class ScdProfileSpec extends AnyFunSuite {
       .collect().head
     assert(withNull.getLong(0) === 50L)
   }
+
+  test("pass@k: hand combinatorics, the n-c<k certainty branch, " +
+      "undefined when n<k, unjudged excluded, the overflow cap raises") {
+    import spark.implicits._
+    // problem A: n=10, c=3 -> pass@1 = 3/10; pass@5 = 1 - C(7,5)/C(10,5)
+    // = 11/12 -> half-up 916667
+    val a = (1 to 10).map(i => ("A", i <= 3))
+    // problem B: n=5, c=2 -> at k=4, n-c = 3 < 4: EVERY size-4 subset
+    // contains a pass -> exactly 1e6; at k=10, n < k -> undefined
+    val b = (1 to 5).map(i => ("B", i <= 2))
+    val out = Profile.passAtK((a ++ b).toDF("p", "pass"), "p", "pass",
+        ks = Seq(1, 4, 5, 10))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(out(("A", 1)) === Some(300000L), "pass@1 is exactly c/n")
+    assert(out(("A", 5)) === Some(916667L), "1 - C(7,5)/C(10,5) = 11/12")
+    assert(out(("B", 4)) === Some(1000000L),
+      "n - c < k: a size-k subset cannot avoid every pass")
+    assert(out(("B", 10)) === None,
+      "fewer samples than k has no defined estimate")
+    // null verdicts are unjudged — excluded from n
+    val withNull = Profile.passAtK(
+      (a.map { case (p, v) => (p, Option(v)) } :+
+        (("A", Option.empty[Boolean]))).toDF("p", "pass"),
+      "p", "pass", ks = Seq(1)).collect().head
+    assert(withNull.getLong(2) === 10L)
+    // the DECIMAL(38,0) head-room cap: plan-time on (maxN, max k), and
+    // in-plan when a problem actually exceeds maxN
+    intercept[IllegalArgumentException](
+      Profile.passAtK(a.toDF("p", "pass"), "p", "pass",
+        ks = Seq(16), maxN = 1000))
+    val ex = intercept[Exception](Profile.passAtK(
+      a.toDF("p", "pass"), "p", "pass", ks = Seq(1), maxN = 5).collect())
+    assert(ex.getMessage.contains("more than 5 samples"))
+  }
+
+  test("self-consistency: mode with lexicographic tiebreak, abstentions " +
+      "counted not voted, all-null questions surface, gold conflicts raise") {
+    import spark.implicits._
+    val rows = Seq(
+      // q1: a beats b 3-2, gold a -> correct, vote 600000
+      ("q1", Option("a"), "a"), ("q1", Option("a"), "a"),
+      ("q1", Option("a"), "a"), ("q1", Option("b"), "a"),
+      ("q1", Option("b"), "a"),
+      // q2: x and y tie 2-2 -> lexicographically smaller x wins; gold y
+      ("q2", Option("x"), "y"), ("q2", Option("x"), "y"),
+      ("q2", Option("y"), "y"), ("q2", Option("y"), "y"),
+      // q3: two abstentions + one z, gold z -> correct off one vote
+      ("q3", Option.empty[String], "z"), ("q3", Option.empty[String], "z"),
+      ("q3", Option("z"), "z"),
+      // q4: every answer null -> no vote is not a right answer
+      ("q4", Option.empty[String], "w"), ("q4", Option.empty[String], "w")
+    ).toDF("q", "ans", "gold")
+    val out = Profile.selfConsistency(rows, "q", "ans", "gold")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          r.getBoolean(6)))).toMap
+    assert(out("q1") === ((5L, 0L, 2L, "a", Some(600000L), true)))
+    assert(out("q2") === ((4L, 0L, 2L, "x", Some(500000L), false)),
+      "ties break to the lexicographically smallest answer")
+    assert(out("q3") === ((1L, 2L, 1L, "z", Some(1000000L), true)),
+      "abstentions count in n_null, not in the vote")
+    assert(out("q4") === ((0L, 2L, 0L, null, None, false)),
+      "an all-abstention question surfaces as incorrect, not absent")
+    // two golds for one question is a data bug, not a tie to break
+    val ex = intercept[Exception](Profile.selfConsistency(
+      Seq(("q", Option("a"), "g1"), ("q", Option("a"), "g2"))
+        .toDF("q", "ans", "gold"), "q", "ans", "gold").collect())
+    assert(ex.getMessage.contains("conflicting golds"))
+  }
 }
