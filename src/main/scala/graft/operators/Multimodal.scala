@@ -1009,6 +1009,59 @@ object Multimodal {
   def pairAlignment(pairs: DataFrame, idCol: String, srcCol: String,
       imgCol: String, txtCol: String, tauMicros: Long,
       minePred: org.apache.spark.sql.Column): DataFrame = {
+    val (verdicts, queries, cands) =
+      pairAlignmentCore(pairs, idCol, srcCol, imgCol, txtCol, tauMicros,
+        minePred)
+    val sp = pairs.sparkSession
+    val scored = Par.spread(cands).crossJoin(broadcast(queries))
+      .filter(col("__cid") =!= col("__qid"))
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        round(round(Similarity.nativeDot(sp, col("__qv"), col("__cv"))
+          / (col("__qn") * col("__cn")), 6) * 1e6).cast("long")
+          .cast("double").as("score"))
+    pairAlignmentTail(verdicts, scored, idCol, srcCol)
+  }
+
+  /** [[pairAlignment]] with the mining candidates supplied EXPLICITLY —
+    * the full-corpus-scale path: when the slice to mine is itself
+    * corpus-sized, the brute-force broadcast is the wrong plan; feed a
+    * blocked candidate relation instead (sign-LSH bucket co-members via
+    * [[Similarity.lshBuckets]], shared IVF lists, or any blocking the
+    * caller trusts) and mining becomes two KEYED equi-joins + the same
+    * bounded top-1 — no broadcast, no cross join, shuffles keyed on
+    * pair ids. `candidates(query_id, cand_id)` pairs image `query_id`
+    * against text `cand_id`; self-pairs and candidates with an invalid
+    * side drop exactly as in the brute-force path, so with a candidate
+    * set that CONTAINS each image's true best text the output is
+    * IDENTICAL to [[pairAlignment]] (spec-pinned); a candidate set that
+    * misses it under-reports `alt_micros` — candidate recall bounds
+    * mining recall, the standard ANN trade. Gate semantics unchanged
+    * (every pair is gated; only mining is candidate-driven). */
+  def pairAlignmentWith(pairs: DataFrame, idCol: String, srcCol: String,
+      imgCol: String, txtCol: String, tauMicros: Long,
+      candidates: DataFrame): DataFrame = {
+    val (verdicts, queries, cands) =
+      pairAlignmentCore(pairs, idCol, srcCol, imgCol, txtCol, tauMicros,
+        lit(true))
+    val sp = pairs.sparkSession
+    val scored = candidates
+      .select(col("query_id").as("__qid"), col("cand_id").as("__cid"))
+      .filter(col("__cid") =!= col("__qid"))
+      .join(queries, Seq("__qid"))
+      .join(cands, Seq("__cid"))
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        round(round(Similarity.nativeDot(sp, col("__qv"), col("__cv"))
+          / (col("__qn") * col("__cn")), 6) * 1e6).cast("long")
+          .cast("double").as("score"))
+    pairAlignmentTail(verdicts, scored, idCol, srcCol)
+  }
+
+  /** Shared gate + mining-side preparation: per-pair verdicts plus the
+    * valid-image query and valid-text candidate relations. */
+  private def pairAlignmentCore(pairs: DataFrame, idCol: String,
+      srcCol: String, imgCol: String, txtCol: String, tauMicros: Long,
+      minePred: org.apache.spark.sql.Column)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(tauMicros >= -1000000L && tauMicros <= 1000000L,
       s"tau is micros of cosine in [-1e6, 1e6], got $tauMicros")
     val sp = pairs.sparkSession
@@ -1030,12 +1083,12 @@ object Multimodal {
     val cands = verdicts.filter(col("__tn") > 0)
       .select(col(idCol).as("__cid"), col("__tv").as("__cv"),
         col("__tn").as("__cn"))
-    val scored = Par.spread(cands).crossJoin(broadcast(queries))
-      .filter(col("__cid") =!= col("__qid"))
-      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
-        round(round(Similarity.nativeDot(sp, col("__qv"), col("__cv"))
-          / (col("__qn") * col("__cn")), 6) * 1e6).cast("long")
-          .cast("double").as("score"))
+    (verdicts, queries, cands)
+  }
+
+  /** Shared mining tail: bounded top-1 + the verdict join. */
+  private def pairAlignmentTail(verdicts: DataFrame, scored: DataFrame,
+      idCol: String, srcCol: String): DataFrame = {
     val alt = Similarity.perQueryTopK(scored, 1)
       .select(col("query_id").as(idCol), col("neighbor_id").as("alt_id"),
         col("score").cast("long").as("alt_micros"))

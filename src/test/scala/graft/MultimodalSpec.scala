@@ -517,6 +517,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(par("c") === ((0L, true)), "the all-misaligned source flags")
   }
 
+  test("pairAlignmentWith: candidate-driven mining equals brute force " +
+      "when candidates contain the argmax; a missed candidate bounds " +
+      "recall; the plan is keyed joins, no broadcast nested loop") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, "a", Some(Seq(1f, 0f)), Some(Seq(1f, 0f))),
+      (2L, "a", Some(Seq(1f, 0f)), Some(Seq(0f, 1f))),
+      (3L, "b", Some(Seq(0f, 1f)), Some(Seq(0.6f, 0.8f))),
+      (4L, "b", Some(Seq(1f, 0f)), None),
+      (5L, "c", Some(Seq(0f, 0f)), Some(Seq(1f, 0f)))
+    ).toDF("pair_id", "source", "img_emb", "txt_emb")
+    val brute = Multimodal.pairAlignment(pairs, "pair_id", "source",
+      "img_emb", "txt_emb", tauMicros = 750000L, minePred = lit(true))
+    // the FULL candidate grid reproduces brute force exactly
+    val ids = (1L to 5L)
+    val full = ids.flatMap(q => ids.map(c => (q, c)))
+      .toDF("query_id", "cand_id")
+    val viaFull = Multimodal.pairAlignmentWith(pairs, "pair_id", "source",
+      "img_emb", "txt_emb", tauMicros = 750000L, candidates = full)
+    assert(viaFull.exceptAll(brute).isEmpty && brute.exceptAll(viaFull).isEmpty,
+      "a candidate set containing every pair must equal brute force")
+    // a blocked set that still contains each image's true best text
+    // (1->5, 2->1, 3->2, 4->1) is also identical
+    val blocked = Seq((1L, 5L), (1L, 3L), (2L, 1L), (3L, 2L), (4L, 1L),
+      (5L, 1L)).toDF("query_id", "cand_id")
+    val viaBlocked = Multimodal.pairAlignmentWith(pairs, "pair_id",
+      "source", "img_emb", "txt_emb", tauMicros = 750000L,
+      candidates = blocked)
+    assert(viaBlocked.exceptAll(brute).isEmpty &&
+      brute.exceptAll(viaBlocked).isEmpty,
+      "argmax-preserving blocking must not change any verdict")
+    // candidate recall bounds mining recall: drop image 2's true best
+    // and it falls back to the best REMAINING candidate
+    val lossy = Seq((2L, 3L)).toDF("query_id", "cand_id")
+    val deg = Multimodal.pairAlignmentWith(pairs, "pair_id", "source",
+        "img_emb", "txt_emb", tauMicros = 750000L, candidates = lossy)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(deg(2L) === Some(3L) && deg(1L) === None,
+      "mining sees exactly the candidates it was given")
+    // scale shape: no broadcast nested loop anywhere in the plan
+    val plan = viaBlocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate mining must stay on keyed equi-joins:\n$plan")
+  }
+
   test("mediaTriage catch discipline: NonFatal becomes a verdict, a " +
       "fatal VM error propagates (infrastructure != data corruption)") {
     val soft = Multimodal.triageAttempt(
