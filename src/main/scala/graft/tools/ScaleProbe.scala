@@ -698,6 +698,44 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Trained-LID growth — `runMain graft.tools.ScaleProbe langid`:
+    // the q_x72 chain (3-language variants, OvR char-gram train +
+    // whole-corpus classify) over ×1/×4/×16 token-salted documents.
+    // Salting changes the char distribution but not the machinery —
+    // the probe measures the training relation's growth (labeled docs
+    // × classes × distinct buckets) and the map-only scoring pass.
+    if (args.headOption.contains("langid")) {
+      import graft.operators.TextAnalysis
+      Seq(1, 4, 16).foreach { f =>
+        val dir = s"target/scaleprobe/x$f"
+        val marker = new java.io.File(s"$dir/.done")
+        if (!marker.exists) {
+          amplify(spark, "/root/testdata/sf0.1", dir, f)
+          marker.createNewFile()
+        }
+        val v = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            when(col("doc_id") % 3 === 0, lower(col("text")))
+              .when(col("doc_id") % 3 === 1,
+                translate(lower(col("text")), "aeiou", "01234"))
+              .otherwise(reverse(lower(col("text")))).as("txt"))
+        val labeled = v.filter(col("doc_id") % 4 < 2)
+          .withColumn("lang",
+            concat(lit("l"), (col("doc_id") % 3).cast("string")))
+        def run(): Double = time {
+          TextAnalysis.langIdTrained(v,
+            TextAnalysis.trainLangId(labeled, "lang", dims = 64,
+              rounds = 2, nMin = 2, nMax = 3, textCol = "txt"),
+            dims = 64, nMin = 2, nMax = 3, textCol = "txt")
+            .write.format("noop").mode("overwrite").save()
+        }
+        run() // warmup
+        println(f"[scaleprobe] langid x$f%-4d ${math.min(run(), run())}%.2f s")
+      }
+      spark.stop(); return
+    }
+
     // PQ encode A/B at PRODUCTION geometry (m=16, k=256): the relational
     // path materializes n·m·k scored rows (819M at ×100 embeddings);
     // the pq_encode kernel is one codegen'd projection. Codebooks train
