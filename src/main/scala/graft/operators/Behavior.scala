@@ -450,6 +450,51 @@ object Behavior {
           col("n_null_ts") === 0L)
   }
 
+  /** SFT pair extraction — the step that turns audited conversations
+    * into supervised training examples: every ASSISTANT turn emits one
+    * `(context, response)` pair, the context being all PRIOR turns
+    * rendered `role: text` and newline-joined in event-time order
+    * (explicit integral tiebreak). This is the [[dialogAudit]] →
+    * training-data handoff, and it is STRICT where the audit is
+    * permissive: an unplaceable (null-timestamp) turn cannot be ordered
+    * into anyone's context, so it fails the job with an in-plan raise —
+    * run [[dialogAudit]] first and gate on `well_formed` (the
+    * triage-then-strict discipline the media stack uses). Null-role or
+    * null-text turns render as empty strings inside the context (the
+    * pair is the caller's audit problem, not this operator's silent
+    * edit). ONE window pass partitioned by conversation: the context is
+    * a bounded running collect over the conversation's own turns —
+    * conversations are bounded by contract, the corpus is never
+    * globally sorted. Returns `(<convCol>, <idCol>, n_context_turns,
+    * context, response)` — first-turn assistant responses carry an
+    * empty context. */
+  def sftPairs(df: DataFrame, convCol: String, tsCol: String,
+      idCol: String, roleCol: String, textCol: String,
+      assistantRole: String = "assistant"): DataFrame = {
+    val w = Window.partitionBy(col(convCol))
+      .orderBy(col(tsCol), col(idCol))
+    val rendered = df
+      .select(col(convCol),
+        when(col(tsCol).isNotNull, col(tsCol)).otherwise(raise_error(
+          concat(lit("sftPairs: null-timestamp turn in conversation "),
+            col(convCol).cast("string"),
+            lit(" — unplaceable turns cannot be ordered into a " +
+              "context; run dialogAudit and gate on well_formed first"))))
+          .as(tsCol),
+        col(idCol), col(roleCol).cast("string").as("__r"),
+        col(textCol).cast("string").as("__t"))
+      .withColumn("__line", concat(coalesce(col("__r"), lit("")),
+        lit(": "), coalesce(col("__t"), lit(""))))
+    rendered
+      .withColumn("__ctx", collect_list(col("__line"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("__r") === assistantRole)
+      .select(col(convCol), col(idCol),
+        size(col("__ctx")).cast("long").as("n_context_turns"),
+        array_join(col("__ctx"), "\n").as("context"),
+        coalesce(col("__t"), lit("")).as("response"))
+  }
+
   /** RFM segmentation (recency / frequency / monetary — the classic
     * customer-value grid): per user over the purchase stream, the
     * latest-purchase micros, the purchase count, and the exact DECIMAL

@@ -1263,6 +1263,47 @@ object TextAnalysis {
     stats.write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle"):
+    * code/infilling corpora train with a fraction of documents
+    * rearranged PSM — `<PRE> prefix <SUF> suffix <MID> middle` — so the
+    * model learns to complete a span given BOTH sides. Deterministic
+    * md5 draws (the [[Profile.dpCounts]] seeded stance: a salt replays
+    * bit-for-bit, a new salt redraws): selection by u32-vs-`fimPpm`
+    * exact long compare, the two cut points by independent md5 draws
+    * mod (len+1), ordered lo ≤ hi — empty prefix/middle/suffix spans
+    * are legitimate outcomes (the paper keeps them; a document is
+    * never "too short to FIM"). Sentinels are caller-chosen literals
+    * (match your tokenizer's specials). Unselected and null-text docs
+    * pass through untouched with `fim = false`. Map-only — at 100 TB
+    * this is a pure codegen'd scan stage. Returns
+    * `(<idCol>, fim, text_out)`. */
+  def fimTransform(df: DataFrame, textCol: String, idCol: String,
+      salt: String, fimPpm: Long = 500000L,
+      preTok: String = "<PRE>", sufTok: String = "<SUF>",
+      midTok: String = "<MID>"): DataFrame = {
+    require(fimPpm >= 0 && fimPpm <= 1000000L,
+      s"fimPpm must be in [0, 1e6], got $fimPpm")
+    def u32(tag: String) = conv(substring(md5(concat(
+      lit(s"$salt|$tag|"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val n = length(col(textCol))
+    val sel = col(textCol).isNotNull &&
+      u32("sel") * 1000000L < lit(fimPpm) * 4294967296L
+    val c1 = u32("c1") % (n + 1)
+    val c2 = u32("c2") % (n + 1)
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    df.select(col(idCol), sel.as("fim"),
+      when(sel, concat(lit(preTok),
+          col(textCol).substr(lit(1), lo.cast("int")),
+          lit(sufTok),
+          col(textCol).substr((hi + 1).cast("int"), n.cast("int")),
+          lit(midTok),
+          col(textCol).substr((lo + 1).cast("int"), (hi - lo).cast("int"))))
+        .otherwise(col(textCol)).as("text_out"))
+  }
+
   /** Opt-out purge of a persisted BM25 index — the retrieval half of
     * the right-to-be-forgotten contract: after the purge, the revoked
     * docs can never be RETRIEVED again ([[bm25TopKFromIndex]] ranks

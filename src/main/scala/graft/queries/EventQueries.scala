@@ -351,6 +351,45 @@ object EventQueries extends graft.QueryPack {
              |FROM a FULL OUTER JOIN nt ON a.user_id = nt.user_id"""
         .stripMargin)),
 
+    // ---- E32: SFT pair extraction (conversation -> training examples) ---
+    // The dialogAudit handoff: each user's gated event stream (the
+    // q_e30 role mapping, null user/ts filtered — the operator REFUSES
+    // unplaceable turns in-plan) emits one (context, response) pair per
+    // assistant turn, context = prior turns rendered 'role: text' in
+    // (ts, event_id) order. The oracle replays the rendering and the
+    // unbounded-preceding-to-1-preceding window agg.
+    Q("q_e32_sft_pairs",
+      (s, d) => graft.operators.Behavior.sftPairs(
+        Tables.events(s, d)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            when(col("event_type").isin("click", "view"), "user")
+              .when(col("event_type") === "purchase", "assistant")
+              .otherwise(lit("other")).as("role"),
+            concat(col("event_type"), lit("-"),
+              (col("event_id") % 100).cast("string")).as("txt")),
+        "user_id", "ts", "event_id", "role", "txt"),
+      Some("""WITH r AS (SELECT user_id, ts, event_id,
+             |    CASE WHEN event_type IN ('click', 'view') THEN 'user'
+             |      WHEN event_type = 'purchase' THEN 'assistant'
+             |      ELSE 'other' END AS role,
+             |    event_type || '-' || CAST(event_id % 100 AS VARCHAR)
+             |      AS txt
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |o AS (SELECT user_id, event_id, role, txt,
+             |    COALESCE(string_agg(role || ': ' || txt, chr(10)) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), '')
+             |      AS context,
+             |    CAST(COUNT(*) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT) AS n_context_turns
+             |  FROM r)
+             |SELECT user_id, event_id, n_context_turns, context,
+             |  txt AS response
+             |FROM o WHERE role = 'assistant'""".stripMargin)),
+
     // ---- E28/E29: pairwise-preference aggregation (RLHF data ops) -------
     // A preference corpus synthesized engine-independently from events:
     // 8 candidates, base direction the ROTATIONAL tournament (a beats b

@@ -1900,6 +1900,38 @@ object TextQueries extends graft.QueryPack {
              |FROM wds JOIN wseg ws ON ws.w = wds.w
              |GROUP BY 1""".stripMargin)),
 
+    // ---- X74: fill-in-the-middle transformation (code-corpus prep) ------
+    // Bavarian et al. PSM rearrangement at a 50% deterministic rate:
+    // md5-seeded selection + two md5-seeded character cuts, sentinels
+    // inline. The oracle replays the u32 draws, the mod-(len+1) cuts,
+    // and every substring boundary — incl. empty spans (a cut at 0 or
+    // len is a legitimate outcome, not an edge to skip).
+    Q("q_x74_fim",
+      (s, d) => TextAnalysis.fimTransform(Tables.documents(s, d),
+        "text", "doc_id", salt = "fim1", fimPpm = 500000L),
+      Some("""WITH u AS (SELECT doc_id, text,
+             |    CAST('0x' || substr(md5('fim1|sel|'
+             |      || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS us,
+             |    CAST('0x' || substr(md5('fim1|c1|'
+             |      || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS u1,
+             |    CAST('0x' || substr(md5('fim1|c2|'
+             |      || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS u2
+             |  FROM documents),
+             |c AS (SELECT doc_id, text,
+             |    text IS NOT NULL
+             |      AND us * 1000000 < 500000 * 4294967296 AS fim,
+             |    u1 % (len(text) + 1) AS c1, u2 % (len(text) + 1) AS c2
+             |  FROM u)
+             |SELECT doc_id, fim,
+             |  CASE WHEN fim THEN
+             |    '<PRE>' || substr(text, 1, CAST(LEAST(c1, c2) AS INT))
+             |    || '<SUF>' || substr(text,
+             |         CAST(GREATEST(c1, c2) + 1 AS INT))
+             |    || '<MID>' || substr(text, CAST(LEAST(c1, c2) + 1 AS INT),
+             |         CAST(GREATEST(c1, c2) - LEAST(c1, c2) AS INT))
+             |  ELSE text END AS text_out
+             |FROM c""".stripMargin)),
+
     // ---- X38: equi-depth length discretization (quartile bins) ----------
     // Exact interpolated 25/50/75 boundaries via one global aggregate
     // (the winsorize mechanism), broadcast; bin = #{b : x > b} so

@@ -291,6 +291,45 @@ class BehaviorSpec extends AnyFunSuite {
       "an all-null-ts conversation still surfaces as malformed")
   }
 
+  test("sft pairs: one example per assistant turn with the prior-turns " +
+      "context, ties by id, null role/text render empty, null ts raises") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, 1L, t("2026-01-01 10:00:00"), "user", "hi"),
+      (1L, 2L, t("2026-01-01 10:01:00"), "assistant", "hello"),
+      (1L, 3L, t("2026-01-01 10:02:00"), "user", "thanks"),
+      (1L, 4L, t("2026-01-01 10:03:00"), "assistant", "bye"),
+      // conv 2: assistant-first (empty context) + same-ts tie by id +
+      // a null-role and a null-text turn rendering as empty strings
+      (2L, 5L, t("2026-01-01 09:00:00"), "assistant", "opener"),
+      (2L, 6L, t("2026-01-01 09:01:00"), null.asInstanceOf[String], "x"),
+      (2L, 7L, t("2026-01-01 09:02:00"), "user", null.asInstanceOf[String]),
+      (2L, 8L, t("2026-01-01 09:02:00"), "assistant", "end")
+    ).toDF("conv", "event_id", "ts", "role", "txt")
+    val out = Behavior.sftPairs(rows, "conv", "ts", "event_id", "role",
+        "txt")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(out.keySet === Set(2L, 4L, 5L, 8L),
+      "exactly one pair per assistant turn")
+    assert(out(2L) === ((1L, "user: hi", "hello")))
+    assert(out(4L) === ((3L, "user: hi\nassistant: hello\nuser: thanks",
+      "bye")), "the context carries every prior turn in order")
+    assert(out(5L) === ((0L, "", "opener")),
+      "an assistant-first turn gets an empty context, not a dropped row")
+    // the same-ts tie (7 before 8 by id) and the null renders
+    assert(out(8L) === ((3L, "assistant: opener\n: x\nuser: ", "end")))
+    // an unplaceable (null-ts) turn fails the job loudly
+    val bad = rows.union(Seq((3L, 9L, null.asInstanceOf[java.sql.Timestamp],
+      "user", "lost")).toDF("conv", "event_id", "ts", "role", "txt"))
+    val ex = intercept[Exception](
+      Behavior.sftPairs(bad, "conv", "ts", "event_id", "role", "txt")
+        .collect())
+    assert(ex.getMessage.contains("unplaceable"),
+      "null-ts turns must refuse, not silently drop (run dialogAudit first)")
+  }
+
   test("time-decay attribution: all-ancient touches clamp to 1 micro " +
       "each — the conversion credits instead of emitting NULL rows") {
     import spark.implicits._

@@ -291,6 +291,45 @@ class TextOpsSpec extends AnyFunSuite {
       "packing preserves the tokenizer's total token count")
   }
 
+  test("fim transform: PSM spans reconstruct the document, selection is " +
+      "salted and exact-rate, unselected and null docs pass through") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc$i " * 5)).toDF("doc_id", "text")
+      .union(Seq(999L).toDF("doc_id").withColumn("text",
+        lit(null).cast("string")))
+    val out = TextAnalysis.fimTransform(docs, "text", "doc_id", "s1")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getString(2)))).toMap
+    val texts = (0L until 200L).map(i => i -> (s"doc$i " * 5)).toMap
+    val nFim = out.count { case (id, (f, _)) => f && id != 999L }
+    assert(nFim > 60 && nFim < 140, s"~50% selection, got $nFim/200")
+    for ((id, (f, t)) <- out if id != 999L) {
+      if (!f) assert(t === texts(id), "unselected docs pass through")
+      else {
+        // <PRE>p<SUF>s<MID>m reconstructs as p+m+s
+        val Array(_, rest) = t.split("<PRE>", 2)
+        val Array(p, rest2) = (rest.split("<SUF>", 2) match {
+          case Array(a, b) => Array(a, b); case Array(a) => Array("", a) })
+        val Array(sfx, m) = (rest2.split("<MID>", 2) match {
+          case Array(a, b) => Array(a, b); case Array(a) => Array("", a) })
+        assert(p + m + sfx === texts(id),
+          s"PSM spans must reconstruct doc $id")
+      }
+    }
+    assert(out(999L) === ((false, null)), "null text passes through")
+    // rate 0 selects nothing; rate 1e6 selects everything non-null
+    assert(TextAnalysis.fimTransform(docs, "text", "doc_id", "s1", 0L)
+      .filter(col("fim")).count() === 0L)
+    assert(TextAnalysis.fimTransform(docs, "text", "doc_id", "s1", 1000000L)
+      .filter(col("fim")).count() === 200L)
+    // a fresh salt actually redraws the selection
+    val out2 = TextAnalysis.fimTransform(docs, "text", "doc_id", "s2")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((0L until 200L).exists(i => out(i)._1 != out2(i)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.fimTransform(docs, "text", "doc_id", "s1", -1L))
+  }
+
   test("byte fallback: unseen pieces become UTF-8 byte ids, never -1, and round-trip") {
     import spark.implicits._
     val train = Seq((1L, "te te ab"), (2L, "ab te")).toDF("doc_id", "text")
