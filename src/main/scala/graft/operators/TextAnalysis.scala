@@ -978,6 +978,100 @@ object TextAnalysis {
           .otherwise(lit("middle")))
   }
 
+  /** Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the Chen &
+    * Goodman 1999 interpolated form — the KenLM default and the
+    * third member of the LM family next to add-α ([[bigramPerplexity]])
+    * and stupid backoff ([[stupidBackoff]])): absolute discounting plus
+    * a CONTINUATION-count unigram ("how many contexts has w followed"
+    * — the insight that makes 'Francisco' unlikely outside 'San'):
+    *
+    *   p(w|v) = max(c(vw) − D, 0)/c(v·) + D·N1+(v·)/c(v·) · N1+(·w)/B
+    *
+    * with `D = n1/(n1 + 2·n2)` (the Ney–Essen–Kneser leave-one-out
+    * estimate from the counts-of-counts), `N1+` the distinct-
+    * continuation counts, and `B` the distinct-bigram total. EVERY
+    * ingredient is an integer count, so the probability is formed as
+    * ONE exact rational — cross-multiplied numerator/denominator in
+    * DECIMAL(38,0):
+    *
+    *   num = max(c·b − n1, 0)·B + n1·N1+(v·)·N1+(·w),  den = b·c(v·)·B
+    *
+    * (b = n1 + 2·n2, floored at 1 — n1 = 0 makes D = 0 and the model
+    * degenerate exactly to MLE) — and only THEN hits libm once as
+    * `round(ln(num/den), 6)` per bigram (the [[bigramPerplexity]]
+    * contract: the 6-dp round absorbs ≤1-ulp ln differences, the
+    * micro sums stay exact). Pinned conventions: an unseen CONTEXT
+    * backs off to the continuation unigram alone (`num = N1+(·w)`,
+    * `den = B`); `num = 0` — a word never seen as a continuation —
+    * is OOV: lp null, counted in `n_oov`, excluded from the average
+    * (the [[stupidBackoff]] convention). Magnitude bound: den =
+    * b·c(v)·B must fit DECIMAL(38,0) — comfortable through ~1e12-count
+    * corpora (1e36 < 1e38); shard the LM beyond that.
+    *
+    * Scale shape: training (over `train`) is two hash aggregations on
+    * the distinct-bigram relation + two 1-row broadcasts
+    * (counts-of-counts, B); scoring (over `target` — pass the train
+    * corpus itself for in-sample ppl, a held-out batch for the CCNet
+    * gate) is three keyed joins against count relations (AQE broadcasts
+    * them while they fit) and one per-doc reduction — the [[pplCore]]
+    * shape with one extra keyed join. Returns
+    * `(doc_id, n_bigrams, n_oov, avg_nll)` with the exact-micro
+    * half-up average over scored bigrams. */
+  def knBigramNll(train: DataFrame, target: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    def bigrams(src: DataFrame) =
+      Par.spread(src.select(col(idCol).as("doc_id"),
+          tokens(lower(col(textCol))).as("toks")))
+        .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("gram"))
+    val bi = bigrams(target)
+    val biCnt = bigrams(train).groupBy(col("gram")).agg(count(lit(1)).as("cb"))
+      .withColumn("v", split(col("gram"), " ").getItem(0))
+      .withColumn("w", split(col("gram"), " ").getItem(1))
+    val ctx = biCnt.groupBy(col("v"))
+      .agg(sum(col("cb")).as("cv"), count(lit(1)).as("nv"))
+    val cont = biCnt.groupBy(col("w")).agg(count(lit(1)).as("nw"))
+    val disc = biCnt.agg(
+      sum(when(col("cb") === 1, 1L).otherwise(0L)).as("n1"),
+      greatest(sum(when(col("cb") === 1, 1L).otherwise(0L)) +
+        lit(2L) * sum(when(col("cb") === 2, 1L).otherwise(0L)), lit(1L))
+        .as("b"),
+      count(lit(1)).as("bt"))
+    val scored = bi
+      .join(biCnt.select(col("gram"), col("cb")), Seq("gram"), "left")
+      .withColumn("v", split(col("gram"), " ").getItem(0))
+      .withColumn("w", split(col("gram"), " ").getItem(1))
+      .join(ctx, Seq("v"), "left")
+      .join(cont, Seq("w"), "left")
+      .crossJoin(broadcast(disc))
+      .withColumn("__num", when(col("cv").isNotNull, expr(
+          "greatest(CAST(coalesce(cb, 0) AS DECIMAL(38,0)) * b - n1, 0) " +
+            "* bt + CAST(n1 AS DECIMAL(38,0)) * nv * coalesce(nw, 0)"))
+        .otherwise(expr("CAST(coalesce(nw, 0) AS DECIMAL(38,0))")))
+      .withColumn("__den", when(col("cv").isNotNull,
+          expr("CAST(b AS DECIMAL(38,0)) * cv * bt"))
+        .otherwise(expr("CAST(bt AS DECIMAL(38,0))")))
+      .select(col("doc_id"),
+        when(col("__num") > 0,
+          round(log(col("__num").cast("double") /
+            col("__den").cast("double")), 6).cast("decimal(18,6)"))
+          .as("lp"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("lp").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("lp")).as("__s"),
+        sum(when(col("lp").isNotNull, 1L).otherwise(0L)).as("__n"))
+      .withColumn("__sm", (col("__s") * lit(-1000000L)).cast("long"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        when(col("__n") > 0,
+          expr("(2 * __sm + __n) div (2 * __n)").cast("double")
+            / lit(1000000.0)).as("avg_nll"))
+    target.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        col("avg_nll"))
+  }
+
   /** Trigram scoring with STUPID BACKOFF (Brants et al. 2007, "Large
     * Language Models in Machine Translation") — the large-corpus LM
     * shape beyond the bigram gate: no discounting, no normalization,

@@ -291,6 +291,48 @@ class TextOpsSpec extends AnyFunSuite {
       "packing preserves the tokenizer's total token count")
   }
 
+  test("kneser-ney bigram LM: hand rationals on a tiny corpus, unseen " +
+      "bigrams discount, unseen contexts back off to continuations, " +
+      "OOV words are null-scored — and p(.|v) sums to exactly 1") {
+    import spark.implicits._
+    // train "a b a b a c": c(ab)=2, c(ba)=2, c(ac)=1; n1=1, n2=2 ->
+    // D = 1/5 (b = 5), B = 3 distinct bigrams; cv(a)=3 nv(a)=2,
+    // cv(b)=2 nv(b)=1; nw(a)=nw(b)=nw(c)=1.
+    val train = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+    val target = Seq(
+      (0L, "a b a b a c"), // in-sample: lps over {ab x2, ba x2, ac}
+      (1L, "b c"),         // unseen bigram, seen both sides: D-mass only
+      (2L, "z a"),         // unseen CONTEXT: continuation unigram nw/B
+      (3L, "a z"),         // z never continues anything: OOV
+      (4L, "x")            // no bigrams at all
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.knBigramNll(train, target, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    def lp(num: Long, den: Long): BigDecimal =
+      BigDecimal(math.log(num.toDouble / den.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def avg(lps: Seq[BigDecimal]): Double = {
+      val sm = (-lps.sum * 1000000).toLongExact
+      val n = lps.size
+      ((2 * sm + n) / (2 * n)).toDouble / 1e6
+    }
+    // exact rationals: p(b|a) = 29/45, p(a|b) = 28/30, p(c|a) = 14/45
+    assert(out(0L) === ((5L, 0L, Some(avg(Seq(lp(29, 45), lp(29, 45),
+      lp(28, 30), lp(28, 30), lp(14, 45)))))))
+    // p(c|b) = D * N1+(b.)/c(b) * pc(c) = 1/30 exactly
+    assert(out(1L) === ((1L, 0L, Some(avg(Seq(lp(1, 30)))))))
+    assert(out(2L) === ((1L, 0L, Some(avg(Seq(lp(1, 3)))))),
+      "an unseen context backs off to the continuation unigram")
+    assert(out(3L) === ((1L, 1L, None)),
+      "a never-continues word is OOV: null score, counted")
+    assert(out(4L) === ((0L, 0L, None)))
+    // the interpolated form is a true distribution: over {a, b, c},
+    // p(.|a) = 2/45 + 29/45 + 14/45 = 1 and p(.|b) = 1/30+28/30+1/30 = 1
+    assert(2 + 29 + 14 === 45 && 1 + 28 + 1 === 30,
+      "hand rationals must exhaust the probability mass")
+  }
+
   test("fim transform: PSM spans reconstruct the document, selection is " +
       "salted and exact-rate, unselected and null docs pass through") {
     import spark.implicits._
