@@ -698,6 +698,61 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Pair-alignment mining A/B — `runMain graft.tools.ScaleProbe
+    // pairmine`: the brute-force broadcast path vs the candidate-driven
+    // (sign-LSH-blocked) path over ×1/×10/×100 embeddings (pairs =
+    // half the vectors). Brute is Θ(pairs²) cosines; the blocked path
+    // scores only bucket co-members — the seam pairAlignmentWith exists
+    // for. Brute is skipped at ×100 (1e10 cosines is the point, not a
+    // number worth waiting for).
+    if (args.headOption.contains("pairmine")) {
+      import graft.operators.{Multimodal, Similarity}
+      Seq(1, 10, 100).foreach { f =>
+        val dir = s"target/scaleprobe/v$f"
+        val marker = new java.io.File(s"$dir/.done")
+        if (!marker.exists) {
+          amplifyVec(spark, "/root/testdata/sf0.1", dir, f)
+          marker.createNewFile()
+        }
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val pairs = emb.filter(col("vec_id") % 2 === 0)
+          .select(expr("vec_id div 2").as("pair_id"),
+            col("embedding").as("img_emb"))
+          .join(emb.filter(col("vec_id") % 2 === 1)
+            .select(expr("vec_id div 2").as("pair_id"),
+              col("embedding").as("txt_emb")), Seq("pair_id"))
+          .withColumn("source",
+            concat(lit("s"), (col("pair_id") % 4).cast("string")))
+          .localCheckpoint()
+        def brute(): Double = time {
+          Multimodal.pairAlignment(pairs, "pair_id", "source",
+            "img_emb", "txt_emb", 100000L, minePred = lit(true))
+            .write.format("noop").mode("overwrite").save()
+        }
+        def blocked(): Double = time {
+          // ONE plane set for both sides (buckets must correspond):
+          // hash the raw embeddings, split even ids = images, odd = texts
+          val bk = Similarity.lshBuckets(emb, 8)
+          val ib = bk.filter(col("vec_id") % 2 === 0)
+            .select(expr("vec_id div 2").as("query_id"), col("bucket"))
+          val tb = bk.filter(col("vec_id") % 2 === 1)
+            .select(expr("vec_id div 2").as("cand_id"), col("bucket"))
+          Multimodal.pairAlignmentWith(pairs, "pair_id", "source",
+            "img_emb", "txt_emb", 100000L,
+            candidates = ib.join(tb, Seq("bucket"))
+              .select(col("query_id"), col("cand_id")))
+            .write.format("noop").mode("overwrite").save()
+        }
+        blocked() // warmup
+        val bl = math.min(blocked(), blocked())
+        val br = if (f < 100) { brute(); math.min(brute(), brute()) }
+          else Double.NaN
+        println(f"[scaleprobe] pairmine x$f%-4d blocked $bl%7.2f s" +
+          (if (f < 100) f"   brute $br%7.2f s" else "   brute skipped"))
+      }
+      spark.stop(); return
+    }
+
     // Trained-LID growth — `runMain graft.tools.ScaleProbe langid`:
     // the q_x72 chain (3-language variants, OvR char-gram train +
     // whole-corpus classify) over ×1/×4/×16 token-salted documents.
