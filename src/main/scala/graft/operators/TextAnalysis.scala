@@ -1357,6 +1357,20 @@ object TextAnalysis {
     stats.write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Final-answer extraction — the GSM8K / eval-harness convention: a
+    * model completion's answer is the LAST number it states (earlier
+    * numbers are working steps). Thousands-separating commas are
+    * stripped first; the match covers an optional sign and decimal
+    * part; a completion with no number extracts null (an abstention —
+    * exactly what [[Profile.selfConsistency]] counts without voting).
+    * Map-only, codegen'd regex — compose with the vote for the
+    * standard extract → majority-vote eval chain. */
+  def finalAnswer(completion: Column): Column = {
+    val all = regexp_extract_all(regexp_replace(completion, ",", ""),
+      lit("-?\\d+(\\.\\d+)?"), lit(0))
+    when(size(all) > 0, element_at(all, -1))
+  }
+
   /** Fill-in-the-middle transformation (Bavarian et al. 2022,
     * "Efficient Training of Language Models to Fill in the Middle"):
     * code/infilling corpora train with a fraction of documents

@@ -1685,6 +1685,65 @@ object RelationalQueries extends graft.QueryPack {
              |FROM gd LEFT JOIN agg USING (q) LEFT JOIN m USING (q)"""
         .stripMargin)),
 
+    // ---- V27: extract -> majority-vote composed (the eval-harness chain)
+    // Synthetic completions per question (doc_id % 25): ~47% state the
+    // gold number LAST after working steps, ~45% a distractor (with
+    // negative/decimal noise numbers earlier — the LAST-match contract
+    // under test), ~8% state no number at all (extraction null ->
+    // abstention). ONE oracle replays the comma-strip, the last-number
+    // regex, and the vote.
+    Q("q_v27_extract_vote",
+      (s, d) => {
+        val q = col("doc_id") % 25
+        val r = (col("doc_id") * 7919) % 100
+        val goldN = (q * 31) % 50
+        val distract = (col("doc_id") * 13) % 50
+        val completion =
+          when(r < 8, lit("the reasoning never reaches a numeric conclusion"))
+            .when(r < 55, concat(lit("step 1 gives 1,200 then -4.5 so "),
+              lit("the answer is "), goldN.cast("string")))
+            .otherwise(concat(lit("compute 7 minus 19.25 yielding "),
+              distract.cast("string")))
+        graft.operators.Profile.selfConsistency(
+          Tables.documents(s, d).select(q.as("q"),
+            graft.operators.TextAnalysis.finalAnswer(completion).as("ans"),
+            goldN.cast("string").as("gold")),
+          "q", "ans", "gold")
+      },
+      Some("""WITH s AS (SELECT doc_id % 25 AS q,
+             |    CAST((doc_id % 25) * 31 % 50 AS VARCHAR) AS g,
+             |    CASE WHEN (doc_id * 7919) % 100 < 8
+             |      THEN 'the reasoning never reaches a numeric conclusion'
+             |      WHEN (doc_id * 7919) % 100 < 55
+             |      THEN 'step 1 gives 1,200 then -4.5 so the answer is '
+             |        || CAST((doc_id % 25) * 31 % 50 AS VARCHAR)
+             |      ELSE 'compute 7 minus 19.25 yielding '
+             |        || CAST((doc_id * 13) % 50 AS VARCHAR) END AS compl
+             |  FROM documents),
+             |e AS (SELECT q, g,
+             |    regexp_extract_all(replace(compl, ',', ''),
+             |      '-?\d+(\.\d+)?')[-1] AS a
+             |  FROM s),
+             |v AS (SELECT q, a, CAST(COUNT(*) AS BIGINT) AS v
+             |  FROM e WHERE a IS NOT NULL AND a <> '' GROUP BY 1, 2),
+             |m AS (SELECT q, a AS mode_answer, v AS mv FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY q
+             |      ORDER BY v DESC, a) AS rn FROM v) WHERE rn = 1),
+             |agg AS (SELECT q, CAST(SUM(v) AS BIGINT) AS n,
+             |    CAST(COUNT(*) AS BIGINT) AS n_distinct FROM v GROUP BY 1),
+             |gd AS (SELECT q, MAX(g) AS gold,
+             |    CAST(COUNT(CASE WHEN a IS NULL OR a = '' THEN 1 END)
+             |      AS BIGINT) AS n_null
+             |  FROM e GROUP BY 1)
+             |SELECT gd.q, COALESCE(agg.n, 0) AS n, gd.n_null,
+             |  COALESCE(agg.n_distinct, 0) AS n_distinct, m.mode_answer,
+             |  CAST(CASE WHEN agg.n > 0 THEN
+             |    (2 * m.mv * 1000000 + agg.n) // (2 * agg.n) END
+             |    AS BIGINT) AS vote_ppm,
+             |  COALESCE(m.mode_answer = gd.gold, false) AS correct
+             |FROM gd LEFT JOIN agg USING (q) LEFT JOIN m USING (q)"""
+        .stripMargin)),
+
     // ---- V18: differentially-private histogram release ------------------
     // The Laplace mechanism over the q_v4 grid (epsilon = 1, sensitivity
     // 1 for disjoint counts): deterministic-seeded noise via the inverse

@@ -291,6 +291,27 @@ class TextOpsSpec extends AnyFunSuite {
       "packing preserves the tokenizer's total token count")
   }
 
+  test("final-answer extraction: last number wins, commas strip, signs " +
+      "and decimals parse, numberless completions abstain") {
+    import spark.implicits._
+    val out = Seq(
+      (1L, "step 1 gives 12 then 40 so the answer is 52"),
+      (2L, "total cost is $1,234.50"),
+      (3L, "the delta is -7"),
+      (4L, "drops by 3.5 then recovers to -2.25"),
+      (5L, "no numeric conclusion"),
+      (6L, "")
+    ).toDF("id", "compl")
+      .select(col("id"), TextAnalysis.finalAnswer(col("compl")).as("a"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) === Some("52"), "the LAST number is the answer")
+    assert(out(2L) === Some("1234.50"), "thousands commas strip")
+    assert(out(3L) === Some("-7"))
+    assert(out(4L) === Some("-2.25"))
+    assert(out(5L) === None && out(6L) === None,
+      "a numberless completion is an abstention, not an empty answer")
+  }
+
   test("kneser-ney bigram LM: hand rationals on a tiny corpus, unseen " +
       "bigrams discount, unseen contexts back off to continuations, " +
       "OOV words are null-scored — and p(.|v) sums to exactly 1") {
