@@ -850,6 +850,28 @@ object EventStreams {
     * `complete` output mode; self-preferences and null candidates are
     * excluded like the batch operator. Returns
     * `(a, b, wins_ab, wins_ba)`. */
+  /** STREAMING answer-vote counts — the incremental twin of
+    * [[graft.operators.Profile.selfConsistency]]'s vote table (and
+    * therefore of the mode/accuracy derivation over it): per-question
+    * per-answer tallies are pure monotone sums, order-independent by
+    * construction, so the twin is a plain streaming aggregation — the
+    * [[preferenceCounts]] argument verbatim (a sample only ever
+    * increments its own (question, answer) cell; there is no "too late"
+    * event). Null answers are KEPT as their own counter row — they are
+    * the abstention count the batch operator reports as `n_null`; the
+    * mode/verdict derivation downstream runs over the (bounded)
+    * counter relation in batch. Permanent state = distinct (question,
+    * answer) cells — bounded by answer diversity, never by sample
+    * volume. Run with `complete` output mode. Returns
+    * `(<qCol>, answer, votes)`. */
+  def answerVoteCounts(spark: SparkSession, samples: DataFrame,
+      qCol: String, ansCol: String): DataFrame =
+    samples
+      .filter(col(qCol).isNotNull)
+      .select(col(qCol), col(ansCol).cast("string").as("answer"))
+      .groupBy(col(qCol), col("answer"))
+      .agg(count(lit(1)).as("votes"))
+
   def preferenceCounts(spark: SparkSession, prefs: DataFrame,
       winnerCol: String, loserCol: String): DataFrame = {
     prefs

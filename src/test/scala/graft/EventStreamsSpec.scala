@@ -403,6 +403,64 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming answer-vote counts INCREMENTALLY derive the batch " +
+      "self-consistency verdicts") {
+    // the eval twin: per-(question, answer) tallies are monotone sums;
+    // the complete-mode counters after any batch split must derive the
+    // SAME mode/vote/verdict relation the batch operator computes —
+    // including a tie resolved lexicographically and abstentions
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val real = Seq(
+      ("q1", Option("a"), "a"), ("q1", Option("b"), "a"),
+      ("q1", Option("a"), "a"),
+      ("q2", Option("x"), "y"), ("q2", Option("y"), "y"),
+      ("q2", Option("y"), "y"), ("q2", Option("x"), "y"), // tie 2-2
+      ("q3", Option.empty[String], "z"), ("q3", Option("z"), "z"))
+    val batches = Seq(real.take(4), real.drop(4))
+    val input = MemoryStream[(String, Option[String], String)]
+    val samples = input.toDF().toDF("q", "ans", "gold")
+    val q = EventStreams.answerVoteCounts(spark, samples, "q", "ans")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("votes_incr").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val counts = spark.table("votes_incr")
+      // derive the verdict relation from the streamed counters (the
+      // batch mode/tiebreak arithmetic over the bounded counter table)
+      val golds = real.map(r => (r._1, r._3)).distinct.toDF("q", "gold")
+      val voted = counts.filter(col("answer").isNotNull)
+        .groupBy(col("q"))
+        .agg(min(struct((-col("votes")).as("__nv"), col("answer")))
+          .as("__m"),
+          sum(col("votes")).as("n"),
+          count(lit(1)).as("n_distinct"))
+        .select(col("q"), col("n"), col("n_distinct"),
+          col("__m.answer").as("mode_answer"),
+          (-col("__m.__nv")).as("__mv"))
+      val derived = golds
+        .join(counts.filter(col("answer").isNull)
+          .select(col("q"), col("votes").as("n_null")), Seq("q"), "left")
+        .na.fill(0L, Seq("n_null"))
+        .join(voted, Seq("q"), "left")
+        .select(col("q"), coalesce(col("n"), lit(0L)).as("n"),
+          col("n_null"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          col("mode_answer"),
+          when(col("n") > 0, expr(
+            "CAST((2 * CAST(__mv AS DECIMAL(38,0)) * 1000000 + n) " +
+              "div (2 * n) AS BIGINT)")).as("vote_ppm"),
+          coalesce(col("mode_answer") === col("gold"), lit(false))
+            .as("correct"))
+      val batch = graft.operators.Profile.selfConsistency(
+        real.toDF("q", "ans", "gold"), "q", "ans", "gold")
+      assert(derived.exceptAll(batch).count() === 0 &&
+        batch.exceptAll(derived).count() === 0,
+        "streamed counters must derive the batch verdicts exactly " +
+          "(incl. the q2 tie resolving to 'x' and q3's abstention)")
+    } finally q.stop()
+  }
+
   test("streaming transitions INCREMENTALLY == batch Markov counts") {
     // the path-analysis twin: per-user consecutive pairs emit once the
     // later event finalizes — including an out-of-order arrival that
