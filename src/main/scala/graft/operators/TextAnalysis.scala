@@ -1357,6 +1357,28 @@ object TextAnalysis {
     stats.write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Tokenizer fertility — pieces per word, per group (the standard
+    * multilingual tokenizer-quality audit: a tokenizer trained on one
+    * language's distribution fragments the others, and fertility per
+    * language is how that bias is SEEN before it taxes every training
+    * step). Takes any per-doc relation carrying a piece count (
+    * [[unigramTokenize]]'s `n_sp`, [[bpeTokenize]]'s `n_bpe`) and a
+    * word count; emits per group the doc/piece/word totals and the
+    * exact half-up fertility in ppm (1e6 = one piece per word). One
+    * hash aggregation; DECIMAL(38,0) for the ppm product (corpus piece
+    * counts × 1e6 pass a long at ~9e12 pieces). Zero-word groups carry
+    * a null fertility. Returns `(<groupCol>, n_docs, n_pieces,
+    * n_words, fertility_ppm)`. */
+  def tokenizerFertility(perDoc: DataFrame, groupCol: String,
+      pieceCol: String, wordCol: String): DataFrame =
+    perDoc.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(pieceCol)).cast("long").as("n_pieces"),
+        sum(col(wordCol)).cast("long").as("n_words"))
+      .withColumn("fertility_ppm", when(col("n_words") > 0, expr(
+        "CAST((2 * CAST(n_pieces AS DECIMAL(38,0)) * 1000000 + n_words) " +
+          "div (2 * n_words) AS BIGINT)")))
+
   /** Final-answer extraction — the GSM8K / eval-harness convention: a
     * model completion's answer is the LAST number it states (earlier
     * numbers are working steps). Thousands-separating commas are

@@ -1829,76 +1829,47 @@ object TextQueries extends graft.QueryPack {
         TextAnalysis.unigramTokenize(docs,
           TextAnalysis.readUnigramPieces(s, store))
       },
-      Some("""WITH RECURSIVE
-             |wds AS (SELECT doc_id, unnest(ws) AS w,
-             |    unnest(range(1, len(ws) + 1)) AS ord
-             |  FROM (SELECT doc_id,
-             |          list_filter(regexp_split_to_array(text, '\s+'),
-             |            x -> x <> '') AS ws
-             |        FROM documents WHERE text IS NOT NULL)),
-             |wc AS (SELECT w, COUNT(*) AS occ, len(w) AS n FROM wds
-             |  GROUP BY 1),
-             |gidx AS (SELECT w, occ, k, unnest(range(1, n - k + 2)) AS i
-             |  FROM wc, (SELECT unnest([1, 2, 3, 4]) AS k)),
-             |cand AS (SELECT substr(w, i, k) AS piece, SUM(occ) AS cnt
-             |  FROM gidx GROUP BY 1),
-             |tot AS (SELECT SUM(cnt) AS t FROM cand),
-             |voc AS (SELECT piece, cnt FROM cand
-             |  ORDER BY cnt DESC, piece LIMIT 48),
-             |wt AS (SELECT piece,
-             |    -(len(bin(t)) - len(bin(cnt))) * 1000000 AS wm
-             |  FROM voc, tot),
-             |pwp AS (SELECT w, e,
-             |    MAX(CASE WHEN k = 1 THEN wm END) AS w1,
-             |    MAX(CASE WHEN k = 2 THEN wm END) AS w2,
-             |    MAX(CASE WHEN k = 3 THEN wm END) AS w3,
-             |    MAX(CASE WHEN k = 4 THEN wm END) AS w4
-             |  FROM (SELECT g.w, g.i + g.k - 1 AS e, g.k,
-             |          COALESCE(wt.wm,
-             |            CASE WHEN g.k = 1 THEN -20000000 END) AS wm
-             |        FROM gidx g
-             |        LEFT JOIN wt ON wt.piece = substr(g.w, g.i, g.k))
-             |  GROUP BY 1, 2),
-             |r AS (
-             |  SELECT w, 0 AS i, CAST(0 AS BIGINT) AS d0,
-             |    CAST(NULL AS BIGINT) AS d1, CAST(NULL AS BIGINT) AS d2,
-             |    CAST(NULL AS BIGINT) AS d3, '' AS bps, n
-             |  FROM wc
-             |  UNION ALL
-             |  SELECT r.w, r.i + 1,
-             |    greatest(r.d0 + p.w1, r.d1 + p.w2, r.d2 + p.w3,
-             |      r.d3 + p.w4),
-             |    r.d0, r.d1, r.d2,
-             |    r.bps || CAST(CASE
-             |      WHEN r.d3 + p.w4 = greatest(r.d0 + p.w1, r.d1 + p.w2,
-             |        r.d2 + p.w3, r.d3 + p.w4) THEN 4
-             |      WHEN r.d2 + p.w3 = greatest(r.d0 + p.w1, r.d1 + p.w2,
-             |        r.d2 + p.w3, r.d3 + p.w4) THEN 3
-             |      WHEN r.d1 + p.w2 = greatest(r.d0 + p.w1, r.d1 + p.w2,
-             |        r.d2 + p.w3, r.d3 + p.w4) THEN 2
-             |      ELSE 1 END AS VARCHAR),
-             |    r.n
-             |  FROM r JOIN pwp p ON p.w = r.w AND p.e = r.i + 1
-             |  WHERE r.i < r.n),
-             |fin AS (SELECT w, bps, n FROM r WHERE i = n),
-             |bt AS (
-             |  SELECT w, n AS pos, CAST(substr(bps, n, 1) AS INT) AS k
-             |  FROM fin
-             |  UNION ALL
-             |  SELECT b.w, b.pos - b.k,
-             |    CAST(substr(f.bps, b.pos - b.k, 1) AS INT)
-             |  FROM bt b JOIN fin f USING (w)
-             |  WHERE b.pos - b.k > 0),
-             |wseg AS (SELECT w,
-             |    '▁' || string_agg(substr(w, pos - k + 1, k), chr(31)
-             |      ORDER BY pos) AS stoks,
-             |    CAST(COUNT(*) AS BIGINT) AS np
-             |  FROM bt GROUP BY 1)
+      Some(s"""$duckUnigramCtes
              |SELECT wds.doc_id,
              |  string_agg(ws.stoks, chr(31) ORDER BY wds.ord) AS sp,
              |  CAST(SUM(ws.np) AS BIGINT) AS n_sp
              |FROM wds JOIN wseg ws ON ws.w = wds.w
              |GROUP BY 1""".stripMargin)),
+
+    // ---- X76: tokenizer fertility per language ---------------------------
+    // The multilingual tokenizer-quality audit over the q_x73 chain:
+    // pieces-per-word in exact ppm per documents.lang — ONE oracle hash
+    // over learn -> encode -> per-language aggregate (the tokenize
+    // oracle's CTE chain with a different tail).
+    Q("q_x76_tokenizer_fertility",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        val store = TempDirs.scratch("graft-unigram-fert")
+        TextAnalysis.writeUnigramPieces(s,
+          TextAnalysis.learnUnigramPieces(docs, maxLen = 4, vocabSize = 48),
+          store)
+        val perDoc = TextAnalysis.unigramTokenize(docs,
+            TextAnalysis.readUnigramPieces(s, store))
+          .join(docs.select(col("doc_id"), col("lang"),
+            size(TextAnalysis.tokens(col("text"))).as("n_words")),
+            Seq("doc_id"))
+        TextAnalysis.tokenizerFertility(perDoc, "lang", "n_sp", "n_words")
+      },
+      Some(s"""$duckUnigramCtes,
+              |wcnt AS (SELECT doc_id, lang,
+              |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+              |      x -> x <> '')) AS nw
+              |  FROM documents WHERE text IS NOT NULL),
+              |pcs AS (SELECT wds.doc_id, CAST(SUM(ws.np) AS BIGINT) AS np
+              |  FROM wds JOIN wseg ws ON ws.w = wds.w GROUP BY 1)
+              |SELECT w.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(p.np) AS BIGINT) AS n_pieces,
+              |  CAST(SUM(w.nw) AS BIGINT) AS n_words,
+              |  CAST((2 * CAST(SUM(p.np) AS HUGEINT) * 1000000
+              |    + SUM(w.nw)) // (2 * SUM(w.nw)) AS BIGINT)
+              |    AS fertility_ppm
+              |FROM wcnt w JOIN pcs p USING (doc_id)
+              |GROUP BY 1""".stripMargin)),
 
     // ---- X75: interpolated Kneser-Ney bigram LM (the KenLM default) -----
     // Trains on the even-doc half, scores EVERY doc — held-out docs
@@ -2135,4 +2106,76 @@ object TextQueries extends graft.QueryPack {
               |    epochs * available_tokens) AS BIGINT) AS unmet_tokens
               |FROM e""".stripMargin))
   )
+
+  /** q_x73's oracle CTE chain (learner replay + Viterbi recursion +
+    * backtrace, ending at `wseg(w, stoks, np)` with `wds` the
+    * per-doc word stream) — shared by the tokenize and fertility
+    * tails. */
+  private val duckUnigramCtes: String =
+    ("""WITH RECURSIVE
+             |wds AS (SELECT doc_id, unnest(ws) AS w,
+             |    unnest(range(1, len(ws) + 1)) AS ord
+             |  FROM (SELECT doc_id,
+             |          list_filter(regexp_split_to_array(text, '\s+'),
+             |            x -> x <> '') AS ws
+             |        FROM documents WHERE text IS NOT NULL)),
+             |wc AS (SELECT w, COUNT(*) AS occ, len(w) AS n FROM wds
+             |  GROUP BY 1),
+             |gidx AS (SELECT w, occ, k, unnest(range(1, n - k + 2)) AS i
+             |  FROM wc, (SELECT unnest([1, 2, 3, 4]) AS k)),
+             |cand AS (SELECT substr(w, i, k) AS piece, SUM(occ) AS cnt
+             |  FROM gidx GROUP BY 1),
+             |tot AS (SELECT SUM(cnt) AS t FROM cand),
+             |voc AS (SELECT piece, cnt FROM cand
+             |  ORDER BY cnt DESC, piece LIMIT 48),
+             |wt AS (SELECT piece,
+             |    -(len(bin(t)) - len(bin(cnt))) * 1000000 AS wm
+             |  FROM voc, tot),
+             |pwp AS (SELECT w, e,
+             |    MAX(CASE WHEN k = 1 THEN wm END) AS w1,
+             |    MAX(CASE WHEN k = 2 THEN wm END) AS w2,
+             |    MAX(CASE WHEN k = 3 THEN wm END) AS w3,
+             |    MAX(CASE WHEN k = 4 THEN wm END) AS w4
+             |  FROM (SELECT g.w, g.i + g.k - 1 AS e, g.k,
+             |          COALESCE(wt.wm,
+             |            CASE WHEN g.k = 1 THEN -20000000 END) AS wm
+             |        FROM gidx g
+             |        LEFT JOIN wt ON wt.piece = substr(g.w, g.i, g.k))
+             |  GROUP BY 1, 2),
+             |r AS (
+             |  SELECT w, 0 AS i, CAST(0 AS BIGINT) AS d0,
+             |    CAST(NULL AS BIGINT) AS d1, CAST(NULL AS BIGINT) AS d2,
+             |    CAST(NULL AS BIGINT) AS d3, '' AS bps, n
+             |  FROM wc
+             |  UNION ALL
+             |  SELECT r.w, r.i + 1,
+             |    greatest(r.d0 + p.w1, r.d1 + p.w2, r.d2 + p.w3,
+             |      r.d3 + p.w4),
+             |    r.d0, r.d1, r.d2,
+             |    r.bps || CAST(CASE
+             |      WHEN r.d3 + p.w4 = greatest(r.d0 + p.w1, r.d1 + p.w2,
+             |        r.d2 + p.w3, r.d3 + p.w4) THEN 4
+             |      WHEN r.d2 + p.w3 = greatest(r.d0 + p.w1, r.d1 + p.w2,
+             |        r.d2 + p.w3, r.d3 + p.w4) THEN 3
+             |      WHEN r.d1 + p.w2 = greatest(r.d0 + p.w1, r.d1 + p.w2,
+             |        r.d2 + p.w3, r.d3 + p.w4) THEN 2
+             |      ELSE 1 END AS VARCHAR),
+             |    r.n
+             |  FROM r JOIN pwp p ON p.w = r.w AND p.e = r.i + 1
+             |  WHERE r.i < r.n),
+             |fin AS (SELECT w, bps, n FROM r WHERE i = n),
+             |bt AS (
+             |  SELECT w, n AS pos, CAST(substr(bps, n, 1) AS INT) AS k
+             |  FROM fin
+             |  UNION ALL
+             |  SELECT b.w, b.pos - b.k,
+             |    CAST(substr(f.bps, b.pos - b.k, 1) AS INT)
+             |  FROM bt b JOIN fin f USING (w)
+             |  WHERE b.pos - b.k > 0),
+             |wseg AS (SELECT w,
+             |    '▁' || string_agg(substr(w, pos - k + 1, k), chr(31)
+             |      ORDER BY pos) AS stoks,
+             |    CAST(COUNT(*) AS BIGINT) AS np
+             |  FROM bt GROUP BY 1)""").stripMargin
+
 }

@@ -284,4 +284,41 @@ class PropertySpec extends AnyFunSuite {
       assert(got === want)
     }
   }
+
+  test("unigram Viterbi invertibility: random texts + random piece " +
+      "tables always reconstruct, incl. surrogate-pair code points") {
+    import spark.implicits._
+    import graft.functions.UnigramEncode.{Marker, Sep}
+    val wordGen = Gen.listOfN(6,
+      Gen.oneOf("ab", "abc", "xyzzy", "q", "😀ok", "a😀b", "zz9"))
+      .map(_.mkString(" "))
+    val tableGen = Gen.someOf(Seq("ab" -> -1000000L, "abc" -> -2000000L,
+      "xy" -> -1000000L, "zz" -> -1500000L, "a" -> -3000000L,
+      "😀o" -> -1000000L, "q" -> -500000L)).map(_.toSeq)
+    forAll(Gen.zip(wordGen, tableGen), n = 12) { case (text, tab0) =>
+      // the table must be non-empty by contract; pad with a never-
+      // matching piece so the fallback path carries uncovered spans
+      val tab = if (tab0.nonEmpty) tab0 else Seq("##" -> -1000000L)
+      val out = graft.operators.TextAnalysis.unigramTokenize(
+        Seq((1L, text)).toDF("doc_id", "text"), tab).head
+      val stream = out.getString(1)
+      // invertibility: separators out, marker -> space, == normalized
+      assert(stream.replace(Sep, "").replace(Marker, " ")
+        .stripPrefix(" ") === text.split("\\s+").filter(_.nonEmpty)
+        .mkString(" "),
+        s"stream must reconstruct '$text' under table $tab")
+      // piece count bookkeeping matches the stream
+      val expectedN = if (stream.isEmpty) 0L
+        else stream.split(Sep, -1).length.toLong
+      assert(out.getLong(2) === expectedN)
+      // every piece is either a table piece or a single code point
+      // (the UNK fallback) — never an unexplained multi-char span
+      val pieces = if (stream.isEmpty) Array.empty[String]
+        else stream.split(Sep, -1).map(_.stripPrefix(Marker))
+      val vocab = tab.map(_._1).toSet
+      pieces.foreach(p => assert(vocab.contains(p) ||
+        p.codePointCount(0, p.length) == 1,
+        s"piece '$p' is neither in the table nor a single code point"))
+    }
+  }
 }
