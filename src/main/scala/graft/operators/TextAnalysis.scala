@@ -1357,6 +1357,36 @@ object TextAnalysis {
     stats.write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** ROUGE-L (Lin 2004) — the summarization/eval-harness overlap metric,
+    * completing the eval family's generation axis (ranking: rankEval;
+    * agreement: cohenKappa; votes: selfConsistency; code: passAtK):
+    * token-level longest-common-subsequence precision/recall/F against
+    * a reference. The LCS runs in the codegen'd [[graft.functions
+    * .LcsTokens]] kernel (two-row DP per pair, map-only — ROUGE is a
+    * per-example metric and never shuffles); P, R, F are EXACT half-up
+    * ppm of integer ratios — F simplifies to `2·lcs/(n_ref + n_hyp)`
+    * (the 2PR/(P+R) algebra collapses over a shared numerator), so no
+    * float ever enters. Zero-token sides yield null for their ratio
+    * (no reference is not a perfect recall); null strings propagate
+    * null rows. Returns `(<idCol>, lcs, n_ref, n_hyp, p_ppm, r_ppm,
+    * f_ppm)`. */
+  def rougeL(df: DataFrame, refCol: String, hypCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    graft.functions.LcsTokens.register(df.sparkSession)
+    df.select(col(idCol),
+        call_function("lcs_tokens", col(refCol), col(hypCol)).cast("long")
+          .as("lcs"),
+        size(tokens(col(refCol))).cast("long").as("n_ref"),
+        size(tokens(col(hypCol))).cast("long").as("n_hyp"))
+      .withColumn("p_ppm", when(col("n_hyp") > 0,
+        expr("(2 * lcs * 1000000 + n_hyp) div (2 * n_hyp)")))
+      .withColumn("r_ppm", when(col("n_ref") > 0,
+        expr("(2 * lcs * 1000000 + n_ref) div (2 * n_ref)")))
+      .withColumn("f_ppm", when(col("n_ref") + col("n_hyp") > 0,
+        expr("(4 * lcs * 1000000 + (n_ref + n_hyp)) " +
+          "div (2 * (n_ref + n_hyp))")))
+  }
+
   /** Tokenizer fertility — pieces per word, per group (the standard
     * multilingual tokenizer-quality audit: a tokenizer trained on one
     * language's distribution fragments the others, and fertility per

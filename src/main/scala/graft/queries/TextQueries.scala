@@ -1836,6 +1836,69 @@ object TextQueries extends graft.QueryPack {
              |FROM wds JOIN wseg ws ON ws.w = wds.w
              |GROUP BY 1""".stripMargin)),
 
+    // ---- X77: ROUGE-L (token-level LCS P/R/F, the generation eval) ------
+    // Each doc scored against its successor's text (real partial
+    // vocabulary overlap, different order — a nontrivial LCS). The
+    // kernel's two-row DP replays in the oracle as an ANTI-DIAGONAL
+    // recursion: cells on one diagonal are independent, so a recursive
+    // CTE carries whole diagonals as lists and the sequential-in-j
+    // dependency disappears. P/R/F are exact half-up ppm (F = 2L/(m+n)
+    // — the 2PR/(P+R) algebra collapses, no float anywhere).
+    Q("q_x77_rouge_l",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        TextAnalysis.rougeL(
+          docs.select(col("doc_id"), col("text").as("ref"))
+            .join(docs.select((col("doc_id") - 1).as("doc_id"),
+              col("text").as("hyp")), Seq("doc_id")),
+          "ref", "hyp")
+      },
+      Some("""WITH RECURSIVE
+             |p AS (SELECT a.doc_id,
+             |    list_filter(regexp_split_to_array(a.text, '\s+'),
+             |      x -> x <> '') AS rt,
+             |    list_filter(regexp_split_to_array(b.text, '\s+'),
+             |      x -> x <> '') AS ht
+             |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |  WHERE a.text IS NOT NULL AND b.text IS NOT NULL),
+             |dims AS (SELECT doc_id, rt, ht, len(rt) AS m, len(ht) AS n
+             |  FROM p),
+             |r AS (
+             |  SELECT doc_id, 0 AS d,
+             |    list_transform(range(0, m + 1), i -> 0) AS cur,
+             |    list_transform(range(0, m + 1), i -> 0) AS prev
+             |  FROM dims
+             |  UNION ALL
+             |  SELECT r.doc_id, r.d + 1,
+             |    list_transform(range(0, dm.m + 1), i ->
+             |      CASE WHEN i = 0 OR r.d + 1 - i < 1 OR r.d + 1 - i > dm.n
+             |        THEN 0
+             |      ELSE greatest(
+             |        r.cur[i],
+             |        r.cur[i + 1],
+             |        r.prev[i] + CASE WHEN dm.rt[i] = dm.ht[r.d + 1 - i]
+             |          THEN 1 ELSE 0 END)
+             |      END) AS cur,
+             |    r.cur AS prev
+             |  FROM r JOIN dims dm USING (doc_id)
+             |  WHERE r.d < dm.m + dm.n),
+             |fin AS (SELECT r.doc_id, r.cur[dm.m + 1] AS lcs,
+             |    dm.m AS n_ref, dm.n AS n_hyp
+             |  FROM r JOIN dims dm USING (doc_id)
+             |  WHERE r.d = dm.m + dm.n)
+             |SELECT doc_id, CAST(lcs AS BIGINT) AS lcs,
+             |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_hyp AS BIGINT) AS n_hyp,
+             |  CAST(CASE WHEN n_hyp > 0 THEN
+             |    (2 * lcs * 1000000 + n_hyp) // (2 * n_hyp) END
+             |    AS BIGINT) AS p_ppm,
+             |  CAST(CASE WHEN n_ref > 0 THEN
+             |    (2 * lcs * 1000000 + n_ref) // (2 * n_ref) END
+             |    AS BIGINT) AS r_ppm,
+             |  CAST(CASE WHEN n_ref + n_hyp > 0 THEN
+             |    (4 * lcs * 1000000 + (n_ref + n_hyp))
+             |      // (2 * (n_ref + n_hyp)) END AS BIGINT) AS f_ppm
+             |FROM fin""".stripMargin)),
+
     // ---- X76: tokenizer fertility per language ---------------------------
     // The multilingual tokenizer-quality audit over the q_x73 chain:
     // pieces-per-word in exact ppm per documents.lang — ONE oracle hash

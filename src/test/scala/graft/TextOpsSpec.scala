@@ -291,6 +291,40 @@ class TextOpsSpec extends AnyFunSuite {
       "packing preserves the tokenizer's total token count")
   }
 
+  test("rouge-l: hand LCS values, exact ppm P/R/F, order sensitivity, " +
+      "empty and null sides, the per-example token cap raises") {
+    import spark.implicits._
+    def score(ref: String, hyp: String) =
+      TextAnalysis.rougeL(Seq((1L, ref, hyp)).toDF("id", "ref", "hyp"),
+        "ref", "hyp", "id").head
+    // "a b c d" vs "a x c y" -> LCS {a, c} = 2; P=R=2/4, F=4/8
+    val r1 = score("a b c d", "a x c y")
+    assert((r1.getLong(1), r1.getLong(4), r1.getLong(5), r1.getLong(6)) ===
+      ((2L, 500000L, 500000L, 500000L)))
+    // subsequence, not substring: gaps allowed but ORDER matters —
+    // "a b c" vs "c b a" shares any single token only
+    assert(score("a b c", "c b a").getLong(1) === 1L)
+    // identical -> perfect F; disjoint -> zero F
+    assert(score("x y z", "x y z").getLong(6) === 1000000L)
+    assert(score("x y z", "p q").getLong(6) === 0L)
+    // unbalanced lengths: ref "a" vs hyp "a a a": P=1/3, R=1, F=2/4
+    val r2 = score("a", "a a a")
+    assert((r2.getLong(4), r2.getLong(5), r2.getLong(6)) ===
+      ((333333L, 1000000L, 500000L)))
+    // empty hyp: precision undefined (null), recall 0
+    val r3 = score("a b", "   ")
+    assert(r3.isNullAt(4) && r3.getLong(5) === 0L)
+    // null side propagates nulls, never a fake zero
+    val r4 = TextAnalysis.rougeL(
+      Seq((1L, Option("a"), Option.empty[String])).toDF("id", "ref", "hyp"),
+      "ref", "hyp", "id").head
+    assert(r4.isNullAt(1))
+    // the per-example cap refuses a degenerate m*n blowup loudly
+    val big = ("w " * 5000).trim
+    val ex = intercept[Exception](score(big, "w"))
+    assert(ex.getMessage.contains("4096"))
+  }
+
   test("final-answer extraction: last number wins, commas strip, signs " +
       "and decimals parse, numberless completions abstain") {
     import spark.implicits._
