@@ -1357,6 +1357,38 @@ object TextAnalysis {
     stats.write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Distinct-n diversity (Li et al. 2016, "A Diversity-Promoting
+    * Objective Function for Neural Conversation Models"): per group,
+    * the ratio of DISTINCT n-grams to total n-gram occurrences — the
+    * standard mode-collapse detector for generation pipelines (a model
+    * that answers everything with "I don't know" scores near zero) and
+    * the same signal on the curation side flags template-generated
+    * corpora. Exact half-up ppm per (group, n). Shape: one explode per
+    * n (union branches over the same scan), then ONE two-level
+    * aggregation — the inner (group, gram) agg partial-combines
+    * map-side, so the shuffle carries per-group DISTINCT grams, never
+    * the token stream. Returns `(<groupCol>, n, n_total, n_distinct,
+    * distinct_ppm)`; groups with no n-grams at order n are absent
+    * (nothing to measure). */
+  def distinctNgramRatio(df: DataFrame, textCol: String, groupCol: String,
+      ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 8) &&
+      ns.distinct.size == ns.size,
+      s"ns must be distinct n-gram orders in [1, 8], got $ns")
+    val toksed = Par.spread(df.filter(col(textCol).isNotNull)
+      .select(col(groupCol), tokens(lower(col(textCol))).as("toks")))
+    ns.map { n =>
+      toksed.select(col(groupCol), explode(shingles(col("toks"), n)).as("g"))
+        .groupBy(col(groupCol), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col(groupCol))
+        .agg(sum(col("c")).as("n_total"), count(lit(1)).as("n_distinct"))
+        .select(col(groupCol), lit(n).as("n"), col("n_total"),
+          col("n_distinct"),
+          expr("CAST((2 * CAST(n_distinct AS DECIMAL(38,0)) * 1000000 " +
+            "+ n_total) div (2 * n_total) AS BIGINT)").as("distinct_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
   /** ROUGE-L (Lin 2004) — the summarization/eval-harness overlap metric,
     * completing the eval family's generation axis (ranking: rankEval;
     * agreement: cohenKappa; votes: selfConsistency; code: passAtK):

@@ -1836,6 +1836,37 @@ object TextQueries extends graft.QueryPack {
              |FROM wds JOIN wseg ws ON ws.w = wds.w
              |GROUP BY 1""".stripMargin)),
 
+    // ---- X78: distinct-n diversity per source ----------------------------
+    // The Li et al. mode-collapse detector over documents.source at
+    // n = 1, 2, 3 — exact half-up ppm of distinct n-grams over total
+    // occurrences; the oracle replays the shingle multiset and both
+    // aggregation levels.
+    Q("q_x78_distinct_ngrams",
+      (s, d) => TextAnalysis.distinctNgramRatio(
+        Tables.documents(s, d), "text", "source", ns = Seq(1, 2, 3)),
+      Some("""WITH t AS (SELECT source,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |      x -> x <> '') AS toks
+             |  FROM documents WHERE text IS NOT NULL),
+             |g AS (SELECT source, n,
+             |    list_aggregate(list_transform(range(1, len(toks) - n + 2),
+             |      i -> array_to_string(list_slice(toks, i, i + n - 1),
+             |        ' ')), 'string_agg', chr(7)) AS gs
+             |  FROM t, (SELECT unnest([1, 2, 3]) AS n)
+             |  WHERE len(toks) >= n),
+             |e AS (SELECT source, n, unnest(string_split(gs, chr(7))) AS gram
+             |  FROM g),
+             |pg AS (SELECT source, n, gram, COUNT(*) AS c
+             |  FROM e GROUP BY 1, 2, 3),
+             |agg AS (SELECT source, CAST(n AS INT) AS n,
+             |    CAST(SUM(c) AS BIGINT) AS n_total,
+             |    CAST(COUNT(*) AS BIGINT) AS n_distinct
+             |  FROM pg GROUP BY 1, 2)
+             |SELECT source, n, n_total, n_distinct,
+             |  CAST((2 * CAST(n_distinct AS HUGEINT) * 1000000 + n_total)
+             |    // (2 * n_total) AS BIGINT) AS distinct_ppm
+             |FROM agg""".stripMargin)),
+
     // ---- X77: ROUGE-L (token-level LCS P/R/F, the generation eval) ------
     // Each doc scored against its successor's text (real partial
     // vocabulary overlap, different order — a nontrivial LCS). The

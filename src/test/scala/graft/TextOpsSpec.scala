@@ -291,6 +291,27 @@ class TextOpsSpec extends AnyFunSuite {
       "packing preserves the tokenizer's total token count")
   }
 
+  test("distinct-n diversity: a collapsed template scores low, unique " +
+      "text scores 1e6, counts are exact per order") {
+    import spark.implicits._
+    val df = Seq.fill(10)(("collapsed", "i do not know")) ++
+      Seq(("diverse", "alpha beta gamma delta"),
+        ("diverse", "epsilon zeta eta theta"))
+    val out = TextAnalysis.distinctNgramRatio(
+        df.toDF("source", "text"), "text", "source", Seq(1, 2))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // collapsed: 40 unigram occurrences, 4 distinct -> 100000 ppm
+    assert(out(("collapsed", 1)) === ((40L, 4L, 100000L)))
+    // 30 bigram occurrences, 3 distinct -> 100000 ppm
+    assert(out(("collapsed", 2)) === ((30L, 3L, 100000L)))
+    // fully unique text: every n-gram distinct -> exactly 1e6
+    assert(out(("diverse", 1)) === ((8L, 8L, 1000000L)))
+    assert(out(("diverse", 2)) === ((6L, 6L, 1000000L)))
+    intercept[IllegalArgumentException](TextAnalysis.distinctNgramRatio(
+      df.toDF("source", "text"), "text", "source", Seq(0)))
+  }
+
   test("rouge-l: hand LCS values, exact ppm P/R/F, order sensitivity, " +
       "empty and null sides, the per-example token cap raises") {
     import spark.implicits._
