@@ -1019,23 +1019,72 @@ object TextAnalysis {
     * half-up average over scored bigrams. */
   def knBigramNll(train: DataFrame, target: DataFrame, textCol: String,
       idCol: String): DataFrame = {
-    def bigrams(src: DataFrame) =
-      Par.spread(src.select(col(idCol).as("doc_id"),
-          tokens(lower(col(textCol))).as("toks")))
-        .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("gram"))
-    val bi = bigrams(target)
-    val biCnt = bigrams(train).groupBy(col("gram")).agg(count(lit(1)).as("cb"))
+    val biCnt = knBigramCounts(train, textCol, idCol)
+    knScoreCore(target, textCol, idCol, biCnt,
+      knContext(biCnt), knContinuation(biCnt), knDiscount(biCnt))
+  }
+
+  /** The KN training relations, factored for the in-job path and the
+    * persisted store ([[writeKnCounts]]). */
+  private def knBigramCounts(train: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    Par.spread(train.select(col(idCol).as("doc_id"),
+        tokens(lower(col(textCol))).as("toks")))
+      .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cb"))
       .withColumn("v", split(col("gram"), " ").getItem(0))
       .withColumn("w", split(col("gram"), " ").getItem(1))
-    val ctx = biCnt.groupBy(col("v"))
+  private def knContext(biCnt: DataFrame): DataFrame =
+    biCnt.groupBy(col("v"))
       .agg(sum(col("cb")).as("cv"), count(lit(1)).as("nv"))
-    val cont = biCnt.groupBy(col("w")).agg(count(lit(1)).as("nw"))
-    val disc = biCnt.agg(
+  private def knContinuation(biCnt: DataFrame): DataFrame =
+    biCnt.groupBy(col("w")).agg(count(lit(1)).as("nw"))
+  private def knDiscount(biCnt: DataFrame): DataFrame =
+    biCnt.agg(
       sum(when(col("cb") === 1, 1L).otherwise(0L)).as("n1"),
       greatest(sum(when(col("cb") === 1, 1L).otherwise(0L)) +
         lit(2L) * sum(when(col("cb") === 2, 1L).otherwise(0L)), lit(1L))
         .as("b"),
       count(lit(1)).as("bt"))
+
+  /** Persist the KN model as exact-integer parquet — the
+    * [[writeLmCounts]] discipline applied to the Kneser-Ney relations
+    * (bigram counts, context totals, continuation counts, the 1-row
+    * discount stats): train ONCE on the reference corpus, score every
+    * batch against the store without the reference ever rescanning.
+    * All four relations derive from one bigram-count aggregation. */
+  def writeKnCounts(train: DataFrame, textCol: String, dir: String,
+      idCol: String = "doc_id"): Unit = {
+    knBigramCounts(train, textCol, idCol)
+      .write.mode("overwrite").parquet(s"$dir/bigrams")
+    val bc = train.sparkSession.read.parquet(s"$dir/bigrams")
+    knContext(bc).write.mode("overwrite").parquet(s"$dir/contexts")
+    knContinuation(bc).write.mode("overwrite").parquet(s"$dir/continuations")
+    knDiscount(bc).write.mode("overwrite").parquet(s"$dir/disc")
+  }
+
+  /** Score a batch against a PERSISTED KN model ([[writeKnCounts]]
+    * output): identical arithmetic to the in-job [[knBigramNll]] —
+    * every relation is exact integers either way, so the registered
+    * query shares q_x75's oracle VERBATIM (output equality is the
+    * equivalence proof, the bigramPerplexityFromLm discipline). */
+  def knBigramNllFromStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, target: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    knScoreCore(target, textCol, idCol,
+      spark.read.parquet(s"$dir/bigrams"),
+      spark.read.parquet(s"$dir/contexts"),
+      spark.read.parquet(s"$dir/continuations"),
+      spark.read.parquet(s"$dir/disc"))
+
+  /** Shared KN scoring tail (exact-rational probability + one 6-dp ln
+    * per bigram + exact-micro per-doc average). */
+  private def knScoreCore(target: DataFrame, textCol: String,
+      idCol: String, biCnt: DataFrame, ctx: DataFrame, cont: DataFrame,
+      disc: DataFrame): DataFrame = {
+    val bi = Par.spread(target.select(col(idCol).as("doc_id"),
+        tokens(lower(col(textCol))).as("toks")))
+      .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("gram"))
     val scored = bi
       .join(biCnt.select(col("gram"), col("cb")), Seq("gram"), "left")
       .withColumn("v", split(col("gram"), " ").getItem(0))

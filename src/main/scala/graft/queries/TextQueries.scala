@@ -1978,59 +1978,22 @@ object TextQueries extends graft.QueryPack {
         TextAnalysis.knBigramNll(docs.filter(col("doc_id") % 2 === 0),
           docs, "text", "doc_id")
       },
-      Some("""WITH t AS (SELECT doc_id,
-             |    list_filter(regexp_split_to_array(lower(text), '\s+'),
-             |      x -> x <> '') AS toks
-             |  FROM documents),
-             |bi AS (SELECT doc_id,
-             |    toks[i] || ' ' || toks[i+1] AS gram,
-             |    toks[i] AS v, toks[i+1] AS w
-             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
-             |        FROM t WHERE len(toks) >= 2)),
-             |bc AS (SELECT gram, COUNT(*) AS cb,
-             |    MIN(v) AS v, MIN(w) AS w
-             |  FROM bi WHERE doc_id % 2 = 0 GROUP BY 1),
-             |ctx AS (SELECT v, CAST(SUM(cb) AS BIGINT) AS cv,
-             |    CAST(COUNT(*) AS BIGINT) AS nv FROM bc GROUP BY 1),
-             |cont AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS nw
-             |  FROM bc GROUP BY 1),
-             |disc AS (SELECT
-             |    CAST(COUNT(CASE WHEN cb = 1 THEN 1 END) AS BIGINT) AS n1,
-             |    GREATEST(COUNT(CASE WHEN cb = 1 THEN 1 END)
-             |      + 2 * COUNT(CASE WHEN cb = 2 THEN 1 END), 1) AS b,
-             |    CAST(COUNT(*) AS BIGINT) AS bt
-             |  FROM bc),
-             |sc AS (SELECT s.doc_id,
-             |    CASE WHEN nm > 0 THEN
-             |      CAST(ROUND(ln(CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE)),
-             |        6) AS DECIMAL(18,6)) END AS lp
-             |  FROM (SELECT bi.doc_id,
-             |      CASE WHEN ctx.cv IS NOT NULL THEN
-             |        GREATEST(CAST(COALESCE(bc.cb, 0) AS HUGEINT) * d.b
-             |          - d.n1, 0) * d.bt
-             |        + CAST(d.n1 AS HUGEINT) * ctx.nv * COALESCE(cont.nw, 0)
-             |      ELSE CAST(COALESCE(cont.nw, 0) AS HUGEINT) END AS nm,
-             |      CASE WHEN ctx.cv IS NOT NULL THEN
-             |        CAST(d.b AS HUGEINT) * ctx.cv * d.bt
-             |      ELSE CAST(d.bt AS HUGEINT) END AS dn
-             |    FROM bi
-             |    LEFT JOIN bc USING (gram)
-             |    LEFT JOIN ctx ON ctx.v = bi.v
-             |    LEFT JOIN cont ON cont.w = bi.w
-             |    CROSS JOIN disc d) s),
-             |pd AS (SELECT doc_id,
-             |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             |    CAST(COUNT(CASE WHEN lp IS NULL THEN 1 END) AS BIGINT)
-             |      AS n_oov,
-             |    CASE WHEN COUNT(lp) > 0 THEN
-             |      CAST((2 * CAST(-SUM(lp) * 1000000 AS BIGINT)
-             |        + COUNT(lp)) // (2 * COUNT(lp)) AS DOUBLE) / 1000000.0
-             |      END AS avg_nll
-             |  FROM sc GROUP BY 1)
-             |SELECT d.doc_id,
-             |  COALESCE(pd.n_bigrams, 0) AS n_bigrams,
-             |  COALESCE(pd.n_oov, 0) AS n_oov, pd.avg_nll
-             |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin)),
+      Some(duckKnLm)),
+
+    // ---- X79: KN scoring from the PERSISTED model store ------------------
+    // writeKnCounts persists the four exact-integer KN relations; the
+    // store-scored batch is byte-identical to the in-job chain, so this
+    // query shares q_x75's oracle VERBATIM — output equality is the
+    // equivalence proof (the q_x41/q_x53 store-twin discipline).
+    Q("q_x79_kn_lm_store",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val store = TempDirs.scratch("graft-kn-store")
+        TextAnalysis.writeKnCounts(
+          docs.filter(col("doc_id") % 2 === 0), "text", store)
+        TextAnalysis.knBigramNllFromStore(s, store, docs, "text", "doc_id")
+      },
+      Some(duckKnLm)),
 
     // ---- X74: fill-in-the-middle transformation (code-corpus prep) ------
     // Bavarian et al. PSM rearrangement at a 50% deterministic rate:
@@ -2271,5 +2234,65 @@ object TextQueries extends graft.QueryPack {
              |      ORDER BY pos) AS stoks,
              |    CAST(COUNT(*) AS BIGINT) AS np
              |  FROM bt GROUP BY 1)""").stripMargin
+
+
+  /** q_x75's oracle (KN training-relation replay + the exact-rational
+    * scoring tail) — shared VERBATIM by the store-scored q_x79: the
+    * persisted relations are exact integers, so output equality is
+    * the equivalence proof. */
+  private val duckKnLm: String =
+    ("""WITH t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |      x -> x <> '') AS toks
+             |  FROM documents),
+             |bi AS (SELECT doc_id,
+             |    toks[i] || ' ' || toks[i+1] AS gram,
+             |    toks[i] AS v, toks[i+1] AS w
+             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+             |        FROM t WHERE len(toks) >= 2)),
+             |bc AS (SELECT gram, COUNT(*) AS cb,
+             |    MIN(v) AS v, MIN(w) AS w
+             |  FROM bi WHERE doc_id % 2 = 0 GROUP BY 1),
+             |ctx AS (SELECT v, CAST(SUM(cb) AS BIGINT) AS cv,
+             |    CAST(COUNT(*) AS BIGINT) AS nv FROM bc GROUP BY 1),
+             |cont AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS nw
+             |  FROM bc GROUP BY 1),
+             |disc AS (SELECT
+             |    CAST(COUNT(CASE WHEN cb = 1 THEN 1 END) AS BIGINT) AS n1,
+             |    GREATEST(COUNT(CASE WHEN cb = 1 THEN 1 END)
+             |      + 2 * COUNT(CASE WHEN cb = 2 THEN 1 END), 1) AS b,
+             |    CAST(COUNT(*) AS BIGINT) AS bt
+             |  FROM bc),
+             |sc AS (SELECT s.doc_id,
+             |    CASE WHEN nm > 0 THEN
+             |      CAST(ROUND(ln(CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE)),
+             |        6) AS DECIMAL(18,6)) END AS lp
+             |  FROM (SELECT bi.doc_id,
+             |      CASE WHEN ctx.cv IS NOT NULL THEN
+             |        GREATEST(CAST(COALESCE(bc.cb, 0) AS HUGEINT) * d.b
+             |          - d.n1, 0) * d.bt
+             |        + CAST(d.n1 AS HUGEINT) * ctx.nv * COALESCE(cont.nw, 0)
+             |      ELSE CAST(COALESCE(cont.nw, 0) AS HUGEINT) END AS nm,
+             |      CASE WHEN ctx.cv IS NOT NULL THEN
+             |        CAST(d.b AS HUGEINT) * ctx.cv * d.bt
+             |      ELSE CAST(d.bt AS HUGEINT) END AS dn
+             |    FROM bi
+             |    LEFT JOIN bc USING (gram)
+             |    LEFT JOIN ctx ON ctx.v = bi.v
+             |    LEFT JOIN cont ON cont.w = bi.w
+             |    CROSS JOIN disc d) s),
+             |pd AS (SELECT doc_id,
+             |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |    CAST(COUNT(CASE WHEN lp IS NULL THEN 1 END) AS BIGINT)
+             |      AS n_oov,
+             |    CASE WHEN COUNT(lp) > 0 THEN
+             |      CAST((2 * CAST(-SUM(lp) * 1000000 AS BIGINT)
+             |        + COUNT(lp)) // (2 * COUNT(lp)) AS DOUBLE) / 1000000.0
+             |      END AS avg_nll
+             |  FROM sc GROUP BY 1)
+             |SELECT d.doc_id,
+             |  COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+             |  COALESCE(pd.n_oov, 0) AS n_oov, pd.avg_nll
+             |FROM documents d LEFT JOIN pd USING (doc_id)""").stripMargin
 
 }
