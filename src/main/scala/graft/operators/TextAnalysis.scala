@@ -1063,6 +1063,91 @@ object TextAnalysis {
     knDiscount(bc).write.mode("overwrite").parquet(s"$dir/disc")
   }
 
+  /** Opt-out purge of a persisted add-α LM store ([[writeLmCounts]]) —
+    * the COUNT-store member of the purge family (signatures/blooms/
+    * postings purge by row deletion; an aggregate store purges by
+    * SUBTRACTION, which exact integer counts make lossless): the
+    * purge request carries the revoked TEXTS (the purgeSignatures
+    * contract — a count store holds no doc ids to filter by), their
+    * bigram/unigram contributions subtract, zero-count rows drop, and
+    * the vocab stat recomputes from the post-purge unigrams. An
+    * in-plan raise fires if any count would go NEGATIVE — the request
+    * claims more occurrences than the store holds (a double purge, a
+    * doc never absorbed), and silently clamping would leave the model
+    * quietly wrong. (The guard's reach is exact arithmetic's: a claim
+    * whose grams have ALREADY vanished subtracts nothing and cannot be
+    * distinguished from a legitimate no-op — the tombstone trail is
+    * the audit for that.) Tombstones (text
+    * md5s) append first. After the purge the store scores
+    * byte-identically to one trained on the survivors (spec-proved
+    * frame equality through the scoring path). */
+  def purgeLmCounts(spark: org.apache.spark.sql.SparkSession, dir: String,
+      purged: DataFrame, textCol: String = "text"): Unit = {
+    purged.select(md5(col(textCol)).as("h"))
+      .write.mode("append").parquet(s"$dir/tombstones")
+    val toksed = Par.spread(purged.filter(col(textCol).isNotNull)
+      .select(tokens(lower(col(textCol))).as("toks")))
+    val pb = toksed.select(explode(shingles(col("toks"), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("__pc"))
+      .localCheckpoint(true)
+    val pu = toksed.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__pc"))
+      .localCheckpoint(true)
+    def subtract(rel: String, keyCol: String, cntCol: String,
+        p: DataFrame): Unit =
+      graft.sources.Sinks.rewriteParquet(spark, s"$dir/$rel", df =>
+        df.join(broadcast(p), Seq(keyCol), "left")
+          .select(col(keyCol),
+            (col(cntCol) - coalesce(col("__pc"), lit(0L))).as(cntCol))
+          .withColumn(cntCol, when(col(cntCol) < 0, raise_error(concat(
+              lit(s"purgeLmCounts: $rel count for '"), col(keyCol),
+              lit("' would go negative — the purge request claims a " +
+                "doc this store never absorbed"))))
+            .otherwise(col(cntCol)))
+          .filter(col(cntCol) > 0))
+    subtract("bigrams", "gram", "cb", pb)
+    subtract("unigrams", "w", "cu", pu)
+    val vsz = spark.read.parquet(s"$dir/unigrams").count()
+    graft.sources.Sinks.rewriteParquet(spark, s"$dir/stats",
+      _.select(lit(vsz).as("vsz")))
+  }
+
+  /** Opt-out purge of a persisted KN model ([[writeKnCounts]]): the
+    * revoked texts' bigram contributions SUBTRACT from the base count
+    * relation ([[purgeLmCounts]]'s lossless-integer argument, same
+    * negative-count raise, same text-md5 tombstones), and the three
+    * DERIVED relations (contexts, continuations, discount stats)
+    * rebuild from the post-purge bigrams — they are pure functions of
+    * it, so the purged store is exactly the survivor-trained store. */
+  def purgeKnCounts(spark: org.apache.spark.sql.SparkSession, dir: String,
+      purged: DataFrame, textCol: String = "text"): Unit = {
+    purged.select(md5(col(textCol)).as("h"))
+      .write.mode("append").parquet(s"$dir/tombstones")
+    val pb = Par.spread(purged.filter(col(textCol).isNotNull)
+        .select(tokens(lower(col(textCol))).as("toks")))
+      .select(explode(shingles(col("toks"), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("__pc"))
+      .localCheckpoint(true)
+    graft.sources.Sinks.rewriteParquet(spark, s"$dir/bigrams", df =>
+      df.join(broadcast(pb), Seq("gram"), "left")
+        .select(col("gram"),
+          (col("cb") - coalesce(col("__pc"), lit(0L))).as("cb"),
+          col("v"), col("w"))
+        .withColumn("cb", when(col("cb") < 0, raise_error(concat(
+            lit("purgeKnCounts: bigram count for '"), col("gram"),
+            lit("' would go negative — the purge request claims a doc " +
+              "this store never absorbed"))))
+          .otherwise(col("cb")))
+        .filter(col("cb") > 0))
+    val bc = spark.read.parquet(s"$dir/bigrams")
+    graft.sources.Sinks.rewriteParquet(spark, s"$dir/contexts",
+      _ => knContext(bc))
+    graft.sources.Sinks.rewriteParquet(spark, s"$dir/continuations",
+      _ => knContinuation(bc))
+    graft.sources.Sinks.rewriteParquet(spark, s"$dir/disc",
+      _ => knDiscount(bc))
+  }
+
   /** Score a batch against a PERSISTED KN model ([[writeKnCounts]]
     * output): identical arithmetic to the in-job [[knBigramNll]] —
     * every relation is exact integers either way, so the registered

@@ -129,6 +129,67 @@ class PurgeSpec extends AnyFunSuite {
       "a shingle still referenced by a surviving doc must stay protected")
   }
 
+  test("LM count-store purges: subtraction is lossless — the purged " +
+      "store scores identically to a survivor-trained one; a bogus " +
+      "request (unknown doc) raises instead of going negative") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val root = java.nio.file.Files.createTempDirectory("purge-lm").toString
+    val d1 = (1L, tA); val d2 = (2L, tB); val d3 = (3L, tC)
+    val all = Seq(d1, d2, d3).toDF("doc_id", "text")
+    val survivors = Seq(d2, d3).toDF("doc_id", "text")
+    val target = Seq((10L, tA), (11L, tB + " tonight"), (12L, "brand new words"))
+      .toDF("doc_id", "text")
+    // ---- add-alpha store ----
+    TextAnalysis.writeLmCounts(all, "text", s"$root/lm")
+    TextAnalysis.purgeLmCounts(spark, s"$root/lm",
+      Seq(d1).toDF("doc_id", "text"))
+    TextAnalysis.writeLmCounts(survivors, "text", s"$root/lm_fresh")
+    for (rel <- Seq("bigrams", "unigrams", "stats")) {
+      val a = spark.read.parquet(s"$root/lm/$rel")
+      val b = spark.read.parquet(s"$root/lm_fresh/$rel")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"purged lm/$rel must equal the survivor-trained relation")
+    }
+    val sa = TextAnalysis.bigramPerplexityFromLm(spark, s"$root/lm",
+      target, "text", "doc_id", 20.0, 40.0)
+    val sb = TextAnalysis.bigramPerplexityFromLm(spark, s"$root/lm_fresh",
+      target, "text", "doc_id", 20.0, 40.0)
+    assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty,
+      "scoring through the purged store must be byte-identical")
+    // ---- KN store: derived relations rebuild from post-purge bigrams ----
+    TextAnalysis.writeKnCounts(all, "text", s"$root/kn")
+    TextAnalysis.purgeKnCounts(spark, s"$root/kn",
+      Seq(d1).toDF("doc_id", "text"))
+    TextAnalysis.writeKnCounts(survivors, "text", s"$root/kn_fresh")
+    for (rel <- Seq("bigrams", "contexts", "continuations", "disc")) {
+      val a = spark.read.parquet(s"$root/kn/$rel")
+      val b = spark.read.parquet(s"$root/kn_fresh/$rel")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"purged kn/$rel must equal the survivor-trained relation")
+    }
+    val ka = TextAnalysis.knBigramNllFromStore(spark, s"$root/kn",
+      target, "text", "doc_id")
+    val kb = TextAnalysis.knBigramNllFromStore(spark, s"$root/kn_fresh",
+      target, "text", "doc_id")
+    assert(ka.exceptAll(kb).isEmpty && kb.exceptAll(ka).isEmpty)
+    // tombstones carry the revoked text hashes
+    assert(spark.read.parquet(s"$root/kn/tombstones").count() === 1L)
+    // a request claiming MORE occurrences than the store holds (here:
+    // the same doc twice) must raise, not clamp to a negative count
+    val ex = intercept[Exception](TextAnalysis.purgeLmCounts(spark,
+      s"$root/lm", Seq((9L, tB), (9L, tB)).toDF("doc_id", "text")))
+    assert(ex.getMessage.contains("never absorbed"),
+      "over-subtraction must fail loudly — a silently-negative count " +
+        "is a quietly wrong model")
+    // ...and the failed rewrite must not have corrupted the store: the
+    // staged-swap discipline leaves the original relation intact
+    val after = TextAnalysis.bigramPerplexityFromLm(spark, s"$root/lm",
+      target, "text", "doc_id", 20.0, 40.0)
+    assert(after.exceptAll(sb).isEmpty && sb.exceptAll(after).isEmpty,
+      "a refused purge must leave the store exactly as it was")
+  }
+
   test("bm25-index purge: the revoked doc can never be retrieved again " +
       "and the purged index scores identically to a survivor-built one") {
     import spark.implicits._
