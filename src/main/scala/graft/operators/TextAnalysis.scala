@@ -2157,4 +2157,40 @@ object TextAnalysis {
     piiPatterns.map { case (k, p, _) =>
       s"n_${k}s" -> regexp_count(text, lit(p))
     }
+
+  /** Payment-card (PAN) detection with LUHN checksum validation — the
+    * false-positive cut every DLP scanner applies before quarantining:
+    * a 16-digit order number matches any PAN-shaped regex, but only a
+    * checksum-valid number is evidence of leaked card data (ISO/IEC
+    * 7812; the mod-10 algorithm is public since 1960). Candidates are
+    * digit runs of 13–19 digits allowing single space/dash separators
+    * (the portable regex subset — classes, bounded repeats, `\b`);
+    * each candidate's digits reverse and fold through the alternating
+    * double-with-digit-sum entirely in array HOFs over exact integers
+    * — both engines replay it bit-for-bit, no UDF. Candidates are
+    * rare, so the HOF cost is paid only where a match exists. Per doc:
+    * `(doc_id, n_candidates, n_valid, has_pan)` — route `has_pan` to
+    * quarantine, keep `n_candidates - n_valid` as the
+    * false-positive-rate monitor. */
+  def panAudit(df: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val cands = regexp_extract_all(col(textCol),
+      lit("\\b[0-9][0-9 -]{10,21}[0-9]\\b"), lit(0))
+    // digits only, 13..19 of them, then the Luhn fold over the REVERSED
+    // digit string (positions 1-based: odd add, even double-minus-9)
+    val valid = filter(cands, c => {
+      val d = reverse(regexp_replace(c, "[^0-9]", ""))
+      length(d) >= 13 && length(d) <= 19 &&
+        aggregate(sequence(lit(1), length(d)), lit(0),
+          (acc, i) => {
+            val dig = d.substr(i, lit(1)).cast("int")
+            acc + when(i % 2 === 1, dig)
+              .otherwise(when(dig * 2 > 9, dig * 2 - 9).otherwise(dig * 2))
+          }) % 10 === 0
+    })
+    df.select(col(idCol),
+      coalesce(size(cands), lit(0)).cast("long").as("n_candidates"),
+      coalesce(size(valid), lit(0)).cast("long").as("n_valid"))
+      .withColumn("has_pan", col("n_valid") > 0)
+  }
 }

@@ -1836,6 +1836,50 @@ object TextQueries extends graft.QueryPack {
              |FROM wds JOIN wseg ws ON ws.w = wds.w
              |GROUP BY 1""".stripMargin)),
 
+    // ---- X80: Luhn-validated PAN audit (DLP with the checksum cut) ------
+    // One third of docs get a planted VALID test PAN (spaced groups),
+    // one third a checksum-INVALID lookalike — the audit must count
+    // both as candidates but quarantine only the valid one. The oracle
+    // replays the candidate regex and the mod-10 fold digit by digit.
+    Q("q_x80_pan_audit",
+      (s, d) => TextAnalysis.panAudit(
+        Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              lit(" card 4539 5787 6362 1486 on file"))
+              .when(col("doc_id") % 3 === 1,
+                lit(" order 4539578763621487 confirmed"))
+              .otherwise(lit(""))).as("txt")),
+        "txt"),
+      Some("""WITH s AS (SELECT doc_id, text ||
+             |    CASE CAST(doc_id % 3 AS INT)
+             |      WHEN 0 THEN ' card 4539 5787 6362 1486 on file'
+             |      WHEN 1 THEN ' order 4539578763621487 confirmed'
+             |      ELSE '' END AS txt
+             |  FROM documents WHERE text IS NOT NULL),
+             |c AS (SELECT doc_id, unnest(regexp_extract_all(txt,
+             |    '\b[0-9][0-9 -]{10,21}[0-9]\b')) AS cand FROM s),
+             |v AS (SELECT doc_id,
+             |    reverse(regexp_replace(cand, '[^0-9]', '', 'g')) AS rd
+             |  FROM c),
+             |lv AS (SELECT doc_id, len(rd) AS nd,
+             |    list_sum(list_transform(range(1, len(rd) + 1), i ->
+             |      CASE WHEN i % 2 = 1 THEN CAST(substr(rd, i, 1) AS INT)
+             |        WHEN CAST(substr(rd, i, 1) AS INT) * 2 > 9
+             |          THEN CAST(substr(rd, i, 1) AS INT) * 2 - 9
+             |        ELSE CAST(substr(rd, i, 1) AS INT) * 2 END)) AS lsum
+             |  FROM v),
+             |agg AS (SELECT doc_id,
+             |    CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             |    CAST(COUNT(CASE WHEN nd BETWEEN 13 AND 19
+             |      AND lsum % 10 = 0 THEN 1 END) AS BIGINT) AS n_valid
+             |  FROM lv GROUP BY 1)
+             |SELECT s.doc_id,
+             |  COALESCE(agg.n_candidates, 0) AS n_candidates,
+             |  COALESCE(agg.n_valid, 0) AS n_valid,
+             |  COALESCE(agg.n_valid, 0) > 0 AS has_pan
+             |FROM s LEFT JOIN agg USING (doc_id)""".stripMargin)),
+
     // ---- X78: distinct-n diversity per source ----------------------------
     // The Li et al. mode-collapse detector over documents.source at
     // n = 1, 2, 3 — exact half-up ppm of distinct n-grams over total

@@ -291,6 +291,32 @@ class TextOpsSpec extends AnyFunSuite {
       "packing preserves the tokenizer's total token count")
   }
 
+  test("pan audit: Luhn separates valid cards from lookalikes, " +
+      "separators and lengths handled, clean text stays clean") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "pay with 4111111111111111 today"),          // valid 16
+      (2L, "amex 378282246310005 works"),               // valid 15
+      (3L, "spaced 4539 5787 6362 1486 groups"),        // valid, separators
+      (4L, "order 4539578763621487 confirmed"),         // checksum fails
+      (5L, "ref 1234-5678-9012 too short"),             // 12 digits: no
+      (6L, "two cards 4111111111111111 and 4539578763621487"),
+      (7L, "no digits at all here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.panAudit(rows, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((1L, 1L, true)))
+    assert(out(2L) === ((1L, 1L, true)), "15-digit amex validates")
+    assert(out(3L) === ((1L, 1L, true)), "spaced groups are one candidate")
+    assert(out(4L) === ((1L, 0L, false)),
+      "a checksum-invalid lookalike is a candidate but never quarantines")
+    assert(out(5L)._2 === 0L, "12 digits is below PAN length")
+    assert(out(6L) === ((2L, 1L, true)),
+      "candidates and valid counts separate per doc")
+    assert(out(7L) === ((0L, 0L, false)))
+  }
+
   test("distinct-n diversity: a collapsed template scores low, unique " +
       "text scores 1e6, counts are exact per order") {
     import spark.implicits._
