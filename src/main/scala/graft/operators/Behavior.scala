@@ -495,6 +495,40 @@ object Behavior {
         coalesce(col("__t"), lit("")).as("response"))
   }
 
+  /** Chat-template rendering — the other half of the [[sftPairs]]
+    * handoff: one TRAINING STRING per conversation (what the tokenizer
+    * actually consumes), every turn wrapped
+    * `<|im_start|>role\ntext<|im_end|>` in event-time order (explicit
+    * integral tiebreak) — the ChatML shape; swap the sentinels for
+    * your tokenizer's specials. Same STRICT stance as sftPairs: a
+    * null-timestamp turn cannot be ordered and fails the job in-plan
+    * (dialogAudit first); null role/text render empty rather than
+    * silently dropping the turn. One conversation-partitioned
+    * aggregation — never a corpus sort. Returns `(<convCol>, n_turns,
+    * rendered)`. */
+  def renderChatTemplate(df: DataFrame, convCol: String, tsCol: String,
+      idCol: String, roleCol: String, textCol: String,
+      startTok: String = "<|im_start|>", endTok: String = "<|im_end|>")
+      : DataFrame = {
+    val guardedTs = when(col(tsCol).isNotNull, col(tsCol))
+      .otherwise(raise_error(concat(
+        lit("renderChatTemplate: null-timestamp turn in conversation "),
+        col(convCol).cast("string"),
+        lit(" — unplaceable turns cannot be ordered; run dialogAudit " +
+          "and gate on well_formed first"))))
+    df.select(col(convCol), guardedTs.as("__ts"), col(idCol).as("__id"),
+        concat(lit(startTok),
+          coalesce(col(roleCol).cast("string"), lit("")), lit("\n"),
+          coalesce(col(textCol).cast("string"), lit("")), lit(endTok))
+          .as("__turn"))
+      .groupBy(col(convCol))
+      .agg(count(lit(1)).as("n_turns"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__ts"), col("__id"),
+            col("__turn")))),
+          s => s.getField("__turn")), "\n").as("rendered"))
+  }
+
   /** RFM segmentation (recency / frequency / monetary — the classic
     * customer-value grid): per user over the purchase stream, the
     * latest-purchase micros, the purchase count, and the exact DECIMAL

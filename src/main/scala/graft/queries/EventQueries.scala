@@ -390,6 +390,33 @@ object EventQueries extends graft.QueryPack {
              |  txt AS response
              |FROM o WHERE role = 'assistant'""".stripMargin)),
 
+    // ---- E33: chat-template rendering (conversation -> training string) -
+    // The q_e32 fixture rendered ChatML-style: one string per user with
+    // every turn wrapped and ordered by (ts, event_id). The oracle
+    // replays the wrapping and the ordered aggregation.
+    Q("q_e33_chat_template",
+      (s, d) => graft.operators.Behavior.renderChatTemplate(
+        Tables.events(s, d)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            when(col("event_type").isin("click", "view"), "user")
+              .when(col("event_type") === "purchase", "assistant")
+              .otherwise(lit("other")).as("role"),
+            concat(col("event_type"), lit("-"),
+              (col("event_id") % 100).cast("string")).as("txt")),
+        "user_id", "ts", "event_id", "role", "txt"),
+      Some("""WITH r AS (SELECT user_id, ts, event_id,
+             |    '<|im_start|>' ||
+             |    CASE WHEN event_type IN ('click', 'view') THEN 'user'
+             |      WHEN event_type = 'purchase' THEN 'assistant'
+             |      ELSE 'other' END || chr(10) ||
+             |    event_type || '-' || CAST(event_id % 100 AS VARCHAR) ||
+             |    '<|im_end|>' AS turn
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+             |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+             |  string_agg(turn, chr(10) ORDER BY ts, event_id) AS rendered
+             |FROM r GROUP BY 1""".stripMargin)),
+
     // ---- E28/E29: pairwise-preference aggregation (RLHF data ops) -------
     // A preference corpus synthesized engine-independently from events:
     // 8 candidates, base direction the ROTATIONAL tournament (a beats b

@@ -330,6 +330,33 @@ class BehaviorSpec extends AnyFunSuite {
       "null-ts turns must refuse, not silently drop (run dialogAudit first)")
   }
 
+  test("chat template: turns wrap and order by (ts, id), nulls render " +
+      "empty, an unplaceable turn raises") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, 2L, t("2026-01-01 10:01:00"), "assistant", "hello"),
+      (1L, 1L, t("2026-01-01 10:00:00"), "user", "hi"),
+      // same-ts tie orders by id; null role/text render empty
+      (2L, 3L, t("2026-01-01 09:00:00"), null.asInstanceOf[String], "x"),
+      (2L, 4L, t("2026-01-01 09:00:00"), "user", null.asInstanceOf[String])
+    ).toDF("conv", "event_id", "ts", "role", "txt")
+    val out = Behavior.renderChatTemplate(rows, "conv", "ts", "event_id",
+        "role", "txt")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out(1L) === ((2L,
+      "<|im_start|>user\nhi<|im_end|>\n<|im_start|>assistant\nhello<|im_end|>")),
+      "turns must order by event time, not arrival order")
+    assert(out(2L) === ((2L,
+      "<|im_start|>\nx<|im_end|>\n<|im_start|>user\n<|im_end|>")))
+    val ex = intercept[Exception](Behavior.renderChatTemplate(
+      rows.union(Seq((3L, 9L, null.asInstanceOf[java.sql.Timestamp],
+        "user", "lost")).toDF("conv", "event_id", "ts", "role", "txt")),
+      "conv", "ts", "event_id", "role", "txt").collect())
+    assert(ex.getMessage.contains("unplaceable"))
+  }
+
   test("time-decay attribution: all-ancient touches clamp to 1 micro " +
       "each — the conversion credits instead of emitting NULL rows") {
     import spark.implicits._
