@@ -753,6 +753,32 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // KN LM growth — `runMain graft.tools.ScaleProbe knlm`: the q_x75
+    // chain (train on half, score all) over ×1/×4/×16 token-salted
+    // documents. Salting multiplies the distinct-bigram relation ~×f
+    // (every token re-prefixes per copy), so the probe measures BOTH
+    // axes at once: count-relation growth and scoring-join growth.
+    if (args.headOption.contains("knlm")) {
+      import graft.operators.TextAnalysis
+      Seq(1, 4, 16).foreach { f =>
+        val dir = s"target/scaleprobe/x$f"
+        val marker = new java.io.File(s"$dir/.done")
+        if (!marker.exists) {
+          amplify(spark, "/root/testdata/sf0.1", dir, f)
+          marker.createNewFile()
+        }
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        def run(): Double = time {
+          TextAnalysis.knBigramNll(docs.filter(col("doc_id") % 2 === 0),
+            docs, "text", "doc_id")
+            .write.format("noop").mode("overwrite").save()
+        }
+        run() // warmup
+        println(f"[scaleprobe] knlm x$f%-4d ${math.min(run(), run())}%.2f s")
+      }
+      spark.stop(); return
+    }
+
     // Trained-LID growth — `runMain graft.tools.ScaleProbe langid`:
     // the q_x72 chain (3-language variants, OvR char-gram train +
     // whole-corpus classify) over ×1/×4/×16 token-salted documents.
