@@ -190,6 +190,29 @@ class PurgeSpec extends AnyFunSuite {
       "a refused purge must leave the store exactly as it was")
   }
 
+  test("a signature store purged to EMPTY stays operational: everything " +
+      "classifies kept, and the nightly fold-in resumes normally") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("purge-empty").toString
+    val corpus = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    Dedup.writeCorpusSignatures(corpus, "text", "doc_id", dir)
+    // revoke EVERYTHING the store ever held
+    Dedup.purgeSignatures(spark, dir, corpus, "text", "doc_id")
+    def classify(rows: Seq[(Long, String)]): Map[Long, String] =
+      Dedup.dedupAgainstSignatures(rows.toDF("doc_id", "text"),
+        dir, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(classify(Seq(10L -> tA, 11L -> tB)) ===
+      Map(10L -> "kept", 11L -> "kept"),
+      "an emptied store must classify, not crash — and keep everything")
+    // the loop resumes: fold the re-accepted batch in, and it protects
+    val batch = Seq((10L, tA)).toDF("doc_id", "text")
+    Dedup.appendBatchSignatures(batch, batch.select(col("doc_id")),
+      "text", "doc_id", dir)
+    assert(classify(Seq(20L -> tA)) === Map(20L -> "exact_dup"),
+      "fold-in after a full purge must work exactly like day one")
+  }
+
   test("bm25-index purge: the revoked doc can never be retrieved again " +
       "and the purged index scores identically to a survivor-built one") {
     import spark.implicits._
