@@ -1036,10 +1036,25 @@ object Dedup {
     * drop their rows via the recoverable staged swap; the affected
     * slices' blooms rebuild from the POST-purge shingles and swap in
     * alongside the untouched rows. A purge hitting nothing (unknown
-    * ids) is a no-op that still tombstones. */
+    * ids) is a no-op that still tombstones. Entry first sweeps crash
+    * recovery over every `slice=*` leaf of the partitioned shingle
+    * store (staged/retired dirs are dot-prefixed so Spark listing
+    * ignores them, but a leaf crashed between the two swap renames is
+    * invisible until restored — the sweep restores it BEFORE any
+    * parent-level read here). Requires the `dir/docs` bookkeeping the
+    * current [[writeContaminationStore]] layout writes; a store
+    * predating it fails fast with a rebuild instruction rather than a
+    * raw missing-path error. */
   def purgeContaminationStore(spark: SparkSession, dir: String,
       purgedIds: DataFrame, idCol: String,
       expectedItems: Long = 100000L, numBits: Long = 1000000L): Unit = {
+    graft.sources.Sinks.recoverPartitionedStore(spark, s"$dir/shingles")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/docs")),
+      s"purgeContaminationStore: $dir has no docs bookkeeping — the " +
+        "store predates the slice-partitioned layout; rebuild it with " +
+        "writeContaminationStore before purging")
     val ids = purgedIds.select(col(idCol).as("sid")).distinct()
     ids.write.mode("append").parquet(s"$dir/tombstones")
     val docs = spark.read.parquet(s"$dir/docs")

@@ -1184,6 +1184,20 @@ object TextAnalysis {
       .withColumn("__den", when(col("cv").isNotNull,
           expr("CAST(b AS DECIMAL(38,0)) * cv * bt"))
         .otherwise(expr("CAST(bt AS DECIMAL(38,0))")))
+      // Overflow guard (the passAtK maxN discipline): every input to
+      // __num/__den is non-null by construction (cv-branch inputs ride
+      // the same joined row; the backoff branch coalesces), so a null
+      // can ONLY be a DECIMAL(38,0) overflow under non-ANSI arithmetic
+      // — past the documented ~1e12-count bound b·cv·bt no longer fits
+      // — and silently treating it as OOV would miscount the bigram.
+      // Raise instead. (Under ANSI, the default here, the multiply
+      // itself throws NUMERIC_VALUE_OUT_OF_RANGE at the same bound.)
+      .withColumn("__num", when(col("__num").isNull || col("__den").isNull,
+          raise_error(concat(lit("knScoreCore: exact-rational product " +
+            "for bigram '"), col("gram"), lit("' overflowed " +
+            "DECIMAL(38,0) — corpus counts exceed the ~1e12 bound; " +
+            "shard the corpus before scoring"))))
+        .otherwise(col("__num")))
       .select(col("doc_id"),
         when(col("__num") > 0,
           round(log(col("__num").cast("double") /
@@ -1902,30 +1916,52 @@ object TextAnalysis {
     * per-class integer margins against a [[trainLangId]] weight
     * relation, ties broken by class name ascending (fixed class-order
     * tiebreak — deterministic across engines). The margin spine is the
-    * doc's tf relation × the weight relation's classes (bounded), the
-    * argmax a doc-partitioned rank over ≤ |classes| rows — never a
-    * corpus-wide window. EVERY input doc gets a verdict (the
-    * [[linearQualityScore]] observability stance): docs with no grams
-    * — null or empty text — surface with `lang` null (no characters,
-    * no evidence; guessing would be worse than honesty). Returns
-    * `(doc_id, lang, margin_m)`. */
+    * doc's tf relation × the weight relation's classes (bounded); the
+    * argmax is a packed-long `max_by` HASH aggregate (the
+    * [[Similarity.assignToCentroids]] discipline — a doc-partitioned
+    * window would pay a SortAggregate for the same answer): class
+    * names rank into a dense index by sorted order (the class list is
+    * the weight relation's — enum-sized, a bounded driver read), and
+    * `(margin desc, name asc)` packs as `margin·2²⁰ − idx`. An in-plan
+    * raise guards the shift headroom (|margin| < 2⁴², far past any
+    * real margin — the knScoreCore overflow stance). EVERY input doc
+    * gets a verdict (the [[linearQualityScore]] observability stance):
+    * docs with no grams — null or empty text — surface with `lang`
+    * null (no characters, no evidence; guessing would be worse than
+    * honesty). Returns `(doc_id, lang, margin_m)`. */
   def langIdTrained(df: DataFrame, weights: DataFrame, dims: Int,
       nMin: Int = 2, nMax: Int = 4, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(dims >= 2 && dims <= 65536, s"dims must be in [2, 65536], got $dims")
+    val sp = df.sparkSession
+    import sp.implicits._
     val w = weights.select(col("lang").as("c"), col("bucket").as("b"),
       col("wm").cast("long"))
-    val cls = w.select(col("c")).distinct()
+    // bounded driver read: the class list is enum-sized by the
+    // trainLangId contract (the weight relation is classes × dims)
+    val classNames = w.select(col("c")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(classNames.length < (1 << 20),
+      s"langIdTrained: ${classNames.length} classes exceed the 2^20 " +
+        "packing space — a LID label set is tens, not millions")
+    val cls = classNames.zipWithIndex
+      .map { case (c, i) => (c, i.toLong) }.toSeq.toDF("c", "__ci")
     val scored = charGramTf(df, textCol, idCol, dims, nMin, nMax)
       .crossJoin(broadcast(cls))
       .join(broadcast(w), Seq("c", "b"), "left")
-      .groupBy(col("doc_id"), col("c"))
+      .groupBy(col("doc_id"), col("__ci"))
       .agg(sum(col("tf") * coalesce(col("wm"), lit(0L))).as("margin_m"))
-    val wnd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("margin_m").desc, col("c"))
-    val best = scored.withColumn("__rn", row_number().over(wnd))
-      .filter(col("__rn") === 1)
+    val guarded = when(abs(col("margin_m")) > lit(1L << 42),
+        raise_error(concat(lit("langIdTrained: |margin| for doc "),
+          col("doc_id").cast("string"),
+          lit(" exceeds 2^42 and would overflow the packed argmax — " +
+            "rescale the weights or shorten the docs"))))
+      .otherwise(col("margin_m"))
+    val best = scored.groupBy(col("doc_id"))
+      .agg(max_by(col("__ci"), guarded * lit(1L << 20) - col("__ci"))
+          .as("__ci"),
+        max(col("margin_m")).as("margin_m"))
+      .join(broadcast(cls), Seq("__ci"))
       .select(col("doc_id"), col("c").as("lang"), col("margin_m"))
     df.select(col(idCol).as("doc_id")).join(best, Seq("doc_id"), "left")
   }
@@ -2163,8 +2199,12 @@ object TextAnalysis {
     * a 16-digit order number matches any PAN-shaped regex, but only a
     * checksum-valid number is evidence of leaked card data (ISO/IEC
     * 7812; the mod-10 algorithm is public since 1960). Candidates are
-    * digit runs of 13–19 digits allowing single space/dash separators
-    * (the portable regex subset — classes, bounded repeats, `\b`);
+    * 13–23-char runs of digits with space/dash separators (the portable
+    * regex subset — classes, bounded repeats, `\b`; the 13-char floor
+    * means a separator-free run carries ≥13 digits); the exact 13–19
+    * DIGIT-count cut is applied in the validation step below, so a
+    * separator-padded 12-digit run can still surface as a candidate but
+    * never validates;
     * each candidate's digits reverse and fold through the alternating
     * double-with-digit-sum entirely in array HOFs over exact integers
     * — both engines replay it bit-for-bit, no UDF. Candidates are
@@ -2175,7 +2215,7 @@ object TextAnalysis {
   def panAudit(df: DataFrame, textCol: String,
       idCol: String = "doc_id"): DataFrame = {
     val cands = regexp_extract_all(col(textCol),
-      lit("\\b[0-9][0-9 -]{10,21}[0-9]\\b"), lit(0))
+      lit("\\b[0-9][0-9 -]{11,21}[0-9]\\b"), lit(0))
     // digits only, 13..19 of them, then the Luhn fold over the REVERSED
     // digit string (positions 1-based: odd add, even double-minus-9)
     val valid = filter(cands, c => {

@@ -1829,12 +1829,20 @@ object TextQueries extends graft.QueryPack {
         TextAnalysis.unigramTokenize(docs,
           TextAnalysis.readUnigramPieces(s, store))
       },
-      Some(s"""$duckUnigramCtes
-             |SELECT wds.doc_id,
-             |  string_agg(ws.stoks, chr(31) ORDER BY wds.ord) AS sp,
-             |  CAST(SUM(ws.np) AS BIGINT) AS n_sp
-             |FROM wds JOIN wseg ws ON ws.w = wds.w
-             |GROUP BY 1""".stripMargin)),
+      // Anchored on documents (LEFT JOIN + COALESCE): the Spark side
+      // emits (doc_id, sp='', n_sp=0) for a non-null zero-word doc, so
+      // the oracle must keep such docs too — an inner join on the word
+      // stream would silently drop them on any data refresh.
+      Some(s"""$duckUnigramCtes,
+             |seg AS (SELECT wds.doc_id,
+             |    string_agg(ws.stoks, chr(31) ORDER BY wds.ord) AS sp,
+             |    CAST(SUM(ws.np) AS BIGINT) AS n_sp
+             |  FROM wds JOIN wseg ws ON ws.w = wds.w
+             |  GROUP BY 1)
+             |SELECT d.doc_id, COALESCE(seg.sp, '') AS sp,
+             |  CAST(COALESCE(seg.n_sp, 0) AS BIGINT) AS n_sp
+             |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+             |LEFT JOIN seg USING (doc_id)""".stripMargin)),
 
     // ---- X80: Luhn-validated PAN audit (DLP with the checksum cut) ------
     // One third of docs get a planted VALID test PAN (spaced groups),
@@ -1858,7 +1866,7 @@ object TextQueries extends graft.QueryPack {
              |      ELSE '' END AS txt
              |  FROM documents WHERE text IS NOT NULL),
              |c AS (SELECT doc_id, unnest(regexp_extract_all(txt,
-             |    '\b[0-9][0-9 -]{10,21}[0-9]\b')) AS cand FROM s),
+             |    '\b[0-9][0-9 -]{11,21}[0-9]\b')) AS cand FROM s),
              |v AS (SELECT doc_id,
              |    reverse(regexp_replace(cand, '[^0-9]', '', 'g')) AS rd
              |  FROM c),
@@ -2001,12 +2009,12 @@ object TextQueries extends graft.QueryPack {
               |pcs AS (SELECT wds.doc_id, CAST(SUM(ws.np) AS BIGINT) AS np
               |  FROM wds JOIN wseg ws ON ws.w = wds.w GROUP BY 1)
               |SELECT w.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-              |  CAST(SUM(p.np) AS BIGINT) AS n_pieces,
+              |  CAST(SUM(COALESCE(p.np, 0)) AS BIGINT) AS n_pieces,
               |  CAST(SUM(w.nw) AS BIGINT) AS n_words,
-              |  CAST((2 * CAST(SUM(p.np) AS HUGEINT) * 1000000
+              |  CAST((2 * CAST(SUM(COALESCE(p.np, 0)) AS HUGEINT) * 1000000
               |    + SUM(w.nw)) // (2 * SUM(w.nw)) AS BIGINT)
               |    AS fertility_ppm
-              |FROM wcnt w JOIN pcs p USING (doc_id)
+              |FROM wcnt w LEFT JOIN pcs p USING (doc_id)
               |GROUP BY 1""".stripMargin)),
 
     // ---- X75: interpolated Kneser-Ney bigram LM (the KenLM default) -----

@@ -71,26 +71,69 @@ object Sinks {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Crash recovery for a previous swap attempt: a populated
-    * `$dir.retired` with a MISSING `$dir` means the crash hit between
-    * the two renames — restore the original; a populated retired dir
-    * NEXT TO a live `$dir` means the crash hit during cleanup — finish
-    * deleting it. Stale staged dirs are always removed (the next staged
-    * write would overwrite them anyway). */
+  /** Staged/retired sibling for `root`, DOT-PREFIXED (`.name.suffix`):
+    * Hadoop/Spark file listing ignores paths starting with `.` or `_`,
+    * so a crash that leaves a staged or retired dir behind inside a
+    * PARTITIONED parent (the purge rewrites `store/slice=N` leaves)
+    * never pollutes partition inference — a bare `slice=N.retired`
+    * sibling would be read as partition value "N.retired" and widen the
+    * column to string. */
+  private def hiddenSibling(root: org.apache.hadoop.fs.Path,
+      suffix: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(root.getParent, "." + root.getName + suffix)
+
+  /** Crash recovery for a previous swap attempt: a populated retired
+    * dir with a MISSING `$dir` means the crash hit between the two
+    * renames — restore the original; a populated retired dir NEXT TO a
+    * live `$dir` means the crash hit during cleanup — finish deleting
+    * it. Stale staged dirs are always removed (the next staged write
+    * would overwrite them anyway). Checks the dot-prefixed names first
+    * and the legacy bare-suffix names too, so a store last touched by a
+    * pre-hidden-staging build still recovers. */
   private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, stagedSuffix: String): Unit = {
-    val retired = root.suffix(".retired")
-    if (fs.exists(retired)) {
-      if (!fs.exists(root)) { fs.rename(retired, root); () }
-      else { fs.delete(retired, true); () }
+    Seq(hiddenSibling(root, ".retired"), root.suffix(".retired"))
+      .foreach { retired =>
+        if (fs.exists(retired)) {
+          if (!fs.exists(root)) { fs.rename(retired, root); () }
+          else { fs.delete(retired, true); () }
+        }
+      }
+    Seq(hiddenSibling(root, stagedSuffix), root.suffix(stagedSuffix))
+      .foreach { staged =>
+        if (fs.exists(staged)) { fs.delete(staged, true); () }
+      }
+  }
+
+  /** Sweep [[recoverSwap]] over EVERY leaf of a partitioned store root
+    * before any parent-level read — the repair half of the staged-swap
+    * contract for partition-scoped rewrites: a leaf's own recovery
+    * otherwise only runs when that exact leaf is rewritten again, which
+    * a crash-interrupted purge cannot guarantee. Hidden staged/retired
+    * dirs never break a read (listing ignores them), but a leaf caught
+    * between the two renames is INVISIBLE until restored — this sweep
+    * restores it. Also heals legacy bare-suffix debris from
+    * pre-hidden-staging builds. */
+  def recoverPartitionedStore(spark: org.apache.spark.sql.SparkSession,
+      parentDir: String, stagedSuffix: String = ".rewriting"): Unit = {
+    val (fs, parent) = hadoopFs(spark, parentDir)
+    if (!fs.exists(parent)) return
+    val names = fs.listStatus(parent).map(_.getPath.getName)
+    val pending = names.flatMap { n =>
+      val core = if (n.startsWith(".")) n.drop(1) else n
+      if (core.endsWith(".retired")) Some(core.dropRight(".retired".length))
+      else if (core.endsWith(stagedSuffix))
+        Some(core.dropRight(stagedSuffix.length))
+      else None
+    }.distinct
+    pending.foreach { n =>
+      recoverSwap(fs, new org.apache.hadoop.fs.Path(parent, n), stagedSuffix)
     }
-    val staged = root.suffix(stagedSuffix)
-    if (fs.exists(staged)) { fs.delete(staged, true); () }
   }
 
   private def swapInStaged(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, staged: org.apache.hadoop.fs.Path): Unit = {
-    val retired = root.suffix(".retired")
+    val retired = hiddenSibling(root, ".retired")
     require(fs.rename(root, retired), s"could not retire $root")
     require(fs.rename(staged, root), s"could not promote $staged")
     fs.delete(retired, true); ()
@@ -120,7 +163,7 @@ object Sinks {
     val parts = entries.filter(s => s.getPath.getName.endsWith(".parquet"))
     val bytes = parts.map(_.getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val staged = root.suffix(".compacting")
+    val staged = hiddenSibling(root, ".compacting")
     spark.read.parquet(dir).repartition(n)
       .write.mode("overwrite").parquet(staged.toString)
     swapInStaged(fs, root, staged)
@@ -171,7 +214,7 @@ object Sinks {
             keyCols, "left_anti")
           .unionByName(updates)
       } else updates
-    val staged = root.suffix(".upserting")
+    val staged = hiddenSibling(root, ".upserting")
     merged.write.mode("overwrite").parquet(staged.toString)
     if (exists) swapInStaged(fs, root, staged)
     else require(fs.rename(staged, root), s"could not promote $staged")
@@ -194,7 +237,7 @@ object Sinks {
     val (fs, root) = hadoopFs(spark, dir)
     recoverSwap(fs, root, ".rewriting")
     if (!fs.exists(root)) return
-    val staged = root.suffix(".rewriting")
+    val staged = hiddenSibling(root, ".rewriting")
     f(spark.read.parquet(dir)).write.mode("overwrite").parquet(staged.toString)
     swapInStaged(fs, root, staged)
   }

@@ -129,6 +129,70 @@ class PurgeSpec extends AnyFunSuite {
       "a shingle still referenced by a surviving doc must stay protected")
   }
 
+  test("contamination-store crash debris: purge entry sweeps staged/" +
+      "retired leaf dirs — partition inference stays INT and an " +
+      "interrupted swap's leaf comes back") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("purge-crash").toString
+    val bench = Seq((100L, tA), (101L, tB), (102L, tC)).toDF("doc_id", "text")
+    Dedup.writeContaminationStore(bench, "text", "doc_id", s"$root/store",
+      slices = 4)
+    val shinglesBefore = spark.read.parquet(s"$root/store/shingles")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val shingles = new java.io.File(s"$root/store/shingles")
+    val leaves = shingles.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("slice="))
+      .map(_.getName).sorted
+    assert(leaves.length >= 2, "fixture needs at least two slice leaves")
+    // crash state A: a LEGACY bare-suffix staged dir (pre-hidden-staging
+    // build) — visible to partition inference, it would widen `slice` to
+    // string on any parent-level read
+    val junk = new java.io.File(shingles, s"${leaves.head}.rewriting")
+    java.nio.file.Files.createDirectory(junk.toPath)
+    new java.io.File(shingles, leaves.head).listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(junk, f.getName).toPath); ()
+    }
+    // crash state B: a swap interrupted between its two renames — the
+    // live leaf is GONE, only the hidden retired sibling remains
+    val victim = leaves.last
+    assert(new java.io.File(shingles, victim).renameTo(
+      new java.io.File(shingles, s".$victim.retired")))
+    // an unknown-id purge is a data no-op, but its entry sweep must heal
+    // BOTH crash states before any parent-level read
+    Dedup.purgeContaminationStore(spark, s"$root/store",
+      Seq(999L).toDF("doc_id"), "doc_id")
+    val healed = spark.read.parquet(s"$root/store/shingles")
+    assert(healed.schema("slice").dataType ===
+      org.apache.spark.sql.types.IntegerType,
+      "crash debris must never widen the partition column")
+    assert(healed.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      === shinglesBefore,
+      "the interrupted leaf's rows must come back, the junk dir's must not")
+    assert(!junk.exists(), "stale legacy staged dir must be swept")
+    assert(!new java.io.File(shingles, s".$victim.retired").exists())
+    assert(new java.io.File(shingles, victim).isDirectory,
+      "the interrupted swap's leaf must be restored under its real name")
+  }
+
+  test("contamination-store purge fails fast on a store predating the " +
+      "docs bookkeeping instead of a raw missing-path read") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("purge-old").toString
+    Dedup.writeContaminationStore(Seq((1L, tA)).toDF("doc_id", "text"),
+      "text", "doc_id", s"$root/store", slices = 2)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$root/store/docs")) // simulate the old layout
+    val ex = intercept[IllegalArgumentException](
+      Dedup.purgeContaminationStore(spark, s"$root/store",
+        Seq(1L).toDF("doc_id"), "doc_id"))
+    assert(ex.getMessage.contains("rebuild it with writeContaminationStore"),
+      "old-layout stores must be refused with a rebuild instruction")
+  }
+
   test("LM count-store purges: subtraction is lossless — the purged " +
       "store scores identically to a survivor-trained one; a bogus " +
       "request (unknown doc) raises instead of going negative") {

@@ -195,6 +195,18 @@ class SinksSpec extends AnyFunSuite {
       "recovery must restore the retired original before merging")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".retired")))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".upserting")))
+    // same crash simulated with the CURRENT dot-prefixed staging names
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      base.resolve(".t.retired"))
+    java.nio.file.Files.createDirectory(base.resolve(".t.upserting"))
+    graft.sources.Sinks.upsertParquet(spark, dir,
+      Seq((3L, "C")).toDF("k", "s"), Seq("k"))
+    val got2 = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got2 === Set((1L, "a"), (2L, "B"), (3L, "C")),
+      "hidden-name recovery must restore the retired original too")
+    assert(!java.nio.file.Files.exists(base.resolve(".t.retired")))
+    assert(!java.nio.file.Files.exists(base.resolve(".t.upserting")))
   }
 
   test("upsert: updated keys replace, new keys append, untouched rows carry over") {

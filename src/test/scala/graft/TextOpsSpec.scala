@@ -301,7 +301,9 @@ class TextOpsSpec extends AnyFunSuite {
       (4L, "order 4539578763621487 confirmed"),         // checksum fails
       (5L, "ref 1234-5678-9012 too short"),             // 12 digits: no
       (6L, "two cards 4111111111111111 and 4539578763621487"),
-      (7L, "no digits at all here")
+      (7L, "no digits at all here"),
+      (8L, "plain 123456789012 run"),                    // 12 digits bare
+      (9L, "visa13 4222222222222 ok")                    // valid 13
     ).toDF("doc_id", "text")
     val out = TextAnalysis.panAudit(rows, "text")
       .collect().map(r => r.getLong(0) ->
@@ -315,6 +317,9 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(6L) === ((2L, 1L, true)),
       "candidates and valid counts separate per doc")
     assert(out(7L) === ((0L, 0L, false)))
+    assert(out(8L) === ((0L, 0L, false)),
+      "a bare 12-digit run is below the 13-char candidate floor")
+    assert(out(9L) === ((1L, 1L, true)), "13-digit visa validates")
   }
 
   test("distinct-n diversity: a collapsed template scores low, unique " +
@@ -847,6 +852,20 @@ class TextOpsSpec extends AnyFunSuite {
     val nv = TextAnalysis.langIdTrained(nullDoc, w, dims = 256).collect()
     assert(nv.length === 1 && nv.head.isNullAt(1),
       "no characters, no evidence: lang must be null, not a guess")
+    // the argmax is a packed-long HASH aggregate: no window, no sort
+    // (the assignToCentroids discipline — round-14 unification)
+    val plan = TextAnalysis.langIdTrained(heldOut, w, dims = 256)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"argmax must not window:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"argmax must stay a hash aggregate:\n$plan")
+    // exact margin ties break to the lexicographically smaller class
+    val tieW = Seq(("zz", 0, 1L), ("aa", 0, 1L)).toDF("lang", "bucket", "wm")
+    val tie = TextAnalysis.langIdTrained(
+      Seq((1L, "hello world", "x")).toDF("doc_id", "text", "lang"),
+      tieW, dims = 256).collect().head
+    assert(tie.getString(1) === "aa",
+      "equal margins must break to the smaller class name")
     // training is deterministic; the fixed-round contract refuses 0
     val w2 = TextAnalysis.trainLangId(train, "lang", dims = 256, rounds = 3)
     assert(w.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
