@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Pairwise-preference aggregation — the RLHF-data side of the engine:
@@ -99,5 +99,153 @@ object Preferences {
     import sp.implicits._
     Seq((nCand, edges.count(), cycles))
       .toDF("n_candidates", "n_edges", "n_cycles")
+  }
+
+  /** DPO/RLHF preference-PAIR dataset construction — the last mile from
+    * raw judgments to the `(prompt, chosen, rejected)` relation a
+    * DPO/RLHF trainer actually consumes. Judgments arrive as
+    * `(prompt, winner, loser)` rows (many raters per pair); per prompt
+    * and UNORDERED response pair the majority direction decides chosen
+    * vs rejected:
+    *
+    *   - exact ties are EXCLUDED — a tied pair asserts no preference
+    *     and training on an arbitrary direction injects noise;
+    *   - `margin = n_for − n_against` (wins in the majority direction
+    *     minus wins against it, ≥ 1 by construction) with an optional
+    *     `minMargin` gate — low-margin pairs are the noisiest slice of
+    *     any preference corpus;
+    *   - pairs lying on an intransitivity 3-cycle of the prompt's
+    *     majority tournament ([[cycleAudit]]'s triangles, here keyed
+    *     per prompt) carry `in_cycle = true` and are dropped when
+    *     `excludeCycles` — a cycle is a triple no reward model can fit,
+    *     and DPO literature excludes or down-weights them.
+    *
+    * Scale shape: ONE corpus-sized hash aggregation reduces the
+    * judgments to the per-prompt pair-count relation (checkpointed —
+    * it is reused by the majority rows, the triangle join, and the
+    * in-plan cap guard); everything downstream is |prompts| ×
+    * candidates²-sized. The triangle join is keyed by prompt, so its
+    * cost is candidates-cubed PER PROMPT — responses-per-prompt is
+    * single-digits in real preference data, and an empty-unless-
+    * violated raise_error union branch (the matchByHash band-cap
+    * discipline) refuses a prompt with more than
+    * `maxCandidatesPerPrompt` distinct responses rather than quietly
+    * running a big cube. Returns `(<promptCol>, chosen_id, rejected_id,
+    * n_for, n_against, margin, in_cycle)`. */
+  def dpoPairs(prefs: DataFrame, promptCol: String, winnerCol: String,
+      loserCol: String, minMargin: Long = 1L,
+      excludeCycles: Boolean = true,
+      maxCandidatesPerPrompt: Int = 64): DataFrame = {
+    require(minMargin >= 1L, s"minMargin must be >= 1, got $minMargin")
+    require(maxCandidatesPerPrompt >= 2,
+      s"need maxCandidatesPerPrompt >= 2, got $maxCandidatesPerPrompt")
+    val p = prefs
+      .filter(col(promptCol).isNotNull &&
+        col(winnerCol).isNotNull && col(loserCol).isNotNull &&
+        col(winnerCol) =!= col(loserCol))
+      .select(col(promptCol).as("__p"),
+        least(col(winnerCol), col(loserCol)).as("a"),
+        greatest(col(winnerCol), col(loserCol)).as("b"),
+        when(col(winnerCol) <= col(loserCol), 1L).otherwise(0L).as("__aw"))
+    val pc = p.groupBy(col("__p"), col("a"), col("b"))
+      .agg(sum(col("__aw")).as("wins_ab"),
+        (count(lit(1)) - sum(col("__aw"))).as("wins_ba"))
+      .localCheckpoint()
+    // majority rows: ties (wins_ab = wins_ba) assert no direction
+    val majority = pc.filter(col("wins_ab") =!= col("wins_ba"))
+      .select(col("__p"),
+        when(col("wins_ab") > col("wins_ba"), col("a")).otherwise(col("b"))
+          .as("chosen_id"),
+        when(col("wins_ab") > col("wins_ba"), col("b")).otherwise(col("a"))
+          .as("rejected_id"),
+        greatest(col("wins_ab"), col("wins_ba")).as("n_for"),
+        least(col("wins_ab"), col("wins_ba")).as("n_against"))
+      .withColumn("margin", col("n_for") - col("n_against"))
+    // per-prompt majority-tournament triangles: a directed edge on any
+    // 3-cycle marks its pair intransitive (the cycleAudit triple join,
+    // keyed by prompt so it never leaves the prompt's candidate set)
+    val edges = majority.select(col("__p"), col("chosen_id").as("src"),
+      col("rejected_id").as("dst"))
+    val onCycle = edges.as("e1")
+      .join(edges.as("e2"), col("e1.__p") === col("e2.__p") &&
+        col("e1.dst") === col("e2.src"))
+      .join(edges.as("e3"), col("e2.__p") === col("e3.__p") &&
+        col("e2.dst") === col("e3.src") && col("e3.dst") === col("e1.src"))
+      .select(col("e1.__p").as("__p"), col("e1.src").as("chosen_id"),
+        col("e1.dst").as("rejected_id"))
+      .distinct()
+    val flagged = majority
+      .join(onCycle.withColumn("__cyc", lit(true)),
+        Seq("__p", "chosen_id", "rejected_id"), "left")
+      .withColumn("in_cycle", coalesce(col("__cyc"), lit(false)))
+      .filter(col("margin") >= minMargin)
+      .filter(if (excludeCycles) !col("in_cycle") else lit(true))
+      .select(col("__p").as(promptCol), col("chosen_id"),
+        col("rejected_id"), col("n_for"), col("n_against"),
+        col("margin"), col("in_cycle"))
+    // cap guard: every output column carries the raise — a literal-null
+    // column would let a pushed-down IsNotNull constant-fold it away
+    val st = flagged.schema
+    val boom = raise_error(concat(
+      lit("dpoPairs: prompt "), col("__p").cast("string"), lit(" has "),
+      col("__nc").cast("string"),
+      lit(s" distinct responses (cap $maxCandidatesPerPrompt) — the " +
+        "per-prompt triangle join is candidates-cubed; raise " +
+        "maxCandidatesPerPrompt deliberately if the fan-out is real")))
+    val offenders = pc.select(col("__p"), col("a").as("c"))
+      .unionAll(pc.select(col("__p"), col("b").as("c")))
+      .groupBy(col("__p"))
+      .agg(countDistinct(col("c")).as("__nc"))
+      .filter(col("__nc") > maxCandidatesPerPrompt)
+      .select(st.map(f => boom.cast(f.dataType).as(f.name)): _*)
+    flagged.unionAll(offenders)
+  }
+
+  /** The [[dpoPairs]] → training-strings composition: each pair's
+    * chosen and rejected sides render as the two-turn ChatML strings a
+    * DPO trainer tokenizes, THROUGH
+    * [[graft.operators.Behavior.renderChatTemplate]] (one user turn
+    * carrying the prompt text, one assistant turn carrying the
+    * response text — same sentinels, same ordering contract).
+    * `prompts` maps `<promptCol>` → `<promptTextCol>`; `responses`
+    * maps `<respIdCol>` → `<respTextCol>`; both joins are keyed (the
+    * pairs relation is the small side after aggregation — AQE
+    * broadcasts it while it fits). Missing prompt/response texts
+    * render as empty strings through renderChatTemplate's
+    * null-coalescing, never dropped. Returns the pairs columns plus
+    * `(chosen, rejected)` rendered strings. */
+  def dpoTrainingStrings(pairs: DataFrame, promptCol: String,
+      prompts: DataFrame, promptTextCol: String,
+      responses: DataFrame, respIdCol: String, respTextCol: String)
+      : DataFrame = {
+    val keyed = pairs
+      .join(prompts.select(col(promptCol), col(promptTextCol).as("__pt")),
+        Seq(promptCol), "left")
+      .join(responses.select(col(respIdCol).as("chosen_id"),
+        col(respTextCol).as("__ct")), Seq("chosen_id"), "left")
+      .join(responses.select(col(respIdCol).as("rejected_id"),
+        col(respTextCol).as("__rt")), Seq("rejected_id"), "left")
+      .withColumn("__pk", concat_ws("\u001f",
+        col(promptCol).cast("string"), col("chosen_id").cast("string"),
+        col("rejected_id").cast("string")))
+    def rendered(respText: Column, outCol: String): DataFrame = {
+      val turns = keyed.select(col("__pk"), col("__pt"), respText.as("__x"))
+        .select(col("__pk"), explode(array(
+          struct(lit(1L).as("__ts"), lit(1L).as("__id"),
+            lit("user").as("__role"), col("__pt").as("__text")),
+          struct(lit(2L).as("__ts"), lit(2L).as("__id"),
+            lit("assistant").as("__role"), col("__x").as("__text"))))
+          .as("t"))
+        .select(col("__pk"), col("t.__ts").as("__ts"),
+          col("t.__id").as("__id"), col("t.__role").as("__role"),
+          col("t.__text").as("__text"))
+      Behavior.renderChatTemplate(turns, "__pk", "__ts", "__id",
+        "__role", "__text")
+        .select(col("__pk"), col("rendered").as(outCol))
+    }
+    keyed
+      .join(rendered(col("__ct"), "chosen"), Seq("__pk"))
+      .join(rendered(col("__rt"), "rejected"), Seq("__pk"))
+      .drop("__pk", "__pt", "__ct", "__rt")
   }
 }

@@ -417,6 +417,93 @@ object EventQueries extends graft.QueryPack {
              |  string_agg(turn, chr(10) ORDER BY ts, event_id) AS rendered
              |FROM r GROUP BY 1""".stripMargin)),
 
+    // ---- E34: DPO preference-pair dataset construction -------------------
+    // The votes -> training-set last mile over the q_e28 synthesis WITH a
+    // prompt dimension: 5 prompts x 6 candidates, base direction the
+    // rotational tournament ((m2-m1) mod 6 in 1..2 — cyclic, so real
+    // triangles exist to flag), 20% rater noise. dpoPairs takes the
+    // majority per (prompt, unordered pair), EXCLUDES exact ties, gates
+    // margin >= 2, and FLAGS (not drops — excludeCycles=false so the
+    // flag itself is oracle-checked) pairs on a majority-tournament
+    // 3-cycle; dpoTrainingStrings then renders both sides as two-turn
+    // ChatML THROUGH renderChatTemplate. ONE oracle replays counts,
+    // majority, gate, triangles, and the rendered strings.
+    Q("q_e34_dpo_pairs",
+      (s, d) => {
+        val prefs = Tables.events(s, d)
+          .filter(col("user_id").isNotNull)
+          .select((col("event_id") % 5).as("prompt_id"),
+            expr("(event_id div 5) % 6").as("m1"),
+            expr("(event_id div 30) % 6").as("m2"), col("user_id"))
+          .filter(col("m1") =!= col("m2"))
+          .select(col("prompt_id"),
+            when(expr("((m2 - m1) + 6) % 6 between 1 and 2") =!=
+              (col("user_id") % 5 === 0), col("m1")).otherwise(col("m2"))
+              .as("winner"),
+            when(expr("((m2 - m1) + 6) % 6 between 1 and 2") =!=
+              (col("user_id") % 5 === 0), col("m2")).otherwise(col("m1"))
+              .as("loser"))
+        val pairs = graft.operators.Preferences.dpoPairs(prefs,
+          "prompt_id", "winner", "loser", minMargin = 2L,
+          excludeCycles = false)
+        val prompts = prefs.select(col("prompt_id")).distinct()
+          .select(col("prompt_id"),
+            concat(lit("prompt-"), col("prompt_id")).as("ptext"))
+        val responses = prefs.select(col("winner").as("rid"))
+          .unionAll(prefs.select(col("loser").as("rid"))).distinct()
+          .select(col("rid"), concat(lit("resp-"), col("rid")).as("rtext"))
+        graft.operators.Preferences.dpoTrainingStrings(pairs,
+          "prompt_id", prompts, "ptext", responses, "rid", "rtext")
+      },
+      Some("""WITH pr AS (
+             |  SELECT prompt_id,
+             |    CASE WHEN win1 THEN m1 ELSE m2 END AS winner,
+             |    CASE WHEN win1 THEN m2 ELSE m1 END AS loser
+             |  FROM (SELECT event_id % 5 AS prompt_id, m1, m2,
+             |      (((m2 - m1) + 6) % 6 BETWEEN 1 AND 2)
+             |        <> (user_id % 5 = 0) AS win1
+             |    FROM (SELECT event_id, (event_id // 5) % 6 AS m1,
+             |        (event_id // 30) % 6 AS m2, user_id
+             |      FROM events WHERE user_id IS NOT NULL)
+             |    WHERE m1 <> m2)),
+             |p AS (SELECT prompt_id, LEAST(winner, loser) AS a,
+             |    GREATEST(winner, loser) AS b,
+             |    CASE WHEN winner <= loser THEN 1 ELSE 0 END AS aw
+             |  FROM pr),
+             |pc AS (SELECT prompt_id, a, b, SUM(aw) AS wab,
+             |    COUNT(*) - SUM(aw) AS wba
+             |  FROM p GROUP BY 1, 2, 3),
+             |mj AS (SELECT prompt_id,
+             |    CASE WHEN wab > wba THEN a ELSE b END AS chosen_id,
+             |    CASE WHEN wab > wba THEN b ELSE a END AS rejected_id,
+             |    GREATEST(wab, wba) AS nf, LEAST(wab, wba) AS na
+             |  FROM pc WHERE wab <> wba),
+             |cyc AS (SELECT DISTINCT e1.prompt_id AS prompt_id,
+             |    e1.chosen_id AS chosen_id, e1.rejected_id AS rejected_id
+             |  FROM mj e1
+             |  JOIN mj e2 ON e1.prompt_id = e2.prompt_id
+             |    AND e1.rejected_id = e2.chosen_id
+             |  JOIN mj e3 ON e2.prompt_id = e3.prompt_id
+             |    AND e2.rejected_id = e3.chosen_id
+             |    AND e3.rejected_id = e1.chosen_id)
+             |SELECT m.prompt_id, m.chosen_id, m.rejected_id,
+             |  CAST(m.nf AS BIGINT) AS n_for,
+             |  CAST(m.na AS BIGINT) AS n_against,
+             |  CAST(m.nf - m.na AS BIGINT) AS margin,
+             |  (c.chosen_id IS NOT NULL) AS in_cycle,
+             |  '<|im_start|>user' || chr(10) || 'prompt-' ||
+             |    CAST(m.prompt_id AS VARCHAR) || '<|im_end|>' || chr(10) ||
+             |    '<|im_start|>assistant' || chr(10) || 'resp-' ||
+             |    CAST(m.chosen_id AS VARCHAR) || '<|im_end|>' AS chosen,
+             |  '<|im_start|>user' || chr(10) || 'prompt-' ||
+             |    CAST(m.prompt_id AS VARCHAR) || '<|im_end|>' || chr(10) ||
+             |    '<|im_start|>assistant' || chr(10) || 'resp-' ||
+             |    CAST(m.rejected_id AS VARCHAR) || '<|im_end|>' AS rejected
+             |FROM mj m LEFT JOIN cyc c ON c.prompt_id = m.prompt_id
+             |  AND c.chosen_id = m.chosen_id
+             |  AND c.rejected_id = m.rejected_id
+             |WHERE m.nf - m.na >= 2""".stripMargin)),
+
     // ---- E28/E29: pairwise-preference aggregation (RLHF data ops) -------
     // A preference corpus synthesized engine-independently from events:
     // 8 candidates, base direction the ROTATIONAL tournament (a beats b

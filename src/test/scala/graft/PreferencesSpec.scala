@@ -49,4 +49,62 @@ class PreferencesSpec extends AnyFunSuite {
       Preferences.cycleAudit(rps, "winner", "loser", maxCandidates = 2))
     assert(ex.getMessage.contains("candidates-cubed"))
   }
+
+  test("dpo pairs: majority direction per prompt, ties excluded, margin " +
+      "gate, planted cycle flagged or dropped by parameter, cap raises") {
+    import spark.implicits._
+    val prefs = (
+      // p1: a>b 3-1 (margin 2), b>c 2-0 (margin 2), c-d tied (excluded),
+      //     a>d 2-1 (margin 1 — gated at minMargin=2)
+      Seq.fill(3)(("p1", "a", "b")) ++ Seq(("p1", "b", "a")) ++
+      Seq.fill(2)(("p1", "b", "c")) ++
+      Seq(("p1", "c", "d"), ("p1", "d", "c")) ++
+      Seq.fill(2)(("p1", "a", "d")) ++ Seq(("p1", "d", "a")) ++
+      // p2: x>y, y>z, z>x each 2-0 — a pure majority 3-cycle
+      Seq.fill(2)(("p2", "x", "y")) ++ Seq.fill(2)(("p2", "y", "z")) ++
+      Seq.fill(2)(("p2", "z", "x"))
+    ).toDF("prompt", "winner", "loser")
+    def rows(minMargin: Long, excl: Boolean) =
+      Preferences.dpoPairs(prefs, "prompt", "winner", "loser",
+          minMargin = minMargin, excludeCycles = excl)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+    assert(rows(2L, excl = false) === Set(
+      ("p1", "a", "b", 3L, 1L, 2L, false),
+      ("p1", "b", "c", 2L, 0L, 2L, false),
+      ("p2", "x", "y", 2L, 0L, 2L, true),
+      ("p2", "y", "z", 2L, 0L, 2L, true),
+      ("p2", "z", "x", 2L, 0L, 2L, true)),
+      "flag mode: ties gone, low margins gated, the cycle flagged")
+    assert(rows(2L, excl = true) === Set(
+      ("p1", "a", "b", 3L, 1L, 2L, false),
+      ("p1", "b", "c", 2L, 0L, 2L, false)),
+      "exclusion mode drops exactly the intransitive triangle")
+    assert(rows(1L, excl = true).contains(("p1", "a", "d", 2L, 1L, 1L, false)),
+      "minMargin=1 admits the noisy pair back")
+    // the per-prompt candidate cap raises in-plan (collect consumes the
+    // guard branch — a bare count would prune it)
+    val ex = intercept[Exception](
+      Preferences.dpoPairs(prefs, "prompt", "winner", "loser",
+        maxCandidatesPerPrompt = 3).collect())
+    assert(ex.getMessage.contains("candidates-cubed"),
+      "p1 has 4 distinct responses and must refuse a cap of 3")
+    // composition: both sides render as two-turn ChatML THROUGH
+    // renderChatTemplate
+    val pairs = Preferences.dpoPairs(prefs, "prompt", "winner", "loser",
+      minMargin = 2L, excludeCycles = true)
+    val prompts = Seq(("p1", "Which answer is better?")).toDF("prompt", "pt")
+    val resps = Seq(("a", "Ans A"), ("b", "Ans B"), ("c", "Ans C"),
+      ("d", "Ans D")).toDF("rid", "rt")
+    val strs = Preferences.dpoTrainingStrings(pairs, "prompt",
+        prompts, "pt", resps, "rid", "rt")
+      .collect().map(r => r.getAs[String]("chosen_id") ->
+        ((r.getAs[String]("chosen"), r.getAs[String]("rejected")))).toMap
+    assert(strs("a") === ((
+      "<|im_start|>user\nWhich answer is better?<|im_end|>\n" +
+        "<|im_start|>assistant\nAns A<|im_end|>",
+      "<|im_start|>user\nWhich answer is better?<|im_end|>\n" +
+        "<|im_start|>assistant\nAns B<|im_end|>")),
+      "chosen and rejected render the same prompt with each side's text")
+  }
 }
