@@ -1567,6 +1567,164 @@ object TextAnalysis {
           "div (2 * (n_ref + n_hyp))")))
   }
 
+  /** Sentence BLEU (Papineni et al. 2002, sacrebleu conventions) — the
+    * MT/generation metric next to [[rougeL]]: clipped n-gram precisions
+    * at orders 1–4 as EXACT integer counts (`m_n` = Σ_g min(hyp count,
+    * ref count), `t_n` = max(|hyp|−n+1, 0)), geometric mean over the
+    * EFFECTIVE orders (those with `t_n > 0` — the sacrebleu
+    * `effective_order` stance for short hypotheses), brevity penalty
+    * `exp(1−|ref|/|hyp|)` when the hypothesis is shorter (the |h|=|r|
+    * edge is penalty-free). Arithmetic contract: counts stay integers;
+    * each included order contributes ONE 6-dp-rounded ln (the q_x27 /
+    * knScoreCore discipline); their mean and the BP exponent are exact
+    * half-up micros; one final exp rounds to 6 dp. Any included order
+    * with zero matches — or an empty/over-long-only hypothesis — scores
+    * 0 exactly (unsmoothed BLEU). Null ref/hyp rows pass through
+    * all-null (nothing to score ≠ scoring zero).
+    *
+    * Shape: per-example metric over EVAL batches — BOTH sides' grams
+    * union into ONE side-tagged relation, so the clipped count is a
+    * single (id, order, gram)-keyed hash aggregation (per-gram
+    * `least(hyp count, ref count)`) with no join at all; everything is
+    * keyed by example id, so it partitions trivially and never goes
+    * quadratic. Returns `(<idCol>, n_ref, n_hyp, m1, t1, m2, t2, m3,
+    * t3, m4, t4, eff_order, bleu)`. */
+  def bleu(df: DataFrame, refCol: String, hypCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val scorable = df.filter(col(refCol).isNotNull && col(hypCol).isNotNull)
+    def sideGrams(c: String, side: Int): DataFrame = {
+      val toksed = Par.spread(scorable.select(col(idCol).as("__id"),
+        tokens(col(c)).as("toks")))
+      (1 to 4).map { n =>
+        toksed.select(col("__id"), lit(n).as("__n"),
+          explode(shingles(col("toks"), n)).as("g"),
+          lit(side).as("__side"))
+      }.reduce(_ unionAll _)
+    }
+    val clipped = sideGrams(hypCol, 1).unionAll(sideGrams(refCol, 0))
+      .groupBy(col("__id"), col("__n"), col("g"))
+      .agg(sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__ch"),
+        sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__cr"))
+      .groupBy(col("__id"), col("__n"))
+      .agg(sum(least(col("__ch"), col("__cr"))).as("__m"))
+    val wide = clipped.groupBy(col("__id"))
+      .agg(sum(when(col("__n") === 1, col("__m"))).as("__m1"),
+        sum(when(col("__n") === 2, col("__m"))).as("__m2"),
+        sum(when(col("__n") === 3, col("__m"))).as("__m3"),
+        sum(when(col("__n") === 4, col("__m"))).as("__m4"))
+    val lens = scorable.select(col(idCol).as("__id"),
+      size(tokens(col(refCol))).cast("long").as("n_ref"),
+      size(tokens(col(hypCol))).cast("long").as("n_hyp"))
+    val mt = lens.join(wide, Seq("__id"), "left")
+    val withOrders = (1 to 4).foldLeft(mt) { (d, n) =>
+      d.withColumn(s"m$n", coalesce(col(s"__m$n"), lit(0L)))
+        .withColumn(s"t$n", greatest(col("n_hyp") - lit(n - 1), lit(0L)))
+    }
+    val effOrder = (1 to 4).map(n => when(col(s"t$n") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val anyZero = (1 to 4).map(n => col(s"t$n") > 0 && col(s"m$n") === 0)
+      .reduce(_ || _)
+    val lpSum = (1 to 4).map(n => when(col(s"t$n") > 0 && col(s"m$n") > 0,
+        round(log(col(s"m$n").cast("double") / col(s"t$n").cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .otherwise(lit(BigDecimal(0)).cast("decimal(18,6)"))).reduce(_ + _)
+    val scored = withOrders
+      .withColumn("eff_order", effOrder)
+      .withColumn("__sum_u", (lpSum * lit(1000000L)).cast("long"))
+      .withColumn("__mean_u", when(col("eff_order") > 0,
+        expr("(2 * __sum_u + eff_order) div (2 * eff_order)")))
+      .withColumn("__bp_u", when(col("n_hyp") >= col("n_ref"), lit(0L))
+        .otherwise(expr(
+          "(2 * (n_hyp - n_ref) * 1000000 + n_hyp) div (2 * n_hyp)")))
+      .withColumn("bleu",
+        when(col("n_hyp") === 0 || col("eff_order") === 0 || anyZero,
+          lit(0.0))
+        .otherwise(round(exp((col("__mean_u") + col("__bp_u"))
+          .cast("double") / lit(1000000.0)), 6)))
+      .select(Seq(col("__id").as(idCol), col("n_ref"), col("n_hyp")) ++
+        (1 to 4).flatMap(n => Seq(col(s"m$n"), col(s"t$n"))) ++
+        Seq(col("eff_order"), col("bleu")): _*)
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+  }
+
+  /** chrF (Popović 2015, sacrebleu conventions) — the character-level
+    * generation metric completing the [[bleu]] pair: whitespace strips
+    * entirely, char n-grams at orders 1–6 count clipped matches per
+    * order, per-order precision/recall average ARITHMETICALLY across
+    * orders, and F folds them with β=2 (recall-weighted). Orders beyond
+    * the string contribute zero P/R (the sacrebleu all-orders stance —
+    * no effective-order rescue at the character level). EVERYTHING is
+    * exact integers: per-order P/R as half-up ppm, their means as
+    * half-up ppm of ppms, the final `5·P·R / (4·P + R)` in half-up ppm
+    * — no ln, no exp, no libm anywhere, so the score replays
+    * bit-for-bit in any engine. Null ref/hyp rows pass through
+    * all-null; a hyp/ref pair with no characters at all scores 0 (both
+    * sums empty). Same side-tagged single-aggregation shape as
+    * [[bleu]] (no join) — a per-example metric that partitions by
+    * example id; the char-level row blowup (≤ 6·len per side) is the
+    * documented price and stays inside the eval batch. Returns
+    * `(<idCol>, n_ref_chars, n_hyp_chars, p_ppm, r_ppm, chrf_ppm)`. */
+  def chrF(df: DataFrame, refCol: String, hypCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val scorable = df
+      .filter(col(refCol).isNotNull && col(hypCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        regexp_replace(col(refCol), "\\s+", "").as("__r"),
+        regexp_replace(col(hypCol), "\\s+", "").as("__h"))
+      .localCheckpoint(false)
+    def sideGrams(c: String, side: Int): DataFrame =
+      (1 to 6).map { n =>
+        scorable.select(col("__id"), col(c).as("__s"))
+          .select(col("__id"), lit(n).as("__n"), col("__s"),
+            explode(when(length(col("__s")) >= n,
+                sequence(lit(1), length(col("__s")) - lit(n - 1)))
+              .otherwise(array().cast("array<int>"))).as("i"))
+          .select(col("__id"), col("__n"),
+            col("__s").substr(col("i"), lit(n)).as("g"),
+            lit(side).as("__side"))
+      }.reduce(_ unionAll _)
+    val m = sideGrams("__h", 1).unionAll(sideGrams("__r", 0))
+      .groupBy(col("__id"), col("__n"), col("g"))
+      .agg(sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__ch"),
+        sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__cr"))
+      .groupBy(col("__id"), col("__n"))
+      .agg(sum(least(col("__ch"), col("__cr"))).as("__m"))
+    // per-order totals are closed-form from the lengths — no second pass
+    val lens = scorable.select(col("__id"),
+      length(col("__r")).cast("long").as("n_ref_chars"),
+      length(col("__h")).cast("long").as("n_hyp_chars"))
+    val mAggs = (1 to 6).map(n =>
+      sum(when(col("__n") === n, col("__m"))).as(s"__m$n"))
+    val wide = (1 to 6).foldLeft(
+      lens.join(m.groupBy(col("__id")).agg(mAggs.head, mAggs.tail: _*),
+        Seq("__id"), "left")) { (d, n) =>
+      d.withColumn(s"__mm$n", coalesce(col(s"__m$n"), lit(0L)))
+        .withColumn(s"__th$n",
+          greatest(col("n_hyp_chars") - lit(n - 1), lit(0L)))
+        .withColumn(s"__tr$n",
+          greatest(col("n_ref_chars") - lit(n - 1), lit(0L)))
+        .withColumn(s"__p$n", when(col(s"__th$n") > 0, expr(
+          s"(2 * __mm$n * 1000000 + __th$n) div (2 * __th$n)"))
+          .otherwise(lit(0L)))
+        .withColumn(s"__r$n", when(col(s"__tr$n") > 0, expr(
+          s"(2 * __mm$n * 1000000 + __tr$n) div (2 * __tr$n)"))
+          .otherwise(lit(0L)))
+    }
+    val scored = wide
+      .withColumn("p_ppm", expr(s"(2 * (${(1 to 6).map(n => s"__p$n")
+        .mkString(" + ")}) + 6) div 12"))
+      .withColumn("r_ppm", expr(s"(2 * (${(1 to 6).map(n => s"__r$n")
+        .mkString(" + ")}) + 6) div 12"))
+      .withColumn("chrf_ppm",
+        when(lit(4L) * col("p_ppm") + col("r_ppm") > 0, expr(
+          "(2 * 5 * p_ppm * r_ppm + (4 * p_ppm + r_ppm)) " +
+            "div (2 * (4 * p_ppm + r_ppm))"))
+        .otherwise(lit(0L)))
+      .select(col("__id").as(idCol), col("n_ref_chars"),
+        col("n_hyp_chars"), col("p_ppm"), col("r_ppm"), col("chrf_ppm"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+  }
+
   /** Tokenizer fertility — pieces per word, per group (the standard
     * multilingual tokenizer-quality audit: a tokenizer trained on one
     * language's distribution fragments the others, and fertility per

@@ -322,6 +322,70 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(9L) === ((1L, 1L, true)), "13-digit visa validates")
   }
 
+  test("bleu: perfect match scores 1, clipping caps repeated grams, " +
+      "effective order on short hyps, BP at |h|<|r|, unsmoothed zero, " +
+      "null rows pass through null") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a b c d e", "a b c d e"),        // perfect: BLEU 1, |h|=|r|
+      (2L, "the cat", "the the the"),        // clip m1 to 1; m2=0 -> 0
+      (3L, "a b c d e", "a b c"),            // eff order 3, BP fires
+      (4L, "the quick brown fox jumps",
+           "the quick brown dog jumps"),     // m4=0 -> unsmoothed 0
+      (5L, "a b", null.asInstanceOf[String]) // null hyp -> null row
+    ).toDF("doc_id", "ref", "hyp")
+    val out = TextAnalysis.bleu(rows, "ref", "hyp")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val p = out(1L)
+    assert((p.getLong(3), p.getLong(4)) === ((5L, 5L)), "m1 = t1 = 5")
+    assert(p.getAs[Double]("bleu") === 1.0)
+    val c = out(2L)
+    assert((c.getLong(3), c.getLong(4)) === ((1L, 3L)),
+      "three 'the's clip to the reference's single one")
+    assert(c.getAs[Double]("bleu") === 0.0, "zero bigram matches -> 0")
+    val s = out(3L)
+    assert(s.getAs[Long]("eff_order") === 3L,
+      "a 3-token hyp has no 4-gram total: effective order 3")
+    // all included precisions are 1 -> mean ln = 0; BP exponent
+    // half-up((h-r)/h micros) = half-up(-2000000/3) = -666666
+    val expected = BigDecimal(math.exp(-666666.0 / 1000000.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s.getAs[Double]("bleu") === expected)
+    assert(out(4L).getAs[Double]("bleu") === 0.0,
+      "one unmatched 4-gram zeroes unsmoothed BLEU")
+    assert(out(5L).isNullAt(1) && out(5L).isNullAt(12),
+      "null hyp yields an all-null row, not a zero score")
+  }
+
+  test("chrf: hand-checked per-order P/R means, beta=2 fold, short " +
+      "strings zero the high orders, disjoint scores 0, whitespace " +
+      "strips before gramming") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "ab c", "a bc"),     // both strip to "abc": identical
+      (2L, "abcd", "abc"),      // the hand case
+      (3L, "abc", "xyz"),       // disjoint: 0
+      (4L, null.asInstanceOf[String], "abc")
+    ).toDF("doc_id", "ref", "hyp")
+    val out = TextAnalysis.chrF(rows, "ref", "hyp")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // identical 3-char strings: orders 1-3 perfect, 4-6 zero -> mean 0.5
+    assert((out(1L).getLong(3), out(1L).getLong(4)) ===
+      ((500000L, 500000L)))
+    assert(out(1L).getLong(5) === 500000L)
+    // ref "abcd" / hyp "abc": P = (1+1+1+0+0+0)/6, R = (3/4 + 2/3 + 1/2)/6
+    val h = out(2L)
+    assert(h.getLong(3) === 500000L, "precision mean")
+    assert(h.getLong(4) === 319445L, "recall mean (half-up ppm of ppms)")
+    val pq = BigInt(500000); val rq = BigInt(319445)
+    val den = 4 * pq + rq
+    val expected = ((2 * 5 * pq * rq + den) / (2 * den)).toLong
+    assert(h.getLong(5) === expected, "5PR/(4P+R) in half-up ppm")
+    assert(out(3L).getLong(5) === 0L)
+    assert(out(4L).isNullAt(1) && out(4L).isNullAt(5),
+      "null ref yields an all-null row")
+  }
+
   test("distinct-n diversity: a collapsed template scores low, unique " +
       "text scores 1e6, counts are exact per order") {
     import spark.implicits._
