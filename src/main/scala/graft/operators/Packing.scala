@@ -74,4 +74,73 @@ object Packing {
         (dense_rank().over(wr) - 1).cast("int").as("pack"),
         col("n_tokens"))
   }
+
+  /** Trainer-ready packed SFT with LOSS-MASK spans — the
+    * [[packByCount]] ∘ [[graft.operators.Behavior.sftPairs]]
+    * composition that closes the packing story: an SFT trainer that
+    * packs examples must still mask the loss to ASSISTANT-RESPONSE
+    * tokens only, so each packed sequence needs per-segment token
+    * spans. Every (context, response) example packs as ONE unit
+    * (`n = |context tokens| + |response tokens|` through
+    * [[packByCount]] — same sharding, same hash order, same
+    * exclusive-cumsum budget spans), and each pack row carries
+    * `segments: array<struct<doc_id, tok_start, tok_end, mask>>` —
+    * half-open token spans into the pack's concatenated token stream,
+    * in concatenation order: per example the context span
+    * (`mask = false`, excluded from the loss) then the response span
+    * (`mask = true`); zero-length spans (empty context — a first-turn
+    * response — or an empty response) are omitted, a span with no
+    * tokens masks nothing. By construction spans tile
+    * `[0, n_tokens)` gaplessly and `n_masked` = Σ response tokens.
+    *
+    * Scale shape: [[packByCount]]'s one shard-keyed shuffle, one
+    * id-keyed join of the counts back onto the pack assignment, and
+    * one (shard, pack)-partitioned window + aggregation — never a
+    * corpus-wide sort; segments-per-pack is bounded by budget (each
+    * non-empty example contributes ≥ 1 token). Token counts use
+    * [[TextAnalysis.tokens]] (the whitespace convention, oracle-
+    * replayable); swap in a real tokenizer's counts upstream by
+    * pre-tokenizing context/response. Returns `(shard, pack, n_docs,
+    * n_tokens, n_masked, segments)`. */
+  def packSftWithMasks(pairs: DataFrame, budget: Int, shards: Int,
+      salt: String, idCol: String = "doc_id",
+      contextCol: String = "context", responseCol: String = "response")
+      : DataFrame = {
+    val counts = pairs.select(col(idCol),
+      size(TextAnalysis.tokens(col(contextCol))).cast("long").as("__nc"),
+      size(TextAnalysis.tokens(col(responseCol))).cast("long").as("__nr"))
+    val packed = packByCount(
+      counts.select(col(idCol), (col("__nc") + col("__nr")).as("n_tokens")),
+      budget, shards, salt, idCol)
+    // intra-pack offsets: the SAME deterministic order packByCount used
+    // (salted hash, id tiebreak), exclusive running sum within the pack
+    val wo = Window.partitionBy(col("shard"), col("pack"))
+      .orderBy(Sampling.saltedKey(col(idCol), salt), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spans = packed.join(counts, Seq(idCol))
+      .withColumn("__start", coalesce(sum(col("n_tokens")).over(wo), lit(0L)))
+      .select(col(idCol), col("shard"), col("pack"), col("n_tokens"),
+        col("__nc"), col("__nr"), col("__start"))
+    // one row per example with its (≤ 2) non-empty spans — no explode,
+    // so zero-token examples still count into n_docs with no segment
+    val perDoc = spans.select(col("shard"), col("pack"), col("n_tokens"),
+        col("__nr"),
+        filter(array(
+          struct(col("__start").as("tok_start"),
+            (col("__start") + col("__nc")).as("tok_end"),
+            col(idCol).as("doc_id"), lit(false).as("mask")),
+          struct((col("__start") + col("__nc")).as("tok_start"),
+            (col("__start") + col("n_tokens")).as("tok_end"),
+            col(idCol).as("doc_id"), lit(true).as("mask"))),
+          s => s.getField("tok_end") > s.getField("tok_start")).as("sgs"))
+    perDoc.groupBy(col("shard"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("__nr")).as("n_masked"),
+        transform(array_sort(flatten(collect_list(col("sgs")))), s =>
+          struct(s.getField("doc_id").as("doc_id"),
+            s.getField("tok_start").as("tok_start"),
+            s.getField("tok_end").as("tok_end"),
+            s.getField("mask").as("mask"))).as("segments"))
+  }
 }

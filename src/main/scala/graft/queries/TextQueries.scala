@@ -2194,6 +2194,92 @@ object TextQueries extends graft.QueryPack {
              |  ELSE 0 END AS chrf_ppm
              |FROM fin""".stripMargin)),
 
+    // ---- X83: trainer-ready packed SFT with loss-mask spans --------------
+    // The q_e32 sftPairs chain -> packSftWithMasks: every (context,
+    // response) example packs as one unit at a 512-token budget, and each
+    // pack row carries half-open token spans with mask=true exactly on
+    // the response tokens. The oracle replays the sft extraction, the
+    // md5 shard/order/cumsum pack layout, the intra-pack offsets, and
+    // the span strings (list payloads ride the compare as joined
+    // strings — the q_x39 registry convention).
+    Q("q_x83_pack_sft_masks",
+      (s, d) => {
+        val turns = Tables.events(s, d)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            when(col("event_type").isin("click", "view"), "user")
+              .when(col("event_type") === "purchase", "assistant")
+              .otherwise(lit("other")).as("role"),
+            concat(col("event_type"), lit("-"),
+              (col("event_id") % 100).cast("string")).as("txt"))
+        val pairs = graft.operators.Behavior.sftPairs(turns,
+          "user_id", "ts", "event_id", "role", "txt")
+        graft.operators.Packing.packSftWithMasks(pairs, budget = 512,
+            shards = 4, salt = "sft", idCol = "event_id")
+          .select(col("shard"), col("pack"), col("n_docs"),
+            col("n_tokens"), col("n_masked"),
+            array_join(transform(col("segments"), g => concat_ws(":",
+              g.getField("doc_id").cast("string"),
+              g.getField("tok_start").cast("string"),
+              g.getField("tok_end").cast("string"),
+              g.getField("mask").cast("string"))), ";").as("segs"))
+      },
+      Some("""WITH r AS (SELECT user_id, ts, event_id,
+             |    CASE WHEN event_type IN ('click', 'view') THEN 'user'
+             |      WHEN event_type = 'purchase' THEN 'assistant'
+             |      ELSE 'other' END AS role,
+             |    event_type || '-' || CAST(event_id % 100 AS VARCHAR)
+             |      AS txt
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |o AS (SELECT user_id, event_id, role, txt,
+             |    COALESCE(string_agg(role || ': ' || txt, chr(10)) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), '')
+             |      AS context
+             |  FROM r),
+             |cnt AS (SELECT event_id AS did,
+             |    len(list_filter(regexp_split_to_array(context, '\s+'),
+             |      x -> x <> '')) AS nc,
+             |    len(list_filter(regexp_split_to_array(txt, '\s+'),
+             |      x -> x <> '')) AS nr
+             |  FROM o WHERE role = 'assistant'),
+             |b AS (SELECT did, nc, nr, nc + nr AS nt,
+             |    CAST('0x' || substr(md5('sft|' || CAST(did AS VARCHAR)),
+             |      1, 8) AS BIGINT) % 4 AS shard,
+             |    md5('sft|' || CAST(did AS VARCHAR)) AS hk
+             |  FROM cnt),
+             |c AS (SELECT *, SUM(nt) OVER (PARTITION BY shard
+             |    ORDER BY hk, did ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM b),
+             |p AS (SELECT *, CAST(DENSE_RANK() OVER (PARTITION BY shard
+             |    ORDER BY (cum - nt) // 512) - 1 AS INT) AS pack
+             |  FROM c),
+             |q AS (SELECT *, COALESCE(SUM(nt) OVER (
+             |    PARTITION BY shard, pack ORDER BY hk, did
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS st
+             |  FROM p),
+             |seg AS (
+             |  SELECT shard, pack, did, st AS s0, st + nc AS e0,
+             |    'false' AS msk FROM q WHERE nc > 0
+             |  UNION ALL
+             |  SELECT shard, pack, did, st + nc, st + nt, 'true'
+             |  FROM q WHERE nr > 0),
+             |sa AS (SELECT shard, pack,
+             |    string_agg(CAST(did AS VARCHAR) || ':' ||
+             |      CAST(s0 AS VARCHAR) || ':' || CAST(e0 AS VARCHAR) ||
+             |      ':' || msk, ';' ORDER BY s0) AS segs
+             |  FROM seg GROUP BY 1, 2),
+             |pa AS (SELECT shard, pack,
+             |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(nr) AS BIGINT) AS n_masked
+             |  FROM q GROUP BY 1, 2)
+             |SELECT pa.shard, pa.pack, pa.n_docs, pa.n_tokens,
+             |  pa.n_masked, COALESCE(sa.segs, '') AS segs
+             |FROM pa LEFT JOIN sa ON sa.shard = pa.shard
+             |  AND sa.pack = pa.pack""".stripMargin)),
+
     // ---- X75: interpolated Kneser-Ney bigram LM (the KenLM default) -----
     // Trains on the even-doc half, scores EVERY doc — held-out docs
     // exercise the unseen-bigram discount, the unseen-context

@@ -69,4 +69,53 @@ class PackingSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       Packing.packSequences(docs, 512, 0, "pk")).getMessage.contains("shard"))
   }
+
+  test("packed SFT with loss-mask spans: spans tile each pack gaplessly " +
+      "in order, masks cover exactly the response tokens, empty sides " +
+      "omit their span, zero-token examples still count") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val pairs = Seq(
+      (1L, "user: hi there", "hello there my friend"),
+      (2L, "", "short answer"),             // first-turn: masked span only
+      (3L, "user: a b c", ""),              // empty response: unmasked only
+      (4L, "user: q w e r t y", "a1 a2 a3 a4"),
+      (5L, "", "")                          // zero tokens: a doc, no spans
+    ).toDF("doc_id", "context", "response")
+    val nc = Map(1L -> 3L, 2L -> 0L, 3L -> 4L, 4L -> 7L, 5L -> 0L)
+    val nr = Map(1L -> 4L, 2L -> 2L, 3L -> 0L, 4L -> 4L, 5L -> 0L)
+    val rows = Packing.packSftWithMasks(pairs, budget = 8, shards = 2,
+      salt = "sft").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === 5L,
+      "every example (even the zero-token one) lands in exactly one pack")
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum ===
+      (nc.values.sum + nr.values.sum))
+    assert(rows.map(_.getAs[Long]("n_masked")).sum === nr.values.sum,
+      "the masked total is exactly the response tokens")
+    rows.foreach { r =>
+      val segs = r.getAs[scala.collection.Seq[Row]]("segments")
+      // spans tile [0, n_tokens) gaplessly in sorted order
+      var pos = 0L
+      segs.foreach { s =>
+        assert(s.getAs[Long]("tok_start") === pos,
+          "each span starts where the previous ended")
+        assert(s.getAs[Long]("tok_end") > s.getAs[Long]("tok_start"),
+          "zero-length spans are omitted")
+        pos = s.getAs[Long]("tok_end")
+      }
+      assert(pos === r.getAs[Long]("n_tokens"), "spans cover the pack")
+      // per example: span lengths are the side's token counts, the
+      // unmasked context span precedes the masked response span
+      segs.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, ss) =>
+        val (m, u) = ss.partition(_.getAs[Boolean]("mask"))
+        assert(u.map(s => s.getAs[Long]("tok_end") -
+          s.getAs[Long]("tok_start")).sum === nc(id))
+        assert(m.map(s => s.getAs[Long]("tok_end") -
+          s.getAs[Long]("tok_start")).sum === nr(id))
+        for (us <- u; ms <- m)
+          assert(us.getAs[Long]("tok_end") === ms.getAs[Long]("tok_start"),
+            "context and response spans are contiguous, context first")
+      }
+    }
+  }
 }
