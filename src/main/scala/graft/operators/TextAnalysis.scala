@@ -1220,6 +1220,248 @@ object TextAnalysis {
         col("avg_nll"))
   }
 
+  /** Interpolated Kneser-Ney TRIGRAM LM — [[knBigramNll]]'s recursion
+    * extended one backoff rung, exactly as KenLM chains orders:
+    *
+    *   p(w|u,v) = max(c(uvw) − D₃, 0)/c(uv·)
+    *            + D₃·N1+(uv·)/c(uv·) · p_mid(w|v)
+    *
+    * where the MIDDLE rung is the bigram formula over CONTINUATION
+    * (type) counts — `cc(v,w) = N1+(·vw)`, the count of distinct
+    * left-contexts of the bigram, NOT its token count (the Kneser-Ney
+    * insight applied at every lower order):
+    *
+    *   p_mid(w|v) = max(cc(vw) − D₂, 0)/N1+(·v·)
+    *              + D₂·N1+(v·*)/N1+(·v·) · N1+(·w)/B
+    *
+    * Each rung's discount is its own Ney–Essen–Kneser estimate
+    * (`D₃ = n1₃/b₃` from trigram counts-of-counts, `D₂ = n1₂/b₂` from
+    * the continuation counts-of-counts; b floored at 1). The whole
+    * probability forms as ONE exact rational: with
+    * `num_mid = max(cc·b₂ − n1₂, 0)·B + n1₂·N1+(v·*)·N1+(·w)` and
+    * `den_mid = b₂·N1+(·v·)·B`,
+    *
+    *   num = max(c₃·b₃ − n1₃, 0)·den_mid + n1₃·N1+(uv·)·num_mid
+    *   den = b₃·c(uv·)·den_mid
+    *
+    * then libm once as `round(ln(num/den), 6)` per trigram. Pinned
+    * conventions (the q_x75 stances, one rung up): an unseen (u,v)
+    * CONTEXT backs off to p_mid (num = num_mid, den = den_mid) — a
+    * seen (u,v) guarantees v is a seen middle, so the rungs never
+    * skip; an unseen MIDDLE v falls to the continuation unigram
+    * (num = N1+(·w), den = B); num = 0 is OOV (lp null, counted,
+    * excluded from the average). Exactness proof carried by the spec:
+    * Σ_w num(w|u,v) = den for every seen context — each rung's
+    * interpolation mass telescopes (`Σ max(cc·b−n1,0) = b·cmid −
+    * nvm·n1` because every type count ≥ 1), so p(·|u,v) sums to
+    * EXACTLY 1 as rationals, not approximately as floats. Magnitude
+    * bound: den = b₃·c(uv)·b₂·N1+(·v·)·B is five count factors —
+    * DECIMAL(38,0) holds through ~1e7-type corpora per shard; the
+    * in-plan overflow raise (the [[knScoreCore]] stance) refuses
+    * silently-null products past it.
+    *
+    * Scale shape: training is three hash aggregations on the
+    * distinct-trigram relation (trigram counts → continuation counts →
+    * their context/continuation rollups) + a 1-row discount broadcast;
+    * scoring is five keyed joins against count relations (AQE
+    * broadcasts them while they fit) + one per-doc reduction. Returns
+    * `(doc_id, n_trigrams, n_oov, avg_nll)`. */
+  def knTrigramNll(train: DataFrame, target: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val tri = kn3Counts(train, textCol, idCol)
+    val cc = kn3MidCounts(tri)
+    knScore3Core(target, textCol, idCol, tri, kn3Ctx(tri), cc,
+      kn3MidCtx(cc), kn3Cont(cc), kn3Disc(tri, cc))
+  }
+
+  /** The KN-trigram training relations, factored for the in-job path
+    * and the persisted store ([[writeKn3Counts]]). */
+  private def kn3Counts(train: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    Par.spread(train.select(col(idCol).as("doc_id"),
+        tokens(lower(col(textCol))).as("toks")))
+      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c3"))
+      .withColumn("u", split(col("gram"), " ").getItem(0))
+      .withColumn("v", split(col("gram"), " ").getItem(1))
+      .withColumn("w", split(col("gram"), " ").getItem(2))
+  private def kn3Ctx(tri: DataFrame): DataFrame =
+    tri.groupBy(col("u"), col("v"))
+      .agg(sum(col("c3")).as("cuv"), count(lit(1)).as("nuv"))
+  /** Continuation (type) counts of each bigram as a trigram tail:
+    * `cc(v,w) = N1+(·vw)` — one row per (v,w) seen as positions 2–3. */
+  private def kn3MidCounts(tri: DataFrame): DataFrame =
+    tri.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cc"))
+  private def kn3MidCtx(cc: DataFrame): DataFrame =
+    cc.groupBy(col("v"))
+      .agg(sum(col("cc")).as("cmid"), count(lit(1)).as("nvm"))
+  private def kn3Cont(cc: DataFrame): DataFrame =
+    cc.groupBy(col("w")).agg(count(lit(1)).as("nw"))
+  private def kn3Disc(tri: DataFrame, cc: DataFrame): DataFrame =
+    tri.agg(
+      sum(when(col("c3") === 1, 1L).otherwise(0L)).as("n1_3"),
+      greatest(sum(when(col("c3") === 1, 1L).otherwise(0L)) +
+        lit(2L) * sum(when(col("c3") === 2, 1L).otherwise(0L)), lit(1L))
+        .as("b3"))
+    .crossJoin(cc.agg(
+      sum(when(col("cc") === 1, 1L).otherwise(0L)).as("n1_2"),
+      greatest(sum(when(col("cc") === 1, 1L).otherwise(0L)) +
+        lit(2L) * sum(when(col("cc") === 2, 1L).otherwise(0L)), lit(1L))
+        .as("b2"),
+      count(lit(1)).as("bt")))
+
+  /** Persist the KN-trigram model as exact-integer parquet — the
+    * [[writeKnCounts]] discipline one order up: the trigram counts and
+    * their four derived relations (uv contexts, (v,w) continuation
+    * counts, v middles, w continuations, 1-row discounts), all pure
+    * functions of `dir/trigrams`. */
+  def writeKn3Counts(train: DataFrame, textCol: String, dir: String,
+      idCol: String = "doc_id"): Unit = {
+    kn3Counts(train, textCol, idCol)
+      .write.mode("overwrite").parquet(s"$dir/trigrams")
+    val tri = train.sparkSession.read.parquet(s"$dir/trigrams")
+    kn3Ctx(tri).write.mode("overwrite").parquet(s"$dir/contexts")
+    kn3MidCounts(tri).write.mode("overwrite").parquet(s"$dir/midcounts")
+    val cc = train.sparkSession.read.parquet(s"$dir/midcounts")
+    kn3MidCtx(cc).write.mode("overwrite").parquet(s"$dir/middles")
+    kn3Cont(cc).write.mode("overwrite").parquet(s"$dir/continuations")
+    kn3Disc(tri, cc).write.mode("overwrite").parquet(s"$dir/disc")
+  }
+
+  /** Opt-out purge of a persisted KN-trigram model: the revoked texts'
+    * TRIGRAM contributions subtract from the base count relation
+    * ([[purgeKnCounts]]'s lossless-integer argument, same
+    * negative-count raise, same text-md5 tombstones); every derived
+    * relation — including the continuation-count rung — rebuilds from
+    * the post-purge trigrams, so the purged store is exactly the
+    * survivor-trained store. */
+  def purgeKn3Counts(spark: org.apache.spark.sql.SparkSession, dir: String,
+      purged: DataFrame, textCol: String = "text"): Unit = {
+    purged.select(md5(col(textCol)).as("h"))
+      .write.mode("append").parquet(s"$dir/tombstones")
+    val pt = Par.spread(purged.filter(col(textCol).isNotNull)
+        .select(tokens(lower(col(textCol))).as("toks")))
+      .select(explode(shingles(col("toks"), 3)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("__pc"))
+      .localCheckpoint(true)
+    graft.sources.Sinks.rewriteParquet(spark, s"$dir/trigrams", df =>
+      df.join(broadcast(pt), Seq("gram"), "left")
+        .select(col("gram"),
+          (col("c3") - coalesce(col("__pc"), lit(0L))).as("c3"),
+          col("u"), col("v"), col("w"))
+        .withColumn("c3", when(col("c3") < 0, raise_error(concat(
+            lit("purgeKn3Counts: trigram count for '"), col("gram"),
+            lit("' would go negative — the purge request claims a doc " +
+              "this store never absorbed"))))
+          .otherwise(col("c3")))
+        .filter(col("c3") > 0))
+    val tri = spark.read.parquet(s"$dir/trigrams")
+    graft.sources.Sinks.rewriteParquet(spark, s"$dir/contexts",
+      _ => kn3Ctx(tri))
+    graft.sources.Sinks.rewriteParquet(spark, s"$dir/midcounts",
+      _ => kn3MidCounts(tri))
+    val cc = spark.read.parquet(s"$dir/midcounts")
+    graft.sources.Sinks.rewriteParquet(spark, s"$dir/middles",
+      _ => kn3MidCtx(cc))
+    graft.sources.Sinks.rewriteParquet(spark, s"$dir/continuations",
+      _ => kn3Cont(cc))
+    graft.sources.Sinks.rewriteParquet(spark, s"$dir/disc",
+      _ => kn3Disc(tri, cc))
+  }
+
+  /** Score a batch against a PERSISTED KN-trigram model
+    * ([[writeKn3Counts]] output) — identical arithmetic to the in-job
+    * [[knTrigramNll]], so the registered store twin shares q_x84's
+    * oracle VERBATIM (the q_x79 equivalence-by-output-equality
+    * discipline). */
+  def knTrigramNllFromStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, target: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    knScore3Core(target, textCol, idCol,
+      spark.read.parquet(s"$dir/trigrams"),
+      spark.read.parquet(s"$dir/contexts"),
+      spark.read.parquet(s"$dir/midcounts"),
+      spark.read.parquet(s"$dir/middles"),
+      spark.read.parquet(s"$dir/continuations"),
+      spark.read.parquet(s"$dir/disc"))
+
+  /** Shared KN-trigram scoring tail — the [[knScoreCore]] shape with
+    * the two-rung rational. Exposed `private[graft]` at the rational
+    * level via [[kn3Rationals]] so the normalization spec can assert
+    * Σ_w num = den exactly. */
+  private def knScore3Core(target: DataFrame, textCol: String,
+      idCol: String, tri: DataFrame, ctx: DataFrame, cc: DataFrame,
+      mid: DataFrame, cont: DataFrame, disc: DataFrame): DataFrame = {
+    val scored = kn3Rationals(target, textCol, idCol, tri, ctx, cc, mid,
+      cont, disc)
+      .select(col("doc_id"),
+        when(col("__num") > 0,
+          round(log(col("__num").cast("double") /
+            col("__den").cast("double")), 6).cast("decimal(18,6)"))
+          .as("lp"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("lp").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("lp")).as("__s"),
+        sum(when(col("lp").isNotNull, 1L).otherwise(0L)).as("__n"))
+      .withColumn("__sm", (col("__s") * lit(-1000000L)).cast("long"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_oov"),
+        when(col("__n") > 0,
+          expr("(2 * __sm + __n) div (2 * __n)").cast("double")
+            / lit(1000000.0)).as("avg_nll"))
+    target.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        col("avg_nll"))
+  }
+
+  /** The per-trigram exact rational `(doc_id, gram, __num, __den)` —
+    * the spec's normalization anchor and [[knScore3Core]]'s input. */
+  private[graft] def kn3Rationals(target: DataFrame, textCol: String,
+      idCol: String, tri: DataFrame, ctx: DataFrame, cc: DataFrame,
+      mid: DataFrame, cont: DataFrame, disc: DataFrame): DataFrame = {
+    val bi = Par.spread(target.select(col(idCol).as("doc_id"),
+        tokens(lower(col(textCol))).as("toks")))
+      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("gram"))
+    bi
+      .join(tri.select(col("gram"), col("c3")), Seq("gram"), "left")
+      .withColumn("u", split(col("gram"), " ").getItem(0))
+      .withColumn("v", split(col("gram"), " ").getItem(1))
+      .withColumn("w", split(col("gram"), " ").getItem(2))
+      .join(ctx, Seq("u", "v"), "left")
+      .join(cc, Seq("v", "w"), "left")
+      .join(mid, Seq("v"), "left")
+      .join(cont, Seq("w"), "left")
+      .crossJoin(broadcast(disc))
+      // the middle rung's rational, shared by both upper branches
+      .withColumn("__num_mid", expr(
+        "greatest(CAST(coalesce(cc, 0) AS DECIMAL(38,0)) * b2 - n1_2, 0) " +
+          "* bt + CAST(n1_2 AS DECIMAL(38,0)) * nvm * coalesce(nw, 0)"))
+      .withColumn("__den_mid", expr("CAST(b2 AS DECIMAL(38,0)) * cmid * bt"))
+      .withColumn("__num",
+        when(col("cuv").isNotNull, expr(
+          "greatest(CAST(coalesce(c3, 0) AS DECIMAL(38,0)) * b3 - n1_3, 0) " +
+            "* __den_mid + CAST(n1_3 AS DECIMAL(38,0)) * nuv * __num_mid"))
+        .when(col("cmid").isNotNull, col("__num_mid"))
+        .otherwise(expr("CAST(coalesce(nw, 0) AS DECIMAL(38,0))")))
+      .withColumn("__den",
+        when(col("cuv").isNotNull,
+          expr("CAST(b3 AS DECIMAL(38,0)) * cuv * __den_mid"))
+        .when(col("cmid").isNotNull, col("__den_mid"))
+        .otherwise(expr("CAST(bt AS DECIMAL(38,0))")))
+      // overflow guard — the knScoreCore stance: every input is non-null
+      // by construction inside its branch, so a null product can only be
+      // a DECIMAL(38,0) overflow under non-ANSI arithmetic
+      .withColumn("__num", when(col("__num").isNull || col("__den").isNull,
+          raise_error(concat(lit("knScore3Core: exact-rational product " +
+            "for trigram '"), col("gram"), lit("' overflowed " +
+            "DECIMAL(38,0) — five count factors exceed the ~1e7-type " +
+            "bound; shard the corpus before scoring"))))
+        .otherwise(col("__num")))
+      .select(col("doc_id"), col("gram"), col("__num"), col("__den"))
+  }
+
   /** Trigram scoring with STUPID BACKOFF (Brants et al. 2007, "Large
     * Language Models in Machine Translation") — the large-corpus LM
     * shape beyond the bigram gate: no discounting, no normalization,

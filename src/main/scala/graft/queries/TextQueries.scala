@@ -2310,6 +2310,36 @@ object TextQueries extends graft.QueryPack {
       },
       Some(duckKnLm)),
 
+    // ---- X84: interpolated Kneser-Ney TRIGRAM LM --------------------------
+    // q_x75's recursion one rung up (the KenLM order chain): trigram ->
+    // continuation-count bigram -> continuation unigram, each rung with
+    // its own counts-of-counts discount, the whole probability ONE
+    // exact rational. Same two-corpus shape (train on the even half,
+    // score every doc) so unseen contexts/middles/OOV all fire on real
+    // data. The oracle unrolls the full recursion as CTEs.
+    Q("q_x84_kn3_lm",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.knTrigramNll(docs.filter(col("doc_id") % 2 === 0),
+          docs, "text", "doc_id")
+      },
+      Some(duckKn3)),
+
+    // ---- X86: KN-trigram scoring from the PERSISTED model store ----------
+    // writeKn3Counts persists the six exact-integer relations (incl. the
+    // continuation-count rung); the store-scored batch is byte-identical
+    // to the in-job chain, so this query shares q_x84's oracle VERBATIM
+    // (the q_x79 store-twin discipline).
+    Q("q_x86_kn3_store",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val store = TempDirs.scratch("graft-kn3-store")
+        TextAnalysis.writeKn3Counts(
+          docs.filter(col("doc_id") % 2 === 0), "text", store)
+        TextAnalysis.knTrigramNllFromStore(s, store, docs, "text", "doc_id")
+      },
+      Some(duckKn3)),
+
     // ---- X74: fill-in-the-middle transformation (code-corpus prep) ------
     // Bavarian et al. PSM rearrangement at a 50% deterministic rate:
     // md5-seeded selection + two md5-seeded character cuts, sentinels
@@ -2607,6 +2637,88 @@ object TextQueries extends graft.QueryPack {
              |  FROM sc GROUP BY 1)
              |SELECT d.doc_id,
              |  COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+             |  COALESCE(pd.n_oov, 0) AS n_oov, pd.avg_nll
+             |FROM documents d LEFT JOIN pd USING (doc_id)""").stripMargin
+
+  /** q_x84's oracle (the full KN-trigram recursion unrolled: trigram
+    * counts → continuation counts → rollups → the two-rung rational) —
+    * shared VERBATIM by the store-scored q_x86. */
+  private val duckKn3: String =
+    ("""WITH t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |      x -> x <> '') AS toks
+             |  FROM documents),
+             |tg AS (SELECT doc_id,
+             |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram,
+             |    toks[i] AS u, toks[i+1] AS v, toks[i+2] AS w
+             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+             |        FROM t WHERE len(toks) >= 3)),
+             |tc AS (SELECT gram, COUNT(*) AS c3,
+             |    MIN(u) AS u, MIN(v) AS v, MIN(w) AS w
+             |  FROM tg WHERE doc_id % 2 = 0 GROUP BY 1),
+             |ctx AS (SELECT u, v, CAST(SUM(c3) AS BIGINT) AS cuv,
+             |    CAST(COUNT(*) AS BIGINT) AS nuv FROM tc GROUP BY 1, 2),
+             |ccr AS (SELECT v, w, CAST(COUNT(*) AS BIGINT) AS cc
+             |  FROM tc GROUP BY 1, 2),
+             |mcr AS (SELECT v, CAST(SUM(cc) AS BIGINT) AS cmid,
+             |    CAST(COUNT(*) AS BIGINT) AS nvm FROM ccr GROUP BY 1),
+             |ctr AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS nw
+             |  FROM ccr GROUP BY 1),
+             |d3 AS (SELECT
+             |    CAST(COUNT(CASE WHEN c3 = 1 THEN 1 END) AS BIGINT) AS n1_3,
+             |    GREATEST(COUNT(CASE WHEN c3 = 1 THEN 1 END)
+             |      + 2 * COUNT(CASE WHEN c3 = 2 THEN 1 END), 1) AS b3
+             |  FROM tc),
+             |d2 AS (SELECT
+             |    CAST(COUNT(CASE WHEN cc = 1 THEN 1 END) AS BIGINT) AS n1_2,
+             |    GREATEST(COUNT(CASE WHEN cc = 1 THEN 1 END)
+             |      + 2 * COUNT(CASE WHEN cc = 2 THEN 1 END), 1) AS b2,
+             |    CAST(COUNT(*) AS BIGINT) AS bt
+             |  FROM ccr),
+             |sc AS (SELECT s.doc_id,
+             |    CASE WHEN nm > 0 THEN
+             |      CAST(ROUND(ln(CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE)),
+             |        6) AS DECIMAL(18,6)) END AS lp
+             |  FROM (SELECT tg.doc_id,
+             |      CASE WHEN ctx.cuv IS NOT NULL THEN
+             |        GREATEST(CAST(COALESCE(tc.c3, 0) AS HUGEINT) * da.b3
+             |            - da.n1_3, 0)
+             |          * (CAST(db.b2 AS HUGEINT) * mcr.cmid * db.bt)
+             |        + CAST(da.n1_3 AS HUGEINT) * ctx.nuv
+             |          * (GREATEST(CAST(COALESCE(ccr.cc, 0) AS HUGEINT)
+             |              * db.b2 - db.n1_2, 0) * db.bt
+             |            + CAST(db.n1_2 AS HUGEINT) * mcr.nvm
+             |              * COALESCE(ctr.nw, 0))
+             |      WHEN mcr.cmid IS NOT NULL THEN
+             |        GREATEST(CAST(COALESCE(ccr.cc, 0) AS HUGEINT) * db.b2
+             |            - db.n1_2, 0) * db.bt
+             |        + CAST(db.n1_2 AS HUGEINT) * mcr.nvm
+             |          * COALESCE(ctr.nw, 0)
+             |      ELSE CAST(COALESCE(ctr.nw, 0) AS HUGEINT) END AS nm,
+             |      CASE WHEN ctx.cuv IS NOT NULL THEN
+             |        CAST(da.b3 AS HUGEINT) * ctx.cuv
+             |          * (CAST(db.b2 AS HUGEINT) * mcr.cmid * db.bt)
+             |      WHEN mcr.cmid IS NOT NULL THEN
+             |        CAST(db.b2 AS HUGEINT) * mcr.cmid * db.bt
+             |      ELSE CAST(db.bt AS HUGEINT) END AS dn
+             |    FROM tg
+             |    LEFT JOIN tc USING (gram)
+             |    LEFT JOIN ctx ON ctx.u = tg.u AND ctx.v = tg.v
+             |    LEFT JOIN ccr ON ccr.v = tg.v AND ccr.w = tg.w
+             |    LEFT JOIN mcr ON mcr.v = tg.v
+             |    LEFT JOIN ctr ON ctr.w = tg.w
+             |    CROSS JOIN d3 da CROSS JOIN d2 db) s),
+             |pd AS (SELECT doc_id,
+             |    CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             |    CAST(COUNT(CASE WHEN lp IS NULL THEN 1 END) AS BIGINT)
+             |      AS n_oov,
+             |    CASE WHEN COUNT(lp) > 0 THEN
+             |      CAST((2 * CAST(-SUM(lp) * 1000000 AS BIGINT)
+             |        + COUNT(lp)) // (2 * COUNT(lp)) AS DOUBLE) / 1000000.0
+             |      END AS avg_nll
+             |  FROM sc GROUP BY 1)
+             |SELECT d.doc_id,
+             |  COALESCE(pd.n_trigrams, 0) AS n_trigrams,
              |  COALESCE(pd.n_oov, 0) AS n_oov, pd.avg_nll
              |FROM documents d LEFT JOIN pd USING (doc_id)""").stripMargin
 

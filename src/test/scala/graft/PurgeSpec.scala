@@ -237,6 +237,26 @@ class PurgeSpec extends AnyFunSuite {
     val kb = TextAnalysis.knBigramNllFromStore(spark, s"$root/kn_fresh",
       target, "text", "doc_id")
     assert(ka.exceptAll(kb).isEmpty && kb.exceptAll(ka).isEmpty)
+    // ---- KN-trigram store: the continuation rung rebuilds too ----
+    TextAnalysis.writeKn3Counts(all, "text", s"$root/kn3")
+    TextAnalysis.purgeKn3Counts(spark, s"$root/kn3",
+      Seq(d1).toDF("doc_id", "text"))
+    TextAnalysis.writeKn3Counts(survivors, "text", s"$root/kn3_fresh")
+    for (rel <- Seq("trigrams", "contexts", "midcounts", "middles",
+        "continuations", "disc")) {
+      val a = spark.read.parquet(s"$root/kn3/$rel")
+      val b = spark.read.parquet(s"$root/kn3_fresh/$rel")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"purged kn3/$rel must equal the survivor-trained relation")
+    }
+    val t3a = TextAnalysis.knTrigramNllFromStore(spark, s"$root/kn3",
+      target, "text", "doc_id")
+    val t3b = TextAnalysis.knTrigramNllFromStore(spark, s"$root/kn3_fresh",
+      target, "text", "doc_id")
+    assert(t3a.exceptAll(t3b).isEmpty && t3b.exceptAll(t3a).isEmpty)
+    val ex3 = intercept[Exception](TextAnalysis.purgeKn3Counts(spark,
+      s"$root/kn3", Seq((9L, tB), (9L, tB)).toDF("doc_id", "text")))
+    assert(ex3.getMessage.contains("never absorbed"))
     // tombstones carry the revoked text hashes
     assert(spark.read.parquet(s"$root/kn/tombstones").count() === 1L)
     // a request claiming MORE occurrences than the store holds (here:

@@ -504,6 +504,79 @@ class TextOpsSpec extends AnyFunSuite {
       "hand rationals must exhaust the probability mass")
   }
 
+  test("kneser-ney trigram LM: hand rationals, every backoff rung " +
+      "(unseen trigram / context / middle), OOV nulls — and " +
+      "p(.|u,v) sums to EXACTLY 1 as rationals") {
+    import spark.implicits._
+    // train "a b c a b c a b d": c3(abc)=2, c3(bca)=2, c3(cab)=2,
+    // c3(abd)=1 -> n1_3=1, n2_3=3, b3=7. cc types (b,c),(c,a),(a,b),
+    // (b,d) all 1 -> n1_2=4, b2=4, bt=4. ctx (a,b): cuv=3, nuv=2;
+    // mid b: cmid=2, nvm=2; nw(c)=nw(a)=nw(b)=nw(d)=1.
+    val train = Seq((0L, "a b c a b c a b d")).toDF("doc_id", "text")
+    val target = Seq(
+      (1L, "a b c"),   // seen trigram: num=432, den=672
+      (2L, "a b a"),   // unseen trigram, seen context: D-mass only 16/672
+      (3L, "z b c"),   // unseen (z,b) context: p_mid(c|b) = 8/32
+      (4L, "z q c"),   // unseen middle q: continuation unigram 1/4
+      (5L, "a b z"),   // z never a continuation: OOV
+      (6L, "a b")      // no trigrams at all
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.knTrigramNll(train, target, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    def lp(num: Long, den: Long): BigDecimal =
+      BigDecimal(math.log(num.toDouble / den.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def avg(lps: Seq[BigDecimal]): Double = {
+      val sm = (-lps.sum * 1000000).toLongExact
+      val n = lps.size
+      ((2 * sm + n) / (2 * n)).toDouble / 1e6
+    }
+    // num(c|a,b) = max(2*7-1,0)*32 + 1*2*num_mid(b,c)=8 -> 432; den=7*3*32
+    assert(out(1L) === ((1L, 0L, Some(avg(Seq(lp(432, 672)))))))
+    assert(out(2L) === ((1L, 0L, Some(avg(Seq(lp(16, 672)))))),
+      "an unseen trigram under a seen context keeps only discount mass")
+    assert(out(3L) === ((1L, 0L, Some(avg(Seq(lp(8, 32)))))),
+      "an unseen context backs off to the continuation-count bigram rung")
+    assert(out(4L) === ((1L, 0L, Some(avg(Seq(lp(1, 4)))))),
+      "an unseen middle falls to the continuation unigram")
+    assert(out(5L) === ((1L, 1L, None)),
+      "a never-continues word is OOV: null score, counted")
+    assert(out(6L) === ((0L, 0L, None)))
+    // normalization, exact: for the seen context (a,b), over the vocab
+    // {a,b,c,d} the per-word rational numerators must sum to the
+    // (shared) denominator — each rung's interpolation mass telescopes
+    val store = java.nio.file.Files
+      .createTempDirectory("kn3-norm").toString
+    TextAnalysis.writeKn3Counts(train, "text", store)
+    val sp = spark
+    val probes = Seq("a", "b", "c", "d").zipWithIndex
+      .map { case (w, i) => (i.toLong, s"a b $w") }.toDF("doc_id", "text")
+    val rats = TextAnalysis.kn3Rationals(probes, "text", "doc_id",
+        sp.read.parquet(s"$store/trigrams"),
+        sp.read.parquet(s"$store/contexts"),
+        sp.read.parquet(s"$store/midcounts"),
+        sp.read.parquet(s"$store/middles"),
+        sp.read.parquet(s"$store/continuations"),
+        sp.read.parquet(s"$store/disc"))
+      .collect().map(r => (BigInt(r.getDecimal(2).toBigInteger),
+        BigInt(r.getDecimal(3).toBigInteger)))
+    assert(rats.map(_._2).distinct.size === 1,
+      "one context, one denominator")
+    assert(rats.map(_._1).sum === rats.head._2,
+      "p(.|a,b) must sum to exactly 1: sum of numerators = denominator")
+    // (432 + 208 + 16 + 16 = 672 by hand)
+    assert(rats.map(_._1).sorted === Seq(BigInt(16), BigInt(16),
+      BigInt(208), BigInt(432)))
+    // store twin: byte-identical scoring through the persisted model
+    val viaStore = TextAnalysis.knTrigramNllFromStore(sp, store,
+      target, "text", "doc_id")
+    val inJob = TextAnalysis.knTrigramNll(train, target, "text", "doc_id")
+    assert(viaStore.exceptAll(inJob).isEmpty &&
+      inJob.exceptAll(viaStore).isEmpty,
+      "the persisted-model path must score byte-identically")
+  }
+
   test("fim transform: PSM spans reconstruct the document, selection is " +
       "salted and exact-rate, unselected and null docs pass through") {
     import spark.implicits._
