@@ -865,6 +865,82 @@ object TextAnalysis {
         x => decodePart(x)), ""))
   }
 
+  /** Main-content extraction (jusText/trafilatura-style BLOCK gating) —
+    * the crawl-chain stage [[stripHtml]] deliberately leaves to a
+    * downstream pass: real pipelines don't gate pages, they gate
+    * BLOCKS. The page splits on block-level tags (p/div/headings/list/
+    * table/nav/header/footer/aside/...), each block's text extracts
+    * through the [[stripHtml]] chain (script/style/comment drop, tag
+    * strip, entity decode, whitespace collapse), and three map-only
+    * per-block gates decide survival — the [[gopherRules]] shape one
+    * level down:
+    *
+    *   - length: ≥ `minWords` words (navigation crumbs and headings
+    *     are short);
+    *   - link density: anchor-text chars / block chars ≤ `maxLinkPpm`
+    *     (half-up ppm; a nav bar is nearly ALL anchor text — the
+    *     jusText signal);
+    *   - stopword density: stopword tokens / tokens ≥ `minStopPpm`
+    *     (function words mark running prose; link farms and code have
+    *     few — the other jusText signal; 0 disables).
+    *
+    * Anchor text is the tag-stripped concatenation of `<a>…</a>`
+    * inner HTML (single-space-joined, the documented contract).
+    * Zero-text blocks (pure markup, scripts) are structural noise and
+    * never counted. `main_text` is the kept blocks' text joined by
+    * newlines in DOCUMENT ORDER; docs whose every block fails — or
+    * with null html — surface with `n_blocks`/`n_kept` 0 and empty
+    * text (the observability stance: a page reduced to nothing is a
+    * signal, not a dropped row). Map-only per block + one doc-keyed
+    * aggregation — no window, no UDF, the 100 TB crawl shape. Returns
+    * `(doc_id, n_blocks, n_kept, n_words_kept, main_text)`. */
+  def mainContent(df: DataFrame, htmlCol: String, idCol: String,
+      minWords: Int = 5, maxLinkPpm: Long = 400000L,
+      minStopPpm: Long = 0L): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    val blockSplit = "(?i)</?(?:p|div|h[1-6]|ul|ol|li|table|thead|tbody|" +
+      "tr|td|th|section|article|header|footer|nav|aside|blockquote|br|" +
+      "hr|form|main)(?:\\s[^>]*)?>"
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val blocks = df.filter(col(htmlCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(htmlCol), blockSplit)))
+      .select(col("doc_id"), col("pos").as("block_idx"),
+        stripHtml(col("col")).as("btext"),
+        stripHtml(concat_ws(" ", regexp_extract_all(col("col"),
+          lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)))).as("atext"))
+      .filter(length(col("btext")) > 0)
+    val scored = blocks
+      .withColumn("toks", tokens(lower(col("btext"))))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("la", length(col("atext")).cast("long"))
+      .withColumn("lb", length(col("btext")).cast("long"))
+      .withColumn("link_ppm",
+        expr("(2 * la * 1000000 + lb) div (2 * lb)"))
+      .withColumn("n_stop", size(filter(col("toks"),
+        w => w.isInCollection(stops))).cast("long"))
+      .withColumn("stop_ppm", when(col("n_words") > 0,
+        expr("(2 * n_stop * 1000000 + n_words) div (2 * n_words)"))
+        .otherwise(lit(0L)))
+      .withColumn("kept",
+        col("n_words") >= minWords && col("link_ppm") <= maxLinkPpm &&
+          col("stop_ppm") >= minStopPpm)
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_words")).otherwise(0L))
+          .as("n_words_kept"),
+        array_join(transform(array_sort(collect_list(
+            when(col("kept"), struct(col("block_idx"), col("btext"))))),
+          s => s.getField("btext")), "\n").as("main_text"))
+    df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_words_kept"), lit(0L)).as("n_words_kept"),
+        coalesce(col("main_text"), lit("")).as("main_text"))
+  }
+
   /** Min-K% Prob membership gate (Shi et al. 2023, "Detecting
     * Pretraining Data from Large Language Models"): score a document by
     * the MEAN of its k% lowest token log-probs under a reference LM —

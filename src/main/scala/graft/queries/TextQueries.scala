@@ -815,6 +815,93 @@ object TextQueries extends graft.QueryPack {
              |    '\s+', ' ', 'g')) AS clean
              |FROM n""".stripMargin)),
 
+    // ---- X85: main-content extraction (jusText-style block gating) ------
+    // Pages constructed engine-independently around documents.text: a
+    // link-pure nav, a short heading, the prose block, a mixed-link
+    // aside, a script (strips to nothing — never counted), a link-heavy
+    // footer. Gates: >= 5 words, link density <= 400000 ppm, stopword
+    // density >= 10000 ppm (docs with no stopwords at all lose their
+    // prose too — a real outcome, both engines agree). Fixture is
+    // entity-free by construction (entity decode is q_x62's gate), so
+    // the oracle replays the strip chain without the numeric-ref CTE.
+    Q("q_x85_main_content",
+      (s, d) => {
+        val html = concat(
+          lit("<html><body><nav><a href=\"/\">home</a> " +
+            "<a href=\"/a\">about</a> <a href=\"/c\">contact</a></nav>" +
+            "<h1>doc "),
+          col("doc_id"),
+          lit("</h1><p>"), col("text"),
+          lit("</p><aside>related <a href=\"/x\">links</a> here</aside>" +
+            "<script>var x = 1;</script><footer>copyright 2020 " +
+            "<a href=\"/p\">privacy</a> <a href=\"/t\">terms</a>" +
+            "</footer></body></html>"))
+        TextAnalysis.mainContent(
+          Tables.documents(s, d).select(col("doc_id"), html.as("html")),
+          "html", "doc_id",
+          minWords = 5, maxLinkPpm = 400000L, minStopPpm = 10000L)
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |    '<html><body><nav><a href="/">home</a> ' ||
+             |    '<a href="/a">about</a> <a href="/c">contact</a></nav>' ||
+             |    '<h1>doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+             |    text ||
+             |    '</p><aside>related <a href="/x">links</a> here</aside>' ||
+             |    '<script>var x = 1;</script><footer>copyright 2020 ' ||
+             |    '<a href="/p">privacy</a> <a href="/t">terms</a>' ||
+             |    '</footer></body></html>' AS html
+             |  FROM documents),
+             |b AS (SELECT doc_id, unnest(bs) AS raw,
+             |    unnest(range(1, len(bs) + 1)) AS bi
+             |  FROM (SELECT doc_id, regexp_split_to_array(html,
+             |      '(?i)</?(?:p|div|h[1-6]|ul|ol|li|table|thead|tbody|' ||
+             |      'tr|td|th|section|article|header|footer|nav|aside|' ||
+             |      'blockquote|br|hr|form|main)(?:\s[^>]*)?>') AS bs
+             |    FROM h WHERE html IS NOT NULL)),
+             |s AS (SELECT doc_id, bi,
+             |    trim(regexp_replace(regexp_replace(regexp_replace(
+             |      regexp_replace(regexp_replace(raw,
+             |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             |        '(?s)<!--.*?-->', ' ', 'g'),
+             |        '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS btext,
+             |    trim(regexp_replace(regexp_replace(COALESCE(
+             |      array_to_string(regexp_extract_all(raw,
+             |        '(?is)<a\b[^>]*>(.*?)</a>', 1), ' '), ''),
+             |      '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS atext
+             |  FROM b),
+             |g AS (SELECT doc_id, bi, btext,
+             |    len(list_filter(regexp_split_to_array(lower(btext),
+             |      '\s+'), x -> x <> '')) AS nw,
+             |    CAST(length(atext) AS BIGINT) AS la,
+             |    CAST(length(btext) AS BIGINT) AS lb,
+             |    len(list_filter(regexp_split_to_array(lower(btext),
+             |      '\s+'), x -> x IN ('the', 'be', 'to', 'of', 'and',
+             |      'that', 'have', 'with'))) AS ns
+             |  FROM s WHERE length(btext) > 0),
+             |k AS (SELECT doc_id, bi, btext, nw,
+             |    (2 * la * 1000000 + lb) // (2 * lb) AS link_ppm,
+             |    CASE WHEN nw > 0 THEN (2 * ns * 1000000 + nw) // (2 * nw)
+             |      ELSE 0 END AS stop_ppm
+             |  FROM g),
+             |f AS (SELECT doc_id, bi, btext, nw,
+             |    (nw >= 5 AND link_ppm <= 400000 AND stop_ppm >= 10000)
+             |      AS kept
+             |  FROM k),
+             |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             |    CAST(COUNT(CASE WHEN kept THEN 1 END) AS BIGINT)
+             |      AS n_kept,
+             |    CAST(SUM(CASE WHEN kept THEN nw ELSE 0 END) AS BIGINT)
+             |      AS n_words_kept,
+             |    COALESCE(string_agg(CASE WHEN kept THEN btext END,
+             |      chr(10) ORDER BY bi), '') AS main_text
+             |  FROM f GROUP BY 1)
+             |SELECT d.doc_id, COALESCE(a.n_blocks, 0) AS n_blocks,
+             |  COALESCE(a.n_kept, 0) AS n_kept,
+             |  COALESCE(a.n_words_kept, 0) AS n_words_kept,
+             |  COALESCE(a.main_text, '') AS main_text
+             |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
     // ---- X63: host-level quality gate (RefinedWeb whole-host drop) ------
     // URLs constructed engine-independently (3 hosts per source, an
     // uppercase authority + :443 port to exercise normalization, and

@@ -504,6 +504,59 @@ class TextOpsSpec extends AnyFunSuite {
       "hand rationals must exhaust the probability mass")
   }
 
+  test("main-content extraction: nav/footer/aside boilerplate drops on " +
+      "link density and length, prose survives, scripts vanish, " +
+      "stopword gate fires, null html anchors an empty row") {
+    import spark.implicits._
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "the fox rests with the dog in the shade of an old tree"
+    val linkfarm = "click here best deals cheap prices buy now " +
+      "top offers great savings huge discounts limited time"
+    val html =
+      "<html><body>" +
+      "<nav><a href=\"/\">home</a> <a href=\"/a\">about</a> " +
+        "<a href=\"/c\">contact</a></nav>" +
+      "<h1>page title</h1>" +
+      s"<p>$prose</p>" +
+      s"<div>$linkfarm</div>" +                // long but zero stopwords
+      "<aside>related <a href=\"/x\">links</a> here</aside>" +
+      "<script>var x = 1;</script>" +
+      "<footer>copyright 2020 <a href=\"/p\">privacy</a> " +
+        "<a href=\"/t\">terms</a></footer>" +
+      "</body></html>"
+    val rows = Seq((1L, html), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "html")
+    val out = TextAnalysis.mainContent(rows, "html", "doc_id",
+        minWords = 5, maxLinkPpm = 400000L, minStopPpm = 100000L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val p = out(1L)
+    assert(p.getAs[String]("main_text") === prose,
+      "exactly the prose block survives — nav, title, link farm, " +
+        "aside, script, footer all gate out")
+    assert(p.getAs[Long]("n_kept") === 1L)
+    // the script block strips to zero text and is never even counted:
+    // nav, h1, prose, linkfarm, aside, footer = 6 non-empty blocks
+    assert(p.getAs[Long]("n_blocks") === 6L)
+    assert(p.getAs[Long]("n_words_kept") ===
+      prose.split("\\s+").length.toLong)
+    assert(out(2L).getAs[Long]("n_blocks") === 0L &&
+      out(2L).getAs[String]("main_text") === "",
+      "null html anchors an empty row, not a dropped one")
+    // gate isolation: with the stopword gate off, the link farm passes
+    // (long enough, no links) — proving it was the stopword rule
+    val loose = TextAnalysis.mainContent(rows, "html", "doc_id",
+        minWords = 5, maxLinkPpm = 400000L, minStopPpm = 0L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(loose(1L).getAs[String]("main_text") ===
+      prose + "\n" + linkfarm)
+    // and with a permissive link threshold the nav comes back too
+    val navIn = TextAnalysis.mainContent(rows, "html", "doc_id",
+        minWords = 2, maxLinkPpm = 1000000L, minStopPpm = 0L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(navIn(1L).getAs[String]("main_text").startsWith(
+      "home about contact"), "the nav block fails on density, not parse")
+  }
+
   test("kneser-ney trigram LM: hand rationals, every backoff rung " +
       "(unseen trigram / context / middle), OOV nulls — and " +
       "p(.|u,v) sums to EXACTLY 1 as rationals") {
