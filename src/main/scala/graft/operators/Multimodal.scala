@@ -1099,6 +1099,58 @@ object Multimodal {
           .as("mismatched"))
   }
 
+  /** IVF-blocked mining candidates for [[pairAlignmentWith]] — the
+    * scale-grade candidate generator the fixed-plane LSH blocking is
+    * not (the committed `pairmine` probe: fixed planes are a constant-
+    * factor cut of a still-quadratic relation; IVF list size tracks
+    * corpus/centroids, so co-list candidate work stays linear when
+    * centroid count grows with the corpus — the [[Similarity.ivfTopK]]
+    * economics applied to pair mining). TEXT sides index into one
+    * inverted list each ([[Similarity.assignToCentroids]] against the
+    * first-`numCentroids` text centroids); each IMAGE probes its
+    * `nProbe` nearest lists (the probe-selection shape of
+    * [[Similarity.ivfTopK]]: broadcast centroids, map-side scoring, a
+    * bounded top-nProbe — the query vector never rides the probe
+    * shuffle); candidates are the probed lists' texts via one KEYED
+    * equi-join on centroid_id. Candidate recall bounds mining recall
+    * (the standard ANN trade): raise `nProbe` toward `numCentroids`
+    * for recall, lower it for cost — the registered q_m21 pins 100%
+    * recall on its fixture by sharing q_m18's brute-force oracle, so a
+    * recall miss is a red correctness row, not a silent quality leak.
+    * Returns `(query_id, cand_id)`. */
+  def ivfPairCandidates(pairs: DataFrame, idCol: String, imgCol: String,
+      txtCol: String, numCentroids: Int, nProbe: Int): DataFrame = {
+    require(numCentroids >= 1, s"numCentroids must be >= 1, got $numCentroids")
+    require(nProbe >= 1 && nProbe <= numCentroids,
+      s"nProbe must be in [1, numCentroids], got $nProbe")
+    val sp = pairs.sparkSession
+    def nrm(c: org.apache.spark.sql.Column) =
+      sqrt(Similarity.nativeDot(sp, c, c))
+    val txts = pairs.filter(col(txtCol).isNotNull)
+      .select(col(idCol).as("vec_id"),
+        col(txtCol).cast("array<float>").as("embedding"))
+    val cents = Similarity.firstNCentroids(txts, numCentroids,
+      "vec_id", "embedding")
+    val lists = Similarity.assignToCentroids(txts, cents,
+        "vec_id", "embedding")
+      .select(col("vec_id").as("cand_id"), col("centroid_id"))
+    val centsN = broadcast(cents.select(col("centroid_id"), col("cv"),
+      nrm(col("cv")).as("cn")))
+    val probeScores = pairs.filter(col(imgCol).isNotNull)
+      .select(col(idCol).as("query_id"),
+        col(imgCol).cast("array<float>").as("qv"))
+      .withColumn("qn", nrm(col("qv")))
+      .crossJoin(centsN)
+      .select(col("query_id"), col("centroid_id"),
+        round(Similarity.nativeDot(sp, col("qv"), col("cv"))
+          / (col("qn") * col("cn")), 6).as("cscore"))
+    Similarity.perQueryTopK(probeScores, nProbe,
+        idName = "centroid_id", scoreName = "cscore")
+      .select(col("query_id"), col("centroid_id"))
+      .join(lists, Seq("centroid_id"))
+      .select(col("query_id"), col("cand_id"))
+  }
+
   /** Per-source alignment-rate audit over [[pairAlignment]] verdicts —
     * the [[Profile.gateParity]] four-fifths shape applied to the
     * cross-modal gate: a source whose pairs align at a fraction of the

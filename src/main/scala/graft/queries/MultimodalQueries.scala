@@ -762,6 +762,59 @@ object MultimodalQueries extends graft.QueryPack {
               |FROM ownm o LEFT JOIN best b ON b.qid = o.pid"""
         .stripMargin)),
 
+    // ---- M21: pair mining from IVF-list candidates (the scale seam) -----
+    // pairAlignmentWith fed by ivfPairCandidates — the full-corpus
+    // candidate generator (SCALE.md's pairmine caveat answered). The
+    // fixture plants cluster structure (dimension pid % 8 overwritten
+    // with 100.0 on BOTH sides) so IVF recall is PROVABLE: within-
+    // cluster cosine ~0.998 dwarfs cross-cluster ~0.01, the first-8
+    // text centroids land one per cluster, and every image's true best
+    // text sits in its own probed list. The oracle is q_m18's BRUTE-
+    // FORCE mining chain over the planted vectors — it knows nothing
+    // of IVF, so a recall miss is a red hash, not a silent quality
+    // leak (the q_d8 shared-oracle discipline).
+    Q("q_m21_pair_alignment_ivf",
+      (s, d) => {
+        val base = embPairs(s, d)
+        def plant(v: org.apache.spark.sql.Column) =
+          transform(v, (e, i) =>
+            when(i === col("pair_id") % 8, lit(100.0f)).otherwise(e))
+        val pl = base.select(col("pair_id"), col("source"),
+          plant(col("img_emb")).as("img_emb"),
+          plant(col("txt_emb")).as("txt_emb"))
+        val cands = Multimodal.ivfPairCandidates(pl, "pair_id",
+            "img_emb", "txt_emb", numCentroids = 8, nProbe = 2)
+          .filter(col("query_id") % 2 === 0)
+        Multimodal.pairAlignmentWith(pl, "pair_id", "source",
+          "img_emb", "txt_emb", tauMicros = 100000L, candidates = cands)
+      },
+      Some(s"""WITH $duckPairCosPlanted,
+              |xs AS (
+              |  SELECT a.pid AS qid, b.pid AS cid,
+              |         SUM(a.e * b.e) AS dot
+              |  FROM ix a JOIN tx b ON b.i = a.i
+              |  WHERE a.pid % 2 = 0 AND b.pid <> a.pid
+              |  GROUP BY 1, 2),
+              |altm AS (
+              |  SELECT c.qid, c.cid,
+              |    CAST(ROUND(ROUND(c.dot / (nq.nrm * nc.nrm), 6) * 1e6)
+              |      AS BIGINT) AS am
+              |  FROM xs c
+              |  JOIN inorm nq ON nq.pid = c.qid
+              |  JOIN tnorm nc ON nc.pid = c.cid),
+              |best AS (
+              |  SELECT qid, cid, am FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY qid ORDER BY am DESC, cid) AS rn
+              |    FROM altm) WHERE rn = 1)
+              |SELECT o.pid AS pair_id,
+              |  's' || CAST(o.pid % 4 AS VARCHAR) AS source,
+              |  o.cm AS cos_micros, o.cm >= 100000 AS aligned,
+              |  b.cid AS alt_id, b.am AS alt_micros,
+              |  COALESCE(b.am > o.cm, false) AS mismatched
+              |FROM ownm o LEFT JOIN best b ON b.qid = o.pid"""
+        .stripMargin)),
+
     // ---- M20: per-source alignment-rate parity audit ---------------------
     // The four-fifths gateParity shape over the M18 gate (mining off —
     // the parity audit needs only the verdicts): a source shipping
@@ -809,6 +862,34 @@ object MultimodalQueries extends graft.QueryPack {
       .withColumn("source",
         concat(lit("s"), (col("pair_id") % 4).cast("string")))
   }
+
+  /** The q_m21 oracle prefix: [[duckPairCos]]'s chain with the planted
+    * cluster dimension (i = pid % 8 + 1 overwritten with 100.0 on both
+    * sides — Spark's 0-based transform index maps to the 1-based
+    * unnest ordinal) injected between the explode and the norms. */
+  private val duckPairCosPlanted =
+    """img AS (SELECT vec_id // 2 AS pid, embedding AS v
+      |  FROM embeddings WHERE vec_id % 2 = 0),
+      |txt AS (SELECT vec_id // 2 AS pid, embedding AS v
+      |  FROM embeddings WHERE vec_id % 2 = 1),
+      |ix0 AS (SELECT pid, unnest(v) AS e,
+      |  unnest(range(1, len(v) + 1)) AS i FROM img),
+      |tx0 AS (SELECT pid, unnest(v) AS e,
+      |  unnest(range(1, len(v) + 1)) AS i FROM txt),
+      |ix AS (SELECT pid, CASE WHEN i = pid % 8 + 1 THEN 100.0
+      |  ELSE CAST(e AS DOUBLE) END AS e, i FROM ix0),
+      |tx AS (SELECT pid, CASE WHEN i = pid % 8 + 1 THEN 100.0
+      |  ELSE CAST(e AS DOUBLE) END AS e, i FROM tx0),
+      |inorm AS (SELECT pid, sqrt(SUM(e * e)) AS nrm FROM ix GROUP BY 1),
+      |tnorm AS (SELECT pid, sqrt(SUM(e * e)) AS nrm FROM tx GROUP BY 1),
+      |own AS (SELECT a.pid, SUM(a.e * b.e)
+      |  AS dot FROM ix a JOIN tx b ON b.pid = a.pid AND b.i = a.i
+      |  GROUP BY 1),
+      |ownm AS (SELECT o.pid,
+      |    CAST(ROUND(ROUND(o.dot / (n1.nrm * n2.nrm), 6) * 1e6) AS BIGINT)
+      |      AS cm
+      |  FROM own o JOIN inorm n1 ON n1.pid = o.pid
+      |  JOIN tnorm n2 ON n2.pid = o.pid)""".stripMargin
 
   /** Shared oracle prefix: the paired fixture's positional explode,
     * norms, and own-pair integer-micro cosine `ownm(pid, cm)`. */

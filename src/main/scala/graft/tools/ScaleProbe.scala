@@ -698,13 +698,15 @@ object ScaleProbe {
       spark.stop(); return
     }
 
-    // Pair-alignment mining A/B — `runMain graft.tools.ScaleProbe
+    // Pair-alignment mining A/B/C — `runMain graft.tools.ScaleProbe
     // pairmine`: the brute-force broadcast path vs the candidate-driven
-    // (sign-LSH-blocked) path over ×1/×10/×100 embeddings (pairs =
-    // half the vectors). Brute is Θ(pairs²) cosines; the blocked path
-    // scores only bucket co-members — the seam pairAlignmentWith exists
-    // for. Brute is skipped at ×100 (1e10 cosines is the point, not a
-    // number worth waiting for).
+    // paths — sign-LSH-blocked (fixed planes: a constant-factor cut of
+    // a still-quadratic relation) and IVF-list-blocked (centroid count
+    // GROWS with the corpus, so per-query candidate work stays ~list-
+    // sized — the scale answer to the round-13 SCALE.md caveat) — over
+    // ×1/×10/×100 embeddings (pairs = half the vectors). Brute is
+    // skipped at ×100 (1e10 cosines is the point, not a number worth
+    // waiting for).
     if (args.headOption.contains("pairmine")) {
       import graft.operators.{Multimodal, Similarity}
       Seq(1, 10, 100).foreach { f =>
@@ -743,11 +745,27 @@ object ScaleProbe {
               .select(col("query_id"), col("cand_id")))
             .write.format("noop").mode("overwrite").save()
         }
+        def ivf(): Double = time {
+          // centroid count scales with the corpus (pairs / 64, floor 8),
+          // nProbe fixed at 2: per-query candidates ~ 2 list-sizes, so
+          // total candidate work grows ~linearly where LSH stays
+          // quadratic-with-a-constant-cut
+          val nPairs = pairs.count()
+          val nc = math.max(8, (nPairs / 64).toInt)
+          Multimodal.pairAlignmentWith(pairs, "pair_id", "source",
+            "img_emb", "txt_emb", 100000L,
+            candidates = Multimodal.ivfPairCandidates(pairs, "pair_id",
+              "img_emb", "txt_emb", nc, 2))
+            .write.format("noop").mode("overwrite").save()
+        }
         blocked() // warmup
         val bl = math.min(blocked(), blocked())
+        ivf() // warmup
+        val iv = math.min(ivf(), ivf())
         val br = if (f < 100) { brute(); math.min(brute(), brute()) }
           else Double.NaN
         println(f"[scaleprobe] pairmine x$f%-4d blocked $bl%7.2f s" +
+          f"   ivf $iv%7.2f s" +
           (if (f < 100) f"   brute $br%7.2f s" else "   brute skipped"))
       }
       spark.stop(); return

@@ -563,6 +563,50 @@ class MultimodalSpec extends AnyFunSuite {
       s"candidate mining must stay on keyed equi-joins:\n$plan")
   }
 
+  test("ivfPairCandidates: planted clusters make IVF recall provable — " +
+      "blocked mining equals brute force, wrong-list probing degrades " +
+      "it (the oracle-equality gate is not vacuous), inputs validated") {
+    import spark.implicits._
+    // 24 pairs in 4 planted clusters: dimension pid % 4 carries 100,
+    // the rest deterministic sub-0.1 noise — within-cluster cosine
+    // ~0.999 dwarfs cross-cluster, and the first-4 text centroids land
+    // one per cluster
+    val pairs = (0L until 24L).map { pid =>
+      val c = (pid % 4).toInt
+      def vec(salt: Int) = (0 until 8).map(i =>
+        if (i == c) 100f
+        else ((pid * 7 + i * 3 + salt) % 10).toFloat / 100f)
+      (pid, s"s${pid % 2}", vec(0), vec(5))
+    }.toDF("pair_id", "source", "img_emb", "txt_emb")
+    val brute = Multimodal.pairAlignment(pairs, "pair_id", "source",
+      "img_emb", "txt_emb", tauMicros = 900000L, minePred = lit(true))
+    val cands = Multimodal.ivfPairCandidates(pairs, "pair_id",
+      "img_emb", "txt_emb", numCentroids = 4, nProbe = 1)
+    val ivf = Multimodal.pairAlignmentWith(pairs, "pair_id", "source",
+      "img_emb", "txt_emb", tauMicros = 900000L, candidates = cands)
+    assert(ivf.exceptAll(brute).isEmpty && brute.exceptAll(ivf).isEmpty,
+      "every image's true best text sits in its own probed list")
+    // the blocking is real: one probed list of ~6 texts per query, not
+    // the full 24-text grid
+    assert(cands.count() === 24L * 6,
+      "each query's candidates are exactly its own cluster's texts")
+    // negative control: probe the WRONG lists (cluster c images against
+    // cluster (c+1)%4 texts) — outputs must diverge, so the shared
+    // brute-force oracle genuinely gates recall
+    val rot = pairs.select(col("pair_id").as("query_id"),
+        (col("pair_id") % 4).as("qc"))
+      .join(pairs.select(col("pair_id").as("cand_id"),
+        ((col("pair_id") + 1) % 4).as("qc")), Seq("qc"))
+      .select(col("query_id"), col("cand_id"))
+    val degraded = Multimodal.pairAlignmentWith(pairs, "pair_id",
+      "source", "img_emb", "txt_emb", tauMicros = 900000L,
+      candidates = rot)
+    assert(degraded.exceptAll(brute).count() > 0,
+      "wrong-list candidates must under-report the best alt")
+    intercept[IllegalArgumentException](Multimodal.ivfPairCandidates(
+      pairs, "pair_id", "img_emb", "txt_emb", 4, 5))
+  }
+
   test("mediaTriage catch discipline: NonFatal becomes a verdict, a " +
       "fatal VM error propagates (infrastructure != data corruption)") {
     val soft = Multimodal.triageAttempt(
