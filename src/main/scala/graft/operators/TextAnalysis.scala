@@ -1909,6 +1909,47 @@ object TextAnalysis {
     * t3, m4, t4, eff_order, bleu)`. */
   def bleu(df: DataFrame, refCol: String, hypCol: String,
       idCol: String = "doc_id"): DataFrame = {
+    val scored = bleuScoreTail(bleuCountsWide(df, refCol, hypCol, idCol))
+      .select(Seq(col("__id").as(idCol), col("n_ref"), col("n_hyp")) ++
+        (1 to 4).flatMap(n => Seq(col(s"m$n"), col(s"t$n"))) ++
+        Seq(col("eff_order"), col("bleu")): _*)
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+  }
+
+  /** CORPUS-level BLEU per group — sacrebleu's actual default
+    * granularity (and the number papers report): clipped matches and
+    * totals SUM over the group's examples BEFORE the geometric mean,
+    * and the brevity penalty compares total lengths — which is NOT the
+    * mean of the per-sentence scores (a corpus with many short perfect
+    * hyps and one long miss scores very differently under each). The
+    * arithmetic tail is [[bleu]]'s exactly (shared code): effective
+    * order degenerates only for corpora whose every hypothesis is
+    * shorter than n; a zero-match order still zeroes the group
+    * (unsmoothed). One extra group-keyed hash aggregation over the
+    * per-example count relation — same scale shape. Returns
+    * `(<groupCol>, n_examples, n_ref, n_hyp, m1, t1, …, m4, t4,
+    * eff_order, bleu)`. */
+  def bleuCorpus(df: DataFrame, refCol: String, hypCol: String,
+      groupCol: String, idCol: String = "doc_id"): DataFrame = {
+    val wide = bleuCountsWide(df, refCol, hypCol, idCol)
+      .join(df.select(col(idCol).as("__id"), col(groupCol)), Seq("__id"))
+    val aggs = Seq(count(lit(1)).as("n_examples"),
+      sum(col("n_ref")).as("n_ref"), sum(col("n_hyp")).as("n_hyp")) ++
+      (1 to 4).flatMap(n => Seq(sum(col(s"m$n")).as(s"m$n"),
+        sum(col(s"t$n")).as(s"t$n")))
+    val agg = wide.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    bleuScoreTail(agg)
+      .select(Seq(col(groupCol), col("n_examples"), col("n_ref"),
+        col("n_hyp")) ++
+        (1 to 4).flatMap(n => Seq(col(s"m$n"), col(s"t$n"))) ++
+        Seq(col("eff_order"), col("bleu")): _*)
+  }
+
+  /** The shared BLEU counting stage: per example, token lengths plus
+    * clipped n-gram matches and totals at orders 1–4 (`__id, n_ref,
+    * n_hyp, m1, t1, …, m4, t4`). */
+  private def bleuCountsWide(df: DataFrame, refCol: String,
+      hypCol: String, idCol: String): DataFrame = {
     val scorable = df.filter(col(refCol).isNotNull && col(hypCol).isNotNull)
     def sideGrams(c: String, side: Int): DataFrame = {
       val toksed = Par.spread(scorable.select(col(idCol).as("__id"),
@@ -1933,11 +1974,18 @@ object TextAnalysis {
     val lens = scorable.select(col(idCol).as("__id"),
       size(tokens(col(refCol))).cast("long").as("n_ref"),
       size(tokens(col(hypCol))).cast("long").as("n_hyp"))
-    val mt = lens.join(wide, Seq("__id"), "left")
-    val withOrders = (1 to 4).foldLeft(mt) { (d, n) =>
+    (1 to 4).foldLeft(lens.join(wide, Seq("__id"), "left")) { (d, n) =>
       d.withColumn(s"m$n", coalesce(col(s"__m$n"), lit(0L)))
         .withColumn(s"t$n", greatest(col("n_hyp") - lit(n - 1), lit(0L)))
-    }
+    }.drop((1 to 4).map(n => s"__m$n"): _*)
+  }
+
+  /** The shared BLEU arithmetic tail over an (n_ref, n_hyp, m1..t4)
+    * relation — per example ([[bleu]]) or per group ([[bleuCorpus]]):
+    * effective-order 6-dp-ln geometric mean, half-up-micro brevity
+    * penalty, one final exp, unsmoothed zero on any zero-match
+    * included order. */
+  private def bleuScoreTail(d0: DataFrame): DataFrame = {
     val effOrder = (1 to 4).map(n => when(col(s"t$n") > 0, 1L).otherwise(0L))
       .reduce(_ + _)
     val anyZero = (1 to 4).map(n => col(s"t$n") > 0 && col(s"m$n") === 0)
@@ -1946,8 +1994,7 @@ object TextAnalysis {
         round(log(col(s"m$n").cast("double") / col(s"t$n").cast("double")), 6)
           .cast("decimal(18,6)"))
       .otherwise(lit(BigDecimal(0)).cast("decimal(18,6)"))).reduce(_ + _)
-    val scored = withOrders
-      .withColumn("eff_order", effOrder)
+    d0.withColumn("eff_order", effOrder)
       .withColumn("__sum_u", (lpSum * lit(1000000L)).cast("long"))
       .withColumn("__mean_u", when(col("eff_order") > 0,
         expr("(2 * __sum_u + eff_order) div (2 * eff_order)")))
@@ -1959,10 +2006,7 @@ object TextAnalysis {
           lit(0.0))
         .otherwise(round(exp((col("__mean_u") + col("__bp_u"))
           .cast("double") / lit(1000000.0)), 6)))
-      .select(Seq(col("__id").as(idCol), col("n_ref"), col("n_hyp")) ++
-        (1 to 4).flatMap(n => Seq(col(s"m$n"), col(s"t$n"))) ++
-        Seq(col("eff_order"), col("bleu")): _*)
-    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .drop("__sum_u", "__mean_u", "__bp_u")
   }
 
   /** chrF (Popović 2015, sacrebleu conventions) — the character-level
@@ -1984,6 +2028,42 @@ object TextAnalysis {
     * `(<idCol>, n_ref_chars, n_hyp_chars, p_ppm, r_ppm, chrf_ppm)`. */
   def chrF(df: DataFrame, refCol: String, hypCol: String,
       idCol: String = "doc_id"): DataFrame = {
+    val scored = chrFScoreTail(chrFCountsWide(df, refCol, hypCol, idCol))
+      .select(col("__id").as(idCol), col("n_ref_chars"),
+        col("n_hyp_chars"), col("p_ppm"), col("r_ppm"), col("chrf_ppm"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+  }
+
+  /** CORPUS-level chrF per group — sacrebleu's default granularity
+    * (matches and totals SUM over the group's examples per order, THEN
+    * the per-order precisions/recalls form and average — not the mean
+    * of per-sentence scores). Arithmetic tail shared with [[chrF]]:
+    * pure half-up-ppm integers end to end, no libm. One extra
+    * group-keyed hash aggregation over the per-example count relation.
+    * Returns `(<groupCol>, n_examples, n_ref_chars, n_hyp_chars,
+    * p_ppm, r_ppm, chrf_ppm)`. */
+  def chrFCorpus(df: DataFrame, refCol: String, hypCol: String,
+      groupCol: String, idCol: String = "doc_id"): DataFrame = {
+    val wide = chrFCountsWide(df, refCol, hypCol, idCol)
+      .join(df.select(col(idCol).as("__id"), col(groupCol)), Seq("__id"))
+    val aggs = Seq(count(lit(1)).as("n_examples"),
+      sum(col("n_ref_chars")).as("n_ref_chars"),
+      sum(col("n_hyp_chars")).as("n_hyp_chars")) ++
+      (1 to 6).flatMap(n => Seq(sum(col(s"__mm$n")).as(s"__mm$n"),
+        sum(col(s"__th$n")).as(s"__th$n"),
+        sum(col(s"__tr$n")).as(s"__tr$n")))
+    val agg = wide.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    chrFScoreTail(agg)
+      .select(col(groupCol), col("n_examples"), col("n_ref_chars"),
+        col("n_hyp_chars"), col("p_ppm"), col("r_ppm"), col("chrf_ppm"))
+  }
+
+  /** The shared chrF counting stage: per example, whitespace-stripped
+    * char lengths plus clipped char-n-gram matches and both sides'
+    * totals at orders 1–6 (`__id, n_ref_chars, n_hyp_chars, __mm1,
+    * __th1, __tr1, …`). */
+  private def chrFCountsWide(df: DataFrame, refCol: String,
+      hypCol: String, idCol: String): DataFrame = {
     val scorable = df
       .filter(col(refCol).isNotNull && col(hypCol).isNotNull)
       .select(col(idCol).as("__id"),
@@ -2013,7 +2093,7 @@ object TextAnalysis {
       length(col("__h")).cast("long").as("n_hyp_chars"))
     val mAggs = (1 to 6).map(n =>
       sum(when(col("__n") === n, col("__m"))).as(s"__m$n"))
-    val wide = (1 to 6).foldLeft(
+    (1 to 6).foldLeft(
       lens.join(m.groupBy(col("__id")).agg(mAggs.head, mAggs.tail: _*),
         Seq("__id"), "left")) { (d, n) =>
       d.withColumn(s"__mm$n", coalesce(col(s"__m$n"), lit(0L)))
@@ -2021,14 +2101,22 @@ object TextAnalysis {
           greatest(col("n_hyp_chars") - lit(n - 1), lit(0L)))
         .withColumn(s"__tr$n",
           greatest(col("n_ref_chars") - lit(n - 1), lit(0L)))
-        .withColumn(s"__p$n", when(col(s"__th$n") > 0, expr(
+    }.drop((1 to 6).map(n => s"__m$n"): _*)
+  }
+
+  /** The shared chrF arithmetic tail over an (__mm, __th, __tr)-wide
+    * relation — per example or per group: per-order half-up-ppm P/R,
+    * their arithmetic means across orders 1–6, β=2 fold. */
+  private def chrFScoreTail(d0: DataFrame): DataFrame = {
+    val withPr = (1 to 6).foldLeft(d0) { (d, n) =>
+      d.withColumn(s"__p$n", when(col(s"__th$n") > 0, expr(
           s"(2 * __mm$n * 1000000 + __th$n) div (2 * __th$n)"))
           .otherwise(lit(0L)))
         .withColumn(s"__r$n", when(col(s"__tr$n") > 0, expr(
           s"(2 * __mm$n * 1000000 + __tr$n) div (2 * __tr$n)"))
           .otherwise(lit(0L)))
     }
-    val scored = wide
+    withPr
       .withColumn("p_ppm", expr(s"(2 * (${(1 to 6).map(n => s"__p$n")
         .mkString(" + ")}) + 6) div 12"))
       .withColumn("r_ppm", expr(s"(2 * (${(1 to 6).map(n => s"__r$n")
@@ -2038,9 +2126,6 @@ object TextAnalysis {
           "(2 * 5 * p_ppm * r_ppm + (4 * p_ppm + r_ppm)) " +
             "div (2 * (4 * p_ppm + r_ppm))"))
         .otherwise(lit(0L)))
-      .select(col("__id").as(idCol), col("n_ref_chars"),
-        col("n_hyp_chars"), col("p_ppm"), col("r_ppm"), col("chrf_ppm"))
-    df.select(col(idCol)).join(scored, Seq(idCol), "left")
   }
 
   /** Tokenizer fertility — pieces per word, per group (the standard

@@ -2367,6 +2367,200 @@ object TextQueries extends graft.QueryPack {
              |FROM pa LEFT JOIN sa ON sa.shard = pa.shard
              |  AND sa.pack = pa.pack""".stripMargin)),
 
+    // ---- X87: CORPUS-level BLEU per source --------------------------------
+    // sacrebleu's default granularity (the number papers report): the
+    // q_x81 per-example clipped counts SUM per source BEFORE the
+    // geometric mean, and BP compares total lengths — NOT a mean of
+    // sentence scores. Same hyp synthesis as q_x81; the oracle extends
+    // its chain with the per-source sums and re-runs the same tail.
+    Q("q_x87_bleu_corpus",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .withColumn("toks", TextAnalysis.tokens(col("text")))
+          .select(col("doc_id"), col("source"), col("text").as("ref"),
+            when(col("doc_id") % 3 === 0,
+              concat_ws(" ", slice(col("toks"), 1, 8)))
+            .when(col("doc_id") % 3 === 1,
+              concat(col("text"), lit(" "), col("text")))
+            .otherwise(lit("zzz qqq xxx yyy")).as("hyp"))
+        TextAnalysis.bleuCorpus(docs, "ref", "hyp", "source")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, text AS ref,
+             |    list_filter(regexp_split_to_array(text, '\s+'),
+             |      x -> x <> '') AS ws
+             |  FROM documents WHERE text IS NOT NULL),
+             |s AS (SELECT doc_id, source, ref,
+             |    CASE CAST(doc_id % 3 AS INT)
+             |      WHEN 0 THEN array_to_string(list_slice(ws, 1, 8), ' ')
+             |      WHEN 1 THEN ref || ' ' || ref
+             |      ELSE 'zzz qqq xxx yyy' END AS hyp
+             |  FROM t),
+             |tok AS (SELECT doc_id, source,
+             |    list_filter(regexp_split_to_array(ref, '\s+'),
+             |      x -> x <> '') AS rt,
+             |    list_filter(regexp_split_to_array(hyp, '\s+'),
+             |      x -> x <> '') AS ht
+             |  FROM s),
+             |hg AS (SELECT doc_id, n,
+             |    array_to_string(list_slice(ht, i, i + n - 1), ' ') AS g,
+             |    COUNT(*) AS ch
+             |  FROM (SELECT doc_id, ht, n,
+             |      unnest(range(1, len(ht) - n + 2)) AS i
+             |    FROM tok, (SELECT unnest([1, 2, 3, 4]) AS n))
+             |  GROUP BY 1, 2, 3),
+             |rg AS (SELECT doc_id, n,
+             |    array_to_string(list_slice(rt, i, i + n - 1), ' ') AS g,
+             |    COUNT(*) AS cr
+             |  FROM (SELECT doc_id, rt, n,
+             |      unnest(range(1, len(rt) - n + 2)) AS i
+             |    FROM tok, (SELECT unnest([1, 2, 3, 4]) AS n))
+             |  GROUP BY 1, 2, 3),
+             |cl AS (SELECT hg.doc_id, hg.n,
+             |    CAST(SUM(LEAST(hg.ch, rg.cr)) AS BIGINT) AS mm
+             |  FROM hg JOIN rg ON rg.doc_id = hg.doc_id AND rg.n = hg.n
+             |    AND rg.g = hg.g
+             |  GROUP BY 1, 2),
+             |wide AS (SELECT l.doc_id, l.source,
+             |    CAST(len(l.rt) AS BIGINT) AS n_ref,
+             |    CAST(len(l.ht) AS BIGINT) AS n_hyp,
+             |    COALESCE(MAX(CASE WHEN cl.n = 1 THEN cl.mm END), 0) AS m1,
+             |    COALESCE(MAX(CASE WHEN cl.n = 2 THEN cl.mm END), 0) AS m2,
+             |    COALESCE(MAX(CASE WHEN cl.n = 3 THEN cl.mm END), 0) AS m3,
+             |    COALESCE(MAX(CASE WHEN cl.n = 4 THEN cl.mm END), 0) AS m4
+             |  FROM tok l LEFT JOIN cl ON cl.doc_id = l.doc_id
+             |  GROUP BY 1, 2, 3, 4),
+             |gw AS (SELECT source,
+             |    CAST(COUNT(*) AS BIGINT) AS n_examples,
+             |    CAST(SUM(n_ref) AS BIGINT) AS n_ref,
+             |    CAST(SUM(n_hyp) AS BIGINT) AS n_hyp,
+             |    CAST(SUM(m1) AS BIGINT) AS m1,
+             |    CAST(SUM(GREATEST(n_hyp, 0)) AS BIGINT) AS t1,
+             |    CAST(SUM(m2) AS BIGINT) AS m2,
+             |    CAST(SUM(GREATEST(n_hyp - 1, 0)) AS BIGINT) AS t2,
+             |    CAST(SUM(m3) AS BIGINT) AS m3,
+             |    CAST(SUM(GREATEST(n_hyp - 2, 0)) AS BIGINT) AS t3,
+             |    CAST(SUM(m4) AS BIGINT) AS m4,
+             |    CAST(SUM(GREATEST(n_hyp - 3, 0)) AS BIGINT) AS t4
+             |  FROM wide GROUP BY 1),
+             |sc AS (SELECT *,
+             |    CAST((CASE WHEN t1 > 0 THEN 1 ELSE 0 END)
+             |      + (CASE WHEN t2 > 0 THEN 1 ELSE 0 END)
+             |      + (CASE WHEN t3 > 0 THEN 1 ELSE 0 END)
+             |      + (CASE WHEN t4 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS eff_order,
+             |    ((t1 > 0 AND m1 = 0) OR (t2 > 0 AND m2 = 0)
+             |      OR (t3 > 0 AND m3 = 0) OR (t4 > 0 AND m4 = 0))
+             |      AS any_zero,
+             |    CAST((
+             |      (CASE WHEN t1 > 0 AND m1 > 0 THEN CAST(ROUND(
+             |        ln(CAST(m1 AS DOUBLE) / t1), 6) AS DECIMAL(18,6))
+             |        ELSE CAST(0 AS DECIMAL(18,6)) END)
+             |      + (CASE WHEN t2 > 0 AND m2 > 0 THEN CAST(ROUND(
+             |        ln(CAST(m2 AS DOUBLE) / t2), 6) AS DECIMAL(18,6))
+             |        ELSE CAST(0 AS DECIMAL(18,6)) END)
+             |      + (CASE WHEN t3 > 0 AND m3 > 0 THEN CAST(ROUND(
+             |        ln(CAST(m3 AS DOUBLE) / t3), 6) AS DECIMAL(18,6))
+             |        ELSE CAST(0 AS DECIMAL(18,6)) END)
+             |      + (CASE WHEN t4 > 0 AND m4 > 0 THEN CAST(ROUND(
+             |        ln(CAST(m4 AS DOUBLE) / t4), 6) AS DECIMAL(18,6))
+             |        ELSE CAST(0 AS DECIMAL(18,6)) END)
+             |    ) * 1000000 AS BIGINT) AS sum_u
+             |  FROM gw),
+             |fin AS (SELECT *,
+             |    CASE WHEN eff_order > 0 THEN
+             |      (2 * sum_u + eff_order) // (2 * eff_order) END AS mean_u,
+             |    CASE WHEN n_hyp >= n_ref THEN 0
+             |      ELSE (2 * (n_hyp - n_ref) * 1000000 + n_hyp)
+             |        // (2 * n_hyp) END AS bp_u
+             |  FROM sc)
+             |SELECT source, n_examples, n_ref, n_hyp,
+             |  m1, t1, m2, t2, m3, t3, m4, t4, eff_order,
+             |  CASE WHEN n_hyp = 0 OR eff_order = 0 OR any_zero
+             |    THEN CAST(0 AS DOUBLE)
+             |    ELSE ROUND(exp(CAST(mean_u + bp_u AS DOUBLE) / 1000000.0),
+             |      6) END AS bleu
+             |FROM fin""".stripMargin)),
+
+    // ---- X88: CORPUS-level chrF per source --------------------------------
+    // Per-order match/total counts sum per source BEFORE the P/R form
+    // (the q_x87 stance at the character level); pure integer ppm.
+    Q("q_x88_chrf_corpus",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .withColumn("toks", TextAnalysis.tokens(col("text")))
+          .select(col("doc_id"), col("source"), col("text").as("ref"),
+            when(col("doc_id") % 3 === 0,
+              concat_ws(" ", slice(col("toks"), 1, 8)))
+            .when(col("doc_id") % 3 === 1,
+              concat(col("text"), lit(" "), col("text")))
+            .otherwise(lit("zzz qqq xxx yyy")).as("hyp"))
+        TextAnalysis.chrFCorpus(docs, "ref", "hyp", "source")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, text AS ref,
+             |    list_filter(regexp_split_to_array(text, '\s+'),
+             |      x -> x <> '') AS ws
+             |  FROM documents WHERE text IS NOT NULL),
+             |s AS (SELECT doc_id, source,
+             |    regexp_replace(ref, '\s+', '', 'g') AS r,
+             |    regexp_replace(CASE CAST(doc_id % 3 AS INT)
+             |      WHEN 0 THEN array_to_string(list_slice(ws, 1, 8), ' ')
+             |      WHEN 1 THEN ref || ' ' || ref
+             |      ELSE 'zzz qqq xxx yyy' END, '\s+', '', 'g') AS h
+             |  FROM t),
+             |hg AS (SELECT doc_id, n, substr(h, i, n) AS g, COUNT(*) AS ch
+             |  FROM (SELECT doc_id, h, n,
+             |      unnest(range(1, len(h) - n + 2)) AS i
+             |    FROM s, (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n))
+             |  GROUP BY 1, 2, 3),
+             |rg AS (SELECT doc_id, n, substr(r, i, n) AS g, COUNT(*) AS cr
+             |  FROM (SELECT doc_id, r, n,
+             |      unnest(range(1, len(r) - n + 2)) AS i
+             |    FROM s, (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n))
+             |  GROUP BY 1, 2, 3),
+             |cl AS (SELECT hg.doc_id, hg.n,
+             |    CAST(SUM(LEAST(hg.ch, rg.cr)) AS BIGINT) AS mm
+             |  FROM hg JOIN rg ON rg.doc_id = hg.doc_id AND rg.n = hg.n
+             |    AND rg.g = hg.g
+             |  GROUP BY 1, 2),
+             |po AS (SELECT s.doc_id, s.source, o.n,
+             |    COALESCE(cl.mm, 0) AS mm,
+             |    GREATEST(len(s.h) - o.n + 1, 0) AS th,
+             |    GREATEST(len(s.r) - o.n + 1, 0) AS tr,
+             |    CAST(len(s.r) AS BIGINT) AS lr,
+             |    CAST(len(s.h) AS BIGINT) AS lh
+             |  FROM s CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n) o
+             |  LEFT JOIN cl ON cl.doc_id = s.doc_id AND cl.n = o.n),
+             |gsum AS (SELECT source, n,
+             |    CAST(SUM(mm) AS BIGINT) AS mm,
+             |    CAST(SUM(th) AS BIGINT) AS th,
+             |    CAST(SUM(tr) AS BIGINT) AS tr
+             |  FROM po GROUP BY 1, 2),
+             |lens AS (SELECT source,
+             |    CAST(COUNT(*) AS BIGINT) AS n_examples,
+             |    CAST(SUM(len(r)) AS BIGINT) AS n_ref_chars,
+             |    CAST(SUM(len(h)) AS BIGINT) AS n_hyp_chars
+             |  FROM s GROUP BY 1),
+             |pr AS (SELECT source,
+             |    CAST(SUM(CASE WHEN th > 0
+             |      THEN (2 * mm * 1000000 + th) // (2 * th)
+             |      ELSE 0 END) AS BIGINT) AS psum,
+             |    CAST(SUM(CASE WHEN tr > 0
+             |      THEN (2 * mm * 1000000 + tr) // (2 * tr)
+             |      ELSE 0 END) AS BIGINT) AS rsum
+             |  FROM gsum GROUP BY 1),
+             |fin AS (SELECT l.source, l.n_examples, l.n_ref_chars,
+             |    l.n_hyp_chars,
+             |    (2 * p.psum + 6) // 12 AS p_ppm,
+             |    (2 * p.rsum + 6) // 12 AS r_ppm
+             |  FROM lens l JOIN pr p USING (source))
+             |SELECT source, n_examples, n_ref_chars, n_hyp_chars,
+             |  p_ppm, r_ppm,
+             |  CASE WHEN 4 * p_ppm + r_ppm > 0 THEN
+             |    (2 * 5 * p_ppm * r_ppm + (4 * p_ppm + r_ppm))
+             |      // (2 * (4 * p_ppm + r_ppm))
+             |  ELSE 0 END AS chrf_ppm
+             |FROM fin""".stripMargin)),
+
     // ---- X75: interpolated Kneser-Ney bigram LM (the KenLM default) -----
     // Trains on the even-doc half, scores EVERY doc — held-out docs
     // exercise the unseen-bigram discount, the unseen-context

@@ -357,6 +357,56 @@ class TextOpsSpec extends AnyFunSuite {
       "null hyp yields an all-null row, not a zero score")
   }
 
+  test("corpus bleu: counts sum before the geometric mean (NOT a mean " +
+      "of sentence scores), BP compares total lengths, a zero-match " +
+      "order zeroes the group") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "g", "a b c d e", "a b c d e"),  // sentence BLEU 1
+      (2L, "g", "a b c d e", "a b c"),      // all prefix precisions 1
+      (3L, "h", "the quick brown fox jumps",
+           "the quick brown dog jumps")     // m4 = 0
+    ).toDF("doc_id", "src", "ref", "hyp")
+    val out = TextAnalysis.bleuCorpus(rows, "ref", "hyp", "src")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    // sums: m1..m4 = 8/6/4/2 over t1..t4 = 8/6/4/2 -> mean ln 0;
+    // BP = exp((8-10)/8) = exp(-0.25) — nothing like the 1.0 and
+    // exp(-2/3) the two sentences score individually
+    assert((g.getAs[Long]("n_ref"), g.getAs[Long]("n_hyp")) === ((10L, 8L)))
+    assert((g.getAs[Long]("m1"), g.getAs[Long]("t1")) === ((8L, 8L)))
+    assert((g.getAs[Long]("m4"), g.getAs[Long]("t4")) === ((2L, 2L)))
+    assert(g.getAs[Long]("n_examples") === 2L)
+    // BP micros ride the portable (2a+n) div (2n) form (both engines
+    // truncate toward zero, so a negative exact -250000 reads -249999
+    // — the documented cross-engine convention, off by at most 1 micro)
+    val expected = BigDecimal(math.exp(-249999.0 / 1000000.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(g.getAs[Double]("bleu") === expected)
+    assert(out("h").getAs[Double]("bleu") === 0.0,
+      "one zero-match order still zeroes the unsmoothed corpus score")
+  }
+
+  test("corpus chrf: per-order counts sum before P/R form, hand ppm") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "g", "ab c", "a bc"),  // strip to identical "abc"
+      (2L, "g", "abcd", "abc")
+    ).toDF("doc_id", "src", "ref", "hyp")
+    val out = TextAnalysis.chrFCorpus(rows, "ref", "hyp", "src")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getAs[Long]("n_examples") === 2L)
+    // order sums: o1 6/6 vs 7, o2 4/4 vs 5, o3 2/2 vs 3, o4 0/0 vs 1
+    // p = (1e6+1e6+1e6+0+0+0)/6, r = (857143+800000+666667+0+0+0)/6
+    assert(g.getAs[Long]("p_ppm") === 500000L)
+    assert(g.getAs[Long]("r_ppm") === 387302L)
+    val pq = BigInt(500000); val rq = BigInt(387302)
+    val den = 4 * pq + rq
+    assert(g.getAs[Long]("chrf_ppm") ===
+      ((2 * 5 * pq * rq + den) / (2 * den)).toLong)
+  }
+
   test("chrf: hand-checked per-order P/R means, beta=2 fold, short " +
       "strings zero the high orders, disjoint scores 0, whitespace " +
       "strips before gramming") {
