@@ -201,6 +201,93 @@ object Preferences {
     flagged.unionAll(offenders)
   }
 
+  /** Bradley-Terry strength fitting (Zermelo 1929; Hunter 2004's MM
+    * algorithm) — the MLE rung of the preference family above
+    * [[copelandScores]]' tournament rule: strengths `s_i` such that
+    * P(i beats j) = s_i/(s_i+s_j), fitted by the minorize-maximize
+    * update `s_i ← W_i / Σ_j n_ij/(s_i+s_j)` for a FIXED `iterations`
+    * count. The header's "no Bradley-Terry floats" stance is obsolete
+    * since the 6-dp/half-up-micro discipline landed (q_x27/q_x81):
+    * here NO float enters at all — strengths are integer MICROS
+    * (start 1e6 each), each division is the half-up `(2a+b) div (2b)`
+    * idiom at `Scale` = 1e9 resolution, and each iteration renormalizes
+    * to Σ s = candidates × 1e6 with a 1-micro floor (keeps every pair
+    * sum positive under extreme skew), so the whole recursion replays
+    * bit-for-bit in a relational oracle as unrolled CTEs. `iterations`
+    * is part of the result contract (MM converges linearly; 5 rounds
+    * separate strengths decisively on realistic corpora — this is a
+    * ranking statistic, not a physics constant).
+    *
+    * Guard (Ford 1957's existence condition, its cheap necessary
+    * part): a candidate with ZERO wins has MLE strength 0 — the update
+    * collapses in one step and a later all-zero pair sum would divide
+    * by zero — so such a candidate trips an in-plan raise_error rather
+    * than quietly emitting a degenerate fit; judge it out upstream or
+    * accept Copeland for that corpus. Zero-LOSS candidates are finite
+    * under fixed iterations and pass through.
+    *
+    * Scale shape: ONE corpus-sized hash aggregation ([[pairCounts]])
+    * reduces the judgments to the candidates²-bounded relation; each
+    * iteration is two keyed joins + one hash aggregation over frames
+    * bounded by candidates² (models/variants — tens), localCheckpointed
+    * per round (the iterate discipline). Arithmetic headroom: BIGINT
+    * holds W_i × 1e9, so ~9e9 judgments per candidate before the ANSI
+    * overflow raise — shard by time window beyond that. Returns
+    * `(candidate, n_wins, n_games, strength_micro)`. */
+  def bradleyTerry(prefs: DataFrame, winnerCol: String, loserCol: String,
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    val pc = pairCounts(prefs, winnerCol, loserCol).localCheckpoint()
+    val games = pc.select(col("a"), col("b"),
+      (col("wins_ab") + col("wins_ba")).as("n"))
+    val w = pc.select(col("a").as("candidate"), col("wins_ab").as("__w"),
+        (col("wins_ab") + col("wins_ba")).as("__g"))
+      .unionAll(pc.select(col("b").as("candidate"), col("wins_ba").as("__w"),
+        (col("wins_ab") + col("wins_ba")).as("__g")))
+      .groupBy(col("candidate"))
+      .agg(sum(col("__w")).as("n_wins"), sum(col("__g")).as("n_games"))
+      .localCheckpoint()
+    val nc = w.agg(count(lit(1)).as("__nc"))
+    var s = w.select(col("candidate"), lit(1000000L).as("__s"))
+    for (_ <- 1 to iterations) {
+      val terms = games
+        .join(s.select(col("candidate").as("a"), col("__s").as("__sa")),
+          Seq("a"))
+        .join(s.select(col("candidate").as("b"), col("__s").as("__sb")),
+          Seq("b"))
+        .select(col("a"), col("b"), expr(
+          "(2 * n * 1000000000L + (__sa + __sb)) div (2 * (__sa + __sb))")
+          .as("__t"))
+      val denom = terms.select(col("a").as("candidate"), col("__t"))
+        .unionAll(terms.select(col("b").as("candidate"), col("__t")))
+        .groupBy(col("candidate")).agg(sum(col("__t")).as("__d"))
+      val unnorm = w.join(denom, Seq("candidate"))
+        .select(col("candidate"),
+          expr("(2 * n_wins * 1000000000L + __d) div (2 * __d)").as("__sn"))
+      val total = unnorm.agg(sum(col("__sn")).as("__tot"))
+      s = unnorm.crossJoin(broadcast(total)).crossJoin(broadcast(nc))
+        .select(col("candidate"), greatest(lit(1L), expr(
+          "(2 * __sn * __nc * 1000000L + __tot) div (2 * __tot)"))
+          .as("__s"))
+        .localCheckpoint()
+    }
+    val fitted = w.join(s, Seq("candidate"))
+      .select(col("candidate"), col("n_wins"), col("n_games"),
+        col("__s").as("strength_micro"))
+    // Ford guard: every output column carries the raise (the dpoPairs
+    // stance — a literal-null column would constant-fold away)
+    val st = fitted.schema
+    val boom = raise_error(concat(
+      lit("bradleyTerry: candidate "), col("candidate").cast("string"),
+      lit(" has zero wins — its MLE strength is 0 and the MM update " +
+        "degenerates (Ford's condition); exclude it upstream or use " +
+        "copelandScores for this corpus")))
+    val offenders = w.filter(col("n_wins") === 0L)
+      .select(st.map(f => boom.cast(f.dataType).as(f.name)): _*)
+    fitted.unionAll(offenders)
+  }
+
   /** The [[dpoPairs]] → training-strings composition: each pair's
     * chosen and rejected sides render as the two-turn ChatML strings a
     * DPO trainer tokenizes, THROUGH

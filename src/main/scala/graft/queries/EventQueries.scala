@@ -15,6 +15,55 @@ import graft.sources.Tables
   */
 object EventQueries extends graft.QueryPack {
 
+  /** The q_e28 preference synthesis as oracle CTEs (8 candidates,
+    * rotational tournament, 20% rater noise) reduced to the pair-count
+    * relation — q_e35's front half (mirrors q_e28's synthesis).
+    * MATERIALIZED: the unrolled MM iterations reference their inputs
+    * 2-6x each; inlined expansion would re-derive the corpus scan
+    * ~8x per rung (32k scans by rung 5). */
+  private val duckPrefPairCtes =
+    """pr AS (
+      |  SELECT CASE WHEN win1 THEN m1 ELSE m2 END AS winner,
+      |    CASE WHEN win1 THEN m2 ELSE m1 END AS loser
+      |  FROM (SELECT m1, m2,
+      |      (((m2 - m1) + 8) % 8 BETWEEN 1 AND 3)
+      |        <> (user_id % 5 = 0) AS win1
+      |    FROM (SELECT event_id % 8 AS m1, (event_id // 8) % 8 AS m2,
+      |        user_id FROM events WHERE user_id IS NOT NULL)
+      |    WHERE m1 <> m2)),
+      |p AS (SELECT LEAST(winner, loser) AS a,
+      |    GREATEST(winner, loser) AS b,
+      |    CASE WHEN winner <= loser THEN 1 ELSE 0 END AS aw FROM pr),
+      |pc AS MATERIALIZED (SELECT a, b, SUM(aw) AS wab,
+      |    COUNT(*) - SUM(aw) AS wba
+      |  FROM p GROUP BY 1, 2)""".stripMargin
+
+  /** One unrolled Bradley-Terry MM iteration (oracle side): terms at
+    * Scale=1e9 from the previous strengths, per-candidate denominators,
+    * the update, then renormalization to n_candidates x 1e6 with the
+    * 1-micro floor — the half-up `(2a+b)//(2b)` idiom throughout,
+    * HUGEINT so the exact integers never overflow. */
+  private def duckBtIteration(k: Int): String = {
+    val prev = if (k == 1) "s0" else s"s${k - 1}"
+    s"""t$k AS MATERIALIZED (SELECT g.a, g.b,
+       |    (2 * CAST(g.n AS HUGEINT) * 1000000000 + (sa.s + sb.s))
+       |      // (2 * (sa.s + sb.s)) AS t
+       |  FROM g JOIN $prev sa ON sa.candidate = g.a
+       |  JOIN $prev sb ON sb.candidate = g.b),
+       |d$k AS (SELECT candidate, SUM(t) AS d FROM
+       |    (SELECT a AS candidate, t FROM t$k
+       |     UNION ALL SELECT b, t FROM t$k)
+       |  GROUP BY 1),
+       |u$k AS MATERIALIZED (SELECT w.candidate,
+       |    (2 * CAST(w.n_wins AS HUGEINT) * 1000000000 + d.d)
+       |      // (2 * d.d) AS sn
+       |  FROM w JOIN d$k d USING (candidate)),
+       |s$k AS MATERIALIZED (SELECT u$k.candidate,
+       |    GREATEST(CAST(1 AS HUGEINT),
+       |      (2 * sn * nc.n * 1000000 + tot.t) // (2 * tot.t)) AS s
+       |  FROM u$k, (SELECT SUM(sn) AS t FROM u$k) tot, nc)""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
 
     // ---- E1: tumbling 1-hour window ------------------------------------
@@ -503,6 +552,46 @@ object EventQueries extends graft.QueryPack {
              |  AND c.chosen_id = m.chosen_id
              |  AND c.rejected_id = m.rejected_id
              |WHERE m.nf - m.na >= 2""".stripMargin)),
+
+    // ---- E35: Bradley-Terry strength fitting (MM, exact micros) ---------
+    // The MLE rung over the q_e28 synthesis: 8 candidates, rotational
+    // tournament + 20% noise (every candidate wins often, so the Ford
+    // guard stays quiet). Five MM iterations in integer micros at
+    // Scale=1e9; the oracle UNROLLS the recursion — five generated CTE
+    // blocks replaying terms, denominators, update, renormalization
+    // bit-for-bit in HUGEINT.
+    Q("q_e35_bradley_terry",
+      (s, d) => {
+        val prefs = Tables.events(s, d)
+          .filter(col("user_id").isNotNull)
+          .select((col("event_id") % 8).as("m1"),
+            expr("(event_id div 8) % 8").as("m2"), col("user_id"))
+          .filter(col("m1") =!= col("m2"))
+          .select(
+            when(expr("((m2 - m1) + 8) % 8 between 1 and 3") =!=
+              (col("user_id") % 5 === 0), col("m1")).otherwise(col("m2"))
+              .as("winner"),
+            when(expr("((m2 - m1) + 8) % 8 between 1 and 3") =!=
+              (col("user_id") % 5 === 0), col("m2")).otherwise(col("m1"))
+              .as("loser"))
+        graft.operators.Preferences.bradleyTerry(prefs, "winner", "loser")
+      },
+      Some(s"""WITH $duckPrefPairCtes,
+              |g AS MATERIALIZED (SELECT a, b, wab + wba AS n FROM pc),
+              |w AS MATERIALIZED (SELECT candidate, SUM(wn) AS n_wins,
+              |    SUM(ng) AS n_games
+              |  FROM (SELECT a AS candidate, wab AS wn, wab + wba AS ng
+              |      FROM pc
+              |    UNION ALL SELECT b, wba, wab + wba FROM pc)
+              |  GROUP BY 1),
+              |nc AS MATERIALIZED (SELECT COUNT(*) AS n FROM w),
+              |s0 AS MATERIALIZED (SELECT candidate,
+              |    CAST(1000000 AS HUGEINT) AS s FROM w),
+              |${(1 to 5).map(duckBtIteration).mkString(",\n")}
+              |SELECT w.candidate, CAST(w.n_wins AS BIGINT) AS n_wins,
+              |  CAST(w.n_games AS BIGINT) AS n_games,
+              |  CAST(s5.s AS BIGINT) AS strength_micro
+              |FROM w JOIN s5 USING (candidate)""".stripMargin)),
 
     // ---- E28/E29: pairwise-preference aggregation (RLHF data ops) -------
     // A preference corpus synthesized engine-independently from events:

@@ -107,4 +107,70 @@ class PreferencesSpec extends AnyFunSuite {
         "<|im_start|>assistant\nAns B<|im_end|>")),
       "chosen and rejected render the same prompt with each side's text")
   }
+
+  test("bradley-terry: two candidates hit the exact MLE odds in one " +
+      "step and stay fixed; strengths always renormalize to n x 1e6") {
+    import spark.implicits._
+    // a beats b 3-1: BT MLE odds s_a/s_b = 3, normalized (1.5e6, 0.5e6).
+    // The MM update reaches it in ONE step from uniform and every later
+    // iteration is a fixed point — iterations=1 and =7 must agree.
+    val prefs = (Seq.fill(3)(("a", "b")) ++ Seq(("b", "a")))
+      .toDF("winner", "loser")
+    for (k <- Seq(1, 7)) {
+      val out = Preferences.bradleyTerry(prefs, "winner", "loser", k)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3)))).toMap
+      assert(out("a") === ((3L, 4L, 1500000L)), s"iterations=$k")
+      assert(out("b") === ((1L, 4L, 500000L)), s"iterations=$k")
+    }
+  }
+
+  test("bradley-terry: fitted strengths recover a planted 3:2:1 model's " +
+      "order, match a sequential replay of the integer recursion " +
+      "exactly, and a zero-win candidate trips the Ford raise") {
+    import spark.implicits._
+    // counts generated FROM planted strengths (3,2,1): 60 games per
+    // pair, wins split s_i/(s_i+s_j) exactly
+    def games(w: String, l: String, n: Int) = Seq.fill(n)((w, l))
+    val prefs = (games("a", "b", 36) ++ games("b", "a", 24) ++
+      games("a", "c", 45) ++ games("c", "a", 15) ++
+      games("b", "c", 40) ++ games("c", "b", 20)).toDF("winner", "loser")
+    val out = Preferences.bradleyTerry(prefs, "winner", "loser")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // sequential replay of the SAME integer recursion (pins the
+    // distributed aggregation to the defined arithmetic, not floats)
+    def halfUp(a: BigInt, b: BigInt): BigInt = (2 * a + b) / (2 * b)
+    val pairs = Map(("a", "b") -> 60L, ("a", "c") -> 60L, ("b", "c") -> 60L)
+    val wins = Map("a" -> 81L, "b" -> 64L, "c" -> 35L)
+    var s = Map("a" -> BigInt(1000000), "b" -> BigInt(1000000),
+      "c" -> BigInt(1000000))
+    for (_ <- 1 to 5) {
+      val d = s.keys.map { c =>
+        c -> pairs.collect { case ((x, y), n) if x == c || y == c =>
+          halfUp(BigInt(n) * BigInt(1000000000L), s(x) + s(y))
+        }.sum
+      }.toMap
+      val sn = s.keys.map(c =>
+        c -> halfUp(BigInt(wins(c)) * BigInt(1000000000L), d(c))).toMap
+      val tot = sn.values.sum
+      s = sn.map { case (c, v) =>
+        c -> halfUp(v * 3 * BigInt(1000000), tot).max(BigInt(1)) }
+    }
+    assert(out === s.map { case (c, v) => c -> v.toLong },
+      "distributed fit must equal the sequential integer replay")
+    assert(out("a") > out("b") && out("b") > out("c"),
+      "planted 3:2:1 order recovered")
+    assert(math.abs(out.values.sum - 3000000L) <= 2,
+      "renormalization holds the sum at n x 1e6 (rounding ulps aside)")
+    // planted ratios recovered to within the fixed-iteration tolerance
+    assert(math.abs(out("a") - 1500000L) < 60000L &&
+      math.abs(out("b") - 1000000L) < 60000L, s"got $out")
+    // Ford guard: a zero-win candidate degenerates the MM update
+    val withLoser = (games("a", "b", 3) ++ games("b", "a", 1) ++
+      games("a", "z", 2)).toDF("winner", "loser")
+    val ex = intercept[Exception](
+      Preferences.bradleyTerry(withLoser, "winner", "loser").collect())
+    assert(ex.getMessage.contains("zero wins"))
+  }
 }
