@@ -1885,6 +1885,101 @@ object TextAnalysis {
           "div (2 * (n_ref + n_hyp))")))
   }
 
+  /** Word error rate — the ASR/translation-eval companion to
+    * [[rougeL]]: token-level Levenshtein distance (substitutions +
+    * deletions + insertions at WORD granularity, the NIST sclite
+    * convention) over the reference length. The distance runs in the
+    * codegen'd [[graft.functions.EditDistTokens]] kernel (two-row DP
+    * per pair, map-only — WER is a per-example metric and never
+    * shuffles); `wer_ppm` is the EXACT half-up ppm of `edits/n_ref`
+    * and may exceed 1e6 (a hypothesis can cost more edits than the
+    * reference has words — real WER tooling reports >100% the same
+    * way). An empty reference has no defined rate (null, not a fake
+    * zero — the [[rougeL]] stance); an empty hypothesis against a
+    * non-empty reference is n_ref deletions, WER exactly 1e6. Null
+    * strings propagate null rows. Returns `(<idCol>, edits, n_ref,
+    * n_hyp, wer_ppm)`. */
+  def wer(df: DataFrame, refCol: String, hypCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    graft.functions.EditDistTokens.register(df.sparkSession)
+    df.select(col(idCol),
+        call_function("edit_dist_tokens", col(refCol), col(hypCol))
+          .cast("long").as("edits"),
+        size(tokens(col(refCol))).cast("long").as("n_ref"),
+        size(tokens(col(hypCol))).cast("long").as("n_hyp"))
+      .withColumn("n_ref", when(col("edits").isNotNull, col("n_ref")))
+      .withColumn("n_hyp", when(col("edits").isNotNull, col("n_hyp")))
+      .withColumn("wer_ppm", when(col("n_ref") > 0,
+        expr("(2 * edits * 1000000 + n_ref) div (2 * n_ref)")))
+  }
+
+  /** SQuAD-style QA eval (Rajpurkar et al. 2016's official script):
+    * token-bag F1 + exact match against MULTIPLE gold answers, the
+    * extractive-QA / short-answer half of the eval family next to
+    * [[rougeL]] (sequence overlap) and [[bleu]] (n-gram precision).
+    * Normalization is the official script's: lowercase, strip
+    * punctuation (every char outside `[a-z0-9\s]` after lowering),
+    * whitespace-tokenize, drop article tokens (a/an/the). Per gold:
+    * `m = Σ_tok min(count_gold, count_pred)` (bag intersection), `F1 =
+    * 2m/(|gold|+|pred|)` as EXACT half-up ppm (the [[rougeL]] shared-
+    * numerator collapse — no float), with the official empty-side rule
+    * (either side normalizing to zero tokens scores 1e6 iff BOTH are
+    * empty, else 0); EM compares the normalized token-joined strings.
+    * The example's score is the MAX over its golds (the official
+    * metric_max_over_ground_truths), EM true if ANY gold matches. Rows
+    * with a null prediction or null golds array pass through all-null
+    * (nothing to score ≠ scoring zero — the [[bleu]] stance); null
+    * ELEMENTS inside the golds array normalize as empty strings.
+    *
+    * Scale shape: pred token counts build ONCE per example; the clip
+    * is one (id, token)-keyed join against the per-gold counts and
+    * everything aggregates by example id — partitions trivially, never
+    * quadratic (golds per example are single digits). Returns
+    * `(<idCol>, n_golds, exact_match, best_f1_ppm)`. */
+  def qaEval(df: DataFrame, goldsCol: String, predCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    def normToks(c: Column): Column =
+      filter(tokens(regexp_replace(lower(coalesce(c, lit(""))),
+        "[^a-z0-9\\s]", "")), t => !t.isin("a", "an", "the"))
+    val base = Par.spread(
+      df.filter(col(goldsCol).isNotNull && col(predCol).isNotNull)
+        .select(col(idCol).as("__id"), col(goldsCol).as("__gs"),
+          normToks(col(predCol)).as("__pt")))
+    val predCnt = base.select(col("__id"), explode(col("__pt")).as("tok"))
+      .groupBy(col("__id"), col("tok")).agg(count(lit(1)).as("__cp"))
+    val golds = base.select(col("__id"),
+        posexplode(col("__gs")).as(Seq("__gi", "__g")))
+      .withColumn("__gt", normToks(col("__g")))
+    val goldCnt = golds
+      .select(col("__id"), col("__gi"), explode(col("__gt")).as("tok"))
+      .groupBy(col("__id"), col("__gi"), col("tok"))
+      .agg(count(lit(1)).as("__cg"))
+    val m = goldCnt.join(predCnt, Seq("__id", "tok"))
+      .groupBy(col("__id"), col("__gi"))
+      .agg(sum(least(col("__cg"), col("__cp"))).as("__m"))
+    val perGold = golds
+      .select(col("__id"), col("__gi"), size(col("__gt")).as("__ng"),
+        concat_ws(" ", col("__gt")).as("__gn"))
+      .join(base.select(col("__id"), size(col("__pt")).as("__np"),
+        concat_ws(" ", col("__pt")).as("__pn")), Seq("__id"))
+      .join(m, Seq("__id", "__gi"), "left")
+      .withColumn("__m", coalesce(col("__m"), lit(0L)))
+      .withColumn("__f1",
+        when(col("__ng") === 0 || col("__np") === 0,
+          when(col("__ng") === 0 && col("__np") === 0, lit(1000000L))
+            .otherwise(lit(0L)))
+        .otherwise(expr(
+          "(4 * __m * 1000000 + (__ng + __np)) div (2 * (__ng + __np))")))
+      .withColumn("__em",
+        when(col("__gn") === col("__pn"), 1L).otherwise(0L))
+    val perId = perGold.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_golds"), max(col("__em")).as("__ema"),
+        max(col("__f1")).as("best_f1_ppm"))
+      .select(col("__id").as(idCol), col("n_golds"),
+        (col("__ema") === 1L).as("exact_match"), col("best_f1_ppm"))
+    df.select(col(idCol)).join(perId, Seq(idCol), "left")
+  }
+
   /** Sentence BLEU (Papineni et al. 2002, sacrebleu conventions) — the
     * MT/generation metric next to [[rougeL]]: clipped n-gram precisions
     * at orders 1–4 as EXACT integer counts (`m_n` = Σ_g min(hyp count,

@@ -2561,6 +2561,143 @@ object TextQueries extends graft.QueryPack {
              |  ELSE 0 END AS chrf_ppm
              |FROM fin""".stripMargin)),
 
+    // ---- X90: WER (token-level Levenshtein, the ASR/MT error rate) -------
+    // Each doc scored against its successor's text (the q_x77 pairing —
+    // real partial overlap, nontrivial distances). The kernel's two-row
+    // DP replays in the oracle as the q_x77 ANTI-DIAGONAL recursion with
+    // Levenshtein's twists: boundary cells are non-zero (D[i][0]=i,
+    // D[0][j]=j), the combiner is least() so dead cells carry m+n+1
+    // (zero would win the min and corrupt the frontier), and the
+    // substitution cost rides the diagonal neighbor.
+    Q("q_x90_wer",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        TextAnalysis.wer(
+          docs.select(col("doc_id"), col("text").as("ref"))
+            .join(docs.select((col("doc_id") - 1).as("doc_id"),
+              col("text").as("hyp")), Seq("doc_id")),
+          "ref", "hyp")
+      },
+      Some("""WITH RECURSIVE
+             |p AS (SELECT a.doc_id,
+             |    list_filter(regexp_split_to_array(a.text, '\s+'),
+             |      x -> x <> '') AS rt,
+             |    list_filter(regexp_split_to_array(b.text, '\s+'),
+             |      x -> x <> '') AS ht
+             |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |  WHERE a.text IS NOT NULL AND b.text IS NOT NULL),
+             |dims AS (SELECT doc_id, rt, ht, len(rt) AS m, len(ht) AS n
+             |  FROM p),
+             |r AS (
+             |  SELECT doc_id, 0 AS d,
+             |    list_transform(range(0, m + 1), i ->
+             |      CASE WHEN i = 0 THEN 0 ELSE m + n + 1 END) AS cur,
+             |    list_transform(range(0, m + 1), i ->
+             |      CASE WHEN i = 0 THEN 0 ELSE m + n + 1 END) AS prev
+             |  FROM dims
+             |  UNION ALL
+             |  SELECT r.doc_id, r.d + 1,
+             |    list_transform(range(0, dm.m + 1), i ->
+             |      CASE WHEN r.d + 1 - i < 0 OR r.d + 1 - i > dm.n
+             |        THEN dm.m + dm.n + 1
+             |      WHEN i = 0 THEN r.d + 1
+             |      WHEN r.d + 1 - i = 0 THEN i
+             |      ELSE least(
+             |        r.cur[i] + 1,
+             |        r.cur[i + 1] + 1,
+             |        r.prev[i] + CASE WHEN dm.rt[i] = dm.ht[r.d + 1 - i]
+             |          THEN 0 ELSE 1 END)
+             |      END) AS cur,
+             |    r.cur AS prev
+             |  FROM r JOIN dims dm USING (doc_id)
+             |  WHERE r.d < dm.m + dm.n),
+             |fin AS (SELECT r.doc_id, r.cur[dm.m + 1] AS edits,
+             |    dm.m AS n_ref, dm.n AS n_hyp
+             |  FROM r JOIN dims dm USING (doc_id)
+             |  WHERE r.d = dm.m + dm.n)
+             |SELECT doc_id, CAST(edits AS BIGINT) AS edits,
+             |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_hyp AS BIGINT) AS n_hyp,
+             |  CAST(CASE WHEN n_ref > 0 THEN
+             |    (2 * edits * 1000000 + n_ref) // (2 * n_ref) END
+             |    AS BIGINT) AS wer_ppm
+             |FROM fin""".stripMargin)),
+
+    // ---- X89: SQuAD QA eval (token-bag F1 + EM, max over golds) ----------
+    // Golds = [full text, first-3-tokens]; pred per doc_id % 4 exercises
+    // every branch: 0 -> the text itself (EM through identity), 1 -> the
+    // first 6 raw tokens (partial bag overlap vs both golds), 2 -> the
+    // UPPERCASED text with punctuation appended (EM must survive the
+    // normalization), 3 -> two alien tokens (zero overlap). The oracle
+    // replays normalization, per-gold clipped bag intersection, the
+    // empty-side rule, and max-over-golds.
+    Q("q_x89_qa_eval",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .withColumn("toks", TextAnalysis.tokens(col("text")))
+          .select(col("doc_id"),
+            array(col("text"),
+              concat_ws(" ", slice(col("toks"), 1, 3))).as("golds"),
+            when(col("doc_id") % 4 === 0, col("text"))
+              .when(col("doc_id") % 4 === 1,
+                concat_ws(" ", slice(col("toks"), 1, 6)))
+              .when(col("doc_id") % 4 === 2,
+                concat(upper(col("text")), lit("!!!")))
+              .otherwise(lit("zzz qqq")).as("pred"))
+        TextAnalysis.qaEval(docs, "golds", "pred")
+      },
+      Some("""WITH d AS (SELECT doc_id, text,
+             |    list_filter(regexp_split_to_array(text, '\s+'),
+             |      x -> x <> '') AS tk
+             |  FROM documents WHERE text IS NOT NULL),
+             |b AS (SELECT doc_id,
+             |    [text, COALESCE(array_to_string(list_slice(tk, 1, 3), ' '),
+             |      '')] AS golds,
+             |    CASE CAST(doc_id % 4 AS INT)
+             |      WHEN 0 THEN text
+             |      WHEN 1 THEN COALESCE(
+             |        array_to_string(list_slice(tk, 1, 6), ' '), '')
+             |      WHEN 2 THEN upper(text) || '!!!'
+             |      ELSE 'zzz qqq' END AS pred
+             |  FROM d),
+             |pt AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(
+             |      regexp_replace(lower(pred), '[^a-z0-9\s]', '', 'g'),
+             |      '\s+'),
+             |      t -> t <> '' AND t NOT IN ('a', 'an', 'the')) AS ptk
+             |  FROM b),
+             |g AS (SELECT doc_id, gi,
+             |    list_filter(regexp_split_to_array(
+             |      regexp_replace(lower(gold), '[^a-z0-9\s]', '', 'g'),
+             |      '\s+'),
+             |      t -> t <> '' AND t NOT IN ('a', 'an', 'the')) AS gtk
+             |  FROM (SELECT doc_id, unnest(golds) AS gold,
+             |      generate_subscripts(golds, 1) AS gi FROM b)),
+             |gc AS (SELECT doc_id, gi, tok, COUNT(*) AS cg
+             |  FROM (SELECT doc_id, gi, unnest(gtk) AS tok FROM g)
+             |  GROUP BY 1, 2, 3),
+             |pcnt AS (SELECT doc_id, tok, COUNT(*) AS cp
+             |  FROM (SELECT doc_id, unnest(ptk) AS tok FROM pt)
+             |  GROUP BY 1, 2),
+             |m AS (SELECT doc_id, gi, SUM(LEAST(cg, cp)) AS m
+             |  FROM gc JOIN pcnt USING (doc_id, tok) GROUP BY 1, 2),
+             |per AS (SELECT g.doc_id, g.gi, len(g.gtk) AS ng,
+             |    len(p.ptk) AS np, COALESCE(m.m, 0) AS m,
+             |    COALESCE(array_to_string(g.gtk, ' '), '') AS gn,
+             |    COALESCE(array_to_string(p.ptk, ' '), '') AS pn
+             |  FROM g JOIN pt p USING (doc_id)
+             |  LEFT JOIN m USING (doc_id, gi)),
+             |f AS (SELECT doc_id,
+             |    CASE WHEN ng = 0 OR np = 0 THEN
+             |      CASE WHEN ng = 0 AND np = 0 THEN 1000000 ELSE 0 END
+             |    ELSE (4 * m * 1000000 + (ng + np)) // (2 * (ng + np))
+             |    END AS f1,
+             |    CASE WHEN gn = pn THEN 1 ELSE 0 END AS em
+             |  FROM per)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_golds,
+             |  MAX(em) = 1 AS exact_match,
+             |  CAST(MAX(f1) AS BIGINT) AS best_f1_ppm
+             |FROM f GROUP BY 1""".stripMargin)),
+
     // ---- X75: interpolated Kneser-Ney bigram LM (the KenLM default) -----
     // Trains on the even-doc half, scores EVERY doc — held-out docs
     // exercise the unseen-bigram discount, the unseen-context

@@ -491,6 +491,81 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("4096"))
   }
 
+  test("wer: hand edit distances at word level, >100% rates, empty and " +
+      "null sides, the per-example token cap raises") {
+    import spark.implicits._
+    def score(ref: String, hyp: String) =
+      TextAnalysis.wer(Seq((1L, ref, hyp)).toDF("id", "ref", "hyp"),
+        "ref", "hyp", "id").head
+    // identical -> zero edits, zero rate
+    val r0 = score("a b c", "a b c")
+    assert((r0.getLong(1), r0.getLong(4)) === ((0L, 0L)))
+    // one substitution + one deletion over 4 ref words -> 2/4
+    val r1 = score("a b c d", "a x c")
+    assert((r1.getLong(1), r1.getLong(4)) === ((2L, 500000L)))
+    // the classic kitten->sitting at token granularity: 3 edits
+    assert(score("k i t t e n", "s i t t i n g").getLong(1) === 3L)
+    // WORD granularity, not characters: one whole-word substitution
+    assert(score("the kitten sat", "the sitting sat").getLong(1) === 1L)
+    // hypothesis longer than the reference: insertions push WER past 1e6
+    val r2 = score("a", "a b c")
+    assert((r2.getLong(1), r2.getLong(4)) === ((2L, 2000000L)))
+    // empty hyp = n_ref deletions, exactly 100%
+    val r3 = score("a b", "   ")
+    assert((r3.getLong(1), r3.getLong(4)) === ((2L, 1000000L)))
+    // empty ref: no defined rate (null), edits = n_hyp insertions
+    val r4 = score("", "x y")
+    assert(r4.getLong(1) === 2L && r4.isNullAt(4))
+    // null side propagates a null row, never a fake zero
+    val r5 = TextAnalysis.wer(
+      Seq((1L, Option("a"), Option.empty[String])).toDF("id", "ref", "hyp"),
+      "ref", "hyp", "id").head
+    assert(r5.isNullAt(1) && r5.isNullAt(2) && r5.isNullAt(4))
+    // the per-example cap refuses a degenerate m*n blowup loudly
+    val big = ("w " * 5000).trim
+    val ex = intercept[Exception](score(big, "w"))
+    assert(ex.getMessage.contains("4096"))
+  }
+
+  test("qa eval: squad normalization (case/punct/articles), bag-F1 with " +
+      "duplicate clipping, max over golds, empty-side rule, null pred " +
+      "passes through") {
+    import spark.implicits._
+    def run(golds: Seq[String], pred: String) =
+      TextAnalysis.qaEval(
+        Seq((1L, golds, Option(pred))).toDF("id", "golds", "pred"),
+        "golds", "pred", "id").head
+    // normalization: case, punctuation, articles — EM through all three
+    val r1 = run(Seq("The Eiffel Tower!"), "eiffel tower")
+    assert((r1.getLong(1), r1.getBoolean(2), r1.getLong(3)) ===
+      ((1L, true, 1000000L)))
+    // partial bag overlap: {quick brown fox} vs {quick red fox} -> m=2,
+    // F1 = 4/6 exact half-up ppm
+    val r2 = run(Seq("the quick brown fox"), "a quick red fox")
+    assert((r2.getBoolean(2), r2.getLong(3)) === ((false, 666667L)))
+    // bag semantics clip duplicates: yes yes no vs yes no no -> m=2
+    assert(run(Seq("yes yes no"), "yes no no").getLong(3) === 666667L)
+    // max over golds: one wrong gold never drags the score down
+    val r3 = run(Seq("completely wrong", "quick fox"), "quick fox")
+    assert((r3.getLong(1), r3.getBoolean(2), r3.getLong(3)) ===
+      ((2L, true, 1000000L)))
+    // official empty-side rule: both normalize empty -> 1e6 + EM;
+    // one empty -> 0
+    val r4 = run(Seq("!!!"), "???")
+    assert((r4.getBoolean(2), r4.getLong(3)) === ((true, 1000000L)))
+    assert(run(Seq("!!!"), "word").getLong(3) === 0L)
+    // a null gold ELEMENT normalizes as empty (scored, not dropped)
+    val r5 = TextAnalysis.qaEval(
+      Seq((1L, Seq[String](null, "x y"), "x y")).toDF("id", "golds", "pred"),
+      "golds", "pred", "id").head
+    assert((r5.getLong(1), r5.getLong(3)) === ((2L, 1000000L)))
+    // null PRED passes through all-null — nothing to score
+    val r6 = TextAnalysis.qaEval(
+      Seq((1L, Seq("x"), Option.empty[String])).toDF("id", "golds", "pred"),
+      "golds", "pred", "id").head
+    assert(r6.isNullAt(1) && r6.isNullAt(3))
+  }
+
   test("final-answer extraction: last number wins, commas strip, signs " +
       "and decimals parse, numberless completions abstain") {
     import spark.implicits._
