@@ -2889,4 +2889,73 @@ object TextAnalysis {
       coalesce(size(valid), lit(0)).cast("long").as("n_valid"))
       .withColumn("has_pan", col("n_valid") > 0)
   }
+
+  /** High-entropy secret detection — the credential half of the DLP
+    * pair next to [[panAudit]] (the detect-secrets / truffleHog
+    * approach: keys and tokens are RANDOM, prose is not, so Shannon
+    * entropy over a long unbroken key-alphabet run separates them
+    * without a per-vendor pattern zoo). Candidates are maximal
+    * `[A-Za-z0-9+/=_-]` runs of ≥ `minLen` chars (base64/hex/url-safe
+    * alphabets); per candidate the char-distribution entropy in BITS:
+    *
+    *   H = ln N − (Σ_c k_c·ln k_c)/N, over ln 2
+    *
+    * computed under the exact-arithmetic contract: each ln rounds to
+    * 6 dp (the q_x16/q_x27 cross-engine discipline), Σ k·ln k is exact
+    * DECIMAL, both divisions are half-up integer micros, ln 2 is the
+    * 6-dp constant 0.693147 — so a fully repeated char scores EXACTLY
+    * 0 (its two ln terms cancel by construction) and both engines
+    * replay the same micro-bits. A candidate flags as a secret at
+    * `minBitsMicro` (default 4.0 bits/char: random base64 measures
+    * ~4.2-4.6 at key lengths, hex ~3.5-4.0, English words ~2.5-3.2 —
+    * calibrate per corpus; hex-heavy corpora want ~3.2e6 like
+    * detect-secrets' hex limit).
+    *
+    * Scale shape: map-only candidate extraction (regex over the scan,
+    * candidates are rare in prose); the char explode is per-candidate
+    * only, and the two aggregations key by (doc, candidate) then doc —
+    * partitions trivially. Returns `(<idCol>, n_candidates, n_secrets,
+    * max_entropy_bits_micro)` (max null when a doc has no candidate —
+    * nothing measured ≠ measuring zero). */
+  def secretAudit(df: DataFrame, textCol: String,
+      idCol: String = "doc_id", minLen: Int = 20,
+      minBitsMicro: Long = 4000000L): DataFrame = {
+    require(minLen >= 8, s"minLen must be >= 8, got $minLen")
+    val base = Par.spread(df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        regexp_extract_all(col(textCol),
+          lit(s"[A-Za-z0-9+/=_-]{$minLen,}"), lit(0)).as("__cs")))
+    val cand = base.select(col("__id"),
+      posexplode(col("__cs")).as(Seq("__ci", "__c")))
+    val freq = cand
+      .select(col("__id"), col("__ci"), length(col("__c")).as("__n"),
+        explode(split(col("__c"), "")).as("__ch"))
+      .groupBy(col("__id"), col("__ci"), col("__n"), col("__ch"))
+      .agg(count(lit(1)).as("__k"))
+    val ent = freq.groupBy(col("__id"), col("__ci"), col("__n"))
+      .agg(sum(expr("__k * cast(round(ln(__k), 6) as decimal(18,6))"))
+        .as("__klnk"))
+      .withColumn("__klnk_u", (col("__klnk") * 1000000L).cast("long"))
+      .withColumn("__lnn_u", (expr(
+        "cast(round(ln(__n), 6) as decimal(18,6))") * 1000000L)
+        .cast("long"))
+      // floor at 0: true entropy is non-negative, but the two 6-dp ln
+      // roundings could in principle leave -1 micro-nat, where Spark's
+      // div (truncate) and an oracle's floor-division disagree
+      .withColumn("__h_nat_u", greatest(lit(0L),
+        col("__lnn_u") - expr("(2 * __klnk_u + __n) div (2 * __n)")))
+      .withColumn("__h_bit_u",
+        expr("(2 * __h_nat_u * 1000000 + 693147) div (2 * 693147)"))
+    val perDoc = ent.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__nc"),
+        sum(when(col("__h_bit_u") >= minBitsMicro, 1L).otherwise(0L))
+          .as("__ns"),
+        max(col("__h_bit_u")).as("__mx"))
+    df.select(col(idCol))
+      .join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nc"), lit(0L)).as("n_candidates"),
+        coalesce(col("__ns"), lit(0L)).as("n_secrets"),
+        col("__mx").as("max_entropy_bits_micro"))
+  }
 }

@@ -2622,6 +2622,62 @@ object TextQueries extends graft.QueryPack {
              |    AS BIGINT) AS wer_ppm
              |FROM fin""".stripMargin)),
 
+    // ---- X91: high-entropy secret audit (the panAudit DLP sibling) -------
+    // Per doc_id % 3 the text gains: 0 -> a real random-ish key (base64
+    // of the doc_id's md5 — deterministic, ~4.2-4.6 bits/char, flags),
+    // 1 -> a 24-char repeated run (candidate, exactly 0 bits, never
+    // flags), 2 -> nothing appended (natural text only). The oracle
+    // replays extraction, per-char counts, the 6-dp-ln entropy in
+    // integer micros, and the bits conversion.
+    Q("q_x91_secret_audit",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            when(col("doc_id") % 3 === 0, concat(col("text"), lit(" "),
+              base64(unhex(md5(col("doc_id").cast("string"))))))
+            .when(col("doc_id") % 3 === 1,
+              concat(col("text"), lit(" aaaaaaaaaaaaaaaaaaaaaaaa")))
+            .otherwise(col("text")).as("text"))
+        TextAnalysis.secretAudit(docs, "text")
+      },
+      Some("""WITH src AS (SELECT doc_id,
+             |    CASE CAST(doc_id % 3 AS INT)
+             |      WHEN 0 THEN text || ' ' ||
+             |        to_base64(unhex(md5(CAST(doc_id AS VARCHAR))))
+             |      WHEN 1 THEN text || ' aaaaaaaaaaaaaaaaaaaaaaaa'
+             |      ELSE text END AS text
+             |  FROM documents WHERE text IS NOT NULL),
+             |c AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(text,
+             |      '[A-Za-z0-9+/=_-]{20,}')) AS cand,
+             |    generate_subscripts(regexp_extract_all(text,
+             |      '[A-Za-z0-9+/=_-]{20,}'), 1) AS ci
+             |  FROM src),
+             |f AS (SELECT doc_id, ci, len(cand) AS n, ch, COUNT(*) AS k
+             |  FROM (SELECT doc_id, ci, cand,
+             |      unnest(string_split(cand, '')) AS ch FROM c)
+             |  GROUP BY 1, 2, 3, 4),
+             |e AS (SELECT doc_id, ci, n,
+             |    CAST(SUM(k * CAST(round(ln(k), 6) AS DECIMAL(18,6)))
+             |      * 1000000 AS BIGINT) AS klnk_u,
+             |    CAST(CAST(round(ln(n), 6) AS DECIMAL(18,6)) * 1000000
+             |      AS BIGINT) AS lnn_u
+             |  FROM f GROUP BY 1, 2, 3),
+             |hb AS (SELECT doc_id,
+             |    (2 * GREATEST(0, lnn_u - (2 * klnk_u + n) // (2 * n))
+             |      * 1000000 + 693147) // (2 * 693147) AS hbit
+             |  FROM e),
+             |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             |    CAST(SUM(CASE WHEN hbit >= 4000000 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_secrets,
+             |    CAST(MAX(hbit) AS BIGINT) AS max_entropy_bits_micro
+             |  FROM hb GROUP BY 1)
+             |SELECT s.doc_id,
+             |  COALESCE(a.n_candidates, 0) AS n_candidates,
+             |  COALESCE(a.n_secrets, 0) AS n_secrets,
+             |  a.max_entropy_bits_micro
+             |FROM src s LEFT JOIN a USING (doc_id)""".stripMargin)),
+
     // ---- X89: SQuAD QA eval (token-bag F1 + EM, max over golds) ----------
     // Golds = [full text, first-3-tokens]; pred per doc_id % 4 exercises
     // every branch: 0 -> the text itself (EM through identity), 1 -> the

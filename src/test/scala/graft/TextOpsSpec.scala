@@ -291,6 +291,46 @@ class TextOpsSpec extends AnyFunSuite {
       "packing preserves the tokenizer's total token count")
   }
 
+  test("secret audit: entropy separates a random key from a repeated " +
+      "run and an English word; alternation scores exactly 1.0 bits; " +
+      "no candidate means null max, not zero") {
+    import spark.implicits._
+    val docs = Seq(
+      // a 22-distinct-char key: H = log2(22) ~ 4.46 bits -> secret
+      (1L, "token aB3dE5gH7jK9mN1pQ2sT4v found in config"),
+      // same doc shape, low-entropy runs: candidates but NOT secrets
+      (2L, "padding aaaaaaaaaaaaaaaaaaaaaa plus the long word " +
+        "internationalizations here"),
+      // exact arithmetic anchor: 10 a's alternating 10 b's ->
+      // H = ln20 - ln10 = ln2 -> EXACTLY 1.0 bits in 6-dp micros
+      (3L, "x abababababababababab y"),
+      // prose only: no 20-char key-alphabet run at all
+      (4L, "just ordinary short words, nothing resembling a key"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val out = TextAnalysis.secretAudit(docs, "text", "id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(out(1L)._1 === 1L && out(1L)._2 === 1L,
+      "the random key is one candidate and one secret")
+    assert(out(1L)._3.get > 4000000L && out(1L)._3.get < 4600000L,
+      s"22 distinct chars measure ~4.46 bits, got ${out(1L)._3}")
+    assert(out(2L) === ((2L, 0L, Some(out(2L)._3.get))) &&
+      out(2L)._3.get < 3200000L,
+      "repeated run and English word are candidates, never secrets")
+    assert(out(3L)._3 === Some(1000000L),
+      "two symbols alternating = exactly 1.0 bits (6-dp ln cancellation)")
+    assert(out(4L) === ((0L, 0L, None)),
+      "no candidate measured: max is null, not a fake zero")
+    assert(out(5L) === ((0L, 0L, None)))
+    // a fully repeated char cancels to EXACTLY zero bits
+    val z = TextAnalysis.secretAudit(
+      Seq((1L, "cccccccccccccccccccccccc")).toDF("id", "text"), "text", "id")
+      .head
+    assert(z.getLong(3) === 0L)
+  }
+
   test("pan audit: Luhn separates valid cards from lookalikes, " +
       "separators and lengths handled, clean text stays clean") {
     import spark.implicits._
