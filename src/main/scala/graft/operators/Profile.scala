@@ -908,6 +908,75 @@ object Profile {
           .as("kappa_ppm"))
   }
 
+  /** Fleiss' kappa (1971) — [[cohenKappa]]'s multi-rater extension:
+    * chance-corrected agreement when EVERY item is rated by the same
+    * number `n ≥ 2` of raters (preference corpora with rater panels,
+    * N-way LLM-judge ensembles). Raters are interchangeable — only the
+    * per-item category counts n_ij matter. EXACT integer end to end:
+    * with N items, M = N·n, S2 = Σ_ij n_ij², E2 = Σ_j (Σ_i n_ij)²,
+    *
+    *   P_o = (S2 − M)/(M(n−1)),  P_e = E2/M²,
+    *   κ  = (M(S2−M) − E2(n−1)) / ((n−1)(M² − E2))
+    *
+    * — each emitted as half-up ppm of exact DECIMAL(38,0) ratios, so
+    * the oracle replays bit-for-bit. κ is legitimately NEGATIVE below
+    * chance: the sign splits out before the half-up division (truncate
+    * vs floor differ on negatives across engines). E2 = M² (all
+    * ratings one category — chance agreement total) has no defined κ
+    * → null with the counts intact. Items with UNEQUAL rater counts
+    * are a design violation, not data to silently reweight — an
+    * in-plan raise (Fleiss' statistic is undefined there; filter to a
+    * complete panel upstream). Null item/category rows are unjudged —
+    * excluded. Scale: two hash aggregations over the (item, category)
+    * cell relation + two 1-row joins. Returns ONE row `(n_items,
+    * n_raters, n_categories, po_ppm, pe_ppm, kappa_ppm)`. */
+  def fleissKappa(df: DataFrame, itemCol: String,
+      categoryCol: String): DataFrame = {
+    val lab = df
+      .filter(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .select(col(itemCol).as("__i"),
+        col(categoryCol).cast("string").as("__c"))
+    val cell = lab.groupBy(col("__i"), col("__c"))
+      .agg(count(lit(1)).as("__nij"))
+      .localCheckpoint()
+    val perItem = cell.groupBy(col("__i"))
+      .agg(sum(col("__nij")).as("__ni"),
+        sum(col("__nij") * col("__nij")).as("__s2i"))
+    val head = perItem.agg(count(lit(1)).as("n_items"),
+      min(col("__ni")).as("__nmin"), max(col("__ni")).as("__nmax"),
+      sum(col("__s2i")).as("__s2"))
+    val cats = cell.groupBy(col("__c"))
+      .agg(sum(col("__nij")).as("__tj"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(expr("CAST(__tj AS DECIMAL(38,0)) * __tj")).as("__e2"))
+    head.crossJoin(broadcast(cats))
+      .withColumn("n_raters",
+        when(col("n_items") === 0 || col("__nmin") =!= col("__nmax") ||
+            col("__nmin") < 2,
+          raise_error(concat(lit("fleissKappa: every item must have the " +
+            "same rater count >= 2 (Fleiss' statistic is undefined " +
+            "otherwise) — got items="), col("n_items").cast("string"),
+            lit(" rater counts ["), col("__nmin").cast("string"),
+            lit(", "), col("__nmax").cast("string"),
+            lit("]; filter to a complete panel upstream"))))
+          .otherwise(col("__nmin")))
+      .withColumn("__m", expr("CAST(n_items AS DECIMAL(38,0)) * n_raters"))
+      .withColumn("__num", expr(
+        "__m * (__s2 - __m) - __e2 * (n_raters - 1)"))
+      .withColumn("__den", expr("(n_raters - 1) * (__m * __m - __e2)"))
+      .select(col("n_items"), col("n_raters"), col("n_categories"),
+        expr("(2 * (__s2 - __m) * 1000000 + __m * (n_raters - 1)) " +
+          "div (2 * __m * (n_raters - 1))").as("po_ppm"),
+        expr("(2 * __e2 * 1000000 + __m * __m) div (2 * __m * __m)")
+          .as("pe_ppm"),
+        when(col("__den") =!= 0,
+          when(col("__num") < 0,
+            -expr("(2 * (-__num) * 1000000 + __den) div (2 * __den)"))
+          .otherwise(
+            expr("(2 * __num * 1000000 + __den) div (2 * __den)")))
+          .as("kappa_ppm"))
+  }
+
   /** pass@k — THE code-generation eval metric (Chen et al. 2021,
     * "Evaluating Large Language Models Trained on Code", eq. 1), in its
     * UNBIASED combinatorial form: with `n` samples per problem of which

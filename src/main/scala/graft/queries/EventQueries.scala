@@ -593,6 +593,66 @@ object EventQueries extends graft.QueryPack {
               |  CAST(s5.s AS BIGINT) AS strength_micro
               |FROM w JOIN s5 USING (candidate)""".stripMargin)),
 
+    // ---- E36: Fleiss' kappa (multi-rater agreement) -----------------------
+    // A 29-item / 3-rater panel synthesized from events: rater =
+    // user_id % 3, item = event_id % 29, each (item, rater) cell
+    // resolved to ONE rating (min event_type — deterministic), items
+    // kept only when the panel is complete (all 3 raters) — the
+    // operator's own uniformity contract. The oracle replays the cell
+    // counts, S2/E2, the exact rational P_o/P_e, and the sign-split
+    // half-up kappa.
+    Q("q_e36_fleiss_kappa",
+      (s, d) => {
+        val ratings = Tables.events(s, d)
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+          .select((col("event_id") % 29).as("item"),
+            (col("user_id") % 3).as("rater"), col("event_type"))
+          .groupBy(col("item"), col("rater"))
+          .agg(min(col("event_type")).as("category"))
+        val complete = ratings.groupBy(col("item"))
+          .agg(count(lit(1)).as("__k")).filter(col("__k") === 3)
+          .select(col("item"))
+        graft.operators.Profile.fleissKappa(
+          ratings.join(complete, Seq("item")), "item", "category")
+      },
+      Some("""WITH r AS (SELECT event_id % 29 AS item,
+             |    user_id % 3 AS rater, MIN(event_type) AS category
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |  GROUP BY 1, 2),
+             |fullp AS (SELECT item FROM r GROUP BY 1 HAVING COUNT(*) = 3),
+             |lab AS (SELECT r.item, r.category
+             |  FROM r JOIN fullp USING (item)),
+             |cell AS (SELECT item, category, COUNT(*) AS nij
+             |  FROM lab GROUP BY 1, 2),
+             |per AS (SELECT item, SUM(nij) AS ni, SUM(nij * nij) AS s2i
+             |  FROM cell GROUP BY 1),
+             |h AS (SELECT COUNT(*) AS n_items, MIN(ni) AS nr,
+             |    SUM(s2i) AS s2 FROM per),
+             |cs AS (SELECT COUNT(*) AS n_categories,
+             |    SUM(CAST(tj AS HUGEINT) * tj) AS e2
+             |  FROM (SELECT category, SUM(nij) AS tj FROM cell GROUP BY 1)),
+             |z AS (SELECT h.n_items, h.nr, cs.n_categories, h.s2, cs.e2,
+             |    CAST(h.n_items AS HUGEINT) * h.nr AS m
+             |  FROM h, cs),
+             |k AS (SELECT *,
+             |    m * (s2 - m) - e2 * (nr - 1) AS num,
+             |    (nr - 1) * (m * m - e2) AS den
+             |  FROM z)
+             |SELECT CAST(n_items AS BIGINT) AS n_items,
+             |  CAST(nr AS BIGINT) AS n_raters,
+             |  CAST(n_categories AS BIGINT) AS n_categories,
+             |  CAST((2 * (s2 - m) * 1000000 + m * (nr - 1))
+             |    // (2 * m * (nr - 1)) AS BIGINT) AS po_ppm,
+             |  CAST((2 * e2 * 1000000 + m * m) // (2 * m * m) AS BIGINT)
+             |    AS pe_ppm,
+             |  CAST(CASE WHEN den <> 0 THEN
+             |    CASE WHEN num < 0
+             |      THEN -((2 * (-num) * 1000000 + den) // (2 * den))
+             |      ELSE (2 * num * 1000000 + den) // (2 * den) END
+             |    END AS BIGINT) AS kappa_ppm
+             |FROM k""".stripMargin)),
+
     // ---- E28/E29: pairwise-preference aggregation (RLHF data ops) -------
     // A preference corpus synthesized engine-independently from events:
     // 8 candidates, base direction the ROTATIONAL tournament (a beats b

@@ -750,6 +750,39 @@ class ScdProfileSpec extends AnyFunSuite {
     assert(withNull.getLong(0) === 50L)
   }
 
+  test("fleiss kappa: perfect panels score 1, exactly-chance panels 0, " +
+      "systematic disagreement goes NEGATIVE, one-category panels are " +
+      "undefined, unequal rater counts raise") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String)]) =
+      Profile.fleissKappa(rows.toDF("item", "cat"), "item", "cat")
+        .collect().head
+    // perfect agreement, two categories evenly: kappa exactly 1
+    val perfect = run(Seq(1L -> "x", 1L -> "x", 1L -> "x",
+      2L -> "x", 2L -> "x", 2L -> "x",
+      3L -> "y", 3L -> "y", 3L -> "y", 4L -> "y", 4L -> "y", 4L -> "y"))
+    assert((perfect.getLong(0), perfect.getLong(1), perfect.getLong(2)) ===
+      ((4L, 3L, 2L)))
+    assert((perfect.getLong(3), perfect.getLong(4), perfect.getLong(5)) ===
+      ((1000000L, 500000L, 1000000L)))
+    // hand case landing EXACTLY at chance: P_o = P_e = 10/18 -> kappa 0
+    val chance = run(Seq(1L -> "x", 1L -> "x", 1L -> "y",
+      2L -> "x", 2L -> "x", 2L -> "x", 3L -> "y", 3L -> "y", 3L -> "x"))
+    assert((chance.getLong(3), chance.getLong(4), chance.getLong(5)) ===
+      ((555556L, 555556L, 0L)))
+    // systematic disagreement: every pair split -> kappa = -1 (the
+    // negative branch must round away from the truncate-vs-floor trap)
+    val neg = run(Seq(1L -> "x", 1L -> "y", 2L -> "y", 2L -> "x"))
+    assert(neg.getLong(5) === -1000000L)
+    // all ratings one category: chance agreement total -> undefined
+    val const = run(Seq(1L -> "x", 1L -> "x", 2L -> "x", 2L -> "x"))
+    assert(const.getLong(3) === 1000000L && const.isNullAt(5))
+    // unequal panels are a design violation, not data
+    val ex = intercept[Exception](
+      run(Seq(1L -> "x", 1L -> "y", 2L -> "x")))
+    assert(ex.getMessage.contains("same rater count"))
+  }
+
   test("pass@k: hand combinatorics, the n-c<k certainty branch, " +
       "undefined when n<k, unjudged excluded, the overflow cap raises") {
     import spark.implicits._
