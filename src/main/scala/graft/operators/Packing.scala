@@ -143,4 +143,57 @@ object Packing {
             s.getField("tok_end").as("tok_end"),
             s.getField("mask").as("mask"))).as("segments"))
   }
+
+  /** Length-bucketed batch planning — the PADDED-batch counterpart to
+    * [[packByCount]]'s concatenation layout (HF `group_by_length` /
+    * fairseq length-sorted batching): models that cannot concatenate
+    * (reward models, encoders, judge inference) pad every sequence in
+    * a batch to the batch max, so batching similar lengths together is
+    * THE padding-waste lever. Buckets are power-of-2 length classes
+    * (bucket = binary digit count of the token count — exact integer
+    * cross-engine, no float log2 at the boundary), which bounds
+    * in-batch length spread below 2× and therefore padding waste below
+    * 50% BY CONSTRUCTION for non-empty sequences (max < 2·min inside a
+    * bucket; zero-token rows share bucket 1 with 1-token rows and are
+    * the one place a mixed batch can touch exactly 50%); within
+    * (shard, bucket) the deterministic salted-hash order (the
+    * [[packByCount]] contract: stable under re-runs and
+    * repartitioning) chops into fixed `batchSize` batches. Per row the
+    * batch's audit stats ride along: `padding_ppm` = half-up ppm of
+    * wasted pad tokens over the batch's padded volume — the number a
+    * capacity planner actually bills (an all-empty batch pads nothing:
+    * max 0 defines padding 0).
+    *
+    * Scale shape: ONE shuffle keyed by (shard, bucket); both windows
+    * share that partitioning (the second adds the batch key — no
+    * second exchange), shards bound each partition's rows exactly as
+    * in [[packByCount]]. Returns `(<idCol>, shard, bucket, batch,
+    * n_tokens, batch_docs, batch_max, padding_ppm)`. */
+  def lengthBucketBatches(docs: DataFrame, batchSize: Int, shards: Int,
+      salt: String, idCol: String = "doc_id",
+      countCol: String = "n_tokens"): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(shards > 0, s"shard count must be positive, got $shards")
+    val base = docs.select(col(idCol),
+        Sampling.saltedKey(col(idCol), salt).as("hk"),
+        col(countCol).cast("long").as("n_tokens"))
+      .withColumn("shard", Sampling.bucketOfKey(col("hk"), shards))
+      .withColumn("bucket", length(conv(col("n_tokens"), 10, 2)).cast("long"))
+    val w = Window.partitionBy(col("shard"), col("bucket"))
+      .orderBy(col("hk"), col(idCol))
+    val asg = base.withColumn("__rn", row_number().over(w))
+      .withColumn("batch", expr(s"(__rn - 1) div $batchSize"))
+    val wb = Window.partitionBy(col("shard"), col("bucket"), col("batch"))
+    asg
+      .withColumn("batch_docs", count(lit(1)).over(wb))
+      .withColumn("batch_max", max(col("n_tokens")).over(wb))
+      .withColumn("__bsum", sum(col("n_tokens")).over(wb))
+      .withColumn("padding_ppm", when(col("batch_max") > 0, expr(
+        "(2 * (batch_max * batch_docs - __bsum) * 1000000 " +
+          "+ batch_max * batch_docs) div (2 * batch_max * batch_docs)"))
+        .otherwise(lit(0L)))
+      .select(col(idCol), col("shard"), col("bucket"), col("batch"),
+        col("n_tokens"), col("batch_docs"), col("batch_max"),
+        col("padding_ppm"))
+  }
 }

@@ -580,6 +580,47 @@ object TextQueries extends graft.QueryPack {
               |  n_tokens
               |FROM c""".stripMargin)),
 
+    // ---- X92: length-bucketed batch planning (padded-batch layout) -------
+    // The q_x20 salted-hash discipline under the PADDED regime: power-
+    // of-2 buckets via binary digit count (exact integer — no float
+    // log2 at the boundary), fixed batches of 8 within (shard, bucket),
+    // the per-batch padding audit in half-up ppm. The oracle replays
+    // the md5 shard, bin() bucket, row_number batching, and window
+    // stats.
+    Q("q_x92_length_buckets",
+      (s, d) => graft.operators.Packing.lengthBucketBatches(
+        Tables.documents(s, d).select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tokens")),
+        batchSize = 8, shards = 4, salt = "lb"),
+      Some(s"""WITH b AS (
+              |  SELECT doc_id,
+              |    CAST('0x' || substr(md5('lb|' || CAST(doc_id AS VARCHAR)),
+              |      1, 8) AS BIGINT) % 4 AS shard,
+              |    md5('lb|' || CAST(doc_id AS VARCHAR)) AS hk,
+              |    CAST(len($duckToks) AS BIGINT) AS n_tokens
+              |  FROM documents),
+              |bk AS (SELECT doc_id, shard, hk, n_tokens,
+              |    CAST(len(bin(n_tokens)) AS BIGINT) AS bucket
+              |  FROM b),
+              |asg AS (SELECT doc_id, shard, bucket, n_tokens,
+              |    (ROW_NUMBER() OVER (PARTITION BY shard, bucket
+              |      ORDER BY hk, doc_id) - 1) // 8 AS batch
+              |  FROM bk),
+              |st AS (SELECT shard, bucket, batch,
+              |    CAST(COUNT(*) AS BIGINT) AS batch_docs,
+              |    CAST(MAX(n_tokens) AS BIGINT) AS batch_max,
+              |    CAST(SUM(n_tokens) AS BIGINT) AS bsum
+              |  FROM asg GROUP BY 1, 2, 3)
+              |SELECT a.doc_id, a.shard, a.bucket, a.batch, a.n_tokens,
+              |  s.batch_docs, s.batch_max,
+              |  CAST(CASE WHEN s.batch_max > 0 THEN
+              |    (2 * (s.batch_max * s.batch_docs - s.bsum) * 1000000
+              |      + s.batch_max * s.batch_docs)
+              |      // (2 * s.batch_max * s.batch_docs)
+              |    ELSE 0 END AS BIGINT) AS padding_ppm
+              |FROM asg a JOIN st s USING (shard, bucket, batch)""".stripMargin)),
+
     // ---- X24: REAL table-driven BPE (corpus-learned merges table) -------
     // The merges TABLE is the artifact: learned deterministically from
     // the corpus in two rounds (char pairs, then compound symbol pairs),

@@ -118,4 +118,47 @@ class PackingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("length-bucket batches: power-of-2 buckets, hand padding ppm, " +
+      "the <50% padding bound holds across a length spread, fixed batch " +
+      "size with one short tail per (shard, bucket)") {
+    import spark.implicits._
+    def run(lens: Seq[Long], batchSize: Int) =
+      graft.operators.Packing.lengthBucketBatches(
+        lens.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+          .toDF("doc_id", "n_tokens"),
+        batchSize, shards = 1, salt = "lb")
+    // bucket = binary digit count: 1 -> 1, 2..3 -> 2, 4..7 -> 3, 8 -> 4,
+    // and the zero-token edge shares bucket 1
+    val b = run(Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L), 10)
+      .collect().map(r => r.getAs[Long]("n_tokens") ->
+        r.getAs[Long]("bucket")).toMap
+    assert(b === Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L,
+      7L -> 3L, 8L -> 4L))
+    // hand padding: [5, 7] alone in bucket 3, one batch of 2 -> the
+    // 5-token doc pads 2 of 14 slots = 142857 ppm half-up
+    val pad = run(Seq(5L, 7L), 2).collect()
+    assert(pad.forall(r => r.getAs[Long]("batch_max") === 7L &&
+      r.getAs[Long]("batch_docs") === 2L &&
+      r.getAs[Long]("padding_ppm") === 142857L))
+    // the structural bound: any mix of NON-EMPTY lengths pads < 50%
+    val spread = run((1L to 100L) ++ Seq(1000L, 1023L, 512L), 4)
+      .collect()
+    assert(spread.forall(_.getAs[Long]("padding_ppm") < 500000L),
+      "power-of-2 bucketing bounds padding below half by construction")
+    // batches fill to batchSize except one tail per (shard, bucket)
+    spread.groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("bucket")))
+      .foreach { case ((_, bk), rows) =>
+        val sizes = rows.groupBy(_.getAs[Long]("batch"))
+          .map { case (k, v) => k -> v.length }
+        val maxBatch = sizes.keys.max
+        sizes.foreach { case (k, n) =>
+          if (k < maxBatch) assert(n === 4, s"bucket $bk batch $k full")
+          else assert(n >= 1 && n <= 4)
+        }
+      }
+    // an all-empty batch pads nothing (max 0 defines padding 0)
+    assert(run(Seq(0L, 0L, 0L), 3).collect()
+      .forall(_.getAs[Long]("padding_ppm") === 0L))
+  }
 }
