@@ -1161,4 +1161,74 @@ object Multimodal {
       minParityPpm: Long = 800000L): DataFrame =
     Profile.gateParity(verdicts.select(col(srcCol), col("aligned")),
       srcCol, "aligned", minParityPpm)
+
+  /** Interleaved image-text document assembly (the MMC4 recipe, Zhu et
+    * al. 2023: images re-attach to a page's text by max CLIP similarity
+    * against its sentence chunks) — the layout step between
+    * [[pairAlignment]]'s gate and a multimodal trainer: each image of a
+    * document is ASSIGNED to the document's best-matching text chunk,
+    * so the render order interleaves images at their chunk positions.
+    * Similarity is the 6-dp integer-micro cosine (the [[pairAlignment]]
+    * arithmetic); the per-image argmax is the packed-long `max_by` hash
+    * aggregate ([[Similarity.assignToCentroids]]'s shape — no sort, no
+    * window), ties to the LOWEST chunk id (earliest position — the
+    * deterministic render choice). Chunk ids must be small non-negative
+    * ordinals (< 2³², the packing contract — per-document chunk
+    * positions, not global ids).
+    *
+    * Scale shape: images join chunks on the DOCUMENT key only —
+    * within-page candidates, never a corpus cross product; per-doc
+    * work is images × chunks (pages have tens of chunks, single-digit
+    * images), and a doc fanning past `maxChunksPerDoc` valid chunks
+    * trips an in-plan raise (the dpoPairs cap discipline) instead of
+    * quietly exploding. Images with a null/zero-norm embedding, or
+    * docs with no valid chunk, surface with `chunk_id` null (the
+    * observability stance: unplaceable ≠ dropped). Returns
+    * `(<docCol>, <imgIdCol>, n_chunks, chunk_id, cos_micros)`. */
+  def interleaveAssign(images: DataFrame, chunks: DataFrame,
+      docCol: String = "doc_id", imgIdCol: String = "img_id",
+      imgVecCol: String = "img_vec", chunkIdCol: String = "chunk_id",
+      chunkVecCol: String = "chunk_vec",
+      maxChunksPerDoc: Int = 4096): DataFrame = {
+    require(maxChunksPerDoc >= 1,
+      s"maxChunksPerDoc must be positive, got $maxChunksPerDoc")
+    val sp = images.sparkSession
+    def nrm(c: org.apache.spark.sql.Column) =
+      sqrt(Similarity.nativeDot(sp, c, c))
+    val ch = chunks.select(col(docCol).as("__d"),
+        col(chunkIdCol).as("__cid"), col(chunkVecCol).as("__cv"))
+      .withColumn("__cn", when(col("__cv").isNotNull, nrm(col("__cv"))))
+      .filter(col("__cn") > 0)
+    val nCh = ch.groupBy(col("__d")).agg(count(lit(1)).as("n_chunks"))
+    val im = images.select(col(docCol).as("__d"),
+        col(imgIdCol).as("__iid"), col(imgVecCol).as("__iv"))
+      .withColumn("__in", when(col("__iv").isNotNull, nrm(col("__iv"))))
+    // the assignToCentroids packed argmax: 6-dp micro score shifted
+    // past the chunk-id space, low chunk id wins ties
+    val ord = col("__cm") * lit(4294967296L) - col("__cid").cast("long")
+    val best = im.filter(col("__in") > 0).join(ch, Seq("__d"))
+      .select(col("__d"), col("__iid"), col("__cid"),
+        round(round(Similarity.nativeDot(sp, col("__iv"), col("__cv"))
+          / (col("__in") * col("__cn")), 6) * 1e6).cast("long").as("__cm"))
+      .groupBy(col("__d"), col("__iid"))
+      .agg(max_by(col("__cid"), ord).as("chunk_id"),
+        max(col("__cm")).as("cos_micros"))
+    val out = im.select(col("__d"), col("__iid"))
+      .join(nCh, Seq("__d"), "left")
+      .join(best, Seq("__d", "__iid"), "left")
+      .select(col("__d").as(docCol), col("__iid").as(imgIdCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        col("chunk_id"), col("cos_micros"))
+    // cap guard: every output column carries the raise
+    val st = out.schema
+    val boom = raise_error(concat(
+      lit("interleaveAssign: document "), col("__d").cast("string"),
+      lit(" has "), col("n_chunks").cast("string"),
+      lit(s" valid chunks (cap $maxChunksPerDoc) — per-doc work is " +
+        "images x chunks; raise maxChunksPerDoc deliberately if pages " +
+        "really fan this wide")))
+    val offenders = nCh.filter(col("n_chunks") > maxChunksPerDoc)
+      .select(st.map(f => boom.cast(f.dataType).as(f.name)): _*)
+    out.unionAll(offenders)
+  }
 }

@@ -126,6 +126,65 @@ object MultimodalQueries extends graft.QueryPack {
 
   override def queries: Seq[Q] = Seq(
 
+    // ---- M22: MMC4 interleaved image placement ----------------------------
+    // Pages synthesized from embeddings: vec_id div 8 = the document,
+    // its six chunk vectors (vec_id % 8 in 0..5, chunk_id = the
+    // position ordinal) and two image vectors (vec_id % 8 in 6..7).
+    // Each image attaches to its OWN document's max-cosine chunk — the
+    // join is keyed by doc, never corpus-wide. The oracle replays the
+    // within-doc 6-dp micro cosine and the (score desc, chunk asc)
+    // argmax.
+    Q("q_m22_interleave_assign",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Multimodal.interleaveAssign(
+          emb.filter(col("vec_id") % 8 >= 6)
+            .select(expr("vec_id div 8").as("doc_id"),
+              col("vec_id").as("img_id"), col("embedding").as("img_vec")),
+          emb.filter(col("vec_id") % 8 < 6)
+            .select(expr("vec_id div 8").as("doc_id"),
+              (col("vec_id") % 8).as("chunk_id"),
+              col("embedding").as("chunk_vec")))
+      },
+      Some("""WITH ex AS (SELECT vec_id, unnest(embedding) AS v,
+             |    unnest(range(1, len(embedding) + 1)) AS i
+             |  FROM embeddings),
+             |norms AS (SELECT vec_id,
+             |    sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+             |  FROM ex GROUP BY 1),
+             |ch AS (SELECT vec_id // 8 AS doc_id, vec_id % 8 AS chunk_id,
+             |    vec_id FROM embeddings WHERE vec_id % 8 < 6),
+             |im AS (SELECT vec_id // 8 AS doc_id, vec_id AS img_id,
+             |    vec_id FROM embeddings WHERE vec_id % 8 >= 6),
+             |nc AS (SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+             |  FROM ch JOIN norms n ON n.vec_id = ch.vec_id
+             |  WHERE n.nrm > 0 GROUP BY 1),
+             |dots AS (SELECT im.doc_id, im.img_id, ch.chunk_id,
+             |    im.vec_id AS ivid, ch.vec_id AS cvid,
+             |    SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+             |  FROM im JOIN ch ON ch.doc_id = im.doc_id
+             |  JOIN ex a ON a.vec_id = im.vec_id
+             |  JOIN ex b ON b.vec_id = ch.vec_id AND b.i = a.i
+             |  GROUP BY 1, 2, 3, 4, 5),
+             |scored AS (SELECT d.doc_id, d.img_id, d.chunk_id,
+             |    CAST(ROUND(ROUND(d.dot / (ni.nrm * nh.nrm), 6) * 1e6)
+             |      AS BIGINT) AS cm
+             |  FROM dots d
+             |  JOIN norms ni ON ni.vec_id = d.ivid
+             |  JOIN norms nh ON nh.vec_id = d.cvid
+             |  WHERE ni.nrm > 0 AND nh.nrm > 0),
+             |best AS (SELECT doc_id, img_id, chunk_id, cm FROM (
+             |    SELECT *, row_number() OVER (
+             |      PARTITION BY doc_id, img_id ORDER BY cm DESC, chunk_id)
+             |      AS rn
+             |    FROM scored) WHERE rn = 1)
+             |SELECT im.doc_id, im.img_id,
+             |  COALESCE(nc.n_chunks, 0) AS n_chunks,
+             |  b.chunk_id, b.cm AS cos_micros
+             |FROM im LEFT JOIN nc ON nc.doc_id = im.doc_id
+             |LEFT JOIN best b ON b.doc_id = im.doc_id
+             |  AND b.img_id = im.img_id""".stripMargin)),
+
     // ---- M1: binary staging + metadata (pure column ops) ----------------
     Q("q_m1_binary_meta",
       (s, d) => Multimodal.fromDocuments(Tables.documents(s, d))

@@ -620,6 +620,40 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.triageAttempt(throw new LinkageError("missing native")))
   }
 
+  test("interleaveAssign: images attach to their doc's best chunk, ties " +
+      "to the earliest position, unplaceable images surface with null, " +
+      "the per-doc chunk cap raises") {
+    import spark.implicits._
+    val chunks = Seq(
+      (1L, 0L, Seq(1f, 0f)), (1L, 1L, Seq(0f, 1f)),
+      (2L, 0L, Seq(1f, 0f)), (2L, 1L, Seq(1f, 0f)), // identical -> tie
+      (3L, 0L, Seq(0f, 0f)) // zero-norm: invalid, doc 3 has NO valid chunk
+    ).toDF("doc_id", "chunk_id", "chunk_vec")
+    val images = Seq(
+      (1L, 10L, Seq(0.9f, 0.1f)), // -> chunk 0
+      (1L, 11L, Seq(0.1f, 0.9f)), // -> chunk 1
+      (2L, 20L, Seq(0.5f, 0.5f)), // tie between identical chunks -> 0
+      (3L, 30L, Seq(1f, 0f)), // no valid chunk in doc 3
+      (1L, 12L, null.asInstanceOf[Seq[Float]]) // null image embedding
+    ).toDF("doc_id", "img_id", "img_vec")
+    val out = Multimodal.interleaveAssign(images, chunks)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(out(10L)._2 === Some(0L) && out(11L)._2 === Some(1L))
+    assert(out(10L)._3.get > 900000L, "cosine of near-parallel vectors")
+    assert(out(20L) === ((2L, Some(0L), Some(707107L))),
+      "identical chunks tie to the earliest position; cos = 1/sqrt(2)")
+    assert(out(30L) === ((0L, None, None)),
+      "a doc with no valid chunk places nothing, n_chunks says why")
+    assert(out(12L)._2 === None && out(12L)._1 === 2L,
+      "a null image embedding is unplaceable but still surfaces")
+    val ex = intercept[Exception](
+      Multimodal.interleaveAssign(images, chunks, maxChunksPerDoc = 1)
+        .collect())
+    assert(ex.getMessage.contains("images x chunks"))
+  }
+
   test("Discovery.latestFiles: extension filter, mtime desc, cap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-disc")
     for (i <- 1 to 7) {
