@@ -797,6 +797,43 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Bradley-Terry growth — `runMain graft.tools.ScaleProbe bt`:
+    // the q_e35 synthesis over ×1/×8/×64 event copies (event_id shifted
+    // per copy, so judgments multiply across the SAME 8 candidates —
+    // the production shape: corpora grow, candidate sets don't). The
+    // plan's one corpus-sized stage is the pairCounts hash aggregation;
+    // every MM iteration runs on the candidates²-bounded relation, so
+    // growth should track the single aggregation, not the iteration
+    // count.
+    if (args.headOption.contains("bt")) {
+      import graft.operators.Preferences
+      val ev0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val span = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
+      Seq(1, 8, 64).foreach { f =>
+        val ev = (0 until f)
+          .map(k => ev0.withColumn("event_id", col("event_id") + lit(k * span)))
+          .reduce(_ unionByName _)
+        val prefs = ev.filter(col("user_id").isNotNull)
+          .select((col("event_id") % 8).as("m1"),
+            expr("(event_id div 8) % 8").as("m2"), col("user_id"))
+          .filter(col("m1") =!= col("m2"))
+          .select(
+            when(expr("((m2 - m1) + 8) % 8 between 1 and 3") =!=
+              (col("user_id") % 5 === 0), col("m1")).otherwise(col("m2"))
+              .as("winner"),
+            when(expr("((m2 - m1) + 8) % 8 between 1 and 3") =!=
+              (col("user_id") % 5 === 0), col("m2")).otherwise(col("m1"))
+              .as("loser"))
+        def run(): Double = time {
+          Preferences.bradleyTerry(prefs, "winner", "loser")
+            .write.format("noop").mode("overwrite").save()
+        }
+        run() // warmup
+        println(f"[scaleprobe] bt x$f%-4d ${math.min(run(), run())}%.2f s")
+      }
+      spark.stop(); return
+    }
+
     // Trained-LID growth — `runMain graft.tools.ScaleProbe langid`:
     // the q_x72 chain (3-language variants, OvR char-gram train +
     // whole-corpus classify) over ×1/×4/×16 token-salted documents.
