@@ -2850,6 +2850,59 @@ object TextAnalysis {
       s"n_${k}s" -> regexp_count(text, lit(p))
     }
 
+  /** Collocation / phrase mining (Mikolov et al. 2013's word2vec
+    * phrase score) — the corpus-prep step that decides which adjacent
+    * word pairs deserve a single token ("new york", "machine
+    * learning") before vocabulary learning:
+    *
+    *   score(a b) = (C(ab) − δ) · N / (C(a)·C(b))
+    *
+    * with δ the rare-pair discount and N the corpus token count. The
+    * raw form is used PRECISELY because it needs no logarithm: the
+    * score is ONE exact cross-multiplied rational in DECIMAL(38,0),
+    * emitted as half-up micros — no PMI ln, nothing to round, the
+    * oracle replays every row (the NPMI variant buys normalization at
+    * the price of three lns; the threshold is calibrated per corpus
+    * either way, so the exact form wins). Bigrams below `minCount`
+    * occurrences never surface (Mikolov's min-count prune — rare pairs
+    * are noise and the relation stays bounded); a pair whose count is
+    * ≤ δ scores 0 exactly (the discount exists to kill it, not to go
+    * negative). `is_phrase` gates at `thresholdMicros`.
+    *
+    * Scale shape: the [[bigramPerplexity]] training shape exactly —
+    * two hash aggregations whose shuffled volume is DISTINCT
+    * bigrams/unigrams (map-side combine absorbs the token stream),
+    * two keyed joins of the surviving bigram relation against the
+    * unigram counts, one broadcast 1-row N. Returns `(gram, c_ab,
+    * c_a, c_b, score_micros, is_phrase)`. */
+  def phraseMining(df: DataFrame, textCol: String, minCount: Long = 5L,
+      delta: Long = 5L, thresholdMicros: Long = 1000000L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(delta >= 0, s"delta must be >= 0, got $delta")
+    val toksed = Par.spread(df.filter(col(textCol).isNotNull)
+      .select(tokens(lower(col(textCol))).as("toks")))
+    val uni = toksed.select(explode(col("toks")).as("w"))
+    val uniCnt = uni.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val n = uni.agg(count(lit(1)).as("__n"))
+    toksed.select(explode(shingles(col("toks"), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("__a", split(col("gram"), " ").getItem(0))
+      .withColumn("__b", split(col("gram"), " ").getItem(1))
+      .join(uniCnt.select(col("w").as("__a"), col("cu").as("c_a")),
+        Seq("__a"))
+      .join(uniCnt.select(col("w").as("__b"), col("cu").as("c_b")),
+        Seq("__b"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_micros", expr(
+        s"(2 * greatest(CAST(c_ab AS DECIMAL(38,0)) - $delta, 0) * __n " +
+          "* 1000000 + CAST(c_a AS DECIMAL(38,0)) * c_b) " +
+          "div (2 * CAST(c_a AS DECIMAL(38,0)) * c_b)"))
+      .withColumn("is_phrase", col("score_micros") >= thresholdMicros)
+      .select(col("gram"), col("c_ab"), col("c_a"), col("c_b"),
+        col("score_micros"), col("is_phrase"))
+  }
+
   /** Payment-card (PAN) detection with LUHN checksum validation — the
     * false-positive cut every DLP scanner applies before quarantining:
     * a 16-digit order number matches any PAN-shaped regex, but only a

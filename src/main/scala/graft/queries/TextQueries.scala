@@ -2663,6 +2663,42 @@ object TextQueries extends graft.QueryPack {
              |    AS BIGINT) AS wer_ppm
              |FROM fin""".stripMargin)),
 
+    // ---- X93: Mikolov phrase mining (collocations for vocab learning) ----
+    // The raw (not PMI) score form: one exact cross-multiplied rational
+    // per surviving bigram, no logarithm anywhere — the oracle replays
+    // every row. min-count 5, discount 5, threshold 1e6 over the natural
+    // corpus bigrams.
+    Q("q_x93_phrase_mining",
+      (s, d) => graft.operators.TextAnalysis.phraseMining(
+        Tables.documents(s, d), "text"),
+      Some("""WITH t AS (SELECT list_filter(
+             |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+             |    AS toks
+             |  FROM documents WHERE text IS NOT NULL),
+             |u AS (SELECT unnest(toks) AS w FROM t),
+             |uc AS (SELECT w, COUNT(*) AS cu FROM u GROUP BY 1),
+             |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM u),
+             |bc AS (SELECT gram, COUNT(*) AS c_ab FROM (
+             |    SELECT toks[i] || ' ' || toks[i + 1] AS gram
+             |    FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+             |      FROM t))
+             |  GROUP BY 1 HAVING COUNT(*) >= 5),
+             |j AS (SELECT bc.gram, bc.c_ab, ua.cu AS c_a, ub.cu AS c_b
+             |  FROM bc
+             |  JOIN uc ua ON ua.w = string_split(bc.gram, ' ')[1]
+             |  JOIN uc ub ON ub.w = string_split(bc.gram, ' ')[2])
+             |SELECT gram, CAST(c_ab AS BIGINT) AS c_ab,
+             |  CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+             |  CAST((2 * GREATEST(CAST(c_ab AS HUGEINT) - 5, 0) * n
+             |      * 1000000 + CAST(c_a AS HUGEINT) * c_b)
+             |    // (2 * CAST(c_a AS HUGEINT) * c_b) AS BIGINT)
+             |    AS score_micros,
+             |  (2 * GREATEST(CAST(c_ab AS HUGEINT) - 5, 0) * n * 1000000
+             |    + CAST(c_a AS HUGEINT) * c_b)
+             |    // (2 * CAST(c_a AS HUGEINT) * c_b) >= 1000000
+             |    AS is_phrase
+             |FROM j, nn""".stripMargin)),
+
     // ---- X91: high-entropy secret audit (the panAudit DLP sibling) -------
     // Per doc_id % 3 the text gains: 0 -> a real random-ish key (base64
     // of the doc_id's md5 — deterministic, ~4.2-4.6 bits/char, flags),

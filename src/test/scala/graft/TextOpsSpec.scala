@@ -291,6 +291,32 @@ class TextOpsSpec extends AnyFunSuite {
       "packing preserves the tokenizer's total token count")
   }
 
+  test("phrase mining: hand mikolov scores, the discount zeroes " +
+      "sub-delta pairs instead of going negative, min-count prunes " +
+      "rare bigrams from the relation entirely") {
+    import spark.implicits._
+    // 5 x "a b c": N = 15 tokens, C(a)=C(b)=C(c)=5, C(ab)=C(bc)=5
+    // score = (5-1)*15e6/(5*5) = 2_400_000
+    val docs = Seq.fill(5)("a b c").toDF("text")
+    val out = TextAnalysis.phraseMining(docs, "text", minCount = 2L,
+        delta = 1L, thresholdMicros = 1000000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out("a b") === ((5L, 2400000L, true)))
+    assert(out("b c") === ((5L, 2400000L, true)))
+    // c_ab <= delta scores exactly 0 (killed, not negative)
+    val z = TextAnalysis.phraseMining(
+      Seq.fill(3)("p q").toDF("text"), "text", minCount = 1L, delta = 5L)
+      .collect().head
+    assert(z.getLong(4) === 0L && !z.getBoolean(5))
+    // min-count prune: a once-seen pair never surfaces
+    val pruned = TextAnalysis.phraseMining(
+      (Seq.fill(5)("a b c") :+ "x y").toDF("text"), "text",
+      minCount = 2L, delta = 1L)
+      .collect().map(_.getString(0)).toSet
+    assert(pruned === Set("a b", "b c"), "'x y' and 'c a' are pruned")
+  }
+
   test("secret audit: entropy separates a random key from a repeated " +
       "run and an English word; alternation scores exactly 1.0 bits; " +
       "no candidate means null max, not zero") {
