@@ -201,6 +201,44 @@ object Preferences {
     flagged.unionAll(offenders)
   }
 
+  /** Best-of-n / rejection-sampling dataset construction (the Llama-2
+    * RLHF recipe's SFT stage; RFT): per prompt keep the top-`k`
+    * samples by reward-model score — the last mile from scored
+    * generations to the fine-tuning set, as [[dpoPairs]] is for
+    * pairwise judgments. Rewards ride the INTEGER-MICROS contract
+    * (the engine's score convention — a float reward column should be
+    * quantized upstream, the [[graft.operators.Profile.calibrationBins]]
+    * stance); ties break to the LOWER response id (the
+    * [[graft.operators.Similarity]] top-k buffer contract), and rows
+    * with a null prompt/response/reward are unjudged — excluded.
+    * `n_samples` carries the prompt's candidate count so a consumer
+    * can spot prompts where best-of-n selected from too few samples.
+    *
+    * Scale shape: ONE bounded top-k hash aggregation (the shared
+    * TopKAggregator buffer — ≤ k (score, id) pairs per prompt per map
+    * task, no window, no per-prompt sort) plus one prompt-keyed count.
+    * Response ids must be integral (they ride the buffer as longs).
+    * Returns `(<promptCol>, rank, <respIdCol>, reward_micros,
+    * n_samples)`. */
+  def bestOfN(samples: DataFrame, promptCol: String, respIdCol: String,
+      rewardMicrosCol: String, k: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = samples.filter(col(promptCol).isNotNull &&
+      col(respIdCol).isNotNull && col(rewardMicrosCol).isNotNull)
+    val nS = base.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_samples"))
+    Similarity.perQueryTopK(
+        base.select(col(promptCol).as("query_id"),
+          col(respIdCol).as("neighbor_id"),
+          col(rewardMicrosCol).cast("double").as("score")), k,
+        idName = "neighbor_id", scoreName = "score")
+      .select(col("query_id").as(promptCol),
+        col("rnk").cast("long").as("rank"),
+        col("neighbor_id").as(respIdCol),
+        col("score").cast("long").as("reward_micros"))
+      .join(nS, Seq(promptCol))
+  }
+
   /** Bradley-Terry strength fitting (Zermelo 1929; Hunter 2004's MM
     * algorithm) — the MLE rung of the preference family above
     * [[copelandScores]]' tournament rule: strengths `s_i` such that

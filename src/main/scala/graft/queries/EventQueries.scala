@@ -593,6 +593,32 @@ object EventQueries extends graft.QueryPack {
               |  CAST(s5.s AS BIGINT) AS strength_micro
               |FROM w JOIN s5 USING (candidate)""".stripMargin)),
 
+    // ---- E37: best-of-n rejection sampling (reward -> SFT selection) -----
+    // 40 prompts, rewards the deterministic micro spread
+    // (event_id * 7919) % 1000001, top-3 per prompt. The oracle replays
+    // the (reward desc, resp asc) ranking and the per-prompt sample
+    // count.
+    Q("q_e37_best_of_n",
+      (s, d) => graft.operators.Preferences.bestOfN(
+        Tables.events(s, d)
+          .select((col("event_id") % 40).as("prompt"),
+            col("event_id").as("resp"),
+            ((col("event_id") * 7919) % 1000001).as("reward")),
+        "prompt", "resp", "reward", k = 3),
+      Some("""WITH s AS (SELECT event_id % 40 AS prompt,
+             |    event_id AS resp,
+             |    (event_id * 7919) % 1000001 AS reward
+             |  FROM events),
+             |ns AS (SELECT prompt, CAST(COUNT(*) AS BIGINT) AS n_samples
+             |  FROM s GROUP BY 1),
+             |r AS (SELECT prompt, resp, reward,
+             |    row_number() OVER (PARTITION BY prompt
+             |      ORDER BY reward DESC, resp) AS rnk
+             |  FROM s)
+             |SELECT r.prompt, CAST(r.rnk AS BIGINT) AS rank, r.resp,
+             |  CAST(r.reward AS BIGINT) AS reward_micros, ns.n_samples
+             |FROM r JOIN ns USING (prompt) WHERE r.rnk <= 3""".stripMargin)),
+
     // ---- E36: Fleiss' kappa (multi-rater agreement) -----------------------
     // A 29-item / 3-rater panel synthesized from events: rater =
     // user_id % 3, item = event_id % 29, each (item, rater) cell

@@ -108,6 +108,30 @@ class PreferencesSpec extends AnyFunSuite {
       "chosen and rejected render the same prompt with each side's text")
   }
 
+  test("best-of-n: top-k per prompt by reward, ties to the lower id, " +
+      "null rewards are unjudged, k past the candidate count keeps all") {
+    import spark.implicits._
+    val samples = Seq(
+      ("p1", 10L, Option(100000L)), ("p1", 11L, Option(300000L)),
+      ("p1", 12L, Option(200000L)),
+      ("p2", 20L, Option(500000L)), ("p2", 21L, Option(500000L)), // tie
+      ("p2", 22L, Option.empty[Long]) // unjudged
+    ).toDF("prompt", "resp", "reward")
+    val out = Preferences.bestOfN(samples, "prompt", "resp", "reward", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("p1", 1L)) === ((11L, 300000L, 3L)))
+    assert(out(("p1", 2L)) === ((12L, 200000L, 3L)))
+    assert(out(("p2", 1L)) === ((20L, 500000L, 2L)),
+      "reward tie breaks to the lower response id; the null-reward " +
+        "sample is excluded from n_samples")
+    assert(out(("p2", 2L)) === ((21L, 500000L, 2L)))
+    assert(!out.contains(("p1", 3L)), "k bounds the kept set")
+    // k past the candidate count keeps everything, ranks stay dense
+    assert(Preferences.bestOfN(samples, "prompt", "resp", "reward", 10)
+      .collect().length === 5)
+  }
+
   test("bradley-terry: two candidates hit the exact MLE odds in one " +
       "step and stay fixed; strengths always renormalize to n x 1e6") {
     import spark.implicits._
