@@ -977,6 +977,75 @@ object Profile {
           .as("kappa_ppm"))
   }
 
+  /** Krippendorff's alpha (nominal) — the agreement family's
+    * missing-data rung: [[cohenKappa]] needs exactly two raters,
+    * [[fleissKappa]] a complete panel; alpha accepts ANY number of
+    * ratings per unit (raters are interchangeable, units with a single
+    * rating carry no pairable values and are excluded — the canonical
+    * treatment). Computed from the coincidence-matrix identities, no
+    * matrix materialized: with per-unit category counts n_uc, n_u =
+    * Σ_c n_uc ≥ 2, marginals n_c = Σ_u n_uc, n = Σ_c n_c,
+    *
+    *   D_o = Σ_u (n_u² − Σ_c n_uc²)/(n_u − 1)
+    *   D_e = (n² − Σ_c n_c²)/(n − 1)
+    *   α   = 1 − D_o/D_e
+    *
+    * Arithmetic contract: D_o's per-unit rational rounds to half-up
+    * MICROS per unit (the per-term discipline — deterministic and
+    * order-independent under the exact integer sum; a unit's
+    * contribution is bounded by n_u so the ±0.5-micro-per-unit wobble
+    * is noise); D_e stays ONE exact rational, and α emerges by
+    * SUBTRACTION — `1e6 − halfUp(D_o_micros·(n−1), n²−Σn_c²)` — so a
+    * legitimately negative α needs no negative division (the
+    * [[fleissKappa]] truncate-vs-floor trap never arises). D_e = 0
+    * (every pairable rating one category) has no defined α → null.
+    * Null unit/category rows are unjudged — excluded. Scale: two hash
+    * aggregations over the (unit, category) cell relation + one 1-row
+    * join. Returns ONE row `(n_units, n_values, n_categories, do_ppm,
+    * de_ppm, alpha_ppm)` — do/de as per-pairable-value disagreement
+    * rates for observability; α derives from the exact totals, not
+    * the rounded rates. */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+      categoryCol: String): DataFrame = {
+    val lab = df
+      .filter(col(unitCol).isNotNull && col(categoryCol).isNotNull)
+      .select(col(unitCol).as("__u"),
+        col(categoryCol).cast("string").as("__c"))
+    val cell = lab.groupBy(col("__u"), col("__c"))
+      .agg(count(lit(1)).as("__nuc"))
+      .localCheckpoint()
+    val perUnit = cell.groupBy(col("__u"))
+      .agg(sum(col("__nuc")).as("__nu"),
+        sum(col("__nuc") * col("__nuc")).as("__s2u"))
+      .filter(col("__nu") >= 2)
+    val doSum = perUnit.agg(count(lit(1)).as("n_units"),
+      coalesce(sum(expr(
+        "(2 * (CAST(__nu AS DECIMAL(38,0)) * __nu - __s2u) * 1000000 " +
+          "+ (__nu - 1)) div (2 * (__nu - 1))")), lit(0L)).as("__do"))
+    val margins = cell
+      .join(perUnit.select(col("__u")), Seq("__u"), "left_semi")
+      .groupBy(col("__c")).agg(sum(col("__nuc")).as("__nc"))
+      .agg(count(lit(1)).as("n_categories"),
+        coalesce(sum(col("__nc")), lit(0L)).as("__n"),
+        coalesce(sum(expr("CAST(__nc AS DECIMAL(38,0)) * __nc")),
+          lit(0L).cast("decimal(38,0)")).as("__sc2"))
+    doSum.crossJoin(broadcast(margins))
+      .withColumn("__de2", expr("CAST(__n AS DECIMAL(38,0)) * __n - __sc2"))
+      .select(col("n_units"), col("__n").as("n_values"),
+        col("n_categories"),
+        when(col("__n") > 0,
+          expr("(2 * CAST(__do AS DECIMAL(38,0)) + __n) div (2 * __n)"))
+          .as("do_ppm"),
+        when(col("__n") > 1 && col("__de2") > 0, expr(
+          "(2 * __de2 * 1000000 + CAST(__n AS DECIMAL(38,0)) * (__n - 1)) " +
+            "div (2 * CAST(__n AS DECIMAL(38,0)) * (__n - 1))"))
+          .as("de_ppm"),
+        when(col("__n") > 1 && col("__de2") > 0, lit(1000000L) - expr(
+          "(2 * CAST(__do AS DECIMAL(38,0)) * (__n - 1) + __de2) " +
+            "div (2 * __de2)"))
+          .as("alpha_ppm"))
+  }
+
   /** pass@k — THE code-generation eval metric (Chen et al. 2021,
     * "Evaluating Large Language Models Trained on Code", eq. 1), in its
     * UNBIASED combinatorial form: with `n` samples per problem of which

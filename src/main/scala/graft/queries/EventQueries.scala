@@ -593,6 +593,49 @@ object EventQueries extends graft.QueryPack {
               |  CAST(s5.s AS BIGINT) AS strength_micro
               |FROM w JOIN s5 USING (candidate)""".stripMargin)),
 
+    // ---- E38: Krippendorff's alpha (missing-data agreement) ---------------
+    // Sparse panel: unit = event_id % 4096 (at sf0.01 ~2.4 ratings per
+    // unit, MANY singletons — the exclusion rule carries real weight),
+    // category = event_type. The oracle replays the per-unit micro
+    // rounding, the exact D_e rational, and the subtraction-form alpha.
+    Q("q_e38_krippendorff",
+      (s, d) => graft.operators.Profile.krippendorffAlpha(
+        Tables.events(s, d)
+          .select((col("event_id") % 4096).as("unit"), col("event_type")),
+        "unit", "event_type"),
+      Some("""WITH lab AS (SELECT event_id % 4096 AS u, event_type AS c
+             |  FROM events WHERE event_type IS NOT NULL),
+             |cell AS (SELECT u, c, COUNT(*) AS nuc FROM lab GROUP BY 1, 2),
+             |pu AS (SELECT u, SUM(nuc) AS nu, SUM(nuc * nuc) AS s2u
+             |  FROM cell GROUP BY 1 HAVING SUM(nuc) >= 2),
+             |ds AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+             |    COALESCE(SUM((2 * (CAST(nu AS HUGEINT) * nu - s2u)
+             |      * 1000000 + (nu - 1)) // (2 * (nu - 1))), 0) AS dd
+             |  FROM pu),
+             |mg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+             |    COALESCE(SUM(nc), 0) AS n,
+             |    COALESCE(SUM(CAST(nc AS HUGEINT) * nc), 0) AS sc2
+             |  FROM (SELECT c, SUM(nuc) AS nc
+             |    FROM cell JOIN pu USING (u) GROUP BY 1))
+             |SELECT ds.n_units, CAST(mg.n AS BIGINT) AS n_values,
+             |  mg.n_categories,
+             |  CAST(CASE WHEN mg.n > 0
+             |    THEN (2 * dd + mg.n) // (2 * mg.n) END AS BIGINT)
+             |    AS do_ppm,
+             |  CAST(CASE WHEN mg.n > 1
+             |      AND CAST(mg.n AS HUGEINT) * mg.n - sc2 > 0 THEN
+             |    (2 * (CAST(mg.n AS HUGEINT) * mg.n - sc2) * 1000000
+             |      + CAST(mg.n AS HUGEINT) * (mg.n - 1))
+             |      // (2 * CAST(mg.n AS HUGEINT) * (mg.n - 1)) END
+             |    AS BIGINT) AS de_ppm,
+             |  CAST(CASE WHEN mg.n > 1
+             |      AND CAST(mg.n AS HUGEINT) * mg.n - sc2 > 0 THEN
+             |    1000000 - (2 * CAST(dd AS HUGEINT) * (mg.n - 1)
+             |      + (CAST(mg.n AS HUGEINT) * mg.n - sc2))
+             |      // (2 * (CAST(mg.n AS HUGEINT) * mg.n - sc2)) END
+             |    AS BIGINT) AS alpha_ppm
+             |FROM ds, mg""".stripMargin)),
+
     // ---- E37: best-of-n rejection sampling (reward -> SFT selection) -----
     // 40 prompts, rewards the deterministic micro spread
     // (event_id * 7919) % 1000001, top-3 per prompt. The oracle replays

@@ -750,6 +750,36 @@ class ScdProfileSpec extends AnyFunSuite {
     assert(withNull.getLong(0) === 50L)
   }
 
+  test("krippendorff alpha: hand coincidence arithmetic, singleton units " +
+      "excluded, perfect agreement 1, systematic disagreement negative " +
+      "by subtraction, one-category data undefined") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String)]) =
+      Profile.krippendorffAlpha(rows.toDF("unit", "cat"), "unit", "cat")
+        .collect().head
+    // u1:(a,a) agrees, u2:(a,b) disagrees, u3:(b,b) agrees, u4:(b)
+    // excluded -> D_o = 2, n=6, n_a=n_b=3, D_e = (36-18)/5 = 3.6,
+    // alpha = 1 - 2/3.6 = 0.4444.. -> 1e6 - 555556 = 444444
+    val r = run(Seq(1L -> "a", 1L -> "a", 2L -> "a", 2L -> "b",
+      3L -> "b", 3L -> "b", 4L -> "b"))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 6L, 2L)),
+      "the singleton unit contributes no pairable values")
+    // do_ppm = 2e6/6 = 333333; de_ppm = 18e6/30 = 600000
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) ===
+      ((333333L, 600000L, 444444L)))
+    // perfect agreement across two categories: alpha exactly 1
+    val p = run(Seq(1L -> "x", 1L -> "x", 2L -> "y", 2L -> "y"))
+    assert(p.getLong(5) === 1000000L)
+    // systematic disagreement: two (a,b) units -> D_o=4, D_e=8/3,
+    // alpha = 1 - 4*3/8 = -0.5 (negative via subtraction, no
+    // negative division anywhere)
+    val neg = run(Seq(1L -> "a", 1L -> "b", 2L -> "a", 2L -> "b"))
+    assert(neg.getLong(5) === -500000L)
+    // all pairable ratings one category: D_e = 0 -> undefined
+    val const = run(Seq(1L -> "x", 1L -> "x", 2L -> "x", 2L -> "x"))
+    assert(const.isNullAt(5) && const.getLong(3) === 0L)
+  }
+
   test("fleiss kappa: perfect panels score 1, exactly-chance panels 0, " +
       "systematic disagreement goes NEGATIVE, one-category panels are " +
       "undefined, unequal rater counts raise") {
