@@ -239,6 +239,83 @@ object TextAnalysis {
     spark.read.parquet(path).orderBy(col("piece"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
+  /** Deterministic WordPiece vocabulary (the BERT-family tokenizer's
+    * artifact — the third subword scheme, completing BPE + unigram):
+    * word substrings up to `maxLen` code points ranked by corpus
+    * occurrence, position-classed — a word-INITIAL substring is a
+    * plain piece, a word-internal one carries the `##` continuation
+    * prefix (the WordPiece vocabulary distinguishes them; "able" the
+    * word-start and "##able" the suffix are different inventory
+    * items). Top `vocabSize` by (count desc, piece asc) — the
+    * deterministic cut both engines replay; full single-char coverage
+    * is NOT forced, so rare characters honestly `[UNK]` entire words
+    * (the BERT cliff [[graft.functions.WordPieceEncode]] implements,
+    * surfaced as `n_unk`). Same bounded-driver-collect shape as
+    * [[learnUnigramPieces]]: the candidate relation aggregates
+    * distributed, only the ≤vocabSize cut collects. */
+  def learnWordPieceVocab(df: DataFrame, textCol: String = "text",
+      maxLen: Int = 4, vocabSize: Int = 64): Seq[String] = {
+    require(maxLen >= 1 && maxLen <= 16, s"need 1 <= maxLen <= 16, got $maxLen")
+    require(vocabSize >= 1 && vocabSize <= 65536,
+      s"need 1 <= vocabSize <= 65536, got $vocabSize")
+    val wc = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("occ"))
+    (1 to maxLen).map { k =>
+      wc.filter(length(col("w")) >= k)
+        .select(col("w"), col("occ"),
+          explode(sequence(lit(1), length(col("w")) - lit(k - 1))).as("i"))
+        .select(when(col("i") === 1, col("w").substr(col("i"), lit(k)))
+          .otherwise(concat(lit("##"), col("w").substr(col("i"), lit(k))))
+          .as("piece"), col("occ"))
+    }.reduce(_ unionAll _)
+      .groupBy(col("piece")).agg(sum(col("occ")).as("cnt"))
+      .orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Apply a WordPiece vocabulary to every document: returns
+    * `(<idCol>, wp, n_wp, n_unk)` with `wp` the greedy
+    * longest-match-first piece stream ([[graft.functions
+    * .WordPieceEncode]]: U+001F-separated, continuations `##`-marked,
+    * unmatchable words `[UNK]`) and `n_unk` the stream's `[UNK]`
+    * count — the tokenizer-coverage monitor (a rising n_unk on a new
+    * batch means the stored vocab no longer fits the data). Map-only:
+    * the vocabulary rides the plan as an inlined literal, one
+    * memoized greedy scan per distinct word per task. */
+  def wordPieceTokenize(df: DataFrame, vocab: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(vocab.nonEmpty, "need a non-empty vocabulary")
+    graft.functions.WordPieceEncode.register(df.sparkSession)
+    val spec = vocab.sorted.mkString("\n")
+    val sep = graft.functions.WordPieceEncode.Sep
+    df.select(col(idCol),
+        call_function("wordpiece_encode", col(textCol), lit(spec)).as("wp"))
+      .withColumn("n_wp",
+        when(length(col("wp")) === 0, lit(0L))
+          .otherwise(size(split(col("wp"), sep)).cast("long")))
+      .withColumn("n_unk",
+        when(length(col("wp")) === 0, lit(0L))
+          .otherwise(size(filter(split(col("wp"), sep),
+            p => p === graft.functions.WordPieceEncode.Unk)).cast("long")))
+  }
+
+  /** Persist a learned WordPiece vocabulary — the tokenizer-store
+    * discipline: train once, encode every later batch with zero
+    * learning passes. */
+  def writeWordPieceVocab(spark: SparkSession, vocab: Seq[String],
+      path: String): Unit = {
+    import spark.implicits._
+    vocab.toDF("piece").write.mode("overwrite").parquet(path)
+  }
+
+  /** Restore a persisted WordPiece vocabulary (order normalized — the
+    * greedy scan is set-driven, [[wordPieceTokenize]] sorts the spec
+    * literal). Bounded by construction: a vocabulary is the learned
+    * artifact, never corpus-sized. */
+  def readWordPieceVocab(spark: SparkSession, path: String): Seq[String] =
+    spark.read.parquet(path).orderBy(col("piece"))
+      .collect().map(_.getString(0)).toSeq
+
   /** Encode documents to integer token-id sequences — the handoff format
     * a training pipeline actually ships. Pieces come from the map-only
     * [[bpeTokenize]] kernel; ids from a broadcast join against the

@@ -2663,6 +2663,80 @@ object TextQueries extends graft.QueryPack {
              |    AS BIGINT) AS wer_ppm
              |FROM fin""".stripMargin)),
 
+    // ---- X94: WordPiece tokenization (learn -> store -> encode) ----------
+    // The BERT-family tokenizer completing the subword trio (BPE q_x24,
+    // unigram q_x73). ONE oracle replays the whole chain: position-
+    // classed substring candidates (word-initial plain, internal
+    // ##-prefixed), the (cnt desc, piece asc) top-64 cut, then greedy
+    // longest-match-first as a recursive CTE over (word, pos) with the
+    // per-position longest match precomputed as MAX(k) — a mid-word
+    // miss UNKs the WHOLE word (the BERT cliff), surfaced in n_unk.
+    Q("q_x94_wordpiece",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        val store = TempDirs.scratch("graft-wp-vocab")
+        TextAnalysis.writeWordPieceVocab(s,
+          TextAnalysis.learnWordPieceVocab(docs, "text",
+            maxLen = 4, vocabSize = 64), store)
+        TextAnalysis.wordPieceTokenize(docs,
+          TextAnalysis.readWordPieceVocab(s, store))
+      },
+      Some("""WITH RECURSIVE
+             |wds AS (SELECT doc_id, unnest(ws) AS w,
+             |    unnest(range(1, len(ws) + 1)) AS ord
+             |  FROM (SELECT doc_id,
+             |          list_filter(regexp_split_to_array(text, '\s+'),
+             |            x -> x <> '') AS ws
+             |        FROM documents WHERE text IS NOT NULL)),
+             |wc AS (SELECT w, COUNT(*) AS occ, len(w) AS n FROM wds
+             |  GROUP BY 1),
+             |gidx AS (SELECT w, occ, n, k, unnest(range(1, n - k + 2)) AS i
+             |  FROM wc, (SELECT unnest([1, 2, 3, 4]) AS k)),
+             |cand AS (SELECT CASE WHEN i = 1 THEN substr(w, i, k)
+             |    ELSE '##' || substr(w, i, k) END AS piece,
+             |    SUM(occ) AS cnt
+             |  FROM gidx GROUP BY 1),
+             |voc AS (SELECT piece FROM cand
+             |  ORDER BY cnt DESC, piece LIMIT 64),
+             |bm AS (SELECT g.w, g.i, MAX(g.k) AS bk
+             |  FROM gidx g JOIN voc v ON v.piece = CASE WHEN g.i = 1
+             |    THEN substr(g.w, g.i, g.k)
+             |    ELSE '##' || substr(g.w, g.i, g.k) END
+             |  GROUP BY 1, 2),
+             |r AS (
+             |  SELECT wc.w, wc.n, 1 AS pos, CAST('' AS VARCHAR) AS out,
+             |    CAST(0 AS BIGINT) AS np, (wc.n > 100) AS unk
+             |  FROM wc
+             |  UNION ALL
+             |  SELECT r.w, r.n,
+             |    CASE WHEN b.bk IS NULL THEN r.n + 1
+             |      ELSE r.pos + b.bk END,
+             |    CASE WHEN b.bk IS NULL THEN r.out
+             |      ELSE r.out ||
+             |        CASE WHEN r.out = '' THEN '' ELSE chr(31) END ||
+             |        CASE WHEN r.pos = 1 THEN substr(r.w, r.pos, b.bk)
+             |          ELSE '##' || substr(r.w, r.pos, b.bk) END END,
+             |    CASE WHEN b.bk IS NULL THEN r.np ELSE r.np + 1 END,
+             |    r.unk OR b.bk IS NULL
+             |  FROM r LEFT JOIN bm b ON b.w = r.w AND b.i = r.pos
+             |  WHERE r.pos <= r.n AND NOT r.unk),
+             |fin AS (SELECT w,
+             |    CASE WHEN unk THEN '[UNK]' ELSE out END AS stoks,
+             |    CASE WHEN unk THEN 1 ELSE np END AS np,
+             |    CASE WHEN unk THEN 1 ELSE 0 END AS nu
+             |  FROM r WHERE unk OR pos = n + 1),
+             |seg AS (SELECT wds.doc_id,
+             |    string_agg(f.stoks, chr(31) ORDER BY wds.ord) AS wp,
+             |    CAST(SUM(f.np) AS BIGINT) AS n_wp,
+             |    CAST(SUM(f.nu) AS BIGINT) AS n_unk
+             |  FROM wds JOIN fin f ON f.w = wds.w
+             |  GROUP BY 1)
+             |SELECT d.doc_id, COALESCE(seg.wp, '') AS wp,
+             |  CAST(COALESCE(seg.n_wp, 0) AS BIGINT) AS n_wp,
+             |  CAST(COALESCE(seg.n_unk, 0) AS BIGINT) AS n_unk
+             |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+             |LEFT JOIN seg USING (doc_id)""".stripMargin)),
+
     // ---- X93: Mikolov phrase mining (collocations for vocab learning) ----
     // The raw (not PMI) score form: one exact cross-multiplied rational
     // per surviving bigram, no logarithm anywhere — the oracle replays

@@ -291,6 +291,43 @@ class TextOpsSpec extends AnyFunSuite {
       "packing preserves the tokenizer's total token count")
   }
 
+  test("wordpiece: greedy longest-match-first with ## continuations, " +
+      "the whole-word UNK cliff on any mid-word miss, learner position " +
+      "classes and deterministic cut, store round-trip") {
+    import spark.implicits._
+    def enc(vocab: Seq[String], text: String) =
+      TextAnalysis.wordPieceTokenize(
+        Seq((1L, text)).toDF("id", "text"), vocab, "text", "id")
+        .collect().head
+    val sep = graft.functions.WordPieceEncode.Sep
+    val v1 = Seq("un", "##able", "##a", "a", "b", "##b")
+    assert(enc(v1, "unable").getString(1) === s"un$sep##able")
+    assert(enc(v1, "unab ba").getString(1) ===
+      s"un$sep##a$sep##b${sep}b$sep##a")
+    // LONGEST match wins even when shorter pieces could chain
+    assert(enc(Seq("a", "ab", "##b", "##c"), "abc").getString(1) ===
+      s"ab$sep##c")
+    // the BERT cliff: one unmatchable position UNKs the WHOLE word —
+    // the matched prefix is discarded, and n_unk counts it
+    val cliff = enc(v1, "aX unable")
+    assert(cliff.getString(1) === s"[UNK]${sep}un$sep##able")
+    assert((cliff.getLong(2), cliff.getLong(3)) === ((3L, 1L)))
+    // >100-code-point words are [UNK] outright
+    assert(enc(v1, "a" * 101).getString(1) === "[UNK]")
+    // learner: position classes count separately, ties cut
+    // lexicographically ('##a' < 'a' < 'aa'), 'b' misses the cut
+    val vocab = TextAnalysis.learnWordPieceVocab(
+      Seq("aa aa b").toDF("text"), "text", maxLen = 2, vocabSize = 3)
+    assert(vocab.toSet === Set("##a", "a", "aa"))
+    assert(enc(vocab, "aa b").getString(1) === s"aa$sep[UNK]",
+      "the excluded char honestly UNKs its word")
+    // store round-trip feeds the encoder unchanged
+    val dir = java.nio.file.Files.createTempDirectory("wp-vocab").toString
+    TextAnalysis.writeWordPieceVocab(spark, vocab, dir)
+    assert(TextAnalysis.readWordPieceVocab(spark, dir).sorted ===
+      vocab.sorted)
+  }
+
   test("phrase mining: hand mikolov scores, the discount zeroes " +
       "sub-delta pairs instead of going negative, min-count prunes " +
       "rare bigrams from the relation entirely") {
