@@ -593,6 +593,112 @@ object EventQueries extends graft.QueryPack {
               |  CAST(s5.s AS BIGINT) AS strength_micro
               |FROM w JOIN s5 USING (candidate)""".stripMargin)),
 
+    // ---- E39: DPO x Bradley-Terry consistency audit (composed) -----------
+    // The q_m19 composition discipline applied to the preference tier:
+    // per-prompt DPO majorities (q_e34's machinery, margin >= 1, cycles
+    // flagged) cross-checked against the GLOBAL BT fit (q_e35's) over
+    // the same judgments — a pair whose local majority prefers the
+    // globally-WEAKER candidate (`contradicted`) is the noisy /
+    // context-dependent slice a curator down-weights before DPO
+    // training. ONE oracle replays both chains and the double join.
+    Q("q_e39_dpo_bt_consistency",
+      (s, d) => {
+        val prefs = Tables.events(s, d)
+          .filter(col("user_id").isNotNull)
+          .select((col("event_id") % 5).as("prompt_id"),
+            expr("(event_id div 5) % 6").as("m1"),
+            expr("(event_id div 30) % 6").as("m2"), col("user_id"))
+          .filter(col("m1") =!= col("m2"))
+          .select(col("prompt_id"),
+            when(expr("((m2 - m1) + 6) % 6 between 1 and 2") =!=
+              (col("user_id") % 5 === 0), col("m1")).otherwise(col("m2"))
+              .as("winner"),
+            when(expr("((m2 - m1) + 6) % 6 between 1 and 2") =!=
+              (col("user_id") % 5 === 0), col("m2")).otherwise(col("m1"))
+              .as("loser"))
+        val pairs = graft.operators.Preferences.dpoPairs(prefs,
+          "prompt_id", "winner", "loser", minMargin = 1L,
+          excludeCycles = false)
+        val st = graft.operators.Preferences.bradleyTerry(
+          prefs.select(col("winner"), col("loser")), "winner", "loser")
+          .select(col("candidate"), col("strength_micro"))
+        pairs
+          .join(st.select(col("candidate").as("chosen_id"),
+            col("strength_micro").as("chosen_strength")), Seq("chosen_id"))
+          .join(st.select(col("candidate").as("rejected_id"),
+            col("strength_micro").as("rejected_strength")),
+            Seq("rejected_id"))
+          .withColumn("contradicted",
+            col("chosen_strength") < col("rejected_strength"))
+          .select(col("prompt_id"), col("chosen_id"), col("rejected_id"),
+            col("n_for"), col("n_against"), col("margin"), col("in_cycle"),
+            col("chosen_strength"), col("rejected_strength"),
+            col("contradicted"))
+      },
+      Some(s"""WITH pr AS MATERIALIZED (
+              |  SELECT prompt_id,
+              |    CASE WHEN win1 THEN m1 ELSE m2 END AS winner,
+              |    CASE WHEN win1 THEN m2 ELSE m1 END AS loser
+              |  FROM (SELECT event_id % 5 AS prompt_id, m1, m2,
+              |      (((m2 - m1) + 6) % 6 BETWEEN 1 AND 2)
+              |        <> (user_id % 5 = 0) AS win1
+              |    FROM (SELECT event_id, (event_id // 5) % 6 AS m1,
+              |        (event_id // 30) % 6 AS m2, user_id
+              |      FROM events WHERE user_id IS NOT NULL)
+              |    WHERE m1 <> m2)),
+              |p AS (SELECT prompt_id, LEAST(winner, loser) AS a,
+              |    GREATEST(winner, loser) AS b,
+              |    CASE WHEN winner <= loser THEN 1 ELSE 0 END AS aw
+              |  FROM pr),
+              |ppc AS MATERIALIZED (SELECT prompt_id, a, b, SUM(aw) AS wab,
+              |    COUNT(*) - SUM(aw) AS wba
+              |  FROM p GROUP BY 1, 2, 3),
+              |mj AS MATERIALIZED (SELECT prompt_id,
+              |    CASE WHEN wab > wba THEN a ELSE b END AS chosen_id,
+              |    CASE WHEN wab > wba THEN b ELSE a END AS rejected_id,
+              |    GREATEST(wab, wba) AS nf, LEAST(wab, wba) AS na
+              |  FROM ppc WHERE wab <> wba),
+              |cyc AS (SELECT DISTINCT e1.prompt_id AS prompt_id,
+              |    e1.chosen_id AS chosen_id, e1.rejected_id AS rejected_id
+              |  FROM mj e1
+              |  JOIN mj e2 ON e1.prompt_id = e2.prompt_id
+              |    AND e1.rejected_id = e2.chosen_id
+              |  JOIN mj e3 ON e2.prompt_id = e3.prompt_id
+              |    AND e2.rejected_id = e3.chosen_id
+              |    AND e3.rejected_id = e1.chosen_id),
+              |gp AS (SELECT LEAST(winner, loser) AS a,
+              |    GREATEST(winner, loser) AS b,
+              |    CASE WHEN winner <= loser THEN 1 ELSE 0 END AS aw
+              |  FROM pr),
+              |pc AS MATERIALIZED (SELECT a, b, SUM(aw) AS wab,
+              |    COUNT(*) - SUM(aw) AS wba
+              |  FROM gp GROUP BY 1, 2),
+              |g AS MATERIALIZED (SELECT a, b, wab + wba AS n FROM pc),
+              |w AS MATERIALIZED (SELECT candidate, SUM(wn) AS n_wins,
+              |    SUM(ng) AS n_games
+              |  FROM (SELECT a AS candidate, wab AS wn, wab + wba AS ng
+              |      FROM pc
+              |    UNION ALL SELECT b, wba, wab + wba FROM pc)
+              |  GROUP BY 1),
+              |nc AS MATERIALIZED (SELECT COUNT(*) AS n FROM w),
+              |s0 AS MATERIALIZED (SELECT candidate,
+              |    CAST(1000000 AS HUGEINT) AS s FROM w),
+              |${(1 to 5).map(duckBtIteration).mkString(",\n")}
+              |SELECT m.prompt_id, m.chosen_id, m.rejected_id,
+              |  CAST(m.nf AS BIGINT) AS n_for,
+              |  CAST(m.na AS BIGINT) AS n_against,
+              |  CAST(m.nf - m.na AS BIGINT) AS margin,
+              |  (c.chosen_id IS NOT NULL) AS in_cycle,
+              |  CAST(sc.s AS BIGINT) AS chosen_strength,
+              |  CAST(sr.s AS BIGINT) AS rejected_strength,
+              |  sc.s < sr.s AS contradicted
+              |FROM mj m
+              |LEFT JOIN cyc c ON c.prompt_id = m.prompt_id
+              |  AND c.chosen_id = m.chosen_id
+              |  AND c.rejected_id = m.rejected_id
+              |JOIN s5 sc ON sc.candidate = m.chosen_id
+              |JOIN s5 sr ON sr.candidate = m.rejected_id""".stripMargin)),
+
     // ---- E38: Krippendorff's alpha (missing-data agreement) ---------------
     // Sparse panel: unit = event_id % 4096 (at sf0.01 ~2.4 ratings per
     // unit, MANY singletons — the exclusion rule carries real weight),
