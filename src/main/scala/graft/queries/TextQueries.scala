@@ -2663,6 +2663,106 @@ object TextQueries extends graft.QueryPack {
              |    AS BIGINT) AS wer_ppm
              |FROM fin""".stripMargin)),
 
+    // ---- X95: composed DLP audit (PAN x secret-entropy, one verdict) -----
+    // The two DLP detectors under ONE quarantine verdict — per doc_id %
+    // 6 the text gains: 0 -> a Luhn-VALID PAN, 1 -> a checksum-invalid
+    // lookalike, 2 -> a high-entropy key, 3 -> a low-entropy run,
+    // 4 -> BOTH quarantine reasons, 5 -> nothing. The fixtures are
+    // mutually invisible (spaced PAN groups are under the 20-char key
+    // floor; the key alphabet carries no 13-digit run), so each
+    // detector's counts stay independent and the composed verdict is
+    // exactly has_pan OR n_secrets > 0.
+    Q("q_x95_dlp_audit",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), concat(col("text"),
+            when(col("doc_id") % 6 === 0,
+              lit(" card 4539 5787 6362 1486 on file"))
+            .when(col("doc_id") % 6 === 1,
+              lit(" order 4539578763621487 confirmed"))
+            .when(col("doc_id") % 6 === 2, concat(lit(" key "),
+              base64(unhex(md5(col("doc_id").cast("string"))))))
+            .when(col("doc_id") % 6 === 3,
+              lit(" pad aaaaaaaaaaaaaaaaaaaaaaaa"))
+            .when(col("doc_id") % 6 === 4, concat(
+              lit(" card 4539 5787 6362 1486 key "),
+              base64(unhex(md5(col("doc_id").cast("string"))))))
+            .otherwise(lit(""))).as("txt"))
+        val pan = TextAnalysis.panAudit(docs, "txt")
+        val sec = TextAnalysis.secretAudit(docs, "txt")
+        pan.select(col("doc_id"),
+            col("n_candidates").as("n_pan_candidates"),
+            col("n_valid").as("n_valid_pans"), col("has_pan"))
+          .join(sec.select(col("doc_id"),
+            col("n_candidates").as("n_key_candidates"),
+            col("n_secrets")), Seq("doc_id"))
+          .withColumn("quarantine",
+            col("has_pan") || col("n_secrets") > 0)
+      },
+      Some("""WITH s AS (SELECT doc_id, text ||
+             |    CASE CAST(doc_id % 6 AS INT)
+             |      WHEN 0 THEN ' card 4539 5787 6362 1486 on file'
+             |      WHEN 1 THEN ' order 4539578763621487 confirmed'
+             |      WHEN 2 THEN ' key ' ||
+             |        to_base64(unhex(md5(CAST(doc_id AS VARCHAR))))
+             |      WHEN 3 THEN ' pad aaaaaaaaaaaaaaaaaaaaaaaa'
+             |      WHEN 4 THEN ' card 4539 5787 6362 1486 key ' ||
+             |        to_base64(unhex(md5(CAST(doc_id AS VARCHAR))))
+             |      ELSE '' END AS txt
+             |  FROM documents WHERE text IS NOT NULL),
+             |c AS (SELECT doc_id, unnest(regexp_extract_all(txt,
+             |    '\b[0-9][0-9 -]{11,21}[0-9]\b')) AS cand FROM s),
+             |v AS (SELECT doc_id,
+             |    reverse(regexp_replace(cand, '[^0-9]', '', 'g')) AS rd
+             |  FROM c),
+             |lv AS (SELECT doc_id, len(rd) AS nd,
+             |    list_sum(list_transform(range(1, len(rd) + 1), i ->
+             |      CASE WHEN i % 2 = 1 THEN CAST(substr(rd, i, 1) AS INT)
+             |        WHEN CAST(substr(rd, i, 1) AS INT) * 2 > 9
+             |          THEN CAST(substr(rd, i, 1) AS INT) * 2 - 9
+             |        ELSE CAST(substr(rd, i, 1) AS INT) * 2 END)) AS lsum
+             |  FROM v),
+             |pagg AS (SELECT doc_id,
+             |    CAST(COUNT(*) AS BIGINT) AS n_pan_candidates,
+             |    CAST(COUNT(CASE WHEN nd BETWEEN 13 AND 19
+             |      AND lsum % 10 = 0 THEN 1 END) AS BIGINT) AS n_valid_pans
+             |  FROM lv GROUP BY 1),
+             |kc AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(txt,
+             |      '[A-Za-z0-9+/=_-]{20,}')) AS cand,
+             |    generate_subscripts(regexp_extract_all(txt,
+             |      '[A-Za-z0-9+/=_-]{20,}'), 1) AS ci
+             |  FROM s),
+             |f AS (SELECT doc_id, ci, len(cand) AS n, ch, COUNT(*) AS k
+             |  FROM (SELECT doc_id, ci, cand,
+             |      unnest(string_split(cand, '')) AS ch FROM kc)
+             |  GROUP BY 1, 2, 3, 4),
+             |e AS (SELECT doc_id, ci, n,
+             |    CAST(SUM(k * CAST(round(ln(k), 6) AS DECIMAL(18,6)))
+             |      * 1000000 AS BIGINT) AS klnk_u,
+             |    CAST(CAST(round(ln(n), 6) AS DECIMAL(18,6)) * 1000000
+             |      AS BIGINT) AS lnn_u
+             |  FROM f GROUP BY 1, 2, 3),
+             |hb AS (SELECT doc_id,
+             |    (2 * GREATEST(0, lnn_u - (2 * klnk_u + n) // (2 * n))
+             |      * 1000000 + 693147) // (2 * 693147) AS hbit
+             |  FROM e),
+             |kagg AS (SELECT doc_id,
+             |    CAST(COUNT(*) AS BIGINT) AS n_key_candidates,
+             |    CAST(SUM(CASE WHEN hbit >= 4000000 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_secrets
+             |  FROM hb GROUP BY 1)
+             |SELECT s.doc_id,
+             |  COALESCE(pagg.n_pan_candidates, 0) AS n_pan_candidates,
+             |  COALESCE(pagg.n_valid_pans, 0) AS n_valid_pans,
+             |  COALESCE(pagg.n_valid_pans, 0) > 0 AS has_pan,
+             |  COALESCE(kagg.n_key_candidates, 0) AS n_key_candidates,
+             |  COALESCE(kagg.n_secrets, 0) AS n_secrets,
+             |  (COALESCE(pagg.n_valid_pans, 0) > 0
+             |    OR COALESCE(kagg.n_secrets, 0) > 0) AS quarantine
+             |FROM s LEFT JOIN pagg USING (doc_id)
+             |LEFT JOIN kagg USING (doc_id)""".stripMargin)),
+
     // ---- X94: WordPiece tokenization (learn -> store -> encode) ----------
     // The BERT-family tokenizer completing the subword trio (BPE q_x24,
     // unigram q_x73). ONE oracle replays the whole chain: position-
