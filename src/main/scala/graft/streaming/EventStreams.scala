@@ -872,6 +872,33 @@ object EventStreams {
       .groupBy(col(qCol), col("answer"))
       .agg(count(lit(1)).as("votes"))
 
+  /** Streaming best-of-n twin ([[graft.operators.Preferences.bestOfN]]
+    * incremental): the per-prompt reward top-k as scored samples
+    * STREAM in — rejection sampling over a live generation feed. The
+    * shared bounded top-k buffer is a MONOTONE order-independent
+    * reduction (inserting a sample can only improve the kept set, ties
+    * to the lower response id regardless of arrival order), so plain
+    * complete-mode aggregation carries it: no finalized-prefix fold,
+    * no watermark, state bounded by prompts × k — the
+    * [[preferenceCounts]] stance, and the parity spec derives the
+    * batch bestOfN relation from the streamed buffers exactly across
+    * batch splits. Null prompt/response/reward rows are unjudged —
+    * excluded (count upstream). Returns `(<promptCol>, top:
+    * array<struct<score, id>>, n_samples)`. */
+  def rewardTopK(spark: SparkSession, samples: DataFrame,
+      promptCol: String, respIdCol: String, rewardMicrosCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    samples
+      .filter(col(promptCol).isNotNull && col(respIdCol).isNotNull &&
+        col(rewardMicrosCol).isNotNull)
+      .groupBy(col(promptCol))
+      .agg(graft.functions.TopKAggregator.topKColumn(k)(
+        col(rewardMicrosCol).cast("double"),
+        col(respIdCol).cast("long")).as("top"),
+        count(lit(1)).as("n_samples"))
+  }
+
   def preferenceCounts(spark: SparkSession, prefs: DataFrame,
       winnerCol: String, loserCol: String): DataFrame = {
     prefs

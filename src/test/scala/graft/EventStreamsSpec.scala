@@ -403,6 +403,53 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming reward top-k INCREMENTALLY == batch bestOfN") {
+    // the rejection-sampling twin: the bounded top-k buffer is a
+    // monotone order-independent reduction, so the complete-mode state
+    // after any batch split must equal the batch bestOfN relation —
+    // including a LATE better sample displacing a kept one, a reward
+    // tie resolving to the lower response id across batches, and a
+    // null-reward sample that must drop
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val real = Seq(
+      ("p1", 10L, Option(100000L)), ("p1", 11L, Option(300000L)),
+      ("p2", 21L, Option(500000L)),
+      // batch 2: late arrivals reshape p1's kept set; p2's tie must
+      // resolve to the LOWER id though it arrived second
+      ("p1", 12L, Option(400000L)), ("p2", 20L, Option(500000L)),
+      ("p1", 13L, Option(50000L)), ("p2", 22L, Option.empty[Long]))
+    val batches = Seq(real.take(3), real.drop(3))
+    val input = MemoryStream[(String, Long, Option[Long])]
+    val samples = input.toDF().toDF("prompt", "resp", "reward")
+    val q = EventStreams.rewardTopK(spark, samples, "prompt", "resp",
+        "reward", k = 2)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("rtopk_incr").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val derived = spark.table("rtopk_incr")
+        .select(col("prompt"), col("n_samples"),
+          posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("prompt"), (col("pos") + 1).cast("long").as("rank"),
+          col("t.id").as("resp"),
+          col("t.score").cast("long").as("reward_micros"),
+          col("n_samples"))
+      val batch = graft.operators.Preferences.bestOfN(
+        real.toDF("prompt", "resp", "reward"),
+        "prompt", "resp", "reward", k = 2)
+      assert(derived.exceptAll(batch).count() === 0 &&
+        batch.exceptAll(derived).count() === 0,
+        "streamed top-k buffers must equal the batch bestOfN relation")
+      val kept = derived.collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(kept(("p1", 1L)) === 12L && kept(("p1", 2L)) === 11L,
+        "the late 400k sample displaced the early 100k one")
+      assert(kept(("p2", 1L)) === 20L,
+        "the tie resolves to the lower id though it arrived later")
+    } finally q.stop()
+  }
+
   test("streaming answer-vote counts INCREMENTALLY derive the batch " +
       "self-consistency verdicts") {
     // the eval twin: per-(question, answer) tallies are monotone sums;
