@@ -11,7 +11,8 @@ import graft.sources.Tables
   * operators, composed the way a production corpus build composes them.
   *
   *   documents ─ curate (quality gate → exact dedup → verified near-dup
-  *   clusters → split labels) ─ decontaminate vs the held-out benchmark
+  *   clusters → split labels) ─ DLP quarantine (Luhn PAN + high-entropy
+  *   secrets, the q_x95 verdict) ─ decontaminate vs the held-out benchmark
   *   slice (13-gram overlap) ─ tokenize against the PERSISTED
   *   merges+vocab stores (zero learning in the scoring pass) ─ pack into
   *   token-budget training sequences ─ land packs + a stage manifest.
@@ -23,8 +24,8 @@ import graft.sources.Tables
 object EndToEnd {
 
   final case class Result(
-      nDocs: Long, nCurated: Long, nTrain: Long, nClean: Long,
-      nPacked: Long, nPacks: Long, outDir: String)
+      nDocs: Long, nCurated: Long, nTrain: Long, nSafe: Long,
+      nClean: Long, nPacked: Long, nPacks: Long, outDir: String)
 
   def run(spark: SparkSession, sfDir: String, outDir: String): Result = {
     val docs = Tables.documents(spark, sfDir)
@@ -47,18 +48,32 @@ object EndToEnd {
       Seq("doc_id"), "left_semi"))
     val nTrain = train.count()
 
-    // 2. decontamination: drop training docs sharing too many 13-gram
+    // 2. DLP quarantine: the two leaked-credential detectors under one
+    // verdict (the q_x95 composition) — a pretraining corpus must not
+    // memorize card numbers or live keys, so quarantined docs leave the
+    // build BEFORE tokenization, not after
+    val quarantined = TextAnalysis.panAudit(train, "text")
+      .select(col("doc_id"), col("has_pan"))
+      .join(TextAnalysis.secretAudit(train, "text")
+        .select(col("doc_id"), col("n_secrets")), Seq("doc_id"))
+      .filter(col("has_pan") || col("n_secrets") > 0)
+      .select(col("doc_id"))
+    val safe = graft.operators.Iterate.checkpoint(
+      train.join(quarantined, Seq("doc_id"), "left_anti"))
+    val nSafe = safe.count()
+
+    // 3. decontamination: drop training docs sharing too many 13-gram
     // shingles with the benchmark slice
     val contam = Dedup.contaminationReport(
-        Dedup.docShingles(train, "text", "doc_id", k = 13),
+        Dedup.docShingles(safe, "text", "doc_id", k = 13),
         Dedup.docShingles(bench, "text", "doc_id", k = 13))
       .filter(col("contamination") > 0.5)
       .select(col("sid").as("doc_id"))
     val clean = graft.operators.Iterate.checkpoint(
-      train.join(contam, Seq("doc_id"), "left_anti"))
+      safe.join(contam, Seq("doc_id"), "left_anti"))
     val nClean = clean.count()
 
-    // 3. tokenizer stores: train once, then the scoring pass reads ONLY
+    // 4. tokenizer stores: train once, then the scoring pass reads ONLY
     // the persisted merges + vocab (the q_x42 nightly shape)
     val merges = TextAnalysis.learnBpeMerges(clean, "text")
     TextAnalysis.writeBpeMerges(spark, merges, s"$outDir/bpe/merges")
@@ -68,7 +83,7 @@ object EndToEnd {
       spark.read.parquet(s"$outDir/bpe/vocab"))
     tokens.write.mode("overwrite").parquet(s"$outDir/tokens")
 
-    // 4. pack the tokenized docs into training sequences
+    // 5. pack the tokenized docs into training sequences
     val packed = Packing.packByCount(
       spark.read.parquet(s"$outDir/tokens").filter(col("n_tokens") > 0),
       budget = 512, shards = 8, salt = "e2e")
@@ -77,7 +92,8 @@ object EndToEnd {
     val nPacks = spark.read.parquet(s"$outDir/packs")
       .select(col("shard"), col("pack")).distinct().count()
 
-    val res = Result(nDocs, nCurated, nTrain, nClean, nPacked, nPacks, outDir)
+    val res = Result(nDocs, nCurated, nTrain, nSafe, nClean, nPacked,
+      nPacks, outDir)
     manifest(spark, res).write.mode("overwrite").parquet(s"$outDir/manifest")
     // NOTE: the checkpoint blocks behind train/clean are RDD-level
     // storage — Dataset.unpersist would be a no-op on them; local-mode
@@ -92,7 +108,8 @@ object EndToEnd {
   private def manifest(spark: SparkSession, r: Result): DataFrame = {
     import spark.implicits._
     Seq(("docs", r.nDocs), ("curated", r.nCurated), ("train", r.nTrain),
-      ("clean", r.nClean), ("packed_docs", r.nPacked), ("packs", r.nPacks))
+      ("dlp_safe", r.nSafe), ("clean", r.nClean),
+      ("packed_docs", r.nPacked), ("packs", r.nPacks))
       .toDF("stage", "rows")
   }
 
