@@ -797,6 +797,47 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Tokenizer-kernel throughput — `runMain graft.tools.ScaleProbe tok`:
+    // the three subword kernels (BPE merges replay, unigram Viterbi,
+    // WordPiece greedy longest-match) over ×1/×4/×16 token-salted
+    // documents, each learning its table at ×1 and encoding every
+    // scale with the SAME table (the production shape: the tokenizer
+    // is a fixed artifact, the corpus grows). All three are map-only
+    // foldable-literal kernels with per-distinct-word memoization —
+    // the probe measures how the memoization absorbs salted (all-
+    // distinct) vocabulary growth.
+    if (args.headOption.contains("tok")) {
+      import graft.operators.TextAnalysis
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .filter(col("text").isNotNull)
+      val merges = TextAnalysis.learnBpeMerges(base, "text")
+      val pieces = TextAnalysis.learnUnigramPieces(base,
+        maxLen = 4, vocabSize = 256)
+      val wp = TextAnalysis.learnWordPieceVocab(base,
+        maxLen = 4, vocabSize = 256)
+      Seq(1, 4, 16).foreach { f =>
+        val dir = s"target/scaleprobe/x$f"
+        val marker = new java.io.File(s"$dir/.done")
+        if (!marker.exists) {
+          amplify(spark, "/root/testdata/sf0.1", dir, f)
+          marker.createNewFile()
+        }
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("text").isNotNull)
+        def run(body: => org.apache.spark.sql.DataFrame): Double = {
+          def once(): Double = time {
+            body.write.format("noop").mode("overwrite").save()
+          }
+          once(); math.min(once(), once())
+        }
+        val tb = run(TextAnalysis.bpeTokenize(docs, merges, "text"))
+        val tu = run(TextAnalysis.unigramTokenize(docs, pieces, "text"))
+        val tw = run(TextAnalysis.wordPieceTokenize(docs, wp, "text"))
+        println(f"[scaleprobe] tok x$f%-4d bpe $tb%.2f s  unigram $tu%.2f s  wordpiece $tw%.2f s")
+      }
+      spark.stop(); return
+    }
+
     // Bradley-Terry growth — `runMain graft.tools.ScaleProbe bt`:
     // the q_e35 synthesis over ×1/×8/×64 event copies (event_id shifted
     // per copy, so judgments multiply across the SAME 8 candidates —
