@@ -321,4 +321,67 @@ class PropertySpec extends AnyFunSuite {
         s"piece '$p' is neither in the table nor a single code point"))
     }
   }
+
+  test("wordpiece reconstruction: random texts + random vocabs — every " +
+      "non-UNK word reassembles from its ##-stripped pieces, every " +
+      "piece is a vocab item with the right position class") {
+    import spark.implicits._
+    import graft.functions.WordPieceEncode.{Sep, Unk}
+    val wordGen = Gen.listOfN(6,
+      Gen.oneOf("ab", "abc", "xyzzy", "q", "ba", "zz9", "a😀b"))
+      .map(_.mkString(" "))
+    val vocabGen = Gen.someOf(Seq("ab", "##c", "a", "##b", "xy",
+      "##zzy", "q", "b", "##a", "z", "##z9", "😀")).map(_.toSeq)
+    forAll(Gen.zip(wordGen, vocabGen), n = 12) { case (text, v0) =>
+      val vocab = if (v0.nonEmpty) v0 else Seq("q")
+      val out = graft.operators.TextAnalysis.wordPieceTokenize(
+        Seq((1L, text)).toDF("doc_id", "text"), vocab).head
+      val stream = out.getString(1)
+      val words = text.split("\\s+").filter(_.nonEmpty)
+      val pieces = if (stream.isEmpty) Array.empty[String]
+        else stream.split(Sep, -1)
+      assert(out.getLong(2) === pieces.length.toLong)
+      assert(out.getLong(3) === pieces.count(_ == Unk).toLong)
+      // regroup the stream into words: a new word starts at every
+      // non-## piece ([UNK] included — it is always a whole word)
+      val grouped = pieces.foldLeft(Vector.empty[Vector[String]]) {
+        (acc, p) =>
+          if (p.startsWith("##") && acc.nonEmpty)
+            acc.init :+ (acc.last :+ p)
+          else acc :+ Vector(p)
+      }
+      assert(grouped.length === words.length,
+        s"'$text' under $vocab: word count must survive segmentation")
+      grouped.zip(words).foreach { case (ps, w) =>
+        if (ps == Vector(Unk)) ()
+        else {
+          assert(ps.map(_.stripPrefix("##")).mkString === w,
+            s"non-UNK word '$w' must reassemble from $ps")
+          assert(vocab.contains(ps.head) && !ps.head.startsWith("##"),
+            "the first piece is a word-initial vocab item")
+          ps.tail.foreach(p => assert(vocab.contains(p) &&
+            p.startsWith("##"), "continuations are ##-class vocab items"))
+        }
+      }
+    }
+  }
+
+  test("edit-distance kernel metric bounds: d(x,x)=0, symmetry, " +
+      "|m-n| <= d <= max(m,n) on random token sequences") {
+    import spark.implicits._
+    val seqGen = Gen.listOfN(5, Gen.oneOf("a", "b", "c", "dd", "e"))
+      .map(_.mkString(" "))
+    graft.functions.EditDistTokens.register(spark)
+    def d(x: String, y: String): Int =
+      Seq((x, y)).toDF("a", "b")
+        .selectExpr("edit_dist_tokens(a, b) AS d").head.getInt(0)
+    forAll(Gen.zip(seqGen, seqGen), n = 10) { case (x, y) =>
+      assert(d(x, x) === 0)
+      val dist = d(x, y)
+      assert(dist === d(y, x), "symmetry")
+      val (m, n) = (x.split(" ").length, y.split(" ").length)
+      assert(dist >= math.abs(m - n) && dist <= math.max(m, n),
+        s"bounds for '$x' vs '$y'")
+    }
+  }
 }
