@@ -977,6 +977,105 @@ object Profile {
           .as("kappa_ppm"))
   }
 
+  /** Kendall rank correlation (tau-a) per group — the EXACT rank
+    * statistic for reward-data audits (the famous one: response LENGTH
+    * vs reward — a reward model that pays for verbosity shows a
+    * strongly positive tau per prompt) and judge-vs-judge score
+    * agreement. Tau-a over all unordered pairs:
+    *
+    *   τ_a = (C − D) / (n(n−1)/2)
+    *
+    * with C/D the concordant/discordant pair counts and ties (in
+    * either variable) counted as neither — every number an exact
+    * integer, the ratio one half-up ppm with the sign split out (the
+    * [[fleissKappa]] negative-division discipline), so the oracle
+    * replays bit-for-bit (Spearman's tie-midrank form needs a square
+    * root; tau-b likewise — tau-a is the exact-arithmetic member of
+    * the family, and the tie counts ride along for the reader who
+    * wants tau-b offline). Inputs ride the integer contract (micros /
+    * counts / lengths); rows with a null group/id/x/y are excluded.
+    *
+    * Scale shape: pair enumeration is a GROUP-KEYED self-join on
+    * `idCol_i < idCol_j` — per-group quadratic by nature, bounded by
+    * design: groups are prompts/queries with tens-hundreds of scored
+    * samples, and a group fanning past `maxGroupRows` trips an in-plan
+    * raise (the dpoPairs cap discipline) instead of quietly squaring a
+    * corpus. Returns `(<groupCol>, n, n_pairs, concordant, discordant,
+    * tied, tau_a_ppm)` (n < 2 ⇒ no pairs ⇒ null tau). */
+  def kendallTau(df: DataFrame, groupCol: String, idCol: String,
+      xCol: String, yCol: String, maxGroupRows: Int = 4096): DataFrame = {
+    require(maxGroupRows >= 2,
+      s"maxGroupRows must be >= 2, got $maxGroupRows")
+    val base = df.filter(col(groupCol).isNotNull && col(idCol).isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).as("__i"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .localCheckpoint()
+    val ns = base.groupBy(col("__g")).agg(count(lit(1)).as("n"))
+    val pairs = base.as("l")
+      .join(base.as("r"), col("l.__g") === col("r.__g") &&
+        col("l.__i") < col("r.__i"))
+      .select(col("l.__g").as("__g"),
+        ((col("l.__x") - col("r.__x")) *
+          (col("l.__y") - col("r.__y"))).as("__p"))
+      .groupBy(col("__g"))
+      .agg(sum(when(col("__p") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("__p") < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("__p") === 0, 1L).otherwise(0L)).as("tied"))
+    val out = ns.join(pairs, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n"),
+        expr("n * (n - 1) div 2").as("n_pairs"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        coalesce(col("discordant"), lit(0L)).as("discordant"),
+        coalesce(col("tied"), lit(0L)).as("tied"))
+      .withColumn("tau_a_ppm", when(col("n_pairs") > 0,
+        when(col("concordant") < col("discordant"),
+          -expr("(2 * (discordant - concordant) * 1000000 + n_pairs) " +
+            "div (2 * n_pairs)"))
+        .otherwise(expr(
+          "(2 * (concordant - discordant) * 1000000 + n_pairs) " +
+            "div (2 * n_pairs)"))))
+    // cap guard: every output column carries the raise
+    val st = out.schema
+    val boom = raise_error(concat(
+      lit("kendallTau: group "), col("__g").cast("string"), lit(" has "),
+      col("n").cast("string"),
+      lit(s" rows (cap $maxGroupRows) — pair enumeration is per-group " +
+        "quadratic; raise maxGroupRows deliberately or subsample")))
+    val offenders = ns.filter(col("n") > maxGroupRows)
+      .select(st.map(f => boom.cast(f.dataType).as(f.name)): _*)
+    out.unionAll(offenders)
+  }
+
+  /** Source-concentration audit (Herfindahl-Hirschman index) — the
+    * one-row mixture monitor: HHI = Σ_s share_s² over a grouping
+    * column (source/domain/language), in exact half-up ppm —
+    * `Σ c_s² / (Σ c)²` cross-multiplied in DECIMAL(38,0), no float.
+    * 1e6 = the corpus is one source; 1e6/k = k equal sources — so
+    * `1e12 / hhi_ppm` reads as the EFFECTIVE source count
+    * (`n_effective_micro`, half-up micros, the diversity number a
+    * mixture planner tracks run-over-run; a drop means one source is
+    * quietly eating the corpus). Null group values form their own
+    * segment (the gateParity stance — unattributed data is a real
+    * slice, not a drop). One hash aggregation + a 1-row reduce.
+    * Returns ONE row `(n_rows, n_groups, hhi_ppm,
+    * n_effective_micro)`. */
+  def concentration(df: DataFrame, groupCol: String): DataFrame = {
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(expr("CAST(__c AS DECIMAL(38,0)) * __c")),
+          lit(0L).cast("decimal(38,0)")).as("__s2"))
+      .select(col("n_rows"), col("n_groups"),
+        when(col("n_rows") > 0, expr(
+          "(2 * __s2 * 1000000 + CAST(n_rows AS DECIMAL(38,0)) * n_rows) " +
+            "div (2 * CAST(n_rows AS DECIMAL(38,0)) * n_rows)"))
+          .as("hhi_ppm"))
+      .withColumn("n_effective_micro", when(col("hhi_ppm") > 0, expr(
+        "(2 * CAST(1000000000000 AS DECIMAL(38,0)) + hhi_ppm) " +
+          "div (2 * hhi_ppm)")))
+  }
+
   /** Krippendorff's alpha (nominal) — the agreement family's
     * missing-data rung: [[cohenKappa]] needs exactly two raters,
     * [[fleissKappa]] a complete panel; alpha accepts ANY number of

@@ -593,6 +593,58 @@ object EventQueries extends graft.QueryPack {
               |  CAST(s5.s AS BIGINT) AS strength_micro
               |FROM w JOIN s5 USING (candidate)""".stripMargin)),
 
+    // ---- E40: length-bias audit (Kendall tau-a per prompt) ---------------
+    // The reward-data failure mode made measurable: per prompt
+    // (event_id % 40, over the event_id % 7 audit slice — pair
+    // enumeration is per-group quadratic, so the fixture bounds group
+    // population the way the operator's cap demands of real callers)
+    // the response length x and a PLANTED length-correlated reward
+    // y = x*1000 + noise — tau-a reads strongly positive, which is
+    // exactly the verdict a reward-model auditor acts on. Exact
+    // integers end to end; the oracle replays the pair enumeration
+    // and the sign-split half-up ppm.
+    Q("q_e40_length_bias",
+      (s, d) => graft.operators.Profile.kendallTau(
+        Tables.events(s, d)
+          .filter(col("event_id") % 7 === 0)
+          .select((col("event_id") % 40).as("prompt"),
+            col("event_id").as("id"),
+            ((col("event_id") * 31) % 997).as("resp_len"),
+            (((col("event_id") * 31) % 997) * 1000 +
+              (col("event_id") * 7919) % 50000).as("reward")),
+        "prompt", "id", "resp_len", "reward"),
+      Some("""WITH s AS (SELECT event_id % 40 AS prompt, event_id AS id,
+             |    (event_id * 31) % 997 AS x,
+             |    ((event_id * 31) % 997) * 1000
+             |      + (event_id * 7919) % 50000 AS y
+             |  FROM events WHERE event_id % 7 = 0),
+             |ns AS (SELECT prompt, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM s GROUP BY 1),
+             |ag AS (SELECT l.prompt,
+             |    CAST(COUNT(CASE WHEN (l.x - r.x) * (l.y - r.y) > 0
+             |      THEN 1 END) AS BIGINT) AS concordant,
+             |    CAST(COUNT(CASE WHEN (l.x - r.x) * (l.y - r.y) < 0
+             |      THEN 1 END) AS BIGINT) AS discordant,
+             |    CAST(COUNT(CASE WHEN (l.x - r.x) * (l.y - r.y) = 0
+             |      THEN 1 END) AS BIGINT) AS tied
+             |  FROM s l JOIN s r ON r.prompt = l.prompt AND l.id < r.id
+             |  GROUP BY 1),
+             |z AS (SELECT ns.prompt, ns.n, ns.n * (ns.n - 1) // 2 AS np,
+             |    COALESCE(ag.concordant, 0) AS concordant,
+             |    COALESCE(ag.discordant, 0) AS discordant,
+             |    COALESCE(ag.tied, 0) AS tied
+             |  FROM ns LEFT JOIN ag USING (prompt))
+             |SELECT prompt, n, CAST(np AS BIGINT) AS n_pairs,
+             |  concordant, discordant, tied,
+             |  CAST(CASE WHEN np > 0 THEN
+             |    CASE WHEN concordant < discordant THEN
+             |      -((2 * (discordant - concordant) * 1000000 + np)
+             |        // (2 * np))
+             |    ELSE (2 * (concordant - discordant) * 1000000 + np)
+             |      // (2 * np) END
+             |    END AS BIGINT) AS tau_a_ppm
+             |FROM z""".stripMargin)),
+
     // ---- E39: DPO x Bradley-Terry consistency audit (composed) -----------
     // The q_m19 composition discipline applied to the preference tier:
     // per-prompt DPO majorities (q_e34's machinery, margin >= 1, cycles

@@ -2663,6 +2663,29 @@ object TextQueries extends graft.QueryPack {
              |    AS BIGINT) AS wer_ppm
              |FROM fin""".stripMargin)),
 
+    // ---- X96: source-concentration audit (HHI mixture monitor) ------------
+    // One row a mixture planner tracks run-over-run: HHI in exact
+    // half-up ppm over documents.source + the effective source count
+    // (1e12/hhi) — a drop means one source is quietly eating the mix.
+    Q("q_x96_source_hhi",
+      (s, d) => graft.operators.Profile.concentration(
+        Tables.documents(s, d), "source"),
+      Some("""WITH c AS (SELECT source, COUNT(*) AS c FROM documents
+             |  GROUP BY 1),
+             |z AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+             |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+             |    CAST(CASE WHEN SUM(c) > 0 THEN
+             |      (2 * SUM(CAST(c AS HUGEINT) * c) * 1000000
+             |        + CAST(SUM(c) AS HUGEINT) * SUM(c))
+             |      // (2 * CAST(SUM(c) AS HUGEINT) * SUM(c)) END
+             |      AS BIGINT) AS hhi_ppm
+             |  FROM c)
+             |SELECT n_rows, n_groups, hhi_ppm,
+             |  CAST(CASE WHEN hhi_ppm > 0 THEN
+             |    (2 * CAST(1000000000000 AS HUGEINT) + hhi_ppm)
+             |      // (2 * hhi_ppm) END AS BIGINT) AS n_effective_micro
+             |FROM z""".stripMargin)),
+
     // ---- X95: composed DLP audit (PAN x secret-entropy, one verdict) -----
     // The two DLP detectors under ONE quarantine verdict — per doc_id %
     // 6 the text gains: 0 -> a Luhn-VALID PAN, 1 -> a checksum-invalid

@@ -750,6 +750,55 @@ class ScdProfileSpec extends AnyFunSuite {
     assert(withNull.getLong(0) === 50L)
   }
 
+  test("kendall tau-a: perfect order 1, reversal -1, hand mixed case, " +
+      "ties count as neither, singleton groups undefined, the group " +
+      "cap raises") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, Long, Long)], cap: Int = 4096) =
+      Profile.kendallTau(rows.toDF("g", "id", "x", "y"),
+        "g", "id", "x", "y", cap)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5),
+            if (r.isNullAt(6)) None else Some(r.getLong(6))))).toMap
+    val perfect = run((1L to 4L).map(i => ("g", i, i, i * 10)))
+    assert(perfect("g") === ((4L, 6L, 6L, 0L, 0L, Some(1000000L))))
+    val reversed = run((1L to 4L).map(i => ("g", i, i, -i)))
+    assert(reversed("g")._6 === Some(-1000000L), "the negative path")
+    // mixed: x=(1,2,3), y=(2,1,3) -> C=2, D=1, tau = 1/3
+    val mixed = run(Seq(("g", 1L, 1L, 2L), ("g", 2L, 2L, 1L),
+      ("g", 3L, 3L, 3L)))
+    assert(mixed("g") === ((3L, 3L, 2L, 1L, 0L, Some(333333L))))
+    // a tie in either variable is neither concordant nor discordant
+    val tied = run(Seq(("g", 1L, 1L, 1L), ("g", 2L, 1L, 2L)))
+    assert(tied("g") === ((2L, 1L, 0L, 0L, 1L, Some(0L))))
+    // one row: no pairs, no defined tau
+    assert(run(Seq(("g", 1L, 5L, 5L)))("g")._6 === None)
+    val ex = intercept[Exception](
+      run((1L to 5L).map(i => ("g", i, i, i)), cap = 4))
+    assert(ex.getMessage.contains("quadratic"))
+  }
+
+  test("concentration: single source saturates at 1e6, equal sources " +
+      "read 1e6/k with the effective count exactly k, skew reads " +
+      "between, null groups are a real segment") {
+    import spark.implicits._
+    def run(rows: Seq[String]) =
+      Profile.concentration(rows.map(Tuple1(_)).toDF("source"), "source")
+        .collect().head
+    val one = run(Seq.fill(5)("a"))
+    assert((one.getLong(0), one.getLong(1), one.getLong(2),
+      one.getLong(3)) === ((5L, 1L, 1000000L, 1000000L)))
+    val four = run(Seq("a", "a", "b", "b", "c", "c", "d", "d"))
+    assert((four.getLong(2), four.getLong(3)) === ((250000L, 4000000L)),
+      "four equal sources: hhi 1e6/4, effective count exactly 4")
+    val skew = run(Seq("a", "a", "a", "b"))
+    assert((skew.getLong(2), skew.getLong(3)) === ((625000L, 1600000L)))
+    val withNull = run(Seq("a", null, null))
+    assert(withNull.getLong(1) === 2L,
+      "unattributed rows form their own segment")
+  }
+
   test("krippendorff alpha: hand coincidence arithmetic, singleton units " +
       "excluded, perfect agreement 1, systematic disagreement negative " +
       "by subtraction, one-category data undefined") {
