@@ -857,6 +857,76 @@ object Multimodal {
     }.toDF("media_id", "ahash")
   }
 
+  /** Per-frame aHash relation — [[videoFingerprint]]'s building block
+    * exposed as rows `(media_id, frame_idx, fhash)`: every frame of
+    * the GVID container ImageIO-decoded and hashed on the same
+    * `gw × gh` NN grid with the same strict per-frame mean threshold.
+    * The temporal RELATION (not the packed signature) is what
+    * sequence-level video analysis consumes — scene cuts, per-frame
+    * dedup, sampling plans. Codec work in `mapPartitions` (the one
+    * place it's right); `gw·gh ≤ 63`. */
+  def videoFrameHashes(spark: SparkSession, media: DataFrame,
+      gw: Int, gh: Int): DataFrame = {
+    import spark.implicits._
+    require(gw >= 1 && gh >= 1 && gw * gh <= 63,
+      s"frame hash must fit a non-negative long, got ${gw}x$gh bits")
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { rec =>
+        val (sw, sh, frames) = GvidCodec.decode(rec.bytes)
+        require(frames.nonEmpty, s"media ${rec.media_id}: empty video")
+        val n = gw * gh
+        frames.indices.map { fi =>
+          val img = ImageCodec.decode(frames(fi), "image/png")
+          val px = img.getRGB(0, 0, sw, sh, null, 0, sw)
+          val grays = new Array[Long](n)
+          var tot = 0L
+          var j = 0
+          while (j < n) {
+            val sx = (j % gw) * sw / gw
+            val sy = (j / gw) * sh / gh
+            val p = px(sy * sw + sx)
+            val gr = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
+            grays(j) = gr; tot += gr; j += 1
+          }
+          var h = 0L
+          j = 0
+          while (j < n) {
+            if (grays(j) * n > tot) h |= 1L << j
+            j += 1
+          }
+          (rec.media_id, fi.toLong, h)
+        }
+      }
+    }.toDF("media_id", "frame_idx", "fhash")
+  }
+
+  /** Scene-cut detection over a [[videoFrameHashes]] relation — the
+    * shot-boundary pass every video-curation pipeline runs before
+    * frame sampling (sampling INSIDE a shot is redundant; sampling
+    * ACROSS cuts is coverage): a cut is a consecutive-frame pair whose
+    * aHash hamming distance reaches `tauBits` (perceptual hashes move
+    * a few bits within a shot, many at a hard cut). One
+    * media-partitioned lag window (frames-per-video bounded — never a
+    * corpus sort) + one hash aggregation. Returns `(media_id,
+    * n_frames, n_cuts, max_jump)` — `max_jump` the largest
+    * consecutive-frame distance (null for single-frame videos:
+    * nothing consecutive ≠ a zero jump). */
+  def videoSceneCuts(frameHashes: DataFrame, tauBits: Int): DataFrame = {
+    require(tauBits >= 1 && tauBits <= 63,
+      s"tauBits must be in [1, 63], got $tauBits")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frameHashes
+      .withColumn("__prev", lag(col("fhash"), 1).over(w))
+      .withColumn("__jump", when(col("__prev").isNotNull,
+        expr("bit_count(fhash ^ __prev)").cast("long")))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        coalesce(sum(when(col("__jump") >= tauBits, 1L).otherwise(0L)),
+          lit(0L)).as("n_cuts"),
+        max(col("__jump")).as("max_jump"))
+  }
+
   /** [[PixelShift]] scoped to one FRAME of a GVID video — the
     * frame-local re-encode stand-in for video near-dup fixtures:
     * decode the container, shift the R channel of the first `k` pixels

@@ -126,6 +126,48 @@ object MultimodalQueries extends graft.QueryPack {
 
   override def queries: Seq[Q] = Seq(
 
+    // ---- M23: video scene-cut detection -----------------------------------
+    // Shot boundaries over the per-frame aHash relation (all 6 frames,
+    // 4x4 grid) at tau = 6 bits — the sampling-plan input a video
+    // pipeline derives before frame extraction. The oracle replays the
+    // closed-form per-frame hashes and the consecutive-frame hamming.
+    Q("q_m23_scene_cuts",
+      (s, d) => Multimodal.videoSceneCuts(
+        Multimodal.videoFrameHashes(s,
+          Multimodal.synthesizeVideos(s,
+            Tables.documents(s, d).select(col("doc_id")), 16, 8,
+            nFrames = 6, idCol = "doc_id"), 4, 4), tauBits = 6),
+      Some("""WITH g AS (
+             |  SELECT doc_id AS media_id, f, j,
+             |    (doc_id + flat) % 256
+             |    + (doc_id * 3 + flat * 5 + 17) % 256
+             |    + (doc_id * 7 + flat * 11 + 41) % 256 AS gray
+             |  FROM (SELECT doc_id, f, j,
+             |          f * 128 + 32 * (j // 4) + 4 * (j % 4) AS flat
+             |        FROM documents,
+             |          (SELECT unnest(range(0, 6)) AS f),
+             |          (SELECT unnest(range(0, 16)) AS j))),
+             |fh AS (SELECT media_id, f,
+             |    CAST(SUM(CASE WHEN gray * 16 > tot
+             |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+             |      AS BIGINT) AS fhash
+             |  FROM (SELECT *, SUM(gray) OVER (PARTITION BY media_id, f)
+             |      AS tot FROM g)
+             |  GROUP BY 1, 2),
+             |jm AS (SELECT a.media_id,
+             |    bit_count(xor(a.fhash, b.fhash)) AS jump
+             |  FROM fh a JOIN fh b ON b.media_id = a.media_id
+             |    AND b.f = a.f - 1)
+             |SELECT m.media_id, m.n_frames,
+             |  COALESCE(c.n_cuts, 0) AS n_cuts, c.max_jump
+             |FROM (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+             |  FROM fh GROUP BY 1) m
+             |LEFT JOIN (SELECT media_id,
+             |    CAST(COUNT(CASE WHEN jump >= 6 THEN 1 END) AS BIGINT)
+             |      AS n_cuts,
+             |    CAST(MAX(jump) AS BIGINT) AS max_jump
+             |  FROM jm GROUP BY 1) c USING (media_id)""".stripMargin)),
+
     // ---- M22: MMC4 interleaved image placement ----------------------------
     // Pages synthesized from embeddings: vec_id div 8 = the document,
     // its six chunk vectors (vec_id % 8 in 0..5, chunk_id = the

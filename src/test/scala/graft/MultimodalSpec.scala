@@ -620,6 +620,39 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.triageAttempt(throw new LinkageError("missing native")))
   }
 
+  test("videoFrameHashes + videoSceneCuts: the per-frame relation drives " +
+      "cut detection that matches a driver-side hamming replay; " +
+      "single-frame videos have no defined jump") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L).toDF("media_id")
+    val vids = Multimodal.synthesizeVideos(spark, ids, 16, 8, nFrames = 6)
+    val fh = Multimodal.videoFrameHashes(spark, vids, 4, 4)
+    val rows = fh.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.size === 18, "three videos x six frames")
+    // driver-side replay: consecutive hamming, cuts at tau = 6
+    val expected = (1L to 3L).map { m =>
+      val hs = (0L to 5L).map(f => rows((m, f)))
+      val jumps = hs.sliding(2).map(p =>
+        java.lang.Long.bitCount(p(0) ^ p(1)).toLong).toSeq
+      m -> ((jumps.count(_ >= 6L).toLong, jumps.max))
+    }.toMap
+    val out = Multimodal.videoSceneCuts(fh, tauBits = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    (1L to 3L).foreach { m =>
+      assert(out(m) === ((6L, expected(m)._1, expected(m)._2)),
+        s"media $m must match the driver-side hamming replay")
+    }
+    // a single-frame video: one frame, zero cuts, NO defined jump
+    val one = Multimodal.videoSceneCuts(
+      Multimodal.videoFrameHashes(spark,
+        Multimodal.synthesizeVideos(spark, Seq(9L).toDF("media_id"),
+          16, 8, nFrames = 1), 4, 4), tauBits = 6).collect().head
+    assert((one.getLong(1), one.getLong(2), one.isNullAt(3)) ===
+      ((1L, 0L, true)))
+  }
+
   test("interleaveAssign: images attach to their doc's best chunk, ties " +
       "to the earliest position, unplaceable images surface with null, " +
       "the per-doc chunk cap raises") {
