@@ -2927,6 +2927,59 @@ object TextAnalysis {
       s"n_${k}s" -> regexp_count(text, lit(p))
     }
 
+  /** Flesch reading-ease readability (Flesch 1948) — the curation
+    * gate's classic complexity axis next to the Gopher structural
+    * rules (educational-quality pipelines band corpora by readability
+    * before mixing):
+    *
+    *   206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    *
+    * in exact integer MICROS: the two ratios are half-up-micro
+    * rationals (per-term rounding, the BLEU discipline), the constants
+    * exact micro literals, the score their integer combination — so
+    * both engines replay it bit-for-bit, and a dense legalese doc goes
+    * honestly NEGATIVE (real Flesch does). Deterministic count
+    * conventions (heuristics, pinned): words = whitespace tokens;
+    * sentences = `[.!?]+` terminator runs, floored at 1 (a fragment is
+    * one sentence, not a division by zero); syllables = `[aeiouy]+`
+    * vowel groups per lowercased word, floored at 1 per word. Docs
+    * with zero words band as 'empty' with a null score (nothing
+    * measured ≠ unreadable). Map-only except the one doc-keyed
+    * syllable aggregation. Returns `(<idCol>, n_words, n_sentences,
+    * n_syllables, flesch_micro, band)`. */
+  def fleschReadability(df: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val base = Par.spread(df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        tokens(lower(col(textCol))).as("__toks"),
+        greatest(lit(1L),
+          regexp_count(col(textCol), lit("[.!?]+")).cast("long"))
+          .as("n_sentences")))
+    val syl = base.select(col("__id"), explode(col("__toks")).as("__w"))
+      .select(col("__id"), greatest(lit(1L),
+        regexp_count(col("__w"), lit("[aeiouy]+")).cast("long")).as("__s"))
+      .groupBy(col("__id")).agg(sum(col("__s")).as("n_syllables"))
+    base.select(col("__id"), size(col("__toks")).cast("long").as("n_words"),
+        col("n_sentences"))
+      .join(syl, Seq("__id"), "left")
+      .withColumn("n_syllables", coalesce(col("n_syllables"), lit(0L)))
+      .withColumn("flesch_micro", when(col("n_words") > 0,
+        lit(206835000L) -
+          expr("(2 * 1015000L * n_words + n_sentences) " +
+            "div (2 * n_sentences)") -
+          expr("(2 * 84600000L * n_syllables + n_words) " +
+            "div (2 * n_words)")))
+      .withColumn("band",
+        when(col("n_words") === 0, lit("empty"))
+          .when(col("flesch_micro") >= 90000000L, lit("very_easy"))
+          .when(col("flesch_micro") >= 70000000L, lit("easy"))
+          .when(col("flesch_micro") >= 50000000L, lit("standard"))
+          .when(col("flesch_micro") >= 30000000L, lit("difficult"))
+          .otherwise(lit("very_difficult")))
+      .select(col("__id").as(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("flesch_micro"), col("band"))
+  }
+
   /** Collocation / phrase mining (Mikolov et al. 2013's word2vec
     * phrase score) — the corpus-prep step that decides which adjacent
     * word pairs deserve a single token ("new york", "machine

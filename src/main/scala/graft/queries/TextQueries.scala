@@ -2663,6 +2663,45 @@ object TextQueries extends graft.QueryPack {
              |    AS BIGINT) AS wer_ppm
              |FROM fin""".stripMargin)),
 
+    // ---- X97: Flesch readability banding -----------------------------------
+    // The educational-quality curation axis in exact micros: per-term
+    // half-up ratios, integer constants, the banded verdict. The oracle
+    // replays word/sentence/vowel-group counts and both rationals.
+    Q("q_x97_readability",
+      (s, d) => TextAnalysis.fleschReadability(
+        Tables.documents(s, d), "text"),
+      Some("""WITH b AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |      x -> x <> '') AS toks,
+             |    GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+             |      AS n_sentences
+             |  FROM documents WHERE text IS NOT NULL),
+             |syl AS (SELECT doc_id,
+             |    SUM(GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+'))))
+             |      AS n_syllables
+             |  FROM (SELECT doc_id, unnest(toks) AS w FROM b) GROUP BY 1),
+             |z AS (SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_words,
+             |    CAST(b.n_sentences AS BIGINT) AS n_sentences,
+             |    CAST(COALESCE(syl.n_syllables, 0) AS BIGINT)
+             |      AS n_syllables
+             |  FROM b LEFT JOIN syl USING (doc_id)),
+             |f AS (SELECT *, CASE WHEN n_words > 0 THEN
+             |    206835000 -
+             |    (2 * 1015000 * n_words + n_sentences)
+             |      // (2 * n_sentences) -
+             |    (2 * 84600000 * n_syllables + n_words) // (2 * n_words)
+             |    END AS flesch_micro
+             |  FROM z)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |  CAST(flesch_micro AS BIGINT) AS flesch_micro,
+             |  CASE WHEN n_words = 0 THEN 'empty'
+             |    WHEN flesch_micro >= 90000000 THEN 'very_easy'
+             |    WHEN flesch_micro >= 70000000 THEN 'easy'
+             |    WHEN flesch_micro >= 50000000 THEN 'standard'
+             |    WHEN flesch_micro >= 30000000 THEN 'difficult'
+             |    ELSE 'very_difficult' END AS band
+             |FROM f""".stripMargin)),
+
     // ---- X96: source-concentration audit (HHI mixture monitor) ------------
     // One row a mixture planner tracks run-over-run: HHI in exact
     // half-up ppm over documents.source + the effective source count

@@ -291,6 +291,35 @@ class TextOpsSpec extends AnyFunSuite {
       "packing preserves the tokenizer's total token count")
   }
 
+  test("flesch readability: hand micro arithmetic, dense text goes " +
+      "honestly negative, fragments floor at one sentence, zero-word " +
+      "docs band empty with a null score") {
+    import spark.implicits._
+    def run(text: String) =
+      TextAnalysis.fleschReadability(
+        Seq((1L, text)).toDF("id", "text"), "text", "id").head
+    // "The cat sat." -> W=3, S=1, Syl=3:
+    // 206.835 - 1.015*3 - 84.6*1 = 119.19 exactly
+    val simple = run("The cat sat.")
+    assert((simple.getLong(1), simple.getLong(2), simple.getLong(3),
+      simple.getLong(4), simple.getString(5)) ===
+      ((3L, 1L, 3L, 119190000L, "very_easy")))
+    // polysyllabic pile-up: W=4, S=1, Syl=18 -> 206.835 - 4.06 -
+    // 84.6*4.5 = -177.925 (real Flesch goes negative on dense text)
+    val dense = run(
+      "Considerations regarding extraordinary methodology.")
+    assert((dense.getLong(3), dense.getLong(4), dense.getString(5)) ===
+      ((18L, -177925000L, "very_difficult")))
+    // a fragment with no terminator is ONE sentence, not a div-by-zero
+    assert(run("no terminator here").getLong(2) === 1L)
+    // multiple terminator RUNS count once each ("..." is one boundary)
+    assert(run("One... Two! Three?").getLong(2) === 3L)
+    // zero words: empty band, null score
+    val empty = run("   ")
+    assert(empty.getLong(1) === 0L && empty.isNullAt(4) &&
+      empty.getString(5) === "empty")
+  }
+
   test("wordpiece: greedy longest-match-first with ## continuations, " +
       "the whole-word UNK cliff on any mid-word miss, learner position " +
       "classes and deterministic cut, store round-trip") {
