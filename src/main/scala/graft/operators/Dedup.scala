@@ -797,6 +797,51 @@ object Dedup {
         expr("CAST(1000000 AS BIGINT) div cluster_size"))
   }
 
+  /** Quality-aware canonical selection — dedup that keeps the BEST
+    * copy, not the first: the min-id representative every CC pass
+    * defaults to is arbitrary, but real curation (LAION keeps the
+    * highest-resolution image, C4-style pipelines the longest page,
+    * alignment-gated pairs the best-aligned caption) wants the
+    * cluster's argmax by a QUALITY score. `clusters` is a
+    * [[verifiedClusters]]-shaped `(node, component)` relation; `scores`
+    * maps ids to integer-micro quality (the engine's score contract).
+    * Canonical = max score, ties to the LOWER id (deterministic);
+    * unscored docs rank behind every scored one (a missing score never
+    * wins a contested cluster) but still canonicalize their own
+    * singleton. The argmax is ONE struct-min hash aggregation (the
+    * selfConsistency mode shape — no window, no per-cluster sort), so
+    * arbitrary score magnitudes are safe (no packed-long range limit).
+    * Every input doc gets exactly one row. Returns `(doc_id, cluster,
+    * cluster_size, score_micros, canonical_id, keep)`. */
+  def canonicalByScore(docs: DataFrame, idCol: String,
+      clusters: DataFrame, scores: DataFrame,
+      scoreMicrosCol: String): DataFrame = {
+    val member = docs.select(col(idCol).as("doc_id"))
+      .join(clusters.select(col("node").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    val scored = member.join(
+        scores.select(col(idCol).as("doc_id"),
+          col(scoreMicrosCol).cast("long").as("score_micros")),
+        Seq("doc_id"), "left")
+      // unscored floor: far below any micro scale, never Long.MinValue
+      // (its negation overflows inside the struct-min ordering)
+      .withColumn("__rsc",
+        coalesce(col("score_micros"), lit(-1000000000000000L)))
+      .localCheckpoint()
+    val best = scored.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(struct((-col("__rsc")).as("__n"), col("doc_id").as("__id")))
+          .as("__b"))
+      .select(col("cluster"), col("cluster_size"),
+        col("__b.__id").as("canonical_id"))
+    scored.join(best, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        col("score_micros"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+  }
+
   /** Leakage-safe train/val/test split: the assignment hashes the
     * near-dup CLUSTER representative, not the document — so a page and
     * its crawled-again near-duplicate can never land in different

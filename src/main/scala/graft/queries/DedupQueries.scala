@@ -297,6 +297,77 @@ object DedupQueries extends graft.QueryPack {
               |LEFT JOIN comp c ON c.node = d.doc_id
               |LEFT JOIN cs ON cs.component = c.component""".stripMargin)),
 
+    // ---- D25: quality-aware canonical selection (keep the BEST copy) ----
+    // q_d7's verified clusters resolved by ARGMAX quality (score = text
+    // length — the C4-style longest-page proxy) instead of the
+    // arbitrary min id: ties to the lower id, null-text docs lose
+    // contested clusters but keep their singletons. The oracle replays
+    // the full chain + the (score desc, id) argmax with DuckDB's
+    // default NULLS LAST matching the operator's unscored floor.
+    Q("q_d25_canonical_by_score",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Dedup.canonicalByScore(
+          docs.select(col("doc_id")), "doc_id",
+          Dedup.verifiedClusters(docs, "text", "doc_id",
+            numHashes = 8, rowsPerBand = 2, thresholdTenths = 1),
+          docs.select(col("doc_id"),
+            length(col("text")).cast("long").as("q")), "q")
+      },
+      Some(s"""WITH RECURSIVE ${duckShingles.stripPrefix("WITH ")},
+              |mh AS (SELECT doc_id,
+              |  min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+              |  min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
+              |  min(md5('4|' || sh)) AS m4, min(md5('5|' || sh)) AS m5,
+              |  min(md5('6|' || sh)) AS m6, min(md5('7|' || sh)) AS m7
+              |  FROM exd GROUP BY doc_id),
+              |bands AS (
+              |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM mh
+              |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM mh
+              |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM mh
+              |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM mh),
+              |prs AS (
+              |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM exd GROUP BY doc_id),
+              |inter AS (
+              |  SELECT p.a_id, p.b_id, COUNT(*) AS inter
+              |  FROM prs p
+              |  JOIN exd a ON a.doc_id = p.a_id
+              |  JOIN exd b ON b.doc_id = p.b_id AND b.sh = a.sh
+              |  GROUP BY 1, 2),
+              |ver AS (
+              |  SELECT i.a_id, i.b_id FROM inter i
+              |  JOIN sizes sa ON sa.doc_id = i.a_id
+              |  JOIN sizes sb ON sb.doc_id = i.b_id
+              |  WHERE i.inter * 10 >= (sa.n + sb.n - i.inter) * 1),
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM ver
+              |  UNION SELECT b_id, a_id FROM ver),
+              |cc(node, label) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
+              |comp AS (SELECT node, MIN(label) AS component FROM cc
+              |  GROUP BY node),
+              |mem AS (SELECT d.doc_id,
+              |    COALESCE(c.component, d.doc_id) AS cluster,
+              |    CAST(len(d.text) AS BIGINT) AS score_micros
+              |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+              |cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT)
+              |    AS cluster_size FROM mem GROUP BY 1),
+              |bc AS (SELECT cluster, doc_id AS canonical_id FROM (
+              |    SELECT cluster, doc_id, row_number() OVER (
+              |      PARTITION BY cluster
+              |      ORDER BY score_micros DESC, doc_id) AS rn
+              |    FROM mem) WHERE rn = 1)
+              |SELECT m.doc_id, m.cluster, cs.cluster_size,
+              |  m.score_micros, bc.canonical_id,
+              |  m.doc_id = bc.canonical_id AS keep
+              |FROM mem m JOIN cs USING (cluster)
+              |JOIN bc USING (cluster)""".stripMargin)),
+
     // ---- D22: leakage-safe split (assign by near-dup CLUSTER, not doc) --
     // A page and its crawl-again near-duplicate hash-split by document
     // land in different splits — the silent eval leak. Splitting on the

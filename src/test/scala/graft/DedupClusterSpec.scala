@@ -462,4 +462,31 @@ class DedupClusterSpec extends AnyFunSuite {
       .filter(col("split") =!= col("plain")).count()
     assert(diff === 0, "singletons must match the plain hash split")
   }
+
+  test("canonicalByScore: the cluster argmax wins (ties to the lower " +
+      "id), unscored docs lose contested clusters but keep their own " +
+      "singletons, negative scores still beat missing ones") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (6L, 6L), (7L, 6L))
+      .toDF("node", "component")
+    val scores = Seq((1L, Option(100L)), (2L, Option(300L)),
+      (3L, Option(300L)), (4L, Option(50L)), (5L, Option.empty[Long]),
+      (6L, Option.empty[Long]), (7L, Option(-5L)))
+      .toDF("doc_id", "q")
+    val out = graft.operators.Dedup.canonicalByScore(
+        docs, "doc_id", clusters, scores, "q")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(out.size === 7, "every input doc gets exactly one row")
+    // cluster 1: 300-tie between 2 and 3 resolves to the LOWER id
+    assert(out(2L) === ((1L, 3L, 2L, true)))
+    assert(out(1L)._4 === false && out(3L)._4 === false)
+    // singletons canonicalize themselves — even unscored ones
+    assert(out(4L) === ((4L, 1L, 4L, true)))
+    assert(out(5L) === ((5L, 1L, 5L, true)))
+    // a NEGATIVE score still beats a missing one in a contested cluster
+    assert(out(7L) === ((6L, 2L, 7L, true)) && out(6L)._4 === false)
+  }
 }
