@@ -1990,6 +1990,27 @@ object TextAnalysis {
         expr("(2 * edits * 1000000 + n_ref) div (2 * n_ref)")))
   }
 
+  /** CORPUS-level WER per group — the number ASR/MT reports actually
+    * publish: TOTAL edits over TOTAL reference words (NOT the mean of
+    * per-example rates — a corpus of many short perfect hypotheses and
+    * one long disaster scores very differently under each; the
+    * [[bleuCorpus]] counts-before-score stance). One group-keyed hash
+    * aggregation over [[wer]]'s per-example relation; unscorable rows
+    * (null sides) are excluded with their count NOT silently absorbed
+    * — scorable `n_examples` is the denominator evidence. Returns
+    * `(<groupCol>, n_examples, edits, n_ref, n_hyp, wer_ppm)`. */
+  def werCorpus(df: DataFrame, refCol: String, hypCol: String,
+      groupCol: String, idCol: String = "doc_id"): DataFrame = {
+    val per = wer(df, refCol, hypCol, idCol)
+    df.select(col(idCol), col(groupCol)).join(per, Seq(idCol))
+      .filter(col("edits").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_examples"), sum(col("edits")).as("edits"),
+        sum(col("n_ref")).as("n_ref"), sum(col("n_hyp")).as("n_hyp"))
+      .withColumn("wer_ppm", when(col("n_ref") > 0,
+        expr("(2 * edits * 1000000 + n_ref) div (2 * n_ref)")))
+  }
+
   /** SQuAD-style QA eval (Rajpurkar et al. 2016's official script):
     * token-bag F1 + exact match against MULTIPLE gold answers, the
     * extractive-QA / short-answer half of the eval family next to
@@ -2055,6 +2076,30 @@ object TextAnalysis {
       .select(col("__id").as(idCol), col("n_golds"),
         (col("__ema") === 1L).as("exact_match"), col("best_f1_ppm"))
     df.select(col(idCol)).join(perId, Seq(idCol), "left")
+  }
+
+  /** CORPUS-level QA eval per group — SQuAD's published numbers: the
+    * exact-match RATE and the MEAN of per-example best-F1 (the one
+    * corpus metric in the family that IS a mean — the official script
+    * averages per-question scores, unlike BLEU/WER's count totals;
+    * both conventions live here deliberately, each labeled). One
+    * group-keyed hash aggregation over [[qaEval]]'s per-example
+    * relation; unscorable rows (null pred/golds) excluded. Returns
+    * `(<groupCol>, n_examples, n_exact, em_ppm, mean_f1_ppm)`. */
+  def qaEvalCorpus(df: DataFrame, goldsCol: String, predCol: String,
+      groupCol: String, idCol: String = "doc_id"): DataFrame = {
+    val per = qaEval(df, goldsCol, predCol, idCol)
+    df.select(col(idCol), col(groupCol)).join(per, Seq(idCol))
+      .filter(col("n_golds").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_examples"),
+        sum(when(col("exact_match"), 1L).otherwise(0L)).as("n_exact"),
+        sum(col("best_f1_ppm")).as("__f1s"))
+      .select(col(groupCol), col("n_examples"), col("n_exact"),
+        expr("(2 * n_exact * 1000000 + n_examples) div (2 * n_examples)")
+          .as("em_ppm"),
+        expr("(2 * __f1s + n_examples) div (2 * n_examples)")
+          .as("mean_f1_ppm"))
   }
 
   /** Sentence BLEU (Papineni et al. 2002, sacrebleu conventions) — the

@@ -2991,6 +2991,145 @@ object TextQueries extends graft.QueryPack {
              |  a.max_entropy_bits_micro
              |FROM src s LEFT JOIN a USING (doc_id)""".stripMargin)),
 
+    // ---- X98: CORPUS-level WER per source ---------------------------------
+    // The q_x90 successor pairing rolled up the way ASR reports do:
+    // edit TOTALS over reference-word totals per the REF doc's source
+    // (never a mean of rates). The oracle extends the anti-diagonal
+    // recursion with the group sums.
+    Q("q_x98_wer_corpus",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        TextAnalysis.werCorpus(
+          docs.select(col("doc_id"), col("source"), col("text").as("ref"))
+            .join(docs.select((col("doc_id") - 1).as("doc_id"),
+              col("text").as("hyp")), Seq("doc_id")),
+          "ref", "hyp", "source")
+      },
+      Some("""WITH RECURSIVE
+             |p AS (SELECT a.doc_id, a.source,
+             |    list_filter(regexp_split_to_array(a.text, '\s+'),
+             |      x -> x <> '') AS rt,
+             |    list_filter(regexp_split_to_array(b.text, '\s+'),
+             |      x -> x <> '') AS ht
+             |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |  WHERE a.text IS NOT NULL AND b.text IS NOT NULL),
+             |dims AS (SELECT doc_id, source, rt, ht, len(rt) AS m,
+             |    len(ht) AS n
+             |  FROM p),
+             |r AS (
+             |  SELECT doc_id, 0 AS d,
+             |    list_transform(range(0, m + 1), i ->
+             |      CASE WHEN i = 0 THEN 0 ELSE m + n + 1 END) AS cur,
+             |    list_transform(range(0, m + 1), i ->
+             |      CASE WHEN i = 0 THEN 0 ELSE m + n + 1 END) AS prev
+             |  FROM dims
+             |  UNION ALL
+             |  SELECT r.doc_id, r.d + 1,
+             |    list_transform(range(0, dm.m + 1), i ->
+             |      CASE WHEN r.d + 1 - i < 0 OR r.d + 1 - i > dm.n
+             |        THEN dm.m + dm.n + 1
+             |      WHEN i = 0 THEN r.d + 1
+             |      WHEN r.d + 1 - i = 0 THEN i
+             |      ELSE least(
+             |        r.cur[i] + 1,
+             |        r.cur[i + 1] + 1,
+             |        r.prev[i] + CASE WHEN dm.rt[i] = dm.ht[r.d + 1 - i]
+             |          THEN 0 ELSE 1 END)
+             |      END) AS cur,
+             |    r.cur AS prev
+             |  FROM r JOIN dims dm USING (doc_id)
+             |  WHERE r.d < dm.m + dm.n),
+             |fin AS (SELECT r.doc_id, dm.source,
+             |    r.cur[dm.m + 1] AS edits, dm.m AS n_ref, dm.n AS n_hyp
+             |  FROM r JOIN dims dm USING (doc_id)
+             |  WHERE r.d = dm.m + dm.n)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_examples,
+             |  CAST(SUM(edits) AS BIGINT) AS edits,
+             |  CAST(SUM(n_ref) AS BIGINT) AS n_ref,
+             |  CAST(SUM(n_hyp) AS BIGINT) AS n_hyp,
+             |  CAST(CASE WHEN SUM(n_ref) > 0 THEN
+             |    (2 * SUM(edits) * 1000000 + SUM(n_ref))
+             |      // (2 * SUM(n_ref)) END AS BIGINT) AS wer_ppm
+             |FROM fin GROUP BY 1""".stripMargin)),
+
+    // ---- X99: CORPUS-level QA eval per source ------------------------------
+    // The q_x89 fixture rolled up SQuAD's way: EM RATE + MEAN of
+    // per-example best-F1 per source (the one corpus metric in the
+    // family that IS a mean — the official script's convention).
+    Q("q_x99_qa_eval_corpus",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .withColumn("toks", TextAnalysis.tokens(col("text")))
+          .select(col("doc_id"), col("source"),
+            array(col("text"),
+              concat_ws(" ", slice(col("toks"), 1, 3))).as("golds"),
+            when(col("doc_id") % 4 === 0, col("text"))
+              .when(col("doc_id") % 4 === 1,
+                concat_ws(" ", slice(col("toks"), 1, 6)))
+              .when(col("doc_id") % 4 === 2,
+                concat(upper(col("text")), lit("!!!")))
+              .otherwise(lit("zzz qqq")).as("pred"))
+        TextAnalysis.qaEvalCorpus(docs, "golds", "pred", "source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source, text,
+             |    list_filter(regexp_split_to_array(text, '\s+'),
+             |      x -> x <> '') AS tk
+             |  FROM documents WHERE text IS NOT NULL),
+             |b AS (SELECT doc_id, source,
+             |    [text, COALESCE(array_to_string(list_slice(tk, 1, 3), ' '),
+             |      '')] AS golds,
+             |    CASE CAST(doc_id % 4 AS INT)
+             |      WHEN 0 THEN text
+             |      WHEN 1 THEN COALESCE(
+             |        array_to_string(list_slice(tk, 1, 6), ' '), '')
+             |      WHEN 2 THEN upper(text) || '!!!'
+             |      ELSE 'zzz qqq' END AS pred
+             |  FROM d),
+             |pt AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(
+             |      regexp_replace(lower(pred), '[^a-z0-9\s]', '', 'g'),
+             |      '\s+'),
+             |      t -> t <> '' AND t NOT IN ('a', 'an', 'the')) AS ptk
+             |  FROM b),
+             |g AS (SELECT doc_id, gi,
+             |    list_filter(regexp_split_to_array(
+             |      regexp_replace(lower(gold), '[^a-z0-9\s]', '', 'g'),
+             |      '\s+'),
+             |      t -> t <> '' AND t NOT IN ('a', 'an', 'the')) AS gtk
+             |  FROM (SELECT doc_id, unnest(golds) AS gold,
+             |      generate_subscripts(golds, 1) AS gi FROM b)),
+             |gc AS (SELECT doc_id, gi, tok, COUNT(*) AS cg
+             |  FROM (SELECT doc_id, gi, unnest(gtk) AS tok FROM g)
+             |  GROUP BY 1, 2, 3),
+             |pcnt AS (SELECT doc_id, tok, COUNT(*) AS cp
+             |  FROM (SELECT doc_id, unnest(ptk) AS tok FROM pt)
+             |  GROUP BY 1, 2),
+             |m AS (SELECT doc_id, gi, SUM(LEAST(cg, cp)) AS m
+             |  FROM gc JOIN pcnt USING (doc_id, tok) GROUP BY 1, 2),
+             |per AS (SELECT g.doc_id, g.gi, len(g.gtk) AS ng,
+             |    len(p.ptk) AS np, COALESCE(m.m, 0) AS m,
+             |    COALESCE(array_to_string(g.gtk, ' '), '') AS gn,
+             |    COALESCE(array_to_string(p.ptk, ' '), '') AS pn
+             |  FROM g JOIN pt p USING (doc_id)
+             |  LEFT JOIN m USING (doc_id, gi)),
+             |f AS (SELECT doc_id,
+             |    CASE WHEN ng = 0 OR np = 0 THEN
+             |      CASE WHEN ng = 0 AND np = 0 THEN 1000000 ELSE 0 END
+             |    ELSE (4 * m * 1000000 + (ng + np)) // (2 * (ng + np))
+             |    END AS f1,
+             |    CASE WHEN gn = pn THEN 1 ELSE 0 END AS em
+             |  FROM per),
+             |ex AS (SELECT doc_id, MAX(em) AS em, MAX(f1) AS bf
+             |  FROM f GROUP BY 1)
+             |SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_examples,
+             |  CAST(SUM(ex.em) AS BIGINT) AS n_exact,
+             |  CAST((2 * SUM(ex.em) * 1000000 + COUNT(*))
+             |    // (2 * COUNT(*)) AS BIGINT) AS em_ppm,
+             |  CAST((2 * SUM(ex.bf) + COUNT(*)) // (2 * COUNT(*))
+             |    AS BIGINT) AS mean_f1_ppm
+             |FROM b JOIN ex USING (doc_id)
+             |GROUP BY 1""".stripMargin)),
+
     // ---- X89: SQuAD QA eval (token-bag F1 + EM, max over golds) ----------
     // Golds = [full text, first-3-tokens]; pred per doc_id % 4 exercises
     // every branch: 0 -> the text itself (EM through identity), 1 -> the

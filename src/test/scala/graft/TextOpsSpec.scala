@@ -659,6 +659,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("4096"))
   }
 
+  test("corpus wer: edit TOTALS over reference totals (not a mean of " +
+      "per-example rates), unscorable rows excluded honestly") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "g", Option("a b c d e f g h i j"),
+        Option("a b c d e f g h i j")),
+      (2L, "g", Option("a"), Option("x")),
+      (3L, "g", Option("r s"), Option.empty[String])).toDF(
+      "id", "grp", "ref", "hyp")
+    val out = TextAnalysis.werCorpus(rows, "ref", "hyp", "grp", "id")
+      .collect().head
+    // totals: 1 edit over 11 ref words = 90909 ppm; the mean of rates
+    // would read 500000 — the corpus convention is the totals
+    assert((out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(5)) === ((2L, 1L, 11L, 90909L)))
+  }
+
+  test("corpus qa eval: EM rate + MEAN per-example F1 (the official " +
+      "script's convention), unscorable rows excluded") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "g", Seq("exact answer"), Option("exact answer")),
+      (2L, "g", Seq("something else"), Option("zzz qqq")),
+      (3L, "g", Seq("x"), Option.empty[String])).toDF(
+      "id", "grp", "golds", "pred")
+    val out = TextAnalysis.qaEvalCorpus(rows, "golds", "pred", "grp", "id")
+      .collect().head
+    assert((out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(4)) === ((2L, 1L, 500000L, 500000L)))
+  }
+
   test("qa eval: squad normalization (case/punct/articles), bag-F1 with " +
       "duplicate clipping, max over golds, empty-side rule, null pred " +
       "passes through") {
