@@ -144,6 +144,27 @@ object Packing {
             s.getField("mask").as("mask"))).as("segments"))
   }
 
+  /** Pack-fill audit — the observability twin of the padded regime's
+    * padding audit ([[lengthBucketBatches]]), for the CONCATENATION
+    * regime: [[packByCount]]'s bounded-overflow contract means a pack
+    * totals `budget ≤ total < budget + max-doc` (except each shard's
+    * underfull tail pack), and a trainer that hard-truncates at the
+    * budget loses exactly the overflow tokens — so `overflow_tokens`
+    * IS the truncation-loss estimate, and `fill_ppm` (half-up ppm of
+    * total/budget, honestly > 1e6 in the overflow regime) is the
+    * capacity number. One hash aggregation over the pack assignment.
+    * Returns `(shard, pack, n_docs, n_tokens, fill_ppm,
+    * overflow_tokens)`. */
+  def packFill(packed: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    packed.groupBy(col("shard"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("fill_ppm",
+        expr(s"(2 * n_tokens * 1000000 + $budget) div (2 * $budget)"))
+      .withColumn("overflow_tokens",
+        greatest(lit(0L), col("n_tokens") - budget))
+  }
+
   /** Length-bucketed batch planning — the PADDED-batch counterpart to
     * [[packByCount]]'s concatenation layout (HF `group_by_length` /
     * fairseq length-sorted batching): models that cannot concatenate

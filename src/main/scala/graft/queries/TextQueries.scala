@@ -621,6 +621,41 @@ object TextQueries extends graft.QueryPack {
               |    ELSE 0 END AS BIGINT) AS padding_ppm
               |FROM asg a JOIN st s USING (shard, bucket, batch)""".stripMargin)),
 
+    // ---- X100: pack-fill audit (truncation-loss observability) -----------
+    // The q_x20 layout audited: per (shard, pack) fill ppm against the
+    // 512-token budget and the overflow tokens a hard-truncating
+    // trainer would lose. The oracle extends the q_x20 chain with the
+    // group tail.
+    Q("q_x100_pack_fill",
+      (s, d) => graft.operators.Packing.packFill(
+        graft.operators.Packing.packSequences(
+          Tables.documents(s, d), budget = 512, shards = 4, salt = "pk"),
+        budget = 512),
+      Some(s"""WITH b AS (
+              |  SELECT doc_id,
+              |    CAST('0x' || substr(md5('pk|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 AS shard,
+              |    md5('pk|' || CAST(doc_id AS VARCHAR)) AS hk,
+              |    len($duckToks) AS n_tokens
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id, shard, n_tokens,
+              |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY hk, doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM b),
+              |asg AS (
+              |  SELECT doc_id, shard,
+              |    CAST(DENSE_RANK() OVER (PARTITION BY shard
+              |      ORDER BY (cum - n_tokens) // 512) - 1 AS INT) AS pack,
+              |    n_tokens
+              |  FROM c)
+              |SELECT shard, pack, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+              |  CAST((2 * SUM(n_tokens) * 1000000 + 512) // 1024
+              |    AS BIGINT) AS fill_ppm,
+              |  CAST(GREATEST(0, SUM(n_tokens) - 512) AS BIGINT)
+              |    AS overflow_tokens
+              |FROM asg GROUP BY 1, 2""".stripMargin)),
+
     // ---- X24: REAL table-driven BPE (corpus-learned merges table) -------
     // The merges TABLE is the artifact: learned deterministically from
     // the corpus in two rounds (char pairs, then compound symbol pairs),

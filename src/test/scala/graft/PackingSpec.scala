@@ -119,6 +119,34 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("pack fill: hand fill ppm, overflow = the truncation-loss " +
+      "estimate, the bounded-overflow contract holds pack-by-pack") {
+    import spark.implicits._
+    // one shard so the layout is a single deterministic chain
+    val docs = (1L to 30L).map(i => (i, 40L + (i % 7) * 30L))
+      .toDF("doc_id", "n_tokens")
+    val packed = graft.operators.Packing.packByCount(
+      docs, budget = 256, shards = 1, salt = "pf")
+    val fill = graft.operators.Packing.packFill(packed, 256).collect()
+    val maxDoc = 220L
+    val maxPack = fill.map(r => r.getAs[Int]("pack")).max
+    fill.foreach { r =>
+      val t = r.getAs[Long]("n_tokens")
+      val ppm = r.getAs[Long]("fill_ppm")
+      val ov = r.getAs[Long]("overflow_tokens")
+      assert(ppm === (2 * t * 1000000L + 256) / 512, "hand half-up ppm")
+      assert(ov === math.max(0L, t - 256), "overflow is tokens past budget")
+      if (r.getAs[Int]("pack") < maxPack)
+        assert(t > 256 - maxDoc && t < 256 + maxDoc,
+          "non-tail packs land within one max-doc of the budget (a " +
+            "straddling doc's tail deflates the NEXT pack — the " +
+            "documented bounded-overflow contract, both sides)")
+    }
+    // totals reconcile: nothing lost between assignment and audit
+    assert(fill.map(_.getAs[Long]("n_tokens")).sum ===
+      docs.collect().map(_.getLong(1)).sum)
+  }
+
   test("length-bucket batches: power-of-2 buckets, hand padding ppm, " +
       "the <50% padding bound holds across a length spread, fixed batch " +
       "size with one short tail per (shard, bucket)") {
