@@ -776,4 +776,50 @@ object Similarity {
         round(nativeDot(sp, col("va"), col("vb")) / (col("na") * col("nb")), 6).as("score"))
       .filter(col("score") >= minScore)
   }
+
+  /** Embedding-batch drift monitor — the run-over-run number an ANN
+    * deployment tracks BEFORE trusting yesterday's index against
+    * today's vectors (an embedding-model update or a corpus-mix shift
+    * moves the population; centroid cosine is the cheap first alarm):
+    * per batch the per-dimension mean vector under the kmeans float
+    * discipline (`round(avg, 6)` narrowed through FLOAT — the
+    * cross-engine mean recipe DuckKmeansSql already replays) and the
+    * mean SQUARED norm (exact-integer micros after one 6-dp round —
+    * no square root, so no libm race), then the 6-dp micro cosine
+    * between the two centroids. `centroid_cos_micros` near 1e6 =
+    * same population; a drop means re-index / re-train the quantizer.
+    * Zero-norm centroids (a batch of zero vectors) have no direction:
+    * null cosine. Scale: per side one dim-keyed aggregation (shuffle =
+    * dims, not vectors) + one 1-row reduce. Returns ONE row `(n_a,
+    * n_b, msq_a_micros, msq_b_micros, centroid_cos_micros)`. */
+  def embeddingDrift(a: DataFrame, b: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val sp = a.sparkSession
+    def centroid(df: DataFrame, tag: String): DataFrame =
+      df.filter(col(vecCol).isNotNull)
+        .select(posexplode(col(vecCol)).as(Seq("__i", "__v")))
+        .groupBy(col("__i"))
+        .agg(expr("cast(cast(round(avg(cast(__v as double)), 6) " +
+          "as float) as double)").as(s"__c$tag"))
+    def stats(df: DataFrame, tag: String): DataFrame =
+      df.filter(col(vecCol).isNotNull)
+        .agg(count(lit(1)).as(s"n_$tag"),
+          (expr(s"cast(round(avg(__m$tag), 6) as decimal(18,6))")
+            * 1000000L).cast("long").as(s"msq_${tag}_micros"))
+    val sa = stats(a.select(nativeDot(sp, col(vecCol), col(vecCol))
+      .as("__ma"), col(vecCol)), "a")
+    val sb = stats(b.select(nativeDot(sp, col(vecCol), col(vecCol))
+      .as("__mb"), col(vecCol)), "b")
+    val cos = centroid(a, "a").join(centroid(b, "b"), Seq("__i"))
+      .agg(sum(col("__ca") * col("__cb")).as("__d"),
+        sum(col("__ca") * col("__ca")).as("__na2"),
+        sum(col("__cb") * col("__cb")).as("__nb2"))
+      .select(when(col("__na2") > 0 && col("__nb2") > 0,
+        round(round(col("__d") /
+          (sqrt(col("__na2")) * sqrt(col("__nb2"))), 6) * 1e6)
+          .cast("long")).as("centroid_cos_micros"))
+    sa.crossJoin(sb).crossJoin(cos)
+      .select(col("n_a"), col("n_b"), col("msq_a_micros"),
+        col("msq_b_micros"), col("centroid_cos_micros"))
+  }
 }

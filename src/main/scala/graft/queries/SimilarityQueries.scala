@@ -311,6 +311,51 @@ object SimilarityQueries extends graft.QueryPack {
 
   override def queries: Seq[Q] = Seq(
 
+    // ---- SIM20: embedding-batch drift monitor -----------------------------
+    // Even vs odd vec_ids as yesterday/today batches: per-dim centroid
+    // means under the kmeans float discipline, mean squared norms in
+    // exact micros, the 6-dp micro cosine between centroids. The
+    // oracle replays both sides from the exploded relation.
+    Q("q_sim20_embedding_drift",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.embeddingDrift(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1))
+      },
+      Some("""WITH ea AS (SELECT vec_id, unnest(embedding) AS v,
+             |    unnest(range(1, len(embedding) + 1)) AS i
+             |  FROM embeddings WHERE vec_id % 2 = 0),
+             |eb AS (SELECT vec_id, unnest(embedding) AS v,
+             |    unnest(range(1, len(embedding) + 1)) AS i
+             |  FROM embeddings WHERE vec_id % 2 = 1),
+             |ca AS (SELECT i, CAST(CAST(ROUND(AVG(CAST(v AS DOUBLE)), 6)
+             |    AS FLOAT) AS DOUBLE) AS c
+             |  FROM ea GROUP BY 1),
+             |cb AS (SELECT i, CAST(CAST(ROUND(AVG(CAST(v AS DOUBLE)), 6)
+             |    AS FLOAT) AS DOUBLE) AS c
+             |  FROM eb GROUP BY 1),
+             |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+             |    CAST(CAST(ROUND(AVG(m), 6) AS DECIMAL(18,6)) * 1000000
+             |      AS BIGINT) AS msq_a_micros
+             |  FROM (SELECT vec_id,
+             |      SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS m
+             |    FROM ea GROUP BY 1)),
+             |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+             |    CAST(CAST(ROUND(AVG(m), 6) AS DECIMAL(18,6)) * 1000000
+             |      AS BIGINT) AS msq_b_micros
+             |  FROM (SELECT vec_id,
+             |      SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS m
+             |    FROM eb GROUP BY 1)),
+             |cx AS (SELECT SUM(ca.c * cb.c) AS d,
+             |    SUM(ca.c * ca.c) AS a2, SUM(cb.c * cb.c) AS b2
+             |  FROM ca JOIN cb USING (i))
+             |SELECT na.n_a, nb.n_b, na.msq_a_micros, nb.msq_b_micros,
+             |  CAST(CASE WHEN a2 > 0 AND b2 > 0 THEN
+             |    ROUND(ROUND(d / (sqrt(a2) * sqrt(b2)), 6) * 1e6) END
+             |    AS BIGINT) AS centroid_cos_micros
+             |FROM na, nb, cx""".stripMargin)),
+
     // ---- SIM1: brute-force cosine top-k --------------------------------
     Q("q_sim1_cosine_topk",
       (s, d) => Similarity.bruteForceTopK(

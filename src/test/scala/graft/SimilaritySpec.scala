@@ -747,4 +747,29 @@ class SimilaritySpec extends AnyFunSuite {
     val mH = (2L * 2 * cosM(a, h) * 1000000L) / (sxA + syH)
     assert(mH < out(0L)._2, "hub margin must fall below the unique match")
   }
+
+  test("embedding drift: identical batches read 1e6, orthogonal means " +
+      "read 0, a rescaled batch keeps direction but moves the norm " +
+      "stat, zero-vector batches have no defined direction") {
+    import spark.implicits._
+    def emb(vs: Seq[Seq[Float]]) =
+      vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+    val base = Seq(Seq(1f, 0f), Seq(1f, 0f), Seq(1f, 0f))
+    def run(a: Seq[Seq[Float]], b: Seq[Seq[Float]]) =
+      graft.operators.Similarity.embeddingDrift(emb(a), emb(b)).head
+    val same = run(base, base)
+    assert((same.getLong(0), same.getLong(1), same.getLong(4)) ===
+      ((3L, 3L, 1000000L)))
+    assert(same.getLong(2) === same.getLong(3) &&
+      same.getLong(2) === 1000000L, "mean squared norm of unit vectors")
+    // orthogonal populations: the first alarm fires at 0
+    assert(run(base, Seq(Seq(0f, 1f), Seq(0f, 1f))).getLong(4) === 0L)
+    // a pure rescale keeps the direction (cos 1e6) but quadruples msq
+    val scaled = run(base, base.map(_.map(_ * 2f)))
+    assert(scaled.getLong(4) === 1000000L &&
+      scaled.getLong(3) === 4L * scaled.getLong(2))
+    // a zero-vector batch has no centroid direction: null, not zero
+    assert(run(base, Seq(Seq(0f, 0f))).isNullAt(4))
+  }
 }
