@@ -808,9 +808,12 @@ object Dedup {
     * Canonical = max score, ties to the LOWER id (deterministic);
     * unscored docs rank behind every scored one (a missing score never
     * wins a contested cluster) but still canonicalize their own
-    * singleton. The argmax is ONE struct-min hash aggregation (the
-    * selfConsistency mode shape — no window, no per-cluster sort), so
-    * arbitrary score magnitudes are safe (no packed-long range limit).
+    * singleton — carried as an explicit is-unscored struct field, not
+    * a sentinel floor, so a legitimately tiny score still outranks a
+    * missing one. The argmax is ONE struct-min hash aggregation (the
+    * selfConsistency mode shape — no window, no per-cluster sort); the
+    * ordering negates the score, so the one negation-unsafe long
+    * (Long.MinValue) trips an in-plan raise rather than overflowing.
     * Every input doc gets exactly one row. Returns `(doc_id, cluster,
     * cluster_size, score_micros, canonical_id, keep)`. */
   def canonicalByScore(docs: DataFrame, idCol: String,
@@ -821,19 +824,23 @@ object Dedup {
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster"))
+    val guarded = when(col("score_micros") === lit(Long.MinValue),
+      raise_error(lit("canonicalByScore: score_micros is " +
+        "Long.MinValue — its negation overflows the struct-min " +
+        "ordering; clamp the score upstream")).cast("long"))
+      .otherwise(col("score_micros"))
     val scored = member.join(
         scores.select(col(idCol).as("doc_id"),
           col(scoreMicrosCol).cast("long").as("score_micros")),
         Seq("doc_id"), "left")
-      // unscored floor: far below any micro scale, never Long.MinValue
-      // (its negation overflows inside the struct-min ordering)
-      .withColumn("__rsc",
-        coalesce(col("score_micros"), lit(-1000000000000000L)))
+      .withColumn("__u",
+        when(col("score_micros").isNull, 1).otherwise(0))
+      .withColumn("__rsc", coalesce(-guarded, lit(0L)))
       .localCheckpoint()
     val best = scored.groupBy(col("cluster"))
       .agg(count(lit(1)).as("cluster_size"),
-        min(struct((-col("__rsc")).as("__n"), col("doc_id").as("__id")))
-          .as("__b"))
+        min(struct(col("__u"), col("__rsc").as("__n"),
+          col("doc_id").as("__id"))).as("__b"))
       .select(col("cluster"), col("cluster_size"),
         col("__b.__id").as("canonical_id"))
     scored.join(best, Seq("cluster"))

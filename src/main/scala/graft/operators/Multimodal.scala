@@ -1244,7 +1244,9 @@ object Multimodal {
     * window), ties to the LOWEST chunk id (earliest position — the
     * deterministic render choice). Chunk ids must be small non-negative
     * ordinals (< 2³², the packing contract — per-document chunk
-    * positions, not global ids).
+    * positions, not global ids); a violating id trips an in-plan raise
+    * on the value path rather than silently corrupting the packed
+    * argmax and its tie direction.
     *
     * Scale shape: images join chunks on the DOCUMENT key only —
     * within-page candidates, never a corpus cross product; per-doc
@@ -1265,8 +1267,21 @@ object Multimodal {
     val sp = images.sparkSession
     def nrm(c: org.apache.spark.sql.Column) =
       sqrt(Similarity.nativeDot(sp, c, c))
+    // ordinal guard: the packed argmax shifts by 2^32, so a chunk id
+    // outside [0, 2^32) would silently corrupt best-chunk selection —
+    // raise in-plan on the value path (mirrors the maxChunksPerDoc cap)
+    val cidGuarded = when(
+      col(chunkIdCol).cast("long") < 0 ||
+        col(chunkIdCol).cast("long") >= lit(4294967296L),
+      raise_error(concat(
+        lit("interleaveAssign: chunk id "),
+        col(chunkIdCol).cast("string"),
+        lit(" outside [0, 2^32) — chunk ids must be per-document " +
+          "ordinals (the packed-argmax contract), not global ids")))
+        .cast("long")
+    ).otherwise(col(chunkIdCol).cast("long"))
     val ch = chunks.select(col(docCol).as("__d"),
-        col(chunkIdCol).as("__cid"), col(chunkVecCol).as("__cv"))
+        cidGuarded.as("__cid"), col(chunkVecCol).as("__cv"))
       .withColumn("__cn", when(col("__cv").isNotNull, nrm(col("__cv"))))
       .filter(col("__cn") > 0)
     val nCh = ch.groupBy(col("__d")).agg(count(lit(1)).as("n_chunks"))

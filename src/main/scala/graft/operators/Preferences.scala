@@ -213,6 +213,10 @@ object Preferences {
     * with a null prompt/response/reward are unjudged — excluded.
     * `n_samples` carries the prompt's candidate count so a consumer
     * can spot prompts where best-of-n selected from too few samples.
+    * The shared buffer carries scores as doubles, so the reward
+    * magnitude is guarded in-plan at 2^53 micros (the largest integer
+    * a double holds exactly) — beyond that the long→double cast would
+    * silently break exact ordering and the lower-id tie contract.
     *
     * Scale shape: ONE bounded top-k hash aggregation (the shared
     * TopKAggregator buffer — ≤ k (score, id) pairs per prompt per map
@@ -227,10 +231,21 @@ object Preferences {
       col(respIdCol).isNotNull && col(rewardMicrosCol).isNotNull)
     val nS = base.groupBy(col(promptCol))
       .agg(count(lit(1)).as("n_samples"))
+    // 2^53 = the double-exact integer bound; the guard rides the value
+    // path so pushdown can't fold it away
+    val doubleExact = 9007199254740992L
+    val guardedReward = when(
+      abs(col(rewardMicrosCol).cast("long")) > lit(doubleExact),
+      raise_error(concat(
+        lit("bestOfN: |reward_micros| exceeds 2^53 ("),
+        col(rewardMicrosCol).cast("string"),
+        lit(") — the top-k buffer carries scores as doubles; rescale " +
+          "the reward upstream"))).cast("long")
+    ).otherwise(col(rewardMicrosCol).cast("long"))
     Similarity.perQueryTopK(
         base.select(col(promptCol).as("query_id"),
           col(respIdCol).as("neighbor_id"),
-          col(rewardMicrosCol).cast("double").as("score")), k,
+          guardedReward.cast("double").as("score")), k,
         idName = "neighbor_id", scoreName = "score")
       .select(col("query_id").as(promptCol),
         col("rnk").cast("long").as("rank"),

@@ -789,20 +789,24 @@ object Similarity {
     * between the two centroids. `centroid_cos_micros` near 1e6 =
     * same population; a drop means re-index / re-train the quantizer.
     * Zero-norm centroids (a batch of zero vectors) have no direction:
-    * null cosine. Scale: per side one dim-keyed aggregation (shuffle =
-    * dims, not vectors) + one 1-row reduce. Returns ONE row `(n_a,
-    * n_b, msq_a_micros, msq_b_micros, centroid_cos_micros)`. */
+    * null cosine. Null and EMPTY embedding arrays are both excluded
+    * everywhere (n, msq means, centroid dims) — an empty vector has no
+    * dimensions to average, and the relational unnest a replaying
+    * oracle uses drops it anyway. Scale: per side one dim-keyed
+    * aggregation (shuffle = dims, not vectors) + one 1-row reduce.
+    * Returns ONE row `(n_a, n_b, msq_a_micros, msq_b_micros,
+    * centroid_cos_micros)`. */
   def embeddingDrift(a: DataFrame, b: DataFrame,
       vecCol: String = "embedding"): DataFrame = {
     val sp = a.sparkSession
     def centroid(df: DataFrame, tag: String): DataFrame =
-      df.filter(col(vecCol).isNotNull)
+      df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
         .select(posexplode(col(vecCol)).as(Seq("__i", "__v")))
         .groupBy(col("__i"))
         .agg(expr("cast(cast(round(avg(cast(__v as double)), 6) " +
           "as float) as double)").as(s"__c$tag"))
     def stats(df: DataFrame, tag: String): DataFrame =
-      df.filter(col(vecCol).isNotNull)
+      df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
         .agg(count(lit(1)).as(s"n_$tag"),
           (expr(s"cast(round(avg(__m$tag), 6) as decimal(18,6))")
             * 1000000L).cast("long").as(s"msq_${tag}_micros"))

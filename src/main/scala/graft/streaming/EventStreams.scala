@@ -883,18 +883,31 @@ object EventStreams {
     * [[preferenceCounts]] stance, and the parity spec derives the
     * batch bestOfN relation from the streamed buffers exactly across
     * batch splits. Null prompt/response/reward rows are unjudged —
-    * excluded (count upstream). Returns `(<promptCol>, top:
-    * array<struct<score, id>>, n_samples)`. */
+    * excluded (count upstream). Rewards beyond 2^53 micros would lose
+    * exactness in the buffer's double score — guarded in-plan on the
+    * value path (the batch [[graft.operators.Preferences.bestOfN]]
+    * guard, kept identical so the parity spec stays meaningful).
+    * Returns `(<promptCol>, top: array<struct<score, id>>,
+    * n_samples)`. */
   def rewardTopK(spark: SparkSession, samples: DataFrame,
       promptCol: String, respIdCol: String, rewardMicrosCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val doubleExact = 9007199254740992L // 2^53
+    val guardedReward = when(
+      abs(col(rewardMicrosCol).cast("long")) > lit(doubleExact),
+      raise_error(concat(
+        lit("rewardTopK: |reward_micros| exceeds 2^53 ("),
+        col(rewardMicrosCol).cast("string"),
+        lit(") — the top-k buffer carries scores as doubles; rescale " +
+          "the reward upstream"))).cast("long")
+    ).otherwise(col(rewardMicrosCol).cast("long"))
     samples
       .filter(col(promptCol).isNotNull && col(respIdCol).isNotNull &&
         col(rewardMicrosCol).isNotNull)
       .groupBy(col(promptCol))
       .agg(graft.functions.TopKAggregator.topKColumn(k)(
-        col(rewardMicrosCol).cast("double"),
+        guardedReward.cast("double"),
         col(respIdCol).cast("long")).as("top"),
         count(lit(1)).as("n_samples"))
   }

@@ -489,4 +489,25 @@ class DedupClusterSpec extends AnyFunSuite {
     // a NEGATIVE score still beats a missing one in a contested cluster
     assert(out(7L) === ((6L, 2L, 7L, true)) && out(6L)._4 === false)
   }
+
+  test("canonicalByScore: a score below any sentinel floor still beats " +
+      "a missing one (explicit is-unscored field, not a floor); " +
+      "Long.MinValue trips the negation guard") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("node", "component")
+    // -2e15 is BELOW the old -1e15 sentinel — under a floor it would
+    // have lost to the unscored doc 2
+    val scores = Seq((1L, Option(-2000000000000000L)),
+      (2L, Option.empty[Long])).toDF("doc_id", "q")
+    val out = graft.operators.Dedup.canonicalByScore(
+        docs, "doc_id", clusters, scores, "q")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out(1L) === true && out(2L) === false,
+      "a tiny-but-present score must outrank a missing one")
+    val minScores = Seq((1L, Long.MinValue), (2L, 0L)).toDF("doc_id", "q")
+    val ex = intercept[Exception](graft.operators.Dedup.canonicalByScore(
+      docs, "doc_id", clusters, minScores, "q").collect())
+    assert(ex.getMessage.contains("Long.MinValue"))
+  }
 }

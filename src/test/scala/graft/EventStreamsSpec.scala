@@ -448,6 +448,13 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(kept(("p2", 1L)) === 20L,
         "the tie resolves to the lower id though it arrived later")
     } finally q.stop()
+    // the 2^53 reward-magnitude guard matches the batch bestOfN's
+    // (same exactness bound for the double-scored buffer)
+    val huge = Seq(("p1", 10L, 9007199254740993L))
+      .toDF("prompt", "resp", "reward")
+    val ex = intercept[Exception](EventStreams.rewardTopK(
+      spark, huge, "prompt", "resp", "reward", 1).collect())
+    assert(ex.getMessage.contains("2^53"))
   }
 
   test("streaming answer-vote counts INCREMENTALLY derive the batch " +

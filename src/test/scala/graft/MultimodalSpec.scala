@@ -685,6 +685,13 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.interleaveAssign(images, chunks, maxChunksPerDoc = 1)
         .collect())
     assert(ex.getMessage.contains("images x chunks"))
+    // a chunk id outside [0, 2^32) would corrupt the packed argmax —
+    // the ordinal guard raises instead
+    val badChunks = Seq((1L, -1L, Seq(1f, 0f)))
+      .toDF("doc_id", "chunk_id", "chunk_vec")
+    val ex2 = intercept[Exception](
+      Multimodal.interleaveAssign(images, badChunks).collect())
+    assert(ex2.getMessage.contains("outside [0, 2^32)"))
   }
 
   test("Discovery.latestFiles: extension filter, mtime desc, cap") {

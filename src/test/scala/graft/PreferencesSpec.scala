@@ -130,6 +130,13 @@ class PreferencesSpec extends AnyFunSuite {
     // k past the candidate count keeps everything, ranks stay dense
     assert(Preferences.bestOfN(samples, "prompt", "resp", "reward", 10)
       .collect().length === 5)
+    // a reward past 2^53 micros would lose exactness in the buffer's
+    // double score — the magnitude guard raises
+    val huge = Seq(("p1", 10L, 9007199254740993L))
+      .toDF("prompt", "resp", "reward")
+    val ex = intercept[Exception](
+      Preferences.bestOfN(huge, "prompt", "resp", "reward", 1).collect())
+    assert(ex.getMessage.contains("2^53"))
   }
 
   test("bradley-terry: two candidates hit the exact MLE odds in one " +

@@ -771,5 +771,13 @@ class SimilaritySpec extends AnyFunSuite {
       scaled.getLong(3) === 4L * scaled.getLong(2))
     // a zero-vector batch has no centroid direction: null, not zero
     assert(run(base, Seq(Seq(0f, 0f))).isNullAt(4))
+    // EMPTY embedding arrays are excluded everywhere, exactly like
+    // nulls — counts, msq means, and centroid dims all ignore them
+    // (the relational unnest an oracle replays drops them anyway)
+    val withEmpty = run(base :+ Seq.empty[Float], base)
+    assert((withEmpty.getLong(0), withEmpty.getLong(1),
+      withEmpty.getLong(2), withEmpty.getLong(4)) ===
+      ((3L, 3L, 1000000L, 1000000L)),
+      "an empty vector must not dilute n, msq, or the centroid")
   }
 }
