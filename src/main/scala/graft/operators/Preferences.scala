@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pairwise-preference aggregation — the RLHF-data side of the engine:
@@ -339,6 +340,130 @@ object Preferences {
     val offenders = w.filter(col("n_wins") === 0L)
       .select(st.map(f => boom.cast(f.dataType).as(f.name)): _*)
     fitted.unionAll(offenders)
+  }
+
+  /** Plackett-Luce listwise preference fitting (Plackett 1975; Hunter
+    * 2004's MM algorithm §5) — the LISTWISE rung above [[bradleyTerry]]:
+    * RLHF rating UIs emit k-way rankings, and PL models a ranking as
+    * successive choices (the j-th place wins a contest against
+    * everything ranked below it), so strengths `s_i` maximize
+    * Π_stages s_winner / Σ_remaining s. The MM update is
+    *
+    *   s_i ← W_i / Σ_{stages j where i is still in the pool} 1 / D_j
+    *
+    * with W_i = the number of stages i wins (= lists where i is not
+    * last) and D_j the pool's strength sum — on 2-item lists this IS
+    * the Bradley-Terry update. Same exact-arithmetic discipline as
+    * [[bradleyTerry]]: integer MICROS strengths (start 1e6), every
+    * division the half-up `(2a+b) div (2b)` idiom at 1e9 resolution,
+    * each round renormalized to Σ s = candidates × 1e6 with a 1-micro
+    * floor, fixed `iterations` — the whole recursion replays as
+    * unrolled CTEs in a relational oracle.
+    *
+    * Contract: `rankCol` must be DENSE 1..m per list (a tie has no PL
+    * reading — break ties upstream or feed [[bradleyTerry]] the pair
+    * projection); violations and lists past `maxListLen` trip in-plan
+    * raises. A candidate with ZERO stage wins (only ever last, or only
+    * in singleton lists) degenerates exactly as in BT — Ford-style
+    * in-plan raise. Null list/candidate/rank rows are unjudged —
+    * excluded.
+    *
+    * Scale shape: the corpus reduces in ONE aggregation to the
+    * DISTINCT-ORDERING grain (pattern, multiplicity) — the listwise
+    * analog of [[pairCounts]] — so each MM round runs over distinct
+    * orderings only, never the raw judgment stream: per round one
+    * pattern-partitioned window pass (suffix strength sums + prefix
+    * stage terms, partitions ≤ maxListLen rows by construction) + one
+    * hash aggregation, localCheckpointed (the iterate discipline).
+    * Headroom: BIGINT holds stage terms × total multiplicity to ~9e9
+    * stages — shard by time window beyond that. Returns `(candidate,
+    * n_wins, n_lists, strength_micro)` (candidate as string — the
+    * pattern key is a joined string). */
+  def plackettLuce(rankings: DataFrame, listCol: String, candCol: String,
+      rankCol: String, iterations: Int = 5,
+      maxListLen: Int = 1024): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(maxListLen >= 2, s"maxListLen must be >= 2, got $maxListLen")
+    val us = "\u001f" // pattern-key separator (the dpoTrainingStrings convention)
+    val base = rankings.filter(col(listCol).isNotNull &&
+        col(candCol).isNotNull && col(rankCol).isNotNull)
+      .select(col(listCol).as("__r"), col(candCol).cast("string").as("__c"),
+        col(rankCol).cast("long").as("__k"))
+    val listStats = base.groupBy(col("__r"))
+      .agg(count(lit(1)).as("__n"), countDistinct(col("__k")).as("__dk"),
+        min(col("__k")).as("__lo"), max(col("__k")).as("__hi"))
+    // ONE corpus-sized aggregation to (pattern, length, multiplicity)
+    val pat = base.groupBy(col("__r"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__k"), col("__c")))),
+          x => x.getField("__c")), us).as("__p"),
+        count(lit(1)).as("__m"))
+      .groupBy(col("__p"))
+      .agg(max(col("__m")).as("__m"), count(lit(1)).as("__cnt"))
+      .localCheckpoint()
+    val pe = pat.select(col("__p"), col("__m"), col("__cnt"),
+        posexplode(split(col("__p"), us)).as(Seq("__j0", "__c")))
+      .withColumn("__k", col("__j0") + 1)
+      .drop("__j0")
+      .localCheckpoint()
+    val w = pe.groupBy(col("__c"))
+      .agg(sum(when(col("__k") < col("__m"), col("__cnt"))
+          .otherwise(0L)).as("n_wins"),
+        sum(col("__cnt")).as("n_lists"))
+      .localCheckpoint()
+    val nc = w.agg(count(lit(1)).as("__nc"))
+    val wSfx = Window.partitionBy(col("__p")).orderBy(col("__k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPre = Window.partitionBy(col("__p")).orderBy(col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var s = w.select(col("__c"), lit(1000000L).as("__s"))
+    for (_ <- 1 to iterations) {
+      val staged = pe.join(s, Seq("__c"))
+        .withColumn("__dd", sum(col("__s")).over(wSfx))
+        // stage term 1e9/D_j (half-up); the last place is not a contest
+        .withColumn("__t", when(col("__k") < col("__m"),
+          expr("(2 * 1000000000L + __dd) div (2 * __dd)")).otherwise(0L))
+        // candidate at rank k sits in the pool for stages 1..min(k, m-1)
+        .withColumn("__ct", sum(col("__t")).over(wPre))
+      val denom = staged.groupBy(col("__c"))
+        .agg(sum(col("__ct") * col("__cnt")).as("__d"))
+      val unnorm = w.join(denom, Seq("__c"))
+        .select(col("__c"),
+          expr("(2 * n_wins * 1000000000L + __d) div (2 * __d)").as("__sn"))
+      val total = unnorm.agg(sum(col("__sn")).as("__tot"))
+      s = unnorm.crossJoin(broadcast(total)).crossJoin(broadcast(nc))
+        .select(col("__c"), greatest(lit(1L), expr(
+          "(2 * __sn * __nc * 1000000L + __tot) div (2 * __tot)"))
+          .as("__s"))
+        .localCheckpoint()
+    }
+    val fitted = w.join(s, Seq("__c"))
+      .select(col("__c").as("candidate"), col("n_wins"), col("n_lists"),
+        col("__s").as("strength_micro"))
+    val st = fitted.schema
+    // Ford guard + the rank-density/cap guards: every output column
+    // carries each raise (the dpoPairs stance)
+    val fordBoom = raise_error(concat(
+      lit("plackettLuce: candidate "), col("__c").cast("string"),
+      lit(" wins zero stages — its MLE strength is 0 and the MM update " +
+        "degenerates (Ford's condition); exclude it upstream or use " +
+        "copelandScores for this corpus")))
+    val fordOff = w.filter(col("n_wins") === 0L)
+      .select(st.map(f => fordBoom.cast(f.dataType).as(f.name)): _*)
+    val shapeBoom = raise_error(concat(
+      lit("plackettLuce: list "), col("__r").cast("string"), lit(" has "),
+      col("__n").cast("string"),
+      lit(" rows with ranks ["), col("__lo").cast("string"), lit(", "),
+      col("__hi").cast("string"),
+      lit("], distinct "), col("__dk").cast("string"),
+      lit(s" (cap $maxListLen) — ranks must be dense 1..m per list " +
+        "(ties have no PL reading) and lists must fit the window cap")))
+    val shapeOff = listStats.filter(col("__n") > maxListLen ||
+        col("__dk") =!= col("__n") || col("__lo") =!= 1L ||
+        col("__hi") =!= col("__n"))
+      .select(st.map(f => shapeBoom.cast(f.dataType).as(f.name)): _*)
+    fitted.unionAll(fordOff).unionAll(shapeOff)
   }
 
   /** The [[dpoPairs]] → training-strings composition: each pair's

@@ -1251,4 +1251,130 @@ object Profile {
         coalesce(col("mode_answer") === col("__gold"), lit(false))
           .as("correct"))
   }
+
+  /** Binary-classifier discrimination eval — ROC-AUC and average
+    * precision (PR-AUC), the first numbers anyone computes for a
+    * quality filter the engine just trained
+    * ([[graft.operators.TextAnalysis.trainLinearQuality]] /
+    * [[graft.operators.TextAnalysis.trainLangId]] margins): per group
+    * the EXACT tie-aware Mann-Whitney statistic
+    *
+    *   2U = Σ_s (2·p_s·N_<s + p_s·n_s)
+    *
+    * over the distinct-score relation (p_s/n_s = positives/negatives
+    * at score s, N_<s = negatives strictly below — ties contribute the
+    * midrank half, the textbook U), with `auc_ppm` its half-up ppm
+    * over 2·P·N, and `ap_ppm` the threshold-sweep average precision
+    * AP = Σ_s (p_s/P)·(TP_s/PP_s) at the distinct-score thresholds
+    * (sklearn's step-wise AP with ties grouped — never the trapezoid,
+    * which over-reads precision between points), each term half-up ppb
+    * then the sum half-up to ppm, so the whole derivation replays
+    * bit-for-bit in a relational oracle. Scores and labels ride the
+    * integer contract (micros / 0-1); rows with a null group, score,
+    * or label are excluded; a group with no positives or no negatives
+    * has undefined discrimination — null auc/ap, n columns say why.
+    *
+    * Scale shape — the prefix sums N_<s / P_<s / C_<s never sort the
+    * corpus: distinct scores reduce in ONE hash aggregation, then
+    * bucket by `score floor-div bucketWidth` (exact integer floor
+    * division via the pmod idiom, negative scores included) so
+    * within-bucket prefixes ride a BUCKET-partitioned window whose
+    * partitions hold ≤ bucketWidth distinct scores by construction,
+    * and cross-bucket offsets come from a bucket-grain self-join
+    * bounded by `maxBuckets`² (cap-guarded in-plan — score ranges are
+    * classifier outputs, micros in [-1e6, 1e6] at the default width
+    * land ~2k buckets). Headroom: sums carry DECIMAL(38,0) through
+    * the ppm/ppb scaling, so corpus size is bounded by P·N ≤ 1e38/4e9
+    * — beyond any real eval slice. Returns one row per group:
+    * `(<groupCol>, n, n_pos, n_neg, u2, auc_ppm, ap_ppm)` (`u2` = the
+    * exact 2U rank statistic, the auditable integer). */
+  def binaryEval(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String, bucketWidth: Long = 1024L,
+      maxBuckets: Int = 4096): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(maxBuckets >= 1, s"maxBuckets must be >= 1, got $maxBuckets")
+    val base = df.filter(col(groupCol).isNotNull &&
+        col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(scoreCol).cast("long").as("__s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+    // distinct-score grain: ONE corpus-sized hash aggregation
+    val d = base.groupBy(col("__g"), col("__s"))
+      .agg(sum(col("__y")).as("__p"),
+        sum(lit(1L) - col("__y")).as("__n"),
+        count(lit(1)).as("__c"))
+      // exact integer floor division (score - pmod(score, w)) div w —
+      // bare `div` truncates toward zero on negatives, floor(double)
+      // loses exactness past 2^53; pmod makes the numerator divisible
+      .withColumn("__b",
+        expr(s"(__s - pmod(__s, ${bucketWidth}L)) div ${bucketWidth}L"))
+      .localCheckpoint()
+    // bucket-grain totals + cross-bucket prefix (self-join bounded by
+    // maxBuckets² per group, cap-guarded below)
+    val bt = d.groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__p")).as("__bp"), sum(col("__n")).as("__bn"),
+        sum(col("__c")).as("__bc"))
+      .localCheckpoint()
+    val preB = bt.as("a")
+      .join(bt.as("lo"),
+        col("a.__g") === col("lo.__g") && col("lo.__b") < col("a.__b"),
+        "left")
+      .select(col("a.__g").as("__g"), col("a.__b").as("__b"),
+        col("lo.__bp").as("__lp"), col("lo.__bn").as("__ln"),
+        col("lo.__bc").as("__lc"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(coalesce(sum(col("__lp")), lit(0L)).as("__pltB"),
+        coalesce(sum(col("__ln")), lit(0L)).as("__nltB"),
+        coalesce(sum(col("__lc")), lit(0L)).as("__cltB"))
+    // within-bucket exclusive prefix: partition size ≤ bucketWidth
+    // distinct scores by construction — a SAFELY-partitioned window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"), col("__b")).orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val pre = d.join(preB, Seq("__g", "__b"))
+      .withColumn("__plt",
+        col("__pltB") + coalesce(sum(col("__p")).over(w), lit(0L)))
+      .withColumn("__nlt",
+        col("__nltB") + coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("__clt",
+        col("__cltB") + coalesce(sum(col("__c")).over(w), lit(0L)))
+    val tot = d.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("n"), sum(col("__p")).as("n_pos"),
+        sum(col("__n")).as("n_neg"))
+    // 2U in one aggregation; AP terms half-up ppb per distinct score
+    // (TP_s = P - P_<s, PP_s = C - C_<s at threshold "score >= s")
+    val agg = pre.join(tot, Seq("__g"))
+      .withColumn("__u2t",
+        lit(2L) * col("__p") * col("__nlt") + col("__p") * col("__n"))
+      .withColumn("__apt", when(col("__p") > 0, expr(
+        "CAST((2 * CAST(__p AS DECIMAL(38,0)) * (n_pos - __plt) * " +
+          "1000000000 + CAST(n_pos AS DECIMAL(38,0)) * (n - __clt)) " +
+          "div (2 * CAST(n_pos AS DECIMAL(38,0)) * (n - __clt)) " +
+          "AS BIGINT)")).otherwise(lit(0L)))
+      .groupBy(col("__g"))
+      .agg(sum(col("__u2t")).as("u2"), sum(col("__apt")).as("__ap_ppb"))
+    val out = tot.join(agg, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n"), col("n_pos"),
+        col("n_neg"), col("u2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0, expr(
+          "CAST((2 * CAST(u2 AS DECIMAL(38,0)) * 1000000 + " +
+            "2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) " +
+            "div (2 * 2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) " +
+            "AS BIGINT)")).as("auc_ppm"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("(2 * __ap_ppb + 1000) div (2 * 1000)")).as("ap_ppm"))
+    // cap guard: every output column carries the raise
+    val st = out.schema
+    val boom = raise_error(concat(
+      lit("binaryEval: group "), col("__g").cast("string"), lit(" has "),
+      col("__nb").cast("string"),
+      lit(s" non-empty score buckets (cap $maxBuckets) — the " +
+        "cross-bucket prefix self-join is buckets-squared; widen " +
+        "bucketWidth or raise maxBuckets deliberately")))
+    val offenders = bt.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__nb"))
+      .filter(col("__nb") > maxBuckets)
+      .select(st.map(f => boom.cast(f.dataType).as(f.name)): _*)
+    out.unionAll(offenders)
+  }
 }

@@ -64,6 +64,39 @@ object EventQueries extends graft.QueryPack {
        |  FROM u$k, (SELECT SUM(sn) AS t FROM u$k) tot, nc)""".stripMargin
   }
 
+  /** One unrolled Plackett-Luce MM iteration (oracle side): per-list
+    * suffix strength sums (the stage pools), stage terms 1e9/D half-up,
+    * per-candidate prefix accumulation over the stages it sits in, the
+    * update, then the shared renormalization tail — the
+    * [[duckBtIteration]] discipline at the listwise grain. Lists in the
+    * q_e41 fixture are all length 3, so "rank < 3" is the
+    * last-place-is-no-contest cutoff. */
+  private def duckPlIteration(k: Int): String = {
+    val prev = if (k == 1) "ps0" else s"ps${k - 1}"
+    s"""pdd$k AS (SELECT r.list, r.rnk, r.cand,
+       |    SUM(p.s) OVER (PARTITION BY r.list ORDER BY r.rnk DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dd
+       |  FROM rk r JOIN $prev p USING (cand)),
+       |pt$k AS (SELECT list, rnk, cand,
+       |    CASE WHEN rnk < 3 THEN
+       |      (2 * CAST(1000000000 AS HUGEINT) + dd) // (2 * dd)
+       |      ELSE CAST(0 AS HUGEINT) END AS t
+       |  FROM pdd$k),
+       |pct$k AS (SELECT cand,
+       |    SUM(t) OVER (PARTITION BY list ORDER BY rnk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+       |  FROM pt$k),
+       |pd$k AS (SELECT cand, SUM(ct) AS d FROM pct$k GROUP BY 1),
+       |pu$k AS MATERIALIZED (SELECT pw.cand,
+       |    (2 * CAST(pw.wn AS HUGEINT) * 1000000000 + d.d)
+       |      // (2 * d.d) AS sn
+       |  FROM pw JOIN pd$k d USING (cand)),
+       |ps$k AS MATERIALIZED (SELECT pu$k.cand,
+       |    GREATEST(CAST(1 AS HUGEINT),
+       |      (2 * sn * pnc.n * 1000000 + tot.t) // (2 * tot.t)) AS s
+       |  FROM pu$k, (SELECT SUM(sn) AS t FROM pu$k) tot, pnc)""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
 
     // ---- E1: tumbling 1-hour window ------------------------------------
@@ -592,6 +625,63 @@ object EventQueries extends graft.QueryPack {
               |  CAST(w.n_games AS BIGINT) AS n_games,
               |  CAST(s5.s AS BIGINT) AS strength_micro
               |FROM w JOIN s5 USING (candidate)""".stripMargin)),
+
+    // ---- E41: Plackett-Luce listwise fitting (MM, exact micros) ----------
+    // The LISTWISE rung over a k-way ranking synthesis: each event emits
+    // a 3-way ranking over 6 candidates (the distinct triple derived
+    // from event_id digits, sorted ascending = the planted strength
+    // order; 20% of raters reverse their list — the q_e35 noise shape,
+    // keeping every candidate's stage wins positive so the Ford guard
+    // stays quiet). Five MM iterations in integer micros at Scale=1e9;
+    // the oracle unrolls the recursion at the LIST grain (per-pattern
+    // vs per-list rounding is identical — same stage pools, same
+    // half-up terms) — suffix pools, stage terms, prefix accumulation,
+    // renormalization, bit-for-bit in HUGEINT.
+    Q("q_e41_plackett_luce",
+      (s, d) => {
+        val tri = Tables.events(s, d).filter(col("user_id").isNotNull)
+          .select(col("event_id"), (col("user_id") % 5 === 0).as("noise"),
+            (col("event_id") % 6).as("x1"),
+            expr("(event_id div 6) % 6").as("x2"),
+            expr("(event_id div 36) % 6").as("x3"))
+          .filter(col("x1") =!= col("x2") && col("x1") =!= col("x3") &&
+            col("x2") =!= col("x3"))
+          .select(col("event_id"),
+            when(col("noise"),
+              reverse(array_sort(array(col("x1"), col("x2"), col("x3")))))
+              .otherwise(array_sort(array(col("x1"), col("x2"), col("x3"))))
+              .as("lst"))
+          .select(col("event_id").as("list"),
+            posexplode(col("lst")).as(Seq("p", "cand")))
+          .select(col("list"), col("cand"), (col("p") + 1).as("rank"))
+        graft.operators.Preferences.plackettLuce(tri, "list", "cand",
+          "rank")
+      },
+      Some(s"""WITH rk AS MATERIALIZED (
+              |  SELECT list, CAST(c AS VARCHAR) AS cand, rnk FROM (
+              |    SELECT event_id AS list,
+              |      unnest(CASE WHEN user_id % 5 = 0 THEN list_reverse(ls)
+              |        ELSE ls END) AS c,
+              |      unnest(range(1, 4)) AS rnk
+              |    FROM (SELECT event_id, user_id,
+              |        list_sort([event_id % 6, (event_id // 6) % 6,
+              |          (event_id // 36) % 6]) AS ls
+              |      FROM events WHERE user_id IS NOT NULL
+              |        AND event_id % 6 <> (event_id // 6) % 6
+              |        AND event_id % 6 <> (event_id // 36) % 6
+              |        AND (event_id // 6) % 6 <> (event_id // 36) % 6))),
+              |pw AS MATERIALIZED (SELECT cand,
+              |    SUM(CASE WHEN rnk < 3 THEN 1 ELSE 0 END) AS wn,
+              |    COUNT(*) AS nl
+              |  FROM rk GROUP BY 1),
+              |pnc AS MATERIALIZED (SELECT COUNT(*) AS n FROM pw),
+              |ps0 AS MATERIALIZED (SELECT cand,
+              |    CAST(1000000 AS HUGEINT) AS s FROM pw),
+              |${(1 to 5).map(duckPlIteration).mkString(",\n")}
+              |SELECT pw.cand AS candidate, CAST(pw.wn AS BIGINT) AS n_wins,
+              |  CAST(pw.nl AS BIGINT) AS n_lists,
+              |  CAST(ps5.s AS BIGINT) AS strength_micro
+              |FROM pw JOIN ps5 USING (cand)""".stripMargin)),
 
     // ---- E40: length-bias audit (Kendall tau-a per prompt) ---------------
     // The reward-data failure mode made measurable: per prompt

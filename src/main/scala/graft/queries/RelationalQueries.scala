@@ -1744,6 +1744,101 @@ object RelationalQueries extends graft.QueryPack {
              |FROM gd LEFT JOIN agg USING (q) LEFT JOIN m USING (q)"""
         .stripMargin)),
 
+    // ---- V28: ROC-AUC + average precision over the TRAINED classifier ---
+    // The q_x69 train->score chain graded against its own planted label
+    // (token count >= 40) on the token-bearing corpus: exact tie-aware
+    // Mann-Whitney 2U, half-up ppm AUC, step-wise AP with per-term ppb.
+    // ONE oracle replays the 3 perceptron rounds AND the rank-sum /
+    // threshold-sweep arithmetic — a weight flip upstream or an
+    // off-by-one in the prefix turns the row red.
+    Q("q_v28_binary_eval",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = size(graft.operators.TextAnalysis.tokens(
+          lower(col("text"))))
+        val labeled = docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("label", toks >= 40)
+        val w = graft.operators.TextAnalysis.trainLinearQuality(labeled,
+          "label", dims = 16, rounds = 3)
+        val scored = graft.operators.TextAnalysis.linearQualityScore(docs,
+          w, biasM = 0L, dims = 16, thresholdM = 0L)
+        val ev = scored
+          .join(docs.select(col("doc_id"), toks.as("__nt")), Seq("doc_id"))
+          .filter(col("__nt") > 0)
+          .select(lit("quality").as("model"),
+            col("score_m").as("score"), (col("__nt") >= 40).as("label"))
+        graft.operators.Profile.binaryEval(ev, "model", "score", "label")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |tnz AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+             |htf AS (SELECT doc_id,
+             |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 16 AS b,
+             |    COUNT(*) AS tf
+             |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tnz) GROUP BY 1, 2),
+             |lab AS (SELECT doc_id,
+             |    CASE WHEN len(toks) >= 40 THEN 1 ELSE -1 END AS y
+             |  FROM tnz WHERE doc_id % 3 = 0),
+             |tfl AS (SELECT h.doc_id, l.y, h.b, h.tf
+             |  FROM htf h JOIN lab l USING (doc_id)),
+             |w1 AS (SELECT b, SUM(y * tf) AS wm FROM tfl WHERE y = -1 GROUP BY 1),
+             |m2 AS (SELECT f.doc_id, f.y, SUM(f.tf * COALESCE(w.wm, 0)) AS m
+             |  FROM tfl f LEFT JOIN w1 w ON w.b = f.b GROUP BY 1, 2),
+             |u2r AS (SELECT f.b, SUM(f.y * f.tf) AS u FROM tfl f
+             |  JOIN m2 ON m2.doc_id = f.doc_id
+             |  WHERE (m2.m >= 0) <> (m2.y > 0) GROUP BY 1),
+             |w2 AS (SELECT COALESCE(a.b, u.b) AS b,
+             |    COALESCE(a.wm, 0) + COALESCE(u.u, 0) AS wm
+             |  FROM w1 a FULL OUTER JOIN u2r u ON a.b = u.b),
+             |m3 AS (SELECT f.doc_id, f.y, SUM(f.tf * COALESCE(w.wm, 0)) AS m
+             |  FROM tfl f LEFT JOIN w2 w ON w.b = f.b GROUP BY 1, 2),
+             |u3 AS (SELECT f.b, SUM(f.y * f.tf) AS u FROM tfl f
+             |  JOIN m3 ON m3.doc_id = f.doc_id
+             |  WHERE (m3.m >= 0) <> (m3.y > 0) GROUP BY 1),
+             |w3 AS (SELECT COALESCE(a.b, u.b) AS b,
+             |    COALESCE(a.wm, 0) + COALESCE(u.u, 0) AS wm
+             |  FROM w2 a FULL OUTER JOIN u3 u ON a.b = u.b),
+             |sc AS (SELECT h.doc_id,
+             |    CAST(SUM(h.tf * COALESCE(w.wm, 0)) AS BIGINT) AS s
+             |  FROM htf h LEFT JOIN w3 w ON w.b = h.b GROUP BY 1),
+             |ev AS (SELECT sc.s AS score,
+             |    CASE WHEN len(t2.toks) >= 40 THEN 1 ELSE 0 END AS yy
+             |  FROM tnz t2 JOIN sc ON sc.doc_id = t2.doc_id),
+             |dist AS (SELECT score, CAST(SUM(yy) AS BIGINT) AS dp,
+             |    CAST(SUM(1 - yy) AS BIGINT) AS dn,
+             |    CAST(COUNT(*) AS BIGINT) AS dc
+             |  FROM ev GROUP BY 1),
+             |pre AS (SELECT score, dp, dn, dc,
+             |    COALESCE(SUM(dp) OVER (ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS plt,
+             |    COALESCE(SUM(dn) OVER (ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nlt,
+             |    COALESCE(SUM(dc) OVER (ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clt
+             |  FROM dist),
+             |tot AS (SELECT CAST(SUM(dp) AS BIGINT) AS tp,
+             |    CAST(SUM(dn) AS BIGINT) AS tn,
+             |    CAST(SUM(dc) AS BIGINT) AS tc
+             |  FROM dist),
+             |ag AS (SELECT CAST(SUM(2 * dp * nlt + dp * dn) AS BIGINT) AS u2,
+             |    CAST(SUM(CASE WHEN dp > 0 THEN
+             |      (2 * CAST(dp AS HUGEINT) * (tot.tp - plt) * 1000000000
+             |        + CAST(tot.tp AS HUGEINT) * (tot.tc - clt))
+             |      // (2 * CAST(tot.tp AS HUGEINT) * (tot.tc - clt))
+             |      ELSE 0 END) AS BIGINT) AS ap_ppb
+             |  FROM pre, tot)
+             |SELECT 'quality' AS model, tot.tc AS n, tot.tp AS n_pos,
+             |  tot.tn AS n_neg, ag.u2,
+             |  CAST(CASE WHEN tot.tp > 0 AND tot.tn > 0 THEN
+             |    (2 * CAST(ag.u2 AS HUGEINT) * 1000000
+             |      + 2 * CAST(tot.tp AS HUGEINT) * tot.tn)
+             |    // (2 * 2 * CAST(tot.tp AS HUGEINT) * tot.tn) END
+             |    AS BIGINT) AS auc_ppm,
+             |  CAST(CASE WHEN tot.tp > 0 AND tot.tn > 0 THEN
+             |    (2 * ag.ap_ppb + 1000) // 2000 END AS BIGINT) AS ap_ppm
+             |FROM tot, ag""".stripMargin)),
+
     // ---- V18: differentially-private histogram release ------------------
     // The Laplace mechanism over the q_v4 grid (epsilon = 1, sensitivity
     // 1 for disjoint counts): deterministic-seeded noise via the inverse

@@ -204,4 +204,102 @@ class PreferencesSpec extends AnyFunSuite {
       Preferences.bradleyTerry(withLoser, "winner", "loser").collect())
     assert(ex.getMessage.contains("zero wins"))
   }
+
+  test("plackett-luce: 2-item lists recover the exact BT fixed point; " +
+      "a 3-way ranking corpus recovers the planted order and matches a " +
+      "sequential replay of the integer recursion") {
+    import spark.implicits._
+    // a beats b 3-1 rendered as 2-item rankings: PL's stages ARE the BT
+    // games, so the 1.5e6/0.5e6 fixed point must reproduce exactly
+    val pairLists = (Seq.tabulate(3)(i => Seq((s"g$i", "a", 1L),
+        (s"g$i", "b", 2L))).flatten ++
+      Seq(("g3", "b", 1L), ("g3", "a", 2L)))
+      .toDF("list", "cand", "rank")
+    for (k <- Seq(1, 7)) {
+      val out = Preferences.plackettLuce(pairLists, "list", "cand",
+          "rank", k)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(out("a") === ((3L, 4L, 1500000L)), s"iterations=$k")
+      assert(out("b") === ((1L, 4L, 500000L)), s"iterations=$k")
+    }
+    // 3-way rankings: 4x (a,b,c), 2x (b,a,c), 1x (c,b,a) — a should
+    // dominate, c trail. Replay the integer recursion sequentially.
+    val tri = Seq(
+      Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("a", "b", "c"),
+      Seq("a", "b", "c"), Seq("b", "a", "c"), Seq("b", "a", "c"),
+      Seq("c", "b", "a"))
+    val triDf = tri.zipWithIndex.flatMap { case (l, i) =>
+      l.zipWithIndex.map { case (c, j) => (s"r$i", c, (j + 1).toLong) } }
+      .toDF("list", "cand", "rank")
+    val out = Preferences.plackettLuce(triDf, "list", "cand", "rank")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // wins: a = 4 firsts + 2 seconds(non-last) = 6; b = 2+5=7? No —
+    // wins = lists where the candidate is NOT last: a: 6 (all but the
+    // c,b,a list's last place... a IS last there) -> 6; b: 7 (never
+    // last); c: 1 (first in one list, last in 6)
+    assert(out("a")._1 === 6L && out("b")._1 === 7L && out("c")._1 === 1L)
+    assert(out.values.forall(_._2 === 7L), "every list names all three")
+    def halfUp(a: BigInt, b: BigInt): BigInt = (2 * a + b) / (2 * b)
+    val cands = Seq("a", "b", "c")
+    val wins = Map("a" -> 6L, "b" -> 7L, "c" -> 1L)
+    var s = cands.map(_ -> BigInt(1000000)).toMap
+    for (_ <- 1 to 5) {
+      // per list, stage terms t_j = halfUp(1e9, suffix strength sum)
+      // for j = 1..2; candidate at rank k accumulates stages 1..min(k,2)
+      val d = scala.collection.mutable.Map(cands.map(_ -> BigInt(0)): _*)
+      tri.foreach { l =>
+        val suffix = (j: Int) => l.drop(j - 1).map(s(_)).sum
+        val t = (1 to 2).map(j => j -> halfUp(BigInt(1000000000L),
+          suffix(j))).toMap
+        l.zipWithIndex.foreach { case (c, idx) =>
+          val k = idx + 1
+          (1 to math.min(k, 2)).foreach(j => d(c) += t(j))
+        }
+      }
+      val sn = cands.map(c =>
+        c -> halfUp(BigInt(wins(c)) * BigInt(1000000000L), d(c))).toMap
+      val tot = sn.values.sum
+      s = sn.map { case (c, v) =>
+        c -> halfUp(v * 3 * BigInt(1000000), tot).max(BigInt(1)) }
+    }
+    assert(out.map { case (c, v) => c -> v._3 } ===
+      s.map { case (c, v) => c -> v.toLong },
+      "distributed fit must equal the sequential integer replay")
+    assert(out("a")._3 > out("b")._3 && out("b")._3 > out("c")._3,
+      "a's four first places outweigh b's never-last record; c trails")
+  }
+
+  test("plackett-luce: guards — tied/gapped ranks raise, the list cap " +
+      "raises, a candidate that only ever places last trips Ford") {
+    import spark.implicits._
+    // each bad fixture carries a second clean list where every candidate
+    // wins once, so the SHAPE raise is the only live offender branch
+    // (two union branches racing would make the message assertion flaky)
+    val balance = Seq(("r2", "c", 1L), ("r2", "a", 2L),
+      ("r3", "a", 1L), ("r3", "c", 2L), ("r4", "b", 1L), ("r4", "a", 2L))
+    val tied = (Seq(("r1", "a", 1L), ("r1", "b", 1L), ("r1", "c", 2L)) ++
+      balance).toDF("list", "cand", "rank")
+    val ex1 = intercept[Exception](
+      Preferences.plackettLuce(tied, "list", "cand", "rank").collect())
+    assert(ex1.getMessage.contains("dense 1..m"))
+    val gapped = (Seq(("r1", "a", 1L), ("r1", "b", 3L)) ++ balance)
+      .toDF("list", "cand", "rank")
+    val ex2 = intercept[Exception](
+      Preferences.plackettLuce(gapped, "list", "cand", "rank").collect())
+    assert(ex2.getMessage.contains("dense 1..m"))
+    val long3 = (Seq(("r1", "a", 1L), ("r1", "b", 2L), ("r1", "c", 3L)) ++
+      balance).toDF("list", "cand", "rank")
+    val ex3 = intercept[Exception](Preferences.plackettLuce(long3, "list",
+      "cand", "rank", maxListLen = 2).collect())
+    assert(ex3.getMessage.contains("cap 2"))
+    val alwaysLast = Seq(("r1", "a", 1L), ("r1", "z", 2L),
+      ("r2", "b", 1L), ("r2", "z", 2L), ("r3", "a", 1L), ("r3", "b", 2L),
+      ("r4", "b", 1L), ("r4", "a", 2L))
+      .toDF("list", "cand", "rank")
+    val ex4 = intercept[Exception](Preferences.plackettLuce(alwaysLast,
+      "list", "cand", "rank").collect())
+    assert(ex4.getMessage.contains("zero stages"))
+  }
 }

@@ -932,4 +932,70 @@ class ScdProfileSpec extends AnyFunSuite {
         .toDF("q", "ans", "gold"), "q", "ans", "gold").collect())
     assert(ex.getMessage.contains("conflicting golds"))
   }
+
+  test("binaryEval: the sklearn textbook case hits AUC 0.75 / AP 5/6, " +
+      "a separable split reads 1e6/1e6, an all-tied split reads the " +
+      "coin-flip 0.5 AUC with base-rate AP") {
+    import spark.implicits._
+    // scores [.1, .4, .35, .8] labels [0, 0, 1, 1] in micros — the
+    // sklearn doc example: AUC = 3/4, AP = 1/2 + 1/3 = 5/6
+    val skl = Seq(("g", 100000L, false), ("g", 400000L, false),
+      ("g", 350000L, true), ("g", 800000L, true))
+      .toDF("grp", "score", "label")
+    val r = Profile.binaryEval(skl, "grp", "score", "label").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((4L, 2L, 2L)))
+    assert(r.getLong(4) === 6L, "2U = 2*3 concordant pairs, no ties")
+    assert(r.getLong(5) === 750000L && r.getLong(6) === 833333L)
+    // perfectly separable: every positive above every negative
+    val sep = Seq(("g", 900000L, true), ("g", 800000L, true),
+      ("g", 200000L, false), ("g", 100000L, false))
+      .toDF("grp", "score", "label")
+    val rs = Profile.binaryEval(sep, "grp", "score", "label").collect().head
+    assert(rs.getLong(5) === 1000000L && rs.getLong(6) === 1000000L)
+    // inseparable: one score for everything -> all pairs tie, AUC = 1/2;
+    // AP = the single threshold's precision = the base rate 1/3
+    val tie = Seq(("g", 5L, true), ("g", 5L, false), ("g", 5L, false))
+      .toDF("grp", "score", "label")
+    val rt = Profile.binaryEval(tie, "grp", "score", "label").collect().head
+    assert(rt.getLong(4) === 2L, "2U = p*n ties = 1*2")
+    assert(rt.getLong(5) === 500000L && rt.getLong(6) === 333333L)
+  }
+
+  test("binaryEval: cross-bucket prefixes and negative scores agree " +
+      "with the single-bucket plan; degenerate groups go null; the " +
+      "bucket cap raises") {
+    import spark.implicits._
+    // scores straddle bucket boundaries AND zero (floor-div path):
+    // same relation evaluated at width 2 (many buckets, cross-bucket
+    // join does the work) and width 1<<20 (one bucket, pure window)
+    // must agree exactly
+    val df = Seq(("g", -5L, false), ("g", -2L, true), ("g", -2L, false),
+      ("g", 0L, false), ("g", 3L, true), ("g", 7L, true), ("g", 9L, false))
+      .toDF("grp", "score", "label")
+    val narrow = Profile.binaryEval(df, "grp", "score", "label",
+      bucketWidth = 2L).collect().head
+    val wide = Profile.binaryEval(df, "grp", "score", "label",
+      bucketWidth = 1L << 20).collect().head
+    assert(narrow.toSeq === wide.toSeq,
+      "bucketWidth is a plan knob, never a semantics knob")
+    // hand check: pos {-2, 3, 7}, neg {-5, -2, 0, 9}; W = (-2>-5) +
+    // (3 > -5,-2,0) + (7 > -5,-2,0) = 7, T = 1 -> 2U = 15
+    assert(narrow.getLong(4) === 15L)
+    // a group with no negatives has undefined discrimination
+    val deg = Seq(("g", 1L, true), ("g", 2L, true))
+      .toDF("grp", "score", "label")
+    val rd = Profile.binaryEval(deg, "grp", "score", "label").collect().head
+    assert(rd.isNullAt(5) && rd.isNullAt(6) && rd.getLong(3) === 0L)
+    // two groups evaluate independently
+    val two = Profile.binaryEval(
+      Seq(("a", 2L, true), ("a", 1L, false), ("b", 1L, true),
+        ("b", 2L, false)).toDF("grp", "score", "label"),
+      "grp", "score", "label")
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(two === Map("a" -> 1000000L, "b" -> 0L))
+    // the cross-bucket self-join is buckets-squared: cap-guarded
+    val ex = intercept[Exception](Profile.binaryEval(df, "grp", "score",
+      "label", bucketWidth = 1L, maxBuckets = 2).collect())
+    assert(ex.getMessage.contains("buckets-squared"))
+  }
 }
