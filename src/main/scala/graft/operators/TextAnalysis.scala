@@ -109,6 +109,70 @@ object TextAnalysis {
       .withColumn("n_bpe", size(tokens(col("bpe"))).cast("long"))
   }
 
+  /** GPT-2 byte-level pre-tokenization split (Radford et al. 2019's
+    * tokenizer regex; the HF `tokenizers` ByteLevel pre_tokenizer) —
+    * the production split the BPE chain was missing: contractions
+    * (`'s 't 're 've 'm 'll 'd`), SPACE-PREFIXED letter/digit/punct
+    * runs, and whitespace runs that yield their LAST space to the next
+    * word. Without it, token counts (and therefore packing budgets and
+    * fertility) drift from what a real trainer sees.
+    *
+    * The reference pattern ends in `\s+(?!\S)|\s+` — a lookahead RE2
+    * (DuckDB) cannot run. This renders it RE2-SAFE and provably
+    * equivalent: one `regexp_replace` inserts a sentinel before every
+    * (whitespace, non-whitespace) boundary — exactly the positions the
+    * lookahead backtrack would split — then the lookahead-free
+    * alternation extracts within each protected segment. The property
+    * spec checks the rendering against the true-lookahead Java regex
+    * on adversarial fixtures. Pieces CONCATENATE back to the input
+    * (the split is a partition — the invertibility contract). Map-only:
+    * two regex passes + a lambda, no shuffle, no UDF. Input text must
+    * not contain U+001E (the sentinel; in-plan raise otherwise). */
+  def gpt2PreTokens(text: Column): Column = {
+    val sep = "\u001e"
+    val guarded = when(text.contains(sep),
+      raise_error(lit("gpt2PreTokens: input contains U+001E (the " +
+        "protected-split sentinel) — strip or remap it upstream")))
+      .otherwise(text)
+    val prot = regexp_replace(guarded, "(\\s)(\\S)", sep + "$1$2")
+    val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
+      "| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    flatten(transform(split(prot, sep),
+      p => regexp_extract_all(p, lit(pat), lit(0))))
+  }
+
+  /** [[gpt2PreTokens]] with GPT-2's byte-to-printable mapping applied to
+    * the whitespace a piece carries (space→Ġ U+0120, the byte+256
+    * convention for \t \n  \f \r), so pieces contain NO raw
+    * whitespace and can ride the space-joined token-stream convention
+    * every kernel here uses ([[graft.functions.BpeEncode]] splits words
+    * on whitespace — mapped pieces pass through it as single words,
+    * leading space preserved as a symbol exactly like the real byte-
+    * level BPE). */
+  def gpt2MappedPieces(text: Column): Column =
+    transform(gpt2PreTokens(text), p => translate(p,
+      " \t\n\u000b\u000c\r", "\u0120\u0109\u010a\u010b\u010c\u010d"))
+
+  /** The trainer-visible tokenization chain: GPT-2 pre-tokenize, map
+    * whitespace to printables, then apply a ranked merges table to each
+    * piece — [[bpeTokenize]] upgraded from the whitespace-word proxy to
+    * the production split. Still map-only (the merges table rides the
+    * plan as a foldable literal): no join, no shuffle, one codegen'd
+    * pass. Returns `(<idCol>, pretok, n_pieces, bpe, n_bpe)` — `pretok`
+    * the space-joined mapped pieces, `bpe` the space-joined token
+    * stream over them. */
+  def bpeTokenizeGpt2(df: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.functions.BpeEncode.register(df.sparkSession)
+    val spec = merges.map { case (a, b) => s"$a $b" }.mkString("\n")
+    df.select(col(idCol), gpt2MappedPieces(col(textCol)).as("__ps"))
+      .select(col(idCol), array_join(col("__ps"), " ").as("pretok"),
+        size(col("__ps")).cast("long").as("n_pieces"))
+      .withColumn("bpe",
+        call_function("bpe_encode", col("pretok"), lit(spec)))
+      .withColumn("n_bpe", size(tokens(col("bpe"))).cast("long"))
+  }
+
   /** Deterministic BPE vocabulary from a tokenized corpus: every
     * distinct piece the merges table produces, with dense integer ids in
     * lexicographic piece order — the id assignment an oracle (or another

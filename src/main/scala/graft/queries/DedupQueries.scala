@@ -537,6 +537,48 @@ object DedupQueries extends graft.QueryPack {
       },
       Some(duckContamination)),
 
+    // ---- D26: contamination SPAN evidence (which item, where) -----------
+    // The audit relation behind q_d10's verdict: matched shingle
+    // positions fuse into maximal half-open token spans per (train doc,
+    // benchmark item). The oracle replays the positional shingle join
+    // and the gaps-and-islands fuse; only matching pairs emit rows.
+    Q("q_d26_contamination_spans",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.contaminationSpans(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |expp AS (SELECT doc_id, i - 1 AS pos,
+             |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+             |    FROM t WHERE len(toks) >= 3)
+             |  WHERE doc_id % 50 <> 0),
+             |bset AS (SELECT DISTINCT doc_id AS bid, sh FROM (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+             |  FROM t WHERE len(toks) >= 3 AND doc_id % 50 = 0)),
+             |hits AS (SELECT e.doc_id, b.bid, e.pos
+             |  FROM expp e JOIN bset b USING (sh)),
+             |lagd AS (SELECT doc_id, bid, pos,
+             |    lag(pos) OVER (PARTITION BY doc_id, bid ORDER BY pos)
+             |      AS prev
+             |  FROM hits),
+             |isl AS (SELECT doc_id, bid, pos,
+             |    SUM(CASE WHEN prev IS NULL OR pos - prev > 3
+             |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id, bid
+             |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND CURRENT ROW) AS g
+             |  FROM lagd)
+             |SELECT doc_id, bid AS benchmark_id,
+             |  CAST(MIN(pos) AS BIGINT) AS span_start,
+             |  CAST(MAX(pos) + 3 AS BIGINT) AS span_end,
+             |  CAST(COUNT(*) AS BIGINT) AS n_shingles
+             |FROM isl GROUP BY doc_id, bid, g""".stripMargin)),
+
     // ---- D11: decontamination with a bloom runtime pre-filter -----------
     // Bloom false positives are removed by the exact semi-join, so the
     // output is IDENTICAL to q_d10 — same oracle text, and the driver's

@@ -2934,6 +2934,62 @@ object TextQueries extends graft.QueryPack {
              |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
              |LEFT JOIN seg USING (doc_id)""".stripMargin)),
 
+    // ---- X101: GPT-2 byte-level pre-tokenizer -> BPE (trainer-visible) --
+    // The production split the whitespace proxy was missing: contraction
+    // suffixes, space-prefixed runs, whitespace runs yielding their last
+    // space. The oracle replays the RE2-safe protected-split rendering
+    // (sentinel before each \s\S boundary — provably equivalent to the
+    // reference lookahead, PropertySpec pins it against Java's true
+    // lookahead), the byte-to-printable whitespace mapping, and the
+    // merge-replay over a fixed rank table.
+    Q("q_x101_gpt2_pretok",
+      (s, d) => TextAnalysis.bpeTokenizeGpt2(Tables.documents(s, d),
+        Seq(("Ġ", "t"), ("Ġt", "h"), ("Ġth", "e"),
+          ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+          ("o", "n"), ("r", "e"))),
+      Some("""WITH RECURSIVE
+             |pt AS (SELECT doc_id, text, flatten(list_transform(
+             |    string_split(regexp_replace(text, '(\s)(\S)',
+             |      chr(30) || '\1\2', 'g'), chr(30)),
+             |    p -> regexp_extract_all(p,
+             |      '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')))
+             |    AS pcs
+             |  FROM documents),
+             |mp AS (SELECT doc_id, text, list_transform(pcs,
+             |    p -> translate(p,
+             |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13),
+             |      chr(288) || chr(265) || chr(266) || chr(267) || chr(268)
+             |        || chr(269))) AS mps
+             |  FROM pt),
+             |mfix AS (SELECT * FROM (VALUES
+             |    (chr(288), 't', 0), (chr(288) || 't', 'h', 1),
+             |    (chr(288) || 'th', 'e', 2), ('t', 'h', 3), ('th', 'e', 4),
+             |    ('i', 'n', 5), ('a', 'n', 6), ('e', 'r', 7), ('o', 'n', 8),
+             |    ('r', 'e', 9)) m(a, b, rnk)),
+             |pw AS (SELECT DISTINCT w FROM
+             |  (SELECT unnest(mps) AS w FROM mp)),
+             |""".stripMargin +
+        duckBpeApply("rp", "pw", "mfix") + """,
+             |pidx AS (SELECT doc_id, i AS idx, w FROM (
+             |  SELECT doc_id, unnest(mps) AS w,
+             |    unnest(range(1, len(mps) + 1)) AS i FROM mp)),
+             |bagg AS (SELECT pidx.doc_id,
+             |    string_agg(trim(t.st), ' ' ORDER BY pidx.idx) AS bpe,
+             |    SUM(len(string_split(trim(t.st), ' '))) AS n_bpe
+             |  FROM pidx JOIN rp_f t ON t.w = pidx.w
+             |  GROUP BY 1)
+             |SELECT mp.doc_id,
+             |  CASE WHEN mp.text IS NULL THEN NULL
+             |    ELSE COALESCE(array_to_string(mp.mps, ' '), '') END
+             |    AS pretok,
+             |  CAST(CASE WHEN mp.text IS NULL THEN NULL
+             |    ELSE COALESCE(len(mp.mps), 0) END AS BIGINT) AS n_pieces,
+             |  CASE WHEN mp.text IS NULL THEN NULL
+             |    ELSE COALESCE(b.bpe, '') END AS bpe,
+             |  CAST(CASE WHEN mp.text IS NULL THEN NULL
+             |    ELSE COALESCE(b.n_bpe, 0) END AS BIGINT) AS n_bpe
+             |FROM mp LEFT JOIN bagg b USING (doc_id)""".stripMargin)),
+
     // ---- X93: Mikolov phrase mining (collocations for vocab learning) ----
     // The raw (not PMI) score form: one exact cross-multiplied rational
     // per surviving bigram, no logarithm anywhere — the oracle replays

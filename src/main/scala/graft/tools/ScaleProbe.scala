@@ -833,7 +833,10 @@ object ScaleProbe {
         val tb = run(TextAnalysis.bpeTokenize(docs, merges, "text"))
         val tu = run(TextAnalysis.unigramTokenize(docs, pieces, "text"))
         val tw = run(TextAnalysis.wordPieceTokenize(docs, wp, "text"))
-        println(f"[scaleprobe] tok x$f%-4d bpe $tb%.2f s  unigram $tu%.2f s  wordpiece $tw%.2f s")
+        // the production split + merge-replay chain (q_x101): two regex
+        // passes + the same map-only BPE kernel — expected flat with bpe
+        val tp = run(TextAnalysis.bpeTokenizeGpt2(docs, merges, "text"))
+        println(f"[scaleprobe] tok x$f%-4d bpe $tb%.2f s  unigram $tu%.2f s  wordpiece $tw%.2f s  pretok+bpe $tp%.2f s")
       }
       spark.stop(); return
     }

@@ -510,4 +510,35 @@ class DedupClusterSpec extends AnyFunSuite {
       docs, "doc_id", clusters, minScores, "q").collect())
     assert(ex.getMessage.contains("Long.MinValue"))
   }
+
+  test("contaminationSpans: overlapping hits fuse into one maximal " +
+      "span, separated hits stay separate, multi-item docs emit one " +
+      "row per (doc, item, span), boundary spans are half-open") {
+    import spark.implicits._
+    // bench item 100: "q1 a b c d" -> shingles {q1 a b, a b c, b c d}
+    // bench item 200: "z1 z2 z3"   -> one shingle {z1 z2 z3}
+    val bench = Seq((100L, "q1 a b c d"), (200L, "z1 z2 z3"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // doc 1: quotes item 100 verbatim at tokens 2..6 (overlapping
+      // shingle starts 2,3,4 fuse into ONE span [2,7)), then item 200
+      // at the very END (boundary span [8,11))
+      (1L, "x y q1 a b c d x z1 z2 z3"),
+      // doc 2: two SEPARATED quotes of item 100's first shingle —
+      // starts 0 and 5, gap > k, so two spans [0,3) and [5,8)
+      (2L, "q1 a b s t q1 a b"),
+      // doc 3: clean — no rows at all
+      (3L, "nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.contaminationSpans(train, bench)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(out === Set(
+      (1L, 100L, 2L, 7L, 3L),
+      (1L, 200L, 8L, 11L, 1L),
+      (2L, 100L, 0L, 3L, 1L),
+      (2L, 100L, 5L, 8L, 1L)),
+      s"got $out")
+  }
 }

@@ -384,4 +384,62 @@ class PropertySpec extends AnyFunSuite {
         s"bounds for '$x' vs '$y'")
     }
   }
+
+  test("gpt2 pre-tokenizer: the RE2-safe protected-split rendering " +
+      "equals the TRUE lookahead regex on random and adversarial " +
+      "texts, and pieces always concatenate back to the input") {
+    import spark.implicits._
+    // the reference pattern, lookahead and all — Java regex runs it
+    val ref = java.util.regex.Pattern.compile(
+      "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
+        "|\\s+(?!\\S)|\\s+")
+    def refSplit(t: String): Seq[String] = {
+      val m = ref.matcher(t)
+      val b = Seq.newBuilder[String]
+      while (m.find()) b += m.group()
+      b.result()
+    }
+    def engineSplit(t: String): Seq[String] =
+      Seq(Tuple1(t)).toDF("text")
+        .select(graft.operators.TextAnalysis.gpt2PreTokens(col("text"))
+          .as("p")).head.getSeq[String](0)
+    val adversarial = Seq(
+      "hello world", "hello  world", "hello   world", "   leading",
+      "trailing   ", "a\n\nb", "tabs\t\there", "don't you'll we're",
+      "I'm he's they'd we've", "mixed 123 numbers42b",
+      "punct!!! ...and, (more)", " ", "", "x", "  ", "a",
+      "new\nline word", "2+2=4", "über café 日本語", "a-b--c",
+      "\n \t mixed \n", "word'sx", "''", "'s's")
+    adversarial.foreach { t =>
+      assert(engineSplit(t) === refSplit(t), s"mismatch on '$t'")
+      assert(engineSplit(t).mkString === t,
+        s"pieces must concatenate back to '$t' (the split is a partition)")
+    }
+    val charGen = Gen.oneOf('a', 'b', 'Z', '9', ' ', ' ', '\n', '\t',
+      '\'', 's', 't', '!', '.', 'é', '中')
+    val textGen = Gen.chooseNum(0, 24)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    forAll(textGen, n = 40) { t =>
+      assert(engineSplit(t) === refSplit(t), s"mismatch on '${t}'")
+      assert(engineSplit(t).mkString === t)
+    }
+    // the mapped form carries no raw whitespace and BPE-composes:
+    // n_bpe >= n_pieces (merges only ever shrink within a piece)
+    val chain = graft.operators.TextAnalysis.bpeTokenizeGpt2(
+      Seq((1L, "don't  stop me\nnow 42!")).toDF("doc_id", "text"),
+      Seq(("Ġ", "s"), ("Ġs", "t"), ("o", "p"), ("n", "o"), ("no", "w")))
+      .head
+    assert(chain.getString(1).split(" ", -1)
+      .forall(p => p.nonEmpty && !p.exists(_.isWhitespace)),
+      "mapped pieces carry no raw whitespace of their own, so the " +
+        "space-joined stream is unambiguous")
+    assert(chain.getLong(4) >= chain.getLong(2),
+      "each piece yields >= 1 token")
+    // spot-pin the chain: pretok pieces of "don't  stop me\nnow 42!"
+    // "\nnow" splits as "\n" + "now": ' ?' in the letter-run alternative
+    // is literally a space, so a newline never prefixes a word piece
+    assert(chain.getString(1) ===
+      "don 't Ġ Ġstop Ġme Ċ now Ġ42 !",
+      "pretok = mapped GPT-2 pieces, space-joined")
+  }
 }
