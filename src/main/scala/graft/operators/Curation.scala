@@ -117,6 +117,51 @@ object Curation {
         coalesce(col("n"), lit(0L)).as("docs"))
   }
 
+  /** [[curationFunnel]] + the web-graph host-rank gate as stage 4 — the
+    * RefinedWeb-shaped funnel where corpus-level host centrality
+    * ([[TextAnalysis.hostRankFeature]]: canonicalUrl → host link graph
+    * → PageRank) gates what document-level filters passed: near-dup
+    * survivors on a host ranking BELOW `minHostRank` drop wholesale
+    * (an uncited host farm's clean-looking pages go with the farm).
+    * Docs with no parseable/ranked host KEEP — absence of evidence
+    * never drops data (the [[TextAnalysis.hostQualityGate]] stance).
+    * `urls` maps ids to the doc's own URL; `links` carries out-link
+    * URLs. Same per-source grid contract as [[curationFunnel]], one
+    * more stage row. */
+  def curationFunnelHostGate(docs: DataFrame, urls: DataFrame,
+      links: DataFrame, minHostRank: Double,
+      urlCol: String = "url", linkUrlCol: String = "link_url",
+      sourceCol: String = "source", textCol: String = "text",
+      idCol: String = "doc_id", minTokens: Int = 20,
+      prIters: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (quality, exact, survivors) =
+      stageFrames(docs, textCol, idCol, minTokens)
+    val hr = TextAnalysis.hostRankFeature(urls, urlCol, links, linkUrlCol,
+      prIters, idCol)
+    val hostGated = survivors.select(col(idCol))
+      .join(hr.select(col(idCol), col("host_rank")), Seq(idCol), "left")
+      .filter(col("host_rank").isNull || col("host_rank") >= minHostRank)
+    val src = docs.select(col(idCol),
+      coalesce(col(sourceCol), lit("<null>")).as("source"))
+    def perSource(stage: Int, ids: DataFrame): DataFrame =
+      ids.select(col(idCol)).join(src, Seq(idCol))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .select(lit(stage).as("stage"), col("source"), col("n"))
+    val counts = Seq(perSource(0, src), perSource(1, quality),
+      perSource(2, exact), perSource(3, survivors),
+      perSource(4, hostGated))
+      .reduce(_ unionAll _)
+    val stages = Seq((0, "raw"), (1, "quality"), (2, "exact_dedup"),
+      (3, "near_dup"), (4, "host_rank")).toDF("stage", "stage_name")
+    src.select(col("source")).distinct()
+      .crossJoin(broadcast(stages))
+      .join(counts, Seq("source", "stage"), "left")
+      .select(col("stage"), col("stage_name"), col("source"),
+        coalesce(col("n"), lit(0L)).as("docs"))
+  }
+
   /** Joint text+embedding curation: the cross-modal composition a corpus
     * with per-document embeddings runs — quality-gate on TEXT signals,
     * drop near-duplicates by EMBEDDING cosine (bucketed candidates +

@@ -605,6 +605,54 @@ object TextAnalysis {
           col("bad_ratio") <= maxBadRatio).as("keep"))
   }
 
+  /** Web-graph host-quality signal — the RefinedWeb/CommonCrawl
+    * host-ranking gate composed from parts that already existed but
+    * were never wired: document URLs canonicalize ([[canonicalUrl]]),
+    * reduce to hosts, out-links build the DISTINCT host→host link
+    * graph, [[graft.operators.Graph.pageRank]] ranks it, and each
+    * document gets its host's centrality back as a quality feature —
+    * the corpus-level signal document-level filters can't see (a page
+    * on a never-cited host farm scores low however clean its text).
+    *
+    * `docs` carries each document's own URL; `links` carries the
+    * out-link URLs found in documents (0..n rows per doc). Self-links
+    * (same host) drop — they assert no cross-host endorsement; link
+    * multiplicity collapses (DISTINCT host pairs — the host-graph
+    * convention). Docs with an unparseable host, or whose host has no
+    * edge at all (isolated — PageRank never sees it), surface with a
+    * null rank: absence of evidence is visible, never invented.
+    *
+    * Scale shape: host extraction is map-only; the edge build is one
+    * doc-keyed join + one distinct on the (src, dst) HOST grain (hosts
+    * ≪ docs); PageRank runs over the host graph (its per-round cost is
+    * the host-edge relation, not the corpus); the feature join back is
+    * keyed by host — hosts-sized, AQE-broadcast while it fits. Returns
+    * `(<idCol>, host, host_rank)` — one row per input doc. */
+  def hostRankFeature(docs: DataFrame, urlCol: String,
+      links: DataFrame, linkUrlCol: String, iters: Int = 3,
+      idCol: String = "doc_id"): DataFrame = {
+    def hostOf(u: Column): Column = {
+      val canon = canonicalUrl(u)
+      val auth = regexp_extract(canon,
+        "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+      when(coalesce(auth, lit("")) === "", lit(null))
+        .otherwise(lower(regexp_replace(auth, ":[0-9]+$", "")))
+    }
+    val docHost = docs.select(col(idCol), hostOf(col(urlCol)).as("host"))
+    val linkHost = links.select(col(idCol),
+      hostOf(col(s"`$linkUrlCol`")).as("__lh"))
+    val edges = docHost.join(linkHost, Seq(idCol))
+      .filter(col("host").isNotNull && col("__lh").isNotNull &&
+        col("host") =!= col("__lh"))
+      .select(col("host").as("src"), col("__lh").as("dst"))
+      .distinct()
+    val pr = Graph.pageRank(edges, iters)
+    docHost.join(
+        pr.select(col("node").as("host"), col("rank").as("host_rank")),
+        Seq("host"), "left")
+      .select(col(idCol), col("host"), col("host_rank"))
+  }
+
   /** Small built-in stopword lists for the n-gram language-ID heuristic. */
   val langStopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),

@@ -167,6 +167,139 @@ object CurationQueries extends graft.QueryPack {
              |LEFT JOIN cn ON cn.stage = stg.stage
              |  AND cn.source = g.source""".stripMargin)),
 
+    // ---- X103: the funnel + the host-rank gate as stage 4 ---------------
+    // q_x65's four stages plus the web-graph gate: planted host graph
+    // (own host = doc_id % 20; out-links PREFER hosts 0-9, so the
+    // bottom half of the host ranking is a real, separated set), cut
+    // at the uniform 1/20 rank. The oracle chains the full q_x9 funnel
+    // recursion with the q_g1 PageRank replay (relation names remapped)
+    // and the stage-4 gate.
+    Q("q_x103_funnel_host_gate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ownUrl = concat(lit("HTTP://H"),
+          (col("doc_id") % 20).cast("string"),
+          lit(".COM:80/p/"), col("doc_id").cast("string"),
+          lit("?utm_source=x&a=1"))
+        val links = docs.select(col("doc_id"), explode(array(
+          concat(lit("https://h"), ((col("doc_id") * 7) % 10)
+            .cast("string"), lit(".com:443/l?b=2")),
+          concat(lit("https://h"), ((col("doc_id") * 13 + 3) % 20)
+            .cast("string"), lit(".com/l2#frag")))).as("link_url"))
+        Curation.curationFunnelHostGate(docs,
+          docs.select(col("doc_id"), ownUrl.as("url")), links,
+          minHostRank = 0.05)
+      },
+      Some("""WITH RECURSIVE
+             |src AS (SELECT doc_id, COALESCE(source, '<null>') AS source
+             |  FROM documents),
+             |t AS (SELECT doc_id, text,
+             |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |m AS (SELECT doc_id, text, toks, len(toks) AS n_tokens,
+             |  ROUND(CAST(length(list_aggregate(toks, 'string_agg', '')) AS DOUBLE) / len(toks), 4) AS avg_len,
+             |  ROUND(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE) / len(toks), 4) AS stop_ratio
+             |  FROM t),
+             |q AS (SELECT doc_id, text, toks FROM m
+             |  WHERE n_tokens >= 20 AND avg_len >= 2.0 AND avg_len <= 10.0
+             |    AND stop_ratio >= 0.02),
+             |ek AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+             |e AS (SELECT q.doc_id, q.toks FROM q JOIN ek ON ek.doc_id = q.doc_id),
+             |shx AS (SELECT doc_id,
+             |  list_transform(range(1, len(toks) - 1),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+             |  FROM e WHERE len(toks) >= 3),
+             |exd AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM shx),
+             |mh AS (SELECT doc_id,
+             |  min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+             |  min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
+             |  min(md5('4|' || sh)) AS m4, min(md5('5|' || sh)) AS m5,
+             |  min(md5('6|' || sh)) AS m6, min(md5('7|' || sh)) AS m7
+             |  FROM exd GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM mh
+             |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM mh
+             |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM mh
+             |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM mh),
+             |prs AS (
+             |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM exd GROUP BY doc_id),
+             |inter AS (
+             |  SELECT p.a_id, p.b_id, COUNT(*) AS inter
+             |  FROM prs p
+             |  JOIN exd a ON a.doc_id = p.a_id
+             |  JOIN exd b ON b.doc_id = p.b_id AND b.sh = a.sh
+             |  GROUP BY 1, 2),
+             |ver AS (
+             |  SELECT i.a_id, i.b_id FROM inter i
+             |  JOIN sizes sa ON sa.doc_id = i.a_id
+             |  JOIN sizes sb ON sb.doc_id = i.b_id
+             |  WHERE i.inter * 10 >= (sa.n + sb.n - i.inter) * 1),
+             |edges AS (
+             |  SELECT a_id AS src, b_id AS dst FROM ver
+             |  UNION SELECT b_id, a_id FROM ver),
+             |cc(node, label) AS (
+             |  SELECT DISTINCT src, src FROM edges
+             |  UNION
+             |  SELECT e2.dst, c.label FROM cc c JOIN edges e2 ON e2.src = c.node),
+             |comp AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node),
+             |dropd AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+             |surv AS (SELECT e.doc_id FROM e
+             |  LEFT JOIN dropd dd ON dd.doc_id = e.doc_id
+             |  WHERE dd.doc_id IS NULL),
+             |dh AS (SELECT doc_id,
+             |    'h' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS host
+             |  FROM documents),
+             |lh AS (SELECT doc_id,
+             |    'h' || CAST((doc_id * 7) % 10 AS VARCHAR) || '.com' AS lhost
+             |  FROM documents
+             |  UNION ALL SELECT doc_id,
+             |    'h' || CAST((doc_id * 13 + 3) % 20 AS VARCHAR) || '.com'
+             |  FROM documents),
+             |he AS (SELECT DISTINCT d.host AS src, l.lhost AS dst
+             |  FROM dh d JOIN lh l USING (doc_id) WHERE d.host <> l.lhost),
+             |hdeg AS (SELECT src, COUNT(*) AS outdeg FROM he GROUP BY 1),
+             |hnodes AS (SELECT DISTINCT node FROM (
+             |  SELECT src AS node FROM he UNION ALL SELECT dst AS node FROM he)),
+             |hnn AS (SELECT COUNT(*) AS n FROM hnodes),
+             |hr0 AS (
+             |  SELECT node, CAST(1000000 AS BIGINT) AS rank_m FROM hnodes),
+             |""".stripMargin +
+        (1 to 3).map(i => GraphQueries.duckIter(s"hr$i", s"hr${i - 1}",
+          e = "he", deg = "hdeg", nodes = "hnodes", nn = "hnn"))
+          .mkString(",\n") + """,
+             |hrk AS (SELECT dh.doc_id,
+             |    CAST(hr3.rank_m AS DOUBLE) / 1e6 / hnn.n AS host_rank
+             |  FROM dh LEFT JOIN hr3 ON hr3.node = dh.host CROSS JOIN hnn),
+             |hg AS (SELECT surv.doc_id FROM surv
+             |  LEFT JOIN hrk USING (doc_id)
+             |  WHERE hrk.host_rank IS NULL OR hrk.host_rank >= 0.05),
+             |cn AS (
+             |  SELECT 0 AS stage, source, COUNT(*) AS n FROM src GROUP BY 2
+             |  UNION ALL
+             |  SELECT 1, s.source, COUNT(*) FROM q
+             |    JOIN src s USING (doc_id) GROUP BY 2
+             |  UNION ALL
+             |  SELECT 2, s.source, COUNT(*) FROM e
+             |    JOIN src s USING (doc_id) GROUP BY 2
+             |  UNION ALL
+             |  SELECT 3, s.source, COUNT(*) FROM surv
+             |    JOIN src s USING (doc_id) GROUP BY 2
+             |  UNION ALL
+             |  SELECT 4, s.source, COUNT(*) FROM hg
+             |    JOIN src s USING (doc_id) GROUP BY 2),
+             |sgrid AS (SELECT DISTINCT source FROM src),
+             |stg AS (SELECT * FROM (VALUES (0, 'raw'), (1, 'quality'),
+             |    (2, 'exact_dedup'), (3, 'near_dup'), (4, 'host_rank'))
+             |  AS v(stage, stage_name))
+             |SELECT stg.stage, stg.stage_name, g.source,
+             |  CAST(COALESCE(cn.n, 0) AS BIGINT) AS docs
+             |FROM sgrid g CROSS JOIN stg
+             |LEFT JOIN cn ON cn.stage = stg.stage
+             |  AND cn.source = g.source""".stripMargin)),
+
     // ---- X47: curation + decontamination composed under ONE oracle ------
     // The EndToEnd build's first two stages as a single hash-checked
     // query: curate the corpus (quality → exact dedup → verified

@@ -97,28 +97,30 @@ object GraphQueries extends graft.QueryPack {
     * literals CAST to DOUBLE because a bare 0.85 is a DECIMAL in
     * DuckDB, and no ROUND anywhere (its .5 tie-breaking differs
     * between engines). */
-  private def duckIter(out: String, prev: String): String =
+  private[queries] def duckIter(out: String, prev: String,
+      e: String = "e", deg: String = "deg", nodes: String = "nodes",
+      nn: String = "nn"): String =
     s"""$out AS (
-       |  SELECT nodes.node,
+       |  SELECT $nodes.node,
        |    CAST(FLOOR(
        |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * 1e6
        |      + CAST(0.85 AS DOUBLE) *
        |        (CAST(COALESCE(s.s, 0) AS DOUBLE)
-       |         + CAST(dm.dm AS DOUBLE) / nn.n)
+       |         + CAST(dm.dm AS DOUBLE) / $nn.n)
        |      + 0.5) AS BIGINT) AS rank_m
-       |  FROM nodes
-       |  CROSS JOIN nn
+       |  FROM $nodes
+       |  CROSS JOIN $nn
        |  CROSS JOIN (
        |    SELECT COALESCE(SUM(r.rank_m), 0) AS dm
        |    FROM $prev r
-       |    WHERE r.node NOT IN (SELECT src FROM deg)) dm
+       |    WHERE r.node NOT IN (SELECT src FROM $deg)) dm
        |  LEFT JOIN (
-       |    SELECT e.dst AS node,
-       |      SUM(CAST(FLOOR(r.rank_m / deg.outdeg + 0.5) AS BIGINT)) AS s
-       |    FROM e
-       |    JOIN $prev r ON e.src = r.node
-       |    JOIN deg ON deg.src = e.src
-       |    GROUP BY 1) s ON s.node = nodes.node)""".stripMargin
+       |    SELECT $e.dst AS node,
+       |      SUM(CAST(FLOOR(r.rank_m / $deg.outdeg + 0.5) AS BIGINT)) AS s
+       |    FROM $e
+       |    JOIN $prev r ON $e.src = r.node
+       |    JOIN $deg ON $deg.src = $e.src
+       |    GROUP BY 1) s ON s.node = $nodes.node)""".stripMargin
 
   /** One personalized-PageRank oracle iteration: micro-ranks `prev` →
     * `out`. Mirrors [[Graph.personalizedPageRank]] op for op — the seed
@@ -236,6 +238,54 @@ object GraphQueries extends graft.QueryPack {
              |${(1 to iters).map(i => duckIter(s"r$i", s"r${i - 1}")).mkString(",\n")}
              |SELECT node, CAST(rank_m AS DOUBLE) / 1e6 / nn.n AS rank
              |FROM r$iters CROSS JOIN nn""".stripMargin)),
+
+    // ---- X102: web-graph host-quality gate (the composed signal) --------
+    // canonicalUrl -> host -> DISTINCT host link graph -> pageRank ->
+    // per-doc feature, under ONE oracle: 20 planted hosts (doc's own
+    // host = doc_id % 20 behind canonicalization noise — casing,
+    // default port, tracking params, fragment), two out-links per doc
+    // to arithmetically-derived hosts. The oracle shortcuts the URL
+    // noise to the host values canonicalUrl provably produces and
+    // replays the distinct edge build + 3 PageRank rounds (q_g1's
+    // duckIter discipline).
+    Q("q_x102_host_rank_gate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ownUrl = concat(lit("HTTP://H"),
+          (col("doc_id") % 20).cast("string"),
+          lit(".COM:80/p/"), col("doc_id").cast("string"),
+          lit("?utm_source=x&a=1"))
+        val links = docs.select(col("doc_id"), explode(array(
+          concat(lit("https://h"), ((col("doc_id") * 7) % 20)
+            .cast("string"), lit(".com:443/l?b=2")),
+          concat(lit("https://h"), ((col("doc_id") * 13 + 3) % 20)
+            .cast("string"), lit(".com/l2#frag")))).as("link_url"))
+        graft.operators.TextAnalysis.hostRankFeature(
+          docs.select(col("doc_id"), ownUrl.as("url")), "url",
+          links, "link_url", iters = 3)
+      },
+      Some(s"""WITH dh AS (SELECT doc_id,
+             |    'h' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS host
+             |  FROM documents),
+             |lh AS (SELECT doc_id,
+             |    'h' || CAST((doc_id * 7) % 20 AS VARCHAR) || '.com' AS lhost
+             |  FROM documents
+             |  UNION ALL SELECT doc_id,
+             |    'h' || CAST((doc_id * 13 + 3) % 20 AS VARCHAR) || '.com'
+             |  FROM documents),
+             |e AS (SELECT DISTINCT d.host AS src, l.lhost AS dst
+             |  FROM dh d JOIN lh l USING (doc_id) WHERE d.host <> l.lhost),
+             |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+             |nodes AS (SELECT DISTINCT node FROM (
+             |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+             |nn AS (SELECT COUNT(*) AS n FROM nodes),
+             |r0 AS (
+             |  SELECT node, CAST(1000000 AS BIGINT) AS rank_m FROM nodes),
+             |${(1 to 3).map(i => duckIter(s"r$i", s"r${i - 1}")).mkString(",\n")}
+             |SELECT dh.doc_id, dh.host,
+             |  CAST(r3.rank_m AS DOUBLE) / 1e6 / nn.n AS host_rank
+             |FROM dh LEFT JOIN r3 ON r3.node = dh.host
+             |CROSS JOIN nn""".stripMargin)),
 
     // ---- G2: personalized PageRank, supplier-seeded ---------------------
     // Same trade graph, restart mass teleporting to the SUPPLIER nodes
