@@ -61,6 +61,28 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Graph tier — `runMain graft.tools.ScaleProbe graph`: the five
+    // iterative graph queries (the recurring bench-churn arbitration
+    // customers — r13/r14 showed driver in-suite readings up to ~5x
+    // their fresh-JVM floors on unchanged code) as ONE fixed fresh-JVM
+    // iso table per round: warmup + min-of-3 each, sf0.1. Paste the
+    // table into SCALE.md; a real regression is a mover HERE, not in
+    // the suite-order-sensitive Bench reading.
+    if (args.headOption.contains("graph")) {
+      val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      Seq("q_g1_pagerank", "q_g3_hits", "q_g7_triangles",
+        "q_g10_adamic_adar", "q_g11_shortest_paths").foreach { q =>
+        def run(): Double = time {
+          graft.SparkEntry.queries(q)(spark, sf)
+            .write.format("noop").mode("overwrite").save()
+        }
+        run()
+        val best = Seq(run(), run(), run()).min
+        println(f"[scaleprobe] graph $q%-26s $best%.2f s   ($sf)")
+      }
+      spark.stop(); return
+    }
+
     // Flagship mode — `runMain graft.tools.ScaleProbe flagship`: the five
     // headline queries at x4-amplified sf0.1 (documents token-salted,
     // embeddings id-remapped, lineitem key-shifted) + the 400k-customer
