@@ -84,4 +84,37 @@ object TopKAggregator {
   def minKColumn(k: Int): UserDefinedFunction =
     udaf(minK[(String, Long)](k)(t => Keyed(t._1, t._2)),
       ExpressionEncoder[(String, Long)]())
+
+  /** STRING-identified top-k — [[TopK]] for groups ranked by (score
+    * desc, string id asc): the tf-idf top-terms shape, where the ranked
+    * thing is a term, not a numeric id. Same bounded-buffer guarantee:
+    * ≤ k (score, sid) pairs per group per map task. */
+  final case class ScoredS(score: Double, sid: String)
+
+  private val sord: Ordering[ScoredS] =
+    Ordering.by((s: ScoredS) => (-(s.score + 0.0), s.sid))
+
+  final class TopKS[IN](k: Int, f: IN => ScoredS)
+      extends Aggregator[IN, Seq[ScoredS], Seq[ScoredS]] {
+    require(k >= 1, s"TopKS requires k >= 1, got $k")
+    override def zero: Seq[ScoredS] = Seq.empty
+    override def reduce(b: Seq[ScoredS], in: IN): Seq[ScoredS] = {
+      val a = f(in)
+      if (b.sizeIs >= k && sord.gteq(a, b.last)) b
+      else (b :+ a).sorted(sord).take(k)
+    }
+    override def merge(x: Seq[ScoredS], y: Seq[ScoredS]): Seq[ScoredS] =
+      (x ++ y).sorted(sord).take(k)
+    override def finish(r: Seq[ScoredS]): Seq[ScoredS] = r
+    override def bufferEncoder: Encoder[Seq[ScoredS]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[ScoredS]] = ExpressionEncoder()
+  }
+
+  /** Untyped (Column) form of [[TopKS]]:
+    * `groupBy(g).agg(topKStrColumn(k)(score, sid))` yields the ≤k best
+    * (score desc, sid asc) pairs per group, best first, as
+    * `array<struct<score:double, sid:string>>`. */
+  def topKStrColumn(k: Int): UserDefinedFunction =
+    udaf(new TopKS[(Double, String)](k, t => ScoredS(t._1, t._2)),
+      ExpressionEncoder[(Double, String)]())
 }

@@ -1900,7 +1900,6 @@ object TextAnalysis {
     * not the token stream. Deterministic: 6-dp rounding absorbs the
     * ≤1-ulp ln() difference across engines; ties break on the term. */
   def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val px = Par.spread(df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks")))
       .select(col("doc_id"), explode(col("toks")).as("term"))
     val tf = px.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -1911,9 +1910,20 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tf") * log((col("n_docs").cast("double") + 1) / (col("df") + 1)), 6)
           .as("tfidf"))
-    scored.withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
-        .orderBy(col("tfidf").desc, col("term"))))
-      .filter(col("rnk") <= k)
+    // ranking rides the bounded top-k buffer (string-id variant): ≤ k
+    // (tfidf, term) pairs per doc per map task — the perQueryTopK
+    // contract, replacing the doc-partitioned row_number window this
+    // used before (bounded-by-vocab but not map-side-combined); tf/df
+    // rejoin keyed by (doc, term)
+    val ranked = scored.groupBy(col("doc_id"))
+      .agg(graft.functions.TopKAggregator.topKStrColumn(k)(
+        col("tfidf"), col("term")).as("__top"))
+      .select(col("doc_id"), posexplode(col("__top")).as(Seq("__p", "t")))
+      .select(col("doc_id"), col("t.sid").as("term"),
+        (col("__p") + 1).cast("int").as("rnk"))
+    ranked.join(scored, Seq("doc_id", "term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rnk"))
   }
 
   /** BM25 keyword retrieval (Robertson & Zaragoza 2009, "The

@@ -900,6 +900,47 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Plackett-Luce growth — `runMain graft.tools.ScaleProbe pl`:
+    // the q_e41 3-way-ranking synthesis over ×1/×8/×64 event copies
+    // (same 6 candidates throughout — corpora grow, candidate sets
+    // don't). The plan's one corpus-sized stage is the reduction to
+    // the distinct-ORDERING grain; the orderings of 6 candidates taken
+    // 3 at a time are bounded (≤ 120 patterns), so every MM round runs
+    // over a fixed-size relation and growth should track the single
+    // pattern aggregation — the bt-probe argument at the listwise rung.
+    if (args.headOption.contains("pl")) {
+      import graft.operators.Preferences
+      val ev0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val span = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
+      Seq(1, 8, 64).foreach { f =>
+        val ev = (0 until f)
+          .map(k => ev0.withColumn("event_id", col("event_id") + lit(k * span)))
+          .reduce(_ unionByName _)
+        val tri = ev.filter(col("user_id").isNotNull)
+          .select(col("event_id"), (col("user_id") % 5 === 0).as("noise"),
+            (col("event_id") % 6).as("x1"),
+            expr("(event_id div 6) % 6").as("x2"),
+            expr("(event_id div 36) % 6").as("x3"))
+          .filter(col("x1") =!= col("x2") && col("x1") =!= col("x3") &&
+            col("x2") =!= col("x3"))
+          .select(col("event_id"),
+            when(col("noise"),
+              reverse(array_sort(array(col("x1"), col("x2"), col("x3")))))
+              .otherwise(array_sort(array(col("x1"), col("x2"), col("x3"))))
+              .as("lst"))
+          .select(col("event_id").as("list"),
+            posexplode(col("lst")).as(Seq("p", "cand")))
+          .select(col("list"), col("cand"), (col("p") + 1).as("rank"))
+        def run(): Double = time {
+          Preferences.plackettLuce(tri, "list", "cand", "rank")
+            .write.format("noop").mode("overwrite").save()
+        }
+        run() // warmup
+        println(f"[scaleprobe] pl x$f%-4d ${math.min(run(), run())}%.2f s")
+      }
+      spark.stop(); return
+    }
+
     // Trained-LID growth — `runMain graft.tools.ScaleProbe langid`:
     // the q_x72 chain (3-language variants, OvR char-gram train +
     // whole-corpus classify) over ×1/×4/×16 token-salted documents.
