@@ -1076,6 +1076,63 @@ object Dedup {
         col("span_start"), col("span_end"), col("n_shingles"))
   }
 
+  /** Span-level decontamination SCRUB — the surgical alternative to
+    * doc-level dropping (Lee et al. 2022's exact-substring removal
+    * stance): remove exactly the token positions covered by a shared
+    * benchmark k-shingle and keep the rest of the document, so a long
+    * page quoting one benchmark question loses the quote, not the
+    * page. Coverage is the union of `[pos, pos+k)` over every matched
+    * shingle position against ANY benchmark item (the
+    * [[contaminationSpans]] evidence, collapsed to the doc grain);
+    * kept tokens reassemble in order, single-space joined (the
+    * [[TextAnalysis.tokens]] whitespace convention — scrubbing
+    * normalizes whitespace, documented). Every train doc gets exactly
+    * one row — clean docs pass through with their reassembled text,
+    * fully-covered docs surface with an empty string and the removed
+    * count saying why.
+    *
+    * Scale shape: the same shingle equi-join as the report feeds the
+    * matched-position relation (the contaminated sliver); coverage
+    * explodes k rows per matched position (k is small — 3-13) and
+    * distincts on (doc, token idx); the scrub is one doc-keyed
+    * anti-join of the token relation + one per-doc reassembly
+    * aggregation. Returns `(<idCol>, scrubbed_text, n_tokens_kept,
+    * n_tokens_removed)`. */
+  def scrubContaminatedSpans(train: DataFrame, bench: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toksed = Par.spread(train.select(col(idCol).as("sid"),
+      TextAnalysis.tokens(col(textCol)).as("toks")))
+    val tokPos = toksed
+      .select(col("sid"), posexplode(col("toks")).as(Seq("tpos", "tok")))
+    val trainPos = toksed
+      .select(col("sid"),
+        posexplode(TextAnalysis.shingles(col("toks"), k))
+          .as(Seq("pos", "sh")))
+    val benchSet = docShingles(bench, textCol, idCol, k)
+      .select(col("sh")).distinct()
+    val covered = trainPos.join(benchSet, Seq("sh"), "left_semi")
+      .select(col("sid"),
+        explode(sequence(col("pos"), col("pos") + k - 1)).as("tpos"))
+      .distinct()
+    val kept = tokPos.join(covered, Seq("sid", "tpos"), "left_anti")
+      .groupBy(col("sid"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          x => x.getField("tok")), " ").as("scrubbed_text"),
+        count(lit(1)).as("n_tokens_kept"))
+    val removed = covered.groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_tokens_removed"))
+    train.select(col(idCol).as("sid"))
+      .join(kept, Seq("sid"), "left")
+      .join(removed, Seq("sid"), "left")
+      .select(col("sid").as(idCol),
+        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed"))
+  }
+
   /** Persist the decontamination artifacts ONCE — the train-once half of
     * the nightly store triad, applied to benchmark screening: the
     * benchmark's distinct shingle set plus a MERGEABLE bloom-filter

@@ -734,6 +734,26 @@ object Profile {
         abs(col("acc_ppm") - col("mean_conf_micros")).as("gap_ppm"))
   }
 
+  /** Expected calibration error — [[calibrationBins]] rolled up to the
+    * two numbers a model card publishes (Guo et al. 2017): ECE = the
+    * n-weighted mean of per-bin |accuracy − confidence| gaps, MCE = the
+    * worst bin's gap. Derivation is exact off the bins relation (each
+    * bin's gap_ppm is already the half-up integer the oracle replays;
+    * the weighting is one cross-multiplied DECIMAL(38,0) rational,
+    * half-up to ppm) — empty bins contribute no weight. One hash
+    * aggregation over ≤ `bins` rows on top of calibrationBins' one
+    * corpus pass. Returns ONE row
+    * `(n, n_bins_used, ece_ppm, mce_ppm)`. */
+  def expectedCalibrationError(df: DataFrame, scoreMicrosCol: String,
+      labelCol: String, bins: Int = 10): DataFrame =
+    calibrationBins(df, scoreMicrosCol, labelCol, bins)
+      .filter(col("n") > 0)
+      .agg(sum(col("n")).as("n"),
+        count(lit(1)).as("n_bins_used"),
+        expr("CAST((2 * SUM(CAST(n AS DECIMAL(38,0)) * gap_ppm) " +
+          "+ SUM(n)) div (2 * SUM(n)) AS BIGINT)").as("ece_ppm"),
+        max(col("gap_ppm")).as("mce_ppm"))
+
   /** Cumulative Poisson(1) CDF thresholds scaled to the u32 space —
     * `floor(P(X ≤ k) · 2³²)` for k = 0..max, computed ONCE in driver
     * Scala and inlined as integer literals into both the Spark plan and

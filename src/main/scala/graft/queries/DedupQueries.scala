@@ -579,6 +579,50 @@ object DedupQueries extends graft.QueryPack {
              |  CAST(COUNT(*) AS BIGINT) AS n_shingles
              |FROM isl GROUP BY doc_id, bid, g""".stripMargin)),
 
+    // ---- D27: span-level decontamination SCRUB (remove the quote, ------
+    // keep the page). Coverage = union of [pos, pos+3) over matched
+    // shingle positions vs any benchmark item; kept tokens reassemble
+    // in order. Oracle replays the positional join, the k-explode
+    // coverage union, the anti-join, and the ordered reassembly.
+    Q("q_d27_span_scrub",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.scrubContaminatedSpans(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |tp AS (SELECT doc_id, i - 1 AS tpos, toks[i] AS tok
+             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+             |    FROM t WHERE doc_id % 50 <> 0)),
+             |expp AS (SELECT doc_id, i - 1 AS pos,
+             |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+             |    FROM t WHERE len(toks) >= 3)
+             |  WHERE doc_id % 50 <> 0),
+             |bset AS (SELECT DISTINCT sh FROM (
+             |  SELECT unnest(list_transform(range(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+             |  FROM t WHERE len(toks) >= 3 AND doc_id % 50 = 0)),
+             |cov AS (SELECT DISTINCT e.doc_id, e.pos + j.j AS tpos
+             |  FROM expp e JOIN bset USING (sh),
+             |    (SELECT unnest(range(0, 3)) AS j) j),
+             |kept AS (SELECT tp.doc_id,
+             |    string_agg(tp.tok, ' ' ORDER BY tp.tpos) AS st,
+             |    COUNT(*) AS nk
+             |  FROM tp LEFT JOIN cov c
+             |    ON c.doc_id = tp.doc_id AND c.tpos = tp.tpos
+             |  WHERE c.doc_id IS NULL GROUP BY 1),
+             |rem AS (SELECT doc_id, COUNT(*) AS nr FROM cov GROUP BY 1)
+             |SELECT d.doc_id, COALESCE(kept.st, '') AS scrubbed_text,
+             |  CAST(COALESCE(kept.nk, 0) AS BIGINT) AS n_tokens_kept,
+             |  CAST(COALESCE(rem.nr, 0) AS BIGINT) AS n_tokens_removed
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+             |LEFT JOIN kept USING (doc_id)
+             |LEFT JOIN rem USING (doc_id)""".stripMargin)),
+
     // ---- D11: decontamination with a bloom runtime pre-filter -----------
     // Bloom false positives are removed by the exact semi-join, so the
     // output is IDENTICAL to q_d10 — same oracle text, and the driver's

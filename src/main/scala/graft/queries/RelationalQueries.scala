@@ -1608,6 +1608,41 @@ object RelationalQueries extends graft.QueryPack {
              |    - (2 * ss + n) // (2 * n)) AS BIGINT) AS gap_ppm
              |FROM sp LEFT JOIN per USING (bin)""".stripMargin)),
 
+    // ---- V29: expected calibration error (the q_v24 bins rolled up) -----
+    // ECE/MCE over the same planted-confidence fixture: the two numbers
+    // a model card publishes. Oracle = the q_v24 CTE chain + the
+    // n-weighted half-up roll-up over non-empty bins.
+    Q("q_v29_ece",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sc = (col("doc_id") * 7919) % 1000001
+        val u32 = conv(substring(md5(concat(lit("cal|"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        graft.operators.Profile.expectedCalibrationError(
+          docs.select(sc.as("score"),
+            (u32 * 1000000L < sc * 4294967296L).as("label")),
+          "score", "label", bins = 10)
+      },
+      Some("""WITH sc AS (SELECT (doc_id * 7919) % 1000001 AS s,
+             |    (CAST('0x' || substr(md5('cal|' || CAST(doc_id AS VARCHAR)),
+             |       1, 8) AS BIGINT) * 1000000
+             |     < ((doc_id * 7919) % 1000001) * 4294967296) AS y
+             |  FROM documents),
+             |b AS (SELECT LEAST((s * 10) // 1000000, 9) AS bin, s,
+             |    CASE WHEN y THEN 1 ELSE 0 END AS yy FROM sc),
+             |per AS (SELECT bin, COUNT(*) AS n, SUM(s) AS ss,
+             |    SUM(yy) AS pos FROM b GROUP BY 1),
+             |g AS (SELECT bin, n,
+             |    abs((2 * pos * 1000000 + n) // (2 * n)
+             |      - (2 * ss + n) // (2 * n)) AS gap_ppm
+             |  FROM per WHERE n > 0)
+             |SELECT CAST(SUM(n) AS BIGINT) AS n,
+             |  CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+             |  CAST((2 * SUM(CAST(n AS HUGEINT) * gap_ppm) + SUM(n))
+             |    // (2 * SUM(n)) AS BIGINT) AS ece_ppm,
+             |  CAST(MAX(gap_ppm) AS BIGINT) AS mce_ppm
+             |FROM g""".stripMargin)),
+
     // ---- V25: pass@k (the unbiased Chen-et-al. code-eval estimator) -----
     // Per problem (doc_id % 40) with a deterministic ~31% pass rate,
     // pass@{1,5,10} in exact half-up ppm: the C(n−c,k)/C(n,k) ratio

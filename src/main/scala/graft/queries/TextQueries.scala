@@ -422,6 +422,75 @@ object TextQueries extends graft.QueryPack {
        |  TRUE AS no_unk, TRUE AS roundtrip_ok
        |FROM pid GROUP BY doc_id""".stripMargin
 
+  /** The q_x72 train->classify chain as oracle CTEs, ending in
+    * `best` = (doc_id, lang, margin_m) — shared by q_x72 and q_v30 (the
+    * margin-reliability grading must replay the exact same fit). */
+  private lazy val duckLangIdChain: String =
+    """WITH v AS (SELECT doc_id,
+             |    CASE CAST(doc_id % 3 AS INT)
+             |      WHEN 0 THEN lower(text)
+             |      WHEN 1 THEN translate(lower(text), 'aeiou', '01234')
+             |      ELSE reverse(lower(text)) END AS txt
+             |  FROM documents WHERE text IS NOT NULL),
+             |gidx AS (SELECT doc_id, txt, k,
+             |    unnest(range(1, len(txt) - k + 2)) AS i
+             |  FROM v, (SELECT unnest([2, 3]) AS k)),
+             |htf AS (SELECT doc_id,
+             |    CAST('0x' || substr(md5(substr(txt, i, k)), 1, 8) AS BIGINT)
+             |      % 64 AS b,
+             |    COUNT(*) AS tf
+             |  FROM gidx GROUP BY 1, 2),
+             |lab AS (SELECT doc_id, 'l' || CAST(doc_id % 3 AS VARCHAR)
+             |    AS lang
+             |  FROM v WHERE doc_id % 4 < 2),
+             |tfl AS (SELECT h.doc_id, l.lang, h.b, h.tf
+             |  FROM htf h JOIN lab l USING (doc_id)),
+             |tflc AS (SELECT t.doc_id, c.c,
+             |    CASE WHEN t.lang = c.c THEN 1 ELSE -1 END AS y, t.b, t.tf
+             |  FROM tfl t, (SELECT DISTINCT lang AS c FROM tfl) c),
+             |w1 AS (SELECT c, b, SUM(y * tf) AS wm FROM tflc
+             |  WHERE y = -1 GROUP BY 1, 2),
+             |m2 AS (SELECT f.doc_id, f.c, f.y,
+             |    SUM(f.tf * COALESCE(w.wm, 0)) AS m
+             |  FROM tflc f LEFT JOIN w1 w ON w.c = f.c AND w.b = f.b
+             |  GROUP BY 1, 2, 3),
+             |u2 AS (SELECT f.c, f.b, SUM(f.y * f.tf) AS u FROM tflc f
+             |  JOIN m2 ON m2.doc_id = f.doc_id AND m2.c = f.c
+             |  WHERE (m2.m >= 0) <> (m2.y > 0) GROUP BY 1, 2),
+             |w2 AS (SELECT COALESCE(a.c, u.c) AS c,
+             |    COALESCE(a.b, u.b) AS b,
+             |    COALESCE(a.wm, 0) + COALESCE(u.u, 0) AS wm
+             |  FROM w1 a FULL OUTER JOIN u2 u ON a.c = u.c AND a.b = u.b),
+             |spine AS (SELECT h.doc_id, h.b, h.tf, c.c
+             |  FROM htf h CROSS JOIN (SELECT DISTINCT c FROM w2) c),
+             |sc AS (SELECT s.doc_id, s.c,
+             |    CAST(SUM(s.tf * COALESCE(w.wm, 0)) AS BIGINT) AS m
+             |  FROM spine s LEFT JOIN w2 w ON w.c = s.c AND w.b = s.b
+             |  GROUP BY 1, 2),
+             |best AS (SELECT doc_id, c AS lang, m AS margin_m FROM (
+             |    SELECT *, row_number() OVER (
+             |      PARTITION BY doc_id ORDER BY m DESC, c) AS rn FROM sc)
+             |  WHERE rn = 1)""".stripMargin
+
+  /** The q_x72 Spark chain (3 synthetic languages, OvR char-gram
+    * train, whole-corpus classify) — shared by q_x72 and q_v30. */
+  private def trainedLangId(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val v = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lower(col("text")))
+          .when(col("doc_id") % 3 === 1,
+            translate(lower(col("text")), "aeiou", "01234"))
+          .otherwise(reverse(lower(col("text")))).as("txt"))
+    val labeled = v.filter(col("doc_id") % 4 < 2)
+      .withColumn("lang",
+        concat(lit("l"), (col("doc_id") % 3).cast("string")))
+    val w = TextAnalysis.trainLangId(labeled, "lang", dims = 64,
+      rounds = 2, nMin = 2, nMax = 3, textCol = "txt")
+    TextAnalysis.langIdTrained(v, w, dims = 64, nMin = 2, nMax = 3,
+      textCol = "txt")
+  }
+
   override def queries: Seq[Q] = Seq(
 
     // ---- X1: token counting -------------------------------------------
@@ -1908,68 +1977,71 @@ object TextQueries extends graft.QueryPack {
     // hash over the whole chain, unrolling both rounds as CTEs and the
     // argmax as a doc-partitioned rank (ties by class name).
     Q("q_x72_train_langid",
-      (s, d) => {
-        val v = Tables.documents(s, d).filter(col("text").isNotNull)
-          .select(col("doc_id"),
-            when(col("doc_id") % 3 === 0, lower(col("text")))
-              .when(col("doc_id") % 3 === 1,
-                translate(lower(col("text")), "aeiou", "01234"))
-              .otherwise(reverse(lower(col("text")))).as("txt"))
-        val labeled = v.filter(col("doc_id") % 4 < 2)
-          .withColumn("lang",
-            concat(lit("l"), (col("doc_id") % 3).cast("string")))
-        val w = TextAnalysis.trainLangId(labeled, "lang", dims = 64,
-          rounds = 2, nMin = 2, nMax = 3, textCol = "txt")
-        TextAnalysis.langIdTrained(v, w, dims = 64, nMin = 2, nMax = 3,
-          textCol = "txt")
-      },
-      Some("""WITH v AS (SELECT doc_id,
-             |    CASE CAST(doc_id % 3 AS INT)
-             |      WHEN 0 THEN lower(text)
-             |      WHEN 1 THEN translate(lower(text), 'aeiou', '01234')
-             |      ELSE reverse(lower(text)) END AS txt
-             |  FROM documents WHERE text IS NOT NULL),
-             |gidx AS (SELECT doc_id, txt, k,
-             |    unnest(range(1, len(txt) - k + 2)) AS i
-             |  FROM v, (SELECT unnest([2, 3]) AS k)),
-             |htf AS (SELECT doc_id,
-             |    CAST('0x' || substr(md5(substr(txt, i, k)), 1, 8) AS BIGINT)
-             |      % 64 AS b,
-             |    COUNT(*) AS tf
-             |  FROM gidx GROUP BY 1, 2),
-             |lab AS (SELECT doc_id, 'l' || CAST(doc_id % 3 AS VARCHAR)
-             |    AS lang
-             |  FROM v WHERE doc_id % 4 < 2),
-             |tfl AS (SELECT h.doc_id, l.lang, h.b, h.tf
-             |  FROM htf h JOIN lab l USING (doc_id)),
-             |tflc AS (SELECT t.doc_id, c.c,
-             |    CASE WHEN t.lang = c.c THEN 1 ELSE -1 END AS y, t.b, t.tf
-             |  FROM tfl t, (SELECT DISTINCT lang AS c FROM tfl) c),
-             |w1 AS (SELECT c, b, SUM(y * tf) AS wm FROM tflc
-             |  WHERE y = -1 GROUP BY 1, 2),
-             |m2 AS (SELECT f.doc_id, f.c, f.y,
-             |    SUM(f.tf * COALESCE(w.wm, 0)) AS m
-             |  FROM tflc f LEFT JOIN w1 w ON w.c = f.c AND w.b = f.b
-             |  GROUP BY 1, 2, 3),
-             |u2 AS (SELECT f.c, f.b, SUM(f.y * f.tf) AS u FROM tflc f
-             |  JOIN m2 ON m2.doc_id = f.doc_id AND m2.c = f.c
-             |  WHERE (m2.m >= 0) <> (m2.y > 0) GROUP BY 1, 2),
-             |w2 AS (SELECT COALESCE(a.c, u.c) AS c,
-             |    COALESCE(a.b, u.b) AS b,
-             |    COALESCE(a.wm, 0) + COALESCE(u.u, 0) AS wm
-             |  FROM w1 a FULL OUTER JOIN u2 u ON a.c = u.c AND a.b = u.b),
-             |spine AS (SELECT h.doc_id, h.b, h.tf, c.c
-             |  FROM htf h CROSS JOIN (SELECT DISTINCT c FROM w2) c),
-             |sc AS (SELECT s.doc_id, s.c,
-             |    CAST(SUM(s.tf * COALESCE(w.wm, 0)) AS BIGINT) AS m
-             |  FROM spine s LEFT JOIN w2 w ON w.c = s.c AND w.b = s.b
-             |  GROUP BY 1, 2),
-             |best AS (SELECT doc_id, c AS lang, m AS margin_m FROM (
-             |    SELECT *, row_number() OVER (
-             |      PARTITION BY doc_id ORDER BY m DESC, c) AS rn FROM sc)
-             |  WHERE rn = 1)
+      (s, d) => trainedLangId(s, d),
+      Some(s"""$duckLangIdChain
              |SELECT v.doc_id, b.lang, b.margin_m
              |FROM v LEFT JOIN best b USING (doc_id)""".stripMargin)),
+
+    // ---- V30: margin-reliability grading of the trained LID -------------
+    // The q_x72 chain's argmax margins graded by binaryEval: label =
+    // "the prediction was right" (vs the planted language), score = the
+    // winning raw margin — AUC answers the confidence-thresholding
+    // question (can a margin cut separate right from wrong
+    // predictions?). ONE oracle replays the whole fit AND the rank-sum
+    // / threshold-sweep arithmetic — the q_v28 discipline on the
+    // multi-class classifier.
+    Q("q_v30_lid_margin_eval",
+      (s, d) => {
+        val pred = trainedLangId(s, d)
+        val ev = pred
+          .filter(col("lang").isNotNull)
+          .select(lit("lid").as("model"),
+            col("margin_m").as("score"),
+            (col("lang") === concat(lit("l"),
+              (col("doc_id") % 3).cast("string"))).as("label"))
+        graft.operators.Profile.binaryEval(ev, "model", "score", "label",
+          bucketWidth = 1L << 20)
+      },
+      Some(s"""$duckLangIdChain,
+             |ev AS (SELECT b.margin_m AS score,
+             |    CASE WHEN b.lang = 'l' || CAST(b.doc_id % 3 AS VARCHAR)
+             |      THEN 1 ELSE 0 END AS yy
+             |  FROM best b WHERE b.lang IS NOT NULL
+             |    AND b.margin_m IS NOT NULL),
+             |dist AS (SELECT score, CAST(SUM(yy) AS BIGINT) AS dp,
+             |    CAST(SUM(1 - yy) AS BIGINT) AS dn,
+             |    CAST(COUNT(*) AS BIGINT) AS dc
+             |  FROM ev GROUP BY 1),
+             |pre AS (SELECT score, dp, dn, dc,
+             |    COALESCE(SUM(dp) OVER (ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS plt,
+             |    COALESCE(SUM(dn) OVER (ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nlt,
+             |    COALESCE(SUM(dc) OVER (ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clt
+             |  FROM dist),
+             |tot AS (SELECT CAST(SUM(dp) AS BIGINT) AS tp,
+             |    CAST(SUM(dn) AS BIGINT) AS tn,
+             |    CAST(SUM(dc) AS BIGINT) AS tc
+             |  FROM dist),
+             |ag AS (SELECT CAST(SUM(2 * dp * nlt + dp * dn) AS BIGINT) AS u2,
+             |    CAST(SUM(CASE WHEN dp > 0 THEN
+             |      (2 * CAST(dp AS HUGEINT) * (tot.tp - plt) * 1000000000
+             |        + CAST(tot.tp AS HUGEINT) * (tot.tc - clt))
+             |      // (2 * CAST(tot.tp AS HUGEINT) * (tot.tc - clt))
+             |      ELSE 0 END) AS BIGINT) AS ap_ppb
+             |  FROM pre, tot)
+             |SELECT 'lid' AS model, tot.tc AS n, tot.tp AS n_pos,
+             |  tot.tn AS n_neg, ag.u2,
+             |  CAST(CASE WHEN tot.tp > 0 AND tot.tn > 0 THEN
+             |    (2 * CAST(ag.u2 AS HUGEINT) * 1000000
+             |      + 2 * CAST(tot.tp AS HUGEINT) * tot.tn)
+             |    // (2 * 2 * CAST(tot.tp AS HUGEINT) * tot.tn) END
+             |    AS BIGINT) AS auc_ppm,
+             |  CAST(CASE WHEN tot.tp > 0 AND tot.tn > 0 THEN
+             |    (2 * ag.ap_ppb + 1000) // 2000 END AS BIGINT) AS ap_ppm
+             |FROM tot, ag""".stripMargin)),
+
 
     // ---- X73: unigram-LM (SentencePiece) tokenization -------------------
     // The OTHER standard subword tokenizer next to BPE (Kudo 2018):

@@ -541,4 +541,29 @@ class DedupClusterSpec extends AnyFunSuite {
       (2L, 100L, 5L, 8L, 1L)),
       s"got $out")
   }
+
+  test("scrubContaminatedSpans: only covered tokens go, order survives, " +
+      "fully-covered docs scrub to empty, clean docs pass through") {
+    import spark.implicits._
+    val bench = Seq((100L, "q1 a b c d"), (200L, "z1 z2 z3"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // spans [2,7) and [8,11) covered -> kept tokens x y (0,1) + x (7)
+      (1L, "x y q1 a b c d x z1 z2 z3"),
+      // fully covered: every token inside a matched shingle span
+      (2L, "z1 z2 z3"),
+      // clean: passes through reassembled
+      (3L, "nothing shared here at all"),
+      // overlapping matched shingles cover [0,4): kept = tail "s t"
+      (4L, "q1 a b c s t")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.scrubContaminatedSpans(train, bench)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("x y x", 3L, 8L)))
+    assert(out(2L) === (("", 0L, 3L)))
+    assert(out(3L) === (("nothing shared here at all", 5L, 0L)))
+    assert(out(4L) === (("s t", 2L, 4L)))
+  }
 }

@@ -650,6 +650,25 @@ class ScdProfileSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a probability"))
   }
 
+  test("expected calibration error: hand-weighted roll-up over the " +
+      "bins, empty bins carry no weight, perfect calibration reads 0") {
+    import spark.implicits._
+    // bin 2: 200 rows, gap 0; bin 9: 100 rows, all at 900000 conf but
+    // only 50% positives -> acc 500000, gap 400000. ECE = (200*0 +
+    // 100*400000)/300 = 133333.33 -> half-up 133333; MCE = 400000.
+    val rows = (1 to 200).map(i => (250000L, i % 4 == 0)) ++
+      (1 to 100).map(i => (900000L, i % 2 == 0))
+    val r = Profile.expectedCalibrationError(
+      rows.toDF("s", "y"), "s", "y", 10).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((300L, 2L, 133333L, 400000L)))
+    // perfectly calibrated corpus -> ECE = MCE = 0
+    val perfect = (1 to 200).map(i => (250000L, i % 4 == 0))
+    val rp = Profile.expectedCalibrationError(
+      perfect.toDF("s", "y"), "s", "y", 10).collect().head
+    assert(rp.getLong(2) === 0L && rp.getLong(3) === 0L)
+  }
+
   test("paired bootstrap: a uniformly-better A never loses a replicate, " +
       "identical scores are all ties, the draw is salt-deterministic") {
     import spark.implicits._
