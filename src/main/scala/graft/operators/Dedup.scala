@@ -1133,6 +1133,54 @@ object Dedup {
         coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed"))
   }
 
+  /** Benchmark-side contamination report — the REVERSE direction of
+    * [[contaminationReport]], for the EVAL owner: per benchmark item,
+    * how many training documents share its shingles and how much of
+    * the item is covered at worst (`max_item_coverage`, half-up ppm of
+    * the item's own shingle set matched by its worst-case training
+    * doc). An item with high coverage is BURNED — its score measures
+    * memorization, not ability — and the eval-integrity list is this
+    * relation sorted by coverage. Every benchmark item with ≥1 shingle
+    * gets a row; unmatched items report zeros (the verdict "still
+    * clean" is as important as "burned").
+    *
+    * Scale shape: the same shingle equi-join, aggregated at the
+    * (train doc, benchmark item) grain first (the contaminated
+    * sliver), then one item-keyed roll-up; the benchmark side is
+    * eval-set-sized throughout. Returns `(benchmark_id,
+    * n_item_shingles, n_train_docs, worst_doc_id,
+    * max_item_coverage_ppm)` — worst doc ties to the LOWER id. */
+  def burnedBenchmarkItems(train: DataFrame, bench: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val benchShing = docShingles(bench, textCol, idCol, k)
+      .select(col("sid").as("__bid"), col("sh"))
+      .localCheckpoint()
+    val itemTotals = benchShing.groupBy(col("__bid"))
+      .agg(count(lit(1)).as("n_item_shingles"))
+    val trainShing = docShingles(train, textCol, idCol, k)
+    val perPair = trainShing.join(benchShing, Seq("sh"))
+      .groupBy(col("__bid"), col("sid"))
+      .agg(count(lit(1)).as("__m"))
+    // worst doc via ONE struct-min (the canonicalByScore argmax shape):
+    // max matched shingles, ties to the lower train doc id
+    val rolled = perPair.groupBy(col("__bid"))
+      .agg(count(lit(1)).as("n_train_docs"),
+        min(struct((-col("__m")).as("__nm"), col("sid").as("__id")))
+          .as("__w"))
+      .select(col("__bid"), col("n_train_docs"),
+        col("__w.__id").as("worst_doc_id"), (-col("__w.__nm")).as("__wm"))
+    itemTotals.join(rolled, Seq("__bid"), "left")
+      .select(col("__bid").as("benchmark_id"), col("n_item_shingles"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        col("worst_doc_id"),
+        coalesce(expr(
+          "(2 * __wm * 1000000 + n_item_shingles) div " +
+            "(2 * n_item_shingles)"), lit(0L))
+          .as("max_item_coverage_ppm"))
+  }
+
   /** Persist the decontamination artifacts ONCE — the train-once half of
     * the nightly store triad, applied to benchmark screening: the
     * benchmark's distinct shingle set plus a MERGEABLE bloom-filter

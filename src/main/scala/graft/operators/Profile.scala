@@ -754,6 +754,117 @@ object Profile {
           "+ SUM(n)) div (2 * SUM(n)) AS BIGINT)").as("ece_ppm"),
         max(col("gap_ppm")).as("mce_ppm"))
 
+  /** Brier score — the proper scoring rule next to [[calibrationBins]]'
+    * reliability diagram (Brier 1950; the number that penalizes BOTH
+    * miscalibration and low resolution, where ECE sees only the
+    * former): mean (p − y)² over probability scores in micros. Exact
+    * integer arithmetic end to end — (p_micros − y·1e6)² sums in
+    * DECIMAL(38,0), the mean is one half-up division, reported in
+    * MICROS of Brier (0 perfect, 1e6 = always-certain-always-wrong).
+    * Same [0, 1e6] score contract as calibrationBins (in-plan raise
+    * outside it); null score/label rows excluded. ONE aggregation.
+    * Returns one row `(n, brier_micros)`. */
+  def brierScore(df: DataFrame, scoreMicrosCol: String,
+      labelCol: String): DataFrame = {
+    val scored = df
+      .filter(col(scoreMicrosCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreMicrosCol).cast("long").as("__s"),
+        when(col(labelCol).cast("boolean"), 1000000L).otherwise(0L)
+          .as("__y"))
+      .select(when(col("__s").between(0L, 1000000L), col("__s"))
+        .otherwise(raise_error(concat(lit("brierScore: score "),
+          col("__s").cast("string"),
+          lit(" outside [0, 1e6] micros — not a probability")))
+          .cast("long")).as("__s"), col("__y"))
+    scored.agg(count(lit(1)).as("n"),
+      expr("CAST((2 * SUM(CAST((__s - __y) AS DECIMAL(38,0)) " +
+        "* (__s - __y)) + 1000000 * COUNT(1)) " +
+        "div (2 * 1000000 * COUNT(1)) AS BIGINT)").as("brier_micros"))
+  }
+
+  /** Multi-class confusion statistics — the per-class
+    * precision/recall/F1 table plus macro/micro roll-ups every
+    * classifier eval publishes (the numbers [[binaryEval]]'s
+    * threshold-free AUC deliberately is not): per class `c`, tp =
+    * predictions of `c` that are `c`, fp = predictions of `c` that
+    * aren't, fn = golds of `c` predicted otherwise, then half-up ppm
+    * precision tp/(tp+fp), recall tp/(tp+fn), and F1 as the exact
+    * cross-multiplied rational 2·tp / (2·tp + fp + fn) (algebraically
+    * the harmonic mean, no intermediate rounding). The roll-up row
+    * (`class` = '<all>') carries accuracy (= micro-F1 when every item
+    * has one gold and one prediction) in the precision/recall/f1
+    * columns and corpus totals in tp (correct), fp and fn (both =
+    * errors). Classes with no predictions or no golds still get rows
+    * (their zero denominators surface as null ppm — undefined, not 0).
+    * Null pred/gold rows are excluded; count them upstream.
+    *
+    * Scale shape: ONE (pred, gold)-grain hash aggregation over the
+    * corpus, then class-keyed roll-ups over the classes²-bounded cell
+    * relation. Returns `(class, tp, fp, fn, precision_ppm, recall_ppm,
+    * f1_ppm)` — one row per class, plus '<all>' (micro/accuracy) and
+    * '<macro>' (unweighted class means, undefined-as-0 — the sklearn
+    * zero_division convention) roll-up rows. */
+  def confusionStats(df: DataFrame, predCol: String,
+      goldCol: String): DataFrame = {
+    val cells = df
+      .filter(col(predCol).isNotNull && col(goldCol).isNotNull)
+      .select(col(predCol).cast("string").as("__p"),
+        col(goldCol).cast("string").as("__g"))
+      .groupBy(col("__p"), col("__g")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val classes = cells.select(col("__p").as("class"))
+      .unionAll(cells.select(col("__g").as("class"))).distinct()
+    val tp = cells.filter(col("__p") === col("__g"))
+      .select(col("__p").as("class"), col("__n").as("tp"))
+    val predTot = cells.groupBy(col("__p").as("class"))
+      .agg(sum(col("__n")).as("__pt"))
+    val goldTot = cells.groupBy(col("__g").as("class"))
+      .agg(sum(col("__n")).as("__gt"))
+    val per = classes
+      .join(tp, Seq("class"), "left")
+      .join(predTot, Seq("class"), "left")
+      .join(goldTot, Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("__pt"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("__gt"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+      .select(col("class"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0, expr(
+          "(2 * tp * 1000000 + (tp + fp)) div (2 * (tp + fp))"))
+          .as("precision_ppm"),
+        when(col("tp") + col("fn") > 0, expr(
+          "(2 * tp * 1000000 + (tp + fn)) div (2 * (tp + fn))"))
+          .as("recall_ppm"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0, expr(
+          "(2 * (2 * tp) * 1000000 + (2 * tp + fp + fn)) " +
+            "div (2 * (2 * tp + fp + fn))")).as("f1_ppm"))
+    val all = per.agg(sum(col("tp")).as("tp"), sum(col("fp")).as("fp"),
+        sum(col("fn")).as("fn"))
+      .select(lit("<all>").as("class"), col("tp"), col("fp"), col("fn"),
+        expr("(2 * tp * 1000000 + (tp + fp)) div (2 * (tp + fp))")
+          .as("precision_ppm"),
+        expr("(2 * tp * 1000000 + (tp + fn)) div (2 * (tp + fn))")
+          .as("recall_ppm"),
+        expr("(2 * tp * 1000000 + (tp + fp)) div (2 * (tp + fp))")
+          .as("f1_ppm"))
+    // macro row: unweighted class means; an undefined per-class ppm
+    // counts as 0 (the sklearn zero_division convention) so a class
+    // that is never predicted drags the macro down, as it should
+    val macroRow = per.agg(count(lit(1)).as("__nc"),
+        sum(col("tp")).as("tp"), sum(col("fp")).as("fp"),
+        sum(col("fn")).as("fn"),
+        sum(coalesce(col("precision_ppm"), lit(0L))).as("__sp"),
+        sum(coalesce(col("recall_ppm"), lit(0L))).as("__sr"),
+        sum(coalesce(col("f1_ppm"), lit(0L))).as("__sf"))
+      .select(lit("<macro>").as("class"), col("tp"), col("fp"), col("fn"),
+        expr("(2 * __sp + __nc) div (2 * __nc)").as("precision_ppm"),
+        expr("(2 * __sr + __nc) div (2 * __nc)").as("recall_ppm"),
+        expr("(2 * __sf + __nc) div (2 * __nc)").as("f1_ppm"))
+    per.unionAll(all).unionAll(macroRow)
+  }
+
   /** Cumulative Poisson(1) CDF thresholds scaled to the u32 space —
     * `floor(P(X ≤ k) · 2³²)` for k = 0..max, computed ONCE in driver
     * Scala and inlined as integer literals into both the Spark plan and

@@ -623,6 +623,42 @@ object DedupQueries extends graft.QueryPack {
              |LEFT JOIN kept USING (doc_id)
              |LEFT JOIN rem USING (doc_id)""".stripMargin)),
 
+    // ---- D28: benchmark-side contamination (the eval-integrity list) ----
+    // The reverse of q_d10: per benchmark item, how many train docs
+    // touch it and the worst-case coverage of the ITEM's shingles —
+    // a high number means the item is burned (its score measures
+    // memorization). Oracle replays the pair-grain aggregation, the
+    // (matches desc, doc asc) argmax, and the half-up coverage ppm.
+    Q("q_d28_burned_items",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.burnedBenchmarkItems(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0))
+      },
+      Some(s"""$duckShingles,
+              |bs AS (SELECT doc_id AS bid, sh FROM exd WHERE doc_id % 50 = 0),
+              |ts AS (SELECT doc_id AS sid, sh FROM exd WHERE doc_id % 50 <> 0),
+              |it AS (SELECT bid, COUNT(*) AS n_item_shingles FROM bs GROUP BY 1),
+              |pp AS (SELECT b.bid, t.sid, COUNT(*) AS m
+              |  FROM ts t JOIN bs b USING (sh) GROUP BY 1, 2),
+              |rl AS (SELECT bid, CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+              |    wd AS worst_doc_id, wm FROM (
+              |  SELECT bid, sid, m,
+              |    first_value(sid) OVER (PARTITION BY bid
+              |      ORDER BY m DESC, sid) AS wd,
+              |    first_value(m) OVER (PARTITION BY bid
+              |      ORDER BY m DESC, sid) AS wm
+              |  FROM pp) GROUP BY bid, wd, wm)
+              |SELECT it.bid AS benchmark_id,
+              |  CAST(it.n_item_shingles AS BIGINT) AS n_item_shingles,
+              |  COALESCE(rl.n_train_docs, 0) AS n_train_docs,
+              |  rl.worst_doc_id,
+              |  CAST(COALESCE((2 * rl.wm * 1000000 + it.n_item_shingles)
+              |    // (2 * it.n_item_shingles), 0) AS BIGINT)
+              |    AS max_item_coverage_ppm
+              |FROM it LEFT JOIN rl USING (bid)""".stripMargin)),
+
     // ---- D11: decontamination with a bloom runtime pre-filter -----------
     // Bloom false positives are removed by the exact semi-join, so the
     // output is IDENTICAL to q_d10 — same oracle text, and the driver's

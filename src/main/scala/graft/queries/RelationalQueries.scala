@@ -1643,6 +1643,30 @@ object RelationalQueries extends graft.QueryPack {
              |  CAST(MAX(gap_ppm) AS BIGINT) AS mce_ppm
              |FROM g""".stripMargin)),
 
+    // ---- V31: Brier score (the proper scoring rule over q_v24's fixture)
+    Q("q_v31_brier",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sc = (col("doc_id") * 7919) % 1000001
+        val u32 = conv(substring(md5(concat(lit("cal|"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        graft.operators.Profile.brierScore(
+          docs.select(sc.as("score"),
+            (u32 * 1000000L < sc * 4294967296L).as("label")),
+          "score", "label")
+      },
+      Some("""WITH sc AS (SELECT (doc_id * 7919) % 1000001 AS s,
+             |    CASE WHEN CAST('0x' || substr(md5('cal|' ||
+             |        CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) * 1000000
+             |      < ((doc_id * 7919) % 1000001) * 4294967296
+             |      THEN 1000000 ELSE 0 END AS y
+             |  FROM documents)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST((2 * SUM(CAST((s - y) AS HUGEINT) * (s - y))
+             |    + 1000000 * COUNT(*))
+             |    // (2 * 1000000 * COUNT(*)) AS BIGINT) AS brier_micros
+             |FROM sc""".stripMargin)),
+
     // ---- V25: pass@k (the unbiased Chen-et-al. code-eval estimator) -----
     // Per problem (doc_id % 40) with a deterministic ~31% pass rate,
     // pass@{1,5,10} in exact half-up ppm: the C(n−c,k)/C(n,k) ratio

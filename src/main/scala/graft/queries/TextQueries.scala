@@ -2043,6 +2043,73 @@ object TextQueries extends graft.QueryPack {
              |FROM tot, ag""".stripMargin)),
 
 
+    // ---- V32: confusion matrix + macro-F1 for the trained LID -----------
+    // The standard per-class table over the q_x72 chain: pred = the
+    // argmax language, gold = the planted one. The oracle replays the
+    // full fit + the cell aggregation + both roll-up conventions
+    // (micro = accuracy, macro = unweighted class means).
+    Q("q_v32_lid_confusion",
+      (s, d) => {
+        val pred = trainedLangId(s, d).filter(col("lang").isNotNull)
+          .select(col("lang").as("pred"),
+            concat(lit("l"), (col("doc_id") % 3).cast("string"))
+              .as("gold"))
+        graft.operators.Profile.confusionStats(pred, "pred", "gold")
+      },
+      Some(s"""$duckLangIdChain,
+             |pg AS (SELECT b.lang AS p,
+             |    'l' || CAST(b.doc_id % 3 AS VARCHAR) AS g
+             |  FROM best b WHERE b.lang IS NOT NULL),
+             |cells AS (SELECT p, g, COUNT(*) AS n FROM pg GROUP BY 1, 2),
+             |cls AS (SELECT DISTINCT class FROM (
+             |  SELECT p AS class FROM cells
+             |  UNION ALL SELECT g FROM cells)),
+             |tpx AS (SELECT p AS class, n AS tp FROM cells WHERE p = g),
+             |pt AS (SELECT p AS class, SUM(n) AS ptot FROM cells GROUP BY 1),
+             |gt AS (SELECT g AS class, SUM(n) AS gtot FROM cells GROUP BY 1),
+             |per AS (SELECT cls.class,
+             |    CAST(COALESCE(tpx.tp, 0) AS BIGINT) AS tp,
+             |    CAST(COALESCE(pt.ptot, 0) - COALESCE(tpx.tp, 0)
+             |      AS BIGINT) AS fp,
+             |    CAST(COALESCE(gt.gtot, 0) - COALESCE(tpx.tp, 0)
+             |      AS BIGINT) AS fn
+             |  FROM cls LEFT JOIN tpx USING (class)
+             |  LEFT JOIN pt USING (class) LEFT JOIN gt USING (class)),
+             |perm AS (SELECT class, tp, fp, fn,
+             |    CAST(CASE WHEN tp + fp > 0 THEN
+             |      (2 * tp * 1000000 + (tp + fp)) // (2 * (tp + fp)) END
+             |      AS BIGINT) AS precision_ppm,
+             |    CAST(CASE WHEN tp + fn > 0 THEN
+             |      (2 * tp * 1000000 + (tp + fn)) // (2 * (tp + fn)) END
+             |      AS BIGINT) AS recall_ppm,
+             |    CAST(CASE WHEN 2 * tp + fp + fn > 0 THEN
+             |      (2 * (2 * tp) * 1000000 + (2 * tp + fp + fn))
+             |        // (2 * (2 * tp + fp + fn)) END AS BIGINT) AS f1_ppm
+             |  FROM per),
+             |allr AS (SELECT '<all>' AS class,
+             |    CAST(SUM(tp) AS BIGINT) AS tp, CAST(SUM(fp) AS BIGINT) AS fp,
+             |    CAST(SUM(fn) AS BIGINT) AS fn,
+             |    CAST((2 * SUM(tp) * 1000000 + (SUM(tp) + SUM(fp)))
+             |      // (2 * (SUM(tp) + SUM(fp))) AS BIGINT) AS precision_ppm,
+             |    CAST((2 * SUM(tp) * 1000000 + (SUM(tp) + SUM(fn)))
+             |      // (2 * (SUM(tp) + SUM(fn))) AS BIGINT) AS recall_ppm,
+             |    CAST((2 * SUM(tp) * 1000000 + (SUM(tp) + SUM(fp)))
+             |      // (2 * (SUM(tp) + SUM(fp))) AS BIGINT) AS f1_ppm
+             |  FROM perm),
+             |macror AS (SELECT '<macro>' AS class,
+             |    CAST(SUM(tp) AS BIGINT) AS tp, CAST(SUM(fp) AS BIGINT) AS fp,
+             |    CAST(SUM(fn) AS BIGINT) AS fn,
+             |    CAST((2 * SUM(COALESCE(precision_ppm, 0)) + COUNT(*))
+             |      // (2 * COUNT(*)) AS BIGINT) AS precision_ppm,
+             |    CAST((2 * SUM(COALESCE(recall_ppm, 0)) + COUNT(*))
+             |      // (2 * COUNT(*)) AS BIGINT) AS recall_ppm,
+             |    CAST((2 * SUM(COALESCE(f1_ppm, 0)) + COUNT(*))
+             |      // (2 * COUNT(*)) AS BIGINT) AS f1_ppm
+             |  FROM perm)
+             |SELECT * FROM perm
+             |UNION ALL SELECT * FROM allr
+             |UNION ALL SELECT * FROM macror""".stripMargin)),
+
     // ---- X73: unigram-LM (SentencePiece) tokenization -------------------
     // The OTHER standard subword tokenizer next to BPE (Kudo 2018):
     // learn a 48-piece table from within-word substrings (micro

@@ -566,4 +566,27 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(out(3L) === (("nothing shared here at all", 5L, 0L)))
     assert(out(4L) === (("s t", 2L, 4L)))
   }
+
+  test("burnedBenchmarkItems: worst-case coverage per item, ties to " +
+      "the lower train doc, clean items report zeros") {
+    import spark.implicits._
+    // item 100 has 3 shingles; doc 1 matches all 3 (coverage 1e6),
+    // doc 2 matches 1. item 200 (1 shingle) matched by docs 1 and 2
+    // equally (1 each) -> worst doc ties to the LOWER id 1. item 300
+    // is clean.
+    val bench = Seq((100L, "q1 a b c d"), (200L, "z1 z2 z3"),
+      (300L, "u1 u2 u3")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "q1 a b c d and z1 z2 z3"),
+      (2L, "a b c plus z1 z2 z3")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.burnedBenchmarkItems(train, bench)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))).toMap
+    assert(out(100L) === ((3L, 2L, 1L, 1000000L)),
+      "doc 1 covers the whole item")
+    assert(out(200L) === ((1L, 2L, 1L, 1000000L)),
+      "equal matches tie to the lower doc id")
+    assert(out(300L) === ((1L, 0L, -1L, 0L)), "clean items report zeros")
+  }
 }

@@ -669,6 +669,51 @@ class ScdProfileSpec extends AnyFunSuite {
     assert(rp.getLong(2) === 0L && rp.getLong(3) === 0L)
   }
 
+  test("brier score: hand case, certainty extremes, out-of-range raise") {
+    import spark.implicits._
+    // (0.8, 1): 0.04; (0.8, 0): 0.64; mean 0.34 -> 340000 micros
+    val r = Profile.brierScore(
+      Seq((800000L, true), (800000L, false)).toDF("s", "y"), "s", "y")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 340000L)))
+    // always-certain-always-right = 0; always-certain-always-wrong = 1e6
+    assert(Profile.brierScore(Seq((1000000L, true)).toDF("s", "y"),
+      "s", "y").collect().head.getLong(1) === 0L)
+    assert(Profile.brierScore(Seq((1000000L, false)).toDF("s", "y"),
+      "s", "y").collect().head.getLong(1) === 1000000L)
+    val ex = intercept[Exception](Profile.brierScore(
+      Seq((-5L, true)).toDF("s", "y"), "s", "y").collect())
+    assert(ex.getMessage.contains("not a probability"))
+  }
+
+  test("confusion stats: hand-checked cells, a never-predicted class " +
+      "gets null precision but drags the macro (zero_division), the " +
+      "<all> row is accuracy") {
+    import spark.implicits._
+    // golds: a x3, b x2, c x1. preds: a->a, a->a, a->b, b->b, b->b,
+    // c->a. Class a: tp=2 fp=1 fn=1 (P=2/3 R=2/3 F1=2/3); b: tp=2 fp=1
+    // fn=0 (P=2/3 R=1 F1=4/5); c: tp=0 fp=0 fn=1 (P null, R=0, F1=0).
+    val rows = Seq(("a", "a"), ("a", "a"), ("b", "a"), ("b", "b"),
+      ("b", "b"), ("a", "c")).toDF("pred", "gold")
+    val out = Profile.confusionStats(rows, "pred", "gold")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    assert(out.size === 5)
+    assert(out("a") === ((2L, 1L, 1L, 666667L, 666667L, 666667L)))
+    assert(out("b") === ((2L, 1L, 0L, 666667L, 1000000L, 800000L)))
+    assert(out("c") === ((0L, 0L, 1L, -1L, 0L, 0L)),
+      "never-predicted class: precision undefined, recall/F1 zero")
+    // accuracy = 4/6
+    assert(out("<all>") === ((4L, 2L, 2L, 666667L, 666667L, 666667L)))
+    // macro = means of the per-class ROUNDED ppms (null-as-0):
+    // P (666667+666667+0)/3 -> 444445; R (666667+1000000+0)/3 ->
+    // 555556; F1 (666667+800000+0)/3 -> 488889
+    assert(out("<macro>") === ((4L, 2L, 2L, 444445L, 555556L, 488889L)))
+  }
+
   test("paired bootstrap: a uniformly-better A never loses a replicate, " +
       "identical scores are all ties, the draw is salt-deterministic") {
     import spark.implicits._
