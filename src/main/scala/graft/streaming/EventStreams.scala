@@ -912,6 +912,31 @@ object EventStreams {
         count(lit(1)).as("n_samples"))
   }
 
+  /** Streaming embedding-stats twin
+    * ([[graft.operators.Similarity.embeddingDrift]] incremental) — the
+    * monitoring shape drift is FOR: today's vectors arrive as a stream,
+    * and the state that the drift numbers derive from is the per-dim
+    * running sums `(dim, n, s1 = Σv, s2 = Σv²)` — dims-bounded
+    * regardless of stream volume, pure monotone sums (complete-mode
+    * aggregation, no watermark, order-independent). Every drift output
+    * derives from this relation in batch: per-dim centroid =
+    * round(s1/n, 6) through FLOAT (the kmeans float discipline), mean
+    * squared norm = round(Σ_dims s2 / n, 6) in exact micros (vector-
+    * major vs dim-major double summation agree after the 6-dp round —
+    * the same partition-order-insensitivity the batch operator's avg
+    * already relies on), n = any dim's count. Null and EMPTY vectors
+    * are excluded exactly as in the batch operator. The parity spec
+    * derives the batch drift numbers from the streamed state across a
+    * batch split. Run with `complete` output mode. */
+  def embeddingDimStats(spark: SparkSession, vecs: DataFrame,
+      vecCol: String = "embedding"): DataFrame =
+    vecs.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col("dim"), col("__v").cast("double").as("__v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("s1"),
+        sum(col("__v") * col("__v")).as("s2"))
+
   def preferenceCounts(spark: SparkSession, prefs: DataFrame,
       winnerCol: String, loserCol: String): DataFrame = {
     prefs

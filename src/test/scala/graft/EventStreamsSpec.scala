@@ -457,6 +457,63 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("2^53"))
   }
 
+  test("streaming embedding dim-stats INCREMENTALLY derive the batch " +
+      "drift numbers") {
+    // the monitoring twin: per-dim running sums are monotone, so the
+    // complete-mode state after any batch split must derive the SAME
+    // (n_b, msq_b_micros, centroid_cos_micros) the batch embeddingDrift
+    // reports against a fixed reference batch — including an empty and
+    // a null vector that must not dilute anything
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val streamed = Seq(
+      Seq((10L, Option(Seq(0.9f, 0.1f))), (11L, Option(Seq(1f, 1f)))),
+      Seq((12L, Option(Seq(2f, 0f))), (13L, Option(Seq.empty[Float])),
+        (14L, Option.empty[Seq[Float]])))
+    val input = MemoryStream[(Long, Option[Seq[Float]])]
+    val q = EventStreams.embeddingDimStats(spark,
+        input.toDF().toDF("vec_id", "embedding"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("dimstats_incr").start()
+    try {
+      streamed.foreach { b => input.addData(b); q.processAllAvailable() }
+      val st = spark.table("dimstats_incr")
+        .collect().map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      // batch truth against the same reference
+      val batchB = streamed.flatten.toDF("vec_id", "embedding")
+      val want = graft.operators.Similarity.embeddingDrift(ref, batchB)
+        .head
+      // n_b = any dim's count (empty + null vectors excluded)
+      assert(st(0)._1 === want.getLong(1) && st(0)._1 === 3L)
+      // msq from Σ_dims s2: round-6 exact-micro recipe
+      val msq = BigDecimal((st(0)._3 + st(1)._3) / st(0)._1)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert((msq * 1000000).toLong === want.getLong(3))
+      // centroid cosine from derived per-dim means (float discipline)
+      def c(s1: Double, n: Long): Double =
+        BigDecimal(s1 / n).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toFloat.toDouble
+      val (bx, by) = (c(st(0)._2, st(0)._1), c(st(1)._2, st(1)._1))
+      val refRows = Seq((1.0, 0.0), (1.0, 0.0), (0.8f.toDouble,
+        0.6f.toDouble))
+      def refC(i: Int) = {
+        val s = refRows.map(r => if (i == 0) r._1 else r._2).sum
+        BigDecimal(s / refRows.size).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toFloat.toDouble
+      }
+      val (ax, ay) = (refC(0), refC(1))
+      val cos = (ax * bx + ay * by) /
+        (math.sqrt(ax * ax + ay * ay) * math.sqrt(bx * bx + by * by))
+      val cosM = math.round(BigDecimal(cos).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+      assert(cosM === want.getLong(4),
+        "centroid cosine derived from streamed state == batch drift")
+    } finally q.stop()
+  }
+
   test("streaming answer-vote counts INCREMENTALLY derive the batch " +
       "self-consistency verdicts") {
     // the eval twin: per-(question, answer) tallies are monotone sums;
