@@ -15,7 +15,9 @@ import graft.sources.Tables
   *   secrets, the q_x95 verdict) ─ decontaminate vs the held-out benchmark
   *   slice (13-gram overlap) ─ tokenize against the PERSISTED
   *   merges+vocab stores (zero learning in the scoring pass) ─ pack into
-  *   token-budget training sequences ─ land packs + a stage manifest.
+  *   token-budget training sequences ─ land packs + a stage manifest
+  *   (with the web-graph host-rank gate between DLP and
+  *   decontamination — the q_x103 funnel stage).
   *
   * `runMain graft.tools.EndToEnd [sfDir] [outDir]` — prints one JSON
   * line of per-stage row counts (the manifest also lands as parquet, so
@@ -25,7 +27,8 @@ object EndToEnd {
 
   final case class Result(
       nDocs: Long, nCurated: Long, nTrain: Long, nSafe: Long,
-      nClean: Long, nPacked: Long, nPacks: Long, outDir: String)
+      nHostKept: Long, nClean: Long, nPacked: Long, nPacks: Long,
+      outDir: String)
 
   def run(spark: SparkSession, sfDir: String, outDir: String): Result = {
     val docs = Tables.documents(spark, sfDir)
@@ -62,18 +65,40 @@ object EndToEnd {
       train.join(quarantined, Seq("doc_id"), "left_anti"))
     val nSafe = safe.count()
 
-    // 3. decontamination: drop training docs sharing too many 13-gram
+    // 3. web-graph host-quality gate (the q_x102/q_x103 signal): docs on
+    // hosts ranking below the uniform cut drop wholesale — the
+    // corpus-level spam-farm filter document-level gates can't see.
+    // URLs are synthesized from doc ids here (the testdata carries no
+    // URL column); a real crawl passes its own (url, out-links) in.
+    val ownUrl = concat(lit("http://h"),
+      (col("doc_id") % 20).cast("string"), lit(".com/p/"),
+      col("doc_id").cast("string"))
+    val links = safe.select(col("doc_id"), explode(array(
+      concat(lit("http://h"), ((col("doc_id") * 7) % 10).cast("string"),
+        lit(".com/l")),
+      concat(lit("http://h"), ((col("doc_id") * 13 + 3) % 20)
+        .cast("string"), lit(".com/l2")))).as("link_url"))
+    val lowHosts = TextAnalysis.hostRankFeature(
+        safe.select(col("doc_id"), ownUrl.as("url")), "url",
+        links, "link_url", iters = 3)
+      .filter(col("host_rank").isNotNull && col("host_rank") < 0.05)
+      .select(col("doc_id"))
+    val hostKept = graft.operators.Iterate.checkpoint(
+      safe.join(lowHosts, Seq("doc_id"), "left_anti"))
+    val nHostKept = hostKept.count()
+
+    // 4. decontamination: drop training docs sharing too many 13-gram
     // shingles with the benchmark slice
     val contam = Dedup.contaminationReport(
-        Dedup.docShingles(safe, "text", "doc_id", k = 13),
+        Dedup.docShingles(hostKept, "text", "doc_id", k = 13),
         Dedup.docShingles(bench, "text", "doc_id", k = 13))
       .filter(col("contamination") > 0.5)
       .select(col("sid").as("doc_id"))
     val clean = graft.operators.Iterate.checkpoint(
-      safe.join(contam, Seq("doc_id"), "left_anti"))
+      hostKept.join(contam, Seq("doc_id"), "left_anti"))
     val nClean = clean.count()
 
-    // 4. tokenizer stores: train once, then the scoring pass reads ONLY
+    // 5. tokenizer stores: train once, then the scoring pass reads ONLY
     // the persisted merges + vocab (the q_x42 nightly shape)
     val merges = TextAnalysis.learnBpeMerges(clean, "text")
     TextAnalysis.writeBpeMerges(spark, merges, s"$outDir/bpe/merges")
@@ -83,7 +108,7 @@ object EndToEnd {
       spark.read.parquet(s"$outDir/bpe/vocab"))
     tokens.write.mode("overwrite").parquet(s"$outDir/tokens")
 
-    // 5. pack the tokenized docs into training sequences
+    // 6. pack the tokenized docs into training sequences
     val packed = Packing.packByCount(
       spark.read.parquet(s"$outDir/tokens").filter(col("n_tokens") > 0),
       budget = 512, shards = 8, salt = "e2e")
@@ -92,8 +117,8 @@ object EndToEnd {
     val nPacks = spark.read.parquet(s"$outDir/packs")
       .select(col("shard"), col("pack")).distinct().count()
 
-    val res = Result(nDocs, nCurated, nTrain, nSafe, nClean, nPacked,
-      nPacks, outDir)
+    val res = Result(nDocs, nCurated, nTrain, nSafe, nHostKept, nClean,
+      nPacked, nPacks, outDir)
     manifest(spark, res).write.mode("overwrite").parquet(s"$outDir/manifest")
     // NOTE: the checkpoint blocks behind train/clean are RDD-level
     // storage — Dataset.unpersist would be a no-op on them; local-mode
@@ -108,7 +133,8 @@ object EndToEnd {
   private def manifest(spark: SparkSession, r: Result): DataFrame = {
     import spark.implicits._
     Seq(("docs", r.nDocs), ("curated", r.nCurated), ("train", r.nTrain),
-      ("dlp_safe", r.nSafe), ("clean", r.nClean),
+      ("dlp_safe", r.nSafe), ("host_ranked", r.nHostKept),
+      ("clean", r.nClean),
       ("packed_docs", r.nPacked), ("packs", r.nPacks))
       .toDF("stage", "rows")
   }

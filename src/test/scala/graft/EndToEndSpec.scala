@@ -19,7 +19,10 @@ class EndToEndSpec extends AnyFunSuite {
     assert(r.nCurated <= r.nDocs, "curation only removes")
     assert(r.nTrain <= r.nCurated, "the train split is a subset")
     assert(r.nSafe <= r.nTrain, "the DLP quarantine only removes")
-    assert(r.nClean <= r.nSafe, "decontamination only removes")
+    assert(r.nHostKept <= r.nSafe, "the host-rank gate only removes")
+    assert(r.nHostKept < r.nSafe,
+      "the planted bottom-half hosts make the gate provably non-vacuous")
+    assert(r.nClean <= r.nHostKept, "decontamination only removes")
     assert(r.nClean > 0, "a healthy corpus survives the gates")
     assert(r.nPacked > 0 && r.nPacks > 0 && r.nPacks <= r.nPacked)
     // the tokenizer stores landed and the token output reads back
@@ -33,7 +36,8 @@ class EndToEndSpec extends AnyFunSuite {
     val m = spark.read.parquet(s"$out/manifest")
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(m === Map("docs" -> r.nDocs, "curated" -> r.nCurated,
-      "train" -> r.nTrain, "dlp_safe" -> r.nSafe, "clean" -> r.nClean,
+      "train" -> r.nTrain, "dlp_safe" -> r.nSafe,
+      "host_ranked" -> r.nHostKept, "clean" -> r.nClean,
       "packed_docs" -> r.nPacked, "packs" -> r.nPacks))
   }
 }
