@@ -466,6 +466,61 @@ object Preferences {
     fitted.unionAll(fordOff).unionAll(shapeOff)
   }
 
+  /** Group-relative advantage normalization (the GRPO/RLOO data shape —
+    * Shao et al. 2024): per prompt, each sampled response's reward is
+    * centered and scaled by ITS OWN GROUP's statistics,
+    * `adv = (r − mean_group) / std_group`, so the trainer consumes a
+    * critic-free advantage signal. Population std (the GRPO
+    * convention). Arithmetic: group sums are exact integers (Σr in
+    * BIGINT, Σr² in DECIMAL(38,0) — rewards ride the integer-micros
+    * contract); mean_micros is the half-up rational; std/advantage take
+    * the one sqrt through the 6-dp-round discipline (every input to the
+    * double expression is an exact integer, so both engines compute the
+    * identical double). Degenerate groups surface honestly: n = 1 or a
+    * zero-variance group has no scale — null advantage, the stats say
+    * why. Null prompt/response/reward rows are unjudged — excluded.
+    *
+    * Scale shape: ONE prompt-keyed hash aggregation + one keyed join
+    * back (map-side combined; no window, no sort). Returns
+    * `(<promptCol>, <respIdCol>, reward_micros, n_samples, mean_micros,
+    * std_micros, adv_micros)` — adv in micros of one group-std. */
+  def groupAdvantage(samples: DataFrame, promptCol: String,
+      respIdCol: String, rewardMicrosCol: String): DataFrame = {
+    val base = samples.filter(col(promptCol).isNotNull &&
+        col(respIdCol).isNotNull && col(rewardMicrosCol).isNotNull)
+      .select(col(promptCol), col(respIdCol),
+        col(rewardMicrosCol).cast("long").as("reward_micros"))
+    val stats = base.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("reward_micros")).as("__sr"),
+        sum(expr("CAST(reward_micros AS DECIMAL(38,0)) * reward_micros"))
+          .as("__srr"))
+      .select(col(promptCol), col("n_samples"),
+        // sign-split half-up (the kendallTau discipline): rewards are
+        // signed, and bare `div` truncates toward zero on negatives
+        expr("CAST(CASE WHEN __sr < 0 THEN " +
+          "-((2 * (-__sr) + n_samples) div (2 * n_samples)) " +
+          "ELSE (2 * __sr + n_samples) div (2 * n_samples) END " +
+          "AS BIGINT)").as("mean_micros"),
+        // population variance in doubles off exact integer sums — the
+        // identical expression replays in the oracle
+        expr("sqrt(CAST(__srr AS DOUBLE) / n_samples " +
+          "- (CAST(__sr AS DOUBLE) / n_samples) " +
+          "* (CAST(__sr AS DOUBLE) / n_samples))").as("__std"),
+        col("__sr"))
+    base.join(stats, Seq(promptCol))
+      .select(col(promptCol), col(respIdCol), col("reward_micros"),
+        col("n_samples"), col("mean_micros"),
+        // std is already in MICROS (rewards are micros): round at the
+        // integer micro — the 6-dp discipline at this quantity's scale
+        when(col("n_samples") > 1,
+          expr("CAST(ROUND(__std) AS BIGINT)")).as("std_micros"),
+        when(col("n_samples") > 1 && col("__std") > 0, expr(
+          "CAST(ROUND(ROUND((CAST(reward_micros AS DOUBLE) " +
+            "- CAST(__sr AS DOUBLE) / n_samples) / __std, 6) * 1e6) " +
+            "AS BIGINT)")).as("adv_micros"))
+  }
+
   /** The [[dpoPairs]] → training-strings composition: each pair's
     * chosen and rejected sides render as the two-turn ChatML strings a
     * DPO trainer tokenizes, THROUGH

@@ -683,6 +683,44 @@ object EventQueries extends graft.QueryPack {
               |  CAST(ps5.s AS BIGINT) AS strength_micro
               |FROM pw JOIN ps5 USING (cand)""".stripMargin)),
 
+    // ---- E42: group-relative advantage (the GRPO/RLOO data shape) --------
+    // Per prompt (event_id % 40), each sampled response's SIGNED
+    // planted reward centers and scales by its own group's stats —
+    // exact integer sums, sign-split half-up mean, the one sqrt under
+    // the 6-dp discipline. The oracle replays sums, mean, std, and the
+    // normalized advantage with the identical double expression.
+    Q("q_e42_group_advantage",
+      (s, d) => graft.operators.Preferences.groupAdvantage(
+        Tables.events(s, d).select((col("event_id") % 40).as("prompt"),
+          col("event_id").as("resp"),
+          (((col("event_id") * 7919) % 2001) - 1000).as("reward")),
+        "prompt", "resp", "reward"),
+      Some("""WITH s AS (SELECT event_id % 40 AS prompt,
+             |    event_id AS resp,
+             |    ((event_id * 7919) % 2001) - 1000 AS r
+             |  FROM events),
+             |st AS (SELECT prompt, COUNT(*) AS n, SUM(r) AS sr,
+             |    SUM(CAST(r AS HUGEINT) * r) AS srr
+             |  FROM s GROUP BY 1),
+             |dd AS (SELECT prompt, n, sr,
+             |    CASE WHEN sr < 0 THEN
+             |      -((2 * (-sr) + n) // (2 * n))
+             |    ELSE (2 * sr + n) // (2 * n) END AS mean_micros,
+             |    sqrt(CAST(srr AS DOUBLE) / n
+             |      - (CAST(sr AS DOUBLE) / n) * (CAST(sr AS DOUBLE) / n))
+             |      AS stdd
+             |  FROM st)
+             |SELECT s.prompt, s.resp, CAST(s.r AS BIGINT) AS reward_micros,
+             |  CAST(dd.n AS BIGINT) AS n_samples,
+             |  CAST(dd.mean_micros AS BIGINT) AS mean_micros,
+             |  CAST(CASE WHEN dd.n > 1 THEN
+             |    ROUND(dd.stdd) END AS BIGINT) AS std_micros,
+             |  CAST(CASE WHEN dd.n > 1 AND dd.stdd > 0 THEN
+             |    ROUND(ROUND((CAST(s.r AS DOUBLE)
+             |      - CAST(dd.sr AS DOUBLE) / dd.n) / dd.stdd, 6) * 1e6)
+             |    END AS BIGINT) AS adv_micros
+             |FROM s JOIN dd USING (prompt)""".stripMargin)),
+
     // ---- E40: length-bias audit (Kendall tau-a per prompt) ---------------
     // The reward-data failure mode made measurable: per prompt
     // (event_id % 40, over the event_id % 7 audit slice — pair

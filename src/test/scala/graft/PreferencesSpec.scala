@@ -271,6 +271,40 @@ class PreferencesSpec extends AnyFunSuite {
       "a's four first places outweigh b's never-last record; c trails")
   }
 
+  test("group advantage: hand-checked GRPO normalization, sign-split " +
+      "negative mean, degenerate groups go null, null rewards drop") {
+    import spark.implicits._
+    // p1: rewards (2e6, -1e6, -1e6) -> mean 0, var = 2e12, std =
+    // sqrt(2)e6; adv = r/std -> (1414214, -707107, -707107) micros
+    val samples = Seq(
+      ("p1", 1L, Option(2000000L)), ("p1", 2L, Option(-1000000L)),
+      ("p1", 3L, Option(-1000000L)),
+      // p2: a single sample has no scale
+      ("p2", 4L, Option(7L)),
+      // p3: zero variance -> std 0 -> null advantage
+      ("p3", 5L, Option(5L)), ("p3", 6L, Option(5L)),
+      // p4: negative mean exercises the sign-split (-3 -> mean -2
+      // when n=... use (-3, -4): sum -7, n 2 -> half-up away from
+      // zero = -4 (not the toward-zero -3)
+      ("p4", 7L, Option(-3L)), ("p4", 8L, Option(-4L)),
+      ("p1", 9L, Option.empty[Long]))
+      .toDF("prompt", "resp", "reward")
+    val out = Preferences.groupAdvantage(samples, "prompt", "resp",
+        "reward")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          if (r.isNullAt(6)) None else Some(r.getLong(6))))).toMap
+    assert(out.size === 8, "the null-reward sample is unjudged")
+    assert(out(1L) === ((3L, 0L, Some(1414214L), Some(1414214L))))
+    assert(out(2L) === ((3L, 0L, Some(1414214L), Some(-707107L))))
+    assert(out(4L) === ((1L, 7L, None, None)), "n=1 has no scale")
+    assert(out(5L)._4 === None && out(5L)._3 === Some(0L),
+      "zero variance: std 0, advantage undefined")
+    assert(out(7L)._2 === -4L,
+      "half-up of -3.5 rounds away from zero (sign-split)")
+  }
+
   test("plackett-luce: guards — tied/gapped ranks raise, the list cap " +
       "raises, a candidate that only ever places last trips Ford") {
     import spark.implicits._
