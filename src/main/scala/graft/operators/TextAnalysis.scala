@@ -653,6 +653,54 @@ object TextAnalysis {
       .select(col(idCol), col("host"), col("host_rank"))
   }
 
+  /** Token-distribution KL drift — the TEXT sibling of
+    * [[graft.operators.Profile.psiDrift]] (which bins NUMERIC columns):
+    * how far has a new corpus batch's unigram token distribution moved
+    * from the reference's? Both directions of
+    * KL(P‖Q) = Σ_t p_t·ln(p_t/q_t) over the UNION vocabulary with
+    * add-1 smoothing (so a token unseen on one side contributes a
+    * finite, honest penalty instead of ∞/undefined — the Laplace
+    * convention the perplexity rung already uses). A KL jump on a
+    * corpus refresh is the "this crawl is not like the last one"
+    * alarm a mixture owner acts on before retraining anything.
+    *
+    * Determinism: every ln input is a ratio of exact integers
+    * (counts + 1, totals + V), each per-token term rounds to 6 dp as
+    * DECIMAL and sums exactly (order-independent — the [[duckPpl]]-
+    * style discipline), final numbers in micro-nats. Scale: two
+    * corpus-sized token aggregations + one union-vocab-keyed join —
+    * no window, no sort. Returns ONE row `(n_a, n_b, vocab_size,
+    * kl_ab_micro, kl_ba_micro)`. */
+  def tokenKlDrift(a: DataFrame, b: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    def counts(df: DataFrame, side: String): DataFrame =
+      Par.spread(df.filter(col(textCol).isNotNull)
+          .select(tokens(lower(col(textCol))).as("toks")))
+        .select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as(s"c_$side"))
+    val joined = counts(a, "a").join(counts(b, "b"), Seq("tok"), "full")
+      .select(col("tok"), coalesce(col("c_a"), lit(0L)).as("ca"),
+        coalesce(col("c_b"), lit(0L)).as("cb"))
+      .localCheckpoint()
+    val tot = joined.agg(sum(col("ca")).as("n_a"),
+      sum(col("cb")).as("n_b"), count(lit(1)).as("vocab_size"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"), col("vocab_size"),
+        // p/q with add-1 over the union vocab; each term 6-dp rounded
+        // DECIMAL so the sum is exact and order-independent
+        expr("CAST(ROUND((CAST(ca + 1 AS DOUBLE) / (n_a + vocab_size)) " +
+          "* ln((CAST(ca + 1 AS DOUBLE) * (n_b + vocab_size)) " +
+          "/ (CAST(cb + 1 AS DOUBLE) * (n_a + vocab_size))), 6) " +
+          "AS DECIMAL(18,6))").as("__ta"),
+        expr("CAST(ROUND((CAST(cb + 1 AS DOUBLE) / (n_b + vocab_size)) " +
+          "* ln((CAST(cb + 1 AS DOUBLE) * (n_a + vocab_size)) " +
+          "/ (CAST(ca + 1 AS DOUBLE) * (n_b + vocab_size))), 6) " +
+          "AS DECIMAL(18,6))").as("__tb"))
+      .groupBy(col("n_a"), col("n_b"), col("vocab_size"))
+      .agg((sum(col("__ta")) * 1000000L).cast("long").as("kl_ab_micro"),
+        (sum(col("__tb")) * 1000000L).cast("long").as("kl_ba_micro"))
+  }
+
   /** Small built-in stopword lists for the n-gram language-ID heuristic. */
   val langStopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),

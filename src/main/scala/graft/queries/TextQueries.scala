@@ -3129,6 +3129,49 @@ object TextQueries extends graft.QueryPack {
              |    ELSE COALESCE(b.n_bpe, 0) END AS BIGINT) AS n_bpe
              |FROM mp LEFT JOIN bagg b USING (doc_id)""".stripMargin)),
 
+    // ---- X104: token-distribution KL drift (corpus-refresh alarm) -------
+    // Even vs odd doc_ids as reference/new batches; both KL directions
+    // over the union vocab with add-1 smoothing. The oracle replays the
+    // per-token 6-dp-rounded terms and the exact DECIMAL sum.
+    Q("q_x104_token_kl_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.tokenKlDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1))
+      },
+      Some("""WITH ta AS (SELECT unnest(list_filter(
+             |    regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+             |    AS tok
+             |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+             |tb AS (SELECT unnest(list_filter(
+             |    regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+             |    AS tok
+             |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
+             |ca AS (SELECT tok, COUNT(*) AS c FROM ta GROUP BY 1),
+             |cb AS (SELECT tok, COUNT(*) AS c FROM tb GROUP BY 1),
+             |j AS (SELECT COALESCE(ca.tok, cb.tok) AS tok,
+             |    COALESCE(ca.c, 0) AS cca, COALESCE(cb.c, 0) AS ccb
+             |  FROM ca FULL OUTER JOIN cb ON cb.tok = ca.tok),
+             |tt AS (SELECT SUM(cca) AS na, SUM(ccb) AS nb,
+             |    COUNT(*) AS vs FROM j),
+             |terms AS (SELECT
+             |    CAST(ROUND((CAST(cca + 1 AS DOUBLE) / (na + vs))
+             |      * ln((CAST(cca + 1 AS DOUBLE) * (nb + vs))
+             |        / (CAST(ccb + 1 AS DOUBLE) * (na + vs))), 6)
+             |      AS DECIMAL(18,6)) AS tka,
+             |    CAST(ROUND((CAST(ccb + 1 AS DOUBLE) / (nb + vs))
+             |      * ln((CAST(ccb + 1 AS DOUBLE) * (na + vs))
+             |        / (CAST(cca + 1 AS DOUBLE) * (nb + vs))), 6)
+             |      AS DECIMAL(18,6)) AS tkb,
+             |    na, nb, vs
+             |  FROM j, tt)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  CAST(vs AS BIGINT) AS vocab_size,
+             |  CAST(SUM(tka) * 1000000 AS BIGINT) AS kl_ab_micro,
+             |  CAST(SUM(tkb) * 1000000 AS BIGINT) AS kl_ba_micro
+             |FROM terms GROUP BY na, nb, vs""".stripMargin)),
+
     // ---- X93: Mikolov phrase mining (collocations for vocab learning) ----
     // The raw (not PMI) score form: one exact cross-multiplied rational
     // per surviving bigram, no logarithm anywhere — the oracle replays

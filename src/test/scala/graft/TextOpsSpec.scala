@@ -1660,4 +1660,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       TextAnalysis.chunk(docs, 64, 64)).getMessage.contains("overlap"))
   }
+
+  test("token KL drift: identical batches read exactly 0, a drifted " +
+      "batch reads positive both ways, null-text docs are excluded") {
+    import spark.implicits._
+    val ref = Seq((1L, Option("a a b c")), (2L, Option("a b")),
+      (3L, Option.empty[String])).toDF("doc_id", "text")
+    val same = graft.operators.TextAnalysis.tokenKlDrift(ref, ref)
+      .collect().head
+    assert((same.getLong(0), same.getLong(1), same.getLong(2)) ===
+      ((6L, 6L, 3L)), "n counts tokens, null text excluded")
+    assert(same.getLong(3) === 0L && same.getLong(4) === 0L,
+      "identical distributions: every ln ratio is exactly 0")
+    // drifted: vocabulary partly replaced and sizes differ — both
+    // directions positive, and genuinely asymmetric
+    val cur = Seq((1L, "a z z")).toDF("doc_id", "text")
+    val dr = graft.operators.TextAnalysis.tokenKlDrift(ref, cur)
+      .collect().head
+    assert((dr.getLong(0), dr.getLong(1), dr.getLong(2)) ===
+      ((6L, 3L, 4L)), "union vocab {a,b,c,z}")
+    assert(dr.getLong(3) > 0L && dr.getLong(4) > 0L)
+    assert(dr.getLong(3) !== dr.getLong(4), "KL is asymmetric")
+  }
 }
