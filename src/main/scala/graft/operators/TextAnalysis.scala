@@ -2132,6 +2132,92 @@ object TextAnalysis {
           "div (2 * (n_ref + n_hyp))")))
   }
 
+  /** Self-Instruct novelty gate (Wang et al. 2022 §3.2: a generated
+    * instruction joins the pool only if its ROUGE-L against EVERY
+    * existing instruction stays under a threshold — the dedup that
+    * keeps a bootstrapped instruction set diverse): each candidate is
+    * rescored with exact token-LCS ROUGE-L F against its banded seed
+    * matches, and `keep` = max F < `thresholdPpm`.
+    *
+    * Scale shape — the naive recipe is candidates × pool (quadratic,
+    * the reference implementation literally loops): here candidate
+    * pairs come from a RARE-TOKEN band (distinct (id, token) pairs on
+    * both sides, tokens above `maxTokenDf` corpus document-frequency
+    * dropped — the q_d2b stop-shingle cap applied to blocking), then
+    * only banded pairs pay the LCS kernel (codegen'd two-row DP,
+    * map-only per pair). The band is a documented-recall prefilter:
+    * a pair overlapping ONLY in ubiquitous tokens is never rescored —
+    * the standard Self-Instruct blocking trade, stated rather than
+    * hidden; within the banded set the verdict is exact. A candidate
+    * fanning past `maxPairsPerCand` banded matches trips an in-plan
+    * raise (the dpoPairs cap discipline). Candidates with no banded
+    * match keep with null evidence columns. Returns `(<idCol>,
+    * n_banded, max_f_ppm, nearest_seed_id, keep)` — nearest seed ties
+    * to the LOWER seed id. */
+  def selfInstructFilter(cands: DataFrame, seeds: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      thresholdPpm: Long = 700000L, maxTokenDf: Int = 100,
+      maxPairsPerCand: Int = 4096): DataFrame = {
+    require(thresholdPpm >= 1, s"thresholdPpm must be >= 1")
+    require(maxTokenDf >= 1, s"maxTokenDf must be >= 1")
+    require(maxPairsPerCand >= 1, s"maxPairsPerCand must be >= 1")
+    graft.functions.LcsTokens.register(cands.sparkSession)
+    val ct = cands.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__cid"), col(textCol).as("__ctext"))
+    val st = seeds.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__sid"), col(textCol).as("__stext"))
+    def toksOf(df: DataFrame, id: String, text: String): DataFrame =
+      df.select(col(id), explode(tokens(col(text))).as("tok")).distinct()
+    val candTok = toksOf(ct, "__cid", "__ctext")
+    val seedTok = toksOf(st, "__sid", "__stext")
+    // corpus document frequency over BOTH sides; ubiquitous tokens
+    // band nothing
+    val rare = candTok.select(col("tok"))
+      .unionAll(seedTok.select(col("tok")))
+      .groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxTokenDf)
+      .select(col("tok"))
+    val pairs = candTok.join(rare, Seq("tok"), "left_semi")
+      .join(seedTok.join(rare, Seq("tok"), "left_semi"), Seq("tok"))
+      .select(col("__cid"), col("__sid")).distinct()
+      .localCheckpoint()
+    val scored = pairs.join(ct, Seq("__cid")).join(st, Seq("__sid"))
+      .select(col("__cid"), col("__sid"),
+        call_function("lcs_tokens", col("__stext"), col("__ctext"))
+          .cast("long").as("__lcs"),
+        size(tokens(col("__stext"))).cast("long").as("__nr"),
+        size(tokens(col("__ctext"))).cast("long").as("__nh"))
+      .select(col("__cid"), col("__sid"),
+        when(col("__nr") + col("__nh") > 0, expr(
+          "(4 * __lcs * 1000000 + (__nr + __nh)) " +
+            "div (2 * (__nr + __nh))")).otherwise(lit(0L)).as("__f"))
+    val best = scored.groupBy(col("__cid"))
+      .agg(count(lit(1)).as("n_banded"),
+        min(struct((-col("__f")).as("__nf"), col("__sid").as("__id")))
+          .as("__b"))
+      .select(col("__cid"), col("n_banded"),
+        (-col("__b.__nf")).as("max_f_ppm"),
+        col("__b.__id").as("nearest_seed_id"))
+    val out = ct.select(col("__cid"))
+      .join(best, Seq("__cid"), "left")
+      .select(col("__cid").as(idCol),
+        coalesce(col("n_banded"), lit(0L)).as("n_banded"),
+        col("max_f_ppm"), col("nearest_seed_id"),
+        coalesce(col("max_f_ppm") < thresholdPpm, lit(true)).as("keep"))
+    // cap guard: every output column carries the raise
+    val sch = out.schema
+    val boom = raise_error(concat(
+      lit("selfInstructFilter: candidate "), col("__cid").cast("string"),
+      lit(" has "), col("__np").cast("string"),
+      lit(s" banded matches (cap $maxPairsPerCand) — each pays an LCS " +
+        "rescore; lower maxTokenDf or raise the cap deliberately")))
+    val offenders = pairs.groupBy(col("__cid"))
+      .agg(count(lit(1)).as("__np"))
+      .filter(col("__np") > maxPairsPerCand)
+      .select(sch.map(f => boom.cast(f.dataType).as(f.name)): _*)
+    out.unionAll(offenders)
+  }
+
   /** Word error rate — the ASR/translation-eval companion to
     * [[rougeL]]: token-level Levenshtein distance (substitutions +
     * deletions + insertions at WORD granularity, the NIST sclite

@@ -2284,6 +2284,93 @@ object TextQueries extends graft.QueryPack {
              |      // (2 * (n_ref + n_hyp)) END AS BIGINT) AS f_ppm
              |FROM fin""".stripMargin)),
 
+    // ---- X105: Self-Instruct novelty gate (banded ROUGE-L dedup) --------
+    // Synthetic instruction pool: each doc's first 12 tokens + a
+    // family-rare 'tagK' token (doc_id % 23 — coprime with the % 5
+    // candidate split, so every family holds both sides), candidates =
+    // the % 5 slice vs the rest as seeds. Banding on rare tokens
+    // (df <= 25) confines pairs to tag families; the oracle replays the band, the
+    // pair-keyed LCS anti-diagonal recursion, and the (f desc, seed
+    // asc) argmax.
+    Q("q_x105_self_instruct_gate",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .withColumn("__t", TextAnalysis.tokens(col("text")))
+        val instr = docs.select(col("doc_id"),
+          concat(array_join(slice(col("__t"), 1, 12), " "),
+            lit(" tag"), (col("doc_id") % 23).cast("string")).as("itext"))
+        TextAnalysis.selfInstructFilter(
+          instr.filter(col("doc_id") % 5 === 0),
+          instr.filter(col("doc_id") % 5 =!= 0),
+          "itext", "doc_id", thresholdPpm = 500000L, maxTokenDf = 25)
+      },
+      Some("""WITH RECURSIVE
+             |tt AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+             |  FROM documents WHERE text IS NOT NULL),
+             |ins AS (SELECT doc_id,
+             |    COALESCE(array_to_string(list_slice(toks, 1, 12), ' '), '')
+             |      || ' tag' || CAST(doc_id % 23 AS VARCHAR) AS itext
+             |  FROM tt),
+             |ctx AS (SELECT doc_id AS cid, itext,
+             |    list_filter(regexp_split_to_array(itext, '\s+'), x -> x <> '') AS ctoks
+             |  FROM ins WHERE doc_id % 5 = 0),
+             |stx AS (SELECT doc_id AS sid, itext,
+             |    list_filter(regexp_split_to_array(itext, '\s+'), x -> x <> '') AS stoks
+             |  FROM ins WHERE doc_id % 5 <> 0),
+             |ctok AS (SELECT DISTINCT cid, tok FROM (
+             |  SELECT cid, unnest(ctoks) AS tok FROM ctx)),
+             |stok AS (SELECT DISTINCT sid, tok FROM (
+             |  SELECT sid, unnest(stoks) AS tok FROM stx)),
+             |rare AS (SELECT tok FROM (
+             |  SELECT tok, COUNT(*) AS dfc FROM (
+             |    SELECT tok FROM ctok UNION ALL SELECT tok FROM stok)
+             |  GROUP BY 1) WHERE dfc <= 25),
+             |prs AS (SELECT DISTINCT c.cid, s.sid
+             |  FROM ctok c JOIN rare USING (tok)
+             |  JOIN stok s USING (tok)),
+             |dims AS (SELECT p.cid, p.sid, s.stoks AS rt, c.ctoks AS ht,
+             |    len(s.stoks) AS m, len(c.ctoks) AS n
+             |  FROM prs p JOIN ctx c USING (cid) JOIN stx s USING (sid)),
+             |r AS (
+             |  SELECT cid, sid, 0 AS d,
+             |    list_transform(range(0, m + 1), i -> 0) AS cur,
+             |    list_transform(range(0, m + 1), i -> 0) AS prev
+             |  FROM dims
+             |  UNION ALL
+             |  SELECT r.cid, r.sid, r.d + 1,
+             |    list_transform(range(0, dm.m + 1), i ->
+             |      CASE WHEN i = 0 OR r.d + 1 - i < 1 OR r.d + 1 - i > dm.n
+             |        THEN 0
+             |      ELSE greatest(
+             |        r.cur[i],
+             |        r.cur[i + 1],
+             |        r.prev[i] + CASE WHEN dm.rt[i] = dm.ht[r.d + 1 - i]
+             |          THEN 1 ELSE 0 END)
+             |      END) AS cur,
+             |    r.cur AS prev
+             |  FROM r JOIN dims dm ON dm.cid = r.cid AND dm.sid = r.sid
+             |  WHERE r.d < dm.m + dm.n),
+             |sc AS (SELECT r.cid, r.sid,
+             |    (4 * r.cur[dm.m + 1] * 1000000 + (dm.m + dm.n))
+             |      // (2 * (dm.m + dm.n)) AS f
+             |  FROM r JOIN dims dm ON dm.cid = r.cid AND dm.sid = r.sid
+             |  WHERE r.d = dm.m + dm.n),
+             |bst AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_banded,
+             |    wf AS max_f_ppm, ws AS nearest_seed_id FROM (
+             |  SELECT cid, sid, f,
+             |    first_value(f) OVER (PARTITION BY cid
+             |      ORDER BY f DESC, sid) AS wf,
+             |    first_value(sid) OVER (PARTITION BY cid
+             |      ORDER BY f DESC, sid) AS ws
+             |  FROM sc) GROUP BY cid, wf, ws)
+             |SELECT c.cid AS doc_id,
+             |  COALESCE(b.n_banded, 0) AS n_banded,
+             |  CAST(b.max_f_ppm AS BIGINT) AS max_f_ppm,
+             |  b.nearest_seed_id,
+             |  COALESCE(b.max_f_ppm < 500000, true) AS keep
+             |FROM ctx c LEFT JOIN bst b ON b.cid = c.cid""".stripMargin)),
+
     // ---- X76: tokenizer fertility per language ---------------------------
     // The multilingual tokenizer-quality audit over the q_x73 chain:
     // pieces-per-word in exact ppm per documents.lang — ONE oracle hash

@@ -1682,4 +1682,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(dr.getLong(3) > 0L && dr.getLong(4) > 0L)
     assert(dr.getLong(3) !== dr.getLong(4), "KL is asymmetric")
   }
+
+  test("selfInstructFilter: a near-copy rejects at the exact ROUGE-L, " +
+      "ties go to the lower seed, a ubiquitous-token-only overlap is " +
+      "never banded (the documented recall trade), the pair cap raises") {
+    import spark.implicits._
+    // seeds share the ubiquitous token 'the'; rare tokens band
+    val seeds = Seq(
+      (10L, "the quickfox jumps over lazydog"),
+      (11L, "the quickfox jumps again today"),
+      (12L, "the unrelated seed entirely different")).toDF("doc_id", "text")
+    val cands = Seq(
+      // near-copy of seed 10: LCS("the quickfox jumps over lazydog",
+      // same 5 tokens) = 5, F = 1e6 -> reject
+      (1L, "the quickfox jumps over lazydog"),
+      // overlaps seeds only in 'the' (df 5 > maxTokenDf 4): never
+      // banded -> keeps with zero evidence
+      (2L, "the completely fresh instruction text"),
+      // shares 'quickfox jumps' with seeds 10 AND 11 -> banded to
+      // both; best F computed exactly, tie impossible here but the
+      // lower-id contract is pinned by equal-F construction below
+      (3L, "quickfox jumps high")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.selfInstructFilter(
+        cands, seeds, thresholdPpm = 700000L, maxTokenDf = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getBoolean(4)))).toMap
+    assert(out(1L)._2 === 1000000L && !out(1L)._4, "exact copy rejects")
+    assert(out(2L) === ((0L, -1L, -1L, true)),
+      "ubiquitous-only overlap is never banded — kept, zero evidence")
+    // cand 3 vs seed 10: LCS(5,3)=2 -> F = 4/8 = 500000;
+    // vs seed 11: LCS(5,3)=2 -> F = 500000 -> TIE, lower seed wins
+    assert(out(3L) === ((2L, 500000L, 10L, true)))
+    val ex = intercept[Exception](
+      graft.operators.TextAnalysis.selfInstructFilter(cands, seeds,
+        thresholdPpm = 700000L, maxTokenDf = 4, maxPairsPerCand = 1)
+        .collect())
+    assert(ex.getMessage.contains("banded matches"))
+  }
 }
