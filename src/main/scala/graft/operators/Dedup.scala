@@ -850,6 +850,40 @@ object Dedup {
         (col("doc_id") === col("canonical_id")).as("keep"))
   }
 
+  /** Split-leakage AUDIT — the measurement dual of [[leakageSafeSplit]]
+    * (which prevents): given an EXISTING split assignment (inherited
+    * from another pipeline, or a plain per-doc hash split), how many
+    * near-dup clusters straddle a split boundary? Every straddling
+    * cluster is an eval leak — the model "generalizes" to a test doc it
+    * effectively trained on. Cluster membership is [[verifiedClusters]]
+    * (LSH candidates → exact-Jaccard rescore → CC); singletons are
+    * their own cluster and can never leak. Returns one row per
+    * cluster: `(cluster, n_docs, n_splits, splits, leaked)` — `splits`
+    * the sorted distinct split labels joined with '|' (the
+    * driver-compare string convention for list payloads). Scale: the
+    * verified-cluster chain + one id-keyed join of the split labels +
+    * one cluster-keyed aggregation. */
+  def splitLeakageAudit(docs: DataFrame, splitAssign: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      splitCol: String = "split",
+      numHashes: Int = 8, rowsPerBand: Int = 2, thresholdTenths: Int = 1,
+      maxIter: Int = 20): DataFrame = {
+    val comp = verifiedClusters(docs, textCol, idCol, numHashes,
+      rowsPerBand, thresholdTenths, maxIter)
+    docs.select(col(idCol))
+      .join(comp.select(col("node").as(idCol), col("component")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster"))
+      .join(splitAssign.select(col(idCol), col(splitCol).as("__s")),
+        Seq(idCol))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("__s")).as("n_splits"),
+        array_join(array_sort(collect_set(col("__s"))), "|").as("splits"))
+      .withColumn("leaked", col("n_splits") > 1)
+  }
+
   /** Leakage-safe train/val/test split: the assignment hashes the
     * near-dup CLUSTER representative, not the document — so a page and
     * its crawled-again near-duplicate can never land in different

@@ -368,6 +368,74 @@ object DedupQueries extends graft.QueryPack {
               |FROM mem m JOIN cs USING (cluster)
               |JOIN bc USING (cluster)""".stripMargin)),
 
+    // ---- D29: split-leakage audit (measure an inherited split) ----------
+    // The plain per-doc hash split (q_x7's) audited against the
+    // verified near-dup clusters: clusters straddling a boundary are
+    // eval leaks — exactly what q_d22's cluster split prevents. Oracle
+    // replays the cluster chain + the split hash + the roll-up.
+    Q("q_d29_split_leakage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.splitLeakageAudit(docs,
+          docs.select(col("doc_id"),
+            graft.operators.Sampling.splitLabel(col("doc_id"), "exp1",
+              90, 5).as("split")))
+      },
+      Some(s"""WITH RECURSIVE ${duckShingles.stripPrefix("WITH ")},
+              |mh AS (SELECT doc_id,
+              |  min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+              |  min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
+              |  min(md5('4|' || sh)) AS m4, min(md5('5|' || sh)) AS m5,
+              |  min(md5('6|' || sh)) AS m6, min(md5('7|' || sh)) AS m7
+              |  FROM exd GROUP BY doc_id),
+              |bands AS (
+              |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM mh
+              |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM mh
+              |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM mh
+              |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM mh),
+              |prs AS (
+              |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM exd GROUP BY doc_id),
+              |inter AS (
+              |  SELECT p.a_id, p.b_id, COUNT(*) AS inter
+              |  FROM prs p
+              |  JOIN exd a ON a.doc_id = p.a_id
+              |  JOIN exd b ON b.doc_id = p.b_id AND b.sh = a.sh
+              |  GROUP BY 1, 2),
+              |ver AS (
+              |  SELECT i.a_id, i.b_id FROM inter i
+              |  JOIN sizes sa ON sa.doc_id = i.a_id
+              |  JOIN sizes sb ON sb.doc_id = i.b_id
+              |  WHERE i.inter * 10 >= (sa.n + sb.n - i.inter) * 1),
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM ver
+              |  UNION SELECT b_id, a_id FROM ver),
+              |cc(node, label) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
+              |comp AS (SELECT node, MIN(label) AS component FROM cc
+              |  GROUP BY node),
+              |mem AS (SELECT d.doc_id,
+              |    COALESCE(c.component, d.doc_id) AS cluster
+              |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+              |spl AS (SELECT doc_id,
+              |    CASE WHEN h < 90 THEN 'train'
+              |         WHEN h < 95 THEN 'val' ELSE 'test' END AS sx
+              |  FROM (SELECT doc_id,
+              |      CAST('0x' || substr(md5('exp1|' ||
+              |        CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS h
+              |    FROM documents))
+              |SELECT m.cluster, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(COUNT(DISTINCT spl.sx) AS BIGINT) AS n_splits,
+              |  array_to_string(list_sort(list(DISTINCT spl.sx)), '|')
+              |    AS splits,
+              |  COUNT(DISTINCT spl.sx) > 1 AS leaked
+              |FROM mem m JOIN spl USING (doc_id)
+              |GROUP BY 1""".stripMargin)),
+
     // ---- D22: leakage-safe split (assign by near-dup CLUSTER, not doc) --
     // A page and its crawl-again near-duplicate hash-split by document
     // land in different splits — the silent eval leak. Splitting on the

@@ -589,4 +589,37 @@ class DedupClusterSpec extends AnyFunSuite {
       "equal matches tie to the lower doc id")
     assert(out(300L) === ((1L, 0L, -1L, 0L)), "clean items report zeros")
   }
+
+  test("splitLeakageAudit: a near-dup pair split across the boundary " +
+      "reads leaked, singletons never leak, and the leakage-safe " +
+      "cluster split audits CLEAN on the same corpus") {
+    import spark.implicits._
+    // docs 1/2 near-duplicate (identical text), 3 unique
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "completely different content here now")).toDF("doc_id", "text")
+    // an inherited BAD split: the dup pair straddles train/test
+    val bad = Seq((1L, "train"), (2L, "test"), (3L, "train"))
+      .toDF("doc_id", "split")
+    val out = graft.operators.Dedup.splitLeakageAudit(docs, bad,
+        numHashes = 8, rowsPerBand = 2, thresholdTenths = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) === ((2L, 2L, "test|train", true)),
+      "the straddling near-dup cluster is a leak")
+    assert(out(3L) === ((1L, 1L, "train", false)),
+      "singletons can never leak")
+    // the prevention-measurement duality: leakageSafeSplit's own
+    // assignment must audit clean on the same corpus
+    val safe = graft.operators.Dedup.leakageSafeSplit(docs, "text",
+        "doc_id", salt = "exp1", trainPct = 50, valPct = 25,
+        numHashes = 8, rowsPerBand = 2, thresholdTenths = 1)
+      .select(col("doc_id"), col("split"))
+    val audit = graft.operators.Dedup.splitLeakageAudit(docs, safe,
+        numHashes = 8, rowsPerBand = 2, thresholdTenths = 1)
+      .filter(col("leaked")).count()
+    assert(audit === 0L, "the cluster split can never leak by construction")
+  }
 }
