@@ -857,12 +857,18 @@ object Dedup {
     * cluster is an eval leak — the model "generalizes" to a test doc it
     * effectively trained on. Cluster membership is [[verifiedClusters]]
     * (LSH candidates → exact-Jaccard rescore → CC); singletons are
-    * their own cluster and can never leak. Returns one row per
-    * cluster: `(cluster, n_docs, n_splits, splits, leaked)` — `splits`
-    * the sorted distinct split labels joined with '|' (the
-    * driver-compare string convention for list payloads). Scale: the
-    * verified-cluster chain + one id-keyed join of the split labels +
-    * one cluster-keyed aggregation. */
+    * their own cluster and can never leak. `splitAssign` is one row
+    * per assigned doc; docs WITHOUT an assignment row still count in
+    * their cluster (LEFT join) and surface per cluster as
+    * `n_unassigned` — an audit must never silently shrink its
+    * universe, and a partially-covered inherited split map would
+    * otherwise understate (or entirely hide) a straddling cluster.
+    * Returns one row per cluster: `(cluster, n_docs, n_splits,
+    * splits, n_unassigned, leaked)` — `splits` the sorted distinct
+    * ASSIGNED split labels joined with '|' (the driver-compare string
+    * convention for list payloads; '' when no member is assigned).
+    * Scale: the verified-cluster chain + one id-keyed LEFT join of
+    * the split labels + one cluster-keyed aggregation. */
   def splitLeakageAudit(docs: DataFrame, splitAssign: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       splitCol: String = "split",
@@ -876,11 +882,12 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("cluster"))
       .join(splitAssign.select(col(idCol), col(splitCol).as("__s")),
-        Seq(idCol))
+        Seq(idCol), "left")
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_docs"),
         count_distinct(col("__s")).as("n_splits"),
-        array_join(array_sort(collect_set(col("__s"))), "|").as("splits"))
+        array_join(array_sort(collect_set(col("__s"))), "|").as("splits"),
+        sum(when(col("__s").isNull, 1L).otherwise(0L)).as("n_unassigned"))
       .withColumn("leaked", col("n_splits") > 1)
   }
 

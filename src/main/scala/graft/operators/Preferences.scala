@@ -362,7 +362,10 @@ object Preferences {
     *
     * Contract: `rankCol` must be DENSE 1..m per list (a tie has no PL
     * reading — break ties upstream or feed [[bradleyTerry]] the pair
-    * projection); violations and lists past `maxListLen` trip in-plan
+    * projection), candidates must be DISTINCT within a list (a repeat
+    * would double-count its strength in every suffix pool), and
+    * candidate strings must not contain U+001F (the pattern-key
+    * separator); violations and lists past `maxListLen` trip in-plan
     * raises. A candidate with ZERO stage wins (only ever last, or only
     * in singleton lists) degenerates exactly as in BT — Ford-style
     * in-plan raise. Null list/candidate/rank rows are unjudged —
@@ -392,7 +395,11 @@ object Preferences {
         col(rankCol).cast("long").as("__k"))
     val listStats = base.groupBy(col("__r"))
       .agg(count(lit(1)).as("__n"), countDistinct(col("__k")).as("__dk"),
-        min(col("__k")).as("__lo"), max(col("__k")).as("__hi"))
+        countDistinct(col("__c")).as("__dc"),
+        min(col("__k")).as("__lo"), max(col("__k")).as("__hi"),
+        // a candidate string carrying the pattern separator would
+        // corrupt the distinct-ordering grain undetected
+        max(when(col("__c").contains(us), 1L).otherwise(0L)).as("__sep"))
     // ONE corpus-sized aggregation to (pattern, length, multiplicity)
     val pat = base.groupBy(col("__r"))
       .agg(array_join(transform(
@@ -456,11 +463,16 @@ object Preferences {
       col("__n").cast("string"),
       lit(" rows with ranks ["), col("__lo").cast("string"), lit(", "),
       col("__hi").cast("string"),
-      lit("], distinct "), col("__dk").cast("string"),
+      lit("], distinct ranks "), col("__dk").cast("string"),
+      lit(", distinct candidates "), col("__dc").cast("string"),
       lit(s" (cap $maxListLen) — ranks must be dense 1..m per list " +
-        "(ties have no PL reading) and lists must fit the window cap")))
+        "(ties have no PL reading), candidates must be distinct within " +
+        "a list (a repeat double-counts its strength in the suffix " +
+        "pools), candidate strings must not contain U+001F (the " +
+        "pattern-grain separator), and lists must fit the window cap")))
     val shapeOff = listStats.filter(col("__n") > maxListLen ||
-        col("__dk") =!= col("__n") || col("__lo") =!= 1L ||
+        col("__dk") =!= col("__n") || col("__dc") =!= col("__n") ||
+        col("__sep") === 1L || col("__lo") =!= 1L ||
         col("__hi") =!= col("__n"))
       .select(st.map(f => shapeBoom.cast(f.dataType).as(f.name)): _*)
     fitted.unionAll(fordOff).unionAll(shapeOff)

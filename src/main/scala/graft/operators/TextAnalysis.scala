@@ -635,8 +635,11 @@ object TextAnalysis {
       val canon = canonicalUrl(u)
       val auth = regexp_extract(canon,
         "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-      when(coalesce(auth, lit("")) === "", lit(null))
-        .otherwise(lower(regexp_replace(auth, ":[0-9]+$", "")))
+      // strip URL userinfo ('user@h1.com' would split one real host
+      // into multiple graph nodes); canonicalUrl preserves it upstream
+      val bare = regexp_replace(auth, "^[^/@]*@", "")
+      when(coalesce(bare, lit("")) === "", lit(null))
+        .otherwise(lower(regexp_replace(bare, ":[0-9]+$", "")))
     }
     val docHost = docs.select(col(idCol), hostOf(col(urlCol)).as("host"))
     val linkHost = links.select(col(idCol),
@@ -670,22 +673,44 @@ object TextAnalysis {
     * style discipline), final numbers in micro-nats. Scale: two
     * corpus-sized token aggregations + one union-vocab-keyed join —
     * no window, no sort. Returns ONE row `(n_a, n_b, vocab_size,
-    * kl_ab_micro, kl_ba_micro)`. */
+    * kl_ab_micro, kl_ba_micro)` — ALWAYS one row: two empty/all-null
+    * corpora have no vocabulary and no defined KL, so the row reads
+    * `(0, 0, 0, null, null)` (an honest degenerate, never zero rows —
+    * a monitoring consumer reading head() must see the verdict). */
   def tokenKlDrift(a: DataFrame, b: DataFrame,
       textCol: String = "text"): DataFrame = {
-    def counts(df: DataFrame, side: String): DataFrame =
+    def counts(df: DataFrame): DataFrame =
       Par.spread(df.filter(col(textCol).isNotNull)
           .select(tokens(lower(col(textCol))).as("toks")))
         .select(explode(col("toks")).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as(s"c_$side"))
-    val joined = counts(a, "a").join(counts(b, "b"), Seq("tok"), "full")
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    tokenKlFromCounts(counts(a), counts(b))
+  }
+
+  /** [[tokenKlDrift]]'s derivation half, split out so the STREAMED
+    * token-count state ([[graft.streaming.EventStreams.tokenCountState]]
+    * — monotone per-token counters, the embeddingDimStats stance) can
+    * feed the identical KL arithmetic: both inputs are `(tok, c)` count
+    * relations (c > 0 rows; a token absent from a side is simply not a
+    * row — the full join restores it with count 0). Same numerics,
+    * same always-one-row contract as the batch composition. */
+  def tokenKlFromCounts(aCounts: DataFrame, bCounts: DataFrame,
+      tokCol: String = "tok", countCol: String = "c"): DataFrame = {
+    def side(df: DataFrame, s: String): DataFrame =
+      df.select(col(tokCol).as("tok"),
+        col(countCol).cast("long").as(s"c_$s"))
+    val joined = side(aCounts, "a").join(side(bCounts, "b"),
+        Seq("tok"), "full")
       .select(col("tok"), coalesce(col("c_a"), lit(0L)).as("ca"),
         coalesce(col("c_b"), lit(0L)).as("cb"))
       .localCheckpoint()
-    val tot = joined.agg(sum(col("ca")).as("n_a"),
-      sum(col("cb")).as("n_b"), count(lit(1)).as("vocab_size"))
-    joined.crossJoin(broadcast(tot))
-      .select(col("n_a"), col("n_b"), col("vocab_size"),
+    // agg-without-groupBy on BOTH reductions: each is one row even over
+    // an empty vocabulary, so the degenerate corpus surfaces as a row
+    val tot = joined.agg(coalesce(sum(col("ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("cb")), lit(0L)).as("n_b"),
+      count(lit(1)).as("vocab_size"))
+    val kl = joined.crossJoin(broadcast(tot))
+      .select(
         // p/q with add-1 over the union vocab; each term 6-dp rounded
         // DECIMAL so the sum is exact and order-independent
         expr("CAST(ROUND((CAST(ca + 1 AS DOUBLE) / (n_a + vocab_size)) " +
@@ -696,9 +721,9 @@ object TextAnalysis {
           "* ln((CAST(cb + 1 AS DOUBLE) * (n_a + vocab_size)) " +
           "/ (CAST(ca + 1 AS DOUBLE) * (n_b + vocab_size))), 6) " +
           "AS DECIMAL(18,6))").as("__tb"))
-      .groupBy(col("n_a"), col("n_b"), col("vocab_size"))
       .agg((sum(col("__ta")) * 1000000L).cast("long").as("kl_ab_micro"),
         (sum(col("__tb")) * 1000000L).cast("long").as("kl_ba_micro"))
+    tot.crossJoin(kl)
   }
 
   /** Small built-in stopword lists for the n-gram language-ID heuristic. */

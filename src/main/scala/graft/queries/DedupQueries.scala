@@ -371,15 +371,20 @@ object DedupQueries extends graft.QueryPack {
     // ---- D29: split-leakage audit (measure an inherited split) ----------
     // The plain per-doc hash split (q_x7's) audited against the
     // verified near-dup clusters: clusters straddling a boundary are
-    // eval leaks — exactly what q_d22's cluster split prevents. Oracle
-    // replays the cluster chain + the split hash + the roll-up.
+    // eval leaks — exactly what q_d22's cluster split prevents. The
+    // assignment is deliberately PARTIAL (doc_id % 17 == 0 has no
+    // row — an inherited split file rarely covers the whole corpus):
+    // unassigned members still count in n_docs and surface as
+    // n_unassigned, so a straddle can't hide behind missing labels.
+    // Oracle replays the cluster chain + the split hash + the roll-up.
     Q("q_d29_split_leakage",
       (s, d) => {
         val docs = Tables.documents(s, d)
         Dedup.splitLeakageAudit(docs,
-          docs.select(col("doc_id"),
-            graft.operators.Sampling.splitLabel(col("doc_id"), "exp1",
-              90, 5).as("split")))
+          docs.filter(col("doc_id") % 17 =!= 0)
+            .select(col("doc_id"),
+              graft.operators.Sampling.splitLabel(col("doc_id"), "exp1",
+                90, 5).as("split")))
       },
       Some(s"""WITH RECURSIVE ${duckShingles.stripPrefix("WITH ")},
               |mh AS (SELECT doc_id,
@@ -427,13 +432,15 @@ object DedupQueries extends graft.QueryPack {
               |  FROM (SELECT doc_id,
               |      CAST('0x' || substr(md5('exp1|' ||
               |        CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS h
-              |    FROM documents))
+              |    FROM documents WHERE doc_id % 17 <> 0))
               |SELECT m.cluster, CAST(COUNT(*) AS BIGINT) AS n_docs,
               |  CAST(COUNT(DISTINCT spl.sx) AS BIGINT) AS n_splits,
-              |  array_to_string(list_sort(list(DISTINCT spl.sx)), '|')
-              |    AS splits,
+              |  COALESCE(array_to_string(list_sort(
+              |    list(DISTINCT spl.sx) FILTER (spl.sx IS NOT NULL)), '|'),
+              |    '') AS splits,
+              |  CAST(COUNT(*) - COUNT(spl.sx) AS BIGINT) AS n_unassigned,
               |  COUNT(DISTINCT spl.sx) > 1 AS leaked
-              |FROM mem m JOIN spl USING (doc_id)
+              |FROM mem m LEFT JOIN spl USING (doc_id)
               |GROUP BY 1""".stripMargin)),
 
     // ---- D22: leakage-safe split (assign by near-dup CLUSTER, not doc) --

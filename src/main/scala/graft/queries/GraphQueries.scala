@@ -251,8 +251,12 @@ object GraphQueries extends graft.QueryPack {
     Q("q_x102_host_rank_gate",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val ownUrl = concat(lit("HTTP://H"),
-          (col("doc_id") % 20).cast("string"),
+        // canonicalization noise: casing, USERINFO (every third doc),
+        // default port, tracking params — the oracle shortcuts to the
+        // bare host, so the hash proves each strip works
+        val ownUrl = concat(lit("HTTP://"),
+          when(col("doc_id") % 3 === 0, lit("crawler:t0k@")).otherwise(lit("")),
+          lit("H"), (col("doc_id") % 20).cast("string"),
           lit(".COM:80/p/"), col("doc_id").cast("string"),
           lit("?utm_source=x&a=1"))
         val links = docs.select(col("doc_id"), explode(array(

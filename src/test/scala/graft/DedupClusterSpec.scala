@@ -605,11 +605,12 @@ class DedupClusterSpec extends AnyFunSuite {
     val out = graft.operators.Dedup.splitLeakageAudit(docs, bad,
         numHashes = 8, rowsPerBand = 2, thresholdTenths = 1)
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4))))
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getBoolean(5))))
       .toMap
-    assert(out(1L) === ((2L, 2L, "test|train", true)),
+    assert(out(1L) === ((2L, 2L, "test|train", 0L, true)),
       "the straddling near-dup cluster is a leak")
-    assert(out(3L) === ((1L, 1L, "train", false)),
+    assert(out(3L) === ((1L, 1L, "train", 0L, false)),
       "singletons can never leak")
     // the prevention-measurement duality: leakageSafeSplit's own
     // assignment must audit clean on the same corpus
@@ -621,5 +622,34 @@ class DedupClusterSpec extends AnyFunSuite {
         numHashes = 8, rowsPerBand = 2, thresholdTenths = 1)
       .filter(col("leaked")).count()
     assert(audit === 0L, "the cluster split can never leak by construction")
+  }
+
+  test("splitLeakageAudit: a PARTIALLY-covered assignment never shrinks " +
+      "the audit universe — unassigned members still count in n_docs, " +
+      "surface as n_unassigned, and a straddle with an unlabeled third " +
+      "member still reads leaked") {
+    import spark.implicits._
+    // docs 1/2/3 one near-dup cluster; docs 4/5 a second cluster; 6 unique
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val t2 = "hotel india juliet kilo lima mike"
+    val docs = Seq((1L, t1), (2L, t1), (3L, t1), (4L, t2), (5L, t2),
+      (6L, "completely different content here now")).toDF("doc_id", "text")
+    // the inherited split map covers only docs 1, 2 and 6: cluster
+    // {1,2,3} straddles with an UNLABELED third member (the inner-join
+    // shape would report n_docs=2); cluster {4,5} is entirely
+    // unlabeled (the inner-join shape would drop it from the audit)
+    val partial = Seq((1L, "train"), (2L, "test"), (6L, "train"))
+      .toDF("doc_id", "split")
+    val out = graft.operators.Dedup.splitLeakageAudit(docs, partial,
+        numHashes = 8, rowsPerBand = 2, thresholdTenths = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getBoolean(5))))
+      .toMap
+    assert(out(1L) === ((3L, 2L, "test|train", 1L, true)),
+      "the unlabeled third member counts and the straddle still reads")
+    assert(out(4L) === ((2L, 0L, "", 2L, false)),
+      "an entirely-unlabeled cluster stays visible with empty splits")
+    assert(out(6L) === ((1L, 1L, "train", 0L, false)))
   }
 }

@@ -335,5 +335,20 @@ class PreferencesSpec extends AnyFunSuite {
     val ex4 = intercept[Exception](Preferences.plackettLuce(alwaysLast,
       "list", "cand", "rank").collect())
     assert(ex4.getMessage.contains("zero stages"))
+    // a repeated CANDIDATE passes the rank-density check (ranks are
+    // dense 1..2) but would double-count its strength in every suffix
+    // pool — the distinct-candidate guard must trip
+    val dupCand = (Seq(("r1", "a", 1L), ("r1", "a", 2L)) ++ balance)
+      .toDF("list", "cand", "rank")
+    val ex5 = intercept[Exception](Preferences.plackettLuce(dupCand,
+      "list", "cand", "rank").collect())
+    assert(ex5.getMessage.contains("double-counts"))
+    // a candidate string carrying U+001F would corrupt the joined
+    // pattern key undetected — raise instead
+    val sep = (Seq(("r1", "a\u001fb", 1L), ("r1", "c", 2L)) ++ balance)
+      .toDF("list", "cand", "rank")
+    val ex6 = intercept[Exception](Preferences.plackettLuce(sep,
+      "list", "cand", "rank").collect())
+    assert(ex6.getMessage.contains("U+001F"))
   }
 }
