@@ -533,6 +533,64 @@ object Preferences {
             "AS BIGINT)")).as("adv_micros"))
   }
 
+  /** KTO-shaped unpaired preference aggregation (Ethayarajh et al.
+    * 2024, "KTO: Model Alignment as Prospect Theoretic Optimization")
+    * — the thumbs-up/down data shape production RLHF actually
+    * collects: no pairs, no rankings, just a per-example binary
+    * desirable/undesirable verdict. Completes the family's fourth
+    * rung: pairs ([[dpoPairs]]) / global ([[bradleyTerry]]) /
+    * listwise ([[plackettLuce]]) / critic-free ([[groupAdvantage]]) /
+    * UNPAIRED (this).
+    *
+    * Per prompt the BASELINE is the desirable share (the reference
+    * point the prospect-theoretic loss centers on, in exact half-up
+    * micros of an integer rational); per example the centered signal
+    * is `y·1e6 − baseline_micros` (y ∈ {0, 1}) — positive for
+    * desirable examples, negative for undesirable, zero-sum within a
+    * prompt up to the one rounding. A prompt whose feedback is ALL
+    * one verdict has no contrast: baseline 0 or 1e6 and every signal
+    * exactly 0 — degenerate surfaces honestly in the signal, the
+    * counts say why. Each example also carries the KTO
+    * class-imbalance weight (the λ_D·n_D ≈ λ_U·n_U balancing the
+    * paper prescribes, anchored at λ_D = 1): desirable rows weight
+    * 1e6, undesirable rows the half-up ppm of n_desirable /
+    * n_undesirable, so both verdict classes carry equal total weight
+    * per prompt; null when a side is empty (nothing to balance —
+    * the signal is already 0). Null prompt/id/verdict rows are
+    * unjudged — excluded; count them upstream.
+    *
+    * Scale shape: ONE prompt-keyed hash aggregation + one keyed join
+    * back (map-side combined; no window, no sort — the
+    * [[groupAdvantage]] discipline). All arithmetic exact integers —
+    * a relational oracle replays every cell. Returns `(<promptCol>,
+    * <respIdCol>, desirable, n_examples, n_desirable, n_undesirable,
+    * baseline_micros, signal_micros, weight_ppm)`. */
+  def ktoSignal(feedback: DataFrame, promptCol: String,
+      respIdCol: String, desirableCol: String): DataFrame = {
+    val base = feedback.filter(col(promptCol).isNotNull &&
+        col(respIdCol).isNotNull && col(desirableCol).isNotNull)
+      .select(col(promptCol), col(respIdCol),
+        col(desirableCol).cast("boolean").as("desirable"))
+    val stats = base.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_examples"),
+        sum(when(col("desirable"), 1L).otherwise(0L)).as("n_desirable"))
+      .select(col(promptCol), col("n_examples"), col("n_desirable"),
+        (col("n_examples") - col("n_desirable")).as("n_undesirable"),
+        expr("(2 * n_desirable * 1000000 + n_examples) " +
+          "div (2 * n_examples)").as("baseline_micros"))
+    base.join(stats, Seq(promptCol))
+      .select(col(promptCol), col(respIdCol), col("desirable"),
+        col("n_examples"), col("n_desirable"), col("n_undesirable"),
+        col("baseline_micros"),
+        (when(col("desirable"), 1000000L).otherwise(0L) -
+          col("baseline_micros")).as("signal_micros"),
+        when(col("desirable"),
+          when(col("n_undesirable") > 0, 1000000L))
+          .otherwise(when(col("n_desirable") > 0, expr(
+            "(2 * n_desirable * 1000000 + n_undesirable) " +
+              "div (2 * n_undesirable)"))).as("weight_ppm"))
+  }
+
   /** The [[dpoPairs]] → training-strings composition: each pair's
     * chosen and rejected sides render as the two-turn ChatML strings a
     * DPO trainer tokenizes, THROUGH

@@ -1508,4 +1508,78 @@ object Profile {
       .select(st.map(f => boom.cast(f.dataType).as(f.name)): _*)
     out.unionAll(offenders)
   }
+
+  /** Calibrated abstention over a classifier's raw confidence signal —
+    * the operator that CONSUMES a [[binaryEval]] finding like q_v30's
+    * (the trained LID's argmax margins ANTI-correlate with
+    * correctness, AUC 0.024): an anti-calibrated margin must never
+    * silently gate data, so the accept/abstain verdict learns its
+    * direction from labeled evidence instead of assuming
+    * higher-is-better.
+    *
+    * Per predicted class over ALL rows: the score population's mean
+    * (sign-split half-up micros off exact integer sums) and
+    * population std (the one sqrt through the 6-dp-round discipline —
+    * the [[graft.operators.Preferences.groupAdvantage]] arithmetic,
+    * so each row's z-score normalizes per class, never across the
+    * classes' incomparable margin scales). Per class over the LABELED
+    * slice: the DIRECTION — +1 when correct predictions score higher
+    * on average than wrong ones (exact integer cross-multiplied
+    * compare, no division), −1 when lower, 0 when equal or when
+    * either verdict side is empty (no contrast — a direction assumed
+    * would be the exact failure this operator exists to stop). The
+    * verdict: accept iff direction ≠ 0 AND direction·z_micros ≥
+    * `zThresholdMicros`; abstain otherwise — including every row of a
+    * class with no usable direction or no scale (n = 1 / zero
+    * variance), which abstains rather than passes. Null class/score
+    * rows are unjudgeable — excluded; a null label is simply an
+    * UNLABELED row (it shapes the population stats but not the
+    * direction).
+    *
+    * Scale shape: ONE class-keyed hash aggregation (population stats
+    * and labeled-slice evidence in the same pass) + one keyed join
+    * back — no window, no sort, classes-sized broadcast. Returns
+    * `(<idCol>, <classCol>, <scoreCol>, <labelCol>, n_class, n_labeled,
+    * n_correct, direction, z_micros, accept)`. */
+  def calibratedAbstain(df: DataFrame, idCol: String, classCol: String,
+      scoreCol: String, labelCol: String,
+      zThresholdMicros: Long = 0L): DataFrame = {
+    val base = df.filter(col(classCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(idCol), col(classCol), col(scoreCol).cast("long")
+        .as("__s"), col(labelCol).cast("boolean").as("__lab"))
+    val stats = base.groupBy(col(classCol))
+      .agg(count(lit(1)).as("n_class"),
+        sum(col("__s")).as("__sr"),
+        sum(expr("CAST(__s AS DECIMAL(38,0)) * __s")).as("__srr"),
+        count(col("__lab")).as("n_labeled"),
+        sum(when(col("__lab"), 1L).otherwise(0L)).as("n_correct"),
+        sum(when(col("__lab"), col("__s"))).as("__sc"),
+        sum(when(not(col("__lab")), col("__s"))).as("__sw"))
+      .select(col(classCol), col("n_class"), col("n_labeled"),
+        col("n_correct"), col("__sr"),
+        expr("sqrt(CAST(__srr AS DOUBLE) / n_class " +
+          "- (CAST(__sr AS DOUBLE) / n_class) " +
+          "* (CAST(__sr AS DOUBLE) / n_class))").as("__std"),
+        // direction: exact cross-multiplied mean compare over the
+        // labeled slice; 0 when either verdict side has no evidence
+        expr("CAST(CASE WHEN n_correct > 0 " +
+          "AND n_labeled - n_correct > 0 THEN " +
+          "CASE WHEN CAST(__sc AS DECIMAL(38,0)) * (n_labeled - n_correct) " +
+          "> CAST(__sw AS DECIMAL(38,0)) * n_correct THEN 1 " +
+          "WHEN CAST(__sc AS DECIMAL(38,0)) * (n_labeled - n_correct) " +
+          "< CAST(__sw AS DECIMAL(38,0)) * n_correct THEN -1 " +
+          "ELSE 0 END ELSE 0 END AS INT)").as("direction"))
+    base.join(stats, Seq(classCol))
+      .withColumn("z_micros",
+        when(col("n_class") > 1 && col("__std") > 0, expr(
+          "CAST(ROUND(ROUND((CAST(__s AS DOUBLE) " +
+            "- CAST(__sr AS DOUBLE) / n_class) / __std, 6) * 1e6) " +
+            "AS BIGINT)")))
+      .select(col(idCol), col(classCol), col("__s").as(scoreCol),
+        col("__lab").as(labelCol), col("n_class"), col("n_labeled"),
+        col("n_correct"), col("direction"), col("z_micros"),
+        coalesce(col("direction") =!= 0 &&
+          col("direction").cast("long") * col("z_micros") >=
+            zThresholdMicros, lit(false)).as("accept"))
+  }
 }

@@ -721,6 +721,44 @@ object EventQueries extends graft.QueryPack {
              |    END AS BIGINT) AS adv_micros
              |FROM s JOIN dd USING (prompt)""".stripMargin)),
 
+    // ---- E43: KTO-shaped unpaired preference signal -----------------------
+    // The thumbs-up/down production data shape: per prompt
+    // (event_id % 40) each example carries a planted binary verdict;
+    // the per-prompt desirable share is the prospect-theoretic
+    // baseline, each example's centered signal and class-imbalance
+    // weight ride in exact integer micros/ppm. One prompt-keyed agg +
+    // keyed join (the q_e42 discipline); the oracle replays baseline,
+    // centering and the lambda balancing cell by cell.
+    Q("q_e43_kto_signal",
+      (s, d) => graft.operators.Preferences.ktoSignal(
+        Tables.events(s, d).select((col("event_id") % 40).as("prompt"),
+          col("event_id").as("resp"),
+          ((col("event_id") * 7919) % 97 < 55).as("d")),
+        "prompt", "resp", "d"),
+      Some("""WITH s AS (SELECT event_id % 40 AS prompt,
+             |    event_id AS resp,
+             |    (event_id * 7919) % 97 < 55 AS d
+             |  FROM events),
+             |st AS (SELECT prompt, COUNT(*) AS n,
+             |    SUM(CASE WHEN d THEN 1 ELSE 0 END) AS nd
+             |  FROM s GROUP BY 1),
+             |dd AS (SELECT prompt, n, nd, n - nd AS nu,
+             |    (2 * nd * 1000000 + n) // (2 * n) AS bm
+             |  FROM st)
+             |SELECT s.prompt, s.resp, s.d AS desirable,
+             |  CAST(dd.n AS BIGINT) AS n_examples,
+             |  CAST(dd.nd AS BIGINT) AS n_desirable,
+             |  CAST(dd.nu AS BIGINT) AS n_undesirable,
+             |  CAST(dd.bm AS BIGINT) AS baseline_micros,
+             |  CAST((CASE WHEN s.d THEN 1000000 ELSE 0 END) - dd.bm
+             |    AS BIGINT) AS signal_micros,
+             |  CAST(CASE WHEN s.d THEN
+             |      CASE WHEN dd.nu > 0 THEN 1000000 END
+             |    ELSE CASE WHEN dd.nd > 0 THEN
+             |      (2 * dd.nd * 1000000 + dd.nu) // (2 * dd.nu) END
+             |    END AS BIGINT) AS weight_ppm
+             |FROM s JOIN dd USING (prompt)""".stripMargin)),
+
     // ---- E40: length-bias audit (Kendall tau-a per prompt) ---------------
     // The reward-data failure mode made measurable: per prompt
     // (event_id % 40, over the event_id % 7 audit slice — pair

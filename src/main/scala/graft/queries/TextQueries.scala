@@ -2043,6 +2043,68 @@ object TextQueries extends graft.QueryPack {
              |FROM tot, ag""".stripMargin)),
 
 
+    // ---- V33: calibrated LID abstention (q_v30's finding consumed) ------
+    // q_v30 PROVED the trained LID's margins anti-correlate with
+    // correctness (AUC 0.024 at sf0.01) — so the accept/abstain gate
+    // on the same chain learns its DIRECTION from the labeled slice
+    // (exact cross-multiplied mean compare) instead of assuming
+    // higher-margin-is-better, and z-normalizes per class before the
+    // threshold. ONE oracle replays the fit, the per-class stats, the
+    // direction and every verdict.
+    Q("q_v33_lid_abstain",
+      (s, d) => {
+        val scored = trainedLangId(s, d)
+          .filter(col("lang").isNotNull && col("margin_m").isNotNull)
+          .select(col("doc_id"), col("lang"), col("margin_m"),
+            when(col("doc_id") % 4 < 2,
+              col("lang") === concat(lit("l"),
+                (col("doc_id") % 3).cast("string"))).as("correct"))
+        graft.operators.Profile.calibratedAbstain(scored, "doc_id",
+          "lang", "margin_m", "correct")
+          // nullable-BOOLEAN cells sort differently through the driver
+          // compare's stringified row order (None vs NaN) — ride the
+          // nullable-INT convention instead
+          .withColumn("correct", col("correct").cast("int"))
+      },
+      Some(s"""$duckLangIdChain,
+             |pc AS (SELECT b.doc_id, b.lang, b.margin_m,
+             |    CASE WHEN b.doc_id % 4 < 2 THEN
+             |      b.lang = 'l' || CAST(b.doc_id % 3 AS VARCHAR) END AS lab
+             |  FROM best b
+             |  WHERE b.lang IS NOT NULL AND b.margin_m IS NOT NULL),
+             |cst AS (SELECT lang, COUNT(*) AS ncl, SUM(margin_m) AS sr,
+             |    SUM(CAST(margin_m AS HUGEINT) * margin_m) AS srr,
+             |    COUNT(lab) AS nlb,
+             |    SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS ncr,
+             |    SUM(CASE WHEN lab THEN margin_m END) AS scr,
+             |    SUM(CASE WHEN NOT lab THEN margin_m END) AS swr
+             |  FROM pc GROUP BY 1),
+             |cdd AS (SELECT lang, ncl, nlb, ncr, sr,
+             |    sqrt(CAST(srr AS DOUBLE) / ncl
+             |      - (CAST(sr AS DOUBLE) / ncl)
+             |      * (CAST(sr AS DOUBLE) / ncl)) AS stdd,
+             |    CAST(CASE WHEN ncr > 0 AND nlb - ncr > 0 THEN
+             |      CASE WHEN CAST(scr AS HUGEINT) * (nlb - ncr)
+             |          > CAST(swr AS HUGEINT) * ncr THEN 1
+             |        WHEN CAST(scr AS HUGEINT) * (nlb - ncr)
+             |          < CAST(swr AS HUGEINT) * ncr THEN -1
+             |        ELSE 0 END ELSE 0 END AS INT) AS dir
+             |  FROM cst),
+             |czz AS (SELECT p.doc_id, p.lang, p.margin_m, p.lab,
+             |    d2.ncl, d2.nlb, d2.ncr, d2.dir,
+             |    CAST(CASE WHEN d2.ncl > 1 AND d2.stdd > 0 THEN
+             |      ROUND(ROUND((CAST(p.margin_m AS DOUBLE)
+             |        - CAST(d2.sr AS DOUBLE) / d2.ncl) / d2.stdd, 6)
+             |        * 1e6) END AS BIGINT) AS z
+             |  FROM pc p JOIN cdd d2 USING (lang))
+             |SELECT doc_id, lang, CAST(margin_m AS BIGINT) AS margin_m,
+             |  CAST(lab AS INT) AS correct, CAST(ncl AS BIGINT) AS n_class,
+             |  CAST(nlb AS BIGINT) AS n_labeled,
+             |  CAST(ncr AS BIGINT) AS n_correct, dir AS direction,
+             |  z AS z_micros,
+             |  COALESCE(dir <> 0 AND dir * z >= 0, FALSE) AS accept
+             |FROM czz""".stripMargin)),
+
     // ---- V32: confusion matrix + macro-F1 for the trained LID -----------
     // The standard per-class table over the q_x72 chain: pred = the
     // argmax language, gold = the planted one. The oracle replays the

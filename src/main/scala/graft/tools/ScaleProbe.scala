@@ -900,6 +900,32 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // KTO-signal growth — `runMain graft.tools.ScaleProbe kto`:
+    // the q_e43 thumbs-up/down synthesis over ×1/×8/×64 event copies.
+    // The plan is ONE prompt-keyed hash aggregation (map-side
+    // combined) + one keyed join back — no window, no sort — so
+    // growth should track the corpus scan linearly.
+    if (args.headOption.contains("kto")) {
+      import graft.operators.Preferences
+      val ev0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val span = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
+      Seq(1, 8, 64).foreach { f =>
+        val ev = (0 until f)
+          .map(k => ev0.withColumn("event_id", col("event_id") + lit(k * span)))
+          .reduce(_ unionByName _)
+        val fb = ev.select((col("event_id") % 40).as("prompt"),
+          col("event_id").as("resp"),
+          ((col("event_id") * 7919) % 97 < 55).as("d"))
+        def run(): Double = time {
+          Preferences.ktoSignal(fb, "prompt", "resp", "d")
+            .write.format("noop").mode("overwrite").save()
+        }
+        run() // warmup
+        println(f"[scaleprobe] kto x$f%-4d ${math.min(run(), run())}%.2f s")
+      }
+      spark.stop(); return
+    }
+
     // Plackett-Luce growth — `runMain graft.tools.ScaleProbe pl`:
     // the q_e41 3-way-ranking synthesis over ×1/×8/×64 event copies
     // (same 6 candidates throughout — corpora grow, candidate sets

@@ -305,6 +305,34 @@ class PreferencesSpec extends AnyFunSuite {
       "half-up of -3.5 rounds away from zero (sign-split)")
   }
 
+  test("kto signal: hand-checked baseline and centering, all-one-verdict " +
+      "prompts read zero signal, imbalance weights balance the verdict " +
+      "masses, null verdicts are unjudged") {
+    import spark.implicits._
+    val fb = Seq(
+      // p1: 3 up, 1 down -> baseline 750000; signals +250000 / -750000;
+      // weights: desirable 1e6, undesirable 3e6 (3 up / 1 down)
+      ("p1", 1L, Option(true)), ("p1", 2L, Option(true)),
+      ("p1", 3L, Option(true)), ("p1", 4L, Option(false)),
+      // p2: ALL desirable -> baseline 1e6, zero signal, no weight
+      ("p2", 5L, Option(true)), ("p2", 6L, Option(true)),
+      // p3: ALL undesirable -> baseline 0, zero signal, no weight
+      ("p3", 7L, Option(false)), ("p3", 8L, Option(false)),
+      ("p1", 9L, Option.empty[Boolean]))
+      .toDF("prompt", "resp", "up")
+    val out = Preferences.ktoSignal(fb, "prompt", "resp", "up")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getBoolean(2), r.getLong(3), r.getLong(6), r.getLong(7),
+          if (r.isNullAt(8)) None else Some(r.getLong(8))))).toMap
+    assert(out.size === 8, "the null-verdict example is unjudged")
+    assert(out(1L) === ((true, 4L, 750000L, 250000L, Some(1000000L))))
+    assert(out(4L) === ((false, 4L, 750000L, -750000L, Some(3000000L))),
+      "lambda_U = n_D/n_U balances the verdict masses exactly")
+    assert(out(5L) === ((true, 2L, 1000000L, 0L, None)),
+      "all-one-verdict: no contrast, zero signal, nothing to balance")
+    assert(out(7L) === ((false, 2L, 0L, 0L, None)))
+  }
+
   test("plackett-luce: guards — tied/gapped ranks raise, the list cap " +
       "raises, a candidate that only ever places last trips Ford") {
     import spark.implicits._

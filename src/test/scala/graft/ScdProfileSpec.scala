@@ -1062,4 +1062,48 @@ class ScdProfileSpec extends AnyFunSuite {
       "label", bucketWidth = 1L, maxBuckets = 2).collect())
     assert(ex.getMessage.contains("buckets-squared"))
   }
+
+  test("calibratedAbstain: an ANTI-calibrated class accepts LOW scores " +
+      "(wrong high-score predictions abstain), a calibrated class " +
+      "accepts high, no-contrast and no-scale classes abstain " +
+      "entirely, unlabeled rows shape the population but not the " +
+      "direction") {
+    import spark.implicits._
+    val rows = Seq(
+      // class A: wrong predictions score HIGHER (the q_v30 shape) —
+      // direction must read -1 and the verdict must flip
+      (1L, "A", 10L, Option(true)), (2L, "A", 20L, Option(true)),
+      (3L, "A", 90L, Option(false)), (4L, "A", 80L, Option(false)),
+      (5L, "A", 15L, Option.empty[Boolean]),
+      (6L, "A", 95L, Option.empty[Boolean]),
+      // class B: the textbook calibrated margin
+      (7L, "B", 90L, Option(true)), (8L, "B", 80L, Option(true)),
+      (9L, "B", 10L, Option(false)), (10L, "B", 20L, Option(false)),
+      // class C: all labeled evidence is one verdict — no contrast
+      (11L, "C", 5L, Option(true)), (12L, "C", 7L, Option(true)),
+      // class D: a single row has no scale
+      (13L, "D", 1L, Option(true)))
+      .toDF("id", "cls", "score", "lab")
+    val out = Profile.calibratedAbstain(rows, "id", "cls", "score", "lab")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7),
+          if (r.isNullAt(8)) None else Some(r.getLong(8)),
+          r.getBoolean(9)))).toMap
+    assert(out.size === 13)
+    // A: population n=6 (unlabeled rows count), labeled slice 4/2
+    assert(out(1L)._1 === 6L && out(1L)._2 === 4L && out(1L)._3 === 2L)
+    assert(out(1L)._4 === -1, "wrong scores higher -> direction -1")
+    assert(out(1L)._6 && out(2L)._6 && out(5L)._6,
+      "below-mean scores accept under the learned inversion")
+    assert(!out(3L)._6 && !out(4L)._6 && !out(6L)._6,
+      "the wrong high-score predictions (and their unlabeled " +
+        "lookalike) abstain")
+    // B: mean 50, std 35.355339 -> z(90) = round(1.131371)e6
+    assert(out(7L)._4 === 1 && out(7L)._5 === Some(1131371L))
+    assert(out(7L)._6 && out(8L)._6 && !out(9L)._6 && !out(10L)._6)
+    // C: no contrast -> direction 0 -> every row abstains
+    assert(out(11L)._4 === 0 && !out(11L)._6 && !out(12L)._6)
+    // D: n=1 -> no scale -> null z -> abstains
+    assert(out(13L)._5 === None && !out(13L)._6)
+  }
 }
