@@ -2176,9 +2176,17 @@ object TextAnalysis {
     * hidden; within the banded set the verdict is exact. A candidate
     * fanning past `maxPairsPerCand` banded matches trips an in-plan
     * raise (the dpoPairs cap discipline). Candidates with no banded
-    * match keep with null evidence columns. Returns `(<idCol>,
-    * n_banded, max_f_ppm, nearest_seed_id, keep)` — nearest seed ties
-    * to the LOWER seed id. */
+    * match keep with null evidence columns.
+    *
+    * DIVERGENCE from the sequential reference recipe, stated: the
+    * pool here is the SEEDS ONLY, whereas Wang et al.'s loop grows
+    * the pool with each accepted instruction — so two near-identical
+    * candidates in ONE batch both pass this gate. Compose with
+    * [[selfInstructIntraBatch]] (keep = both verdicts) to close that
+    * hole, or iterate batches feeding survivors back as seeds for the
+    * sequential semantics. Returns `(<idCol>, n_banded, max_f_ppm,
+    * nearest_seed_id, keep)` — nearest seed ties to the LOWER seed
+    * id. */
   def selfInstructFilter(cands: DataFrame, seeds: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       thresholdPpm: Long = 700000L, maxTokenDf: Int = 100,
@@ -2237,6 +2245,91 @@ object TextAnalysis {
       lit(s" banded matches (cap $maxPairsPerCand) — each pays an LCS " +
         "rescore; lower maxTokenDf or raise the cap deliberately")))
     val offenders = pairs.groupBy(col("__cid"))
+      .agg(count(lit(1)).as("__np"))
+      .filter(col("__np") > maxPairsPerCand)
+      .select(sch.map(f => boom.cast(f.dataType).as(f.name)): _*)
+    out.unionAll(offenders)
+  }
+
+  /** Intra-batch Self-Instruct novelty stage — the same-batch hole in
+    * [[selfInstructFilter]]'s seed gate closed: within ONE candidate
+    * batch, a candidate keeps only if no LOWER-id candidate scores
+    * ROUGE-L F ≥ `thresholdPpm` against it (lower-id-first keep — the
+    * canonical-selection tie convention, deterministic and
+    * order-free). Banding, LCS rescore, cap guard and arithmetic are
+    * [[selfInstructFilter]]'s exactly, applied to the candidate×
+    * candidate relation with `lowId < highId`.
+    *
+    * Semantics vs Wang et al.'s sequential loop, stated: the blocker
+    * set here is EVERY lower-id candidate, not just previously
+    * ACCEPTED ones — the one-pass relational reading. Since the
+    * sequential pool is a subset of the lower-id set, this stage is
+    * strictly CONSERVATIVE: it never keeps a candidate the sequential
+    * loop would reject; in a reject-chain (a blocks b, b blocks c, a
+    * doesn't block c) it may additionally reject c. Diversity is
+    * preserved either way — the lowest member of every near-dup group
+    * always survives. Returns `(<idCol>, n_banded, max_f_ppm,
+    * nearest_lower_id, keep)` — null evidence for candidates with no
+    * banded lower-id match. */
+  def selfInstructIntraBatch(cands: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      thresholdPpm: Long = 700000L, maxTokenDf: Int = 100,
+      maxPairsPerCand: Int = 4096): DataFrame = {
+    require(thresholdPpm >= 1, s"thresholdPpm must be >= 1")
+    require(maxTokenDf >= 1, s"maxTokenDf must be >= 1")
+    require(maxPairsPerCand >= 1, s"maxPairsPerCand must be >= 1")
+    graft.functions.LcsTokens.register(cands.sparkSession)
+    val ct = cands.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__cid"), col(textCol).as("__ctext"))
+    val candTok = ct
+      .select(col("__cid"), explode(tokens(col("__ctext"))).as("tok"))
+      .distinct()
+    val rare = candTok.select(col("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxTokenDf)
+      .select(col("tok"))
+    val banded = candTok.join(rare, Seq("tok"), "left_semi")
+    val pairs = banded.select(col("tok"), col("__cid").as("__lo"))
+      .join(banded.select(col("tok"), col("__cid").as("__hi")), Seq("tok"))
+      .filter(col("__lo") < col("__hi"))
+      .select(col("__lo"), col("__hi")).distinct()
+      .localCheckpoint()
+    val scored = pairs
+      .join(ct.select(col("__cid").as("__lo"), col("__ctext").as("__lt")),
+        Seq("__lo"))
+      .join(ct.select(col("__cid").as("__hi"), col("__ctext").as("__ht")),
+        Seq("__hi"))
+      .select(col("__hi"), col("__lo"),
+        call_function("lcs_tokens", col("__lt"), col("__ht"))
+          .cast("long").as("__lcs"),
+        size(tokens(col("__lt"))).cast("long").as("__nr"),
+        size(tokens(col("__ht"))).cast("long").as("__nh"))
+      .select(col("__hi"), col("__lo"),
+        when(col("__nr") + col("__nh") > 0, expr(
+          "(4 * __lcs * 1000000 + (__nr + __nh)) " +
+            "div (2 * (__nr + __nh))")).otherwise(lit(0L)).as("__f"))
+    val best = scored.groupBy(col("__hi"))
+      .agg(count(lit(1)).as("n_banded"),
+        min(struct((-col("__f")).as("__nf"), col("__lo").as("__id")))
+          .as("__b"))
+      .select(col("__hi").as("__cid"), col("n_banded"),
+        (-col("__b.__nf")).as("max_f_ppm"),
+        col("__b.__id").as("nearest_lower_id"))
+    val out = ct.select(col("__cid"))
+      .join(best, Seq("__cid"), "left")
+      .select(col("__cid").as(idCol),
+        coalesce(col("n_banded"), lit(0L)).as("n_banded"),
+        col("max_f_ppm"), col("nearest_lower_id"),
+        coalesce(col("max_f_ppm") < thresholdPpm, lit(true)).as("keep"))
+    val sch = out.schema
+    val boom = raise_error(concat(
+      lit("selfInstructIntraBatch: candidate "),
+      col("__hi").cast("string"),
+      lit(" has "), col("__np").cast("string"),
+      lit(s" banded lower-id matches (cap $maxPairsPerCand) — each " +
+        "pays an LCS rescore; lower maxTokenDf or raise the cap " +
+        "deliberately")))
+    val offenders = pairs.groupBy(col("__hi"))
       .agg(count(lit(1)).as("__np"))
       .filter(col("__np") > maxPairsPerCand)
       .select(sch.map(f => boom.cast(f.dataType).as(f.name)): _*)

@@ -2433,6 +2433,89 @@ object TextQueries extends graft.QueryPack {
              |  COALESCE(b.max_f_ppm < 500000, true) AS keep
              |FROM ctx c LEFT JOIN bst b ON b.cid = c.cid""".stripMargin)),
 
+    // ---- X106: intra-batch Self-Instruct stage (lower-id-first keep) ----
+    // The q_x105 candidate slice deduplicated against ITSELF: a
+    // candidate keeps only if no lower-id candidate in the same batch
+    // scores ROUGE-L F >= the threshold — the same-batch hole the
+    // seed-only gate leaves open (two near-identical generations both
+    // pass q_x105). Same band (rare tokens, df <= 25 over the batch),
+    // same exact LCS rescore; the oracle replays the lo < hi pair
+    // band, the anti-diagonal LCS recursion, and the (f desc, lo asc)
+    // argmax.
+    Q("q_x106_self_instruct_intra",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .withColumn("__t", TextAnalysis.tokens(col("text")))
+        val instr = docs.select(col("doc_id"),
+          concat(array_join(slice(col("__t"), 1, 12), " "),
+            lit(" tag"), (col("doc_id") % 23).cast("string")).as("itext"))
+        TextAnalysis.selfInstructIntraBatch(
+          instr.filter(col("doc_id") % 5 === 0),
+          "itext", "doc_id", thresholdPpm = 500000L, maxTokenDf = 25)
+      },
+      Some("""WITH RECURSIVE
+             |tt AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+             |  FROM documents WHERE text IS NOT NULL),
+             |ins AS (SELECT doc_id,
+             |    COALESCE(array_to_string(list_slice(toks, 1, 12), ' '), '')
+             |      || ' tag' || CAST(doc_id % 23 AS VARCHAR) AS itext
+             |  FROM tt),
+             |ctx AS (SELECT doc_id AS cid, itext,
+             |    list_filter(regexp_split_to_array(itext, '\s+'), x -> x <> '') AS ctoks
+             |  FROM ins WHERE doc_id % 5 = 0),
+             |ctok AS (SELECT DISTINCT cid, tok FROM (
+             |  SELECT cid, unnest(ctoks) AS tok FROM ctx)),
+             |rare AS (SELECT tok FROM (
+             |  SELECT tok, COUNT(*) AS dfc FROM ctok
+             |  GROUP BY 1) WHERE dfc <= 25),
+             |prs AS (SELECT DISTINCT a.cid AS lo, b.cid AS hi
+             |  FROM ctok a JOIN rare USING (tok)
+             |  JOIN ctok b USING (tok)
+             |  WHERE a.cid < b.cid),
+             |dims AS (SELECT p.hi, p.lo, cl.ctoks AS rt, ch.ctoks AS ht,
+             |    len(cl.ctoks) AS m, len(ch.ctoks) AS n
+             |  FROM prs p JOIN ctx cl ON cl.cid = p.lo
+             |  JOIN ctx ch ON ch.cid = p.hi),
+             |r AS (
+             |  SELECT hi, lo, 0 AS d,
+             |    list_transform(range(0, m + 1), i -> 0) AS cur,
+             |    list_transform(range(0, m + 1), i -> 0) AS prev
+             |  FROM dims
+             |  UNION ALL
+             |  SELECT r.hi, r.lo, r.d + 1,
+             |    list_transform(range(0, dm.m + 1), i ->
+             |      CASE WHEN i = 0 OR r.d + 1 - i < 1 OR r.d + 1 - i > dm.n
+             |        THEN 0
+             |      ELSE greatest(
+             |        r.cur[i],
+             |        r.cur[i + 1],
+             |        r.prev[i] + CASE WHEN dm.rt[i] = dm.ht[r.d + 1 - i]
+             |          THEN 1 ELSE 0 END)
+             |      END) AS cur,
+             |    r.cur AS prev
+             |  FROM r JOIN dims dm ON dm.hi = r.hi AND dm.lo = r.lo
+             |  WHERE r.d < dm.m + dm.n),
+             |sc AS (SELECT r.hi, r.lo,
+             |    (4 * r.cur[dm.m + 1] * 1000000 + (dm.m + dm.n))
+             |      // (2 * (dm.m + dm.n)) AS f
+             |  FROM r JOIN dims dm ON dm.hi = r.hi AND dm.lo = r.lo
+             |  WHERE r.d = dm.m + dm.n),
+             |bst AS (SELECT hi, CAST(COUNT(*) AS BIGINT) AS n_banded,
+             |    wf AS max_f_ppm, wl AS nearest_lower_id FROM (
+             |  SELECT hi, lo, f,
+             |    first_value(f) OVER (PARTITION BY hi
+             |      ORDER BY f DESC, lo) AS wf,
+             |    first_value(lo) OVER (PARTITION BY hi
+             |      ORDER BY f DESC, lo) AS wl
+             |  FROM sc) GROUP BY hi, wf, wl)
+             |SELECT c.cid AS doc_id,
+             |  COALESCE(b.n_banded, 0) AS n_banded,
+             |  CAST(b.max_f_ppm AS BIGINT) AS max_f_ppm,
+             |  b.nearest_lower_id,
+             |  COALESCE(b.max_f_ppm < 500000, true) AS keep
+             |FROM ctx c LEFT JOIN bst b ON b.hi = c.cid""".stripMargin)),
+
     // ---- X76: tokenizer fertility per language ---------------------------
     // The multilingual tokenizer-quality audit over the q_x73 chain:
     // pieces-per-word in exact ppm per documents.lang — ONE oracle hash

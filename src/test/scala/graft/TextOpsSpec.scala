@@ -1754,4 +1754,48 @@ class TextOpsSpec extends AnyFunSuite {
         .collect())
     assert(ex.getMessage.contains("banded matches"))
   }
+
+  test("selfInstructIntraBatch: of a same-batch near-duplicate pair " +
+      "exactly the LOWER id survives; reject-chains are conservative " +
+      "vs the sequential loop (documented); no-band candidates keep; " +
+      "the cap raises") {
+    import spark.implicits._
+    val batch = Seq(
+      (1L, "the quickfox jumps over lazydog"),
+      (2L, "the quickfox jumps over lazydog"), // exact same-batch dup
+      (3L, "totally unrelated wording here now")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.selfInstructIntraBatch(batch)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getBoolean(4)))).toMap
+    assert(out(1L) === ((0L, -1L, -1L, true)),
+      "the lowest id has no lower-id blocker — always survives")
+    assert(out(2L) === ((1L, 1000000L, 1L, false)),
+      "its same-batch twin rejects against exactly the lower id")
+    assert(out(3L) === ((0L, -1L, -1L, true)))
+    // the documented conservative divergence: a blocks b, b blocks c,
+    // a does NOT block c — the sequential loop would keep c (its pool
+    // holds only accepted a), the one-pass stage rejects c via b
+    val chain = Seq(
+      (10L, "w1 w2 w3 w4"),   // keeps
+      (11L, "w1 w2 w3 w5"),   // F vs 10 = 6/8 = 750000 -> rejected
+      (12L, "w1 w2 w5 w6"))   // F vs 10 = 500000, vs 11 = 750000
+      .toDF("doc_id", "text")
+    val ch = graft.operators.TextAnalysis.selfInstructIntraBatch(chain)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getBoolean(4)))).toMap
+    assert(ch(10L)._3 === true)
+    assert(ch(11L) === ((750000L, 10L, false)))
+    assert(ch(12L) === ((750000L, 11L, false)),
+      "conservative: blocked by the lower-id candidate b even though " +
+        "b itself rejected — never admits what the sequential loop " +
+        "rejects")
+    val ex = intercept[Exception](
+      graft.operators.TextAnalysis.selfInstructIntraBatch(chain,
+        maxPairsPerCand = 1).collect())
+    assert(ex.getMessage.contains("lower-id matches"))
+  }
 }
