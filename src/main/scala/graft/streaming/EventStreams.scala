@@ -937,6 +937,30 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("__v")).as("s1"),
         sum(col("__v") * col("__v")).as("s2"))
 
+  /** Streaming token-count state
+    * ([[graft.operators.TextAnalysis.tokenKlDrift]]'s monitoring twin)
+    * — the corpus-refresh alarm's live half: documents arrive as a
+    * stream and the state the KL derives from is the per-token count
+    * `(tok, c)` — pure MONOTONE counters (complete-mode aggregation,
+    * no watermark, order-independent), the [[embeddingDimStats]]
+    * stance on text. State is vocab-bounded regardless of stream
+    * volume — unigram vocabularies plateau far below row counts;
+    * shard the stream by token prefix if a corpus's vocabulary
+    * outgrows one state store. Null texts are excluded exactly as in
+    * the batch operator. Feed two such states (or one against a batch
+    * reference's counts) through
+    * [[graft.operators.TextAnalysis.tokenKlFromCounts]] — the
+    * IDENTICAL arithmetic the batch composition runs, so the parity
+    * spec derives the batch drift numbers bit-for-bit across batch
+    * splits. Run with `complete` output mode. */
+  def tokenCountState(spark: SparkSession, docs: DataFrame,
+      textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(explode(graft.operators.TextAnalysis.tokens(
+        lower(col(textCol)))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"))
+
   def preferenceCounts(spark: SparkSession, prefs: DataFrame,
       winnerCol: String, loserCol: String): DataFrame = {
     prefs

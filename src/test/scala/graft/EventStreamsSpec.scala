@@ -514,6 +514,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming token-count state INCREMENTALLY derives the batch " +
+      "token-KL drift numbers at every batch split") {
+    // the corpus-refresh twin: per-token counts are monotone, so the
+    // complete-mode state after EACH batch must feed tokenKlFromCounts
+    // to exactly the numbers batch tokenKlDrift reports for the same
+    // prefix — including a null text that must not count
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((1L, Option("a a b c")), (2L, Option("a b")))
+      .toDF("doc_id", "text")
+    val streamed = Seq(
+      Seq((10L, Option("a z z")), (11L, Option.empty[String])),
+      Seq((12L, Option("b c c z")), (13L, Option("a a"))))
+    val input = MemoryStream[(Long, Option[String])]
+    val q = EventStreams.tokenCountState(spark,
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("tokcnt_incr").start()
+    try {
+      val refCounts = EventStreams.tokenCountState(spark, ref)
+      streamed.indices.foreach { i =>
+        input.addData(streamed(i)); q.processAllAvailable()
+        val derived = graft.operators.TextAnalysis.tokenKlFromCounts(
+          refCounts, spark.table("tokcnt_incr")).head
+        val want = graft.operators.TextAnalysis.tokenKlDrift(ref,
+          streamed.take(i + 1).flatten.toDF("doc_id", "text")).head
+        assert(derived.toSeq === want.toSeq,
+          s"streamed state after batch $i must derive the batch KL " +
+            "numbers bit-for-bit")
+      }
+      // and the drift is non-degenerate evidence, not a vacuous zero
+      val fin = graft.operators.TextAnalysis.tokenKlFromCounts(
+        refCounts, spark.table("tokcnt_incr")).head
+      assert(fin.getLong(3) > 0L && fin.getLong(4) > 0L)
+    } finally q.stop()
+  }
+
   test("streaming answer-vote counts INCREMENTALLY derive the batch " +
       "self-consistency verdicts") {
     // the eval twin: per-(question, answer) tallies are monotone sums;
