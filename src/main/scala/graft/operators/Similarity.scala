@@ -826,4 +826,113 @@ object Similarity {
       .select(col("n_a"), col("n_b"), col("msq_a_micros"),
         col("msq_b_micros"), col("centroid_cos_micros"))
   }
+
+  /** The drift → retrain → recall-gate REINDEX loop, composed — the
+    * operational cycle every production vector store runs when
+    * [[embeddingDrift]] alarms (an embedding-model update or a
+    * corpus-mix shift moved the population, so yesterday's coarse
+    * quantizer routes today's vectors badly): measure the drift
+    * between the indexed corpus and the new batch, retrain the IVF
+    * centroids on the MERGED corpus, then gate the swap on
+    * [[recallAtK]] of both indexes against the exact baseline over
+    * new-population queries. All three legs existed
+    * ([[embeddingDrift]], [[graft.operators.Kmeans]], [[recallAtK]] /
+    * [[ivfTopKWith]]); this chains them under one relation.
+    *
+    * Index seeding is id-order-deterministic WITHOUT a dense-id
+    * contract: the old index seeds from the `numCentroids` lowest-id
+    * OLD vectors (bounded top-k buffer — no corpus sort, no window);
+    * the retrained index interleaves the `numCentroids/2` lowest-id
+    * seeds of EACH side (old seed r → centroid 2r, new seed r →
+    * 2r+1), so the retrained codebook starts with coverage of both
+    * populations — the property that makes the recall comparison a
+    * fair fight rather than a warm-start lottery. `numCentroids` must
+    * be even; both trainings run `iters` Lloyd iterations over their
+    * corpus (old index: OLD corpus only — yesterday's index never saw
+    * the batch; retrained: merged).
+    *
+    * The plan is static — both indexes always evaluate (a relational
+    * composition cannot branch on the drift row); the verdict columns
+    * carry the decision a deployment acts on: `drifted` (centroid
+    * cosine below `driftGateMicros`, or no direction), and
+    * `reindex_accepted` = drifted AND the retrained index's
+    * corpus-level recall clears `recallGatePpm`. Mean recalls are
+    * hits-weighted exact ppm over the query set ((2·Σhits·1e6 + k·q)
+    * div (2·k·q)). Old and new ids MUST be disjoint — a collision
+    * would alias two different vectors through the merged relation,
+    * so it trips an in-plan raise.
+    *
+    * Scale shape: the drift is two dim-keyed aggregations; each
+    * training is the [[graft.operators.Kmeans.trainFrom]] loop
+    * (broadcast centroids, k·d-bounded update shuffles,
+    * localCheckpointed rounds); each search is the probed-list keyed
+    * equi-join ([[ivfTopKWith]]); the exact baseline scores only the
+    * bounded query slice. Returns one row per baseline query:
+    * `(query_id, hits_old, recall_old_ppm, hits_new, recall_new_ppm,
+    * centroid_cos_micros, drifted, mean_recall_old_ppm,
+    * mean_recall_new_ppm, reindex_accepted)` — the verdict columns
+    * stage-constant (1-row broadcast). */
+  def reindexOnDrift(oldEmb: DataFrame, newEmb: DataFrame,
+      numCentroids: Int, iters: Int, nProbe: Int, k: Int,
+      queryPred: Column, driftGateMicros: Long, recallGatePpm: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(numCentroids >= 2 && numCentroids % 2 == 0,
+      s"numCentroids must be even and >= 2 (half per population), " +
+        s"got $numCentroids")
+    require(nProbe >= 1 && k >= 1, s"need nProbe/k >= 1")
+    // bottom-m ids via the bounded top-k buffer (score = -id): no
+    // corpus sort, no window, no dense-id contract
+    def seeds(df: DataFrame, m: Int, stride: Int, off: Int): DataFrame =
+      perQueryTopK(
+        df.select(lit(0L).as("query_id"), col(idCol).as("neighbor_id"),
+          (-col(idCol).cast("double")).as("score")), m)
+        .select(col("neighbor_id").as(idCol),
+          ((col("rnk") - 1) * stride + off).as("centroid_id"))
+        .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+        .select(col("centroid_id"),
+          col(vecCol).cast("array<float>").as("cv"))
+        .localCheckpoint(true)
+    val oldInit = seeds(oldEmb, numCentroids, 1, 0)
+    val mergedInit = seeds(oldEmb, numCentroids / 2, 2, 0)
+      .unionAll(seeds(newEmb, numCentroids / 2, 2, 1))
+      .localCheckpoint(true)
+    val merged = oldEmb.select(col(idCol), col(vecCol))
+      .unionAll(newEmb.select(col(idCol), col(vecCol)))
+    val oldCents = Kmeans.trainFrom(oldEmb, oldInit, iters, idCol, vecCol)
+    val newCents = Kmeans.trainFrom(merged, mergedInit, iters, idCol, vecCol)
+    val exact = bruteForceTopK(merged, queryPred, k, idCol, vecCol)
+    def recall(cents: DataFrame, tag: String): DataFrame =
+      recallAtK(ivfTopKWith(merged, cents, queryPred, nProbe, k,
+          idCol, vecCol), exact, k)
+        .select(col("query_id"), col("hits").as(s"hits_$tag"),
+          col("recall_ppm").as(s"recall_${tag}_ppm"))
+    val rOld = recall(oldCents, "old")
+    val rNew = recall(newCents, "new")
+    def meanOf(r: DataFrame, tag: String): DataFrame =
+      r.agg(sum(col(s"hits_$tag")).as("__sh"), count(lit(1)).as("__nq"))
+        .select(expr(s"(2 * __sh * 1000000 + $k * __nq) " +
+          s"div (2 * $k * __nq)").as(s"mean_recall_${tag}_ppm"))
+    val verdict = embeddingDrift(oldEmb, newEmb, vecCol)
+      .select(col("centroid_cos_micros"))
+      .crossJoin(meanOf(rOld, "old")).crossJoin(meanOf(rNew, "new"))
+      .select(col("centroid_cos_micros"),
+        coalesce(col("centroid_cos_micros") < driftGateMicros, lit(true))
+          .as("drifted"),
+        col("mean_recall_old_ppm"), col("mean_recall_new_ppm"))
+      .withColumn("reindex_accepted",
+        col("drifted") && col("mean_recall_new_ppm") >= recallGatePpm)
+    val out = rOld.join(rNew, Seq("query_id"))
+      .crossJoin(broadcast(verdict))
+    // id-collision guard: every output column carries the raise (a
+    // shared id would alias two different vectors through the merge)
+    val sch = out.schema
+    val boom = raise_error(concat(
+      lit("reindexOnDrift: id "), col(idCol).cast("string"),
+      lit(" appears in BOTH the old corpus and the new batch — ids " +
+        "must be disjoint (offset the batch upstream)")))
+    val offenders = oldEmb.select(col(idCol)).distinct()
+      .join(newEmb.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(sch.map(f => boom.cast(f.dataType).as(f.name)): _*)
+    out.unionAll(offenders)
+  }
 }

@@ -309,7 +309,191 @@ object SimilarityQueries extends graft.QueryPack {
        |  FROM scored)
        |WHERE rnk <= 5""".stripMargin
 
+  /** Probed-list top-k search CTEs over a post-training assignment
+    * relation (scores of EVERY `<ex>` vector against one codebook):
+    * emits `<p>run(query_id, neighbor_id, rnk)` — the q_sim5 search
+    * block parameterized so q_sim21 can replay BOTH indexes. */
+  private def ivfSearchAs(p: String, s3: String, qPred: String,
+      ex: String, norms: String, nProbe: Int, k: Int): String =
+    s"""${p}assign AS (
+       |  SELECT vec_id AS neighbor_id, centroid_id FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+       |    FROM $s3) WHERE rn = 1),
+       |${p}probes AS (
+       |  SELECT vec_id AS query_id, centroid_id FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+       |    FROM $s3 WHERE $qPred) WHERE rn <= $nProbe),
+       |${p}cand AS (
+       |  SELECT p.query_id, a.neighbor_id
+       |  FROM ${p}probes p JOIN ${p}assign a USING (centroid_id)
+       |  WHERE a.neighbor_id <> p.query_id),
+       |${p}cdot AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         SUM(CAST(eq.v AS DOUBLE) * CAST(en.v AS DOUBLE)) AS dot
+       |  FROM ${p}cand c
+       |  JOIN $ex eq ON eq.vec_id = c.query_id
+       |  JOIN $ex en ON en.vec_id = c.neighbor_id AND en.i = eq.i
+       |  GROUP BY 1, 2),
+       |${p}run AS (
+       |  SELECT query_id, neighbor_id, rnk FROM (
+       |    SELECT cd.query_id, cd.neighbor_id, row_number() OVER (
+       |        PARTITION BY cd.query_id
+       |        ORDER BY ROUND(cd.dot / (nq.nrm * nn.nrm), 6) DESC,
+       |          cd.neighbor_id) AS rnk
+       |    FROM ${p}cdot cd
+       |    JOIN $norms nq ON nq.vec_id = cd.query_id
+       |    JOIN $norms nn ON nn.vec_id = cd.neighbor_id)
+       |  WHERE rnk <= $k)""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+
+    // ---- SIM21: the drift -> retrain -> recall-gate reindex loop ---------
+    // The operational cycle composed under ONE oracle, on a planted
+    // drift built so the failure is STRUCTURAL, not a lottery: the
+    // indexed (old) population lives in dims 1-32 (top half zeroed —
+    // Lloyd preserves the zero subspace, so every old centroid is
+    // blind to dims 33-64); the new batch carries 4 strong
+    // sub-clusters in dims 33-64 (u_j + 0.25x own-noise, u_j = raw
+    // corpus vector j's top half, j = vec_id % 4) plus independent
+    // 0.0625x noise in dims 1-32. The two noise components are
+    // INDEPENDENT halves of the raw vector, so within-sub-cluster
+    // neighbor RANKING (driven by the top-half noise, invisible to
+    // old centroids) decorrelates from old-index ASSIGNMENT (driven
+    // only by the bottom-half noise): same-sub-cluster neighbors
+    // scatter across the old lists and 2-of-8 probes miss most of
+    // them — while the retrained codebook (seeds interleaved, one per
+    // sub-cluster) concentrates each sub-cluster in its own list.
+    // Drift gate fires (the new centroid's energy is in dims the old
+    // centroid doesn't have), recall@5 over new-batch queries decides
+    // the swap. The oracle replays BOTH trainings
+    // (the duckKmeans chain twice, parameterized), both probed
+    // searches, the exact baseline, the drift cosine and every
+    // verdict cell.
+    Q("q_sim21_reindex_on_drift",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val old = emb.select(col("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i < 32, x).otherwise(lit(0.0f)))
+            .as("embedding"))
+        val reps = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("__j"), col("embedding").as("__u"))
+        val fresh = emb.withColumn("__j", col("vec_id") % 4)
+          .join(broadcast(reps), Seq("__j"))
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i < 32, x * lit(0.0625f))
+                .otherwise(element_at(col("__u"), i + 1) + x * lit(0.25f)))
+              .as("embedding"))
+        Similarity.reindexOnDrift(old, fresh, numCentroids = 8,
+          iters = 2, nProbe = 2, k = 5,
+          col("vec_id") >= 1000000L && col("vec_id") < 1000005L,
+          driftGateMicros = 900000L, recallGatePpm = 700000L)
+      },
+      Some(s"""$duckEx,
+              |exo AS (SELECT vec_id,
+              |    CASE WHEN i <= 32 THEN v ELSE CAST(0 AS FLOAT) END AS v, i
+              |  FROM ex),
+              |normso AS (SELECT vec_id,
+              |    sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+              |  FROM exo GROUP BY 1),
+              |exn AS (SELECT e.vec_id + 1000000 AS vec_id,
+              |    CASE WHEN e.i <= 32
+              |      THEN CAST(CAST(e.v AS DOUBLE) * 0.0625 AS FLOAT)
+              |      ELSE CAST(CAST(r.v AS DOUBLE)
+              |        + CAST(e.v AS DOUBLE) * 0.25 AS FLOAT) END AS v, e.i
+              |  FROM ex e JOIN ex r
+              |    ON r.vec_id = e.vec_id % 4 AND r.i = e.i),
+              |exm AS (SELECT * FROM exo UNION ALL SELECT * FROM exn),
+              |normsm AS (SELECT vec_id,
+              |    sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+              |  FROM exm GROUP BY 1),
+              |c0 AS (SELECT vec_id AS centroid_id, CAST(v AS DOUBLE) AS cv, i
+              |  FROM exo WHERE vec_id < 8),
+              |${DuckKmeansSql.kmIter(1, "", "exo", "normso")},
+              |${DuckKmeansSql.kmIter(2, "", "exo", "normso")},
+              |mc0 AS (
+              |  SELECT CAST(vec_id * 2 AS BIGINT) AS centroid_id,
+              |    CAST(v AS DOUBLE) AS cv, i FROM exo WHERE vec_id < 4
+              |  UNION ALL
+              |  SELECT CAST((vec_id - 1000000) * 2 + 1 AS BIGINT),
+              |    CAST(v AS DOUBLE), i FROM exn WHERE vec_id < 1000004),
+              |${DuckKmeansSql.kmIter(1, "m", "exm", "normsm")},
+              |${DuckKmeansSql.kmIter(2, "m", "exm", "normsm")},
+              |${DuckKmeansSql.assignTailFor("exm", "normsm", "c2",
+                  "okn2", "s3o")},
+              |${DuckKmeansSql.assignTailFor("exm", "normsm", "mc2",
+                  "nkn2", "s3n")},
+              |${ivfSearchAs("ro", "s3o",
+                  "vec_id >= 1000000 AND vec_id < 1000005",
+                  "exm", "normsm", 2, 5)},
+              |${ivfSearchAs("rn", "s3n",
+                  "vec_id >= 1000000 AND vec_id < 1000005",
+                  "exm", "normsm", 2, 5)},
+              |fdot AS (
+              |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+              |         SUM(CAST(q.v AS DOUBLE) * CAST(t.v AS DOUBLE)) AS dot
+              |  FROM exm q JOIN exm t ON q.i = t.i
+              |  WHERE q.vec_id >= 1000000 AND q.vec_id < 1000005
+              |    AND t.vec_id <> q.vec_id
+              |  GROUP BY 1, 2),
+              |etop AS (SELECT query_id, neighbor_id FROM (
+              |  SELECT d.query_id, d.neighbor_id, row_number() OVER (
+              |      PARTITION BY d.query_id
+              |      ORDER BY ROUND(d.dot / (nq.nrm * nn.nrm), 6) DESC,
+              |        d.neighbor_id) AS rnk
+              |  FROM fdot d
+              |  JOIN normsm nq ON nq.vec_id = d.query_id
+              |  JOIN normsm nn ON nn.vec_id = d.neighbor_id)
+              |  WHERE rnk <= 5),
+              |eqx AS (SELECT DISTINCT query_id FROM etop),
+              |ho AS (SELECT a.query_id, COUNT(*) AS hits
+              |  FROM rorun a JOIN etop e
+              |    ON a.query_id = e.query_id
+              |   AND a.neighbor_id = e.neighbor_id
+              |  GROUP BY 1),
+              |hn AS (SELECT a.query_id, COUNT(*) AS hits
+              |  FROM rnrun a JOIN etop e
+              |    ON a.query_id = e.query_id
+              |   AND a.neighbor_id = e.neighbor_id
+              |  GROUP BY 1),
+              |ro2 AS (SELECT q.query_id,
+              |    CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits_old
+              |  FROM eqx q LEFT JOIN ho h USING (query_id)),
+              |rn2 AS (SELECT q.query_id,
+              |    CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits_new
+              |  FROM eqx q LEFT JOIN hn h USING (query_id)),
+              |mo AS (SELECT (2 * SUM(hits_old) * 1000000 + 5 * COUNT(*))
+              |    // (2 * 5 * COUNT(*)) AS mean_old FROM ro2),
+              |mn AS (SELECT (2 * SUM(hits_new) * 1000000 + 5 * COUNT(*))
+              |    // (2 * 5 * COUNT(*)) AS mean_new FROM rn2),
+              |cca AS (SELECT i, CAST(CAST(ROUND(AVG(CAST(v AS DOUBLE)), 6)
+              |    AS FLOAT) AS DOUBLE) AS c FROM exo GROUP BY 1),
+              |ccb AS (SELECT i, CAST(CAST(ROUND(AVG(CAST(v AS DOUBLE)), 6)
+              |    AS FLOAT) AS DOUBLE) AS c FROM exn GROUP BY 1),
+              |cx AS (SELECT SUM(a.c * b.c) AS dd, SUM(a.c * a.c) AS a2,
+              |    SUM(b.c * b.c) AS b2
+              |  FROM cca a JOIN ccb b USING (i)),
+              |dr AS (SELECT CAST(CASE WHEN a2 > 0 AND b2 > 0 THEN
+              |    ROUND(ROUND(dd / (sqrt(a2) * sqrt(b2)), 6) * 1e6) END
+              |    AS BIGINT) AS ccm FROM cx),
+              |vd AS (SELECT dr.ccm AS centroid_cos_micros,
+              |    COALESCE(dr.ccm < 900000, TRUE) AS drifted,
+              |    CAST(mo.mean_old AS BIGINT) AS mean_recall_old_ppm,
+              |    CAST(mn.mean_new AS BIGINT) AS mean_recall_new_ppm,
+              |    COALESCE(dr.ccm < 900000, TRUE)
+              |      AND mn.mean_new >= 700000 AS reindex_accepted
+              |  FROM dr, mo, mn)
+              |SELECT o.query_id, o.hits_old,
+              |  CAST((2 * o.hits_old * 1000000 + 5) // 10 AS BIGINT)
+              |    AS recall_old_ppm,
+              |  n.hits_new,
+              |  CAST((2 * n.hits_new * 1000000 + 5) // 10 AS BIGINT)
+              |    AS recall_new_ppm,
+              |  vd.*
+              |FROM ro2 o JOIN rn2 n USING (query_id), vd""".stripMargin)),
 
     // ---- SIM20: embedding-batch drift monitor -----------------------------
     // Even vs odd vec_ids as yesterday/today batches: per-dim centroid

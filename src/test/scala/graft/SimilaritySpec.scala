@@ -780,4 +780,42 @@ class SimilaritySpec extends AnyFunSuite {
       ((3L, 3L, 1000000L, 1000000L)),
       "an empty vector must not dilute n, msq, or the centroid")
   }
+
+  test("reindexOnDrift: on the planted-drift fixture the OLD index " +
+      "provably fails the recall gate, the retrained index passes, " +
+      "the drift gate fires and the swap is accepted; guards refuse " +
+      "odd codebooks and colliding ids") {
+    import spark.implicits._
+    // the registered q_sim21 fixture at sf0.001 — the verdict columns
+    // ARE the operator's story, pin them
+    val r = graft.SparkEntry
+      .queries("q_sim21_reindex_on_drift")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(r.length === 5, "one row per new-batch query")
+    val v = r.head
+    assert(v.getAs[Long]("mean_recall_old_ppm") < 700000L,
+      "yesterday's index fails the gate on the drifted population — " +
+        "same-sub-cluster neighbors scatter across lists it can't see")
+    assert(v.getAs[Long]("mean_recall_new_ppm") >= 700000L,
+      "the retrained codebook concentrates each sub-cluster")
+    assert(v.getAs[Boolean]("drifted") &&
+      v.getAs[Boolean]("reindex_accepted"))
+    assert(v.getAs[Long]("centroid_cos_micros") < 900000L)
+    // guards
+    val tiny = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(1f, 1f)), (3L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    val ex1 = intercept[IllegalArgumentException](
+      graft.operators.Similarity.reindexOnDrift(tiny, tiny,
+        numCentroids = 3, iters = 1, nProbe = 1, k = 1,
+        col("vec_id") > 100, 900000L, 700000L))
+    assert(ex1.getMessage.contains("even"))
+    val shifted = tiny.select((col("vec_id") + 3).as("vec_id"),
+      col("embedding"))
+    val ex2 = intercept[Exception](
+      graft.operators.Similarity.reindexOnDrift(tiny, shifted,
+        numCentroids = 2, iters = 1, nProbe = 1, k = 1,
+        col("vec_id") === 4, 900000L, 700000L).collect())
+    assert(ex2.getMessage.contains("disjoint"),
+      "id 3 on both sides must raise, never alias")
+  }
 }
