@@ -891,6 +891,58 @@ object Dedup {
       .withColumn("leaked", col("n_splits") > 1)
   }
 
+  /** Cross-source duplication matrix — the overlap report a mixture
+    * owner publishes before weighting sources (the Dolma/RedPajama
+    * overlap-analysis shape): for every source pair, how many
+    * verified near-dup clusters contain documents from BOTH sources
+    * (off-diagonal — source B re-crawls/mirrors source A), and for
+    * each source alone, how many clusters hold ≥ 2 of ITS documents
+    * (diagonal — within-source duplication). Double-counted mass
+    * across sources inflates a source's apparent contribution and
+    * double-weights duplicated content in the mixture; this matrix is
+    * the evidence a reweighting ([[graft.operators.Sampling
+    * .mixtureByWeights]]) or a cross-source dedup pass acts on.
+    *
+    * Cluster membership is [[verifiedClusters]] (LSH candidates →
+    * exact-Jaccard rescore → CC); singletons can never overlap.
+    * Returns one row per source pair with `src_a <= src_b`:
+    * `(src_a, src_b, n_clusters, n_docs_a, n_docs_b)` — n_docs_x =
+    * that source's documents inside the qualifying shared clusters
+    * (for the diagonal, n_docs_a = n_docs_b = the source's docs in
+    * its own multi-doc clusters). Pairs with no shared cluster emit
+    * no row — absence IS the clean verdict at the pair grain.
+    *
+    * Scale shape: the verified-cluster chain + ONE (cluster, source)
+    * hash aggregation + a cluster-keyed self-join at that reduced
+    * grain (rows per cluster = its distinct sources, a handful) + one
+    * pair-keyed roll-up. Null sources form their own '<null>' label —
+    * an unattributed doc is still a doc. */
+  def crossSourceOverlap(docs: DataFrame, textCol: String,
+      idCol: String, sourceCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2, thresholdTenths: Int = 1,
+      maxIter: Int = 20): DataFrame = {
+    val comp = verifiedClusters(docs, textCol, idCol, numHashes,
+      rowsPerBand, thresholdTenths, maxIter)
+    val mem = docs.select(col(idCol),
+        coalesce(col(sourceCol).cast("string"), lit("<null>")).as("__src"))
+      .join(comp.select(col("node").as(idCol), col("component")),
+        Seq(idCol), "left")
+      .select(coalesce(col("component"), col(idCol)).as("__cl"),
+        col("__src"))
+      .groupBy(col("__cl"), col("__src"))
+      .agg(count(lit(1)).as("__nd"))
+      .localCheckpoint()
+    mem.select(col("__cl"), col("__src").as("src_a"), col("__nd").as("__na"))
+      .join(mem.select(col("__cl"), col("__src").as("src_b"),
+        col("__nd").as("__nb")), Seq("__cl"))
+      .filter(col("src_a") < col("src_b") ||
+        (col("src_a") === col("src_b") && col("__na") >= 2))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("__na")).as("n_docs_a"),
+        sum(col("__nb")).as("n_docs_b"))
+  }
+
   /** Leakage-safe train/val/test split: the assignment hashes the
     * near-dup CLUSTER representative, not the document — so a page and
     * its crawled-again near-duplicate can never land in different

@@ -443,6 +443,70 @@ object DedupQueries extends graft.QueryPack {
               |FROM mem m LEFT JOIN spl USING (doc_id)
               |GROUP BY 1""".stripMargin)),
 
+    // ---- D30: cross-source duplication matrix ----------------------------
+    // The overlap report a mixture owner reads before weighting
+    // sources: documents tagged src0/src1/src2 by doc_id % 3, verified
+    // near-dup clusters rolled up to the source-pair grain —
+    // off-diagonal rows are cross-source mirrors, diagonal rows
+    // within-source duplication. Oracle replays the cluster chain +
+    // the (cluster, source) reduction + the pair roll-up.
+    Q("q_d30_cross_source_overlap",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("src",
+            concat(lit("src"), (col("doc_id") % 3).cast("string")))
+        Dedup.crossSourceOverlap(docs, "text", "doc_id", "src")
+      },
+      Some(s"""WITH RECURSIVE ${duckShingles.stripPrefix("WITH ")},
+              |mh AS (SELECT doc_id,
+              |  min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+              |  min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
+              |  min(md5('4|' || sh)) AS m4, min(md5('5|' || sh)) AS m5,
+              |  min(md5('6|' || sh)) AS m6, min(md5('7|' || sh)) AS m7
+              |  FROM exd GROUP BY doc_id),
+              |bands AS (
+              |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM mh
+              |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM mh
+              |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM mh
+              |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM mh),
+              |prs AS (
+              |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM exd GROUP BY doc_id),
+              |inter AS (
+              |  SELECT p.a_id, p.b_id, COUNT(*) AS inter
+              |  FROM prs p
+              |  JOIN exd a ON a.doc_id = p.a_id
+              |  JOIN exd b ON b.doc_id = p.b_id AND b.sh = a.sh
+              |  GROUP BY 1, 2),
+              |ver AS (
+              |  SELECT i.a_id, i.b_id FROM inter i
+              |  JOIN sizes sa ON sa.doc_id = i.a_id
+              |  JOIN sizes sb ON sb.doc_id = i.b_id
+              |  WHERE i.inter * 10 >= (sa.n + sb.n - i.inter) * 1),
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM ver
+              |  UNION SELECT b_id, a_id FROM ver),
+              |cc(node, label) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
+              |comp AS (SELECT node, MIN(label) AS component FROM cc
+              |  GROUP BY node),
+              |mem AS (SELECT COALESCE(c.component, d.doc_id) AS cl,
+              |    'src' || CAST(d.doc_id % 3 AS VARCHAR) AS sx,
+              |    COUNT(*) AS nd
+              |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT a.sx AS src_a, b.sx AS src_b,
+              |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+              |  CAST(SUM(a.nd) AS BIGINT) AS n_docs_a,
+              |  CAST(SUM(b.nd) AS BIGINT) AS n_docs_b
+              |FROM mem a JOIN mem b ON a.cl = b.cl
+              |WHERE a.sx < b.sx OR (a.sx = b.sx AND a.nd >= 2)
+              |GROUP BY 1, 2""".stripMargin)),
+
     // ---- D22: leakage-safe split (assign by near-dup CLUSTER, not doc) --
     // A page and its crawl-again near-duplicate hash-split by document
     // land in different splits — the silent eval leak. Splitting on the

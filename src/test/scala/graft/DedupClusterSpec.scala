@@ -624,6 +624,36 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(audit === 0L, "the cluster split can never leak by construction")
   }
 
+  test("crossSourceOverlap: cross-source mirrors read off-diagonal, " +
+      "within-source duplication reads the diagonal, clean pairs emit " +
+      "no row, null sources label '<null>'") {
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val t2 = "hotel india juliet kilo lima mike"
+    val docs = Seq(
+      (1L, t1, Option("srcA")), (2L, t1, Option("srcB")),
+      (6L, t1, Option.empty[String]), // unattributed member of cluster t1
+      (3L, t2, Option("srcA")), (4L, t2, Option("srcA")),
+      (5L, "completely different content here now", Option("srcB")))
+      .toDF("doc_id", "text", "src")
+    val out = graft.operators.Dedup.crossSourceOverlap(docs, "text",
+        "doc_id", "src", numHashes = 8, rowsPerBand = 2,
+        thresholdTenths = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("srcA", "srcB")) === ((1L, 1L, 1L)),
+      "cluster t1 holds one doc of each — the cross-source mirror row")
+    assert(out(("srcA", "srcA")) === ((1L, 2L, 2L)),
+      "the diagonal counts only multi-doc same-source clusters (t2), " +
+        "never t1's single srcA member")
+    assert(out(("<null>", "srcA")) === ((1L, 1L, 1L)) &&
+      out(("<null>", "srcB")) === ((1L, 1L, 1L)),
+      "an unattributed doc is still a doc — '<null>' is a source label")
+    assert(!out.contains(("srcB", "srcB")),
+      "no within-srcB duplication: absence IS the clean verdict")
+    assert(!out.contains(("<null>", "<null>")))
+  }
+
   test("splitLeakageAudit: a PARTIALLY-covered assignment never shrinks " +
       "the audit universe — unassigned members still count in n_docs, " +
       "surface as n_unassigned, and a straddle with an unlabeled third " +
