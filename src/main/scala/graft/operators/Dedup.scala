@@ -798,6 +798,48 @@ object Dedup {
         expr("CAST(1000000 AS BIGINT) div cluster_size"))
   }
 
+  /** Effective-token accounting per source — the number a
+    * data-constrained scaling plan actually budgets with (Muennighoff
+    * et al. 2023: repeated/duplicated tokens are worth less than
+    * unique ones): raw token counts per source next to the
+    * DEDUP-DISCOUNTED effective count, where each document's tokens
+    * carry its [[softDedupWeights]] weight (1e6 div cluster_size —
+    * a page crawled five times contributes its tokens once across
+    * the five copies, whichever sources they sit in). The
+    * `unique_ratio_ppm` column is the per-source discount a mixture
+    * planner multiplies into its token budget; read it next to
+    * [[crossSourceOverlap]] to see WHERE the duplicated mass comes
+    * from.
+    *
+    * Weights inherit softDedupWeights' floor division (a 3-cluster
+    * sums to 999999 micros, not 1e6 — documented there, replayed
+    * identically here). Null-text docs count with 0 tokens (they
+    * still hold a dedup slot). Headroom: BIGINT carries Σ tokens ×
+    * weight to ~9.2e12 effective tokens per source — shard by time
+    * window beyond that. Scale shape: the verified-cluster chain +
+    * one doc-keyed join + ONE source-keyed hash aggregation. Returns
+    * `(<sourceCol>, n_docs, n_tokens, eff_tokens_micro,
+    * unique_ratio_ppm)` — ratio null for a zero-token source. */
+  def effectiveTokens(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2, thresholdTenths: Int = 1,
+      maxIter: Int = 20): DataFrame = {
+    val w = softDedupWeights(docs, textCol, idCol, numHashes,
+      rowsPerBand, thresholdTenths, maxIter)
+      .select(col("doc_id").as(idCol), col("weight_m"))
+    docs.select(col(idCol), col(sourceCol),
+        when(col(textCol).isNotNull,
+          size(graft.operators.TextAnalysis.tokens(col(textCol)))
+            .cast("long")).otherwise(0L).as("__nt"))
+      .join(w, Seq(idCol))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(col("__nt") * col("weight_m")).as("eff_tokens_micro"))
+      .withColumn("unique_ratio_ppm", when(col("n_tokens") > 0,
+        expr("(2 * eff_tokens_micro + n_tokens) div (2 * n_tokens)")))
+  }
+
   /** Quality-aware canonical selection — dedup that keeps the BEST
     * copy, not the first: the min-id representative every CC pass
     * defaults to is arbitrary, but real curation (LAION keeps the

@@ -507,6 +507,69 @@ object DedupQueries extends graft.QueryPack {
               |WHERE a.sx < b.sx OR (a.sx = b.sx AND a.nd >= 2)
               |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- D31: effective-token accounting per source ----------------------
+    // The data-constrained-scaling budget number (Muennighoff 2023):
+    // raw tokens per documents.lang next to the dedup-discounted
+    // effective count (each doc's tokens x its 1e6 div cluster_size
+    // soft weight) and the unique-ratio discount a mixture planner
+    // multiplies in. Oracle replays the cluster chain, the weight
+    // floor division, the token counts and both roll-ups.
+    Q("q_d31_effective_tokens",
+      (s, d) => Dedup.effectiveTokens(Tables.documents(s, d), "text",
+        "doc_id", "lang"),
+      Some(s"""WITH RECURSIVE ${duckShingles.stripPrefix("WITH ")},
+              |mh AS (SELECT doc_id,
+              |  min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+              |  min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
+              |  min(md5('4|' || sh)) AS m4, min(md5('5|' || sh)) AS m5,
+              |  min(md5('6|' || sh)) AS m6, min(md5('7|' || sh)) AS m7
+              |  FROM exd GROUP BY doc_id),
+              |bands AS (
+              |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM mh
+              |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM mh
+              |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM mh
+              |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM mh),
+              |prs AS (
+              |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM exd GROUP BY doc_id),
+              |inter AS (
+              |  SELECT p.a_id, p.b_id, COUNT(*) AS inter
+              |  FROM prs p
+              |  JOIN exd a ON a.doc_id = p.a_id
+              |  JOIN exd b ON b.doc_id = p.b_id AND b.sh = a.sh
+              |  GROUP BY 1, 2),
+              |ver AS (
+              |  SELECT i.a_id, i.b_id FROM inter i
+              |  JOIN sizes sa ON sa.doc_id = i.a_id
+              |  JOIN sizes sb ON sb.doc_id = i.b_id
+              |  WHERE i.inter * 10 >= (sa.n + sb.n - i.inter) * 1),
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM ver
+              |  UNION SELECT b_id, a_id FROM ver),
+              |cc(node, label) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
+              |comp AS (SELECT node, MIN(label) AS component FROM cc
+              |  GROUP BY node),
+              |memw AS (SELECT d.doc_id,
+              |    COALESCE(c.component, d.doc_id) AS cl, d.lang
+              |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+              |cs AS (SELECT cl, COUNT(*) AS csz FROM memw GROUP BY 1),
+              |tok AS (SELECT doc_id, COALESCE(len(toks), 0) AS nt FROM t),
+              |j AS (SELECT m.lang, tok.nt, 1000000 // cs.csz AS w
+              |  FROM memw m JOIN cs USING (cl)
+              |  JOIN tok ON tok.doc_id = m.doc_id)
+              |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+              |  CAST(SUM(nt * w) AS BIGINT) AS eff_tokens_micro,
+              |  CAST(CASE WHEN SUM(nt) > 0 THEN
+              |    (2 * SUM(nt * w) + SUM(nt)) // (2 * SUM(nt)) END
+              |    AS BIGINT) AS unique_ratio_ppm
+              |FROM j GROUP BY 1""".stripMargin)),
+
     // ---- D22: leakage-safe split (assign by near-dup CLUSTER, not doc) --
     // A page and its crawl-again near-duplicate hash-split by document
     // land in different splits — the silent eval leak. Splitting on the

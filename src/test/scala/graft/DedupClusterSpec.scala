@@ -654,6 +654,35 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(!out.contains(("<null>", "<null>")))
   }
 
+  test("effectiveTokens: duplicated tokens discount by cluster size " +
+      "with the documented floor division, null-text docs hold a dedup " +
+      "slot with zero tokens") {
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta" // 6 tokens
+    val t2 = "hotel india juliet kilo lima mike"   // 6 tokens
+    val docs = Seq(
+      (1L, Option(t1), "srcA"), (2L, Option(t1), "srcA"), // dup pair
+      (3L, Option("four plain tokens here"), "srcB"),
+      (4L, Option.empty[String], "srcB"),                  // null text
+      (5L, Option(t2), "srcC"), (6L, Option(t2), "srcC"),
+      (7L, Option(t2), "srcC"))                            // triple
+      .toDF("doc_id", "text", "src")
+    val out = graft.operators.Dedup.effectiveTokens(docs, "text",
+        "doc_id", "src", numHashes = 8, rowsPerBand = 2,
+        thresholdTenths = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(out("srcA") === ((2L, 12L, 6000000L, 500000L)),
+      "a dup pair's 12 raw tokens are worth exactly 6 effective")
+    assert(out("srcB") === ((2L, 4L, 4000000L, 1000000L)),
+      "unique content keeps full weight; the null-text doc counts " +
+        "with zero tokens")
+    assert(out("srcC") === ((3L, 18L, 5999994L, 333333L)),
+      "the 3-cluster inherits softDedupWeights' floor (333333 micros " +
+        "per copy), replayed, never hidden")
+  }
+
   test("splitLeakageAudit: a PARTIALLY-covered assignment never shrinks " +
       "the audit universe — unassigned members still count in n_docs, " +
       "surface as n_unassigned, and a straddle with an unlabeled third " +
