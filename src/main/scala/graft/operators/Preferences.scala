@@ -567,13 +567,37 @@ object Preferences {
     * baseline_micros, signal_micros, weight_ppm)`. */
   def ktoSignal(feedback: DataFrame, promptCol: String,
       respIdCol: String, desirableCol: String): DataFrame = {
-    val base = feedback.filter(col(promptCol).isNotNull &&
+    val base = ktoBase(feedback, promptCol, respIdCol, desirableCol)
+    val counts = base.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_examples"),
+        sum(when(col("desirable"), 1L).otherwise(0L)).as("n_desirable"))
+    ktoSignalFromCounts(feedback, counts, promptCol, respIdCol,
+      desirableCol)
+  }
+
+  private def ktoBase(feedback: DataFrame, promptCol: String,
+      respIdCol: String, desirableCol: String): DataFrame =
+    feedback.filter(col(promptCol).isNotNull &&
         col(respIdCol).isNotNull && col(desirableCol).isNotNull)
       .select(col(promptCol), col(respIdCol),
         col(desirableCol).cast("boolean").as("desirable"))
-    val stats = base.groupBy(col(promptCol))
-      .agg(count(lit(1)).as("n_examples"),
-        sum(when(col("desirable"), 1L).otherwise(0L)).as("n_desirable"))
+
+  /** [[ktoSignal]]'s derivation half, split out so STREAMED per-prompt
+    * verdict counters ([[graft.streaming.EventStreams
+    * .ktoVerdictCounts]] — live thumbs-up/down is exactly the shape
+    * that ARRIVES as a stream) can feed the identical baseline /
+    * centering / balancing arithmetic: `counts` is a
+    * `(<promptCol>, n_examples, n_desirable)` relation covering every
+    * prompt in `feedback`. Same output contract as the batch
+    * composition. */
+  def ktoSignalFromCounts(feedback: DataFrame, counts: DataFrame,
+      promptCol: String, respIdCol: String,
+      desirableCol: String): DataFrame = {
+    val base = ktoBase(feedback, promptCol, respIdCol, desirableCol)
+    val stats = counts
+      .select(col(promptCol), col("n_examples").cast("long")
+        .as("n_examples"), col("n_desirable").cast("long")
+        .as("n_desirable"))
       .select(col(promptCol), col("n_examples"), col("n_desirable"),
         (col("n_examples") - col("n_desirable")).as("n_undesirable"),
         expr("(2 * n_desirable * 1000000 + n_examples) " +

@@ -961,6 +961,29 @@ object EventStreams {
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("c"))
 
+  /** Streaming KTO verdict counters
+    * ([[graft.operators.Preferences.ktoSignal]]'s monitoring twin) —
+    * live thumbs-up/down is exactly the feedback shape that ARRIVES
+    * as a stream: per-prompt `(n_examples, n_desirable)` are pure
+    * monotone counters (complete-mode aggregation, no watermark,
+    * order-independent — the [[preferenceCounts]] stance on unpaired
+    * verdicts), state bounded by prompts. Null prompt/id/verdict rows
+    * are unjudged exactly as in batch. Feed the state through
+    * [[graft.operators.Preferences.ktoSignalFromCounts]] with the
+    * accumulated examples — the IDENTICAL baseline / centering /
+    * balancing arithmetic, so the parity spec derives the batch
+    * ktoSignal relation bit-for-bit at every batch split. Run with
+    * `complete` output mode. */
+  def ktoVerdictCounts(spark: SparkSession, feedback: DataFrame,
+      promptCol: String, respIdCol: String,
+      desirableCol: String): DataFrame =
+    feedback.filter(col(promptCol).isNotNull &&
+        col(respIdCol).isNotNull && col(desirableCol).isNotNull)
+      .groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_examples"),
+        sum(when(col(desirableCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_desirable"))
+
   def preferenceCounts(spark: SparkSession, prefs: DataFrame,
       winnerCol: String, loserCol: String): DataFrame = {
     prefs

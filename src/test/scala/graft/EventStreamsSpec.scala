@@ -551,6 +551,49 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KTO verdict counters INCREMENTALLY derive the batch " +
+      "unpaired-preference signal at every batch split") {
+    // live thumbs-up/down: per-prompt (n, n_desirable) are monotone
+    // counters; joining the accumulated examples against the streamed
+    // state through ktoSignalFromCounts must reproduce the batch
+    // ktoSignal relation exactly — including a degenerate prompt that
+    // only becomes contested once the second batch lands
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val streamed = Seq(
+      Seq(("p1", 1L, Option(true)), ("p1", 2L, Option(true)),
+        ("p2", 3L, Option(true))),  // p1 looks all-desirable so far
+      Seq(("p1", 4L, Option(false)), ("p2", 5L, Option(true)),
+        ("p1", 9L, Option.empty[Boolean])))
+    val input = MemoryStream[(String, Long, Option[Boolean])]
+    val q = EventStreams.ktoVerdictCounts(spark,
+        input.toDF().toDF("prompt", "resp", "up"), "prompt", "resp", "up")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("kto_incr").start()
+    try {
+      streamed.indices.foreach { i =>
+        input.addData(streamed(i)); q.processAllAvailable()
+        val sofar = streamed.take(i + 1).flatten
+          .toDF("prompt", "resp", "up")
+        val derived = graft.operators.Preferences.ktoSignalFromCounts(
+          sofar, spark.table("kto_incr"), "prompt", "resp", "up")
+        val batch = graft.operators.Preferences.ktoSignal(
+          sofar, "prompt", "resp", "up")
+        assert(derived.exceptAll(batch).count() === 0 &&
+          batch.exceptAll(derived).count() === 0,
+          s"streamed counters after batch $i must derive the batch " +
+            "signal relation")
+      }
+      // the batch-2 flip is real evidence: p1's baseline left 1e6
+      val fin = graft.operators.Preferences.ktoSignalFromCounts(
+        streamed.flatten.toDF("prompt", "resp", "up"),
+        spark.table("kto_incr"), "prompt", "resp", "up")
+        .collect().map(r => r.getLong(1) -> r.getLong(6)).toMap
+      assert(fin(1L) === 666667L && fin(4L) === 666667L,
+        "p1 contested after the second batch: baseline (2*2e6+3) div 6")
+    } finally q.stop()
+  }
+
   test("streaming answer-vote counts INCREMENTALLY derive the batch " +
       "self-consistency verdicts") {
     // the eval twin: per-(question, answer) tallies are monotone sums;
