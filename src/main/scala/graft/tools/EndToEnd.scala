@@ -98,6 +98,13 @@ object EndToEnd {
       hostKept.join(contam, Seq("doc_id"), "left_anti"))
     val nClean = clean.count()
 
+    // 4b. mixture report: the per-source token budget a mixture planner
+    // reads from the build (raw vs dedup-discounted effective tokens,
+    // the q_d31 number) — landed next to the packs so reweighting runs
+    // off the SAME corpus the packs were cut from
+    Dedup.effectiveTokens(clean, "text", "doc_id", "lang")
+      .write.mode("overwrite").parquet(s"$outDir/mixture_report")
+
     // 5. tokenizer stores: train once, then the scoring pass reads ONLY
     // the persisted merges + vocab (the q_x42 nightly shape)
     val merges = TextAnalysis.learnBpeMerges(clean, "text")

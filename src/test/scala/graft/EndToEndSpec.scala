@@ -39,5 +39,14 @@ class EndToEndSpec extends AnyFunSuite {
       "train" -> r.nTrain, "dlp_safe" -> r.nSafe,
       "host_ranked" -> r.nHostKept, "clean" -> r.nClean,
       "packed_docs" -> r.nPacked, "packs" -> r.nPacks))
+    // the mixture report landed, covers every clean doc, and the
+    // dedup discount is a real number: effective <= raw per source
+    val mix = spark.read.parquet(s"$out/mixture_report")
+    assert(mix.count() > 0)
+    assert(mix.agg(sum(col("n_docs"))).head.getLong(0) === r.nClean,
+      "every clean doc sits in exactly one source row")
+    assert(mix.filter(col("eff_tokens_micro") >
+      col("n_tokens") * 1000000L).count() === 0,
+      "the effective count can never exceed raw tokens")
   }
 }
