@@ -1509,6 +1509,91 @@ object Profile {
     out.unionAll(offenders)
   }
 
+  /** Risk–coverage curve (selective classification, Geifman &
+    * El-Yaniv 2017) — the relation that turns [[calibratedAbstain]]'s
+    * per-row verdict into a THRESHOLD CHOICE: at every distinct score
+    * t, `coverage` = the share of examples the gate would accept at
+    * threshold t (score ≥ t) and `risk` = the error rate INSIDE that
+    * accepted slice. An operator reads the curve to pick the
+    * threshold meeting a target risk (or coverage) instead of
+    * trusting a default — the selective-risk plot every abstention
+    * deployment publishes. Scores must already be oriented
+    * higher-is-better (feed `direction · z_micros` from
+    * [[calibratedAbstain]] — its whole point is making scores
+    * comparable and correctly oriented across classes).
+    *
+    * Exact integers end to end: per distinct score the accepted
+    * count/errors derive from prefix-exclusive sums (accepted = n −
+    * C_<s, errors = E − E_<s), coverage/risk as half-up ppm
+    * rationals. Null group/score/label rows are excluded — count the
+    * always-abstain mass upstream.
+    *
+    * Scale shape — [[binaryEval]]'s discipline verbatim: ONE hash
+    * aggregation to the distinct-score grain, prefix sums via the
+    * cap-guarded bucket-grain self-join + bucket-partitioned windows
+    * (≤ bucketWidth distinct scores per partition by construction —
+    * never a corpus sort). Returns one row per (group, distinct
+    * score): `(<groupCol>, score, n, n_accepted, n_errors,
+    * coverage_ppm, risk_ppm)`. */
+  def riskCoverage(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String, bucketWidth: Long = 1024L,
+      maxBuckets: Int = 4096): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(maxBuckets >= 1, s"maxBuckets must be >= 1, got $maxBuckets")
+    val base = df.filter(col(groupCol).isNotNull &&
+        col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(scoreCol).cast("long").as("__s"),
+        when(col(labelCol).cast("boolean"), 0L).otherwise(1L).as("__e"))
+    val d = base.groupBy(col("__g"), col("__s"))
+      .agg(sum(col("__e")).as("__de"), count(lit(1)).as("__dc"))
+      .withColumn("__b",
+        expr(s"(__s - pmod(__s, ${bucketWidth}L)) div ${bucketWidth}L"))
+      .localCheckpoint()
+    val bt = d.groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__de")).as("__be"), sum(col("__dc")).as("__bc"))
+      .localCheckpoint()
+    val preB = bt.as("a")
+      .join(bt.as("lo"),
+        col("a.__g") === col("lo.__g") && col("lo.__b") < col("a.__b"),
+        "left")
+      .select(col("a.__g").as("__g"), col("a.__b").as("__b"),
+        col("lo.__be").as("__le"), col("lo.__bc").as("__lc"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(coalesce(sum(col("__le")), lit(0L)).as("__eltB"),
+        coalesce(sum(col("__lc")), lit(0L)).as("__cltB"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"), col("__b")).orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val pre = d.join(preB, Seq("__g", "__b"))
+      .withColumn("__elt",
+        col("__eltB") + coalesce(sum(col("__de")).over(w), lit(0L)))
+      .withColumn("__clt",
+        col("__cltB") + coalesce(sum(col("__dc")).over(w), lit(0L)))
+    val tot = d.groupBy(col("__g"))
+      .agg(sum(col("__dc")).as("n"), sum(col("__de")).as("__etot"))
+    val out = pre.join(tot, Seq("__g"))
+      .select(col("__g").as(groupCol), col("__s").as("score"), col("n"),
+        (col("n") - col("__clt")).as("n_accepted"),
+        (col("__etot") - col("__elt")).as("n_errors"))
+      .withColumn("coverage_ppm",
+        expr("(2 * n_accepted * 1000000 + n) div (2 * n)"))
+      .withColumn("risk_ppm",
+        expr("(2 * n_errors * 1000000 + n_accepted) div (2 * n_accepted)"))
+    val st = out.schema
+    val boom = raise_error(concat(
+      lit("riskCoverage: group "), col("__g").cast("string"), lit(" has "),
+      col("__nb").cast("string"),
+      lit(s" non-empty score buckets (cap $maxBuckets) — the " +
+        "cross-bucket prefix self-join is buckets-squared; widen " +
+        "bucketWidth or raise maxBuckets deliberately")))
+    val offenders = bt.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__nb"))
+      .filter(col("__nb") > maxBuckets)
+      .select(st.map(f => boom.cast(f.dataType).as(f.name)): _*)
+    out.unionAll(offenders)
+  }
+
   /** Calibrated abstention over a classifier's raw confidence signal —
     * the operator that CONSUMES a [[binaryEval]] finding like q_v30's
     * (the trained LID's argmax margins ANTI-correlate with

@@ -472,6 +472,43 @@ object TextQueries extends graft.QueryPack {
              |      PARTITION BY doc_id ORDER BY m DESC, c) AS rn FROM sc)
              |  WHERE rn = 1)""".stripMargin
 
+  /** The q_v33 calibrated-abstention CTE chain (the LID fit + per-class
+    * stats + learned direction + per-row z), ending in `czz` — shared
+    * by q_v33 (the verdict) and q_v34 (the risk-coverage curve over
+    * the same signal). */
+  private lazy val duckLidAbstainChain: String =
+    s"""$duckLangIdChain,
+       |pc AS (SELECT b.doc_id, b.lang, b.margin_m,
+       |    CASE WHEN b.doc_id % 4 < 2 THEN
+       |      b.lang = 'l' || CAST(b.doc_id % 3 AS VARCHAR) END AS lab
+       |  FROM best b
+       |  WHERE b.lang IS NOT NULL AND b.margin_m IS NOT NULL),
+       |cst AS (SELECT lang, COUNT(*) AS ncl, SUM(margin_m) AS sr,
+       |    SUM(CAST(margin_m AS HUGEINT) * margin_m) AS srr,
+       |    COUNT(lab) AS nlb,
+       |    SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS ncr,
+       |    SUM(CASE WHEN lab THEN margin_m END) AS scr,
+       |    SUM(CASE WHEN NOT lab THEN margin_m END) AS swr
+       |  FROM pc GROUP BY 1),
+       |cdd AS (SELECT lang, ncl, nlb, ncr, sr,
+       |    sqrt(CAST(srr AS DOUBLE) / ncl
+       |      - (CAST(sr AS DOUBLE) / ncl)
+       |      * (CAST(sr AS DOUBLE) / ncl)) AS stdd,
+       |    CAST(CASE WHEN ncr > 0 AND nlb - ncr > 0 THEN
+       |      CASE WHEN CAST(scr AS HUGEINT) * (nlb - ncr)
+       |          > CAST(swr AS HUGEINT) * ncr THEN 1
+       |        WHEN CAST(scr AS HUGEINT) * (nlb - ncr)
+       |          < CAST(swr AS HUGEINT) * ncr THEN -1
+       |        ELSE 0 END ELSE 0 END AS INT) AS dir
+       |  FROM cst),
+       |czz AS (SELECT p.doc_id, p.lang, p.margin_m, p.lab,
+       |    d2.ncl, d2.nlb, d2.ncr, d2.dir,
+       |    CAST(CASE WHEN d2.ncl > 1 AND d2.stdd > 0 THEN
+       |      ROUND(ROUND((CAST(p.margin_m AS DOUBLE)
+       |        - CAST(d2.sr AS DOUBLE) / d2.ncl) / d2.stdd, 6)
+       |        * 1e6) END AS BIGINT) AS z
+       |  FROM pc p JOIN cdd d2 USING (lang))""".stripMargin
+
   /** The q_x72 Spark chain (3 synthetic languages, OvR char-gram
     * train, whole-corpus classify) — shared by q_x72 and q_v30. */
   private def trainedLangId(s: org.apache.spark.sql.SparkSession,
@@ -2066,37 +2103,7 @@ object TextQueries extends graft.QueryPack {
           // nullable-INT convention instead
           .withColumn("correct", col("correct").cast("int"))
       },
-      Some(s"""$duckLangIdChain,
-             |pc AS (SELECT b.doc_id, b.lang, b.margin_m,
-             |    CASE WHEN b.doc_id % 4 < 2 THEN
-             |      b.lang = 'l' || CAST(b.doc_id % 3 AS VARCHAR) END AS lab
-             |  FROM best b
-             |  WHERE b.lang IS NOT NULL AND b.margin_m IS NOT NULL),
-             |cst AS (SELECT lang, COUNT(*) AS ncl, SUM(margin_m) AS sr,
-             |    SUM(CAST(margin_m AS HUGEINT) * margin_m) AS srr,
-             |    COUNT(lab) AS nlb,
-             |    SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS ncr,
-             |    SUM(CASE WHEN lab THEN margin_m END) AS scr,
-             |    SUM(CASE WHEN NOT lab THEN margin_m END) AS swr
-             |  FROM pc GROUP BY 1),
-             |cdd AS (SELECT lang, ncl, nlb, ncr, sr,
-             |    sqrt(CAST(srr AS DOUBLE) / ncl
-             |      - (CAST(sr AS DOUBLE) / ncl)
-             |      * (CAST(sr AS DOUBLE) / ncl)) AS stdd,
-             |    CAST(CASE WHEN ncr > 0 AND nlb - ncr > 0 THEN
-             |      CASE WHEN CAST(scr AS HUGEINT) * (nlb - ncr)
-             |          > CAST(swr AS HUGEINT) * ncr THEN 1
-             |        WHEN CAST(scr AS HUGEINT) * (nlb - ncr)
-             |          < CAST(swr AS HUGEINT) * ncr THEN -1
-             |        ELSE 0 END ELSE 0 END AS INT) AS dir
-             |  FROM cst),
-             |czz AS (SELECT p.doc_id, p.lang, p.margin_m, p.lab,
-             |    d2.ncl, d2.nlb, d2.ncr, d2.dir,
-             |    CAST(CASE WHEN d2.ncl > 1 AND d2.stdd > 0 THEN
-             |      ROUND(ROUND((CAST(p.margin_m AS DOUBLE)
-             |        - CAST(d2.sr AS DOUBLE) / d2.ncl) / d2.stdd, 6)
-             |        * 1e6) END AS BIGINT) AS z
-             |  FROM pc p JOIN cdd d2 USING (lang))
+      Some(s"""$duckLidAbstainChain
              |SELECT doc_id, lang, CAST(margin_m AS BIGINT) AS margin_m,
              |  CAST(lab AS INT) AS correct, CAST(ncl AS BIGINT) AS n_class,
              |  CAST(nlb AS BIGINT) AS n_labeled,
@@ -2104,6 +2111,62 @@ object TextQueries extends graft.QueryPack {
              |  z AS z_micros,
              |  COALESCE(dir <> 0 AND dir * z >= 0, FALSE) AS accept
              |FROM czz""".stripMargin)),
+
+    // ---- V34: risk-coverage curve over the calibrated LID gate ----------
+    // The threshold-choice relation (Geifman & El-Yaniv selective
+    // classification) composed on q_v33's own signal: score =
+    // direction * z (the gate's oriented, cross-class-comparable
+    // confidence), labeled rows only; at every distinct score, the
+    // coverage of an accept-at-threshold rule and the error rate
+    // inside the accepted slice. Rows the gate can never score
+    // (direction 0 / no scale) are the always-abstain mass — excluded
+    // here, counted by q_v33. ONE oracle replays the fit, the
+    // abstention stats, and every prefix sum of the curve.
+    Q("q_v34_risk_coverage",
+      (s, d) => {
+        val scored = trainedLangId(s, d)
+          .filter(col("lang").isNotNull && col("margin_m").isNotNull)
+          .select(col("doc_id"), col("lang"), col("margin_m"),
+            when(col("doc_id") % 4 < 2,
+              col("lang") === concat(lit("l"),
+                (col("doc_id") % 3).cast("string"))).as("correct"))
+        val gated = graft.operators.Profile.calibratedAbstain(scored,
+            "doc_id", "lang", "margin_m", "correct")
+          .filter(col("correct").isNotNull && col("direction") =!= 0 &&
+            col("z_micros").isNotNull)
+          .select(lit("lid").as("model"),
+            (col("direction").cast("long") * col("z_micros")).as("score"),
+            col("correct"))
+        graft.operators.Profile.riskCoverage(gated, "model", "score",
+          "correct", bucketWidth = 1L << 20)
+      },
+      Some(s"""$duckLidAbstainChain,
+             |rcev AS (SELECT dir * z AS score,
+             |    CASE WHEN lab THEN 0 ELSE 1 END AS e
+             |  FROM czz
+             |  WHERE lab IS NOT NULL AND dir <> 0 AND z IS NOT NULL),
+             |rcd AS (SELECT score, CAST(SUM(e) AS BIGINT) AS de,
+             |    CAST(COUNT(*) AS BIGINT) AS dc
+             |  FROM rcev GROUP BY 1),
+             |rcp AS (SELECT score, de, dc,
+             |    COALESCE(SUM(de) OVER (ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS elt,
+             |    COALESCE(SUM(dc) OVER (ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS clt
+             |  FROM rcd),
+             |rct AS (SELECT CAST(SUM(dc) AS BIGINT) AS n,
+             |    CAST(SUM(de) AS BIGINT) AS etot FROM rcd)
+             |SELECT 'lid' AS model, CAST(p.score AS BIGINT) AS score,
+             |  rct.n,
+             |  CAST(rct.n - p.clt AS BIGINT) AS n_accepted,
+             |  CAST(rct.etot - p.elt AS BIGINT) AS n_errors,
+             |  CAST((2 * (rct.n - p.clt) * 1000000 + rct.n)
+             |    // (2 * rct.n) AS BIGINT) AS coverage_ppm,
+             |  CAST((2 * (rct.etot - p.elt) * 1000000 + (rct.n - p.clt))
+             |    // (2 * (rct.n - p.clt)) AS BIGINT) AS risk_ppm
+             |FROM rcp p, rct""".stripMargin)),
 
     // ---- V32: confusion matrix + macro-F1 for the trained LID -----------
     // The standard per-class table over the q_x72 chain: pred = the

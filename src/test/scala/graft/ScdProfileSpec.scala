@@ -1063,6 +1063,33 @@ class ScdProfileSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("buckets-squared"))
   }
 
+  test("riskCoverage: hand-checked curve, higher thresholds trade " +
+      "coverage for risk, bucketWidth is a plan knob, the cap raises") {
+    import spark.implicits._
+    val df = Seq(("g", 10L, true), ("g", 20L, false), ("g", 30L, true),
+      ("g", 30L, true), ("g", 40L, false))
+      .toDF("grp", "score", "correct")
+    val out = Profile.riskCoverage(df, "grp", "score", "correct")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out.size === 4, "one row per distinct score")
+    assert(out(10L) === ((5L, 2L, 1000000L, 400000L)),
+      "threshold at the minimum accepts everything: full coverage, " +
+        "base error rate")
+    assert(out(20L) === ((4L, 2L, 800000L, 500000L)))
+    assert(out(30L) === ((3L, 1L, 600000L, 333333L)))
+    assert(out(40L) === ((1L, 1L, 200000L, 1000000L)),
+      "the top threshold here accepts exactly the one wrong example")
+    // bucketWidth is a plan knob, never a semantics knob
+    val narrow = Profile.riskCoverage(df, "grp", "score", "correct",
+      bucketWidth = 2L).collect().map(_.toSeq).toSet
+    assert(narrow === Profile.riskCoverage(df, "grp", "score", "correct")
+      .collect().map(_.toSeq).toSet)
+    val ex = intercept[Exception](Profile.riskCoverage(df, "grp",
+      "score", "correct", bucketWidth = 1L, maxBuckets = 2).collect())
+    assert(ex.getMessage.contains("buckets-squared"))
+  }
+
   test("calibratedAbstain: an ANTI-calibrated class accepts LOW scores " +
       "(wrong high-score predictions abstain), a calibrated class " +
       "accepts high, no-contrast and no-scale classes abstain " +
