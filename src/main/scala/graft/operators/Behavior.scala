@@ -450,6 +450,83 @@ object Behavior {
           col("n_null_ts") === 0L)
   }
 
+  /** Message-TREE linearization — the OpenAssistant data shape
+    * (Köpf et al. 2023): crowd-sourced conversations arrive as a tree
+    * (each reply points at its parent; several candidate replies per
+    * node), and trainers consume root-to-leaf PATHS as flat
+    * conversations. One output path per LEAF, each carrying every
+    * ancestor in order — the standard tree→SFT extraction (feed the
+    * per-turn relation into [[dialogAudit]] / [[sftPairs]] /
+    * [[renderChatTemplate]] with `path_id` as the conversation key).
+    *
+    * Tree contract, enforced not assumed: roots have a NULL parent;
+    * every non-root's parent must EXIST and sit strictly closer to a
+    * root (acyclic). A node that is never reached from a root within
+    * `maxDepth` levels — orphaned subtree (parent id absent), a
+    * cycle, or a genuinely deeper tree — trips an in-plan raise
+    * naming the node: silently dropping unreachable turns would
+    * truncate conversations without evidence. Duplicate message ids
+    * would alias turns — also unreached-raise material when they
+    * disagree on parents, but de-dup upstream.
+    *
+    * Scale shape: level-synchronous BFS — `maxDepth` child-keyed
+    * equi-joins, each shuffling only (id, path-ids) pairs, every
+    * level localCheckpointed (the [[graft.operators.Iterate]]
+    * fixed-iteration discipline; plans stay O(1) per level). Paths
+    * ride as id ARRAYS (one row per node per level, text joined back
+    * exactly once at the end) — the exchanged volume is ids × depth,
+    * never text × depth. Returns one row per (leaf, turn):
+    * `(path_id, n_turns, turn, msg_id, role, text)` — `path_id` = the
+    * leaf's message id, `turn` 1-based from the root. */
+  def dialogPaths(msgs: DataFrame, msgIdCol: String, parentIdCol: String,
+      roleCol: String, textCol: String, maxDepth: Int = 32): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 128,
+      s"maxDepth must be in [1, 128], got $maxDepth")
+    val m = graft.operators.Iterate.checkpoint(
+      msgs.select(col(msgIdCol).cast("long").as("__id"),
+        col(parentIdCol).cast("long").as("__p"),
+        col(roleCol).cast("string").as("__role"),
+        col(textCol).cast("string").as("__text")))
+    val parents = m.filter(col("__p").isNotNull)
+      .select(col("__p").as("__id")).distinct()
+    val leaves = m.select(col("__id"))
+      .join(parents, Seq("__id"), "left_anti")
+    var cur = m.filter(col("__p").isNull)
+      .select(col("__id"), array(col("__id")).as("__path"))
+      .localCheckpoint()
+    var acc = cur.join(leaves, Seq("__id"), "left_semi")
+    var placed = cur.select(col("__id"))
+    for (_ <- 2 to maxDepth) {
+      cur = m.select(col("__id"), col("__p"))
+        .join(cur.select(col("__id").as("__p"), col("__path")), Seq("__p"))
+        .select(col("__id"),
+          concat(col("__path"), array(col("__id"))).as("__path"))
+        .localCheckpoint()
+      acc = acc.unionAll(cur.join(leaves, Seq("__id"), "left_semi"))
+      placed = placed.unionAll(cur.select(col("__id")))
+    }
+    val out = acc
+      .select(col("__id").as("path_id"),
+        size(col("__path")).cast("long").as("n_turns"),
+        posexplode(col("__path")).as(Seq("__pos", "msg_id")))
+      .select(col("path_id"), col("n_turns"),
+        (col("__pos") + 1).cast("long").as("turn"), col("msg_id"))
+      .join(m.select(col("__id").as("msg_id"), col("__role").as("role"),
+        col("__text").as("text")), Seq("msg_id"))
+      .select(col("path_id"), col("n_turns"), col("turn"), col("msg_id"),
+        col("role"), col("text"))
+    val sch = out.schema
+    val boom = raise_error(concat(
+      lit("dialogPaths: message "), col("__id").cast("string"),
+      lit(s" is unreachable from any root within $maxDepth levels — " +
+        "orphaned parent, cycle, or a deeper tree; repair the tree " +
+        "or raise maxDepth deliberately")))
+    val offenders = m.select(col("__id"))
+      .join(placed, Seq("__id"), "left_anti")
+      .select(sch.map(f => boom.cast(f.dataType).as(f.name)): _*)
+    out.unionAll(offenders)
+  }
+
   /** SFT pair extraction — the step that turns audited conversations
     * into supervised training examples: every ASSISTANT turn emits one
     * `(context, response)` pair, the context being all PRIOR turns

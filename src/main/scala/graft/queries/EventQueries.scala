@@ -721,6 +721,57 @@ object EventQueries extends graft.QueryPack {
              |    END AS BIGINT) AS adv_micros
              |FROM s JOIN dd USING (prompt)""".stripMargin)),
 
+    // ---- E44: message-tree linearization (OpenAssistant paths) -----------
+    // A 500-node binary-heap reply tree over documents (parent =
+    // (id-1) div 2, root 0 = system, odd = user, even = assistant;
+    // text = the doc's first 6 tokens): one conversation per LEAF,
+    // every ancestor in order. The oracle replays the recursive
+    // root-to-leaf walk, the leaf set (ids with no child), and the
+    // per-turn unnest with ordinality.
+    Q("q_e44_dialog_paths",
+      (s, d) => {
+        val msgs = Tables.documents(s, d).select(
+          col("doc_id").as("msg_id"),
+          when(col("doc_id") === 0, lit(null).cast("long"))
+            .otherwise(expr("(doc_id - 1) div 2")).as("parent_id"),
+          when(col("doc_id") === 0, lit("system"))
+            .when(col("doc_id") % 2 === 1, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          when(col("text").isNotNull, array_join(slice(
+            graft.operators.TextAnalysis.tokens(col("text")), 1, 6), " "))
+            .otherwise(lit("")).as("text"))
+        graft.operators.Behavior.dialogPaths(msgs, "msg_id",
+          "parent_id", "role", "text", maxDepth = 16)
+      },
+      Some("""WITH RECURSIVE tt AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'),
+             |      x -> x <> '') AS toks
+             |  FROM documents),
+             |m AS (SELECT doc_id AS id,
+             |    CASE WHEN doc_id = 0 THEN NULL
+             |      ELSE (doc_id - 1) // 2 END AS parent,
+             |    CASE WHEN doc_id = 0 THEN 'system'
+             |      WHEN doc_id % 2 = 1 THEN 'user'
+             |      ELSE 'assistant' END AS role,
+             |    COALESCE(array_to_string(list_slice(toks, 1, 6), ' '), '')
+             |      AS txt
+             |  FROM tt),
+             |p AS (
+             |  SELECT id, [id] AS path FROM m WHERE parent IS NULL
+             |  UNION ALL
+             |  SELECT c.id, list_append(p.path, c.id)
+             |  FROM p JOIN m c ON c.parent = p.id),
+             |lv AS (SELECT p.id, p.path FROM p
+             |  WHERE p.id NOT IN (
+             |    SELECT DISTINCT parent FROM m WHERE parent IS NOT NULL)),
+             |ex2 AS (SELECT id AS path_id, len(path) AS n_turns,
+             |    unnest(path) AS msg_id, generate_subscripts(path, 1) AS turn
+             |  FROM lv)
+             |SELECT e.path_id, CAST(e.n_turns AS BIGINT) AS n_turns,
+             |  CAST(e.turn AS BIGINT) AS turn, e.msg_id, m.role,
+             |  m.txt AS text
+             |FROM ex2 e JOIN m ON m.id = e.msg_id""".stripMargin)),
+
     // ---- E43: KTO-shaped unpaired preference signal -----------------------
     // The thumbs-up/down production data shape: per prompt
     // (event_id % 40) each example carries a planted binary verdict;

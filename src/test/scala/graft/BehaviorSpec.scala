@@ -448,4 +448,48 @@ class BehaviorSpec extends AnyFunSuite {
       .map { case (f, xs) => f -> xs.map(_._2._2).sum }
     assert(perFrom.forall { case (_, s) => s >= 999998L && s <= 1000001L })
   }
+
+  test("dialogPaths: one conversation per leaf with every ancestor in " +
+      "order, a shared prefix fans out, orphans/cycles/too-deep trees " +
+      "raise instead of silently truncating") {
+    import spark.implicits._
+    // root 1 -> {2, 3}; 2 -> 4; 3 -> {5, 6}: leaves 4, 5, 6
+    val msgs = Seq(
+      (1L, Option.empty[Long], "system", "be helpful"),
+      (2L, Option(1L), "user", "hi"),
+      (3L, Option(1L), "user", "hello"),
+      (4L, Option(2L), "assistant", "hi there"),
+      (5L, Option(3L), "assistant", "hello back"),
+      (6L, Option(3L), "assistant", "greetings"))
+      .toDF("msg_id", "parent_id", "role", "text")
+    val out = Behavior.dialogPaths(msgs, "msg_id", "parent_id",
+        "role", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getLong(1), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(out.size === 9, "3 leaves x 3 turns")
+    assert(out((4L, 1L)) === ((3L, 1L, "system", "be helpful")))
+    assert(out((4L, 2L)) === ((3L, 2L, "user", "hi")))
+    assert(out((4L, 3L)) === ((3L, 4L, "assistant", "hi there")))
+    assert(out((5L, 2L))._2 === 3L && out((6L, 2L))._2 === 3L,
+      "the shared prefix fans out into both sibling paths")
+    // an orphan (parent id absent from the relation) raises
+    val orphan = msgs.unionByName(
+      Seq((9L, Option(99L), "user", "lost")).toDF(
+        "msg_id", "parent_id", "role", "text"))
+    val ex1 = intercept[Exception](Behavior.dialogPaths(orphan,
+      "msg_id", "parent_id", "role", "text").collect())
+    assert(ex1.getMessage.contains("unreachable"))
+    // a cycle raises (neither member is ever reached from a root)
+    val cyc = msgs.unionByName(Seq(
+      (7L, Option(8L), "user", "a"), (8L, Option(7L), "user", "b"))
+      .toDF("msg_id", "parent_id", "role", "text"))
+    val ex2 = intercept[Exception](Behavior.dialogPaths(cyc,
+      "msg_id", "parent_id", "role", "text").collect())
+    assert(ex2.getMessage.contains("unreachable"))
+    // a tree deeper than maxDepth raises rather than truncating
+    val ex3 = intercept[Exception](Behavior.dialogPaths(msgs,
+      "msg_id", "parent_id", "role", "text", maxDepth = 2).collect())
+    assert(ex3.getMessage.contains("within 2 levels"))
+  }
 }
