@@ -527,6 +527,59 @@ object Behavior {
     out.unionAll(offenders)
   }
 
+  /** Sibling-reply preference extraction — the other half of the
+    * OpenAssistant recipe next to [[dialogPaths]]: when several
+    * candidate replies answer the SAME parent message and each
+    * carries a quality score (rank labels, ratings, a reward model),
+    * every scored sibling set yields preference pairs — the
+    * best-scored child (ties to the LOWER id, deterministic) as
+    * `chosen`, each other sibling as one `rejected` row. This is how
+    * tree-shaped human feedback becomes DPO training pairs with the
+    * PROMPT CONTEXT shared by construction (both replies answer the
+    * identical parent — join `parent_id` back onto [[dialogPaths]]'
+    * relation to render the shared context).
+    *
+    * Tied siblings carry no preference signal but are never silently
+    * dropped: they emit with `tie = true` and margin 0 (the
+    * [[graft.operators.Preferences.dpoPairs]] observability stance —
+    * the trainer filters, the curator counts). Single-child parents
+    * have no contrast and emit nothing. Null parent (roots), id, or
+    * score rows are unjudged — excluded.
+    *
+    * Scale shape: ONE parent-keyed struct-min hash aggregation (the
+    * canonicalByScore argmax — no window, no sort) + one keyed join
+    * back; the one negation-unsafe long (Long.MinValue) trips an
+    * in-plan raise. Returns `(parent_id, chosen_id,
+    * chosen_score_micros, rejected_id, rejected_score_micros,
+    * margin_micros, tie)` — one row per non-chosen sibling. */
+  def siblingPreferences(msgs: DataFrame, msgIdCol: String,
+      parentIdCol: String, scoreMicrosCol: String): DataFrame = {
+    val base = msgs.filter(col(parentIdCol).isNotNull &&
+        col(msgIdCol).isNotNull && col(scoreMicrosCol).isNotNull)
+      .select(col(parentIdCol).cast("long").as("parent_id"),
+        col(msgIdCol).cast("long").as("__id"),
+        col(scoreMicrosCol).cast("long").as("__s"))
+    val guarded = when(col("__s") === lit(Long.MinValue),
+      raise_error(lit("siblingPreferences: score_micros is " +
+        "Long.MinValue — its negation overflows the struct-min " +
+        "argmax ordering; rescale upstream")).cast("long"))
+      .otherwise(col("__s"))
+    val best = base
+      .groupBy(col("parent_id"))
+      .agg(min(struct((-guarded).as("__ns"), col("__id").as("__cid")))
+        .as("__b"))
+      .select(col("parent_id"), col("__b.__cid").as("chosen_id"),
+        (-col("__b.__ns")).as("chosen_score_micros"))
+    base.join(best, Seq("parent_id"))
+      .filter(col("__id") =!= col("chosen_id"))
+      .select(col("parent_id"), col("chosen_id"),
+        col("chosen_score_micros"),
+        col("__id").as("rejected_id"),
+        col("__s").as("rejected_score_micros"),
+        (col("chosen_score_micros") - col("__s")).as("margin_micros"),
+        (col("chosen_score_micros") === col("__s")).as("tie"))
+  }
+
   /** SFT pair extraction — the step that turns audited conversations
     * into supervised training examples: every ASSISTANT turn emits one
     * `(context, response)` pair, the context being all PRIOR turns

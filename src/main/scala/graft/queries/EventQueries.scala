@@ -772,6 +772,37 @@ object EventQueries extends graft.QueryPack {
              |  m.txt AS text
              |FROM ex2 e JOIN m ON m.id = e.msg_id""".stripMargin)),
 
+    // ---- E45: sibling-reply preferences (tree feedback -> DPO pairs) -----
+    // The q_e44 heap tree with a planted per-message quality score
+    // ((id * 7919) % 10007): per parent, the best-scored child is
+    // chosen and each other sibling one rejected row — tree-shaped
+    // human feedback becoming DPO pairs with the prompt context shared
+    // by construction. Oracle replays the per-parent argmax (score
+    // desc, id) and every margin.
+    Q("q_e45_sibling_preferences",
+      (s, d) => graft.operators.Behavior.siblingPreferences(
+        Tables.documents(s, d).select(col("doc_id").as("msg_id"),
+          when(col("doc_id") === 0, lit(null).cast("long"))
+            .otherwise(expr("(doc_id - 1) div 2")).as("parent_id"),
+          ((col("doc_id") * 7919) % 10007).as("score")),
+        "msg_id", "parent_id", "score"),
+      Some("""WITH m AS (SELECT doc_id AS id,
+             |    (doc_id - 1) // 2 AS parent,
+             |    (doc_id * 7919) % 10007 AS s
+             |  FROM documents WHERE doc_id <> 0),
+             |b AS (SELECT parent, id AS cid, s AS cs FROM (
+             |    SELECT parent, id, s, row_number() OVER (
+             |      PARTITION BY parent ORDER BY s DESC, id) AS rn FROM m)
+             |  WHERE rn = 1)
+             |SELECT m.parent AS parent_id, b.cid AS chosen_id,
+             |  CAST(b.cs AS BIGINT) AS chosen_score_micros,
+             |  m.id AS rejected_id,
+             |  CAST(m.s AS BIGINT) AS rejected_score_micros,
+             |  CAST(b.cs - m.s AS BIGINT) AS margin_micros,
+             |  b.cs = m.s AS tie
+             |FROM m JOIN b ON b.parent = m.parent AND m.id <> b.cid"""
+        .stripMargin)),
+
     // ---- E43: KTO-shaped unpaired preference signal -----------------------
     // The thumbs-up/down production data shape: per prompt
     // (event_id % 40) each example carries a planted binary verdict;

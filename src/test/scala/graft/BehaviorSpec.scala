@@ -492,4 +492,33 @@ class BehaviorSpec extends AnyFunSuite {
       "msg_id", "parent_id", "role", "text", maxDepth = 2).collect())
     assert(ex3.getMessage.contains("within 2 levels"))
   }
+
+  test("siblingPreferences: best child wins with ties to the lower id, " +
+      "tied siblings surface with tie=true rather than vanish, " +
+      "single-child parents emit nothing, unjudged rows drop, the " +
+      "Long.MinValue negation guard raises") {
+    import spark.implicits._
+    val msgs = Seq(
+      (2L, Option(1L), Option(100L)), (3L, Option(1L), Option(300L)),
+      (4L, Option(1L), Option(300L)),           // tie with 3 -> 3 wins
+      (6L, Option(5L), Option(50L)),            // single child
+      (7L, Option(1L), Option.empty[Long]),     // unjudged sibling
+      (1L, Option.empty[Long], Option(999L)))   // root: no parent
+      .toDF("msg_id", "parent_id", "score")
+    val out = Behavior.siblingPreferences(msgs, "msg_id", "parent_id",
+        "score")
+      .collect().map(r => r.getLong(3) ->
+        ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4),
+          r.getLong(5), r.getBoolean(6)))).toMap
+    assert(out.size === 2, "parent 1 yields two rejected rows; the " +
+      "single-child parent and the root emit nothing")
+    assert(out(2L) === ((1L, 3L, 300L, 100L, 200L, false)))
+    assert(out(4L) === ((1L, 3L, 300L, 300L, 0L, true)),
+      "the equal-score sibling surfaces as a tie, margin 0")
+    val huge = Seq((2L, Option(1L), Option(Long.MinValue)),
+      (3L, Option(1L), Option(5L))).toDF("msg_id", "parent_id", "score")
+    val ex = intercept[Exception](Behavior.siblingPreferences(huge,
+      "msg_id", "parent_id", "score").collect())
+    assert(ex.getMessage.contains("Long.MinValue"))
+  }
 }
