@@ -43,6 +43,35 @@ object EventQueries extends graft.QueryPack {
     * the update, then renormalization to n_candidates x 1e6 with the
     * 1-micro floor — the half-up `(2a+b)//(2b)` idiom throughout,
     * HUGEINT so the exact integers never overflow. */
+  /** The q_e44 heap-tree fixture + recursive root-to-leaf walk as
+    * oracle CTEs, ending in `m` (messages) and `ex2` (per-turn path
+    * relation) — shared by q_e44 and the q_e46 ChatML composition. */
+  private lazy val duckDialogTree: String =
+    """WITH RECURSIVE tt AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'),
+      |      x -> x <> '') AS toks
+      |  FROM documents),
+      |m AS (SELECT doc_id AS id,
+      |    CASE WHEN doc_id = 0 THEN NULL
+      |      ELSE (doc_id - 1) // 2 END AS parent,
+      |    CASE WHEN doc_id = 0 THEN 'system'
+      |      WHEN doc_id % 2 = 1 THEN 'user'
+      |      ELSE 'assistant' END AS role,
+      |    COALESCE(array_to_string(list_slice(toks, 1, 6), ' '), '')
+      |      AS txt
+      |  FROM tt),
+      |p AS (
+      |  SELECT id, [id] AS path FROM m WHERE parent IS NULL
+      |  UNION ALL
+      |  SELECT c.id, list_append(p.path, c.id)
+      |  FROM p JOIN m c ON c.parent = p.id),
+      |lv AS (SELECT p.id, p.path FROM p
+      |  WHERE p.id NOT IN (
+      |    SELECT DISTINCT parent FROM m WHERE parent IS NOT NULL)),
+      |ex2 AS (SELECT id AS path_id, len(path) AS n_turns,
+      |    unnest(path) AS msg_id, generate_subscripts(path, 1) AS turn
+      |  FROM lv)""".stripMargin
+
   private def duckBtIteration(k: Int): String = {
     val prev = if (k == 1) "s0" else s"s${k - 1}"
     s"""t$k AS MATERIALIZED (SELECT g.a, g.b,
@@ -743,34 +772,44 @@ object EventQueries extends graft.QueryPack {
         graft.operators.Behavior.dialogPaths(msgs, "msg_id",
           "parent_id", "role", "text", maxDepth = 16)
       },
-      Some("""WITH RECURSIVE tt AS (SELECT doc_id,
-             |    list_filter(regexp_split_to_array(text, '\s+'),
-             |      x -> x <> '') AS toks
-             |  FROM documents),
-             |m AS (SELECT doc_id AS id,
-             |    CASE WHEN doc_id = 0 THEN NULL
-             |      ELSE (doc_id - 1) // 2 END AS parent,
-             |    CASE WHEN doc_id = 0 THEN 'system'
-             |      WHEN doc_id % 2 = 1 THEN 'user'
-             |      ELSE 'assistant' END AS role,
-             |    COALESCE(array_to_string(list_slice(toks, 1, 6), ' '), '')
-             |      AS txt
-             |  FROM tt),
-             |p AS (
-             |  SELECT id, [id] AS path FROM m WHERE parent IS NULL
-             |  UNION ALL
-             |  SELECT c.id, list_append(p.path, c.id)
-             |  FROM p JOIN m c ON c.parent = p.id),
-             |lv AS (SELECT p.id, p.path FROM p
-             |  WHERE p.id NOT IN (
-             |    SELECT DISTINCT parent FROM m WHERE parent IS NOT NULL)),
-             |ex2 AS (SELECT id AS path_id, len(path) AS n_turns,
-             |    unnest(path) AS msg_id, generate_subscripts(path, 1) AS turn
-             |  FROM lv)
+      Some(s"""$duckDialogTree
              |SELECT e.path_id, CAST(e.n_turns AS BIGINT) AS n_turns,
              |  CAST(e.turn AS BIGINT) AS turn, e.msg_id, m.role,
              |  m.txt AS text
              |FROM ex2 e JOIN m ON m.id = e.msg_id""".stripMargin)),
+
+    // ---- E46: tree -> ChatML (the full adoption chain composed) ----------
+    // dialogPaths' per-turn relation rendered THROUGH
+    // renderChatTemplate (path_id as the conversation key, turn as the
+    // order): one training string per leaf conversation — the
+    // tree-to-trainer last mile under ONE oracle (the recursive walk +
+    // the ChatML wrap + the ordered aggregation).
+    Q("q_e46_tree_chatml",
+      (s, d) => {
+        val msgs = Tables.documents(s, d).select(
+          col("doc_id").as("msg_id"),
+          when(col("doc_id") === 0, lit(null).cast("long"))
+            .otherwise(expr("(doc_id - 1) div 2")).as("parent_id"),
+          when(col("doc_id") === 0, lit("system"))
+            .when(col("doc_id") % 2 === 1, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          when(col("text").isNotNull, array_join(slice(
+            graft.operators.TextAnalysis.tokens(col("text")), 1, 6), " "))
+            .otherwise(lit("")).as("text"))
+        graft.operators.Behavior.renderChatTemplate(
+          graft.operators.Behavior.dialogPaths(msgs, "msg_id",
+            "parent_id", "role", "text", maxDepth = 16),
+          "path_id", "turn", "msg_id", "role", "text")
+      },
+      Some(s"""$duckDialogTree,
+             |rch AS (SELECT e.path_id, e.turn, e.msg_id,
+             |    '<|im_start|>' || m.role || chr(10) || m.txt ||
+             |    '<|im_end|>' AS turn_s
+             |  FROM ex2 e JOIN m ON m.id = e.msg_id)
+             |SELECT path_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+             |  string_agg(turn_s, chr(10) ORDER BY turn, msg_id)
+             |    AS rendered
+             |FROM rch GROUP BY 1""".stripMargin)),
 
     // ---- E45: sibling-reply preferences (tree feedback -> DPO pairs) -----
     // The q_e44 heap tree with a planted per-message quality score
