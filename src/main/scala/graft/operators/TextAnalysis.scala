@@ -2336,6 +2336,54 @@ object TextAnalysis {
     out.unionAll(offenders)
   }
 
+  /** Needle-in-a-haystack synthesizer — the long-context eval-data
+    * build (Kamradt's NIAH; RULER, Hsieh et al. 2024): each document
+    * becomes a haystack with ONE planted needle sentence ("the magic
+    * number for document <id> is <hex>") inserted at a
+    * hash-determined token position, so retrieval accuracy can be
+    * binned by depth — the standard lost-in-the-middle probe. The
+    * needle VALUE is itself salted (8 hex chars of the id's salted
+    * key), so a model can never answer from the id alone, and the
+    * expected answer rides in the output relation for the
+    * [[Profile.exactMatch]]-style grading pass.
+    *
+    * Deterministic engine reading: position and value derive from
+    * [[graft.operators.Sampling.saltedKey]] hashes (`salt|pos`,
+    * `salt|val`) — a new salt replants every needle; `depth_ppm` =
+    * position / token count in half-up ppm (null for a token-less
+    * doc — the needle IS its whole text). Token-level fidelity:
+    * segments re-join on single spaces (the [[tokens]] regime). Null
+    * texts are excluded. Map-only — at 100 TB this is a pure codegen
+    * scan stage. Returns `(<idCol>, n_tokens, needle_pos, depth_ppm,
+    * answer, text_out)`. */
+  def plantNeedles(docs: DataFrame, salt: String,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def h(tag: String): Column =
+      conv(substring(graft.operators.Sampling.saltedKey(col(idCol),
+        s"$salt|$tag"), 1, 8), 16, 10).cast("long")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .withColumn("__pos", h("pos") % (col("__n") + 1))
+      .withColumn("__ans",
+        substring(graft.operators.Sampling.saltedKey(col(idCol),
+          s"$salt|val"), 1, 8))
+      .withColumn("__needle", concat(lit("the magic number for document "),
+        col(idCol).cast("string"), lit(" is "), col("__ans")))
+      .select(col(idCol), col("__n").as("n_tokens"),
+        col("__pos").as("needle_pos"),
+        when(col("__n") > 0,
+          expr("(2 * __pos * 1000000 + __n) div (2 * __n)"))
+          .as("depth_ppm"),
+        col("__ans").as("answer"),
+        array_join(concat(
+          slice(col("__t"), lit(1), col("__pos").cast("int")),
+          array(col("__needle")),
+          slice(col("__t"), (col("__pos") + 1).cast("int"),
+            (col("__n") - col("__pos")).cast("int"))), " ")
+          .as("text_out"))
+  }
+
   /** Word error rate — the ASR/translation-eval companion to
     * [[rougeL]]: token-level Levenshtein distance (substitutions +
     * deletions + insertions at WORD granularity, the NIST sclite

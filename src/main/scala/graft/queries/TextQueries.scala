@@ -2579,6 +2579,42 @@ object TextQueries extends graft.QueryPack {
              |  COALESCE(b.max_f_ppm < 500000, true) AS keep
              |FROM ctx c LEFT JOIN bst b ON b.hi = c.cid""".stripMargin)),
 
+    // ---- X107: needle-in-a-haystack synthesis (long-context eval data) --
+    // Every doc becomes a haystack with one salted needle at a
+    // hash-determined token depth; the expected answer rides along for
+    // the grading pass. The oracle replays position draw, value draw,
+    // depth ppm and the token-level splice byte-for-byte.
+    Q("q_x107_needle_haystack",
+      (s, d) => TextAnalysis.plantNeedles(Tables.documents(s, d),
+        salt = "niah1"),
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks
+              |  FROM documents WHERE text IS NOT NULL),
+              |c AS (SELECT doc_id, toks, len(toks) AS n,
+              |    CAST('0x' || substr(md5('niah1|pos|' ||
+              |      CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              |      % (len(toks) + 1) AS pos,
+              |    substr(md5('niah1|val|' || CAST(doc_id AS VARCHAR)),
+              |      1, 8) AS ans
+              |  FROM t),
+              |seg AS (SELECT doc_id, n, pos, ans,
+              |    COALESCE(array_to_string(list_slice(toks, 1, pos), ' '),
+              |      '') AS pre,
+              |    COALESCE(array_to_string(list_slice(toks, pos + 1, n),
+              |      ' '), '') AS post,
+              |    'the magic number for document ' ||
+              |      CAST(doc_id AS VARCHAR) || ' is ' || ans AS needle
+              |  FROM c)
+              |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+              |  CAST(pos AS BIGINT) AS needle_pos,
+              |  CAST(CASE WHEN n > 0 THEN
+              |    (2 * pos * 1000000 + n) // (2 * n) END AS BIGINT)
+              |    AS depth_ppm,
+              |  ans AS answer,
+              |  CASE WHEN pre = '' THEN '' ELSE pre || ' ' END || needle ||
+              |    CASE WHEN post = '' THEN '' ELSE ' ' || post END
+              |    AS text_out
+              |FROM seg""".stripMargin)),
+
     // ---- X76: tokenizer fertility per language ---------------------------
     // The multilingual tokenizer-quality audit over the q_x73 chain:
     // pieces-per-word in exact ppm per documents.lang — ONE oracle hash

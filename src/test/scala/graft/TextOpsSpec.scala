@@ -1697,6 +1697,39 @@ class TextOpsSpec extends AnyFunSuite {
       "KL over an empty vocabulary is undefined — null, not a fake 0")
   }
 
+  test("plantNeedles: the splice reassembles around the needle, the " +
+      "answer is extractable from text_out, depth is the exact position " +
+      "ratio, a token-less doc becomes pure needle, a new salt " +
+      "replants") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, ""), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.plantNeedles(docs, "s1")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    val needle1 = s"the magic number for document 1 is ${r1.getString(4)}"
+    assert(r1.getString(5).contains(needle1),
+      "the needle (with its salted answer) is IN the haystack")
+    assert(r1.getString(5).replace(needle1, "").trim
+      .split("\\s+").filter(_.nonEmpty).mkString(" ") === "a b c d",
+      "removing the needle recovers the original token stream in order")
+    val (pos, n) = (r1.getLong(2), r1.getLong(1))
+    assert(r1.getLong(3) === (2 * pos * 1000000 + n) / (2 * n),
+      "depth_ppm is the half-up position ratio")
+    // token-less doc: the needle IS the text, depth undefined
+    val r2 = out(2L)
+    assert(r2.getLong(1) === 0L && r2.isNullAt(3) &&
+      r2.getString(5) === s"the magic number for document 2 is ${r2.getString(4)}")
+    // determinism + replant
+    val again = graft.operators.TextAnalysis.plantNeedles(docs, "s1")
+      .collect().map(_.toSeq).toSet
+    assert(again === out.values.map(_.toSeq).toSet)
+    val replanted = graft.operators.TextAnalysis.plantNeedles(docs, "s2")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(replanted(1L) !== r1.getString(4),
+      "a new salt draws a new answer")
+  }
+
   test("hostRankFeature: URL userinfo never splits one real host into " +
       "two graph nodes") {
     import spark.implicits._
