@@ -442,4 +442,102 @@ class PropertySpec extends AnyFunSuite {
       "don 't Ġ Ġstop Ġme Ċ now Ġ42 !",
       "pretok = mapped GPT-2 pieces, space-joined")
   }
+
+  test("riskCoverage == naive per-threshold reference on random " +
+      "score/label mixes, at both bucket widths") {
+    import graft.operators.Profile
+    val caseGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 15L), Gen.oneOf(true, false)))
+    forAll(caseGen, n = 8) { rows =>
+      val df = rows.map { case (s, y) => ("g", s, y) }
+        .toDF("grp", "score", "correct")
+      def run(w: Long) = Profile.riskCoverage(df, "grp", "score",
+          "correct", bucketWidth = w)
+        .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toSet
+      val naive = rows.map(_._1).distinct.map { t =>
+        val acc = rows.filter(_._1 >= t)
+        val e = acc.count(!_._2).toLong
+        val (na, nn) = (acc.size.toLong, rows.size.toLong)
+        (t, na, e, (2 * na * 1000000L + nn) / (2 * nn),
+          (2 * e * 1000000L + na) / (2 * na))
+      }.toSet
+      assert(run(1L << 20) === naive, "single-bucket plan == reference")
+      assert(run(4L) === naive, "cross-bucket plan == reference")
+    }
+  }
+
+  test("dialogPaths == a driver-side root-to-leaf walk on random " +
+      "forests") {
+    import graft.operators.Behavior
+    // acyclic by construction: node i >= nRoots points at some j < i
+    val caseGen = for {
+      nRoots <- Gen.choose(1, 3)
+      parents <- Gen.sequence[List[Int], Int](
+        (3 until 25).map(i => Gen.choose(0, i - 1)))
+    } yield (nRoots, parents)
+    forAll(caseGen, n = 8) { case (nRoots, parents) =>
+      val par: Map[Long, Option[Long]] =
+        (0 until 3).map(i => i.toLong ->
+          (if (i < nRoots) None else Some(0L))).toMap ++
+        parents.zipWithIndex.map { case (p, k) =>
+          (k + 3).toLong -> Some(p.toLong) }.toMap
+      val msgs = par.toSeq.map { case (id, p) =>
+        (id, p, if (id % 2 == 0) "user" else "assistant", s"m$id") }
+        .toDF("msg_id", "parent_id", "role", "text")
+      val got = Behavior.dialogPaths(msgs, "msg_id", "parent_id",
+          "role", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+        .toSet
+      // reference: walk each leaf up to its root
+      val hasChild = par.values.flatten.toSet
+      val want = par.keys.filterNot(hasChild).flatMap { leaf =>
+        val up = Iterator.iterate(Option(leaf))(o =>
+          o.flatMap(par(_))).takeWhile(_.isDefined).map(_.get).toList
+        val path = up.reverse
+        path.zipWithIndex.map { case (m, i) =>
+          (leaf, (i + 1).toLong, m) }
+      }.toSet
+      assert(got === want)
+    }
+  }
+
+  test("crossSourceOverlap == an exact-text-group reference when the " +
+      "text pool is mutually shingle-disjoint") {
+    import graft.operators.Dedup
+    val pool = Vector(
+      "alpha beta gamma delta epsilon zeta",
+      "hotel india juliet kilo lima mike",
+      "red orange yellow green blue violet",
+      "one two three four five six",
+      "north south east west up down")
+    val caseGen = Gen.listOfN(20,
+      Gen.zip(Gen.choose(0, pool.size - 1), Gen.oneOf("s0", "s1")))
+    forAll(caseGen, n = 6) { rows =>
+      val docs = rows.zipWithIndex.map { case ((t, src), i) =>
+        (i.toLong, pool(t), src) }
+      val got = Dedup.crossSourceOverlap(
+          docs.toDF("doc_id", "text", "src"), "text", "doc_id", "src")
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      // reference: clusters == exact text groups (pool sentences share
+      // no shingles, identical texts always cluster)
+      val groups = docs.groupBy(_._2).values.map(g =>
+        g.groupBy(_._3).map { case (s, xs) => s -> xs.size.toLong })
+      val pairs = scala.collection.mutable.Map
+        .empty[(String, String), (Long, Long, Long)]
+      groups.foreach { bySrc =>
+        val srcs = bySrc.keys.toSeq.sorted
+        for (a <- srcs; b <- srcs if a < b) {
+          val (c, da, db) = pairs.getOrElse((a, b), (0L, 0L, 0L))
+          pairs((a, b)) = (c + 1, da + bySrc(a), db + bySrc(b))
+        }
+        srcs.filter(bySrc(_) >= 2).foreach { a =>
+          val (c, da, db) = pairs.getOrElse((a, a), (0L, 0L, 0L))
+          pairs((a, a)) = (c + 1, da + bySrc(a), db + bySrc(a))
+        }
+      }
+      assert(got === pairs.toMap)
+    }
+  }
 }
