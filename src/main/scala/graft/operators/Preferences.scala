@@ -587,9 +587,12 @@ object Preferences {
     * .ktoVerdictCounts]] — live thumbs-up/down is exactly the shape
     * that ARRIVES as a stream) can feed the identical baseline /
     * centering / balancing arithmetic: `counts` is a
-    * `(<promptCol>, n_examples, n_desirable)` relation covering every
-    * prompt in `feedback`. Same output contract as the batch
-    * composition. */
+    * `(<promptCol>, n_examples, n_desirable)` relation that MUST
+    * cover every prompt in `feedback` — a prompt with examples but no
+    * counter row trips an in-plan raise (a stale counter state
+    * silently dropping examples would understate exactly the feedback
+    * it hasn't absorbed yet; re-read the state or trim the batch).
+    * Same output contract as the batch composition. */
   def ktoSignalFromCounts(feedback: DataFrame, counts: DataFrame,
       promptCol: String, respIdCol: String,
       desirableCol: String): DataFrame = {
@@ -602,7 +605,7 @@ object Preferences {
         (col("n_examples") - col("n_desirable")).as("n_undesirable"),
         expr("(2 * n_desirable * 1000000 + n_examples) " +
           "div (2 * n_examples)").as("baseline_micros"))
-    base.join(stats, Seq(promptCol))
+    val out = base.join(stats, Seq(promptCol))
       .select(col(promptCol), col(respIdCol), col("desirable"),
         col("n_examples"), col("n_desirable"), col("n_undesirable"),
         col("baseline_micros"),
@@ -613,6 +616,17 @@ object Preferences {
           .otherwise(when(col("n_desirable") > 0, expr(
             "(2 * n_desirable * 1000000 + n_undesirable) " +
               "div (2 * n_undesirable)"))).as("weight_ppm"))
+    // coverage guard: every output column carries the raise
+    val sch = out.schema
+    val boom = raise_error(concat(
+      lit("ktoSignalFromCounts: prompt "), col(promptCol).cast("string"),
+      lit(" has feedback examples but no counter row — the counts " +
+        "relation must cover every prompt (stale state silently drops " +
+        "exactly the feedback it hasn't absorbed)")))
+    val offenders = base.select(col(promptCol)).distinct()
+      .join(stats.select(col(promptCol)), Seq(promptCol), "left_anti")
+      .select(sch.map(f => boom.cast(f.dataType).as(f.name)): _*)
+    out.unionAll(offenders)
   }
 
   /** The [[dpoPairs]] → training-strings composition: each pair's

@@ -331,6 +331,13 @@ class PreferencesSpec extends AnyFunSuite {
     assert(out(5L) === ((true, 2L, 1000000L, 0L, None)),
       "all-one-verdict: no contrast, zero signal, nothing to balance")
     assert(out(7L) === ((false, 2L, 0L, 0L, None)))
+    // derivation-half coverage guard: a counts relation missing a
+    // prompt raises instead of silently dropping its examples
+    val partial = Seq(("p1", 4L, 3L))
+      .toDF("prompt", "n_examples", "n_desirable")
+    val ex = intercept[Exception](Preferences.ktoSignalFromCounts(
+      fb, partial, "prompt", "resp", "up").collect())
+    assert(ex.getMessage.contains("no counter row"))
   }
 
   test("plackett-luce: guards — tied/gapped ranks raise, the list cap " +
