@@ -11,6 +11,58 @@ import graft.sources.Tables
   */
 object DedupQueries extends graft.QueryPack {
 
+  /** The verified-cluster chain + soft-weight + token-count roll-up as
+    * oracle CTEs, per an arbitrary documents source column — ends in
+    * `effj(srcx, nt, w)` (one row per doc with its token count and
+    * 1e6-div-cluster_size weight). Shared by q_d31 (per lang) and the
+    * q_d32 dedup-aware epoch plan (per source). Compose after the
+    * duckShingles WITH RECURSIVE prefix. */
+  private def duckEffTokens(srcCol: String): String =
+    s"""mh AS (SELECT doc_id,
+       |  min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+       |  min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
+       |  min(md5('4|' || sh)) AS m4, min(md5('5|' || sh)) AS m5,
+       |  min(md5('6|' || sh)) AS m6, min(md5('7|' || sh)) AS m7
+       |  FROM exd GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM mh
+       |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM mh
+       |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM mh
+       |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM mh),
+       |prs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM exd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.a_id, p.b_id, COUNT(*) AS inter
+       |  FROM prs p
+       |  JOIN exd a ON a.doc_id = p.a_id
+       |  JOIN exd b ON b.doc_id = p.b_id AND b.sh = a.sh
+       |  GROUP BY 1, 2),
+       |ver AS (
+       |  SELECT i.a_id, i.b_id FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.a_id
+       |  JOIN sizes sb ON sb.doc_id = i.b_id
+       |  WHERE i.inter * 10 >= (sa.n + sb.n - i.inter) * 1),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM ver
+       |  UNION SELECT b_id, a_id FROM ver),
+       |cc(node, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
+       |comp AS (SELECT node, MIN(label) AS component FROM cc
+       |  GROUP BY node),
+       |memw AS (SELECT d.doc_id,
+       |    COALESCE(c.component, d.doc_id) AS cl, d.$srcCol AS srcx
+       |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+       |cs AS (SELECT cl, COUNT(*) AS csz FROM memw GROUP BY 1),
+       |tok AS (SELECT doc_id, COALESCE(len(toks), 0) AS nt FROM t),
+       |effj AS (SELECT m.srcx, tok.nt, 1000000 // cs.csz AS w
+       |  FROM memw m JOIN cs USING (cl)
+       |  JOIN tok ON tok.doc_id = m.doc_id)""".stripMargin
+
   private val duckShingles =
     """WITH t AS (SELECT doc_id,
       |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
@@ -518,57 +570,60 @@ object DedupQueries extends graft.QueryPack {
       (s, d) => Dedup.effectiveTokens(Tables.documents(s, d), "text",
         "doc_id", "lang"),
       Some(s"""WITH RECURSIVE ${duckShingles.stripPrefix("WITH ")},
-              |mh AS (SELECT doc_id,
-              |  min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
-              |  min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
-              |  min(md5('4|' || sh)) AS m4, min(md5('5|' || sh)) AS m5,
-              |  min(md5('6|' || sh)) AS m6, min(md5('7|' || sh)) AS m7
-              |  FROM exd GROUP BY doc_id),
-              |bands AS (
-              |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM mh
-              |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM mh
-              |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM mh
-              |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM mh),
-              |prs AS (
-              |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-              |  FROM bands a JOIN bands b
-              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM exd GROUP BY doc_id),
-              |inter AS (
-              |  SELECT p.a_id, p.b_id, COUNT(*) AS inter
-              |  FROM prs p
-              |  JOIN exd a ON a.doc_id = p.a_id
-              |  JOIN exd b ON b.doc_id = p.b_id AND b.sh = a.sh
-              |  GROUP BY 1, 2),
-              |ver AS (
-              |  SELECT i.a_id, i.b_id FROM inter i
-              |  JOIN sizes sa ON sa.doc_id = i.a_id
-              |  JOIN sizes sb ON sb.doc_id = i.b_id
-              |  WHERE i.inter * 10 >= (sa.n + sb.n - i.inter) * 1),
-              |edges AS (
-              |  SELECT a_id AS src, b_id AS dst FROM ver
-              |  UNION SELECT b_id, a_id FROM ver),
-              |cc(node, label) AS (
-              |  SELECT DISTINCT src, src FROM edges
-              |  UNION
-              |  SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
-              |comp AS (SELECT node, MIN(label) AS component FROM cc
-              |  GROUP BY node),
-              |memw AS (SELECT d.doc_id,
-              |    COALESCE(c.component, d.doc_id) AS cl, d.lang
-              |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
-              |cs AS (SELECT cl, COUNT(*) AS csz FROM memw GROUP BY 1),
-              |tok AS (SELECT doc_id, COALESCE(len(toks), 0) AS nt FROM t),
-              |j AS (SELECT m.lang, tok.nt, 1000000 // cs.csz AS w
-              |  FROM memw m JOIN cs USING (cl)
-              |  JOIN tok ON tok.doc_id = m.doc_id)
-              |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |${duckEffTokens("lang")}
+              |SELECT srcx AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
               |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
               |  CAST(SUM(nt * w) AS BIGINT) AS eff_tokens_micro,
               |  CAST(CASE WHEN SUM(nt) > 0 THEN
               |    (2 * SUM(nt * w) + SUM(nt)) // (2 * SUM(nt)) END
               |    AS BIGINT) AS unique_ratio_ppm
-              |FROM j GROUP BY 1""".stripMargin)),
+              |FROM effj GROUP BY 1""".stripMargin)),
+
+    // ---- D32: dedup-aware epoch plan (the honest Muennighoff budget) ----
+    // The q_x68 plan fed EFFECTIVE tokens instead of raw: a source
+    // that looks big but is mostly duplicates offers fewer unique
+    // tokens, so its quota needs more epochs (or goes unmet) — the
+    // data-constrained plan on dedup-honest budgets, q_d31 composed
+    // into q_x68 under ONE oracle.
+    Q("q_d32_dedup_epoch_plan",
+      (s, d) => {
+        val eff = Dedup.effectiveTokens(Tables.documents(s, d), "text",
+            "doc_id", "source")
+          .select(col("source"),
+            expr("(2 * eff_tokens_micro + 1000000) div (2 * 1000000)")
+              .as("n_tokens"))
+        graft.operators.Sampling.epochPlan(eff, "source", "n_tokens",
+          weightsMicros = Map("src0" -> 400000L, "src1" -> 300000L,
+            "src2" -> 50000L, "srcZZ" -> 100000L),
+          totalTokens = 100000L, maxEpochs = 4)
+      },
+      Some(s"""WITH RECURSIVE ${duckShingles.stripPrefix("WITH ")},
+              |${duckEffTokens("source")}
+              |, eff AS (SELECT srcx AS domain,
+              |    (2 * SUM(nt * w) + 1000000) // (2 * 1000000) AS avail
+              |  FROM effj GROUP BY 1),
+              |w2 AS (SELECT * FROM (VALUES ('src0', 400000),
+              |    ('src1', 300000), ('src2', 50000), ('srcZZ', 100000))
+              |    v(domain, w_m)),
+              |j AS (SELECT COALESCE(e.domain, w2.domain) AS domain,
+              |    COALESCE(e.avail, 0) AS available_tokens,
+              |    COALESCE((CAST(w2.w_m AS BIGINT) * 100000) // 1000000, 0)
+              |      AS quota_tokens
+              |  FROM eff e FULL OUTER JOIN w2 ON e.domain = w2.domain),
+              |e2 AS (SELECT domain, available_tokens, quota_tokens,
+              |    CASE WHEN quota_tokens = 0 OR available_tokens = 0 THEN 0
+              |      ELSE LEAST((quota_tokens + available_tokens - 1)
+              |                 // available_tokens, 4) END AS epochs
+              |  FROM j)
+              |SELECT domain,
+              |  CAST(available_tokens AS BIGINT) AS available_tokens,
+              |  CAST(quota_tokens AS BIGINT) AS quota_tokens,
+              |  CAST(epochs AS BIGINT) AS epochs,
+              |  CAST(LEAST(quota_tokens, epochs * available_tokens)
+              |    AS BIGINT) AS effective_tokens,
+              |  CAST(quota_tokens - LEAST(quota_tokens,
+              |    epochs * available_tokens) AS BIGINT) AS unmet_tokens
+              |FROM e2""".stripMargin)),
 
     // ---- D22: leakage-safe split (assign by near-dup CLUSTER, not doc) --
     // A page and its crawl-again near-duplicate hash-split by document
