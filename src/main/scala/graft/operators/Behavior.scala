@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -475,16 +475,40 @@ object Behavior {
     * fixed-iteration discipline; plans stay O(1) per level). Paths
     * ride as id ARRAYS (one row per node per level, text joined back
     * exactly once at the end) — the exchanged volume is ids × depth,
-    * never text × depth. Returns one row per (leaf, turn):
-    * `(path_id, n_turns, turn, msg_id, role, text)` — `path_id` = the
-    * leaf's message id, `turn` 1-based from the root. */
+    * never text × depth. The BFS exits as soon as a level's frontier
+    * is empty (the isEmpty probe is nearly free on the
+    * just-checkpointed frame), so a depth-3 forest pays 3 rounds at
+    * any maxDepth — output provably identical to running all rounds,
+    * since an empty frontier stays empty and unions nothing.
+    *
+    * Id contract, enforced not assumed: ids must be INTEGRAL — a
+    * non-null id whose long cast is null (e.g. OpenAssistant's UUID
+    * strings) trips an in-plan raise naming the id, instead of
+    * surfacing later as a misleading unreachable-node error (hash
+    * string ids to longs upstream — [[graft.operators.Sampling
+    * .saltedKey]] is the house recipe). Returns one row per
+    * (leaf, turn): `(path_id, n_turns, turn, msg_id, role, text)` —
+    * `path_id` = the leaf's message id, `turn` 1-based from the
+    * root. */
   def dialogPaths(msgs: DataFrame, msgIdCol: String, parentIdCol: String,
       roleCol: String, textCol: String, maxDepth: Int = 32): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 128,
       s"maxDepth must be in [1, 128], got $maxDepth")
+    def longId(c: String, what: String): Column = {
+      // try_cast, not cast: under ANSI a malformed string would throw
+      // the generic CAST_INVALID_INPUT before this guard could name
+      // the contract; try_cast yields null and the raise explains it
+      val casted = expr(s"try_cast(`$c` AS LONG)")
+      when(col(c).isNotNull && casted.isNull,
+        raise_error(concat(lit(s"dialogPaths: $what id '"),
+          col(c).cast("string"),
+          lit("' does not cast to long — ids must be integral; hash " +
+            "string ids (UUIDs) to longs upstream"))).cast("long"))
+        .otherwise(casted)
+    }
     val m = graft.operators.Iterate.checkpoint(
-      msgs.select(col(msgIdCol).cast("long").as("__id"),
-        col(parentIdCol).cast("long").as("__p"),
+      msgs.select(longId(msgIdCol, "message").as("__id"),
+        longId(parentIdCol, "parent").as("__p"),
         col(roleCol).cast("string").as("__role"),
         col(textCol).cast("string").as("__text")))
     val parents = m.filter(col("__p").isNotNull)
@@ -496,14 +520,20 @@ object Behavior {
       .localCheckpoint()
     var acc = cur.join(leaves, Seq("__id"), "left_semi")
     var placed = cur.select(col("__id"))
-    for (_ <- 2 to maxDepth) {
+    var level = 2
+    var frontierEmpty = cur.isEmpty
+    while (level <= maxDepth && !frontierEmpty) {
       cur = m.select(col("__id"), col("__p"))
         .join(cur.select(col("__id").as("__p"), col("__path")), Seq("__p"))
         .select(col("__id"),
           concat(col("__path"), array(col("__id"))).as("__path"))
         .localCheckpoint()
-      acc = acc.unionAll(cur.join(leaves, Seq("__id"), "left_semi"))
-      placed = placed.unionAll(cur.select(col("__id")))
+      frontierEmpty = cur.isEmpty
+      if (!frontierEmpty) {
+        acc = acc.unionAll(cur.join(leaves, Seq("__id"), "left_semi"))
+        placed = placed.unionAll(cur.select(col("__id")))
+      }
+      level += 1
     }
     val out = acc
       .select(col("__id").as("path_id"),

@@ -816,7 +816,9 @@ object Dedup {
     * identically here). Null-text docs count with 0 tokens (they
     * still hold a dedup slot). Headroom: BIGINT carries Σ tokens ×
     * weight to ~9.2e12 effective tokens per source — shard by time
-    * window beyond that. Scale shape: the verified-cluster chain +
+    * window beyond that; the ratio's half-up cross-multiplication runs
+    * in DECIMAL(38,0) so it never wraps before the sum itself does.
+    * Scale shape: the verified-cluster chain +
     * one doc-keyed join + ONE source-keyed hash aggregation. Returns
     * `(<sourceCol>, n_docs, n_tokens, eff_tokens_micro,
     * unique_ratio_ppm)` — ratio null for a zero-token source. */
@@ -837,7 +839,8 @@ object Dedup {
         sum(col("__nt")).as("n_tokens"),
         sum(col("__nt") * col("weight_m")).as("eff_tokens_micro"))
       .withColumn("unique_ratio_ppm", when(col("n_tokens") > 0,
-        expr("(2 * eff_tokens_micro + n_tokens) div (2 * n_tokens)")))
+        expr("CAST((2 * CAST(eff_tokens_micro AS DECIMAL(38,0)) + n_tokens) " +
+          "div (2 * n_tokens) AS BIGINT)")))
   }
 
   /** Quality-aware canonical selection — dedup that keeps the BEST

@@ -588,11 +588,17 @@ object Preferences {
     * that ARRIVES as a stream) can feed the identical baseline /
     * centering / balancing arithmetic: `counts` is a
     * `(<promptCol>, n_examples, n_desirable)` relation that MUST
-    * cover every prompt in `feedback` — a prompt with examples but no
-    * counter row trips an in-plan raise (a stale counter state
-    * silently dropping examples would understate exactly the feedback
-    * it hasn't absorbed yet; re-read the state or trim the batch).
-    * Same output contract as the batch composition. */
+    * cover every prompt in `feedback` EXACTLY ONCE and be at least as
+    * fresh as the batch. Three in-plan raises enforce the contract —
+    * a prompt with examples but no counter row (stale state silently
+    * dropping exactly the feedback it hasn't absorbed), a prompt with
+    * MORE THAN ONE counter row (duplicate counters would silently fan
+    * every output row for that prompt out once per duplicate), and a
+    * counter row whose `n_examples` is BELOW the batch's own
+    * per-prompt example count (a present-but-behind counter would
+    * silently miscompute baseline and weights — re-read the state or
+    * trim the batch). Same output contract as the batch
+    * composition. */
   def ktoSignalFromCounts(feedback: DataFrame, counts: DataFrame,
       promptCol: String, respIdCol: String,
       desirableCol: String): DataFrame = {
@@ -603,8 +609,14 @@ object Preferences {
         .as("n_desirable"))
       .select(col(promptCol), col("n_examples"), col("n_desirable"),
         (col("n_examples") - col("n_desirable")).as("n_undesirable"),
-        expr("(2 * n_desirable * 1000000 + n_examples) " +
-          "div (2 * n_examples)").as("baseline_micros"))
+        // the > 0 guards are no-ops on a CONSISTENT counter (an example
+        // implies n_examples >= 1; an undesirable row implies
+        // n_undesirable >= 1) — they exist so an INCONSISTENT counter
+        // reaches the named behind/duplicate raises below instead of
+        // dying first on an anonymous ANSI division-by-zero
+        when(col("n_examples") > 0,
+          expr("(2 * n_desirable * 1000000 + n_examples) " +
+            "div (2 * n_examples)")).as("baseline_micros"))
     val out = base.join(stats, Seq(promptCol))
       .select(col(promptCol), col(respIdCol), col("desirable"),
         col("n_examples"), col("n_desirable"), col("n_undesirable"),
@@ -613,20 +625,43 @@ object Preferences {
           col("baseline_micros")).as("signal_micros"),
         when(col("desirable"),
           when(col("n_undesirable") > 0, 1000000L))
-          .otherwise(when(col("n_desirable") > 0, expr(
-            "(2 * n_desirable * 1000000 + n_undesirable) " +
-              "div (2 * n_undesirable)"))).as("weight_ppm"))
-    // coverage guard: every output column carries the raise
+          .otherwise(when(
+            col("n_desirable") > 0 && col("n_undesirable") > 0, expr(
+              "(2 * n_desirable * 1000000 + n_undesirable) " +
+                "div (2 * n_undesirable)"))).as("weight_ppm"))
+    // coverage guards: every output column carries the raise
     val sch = out.schema
-    val boom = raise_error(concat(
-      lit("ktoSignalFromCounts: prompt "), col(promptCol).cast("string"),
-      lit(" has feedback examples but no counter row — the counts " +
-        "relation must cover every prompt (stale state silently drops " +
-        "exactly the feedback it hasn't absorbed)")))
-    val offenders = base.select(col(promptCol)).distinct()
-      .join(stats.select(col(promptCol)), Seq(promptCol), "left_anti")
-      .select(sch.map(f => boom.cast(f.dataType).as(f.name)): _*)
-    out.unionAll(offenders)
+    def boomRows(df: DataFrame, msg: Column): DataFrame =
+      df.select(sch.map(f => raise_error(msg).cast(f.dataType).as(f.name)): _*)
+    val missing = boomRows(
+      base.select(col(promptCol)).distinct()
+        .join(stats.select(col(promptCol)), Seq(promptCol), "left_anti"),
+      concat(lit("ktoSignalFromCounts: prompt "),
+        col(promptCol).cast("string"),
+        lit(" has feedback examples but no counter row — the counts " +
+          "relation must cover every prompt (stale state silently drops " +
+          "exactly the feedback it hasn't absorbed)")))
+    val duplicated = boomRows(
+      counts.groupBy(col(promptCol)).agg(count(lit(1)).as("__nc"))
+        .filter(col("__nc") > 1),
+      concat(lit("ktoSignalFromCounts: prompt "),
+        col(promptCol).cast("string"), lit(" has "),
+        col("__nc").cast("string"),
+        lit(" counter rows — duplicate counters would fan every output " +
+          "row for the prompt out once per duplicate; aggregate the " +
+          "counts relation to one row per prompt")))
+    val behind = boomRows(
+      base.groupBy(col(promptCol)).agg(count(lit(1)).as("__bn"))
+        .join(stats.select(col(promptCol), col("n_examples")),
+          Seq(promptCol))
+        .filter(col("__bn") > col("n_examples")),
+      concat(lit("ktoSignalFromCounts: prompt "),
+        col(promptCol).cast("string"), lit(" holds "),
+        col("__bn").cast("string"), lit(" batch examples but its " +
+          "counter says n_examples = "), col("n_examples").cast("string"),
+        lit(" — the counter is behind the batch and would miscompute " +
+          "baseline/weights; re-read the state or trim the batch")))
+    out.unionAll(missing).unionAll(duplicated).unionAll(behind)
   }
 
   /** The [[dpoPairs]] → training-strings composition: each pair's

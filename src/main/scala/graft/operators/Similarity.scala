@@ -881,11 +881,21 @@ object Similarity {
         s"got $numCentroids")
     require(nProbe >= 1 && k >= 1, s"need nProbe/k >= 1")
     // bottom-m ids via the bounded top-k buffer (score = -id): no
-    // corpus sort, no window, no dense-id contract
+    // corpus sort, no window, no dense-id contract. The buffer carries
+    // scores as doubles, so ids past 2^53 would lose ordering
+    // precision and silently break the advertised id-order-determinism
+    // — guarded in-plan (the rewardTopK discipline).
     def seeds(df: DataFrame, m: Int, stride: Int, off: Int): DataFrame =
       perQueryTopK(
         df.select(lit(0L).as("query_id"), col(idCol).as("neighbor_id"),
-          (-col(idCol).cast("double")).as("score")), m)
+          (-when(abs(col(idCol).cast("long")) > lit(9007199254740992L),
+            raise_error(concat(lit("reindexOnDrift: |id| exceeds 2^53 ("),
+              col(idCol).cast("string"),
+              lit(") — seed selection orders ids through a double " +
+                "score; remap ids into the exact-double range upstream")))
+              .cast("long"))
+            .otherwise(col(idCol).cast("long")).cast("double")).as("score")),
+        m)
         .select(col("neighbor_id").as(idCol),
           ((col("rnk") - 1) * stride + off).as("centroid_id"))
         .join(df.select(col(idCol), col(vecCol)), Seq(idCol))

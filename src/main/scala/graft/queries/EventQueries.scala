@@ -38,11 +38,6 @@ object EventQueries extends graft.QueryPack {
       |    COUNT(*) - SUM(aw) AS wba
       |  FROM p GROUP BY 1, 2)""".stripMargin
 
-  /** One unrolled Bradley-Terry MM iteration (oracle side): terms at
-    * Scale=1e9 from the previous strengths, per-candidate denominators,
-    * the update, then renormalization to n_candidates x 1e6 with the
-    * 1-micro floor — the half-up `(2a+b)//(2b)` idiom throughout,
-    * HUGEINT so the exact integers never overflow. */
   /** The q_e44 heap-tree fixture + recursive root-to-leaf walk as
     * oracle CTEs, ending in `m` (messages) and `ex2` (per-turn path
     * relation) — shared by q_e44 and the q_e46 ChatML composition. */
@@ -72,6 +67,11 @@ object EventQueries extends graft.QueryPack {
       |    unnest(path) AS msg_id, generate_subscripts(path, 1) AS turn
       |  FROM lv)""".stripMargin
 
+  /** One unrolled Bradley-Terry MM iteration (oracle side): terms at
+    * Scale=1e9 from the previous strengths, per-candidate denominators,
+    * the update, then renormalization to n_candidates x 1e6 with the
+    * 1-micro floor — the half-up `(2a+b)//(2b)` idiom throughout,
+    * HUGEINT so the exact integers never overflow. */
   private def duckBtIteration(k: Int): String = {
     val prev = if (k == 1) "s0" else s"s${k - 1}"
     s"""t$k AS MATERIALIZED (SELECT g.a, g.b,

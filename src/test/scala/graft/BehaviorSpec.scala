@@ -493,6 +493,34 @@ class BehaviorSpec extends AnyFunSuite {
     assert(ex3.getMessage.contains("within 2 levels"))
   }
 
+  test("dialogPaths: the empty-frontier early exit returns exactly the " +
+      "fixed-rounds output, and a non-integral id raises the id-type " +
+      "error instead of the misleading unreachable raise") {
+    import spark.implicits._
+    // depth-3 forest: maxDepth 32 must early-exit after round 4's empty
+    // frontier and produce the identical relation maxDepth 3 does
+    val msgs = Seq(
+      (1L, Option.empty[Long], "system", "be helpful"),
+      (2L, Option(1L), "user", "hi"),
+      (4L, Option(2L), "assistant", "hi there"),
+      (10L, Option.empty[Long], "user", "solo root"))
+      .toDF("msg_id", "parent_id", "role", "text")
+    val wide = Behavior.dialogPaths(msgs, "msg_id", "parent_id", "role",
+      "text", maxDepth = 32)
+    val tight = Behavior.dialogPaths(msgs, "msg_id", "parent_id", "role",
+      "text", maxDepth = 3)
+    assert(wide.exceptAll(tight).count() === 0 &&
+      tight.exceptAll(wide).count() === 0,
+      "early exit == fixed rounds, row for row")
+    assert(wide.count() === 4L, "2 leaves, paths of 3 and 1 turns")
+    // a UUID-style id trips the explicit integral-id contract
+    val uuid = Seq(("550e8400-e29b", Option.empty[String], "user", "x"))
+      .toDF("msg_id", "parent_id", "role", "text")
+    val ex = intercept[Exception](Behavior.dialogPaths(uuid, "msg_id",
+      "parent_id", "role", "text").collect())
+    assert(ex.getMessage.contains("does not cast to long"))
+  }
+
   test("siblingPreferences: best child wins with ties to the lower id, " +
       "tied siblings surface with tie=true rather than vanish, " +
       "single-child parents emit nothing, unjudged rows drop, the " +

@@ -338,6 +338,20 @@ class PreferencesSpec extends AnyFunSuite {
     val ex = intercept[Exception](Preferences.ktoSignalFromCounts(
       fb, partial, "prompt", "resp", "up").collect())
     assert(ex.getMessage.contains("no counter row"))
+    // a DUPLICATED counter row raises instead of silently fanning the
+    // prompt's output rows out once per duplicate
+    val dup = Seq(("p1", 4L, 3L), ("p1", 4L, 3L), ("p2", 2L, 2L),
+      ("p3", 2L, 0L)).toDF("prompt", "n_examples", "n_desirable")
+    val ex2 = intercept[Exception](Preferences.ktoSignalFromCounts(
+      fb, dup, "prompt", "resp", "up").collect())
+    assert(ex2.getMessage.contains("counter rows"))
+    // a present-but-BEHIND counter (n_examples below the batch's own
+    // per-prompt count) raises instead of miscomputing baseline/weights
+    val behind = Seq(("p1", 3L, 3L), ("p2", 2L, 2L), ("p3", 2L, 0L))
+      .toDF("prompt", "n_examples", "n_desirable")
+    val ex3 = intercept[Exception](Preferences.ktoSignalFromCounts(
+      fb, behind, "prompt", "resp", "up").collect())
+    assert(ex3.getMessage.contains("behind the batch"))
   }
 
   test("plackett-luce: guards — tied/gapped ranks raise, the list cap " +
