@@ -650,29 +650,86 @@ object Profile {
     * (a bins SPINE — bins empty on both sides still surface):
     * `(bin, base_n, cur_n, psi_c)`. Scale: one percentile pass over the
     * baseline, two map-only binning passes + two bins-sized aggregates,
-    * a broadcast 1-row cut relation. */
+    * a broadcast 1-row cut relation. Streaming twin: freeze the cuts
+    * once with [[psiCuts]], accumulate the live side's bin counters
+    * with [[graft.streaming.EventStreams.binCountState]], and derive
+    * the identical numbers through [[psiFromCounts]]. */
   def psiDrift(base: DataFrame, cur: DataFrame, valueCol: String,
       nBins: Int): DataFrame = {
     require(nBins >= 2 && nBins <= 1000, s"need 2 <= nBins <= 1000, got $nBins")
-    val sp = base.sparkSession
-    import sp.implicits._
     val cuts = base.select(
       (1 until nBins).map(i =>
         round(expr(s"percentile(`$valueCol`, ${i.toDouble / nBins})"), 6)
           .as(s"__b$i")): _*)
-    def binned(df: DataFrame, side: String): DataFrame = {
+    def binned(df: DataFrame): DataFrame = {
       val bin = (1 until nBins)
         .map(i => when(col(valueCol) > col(s"__b$i"), 1).otherwise(0))
         .reduce(_ + _)
       df.filter(col(valueCol).isNotNull)
         .crossJoin(broadcast(cuts))
         .select(bin.as("bin"))
-        .groupBy(col("bin")).agg(count(lit(1)).as(s"${side}_n"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
     }
+    psiFromCounts(binned(base), binned(cur), nBins)
+  }
+
+  /** The baseline's equi-depth cuts as driver-side LITERALS — the
+    * bounded-driver-read half of the [[psiDrift]] split (nBins − 1
+    * doubles, dimension-table-sized by contract: the documented
+    * bounded-read discipline). A STREAMING monitor needs the cuts as
+    * values, not a plan (the state store bins arriving rows against a
+    * frozen baseline snapshot); batch [[psiDrift]] keeps them in-plan
+    * and never reads the driver. Baseline must hold at least one
+    * non-null value — cuts over nothing are not a baseline. */
+  def psiCuts(base: DataFrame, valueCol: String, nBins: Int): Seq[Double] = {
+    require(nBins >= 2 && nBins <= 1000, s"need 2 <= nBins <= 1000, got $nBins")
+    val row = base.select(
+      (1 until nBins).map(i =>
+        round(expr(s"percentile(`$valueCol`, ${i.toDouble / nBins})"), 6)
+          .as(s"__b$i")): _*).head()
+    require(!row.isNullAt(0),
+      s"psiCuts: baseline has no non-null `$valueCol` values — an empty " +
+        "baseline defines no bins")
+    (0 until nBins - 1).map(row.getDouble)
+  }
+
+  /** Batch bin counts by LITERAL cuts — [[psiDrift]]'s binning rule
+    * (count of cuts strictly below the value) applied map-only against
+    * a [[psiCuts]] snapshot, one bins-sized hash aggregate. This is the
+    * arithmetic the streaming twin
+    * ([[graft.streaming.EventStreams.binCountState]]) accumulates
+    * incrementally; feed both sides through [[psiFromCounts]]. Null
+    * values are excluded exactly as in [[psiDrift]]. */
+  def psiBinCounts(df: DataFrame, valueCol: String,
+      cuts: Seq[Double]): DataFrame = {
+    require(cuts.nonEmpty, "psiBinCounts needs at least one cut")
+    val bin = cuts.map(c => when(col(valueCol) > lit(c), 1).otherwise(0))
+      .reduce(_ + _)
+    df.filter(col(valueCol).isNotNull)
+      .select(bin.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+  }
+
+  /** [[psiDrift]]'s derivation half, split out so STREAMED per-bin
+    * counters ([[graft.streaming.EventStreams.binCountState]] — the
+    * live batch is exactly the side that ARRIVES as a stream) feed the
+    * IDENTICAL spine / floor / `(p − q)·ln(p/q)` arithmetic the batch
+    * operator runs: both inputs are `(bin, n)` relations (bins-sized);
+    * same output contract as [[psiDrift]] — one row per bin 0..nBins−1
+    * with `(bin, base_n, cur_n, psi_c)`, contributions rounded to
+    * 6 dp. The parity spec derives the batch drift numbers from the
+    * streamed state bit-for-bit at every batch split. */
+  def psiFromCounts(baseCounts: DataFrame, curCounts: DataFrame,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"need 2 <= nBins <= 1000, got $nBins")
+    val sp = baseCounts.sparkSession
+    import sp.implicits._
     val spine = (0 until nBins).toDF("bin")
     val joined = spine
-      .join(binned(base, "base"), Seq("bin"), "left")
-      .join(binned(cur, "cur"), Seq("bin"), "left")
+      .join(baseCounts.select(col("bin"), col("n").as("base_n")),
+        Seq("bin"), "left")
+      .join(curCounts.select(col("bin"), col("n").as("cur_n")),
+        Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("base_n"), lit(0L)).as("base_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n"))

@@ -984,6 +984,38 @@ object EventStreams {
         sum(when(col(desirableCol).cast("boolean"), 1L).otherwise(0L))
           .as("n_desirable"))
 
+  /** Streaming PSI bin-count state
+    * ([[graft.operators.Profile.psiDrift]]'s monitoring twin — the
+    * LAST untwinned member of the drift-monitor family after
+    * [[embeddingDimStats]], [[tokenCountState]] and
+    * [[ktoVerdictCounts]]): the live batch a PSI monitor compares
+    * against its baseline is exactly the side that ARRIVES as a
+    * stream, and the state the PSI derives from is the per-bin count
+    * `(bin, n)` against the baseline's FROZEN equi-depth cuts
+    * ([[graft.operators.Profile.psiCuts]] — cuts come from the
+    * snapshot you compare AGAINST, computed once as nBins−1 literal
+    * doubles, never from the drifting stream). Pure MONOTONE counters
+    * (complete-mode aggregation, no watermark, order-independent),
+    * state bounded by cuts.length + 1 bins regardless of stream
+    * volume. Null values are excluded exactly as in the batch
+    * operator; the binning rule (count of cuts strictly below the
+    * value) is [[graft.operators.Profile.psiBinCounts]]'s verbatim.
+    * Feed the state through
+    * [[graft.operators.Profile.psiFromCounts]] against the baseline's
+    * own [[graft.operators.Profile.psiBinCounts]] — the IDENTICAL
+    * spine / floor / `(p − q)·ln(p/q)` arithmetic, so the parity spec
+    * derives the batch psiDrift relation bit-for-bit at every batch
+    * split. Run with `complete` output mode. */
+  def binCountState(spark: SparkSession, df: DataFrame, valueCol: String,
+      cuts: Seq[Double]): DataFrame = {
+    require(cuts.nonEmpty, "binCountState needs at least one cut")
+    val bin = cuts.map(c => when(col(valueCol) > lit(c), 1).otherwise(0))
+      .reduce(_ + _)
+    df.filter(col(valueCol).isNotNull)
+      .select(bin.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+  }
+
   def preferenceCounts(spark: SparkSession, prefs: DataFrame,
       winnerCol: String, loserCol: String): DataFrame = {
     prefs

@@ -551,6 +551,51 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PSI bin counters INCREMENTALLY derive the batch " +
+      "psiDrift numbers at every batch split") {
+    // the last untwinned drift monitor: per-bin counts against the
+    // baseline's FROZEN cuts are monotone, so the complete-mode state
+    // after EACH batch must feed psiFromCounts to exactly the relation
+    // batch psiDrift reports for the same prefix — including a null
+    // value that must not count and an out-of-range value that lands
+    // in an edge bin
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq(Option(1.0), Option(2.0), Option(3.0), Option(4.0),
+      Option(5.0), Option(6.0), Option(7.0), Option(8.0),
+      Option.empty[Double]).toDF("v")
+    val cuts = graft.operators.Profile.psiCuts(base, "v", 4)
+    assert(cuts.length === 3)
+    val streamed = Seq(
+      Seq(Option(0.5), Option(2.5), Option.empty[Double]),
+      Seq(Option(9.0), Option(3.5), Option(2.1), Option(7.5)))
+    val input = MemoryStream[Option[Double]]
+    val q = EventStreams.binCountState(spark,
+        input.toDF().toDF("v"), "v", cuts)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("psi_incr").start()
+    try {
+      streamed.indices.foreach { i =>
+        input.addData(streamed(i)); q.processAllAvailable()
+        val derived = graft.operators.Profile.psiFromCounts(
+          graft.operators.Profile.psiBinCounts(base, "v", cuts),
+          spark.table("psi_incr"), 4)
+        val want = graft.operators.Profile.psiDrift(base,
+          streamed.take(i + 1).flatten.toDF("v"), "v", 4)
+        assert(derived.exceptAll(want).count() === 0 &&
+          want.exceptAll(derived).count() === 0,
+          s"streamed bin counters after batch $i must derive the batch " +
+            "PSI relation bit-for-bit")
+      }
+      // and the drift is non-degenerate evidence: the streamed batch
+      // skews low/high, so at least one bin contributes positive PSI
+      val fin = graft.operators.Profile.psiFromCounts(
+        graft.operators.Profile.psiBinCounts(base, "v", cuts),
+        spark.table("psi_incr"), 4).collect()
+      assert(fin.length === 4 && fin.map(_.getDouble(3)).sum > 0.0)
+    } finally q.stop()
+  }
+
   test("streaming KTO verdict counters INCREMENTALLY derive the batch " +
       "unpaired-preference signal at every batch split") {
     // live thumbs-up/down: per-prompt (n, n_desirable) are monotone
