@@ -664,6 +664,131 @@ object Preferences {
     out.unionAll(missing).unionAll(duplicated).unionAll(behind)
   }
 
+  /** Per-step discounted returns + GAE(λ)-shaped advantages over
+    * STEPPED trajectories — the agentic-RL data shape (episodes of
+    * (state, action, reward) rows; Schulman et al. 2016 for GAE):
+    * response-grain signals ([[dpoPairs]] / [[groupAdvantage]] /
+    * [[ktoSignal]]) stop at whole responses, but an agent trace is a
+    * SEQUENCE, and the trainer consumes per-step return-to-go and
+    * advantage.
+    *
+    * Quantized-exact arithmetic — the engine's no-float-pow discipline
+    * ([[graft.operators.Behavior.timeDecayAttribution]]'s precedent,
+    * here with the recursion ITSELF carrying the power, so no pow at
+    * all): γ and λ arrive as ppm, and each backward step is
+    * `R_t = r_t + ⌊γ·R_{t+1}/1e6⌋`,
+    * `δ_t = r_t + ⌊γ·V_{t+1}/1e6⌋ − V_t` (terminal V = 0),
+    * `A_t = δ_t + ⌊γλ·A_{t+1}/1e6⌋` with `γλ = ⌊γ·λ/1e6⌋` — FLOOR
+    * division uniformly (rewards are signed, so truncate-toward-zero
+    * would quantize in a sign-dependent direction; floor is the
+    * direction-uniform choice, implemented as
+    * `(x − pmod(x, 1e6)) div 1e6` — subtracting the non-negative pmod
+    * makes the quotient exact, so ANY integral divide replays it; a
+    * relational oracle spells the identical identity, since SQL
+    * engines disagree on signed `//`).
+    * γ = λ = 1e6 degenerates to the plain suffix sum (R_t = Σ r_k,
+    * A_t = R_t − V_t); a single-step episode reads R = r, A = δ =
+    * r − V. Null values read 0 (critic-free rows — advantage then
+    * equals return); null episode/step/reward rows are unjudged —
+    * excluded, count them upstream.
+    *
+    * Contract guards, all in-plan raises: duplicate (episode, step)
+    * rows (they alias the recursion's ordering), an episode past
+    * `maxSteps` (the per-episode fold state is the step list — bound
+    * it deliberately), and any |value| / |return| / |advantage| past
+    * 9.2e12 micros (the γ-multiply's BIGINT headroom; rescale rewards
+    * upstream).
+    *
+    * Scale shape: ONE episode-keyed hash aggregation (bounded per-
+    * episode arrays, the recursion folds inside a codegen higher-order
+    * function — no window, no per-step shuffle, no driver iteration) +
+    * one explode back to step grain. Returns one row per step:
+    * `(<episodeCol>, n_steps, <stepCol>, reward_micros, value_micros,
+    * return_micros, delta_micros, advantage_micros)`. */
+  def trajectoryReturns(steps: DataFrame, episodeCol: String,
+      stepCol: String, rewardMicrosCol: String, valueMicrosCol: String,
+      gammaPpm: Long, lambdaPpm: Long, maxSteps: Int = 65536): DataFrame = {
+    require(gammaPpm >= 0 && gammaPpm <= 1000000L,
+      s"gammaPpm must be in [0, 1e6], got $gammaPpm")
+    require(lambdaPpm >= 0 && lambdaPpm <= 1000000L,
+      s"lambdaPpm must be in [0, 1e6], got $lambdaPpm")
+    require(maxSteps >= 1, s"maxSteps must be >= 1, got $maxSteps")
+    val glPpm = gammaPpm * lambdaPpm / 1000000L
+    val headroom = 9200000000000L // 9.2e12: x * 1e6 stays inside BIGINT
+    def fd(x: Column): Column = // exact floor(x / 1e6) as integral ops
+      call_function("div", x - pmod(x, lit(1000000L)), lit(1000000L))
+    def ok(c: Column, what: String): Column =
+      when(abs(c) > lit(headroom), raise_error(concat(
+        lit(s"trajectoryReturns: |$what| exceeds 9.2e12 micros ("),
+        c.cast("string"),
+        lit(") — the gamma-multiply overflows BIGINT past that; " +
+          "rescale rewards/values upstream"))).cast("long"))
+        .otherwise(c)
+    val base = steps.filter(col(episodeCol).isNotNull &&
+        col(stepCol).isNotNull && col(rewardMicrosCol).isNotNull)
+      .select(col(episodeCol), col(stepCol).cast("long").as("__st"),
+        col(rewardMicrosCol).cast("long").as("__r"),
+        ok(coalesce(col(valueMicrosCol).cast("long"), lit(0L)), "value")
+          .as("__v"))
+    val outSchema = "array<struct<st:bigint,r:bigint,v:bigint," +
+      "ret:bigint,delta:bigint,adv:bigint>>"
+    val folded = base.groupBy(col(episodeCol))
+      .agg(count(lit(1)).as("n_steps"),
+        reverse(array_sort(collect_list(
+          struct(col("__st").as("st"), col("__r").as("r"),
+            col("__v").as("v"))))).as("__desc"))
+      .withColumn("__steps", aggregate(col("__desc"),
+        struct(lit(0L).as("pr"), lit(0L).as("pv"), lit(0L).as("pa"),
+          array().cast(outSchema).as("out")),
+        (acc, x) => {
+          val r = x.getField("r"); val v = x.getField("v")
+          val ret = ok(r + fd(lit(gammaPpm) * acc.getField("pr")),
+            "return")
+          val delta = r + fd(lit(gammaPpm) * acc.getField("pv")) - v
+          val adv = ok(delta + fd(lit(glPpm) * acc.getField("pa")),
+            "advantage")
+          struct(ret.as("pr"), v.as("pv"), adv.as("pa"),
+            concat(acc.getField("out"), array(struct(
+              x.getField("st").as("st"), r.as("r"), v.as("v"),
+              ret.as("ret"), delta.as("delta"), adv.as("adv"))))
+              .as("out"))
+        },
+        acc => acc.getField("out")))
+    val out = folded
+      .select(col(episodeCol), col("n_steps"),
+        explode(col("__steps")).as("__s"))
+      .select(col(episodeCol), col("n_steps"),
+        col("__s.st").as(stepCol),
+        col("__s.r").as("reward_micros"),
+        col("__s.v").as("value_micros"),
+        col("__s.ret").as("return_micros"),
+        col("__s.delta").as("delta_micros"),
+        col("__s.adv").as("advantage_micros"))
+    // guards: every output column carries the raise
+    val sch = out.schema
+    def boomRows(df: DataFrame, msg: Column): DataFrame =
+      df.select(sch.map(f => raise_error(msg).cast(f.dataType).as(f.name)): _*)
+    val dup = boomRows(
+      base.groupBy(col(episodeCol), col("__st"))
+        .agg(count(lit(1)).as("__nd")).filter(col("__nd") > 1),
+      concat(lit("trajectoryReturns: episode "),
+        col(episodeCol).cast("string"), lit(" holds "),
+        col("__nd").cast("string"), lit(" rows for step "),
+        col("__st").cast("string"),
+        lit(" — duplicate steps alias the backward recursion's " +
+          "ordering; de-dup upstream")))
+    val oversize = boomRows(
+      base.groupBy(col(episodeCol)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxSteps),
+      concat(lit("trajectoryReturns: episode "),
+        col(episodeCol).cast("string"), lit(" holds "),
+        col("__n").cast("string"),
+        lit(s" steps (cap $maxSteps) — the per-episode fold carries " +
+          "the step list; split the episode or raise maxSteps " +
+          "deliberately")))
+    out.unionAll(dup).unionAll(oversize)
+  }
+
   /** The [[dpoPairs]] → training-strings composition: each pair's
     * chosen and rejected sides render as the two-turn ChatML strings a
     * DPO trainer tokenizes, THROUGH

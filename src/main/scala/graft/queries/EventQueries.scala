@@ -880,6 +880,56 @@ object EventQueries extends graft.QueryPack {
              |    END AS BIGINT) AS weight_ppm
              |FROM s JOIN dd USING (prompt)""".stripMargin)),
 
+    // ---- E47: per-step trajectory returns + GAE advantage ----------------
+    // The agentic-RL data shape: episodes (event_id % 97) of dense
+    // steps (event_id div 97) with planted SIGNED rewards and value
+    // estimates; gamma 0.99 / lambda 0.95 in ppm, every backward-
+    // recursion step a floor-quantized integer. The oracle unrolls the
+    // recursion as a recursive CTE from each episode's last step down.
+    // DuckDB's // TRUNCATES toward zero on signed operands (unlike
+    // Python's //), so the floor is spelled out as the same
+    // (x - pmod(x, 1e6)) / 1e6 identity the operator compiles —
+    // subtracting the always-non-negative pmod makes the quotient
+    // exact, and truncation of an exact quotient IS the floor.
+    Q("q_e47_trajectory_gae",
+      (s, d) => graft.operators.Preferences.trajectoryReturns(
+        Tables.events(s, d).select(
+          (col("event_id") % 97).as("episode"),
+          expr("event_id div 97").as("step"),
+          expr("(event_id * 7919) % 2000001 - 1000000").as("r"),
+          expr("(event_id * 104729) % 2000001 - 1000000").as("v")),
+        "episode", "step", "r", "v",
+        gammaPpm = 990000L, lambdaPpm = 950000L),
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT event_id % 97 AS ep, event_id // 97 AS st,
+             |    (event_id * 7919) % 2000001 - 1000000 AS r,
+             |    (event_id * 104729) % 2000001 - 1000000 AS v
+             |  FROM events),
+             |mx AS (SELECT ep, MAX(st) AS mst, COUNT(*) AS n
+             |  FROM s GROUP BY 1),
+             |rec AS (
+             |  SELECT s.ep, s.st, s.r, s.v, s.r AS ret,
+             |    s.r - s.v AS delta, s.r - s.v AS adv
+             |  FROM s JOIN mx ON mx.ep = s.ep AND s.st = mx.mst
+             |  UNION ALL
+             |  SELECT s.ep, s.st, s.r, s.v,
+             |    s.r + ((990000 * p.ret) - (((990000 * p.ret) % 1000000)
+             |      + 1000000) % 1000000) // 1000000,
+             |    s.r + ((990000 * p.v) - (((990000 * p.v) % 1000000)
+             |      + 1000000) % 1000000) // 1000000 - s.v,
+             |    (s.r + ((990000 * p.v) - (((990000 * p.v) % 1000000)
+             |      + 1000000) % 1000000) // 1000000 - s.v)
+             |      + ((940500 * p.adv) - (((940500 * p.adv) % 1000000)
+             |      + 1000000) % 1000000) // 1000000
+             |  FROM rec p JOIN s ON s.ep = p.ep AND s.st = p.st - 1)
+             |SELECT rec.ep AS episode, CAST(mx.n AS BIGINT) AS n_steps,
+             |  rec.st AS step, CAST(rec.r AS BIGINT) AS reward_micros,
+             |  CAST(rec.v AS BIGINT) AS value_micros,
+             |  CAST(rec.ret AS BIGINT) AS return_micros,
+             |  CAST(rec.delta AS BIGINT) AS delta_micros,
+             |  CAST(rec.adv AS BIGINT) AS advantage_micros
+             |FROM rec JOIN mx USING (ep)""".stripMargin)),
+
     // ---- E40: length-bias audit (Kendall tau-a per prompt) ---------------
     // The reward-data failure mode made measurable: per prompt
     // (event_id % 40, over the event_id % 7 audit slice — pair

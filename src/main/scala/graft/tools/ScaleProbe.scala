@@ -926,6 +926,37 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Trajectory-GAE growth — `runMain graft.tools.ScaleProbe gae`:
+    // the q_e47 backward recursion over ×1/×8/×64 event copies with the
+    // EPISODE COUNT scaled by the copy factor and per-episode length
+    // held at ~1031 steps (the cap's contract: corpora scale by adding
+    // episodes, not by unbounded episodes). The plan is one
+    // episode-keyed fold — growth should track the corpus linearly.
+    if (args.headOption.contains("gae")) {
+      import graft.operators.Preferences
+      val ev0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val span = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
+      Seq(1, 8, 64).foreach { f =>
+        val ev = (0 until f)
+          .map(k => ev0.withColumn("event_id", col("event_id") + lit(k * span)))
+          .reduce(_ unionByName _)
+        val eps = 97L * f
+        val st = ev.select(
+          (col("event_id") % eps).as("episode"),
+          expr(s"event_id div $eps").as("step"),
+          expr("(event_id * 7919) % 2000001 - 1000000").as("r"),
+          expr("(event_id * 104729) % 2000001 - 1000000").as("v"))
+        def run(): Double = time {
+          Preferences.trajectoryReturns(st, "episode", "step", "r", "v",
+              gammaPpm = 990000L, lambdaPpm = 950000L)
+            .write.format("noop").mode("overwrite").save()
+        }
+        run() // warmup
+        println(f"[scaleprobe] gae x$f%-4d ${math.min(run(), run())}%.2f s")
+      }
+      spark.stop(); return
+    }
+
     // Plackett-Luce growth — `runMain graft.tools.ScaleProbe pl`:
     // the q_e41 3-way-ranking synthesis over ×1/×8/×64 event copies
     // (same 6 candidates throughout — corpora grow, candidate sets

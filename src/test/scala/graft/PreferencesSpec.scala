@@ -354,6 +354,57 @@ class PreferencesSpec extends AnyFunSuite {
     assert(ex3.getMessage.contains("behind the batch"))
   }
 
+  test("trajectoryReturns: hand-checked backward recursion, gamma=1 " +
+      "degenerates to the suffix sum, single-step episodes read R=r, " +
+      "floor division quantizes negatives toward -inf, null values " +
+      "read 0, duplicate steps and the episode cap raise") {
+    import spark.implicits._
+    import graft.operators.Preferences
+    // e1: r = [100, -50, 200] micros, v = [10, 20, 30], gamma = 0.5,
+    // lambda = 0.5 (gl = 250000). Backward:
+    //   step 2: R=200, d=200-30=170, A=170
+    //   step 1: R=-50+floor(0.5*200)=50, d=-50+floor(0.5*30)-20=-55,
+    //           A=-55+floor(0.25*170)=-55+42=-13
+    //   step 0: R=100+floor(0.5*50)=125, d=100+floor(0.5*20)-10=100,
+    //           A=100+floor(0.25*-13)=100+floor(-3.25)=100-4=96
+    val e1 = Seq(("e1", 0L, 100L, Option(10L)),
+      ("e1", 1L, -50L, Option(20L)), ("e1", 2L, 200L, Option(30L)),
+      ("solo", 7L, 42L, Option(5L)),
+      ("nullv", 0L, 9L, Option.empty[Long]))
+      .toDF("ep", "st", "r", "v")
+    val out = Preferences.trajectoryReturns(e1, "ep", "st", "r", "v",
+        gammaPpm = 500000L, lambdaPpm = 500000L)
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        ((r.getLong(1), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(out(("e1", 2L)) === ((3L, 200L, 170L, 170L)))
+    assert(out(("e1", 1L)) === ((3L, 50L, -55L, -13L)),
+      "floor(0.25 * 170) = 42, not 43")
+    assert(out(("e1", 0L)) === ((3L, 125L, 100L, 96L)),
+      "floor(0.25 * -13) = -4 (toward -inf), not -3")
+    assert(out(("solo", 7L)) === ((1L, 42L, 37L, 37L)),
+      "single step: R = r, delta = r - v, A = delta")
+    assert(out(("nullv", 0L)) === ((1L, 9L, 9L, 9L)),
+      "null value reads 0: critic-free advantage equals return")
+    // gamma = lambda = 1: suffix sums, advantage telescopes to R - V
+    val g1 = Preferences.trajectoryReturns(e1.filter($"ep" === "e1"),
+        "ep", "st", "r", "v", gammaPpm = 1000000L, lambdaPpm = 1000000L)
+      .collect().map(r => r.getLong(2) -> ((r.getLong(5), r.getLong(7))))
+      .toMap
+    assert(g1(0L) === ((250L, 240L)) && g1(1L) === ((150L, 130L)) &&
+      g1(2L) === ((200L, 170L)),
+      "gamma=1: R = suffix sum, A = R - V (terminal V = 0)")
+    // duplicate (episode, step) raises
+    val dup = e1.unionByName(Seq(("e1", 1L, 1L, Option(1L)))
+      .toDF("ep", "st", "r", "v"))
+    val ex1 = intercept[Exception](Preferences.trajectoryReturns(dup,
+      "ep", "st", "r", "v", 500000L, 500000L).collect())
+    assert(ex1.getMessage.contains("duplicate steps alias"))
+    // the episode step cap raises
+    val ex2 = intercept[Exception](Preferences.trajectoryReturns(e1,
+      "ep", "st", "r", "v", 500000L, 500000L, maxSteps = 2).collect())
+    assert(ex2.getMessage.contains("cap 2"))
+  }
+
   test("plackett-luce: guards — tied/gapped ranks raise, the list cap " +
       "raises, a candidate that only ever places last trips Ford") {
     import spark.implicits._
