@@ -610,6 +610,148 @@ object Behavior {
         (col("chosen_score_micros") === col("__s")).as("tie"))
   }
 
+  /** Tool-call trace validation — the agentic-SFT QA gate next to
+    * [[dialogAudit]]: agentic corpora are conversations whose
+    * assistant turns carry tool_call JSON
+    * (`{"name": ..., "arguments": {...}}`), and a call that names an
+    * undeclared tool, omits a required argument, or passes the wrong
+    * JSON type poisons tool-use training silently. Each call is
+    * audited against a DECLARED tool-schema RELATION
+    * (`(tool, arg, arg_type, required)` — one row per declared
+    * argument; `arg_type` ∈ string/number/boolean/object/array) and
+    * emits one verdict row — the [[graft.operators.Profile]]
+    * expectation-suite stance: per-call evidence columns, never a
+    * silent drop.
+    *
+    * Verdicts, by precedence of evidence: `malformed_json` (the JSON
+    * does not parse, has no name, or carries a non-object
+    * `arguments`) — malformed calls get no argument verdicts;
+    * `unknown_tool` (parses fine, names no declared tool) — its
+    * arguments are reported in `n_args` but not judged against a
+    * schema that doesn't exist; otherwise the three argument checks:
+    * missing REQUIRED args, provided args whose observed JSON class
+    * mismatches the declared type (a JSON `null` value is class
+    * 'null' and mismatches every declared type — provided-but-null is
+    * not provided), and EXTRA args the schema never declared.
+    * Numbers are one class (BIGINT/DOUBLE/DECIMAL all read 'number' —
+    * JSON has one number type); nested objects/arrays are opaque
+    * classes (validate nested shapes with a per-arg schema relation
+    * at the nested grain). `ok` = parsed, known, zero
+    * missing/mismatch/extra.
+    *
+    * Scale shape: ONE map-only variant parse
+    * (`try_parse_json`/`variant_get` — codegen, no UDF), one explode
+    * to the argument grain, broadcast joins against the
+    * dimension-sized schema relation, ONE call-keyed hash aggregation
+    * back. In-plan raises on a declared `arg_type` outside the JSON
+    * class set and on duplicate `(tool, arg)` declarations (either
+    * would silently mis-judge every call of that tool). Null-id calls
+    * are unauditable — excluded; count them upstream. Returns
+    * `(<idCol>, tool, malformed_json, unknown_tool, n_args,
+    * n_missing_required, missing_args, n_type_mismatch,
+    * mismatch_args, n_extra_args, extra_args, ok)` — the `*_args`
+    * lists sorted and '|'-joined (the driver-compare list
+    * convention). */
+  def toolCallAudit(calls: DataFrame, idCol: String, jsonCol: String,
+      toolSchema: DataFrame, toolCol: String = "tool",
+      argCol: String = "arg", typeCol: String = "arg_type",
+      requiredCol: String = "required"): DataFrame = {
+    val allowed = Seq("string", "number", "boolean", "object", "array")
+    val decl = toolSchema.select(col(toolCol).cast("string").as("__tool"),
+      col(argCol).cast("string").as("__darg"),
+      lower(col(typeCol).cast("string")).as("__ty"),
+      col(requiredCol).cast("boolean").as("__req"))
+    val tools = decl.select(col("__tool")).distinct()
+      .withColumn("__known", lit(true))
+    val reqArr = decl.filter(col("__req"))
+      .groupBy(col("__tool"))
+      .agg(array_sort(collect_list(col("__darg"))).as("__reqargs"))
+    val base = calls.filter(col(idCol).isNotNull)
+      .select(col(idCol), col(jsonCol))
+      .withColumn("__v", try_parse_json(col(jsonCol)))
+      .withColumn("__name", expr("try_variant_get(__v, '$.name', 'string')"))
+      .withColumn("__argsch",
+        expr("schema_of_variant(variant_get(__v, '$.arguments'))"))
+      .withColumn("__m",
+        expr("try_variant_get(__v, '$.arguments', 'map<string, variant>')"))
+      .withColumn("__bad", col("__v").isNull || col("__name").isNull ||
+        (col("__argsch").isNotNull && col("__argsch") =!= "VOID" &&
+          !col("__argsch").startsWith("OBJECT")))
+      .join(broadcast(tools), col("__name") === col("__tool"), "left")
+      .drop("__tool")
+    val cls = {
+      val vt = call_function("schema_of_variant", col("__val"))
+      when(col("__val").isNull, lit(null).cast("string"))
+        .when(vt === "STRING", "string")
+        .when(vt === "BOOLEAN", "boolean")
+        .when(vt === "VOID", "null")
+        .when(vt.startsWith("OBJECT"), "object")
+        .when(vt.startsWith("ARRAY"), "array")
+        .otherwise("number") // BIGINT / DOUBLE / DECIMAL(p,s) / FLOAT
+    }
+    val judged = base
+      .select(col(idCol), col("__name"), col("__bad"), col("__known"),
+        explode_outer(when(!col("__bad"), col("__m"))).as(Seq("__arg", "__val")))
+      .withColumn("__cls", cls)
+      .join(broadcast(decl.select(col("__tool"), col("__darg"), col("__ty"))),
+        col("__name") === col("__tool") && col("__arg") === col("__darg"),
+        "left")
+      .withColumn("__mismatch", !col("__bad") &&
+        coalesce(col("__known"), lit(false)) && col("__ty").isNotNull &&
+        !(col("__cls") <=> col("__ty")))
+      .withColumn("__extra", !col("__bad") &&
+        coalesce(col("__known"), lit(false)) && col("__arg").isNotNull &&
+        col("__ty").isNull)
+    val out = judged
+      .join(broadcast(reqArr), col("__name") === reqArr("__tool"), "left")
+      .groupBy(col(idCol))
+      .agg(max(col("__name")).as("tool"),
+        max(col("__bad")).as("malformed_json"),
+        (!max(col("__bad")) && !coalesce(max(col("__known")), lit(false)))
+          .as("unknown_tool"),
+        sum(when(col("__arg").isNotNull, 1L).otherwise(0L)).as("n_args"),
+        coalesce(array_sort(array_except(max(when(!col("__bad"),
+          col("__reqargs"))), collect_list(col("__arg")))),
+          array().cast("array<string>")).as("__missing"),
+        sum(when(col("__mismatch"), 1L).otherwise(0L))
+          .as("n_type_mismatch"),
+        array_sort(collect_list(when(col("__mismatch"), col("__arg"))))
+          .as("__mm"),
+        sum(when(col("__extra"), 1L).otherwise(0L)).as("n_extra_args"),
+        array_sort(collect_list(when(col("__extra"), col("__arg"))))
+          .as("__ex"))
+      .select(col(idCol), col("tool"), col("malformed_json"),
+        col("unknown_tool"),
+        col("n_args"),
+        size(col("__missing")).cast("long").as("n_missing_required"),
+        array_join(col("__missing"), "|").as("missing_args"),
+        col("n_type_mismatch"),
+        array_join(col("__mm"), "|").as("mismatch_args"),
+        col("n_extra_args"),
+        array_join(col("__ex"), "|").as("extra_args"),
+        (!col("malformed_json") && !col("unknown_tool")).as("__judged"))
+      .withColumn("ok", col("__judged") && col("n_missing_required") === 0L &&
+        col("n_type_mismatch") === 0L && col("n_extra_args") === 0L)
+      .drop("__judged")
+    // schema-relation contract guards: every output column carries them
+    val sch = out.schema
+    def boomRows(df: DataFrame, msg: Column): DataFrame =
+      df.select(sch.map(f => raise_error(msg).cast(f.dataType).as(f.name)): _*)
+    val alienType = boomRows(decl.filter(!col("__ty").isin(allowed: _*)),
+      concat(lit("toolCallAudit: declared arg_type '"), col("__ty"),
+        lit("' for "), col("__tool"), lit("."), col("__darg"),
+        lit(s" is outside {${allowed.mkString(", ")}} — it would match " +
+          "no observed JSON class and flag every call; fix the schema " +
+          "relation")))
+    val dupDecl = boomRows(decl.groupBy(col("__tool"), col("__darg"))
+        .agg(count(lit(1)).as("__nd")).filter(col("__nd") > 1),
+      concat(lit("toolCallAudit: "), col("__tool"), lit("."),
+        col("__darg"), lit(" is declared "), col("__nd").cast("string"),
+        lit(" times — duplicate declarations fan out every call's " +
+          "argument join; de-dup the schema relation")))
+    out.unionAll(alienType).unionAll(dupDecl)
+  }
+
   /** SFT pair extraction — the step that turns audited conversations
     * into supervised training examples: every ASSISTANT turn emits one
     * `(context, response)` pair, the context being all PRIOR turns

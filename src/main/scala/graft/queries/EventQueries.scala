@@ -930,6 +930,148 @@ object EventQueries extends graft.QueryPack {
              |  CAST(rec.adv AS BIGINT) AS advantage_micros
              |FROM rec JOIN mx USING (ep)""".stripMargin)),
 
+    // ---- V35: tool-call trace validation (agentic-SFT QA gate) -----------
+    // Synthetic tool_call JSON planted per event (5 arms: a clean-ish
+    // search with a rotating limit-type mismatch, a weather call with
+    // missing/null days, a calc call with a numeric-expr mismatch and
+    // a nested extra object, an undeclared tool, and an unparseable
+    // tail) audited against a 6-row declared schema. The oracle
+    // replays the JSON synthesis char-for-char, then the parse /
+    // unknown / missing / class-mismatch / extra verdicts through
+    // DuckDB's json_valid / json_keys / json_type.
+    Q("q_v35_tool_call_audit",
+      (s, d) => {
+        import s.implicits._
+        val schema = Seq(
+          ("search", "q", "string", true),
+          ("search", "limit", "number", false),
+          ("weather", "city", "string", true),
+          ("weather", "days", "number", true),
+          ("weather", "metric", "boolean", false),
+          ("calc", "expr", "string", true))
+          .toDF("tool", "arg", "arg_type", "required")
+        val calls = Tables.events(s, d).select(col("event_id"),
+          expr("""CASE CAST(event_id % 5 AS INT)
+            WHEN 0 THEN concat('{"name":"search","arguments":{"q":"ev',
+              CAST(event_id AS STRING), '"',
+              CASE WHEN event_id % 3 = 0 THEN ',"limit":"three"'
+                ELSE concat(',"limit":', CAST(event_id % 7 AS STRING)) END,
+              '}}')
+            WHEN 1 THEN concat('{"name":"weather","arguments":{"city":"c',
+              CAST(event_id AS STRING), '"',
+              CASE WHEN event_id % 2 = 0 THEN ''
+                WHEN event_id % 16 = 1 THEN ',"days":null'
+                ELSE concat(',"days":', CAST(event_id % 9 AS STRING)) END,
+              CASE WHEN event_id % 4 = 1 THEN ',"metric":true' ELSE '' END,
+              '}}')
+            WHEN 2 THEN concat('{"name":"calc","arguments":{"expr":',
+              CASE WHEN event_id % 2 = 0 THEN CAST(event_id AS STRING)
+                ELSE '"1+2"' END,
+              CASE WHEN event_id % 4 = 2 THEN ',"opts":{"deep":1}'
+                ELSE '' END,
+              '}}')
+            WHEN 3 THEN '{"name":"frobnicate","arguments":{"x":1}}'
+            ELSE '{"name":"search' END""").as("call_json"))
+        graft.operators.Behavior.toolCallAudit(calls, "event_id",
+          "call_json", schema)
+      },
+      Some("""WITH sch(tool, arg, ty, req) AS (VALUES
+             |    ('search', 'q', 'string', true),
+             |    ('search', 'limit', 'number', false),
+             |    ('weather', 'city', 'string', true),
+             |    ('weather', 'days', 'number', true),
+             |    ('weather', 'metric', 'boolean', false),
+             |    ('calc', 'expr', 'string', true)),
+             |c AS (SELECT event_id,
+             |    CASE CAST(event_id % 5 AS INT)
+             |      WHEN 0 THEN '{"name":"search","arguments":{"q":"ev'
+             |        || event_id || '"' ||
+             |        CASE WHEN event_id % 3 = 0 THEN ',"limit":"three"'
+             |          ELSE ',"limit":' || (event_id % 7) END || '}}'
+             |      WHEN 1 THEN '{"name":"weather","arguments":{"city":"c'
+             |        || event_id || '"' ||
+             |        CASE WHEN event_id % 2 = 0 THEN ''
+             |          WHEN event_id % 16 = 1 THEN ',"days":null'
+             |          ELSE ',"days":' || (event_id % 9) END ||
+             |        CASE WHEN event_id % 4 = 1 THEN ',"metric":true'
+             |          ELSE '' END || '}}'
+             |      WHEN 2 THEN '{"name":"calc","arguments":{"expr":' ||
+             |        CASE WHEN event_id % 2 = 0 THEN CAST(event_id AS VARCHAR)
+             |          ELSE '"1+2"' END ||
+             |        CASE WHEN event_id % 4 = 2 THEN ',"opts":{"deep":1}'
+             |          ELSE '' END || '}}'
+             |      WHEN 3 THEN '{"name":"frobnicate","arguments":{"x":1}}'
+             |      ELSE '{"name":"search' END AS j
+             |  FROM events),
+             |b AS (SELECT event_id, j,
+             |    CASE WHEN json_valid(j)
+             |      THEN json_extract_string(j, '$.name') END AS tool,
+             |    (NOT json_valid(j))
+             |      OR (CASE WHEN json_valid(j)
+             |        THEN json_extract_string(j, '$.name') END) IS NULL
+             |      OR (CASE WHEN json_valid(j)
+             |        THEN json_type(j, '$.arguments') END) <> 'OBJECT'
+             |      AS bad
+             |  FROM c),
+             |k AS (SELECT b.event_id, b.tool, b.j,
+             |    unnest(json_keys(b.j, '$.arguments')) AS arg,
+             |    b.tool IN (SELECT tool FROM sch) AS kn
+             |  FROM b WHERE NOT b.bad),
+             |t AS (SELECT event_id, tool, arg, kn,
+             |    -- dynamic-path json_type yields SQL NULL for a JSON
+             |    -- null (constant paths yield 'NULL'); the key is from
+             |    -- json_keys so it exists, and SQL NULL here IS json null
+             |    CASE COALESCE(json_type(j, '$.arguments.' || arg), 'NULL')
+             |      WHEN 'VARCHAR' THEN 'string'
+             |      WHEN 'BOOLEAN' THEN 'boolean'
+             |      WHEN 'NULL' THEN 'null'
+             |      WHEN 'OBJECT' THEN 'object'
+             |      WHEN 'ARRAY' THEN 'array'
+             |      ELSE 'number' END AS cls
+             |  FROM k),
+             |aj AS (SELECT t.event_id, t.arg, t.kn, t.cls, s.ty
+             |  FROM t LEFT JOIN sch s
+             |    ON s.tool = t.tool AND s.arg = t.arg),
+             |agg AS (SELECT event_id,
+             |    CAST(COUNT(arg) AS BIGINT) AS n_args,
+             |    CAST(COUNT(CASE WHEN kn AND ty IS NOT NULL
+             |      AND cls <> ty THEN 1 END) AS BIGINT) AS n_mm,
+             |    COALESCE(string_agg(CASE WHEN kn AND ty IS NOT NULL
+             |      AND cls <> ty THEN arg END, '|' ORDER BY arg), '')
+             |      AS mm,
+             |    CAST(COUNT(CASE WHEN kn AND ty IS NULL THEN 1 END)
+             |      AS BIGINT) AS n_ex,
+             |    COALESCE(string_agg(CASE WHEN kn AND ty IS NULL
+             |      THEN arg END, '|' ORDER BY arg), '') AS ex
+             |  FROM aj GROUP BY 1),
+             |ms AS (SELECT b.event_id,
+             |    CAST(COUNT(*) AS BIGINT) AS n_missing,
+             |    string_agg(s.arg, '|' ORDER BY s.arg) AS missing
+             |  FROM b JOIN sch s ON s.tool = b.tool AND s.req
+             |  LEFT JOIN k ON k.event_id = b.event_id AND k.arg = s.arg
+             |  WHERE NOT b.bad AND k.arg IS NULL
+             |  GROUP BY 1)
+             |SELECT b.event_id, b.tool, b.bad AS malformed_json,
+             |  (NOT b.bad) AND COALESCE(
+             |    b.tool NOT IN (SELECT tool FROM sch), false)
+             |    AS unknown_tool,
+             |  COALESCE(agg.n_args, 0) AS n_args,
+             |  COALESCE(ms.n_missing, 0) AS n_missing_required,
+             |  CASE WHEN b.bad THEN '' ELSE COALESCE(ms.missing, '') END
+             |    AS missing_args,
+             |  COALESCE(agg.n_mm, 0) AS n_type_mismatch,
+             |  COALESCE(agg.mm, '') AS mismatch_args,
+             |  COALESCE(agg.n_ex, 0) AS n_extra_args,
+             |  COALESCE(agg.ex, '') AS extra_args,
+             |  (NOT b.bad) AND COALESCE(
+             |      b.tool IN (SELECT tool FROM sch), false)
+             |    AND COALESCE(ms.n_missing, 0) = 0
+             |    AND COALESCE(agg.n_mm, 0) = 0
+             |    AND COALESCE(agg.n_ex, 0) = 0 AS ok
+             |FROM b
+             |LEFT JOIN agg USING (event_id)
+             |LEFT JOIN ms USING (event_id)""".stripMargin)),
+
     // ---- E40: length-bias audit (Kendall tau-a per prompt) ---------------
     // The reward-data failure mode made measurable: per prompt
     // (event_id % 40, over the event_id % 7 audit slice — pair

@@ -521,6 +521,65 @@ class BehaviorSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("does not cast to long"))
   }
 
+  test("toolCallAudit: per-call verdicts — malformed JSON surfaces " +
+      "(never drops), unknown tools, missing required args, type " +
+      "mismatches incl. a JSON null and nested object/array classes, " +
+      "extra args, and the schema-relation guards raise") {
+    import spark.implicits._
+    val schema = Seq(
+      ("search", "q", "string", true), ("search", "limit", "number", false),
+      ("weather", "city", "string", true), ("weather", "days", "number", true),
+      ("weather", "metric", "boolean", false),
+      ("deploy", "cfg", "object", true), ("deploy", "tags", "array", false))
+      .toDF("tool", "arg", "arg_type", "required")
+    val calls = Seq(
+      (1L, """{"name":"search","arguments":{"q":"cats","limit":5}}"""),
+      (2L, """{"name":"search","arguments":{"q":7}}"""),          // q number
+      (3L, """{"name":"weather","arguments":{"city":"SF"}}"""),   // days missing
+      (4L, """{"name":"weather","arguments":{"city":"SF","days":null}}"""), // null
+      (5L, """{"name":"frobnicate","arguments":{"x":1}}"""),      // unknown
+      (6L, """{"name":"search","arguments":{"q":"a","verbose":true}}"""), // extra
+      (7L, """{"name":"search"""),                                 // malformed
+      (8L, """{"arguments":{"q":"a"}}"""),                         // no name
+      (9L, """{"name":"deploy","arguments":{"cfg":{"e":"prod"},"tags":["a"]}}"""),
+      (10L, """{"name":"deploy","arguments":{"cfg":"prod"}}"""),   // obj mismatch
+      (11L, """{"name":"search","arguments":"notobj"}"""))         // args not object
+      .toDF("call_id", "call_json")
+    val out = Behavior.toolCallAudit(calls, "call_id", "call_json", schema)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.getBoolean(3), r.getLong(4), r.getLong(5),
+          r.getString(6), r.getLong(7), r.getString(8), r.getLong(9),
+          r.getString(10), r.getBoolean(11)))).toMap
+    assert(out.size === 11, "every call gets exactly one verdict row")
+    assert(out(1L) === ((false, false, 2L, 0L, "", 0L, "", 0L, "", true)))
+    assert(out(2L) === ((false, false, 1L, 0L, "", 1L, "q", 0L, "", false)))
+    assert(out(3L) === ((false, false, 1L, 1L, "days", 0L, "", 0L, "", false)))
+    assert(out(4L) === ((false, false, 2L, 0L, "", 1L, "days", 0L, "", false)),
+      "a JSON null value is provided-but-null: class mismatch, not missing")
+    assert(out(5L) === ((false, true, 1L, 0L, "", 0L, "", 0L, "", false)),
+      "unknown tool: args counted but not judged against a non-schema")
+    assert(out(6L) === ((false, false, 2L, 0L, "", 0L, "", 1L, "verbose", false)))
+    assert(out(7L)._1 === true && out(7L)._10 === false, "unparseable JSON")
+    assert(out(8L)._1 === true, "a call without a name is malformed")
+    assert(out(9L) === ((false, false, 2L, 0L, "", 0L, "", 0L, "", true)),
+      "nested object and array classes validate against their decls")
+    assert(out(10L) === ((false, false, 1L, 0L, "", 1L, "cfg", 0L, "", false)))
+    assert(out(11L)._1 === true, "non-object arguments is malformed")
+    // schema guards: alien declared type, duplicate declaration
+    val alien = schema.unionByName(
+      Seq(("search", "flag", "bool", false))
+        .toDF("tool", "arg", "arg_type", "required"))
+    val ex1 = intercept[Exception](Behavior.toolCallAudit(calls,
+      "call_id", "call_json", alien).collect())
+    assert(ex1.getMessage.contains("outside"))
+    val dup = schema.unionByName(
+      Seq(("search", "q", "string", false))
+        .toDF("tool", "arg", "arg_type", "required"))
+    val ex2 = intercept[Exception](Behavior.toolCallAudit(calls,
+      "call_id", "call_json", dup).collect())
+    assert(ex2.getMessage.contains("declared 2 times"))
+  }
+
   test("siblingPreferences: best child wins with ties to the lower id, " +
       "tied siblings surface with tie=true rather than vanish, " +
       "single-child parents emit nothing, unjudged rows drop, the " +
