@@ -551,8 +551,18 @@ object Behavior {
       lit(s" is unreachable from any root within $maxDepth levels — " +
         "orphaned parent, cycle, or a deeper tree; repair the tree " +
         "or raise maxDepth deliberately")))
-    val offenders = m.select(col("__id"))
-      .join(placed, Seq("__id"), "left_anti")
+    // The raise projection must sit over a CHECKPOINTED anti-join:
+    // left lazy, a downstream pushable predicate on any output column
+    // (e.g. a consumer join's isnotnull on its keys) substitutes to
+    // isnotnull(raise_error(...)) and Catalyst pushes it BELOW the
+    // anti-join onto all of m — firing the unreachable raise for every
+    // message in a perfectly well-formed tree the moment the output is
+    // self-joined or band-joined (the conversation-dedup chain found
+    // this). Checkpointing materializes the (normally empty) offender
+    // id set here — one id-only job in an already-eager operator — and
+    // a LogicalRDD leaf is a pushdown barrier.
+    val offenders = graft.operators.Iterate.checkpoint(
+        m.select(col("__id")).join(placed, Seq("__id"), "left_anti"))
       .select(sch.map(f => boom.cast(f.dataType).as(f.name)): _*)
     out.unionAll(offenders)
   }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Q
-import graft.operators.Dedup
+import graft.operators.{Behavior, Dedup, TextAnalysis}
 import graft.sources.Tables
 
 /** Deduplication extension surface over `documents`: exact hash-groupBy,
@@ -1147,7 +1147,140 @@ object DedupQueries extends graft.QueryPack {
              |  CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
              |  CAST(s.ns - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_dropped
              |FROM (SELECT DISTINCT doc_id, ns FROM spans) s
-             |LEFT JOIN ka USING (doc_id)""".stripMargin))
+             |LEFT JOIN ka USING (doc_id)""".stripMargin)),
+
+    // ---- D33: conversation-grain dedup (tree -> ChatML -> clusters) ------
+    // The adoption gap the tree surface left open: two near-identical
+    // root-to-leaf conversations (a re-crawled tree, or sibling leaves
+    // differing only in the final reply) both survive into SFT unless
+    // dedup runs at the RENDERED-CONVERSATION grain. Fixture = the
+    // q_e44 heap tree PLUS a re-crawled copy (ids offset by 1e7, same
+    // structure and text — the re-crawl data shape); chain = dialogPaths
+    // -> renderChatTemplate -> softDedupWeights on the rendered strings
+    // (threshold 0.8 so every twin pair collapses — Jaccard 1.0 — and
+    // sibling-leaf conversations sharing all but the last turn merge as
+    // genuine near-dups, while cousins stay apart). ONE oracle replays
+    // the recursive walk over the two-tree forest, the ChatML render,
+    // and the full minhash/band/rescore/CC chain over the rendered
+    // corpus. Every conversation gets exactly one row; a twin pair plus
+    // its two sibling twins reads cluster_size 4 at weight 250000.
+    // The tree is capped at 1250 nodes (a no-op at the sf0.01
+    // correctness gate's 500 docs): in a twin HEAP forest every extra
+    // level doubles the leaves while keeping sibling/cousin prefixes
+    // near-identical, so the whole subtree is a LEGITIMATE near-dup
+    // cluster and per-cluster pair work grows with its square — the cap
+    // keeps the bench measuring the chain, not that fixture artifact.
+    Q("q_d33_conversation_dedup",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .filter(col("doc_id") < 1250).select(col("doc_id"),
+          when(col("text").isNotNull, array_join(slice(
+            TextAnalysis.tokens(col("text")), 1, 6), " "))
+            .otherwise(lit("")).as("txt"))
+        def tree(offset: Long) = base.select(
+          (col("doc_id") + lit(offset)).as("msg_id"),
+          when(col("doc_id") === 0, lit(null).cast("long"))
+            .otherwise(expr("(doc_id - 1) div 2") + lit(offset))
+            .as("parent_id"),
+          when(col("doc_id") === 0, lit("system"))
+            .when(col("doc_id") % 2 === 1, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          col("txt").as("text"))
+        val rendered = Behavior.renderChatTemplate(
+          Behavior.dialogPaths(tree(0L).unionByName(tree(10000000L)),
+            "msg_id", "parent_id", "role", "text", maxDepth = 16),
+          "path_id", "turn", "msg_id", "role", "text")
+        Dedup.softDedupWeights(rendered, "rendered", "path_id",
+          numHashes = 8, rowsPerBand = 2, thresholdTenths = 8)
+          .select(col("doc_id").as("path_id"), col("cluster"),
+            col("cluster_size"), col("weight_m"))
+      },
+      Some("""WITH RECURSIVE tt AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'),
+             |      x -> x <> '') AS toks
+             |  FROM documents WHERE doc_id < 1250),
+             |m0 AS (SELECT doc_id AS id,
+             |    CASE WHEN doc_id = 0 THEN NULL
+             |      ELSE (doc_id - 1) // 2 END AS parent,
+             |    CASE WHEN doc_id = 0 THEN 'system'
+             |      WHEN doc_id % 2 = 1 THEN 'user'
+             |      ELSE 'assistant' END AS role,
+             |    COALESCE(array_to_string(list_slice(toks, 1, 6), ' '), '')
+             |      AS txt
+             |  FROM tt),
+             |f AS (SELECT id, parent, role, txt FROM m0
+             |  UNION ALL
+             |  SELECT id + 10000000, parent + 10000000, role, txt FROM m0),
+             |p AS (
+             |  SELECT id, [id] AS path FROM f WHERE parent IS NULL
+             |  UNION ALL
+             |  SELECT c.id, list_append(p.path, c.id)
+             |  FROM p JOIN f c ON c.parent = p.id),
+             |lv AS (SELECT p.id, p.path FROM p
+             |  WHERE p.id NOT IN (
+             |    SELECT DISTINCT parent FROM f WHERE parent IS NOT NULL)),
+             |ex2 AS (SELECT id AS path_id, unnest(path) AS msg_id,
+             |    generate_subscripts(path, 1) AS turn
+             |  FROM lv),
+             |rdoc AS (SELECT e.path_id AS doc_id,
+             |    string_agg('<|im_start|>' || f.role || chr(10) || f.txt
+             |        || '<|im_end|>',
+             |      chr(10) ORDER BY e.turn, e.msg_id) AS rtext
+             |  FROM ex2 e JOIN f ON f.id = e.msg_id GROUP BY 1),
+             |t2 AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(rtext, '\s+'),
+             |      x -> x <> '') AS toks
+             |  FROM rdoc),
+             |sh2 AS (SELECT doc_id,
+             |    list_transform(range(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |      AS shingles
+             |  FROM t2 WHERE len(toks) >= 3),
+             |exd AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh2),
+             |mh AS (SELECT doc_id,
+             |  min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+             |  min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
+             |  min(md5('4|' || sh)) AS m4, min(md5('5|' || sh)) AS m5,
+             |  min(md5('6|' || sh)) AS m6, min(md5('7|' || sh)) AS m7
+             |  FROM exd GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM mh
+             |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM mh
+             |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM mh
+             |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM mh),
+             |prs AS (
+             |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM exd GROUP BY doc_id),
+             |inter AS (
+             |  SELECT p.a_id, p.b_id, COUNT(*) AS inter
+             |  FROM prs p
+             |  JOIN exd a ON a.doc_id = p.a_id
+             |  JOIN exd b ON b.doc_id = p.b_id AND b.sh = a.sh
+             |  GROUP BY 1, 2),
+             |ver AS (
+             |  SELECT i.a_id, i.b_id FROM inter i
+             |  JOIN sizes sa ON sa.doc_id = i.a_id
+             |  JOIN sizes sb ON sb.doc_id = i.b_id
+             |  WHERE i.inter * 10 >= (sa.n + sb.n - i.inter) * 8),
+             |edges AS (
+             |  SELECT a_id AS src, b_id AS dst FROM ver
+             |  UNION SELECT b_id, a_id FROM ver),
+             |cc(node, label) AS (
+             |  SELECT DISTINCT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
+             |mem AS (SELECT node, MIN(label) AS component FROM cc
+             |  GROUP BY node),
+             |cs AS (SELECT component, COUNT(*) AS csz FROM mem GROUP BY 1)
+             |SELECT r.doc_id AS path_id,
+             |  COALESCE(mem.component, r.doc_id) AS cluster,
+             |  CAST(COALESCE(cs.csz, 1) AS BIGINT) AS cluster_size,
+             |  CAST(1000000 // COALESCE(cs.csz, 1) AS BIGINT) AS weight_m
+             |FROM rdoc r
+             |LEFT JOIN mem ON mem.node = r.doc_id
+             |LEFT JOIN cs ON cs.component = mem.component""".stripMargin))
   )
 
   /** q_d10's oracle — shared verbatim by q_d11 (inline bloom prefilter)

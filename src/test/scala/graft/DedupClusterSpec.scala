@@ -711,4 +711,43 @@ class DedupClusterSpec extends AnyFunSuite {
       "an entirely-unlabeled cluster stays visible with empty splits")
     assert(out(6L) === ((1L, 1L, "train", 0L, false)))
   }
+
+  test("conversation-grain dedup chain: a re-crawled reply tree's " +
+      "rendered conversations collapse onto the originals, distinct " +
+      "conversations keep full weight") {
+    import spark.implicits._
+    // tree A (ids 0-4): root 0 -> 1 -> {3, 4}, 0 -> 2. Leaves 2, 3, 4.
+    // Paths 3 and 4 share 3 of 4 turns but get DISJOINT text below, so
+    // at threshold 0.8 they stay apart; tree B = re-crawl at +100.
+    val words = Map(
+      0L -> "alpha bravo charlie delta echo foxtrot golf hotel",
+      1L -> "india juliet kilo lima mike november oscar papa",
+      2L -> "quebec romeo sierra tango uniform victor whiskey xray",
+      3L -> "yankee zulu apple banana cherry date elder fig",
+      4L -> "grape honey iris jasmine kiwi lemon mango nectar")
+    def tree(off: Long) = words.toSeq.map { case (id, txt) =>
+      (id + off,
+        if (id == 0L) None else Some((id - 1) / 2 + off),
+        if (id == 0L) "system" else if (id % 2 == 1) "user" else "assistant",
+        txt)
+    }
+    val msgs = (tree(0L) ++ tree(100L))
+      .toDF("msg_id", "parent_id", "role", "text")
+    val rendered = graft.operators.Behavior.renderChatTemplate(
+      graft.operators.Behavior.dialogPaths(msgs, "msg_id", "parent_id",
+        "role", "text", maxDepth = 8),
+      "path_id", "turn", "msg_id", "role", "text")
+    val out = Dedup.softDedupWeights(rendered, "rendered", "path_id",
+        numHashes = 8, rowsPerBand = 2, thresholdTenths = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set(2L, 3L, 4L, 102L, 103L, 104L),
+      "one row per conversation, both crawls")
+    Seq(2L, 3L, 4L).foreach { leaf =>
+      assert(out(leaf) === ((leaf, 2L, 500000L)),
+        s"leaf $leaf collapses with its re-crawl twin only")
+      assert(out(leaf + 100L) === ((leaf, 2L, 500000L)),
+        s"re-crawled leaf ${leaf + 100L} clusters under original $leaf")
+    }
+  }
 }
