@@ -633,9 +633,14 @@ object Preferences {
     val sch = out.schema
     def boomRows(df: DataFrame, msg: Column): DataFrame =
       df.select(sch.map(f => raise_error(msg).cast(f.dataType).as(f.name)): _*)
+    // checkpointed anti-join (the dialogPaths pushdown lesson): left
+    // lazy, a consumer's pushable predicate substituted into the raise
+    // columns pushes below the anti-join and fires the raise for every
+    // covered prompt; a LogicalRDD leaf is a pushdown barrier
     val missing = boomRows(
-      base.select(col(promptCol)).distinct()
-        .join(stats.select(col(promptCol)), Seq(promptCol), "left_anti"),
+      graft.operators.Iterate.checkpoint(
+        base.select(col(promptCol)).distinct()
+          .join(stats.select(col(promptCol)), Seq(promptCol), "left_anti")),
       concat(lit("ktoSignalFromCounts: prompt "),
         col(promptCol).cast("string"),
         lit(" has feedback examples but no counter row — the counts " +

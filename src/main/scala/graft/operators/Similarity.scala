@@ -940,8 +940,15 @@ object Similarity {
       lit("reindexOnDrift: id "), col(idCol).cast("string"),
       lit(" appears in BOTH the old corpus and the new batch — ids " +
         "must be disjoint (offset the batch upstream)")))
-    val offenders = oldEmb.select(col(idCol)).distinct()
-      .join(newEmb.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+    // checkpointed semi-join (the dialogPaths pushdown lesson): left
+    // lazy, a consumer's pushable predicate substituted into the raise
+    // columns pushes below the semi-join and fires the raise for every
+    // old id; the id-only checkpoint job is noise next to the k-means
+    // rounds this operator already runs eagerly
+    val offenders = graft.operators.Iterate.checkpoint(
+        oldEmb.select(col(idCol)).distinct()
+          .join(newEmb.select(col(idCol)).distinct(), Seq(idCol),
+            "left_semi"))
       .select(sch.map(f => boom.cast(f.dataType).as(f.name)): _*)
     out.unionAll(offenders)
   }
