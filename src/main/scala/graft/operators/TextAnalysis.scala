@@ -2281,6 +2281,43 @@ object TextAnalysis {
     graft.functions.LcsTokens.register(cands.sparkSession)
     val ct = cands.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__cid"), col(textCol).as("__ctext"))
+    val (pairs, scored) = siIntraScoredPairs(ct, maxTokenDf)
+    val best = scored.groupBy(col("__hi"))
+      .agg(count(lit(1)).as("n_banded"),
+        min(struct((-col("__f")).as("__nf"), col("__lo").as("__id")))
+          .as("__b"))
+      .select(col("__hi").as("__cid"), col("n_banded"),
+        (-col("__b.__nf")).as("max_f_ppm"),
+        col("__b.__id").as("nearest_lower_id"))
+    val out = ct.select(col("__cid"))
+      .join(best, Seq("__cid"), "left")
+      .select(col("__cid").as(idCol),
+        coalesce(col("n_banded"), lit(0L)).as("n_banded"),
+        col("max_f_ppm"), col("nearest_lower_id"),
+        coalesce(col("max_f_ppm") < thresholdPpm, lit(true)).as("keep"))
+    val sch = out.schema
+    val boom = raise_error(concat(
+      lit("selfInstructIntraBatch: candidate "),
+      col("__hi").cast("string"),
+      lit(" has "), col("__np").cast("string"),
+      lit(s" banded lower-id matches (cap $maxPairsPerCand) — each " +
+        "pays an LCS rescore; lower maxTokenDf or raise the cap " +
+        "deliberately")))
+    val offenders = pairs.groupBy(col("__hi"))
+      .agg(count(lit(1)).as("__np"))
+      .filter(col("__np") > maxPairsPerCand)
+      .select(sch.map(f => boom.cast(f.dataType).as(f.name)): _*)
+    out.unionAll(offenders)
+  }
+
+  /** Banded `lo < hi` candidate pairs with their exact ROUGE-L F —
+    * the shared intra-candidate relation under [[selfInstructIntraBatch]]
+    * (one-pass verdicts) and [[selfInstructLoop]] (sequential-exact
+    * pool growth). `ct` = `(__cid, __ctext)`, text non-null. Returns
+    * (pairs `(__lo, __hi)` for the cap guard, scored
+    * `(__hi, __lo, __f)`). */
+  private def siIntraScoredPairs(ct: DataFrame,
+      maxTokenDf: Int): (DataFrame, DataFrame) = {
     val candTok = ct
       .select(col("__cid"), explode(tokens(col("__ctext"))).as("tok"))
       .distinct()
@@ -2308,23 +2345,106 @@ object TextAnalysis {
         when(col("__nr") + col("__nh") > 0, expr(
           "(4 * __lcs * 1000000 + (__nr + __nh)) " +
             "div (2 * (__nr + __nh))")).otherwise(lit(0L)).as("__f"))
-    val best = scored.groupBy(col("__hi"))
-      .agg(count(lit(1)).as("n_banded"),
-        min(struct((-col("__f")).as("__nf"), col("__lo").as("__id")))
-          .as("__b"))
-      .select(col("__hi").as("__cid"), col("n_banded"),
-        (-col("__b.__nf")).as("max_f_ppm"),
-        col("__b.__id").as("nearest_lower_id"))
-    val out = ct.select(col("__cid"))
-      .join(best, Seq("__cid"), "left")
-      .select(col("__cid").as(idCol),
-        coalesce(col("n_banded"), lit(0L)).as("n_banded"),
-        col("max_f_ppm"), col("nearest_lower_id"),
-        coalesce(col("max_f_ppm") < thresholdPpm, lit(true)).as("keep"))
+    (pairs, scored)
+  }
+
+  /** Self-Instruct POOL-GROWING loop — Wang et al. 2022's ACTUAL
+    * recipe (§3.2's bootstrap iterates: each accepted instruction
+    * joins the pool and gates everything generated after it), composed
+    * from the two existing stages: [[selfInstructFilter]]'s seed gate
+    * supplies the pool-vs-candidate verdicts, [[siIntraScoredPairs]]
+    * (the [[selfInstructIntraBatch]] relation) supplies the
+    * candidate-vs-candidate evidence, and this loop resolves the
+    * SEQUENTIAL-EXACT acceptance the one-pass stage deliberately
+    * approximates. Generation order = id order (Self-Instruct assigns
+    * ids as it generates), so the sequential greedy is: a candidate is
+    * accepted iff it passes the seed gate AND no ACCEPTED lower-id
+    * candidate scores F ≥ threshold against it. On a similarity chain
+    * A~B~C (A≁C) the one-pass stage keeps {A}; this loop keeps
+    * {A, C} — exactly the cited recipe (B is rejected, so it never
+    * gates C).
+    *
+    * That greedy is the lexicographically-first maximal independent
+    * set of the ≥threshold blocker DAG (lo < hi edges — acyclic by
+    * construction), resolved LEVEL-SYNCHRONOUSLY rather than
+    * one-candidate-at-a-time: each round decides every still-undecided
+    * candidate whose blockers are all decided (accepted if none of
+    * them was accepted), so rounds = longest blocker chain, not
+    * candidate count — the [[graft.operators.Iterate]] discipline
+    * (per-round checkpoints, empty-frontier convergence exit,
+    * `maxRounds` cap with a NAMED error telling the caller the chain
+    * is deeper than the cap). Candidates failing the seed gate are
+    * rejected outright and never block anyone (a pool reject never
+    * joins the pool).
+    *
+    * Returns one row per non-null-text candidate:
+    * `(<idCol>, n_banded_seed, max_f_seed_ppm, nearest_seed_id,
+    * seed_keep, blocked_by, keep)` — `blocked_by` = the LOWEST
+    * accepted blocker for a chain-rejected candidate, null
+    * otherwise. */
+  def selfInstructLoop(cands: DataFrame, seeds: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      thresholdPpm: Long = 700000L, maxTokenDf: Int = 100,
+      maxPairsPerCand: Int = 4096, maxRounds: Int = 32): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val seedGate = selfInstructFilter(cands, seeds, textCol, idCol,
+        thresholdPpm, maxTokenDf, maxPairsPerCand)
+      .select(col(idCol), col("n_banded").as("n_banded_seed"),
+        col("max_f_ppm").as("max_f_seed_ppm"), col("nearest_seed_id"),
+        col("keep").as("seed_keep"))
+    val ct = cands.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__cid"), col(textCol).as("__ctext"))
+    val (pairs, scored) = siIntraScoredPairs(ct, maxTokenDf)
+    val nodes = graft.operators.Iterate.checkpoint(
+      seedGate.filter(col("seed_keep"))
+        .select(col(idCol).as("__cid")))
+    val edges = graft.operators.Iterate.checkpoint(
+      scored.filter(col("__f") >= thresholdPpm)
+        .select(col("__lo"), col("__hi"))
+        .join(nodes.select(col("__cid").as("__lo")), Seq("__lo"), "left_semi")
+        .join(nodes.select(col("__cid").as("__hi")), Seq("__hi"), "left_semi"))
+    var und = nodes
+    var acc = nodes.limit(0)
+    var round = 0
+    var done = und.isEmpty
+    while (round < maxRounds && !done) {
+      val blockedByUndecided = edges
+        .join(und.select(col("__cid").as("__lo")), Seq("__lo"), "left_semi")
+        .select(col("__hi").as("__cid")).distinct()
+      val decidable = und.join(blockedByUndecided, Seq("__cid"), "left_anti")
+      val newAcc = decidable.join(
+        edges.join(acc.select(col("__cid").as("__lo")), Seq("__lo"),
+            "left_semi")
+          .select(col("__hi").as("__cid")).distinct(),
+        Seq("__cid"), "left_anti")
+      acc = graft.operators.Iterate.checkpoint(acc.unionAll(newAcc))
+      und = graft.operators.Iterate.checkpoint(
+        und.join(decidable, Seq("__cid"), "left_anti"))
+      done = und.isEmpty
+      round += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"selfInstructLoop: blocker chains deeper than maxRounds=" +
+        s"$maxRounds are still undecided — raise maxRounds (rounds " +
+        "track the longest ≥threshold similarity chain, not candidate " +
+        "count) or lower thresholdPpm upstream")
+    val blockedBy = edges
+      .join(acc.select(col("__cid").as("__lo")), Seq("__lo"), "left_semi")
+      .groupBy(col("__hi")).agg(min(col("__lo")).as("__bb"))
+    val out = seedGate
+      .join(acc.select(col("__cid").as(idCol))
+        .withColumn("__acc", lit(true)), Seq(idCol), "left")
+      .join(blockedBy.select(col("__hi").as(idCol), col("__bb")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("n_banded_seed"), col("max_f_seed_ppm"),
+        col("nearest_seed_id"), col("seed_keep"),
+        when(col("seed_keep") && col("__acc").isNull, col("__bb"))
+          .as("blocked_by"),
+        coalesce(col("__acc"), lit(false)).as("keep"))
+    // the shared pair relation caps once; re-raise under THIS schema
     val sch = out.schema
     val boom = raise_error(concat(
-      lit("selfInstructIntraBatch: candidate "),
-      col("__hi").cast("string"),
+      lit("selfInstructLoop: candidate "), col("__hi").cast("string"),
       lit(" has "), col("__np").cast("string"),
       lit(s" banded lower-id matches (cap $maxPairsPerCand) — each " +
         "pays an LCS rescore; lower maxTokenDf or raise the cap " +

@@ -2579,6 +2579,195 @@ object TextQueries extends graft.QueryPack {
              |  COALESCE(b.max_f_ppm < 500000, true) AS keep
              |FROM ctx c LEFT JOIN bst b ON b.hi = c.cid""".stripMargin)),
 
+    // ---- X108: Self-Instruct pool-growing loop (sequential-exact) -------
+    // The q_x105 fixture resolved with Wang et al.'s ACTUAL recipe:
+    // candidates in id (= generation) order, each gated against seeds
+    // PLUS previously ACCEPTED candidates — the lex-first MIS of the
+    // >=threshold blocker DAG, where the one-pass q_x106 stage gates
+    // against every lower id. The oracle replays both LCS scorings
+    // (cand x seed, lo < hi cand x cand), then the sequential greedy
+    // as a recursive fold over candidates in id order carrying the
+    // accepted list.
+    // The fixture PLANTS a chain per 20-id block: candidate 20k keeps
+    // its natural text, 20k+5 shares its first 8 tokens (F ~ 0.67 >=
+    // tau -> blocked by 20k), 20k+10 shares only the first 4 plus
+    // 20k+5's 'va vb' filler (F vs 20k ~ 0.33 < tau, F vs 20k+5
+    // ~ 0.55 >= tau) — the sequential recipe accepts 20k AND 20k+10
+    // where the one-pass stage would keep only 20k.
+    Q("q_x108_self_instruct_loop",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .withColumn("__t", TextAnalysis.tokens(col("text")))
+        val baseT = docs.select(col("doc_id").as("__bid"),
+          col("__t").as("__bt"))
+        val withBase = docs.withColumn("__bref",
+            when(col("doc_id") % 20 === 5, col("doc_id") - 5)
+              .when(col("doc_id") % 20 === 10, col("doc_id") - 10))
+          .join(baseT, col("__bref") === col("__bid"), "left")
+        val instr = withBase.select(col("doc_id"),
+          when(col("doc_id") % 20 === 5,
+            concat(coalesce(array_join(slice(col("__bt"), 1, 8), " "),
+                lit("")),
+              lit(" va vb tag"), (col("doc_id") % 23).cast("string")))
+            .when(col("doc_id") % 20 === 10,
+              concat(coalesce(array_join(slice(col("__bt"), 1, 4), " "),
+                  lit("")),
+                lit(" va vb w"), col("doc_id").cast("string"),
+                lit(" x"), col("doc_id").cast("string"),
+                lit(" y"), col("doc_id").cast("string"),
+                lit(" z"), col("doc_id").cast("string"),
+                lit(" tag"), (col("doc_id") % 23).cast("string")))
+            .otherwise(concat(array_join(slice(col("__t"), 1, 12), " "),
+              lit(" tag"), (col("doc_id") % 23).cast("string")))
+            .as("itext"))
+        TextAnalysis.selfInstructLoop(
+          instr.filter(col("doc_id") % 5 === 0),
+          instr.filter(col("doc_id") % 5 =!= 0),
+          "itext", "doc_id", thresholdPpm = 500000L, maxTokenDf = 25)
+      },
+      Some("""WITH RECURSIVE
+             |tt AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+             |  FROM documents WHERE text IS NOT NULL),
+             |ins AS (SELECT t.doc_id,
+             |    CASE WHEN t.doc_id % 20 = 5 THEN
+             |      COALESCE(array_to_string(list_slice(tb.toks, 1, 8), ' '), '')
+             |        || ' va vb tag' || CAST(t.doc_id % 23 AS VARCHAR)
+             |    WHEN t.doc_id % 20 = 10 THEN
+             |      COALESCE(array_to_string(list_slice(tb.toks, 1, 4), ' '), '')
+             |        || ' va vb w' || t.doc_id || ' x' || t.doc_id
+             |        || ' y' || t.doc_id || ' z' || t.doc_id
+             |        || ' tag' || CAST(t.doc_id % 23 AS VARCHAR)
+             |    ELSE
+             |      COALESCE(array_to_string(list_slice(t.toks, 1, 12), ' '), '')
+             |        || ' tag' || CAST(t.doc_id % 23 AS VARCHAR) END AS itext
+             |  FROM tt t LEFT JOIN tt tb ON tb.doc_id = t.doc_id -
+             |    CASE WHEN t.doc_id % 20 = 5 THEN 5
+             |         WHEN t.doc_id % 20 = 10 THEN 10 END),
+             |ctx AS (SELECT doc_id AS cid, itext,
+             |    list_filter(regexp_split_to_array(itext, '\s+'), x -> x <> '') AS ctoks
+             |  FROM ins WHERE doc_id % 5 = 0),
+             |stx AS (SELECT doc_id AS sid, itext,
+             |    list_filter(regexp_split_to_array(itext, '\s+'), x -> x <> '') AS stoks
+             |  FROM ins WHERE doc_id % 5 <> 0),
+             |ctok AS (SELECT DISTINCT cid, tok FROM (
+             |  SELECT cid, unnest(ctoks) AS tok FROM ctx)),
+             |stok AS (SELECT DISTINCT sid, tok FROM (
+             |  SELECT sid, unnest(stoks) AS tok FROM stx)),
+             |rare AS (SELECT tok FROM (
+             |  SELECT tok, COUNT(*) AS dfc FROM (
+             |    SELECT tok FROM ctok UNION ALL SELECT tok FROM stok)
+             |  GROUP BY 1) WHERE dfc <= 25),
+             |prs AS (SELECT DISTINCT c.cid, s.sid
+             |  FROM ctok c JOIN rare USING (tok)
+             |  JOIN stok s USING (tok)),
+             |dims AS (SELECT p.cid, p.sid, s.stoks AS rt, c.ctoks AS ht,
+             |    len(s.stoks) AS m, len(c.ctoks) AS n
+             |  FROM prs p JOIN ctx c USING (cid) JOIN stx s USING (sid)),
+             |r AS (
+             |  SELECT cid, sid, 0 AS d,
+             |    list_transform(range(0, m + 1), i -> 0) AS cur,
+             |    list_transform(range(0, m + 1), i -> 0) AS prev
+             |  FROM dims
+             |  UNION ALL
+             |  SELECT r.cid, r.sid, r.d + 1,
+             |    list_transform(range(0, dm.m + 1), i ->
+             |      CASE WHEN i = 0 OR r.d + 1 - i < 1 OR r.d + 1 - i > dm.n
+             |        THEN 0
+             |      ELSE greatest(
+             |        r.cur[i],
+             |        r.cur[i + 1],
+             |        r.prev[i] + CASE WHEN dm.rt[i] = dm.ht[r.d + 1 - i]
+             |          THEN 1 ELSE 0 END)
+             |      END) AS cur,
+             |    r.cur AS prev
+             |  FROM r JOIN dims dm ON dm.cid = r.cid AND dm.sid = r.sid
+             |  WHERE r.d < dm.m + dm.n),
+             |sc AS MATERIALIZED (SELECT r.cid, r.sid,
+             |    (4 * r.cur[dm.m + 1] * 1000000 + (dm.m + dm.n))
+             |      // (2 * (dm.m + dm.n)) AS f
+             |  FROM r JOIN dims dm ON dm.cid = r.cid AND dm.sid = r.sid
+             |  WHERE r.d = dm.m + dm.n),
+             |bst AS MATERIALIZED (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_banded,
+             |    wf AS max_f_ppm, ws AS nearest_seed_id FROM (
+             |  SELECT cid, sid, f,
+             |    first_value(f) OVER (PARTITION BY cid
+             |      ORDER BY f DESC, sid) AS wf,
+             |    first_value(sid) OVER (PARTITION BY cid
+             |      ORDER BY f DESC, sid) AS ws
+             |  FROM sc) GROUP BY cid, wf, ws),
+             |seedv AS MATERIALIZED (SELECT c.cid,
+             |    COALESCE(b.n_banded, 0) AS n_banded_seed,
+             |    CAST(b.max_f_ppm AS BIGINT) AS max_f_seed_ppm,
+             |    b.nearest_seed_id,
+             |    COALESCE(b.max_f_ppm < 500000, true) AS seed_keep
+             |  FROM ctx c LEFT JOIN bst b ON b.cid = c.cid),
+             |crare AS (SELECT tok FROM (
+             |  SELECT tok, COUNT(*) AS dfc FROM ctok
+             |  GROUP BY 1) WHERE dfc <= 25),
+             |prs2 AS (SELECT DISTINCT a.cid AS lo, b.cid AS hi
+             |  FROM ctok a JOIN crare USING (tok)
+             |  JOIN ctok b USING (tok)
+             |  WHERE a.cid < b.cid),
+             |dims2 AS (SELECT p.hi, p.lo, cl.ctoks AS rt, ch.ctoks AS ht,
+             |    len(cl.ctoks) AS m, len(ch.ctoks) AS n
+             |  FROM prs2 p JOIN ctx cl ON cl.cid = p.lo
+             |  JOIN ctx ch ON ch.cid = p.hi),
+             |r2 AS (
+             |  SELECT hi, lo, 0 AS d,
+             |    list_transform(range(0, m + 1), i -> 0) AS cur,
+             |    list_transform(range(0, m + 1), i -> 0) AS prev
+             |  FROM dims2
+             |  UNION ALL
+             |  SELECT r2.hi, r2.lo, r2.d + 1,
+             |    list_transform(range(0, dm.m + 1), i ->
+             |      CASE WHEN i = 0 OR r2.d + 1 - i < 1 OR r2.d + 1 - i > dm.n
+             |        THEN 0
+             |      ELSE greatest(
+             |        r2.cur[i],
+             |        r2.cur[i + 1],
+             |        r2.prev[i] + CASE WHEN dm.rt[i] = dm.ht[r2.d + 1 - i]
+             |          THEN 1 ELSE 0 END)
+             |      END) AS cur,
+             |    r2.cur AS prev
+             |  FROM r2 JOIN dims2 dm ON dm.hi = r2.hi AND dm.lo = r2.lo
+             |  WHERE r2.d < dm.m + dm.n),
+             |sc2 AS MATERIALIZED (SELECT r2.hi, r2.lo,
+             |    (4 * r2.cur[dm.m + 1] * 1000000 + (dm.m + dm.n))
+             |      // (2 * (dm.m + dm.n)) AS f
+             |  FROM r2 JOIN dims2 dm ON dm.hi = r2.hi AND dm.lo = r2.lo
+             |  WHERE r2.d = dm.m + dm.n),
+             |blk AS MATERIALIZED (SELECT s2.lo, s2.hi FROM sc2 s2
+             |  JOIN seedv vl ON vl.cid = s2.lo AND vl.seed_keep
+             |  JOIN seedv vh ON vh.cid = s2.hi AND vh.seed_keep
+             |  WHERE s2.f >= 500000),
+             |blkl AS MATERIALIZED (SELECT hi, list(lo ORDER BY lo) AS los
+             |  FROM blk GROUP BY hi),
+             |ord AS MATERIALIZED (SELECT cid, row_number() OVER (ORDER BY cid) AS rn
+             |  FROM seedv WHERE seed_keep),
+             |seq AS (
+             |  SELECT 0 AS rn, CAST([] AS BIGINT[]) AS acc
+             |  UNION ALL
+             |  SELECT s.rn + 1,
+             |    CASE WHEN list_has_any(
+             |        COALESCE(b.los, CAST([] AS BIGINT[])), s.acc)
+             |      THEN s.acc ELSE list_append(s.acc, o.cid) END
+             |  FROM seq s
+             |  JOIN ord o ON o.rn = s.rn + 1
+             |  LEFT JOIN blkl b ON b.hi = o.cid),
+             |fin AS MATERIALIZED (SELECT acc FROM seq ORDER BY rn DESC LIMIT 1),
+             |bb AS MATERIALIZED (SELECT k.hi, MIN(k.lo) AS bbid
+             |  FROM blk k, fin WHERE list_contains(fin.acc, k.lo)
+             |  GROUP BY k.hi)
+             |SELECT v.cid AS doc_id, v.n_banded_seed, v.max_f_seed_ppm,
+             |  v.nearest_seed_id, v.seed_keep,
+             |  CASE WHEN v.seed_keep AND NOT list_contains(fin.acc, v.cid)
+             |    THEN bb.bbid END AS blocked_by,
+             |  COALESCE(v.seed_keep AND list_contains(fin.acc, v.cid),
+             |    false) AS keep
+             |FROM seedv v CROSS JOIN fin
+             |LEFT JOIN bb ON bb.hi = v.cid""".stripMargin)),
+
     // ---- X107: needle-in-a-haystack synthesis (long-context eval data) --
     // Every doc becomes a haystack with one salted needle at a
     // hash-determined token depth; the expected answer rides along for

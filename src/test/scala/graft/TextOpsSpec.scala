@@ -1831,4 +1831,37 @@ class TextOpsSpec extends AnyFunSuite {
         maxPairsPerCand = 1).collect())
     assert(ex.getMessage.contains("lower-id matches"))
   }
+
+  test("selfInstructLoop: sequential-exact pool growth — on the " +
+      "a~b~c chain the loop keeps {a, c} where the one-pass stage " +
+      "keeps only {a}; seed-rejected candidates never block; " +
+      "chains deeper than maxRounds raise by name") {
+    import spark.implicits._
+    val seeds = Seq((100L, "s1 s2 s3 s4")).toDF("doc_id", "text")
+    val cands = Seq(
+      (10L, "w1 w2 w3 w4"),   // accepted (nothing blocks it)
+      (11L, "w1 w2 w3 w5"),   // F vs 10 = 750000 -> chain-rejected
+      (12L, "w1 w2 w5 w6"),   // F vs 10 = 500000, vs 11 = 750000
+      (13L, "s1 s2 s3 s9"))   // F vs seed 100 = 750000 -> seed-reject
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.selfInstructLoop(cands, seeds)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5),
+          r.getBoolean(6)))).toMap
+    assert(out.size === 4, "one verdict row per candidate")
+    assert(out(10L) === ((true, -1L, true)))
+    assert(out(11L) === ((true, 10L, false)),
+      "chain-rejected by the accepted lower candidate, named")
+    assert(out(12L) === ((true, -1L, true)),
+      "the sequential recipe keeps c: its only >=threshold lower " +
+        "candidate b was itself rejected and never joined the pool — " +
+        "the one-pass intra stage rejects this same candidate")
+    assert(out(13L) === ((false, -1L, false)),
+      "seed gate rejects outright; no chain evidence attaches")
+    val ex = intercept[Exception](
+      graft.operators.TextAnalysis.selfInstructLoop(cands, seeds,
+        maxRounds = 1).collect())
+    assert(ex.getMessage.contains("deeper than maxRounds"))
+  }
 }
