@@ -540,4 +540,108 @@ class PropertySpec extends AnyFunSuite {
       assert(got === pairs.toMap)
     }
   }
+  test("selfInstructLoop == a driver-side sequential greedy (banding, " +
+      "exact ROUGE-L F, pool growth) on random candidate corpora") {
+    import graft.operators.TextAnalysis
+    val alpha = (0 until 10).map(i => s"t$i")
+    val textGen = for {
+      n <- Gen.choose(3, 8)
+      ts <- Gen.listOfN(n, Gen.choose(0, 9))
+    } yield ts.map(alpha).mkString(" ")
+    val caseGen = for {
+      cands <- Gen.listOfN(10, textGen)
+      seeds <- Gen.listOfN(3, textGen)
+    } yield (cands, seeds)
+    val tau = 600000L
+    val maxDf = 6
+    def toks(t: String): Seq[String] =
+      t.split("\\s+").filter(_.nonEmpty).toSeq
+    def lcs(a: Seq[String], b: Seq[String]): Long = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) =
+          if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length).toLong
+    }
+    def f(a: String, b: String): Long = {
+      val (ta, tb) = (toks(a), toks(b))
+      val mn = ta.length + tb.length
+      if (mn == 0) 0L else (4L * lcs(ta, tb) * 1000000L + mn) / (2L * mn)
+    }
+    forAll(caseGen, n = 6) { case (candTexts, seedTexts) =>
+      val cands = candTexts.zipWithIndex.map { case (t, i) =>
+        ((i + 1).toLong, t) }
+      val seeds = seedTexts.zipWithIndex.map { case (t, i) =>
+        ((i + 101).toLong, t) }
+      // reference banding: df over distinct (doc, token) occurrences
+      def banded(df: Map[String, Int], a: String, b: String): Boolean =
+        toks(a).toSet.intersect(toks(b).toSet)
+          .exists(t => df(t) <= maxDf)
+      val seedDf = (cands.map(_._2) ++ seeds.map(_._2))
+        .flatMap(t => toks(t).distinct)
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val candDf = cands.map(_._2).flatMap(t => toks(t).distinct)
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val seedKeep = cands.map { case (id, t) =>
+        id -> !seeds.exists { case (_, st) =>
+          banded(seedDf, t, st) && f(st, t) >= tau }
+      }.toMap
+      // sequential greedy over id order with the growing accepted pool
+      var accepted = List.empty[(Long, String)]
+      val want = cands.map { case (id, t) =>
+        val ok = seedKeep(id) && !accepted.exists { case (_, at) =>
+          banded(candDf, at, t) && f(at, t) >= tau }
+        if (ok) accepted = accepted :+ ((id, t))
+        id -> ok
+      }.toMap
+      val got = TextAnalysis.selfInstructLoop(
+          cands.toDF("doc_id", "text"), seeds.toDF("doc_id", "text"),
+          thresholdPpm = tau, maxTokenDf = maxDf)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+      assert(got === want)
+    }
+  }
+  test("trajectoryReturns == a driver-side backward fold with the " +
+      "identical quantized-floor arithmetic on random episodes") {
+    import graft.operators.Preferences
+    val stepGen = for {
+      r <- Gen.choose(-1000000L, 1000000L)
+      v <- Gen.option(Gen.choose(-1000000L, 1000000L))
+    } yield (r, v)
+    val caseGen = for {
+      nEp <- Gen.choose(1, 4)
+      eps <- Gen.sequence[List[List[(Long, Option[Long])]], List[(Long, Option[Long])]](
+        (0 until nEp).map(_ => Gen.choose(1, 6)
+          .flatMap(k => Gen.listOfN(k, stepGen))))
+      g <- Gen.choose(0L, 1000000L)
+      l <- Gen.choose(0L, 1000000L)
+    } yield (eps, g, l)
+    forAll(caseGen, n = 8) { case (eps, g, l) =>
+      val rows = eps.zipWithIndex.flatMap { case (steps, e) =>
+        steps.zipWithIndex.map { case ((r, v), st) =>
+          (s"e$e", st.toLong, r, v) }
+      }
+      val gl = g * l / 1000000L
+      def fd(x: Long): Long = Math.floorDiv(x, 1000000L)
+      val want = eps.zipWithIndex.flatMap { case (steps, e) =>
+        var pr = 0L; var pv = 0L; var pa = 0L
+        steps.zipWithIndex.reverse.map { case ((r, vo), st) =>
+          val v = vo.getOrElse(0L)
+          val ret = r + fd(g * pr)
+          val delta = r + fd(g * pv) - v
+          val adv = delta + fd(gl * pa)
+          pr = ret; pv = v; pa = adv
+          (s"e$e", st.toLong) -> ((steps.size.toLong, r, v, ret, delta, adv))
+        }
+      }.toMap
+      val got = Preferences.trajectoryReturns(
+          rows.toDF("ep", "st", "r", "v"), "ep", "st", "r", "v",
+          gammaPpm = g, lambdaPpm = l)
+        .collect().map(r => (r.getString(0), r.getLong(2)) ->
+          ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6), r.getLong(7)))).toMap
+      assert(got === want)
+    }
+  }
 }
