@@ -1072,6 +1072,178 @@ object EventQueries extends graft.QueryPack {
              |LEFT JOIN agg USING (event_id)
              |LEFT JOIN ms USING (event_id)""".stripMargin)),
 
+    // ---- V36: conversation-grain tool-call QA (tree x audit composed) ----
+    // The agentic-SFT adoption chain closed: the q_e44 reply tree's
+    // ASSISTANT messages carry tool_call JSON (the q_v35 arms keyed on
+    // msg_id div 2 so every even id draws one), each message is audited
+    // ONCE at the message grain (a shared ancestor is never re-audited
+    // per path), and verdicts roll up per root-to-leaf conversation:
+    // a path is trainable iff every assistant turn on it carries an ok
+    // call. Paths with no assistant turn are vacuously trainable and
+    // stay visible. ONE oracle replays the tree walk, the JSON
+    // synthesis, the per-call verdicts, and the roll-up.
+    Q("q_v36_tree_tool_call_qa",
+      (s, d) => {
+        import graft.operators.Behavior
+        val msgs = Tables.documents(s, d).select(
+          col("doc_id").as("msg_id"),
+          when(col("doc_id") === 0, lit(null).cast("long"))
+            .otherwise(expr("(doc_id - 1) div 2")).as("parent_id"),
+          when(col("doc_id") === 0, lit("system"))
+            .when(col("doc_id") % 2 === 1, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          when(col("text").isNotNull, array_join(slice(
+            graft.operators.TextAnalysis.tokens(col("text")), 1, 6), " "))
+            .otherwise(lit("")).as("text"))
+        val schema = {
+          import s.implicits._
+          Seq(
+            ("search", "q", "string", true),
+            ("search", "limit", "number", false),
+            ("weather", "city", "string", true),
+            ("weather", "days", "number", true),
+            ("weather", "metric", "boolean", false),
+            ("calc", "expr", "string", true))
+            .toDF("tool", "arg", "arg_type", "required")
+        }
+        val calls = msgs.filter(col("role") === "assistant")
+          .select(col("msg_id"),
+            expr("""CASE CAST((msg_id div 2) % 5 AS INT)
+              WHEN 0 THEN concat('{"name":"search","arguments":{"q":"m',
+                CAST(msg_id AS STRING), '"',
+                CASE WHEN msg_id % 9 = 0 THEN ',"limit":"three"'
+                  ELSE concat(',"limit":', CAST(msg_id % 7 AS STRING)) END,
+                '}}')
+              WHEN 1 THEN concat('{"name":"weather","arguments":{"city":"c',
+                CAST(msg_id AS STRING), '"',
+                CASE WHEN msg_id % 40 = 32 THEN ''
+                  WHEN msg_id % 16 = 2 THEN ',"days":null'
+                  ELSE concat(',"days":', CAST(msg_id % 9 AS STRING)) END,
+                '}}')
+              WHEN 2 THEN concat('{"name":"calc","arguments":{"expr":',
+                CASE WHEN msg_id % 16 = 0 THEN CAST(msg_id AS STRING)
+                  ELSE '"1+2"' END,
+                CASE WHEN msg_id % 80 = 4 THEN ',"opts":{"deep":1}'
+                  ELSE '' END, '}}')
+              WHEN 3 THEN CASE WHEN msg_id % 80 = 6
+                THEN '{"name":"frobnicate","arguments":{"x":1}}'
+                ELSE concat('{"name":"search","arguments":{"q":"z',
+                  CAST(msg_id AS STRING), '"}}') END
+              ELSE CASE WHEN msg_id % 80 = 8 THEN '{"name":"search'
+                ELSE concat('{"name":"weather","arguments":{"city":"c',
+                  CAST(msg_id AS STRING), '","days":',
+                  CAST(msg_id % 9 AS STRING), '}}') END
+              END""").as("call_json"))
+        val audit = Behavior.toolCallAudit(calls, "msg_id", "call_json",
+          schema).select(col("msg_id"), col("ok"))
+        val paths = Behavior.dialogPaths(msgs, "msg_id", "parent_id",
+          "role", "text", maxDepth = 16)
+        val perPath = paths.filter(col("role") === "assistant")
+          .select(col("path_id"), col("msg_id"))
+          .join(audit, Seq("msg_id"))
+          .groupBy(col("path_id"))
+          .agg(count(lit(1)).as("n_tool_calls"),
+            sum(when(col("ok"), 0L).otherwise(1L)).as("n_bad_calls"))
+        paths.select(col("path_id"), col("n_turns")).distinct()
+          .join(perPath, Seq("path_id"), "left")
+          .select(col("path_id"), col("n_turns"),
+            coalesce(col("n_tool_calls"), lit(0L)).as("n_tool_calls"),
+            coalesce(col("n_bad_calls"), lit(0L)).as("n_bad_calls"))
+          .withColumn("trainable", col("n_bad_calls") === 0L)
+      },
+      Some(s"""$duckDialogTree,
+             |cj AS (SELECT id,
+             |    CASE CAST((id // 2) % 5 AS INT)
+             |      WHEN 0 THEN '{"name":"search","arguments":{"q":"m'
+             |        || id || '"' ||
+             |        CASE WHEN id % 9 = 0 THEN ',"limit":"three"'
+             |          ELSE ',"limit":' || (id % 7) END || '}}'
+             |      WHEN 1 THEN '{"name":"weather","arguments":{"city":"c'
+             |        || id || '"' ||
+             |        CASE WHEN id % 40 = 32 THEN ''
+             |          WHEN id % 16 = 2 THEN ',"days":null'
+             |          ELSE ',"days":' || (id % 9) END || '}}'
+             |      WHEN 2 THEN '{"name":"calc","arguments":{"expr":' ||
+             |        CASE WHEN id % 16 = 0 THEN CAST(id AS VARCHAR)
+             |          ELSE '"1+2"' END ||
+             |        CASE WHEN id % 80 = 4 THEN ',"opts":{"deep":1}'
+             |          ELSE '' END || '}}'
+             |      WHEN 3 THEN CASE WHEN id % 80 = 6
+             |        THEN '{"name":"frobnicate","arguments":{"x":1}}'
+             |        ELSE '{"name":"search","arguments":{"q":"z'
+             |          || id || '"}}' END
+             |      ELSE CASE WHEN id % 80 = 8 THEN '{"name":"search'
+             |        ELSE '{"name":"weather","arguments":{"city":"c'
+             |          || id || '","days":' || (id % 9) || '}}' END
+             |      END AS j
+             |  FROM m WHERE role = 'assistant'),
+             |sch(tool, arg, ty, req) AS (VALUES
+             |    ('search', 'q', 'string', true),
+             |    ('search', 'limit', 'number', false),
+             |    ('weather', 'city', 'string', true),
+             |    ('weather', 'days', 'number', true),
+             |    ('weather', 'metric', 'boolean', false),
+             |    ('calc', 'expr', 'string', true)),
+             |cb AS (SELECT id, j,
+             |    CASE WHEN json_valid(j)
+             |      THEN json_extract_string(j, '$$.name') END AS tool,
+             |    (NOT json_valid(j))
+             |      OR (CASE WHEN json_valid(j)
+             |        THEN json_extract_string(j, '$$.name') END) IS NULL
+             |      OR (CASE WHEN json_valid(j)
+             |        THEN json_type(j, '$$.arguments') END) <> 'OBJECT'
+             |      AS bad
+             |  FROM cj),
+             |ck AS (SELECT cb.id, cb.tool, cb.j,
+             |    unnest(json_keys(cb.j, '$$.arguments')) AS arg,
+             |    cb.tool IN (SELECT tool FROM sch) AS kn
+             |  FROM cb WHERE NOT cb.bad),
+             |ct2 AS (SELECT id, tool, arg, kn,
+             |    CASE COALESCE(json_type(j, '$$.arguments.' || arg), 'NULL')
+             |      WHEN 'VARCHAR' THEN 'string'
+             |      WHEN 'BOOLEAN' THEN 'boolean'
+             |      WHEN 'NULL' THEN 'null'
+             |      WHEN 'OBJECT' THEN 'object'
+             |      WHEN 'ARRAY' THEN 'array'
+             |      ELSE 'number' END AS cls
+             |  FROM ck),
+             |caj AS (SELECT t.id, t.arg, t.kn, t.cls, s.ty
+             |  FROM ct2 t LEFT JOIN sch s
+             |    ON s.tool = t.tool AND s.arg = t.arg),
+             |cagg AS (SELECT id,
+             |    COUNT(CASE WHEN kn AND ty IS NOT NULL
+             |      AND cls <> ty THEN 1 END) AS n_mm,
+             |    COUNT(CASE WHEN kn AND ty IS NULL THEN 1 END) AS n_ex
+             |  FROM caj GROUP BY 1),
+             |cms AS (SELECT cb.id, COUNT(*) AS n_missing
+             |  FROM cb JOIN sch s ON s.tool = cb.tool AND s.req
+             |  LEFT JOIN ck ON ck.id = cb.id AND ck.arg = s.arg
+             |  WHERE NOT cb.bad AND ck.arg IS NULL
+             |  GROUP BY 1),
+             |vok AS (SELECT cb.id,
+             |    (NOT cb.bad) AND COALESCE(
+             |      cb.tool IN (SELECT tool FROM sch), false)
+             |      AND COALESCE(cms.n_missing, 0) = 0
+             |      AND COALESCE(cagg.n_mm, 0) = 0
+             |      AND COALESCE(cagg.n_ex, 0) = 0 AS ok
+             |  FROM cb
+             |  LEFT JOIN cagg USING (id)
+             |  LEFT JOIN cms USING (id)),
+             |pp AS (SELECT e.path_id,
+             |    CAST(COUNT(*) AS BIGINT) AS n_tool_calls,
+             |    CAST(COUNT(CASE WHEN NOT v.ok THEN 1 END) AS BIGINT)
+             |      AS n_bad_calls
+             |  FROM ex2 e JOIN m ON m.id = e.msg_id
+             |  JOIN vok v ON v.id = e.msg_id
+             |  WHERE m.role = 'assistant'
+             |  GROUP BY 1)
+             |SELECT l.path_id, CAST(l.n_turns AS BIGINT) AS n_turns,
+             |  COALESCE(pp.n_tool_calls, 0) AS n_tool_calls,
+             |  COALESCE(pp.n_bad_calls, 0) AS n_bad_calls,
+             |  COALESCE(pp.n_bad_calls, 0) = 0 AS trainable
+             |FROM (SELECT DISTINCT path_id, n_turns FROM ex2) l
+             |LEFT JOIN pp USING (path_id)""".stripMargin)),
+
     // ---- E40: length-bias audit (Kendall tau-a per prompt) ---------------
     // The reward-data failure mode made measurable: per prompt
     // (event_id % 40, over the event_id % 7 audit slice — pair
