@@ -930,6 +930,79 @@ object EventQueries extends graft.QueryPack {
              |  CAST(rec.adv AS BIGINT) AS advantage_micros
              |FROM rec JOIN mx USING (ep)""".stripMargin)),
 
+    // ---- E48: GAE advantage whitening per task (the PPO batch step) ------
+    // The q_e47 chain composed one stage further: per-step GAE
+    // advantages feed the critic-free group normalization (q_e42's
+    // operator) with the TASK (episode % 7) as the group — the
+    // advantage-whitening step every PPO/GRPO implementation runs
+    // before the policy update, here dedup-honest across episodes of
+    // the same task. resp reconstructs the unique step key
+    // (step * 97 + episode = the original event id). ONE oracle:
+    // the backward-recursion CTE feeding the exact integer-sum group
+    // stats.
+    Q("q_e48_gae_whitening",
+      (s, d) => {
+        val gae = graft.operators.Preferences.trajectoryReturns(
+          Tables.events(s, d).select(
+            (col("event_id") % 97).as("episode"),
+            expr("event_id div 97").as("step"),
+            expr("(event_id * 7919) % 2000001 - 1000000").as("r"),
+            expr("(event_id * 104729) % 2000001 - 1000000").as("v")),
+          "episode", "step", "r", "v",
+          gammaPpm = 990000L, lambdaPpm = 950000L)
+        graft.operators.Preferences.groupAdvantage(
+          gae.select((col("episode") % 7).as("task"),
+            (col("step") * 97 + col("episode")).as("resp"),
+            col("advantage_micros")),
+          "task", "resp", "advantage_micros")
+      },
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT event_id % 97 AS ep, event_id // 97 AS st,
+             |    (event_id * 7919) % 2000001 - 1000000 AS r,
+             |    (event_id * 104729) % 2000001 - 1000000 AS v
+             |  FROM events),
+             |mx AS (SELECT ep, MAX(st) AS mst FROM s GROUP BY 1),
+             |rec AS (
+             |  SELECT s.ep, s.st, s.r, s.v, s.r AS ret,
+             |    s.r - s.v AS delta, s.r - s.v AS adv
+             |  FROM s JOIN mx ON mx.ep = s.ep AND s.st = mx.mst
+             |  UNION ALL
+             |  SELECT s.ep, s.st, s.r, s.v,
+             |    s.r + ((990000 * p.ret) - (((990000 * p.ret) % 1000000)
+             |      + 1000000) % 1000000) // 1000000,
+             |    s.r + ((990000 * p.v) - (((990000 * p.v) % 1000000)
+             |      + 1000000) % 1000000) // 1000000 - s.v,
+             |    (s.r + ((990000 * p.v) - (((990000 * p.v) % 1000000)
+             |      + 1000000) % 1000000) // 1000000 - s.v)
+             |      + ((940500 * p.adv) - (((940500 * p.adv) % 1000000)
+             |      + 1000000) % 1000000) // 1000000
+             |  FROM rec p JOIN s ON s.ep = p.ep AND s.st = p.st - 1),
+             |s2 AS MATERIALIZED (SELECT ep % 7 AS task,
+             |    st * 97 + ep AS resp, adv AS r
+             |  FROM rec),
+             |st AS (SELECT task, COUNT(*) AS n, SUM(r) AS sr,
+             |    SUM(CAST(r AS HUGEINT) * r) AS srr
+             |  FROM s2 GROUP BY 1),
+             |dd AS (SELECT task, n, sr,
+             |    CASE WHEN sr < 0 THEN
+             |      -((2 * (-sr) + n) // (2 * n))
+             |    ELSE (2 * sr + n) // (2 * n) END AS mean_micros,
+             |    sqrt(CAST(srr AS DOUBLE) / n
+             |      - (CAST(sr AS DOUBLE) / n) * (CAST(sr AS DOUBLE) / n))
+             |      AS stdd
+             |  FROM st)
+             |SELECT s2.task, s2.resp,
+             |  CAST(s2.r AS BIGINT) AS reward_micros,
+             |  CAST(dd.n AS BIGINT) AS n_samples,
+             |  CAST(dd.mean_micros AS BIGINT) AS mean_micros,
+             |  CAST(CASE WHEN dd.n > 1 THEN
+             |    ROUND(dd.stdd) END AS BIGINT) AS std_micros,
+             |  CAST(CASE WHEN dd.n > 1 AND dd.stdd > 0 THEN
+             |    ROUND(ROUND((CAST(s2.r AS DOUBLE)
+             |      - CAST(dd.sr AS DOUBLE) / dd.n) / dd.stdd, 6) * 1e6)
+             |    END AS BIGINT) AS adv_micros
+             |FROM s2 JOIN dd USING (task)""".stripMargin)),
+
     // ---- V35: tool-call trace validation (agentic-SFT QA gate) -----------
     // Synthetic tool_call JSON planted per event (5 arms: a clean-ish
     // search with a rotating limit-type mismatch, a weather call with
