@@ -644,4 +644,68 @@ class PropertySpec extends AnyFunSuite {
       assert(got === want)
     }
   }
+  test("toolCallAudit == a structure-driven reference on randomly " +
+      "rendered tool_call JSON (unknown tools, missing/mismatch/extra " +
+      "args, JSON-null, malformed tails)") {
+    import graft.operators.Behavior
+    // declared: T1(a string REQ, b number), T2(c boolean REQ, d object,
+    // e array). Values are rendered per CLASS, so the reference knows
+    // every verdict from the structure without parsing JSON.
+    val decl: Map[(String, String), (String, Boolean)] = Map(
+      ("T1", "a") -> (("string", true)), ("T1", "b") -> (("number", false)),
+      ("T2", "c") -> (("boolean", true)), ("T2", "d") -> (("object", false)),
+      ("T2", "e") -> (("array", false)))
+    val renderOf = Map("string" -> "\"s\"", "number" -> "3",
+      "boolean" -> "true", "null" -> "null",
+      "object" -> "{\"k\":1}", "array" -> "[1]")
+    val classes = renderOf.keys.toVector.sorted
+    val argNames = Vector("a", "b", "c", "d", "e", "x")
+    val callGen = for {
+      tool <- Gen.oneOf("T1", "T2", "frob")
+      malformed <- Gen.frequency((5, false), (1, true))
+      nArgs <- Gen.choose(0, 4)
+      args <- Gen.listOfN(nArgs,
+        Gen.zip(Gen.oneOf(argNames), Gen.oneOf(classes)))
+    } yield (tool, malformed, args.distinctBy(_._1))
+    forAll(Gen.listOfN(8, callGen), n = 6) { calls =>
+      val rows = calls.zipWithIndex.map { case ((tool, bad, args), i) =>
+        val body = args.map { case (a, c) =>
+          s"\"$a\":${renderOf(c)}" }.mkString(",")
+        val j = if (bad) s"""{"name":"$tool""""
+          else s"""{"name":"$tool","arguments":{$body}}"""
+        ((i + 1).toLong, tool, bad, args, j)
+      }
+      val schema = decl.toSeq.map { case ((t, a), (ty, rq)) =>
+        (t, a, ty, rq) }.toDF("tool", "arg", "arg_type", "required")
+      val got = Behavior.toolCallAudit(
+          rows.map(r => (r._1, r._5)).toDF("call_id", "call_json"),
+          "call_id", "call_json", schema)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getBoolean(2), r.getBoolean(3), r.getLong(4), r.getLong(5),
+            r.getString(6), r.getLong(7), r.getString(8), r.getLong(9),
+            r.getString(10), r.getBoolean(11)))).toMap
+      val want = rows.map { case (id, tool, bad, args, _) =>
+        val known = decl.keys.exists(_._1 == tool)
+        if (bad) id -> ((true, false, 0L, 0L, "", 0L, "", 0L, "", false))
+        else if (!known)
+          id -> ((false, true, args.size.toLong, 0L, "", 0L, "", 0L, "",
+            false))
+        else {
+          val provided = args.map(_._1).toSet
+          val missing = decl.collect { case ((t, a), (_, true))
+            if t == tool && !provided.contains(a) => a }.toSeq.sorted
+          val mm = args.collect { case (a, c)
+            if decl.contains((tool, a)) && c != decl((tool, a))._1 => a }
+            .sorted
+          val extra = args.collect { case (a, _)
+            if !decl.contains((tool, a)) => a }.sorted
+          id -> ((false, false, args.size.toLong, missing.size.toLong,
+            missing.mkString("|"), mm.size.toLong, mm.mkString("|"),
+            extra.size.toLong, extra.mkString("|"),
+            missing.isEmpty && mm.isEmpty && extra.isEmpty))
+        }
+      }.toMap
+      assert(got === want)
+    }
+  }
 }
