@@ -762,6 +762,44 @@ object Behavior {
     out.unionAll(alienType).unionAll(dupDecl)
   }
 
+  /** Per-tool call-quality roll-up — the operational monitor over
+    * [[toolCallAudit]]'s verdict relation: an agentic-data pipeline
+    * watches WHICH tool's calls are degrading (a model that suddenly
+    * hallucinates arguments for one tool, a schema change that turns
+    * yesterday's valid calls into mismatches), so the verdicts roll
+    * up per tool into the counter set + ok-rate a dashboard alarms
+    * on. Calls whose tool name never parsed group under
+    * `'<unparsed>'` — failures must stay visible, not vanish into a
+    * null group. One hash aggregation at the tools grain.
+    *
+    * The counting aggregation and the rate derivation are split
+    * ([[toolCallRatesFromCounts]]) so the streaming twin
+    * ([[graft.streaming.EventStreams.toolVerdictCounts]] — live
+    * verdict counters) feeds the IDENTICAL arithmetic. Returns one
+    * row per tool label: `(tool, n_calls, n_malformed, n_unknown,
+    * n_bad_args, n_ok, ok_ppm)` — n_bad_args = parsed, known, but
+    * failing an argument check; ok_ppm in half-up ppm. */
+  def toolCallRates(verdicts: DataFrame): DataFrame =
+    toolCallRatesFromCounts(verdicts
+      .groupBy(coalesce(col("tool"), lit("<unparsed>")).as("tool"))
+      .agg(count(lit(1)).as("n_calls"),
+        sum(when(col("malformed_json"), 1L).otherwise(0L))
+          .as("n_malformed"),
+        sum(when(col("unknown_tool"), 1L).otherwise(0L)).as("n_unknown"),
+        sum(when(!col("malformed_json") && !col("unknown_tool") &&
+          !col("ok"), 1L).otherwise(0L)).as("n_bad_args"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok")))
+
+  /** [[toolCallRates]]' derivation tail over a `(tool, n_calls,
+    * n_malformed, n_unknown, n_bad_args, n_ok)` counter relation —
+    * split out so the streamed monotone counters derive the identical
+    * monitor relation bit-for-bit. */
+  def toolCallRatesFromCounts(counts: DataFrame): DataFrame =
+    counts.select(col("tool"), col("n_calls"), col("n_malformed"),
+      col("n_unknown"), col("n_bad_args"), col("n_ok"),
+      expr("CAST((2 * n_ok * 1000000 + n_calls) div (2 * n_calls) " +
+        "AS BIGINT)").as("ok_ppm"))
+
   /** SFT pair extraction — the step that turns audited conversations
     * into supervised training examples: every ASSISTANT turn emits one
     * `(context, response)` pair, the context being all PRIOR turns

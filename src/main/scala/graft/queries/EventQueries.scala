@@ -67,6 +67,132 @@ object EventQueries extends graft.QueryPack {
       |    unnest(path) AS msg_id, generate_subscripts(path, 1) AS turn
       |  FROM lv)""".stripMargin
 
+  /** The q_v35/q_v37 shared Spark-side fixture: the 5-arm synthetic
+    * tool_call JSON over `events` audited against the 6-row declared
+    * schema ([[graft.operators.Behavior.toolCallAudit]]'s verdict
+    * relation). */
+  private def toolCallAuditFixture(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val schema = Seq(
+      ("search", "q", "string", true),
+      ("search", "limit", "number", false),
+      ("weather", "city", "string", true),
+      ("weather", "days", "number", true),
+      ("weather", "metric", "boolean", false),
+      ("calc", "expr", "string", true))
+      .toDF("tool", "arg", "arg_type", "required")
+    val calls = Tables.events(s, d).select(col("event_id"),
+      expr("""CASE CAST(event_id % 5 AS INT)
+        WHEN 0 THEN concat('{"name":"search","arguments":{"q":"ev',
+          CAST(event_id AS STRING), '"',
+          CASE WHEN event_id % 3 = 0 THEN ',"limit":"three"'
+            ELSE concat(',"limit":', CAST(event_id % 7 AS STRING)) END,
+          '}}')
+        WHEN 1 THEN concat('{"name":"weather","arguments":{"city":"c',
+          CAST(event_id AS STRING), '"',
+          CASE WHEN event_id % 2 = 0 THEN ''
+            WHEN event_id % 16 = 1 THEN ',"days":null'
+            ELSE concat(',"days":', CAST(event_id % 9 AS STRING)) END,
+          CASE WHEN event_id % 4 = 1 THEN ',"metric":true' ELSE '' END,
+          '}}')
+        WHEN 2 THEN concat('{"name":"calc","arguments":{"expr":',
+          CASE WHEN event_id % 2 = 0 THEN CAST(event_id AS STRING)
+            ELSE '"1+2"' END,
+          CASE WHEN event_id % 4 = 2 THEN ',"opts":{"deep":1}'
+            ELSE '' END,
+          '}}')
+        WHEN 3 THEN '{"name":"frobnicate","arguments":{"x":1}}'
+        ELSE '{"name":"search' END""").as("call_json"))
+    graft.operators.Behavior.toolCallAudit(calls, "event_id",
+      "call_json", schema)
+  }
+
+  /** The q_v35 synthetic tool-call fixture + per-call verdict
+    * machinery as oracle CTEs (sch/c/b/k/t/aj/agg/ms) — shared by
+    * q_v35 (per-call relation) and q_v37 (per-tool monitor
+    * roll-up). Stored UNSTRIPPED (margins intact): several lines
+    * begin with the `||` concat operator, and a second stripMargin at
+    * the interpolation site would eat their first pipe — the embedding
+    * `s"""...""".stripMargin` strips exactly once. */
+  private lazy val duckToolCallVerdicts: String =
+    """WITH sch(tool, arg, ty, req) AS (VALUES
+             |    ('search', 'q', 'string', true),
+             |    ('search', 'limit', 'number', false),
+             |    ('weather', 'city', 'string', true),
+             |    ('weather', 'days', 'number', true),
+             |    ('weather', 'metric', 'boolean', false),
+             |    ('calc', 'expr', 'string', true)),
+             |c AS (SELECT event_id,
+             |    CASE CAST(event_id % 5 AS INT)
+             |      WHEN 0 THEN '{"name":"search","arguments":{"q":"ev'
+             |        || event_id || '"' ||
+             |        CASE WHEN event_id % 3 = 0 THEN ',"limit":"three"'
+             |          ELSE ',"limit":' || (event_id % 7) END || '}}'
+             |      WHEN 1 THEN '{"name":"weather","arguments":{"city":"c'
+             |        || event_id || '"' ||
+             |        CASE WHEN event_id % 2 = 0 THEN ''
+             |          WHEN event_id % 16 = 1 THEN ',"days":null'
+             |          ELSE ',"days":' || (event_id % 9) END ||
+             |        CASE WHEN event_id % 4 = 1 THEN ',"metric":true'
+             |          ELSE '' END || '}}'
+             |      WHEN 2 THEN '{"name":"calc","arguments":{"expr":' ||
+             |        CASE WHEN event_id % 2 = 0 THEN CAST(event_id AS VARCHAR)
+             |          ELSE '"1+2"' END ||
+             |        CASE WHEN event_id % 4 = 2 THEN ',"opts":{"deep":1}'
+             |          ELSE '' END || '}}'
+             |      WHEN 3 THEN '{"name":"frobnicate","arguments":{"x":1}}'
+             |      ELSE '{"name":"search' END AS j
+             |  FROM events),
+             |b AS (SELECT event_id, j,
+             |    CASE WHEN json_valid(j)
+             |      THEN json_extract_string(j, '$.name') END AS tool,
+             |    (NOT json_valid(j))
+             |      OR (CASE WHEN json_valid(j)
+             |        THEN json_extract_string(j, '$.name') END) IS NULL
+             |      OR (CASE WHEN json_valid(j)
+             |        THEN json_type(j, '$.arguments') END) <> 'OBJECT'
+             |      AS bad
+             |  FROM c),
+             |k AS (SELECT b.event_id, b.tool, b.j,
+             |    unnest(json_keys(b.j, '$.arguments')) AS arg,
+             |    b.tool IN (SELECT tool FROM sch) AS kn
+             |  FROM b WHERE NOT b.bad),
+             |t AS (SELECT event_id, tool, arg, kn,
+             |    -- dynamic-path json_type yields SQL NULL for a JSON
+             |    -- null (constant paths yield 'NULL'); the key is from
+             |    -- json_keys so it exists, and SQL NULL here IS json null
+             |    CASE COALESCE(json_type(j, '$.arguments.' || arg), 'NULL')
+             |      WHEN 'VARCHAR' THEN 'string'
+             |      WHEN 'BOOLEAN' THEN 'boolean'
+             |      WHEN 'NULL' THEN 'null'
+             |      WHEN 'OBJECT' THEN 'object'
+             |      WHEN 'ARRAY' THEN 'array'
+             |      ELSE 'number' END AS cls
+             |  FROM k),
+             |aj AS (SELECT t.event_id, t.arg, t.kn, t.cls, s.ty
+             |  FROM t LEFT JOIN sch s
+             |    ON s.tool = t.tool AND s.arg = t.arg),
+             |agg AS (SELECT event_id,
+             |    CAST(COUNT(arg) AS BIGINT) AS n_args,
+             |    CAST(COUNT(CASE WHEN kn AND ty IS NOT NULL
+             |      AND cls <> ty THEN 1 END) AS BIGINT) AS n_mm,
+             |    COALESCE(string_agg(CASE WHEN kn AND ty IS NOT NULL
+             |      AND cls <> ty THEN arg END, '|' ORDER BY arg), '')
+             |      AS mm,
+             |    CAST(COUNT(CASE WHEN kn AND ty IS NULL THEN 1 END)
+             |      AS BIGINT) AS n_ex,
+             |    COALESCE(string_agg(CASE WHEN kn AND ty IS NULL
+             |      THEN arg END, '|' ORDER BY arg), '') AS ex
+             |  FROM aj GROUP BY 1),
+             |ms AS (SELECT b.event_id,
+             |    CAST(COUNT(*) AS BIGINT) AS n_missing,
+             |    string_agg(s.arg, '|' ORDER BY s.arg) AS missing
+             |  FROM b JOIN sch s ON s.tool = b.tool AND s.req
+             |  LEFT JOIN k ON k.event_id = b.event_id AND k.arg = s.arg
+             |  WHERE NOT b.bad AND k.arg IS NULL
+             |  GROUP BY 1)"""
+
   /** One unrolled Bradley-Terry MM iteration (oracle side): terms at
     * Scale=1e9 from the previous strengths, per-candidate denominators,
     * the update, then renormalization to n_candidates x 1e6 with the
@@ -1013,117 +1139,8 @@ object EventQueries extends graft.QueryPack {
     // unknown / missing / class-mismatch / extra verdicts through
     // DuckDB's json_valid / json_keys / json_type.
     Q("q_v35_tool_call_audit",
-      (s, d) => {
-        import s.implicits._
-        val schema = Seq(
-          ("search", "q", "string", true),
-          ("search", "limit", "number", false),
-          ("weather", "city", "string", true),
-          ("weather", "days", "number", true),
-          ("weather", "metric", "boolean", false),
-          ("calc", "expr", "string", true))
-          .toDF("tool", "arg", "arg_type", "required")
-        val calls = Tables.events(s, d).select(col("event_id"),
-          expr("""CASE CAST(event_id % 5 AS INT)
-            WHEN 0 THEN concat('{"name":"search","arguments":{"q":"ev',
-              CAST(event_id AS STRING), '"',
-              CASE WHEN event_id % 3 = 0 THEN ',"limit":"three"'
-                ELSE concat(',"limit":', CAST(event_id % 7 AS STRING)) END,
-              '}}')
-            WHEN 1 THEN concat('{"name":"weather","arguments":{"city":"c',
-              CAST(event_id AS STRING), '"',
-              CASE WHEN event_id % 2 = 0 THEN ''
-                WHEN event_id % 16 = 1 THEN ',"days":null'
-                ELSE concat(',"days":', CAST(event_id % 9 AS STRING)) END,
-              CASE WHEN event_id % 4 = 1 THEN ',"metric":true' ELSE '' END,
-              '}}')
-            WHEN 2 THEN concat('{"name":"calc","arguments":{"expr":',
-              CASE WHEN event_id % 2 = 0 THEN CAST(event_id AS STRING)
-                ELSE '"1+2"' END,
-              CASE WHEN event_id % 4 = 2 THEN ',"opts":{"deep":1}'
-                ELSE '' END,
-              '}}')
-            WHEN 3 THEN '{"name":"frobnicate","arguments":{"x":1}}'
-            ELSE '{"name":"search' END""").as("call_json"))
-        graft.operators.Behavior.toolCallAudit(calls, "event_id",
-          "call_json", schema)
-      },
-      Some("""WITH sch(tool, arg, ty, req) AS (VALUES
-             |    ('search', 'q', 'string', true),
-             |    ('search', 'limit', 'number', false),
-             |    ('weather', 'city', 'string', true),
-             |    ('weather', 'days', 'number', true),
-             |    ('weather', 'metric', 'boolean', false),
-             |    ('calc', 'expr', 'string', true)),
-             |c AS (SELECT event_id,
-             |    CASE CAST(event_id % 5 AS INT)
-             |      WHEN 0 THEN '{"name":"search","arguments":{"q":"ev'
-             |        || event_id || '"' ||
-             |        CASE WHEN event_id % 3 = 0 THEN ',"limit":"three"'
-             |          ELSE ',"limit":' || (event_id % 7) END || '}}'
-             |      WHEN 1 THEN '{"name":"weather","arguments":{"city":"c'
-             |        || event_id || '"' ||
-             |        CASE WHEN event_id % 2 = 0 THEN ''
-             |          WHEN event_id % 16 = 1 THEN ',"days":null'
-             |          ELSE ',"days":' || (event_id % 9) END ||
-             |        CASE WHEN event_id % 4 = 1 THEN ',"metric":true'
-             |          ELSE '' END || '}}'
-             |      WHEN 2 THEN '{"name":"calc","arguments":{"expr":' ||
-             |        CASE WHEN event_id % 2 = 0 THEN CAST(event_id AS VARCHAR)
-             |          ELSE '"1+2"' END ||
-             |        CASE WHEN event_id % 4 = 2 THEN ',"opts":{"deep":1}'
-             |          ELSE '' END || '}}'
-             |      WHEN 3 THEN '{"name":"frobnicate","arguments":{"x":1}}'
-             |      ELSE '{"name":"search' END AS j
-             |  FROM events),
-             |b AS (SELECT event_id, j,
-             |    CASE WHEN json_valid(j)
-             |      THEN json_extract_string(j, '$.name') END AS tool,
-             |    (NOT json_valid(j))
-             |      OR (CASE WHEN json_valid(j)
-             |        THEN json_extract_string(j, '$.name') END) IS NULL
-             |      OR (CASE WHEN json_valid(j)
-             |        THEN json_type(j, '$.arguments') END) <> 'OBJECT'
-             |      AS bad
-             |  FROM c),
-             |k AS (SELECT b.event_id, b.tool, b.j,
-             |    unnest(json_keys(b.j, '$.arguments')) AS arg,
-             |    b.tool IN (SELECT tool FROM sch) AS kn
-             |  FROM b WHERE NOT b.bad),
-             |t AS (SELECT event_id, tool, arg, kn,
-             |    -- dynamic-path json_type yields SQL NULL for a JSON
-             |    -- null (constant paths yield 'NULL'); the key is from
-             |    -- json_keys so it exists, and SQL NULL here IS json null
-             |    CASE COALESCE(json_type(j, '$.arguments.' || arg), 'NULL')
-             |      WHEN 'VARCHAR' THEN 'string'
-             |      WHEN 'BOOLEAN' THEN 'boolean'
-             |      WHEN 'NULL' THEN 'null'
-             |      WHEN 'OBJECT' THEN 'object'
-             |      WHEN 'ARRAY' THEN 'array'
-             |      ELSE 'number' END AS cls
-             |  FROM k),
-             |aj AS (SELECT t.event_id, t.arg, t.kn, t.cls, s.ty
-             |  FROM t LEFT JOIN sch s
-             |    ON s.tool = t.tool AND s.arg = t.arg),
-             |agg AS (SELECT event_id,
-             |    CAST(COUNT(arg) AS BIGINT) AS n_args,
-             |    CAST(COUNT(CASE WHEN kn AND ty IS NOT NULL
-             |      AND cls <> ty THEN 1 END) AS BIGINT) AS n_mm,
-             |    COALESCE(string_agg(CASE WHEN kn AND ty IS NOT NULL
-             |      AND cls <> ty THEN arg END, '|' ORDER BY arg), '')
-             |      AS mm,
-             |    CAST(COUNT(CASE WHEN kn AND ty IS NULL THEN 1 END)
-             |      AS BIGINT) AS n_ex,
-             |    COALESCE(string_agg(CASE WHEN kn AND ty IS NULL
-             |      THEN arg END, '|' ORDER BY arg), '') AS ex
-             |  FROM aj GROUP BY 1),
-             |ms AS (SELECT b.event_id,
-             |    CAST(COUNT(*) AS BIGINT) AS n_missing,
-             |    string_agg(s.arg, '|' ORDER BY s.arg) AS missing
-             |  FROM b JOIN sch s ON s.tool = b.tool AND s.req
-             |  LEFT JOIN k ON k.event_id = b.event_id AND k.arg = s.arg
-             |  WHERE NOT b.bad AND k.arg IS NULL
-             |  GROUP BY 1)
+      (s, d) => toolCallAuditFixture(s, d),
+      Some(s"""$duckToolCallVerdicts
              |SELECT b.event_id, b.tool, b.bad AS malformed_json,
              |  (NOT b.bad) AND COALESCE(
              |    b.tool NOT IN (SELECT tool FROM sch), false)
@@ -1316,6 +1333,42 @@ object EventQueries extends graft.QueryPack {
              |  COALESCE(pp.n_bad_calls, 0) = 0 AS trainable
              |FROM (SELECT DISTINCT path_id, n_turns FROM ex2) l
              |LEFT JOIN pp USING (path_id)""".stripMargin)),
+
+    // ---- V37: per-tool call-quality monitor (the audit rolled up) --------
+    // The operational relation over the q_v35 verdicts: per tool
+    // (unparseable names under '<unparsed>'), the counter set +
+    // half-up ok-rate a dashboard alarms on. Shares q_v35's fixture
+    // and oracle CTEs verbatim; the streaming twin
+    // (EventStreams.toolVerdictCounts -> toolCallRatesFromCounts) is
+    // parity-pinned in EventStreamsSpec.
+    Q("q_v37_tool_call_rates",
+      (s, d) => graft.operators.Behavior.toolCallRates(
+        toolCallAuditFixture(s, d)),
+      Some(s"""$duckToolCallVerdicts,
+             |pc AS (SELECT COALESCE(b.tool, '<unparsed>') AS tool,
+             |    b.bad,
+             |    (NOT b.bad) AND COALESCE(
+             |      b.tool NOT IN (SELECT tool FROM sch), false) AS unk,
+             |    (NOT b.bad) AND COALESCE(
+             |        b.tool IN (SELECT tool FROM sch), false)
+             |      AND COALESCE(ms.n_missing, 0) = 0
+             |      AND COALESCE(agg.n_mm, 0) = 0
+             |      AND COALESCE(agg.n_ex, 0) = 0 AS ok
+             |  FROM b
+             |  LEFT JOIN agg USING (event_id)
+             |  LEFT JOIN ms USING (event_id))
+             |SELECT tool,
+             |  CAST(COUNT(*) AS BIGINT) AS n_calls,
+             |  CAST(COUNT(CASE WHEN bad THEN 1 END) AS BIGINT)
+             |    AS n_malformed,
+             |  CAST(COUNT(CASE WHEN unk THEN 1 END) AS BIGINT)
+             |    AS n_unknown,
+             |  CAST(COUNT(CASE WHEN NOT bad AND NOT unk AND NOT ok
+             |    THEN 1 END) AS BIGINT) AS n_bad_args,
+             |  CAST(COUNT(CASE WHEN ok THEN 1 END) AS BIGINT) AS n_ok,
+             |  CAST((2 * COUNT(CASE WHEN ok THEN 1 END) * 1000000
+             |      + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS ok_ppm
+             |FROM pc GROUP BY 1""".stripMargin)),
 
     // ---- E40: length-bias audit (Kendall tau-a per prompt) ---------------
     // The reward-data failure mode made measurable: per prompt

@@ -984,6 +984,32 @@ object EventStreams {
         sum(when(col(desirableCol).cast("boolean"), 1L).otherwise(0L))
           .as("n_desirable"))
 
+  /** Streaming tool-call verdict counters
+    * ([[graft.operators.Behavior.toolCallRates]]' monitoring twin):
+    * agentic traffic ARRIVES as a stream, and the per-tool counter
+    * set the monitor derives rates from is pure MONOTONE counts over
+    * the audited verdict relation (run
+    * [[graft.operators.Behavior.toolCallAudit]] on each micro-batch
+    * upstream — its parse/judge stages are map-only + broadcast
+    * joins + one call-keyed agg). Complete-mode aggregation, no
+    * watermark, order-independent; state bounded by the tool-label
+    * vocabulary. Unparseable tools count under `'<unparsed>'`
+    * exactly as in the batch roll-up. Feed the state through
+    * [[graft.operators.Behavior.toolCallRatesFromCounts]] — identical
+    * arithmetic, so the parity spec derives the batch monitor
+    * relation bit-for-bit at every batch split. */
+  def toolVerdictCounts(spark: SparkSession,
+      verdicts: DataFrame): DataFrame =
+    verdicts
+      .groupBy(coalesce(col("tool"), lit("<unparsed>")).as("tool"))
+      .agg(count(lit(1)).as("n_calls"),
+        sum(when(col("malformed_json"), 1L).otherwise(0L))
+          .as("n_malformed"),
+        sum(when(col("unknown_tool"), 1L).otherwise(0L)).as("n_unknown"),
+        sum(when(!col("malformed_json") && !col("unknown_tool") &&
+          !col("ok"), 1L).otherwise(0L)).as("n_bad_args"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"))
+
   /** Streaming PSI bin-count state
     * ([[graft.operators.Profile.psiDrift]]'s monitoring twin — the
     * LAST untwinned member of the drift-monitor family after

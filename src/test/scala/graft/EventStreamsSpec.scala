@@ -1172,4 +1172,49 @@ class EventStreamsSpec extends AnyFunSuite {
       awaitRows()(rows == Set((1L, 2L), (2L, 1L), (1L, 1L)))
     } finally q.stop()
   }
+  test("streaming tool-call verdict counters derive the batch per-tool " +
+      "monitor relation at every batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (Option("search"), false, false, true),
+      (Option("search"), false, false, false),    // bad args
+      (Option("weather"), false, false, true),
+      (Option.empty[String], true, false, false), // unparsed malformed
+      (Option("frob"), false, true, false),       // unknown tool
+      (Option("search"), false, false, true),
+      (Option("weather"), false, false, false),
+      (Option("search"), true, false, false))     // malformed WITH a name
+    val batches = Seq(rows.take(3), rows.slice(3, 6), rows.drop(6))
+    val input = MemoryStream[(Option[String], Boolean, Boolean, Boolean)]
+    val q = EventStreams.toolVerdictCounts(spark,
+        input.toDF().toDF("tool", "malformed_json", "unknown_tool", "ok"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("tool_incr").start()
+    try {
+      batches.indices.foreach { i =>
+        input.addData(batches(i)); q.processAllAvailable()
+        val sofar = batches.take(i + 1).flatten
+          .toDF("tool", "malformed_json", "unknown_tool", "ok")
+        val derived = graft.operators.Behavior.toolCallRatesFromCounts(
+          spark.table("tool_incr"))
+        val batch = graft.operators.Behavior.toolCallRates(sofar)
+        assert(derived.exceptAll(batch).count() === 0 &&
+          batch.exceptAll(derived).count() === 0,
+          s"streamed counters after batch $i must derive the batch " +
+            "monitor relation")
+      }
+      val fin = graft.operators.Behavior.toolCallRatesFromCounts(
+          spark.table("tool_incr"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6)))).toMap
+      assert(fin("search") === ((4L, 1L, 0L, 1L, 2L, 500000L)),
+        "a malformed call that still carried a name counts under its " +
+          "tool, and the rate is the half-up ppm")
+      assert(fin("<unparsed>") === ((1L, 1L, 0L, 0L, 0L, 0L)))
+      assert(fin("frob") === ((1L, 0L, 1L, 0L, 0L, 0L)))
+      assert(fin("weather") === ((2L, 0L, 0L, 1L, 1L, 500000L)))
+    } finally q.stop()
+  }
 }
