@@ -36,18 +36,24 @@ import graft.functions.TopKAggregator
   */
 object Dsir {
 
-  /** The compact `(idCol, __tgt, b, __tf)` relation: one explode of the
-    * lowercased whitespace tokens, one hash aggregation. A document
-    * determines `__tgt`, so the extra grouping key adds no cardinality. */
+  /** The compact `(idCol, __tgt, b, __tf)` relation: one map-only
+    * kernel pass over the lowercased whitespace tokens, one explode of
+    * the ≤ buckets map entries. A document determines `__tgt`, so the
+    * extra column adds no cardinality. */
   private def docBucketTf(docs: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, buckets: Int): DataFrame =
+      isTarget: Column, buckets: Int): DataFrame = {
+    // map-only TF: one explode of the ≤ buckets kernel-map entries per
+    // doc replaces the per-token explode + md5 + keyed counting
+    // aggregation (guide §2.4 — same move as linearQualityScore)
+    graft.functions.TokenBucketTf.register(docs.sparkSession)
     Par.spread(docs.select(col(idCol), isTarget.as("__tgt"),
         TextAnalysis.tokens(lower(col(textCol))).as("__toks")))
-      .select(col(idCol), col("__tgt"), explode(col("__toks")).as("__t"))
       .select(col(idCol), col("__tgt"),
-        Sampling.bucketOfKey(md5(col("__t")), buckets).as("b"))
-      .groupBy(col(idCol), col("__tgt"), col("b"))
-      .agg(count(lit(1)).as("__tf"))
+        explode(call_function("token_bucket_tf", col("__toks"),
+          lit(buckets))))
+      .select(col(idCol), col("__tgt"), col("key").as("b"),
+        col("value").as("__tf"))
+  }
 
   /** Per-bucket log-likelihood-ratio table `(b, llr)` with add-1
     * smoothing: `llr(b) = round(ln((ct+1)/(Tt+B)), 6) −

@@ -40,6 +40,18 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Edge-count threshold above which the power-iteration cores
+    * hash-partition + sort the degree-annotated edge relation on the
+    * per-round join key before checkpointing it (see the comment at the
+    * use site). Below it the extra setup exchange and the forced wide
+    * partitioning cost more than they save on a graph whose rank
+    * vector AQE broadcasts anyway. Overridable for experiments via
+    * `spark.graft.graph.copartitionMinEdges`. */
+  private def copartitionMinEdges(df: DataFrame): Long =
+    df.sparkSession.conf
+      .getOption("spark.graft.graph.copartitionMinEdges")
+      .map(_.toLong).getOrElse(262144L)
+
   /** PageRank over directed `edges(src, dst)`. Parallel edges are
     * legal (they weight the link); self-loops are legal. Returns
     * `(node, rank)` over every node appearing as src or dst, ranks
@@ -83,21 +95,62 @@ object Graph {
     // out-degrees (weighted: total out-weight) and the degree-annotated
     // edge list are materialized ONCE and reused every round (the joins
     // below would otherwise recompute the degree aggregation per
-    // iteration)
+    // iteration). The edge relation is hash-partitioned on `src` — the
+    // per-round join key — BEFORE the checkpoint (guide §2.4: keyed
+    // operations share one exchange): the checkpoint preserves the
+    // partitioning, so every round's contribution join streams these
+    // blocks without re-exchanging the edge relation; only the
+    // nodes-sized rank vector moves per round.
     val deg = Iterate.checkpoint(
       if (weighted) e.groupBy("src").agg(sum(col("w")).as("__outdeg"))
       else e.groupBy("src").agg(count(lit(1)).as("__outdeg")))
-    val withDeg = Iterate.checkpoint(e.join(deg, "src"))
+    // SCALE-ADAPTIVE co-partitioning (guide §2.4): when the edge
+    // relation is large, hash-partition + sort it on `src` ONCE before
+    // the checkpoint so every round's contribution join streams it with
+    // no exchange and no re-sort (at cluster scale the rank vector is
+    // far past any broadcast threshold, so the join is sort-merge and
+    // re-shuffling the edges per round is the dominant cost). Below the
+    // threshold the extra setup exchange + the fixed per-round tasks of
+    // a forced wide partitioning cost more than they save — AQE already
+    // broadcasts a nodes-sized rank vector there (measured: +1.0s on
+    // the 20-host q_x102 graph, ±0 on the 1.2M-edge q_g1 at sf0.1).
+    // The edge count is one cheap aggregate over the checkpointed
+    // nodes-sized degree relation, not an edge scan. Partition count is
+    // pinned to the session shuffle default (the knob deployments
+    // already size): an AQE-sized repartition could coalesce to one
+    // partition and serialize every round, and the per-round ranks
+    // exchange must match this count for the reuse to fire.
+    // (for the weighted form __outdeg sums weights — an upper bound on
+    // the edge count since weights are required positive integers; the
+    // decision only needs the order of magnitude)
+    val edgeCount = deg.agg(coalesce(sum(col("__outdeg")), lit(0L)))
+      .first().getLong(0)
+    val annotated = e.join(deg, "src")
+    val withDeg = Iterate.checkpoint(
+      if (edgeCount < copartitionMinEdges(edges)) annotated
+      else annotated.repartition(
+          edges.sparkSession.sessionState.conf.numShufflePartitions,
+          col("src"))
+        .sortWithinPartitions("src"))
     val allNodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val nodes = Iterate.checkpoint(seeds match {
+    val seeded = seeds match {
       case Some(sd) =>
         val seedSet = sd.select(col("node")).distinct()
           .withColumn("__sd", lit(true))
         allNodes.join(broadcast(seedSet), Seq("node"), "left")
           .select(col("node"), coalesce(col("__sd"), lit(false)).as("__seed"))
       case None => allNodes.withColumn("__seed", lit(true))
-    })
+    }
+    // the dangling flag is STATIC (deg never changes), so it is folded
+    // into the node state ONCE — the per-round dangling-mass scalar then
+    // reads the rank vector itself instead of paying a ranks × deg
+    // anti-join every round (guide §2.4: one join less per round)
+    val nodes = Iterate.checkpoint(seeded
+      .join(deg.select(col("src").as("node"), lit(true).as("__has")),
+        Seq("node"), "left")
+      .select(col("node"), col("__seed"),
+        coalesce(col("__has"), lit(false)).as("__out")))
     val s = nodes.filter(col("__seed")).count() // one driver scalar
     require(s > 0,
       if (seeds.isDefined) "personalizedPageRank: no seed appears in the graph"
@@ -112,7 +165,7 @@ object Graph {
     // constant (1-d)·1e6 — exact at 150000 for the default damping.
     val restartM = (1.0 - damping) * 1e6
 
-    var ranks = nodes.select(col("node"), col("__seed"),
+    var ranks = nodes.select(col("node"), col("__seed"), col("__out"),
       when(col("__seed"), lit(1000000L)).otherwise(lit(0L)).as("rank_m"))
     var round = 0
     var converged = false
@@ -128,33 +181,38 @@ object Graph {
             lit(0.5))
         else floor(col("rank_m") / col("__outdeg") + lit(0.5))
       val contribs = withDeg
-        .join(ranks, col("src") === col("node"))
+        .join(ranks.select(col("node"), col("rank_m")),
+          col("src") === col("node"))
         .select(col("dst"), share.as("__c"))
         .groupBy("dst").agg(sum("__c").as("__s"))
       // rank mass sitting on dangling nodes (no out-edges), returned to
       // the seeds uniformly (= all nodes in the plain form); 1-row
-      // aggregate, pure integer sum — exact
-      val dangling = ranks
-        .join(deg, col("node") === col("src"), "left_anti")
+      // aggregate over the static __out flag, pure integer sum — exact
+      val dangling = ranks.filter(!col("__out"))
         .agg(coalesce(sum("rank_m"), lit(0L)).as("__dm"))
-      val prev = ranks.select(col("node"), col("rank_m").as("__prev"))
-      ranks = Iterate.checkpoint(nodes
+      // the rank vector itself is the per-round spine (same key set as
+      // `nodes`, already materialized): under `tol` the previous rank
+      // rides along, so the movement scalar is one scan of the new
+      // checkpoint instead of a ranks × prev join (guide §2.4)
+      val outCols = Seq(col("node"), col("__seed"), col("__out"),
+        when(col("__seed"),
+          floor(lit(restartM) + lit(damping) *
+            (coalesce(col("__s"), lit(0L)).cast("double") +
+              col("__dm").cast("double") / s) + lit(0.5)))
+          .otherwise(floor(lit(damping) *
+            coalesce(col("__s"), lit(0L)).cast("double") + lit(0.5)))
+          .as("rank_m")) ++
+        (if (tol.isDefined) Seq(col("rank_m").as("__prev")) else Nil)
+      ranks = Iterate.checkpoint(ranks
         .join(contribs, col("node") === col("dst"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("node"), col("__seed"),
-          when(col("__seed"),
-            floor(lit(restartM) + lit(damping) *
-              (coalesce(col("__s"), lit(0L)).cast("double") +
-                col("__dm").cast("double") / s) + lit(0.5)))
-            .otherwise(floor(lit(damping) *
-              coalesce(col("__s"), lit(0L)).cast("double") + lit(0.5)))
-            .as("rank_m")))
+        .select(outCols: _*))
       tol.foreach { t =>
-        // exact-integer movement scalar: ranks are materialized by the
-        // checkpoint, so this keys-sized join reads blocks, not lineage.
+        // exact-integer movement scalar over the just-checkpointed
+        // frame (new rank + carried previous rank — no join).
         // Normalized by s so tol keeps meaning "total movement in
         // OUTPUT-rank units (which sum to ~1)" under per-node micros.
-        val movedM = ranks.join(prev, Seq("node"))
+        val movedM = ranks
           .agg(coalesce(sum(abs(col("rank_m") - col("__prev"))), lit(0L)))
           .first().getLong(0)
         if (movedM.toDouble / 1e6 / s <= t) converged = true
@@ -243,15 +301,6 @@ object Graph {
     val n = nodes.count() // one driver scalar, the tol normalizer
     require(n > 0, "hits: empty edge list")
 
-    def rescaled(raw: DataFrame, joinKey: String, outCol: String): DataFrame = {
-      val mx = raw.agg(max(col("__raw")).as("__mx"))
-      nodes.join(raw, col("node") === col(joinKey), "left")
-        .crossJoin(broadcast(mx))
-        .select(col("node"),
-          floor(coalesce(col("__raw"), lit(0L)).cast("double") * lit(1e6) /
-            col("__mx") + lit(0.5)).as(outCol))
-    }
-
     var scores = nodes
       .withColumn("auth_m", lit(1000000L))
       .withColumn("hub_m", lit(1000000L))
@@ -259,25 +308,46 @@ object Graph {
     var converged = false
     while (round < iters && !converged) {
       round += 1
+      // the previous score frame is the per-round spine (same key set
+      // as `nodes`, already materialized): authorities rescale onto it
+      // carrying the previous scores along, hubs rescale onto THAT —
+      // which fuses the old separate auth ⋈ hub re-join into the hub
+      // rescale (guide §2.4: one nodes-sized join less per round), and
+      // under `tol` makes the movement scalar one scan of the new
+      // checkpoint instead of a scores × prev join
       val aRaw = e.join(scores.select(col("node"), col("hub_m")),
           col("node") === col("src"))
         .groupBy(col("dst")).agg(sum("hub_m").as("__raw"))
-      val auth = rescaled(aRaw, "dst", "auth_m")
-      val hRaw = e.join(auth, col("node") === col("dst"))
+      val amx = aRaw.agg(max(col("__raw")).as("__mx"))
+      val auth = scores
+        .select(col("node"), col("auth_m").as("__pa"),
+          col("hub_m").as("__ph"))
+        .join(aRaw, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(amx))
+        .select(col("node"), col("__pa"), col("__ph"),
+          floor(coalesce(col("__raw"), lit(0L)).cast("double") * lit(1e6) /
+            col("__mx") + lit(0.5)).as("auth_m"))
+      val hRaw = e.join(auth.select(col("node"), col("auth_m")),
+          col("node") === col("dst"))
         .groupBy(col("src")).agg(sum("auth_m").as("__raw"))
-      val hub = rescaled(hRaw, "src", "hub_m")
-      val prev = scores.select(col("node"),
-        col("auth_m").as("__pa"), col("hub_m").as("__ph"))
-      scores = Iterate.checkpoint(auth.join(hub, Seq("node")))
+      val hmx = hRaw.agg(max(col("__raw")).as("__mx"))
+      val keepPrev = if (tol.isDefined) Seq(col("__pa"), col("__ph")) else Nil
+      scores = Iterate.checkpoint(auth
+        .join(hRaw, col("node") === col("src"), "left")
+        .crossJoin(broadcast(hmx))
+        .select(Seq(col("node"), col("auth_m"),
+          floor(coalesce(col("__raw"), lit(0L)).cast("double") * lit(1e6) /
+            col("__mx") + lit(0.5)).as("hub_m")) ++ keepPrev: _*))
       tol.foreach { t =>
         // the pageRank tol discipline: one exact-integer movement
         // scalar per round — Σ(|Δauth_m| + |Δhub_m|) over the
-        // checkpointed frames, normalized by the NODE count so tol
-        // means "average per-node movement in score units" on any
-        // graph size, the same per-output-unit contract as pageRank's
-        // division by its seed count; output equals the fixed round
-        // count actually executed (GraphSpec)
-        val movedM = scores.join(prev, Seq("node"))
+        // just-checkpointed frame (previous scores carried along — no
+        // join), normalized by the NODE count so tol means "average
+        // per-node movement in score units" on any graph size, the
+        // same per-output-unit contract as pageRank's division by its
+        // seed count; output equals the fixed round count actually
+        // executed (GraphSpec)
+        val movedM = scores
           .agg(coalesce(sum(abs(col("auth_m") - col("__pa")) +
             abs(col("hub_m") - col("__ph"))), lit(0L)))
           .first().getLong(0)
@@ -479,10 +549,14 @@ object Graph {
       val counts = e.join(labels, col("src") === col("node"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("__cnt"))
-      val top = counts.groupBy(col("dst")).agg(max(col("__cnt")).as("__mx"))
-      val winner = counts.join(top, Seq("dst"))
-        .filter(col("__cnt") === col("__mx"))
-        .groupBy(col("dst")).agg(min(col("label")).as("__new"))
+      // (max count, min label) as ONE min_by over (−count, label):
+      // struct ordering is lexicographic, so the minimal struct is the
+      // largest count with the smallest label among its ties — the same
+      // winner the old max-count join + min-label aggregation picked,
+      // in one hash aggregation instead of two plus a join (guide §2.4)
+      val winner = counts.groupBy(col("dst"))
+        .agg(min_by(col("label"),
+          struct((-col("__cnt")).as("nc"), col("label"))).as("__new"))
       val next = Iterate.checkpoint(labels
         .join(winner, col("node") === col("dst"), "left")
         .select(col("node"),

@@ -2709,34 +2709,25 @@ object TextAnalysis {
     * n_hyp, m1, t1, …, m4, t4`). */
   private def bleuCountsWide(df: DataFrame, refCol: String,
       hypCol: String, idCol: String): DataFrame = {
-    val scorable = df.filter(col(refCol).isNotNull && col(hypCol).isNotNull)
-    def sideGrams(c: String, side: Int): DataFrame = {
-      val toksed = Par.spread(scorable.select(col(idCol).as("__id"),
-        tokens(col(c)).as("toks")))
-      (1 to 4).map { n =>
-        toksed.select(col("__id"), lit(n).as("__n"),
-          explode(shingles(col("toks"), n)).as("g"),
-          lit(side).as("__side"))
-      }.reduce(_ unionAll _)
-    }
-    val clipped = sideGrams(hypCol, 1).unionAll(sideGrams(refCol, 0))
-      .groupBy(col("__id"), col("__n"), col("g"))
-      .agg(sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__ch"),
-        sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__cr"))
-      .groupBy(col("__id"), col("__n"))
-      .agg(sum(least(col("__ch"), col("__cr"))).as("__m"))
-    val wide = clipped.groupBy(col("__id"))
-      .agg(sum(when(col("__n") === 1, col("__m"))).as("__m1"),
-        sum(when(col("__n") === 2, col("__m"))).as("__m2"),
-        sum(when(col("__n") === 3, col("__m"))).as("__m3"),
-        sum(when(col("__n") === 4, col("__m"))).as("__m4"))
-    val lens = scorable.select(col(idCol).as("__id"),
-      size(tokens(col(refCol))).cast("long").as("n_ref"),
-      size(tokens(col(hypCol))).cast("long").as("n_hyp"))
-    (1 to 4).foldLeft(lens.join(wide, Seq("__id"), "left")) { (d, n) =>
-      d.withColumn(s"m$n", coalesce(col(s"__m$n"), lit(0L)))
+    // map-only: the native bleu_matches kernel computes all four clipped
+    // match counts per example in one projection pass — the relational
+    // 8-branch shingle explode and its two keyed aggregations (plus the
+    // counts-to-lens join) are gone, and with them every exchange
+    // (guide §2.4). The four element_at reads share ONE kernel subtree
+    // (codegen subexpression elimination).
+    graft.functions.BleuMatches.register(df.sparkSession)
+    val scorable = Par.spread(
+      df.filter(col(refCol).isNotNull && col(hypCol).isNotNull)
+        .select(col(idCol).as("__id"), col(refCol).as("__r"),
+          col(hypCol).as("__h")))
+    val withM = scorable.select(col("__id"),
+      size(tokens(col("__r"))).cast("long").as("n_ref"),
+      size(tokens(col("__h"))).cast("long").as("n_hyp"),
+      call_function("bleu_matches", col("__r"), col("__h")).as("__mm"))
+    (1 to 4).foldLeft(withM) { (d, n) =>
+      d.withColumn(s"m$n", element_at(col("__mm"), n))
         .withColumn(s"t$n", greatest(col("n_hyp") - lit(n - 1), lit(0L)))
-    }.drop((1 to 4).map(n => s"__m$n"): _*)
+    }.drop("__mm")
   }
 
   /** The shared BLEU arithmetic tail over an (n_ref, n_hyp, m1..t4)
@@ -2823,44 +2814,30 @@ object TextAnalysis {
     * __th1, __tr1, …`). */
   private def chrFCountsWide(df: DataFrame, refCol: String,
       hypCol: String, idCol: String): DataFrame = {
-    val scorable = df
+    // map-only: the native chrf_matches kernel computes all six clipped
+    // match counts per example in one projection pass — the relational
+    // 12-branch explode (6 orders × 2 sides, ≤ 6·len rows per side) and
+    // its two keyed aggregations are gone, and with them every exchange
+    // (guide §2.4: remove shuffles outright). The six element_at reads
+    // share ONE kernel subtree (whole-stage codegen's subexpression
+    // elimination evaluates it once per row).
+    graft.functions.ChrfMatches.register(df.sparkSession)
+    val scorable = Par.spread(df
       .filter(col(refCol).isNotNull && col(hypCol).isNotNull)
       .select(col(idCol).as("__id"),
         regexp_replace(col(refCol), "\\s+", "").as("__r"),
-        regexp_replace(col(hypCol), "\\s+", "").as("__h"))
-      .localCheckpoint(false)
-    def sideGrams(c: String, side: Int): DataFrame =
-      (1 to 6).map { n =>
-        scorable.select(col("__id"), col(c).as("__s"))
-          .select(col("__id"), lit(n).as("__n"), col("__s"),
-            explode(when(length(col("__s")) >= n,
-                sequence(lit(1), length(col("__s")) - lit(n - 1)))
-              .otherwise(array().cast("array<int>"))).as("i"))
-          .select(col("__id"), col("__n"),
-            col("__s").substr(col("i"), lit(n)).as("g"),
-            lit(side).as("__side"))
-      }.reduce(_ unionAll _)
-    val m = sideGrams("__h", 1).unionAll(sideGrams("__r", 0))
-      .groupBy(col("__id"), col("__n"), col("g"))
-      .agg(sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__ch"),
-        sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__cr"))
-      .groupBy(col("__id"), col("__n"))
-      .agg(sum(least(col("__ch"), col("__cr"))).as("__m"))
-    // per-order totals are closed-form from the lengths — no second pass
-    val lens = scorable.select(col("__id"),
+        regexp_replace(col(hypCol), "\\s+", "").as("__h")))
+    val withM = scorable.select(col("__id"),
       length(col("__r")).cast("long").as("n_ref_chars"),
-      length(col("__h")).cast("long").as("n_hyp_chars"))
-    val mAggs = (1 to 6).map(n =>
-      sum(when(col("__n") === n, col("__m"))).as(s"__m$n"))
-    (1 to 6).foldLeft(
-      lens.join(m.groupBy(col("__id")).agg(mAggs.head, mAggs.tail: _*),
-        Seq("__id"), "left")) { (d, n) =>
-      d.withColumn(s"__mm$n", coalesce(col(s"__m$n"), lit(0L)))
+      length(col("__h")).cast("long").as("n_hyp_chars"),
+      call_function("chrf_matches", col("__r"), col("__h")).as("__mm"))
+    (1 to 6).foldLeft(withM) { (d, n) =>
+      d.withColumn(s"__mm$n", element_at(col("__mm"), n))
         .withColumn(s"__th$n",
           greatest(col("n_hyp_chars") - lit(n - 1), lit(0L)))
         .withColumn(s"__tr$n",
           greatest(col("n_ref_chars") - lit(n - 1), lit(0L)))
-    }.drop((1 to 6).map(n => s"__m$n"): _*)
+    }.drop("__mm")
   }
 
   /** The shared chrF arithmetic tail over an (__mm, __th, __tr)-wide
@@ -3024,18 +3001,16 @@ object TextAnalysis {
   def hashedTfVectors(df: DataFrame, textCol: String, idCol: String,
       dims: Int): DataFrame = {
     require(dims >= 2 && dims <= 65536, s"dims must be in [2, 65536], got $dims")
-    val toksed = Par.spread(df.select(col(idCol).as("doc_id"),
+    // map-only: the native token_tf_vec kernel emits the dense
+    // dims-length vector per doc in one projection pass — the explode →
+    // md5 → two keyed aggregations → dims-length transform reassembly
+    // are gone, and with them both exchanges (guide §2.4)
+    graft.functions.TokenTfVec.register(df.sparkSession)
+    Par.spread(df.select(col(idCol).as("doc_id"),
         tokens(lower(col(textCol))).as("toks")))
       .filter(size(col("toks")) > 0)
-    toksed.select(col("doc_id"), explode(col("toks")).as("t"))
-      .select(col("doc_id"), Sampling.bucketOfKey(md5(col("t")), dims).as("b"))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
-      .groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("b"), col("tf")))).as("m"))
       .select(col("doc_id"),
-        transform(sequence(lit(0), lit(dims - 1)),
-          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L))
-            .cast("float")).as("vec"))
+        call_function("token_tf_vec", col("toks"), lit(dims)).as("vec"))
   }
 
   /** Persist BOTH sides of the hybrid-retrieval index in one corpus
@@ -3114,6 +3089,8 @@ object TextAnalysis {
     require(dims >= 2 && dims <= 65536, s"dims must be in [2, 65536], got $dims")
     require(rounds >= 1 && rounds <= 16,
       s"need 1 <= rounds <= 16 (fixed-round replay contract), got $rounds")
+    // map-only TF (the linearQualityScore kernel explode — guide §2.4)
+    graft.functions.TokenBucketTf.register(df.sparkSession)
     val tf = Iterate.checkpoint(Par.spread(
         df.filter(col(labelCol).isNotNull)
           .select(col(idCol).as("doc_id"),
@@ -3121,11 +3098,10 @@ object TextAnalysis {
               .as("y"),
             tokens(lower(col(textCol))).as("toks")))
       .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), col("y"), explode(col("toks")).as("t"))
       .select(col("doc_id"), col("y"),
-        Sampling.bucketOfKey(md5(col("t")), dims).as("b"))
-      .groupBy(col("doc_id"), col("y"), col("b"))
-      .agg(count(lit(1)).as("tf")))
+        explode(call_function("token_bucket_tf", col("toks"), lit(dims))))
+      .select(col("doc_id"), col("y"), col("key").as("b"),
+        col("value").as("tf")))
     var w = tf.select(col("b"), lit(0L).as("wm")).limit(0)
     (1 to rounds).foreach { _ =>
       val margins = tf
@@ -3158,22 +3134,20 @@ object TextAnalysis {
     * stream. Docs with null text or no grams are absent. */
   private[graft] def charGramTf(df: DataFrame, textCol: String,
       idCol: String, dims: Int, nMin: Int, nMax: Int): DataFrame = {
-    // one branch per gram length, positions EXPLODED FIRST so the
-    // substring + md5 run codegen'd per generated row — building the
-    // gram arrays with array HOFs (transform + substr lambdas) is
-    // CodegenFallback and measured ~2× slower on the same corpus
+    // map-only: the native char_gram_tf kernel builds the whole
+    // bucket→tf map per doc in one projection pass (same md5-bucket
+    // derivation as Sampling.bucketOfKey, one JVM definition) — the
+    // per-gram-length position explodes (≤ len rows per length per
+    // doc, an md5 each) and the (doc, bucket)-keyed counting
+    // aggregation are gone (guide §2.4); consumers get the same
+    // (doc_id, b, tf) relation from one explode of ≤ dims map entries.
+    graft.functions.CharGramTf.register(df.sparkSession)
     val lowered = Par.spread(df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), lower(col(textCol)).as("__t")))
-    (nMin to nMax).map { k =>
-      lowered.filter(length(col("__t")) >= k)
-        .select(col("doc_id"), col("__t"),
-          explode(sequence(lit(1), length(col("__t")) - lit(k - 1)))
-            .as("__i"))
-        .select(col("doc_id"),
-          Sampling.bucketOfKey(md5(col("__t").substr(col("__i"), lit(k))),
-            dims).as("b"))
-    }.reduce(_ unionAll _)
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+    lowered.select(col("doc_id"),
+        explode(call_function("char_gram_tf", col("__t"),
+          lit(dims), lit(nMin), lit(nMax))))
+      .select(col("doc_id"), col("key").as("b"), col("value").as("tf"))
   }
 
   /** Train language ID IN-ENGINE — the multi-class (one-vs-rest)
@@ -3307,12 +3281,16 @@ object TextAnalysis {
       dims: Int, thresholdM: Long = 0L,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(dims >= 2 && dims <= 65536, s"dims must be in [2, 65536], got $dims")
+    // map-only TF: one explode of the ≤ dims kernel-map entries per doc
+    // replaces the per-token explode + md5 + (doc, bucket)-keyed
+    // counting aggregation (guide §2.4 — the counting shuffle is gone)
+    graft.functions.TokenBucketTf.register(df.sparkSession)
     val tf = Par.spread(df.select(col(idCol).as("doc_id"),
         tokens(lower(col(textCol))).as("toks")))
       .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), explode(col("toks")).as("t"))
-      .select(col("doc_id"), Sampling.bucketOfKey(md5(col("t")), dims).as("b"))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"),
+        explode(call_function("token_bucket_tf", col("toks"), lit(dims))))
+      .select(col("doc_id"), col("key").as("b"), col("value").as("tf"))
     val scored = tf
       .join(broadcast(weights.select(col("bucket").as("b"),
         col("wm").cast("long"))), Seq("b"), "left")
@@ -3345,23 +3323,17 @@ object TextAnalysis {
       k: Int = 4, divisor: Int = 16): DataFrame = {
     require(k >= 1, s"gram size k must be >= 1, got $k")
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    // cut positions via the native cdc_cuts kernel (one pass, one md5
+    // per gram) — the HOF formulation re-evaluated the whole shingle
+    // array per gram index inside interpreted lambdas (O(n²·k) string
+    // work per doc); parity pinned by GramKernelsSpec + the q_x36 oracle
+    graft.functions.CdcCuts.register(df.sparkSession)
     val toksed = Par.spread(df.select(col(idCol).as("doc_id"),
         tokens(col(textCol)).as("toks")))
       .filter(size(col("toks")) > 0)
-    val n = size(col("toks"))
-    // gram j (1-based) covers tokens j..j+k-1, i.e. ENDS at token j+k-1
-    val grams = shingles(col("toks"), k)
-    // sequence(1, 0) would DESCEND in Spark — guard the <k-token case
-    // (no grams → no content boundaries → the whole doc is one chunk)
-    val gidx = when(size(grams) >= 1, sequence(lit(1), size(grams)))
-      .otherwise(array().cast("array<int>"))
-    val cutsMid = filter(
-      transform(filter(gidx,
-        j => Sampling.bucketOfKey(md5(element_at(grams, j)), divisor) === 0),
-        j => j + lit(k - 1)),
-      c => c < n) // a boundary AT the end is the implicit final cut
     toksed
-      .withColumn("cuts", concat(array(lit(0)), cutsMid, array(n)))
+      .withColumn("cuts",
+        call_function("cdc_cuts", col("toks"), lit(k), lit(divisor)))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("cuts")) - 1),
           ci => array_join(slice(col("toks"),

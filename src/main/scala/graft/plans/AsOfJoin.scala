@@ -381,6 +381,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("pq_encode"),
       new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "pq_encode"),
       exprs => graft.functions.PqEncode(exprs)))
+    // the map-only eval-metric + hashed-TF kernels (round-17
+    // optimization: the MinHashBands explode-collapse move applied to
+    // chrF/BLEU counting and the fastText-style feature spaces)
+    e.injectFunction((FunctionIdentifier("chrf_matches"),
+      new ExpressionInfo(classOf[graft.functions.ChrfMatches].getName, "chrf_matches"),
+      exprs => graft.functions.ChrfMatches(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("bleu_matches"),
+      new ExpressionInfo(classOf[graft.functions.BleuMatches].getName, "bleu_matches"),
+      exprs => graft.functions.BleuMatches(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("char_gram_tf"),
+      new ExpressionInfo(classOf[graft.functions.CharGramTf].getName, "char_gram_tf"),
+      exprs => graft.functions.CharGramTf(exprs.head, exprs(1), exprs(2), exprs(3))))
+    e.injectFunction((FunctionIdentifier("token_bucket_tf"),
+      new ExpressionInfo(classOf[graft.functions.TokenBucketTf].getName, "token_bucket_tf"),
+      exprs => graft.functions.TokenBucketTf(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("cdc_cuts"),
+      new ExpressionInfo(classOf[graft.functions.CdcCuts].getName, "cdc_cuts"),
+      exprs => graft.functions.CdcCuts(exprs.head, exprs(1), exprs(2))))
+    e.injectFunction((FunctionIdentifier("token_tf_vec"),
+      new ExpressionInfo(classOf[graft.functions.TokenTfVec].getName, "token_tf_vec"),
+      exprs => graft.functions.TokenTfVec(exprs.head, exprs(1))))
   }
 }
 
