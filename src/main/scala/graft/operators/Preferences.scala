@@ -735,30 +735,19 @@ object Preferences {
         col(rewardMicrosCol).cast("long").as("__r"),
         ok(coalesce(col(valueMicrosCol).cast("long"), lit(0L)), "value")
           .as("__v"))
-    val outSchema = "array<struct<st:bigint,r:bigint,v:bigint," +
-      "ret:bigint,delta:bigint,adv:bigint>>"
+    // the backward recursion runs as the native gae_fold kernel — the
+    // HOF `aggregate` fold it replaces was CodegenFallback AND re-copied
+    // the accumulated output array per step (O(n²) per episode); the
+    // kernel is one O(n) pass with identical exact-integer arithmetic
+    // and the same headroom raises (guide §1.2 per-task work)
+    graft.functions.GaeFold.register(steps.sparkSession)
     val folded = base.groupBy(col(episodeCol))
       .agg(count(lit(1)).as("n_steps"),
         reverse(array_sort(collect_list(
           struct(col("__st").as("st"), col("__r").as("r"),
             col("__v").as("v"))))).as("__desc"))
-      .withColumn("__steps", aggregate(col("__desc"),
-        struct(lit(0L).as("pr"), lit(0L).as("pv"), lit(0L).as("pa"),
-          array().cast(outSchema).as("out")),
-        (acc, x) => {
-          val r = x.getField("r"); val v = x.getField("v")
-          val ret = ok(r + fd(lit(gammaPpm) * acc.getField("pr")),
-            "return")
-          val delta = r + fd(lit(gammaPpm) * acc.getField("pv")) - v
-          val adv = ok(delta + fd(lit(glPpm) * acc.getField("pa")),
-            "advantage")
-          struct(ret.as("pr"), v.as("pv"), adv.as("pa"),
-            concat(acc.getField("out"), array(struct(
-              x.getField("st").as("st"), r.as("r"), v.as("v"),
-              ret.as("ret"), delta.as("delta"), adv.as("adv"))))
-              .as("out"))
-        },
-        acc => acc.getField("out")))
+      .withColumn("__steps", call_function("gae_fold", col("__desc"),
+        lit(gammaPpm), lit(lambdaPpm)))
     val out = folded
       .select(col(episodeCol), col("n_steps"),
         explode(col("__steps")).as("__s"))

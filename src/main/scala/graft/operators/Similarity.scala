@@ -226,11 +226,18 @@ object Similarity {
       s"neighbor_id must be integral (tiebreak negates it inside " +
         s"max(struct)); got $nidType — map string ids to longs upstream")
     val sp = emb.sparkSession
-    val lam = lambdaTenths.toLong
-    // one stage boundary on the run: every greedy round references it
-    // (anti-join + rescoring), and without the boundary each round
-    // would replay the UPSTREAM RETRIEVAL's whole lineage — k extra
-    // executions of the expensive part (the jaccardPairsCapped lesson)
+    // the greedy recursion runs per query inside the native mmr_select
+    // kernel over the bounded candidate set (the upstream run's top-k):
+    // the old k−1 driver rounds of anti-join + rescoring join + argmax
+    // + localCheckpoint were pure stage overhead around a few hundred
+    // integer ops per query (guide §1.2). Candidate relation, pairwise
+    // cosine relation, tie-breaks, and the inner-join "no embedding
+    // pair → never selectable" semantics are unchanged (kernel scaladoc
+    // pins the parity; the q_sim14/q_x64 oracles replay the rounds).
+    graft.functions.MmrSelect.register(sp)
+    // one stage boundary on the run: BOTH the candidate grouping and
+    // the pairwise build reference it, and without the boundary each
+    // would replay the upstream retrieval's whole lineage
     val rel = run.select(col("query_id"), col("neighbor_id"),
       round(col("score") * lit(1000000)).cast("long").as("rel_m"))
       .localCheckpoint(true)
@@ -248,31 +255,22 @@ object Similarity {
         round(round(nativeDot(sp, col("av"), col("bv")) /
           (col("an") * col("bn")), 6) * lit(1000000))
           .cast("long").as("sim_m"))
-      .localCheckpoint(true)
-    def argmax(scored: DataFrame, rnk: Int): DataFrame = scored
-      .groupBy(col("query_id"))
-      .agg(max(struct(col("__mmr").as("m"),
-        (-col("neighbor_id")).as("ni"))).as("t"))
-      .select(col("query_id"), (-col("t.ni")).as("doc_id"),
-        col("t.m").as("mmr_m"), lit(rnk).as("rnk"))
-    var sel = argmax(rel.withColumn("__mmr", lit(lam) * col("rel_m")), 1)
-      .localCheckpoint(true)
-    (2 to k).foreach { r =>
-      val remaining = rel.join(
-        sel.select(col("query_id"), col("doc_id").as("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_anti")
-      val scored = remaining
-        .join(pairs.withColumnRenamed("a_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"))
-        .join(sel.select(col("query_id"), col("doc_id").as("b_id")),
-          Seq("query_id", "b_id"))
-        .groupBy(col("query_id"), col("neighbor_id"), col("rel_m"))
-        .agg(max(col("sim_m")).as("__ms"))
-        .withColumn("__mmr",
-          lit(lam) * col("rel_m") - lit(10L - lam) * col("__ms"))
-      sel = sel.unionAll(argmax(scored, r)).localCheckpoint(true)
-    }
-    sel
+    val cands = rel.groupBy(col("query_id"))
+      .agg(collect_list(struct(col("neighbor_id").cast("long").as("id"),
+        col("rel_m").as("rel"))).as("__cands"))
+    val sims = pairs.groupBy(col("query_id"))
+      .agg(collect_list(struct(col("a_id").cast("long").as("a"),
+        col("b_id").cast("long").as("b"), col("sim_m").as("s")))
+        .as("__sims"))
+    cands.join(sims, Seq("query_id"), "left")
+      .select(col("query_id"),
+        explode(call_function("mmr_select", col("__cands"),
+          coalesce(col("__sims"),
+            array().cast("array<struct<a:bigint,b:bigint,s:bigint>>")),
+          lit(k), lit(lambdaTenths))).as("__s"))
+      .select(col("query_id"),
+        col("__s.doc_id").cast(nidType).as("doc_id"),
+        col("__s.mmr_m").as("mmr_m"), col("__s.rnk").as("rnk"))
   }
 
   /** Hard-negative mining for contrastive training: per query, the k

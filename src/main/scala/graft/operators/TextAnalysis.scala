@@ -3089,7 +3089,13 @@ object TextAnalysis {
     require(dims >= 2 && dims <= 65536, s"dims must be in [2, 65536], got $dims")
     require(rounds >= 1 && rounds <= 16,
       s"need 1 <= rounds <= 16 (fixed-round replay contract), got $rounds")
-    // map-only TF (the linearQualityScore kernel explode — guide §2.4)
+    // map-only TF (the linearQualityScore kernel explode — guide §2.4).
+    // The round loop itself stays RELATIONAL (broadcast weight join +
+    // keyed sums): the seed set is curated-small, and an A/B of a
+    // map-grain margin fold here measured SLOWER — the per-round weight
+    // map aggregation + broadcast added driver stages that cost more
+    // than the small shuffles they removed. The map-side fold lives
+    // where the corpus is: linearQualityScore / langIdTrained.
     graft.functions.TokenBucketTf.register(df.sparkSession)
     val tf = Iterate.checkpoint(Par.spread(
         df.filter(col(labelCol).isNotNull)
@@ -3141,14 +3147,40 @@ object TextAnalysis {
     // doc, an md5 each) and the (doc, bucket)-keyed counting
     // aggregation are gone (guide §2.4); consumers get the same
     // (doc_id, b, tf) relation from one explode of ≤ dims map entries.
-    graft.functions.CharGramTf.register(df.sparkSession)
-    val lowered = Par.spread(df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("__t")))
-    lowered.select(col("doc_id"),
-        explode(call_function("char_gram_tf", col("__t"),
-          lit(dims), lit(nMin), lit(nMax))))
+    charGramTfMap(df, textCol, idCol, dims, nMin, nMax)
+      .select(col("doc_id"), explode(col("__tf")))
       .select(col("doc_id"), col("key").as("b"), col("value").as("tf"))
   }
+
+  /** [[charGramTf]] at the map grain: `(doc_id, __tf: map<bucket, tf>)`
+    * — one kernel pass per doc, no explode at all. The margin loops
+    * ([[trainLangId]], [[langIdTrained]]) consume this directly: a
+    * doc×class margin is a fold over ≤ dims map entries against the
+    * broadcast weight map, so no (doc, bucket)-grain relation is ever
+    * shuffled. Docs with null text or no grams are absent (same
+    * contract as [[charGramTf]]). */
+  private def charGramTfMap(df: DataFrame, textCol: String,
+      idCol: String, dims: Int, nMin: Int, nMax: Int): DataFrame = {
+    graft.functions.CharGramTf.register(df.sparkSession)
+    Par.spread(df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("__t")))
+      .select(col("doc_id"),
+        call_function("char_gram_tf", col("__t"),
+          lit(dims), lit(nMin), lit(nMax)).as("__tf"))
+      .filter(size(map_keys(col("__tf"))) > 0)
+  }
+
+  /** Exact integer margin Σ_b tf_b · w_b between the doc's TF map and a
+    * broadcast bucket→weight map column — the map-side replacement for
+    * the (doc, bucket)-grain join + keyed sum (zero shuffle; long
+    * arithmetic, order-independent, bit-identical). Runs as the native
+    * [[graft.functions.MapMargin]] kernel: the equivalent
+    * `aggregate(map_entries(…))` HOF is CodegenFallback and measurably
+    * slower. A null weight map (a class absent from a round's weight
+    * state) contributes 0, like the old left join's coalesce. Callers
+    * must register the kernel ([[graft.functions.MapMargin.register]]). */
+  private def mapMargin(tfMap: Column, wMap: Column): Column =
+    coalesce(call_function("map_margin", tfMap, wMap), lit(0L))
 
   /** Train language ID IN-ENGINE — the multi-class (one-vs-rest)
     * extension of [[trainLinearQuality]], closing the gap between the
@@ -3180,6 +3212,13 @@ object TextAnalysis {
       s"need 1 <= rounds <= 16 (fixed-round replay contract), got $rounds")
     require(nMin >= 1 && nMax >= nMin && nMax <= 8,
       s"need 1 <= nMin <= nMax <= 8, got [$nMin, $nMax]")
+    // The round loop stays RELATIONAL over the exploded (doc, c, b, tf)
+    // replica (broadcast weight join + keyed sums): the seed set is
+    // curated-small, and an A/B of a map-grain margin fold here
+    // measured SLOWER — the per-round nested-weight-map aggregation +
+    // broadcast added driver stages that cost more than the small
+    // shuffles they removed. The map-side fold lives where the corpus
+    // is: [[langIdTrained]]'s classify stage.
     val lab = df.filter(col(langCol).isNotNull)
     val tfl = charGramTf(lab, textCol, idCol, dims, nMin, nMax)
       .join(lab.select(col(idCol).as("doc_id"),
@@ -3229,7 +3268,8 @@ object TextAnalysis {
     require(dims >= 2 && dims <= 65536, s"dims must be in [2, 65536], got $dims")
     val sp = df.sparkSession
     import sp.implicits._
-    val w = weights.select(col("lang").as("c"), col("bucket").as("b"),
+    val w = weights.select(col("lang").as("c"),
+      col("bucket").cast("long").as("b"),
       col("wm").cast("long"))
     // bounded driver read: the class list is enum-sized by the
     // trainLangId contract (the weight relation is classes × dims)
@@ -3240,11 +3280,22 @@ object TextAnalysis {
         "packing space — a LID label set is tens, not millions")
     val cls = classNames.zipWithIndex
       .map { case (c, i) => (c, i.toLong) }.toSeq.toDF("c", "__ci")
-    val scored = charGramTf(df, textCol, idCol, dims, nMin, nMax)
+    graft.functions.MapMargin.register(df.sparkSession)
+    // margins map-side (the trainLangId fold): per (doc, class) one
+    // fold over ≤ dims TF-map entries against the broadcast nested
+    // weight map — the (doc, class, bucket)-grain join + keyed sum and
+    // its exchange are gone (guide §2.4); identical integer arithmetic
+    val wMap = w.groupBy(col("c"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("wm"))))
+        .as("__wc"))
+      .agg(map_from_entries(collect_list(struct(col("c"), col("__wc"))))
+        .as("__w"))
+    val scored = charGramTfMap(df, textCol, idCol, dims, nMin, nMax)
       .crossJoin(broadcast(cls))
-      .join(broadcast(w), Seq("c", "b"), "left")
-      .groupBy(col("doc_id"), col("__ci"))
-      .agg(sum(col("tf") * coalesce(col("wm"), lit(0L))).as("margin_m"))
+      .crossJoin(broadcast(wMap))
+      .select(col("doc_id"), col("__ci"),
+        mapMargin(col("__tf"), element_at(col("__w"), col("c")))
+          .as("margin_m"))
     val guarded = when(abs(col("margin_m")) > lit(1L << 42),
         raise_error(concat(lit("langIdTrained: |margin| for doc "),
           col("doc_id").cast("string"),
@@ -3284,18 +3335,24 @@ object TextAnalysis {
     // map-only TF: one explode of the ≤ dims kernel-map entries per doc
     // replaces the per-token explode + md5 + (doc, bucket)-keyed
     // counting aggregation (guide §2.4 — the counting shuffle is gone)
+    // score map-side (the trainLangId fold): one fold over ≤ dims
+    // TF-map entries per doc against the broadcast bucket→weight map —
+    // no (doc, bucket)-grain explode, no keyed-sum exchange
+    // (guide §2.4); identical integer arithmetic
     graft.functions.TokenBucketTf.register(df.sparkSession)
-    val tf = Par.spread(df.select(col(idCol).as("doc_id"),
+    graft.functions.MapMargin.register(df.sparkSession)
+    val wMap = weights
+      .select(col("bucket").cast("long").as("b"), col("wm").cast("long"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("wm"))))
+        .as("__w"))
+    val scored = Par.spread(df.select(col(idCol).as("doc_id"),
         tokens(lower(col(textCol))).as("toks")))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
-        explode(call_function("token_bucket_tf", col("toks"), lit(dims))))
-      .select(col("doc_id"), col("key").as("b"), col("value").as("tf"))
-    val scored = tf
-      .join(broadcast(weights.select(col("bucket").as("b"),
-        col("wm").cast("long"))), Seq("b"), "left")
-      .groupBy(col("doc_id"))
-      .agg(sum(col("tf") * coalesce(col("wm"), lit(0L))).as("__s"))
+        call_function("token_bucket_tf", col("toks"), lit(dims))
+          .as("__tf"))
+      .crossJoin(broadcast(wMap))
+      .select(col("doc_id"), mapMargin(col("__tf"), col("__w")).as("__s"))
     df.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         (coalesce(col("__s"), lit(0L)) + lit(biasM)).as("score_m"))
@@ -3312,10 +3369,13 @@ object TextAnalysis {
     * why CDC is the chunker of storage dedup). Expected chunk length ≈
     * `divisor` tokens; docs shorter than k tokens are one chunk.
     *
-    * Entirely map-only: grams, boundary positions, and chunk slices are
-    * array HOFs over the materialized token column — zero shuffle; the
-    * downstream chunk-hash dedup/df is whatever keyed consumer the
-    * caller composes (the md5 is emitted per chunk for exactly that).
+    * Entirely map-only — zero shuffle: boundary positions come from the
+    * native `cdc_cuts` kernel (one O(n·k) pass, one md5 per gram —
+    * replacing the HOF formulation whose nested lambdas re-evaluated
+    * the whole shingle array per gram index), and chunk slices are
+    * array HOFs over the materialized cut column; the downstream
+    * chunk-hash dedup/df is whatever keyed consumer the caller composes
+    * (the md5 is emitted per chunk for exactly that).
     *
     * Returns `(doc_id, c, chunk, chunk_hash)` with `c` the 0-based
     * chunk ordinal; chunks reassemble to the document in order. */

@@ -396,6 +396,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("token_bucket_tf"),
       new ExpressionInfo(classOf[graft.functions.TokenBucketTf].getName, "token_bucket_tf"),
       exprs => graft.functions.TokenBucketTf(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("gae_fold"),
+      new ExpressionInfo(classOf[graft.functions.GaeFold].getName, "gae_fold"),
+      exprs => graft.functions.GaeFold(exprs.head, exprs(1), exprs(2))))
+    e.injectFunction((FunctionIdentifier("map_margin"),
+      new ExpressionInfo(classOf[graft.functions.MapMargin].getName, "map_margin"),
+      exprs => graft.functions.MapMargin(exprs.head, exprs(1))))
     e.injectFunction((FunctionIdentifier("cdc_cuts"),
       new ExpressionInfo(classOf[graft.functions.CdcCuts].getName, "cdc_cuts"),
       exprs => graft.functions.CdcCuts(exprs.head, exprs(1), exprs(2))))
