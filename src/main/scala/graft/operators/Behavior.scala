@@ -469,17 +469,25 @@ object Behavior {
     * would alias turns — also unreached-raise material when they
     * disagree on parents, but de-dup upstream.
     *
-    * Scale shape: level-synchronous BFS — `maxDepth` child-keyed
-    * equi-joins, each shuffling only (id, path-ids) pairs, every
-    * level localCheckpointed (the [[graft.operators.Iterate]]
-    * fixed-iteration discipline; plans stay O(1) per level). Paths
-    * ride as id ARRAYS (one row per node per level, text joined back
-    * exactly once at the end) — the exchanged volume is ids × depth,
-    * never text × depth. The BFS exits as soon as a level's frontier
-    * is empty (the isEmpty probe is nearly free on the
-    * just-checkpointed frame), so a depth-3 forest pays 3 rounds at
-    * any maxDepth — output provably identical to running all rounds,
-    * since an empty frontier stays empty and unions nothing.
+    * Scale shape: POINTER JUMPING (path doubling) — each round every
+    * unfinished node splices its ancestor pointer's accumulated path
+    * in front of its own and inherits that ancestor's pointer, so the
+    * contracted distance doubles per round and a depth-d tree settles
+    * in ⌈log₂(d−1)⌉+1 keyed joins instead of d level-synchronous ones
+    * (the round count is what dominates an iterative job's cost — each
+    * round is a full join + checkpoint + probe cycle; guide §1.2).
+    * Every round localCheckpoints (the [[graft.operators.Iterate]]
+    * fixed-iteration discipline; plans stay O(1) per round). Paths
+    * ride as id ARRAYS (text joined back exactly once at the end) —
+    * the exchanged volume is ids × depth, never text × depth. The loop
+    * exits as soon as no node can still make progress (the count probe
+    * is nearly free on the just-checkpointed frame), so a depth-3
+    * forest pays 2 rounds at any maxDepth — and the round ceiling
+    * ⌈log₂(maxDepth−1)⌉+1 guarantees every node within `maxDepth`
+    * levels of a root has settled, so the placed/unreachable verdict
+    * is identical to running the levels one at a time (a settled path
+    * longer than maxDepth is flagged exactly like a node BFS never
+    * reached).
     *
     * Id contract, enforced not assumed: ids must be INTEGRAL — a
     * non-null id whose long cast is null (e.g. OpenAssistant's UUID
@@ -515,26 +523,45 @@ object Behavior {
       .select(col("__p").as("__id")).distinct()
     val leaves = m.select(col("__id"))
       .join(parents, Seq("__id"), "left_anti")
-    var cur = m.filter(col("__p").isNull)
-      .select(col("__id"), array(col("__id")).as("__path"))
-      .localCheckpoint()
-    var acc = cur.join(leaves, Seq("__id"), "left_semi")
-    var placed = cur.select(col("__id"))
-    var level = 2
-    var frontierEmpty = cur.isEmpty
-    while (level <= maxDepth && !frontierEmpty) {
-      cur = m.select(col("__id"), col("__p"))
-        .join(cur.select(col("__id").as("__p"), col("__path")), Seq("__p"))
+    // pointer-jumping state, one row per node: `__jump` = the nearest
+    // ancestor whose path is not yet spliced in (null once the path
+    // reaches a root), `__path` = the contiguous ancestor chain from
+    // __jump's child down to the node itself, `__dead` = the chain hit
+    // a dangling parent id (no such node — unreachable forever)
+    var state = Iterate.checkpoint(m.select(col("__id"),
+      col("__p").as("__jump"), array(col("__id")).as("__path"),
+      lit(false).as("__dead")))
+    // every node within maxDepth levels of a root settles within
+    // ceil(log2(maxDepth-1))+1 doublings (depth d needs
+    // ceil(log2(d-1))+1); deeper-but-settled paths are flagged by
+    // length below, exactly like nodes level-BFS never reached
+    val roundCap = if (maxDepth == 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(maxDepth - 2L) + 1
+    var round = 0
+    var nActive = state.filter(!col("__dead") && col("__jump").isNotNull)
+      .count()
+    while (round < roundCap && nActive > 0) {
+      round += 1
+      val settled = state.filter(col("__dead") || col("__jump").isNull)
+      val contracted = state.filter(!col("__dead") && col("__jump").isNotNull)
+        .join(state.select(col("__id").as("__jump"),
+            col("__jump").as("__jump2"), col("__path").as("__path2")),
+          Seq("__jump"), "left")
         .select(col("__id"),
-          concat(col("__path"), array(col("__id"))).as("__path"))
-        .localCheckpoint()
-      frontierEmpty = cur.isEmpty
-      if (!frontierEmpty) {
-        acc = acc.unionAll(cur.join(leaves, Seq("__id"), "left_semi"))
-        placed = placed.unionAll(cur.select(col("__id")))
-      }
-      level += 1
+          when(col("__path2").isNull, col("__jump"))
+            .otherwise(col("__jump2")).as("__jump"),
+          coalesce(concat(col("__path2"), col("__path")), col("__path"))
+            .as("__path"),
+          col("__path2").isNull.as("__dead"))
+      state = Iterate.checkpoint(settled.unionAll(contracted))
+      nActive = state.filter(!col("__dead") && col("__jump").isNotNull)
+        .count()
     }
+    val placedRows = state.filter(!col("__dead") && col("__jump").isNull &&
+      size(col("__path")) <= maxDepth)
+    val placed = placedRows.select(col("__id"))
+    val acc = placedRows.select(col("__id"), col("__path"))
+      .join(leaves, Seq("__id"), "left_semi")
     val out = acc
       .select(col("__id").as("path_id"),
         size(col("__path")).cast("long").as("n_turns"),

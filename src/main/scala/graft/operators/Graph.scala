@@ -483,27 +483,41 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct())
-    var alive = und.select(col("a").as("node"))
-      .unionAll(und.select(col("b").as("node"))).distinct()
-    var nAlive = alive.count() // one driver scalar per round
-    var result = alive.withColumn("degree", lit(0L)).limit(0)
+    val nbr = und.select(col("a").as("node"), col("b").as("other"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("other")))
+    // DELTA peeling (guide §2.4): degrees are computed ONCE over the
+    // full graph; each round subtracts the neighbors lost to that
+    // round's removals instead of re-joining the whole edge relation
+    // against the alive set and re-counting every survivor. Per-round
+    // work is wavefront-sized (Σ deg(removed) across all rounds ≤ 2|E|,
+    // vs |E| PER ROUND before) and round t's surviving degrees are, by
+    // induction, exactly the induced-subgraph degrees the re-count
+    // produced — deg_t(v) counts v's neighbors inside the round-(t−1)
+    // survivor set, so output (and the non-converged superset case) is
+    // bit-identical.
+    var deg = Iterate.checkpoint(
+      nbr.groupBy("node").agg(count(lit(1)).as("degree")))
+    var nAlive = deg.count() // one driver scalar per round
+    var result = deg.filter(col("degree") >= lit(k.toLong))
     var round = 0
     var converged = nAlive == 0
     while (round < iters && !converged) {
       round += 1
-      val live = und
-        .join(alive.select(col("node").as("a")), Seq("a"))
-        .join(alive.select(col("node").as("b")), Seq("b"))
-      val surviving = Iterate.checkpoint(
-        live.select(col("a").as("node")).unionAll(live.select(col("b").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("degree"))
-          .filter(col("degree") >= k))
-      val n = surviving.count()
-      if (n == nAlive) converged = true
-      nAlive = n
-      alive = surviving.select(col("node"))
+      val removed = deg.filter(col("degree") < lit(k.toLong))
+      val surviving = deg.filter(col("degree") >= lit(k.toLong))
       result = surviving
-      if (n == 0) converged = true
+      val nRemoved = removed.count()
+      if (nRemoved == 0L || nRemoved == nAlive) converged = true
+      nAlive -= nRemoved
+      if (!converged && round < iters) {
+        val drops = nbr
+          .join(removed.select(col("node").as("other")), Seq("other"))
+          .groupBy("node").agg(count(lit(1)).as("__drop"))
+        deg = Iterate.checkpoint(surviving
+          .join(drops, Seq("node"), "left")
+          .select(col("node"),
+            (col("degree") - coalesce(col("__drop"), lit(0L))).as("degree")))
+      }
     }
     (result, converged)
   }
@@ -676,9 +690,12 @@ object Graph {
       val merged = Iterate.checkpoint(dist.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist")))
       // the new frontier: nodes whose min dist IS this round's level —
-      // exactly the first-reached set (settled nodes keep smaller dists)
-      frontier = Iterate.checkpoint(
-        merged.filter(col("dist") === lit(round.toLong)))
+      // exactly the first-reached set (settled nodes keep smaller
+      // dists). A filter over the just-checkpointed merged frame needs
+      // no checkpoint of its own (guide §1.2: one materialization job
+      // less per round — the filter re-reads local blocks, never
+      // lineage)
+      frontier = merged.filter(col("dist") === lit(round.toLong))
       frontierSize = frontier.count()
       dist = merged
     }
@@ -726,15 +743,24 @@ object Graph {
     while (round < iters && nChanged > 0) {
       round += 1
       val relaxed = e.join(changed, col("src") === col("node"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      val merged = Iterate.checkpoint(dist.unionAll(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist")))
-      changed = Iterate.checkpoint(merged
-        .join(dist.withColumnRenamed("dist", "__pd"), Seq("node"), "left")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"),
+          lit(null).cast("long").as("__pd"))
+      // the previous distance rides the settled rows INTO the min-merge
+      // (each node has at most one settled row, so min(__pd) recovers
+      // it; relaxed rows contribute null, which min ignores) — the
+      // changed set is then a filter over the just-checkpointed merge
+      // instead of a second nodes × nodes join + checkpoint per round
+      // (guide §2.4)
+      val merged = Iterate.checkpoint(
+        dist.select(col("node"), col("dist"), col("dist").as("__pd"))
+          .unionAll(relaxed)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"),
+            min(col("__pd")).as("__pd")))
+      changed = merged
         .filter(col("__pd").isNull || col("dist") < col("__pd"))
-        .select(col("node"), col("dist")))
+        .select(col("node"), col("dist"))
       nChanged = changed.count()
-      dist = merged
+      dist = merged.select(col("node"), col("dist"))
     }
     dist
   }
@@ -771,10 +797,21 @@ object Graph {
     * on the session default partitioning (lazily composable, at the
     * cost of the spill protection — dev loops and small graphs).
     *
-    * Determinism: per-center weight = round(1/ln(deg), 6) as
-    * DECIMAL(18,6), summed exactly (order-independent); final ranking
-    * ties on the rounded score break by candidate id. Node ids must be
-    * integral (they ride the bounded ranking buffer as longs — the
+    * Determinism: per-center weight = round(1/ln(deg), 6) carried as
+    * exact integer MICROS (the DECIMAL(18,6) value times 10⁶ — a long),
+    * summed exactly (order-independent) and divided back by 10⁶ only at
+    * output; final ranking ties on the rounded score break by candidate
+    * id. The long carrier matters at scale: a DECIMAL(18,6) sum's
+    * buffer is DECIMAL(28,6) — past the compact-long precision — so
+    * every wedge row's aggregation update allocates BigDecimals, and at
+    * 32 concurrent tasks on a long-lived heap that allocation storm is
+    * GC-bound (guide §5); the long sum is allocation-free codegen. The
+    * micros → double conversion is bit-identical to the decimal path:
+    * both are the correctly-rounded double of the exact rational
+    * Σmicros/10⁶ (IEEE division of two exactly-represented operands vs
+    * BigDecimal.doubleValue) while Σmicros < 2⁵³ — and 2⁵³ micros would
+    * need ~9·10⁹ weighted wedges on ONE candidate pair. Node ids must
+    * be integral (they ride the bounded ranking buffer as longs — the
     * [[Similarity.perQueryTopK]] contract); re-key string-keyed graphs
     * first. */
   def adamicAdar(edges: DataFrame, k: Int, maxDegree: Int = 10000,
@@ -805,11 +842,23 @@ object Graph {
       val wedgeRows = cdeg.agg(coalesce(
         sum(col("__d") * (col("__d") - lit(1L))), lit(0L)))
         .first().getLong(0) / 2
+      // rows-per-task budget is CONCURRENCY-aware (guide §5): the
+      // per-task agg state shares one executor heap with every
+      // concurrently running task, so the budget shrinks as core count
+      // grows (16M rows split across the active cores, floored at 500k)
+      // instead of a flat 2M that let 32 simultaneous tasks hold 32
+      // full-sized hash maps on the same heap
+      val cores = math.max(1, edges.sparkSession.sparkContext.defaultParallelism)
+      val rowsPerTask = math.max(500000L, 16000000L / cores)
       math.min(4096L,
-        math.max(defaultParts.toLong, wedgeRows / 2000000L + 1)).toInt
+        math.max(defaultParts.toLong, wedgeRows / rowsPerTask + 1)).toInt
     }
+    // per-center weight as exact integer micros: the decimal(18,6)
+    // value is micros-exact, so decimal × 10⁶ → long is lossless and
+    // the wedge aggregation below becomes an allocation-free long sum
     val centers = cdeg.select(col("z"),
-      round(lit(1.0) / log(col("__d")), 6).cast("decimal(18,6)").as("w"))
+      (round(lit(1.0) / log(col("__d")), 6).cast("decimal(18,6)") *
+        lit(1000000L)).cast("long").as("w"))
     val wn = nbrs.join(centers, Seq("z"))
     val wedges = wn.select(col("z"), col("x"), col("w"))
       .join(wn.select(col("z"), col("x").as("y")), Seq("z"))
@@ -822,7 +871,11 @@ object Graph {
       // prediction, not recall: drop pairs that are already edges
       .join(und, col("x") === col("a") && col("y") === col("b"),
         "left_anti")
-      .select(col("x"), col("y"), col("__s").cast("double").as("score"))
+      // micros → score: exact operands, correctly-rounded IEEE division
+      // — bit-identical to the former sum(decimal(18,6)).cast(double)
+      // (see the scaladoc's 2⁵³ argument)
+      .select(col("x"), col("y"),
+        (col("__s").cast("double") / lit(1e6)).as("score"))
     val scored = pairs
       .select(col("x").as("query_id"), col("y").as("neighbor_id"),
         col("score"))

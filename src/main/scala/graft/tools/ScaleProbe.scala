@@ -61,6 +61,46 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Jobs mode — `runMain graft.tools.ScaleProbe jobs q_m12_audio_clusters`:
+    // one named query (warmup + 1 measured run) with a listener printing
+    // every Spark job's wall time — the dev lens for stage-overhead-bound
+    // queries (guide §1.1: decide WHERE the time goes before touching
+    // anything). Job description = whatever the operator set, else the
+    // call site.
+    if (args.headOption.contains("jobs")) {
+      val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val q = args(1)
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      @volatile var record = false
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val desc = Option(js.properties)
+              .map(_.getProperty("spark.job.description", "")).getOrElse("")
+            val site = Option(js.properties)
+              .map(_.getProperty("callSite.short", "")).getOrElse("")
+            starts.put(js.jobId, (System.nanoTime(),
+              if (desc.nonEmpty) desc else site))
+          }
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val st = starts.remove(je.jobId)
+            if (record && st != null)
+              println(f"[jobs] #${je.jobId}%-4d ${(System.nanoTime() - st._1) / 1e9}%7.3f s  ${st._2}")
+          }
+        })
+      def run(): Double = time {
+        graft.SparkEntry.queries(q)(spark, sf)
+          .write.format("noop").mode("overwrite").save()
+      }
+      run() // warmup
+      record = true
+      val t = run()
+      println(f"[jobs] total $q $t%.2f s   ($sf)")
+      spark.stop(); return
+    }
+
     // Graph tier — `runMain graft.tools.ScaleProbe graph`: the five
     // iterative graph queries (the recurring bench-churn arbitration
     // customers — r13/r14 showed driver in-suite readings up to ~5x
