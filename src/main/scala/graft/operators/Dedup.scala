@@ -1492,17 +1492,51 @@ object Dedup {
     var checkpointed = Iterate.checkpoint(edges.groupBy(col("src").as("node"))
       .agg(least(col("src"), min(col("dst"))).as("label")))
     var labels = checkpointed
-    // one propagation round: min neighbor label per node, folded with the
-    // node's own label; `improved` marks rows the round actually changed
-    def propagate(): DataFrame = {
+    // one propagation round: min of (own label, neighbors' labels, the
+    // own label's CURRENT label). The third term is pointer
+    // shortcutting — label values are node ids, so L(L(v)) is one
+    // labels-keyed self-join — which turns the min-label walk into
+    // doubling: rounds drop from the component diameter to O(log
+    // diameter). Each round is a full join + checkpoint + count cycle,
+    // and the ROUND COUNT is what an iterative job's fixed cost scales
+    // with (guide §1.2) — a diameter-17 hash chain paid ~100 stage
+    // jobs here before. The fixpoint is unchanged: shortcut values are
+    // labels already present in the component, updates only decrease,
+    // and a state stable under this update is stable under plain
+    // propagation too, whose unique fixpoint is the component min.
+    // `improved` marks rows the round actually changed. Round 1 runs
+    // PLAIN propagation (after the fused round 0, L(L(v)) only equals
+    // what round 1's neighbor fold already sees on the shallow graphs
+    // dedup clusters usually are — the extra self-join would be pure
+    // tax there); the shortcut joins in from round 2, when a still-
+    // unconverged graph has demonstrated depth.
+    def propagate(withShortcut: Boolean): DataFrame = {
       val viaNbr = edges
         .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("label")).as("nbr_label"))
-      Iterate.checkpoint(labels.join(viaNbr, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (col("nbr_label") < col("label")).as("improved")))
+      if (!withShortcut)
+        Iterate.checkpoint(labels.join(viaNbr, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_label"), col("label")))
+              .as("label"),
+            (col("nbr_label") < col("label")).as("improved")))
+      else {
+        // L(v) is always a node id of this graph (the init folds min
+        // over self + neighbors; updates fold other nodes' labels), so
+        // the self-join always matches — inner, every node keeps a row
+        val viaPtr = labels.select(col("node"), col("label").as("__l"))
+          .join(labels.select(col("node").as("__l"),
+            col("label").as("ptr_label")), Seq("__l"))
+          .select(col("node"), col("ptr_label"))
+        Iterate.checkpoint(labels.join(viaNbr, Seq("node"), "left")
+          .join(viaPtr, Seq("node"))
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_label"), col("label")),
+              col("ptr_label")).as("label"),
+            (least(coalesce(col("nbr_label"), col("label")),
+              col("ptr_label")) < col("label")).as("improved")))
+      }
     }
     def advance(next: DataFrame): Long = {
       val changed = next.filter(col("improved")).count()
@@ -1517,14 +1551,14 @@ object Dedup {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      changed = advance(propagate())
+      changed = advance(propagate(withShortcut = i > 0))
       i += 1
     }
     // a graph that converges on exactly the maxIter-th round exits with
     // changed > 0 even though the labels are already final — one extra
     // confirming round (a no-op when converged) distinguishes that from a
     // genuinely unconverged graph before we fail
-    if (changed > 0) changed = advance(propagate())
+    if (changed > 0) changed = advance(propagate(withShortcut = true))
     edges.unpersist()
     // fail fast rather than return partially-propagated labels: a graph
     // whose diameter exceeds maxIter would otherwise silently yield wrong

@@ -594,8 +594,15 @@ object Multimodal {
       maxBandBucket: Int = 100000): DataFrame = {
     val ov = Iterate.checkpoint(origs) // consumed by distinct + map-back
     val od = ov.select(col("ahash")).distinct()
-    val vrep = variants.groupBy(col("ahash"))
-      .agg(min(col("media_id")).as("__vmin"))
+    // the variant side is consumed TWICE downstream (the banded match
+    // and matchByHash's band-bucket guard branch) — without this
+    // checkpoint each consumer re-runs the whole variants lineage,
+    // typically a full media synthesize/decode pass (measured: one
+    // extra ~2.5-3 s job per match query at sf0.1). The checkpointed
+    // relation is distinct-hash-sized — guide §8's "decide on small
+    // rows": materialize the fingerprint proxy, never the media bytes.
+    val vrep = Iterate.checkpoint(variants.groupBy(col("ahash"))
+      .agg(min(col("media_id")).as("__vmin")))
     val hm = matchByHash(
       od.select(col("ahash").as("media_id"), col("ahash")),
       vrep.select(col("__vmin").as("media_id"), col("ahash")),
@@ -697,8 +704,12 @@ object Multimodal {
       maxBandBucket: Int = 100000): DataFrame = {
     val c = Iterate.checkpoint(corpus) // consumed by distinct + map-back
     val cd = c.select(col("ahash")).distinct()
-    val brep = benchmark.groupBy(col("ahash"))
-      .agg(min(col("media_id")).as("__bid"))
+    // benchmark side consumed twice (banded match + band-bucket guard):
+    // checkpoint the distinct-hash-sized representative relation so the
+    // benchmark media lineage decodes once (the matchByHashDistinct
+    // argument)
+    val brep = Iterate.checkpoint(benchmark.groupBy(col("ahash"))
+      .agg(min(col("media_id")).as("__bid")))
     val hm = matchByHash(
       cd.select(col("ahash").as("media_id"), col("ahash")),
       brep.select(col("__bid").as("media_id"), col("ahash")),

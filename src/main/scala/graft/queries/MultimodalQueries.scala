@@ -394,7 +394,11 @@ object MultimodalQueries extends graft.QueryPack {
     Q("q_m9_phash_match",
       (s, d) => {
         val ids = Tables.documents(s, d).select(col("doc_id"))
-        val origs = Multimodal.synthesizeImages(s, ids, 16, 8, idCol = "doc_id")
+        // origs feeds BOTH fingerprint branches (originals + the
+        // transformed variants) — checkpoint the synthesized bytes so
+        // the PNG encode pass runs once, not once per branch
+        val origs = graft.operators.Iterate.checkpoint(
+          Multimodal.synthesizeImages(s, ids, 16, 8, idCol = "doc_id"))
         val varts = Multimodal.transformMedia(s,
           Multimodal.transformMedia(s, origs, Multimodal.PixelShift(1, 128)),
           Multimodal.ImageResize(8, 4))
@@ -456,8 +460,10 @@ object MultimodalQueries extends graft.QueryPack {
     Q("q_m11_audio_match",
       (s, d) => {
         val ids = Tables.documents(s, d).select(col("doc_id"))
-        val origs = Multimodal.synthesizeAudio(s, ids, nSamples = 160,
-          sampleRate = 8000, idCol = "doc_id")
+        // origs feeds both fingerprint branches — synthesize once
+        val origs = graft.operators.Iterate.checkpoint(
+          Multimodal.synthesizeAudio(s, ids, nSamples = 160,
+            sampleRate = 8000, idCol = "doc_id"))
         val varts = Multimodal.transformMedia(s, origs,
           Multimodal.SampleShift(5, 700))
         // distinct-signature collapse: this fixture is dup-heavy (~100
@@ -494,8 +500,10 @@ object MultimodalQueries extends graft.QueryPack {
     Q("q_m12_audio_clusters",
       (s, d) => {
         val ids = Tables.documents(s, d).select(col("doc_id"))
-        val origs = Multimodal.synthesizeAudio(s, ids, nSamples = 160,
-          sampleRate = 8000, idCol = "doc_id")
+        // origs feeds both fingerprint branches — synthesize once
+        val origs = graft.operators.Iterate.checkpoint(
+          Multimodal.synthesizeAudio(s, ids, nSamples = 160,
+            sampleRate = 8000, idCol = "doc_id"))
         val varts = Multimodal.transformMedia(s, origs,
           Multimodal.SampleShift(5, 700))
         val fps = Multimodal.audioFingerprint(s, origs).unionAll(
@@ -538,8 +546,10 @@ object MultimodalQueries extends graft.QueryPack {
     Q("q_m13_video_match",
       (s, d) => {
         val ids = Tables.documents(s, d).select(col("doc_id"))
-        val origs = Multimodal.synthesizeVideos(s, ids, 16, 8,
-          nFrames = 6, idCol = "doc_id")
+        // origs feeds both fingerprint branches — synthesize once
+        val origs = graft.operators.Iterate.checkpoint(
+          Multimodal.synthesizeVideos(s, ids, 16, 8,
+            nFrames = 6, idCol = "doc_id"))
         val varts = Multimodal.transformMedia(s, origs,
           Multimodal.FramePixelShift(0, 1, 128))
         Multimodal.matchByHashDistinct(
@@ -568,8 +578,10 @@ object MultimodalQueries extends graft.QueryPack {
     Q("q_m14_video_clusters",
       (s, d) => {
         val ids = Tables.documents(s, d).select(col("doc_id"))
-        val origs = Multimodal.synthesizeVideos(s, ids, 16, 8,
-          nFrames = 6, idCol = "doc_id")
+        // origs feeds both fingerprint branches — synthesize once
+        val origs = graft.operators.Iterate.checkpoint(
+          Multimodal.synthesizeVideos(s, ids, 16, 8,
+            nFrames = 6, idCol = "doc_id"))
         val varts = Multimodal.transformMedia(s, origs,
           Multimodal.FramePixelShift(0, 1, 128))
         val fps = Multimodal.videoFingerprint(s, origs, 4, 4, 4, 2)
