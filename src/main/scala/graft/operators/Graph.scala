@@ -89,9 +89,15 @@ object Graph {
     require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
     tol.foreach(t => require(t >= 0, s"tol must be >= 0, got $t"))
 
-    val e =
+    // the projected edge relation feeds the degree aggregation, the
+    // degree-annotation join AND the node-set union below — checkpoint
+    // it so the caller's edge-construction lineage (often an
+    // orders × lineitem join or a co-occurrence expansion) runs once,
+    // not once per consumer (guide §1.2; measured: the q_g1 edge build
+    // ran 3-4x in the setup jobs before)
+    val e = Iterate.checkpoint(
       if (weighted) edges.select(col("src"), col("dst"), col("w"))
-      else edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst")))
     // out-degrees (weighted: total out-weight) and the degree-annotated
     // edge list are materialized ONCE and reused every round (the joins
     // below would otherwise recompute the degree aggregation per
