@@ -40,8 +40,16 @@ object Iterate {
   /** Truncate `df`'s lineage at an iteration boundary: reliable
     * `checkpoint(eager)` when the SparkContext has a checkpoint dir set,
     * `localCheckpoint(eager)` otherwise. */
-  def checkpoint(df: DataFrame, eager: Boolean = true): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager)
-    else df.localCheckpoint(eager)
+  def checkpoint(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val cp =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager)
+      else df.localCheckpoint(eager)
+    // the checkpoint SNAPSHOTS the child plan's estimated Statistics —
+    // in an iterative loop those estimates compound round over round
+    // (and square under a self-join) until the driver drowns in
+    // BigInteger arithmetic; clamp them far above every broadcast
+    // threshold (see GraftSqlBridge.capCheckpointStats)
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.capCheckpointStats(cp)
+  }
 }

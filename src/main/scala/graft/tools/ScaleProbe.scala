@@ -72,6 +72,7 @@ object ScaleProbe {
       val q = args(1)
       val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
       @volatile var record = false
+      @volatile var t0ns = System.nanoTime()
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(
@@ -87,7 +88,7 @@ object ScaleProbe {
               je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
             val st = starts.remove(je.jobId)
             if (record && st != null)
-              println(f"[jobs] #${je.jobId}%-4d ${(System.nanoTime() - st._1) / 1e9}%7.3f s  ${st._2}")
+              println(f"[jobs] #${je.jobId}%-4d @${(st._1 - t0ns) / 1e9}%8.3f ${(System.nanoTime() - st._1) / 1e9}%7.3f s  ${st._2}")
           }
         })
       def run(): Double = time {
@@ -96,6 +97,7 @@ object ScaleProbe {
       }
       run() // warmup
       record = true
+      t0ns = System.nanoTime()
       val t = run()
       println(f"[jobs] total $q $t%.2f s   ($sf)")
       spark.stop(); return
