@@ -321,9 +321,15 @@ object Graph {
       // rescale (guide §2.4: one nodes-sized join less per round), and
       // under `tol` makes the movement scalar one scan of the new
       // checkpoint instead of a scores × prev join
-      val aRaw = e.join(scores.select(col("node"), col("hub_m")),
+      // aRaw/hRaw are each consumed TWICE (the 1-row max normalizer's
+      // broadcast build + the rescale join run as separate jobs, so
+      // exchange reuse cannot dedupe them) — without these checkpoints
+      // the edge contribution join ran 4x per round instead of 2x
+      // (guide §1.2); the checkpointed frames are nodes-sized
+      val aRaw = Iterate.checkpoint(
+        e.join(scores.select(col("node"), col("hub_m")),
           col("node") === col("src"))
-        .groupBy(col("dst")).agg(sum("hub_m").as("__raw"))
+        .groupBy(col("dst")).agg(sum("hub_m").as("__raw")))
       val amx = aRaw.agg(max(col("__raw")).as("__mx"))
       val auth = scores
         .select(col("node"), col("auth_m").as("__pa"),
@@ -333,9 +339,10 @@ object Graph {
         .select(col("node"), col("__pa"), col("__ph"),
           floor(coalesce(col("__raw"), lit(0L)).cast("double") * lit(1e6) /
             col("__mx") + lit(0.5)).as("auth_m"))
-      val hRaw = e.join(auth.select(col("node"), col("auth_m")),
+      val hRaw = Iterate.checkpoint(
+        e.join(auth.select(col("node"), col("auth_m")),
           col("node") === col("dst"))
-        .groupBy(col("src")).agg(sum("auth_m").as("__raw"))
+        .groupBy(col("src")).agg(sum("auth_m").as("__raw")))
       val hmx = hRaw.agg(max(col("__raw")).as("__mx"))
       val keepPrev = if (tol.isDefined) Seq(col("__pa"), col("__ph")) else Nil
       scores = Iterate.checkpoint(auth
